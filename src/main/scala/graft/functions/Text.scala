@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the BM25 chain, dedup and
+  * text-analysis operators.
+  *
+  * The reference tokenizes with ansj Chinese segmentation plus a
+  * part-of-speech whitelist and stopword set (reference
+  * BatchBM25PreMain.java:38-48,185-199). The engine's tokenizer is the
+  * same operator shape — explode + predicate filter — with a
+  * whitespace tokenizer (the corpus is space-separated) and a
+  * stopword/min-length predicate standing in for the POS whitelist.
+  * Everything here is deliberately expressible in ANSI SQL so the
+  * DuckDB oracle can replay it exactly (SURVEY.md §6).
+  */
+object Text {
+  /** Stopword set (engine default; the ref's set is domain-specific). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** SQL-literal form of [[Stopwords]] for oracle queries. */
+  def stopwordsSqlList: String = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val MinTokenLength = 2
+
+  /** Raw whitespace tokens of a text column (lowercased). */
+  def rawTokens(text: Column): Column = split(lower(text), " ")
+
+  /** Keep predicate applied to each token (stopword + min length). */
+  def keepToken(term: Column): Column =
+    length(term) >= MinTokenLength && !term.isin(Stopwords: _*)
+}
