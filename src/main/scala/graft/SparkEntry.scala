@@ -34,6 +34,21 @@ object SparkEntry {
     "q_search_topn" -> ((s, dir) => Bm25.searchTopN(Tables.documents(s, dir))),
     "q_postings" -> ((s, dir) => Bm25.postings(Tables.documents(s, dir), maxDf = 1000)),
     "q_idf_upsert" -> ((s, dir) => Upsert.lastWins(Tables.events(s, dir))),
+
+    // ---- Relational / OLAP surface (SURVEY §2 #13-25) ----
+    "q_agg" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q_join_multi" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    "q_topn" -> ((s, dir) => Relational.topOrders(Tables.orders(s, dir))),
+    "q_window" -> ((s, dir) => Relational.customerOrderWindows(Tables.orders(s, dir))),
+    "q_distinct" -> ((s, dir) => Relational.eventTypeStats(Tables.events(s, dir))),
+    "q_semijoin" -> ((s, dir) => Relational.customersWithBigOrders(s, dir)),
+    "q_antijoin" -> ((s, dir) => Relational.emptyOrders(s, dir)),
+    "q_union" -> ((s, dir) => Relational.activeUsers(Tables.events(s, dir))),
+    "q_rollup" -> ((s, dir) => Relational.returnsRollup(Tables.lineitem(s, dir))),
+    "q_pivot" -> ((s, dir) => Relational.statusPivot(Tables.lineitem(s, dir))),
+    "q_json" -> ((s, dir) => Relational.propsK(Tables.events(s, dir))),
+    "q_time_window" -> ((s, dir) => Relational.hourlyEventStats(Tables.events(s, dir))),
+    "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
   )
 
   // ---------------------------------------------------------------
@@ -115,5 +130,86 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_type AS last_type, round(value, 6) AS last_value, ts_ms AS last_ts_ms
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // ---- Relational / OLAP (money math via floor-micros, SURVEY §6) ----
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(floor(l_quantity * 1000000.0)::BIGINT)::BIGINT AS sum_qty_micros,
+        |       sum(floor(l_extendedprice * 1000000.0)::BIGINT)::BIGINT AS sum_base_micros,
+        |       sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS sum_disc_micros,
+        |       count(*)::BIGINT AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_multi" ->
+      """SELECT n_name,
+        |       sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS revenue_micros,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS order_rank,
+        |       sum(floor(o_totalprice * 1000000.0)::BIGINT)
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS running_spend_micros
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "q_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""".stripMargin,
+    "q_antijoin" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+    "q_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |       sum(floor(l_quantity * 1000000.0)::BIGINT)::BIGINT AS sum_qty_micros
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+        |       sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_json" ->
+      """SELECT event_type, sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k, count(*)::BIGINT AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_time_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms, event_type,
+        |       count(*)::BIGINT AS n,
+        |       sum(floor(value * 1000000.0)::BIGINT)::BIGINT AS sum_value_micros
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |         lag(epoch_ns(ts)) OVER w AS prev_tns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, event_id, tns,
+        |         CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |t AS (
+        |  SELECT user_id, event_id, tns,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+        |       min(tns // 1000000)::BIGINT AS start_ms, max(tns // 1000000)::BIGINT AS end_ms
+        |FROM t GROUP BY user_id, session_id""".stripMargin,
   )
 }
