@@ -49,6 +49,20 @@ object SparkEntry {
     "q_json" -> ((s, dir) => Relational.propsK(Tables.events(s, dir))),
     "q_time_window" -> ((s, dir) => Relational.hourlyEventStats(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
+
+    // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+    "q_dedup_embcos" -> ((s, dir) => Ann.cosinePairs(Tables.embeddings(s, dir))),
+    "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
+    "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(s, Tables.embeddings(s, dir))),
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "q_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+    "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
   )
 
   // ---------------------------------------------------------------
@@ -70,6 +84,19 @@ object SparkEntry {
        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM dl)""".stripMargin
 
   private val queryTermsSql = Bm25.QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Word-3-gram shingle CTE mirroring Dedup.shingles (distinct shingles
+    * per doc, 1-based windows over the space-split word list). */
+  private val shingleCte =
+    """tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      |       FROM tokw, unnest(generate_series(1, len(words)-2)) AS t(i)
+      |       WHERE len(words) >= 3)""".stripMargin
+
+  /** Double-cast vector + L2 norm CTE mirroring Ann.withNorm. */
+  private val vecCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
 
   private val bm25Cte =
     s"""$dlCte,
@@ -211,5 +238,107 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
         |       min(tns // 1000000)::BIGINT AS start_ms, max(tns // 1000000)::BIGINT AS end_ms
         |FROM t GROUP BY user_id, session_id""".stripMargin,
+
+    // ---- LLM-training-data pipeline (SURVEY §2 #26-37) ----
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS canonical_doc_id,
+        |       count(*)::BIGINT AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |         round(inter::DOUBLE / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+         |  FROM inter
+         |  JOIN sizes na ON inter.doc_a = na.doc_id
+         |  JOIN sizes nb ON inter.doc_b = nb.doc_id)
+         |WHERE jaccard >= 0.8""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, p, min(md5(p::VARCHAR || ':' || shingle)) AS sig
+         |        FROM sh, unnest(generate_series(0, 15)) AS t(p)
+         |        GROUP BY doc_id, p),
+         |bands AS (SELECT doc_id, p // 4 AS band, string_agg(sig, '|' ORDER BY p) AS bkey
+         |          FROM sig GROUP BY doc_id, p // 4)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH $tfCte,
+         |th AS (SELECT doc_id, tf,
+         |  list_sum(list_transform(range(1, 16),
+         |    j -> (strpos('0123456789abcdef', substr(md5(term), j, 1)) - 1)::BIGINT << ((15 - j) * 4)
+         |  )) AS hv FROM tf),
+         |bs AS (SELECT doc_id, b, sum(tf * (2 * ((hv >> b) & 1) - 1)) AS s
+         |       FROM th, unnest(generate_series(0, 59)) AS t(b)
+         |       GROUP BY doc_id, b)
+         |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+         |FROM bs GROUP BY doc_id""".stripMargin,
+    "q_dedup_embcos" ->
+      s"""WITH $vecCte
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         |               / (a.nrm * b.nrm), 4) AS cos
+         |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
+         |SELECT b.vec_id,
+         |       round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+         |             / (q.nrm * b.nrm), 4) AS cos
+         |FROM vn b, q WHERE b.vec_id != 0
+         |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    // q_ann_lsh: md5-derived hyperplanes are deterministic but the sign
+    // of a 64-term float sum is not portably reproducible in SQL → rows
+    // -only here; recall vs brute force is covered by AnnSpec.
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       strlen(text)::BIGINT AS n_bytes,
+        |       md5(text) AS fingerprint,
+        |       (64 + strlen(text) % 256)::INT AS width,
+        |       (64 + doc_id % 128)::INT AS height,
+        |       (1 + doc_id % 8)::INT AS n_frames
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, len(toks) AS n_tokens,
+         |             len(list_filter(toks, t -> t IN ($stop))) AS n_stop FROM t)
+         |SELECT doc_id, round(n_stop::DOUBLE / n_tokens, 4) AS en_ratio,
+         |       CASE WHEN n_stop::DOUBLE / n_tokens >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+         |FROM c""".stripMargin,
+    "q_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, text, toks,
+         |             len(toks)::BIGINT AS n_tokens,
+         |             len(list_distinct(toks))::BIGINT AS n_distinct,
+         |             len(list_filter(toks, t -> t IN ($stop)))::BIGINT AS n_stop,
+         |             list_max(list_transform(list_distinct(toks),
+         |               d -> len(list_filter(toks, t -> t = d))))::BIGINT AS max_tf
+         |      FROM t)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |       round(n_distinct::DOUBLE / n_tokens, 4) AS distinct_ratio,
+         |       round(n_stop::DOUBLE / n_tokens, 4) AS stop_ratio,
+         |       round((length(text) - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS mean_token_len,
+         |       round(max_tf::DOUBLE / n_tokens, 4) AS rep_ratio,
+         |       (n_tokens >= 10 AND n_tokens <= 10000 AND n_distinct::DOUBLE / n_tokens >= 0.2) AS quality_ok
+         |FROM c""".stripMargin,
+    "q_token_count" ->
+      """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id, len(toks)::BIGINT AS n_ws,
+        |       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_alnum,
+        |       list_sum(list_transform(toks, t -> ceil(length(t) / 4.0)::BIGINT))::BIGINT AS n_bpe_ish
+        |FROM t""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $shingleCte,
+         |mins AS (SELECT doc_id, min(md5(shingle)) AS sh_fp FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(m.sh_fp, md5(d.text)) AS fingerprint
+         |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id""".stripMargin,
   )
 }

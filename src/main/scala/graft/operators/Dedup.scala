@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash groupBy), word-n-gram Jaccard (exact, the verify baseline),
+  * MinHash+LSH (the 100 TB scale path) and SimHash fingerprints.
+  *
+  * All hashing is md5-based so the DuckDB oracle replays it exactly
+  * (SURVEY.md §6). Scale notes: exact dedup and minhash signatures are
+  * single-shuffle hash aggregations on uniform keys; LSH candidate
+  * generation shuffles on (band, bucket) with bounded bucket sizes;
+  * only the ngram variant does a shingle self-join — it is the small-N
+  * exact baseline that validates the LSH path, not the scale path.
+  */
+object Dedup {
+
+  /** (text_md5, canonical_doc_id, n_copies): exact duplicate groups. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, shingle): distinct word n-gram shingles per document. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(words, CAST(i+$j AS INT))").mkString(", ")
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(words)-${n - 1}), i -> concat_ws(' ', $parts))")).as("shingle"))
+      .distinct()
+  }
+
+  /** (doc_a, doc_b, jaccard): exact n-gram Jaccard near-dup pairs via
+    * shingle self-join. Quadratic in cluster size — the correctness
+    * baseline for [[minhashCandidates]]. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** (doc_id, p, sig): MinHash signature — per permutation p, the min
+    * md5(p:shingle). Embarrassingly parallel per document. */
+  def minhashSignatures(docs: DataFrame, numPerm: Int = 16): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${numPerm - 1})")).as("p"), col("shingle"))
+      .groupBy("doc_id", "p")
+      .agg(min(md5(concat(col("p").cast("string"), lit(":"), col("shingle")))).as("sig"))
+
+  /** (doc_a, doc_b): LSH candidate pairs — docs sharing any band of
+    * rowsPerBand consecutive signature values. The scale path: shuffle
+    * on (band, band key) only; no all-pairs join. */
+  def minhashCandidates(docs: DataFrame, numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bands = minhashSignatures(docs, numPerm)
+      .groupBy(col("doc_id"), expr(s"p div $rowsPerBand").as("band"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, sig))), s -> s.sig), '|')").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** (doc_id, simhash): 60-bit SimHash as a bit string, tf-weighted
+    * over stopword-filtered terms. Hex parse keeps 15 md5 hex digits
+    * so the value fits a signed 64-bit int in both engines. */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val termHash = Bm25.tf(docs)
+      .withColumn("hv", expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)"))
+    termHash
+      .select(col("doc_id"), col("tf"), col("hv"), explode(expr(s"sequence(0, ${bits - 1})")).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(expr("tf * (2 * ((hv >> b) & 1) - 1)")).as("s"))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(b, CASE WHEN s > 0 THEN '1' ELSE '0' END AS bit))), x -> x.bit), '')").as("simhash"))
+  }
+}

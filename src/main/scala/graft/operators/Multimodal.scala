@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride through the engine
+  * as opaque binary columns with typed metadata beside them. The
+  * actual codec work (image decode, resample, frame extraction) is
+  * STUBBED with a deterministic fake — media libraries are not in this
+  * container — but the Spark-side shape is real: a typed Dataset, a
+  * partition-wise decode pass (the shape a vectorized decode batch
+  * would take), and schema'd metadata output. At 100 TB this is a pure
+  * map stage: no shuffle, decode parallelism = input partitions.
+  */
+object Multimodal {
+
+  case class MediaBlob(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+                       fingerprint: String, width: Int, height: Int, n_frames: Int)
+
+  /** Documents → opaque binary payloads (the ingest boundary: in a
+    * real pipeline this column comes straight from the source). */
+  def asBlobs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** STUB decode: deterministic fake dimensions derived from payload
+    * size and id — stands in for a real image/audio/video decoder.
+    * Kept partition-wise (mapPartitions) to model batched decoding. */
+  def decodeStub(spark: SparkSession, blobs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { b =>
+        md.reset()
+        val fp = md.digest(b.payload).map("%02x".format(_)).mkString
+        val n = b.payload.length.toLong
+        val mt = (b.doc_id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaMeta(b.doc_id, mt, n, fp,
+          width = (64 + n % 256).toInt,
+          height = (64 + b.doc_id % 128).toInt,
+          n_frames = (1 + b.doc_id % 8).toInt)
+      }
+    }
+  }
+
+  /** (doc_id, media_type, n_bytes, fingerprint, width, height,
+    * n_frames): the metadata table the rest of the engine joins on. */
+  def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeStub(spark, asBlobs(docs)).toDF()
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("exact dedup covers every document exactly once") {
+    val total = Dedup.exact(docs).agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("shingles are 3-word windows, distinct per doc") {
+    val sh = Dedup.shingles(docs).collect()
+    assert(sh.nonEmpty)
+    assert(sh.forall(_.getString(1).split(" ").length == 3))
+  }
+
+  test("ngram jaccard finds the planted near-dups, all >= threshold") {
+    val pairs = Dedup.ngramJaccard(docs, 0.8).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("minhash candidates recall the high-jaccard pairs") {
+    val exact = Dedup.ngramJaccard(docs, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // j >= 0.9 → per-band collision ~ j^4 ≥ 0.65, 4 bands → miss ~ 1.5%
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall of ${exact.size} gold pairs")
+  }
+
+  test("simhash is a 60-char bitstring and near-dups have small hamming distance") {
+    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp.values.forall(s => s.length == 60 && s.forall(c => c == '0' || c == '1')))
+    val nearDup = Dedup.ngramJaccard(docs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDup.nonEmpty)
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val dists = nearDup.map { case (a, b) => ham(fp(a), fp(b)) }
+    assert(dists.forall(_ <= 12), s"near-dup hamming distances too large: ${dists.toSeq}")
+  }
+}

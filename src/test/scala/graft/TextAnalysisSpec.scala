@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.sources.Tables
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("lang id ratios in [0,1]; label consistent with threshold") {
+    val rows = TextAnalysis.langId(docs).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val ratio = r.getDouble(1)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getString(2) == (if (ratio >= 0.05) "en" else "und"))
+    }
+  }
+
+  test("quality metrics are internally consistent") {
+    TextAnalysis.quality(docs).collect().foreach { r =>
+      val nTokens = r.getLong(1); val nDistinct = r.getLong(2)
+      assert(nDistinct <= nTokens)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0) // distinct_ratio
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0) // rep_ratio
+    }
+  }
+
+  test("token counts: alnum-run count equals whitespace count on this corpus") {
+    // corpus is single-space-separated lowercase alnum words
+    val bad = TextAnalysis.tokenCounts(docs)
+      .filter(col("n_ws") =!= col("n_alnum")).count()
+    assert(bad == 0)
+    val sums = TextAnalysis.tokenCounts(docs)
+      .agg(sum("n_ws"), sum("n_bpe_ish")).collect()(0)
+    assert(sums.getLong(1) >= sums.getLong(0)) // >= 1 subword per token
+  }
+
+  test("fingerprint: one md5 per doc; near-dup docs may share, distinct docs don't all collide") {
+    val fps = TextAnalysis.fingerprint(docs).collect()
+    assert(fps.length == docs.count())
+    assert(fps.forall(_.getString(1).matches("[0-9a-f]{32}")))
+    assert(fps.map(_.getString(1)).distinct.length > fps.length / 2)
+  }
+
+  test("multimodal metadata: fingerprint matches md5 of payload, schema typed") {
+    val meta = Multimodal.mediaMeta(spark, docs)
+    assert(meta.columns.toSeq ==
+      Seq("doc_id", "media_type", "n_bytes", "fingerprint", "width", "height", "n_frames"))
+    val joined = meta.join(docs.select(col("doc_id"), md5(col("text")).as("want")), "doc_id")
+      .filter(col("fingerprint") =!= col("want")).count()
+    assert(joined == 0)
+    assert(meta.select("media_type").distinct().count() == 3)
+  }
+}
