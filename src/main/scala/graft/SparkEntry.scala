@@ -63,6 +63,11 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    // ---- Structured Streaming surface (SURVEY §2 #38-39): real
+    // streaming queries drained to a sink, checked vs batch oracles ----
+    "q_stream_wordcount" -> ((s, dir) => graft.streaming.Streams.windowedWordCount(s, dir)),
+    "q_stream_running_idf" -> ((s, dir) => graft.streaming.Streams.runningIdf(s, dir)),
   )
 
   // ---------------------------------------------------------------
@@ -340,5 +345,14 @@ object SparkEntry {
          |mins AS (SELECT doc_id, min(md5(shingle)) AS sh_fp FROM sh GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(m.sh_fp, md5(d.text)) AS fingerprint
          |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id""".stripMargin,
+
+    // ---- Streaming (batch-equivalent oracles; SURVEY §2 #38-39) ----
+    "q_stream_wordcount" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms, event_type,
+        |       count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_running_idf" ->
+      s"""WITH $dlCte
+         |SELECT term, df, round(ln(n_docs::DOUBLE / (df + 1)), 6) AS idf FROM dft, nd""".stripMargin,
   )
 }

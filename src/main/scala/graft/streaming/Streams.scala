@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Bm25
+
+/** Structured Streaming re-expression of the reference's streaming
+  * jobs: the socket-windowed word count (reference
+  * backup/SocketWindowWordCount.java — 5s tumbling windows over a
+  * text stream) and the running global IDF state (reference
+  * backup/StreamingJob.java:330-358 — union + reduce folding df/N
+  * across micro-batches).
+  *
+  * The batch-facing entry points below run a REAL streaming query
+  * (file source → watermarked windowed agg → memory sink), block until
+  * the source drains, and return the final result so the driver's
+  * DuckDB oracle can check it against the batch-equivalent SQL. At
+  * scale the same plans run unchanged on an unbounded source: state is
+  * keyed by (window, key) / term, watermarks bound it, and the shuffle
+  * keys match the batch design (SURVEY.md §5).
+  */
+object Streams {
+
+  /** Run `query` (a streaming DataFrame) to a memory sink until the
+    * source is drained; return the sink contents as a batch frame. */
+  private def drainToMemory(spark: SparkSession, query: DataFrame,
+                            mode: OutputMode): DataFrame = {
+    val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
+    val sq = query.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    spark.table(name)
+  }
+
+  /** Events as a file-source stream with an event-time column.
+    * `ts` arrives as parquet TIMESTAMP(NANOS) read as long nanos. */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // single-file layout: a glob path makes the file source accept it
+    spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** (win_start_ms, event_type, n): 1-hour tumbling-window counts over
+    * the event stream — the engine's SocketWindowWordCount: stream →
+    * event-time window → keyed count, watermark bounding state. */
+  def windowedWordCount(spark: SparkSession, dir: String): DataFrame = {
+    val counts = eventStream(spark, dir)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    drainToMemory(spark, counts, OutputMode.Complete())
+      .select(unix_millis(col("win.start")).as("win_start_ms"), col("event_type"), col("n"))
+  }
+
+  /** (term, df, idf): document-frequency state folded across the
+    * document stream (streaming agg in complete mode = the ref's
+    * union/reduce running state), idf finished against the final doc
+    * count. One streaming aggregation keyed by term — the same single
+    * shuffle as the batch plan. */
+  def runningIdf(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
+    // distinct terms per doc computed row-locally (array_distinct before
+    // explode) so df is ONE streaming aggregation — chained streaming
+    // aggs are not allowed, and this keeps the state keyed by term only.
+    val docTerms = docs.select(col("doc_id"),
+      explode(array_distinct(filter(graft.functions.Text.rawTokens(col("text")),
+        t => graft.functions.Text.keepToken(t)))).as("term"))
+    val dfPerTerm = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+    val finalDf = drainToMemory(spark, dfPerTerm, OutputMode.Complete())
+    val n = Bm25.docLengths(spark.read.parquet(s"$dir/documents.parquet"))
+      .agg(count(lit(1)).as("n_docs"))
+    finalDf.crossJoin(broadcast(n))
+      .select(col("term"), col("df"),
+        round(log(col("n_docs").cast("double") / (col("df") + lit(1))), 6).as("idf"))
+  }
+
+  /** Per-key running totals via explicit state — the
+    * mapGroupsWithState form of the ref's reduce loop. Exposed for
+    * tests/users who need custom state transitions rather than a
+    * streaming agg. */
+  def runningCountsWithState(spark: SparkSession, words: DataFrame): DataFrame = {
+    import spark.implicits._
+    val updated = words.as[String].groupByKey(identity).mapGroupsWithState(
+      GroupStateTimeout.NoTimeout()) {
+      (word: String, rows: Iterator[String], state: GroupState[Long]) =>
+        val next = state.getOption.getOrElse(0L) + rows.size
+        state.update(next)
+        (word, next)
+    }
+    updated.toDF("term", "n")
+  }
+}

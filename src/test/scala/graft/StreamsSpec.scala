@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("windowed word count over the event stream matches the batch plan") {
+    val got = Streams.windowedWordCount(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(((col("ts").cast("long") / 3600000000000L).cast("long") * 3600000L).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("running idf equals the batch idf") {
+    val got = Streams.runningIdf(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.operators.Bm25.idf(graft.sources.Tables.documents(spark, sf))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
+  test("mapGroupsWithState accumulates counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val counts = Streams.runningCountsWithState(spark, in.toDF())
+    val sq = counts.writeStream.format("memory").queryName("graft_state_test")
+      .outputMode(OutputMode.Update()).start()
+    in.addData("a", "b", "a")
+    sq.processAllAvailable()
+    in.addData("a", "c")
+    sq.processAllAvailable()
+    sq.stop()
+    val last = spark.table("graft_state_test")
+      .groupBy("term").agg(max("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+}
