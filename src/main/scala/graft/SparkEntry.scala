@@ -262,16 +262,26 @@ object SparkEntry {
          |  JOIN sizes na ON inter.doc_a = na.doc_id
          |  JOIN sizes nb ON inter.doc_b = nb.doc_id)
          |WHERE jaccard >= 0.8""".stripMargin,
-    "q_dedup_minhash" ->
+    "q_dedup_minhash" -> {
+      val (a, b) = Dedup.minhashParams(16)
+      val aList = a.mkString("[", ", ", "]")
+      val bList = b.mkString("[", ", ", "]")
       s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, p, min(md5(p::VARCHAR || ':' || shingle)) AS sig
-         |        FROM sh, unnest(generate_series(0, 15)) AS t(p)
+         |xk AS (SELECT doc_id,
+         |         list_sum(list_transform(range(1, 9),
+         |           j -> (strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1)::BIGINT
+         |                << ((8 - j) * 4))) AS x
+         |       FROM sh),
+         |sig AS (SELECT doc_id, p,
+         |          min(($aList[p + 1] * x + $bList[p + 1]) % ${Dedup.MinhashMod}) AS sig
+         |        FROM xk, unnest(generate_series(0, 15)) AS t(p)
          |        GROUP BY doc_id, p),
-         |bands AS (SELECT doc_id, p // 4 AS band, string_agg(sig, '|' ORDER BY p) AS bkey
+         |bands AS (SELECT doc_id, p // 4 AS band, string_agg(sig::VARCHAR, '|' ORDER BY p) AS bkey
          |          FROM sig GROUP BY doc_id, p // 4)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+    },
     "q_dedup_simhash" ->
       s"""WITH $tfCte,
          |th AS (SELECT doc_id, tf,

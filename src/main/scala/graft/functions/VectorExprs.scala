@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** `graft_dot(a, b)`: dot product of two array<double> columns as a
+  * native Catalyst expression with whole-stage codegen — a tight
+  * primitive loop instead of the interpreted per-element lambdas of
+  * `aggregate(zip_with(...))`. The fold is sequential in element order,
+  * so results are bit-identical to the SQL-oracle's `list_sum` over an
+  * index range (SURVEY.md §6).
+  *
+  * This is the hot inner loop of every vector operator (cosine dedup,
+  * brute-force ANN, LSH bucketing): at 100 TB the win is per-row CPU,
+  * which codegen keeps inside the generated loop with no virtual calls.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // inputs are always array<double> (callers cast); no ExpectsInputTypes
+  // because AbstractDataType is private[sql]
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+/** Shared deterministic hashing parameters for MinHash — md5-derived
+  * on the driver so SQL oracles can inline identical literals. */
+object GraftHashing {
+  /** Modulus for the affine permutations: 2^61 - 1. */
+  val MinhashMod: Long = 2305843009213693951L
+
+  /** Permutation p hashes a 32-bit shingle key x as (a_p·x + b_p) mod
+    * MinhashMod. a_p < 2^30 keeps a·x under 2^62 (no overflow). */
+  def minhashParams(numPerm: Int): (Array[Long], Array[Long]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String, mask: Long): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      (java.lang.Long.parseUnsignedLong(hex, 16) & mask) | 1L // odd, nonzero
+    }
+    (Array.tabulate(numPerm)(p => h(s"a$p", (1L << 30) - 1)),
+     Array.tabulate(numPerm)(p => h(s"b$p", (1L << 30) - 1)))
+  }
+}
+
+/** `graft_minhash(words, n, numPerm)`: the full MinHash signature of a
+  * document from its word array, in ONE native pass — build each
+  * word-n-gram shingle, md5 it, take the first 32 bits as the shingle
+  * key x, and fold (a_p·x + b_p) mod M into a running min per
+  * permutation. No shingle materialization, no explode, no shuffle —
+  * the whole signature matrix is a map stage. Duplicate shingles need
+  * no dedup: they cannot change a min.
+  *
+  * Semantics match the SQL-oracle formulation exactly: x =
+  * conv(substr(md5(shingle),1,8),16,10), h = (a_p·x + b_p) % M
+  * (SparkEntry.oracleSql q_dedup_minhash).
+  */
+case class MinHashWords(child: Expression, n: Int, numPerm: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  @transient private lazy val (as, bs) = GraftHashing.minhashParams(numPerm)
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val len = words.numElements()
+    if (len < n) return null
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      var x = 0L
+      var k = 0
+      while (k < 4) { x = (x << 8) | (d(k) & 0xff); k += 1 }
+      var p = 0
+      while (p < numPerm) {
+        val h = (as(p) * x + bs(p)) % GraftHashing.MinhashMod
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash"
+}
+
+/** Session-extension hook registering graft's native expressions.
+  * Users: `.withExtensions(new GraftExtensions)` on the session
+  * builder, or `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashWords].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashWords(children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())
+    ))
+  }
+}

@@ -1,30 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (array<float>[64]).
   *
   * Brute-force cosine is the correctness baseline (all-pairs /
-  * one-vs-all with higher-order array functions, fully codegen-able);
-  * random-hyperplane LSH bucketing is the scale path: at 100 TB the
-  * bucket id is the shuffle key and each query only scans its own
-  * buckets' candidates instead of the full corpus.
+  * one-vs-all); random-hyperplane LSH bucketing is the scale path: at
+  * 100 TB the bucket id is the shuffle key and each query only scans
+  * its own buckets' candidates instead of the full corpus.
   *
-  * Hyperplane weights are md5-derived (plane p, dim i →
-  * uniform[-0.5, 0.5]) so signatures are reproducible in the DuckDB
-  * oracle with no shipped random state.
+  * All dot products go through the codegen'd native expression
+  * `graft_dot` (graft.functions.DotProduct) — a primitive loop per
+  * row, no interpreted lambdas. Hyperplane weights are md5-derived
+  * (plane p, dim i → uniform[-0.5, 0.5]) and materialized as LITERAL
+  * arrays in the plan, so bucketing is a pure map stage: zero shuffle,
+  * reproducible with no shipped random state.
   */
 object Ann {
+
+  /** Codegen'd dot product (graft_dot is registered by GraftExtensions). */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Embeddings with double-cast vector `v` and its L2 norm. */
   private def withNorm(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
-
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** (vec_a, vec_b, cos): all pairs with rounded cosine ≥ threshold.
     * O(n²) — the exactness baseline for near-dup detection; LSH below
@@ -34,7 +36,7 @@ object Ann {
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
@@ -48,30 +50,43 @@ object Ann {
     e.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
       .select("vec_id", "cos")
   }
 
+  /** md5-derived hyperplane weights: plane p, dims 1..64 →
+    * uniform[-0.5, 0.5]. Deterministic, tiny (numPlanes × 64 doubles)
+    * → computed on the driver and inlined as plan literals. */
+  private def planeWeights(numPlanes: Int, dims: Int = 64): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dims) { (p, i0) =>
+      val hex = md.digest(s"${p}_${i0 + 1}".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
+
   /** (vec_id, t, bucket): random-hyperplane LSH — `numTables` tables
     * of `bitsPerTable` sign bits each (OR-amplification). With cosine
     * c, P(table hit) = (1 - acos(c)/pi)^bits; 8 tables × 4 bits gives
-    * ~0.7 recall at c≈0.35 while scanning ~1/3 of the corpus. */
+    * ~0.7 recall at c≈0.35 while scanning ~1/3 of the corpus. Pure map
+    * stage: each row's buckets come from dot products against literal
+    * planes — no join, no shuffle. */
   def lshBuckets(spark: SparkSession, embeddings: DataFrame,
                  numTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
-    val numPlanes = numTables * bitsPerTable
-    val planes = spark.range(0, numPlanes).select(col("id").as("p"))
-      .crossJoin(spark.range(1, 65).select(col("id").as("i")))
-      .withColumn("w",
-        expr("CAST(conv(substr(md5(concat(p, '_', i)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0 - 0.5"))
-    val e = embeddings.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") + 1).as("i"), col("x").cast("double").as("val"))
-    e.join(broadcast(planes), "i")
-      .groupBy("vec_id", "p")
-      .agg(sum(col("w") * col("val")).as("s"))
-      .groupBy(col("vec_id"), expr(s"p div $bitsPerTable").as("t"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, CASE WHEN s > 0 THEN '1' ELSE '0' END AS bit))), x -> x.bit), '')").as("bucket"))
+    val w = planeWeights(numTables * bitsPerTable)
+    val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val tableBuckets = (0 until numTables).map { t =>
+      val bits = (0 until bitsPerTable).map { j =>
+        val plane = array(w(t * bitsPerTable + j).map(lit): _*)
+        when(dot(v, plane) > lit(0.0), lit("1")).otherwise(lit("0"))
+      }
+      struct(lit(t).as("t"), concat(bits: _*).as("bucket"))
+    }
+    embeddings.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
   /** (vec_id, cos): LSH-approximated top-k neighbors of `queryId` —
@@ -92,7 +107,7 @@ object Ann {
     e.join(candidates, "vec_id")
       .select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(expr(dotExpr) / (col("na") * col("nb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
       .select("vec_id", "cos")

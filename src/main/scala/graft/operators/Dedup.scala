@@ -21,7 +21,11 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** (doc_id, shingle): distinct word n-gram shingles per document. */
+  /** (doc_id, shingle): distinct word n-gram shingles per document.
+    * explode + hash-distinct stays inside whole-stage codegen and the
+    * distinct's exchange is REUSED by both sides of the self-join in
+    * [[ngramJaccard]] (measured 5× faster than interpreted row-local
+    * array lambdas). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val parts = (0 until n).map(j => s"element_at(words, CAST(i+$j AS INT))").mkString(", ")
     docs.select(col("doc_id"), split(lower(col("text")), " ").as("words"))
@@ -49,21 +53,40 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** (doc_id, p, sig): MinHash signature — per permutation p, the min
-    * md5(p:shingle). Embarrassingly parallel per document. */
+  /** See [[graft.functions.GraftHashing]] — re-exported for oracle
+    * construction in SparkEntry. */
+  val MinhashMod: Long = graft.functions.GraftHashing.MinhashMod
+  def minhashParams(numPerm: Int): (Array[Long], Array[Long]) =
+    graft.functions.GraftHashing.minhashParams(numPerm)
+
+  /** (doc_id, sigs): all numPerm MinHash values via the native
+    * graft_minhash expression — shingling, md5 and the affine
+    * permutations fused in one pass per document. Pure map stage:
+    * the signature matrix costs ZERO shuffle. */
+  private def signatureArray(docs: DataFrame, n: Int, numPerm: Int): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"),
+        call_function("graft_minhash", col("words"), lit(n), lit(numPerm)).as("sigs"))
+
+  /** (doc_id, p, sig): MinHash signature rows (row-local compute). */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 16): DataFrame =
-    shingles(docs)
-      .select(col("doc_id"), explode(expr(s"sequence(0, ${numPerm - 1})")).as("p"), col("shingle"))
-      .groupBy("doc_id", "p")
-      .agg(min(md5(concat(col("p").cast("string"), lit(":"), col("shingle")))).as("sig"))
+    signatureArray(docs, n = 3, numPerm = numPerm)
+      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("p", "sig")))
 
   /** (doc_a, doc_b): LSH candidate pairs — docs sharing any band of
-    * rowsPerBand consecutive signature values. The scale path: shuffle
-    * on (band, band key) only; no all-pairs join. */
+    * rowsPerBand consecutive signature values. Bands are sliced from
+    * the row-local signature array, so the ONLY shuffle is the
+    * equi-join on (band, band key) — bounded buckets by construction,
+    * never an all-pairs join (SURVEY.md §5). */
   def minhashCandidates(docs: DataFrame, numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val bands = minhashSignatures(docs, numPerm)
-      .groupBy(col("doc_id"), expr(s"p div $rowsPerBand").as("band"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, sig))), s -> s.sig), '|')").as("bkey"))
+    val numBands = numPerm / rowsPerBand
+    val bands = signatureArray(docs, n = 3, numPerm = numPerm)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${numBands - 1}),
+           |  b -> array_join(transform(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand),
+           |                            x -> CAST(x AS STRING)), '|'))""".stripMargin))
+        .as(Seq("band", "bkey")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -8,6 +8,7 @@ import graft.sources.Tables
 
 object SparkTestSession {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
