@@ -75,35 +75,53 @@ object Bm25 {
   }
 
   /** (doc_id, term, tf, tfidf): TF-IDF per document/term
-    * (TfIdfUtil.java:126-137). */
-  def tfIdf(docs: DataFrame): DataFrame =
+    * (TfIdfUtil.java:126-137). df comes from a window over the tf
+    * aggregation itself — one corpus pass for tf, one for the doc
+    * count, instead of a third full tf+df pass joined back in. */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val n = docLengths(docs).agg(count(col("doc_id")).as("n_docs"))
     tf(docs)
-      .join(idf(docs).select("term", "idf"), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", round(log(col("n_docs").cast("double") / (col("df") + lit(1))), 6))
       .select(col("doc_id"), col("term"), col("tf"),
         round(col("tf") * col("idf"), 6).as("tfidf"))
+  }
 
   /** (doc_id, score): Okapi BM25 of every matching document against
-    * `queryTerms`. The per-term IDF table for a fixed query is tiny →
-    * broadcast; document stats are a single row → broadcast cross
-    * join. One shuffle end-to-end (the tf aggregation). */
+    * `queryTerms`.
+    *
+    * Plan shape (the 100 TB contract): TWO passes over the corpus
+    * total — (a) query-term postings tfq (term filter applied before
+    * the tf aggregation, so only matching tokens shuffle), (b) doc
+    * lengths dl. Everything else is derived without re-reading:
+    * per-term df comes from a window over the tiny tfq (not a third
+    * corpus aggregation), corpus stats aggregate the SAME dl subtree
+    * (count(doc_id), not count(1), so column pruning cannot diverge
+    * the branches and Spark reuses the exchange), and (idf, avgdl)
+    * ride one broadcast. Final groupBy(doc_id) lands on the join's
+    * existing doc_id partitioning — no extra shuffle. */
   def bm25Score(docs: DataFrame, queryTerms: Seq[String] = QueryTerms): DataFrame = {
     val tfq = tf(docs).filter(col("term").isin(queryTerms: _*))
-    val n = docLengths(docs).agg(count(lit(1)).as("n_docs"))
-    // Robertson idf: ln(1 + (N - df + 0.5)/(df + 0.5))
-    val idfq = df(docs)
-      .filter(col("term").isin(queryTerms: _*))
-      .crossJoin(broadcast(n))
-      .select(col("term"),
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))).as("idf"))
-    val avgd = docLengths(docs).agg(avg(col("dl")).cast("double").as("avgdl"))
-    val contrib =
-      tfq.join(broadcast(idfq), "term")
-        .join(docLengths(docs), "doc_id")
-        .crossJoin(broadcast(avgd))
-        .select(col("doc_id"),
-          (col("idf") * (col("tf") * lit(K1 + 1.0)) /
-            (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))).as("c"))
-    contrib.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
+    // the explicit isNotNull matches the join's inferred constraint, so
+    // both consumers of dl canonicalize to the SAME subtree and the
+    // exchange is computed once (ReusedExchange), not twice
+    val dl = docLengths(docs.filter(col("doc_id").isNotNull))
+    // count(doc_id) keeps this branch's projection identical to the
+    // join branch below → one dl computation, reused
+    val stats = dl.agg(count(col("doc_id")).as("n_docs"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    // Robertson idf: ln(1 + (N - df + 0.5)/(df + 0.5)); df via window
+    // over query-term postings only — no extra corpus pass
+    val scored = tfq
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))).as("c"))
+    scored.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
   }
 
   /** Top-N ranked search results, deterministic on rounded-score ties. */
