@@ -55,6 +55,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+    "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_embcos" -> ((s, dir) => Ann.cosinePairs(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(s, Tables.embeddings(s, dir))),
@@ -97,6 +98,20 @@ object SparkEntry {
       |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
       |       FROM tokw, unnest(generate_series(1, len(words)-2)) AS t(i)
       |       WHERE len(words) >= 3)""".stripMargin
+
+  /** SimHash fingerprint CTE mirroring Dedup.simhash (60-bit
+    * tf-weighted fingerprint over the tf CTE, 15-hex-digit keys). */
+  private val simhashCte =
+    s"""$tfCte,
+       |th AS (SELECT doc_id, tf,
+       |  list_sum(list_transform(range(1, 16),
+       |    j -> (strpos('0123456789abcdef', substr(md5(term), j, 1)) - 1)::BIGINT << ((15 - j) * 4)
+       |  )) AS hv FROM tf),
+       |bs AS (SELECT doc_id, b, sum(tf * (2 * ((hv >> b) & 1) - 1)) AS s
+       |       FROM th, unnest(generate_series(0, 59)) AS t(b)
+       |       GROUP BY doc_id, b),
+       |fps AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+       |        FROM bs GROUP BY doc_id)""".stripMargin
 
   /** Double-cast vector + L2 norm CTE mirroring Ann.withNorm. */
   private val vecCte =
@@ -283,16 +298,22 @@ object SparkEntry {
          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
     },
     "q_dedup_simhash" ->
-      s"""WITH $tfCte,
-         |th AS (SELECT doc_id, tf,
-         |  list_sum(list_transform(range(1, 16),
-         |    j -> (strpos('0123456789abcdef', substr(md5(term), j, 1)) - 1)::BIGINT << ((15 - j) * 4)
-         |  )) AS hv FROM tf),
-         |bs AS (SELECT doc_id, b, sum(tf * (2 * ((hv >> b) & 1) - 1)) AS s
-         |       FROM th, unnest(generate_series(0, 59)) AS t(b)
-         |       GROUP BY doc_id, b)
-         |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
-         |FROM bs GROUP BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM fps""".stripMargin,
+    "q_dedup_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |bands AS (SELECT doc_id, simhash, b, substr(simhash, b * 15 + 1, 15) AS block
+         |          FROM fps, unnest(generate_series(0, 3)) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.simhash AS fpa, b.simhash AS fpb
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.block = b.block AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b,
+         |         list_sum(list_transform(range(1, 61),
+         |           i -> CASE WHEN substr(fpa, i, 1) = substr(fpb, i, 1) THEN 0 ELSE 1 END))::BIGINT AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 3""".stripMargin,
     "q_dedup_embcos" ->
       s"""WITH $vecCte
          |SELECT vec_a, vec_b, cos FROM (

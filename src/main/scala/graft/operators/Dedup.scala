@@ -94,6 +94,33 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_a, doc_b, hamming): near-dup pairs by SimHash hamming
+    * distance ≤ maxHamming. Scale path: the 60-bit fingerprint splits
+    * into maxHamming+1 blocks — any pair within the threshold shares
+    * at least one exact block (pigeonhole), so candidates come from an
+    * equi-join on (block index, block bits) and only candidates pay
+    * the exact hamming check. Both join sides are the same subtree →
+    * the fingerprint exchange is computed once and reused. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val nBlocks = maxHamming + 1
+    val blockLen = bits / nBlocks
+    val bands = simhash(docs)
+      .select(col("doc_id"), col("simhash"), posexplode(expr(
+        s"transform(sequence(0, ${nBlocks - 1}), b -> substring(simhash, b * $blockLen + 1, $blockLen))"))
+        .as(Seq("b", "block")))
+    bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fpa"), col("b.simhash").as("fpb"))
+      .distinct()
+      .withColumn("hamming", expr(
+        s"CAST(aggregate(sequence(1, $bits), 0, (acc, i) -> acc + IF(substr(fpa, i, 1) = substr(fpb, i, 1), 0, 1)) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** (doc_id, simhash): 60-bit SimHash as a bit string, tf-weighted
     * over stopword-filtered terms. Hex parse keeps 15 md5 hex digits
     * so the value fits a signed 64-bit int in both engines. */

@@ -39,6 +39,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall of ${exact.size} gold pairs")
   }
 
+  test("simhash banded pairs find exactly the pairs within the hamming threshold") {
+    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val want = (for {
+      (da, fa) <- fp; (db, fb) <- fp if da < db && ham(fa, fb) <= 3
+    } yield (da, db, ham(fa, fb).toLong)).toSet
+    val got = Dedup.simhashPairs(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want) // pigeonhole banding is exact, not approximate
+    assert(got.nonEmpty)
+  }
+
   test("simhash is a 60-char bitstring and near-dups have small hamming distance") {
     val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp.values.forall(s => s.length == 60 && s.forall(c => c == '0' || c == '1')))
