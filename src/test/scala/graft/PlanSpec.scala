@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25, Relational}
+import graft.sources.Tables
+
+/** Plan-shape assertions — the scale contract of SURVEY.md §5 encoded
+  * as tests: pruned scans, pushed filters, broadcast dims, bounded
+  * corpus passes. These fail if a refactor silently regresses the
+  * physical plan even when results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    // keep only the final adaptive plan, not the "Initial Plan" echo
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("multi-join: dims broadcast, lineitem scan pruned to 3 columns") {
+    val p = planString(Relational.revenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    val lineitemScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScan.isDefined)
+    assert(lineitemScan.get.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan not pruned: ${lineitemScan.get}")
+  }
+
+  test("agg: shipdate filter pushed to the parquet scan") {
+    val p = planString(Relational.pricingSummary(Tables.lineitem(spark, sf)))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate predicate not pushed to scan")
+  }
+
+  test("bm25Score: exactly 2 corpus scans and a reused exchange") {
+    val p = planString(Bm25.bm25Score(Tables.documents(spark, sf)))
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 2, s"expected 2 corpus passes, plan has $scans")
+    assert(p.contains("ReusedExchange"), "dl exchange not reused by the stats branch")
+  }
+
+  test("minhash signatures: zero shuffles (pure map stage)") {
+    val df = graft.operators.Dedup.minhashSignatures(Tables.documents(spark, sf))
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    def countExchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: Exchange => 1
+        case a: AdaptiveSparkPlanExec => countExchanges(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(countExchanges).sum
+    }
+    assert(countExchanges(exec) == 0, s"signature computation should not shuffle:\n$exec")
+  }
+
+  test("topN: global sort is TakeOrdered, not a full sort") {
+    val p = planString(Relational.topOrders(Tables.orders(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"), "top-N should not global-sort")
+  }
+}
