@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Materialized inverted index: the product shape of the reference
+  * pipeline, which precomputes TF per document and global IDF into
+  * MongoDB collections (MongoTFSink.java, BatchBM25PreMain.java:
+  * 106-122) and serves queries from the store. Here the store is
+  * parquet:
+  *
+  *   <path>/postings  (term, doc_id, tf)  — repartitioned + sorted by
+  *                    term so a query's term predicate prunes row
+  *                    groups (min/max stats) instead of scanning
+  *   <path>/doclen    (doc_id, dl)
+  *   <path>/stats     (n_docs, avgdl)     — one row
+  *
+  * Build cost: the same two corpus passes as bm25Score. Query cost:
+  * NO corpus pass at all — a pushed-down postings scan for the query
+  * terms, one shuffle join against doclen, a broadcast of (df, stats).
+  * That asymmetry (build once, query cheap) is what an inverted index
+  * is for, and it holds at 100 TB: postings are term-clustered, so a
+  * 4-term query touches a handful of row groups per file.
+  */
+object Bm25Index {
+
+  def build(docs: DataFrame, path: String): Unit = {
+    val tf = Bm25.tf(docs)
+    tf.repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/postings")
+    val dl = Bm25.docLengths(docs)
+    dl.write.mode(SaveMode.Overwrite).parquet(s"$path/doclen")
+    dl.agg(count(col("doc_id")).as("n_docs"), avg(col("dl")).cast("double").as("avgdl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  /** Okapi BM25 over the staged index — matches Bm25.bm25Score on the
+    * same corpus exactly (same formula, rounding, tie-breaks). */
+  def score(spark: SparkSession, path: String,
+            queryTerms: Seq[String] = Bm25.QueryTerms): DataFrame = {
+    val tfq = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(queryTerms: _*)) // pushed to the scan
+    val dl = spark.read.parquet(s"$path/doclen")
+    val stats = spark.read.parquet(s"$path/stats")
+    val scored = tfq
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(Bm25.K1 + 1.0)) /
+          (col("tf") + lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl")))).as("c"))
+    scored.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
+  }
+
+  def searchTopN(spark: SparkSession, path: String,
+                 queryTerms: Seq[String] = Bm25.QueryTerms, n: Int = 10): DataFrame =
+    score(spark, path, queryTerms).orderBy(col("score").desc, col("doc_id").asc).limit(n)
+}

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine sinks. The reference's sinks are MongoDB keyed upserts
+  * (MongoTFSink.java; BatchBM25PreMain.java:106-122 for the global IDF
+  * collection) and per-document text files (backup/BMStream.java:30-35).
+  * In a shared-nothing engine a mutable-store upsert becomes a
+  * merge-rewrite: union the update batch with the stored table, keep
+  * the latest version per key, atomically swap the result in. One
+  * shuffle on the key; at 100 TB the store would be key-partitioned so
+  * the merge rewrites only touched partitions.
+  */
+object Sinks {
+
+  /** Merge `updates` into the parquet table at `path`, last-wins per
+    * `keyCols` ordered by `versionCol` (desc) — the distributed
+    * analogue of findOneAndUpdate(upsert=true). Atomic swap via a
+    * staging directory + rename. */
+  def upsertParquet(spark: SparkSession, updates: DataFrame, path: String,
+                    keyCols: Seq[String], versionCol: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(path)
+    val merged =
+      if (fs.exists(dest)) spark.read.parquet(path).unionByName(updates) else updates
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    val latest = merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val tmp = new Path(path + ".__staging")
+    fs.delete(tmp, true)
+    latest.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"atomic swap failed for $path")
+  }
+
+  /** Per-document text export (the ref writes output/{pid}.txt; at
+    * scale one-file-per-doc is an anti-pattern, so the engine writes
+    * `doc_id \t payload` lines, splittable and partition-parallel). */
+  def textExport(df: DataFrame, path: String): Unit =
+    df.select(concat_ws("\t", df.columns.map(col): _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+}

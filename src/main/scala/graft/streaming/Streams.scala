@@ -80,6 +80,17 @@ object Streams {
         round(log(col("n_docs").cast("double") / (col("df") + lit(1))), 6).as("idf"))
   }
 
+  /** Streaming word count over a socket text source — the engine's
+    * literal SocketWindowWordCount (reference backup/
+    * SocketWindowWordCount.java): lines → tokenize → running counts in
+    * complete mode. Caller starts the returned streaming frame. */
+  def socketWordCount(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(explode(graft.functions.Text.rawTokens(col("value"))).as("term"))
+      .filter(graft.functions.Text.keepToken(col("term")))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+
   /** Per-key running totals via explicit state — the
     * mapGroupsWithState form of the ref's reduce loop. Exposed for
     * tests/users who need custom state transitions rather than a

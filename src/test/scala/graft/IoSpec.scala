@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25, Bm25Index}
+import graft.sources.{Corpus, Sinks, Tables}
+
+class IoSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("corpus round-trips through tsv, csv, jsonl and parquet readers") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val base = tmpDir("corpus")
+    docs.select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.text(s"$base/tsv")
+    docs.write.option("header", "true").csv(s"$base/csv")
+    docs.write.json(s"$base/jsonl")
+    docs.write.parquet(s"$base/parquet")
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    for ((name, df) <- Seq(
+        "tsv" -> Corpus.tsv(spark, s"$base/tsv"),
+        "csv" -> Corpus.csv(spark, s"$base/csv"),
+        "jsonl" -> Corpus.jsonl(spark, s"$base/jsonl"),
+        "parquet" -> Corpus.parquet(spark, s"$base/parquet"))) {
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, s"reader $name")
+    }
+  }
+
+  test("upsertParquet merges last-wins by key and is idempotent") {
+    import spark.implicits._
+    val store = tmpDir("store") + "/idf"
+    Sinks.upsertParquet(spark,
+      Seq(("w1", 1.0, 1L), ("w2", 2.0, 1L)).toDF("term", "idf", "version"),
+      store, Seq("term"), "version")
+    Sinks.upsertParquet(spark,
+      Seq(("w2", 9.0, 2L), ("w3", 3.0, 2L)).toDF("term", "idf", "version"),
+      store, Seq("term"), "version")
+    val got = spark.read.parquet(store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("w1" -> 1.0, "w2" -> 9.0, "w3" -> 3.0))
+    // replay the same batch: no change
+    Sinks.upsertParquet(spark,
+      Seq(("w2", 9.0, 2L), ("w3", 3.0, 2L)).toDF("term", "idf", "version"),
+      store, Seq("term"), "version")
+    assert(spark.read.parquet(store).count() == 3)
+  }
+
+  test("textExport writes tab-separated splittable lines") {
+    import spark.implicits._
+    val out = tmpDir("export") + "/docs"
+    Sinks.textExport(Seq((7L, "hello world")).toDF("doc_id", "text"), out)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.sameElements(Array("7\thello world")))
+  }
+
+  test("staged index search matches the direct two-pass BM25 exactly") {
+    val docs = Tables.documents(spark, sf)
+    val idx = tmpDir("bm25idx") + "/index"
+    Bm25Index.build(docs, idx)
+    val direct = Bm25.searchTopN(docs).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val staged = Bm25Index.searchTopN(spark, idx).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(staged.sameElements(direct))
+    // query-term predicate must reach the postings scan
+    val p = {
+      val df = Bm25Index.score(spark, idx)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    assert(p.contains("PushedFilters: [In(term, ["), s"term filter not pushed:\n$p")
+  }
+
+  test("socket word count streams from a live local socket") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      out.println("spark spark the query")
+      out.flush()
+      Thread.sleep(500)
+      out.println("spark query")
+      out.flush()
+    })
+    writer.start()
+    val counts = graft.streaming.Streams.socketWordCount(spark, "localhost", port)
+    val sq = counts.writeStream.format("memory").queryName("graft_socket_wc")
+      .outputMode("complete").start()
+    try {
+      writer.join()
+      Thread.sleep(1500) // let the source ingest the last line
+      sq.processAllAvailable()
+    } finally { sq.stop(); server.close() }
+    val got = spark.table("graft_socket_wc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("spark" -> 3L, "query" -> 2L))
+  }
+}
