@@ -110,7 +110,7 @@ object SparkEntry {
        |bs AS (SELECT doc_id, b, sum(tf * (2 * ((hv >> b) & 1) - 1)) AS s
        |       FROM th, unnest(generate_series(0, 59)) AS t(b)
        |       GROUP BY doc_id, b),
-       |fps AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+       |fps AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
        |        FROM bs GROUP BY doc_id)""".stripMargin
 
   /** Double-cast vector + L2 norm CTE mirroring Ann.withNorm. */
@@ -302,17 +302,14 @@ object SparkEntry {
          |SELECT doc_id, simhash FROM fps""".stripMargin,
     "q_dedup_simhash_pairs" ->
       s"""WITH $simhashCte,
-         |bands AS (SELECT doc_id, simhash, b, substr(simhash, b * 15 + 1, 15) AS block
+         |bands AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS block
          |          FROM fps, unnest(generate_series(0, 3)) AS t(b)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |                a.simhash AS fpa, b.simhash AS fpb
          |         FROM bands a JOIN bands b
          |           ON a.b = b.b AND a.block = b.block AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT doc_a, doc_b,
-         |         list_sum(list_transform(range(1, 61),
-         |           i -> CASE WHEN substr(fpa, i, 1) = substr(fpb, i, 1) THEN 0 ELSE 1 END))::BIGINT AS hamming
-         |  FROM cand)
+         |  SELECT doc_a, doc_b, bit_count(xor(fpa, fpb))::BIGINT AS hamming FROM cand)
          |WHERE hamming <= 3""".stripMargin,
     "q_dedup_embcos" ->
       s"""WITH $vecCte

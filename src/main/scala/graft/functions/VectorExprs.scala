@@ -134,6 +134,70 @@ case class MinHashWords(child: Expression, n: Int, numPerm: Int)
   override def prettyName: String = "graft_minhash"
 }
 
+/** `graft_simhash(words)`: 60-bit tf-weighted SimHash of a document
+  * from its raw word array in ONE native pass — apply the engine's
+  * stopword/min-length predicate, count term frequencies, md5 each
+  * distinct term (first 15 hex digits → 60-bit key, exactly
+  * conv(substr(md5(term),1,15),16,10)), accumulate ±tf per bit, pack
+  * bit b into position b of a BIGINT. Replaces a tf-shuffle + 60-way
+  * bit explode + two more aggregations with a zero-shuffle map stage;
+  * the integer form makes downstream banding (shift/mask) and hamming
+  * (bit_count ^) pure codegen'd bit ops. Returns null when the doc has
+  * no kept tokens (those docs have no tf rows in the aggregation
+  * formulation, so callers filter nulls for parity).
+  */
+case class SimHashWords(child: Expression, bits: Int = 60)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  @transient private lazy val stop: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Text.Stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val tf = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < words.numElements()) {
+      val w = words.getUTF8String(i).toString
+      if (w.length >= Text.MinTokenLength && !stop.contains(w))
+        tf.merge(w, 1, Integer.sum)
+      i += 1
+    }
+    if (tf.isEmpty) return null
+    val acc = new Array[Long](bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val d = md.digest(e.getKey.getBytes("UTF-8"))
+      // first 15 hex digits = first 7 bytes + high nibble of byte 7
+      var hv = 0L
+      var k = 0
+      while (k < 7) { hv = (hv << 8) | (d(k) & 0xff); k += 1 }
+      hv = (hv << 4) | ((d(7) & 0xf0) >>> 4)
+      var b = 0
+      while (b < bits) {
+        acc(b) += e.getValue.toLong * (2L * ((hv >> b) & 1L) - 1L)
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}
+
 /** Session-extension hook registering graft's native expressions.
   * Users: `.withExtensions(new GraftExtensions)` on the session
   * builder, or `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -144,6 +208,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashWords].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashWords(children(0))
     ))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),

@@ -105,9 +105,10 @@ object Dedup {
     val bits = 60
     val nBlocks = maxHamming + 1
     val blockLen = bits / nBlocks
+    val mask = (1L << blockLen) - 1
     val bands = simhash(docs)
       .select(col("doc_id"), col("simhash"), posexplode(expr(
-        s"transform(sequence(0, ${nBlocks - 1}), b -> substring(simhash, b * $blockLen + 1, $blockLen))"))
+        s"transform(sequence(0, ${nBlocks - 1}), b -> (simhash >> (b * $blockLen)) & $mask)"))
         .as(Seq("b", "block")))
     bands.as("a").join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.block") === col("b.block") &&
@@ -115,23 +116,19 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("fpa"), col("b.simhash").as("fpb"))
       .distinct()
-      .withColumn("hamming", expr(
-        s"CAST(aggregate(sequence(1, $bits), 0, (acc, i) -> acc + IF(substr(fpa, i, 1) = substr(fpb, i, 1), 0, 1)) AS BIGINT)"))
+      .withColumn("hamming", expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
 
   /** (doc_id, simhash): 60-bit SimHash as a bit string, tf-weighted
-    * over stopword-filtered terms. Hex parse keeps 15 md5 hex digits
-    * so the value fits a signed 64-bit int in both engines. */
-  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
-    val termHash = Bm25.tf(docs)
-      .withColumn("hv", expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)"))
-    termHash
-      .select(col("doc_id"), col("tf"), col("hv"), explode(expr(s"sequence(0, ${bits - 1})")).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr("tf * (2 * ((hv >> b) & 1) - 1)")).as("s"))
-      .groupBy("doc_id")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(b, CASE WHEN s > 0 THEN '1' ELSE '0' END AS bit))), x -> x.bit), '')").as("simhash"))
-  }
+    * over stopword-filtered terms — one zero-shuffle pass via the
+    * native graft_simhash expression (15 md5 hex digits per term so
+    * the key fits a signed 64-bit int in both engines; docs with no
+    * kept tokens yield null and are dropped, matching the aggregation
+    * formulation in the SQL oracle). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        call_function("graft_simhash", split(lower(col("text")), " ")).as("simhash"))
+      .filter(col("simhash").isNotNull)
 }

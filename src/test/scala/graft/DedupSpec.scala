@@ -40,8 +40,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash banded pairs find exactly the pairs within the hamming threshold") {
-    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val want = (for {
       (da, fa) <- fp; (db, fb) <- fp if da < db && ham(fa, fb) <= 3
     } yield (da, db, ham(fa, fb).toLong)).toSet
@@ -51,12 +51,12 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("simhash is a 60-char bitstring and near-dups have small hamming distance") {
-    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(fp.values.forall(s => s.length == 60 && s.forall(c => c == '0' || c == '1')))
+  test("simhash is a 60-bit fingerprint and near-dups have small hamming distance") {
+    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.values.forall(v => v >= 0L && v < (1L << 60)))
     val nearDup = Dedup.ngramJaccard(docs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(nearDup.nonEmpty)
-    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val dists = nearDup.map { case (a, b) => ham(fp(a), fp(b)) }
     assert(dists.forall(_ <= 12), s"near-dup hamming distances too large: ${dists.toSeq}")
   }
