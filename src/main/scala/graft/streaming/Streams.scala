@@ -106,4 +106,24 @@ object Streams {
     }
     updated.toDF("term", "n")
   }
+
+  /** Running totals SEEDED with initial per-key counts — the
+    * reference's UnionTest pattern (an init stream unioned into the
+    * socket stream before the keyed reduce, backup/UnionTest.java:
+    * 64-99). Structured Streaming expresses the seed as
+    * mapGroupsWithState initial state rather than a stream union. */
+  def runningCountsSeeded(spark: SparkSession, words: DataFrame,
+                          initial: DataFrame): DataFrame = {
+    import spark.implicits._
+    val init = initial.select(col("term"), col("n"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+    val updated = words.as[String].groupByKey(identity).mapGroupsWithState(
+      GroupStateTimeout.NoTimeout(), init) {
+      (word: String, rows: Iterator[String], state: GroupState[Long]) =>
+        val next = state.getOption.getOrElse(0L) + rows.size
+        state.update(next)
+        (word, next)
+    }
+    updated.toDF("term", "n")
+  }
 }

@@ -59,6 +59,12 @@ class PlanSpec extends AnyFunSuite {
     assert(countExchanges(exec) == 0, s"signature computation should not shuffle:\n$exec")
   }
 
+  test("topK per group: WindowGroupLimit bounds each group before the shuffle") {
+    val p = planString(Bm25.topKTerms(Tables.documents(spark, sf)))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "rank-limit pushdown (partial WindowGroupLimit) missing")
+  }
+
   test("topN: global sort is TakeOrdered, not a full sort") {
     val p = planString(Relational.topOrders(Tables.orders(spark, sf)))
     assert(p.contains("TakeOrderedAndProject"), "top-N should not global-sort")

@@ -29,6 +29,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("seeded running counts start from the initial state (ref UnionTest pattern)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val seed = Seq(("a", 10L), ("z", 5L)).toDF("term", "n")
+    val counts = Streams.runningCountsSeeded(spark, in.toDF(), seed)
+    val sq = counts.writeStream.format("memory").queryName("graft_seeded_test")
+      .outputMode(OutputMode.Update()).start()
+    in.addData("a", "b")
+    sq.processAllAvailable()
+    sq.stop()
+    val last = spark.table("graft_seeded_test")
+      .groupBy("term").agg(max("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // seeded keys flush through even without new rows (z stays at 5)
+    assert(last == Map("a" -> 11L, "b" -> 1L, "z" -> 5L))
+  }
+
   test("mapGroupsWithState accumulates counts across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
