@@ -59,6 +59,7 @@ object SparkEntry {
     "q_dedup_embcos" -> ((s, dir) => Ann.cosinePairs(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(s, Tables.embeddings(s, dir))),
+    "q_ann_ivf" -> ((s, dir) => Ann.ivfTopK(s, Tables.embeddings(s, dir))),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),

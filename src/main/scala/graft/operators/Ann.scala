@@ -89,6 +89,49 @@ object Ann {
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
+  /** (vec_id, cos): IVF-approximated top-k neighbors of `queryId` —
+    * a k-means coarse quantizer (MLlib, fixed seed) partitions the
+    * corpus into nLists inverted lists; the query probes the nProbe
+    * centroids nearest to it and exact cosine runs over those lists
+    * only. The 100 TB shape: train on a sample, assign in one map
+    * pass, store lists partitioned by list id, touch nProbe/nLists of
+    * the data per query. */
+  def ivfTopK(spark: SparkSession, embeddings: DataFrame,
+              queryId: Long = 0L, k: Int = 10,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = embeddings.select(col("vec_id"),
+      array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(feats)
+    val assigned = model.transform(feats).select(col("vec_id"), col("prediction").as("list_id"))
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).head().getSeq[Double](0).toArray
+    val probes = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => -cosineSim(c.toArray, qVec) }
+      .take(nProbe).map(_._2)
+    val candidates = assigned
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= queryId)
+      .select("vec_id")
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("va"), col("nrm").as("na"))
+    e.join(candidates, "vec_id")
+      .select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cos")
+  }
+
+  private def cosineSim(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    d / math.sqrt(na * nb)
+  }
+
   /** (vec_id, cos): LSH-approximated top-k neighbors of `queryId` —
     * candidates = vectors sharing any table bucket with the query,
     * then exact cosine on candidates only. */

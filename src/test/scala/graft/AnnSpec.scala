@@ -30,6 +30,14 @@ class AnnSpec extends AnyFunSuite {
     assert(perVec.forall(_.getLong(1) == 4))
   }
 
+  test("ivf top-k recalls a reasonable fraction of exact top-k") {
+    val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val approx = Ann.ivfTopK(spark, emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF ANN recall $recall")
+  }
+
   test("lsh top-k recalls a reasonable fraction of exact top-k") {
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val approx = Ann.lshTopK(spark, emb, 0L, 10).collect().map(_.getLong(0)).toSet
