@@ -61,6 +61,9 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(s, Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Ann.ivfTopK(s, Tables.embeddings(s, dir))),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(s, Tables.documents(s, dir))
+        .withColumn("frame_len", col("frame_len").cast("long"))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -340,6 +343,16 @@ object SparkEntry {
         |       (64 + doc_id % 128)::INT AS height,
         |       (1 + doc_id % 8)::INT AS n_frames
         |FROM documents""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text)::BIGINT AS n_bytes,
+        |                  (1 + doc_id % 8)::INT AS n_frames FROM documents)
+        |SELECT doc_id, f::INT AS frame_idx,
+        |       (CASE WHEN f = n_frames - 1 THEN n_bytes - f * (n_bytes // n_frames)
+        |             ELSE n_bytes // n_frames END)::BIGINT AS frame_len,
+        |       md5(substr(text, (f * (n_bytes // n_frames) + 1)::INT,
+        |                  (CASE WHEN f = n_frames - 1 THEN n_bytes - f * (n_bytes // n_frames)
+        |                        ELSE n_bytes // n_frames END)::INT)) AS frame_md5
+        |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
          |c AS (SELECT doc_id, len(toks) AS n_tokens,

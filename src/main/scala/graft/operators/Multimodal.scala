@@ -49,4 +49,47 @@ object Multimodal {
     * n_frames): the metadata table the rest of the engine joins on. */
   def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeStub(spark, asBlobs(docs)).toDF()
+
+  /** (doc_id, frame_idx, frame_bytes, frame_md5): frame sampling —
+    * split each payload into n_frames contiguous byte ranges (stands
+    * in for video frame extraction; the slicing, schema and per-frame
+    * fingerprint plumbing are real). Pure map + explode: partition
+    * parallelism = input, no shuffle. */
+  def frameSample(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val meta = mediaMeta(spark, docs)
+      .select(col("doc_id"), col("n_frames"), col("n_bytes"))
+    asBlobs(docs).join(meta, "doc_id")
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        posexplode(expr(
+          """transform(sequence(0, n_frames - 1),
+            |  f -> substring(payload,
+            |                 CAST(f * (n_bytes div n_frames) + 1 AS INT),
+            |                 CAST(IF(f = n_frames - 1,
+            |                         n_bytes - f * (n_bytes div n_frames),
+            |                         n_bytes div n_frames) AS INT)))""".stripMargin))
+          .as(Seq("frame_idx", "frame_bytes")))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame_bytes")).as("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
+  }
+
+  /** (doc_id, histogram): a REAL feature extractor over the opaque
+    * payload — 16-bin byte histogram (the plumbing a learned encoder
+    * batch would use: binary in, fixed-width float vector out,
+    * partition-wise). */
+  def byteHistogram(spark: SparkSession, blobs: DataFrame, bins: Int = 16): DataFrame = {
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.map { b =>
+        val h = new Array[Double](bins)
+        var i = 0
+        while (i < b.payload.length) {
+          h(((b.payload(i) & 0xff) * bins) / 256) += 1.0
+          i += 1
+        }
+        val n = math.max(1, b.payload.length).toDouble
+        (b.doc_id, h.map(x => math.round(x / n * 10000.0) / 10000.0).toSeq)
+      }
+    }.toDF("doc_id", "histogram")
+  }
 }

@@ -80,6 +80,21 @@ object Streams {
         round(log(col("n_docs").cast("double") / (col("df") + lit(1))), 6).as("idf"))
   }
 
+  /** Continuously upsert a keyed aggregate into a parquet store — the
+    * reference's streaming Mongo-upsert sink (backup/BMStream.java,
+    * MongoIDFSink: per-window IDF upserts). Each micro-batch merges
+    * last-wins into the store via [[graft.sources.Sinks.upsertParquet]];
+    * `versionCol` orders duplicate keys across batches. Returns the
+    * started query; caller awaits/stops. */
+  def upsertSink(spark: SparkSession, keyed: DataFrame, storePath: String,
+                 keyCols: Seq[String], versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    keyed.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.upsertParquet(spark, batch, storePath, keyCols, versionCol)
+      }
+      .start()
+
   /** Streaming word count over a socket text source — the engine's
     * literal SocketWindowWordCount (reference backup/
     * SocketWindowWordCount.java): lines → tokenize → running counts in

@@ -47,6 +47,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(last == Map("a" -> 11L, "b" -> 1L, "z" -> 5L))
   }
 
+  test("streaming upsert sink merges each micro-batch into the parquet store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("upsink").toString + "/store"
+    val in = MemoryStream[(String, Double, Long)]
+    val sq = Streams.upsertSink(spark, in.toDF().toDF("term", "idf", "version"),
+      store, Seq("term"), "version")
+    try {
+      in.addData(("w1", 1.0, 1L), ("w2", 2.0, 1L))
+      sq.processAllAvailable()
+      in.addData(("w2", 9.0, 2L))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val got = spark.read.parquet(store).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("w1" -> 1.0, "w2" -> 9.0))
+  }
+
   test("mapGroupsWithState accumulates counts across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -47,6 +47,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps.map(_.getString(1)).distinct.length > fps.length / 2)
   }
 
+  test("frame sampling: slices cover the payload exactly, per-frame md5s present") {
+    val frames = Multimodal.frameSample(spark, docs)
+    val cover = frames.groupBy("doc_id").agg(sum("frame_len").as("total"), count(lit(1)).as("nf"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("want"),
+        (lit(1) + col("doc_id") % 8).as("want_nf")), "doc_id")
+    assert(cover.filter(col("total") =!= col("want") || col("nf") =!= col("want_nf")).count() == 0)
+    assert(frames.filter(!col("frame_md5").rlike("^[0-9a-f]{32}$")).count() == 0)
+  }
+
+  test("byte histogram: 16 normalized bins summing to ~1") {
+    val h = Multimodal.byteHistogram(spark, Multimodal.asBlobs(docs)).collect()
+    assert(h.length == docs.count())
+    h.foreach { r =>
+      val bins = r.getSeq[Double](1)
+      assert(bins.length == 16)
+      assert(math.abs(bins.sum - 1.0) < 0.01)
+    }
+  }
+
   test("multimodal metadata: fingerprint matches md5 of payload, schema typed") {
     val meta = Multimodal.mediaMeta(spark, docs)
     assert(meta.columns.toSeq ==
