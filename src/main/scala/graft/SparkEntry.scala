@@ -52,6 +52,8 @@ object SparkEntry {
 
     // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "q_dedup_drop" -> ((s, dir) =>
+      Dedup.dropDuplicates(Tables.documents(s, dir)).select("doc_id", "n_chars")),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
@@ -268,6 +270,30 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS canonical_doc_id,
         |       count(*)::BIGINT AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_drop" -> {
+      val (a, b) = Dedup.minhashParams(16)
+      val aList = a.mkString("[", ", ", "]")
+      val bList = b.mkString("[", ", ", "]")
+      s"""WITH $shingleCte,
+         |xk AS (SELECT doc_id,
+         |         list_sum(list_transform(range(1, 9),
+         |           j -> (strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1)::BIGINT
+         |                << ((8 - j) * 4))) AS x
+         |       FROM sh),
+         |sig AS (SELECT doc_id, p,
+         |          min(($aList[p + 1] * x + $bList[p + 1]) % ${Dedup.MinhashMod}) AS sig
+         |        FROM xk, unnest(generate_series(0, 15)) AS t(p)
+         |        GROUP BY doc_id, p),
+         |bands AS (SELECT doc_id, p // 4 AS band, string_agg(sig::VARCHAR, '|' ORDER BY p) AS bkey
+         |          FROM sig GROUP BY doc_id, p // 4),
+         |losers AS (SELECT DISTINCT b.doc_id
+         |           FROM bands a JOIN bands b
+         |             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |JOIN canon USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+    },
     "q_dedup_ngram" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),

@@ -21,6 +21,19 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** The deduplicated corpus: keep the min doc_id of every exact-hash
+    * group, then greedily drop the HIGHER doc_id of every MinHash
+    * near-dup candidate pair (the standard LLM-corpus policy: one
+    * shuffle for the hash group, one semi-join against the candidate
+    * list; no iterative connected components needed because dropping
+    * every doc_b breaks every pair). */
+  def dropDuplicates(docs: DataFrame): DataFrame = {
+    val canonical = exact(docs).select(col("canonical_doc_id").as("doc_id"))
+    val losers = minhashCandidates(docs).select(col("doc_b").as("doc_id")).distinct()
+    docs.join(canonical, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** (doc_id, shingle): distinct word n-gram shingles per document.
     * explode + hash-distinct stays inside whole-stage codegen and the
     * distinct's exchange is REUSED by both sides of the self-join in

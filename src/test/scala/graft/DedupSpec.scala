@@ -28,6 +28,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("dropDuplicates removes every near-dup pair's higher id and keeps the rest") {
+    val kept = Dedup.dropDuplicates(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (_, b) => !kept.contains(b) })
+    val losers = pairs.map(_._2).toSet
+    assert(kept.size == docs.count() - losers.size) // no exact dups in corpus
+  }
+
   test("minhash candidates recall the high-jaccard pairs") {
     val exact = Dedup.ngramJaccard(docs, 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
