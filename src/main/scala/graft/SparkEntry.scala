@@ -22,6 +22,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Core BM25 / text-search surface (SURVEY §2 #1-12) ----
     "q_tokenize" -> ((s, dir) => Bm25.tokenize(Tables.documents(s, dir))),
+    "q_tokenize_regex" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.regexTokens(col("text"))).as("term"))
+        .filter(Text.keepToken(col("term")))),
     "q_wordcount" -> ((s, dir) =>
       Bm25.tokenize(Tables.documents(s, dir)).groupBy("term").agg(count(lit(1)).as("n"))),
     "q_tf" -> ((s, dir) => Bm25.tf(Tables.documents(s, dir))),
@@ -144,6 +148,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_tokenize" ->
       s"WITH $tfCte SELECT doc_id, term FROM tok2",
+    "q_tokenize_regex" ->
+      s"""WITH rtok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+         |             FROM documents)
+         |SELECT doc_id, term FROM rtok
+         |WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)""".stripMargin,
     "q_wordcount" ->
       s"WITH $tfCte SELECT term, count(*)::BIGINT AS n FROM tok2 GROUP BY term",
     "q_tf" ->

@@ -28,6 +28,16 @@ object Text {
   /** Raw whitespace tokens of a text column (lowercased). */
   def rawTokens(text: Column): Column = split(lower(text), " ")
 
+  /** Pluggable tokenizer: split on a delimiter regex (the engine's
+    * generalization point for language-specific segmentation — the
+    * reference plugs in ansj Chinese segmentation here; any
+    * tokenization that can be expressed as a split/regex pass is a
+    * Column function, anything heavier is a custom Expression).
+    * Trailing/leading empty tokens are removed so delimiter runs at
+    * the edges don't produce phantom terms. */
+  def regexTokens(text: Column, delimPattern: String = "[^a-z0-9]+"): Column =
+    filter(split(lower(text), delimPattern), t => length(t) > 0)
+
   /** Keep predicate applied to each token (stopword + min length). */
   def keepToken(term: Column): Column =
     length(term) >= MinTokenLength && !term.isin(Stopwords: _*)
