@@ -70,6 +70,9 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, Tables.documents(s, dir))
         .withColumn("frame_len", col("frame_len").cast("long"))),
+    "q_multimodal_hist" -> ((s, dir) =>
+      Multimodal.byteHistogram(s, Multimodal.asBlobs(Tables.documents(s, dir)))
+        .select(col("doc_id"), posexplode(col("histogram")).as(Seq("bin", "ratio")))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -388,6 +391,14 @@ object SparkEntry {
         |                  (CASE WHEN f = n_frames - 1 THEN n_bytes - f * (n_bytes // n_frames)
         |                        ELSE n_bytes // n_frames END)::INT)) AS frame_md5
         |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)""".stripMargin,
+    "q_multimodal_hist" ->
+      """WITH tot AS (SELECT doc_id, strlen(text)::DOUBLE AS n FROM documents),
+        |chars AS (SELECT doc_id, (ord(substr(text, i, 1)) * 16) // 256 AS bin
+        |          FROM documents, unnest(generate_series(1, strlen(text))) AS t(i)),
+        |binned AS (SELECT doc_id, bin, count(*)::DOUBLE AS cnt FROM chars GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, n, b::INT AS bin FROM tot, unnest(generate_series(0, 15)) AS g(b))
+        |SELECT grid.doc_id, grid.bin, round(coalesce(binned.cnt, 0) / grid.n, 4) AS ratio
+        |FROM grid LEFT JOIN binned ON grid.doc_id = binned.doc_id AND grid.bin = binned.bin""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
          |c AS (SELECT doc_id, len(toks) AS n_tokens,

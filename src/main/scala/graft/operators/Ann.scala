@@ -103,7 +103,7 @@ object Ann {
     import org.apache.spark.ml.functions.array_to_vector
     val feats = embeddings.select(col("vec_id"),
       array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(feats)
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5).fit(feats)
     val assigned = model.transform(feats).select(col("vec_id"), col("prediction").as("list_id"))
     val qVec = embeddings.filter(col("vec_id") === queryId)
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).head().getSeq[Double](0).toArray

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25, Dedup, TextAnalysis}
+
+/** Degenerate-input behavior: operators must not throw on empty or
+  * pathological corpora — at 100 TB a partition full of junk documents
+  * is a certainty, not an edge case. */
+class EdgeCaseSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val junk = Seq(
+    (1L, "the of and"),     // all stopwords
+    (2L, "a b c"),          // all below min length
+    (3L, ""),               // empty text
+    (4L, "meaningful words here")).toDF("doc_id", "text")
+
+  test("bm25 chain on an empty corpus returns empty, never throws") {
+    assert(Bm25.tf(empty).count() == 0)
+    assert(Bm25.bm25Score(empty).count() == 0)
+    assert(Bm25.searchTopN(empty).count() == 0)
+    assert(Dedup.minhashCandidates(empty).count() == 0)
+    assert(Dedup.simhash(empty).count() == 0)
+  }
+
+  test("documents with no kept tokens vanish from token-based operators") {
+    val tf = Bm25.tf(junk)
+    assert(tf.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(4L))
+    assert(Dedup.simhash(junk).collect().map(_.getLong(0)).toSet == Set(4L))
+    // stats count only docs with kept tokens
+    val stats = Bm25.corpusStats(junk).collect()(0)
+    assert(stats.getLong(0) == 1L)
+  }
+
+  test("quality and langid handle empty and stopword-only docs without NaN surprises") {
+    val q = TextAnalysis.langId(junk).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(q(1L) == "en")  // pure stopwords = maximal stopword ratio
+    assert(q.contains(3L)) // empty text still yields a row
+  }
+
+  test("scoring a query with no matching terms returns empty") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(Bm25.bm25Score(docs, Seq("zzznonexistent")).count() == 0)
+  }
+}
