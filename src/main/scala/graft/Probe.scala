@@ -1,19 +1,47 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().withExtensions(new graft.functions.GraftExtensions)
-      .master("local[8]").config("spark.sql.shuffle.partitions","8")
+      .master("local[32]").config("spark.sql.shuffle.partitions","32")
       .config("spark.ui.enabled","false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
-    args.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, dir)
-      df.collect()
-      println(s"========== $n (executed) ==========")
-      println(df.queryExecution.executedPlan.toString.linesIterator.take(60).mkString("\n"))
+    val dir = "/root/testdata/sf0.1"
+    if (args.headOption.contains("scale")) {
+      // 20x corpus: 100k docs incl. 20 exact copies of each (worst-case
+      // dup skew), 40k vectors
+      val docs0 = graft.sources.Tables.documents(spark, dir)
+      val docs = (0 until 20).map(i => docs0.withColumn("doc_id", col("doc_id") + lit(i * 10000L)))
+        .reduce(_ unionByName _).repartition(32)
+      docs.write.mode("overwrite").parquet("/tmp/scale/documents.parquet")
+      val emb0 = graft.sources.Tables.embeddings(spark, dir)
+      val emb = (0 until 20).map(i => emb0.withColumn("vec_id", col("vec_id") + lit(i * 10000L)))
+        .reduce(_ unionByName _).repartition(32)
+      emb.write.mode("overwrite").parquet("/tmp/scale/embeddings.parquet")
+      val d = spark.read.parquet("/tmp/scale/documents.parquet")
+      val e = spark.read.parquet("/tmp/scale/embeddings.parquet")
+      def time(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"SCALE $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      }
+      time("count")(d.count() + e.count())
+      time("tf")(graft.operators.Bm25.tf(d).count())
+      time("bm25_score")(graft.operators.Bm25.bm25Score(d).count())
+      time("dedup_exact")(graft.operators.Dedup.exact(d).count())
+      time("dedup_minhash")(graft.operators.Dedup.minhashCandidates(d).count())
+      time("simhash_pairs")(graft.operators.Dedup.simhashPairs(d).count())
+      time("ann_lsh")(graft.operators.Ann.lshTopK(spark, e).count())
+      time("dedup_drop")(graft.operators.Dedup.dropDuplicates(d).count())
+    } else {
+      args.foreach { n =>
+        val df = SparkEntry.queries(n)(spark, dir)
+        df.collect()
+        println(s"========== $n (executed) ==========")
+        println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+      }
     }
     spark.stop()
   }
