@@ -77,6 +77,10 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+    "q_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),
+    "q_redact" -> ((s, dir) => TextAnalysis.redact(Tables.documents(s, dir))),
+    "q_quality_by_source" -> ((s, dir) => TextAnalysis.qualityBySource(Tables.documents(s, dir))),
+    "q_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables.documents(s, dir))),
 
     // ---- Structured Streaming surface (SURVEY §2 #38-39): real
     // streaming queries drained to a sink, checked vs batch oracles ----
@@ -433,6 +437,35 @@ object SparkEntry {
          |mins AS (SELECT doc_id, min(md5(shingle)) AS sh_fp FROM sh GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(m.sh_fp, md5(d.text)) AS fingerprint
          |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        |       length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))::BIGINT AS n_chars_norm
+        |FROM documents""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+    "q_quality_by_source" ->
+      """WITH t AS (SELECT source, string_split(lower(text), ' ') AS toks FROM documents),
+        |c AS (SELECT source, len(toks)::BIGINT AS n_tokens,
+        |             len(list_distinct(toks))::BIGINT AS n_distinct FROM t)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       round(avg(n_tokens), 6) AS avg_tokens,
+        |       sum(CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
+        |                     AND n_distinct::DOUBLE / n_tokens >= 0.2
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_ok
+        |FROM c GROUP BY source""".stripMargin,
+    "q_bigrams" ->
+      """WITH tokw AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
+        |bg AS (SELECT words[i] || ' ' || words[i+1] AS bigram
+        |       FROM tokw, unnest(generate_series(1, len(words)-1)) AS t(i)
+        |       WHERE len(words) >= 2)
+        |SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
     // ---- Streaming (batch-equivalent oracles; SURVEY §2 #38-39) ----
     "q_stream_wordcount" ->

@@ -61,6 +61,47 @@ object TextAnalysis {
         size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_alnum"),
         expr("CAST(aggregate(toks, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG)) AS LONG)").as("n_bpe_ish"))
 
+  /** (doc_id, norm_text, n_chars_norm): canonical text normalization —
+    * lowercase, collapse whitespace runs, trim. Pure map stage. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+
+  /** (doc_id, redacted): PII masking — emails → <EMAIL>, long digit
+    * runs → <NUM>. Regex passes are codegen'd; at scale this is the
+    * shape any policy-driven scrubber takes. */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        "[0-9]{7,}", "<NUM>").as("redacted"))
+
+  /** (source, n_docs, avg_tokens, n_ok): corpus triage — quality
+    * metrics rolled up per ingestion source (which feeds keep/drop
+    * decisions in a training-data pipeline). */
+  def qualityBySource(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        sum(when(col("n_tokens") >= 10 && col("n_tokens") <= 10000 &&
+          col("n_distinct").cast("double") / col("n_tokens") >= 0.2, 1L).otherwise(0L)).as("n_ok"))
+
+  /** (bigram, n): top corpus word-bigram counts (phrase statistics /
+    * BPE-merge prep). All occurrences, not per-doc distinct. */
+  def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(split(lower(col("text")), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words)-1), i -> concat_ws(' ', element_at(words, CAST(i AS INT)), element_at(words, CAST(i+1 AS INT))))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
   /** (doc_id, fingerprint): content fingerprint = min md5 over word
     * 3-gram shingles (md5(text) fallback for tiny docs). Robust to
     * word order at the edges, cheap, and a pure map+min aggregation. */
