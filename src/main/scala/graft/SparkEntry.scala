@@ -53,6 +53,7 @@ object SparkEntry {
     "q_json" -> ((s, dir) => Relational.propsK(Tables.events(s, dir))),
     "q_time_window" -> ((s, dir) => Relational.hourlyEventStats(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
+    "q_asof" -> ((s, dir) => Relational.asOfJoin(Tables.events(s, dir))),
 
     // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -280,6 +281,22 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
         |       min(tns // 1000000)::BIGINT AS start_ms, max(tns // 1000000)::BIGINT AS end_ms
         |FROM t GROUP BY user_id, session_id""".stripMargin,
+    "q_asof" ->
+      """WITH pc AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         max(CASE WHEN event_type = 'click'
+        |                  THEN struct_pack(ts := ts, event_id := event_id) END)
+        |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ref
+        |  FROM pc)
+        |SELECT user_id, event_id AS purchase_event_id,
+        |       epoch_ns(ts) // 1000000 AS purchase_ts_ms,
+        |       (click_ref).event_id AS click_event_id,
+        |       epoch_ns((click_ref).ts) // 1000000 AS click_ts_ms
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
 
     // ---- LLM-training-data pipeline (SURVEY §2 #26-37) ----
     "q_dedup_exact" ->

@@ -127,6 +127,31 @@ object Relational {
       .groupBy("win_start_ms", "event_type")
       .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("sum_value_micros"))
 
+  /** As-of (point-in-time) join: for each `left` event, the latest
+    * `right` event at or before it per user — here, the latest click
+    * before each purchase. Spark has no asof-join operator; the
+    * scalable formulation is a tagged union + one window pass: a
+    * single shuffle on user_id, running max(struct(ts, event_id)) over
+    * the click rows, no range-join row explosion. Ties are totally
+    * ordered by (ts, event_id), so the result is deterministic. */
+  def asOfJoin(events: DataFrame,
+               leftType: String = "purchase", rightType: String = "click"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("click_ref",
+        max(when(col("event_type") === rightType,
+          struct(col("ts"), col("event_id")))).over(w))
+      .filter(col("event_type") === leftType)
+      .select(col("user_id"),
+        col("event_id").as("purchase_event_id"),
+        expr("ts div 1000000").as("purchase_ts_ms"),
+        col("click_ref.event_id").as("click_event_id"),
+        expr("click_ref.ts div 1000000").as("click_ts_ms"))
+  }
+
   /** Session windows via gap analysis: a new session starts after a
     * >30 min silence; one shuffle on user_id, then ordered window
     * scans (no state explosion — sessions are bounded per user). */
