@@ -82,6 +82,7 @@ object SparkEntry {
     "q_redact" -> ((s, dir) => TextAnalysis.redact(Tables.documents(s, dir))),
     "q_quality_by_source" -> ((s, dir) => TextAnalysis.qualityBySource(Tables.documents(s, dir))),
     "q_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables.documents(s, dir))),
+    "q_sample_mix" -> ((s, dir) => TextAnalysis.mixtureSample(Tables.documents(s, dir))),
 
     // ---- Structured Streaming surface (SURVEY §2 #38-39): real
     // streaming queries drained to a sink, checked vs batch oracles ----
@@ -483,6 +484,17 @@ object SparkEntry {
         |       WHERE len(words) >= 2)
         |SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q_sample_mix" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         ((substr(source, 4)::INT % 4) + 1) * 0.25 AS rate,
+        |         list_sum(list_transform(range(1, 9),
+        |           j -> (strpos('0123456789abcdef',
+        |                        substr(md5(doc_id::VARCHAR || ':' || source), j, 1)) - 1)::BIGINT
+        |                << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, source FROM s WHERE u < rate""".stripMargin,
 
     // ---- Streaming (batch-equivalent oracles; SURVEY §2 #38-39) ----
     "q_stream_wordcount" ->

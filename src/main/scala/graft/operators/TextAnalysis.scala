@@ -102,6 +102,21 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** (doc_id, source): deterministic mixture sampling — every doc gets
+    * a reproducible uniform u from md5(doc_id:source) and survives iff
+    * u < its source's mixture rate. This is how training mixes are
+    * built at scale: no RNG state, re-runs and late-arriving partitions
+    * sample identically, and rates are per-source weights. Pure map
+    * stage. Demo rates: (source index mod 4 + 1) × 0.25. */
+  def mixtureSample(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("rate",
+        ((expr("CAST(substring(source, 4, 10) AS INT)") % 4 + 1) * lit(0.25)))
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', source)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"))
+      .filter(col("u") < col("rate"))
+      .select("doc_id", "source")
+
   /** (doc_id, fingerprint): content fingerprint = min md5 over word
     * 3-gram shingles (md5(text) fallback for tiny docs). Robust to
     * word order at the edges, cheap, and a pure map+min aggregation. */
