@@ -93,13 +93,21 @@ class IoSpec extends AnyFunSuite {
     val counts = graft.streaming.Streams.socketWordCount(spark, "localhost", port)
     val sq = counts.writeStream.format("memory").queryName("graft_socket_wc")
       .outputMode("complete").start()
+    val want = Map("spark" -> 3L, "query" -> 2L)
+    def table() = spark.table("graft_socket_wc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     try {
       writer.join()
-      Thread.sleep(1500) // let the source ingest the last line
-      sq.processAllAvailable()
+      // the socket source ingests on its own thread: poll until the
+      // final counts land instead of trusting a fixed sleep
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = table()
+      while (got != want && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        sq.processAllAvailable()
+        got = table()
+      }
+      assert(got == want)
     } finally { sq.stop(); server.close() }
-    val got = spark.table("graft_socket_wc")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got == Map("spark" -> 3L, "query" -> 2L))
   }
 }
