@@ -334,13 +334,13 @@ object SparkEntry {
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
          |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, jaccard FROM (
+         |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM (
          |  SELECT doc_a, doc_b,
-         |         round(inter::DOUBLE / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+         |         inter::DOUBLE / (na.n_sh + nb.n_sh - inter) AS j_exact
          |  FROM inter
          |  JOIN sizes na ON inter.doc_a = na.doc_id
          |  JOIN sizes nb ON inter.doc_b = nb.doc_id)
-         |WHERE jaccard >= 0.8""".stripMargin,
+         |WHERE j_exact >= 0.8""".stripMargin,
     "q_dedup_minhash" -> {
       val (a, b) = Dedup.minhashParams(16)
       val aList = a.mkString("[", ", ", "]")

@@ -50,22 +50,26 @@ object Dedup {
 
   /** (doc_a, doc_b, jaccard): exact n-gram Jaccard near-dup pairs via
     * shingle self-join. Quadratic in cluster size — the correctness
-    * baseline for [[minhashCandidates]]. Per-doc shingle counts ride
-    * each row via a window (one pass), so the union-size denominator
-    * needs NO extra joins: both self-join sides consume the same
-    * windowed subtree (reused exchange) and na/nb fall out of the
-    * group-by. */
+    * baseline for [[minhashCandidates]]. The threshold applies to the
+    * EXACT ratio (an integer-derived double, identical in any engine);
+    * rounding happens only at output. The denominator comes from joins
+    * against the per-doc size aggregate — doc-cardinality rows, far
+    * smaller than the shingle relation, and broadcastable at scale
+    * (cheaper than windowing n_sh over every shingle row, which would
+    * re-shuffle and sort the full relation). */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-    sh.as("a").join(sh.as("b"),
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"), max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
-      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("j_exact", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j_exact") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j_exact"), 4).as("jaccard"))
   }
 
   /** See [[graft.functions.GraftHashing]] — re-exported for oracle
