@@ -377,12 +377,12 @@ object SparkEntry {
          |WHERE hamming <= 3""".stripMargin,
     "q_dedup_embcos" ->
       s"""WITH $vecCte
-         |SELECT vec_a, vec_b, cos FROM (
+         |SELECT vec_a, vec_b, round(c_exact, 4) AS cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-         |               / (a.nrm * b.nrm), 4) AS cos
+         |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         |               / (a.nrm * b.nrm) AS c_exact
          |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
-         |WHERE cos >= 0.45""".stripMargin,
+         |WHERE c_exact >= 0.45""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH $vecCte,
          |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)

@@ -36,9 +36,11 @@ object Ann {
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("cos") >= threshold)
-      .select("vec_a", "vec_b", "cos")
+      // threshold on the EXACT cosine (deterministic: same fold order
+      // in both engines); round only at output
+      .withColumn("c_exact", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("c_exact") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c_exact"), 4).as("cos"))
   }
 
   /** (vec_id, cos): exact top-k cosine neighbors of `queryId` —
