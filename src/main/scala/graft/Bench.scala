@@ -16,9 +16,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not
-    // in the first timed query
-    spark.range(1000).selectExpr("sum(id)").collect()
-    SparkEntry.entry(spark).count()
+    // in the first timed query; never let it kill the benchmark
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      SparkEntry.entry(spark).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

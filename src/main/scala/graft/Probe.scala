@@ -33,7 +33,7 @@ object Probe {
       time("dedup_exact")(graft.operators.Dedup.exact(d).count())
       time("dedup_minhash")(graft.operators.Dedup.minhashCandidates(d).count())
       time("simhash_pairs")(graft.operators.Dedup.simhashPairs(d).count())
-      time("ann_lsh")(graft.operators.Ann.lshTopK(spark, e).count())
+      time("ann_lsh")(graft.operators.Ann.lshTopK(e).count())
       time("dedup_drop")(graft.operators.Dedup.dropDuplicates(d).count())
     } else {
       args.foreach { n =>

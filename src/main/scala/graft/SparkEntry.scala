@@ -65,8 +65,8 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_embcos" -> ((s, dir) => Ann.cosinePairs(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
-    "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(s, Tables.embeddings(s, dir))),
-    "q_ann_ivf" -> ((s, dir) => Ann.ivfTopK(s, Tables.embeddings(s, dir))),
+    "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(Tables.embeddings(s, dir))),
+    "q_ann_ivf" -> ((s, dir) => Ann.ivfTopK(Tables.embeddings(s, dir))),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, Tables.documents(s, dir))
@@ -320,9 +320,20 @@ object SparkEntry {
          |        GROUP BY doc_id, p),
          |bands AS (SELECT doc_id, p // 4 AS band, string_agg(sig::VARCHAR, '|' ORDER BY p) AS bkey
          |          FROM sig GROUP BY doc_id, p // 4),
-         |losers AS (SELECT DISTINCT b.doc_id
-         |           FROM bands a JOIN bands b
-         |             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+         |cinter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+         |           FROM cand c
+         |           JOIN sh sa ON sa.doc_id = c.doc_a
+         |           JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+         |           GROUP BY c.doc_a, c.doc_b),
+         |losers AS (SELECT DISTINCT i.doc_b AS doc_id
+         |           FROM cinter i
+         |           JOIN sizes na ON i.doc_a = na.doc_id
+         |           JOIN sizes nb ON i.doc_b = nb.doc_id
+         |           WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8),
          |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
          |SELECT d.doc_id, d.n_chars FROM documents d
          |JOIN canon USING (doc_id)
@@ -464,7 +475,7 @@ object SparkEntry {
     "q_redact" ->
       """SELECT doc_id,
         |       regexp_replace(
-        |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '[0-9]{7,}', '<NUM>', 'g') AS redacted
         |FROM documents""".stripMargin,
     "q_quality_by_source" ->

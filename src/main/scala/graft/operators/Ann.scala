@@ -1,14 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (array<float>[64]).
   *
   * Brute-force cosine is the correctness baseline (all-pairs /
-  * one-vs-all); random-hyperplane LSH bucketing is the scale path: at
-  * 100 TB the bucket id is the shuffle key and each query only scans
-  * its own buckets' candidates instead of the full corpus.
+  * one-vs-all); random-hyperplane LSH bucketing and IVF inverted
+  * lists are the scale paths: at 100 TB the bucket/list id is the
+  * shuffle key and each query only scans its own candidates instead
+  * of the full corpus.
   *
   * All dot products go through the codegen'd native expression
   * `graft_dot` (graft.functions.DotProduct) — a primitive loop per
@@ -28,28 +29,17 @@ object Ann {
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  /** (vec_a, vec_b, cos): all pairs with rounded cosine ≥ threshold.
-    * O(n²) — the exactness baseline for near-dup detection; LSH below
-    * is what runs at scale. */
-  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val e = withNorm(embeddings)
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      // threshold on the EXACT cosine (deterministic: same fold order
-      // in both engines); round only at output
-      .withColumn("c_exact", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("c_exact") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("c_exact"), 4).as("cos"))
-  }
-
-  /** (vec_id, cos): exact top-k cosine neighbors of `queryId` —
-    * one-vs-all with the single query row broadcast. */
-  def bruteForceTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+  /** The shared exact-rescore stage: cosine of `queryId` against every
+    * vector (restricted to `candidates` when given), deterministic
+    * (score desc, vec_id asc) top-k. Every topK variant ends here so
+    * the scoring contract lives in exactly one place. */
+  private def exactTopK(embeddings: DataFrame, candidates: Option[DataFrame],
+                        queryId: Long, k: Int): DataFrame = {
     val e = withNorm(embeddings)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("v").as("va"), col("nrm").as("na"))
-    e.filter(col("vec_id") =!= queryId)
+    val pool = candidates.fold(e)(c => e.join(c, "vec_id"))
+    pool.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
       .crossJoin(broadcast(q))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
@@ -57,6 +47,26 @@ object Ann {
       .limit(k)
       .select("vec_id", "cos")
   }
+
+  /** (vec_a, vec_b, cos): all pairs with cosine ≥ threshold. O(n²) —
+    * the exactness baseline for near-dup detection; LSH below is what
+    * runs at scale. The threshold applies to the EXACT cosine
+    * (deterministic: same fold order in both engines); rounding is
+    * output-only. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val e = withNorm(embeddings)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("c_exact", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("c_exact") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c_exact"), 4).as("cos"))
+  }
+
+  /** (vec_id, cos): exact top-k cosine neighbors of `queryId` —
+    * one-vs-all with the single query row broadcast. */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame =
+    exactTopK(embeddings, None, queryId, k)
 
   /** md5-derived hyperplane weights: plane p, dims 1..64 →
     * uniform[-0.5, 0.5]. Deterministic, tiny (numPlanes × 64 doubles)
@@ -76,7 +86,7 @@ object Ann {
     * ~0.7 recall at c≈0.35 while scanning ~1/3 of the corpus. Pure map
     * stage: each row's buckets come from dot products against literal
     * planes — no join, no shuffle. */
-  def lshBuckets(spark: SparkSession, embeddings: DataFrame,
+  def lshBuckets(embeddings: DataFrame,
                  numTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
     val w = planeWeights(numTables * bitsPerTable)
     val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
@@ -91,14 +101,29 @@ object Ann {
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
+  /** (vec_id, cos): LSH-approximated top-k neighbors of `queryId` —
+    * candidates = vectors sharing any table bucket with the query,
+    * then the exact rescore on candidates only. */
+  def lshTopK(embeddings: DataFrame,
+              queryId: Long = 0L, k: Int = 10,
+              numTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+    val buckets = lshBuckets(embeddings, numTables, bitsPerTable)
+    val qb = buckets.filter(col("vec_id") === queryId)
+      .select(col("t").as("qt"), col("bucket").as("qbucket"))
+    val candidates = buckets
+      .join(broadcast(qb), col("t") === col("qt") && col("bucket") === col("qbucket"))
+      .select("vec_id").distinct()
+    exactTopK(embeddings, Some(candidates), queryId, k)
+  }
+
   /** (vec_id, cos): IVF-approximated top-k neighbors of `queryId` —
     * a k-means coarse quantizer (MLlib, fixed seed) partitions the
     * corpus into nLists inverted lists; the query probes the nProbe
-    * centroids nearest to it and exact cosine runs over those lists
-    * only. The 100 TB shape: train on a sample, assign in one map
-    * pass, store lists partitioned by list id, touch nProbe/nLists of
-    * the data per query. */
-  def ivfTopK(spark: SparkSession, embeddings: DataFrame,
+    * centroids nearest to it and the exact rescore runs over those
+    * lists only. The 100 TB shape: train on a sample, assign in one
+    * map pass, store lists partitioned by list id, touch
+    * nProbe/nLists of the data per query. */
+  def ivfTopK(embeddings: DataFrame,
               queryId: Long = 0L, k: Int = 10,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -113,17 +138,9 @@ object Ann {
       .sortBy { case (c, _) => -cosineSim(c.toArray, qVec) }
       .take(nProbe).map(_._2)
     val candidates = assigned
-      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= queryId)
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
       .select("vec_id")
-    val e = withNorm(embeddings)
-    val q = e.filter(col("vec_id") === queryId).select(col("v").as("va"), col("nrm").as("na"))
-    e.join(candidates, "vec_id")
-      .select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
-      .crossJoin(broadcast(q))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
-      .select("vec_id", "cos")
+    exactTopK(embeddings, Some(candidates), queryId, k)
   }
 
   private def cosineSim(a: Array[Double], b: Array[Double]): Double = {
@@ -132,29 +149,5 @@ object Ann {
       d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
     d / math.sqrt(na * nb)
-  }
-
-  /** (vec_id, cos): LSH-approximated top-k neighbors of `queryId` —
-    * candidates = vectors sharing any table bucket with the query,
-    * then exact cosine on candidates only. */
-  def lshTopK(spark: SparkSession, embeddings: DataFrame,
-              queryId: Long = 0L, k: Int = 10,
-              numTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
-    val buckets = lshBuckets(spark, embeddings, numTables, bitsPerTable)
-    val qb = buckets.filter(col("vec_id") === queryId)
-      .select(col("t").as("qt"), col("bucket").as("qbucket"))
-    val candidates = buckets
-      .join(broadcast(qb), col("t") === col("qt") && col("bucket") === col("qbucket"))
-      .filter(col("vec_id") =!= queryId)
-      .select("vec_id").distinct()
-    val e = withNorm(embeddings)
-    val q = e.filter(col("vec_id") === queryId).select(col("v").as("va"), col("nrm").as("na"))
-    e.join(candidates, "vec_id")
-      .select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
-      .crossJoin(broadcast(q))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
-      .select("vec_id", "cos")
   }
 }

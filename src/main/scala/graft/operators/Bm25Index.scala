@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   *   <path>/doclen    (doc_id, dl)
   *   <path>/stats     (n_docs, avgdl)     — one row
   *
-  * Build cost: the same two corpus passes as bm25Score. Query cost:
+  * Build cost: ONE corpus pass (postings), then doclen/stats derive
+  * from the files just written, never from the raw corpus. Query cost:
   * NO corpus pass at all — a pushed-down postings scan for the query
   * terms, one shuffle join against doclen, a broadcast of (df, stats).
   * That asymmetry (build once, query cheap) is what an inverted index
@@ -29,9 +30,14 @@ object Bm25Index {
     val tf = Bm25.tf(docs)
     tf.repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/postings")
-    val dl = Bm25.docLengths(docs)
-    dl.write.mode(SaveMode.Overwrite).parquet(s"$path/doclen")
-    dl.agg(count(col("doc_id")).as("n_docs"), avg(col("dl")).cast("double").as("avgdl"))
+    // doclen derives from the postings just written (no second corpus
+    // pass), and stats from the written doclen (no third)
+    val spark = docs.sparkSession
+    spark.read.parquet(s"$path/postings")
+      .groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/doclen")
+    spark.read.parquet(s"$path/doclen")
+      .agg(count(col("doc_id")).as("n_docs"), avg(col("dl")).cast("double").as("avgdl"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 

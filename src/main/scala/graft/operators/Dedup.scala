@@ -22,16 +22,31 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
 
   /** The deduplicated corpus: keep the min doc_id of every exact-hash
-    * group, then greedily drop the HIGHER doc_id of every MinHash
-    * near-dup candidate pair (the standard LLM-corpus policy: one
-    * shuffle for the hash group, one semi-join against the candidate
-    * list; no iterative connected components needed because dropping
-    * every doc_b breaks every pair). */
-  def dropDuplicates(docs: DataFrame): DataFrame = {
+    * group, then drop the HIGHER doc_id of every VERIFIED near-dup
+    * pair (the standard LLM-corpus policy; no iterative connected
+    * components needed because dropping every doc_b breaks every
+    * pair). LSH candidates are only candidates — a band collision at
+    * true Jaccard 0.4 happens a few percent of the time — so exact
+    * Jaccard runs over the candidate pairs before anything is
+    * dropped. The verify pass touches only candidate docs' shingles
+    * (semi-join), never the full corpus pairwise. */
+  def dropDuplicates(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val canonical = exact(docs).select(col("canonical_doc_id").as("doc_id"))
-    val losers = minhashCandidates(docs).select(col("doc_b").as("doc_id")).distinct()
+    val losers = verifiedNearDups(docs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
     docs.join(canonical, Seq("doc_id"), "left_semi")
       .join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** (doc_a, doc_b, jaccard): MinHash candidates verified by exact
+    * Jaccard ≥ threshold, computed over candidate documents only. */
+  def verifiedNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val cand = minhashCandidates(docs)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candCorpus = docs.join(candDocs, Seq("doc_id"), "left_semi")
+    ngramJaccard(candCorpus, threshold)
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
   }
 
   /** (doc_id, shingle): distinct word n-gram shingles per document.
@@ -41,7 +56,7 @@ object Dedup {
     * array lambdas). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val parts = (0 until n).map(j => s"element_at(words, CAST(i+$j AS INT))").mkString(", ")
-    docs.select(col("doc_id"), split(lower(col("text")), " ").as("words"))
+    docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(words)-${n - 1}), i -> concat_ws(' ', $parts))")).as("shingle"))
@@ -83,7 +98,7 @@ object Dedup {
     * permutations fused in one pass per document. Pure map stage:
     * the signature matrix costs ZERO shuffle. */
   private def signatureArray(docs: DataFrame, n: Int, numPerm: Int): DataFrame =
-    docs.select(col("doc_id"), split(lower(col("text")), " ").as("words"))
+    docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
         call_function("graft_minhash", col("words"), lit(n), lit(numPerm)).as("sigs"))
@@ -99,6 +114,9 @@ object Dedup {
     * equi-join on (band, band key) — bounded buckets by construction,
     * never an all-pairs join (SURVEY.md §5). */
   def minhashCandidates(docs: DataFrame, numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(rowsPerBand > 0 && numPerm % rowsPerBand == 0,
+      s"rowsPerBand ($rowsPerBand) must evenly divide numPerm ($numPerm); " +
+        "a remainder would silently drop permutations from the banding")
     val numBands = numPerm / rowsPerBand
     val bands = signatureArray(docs, n = 3, numPerm = numPerm)
       .select(col("doc_id"), posexplode(expr(
@@ -148,6 +166,6 @@ object Dedup {
     * formulation in the SQL oracle). */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        call_function("graft_simhash", split(lower(col("text")), " ")).as("simhash"))
+        call_function("graft_simhash", graft.functions.Text.rawTokens(col("text"))).as("simhash"))
       .filter(col("simhash").isNotNull)
 }

@@ -17,7 +17,7 @@ object TextAnalysis {
   def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
     val stop = Text.stopwordsSqlList
     docs
-      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("toks", graft.functions.Text.rawTokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_stop", size(expr(s"filter(toks, t -> t IN ($stop))")))
       .select(col("doc_id"),
@@ -32,7 +32,7 @@ object TextAnalysis {
   def quality(docs: DataFrame): DataFrame = {
     val stop = Text.stopwordsSqlList
     docs
-      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("toks", graft.functions.Text.rawTokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("n_stop", size(expr(s"filter(toks, t -> t IN ($stop))")).cast("long"))
@@ -55,7 +55,7 @@ object TextAnalysis {
     * token — quarters are exact binary, so ceil is deterministic). */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("toks", graft.functions.Text.rawTokens(col("text")))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_ws"),
         size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_alnum"),
@@ -74,7 +74,8 @@ object TextAnalysis {
   def redact(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       regexp_replace(
-        regexp_replace(col("text"), "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "[0-9]{7,}", "<NUM>").as("redacted"))
 
   /** (source, n_docs, avg_tokens, n_ok): corpus triage — quality
@@ -82,7 +83,7 @@ object TextAnalysis {
     * decisions in a training-data pipeline). */
   def qualityBySource(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("toks", graft.functions.Text.rawTokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .groupBy("source")
@@ -94,7 +95,7 @@ object TextAnalysis {
   /** (bigram, n): top corpus word-bigram counts (phrase statistics /
     * BPE-merge prep). All occurrences, not per-doc distinct. */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
-    docs.select(split(lower(col("text")), " ").as("words"))
+    docs.select(graft.functions.Text.rawTokens(col("text")).as("words"))
       .filter(size(col("words")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(words)-1), i -> concat_ws(' ', element_at(words, CAST(i AS INT)), element_at(words, CAST(i+1 AS INT))))")).as("bigram"))

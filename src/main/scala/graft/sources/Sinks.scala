@@ -17,26 +17,37 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   /** Merge `updates` into the parquet table at `path`, last-wins per
-    * `keyCols` ordered by `versionCol` (desc) — the distributed
-    * analogue of findOneAndUpdate(upsert=true). Atomic swap via a
-    * staging directory + rename. */
+    * `keyCols` ordered by `versionCol` (desc; ties broken by a stable
+    * row hash so replayed batches converge deterministically) — the
+    * distributed analogue of findOneAndUpdate(upsert=true).
+    *
+    * Swap protocol: write staging → move current table aside → rename
+    * staging in → drop the old copy. A crash mid-swap leaves either
+    * the old table, or the old table under `.__old` (recoverable) —
+    * never zero copies of the data. */
   def upsertParquet(spark: SparkSession, updates: DataFrame, path: String,
                     keyCols: Seq[String], versionCol: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new Path(path)
     val merged =
       if (fs.exists(dest)) spark.read.parquet(path).unionByName(updates) else updates
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    val rowHash = xxhash64(merged.columns.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, rowHash.asc)
     val latest = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
     val tmp = new Path(path + ".__staging")
+    val old = new Path(path + ".__old")
     fs.delete(tmp, true)
     latest.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(dest, true)
+    fs.delete(old, true)
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new java.io.IOException(s"could not move current table aside for $path")
     if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"atomic swap failed for $path")
+      throw new java.io.IOException(s"swap failed for $path; previous data at $old")
+    fs.delete(old, true)
   }
 
   /** Per-document text export (the ref writes output/{pid}.txt; at

@@ -47,7 +47,11 @@ object Streams {
 
   /** (win_start_ms, event_type, n): 1-hour tumbling-window counts over
     * the event stream — the engine's SocketWindowWordCount: stream →
-    * event-time window → keyed count, watermark bounding state. */
+    * event-time window → keyed count. Complete mode here because the
+    * memory sink must hold the full result for the batch-equivalence
+    * check; on an unbounded production stream the SAME aggregation
+    * runs in append/update mode, where the watermark actually evicts
+    * closed windows and bounds state. */
   def windowedWordCount(spark: SparkSession, dir: String): DataFrame = {
     val counts = eventStream(spark, dir)
       .withWatermark("event_time", "1 hour")

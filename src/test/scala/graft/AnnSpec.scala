@@ -25,14 +25,14 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("lsh buckets: every vector lands in exactly numTables buckets") {
-    val b = Ann.lshBuckets(spark, emb, numTables = 4, bitsPerTable = 4)
+    val b = Ann.lshBuckets(emb, numTables = 4, bitsPerTable = 4)
     val perVec = b.groupBy("vec_id").count().collect()
     assert(perVec.forall(_.getLong(1) == 4))
   }
 
   test("ivf top-k recalls a reasonable fraction of exact top-k") {
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
-    val approx = Ann.ivfTopK(spark, emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val approx = Ann.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     assert(approx.size == 10)
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.3, s"IVF ANN recall $recall")
@@ -40,7 +40,7 @@ class AnnSpec extends AnyFunSuite {
 
   test("lsh top-k recalls a reasonable fraction of exact top-k") {
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
-    val approx = Ann.lshTopK(spark, emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val approx = Ann.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.4, s"LSH ANN recall $recall")
   }

@@ -28,13 +28,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
-  test("dropDuplicates removes every near-dup pair's higher id and keeps the rest") {
+  test("dropDuplicates removes exactly the verified near-dups' higher ids") {
     val kept = Dedup.dropDuplicates(docs).select("doc_id").collect().map(_.getLong(0)).toSet
-    val pairs = Dedup.minhashCandidates(docs)
+    val verified = Dedup.verifiedNearDups(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.forall { case (_, b) => !kept.contains(b) })
-    val losers = pairs.map(_._2).toSet
+    assert(verified.nonEmpty)
+    assert(verified.forall { case (_, b) => !kept.contains(b) })
+    val losers = verified.map(_._2).toSet
     assert(kept.size == docs.count() - losers.size) // no exact dups in corpus
+    // an unverified candidate (band collision below the jaccard
+    // threshold) must NOT cost us its document
+    val unverified = Dedup.minhashCandidates(docs)
+      .collect().map(r => r.getLong(1)).toSet -- losers
+    assert(unverified.forall(kept.contains), "unverified candidates were dropped")
   }
 
   test("minhash candidates recall the high-jaccard pairs") {
