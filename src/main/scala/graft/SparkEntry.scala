@@ -61,6 +61,7 @@ object SparkEntry {
       Dedup.dropDuplicates(Tables.documents(s, dir)).select("doc_id", "n_chars")),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
+    "q_dedup_verified" -> ((s, dir) => Dedup.verifiedNearDups(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_embcos" -> ((s, dir) => Ann.cosinePairs(Tables.embeddings(s, dir))),
@@ -117,6 +118,43 @@ object SparkEntry {
       |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
       |       FROM tokw, unnest(generate_series(1, len(words)-2)) AS t(i)
       |       WHERE len(words) >= 3)""".stripMargin
+
+  /** MinHash banding CTEs mirroring Dedup.minhashCandidates: shingle →
+    * 32-bit md5 key → 16 affine permutations (constants inlined from
+    * the same Scala arrays the plan uses) → 4 bands of 4 → candidate
+    * pairs; plus the exact-Jaccard verification over candidates. */
+  private val minhashCandCte = {
+    val (a, b) = Dedup.minhashParams(16)
+    val aList = a.mkString("[", ", ", "]")
+    val bList = b.mkString("[", ", ", "]")
+    s"""$shingleCte,
+       |xk AS (SELECT doc_id,
+       |         list_sum(list_transform(range(1, 9),
+       |           j -> (strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1)::BIGINT
+       |                << ((8 - j) * 4))) AS x
+       |       FROM sh),
+       |sig AS (SELECT doc_id, p,
+       |          min(($aList[p + 1] * x + $bList[p + 1]) % ${Dedup.MinhashMod}) AS sig
+       |        FROM xk, unnest(generate_series(0, 15)) AS t(p)
+       |        GROUP BY doc_id, p),
+       |bands AS (SELECT doc_id, p // 4 AS band, string_agg(sig::VARCHAR, '|' ORDER BY p) AS bkey
+       |          FROM sig GROUP BY doc_id, p // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |csizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+       |cinter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+       |           FROM cand c
+       |           JOIN sh sa ON sa.doc_id = c.doc_a
+       |           JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+       |           GROUP BY c.doc_a, c.doc_b),
+       |ver AS (SELECT i.doc_a, i.doc_b,
+       |               i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) AS j_exact
+       |        FROM cinter i
+       |        JOIN csizes na ON i.doc_a = na.doc_id
+       |        JOIN csizes nb ON i.doc_b = nb.doc_id
+       |        WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8)""".stripMargin
+  }
 
   /** SimHash fingerprint CTE mirroring Dedup.simhash (60-bit
     * tf-weighted fingerprint over the tf CTE, 15-hex-digit keys). */
@@ -304,41 +342,16 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS canonical_doc_id,
         |       count(*)::BIGINT AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "q_dedup_drop" -> {
-      val (a, b) = Dedup.minhashParams(16)
-      val aList = a.mkString("[", ", ", "]")
-      val bList = b.mkString("[", ", ", "]")
-      s"""WITH $shingleCte,
-         |xk AS (SELECT doc_id,
-         |         list_sum(list_transform(range(1, 9),
-         |           j -> (strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1)::BIGINT
-         |                << ((8 - j) * 4))) AS x
-         |       FROM sh),
-         |sig AS (SELECT doc_id, p,
-         |          min(($aList[p + 1] * x + $bList[p + 1]) % ${Dedup.MinhashMod}) AS sig
-         |        FROM xk, unnest(generate_series(0, 15)) AS t(p)
-         |        GROUP BY doc_id, p),
-         |bands AS (SELECT doc_id, p // 4 AS band, string_agg(sig::VARCHAR, '|' ORDER BY p) AS bkey
-         |          FROM sig GROUP BY doc_id, p // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
-         |cinter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
-         |           FROM cand c
-         |           JOIN sh sa ON sa.doc_id = c.doc_a
-         |           JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
-         |           GROUP BY c.doc_a, c.doc_b),
-         |losers AS (SELECT DISTINCT i.doc_b AS doc_id
-         |           FROM cinter i
-         |           JOIN sizes na ON i.doc_a = na.doc_id
-         |           JOIN sizes nb ON i.doc_b = nb.doc_id
-         |           WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8),
+    "q_dedup_drop" ->
+      s"""WITH $minhashCandCte,
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM ver),
          |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
          |SELECT d.doc_id, d.n_chars FROM documents d
          |JOIN canon USING (doc_id)
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
-    },
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "q_dedup_verified" ->
+      s"""WITH $minhashCandCte
+         |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
@@ -352,26 +365,9 @@ object SparkEntry {
          |  JOIN sizes na ON inter.doc_a = na.doc_id
          |  JOIN sizes nb ON inter.doc_b = nb.doc_id)
          |WHERE j_exact >= 0.8""".stripMargin,
-    "q_dedup_minhash" -> {
-      val (a, b) = Dedup.minhashParams(16)
-      val aList = a.mkString("[", ", ", "]")
-      val bList = b.mkString("[", ", ", "]")
-      s"""WITH $shingleCte,
-         |xk AS (SELECT doc_id,
-         |         list_sum(list_transform(range(1, 9),
-         |           j -> (strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1)::BIGINT
-         |                << ((8 - j) * 4))) AS x
-         |       FROM sh),
-         |sig AS (SELECT doc_id, p,
-         |          min(($aList[p + 1] * x + $bList[p + 1]) % ${Dedup.MinhashMod}) AS sig
-         |        FROM xk, unnest(generate_series(0, 15)) AS t(p)
-         |        GROUP BY doc_id, p),
-         |bands AS (SELECT doc_id, p // 4 AS band, string_agg(sig::VARCHAR, '|' ORDER BY p) AS bkey
-         |          FROM sig GROUP BY doc_id, p // 4)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
-    },
+    "q_dedup_minhash" ->
+      s"""WITH $minhashCandCte
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM fps""".stripMargin,
