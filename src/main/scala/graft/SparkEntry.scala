@@ -113,21 +113,22 @@ object SparkEntry {
 
   /** Word-3-gram shingle CTE mirroring Dedup.shingles (distinct shingles
     * per doc, 1-based windows over the space-split word list). */
-  private val shingleCte =
-    """tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-      |       FROM tokw, unnest(generate_series(1, len(words)-2)) AS t(i)
-      |       WHERE len(words) >= 3)""".stripMargin
+  private def shingleCteFor(rel: String) =
+    s"""tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM $rel),
+       |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+       |       FROM tokw, unnest(generate_series(1, len(words)-2)) AS t(i)
+       |       WHERE len(words) >= 3)""".stripMargin
+  private val shingleCte = shingleCteFor("documents")
 
   /** MinHash banding CTEs mirroring Dedup.minhashCandidates: shingle →
     * 32-bit md5 key → 16 affine permutations (constants inlined from
     * the same Scala arrays the plan uses) → 4 bands of 4 → candidate
     * pairs; plus the exact-Jaccard verification over candidates. */
-  private val minhashCandCte = {
+  private def minhashCandCteFor(rel: String) = {
     val (a, b) = Dedup.minhashParams(16)
     val aList = a.mkString("[", ", ", "]")
     val bList = b.mkString("[", ", ", "]")
-    s"""$shingleCte,
+    s"""${shingleCteFor(rel)},
        |xk AS (SELECT doc_id,
        |         list_sum(list_transform(range(1, 9),
        |           j -> (strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1)::BIGINT
@@ -155,6 +156,15 @@ object SparkEntry {
        |        JOIN csizes nb ON i.doc_b = nb.doc_id
        |        WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8)""".stripMargin
   }
+  private val minhashCandCte = minhashCandCteFor("documents")
+
+  /** The exact-deduplicated (canonical) corpus — near-dup verification
+    * in q_dedup_drop runs over THIS, mirroring Dedup.dropDuplicates'
+    * exact-first order. */
+  private val canonRel =
+    """(SELECT d.* FROM documents d
+      | JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) cc
+      | USING (doc_id))""".stripMargin.replace("\n", "")
 
   /** SimHash fingerprint CTE mirroring Dedup.simhash (60-bit
     * tf-weighted fingerprint over the tf CTE, 15-hex-digit keys). */
@@ -343,7 +353,7 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_drop" ->
-      s"""WITH $minhashCandCte,
+      s"""WITH ${minhashCandCteFor(canonRel)},
          |losers AS (SELECT DISTINCT doc_b AS doc_id FROM ver),
          |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
          |SELECT d.doc_id, d.n_chars FROM documents d
