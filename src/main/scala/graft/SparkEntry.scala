@@ -33,8 +33,10 @@ object SparkEntry {
     "q_df" -> ((s, dir) => Bm25.df(Tables.documents(s, dir))),
     "q_idf" -> ((s, dir) => Bm25.idf(Tables.documents(s, dir))),
     "q_tfidf" -> ((s, dir) => Bm25.tfIdf(Tables.documents(s, dir))),
+    "q_tfidf_ml" -> ((s, dir) => MlPipeline.tfIdf(Tables.documents(s, dir))),
     "q_doc_stats" -> ((s, dir) => Bm25.corpusStats(Tables.documents(s, dir))),
     "q_bm25_score" -> ((s, dir) => Bm25.bm25Score(Tables.documents(s, dir))),
+    "q_bm25_ml" -> ((s, dir) => MlPipeline.bm25Score(Tables.documents(s, dir))),
     "q_search_topn" -> ((s, dir) => Bm25.searchTopN(Tables.documents(s, dir))),
     "q_postings" -> ((s, dir) => Bm25.postings(Tables.documents(s, dir), maxDf = 1000)),
     "q_idf_upsert" -> ((s, dir) => Upsert.lastWins(Tables.events(s, dir))),
@@ -229,11 +231,21 @@ object SparkEntry {
          |idft AS (SELECT term, round(ln(n_docs::DOUBLE / (df + 1)), 6) AS idf FROM dft, nd)
          |SELECT tf.doc_id, tf.term, tf.tf, round(tf.tf * idft.idf, 6) AS tfidf
          |FROM tf JOIN idft ON tf.term = idft.term""".stripMargin,
+    "q_tfidf_ml" ->
+      s"""WITH $tfCte,
+         |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |ndall AS (SELECT count(*)::BIGINT AS n FROM documents)
+         |SELECT tf.doc_id, tf.term, tf.tf,
+         |       round(tf.tf * ln((n + 1.0) / (df + 1)), 6) AS tfidf_ml
+         |FROM tf JOIN dft USING (term), ndall""".stripMargin,
     "q_doc_stats" ->
       s"""WITH $dlCte
          |SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens,
          |       round(avg(dl), 6) AS avgdl FROM dl""".stripMargin,
     "q_bm25_score" ->
+      s"WITH $bm25Cte SELECT doc_id, score FROM scored",
+    // the MLlib-pipeline route computes the SAME scores (shared contract)
+    "q_bm25_ml" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored",
     "q_search_topn" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
