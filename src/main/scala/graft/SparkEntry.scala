@@ -28,6 +28,7 @@ object SparkEntry {
         .filter(Text.keepToken(col("term")))),
     "q_wordcount" -> ((s, dir) =>
       Bm25.tokenize(Tables.documents(s, dir)).groupBy("term").agg(count(lit(1)).as("n"))),
+    "q_wordcount_salted" -> ((s, dir) => Skew.saltedWordCount(Tables.documents(s, dir))),
     "q_tf" -> ((s, dir) => Bm25.tf(Tables.documents(s, dir))),
     "q_topk_terms" -> ((s, dir) => Bm25.topKTerms(Tables.documents(s, dir))),
     "q_df" -> ((s, dir) => Bm25.df(Tables.documents(s, dir))),
@@ -91,6 +92,9 @@ object SparkEntry {
     // streaming queries drained to a sink, checked vs batch oracles ----
     "q_stream_wordcount" -> ((s, dir) => graft.streaming.Streams.windowedWordCount(s, dir)),
     "q_stream_running_idf" -> ((s, dir) => graft.streaming.Streams.runningIdf(s, dir)),
+    "q_stream_sessionize" -> ((s, dir) => graft.streaming.Streams.sessionWindows(s, dir)),
+    "q_stream_dedup" -> ((s, dir) => graft.streaming.Streams.streamDedup(s, dir)),
+    "q_stream_join" -> ((s, dir) => graft.streaming.Streams.streamStreamJoin(s, dir)),
   )
 
   // ---------------------------------------------------------------
@@ -213,6 +217,9 @@ object SparkEntry {
          |SELECT doc_id, term FROM rtok
          |WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)""".stripMargin,
     "q_wordcount" ->
+      s"WITH $tfCte SELECT term, count(*)::BIGINT AS n FROM tok2 GROUP BY term",
+    // the salted two-phase aggregation computes the SAME counts
+    "q_wordcount_salted" ->
       s"WITH $tfCte SELECT term, count(*)::BIGINT AS n FROM tok2 GROUP BY term",
     "q_tf" ->
       s"WITH $tfCte SELECT doc_id, term, tf FROM tf",
@@ -533,5 +540,36 @@ object SparkEntry {
     "q_stream_running_idf" ->
       s"""WITH $dlCte
          |SELECT term, df, round(ln(n_docs::DOUBLE / (df + 1)), 6) AS idf FROM dft, nd""".stripMargin,
+    // session_window semantics: events merge while the gap is strictly
+    // under 30 min (new session at diff >= gap); end = last event + gap.
+    // Comparisons happen on MICROSECONDS (the stream's event_time is
+    // ns-truncated-to-us), mirrored by tus below.
+    "q_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_tus
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, tus,
+        |         CASE WHEN prev_tus IS NULL OR tus - prev_tus >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |t AS (
+        |  SELECT user_id, tus,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s)
+        |SELECT user_id, (min(tus) // 1000)::BIGINT AS start_ms,
+        |       (max(tus) // 1000 + 1800000)::BIGINT AS end_ms, count(*)::BIGINT AS n_events
+        |FROM t GROUP BY user_id, sid""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS text_md5 FROM documents",
+    "q_stream_join" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id AS purchase_event_id, c.event_id AS click_event_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.tus <= p.tus AND c.tus >= p.tus - 3600000000""".stripMargin,
   )
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew-handling operators for the 100 TB contract.
+  *
+  * AQE's skew-join splitting (on everywhere, SURVEY.md §5) handles
+  * sort-merge skew at runtime; these utilities cover the two cases AQE
+  * does not: (a) a hot aggregation key whose single reducer saturates
+  * (Zipf-headed term counts — the engine's own workload), and (b) an
+  * equi-join against a dimension that is too big to broadcast but
+  * small enough to replicate `salts` times, where one fact key is hot.
+  *
+  * Both are pure plan rewrites built from built-ins — the salt is
+  * derived (hash mod k), never random, so results are deterministic
+  * and replayable.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: count/sum per `keyCols` where one
+    * key may dominate. Phase 1 aggregates per (key, salt) — spreading
+    * a hot key over `salts` reducers — phase 2 combines the per-salt
+    * partials. Correct for any commutative-monoid aggregate; count and
+    * sum are provided. `saltFrom` columns feed the derived salt (they
+    * should vary within a key group, e.g. the doc_id of a tf row). */
+  def saltedCounts(df: DataFrame, keyCols: Seq[String], saltFrom: Seq[String],
+                   salts: Int = 16): DataFrame = {
+    val salt = pmod(xxhash64(saltFrom.map(col): _*), lit(salts))
+    df.withColumn("__salt", salt)
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("__partial").as("n"))
+  }
+
+  /** Salted equi-join: every `large` row gets a derived salt in
+    * [0, salts); `small` is replicated once per salt value. The join
+    * key becomes (key, salt), so a hot key's rows land on `salts`
+    * different reducers instead of one. Output equals the plain inner
+    * equi-join, column order `large.* ++ small.*` minus the duplicate
+    * key. */
+  def saltedJoin(large: DataFrame, small: DataFrame,
+                 largeKey: String, smallKey: String, salts: Int = 16): DataFrame = {
+    val l = large.withColumn("__salt_l",
+      pmod(xxhash64(large.columns.map(col): _*), lit(salts)).cast("int"))
+    val s = small.withColumn("__salt_r", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(s, l(largeKey) === s(smallKey) && l("__salt_l") === s("__salt_r"))
+      .drop("__salt_l", "__salt_r", smallKey)
+  }
+
+  /** The engine's own skew case as a ready query: corpus word counts
+    * via salted two-phase aggregation — same result as the plain
+    * groupBy, but a Zipf-headed term can no longer pin one reducer. */
+  def saltedWordCount(docs: DataFrame, salts: Int = 16): DataFrame =
+    saltedCounts(Bm25.tokenize(docs), keyCols = Seq("term"),
+      saltFrom = Seq("doc_id", "term"), salts = salts)
+}

@@ -84,6 +84,65 @@ object Streams {
         round(log(col("n_docs").cast("double") / (col("df") + lit(1))), 6).as("idf"))
   }
 
+  /** (user_id, start_ms, end_ms, n_events): streaming sessionization
+    * via `session_window` — Spark's native gap-merged session windows,
+    * the streaming counterpart of the batch lag/cumulative-flag
+    * [[graft.operators.Relational.sessionize]]. Events of one user
+    * merge while consecutive gaps stay UNDER the 30-minute gap
+    * (session_window's merge rule); the window end is last-event +
+    * gap. State is keyed by (user_id, merged window) and bounded by
+    * the watermark on an unbounded stream. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = eventStream(spark, dir)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(session_window(col("event_time"), "30 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    drainToMemory(spark, sessions, OutputMode.Complete())
+      .select(col("user_id"), unix_millis(col("win.start")).as("start_ms"),
+        unix_millis(col("win.end")).as("end_ms"), col("n_events"))
+  }
+
+  /** (text_md5): streaming exact deduplication — `dropDuplicates` on
+    * the content hash, the streaming form of
+    * [[graft.operators.Dedup.exact]]. Emits each distinct content
+    * exactly once in append mode; state is one hash per distinct
+    * content (on an unbounded stream, `dropDuplicatesWithinWatermark`
+    * is the bounded-state variant when duplicates cluster in time —
+    * here the drained finite source keeps full state). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
+    val distinctHashes = docs.select(md5(col("text")).as("text_md5"))
+      .dropDuplicates("text_md5")
+    drainToMemory(spark, distinctHashes, OutputMode.Append())
+  }
+
+  /** (user_id, purchase_event_id, click_event_id): stream-stream
+    * interval join — every click of the same user in the hour BEFORE
+    * (inclusive) each purchase. Both sides are watermarked streams;
+    * the time-bound condition lets Spark evict join state past the
+    * watermark, so state stays bounded on an unbounded stream — the
+    * streaming form of the batch as-of/interval join
+    * ([[graft.operators.Relational.asOfJoin]]). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "1 hour")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_event_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_time") <= col("purchase_time") &&
+        col("click_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR"))
+    drainToMemory(spark, joined, OutputMode.Append())
+      .select("user_id", "purchase_event_id", "click_event_id")
+  }
+
   /** Continuously upsert a keyed aggregate into a parquet store — the
     * reference's streaming Mongo-upsert sink (backup/BMStream.java,
     * MongoIDFSink: per-window IDF upserts). Each micro-batch merges
