@@ -67,6 +67,7 @@ object SparkEntry {
     "q_dedup_verified" -> ((s, dir) => Dedup.verifiedNearDups(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "q_dedup_minhash_ml" -> ((s, dir) => MlPipeline.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_embcos" -> ((s, dir) => Ann.cosinePairs(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(Tables.embeddings(s, dir))),
@@ -80,6 +81,7 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("histogram")).as(Seq("bin", "ratio")))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+    "q_quality_ml" -> ((s, dir) => MlPipeline.qualityClassifier(Tables.documents(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
     "q_normalize" -> ((s, dir) => TextAnalysis.normalize(Tables.documents(s, dir))),

@@ -6,6 +6,14 @@ import org.apache.spark.ml.linalg.{DenseVector, SparseVector, Vector}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** One (idx, tf, tfidf) cell of a doc's term vector — top-level so
+  * Spark codegen can construct it (nested case classes force the
+  * interpreted fallback). */
+case class TermCell(idx: Int, tf: Long, tfidf: Double)
+
+/** tf-only cell (idx, tf) of a doc's count vector. */
+case class TfCell(idx: Int, tf: Long)
+
 /** The MLlib feature-extraction route to TF-IDF/BM25 — the same
   * tokenize → filter → vectorize → weight chain as [[Bm25]], expressed
   * as an `org.apache.spark.ml.Pipeline` (RegexTokenizer →
@@ -31,10 +39,6 @@ import org.apache.spark.sql.functions._
   */
 object MlPipeline {
 
-  /** Indices/values of one doc's term vector, paired with the IDF
-    * -scaled values (IDF preserves sparsity, so the indices align). */
-  private case class TermCell(idx: Int, tf: Long, tfidf: Double)
-
   private def sparse(v: Vector): SparseVector = v match {
     case s: SparseVector => s
     case d: DenseVector  => d.toSparse
@@ -47,8 +51,6 @@ object MlPipeline {
     }
   }
 
-  /** tf-only cells (idx, tf) of one doc's count vector. */
-  private case class TfCell(idx: Int, tf: Long)
   private val unpackTf = udf { (tfv: Vector) =>
     val t = sparse(tfv)
     t.indices.indices.map(j => TfCell(t.indices(j), t.values(j).toLong))
@@ -100,6 +102,60 @@ object MlPipeline {
           (col("c.tf") + lit(Bm25.K1) *
             (lit(1.0 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl")))).as("contrib"))
     contrib.groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+  }
+
+  /** (doc_id, predicted_ok, heuristic_ok): an MLlib logistic-regression
+    * quality classifier over the heuristic quality features — the
+    * trainable upgrade path from [[TextAnalysis.quality]]'s fixed
+    * thresholds (the standard corpus-triage evolution: heuristics
+    * bootstrap labels, a model generalizes them; here the heuristic IS
+    * the label source, so the spec checks agreement, not lift). Train
+    * and score are both distributed; the model itself is a small
+    * driver-side coefficient vector. Deterministic (fixed seed, lbfgs)
+    * but not SQL-expressible → rows-only at the driver gate, agreement
+    * asserted in MlPipelineSpec. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val feats = TextAnalysis.quality(docs)
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("n_tokens", "n_distinct", "distinct_ratio",
+        "stop_ratio", "mean_token_len", "rep_ratio"))
+      .setOutputCol("features")
+      .transform(feats)
+      .withColumn("label", col("quality_ok").cast("double"))
+    val model = new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+      .fit(assembled)
+    model.transform(assembled)
+      .select(col("doc_id"), col("prediction").cast("int").as("predicted_ok"),
+        col("label").cast("int").as("heuristic_ok"))
+  }
+
+  /** (doc_a, doc_b, jaccard): near-duplicate pairs via MLlib's
+    * MinHashLSH `approxSimilarityJoin` over binarized shingle-set
+    * vectors — the framework-native alternative to the hand-built
+    * banding in [[Dedup.minhashCandidates]]. The reported jaccard is
+    * EXACT (MLlib rescans the pair's vectors after candidate
+    * generation), so every emitted pair is a true ≥ threshold pair;
+    * only the candidate RECALL is probabilistic (hash-table count
+    * trades recall for cost). Rows-only at the driver gate; the
+    * subset + recall contract vs [[Dedup.ngramJaccard]] is asserted in
+    * MlPipelineSpec. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
+                      numHashTables: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.MinHashLSH
+    val sets = Dedup.shingles(docs)
+      .groupBy("doc_id").agg(collect_list(col("shingle")).as("shingles"))
+    val cv = new CountVectorizer().setInputCol("shingles").setOutputCol("v")
+      .setBinary(true).setVocabSize(1 << 20).fit(sets)
+    val vecs = cv.transform(sets).select("doc_id", "v")
+    val model = new MinHashLSH().setInputCol("v").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L).fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, "dist")
+      .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
+        round(lit(1.0) - col("dist"), 4).as("jaccard"))
+      .filter(col("doc_a") < col("doc_b"))
   }
 
   /** (doc_id, term, tf, tfidf_ml): the ML-Pipeline TF-IDF exploded

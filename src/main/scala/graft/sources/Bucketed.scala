@@ -14,12 +14,21 @@ object Bucketed {
 
   /** Write `df` as a bucketed+sorted parquet table `name` (hash of
     * `bucketCol` → `numBuckets` files per partition, rows sorted by
-    * the key inside each bucket so merge joins need no sort). */
+    * the key inside each bucket so merge joins need no sort). Replaces
+    * any previous incarnation — including a location left behind by an
+    * earlier session, which the in-memory catalog no longer knows but
+    * would refuse to overwrite. */
   def writeBucketed(df: DataFrame, name: String, bucketCol: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + name)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(name)
+  }
 
   /** Read a bucketed table back (bucket metadata rides the catalog). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

@@ -35,4 +35,24 @@ class MlPipelineSpec extends AnyFunSuite {
     val agg = Bm25.bm25Score(docs)
     assert(ml.exceptAll(agg).isEmpty && agg.exceptAll(ml).isEmpty)
   }
+
+  test("lr quality classifier agrees with the heuristic it was trained on") {
+    val scored = MlPipeline.qualityClassifier(docs)
+    val n = scored.count()
+    val agree = scored.filter(col("predicted_ok") === col("heuristic_ok")).count()
+    assert(n > 0 && agree.toDouble / n >= 0.9, s"agreement ${agree.toDouble / n}")
+  }
+
+  test("MinHashLSH pairs are a subset of exact ngram-jaccard pairs, with recall") {
+    val exact = graft.operators.Dedup.ngramJaccard(docs)
+      .select("doc_a", "doc_b", "jaccard")
+    val ml = MlPipeline.minhashLshPairs(docs).select("doc_a", "doc_b", "jaccard")
+    // precision 1.0: MLlib rescans pairs, so every emitted pair is true
+    assert(ml.exceptAll(exact).isEmpty, "LSH emitted a pair the exact join rejects")
+    val nExact = exact.count()
+    if (nExact > 0) {
+      val found = ml.join(exact, Seq("doc_a", "doc_b"), "left_semi").count()
+      assert(found.toDouble / nExact >= 0.5, s"recall ${found.toDouble / nExact}")
+    }
+  }
 }
