@@ -130,7 +130,14 @@ object Ann {
     import org.apache.spark.ml.functions.array_to_vector
     val feats = embeddings.select(col("vec_id"),
       array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(5).fit(feats)
+    // the quantizer only needs representative centroids: fit on a
+    // deterministic sample of ~200 points per centroid (the 100 TB
+    // norm — training the coarse quantizer on the full corpus would be
+    // a full extra pass), then assign every vector in one map stage
+    val n = feats.count()
+    val frac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
+    val fitSet = if (frac < 1.0) feats.sample(withReplacement = false, frac, seed = 7L) else feats
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(fitSet)
     val assigned = model.transform(feats).select(col("vec_id"), col("prediction").as("list_id"))
     val qVec = embeddings.filter(col("vec_id") === queryId)
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).head().getSeq[Double](0).toArray

@@ -90,7 +90,12 @@ object MlPipeline {
       .select(col("doc_id"), unpackTf(col("tfv")).as("cells"))
       .filter(size(col("cells")) > 0)
       .withColumn("dl", expr("aggregate(cells, 0L, (acc, c) -> acc + c.tf)"))
-    val stats = cells.agg(count(lit(1)).as("n_docs"), avg("dl").cast("double").as("avgdl"))
+    // scalar (N, avgdl): identical by construction on both routes
+    // (MlPipelineSpec proves tf-cell equality), so compute it on the
+    // cheap aggregation route instead of re-running the vectorize +
+    // unpack pass a second time just to reduce it to one row
+    val stats = Bm25.docLengths(docs)
+      .agg(count(lit(1)).as("n_docs"), avg("dl").cast("double").as("avgdl"))
     val contrib = cells
       .select(col("doc_id"), col("dl"), explode(col("cells")).as("c"))
       .filter(col("c.idx").isin(qIdx.map(Integer.valueOf): _*))
@@ -143,7 +148,7 @@ object MlPipeline {
     * subset + recall contract vs [[Dedup.ngramJaccard]] is asserted in
     * MlPipelineSpec. */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.8,
-                      numHashTables: Int = 8): DataFrame = {
+                      numHashTables: Int = 6): DataFrame = {
     import org.apache.spark.ml.feature.MinHashLSH
     val sets = Dedup.shingles(docs)
       .groupBy("doc_id").agg(collect_list(col("shingle")).as("shingles"))

@@ -50,6 +50,16 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Hive-style partitioned parquet layout (`path/col=value/...`).
+    * The 100 TB ingest contract: partition by a low-cardinality scan
+    * predicate (source, date) so downstream queries touch only
+    * matching directories — partition PRUNING, stronger than row-group
+    * filter pushdown because unmatched files are never opened. Proven
+    * by IoSpec: a filtered read shows the predicate under
+    * `PartitionFilters` and scans a subset of files. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
   /** Per-document text export (the ref writes output/{pid}.txt; at
     * scale one-file-per-doc is an anti-pattern, so the engine writes
     * `doc_id \t payload` lines, splittable and partition-parallel). */

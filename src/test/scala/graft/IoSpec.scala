@@ -34,6 +34,27 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout prunes partitions on a filtered read") {
+    val base = tmpDir("part") + "/docs"
+    Sinks.writePartitioned(Tables.documents(spark, sf)
+      .withColumn("source", expr("concat('src', doc_id % 4)")), base, Seq("source"))
+    val filtered = spark.read.parquet(base).filter(col("source") === "src1")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(source"),
+      s"partition filter not applied:\n$plan")
+    // pruning means only the src1 directory's files are scanned
+    val scanned = filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }.get
+    val total = spark.read.parquet(base).queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }.get
+    assert(scanned < total, s"expected pruned file set ($scanned vs $total)")
+  }
+
   test("upsertParquet merges last-wins by key and is idempotent") {
     import spark.implicits._
     val store = tmpDir("store") + "/idf"
