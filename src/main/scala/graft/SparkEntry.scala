@@ -56,6 +56,9 @@ object SparkEntry {
     "q_json" -> ((s, dir) => Relational.propsK(Tables.events(s, dir))),
     "q_time_window" -> ((s, dir) => Relational.hourlyEventStats(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
+    "q_stats_profile" -> ((s, dir) => Sketches.statsProfile(Tables.events(s, dir))),
+    "q_approx_distinct" -> ((s, dir) => Sketches.approxDistinct(Tables.events(s, dir))),
+    "q_approx_quantiles" -> ((s, dir) => Sketches.approxQuantiles(Tables.events(s, dir))),
     "q_asof" -> ((s, dir) => Relational.asOfJoin(Tables.events(s, dir))),
 
     // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
@@ -351,6 +354,17 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
         |       min(tns // 1000000)::BIGINT AS start_ms, max(tns // 1000000)::BIGINT AS end_ms
         |FROM t GROUP BY user_id, session_id""".stripMargin,
+    "q_stats_profile" ->
+      """SELECT event_type, count(*)::BIGINT AS n, count(DISTINCT user_id)::BIGINT AS n_users,
+        |       round(avg(value), 6) AS avg_value,
+        |       round(stddev_samp(value), 6) AS stddev_value,
+        |       round(min(value), 6) AS min_value,
+        |       round(max(value), 6) AS max_value,
+        |       round(quantile_cont(value, 0.5), 6) AS median_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // q_approx_distinct / q_approx_quantiles: HLL++/GK sketch internals
+    // are engine-specific → rows-only; error bounds vs the exact forms
+    // are asserted in SketchesSpec.
     "q_asof" ->
       """WITH pc AS (
         |  SELECT user_id, event_id, ts, event_type FROM events

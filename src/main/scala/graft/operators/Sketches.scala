@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistical profiling + sketch aggregates — the "describe my 100 TB
+  * corpus cheaply" surface. Exact profiles (count/avg/stddev/min/max/
+  * median) are oracle-checked; the sketch forms (HyperLogLog distinct,
+  * approximate quantiles) trade a bounded error for one-pass,
+  * fixed-memory aggregation — at scale they are the ONLY way to ask
+  * distinct/quantile questions without a full shuffle of the column.
+  * Error bounds are asserted against the exact forms in SketchesSpec.
+  */
+object Sketches {
+
+  /** (event_type, n, n_users, avg_value, stddev_value, min_value,
+    * max_value, median_value): exact per-group statistical profile.
+    * percentile() is the exact interpolated median — one extra sort
+    * per group vs the O(1)-memory sketch below. */
+  def statsProfile(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("n_users"),
+      round(avg("value"), 6).as("avg_value"),
+      round(stddev_samp(col("value")), 6).as("stddev_value"),
+      round(min("value"), 6).as("min_value"),
+      round(max("value"), 6).as("max_value"),
+      round(expr("percentile(value, 0.5)"), 6).as("median_value"))
+
+  /** (event_type, approx_users, exact_users): HyperLogLog++ distinct
+    * counts beside the exact ones. rsd=0.02 → ~2 % relative error at
+    * a few KB of state per group, vs a full per-group shuffle of every
+    * user_id for the exact count. */
+  def approxDistinct(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy("event_type").agg(
+      approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"))
+
+  /** (event_type, p50, p90, p99): one-pass approximate quantiles
+    * (Greenwald-Khanna sketch; `accuracy` trades state for error —
+    * observed rank error ≤ 1/accuracy). */
+  def approxQuantiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy("event_type").agg(
+      expr(s"approx_percentile(value, array(0.5, 0.9, 0.99), $accuracy)").as("qs"))
+      .select(col("event_type"),
+        round(element_at(col("qs"), 1), 6).as("p50"),
+        round(element_at(col("qs"), 2), 6).as("p90"),
+        round(element_at(col("qs"), 3), 6).as("p99"))
+}
