@@ -30,11 +30,24 @@ object Probe {
       time("count")(d.count() + e.count())
       time("tf")(graft.operators.Bm25.tf(d).count())
       time("bm25_score")(graft.operators.Bm25.bm25Score(d).count())
+      time("bm25_ml")(graft.operators.MlPipeline.bm25Score(d).count())
       time("dedup_exact")(graft.operators.Dedup.exact(d).count())
       time("dedup_minhash")(graft.operators.Dedup.minhashCandidates(d).count())
       time("simhash_pairs")(graft.operators.Dedup.simhashPairs(d).count())
       time("ann_lsh")(graft.operators.Ann.lshTopK(e).count())
+      time("ann_ivf")(graft.operators.Ann.ivfTopK(e).count())
       time("dedup_drop")(graft.operators.Dedup.dropDuplicates(d).count())
+      time("wordcount")(graft.operators.Bm25.tokenize(d)
+        .groupBy("term").agg(count(lit(1)).as("n")).count())
+      time("wordcount_salted")(graft.operators.Skew.saltedWordCount(d).count())
+      graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
+      graft.sources.Bucketed.writeBucketed(
+        graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)
+      time("bucketed_join") {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try spark.table("probe_docs_a").join(spark.table("probe_dl"), "doc_id").count()
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
     } else {
       args.foreach { n =>
         val df = SparkEntry.queries(n)(spark, dir)

@@ -39,6 +39,12 @@ object SparkEntry {
     "q_bm25_score" -> ((s, dir) => Bm25.bm25Score(Tables.documents(s, dir))),
     "q_bm25_ml" -> ((s, dir) => MlPipeline.bm25Score(Tables.documents(s, dir))),
     "q_search_topn" -> ((s, dir) => Bm25.searchTopN(Tables.documents(s, dir))),
+    "q_search_batch" -> ((s, dir) => {
+      import s.implicits._
+      Bm25.batchSearch(Tables.documents(s, dir), Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
+    "q_hybrid_rrf" -> ((s, dir) =>
+      Hybrid.rrfSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "q_postings" -> ((s, dir) => Bm25.postings(Tables.documents(s, dir), maxDf = 1000)),
     "q_idf_upsert" -> ((s, dir) => Upsert.lastWins(Tables.events(s, dir))),
 
@@ -261,6 +267,44 @@ object SparkEntry {
       s"WITH $bm25Cte SELECT doc_id, score FROM scored",
     "q_search_topn" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
+    "q_search_batch" -> {
+      val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH $dlCte,
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, t AS term
+         |       FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
+         |       WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
+         |idfq AS (SELECT term, df, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+         |       FROM tf
+         |       JOIN idfq ON tf.term = idfq.term
+         |       JOIN qt ON qt.term = tf.term
+         |       JOIN dl ON tf.doc_id = dl.doc_id
+         |       CROSS JOIN avgd
+         |       GROUP BY qt.query_id, tf.doc_id),
+         |rk AS (SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rk
+         |       FROM sc)
+         |SELECT query_id, doc_id, score, rk FROM rk WHERE rk <= 10""".stripMargin
+    },
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25Cte, $vecCte,
+         |bmr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rb
+         |        FROM scored),
+         |q0 AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |cosall AS (SELECT b.vec_id AS id,
+         |             round(list_sum(list_transform(range(1, len(q0.v) + 1), i -> q0.v[i] * b.v[i]))
+         |                   / (q0.nrm * b.nrm), 4) AS cos
+         |           FROM vn b, q0 WHERE b.vec_id != 0),
+         |cr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rc FROM cosall),
+         |f AS (SELECT coalesce(bmr.id, cr.id) AS doc_id,
+         |        round(coalesce(1.0 / (60 + rb), 0) + coalesce(1.0 / (60 + rc), 0), 6) AS rrf
+         |      FROM bmr FULL JOIN cr ON bmr.id = cr.id)
+         |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_postings" ->
       s"""WITH $tfCte
          |SELECT term, count(*)::BIGINT AS df,

@@ -68,6 +68,20 @@ object Ann {
   def bruteForceTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame =
     exactTopK(embeddings, None, queryId, k)
 
+  /** (vec_id, cos): cosine of `queryId` against EVERY other vector,
+    * unranked (rounded to 4 dp — the scoring contract shared with the
+    * top-k variants). The rank-fusion input for [[Hybrid.rrfSearch]]. */
+  def cosineAll(embeddings: DataFrame, queryId: Long = 0L): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("va"), col("nrm").as("na"))
+    e.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+  }
+
   /** md5-derived hyperplane weights: plane p, dims 1..64 →
     * uniform[-0.5, 0.5]. Deterministic, tiny (numPlanes × 64 doubles)
     * → computed on the driver and inlined as plan literals. */

@@ -128,6 +128,44 @@ object Bm25 {
   def searchTopN(docs: DataFrame, queryTerms: Seq[String] = QueryTerms, n: Int = 10): DataFrame =
     bm25Score(docs, queryTerms).orderBy(col("score").desc, col("doc_id").asc).limit(n)
 
+  /** The demo query batch for [[batchSearch]] (ids stable, terms drawn
+    * from the corpus vocabulary). */
+  val DemoQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark query join fast",
+    2 -> "data shuffle partition",
+    3 -> "index scan filter")
+
+  /** (query_id, doc_id, score, rk): BM25 top-k per query for a whole
+    * TABLE of queries in ONE distributed plan — the batch form the
+    * reference cannot express (it runs one Flink job per scoring
+    * pass). Query terms are exploded/deduped (tiny) and BROADCAST into
+    * the postings stream, so the corpus is still scanned exactly
+    * twice regardless of how many queries ride the batch; per-query
+    * ranking is a windowed top-k on (query_id). */
+  def batchSearch(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(Text.rawTokens(col("qtext"))).as("term"))
+      .filter(Text.keepToken(col("term")))
+      .distinct()
+    val allQTerms = qterms.select("term").distinct()
+    val tfq = tf(docs).join(broadcast(allQTerms), "term")
+    val dl = docLengths(docs.filter(col("doc_id").isNotNull))
+    val stats = dl.agg(count(col("doc_id")).as("n_docs"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    val scored = tfq
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))).as("c"))
+      .groupBy("query_id", "doc_id").agg(round(sum("c"), 4).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** (term, df, postings): inverted-index posting lists for rare terms
     * (df ≤ maxDf), doc ids ascending in a comma-joined string so the
     * oracle can reproduce it byte-for-byte. */

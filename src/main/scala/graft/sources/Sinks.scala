@@ -50,6 +50,42 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Keyed last-wins upsert into a PARTITIONED parquet store: the
+    * 100 TB form of [[upsertParquet]]. Only partitions present in the
+    * update batch are read, merged and rewritten (dynamic partition
+    * overwrite); untouched partitions are never opened. The merge cost
+    * scales with the touched partitions, not the store size — the
+    * property the flat-table upsert lacks. `partitionCol` must be
+    * functionally dependent on the key (same key → same partition) or
+    * a key could survive in two partitions. */
+  def upsertPartitionedParquet(spark: SparkSession, updates: DataFrame, path: String,
+                               keyCols: Seq[String], versionCol: String,
+                               partitionCol: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    val merged =
+      if (fs.exists(new Path(path))) {
+        val existing = spark.read.parquet(path)
+          .filter(col(partitionCol).isin(touched: _*))
+        existing.unionByName(updates.select(existing.columns.map(col): _*))
+      } else updates
+    val rowHash = xxhash64(merged.columns.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, rowHash.asc)
+    val latest = merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      latest.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Hive-style partitioned parquet layout (`path/col=value/...`).
     * The 100 TB ingest contract: partition by a low-cardinality scan
     * predicate (source, date) so downstream queries touch only

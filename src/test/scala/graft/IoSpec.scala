@@ -74,6 +74,28 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 3)
   }
 
+  test("partitioned upsert rewrites only touched partitions") {
+    import spark.implicits._
+    val store = tmpDir("pstore") + "/idf"
+    Sinks.upsertPartitionedParquet(spark,
+      Seq(("w1", 1.0, 1L, "a"), ("w2", 2.0, 1L, "a"), ("w3", 7.0, 1L, "b"))
+        .toDF("term", "idf", "version", "shard"),
+      store, Seq("term"), "version", "shard")
+    val bDir = new java.io.File(s"$store/shard=b")
+    val bFilesBefore = bDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    // second batch touches only shard=a
+    Sinks.upsertPartitionedParquet(spark,
+      Seq(("w2", 9.0, 2L, "a"), ("w4", 3.0, 2L, "a")).toDF("term", "idf", "version", "shard"),
+      store, Seq("term"), "version", "shard")
+    val got = spark.read.parquet(store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("w1" -> 1.0, "w2" -> 9.0, "w3" -> 7.0, "w4" -> 3.0))
+    val bFilesAfter = bDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(bFilesAfter == bFilesBefore, "untouched partition was rewritten")
+  }
+
   test("textExport writes tab-separated splittable lines") {
     import spark.implicits._
     val out = tmpDir("export") + "/docs"
