@@ -88,6 +88,12 @@ object SparkEntry {
     "q_multimodal_hist" -> ((s, dir) =>
       Multimodal.byteHistogram(s, Multimodal.asBlobs(Tables.documents(s, dir)))
         .select(col("doc_id"), posexplode(col("histogram")).as(Seq("bin", "ratio")))),
+    "q_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.contamination(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("probe_id"), col("text")))
+    }),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "q_quality_ml" -> ((s, dir) => MlPipeline.qualityClassifier(Tables.documents(s, dir))),
@@ -517,6 +523,14 @@ object SparkEntry {
         |grid AS (SELECT doc_id, n, b::INT AS bin FROM tot, unnest(generate_series(0, 15)) AS g(b))
         |SELECT grid.doc_id, grid.bin, round(coalesce(binned.cnt, 0) / grid.n, 4) AS ratio
         |FROM grid LEFT JOIN binned ON grid.doc_id = binned.doc_id AND grid.bin = binned.bin""".stripMargin,
+    "q_contamination" ->
+      s"""WITH $shingleCte,
+         |pr AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT tr.doc_id, count(DISTINCT pr.probe_id)::BIGINT AS n_probes,
+         |       count(DISTINCT tr.shingle)::BIGINT AS n_shingles
+         |FROM tr JOIN pr ON tr.shingle = pr.shingle
+         |GROUP BY tr.doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
          |c AS (SELECT doc_id, len(toks) AS n_tokens,

@@ -12,6 +12,24 @@ import graft.functions.Text
   */
 object TextAnalysis {
 
+  /** (doc_id, n_probes, n_shingles): benchmark decontamination — flag
+    * every training document sharing at least one word n-gram with the
+    * probe (benchmark/eval) set, with how many probes and how many
+    * distinct shingles hit. The probe set is small by nature (eval
+    * suites), so its shingles are BROADCAST into the corpus shingle
+    * stream — at 100 TB the corpus-side pass stays map-local and only
+    * flagged docs reach the final aggregation. */
+  def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3): DataFrame = {
+    val docSh = Dedup.shingles(docs, n)
+    val probeSh = Dedup.shingles(
+        probes.select(col("probe_id").as("doc_id"), col("text")), n)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    docSh.join(broadcast(probeSh), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("probe_id")).as("n_probes"),
+        countDistinct(col("shingle")).as("n_shingles"))
+  }
+
   /** (doc_id, en_ratio, predicted_lang): stopword-hit-ratio language
     * heuristic. Ratios are exact rational divisions → deterministic. */
   def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {

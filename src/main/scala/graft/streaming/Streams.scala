@@ -30,7 +30,16 @@ object Streams {
   private def drainToMemory(spark: SparkSession, query: DataFrame,
                             mode: OutputMode): DataFrame = {
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
-    val sq = query.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    // stateful operators keep one state store per shuffle partition per
+    // batch; a drained local stream doesn't need the batch session's
+    // partition count, so pin a small one while the plan is resolved
+    // (pinned into the query at start()) and restore right after
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val sq =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        query.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try sq.processAllAvailable()
     finally sq.stop()
     spark.table(name)

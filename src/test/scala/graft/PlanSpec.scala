@@ -44,6 +44,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), "dl exchange not reused by the stats branch")
   }
 
+  test("batchSearch: still exactly 2 corpus scans for a whole query table") {
+    import spark.implicits._
+    val queries = Bm25.DemoQueries.toDF("query_id", "qtext")
+    val p = planString(Bm25.batchSearch(Tables.documents(spark, sf), queries))
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 2, s"expected 2 corpus passes regardless of query count, plan has $scans")
+  }
+
   test("minhash signatures: zero shuffles (pure map stage)") {
     val df = graft.operators.Dedup.minhashSignatures(Tables.documents(spark, sf))
     df.collect()
