@@ -51,6 +51,8 @@ object SparkEntry {
     // ---- Relational / OLAP surface (SURVEY §2 #13-25) ----
     "q_agg" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
     "q_join_multi" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
+    "q_large_volume" -> ((s, dir) => Relational.largeVolumeOrders(s, dir)),
     "q_topn" -> ((s, dir) => Relational.topOrders(Tables.orders(s, dir))),
     "q_window" -> ((s, dir) => Relational.customerOrderWindows(Tables.orders(s, dir))),
     "q_distinct" -> ((s, dir) => Relational.eventTypeStats(Tables.events(s, dir))),
@@ -345,6 +347,26 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "q_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS revenue_micros,
+        |       epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_micros DESC, o_orderdate_ms ASC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_large_volume" ->
+      """WITH q AS (
+        |  SELECT l_orderkey, sum(floor(l_quantity * 1000000.0)::BIGINT)::BIGINT AS sum_qty_micros
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(floor(l_quantity * 1000000.0)::BIGINT) > 300000000)
+        |SELECT o_orderkey, o_custkey,
+        |       floor(o_totalprice * 1000000.0)::BIGINT AS totalprice_micros, sum_qty_micros
+        |FROM q JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     "q_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

@@ -40,6 +40,44 @@ object Relational {
 
   /** TPC-H Q5 shape: fact⋈fact shuffle join on orderkey, then
     * broadcast joins against customer/nation/region (dims). */
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * date-filtered orders ⋈ date-filtered lineitems → per-order
+    * revenue → top 10. Both date predicates push to the parquet scans;
+    * the customer dim broadcasts. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .filter(col("l_shipdate") > cutoff)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
+      .select(col("l_orderkey"), col("revenue_micros"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned to UTC so
+        // the cast to instant is exact
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue_micros").desc, col("o_orderdate_ms").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total line
+    * quantity exceeds the threshold — join + aggregate + HAVING. */
+  def largeVolumeOrders(spark: SparkSession, dir: String, minQty: Double = 300.0): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    li.groupBy("l_orderkey")
+      .agg(sum(micros(col("l_quantity"))).as("sum_qty_micros"))
+      .filter(col("sum_qty_micros") > (minQty * 1e6).toLong)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        micros(col("o_totalprice")).as("totalprice_micros"), col("sum_qty_micros"))
+  }
+
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
