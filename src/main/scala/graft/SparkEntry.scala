@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_dedup_verified" -> ((s, dir) => Dedup.verifiedNearDups(Tables.documents(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_minhash_ml" -> ((s, dir) => MlPipeline.minhashLshPairs(Tables.documents(s, dir))),
@@ -469,6 +470,17 @@ object SparkEntry {
     "q_dedup_verified" ->
       s"""WITH $minhashCandCte
          |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
+    // connected components = min doc_id over the transitive closure of
+    // the verified-pair graph (recursive CTE — exact, engine-agnostic)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCandCte,
+         |e2 AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM ver),
+         |r(doc, reach) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+         |  UNION
+         |  SELECT r.doc, e2.b FROM r JOIN e2 ON r.reach = e2.a)
+         |SELECT doc AS doc_id, min(reach)::BIGINT AS cluster_id FROM r GROUP BY doc""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),

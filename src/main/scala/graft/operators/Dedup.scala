@@ -55,6 +55,46 @@ object Dedup {
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
   }
 
+  /** (doc_id, cluster_id): whole duplicate GROUPS — connected
+    * components over the verified near-dup pair graph, labeled by the
+    * component's minimum doc_id. Iterative min-label propagation runs
+    * on the PAIR graph only (vastly smaller than the corpus at any
+    * scale); each round is one join + aggregate, lineage cut by
+    * localCheckpoint, and convergence needs at most the graph diameter
+    * (duplicate clusters are near-cliques → 2-3 rounds in practice).
+    * Docs in no pair are omitted (singleton clusters are implicit). */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
+                      maxIter: Int = 20): DataFrame = {
+    val pairs = verifiedNearDups(docs, threshold).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("lbl")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("lbl").as("neighbor_lbl"))
+      val next = labels
+        .join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("neighbor_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("doc_id"), col("lbl").as("old_lbl")), "doc_id")
+        .filter(col("lbl") =!= col("old_lbl"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** (doc_id, shingle): distinct word n-gram shingles per document.
     * explode + hash-distinct stays inside whole-stage codegen and the
     * distinct's exchange is REUSED by both sides of the self-join in

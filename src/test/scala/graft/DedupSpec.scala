@@ -66,6 +66,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("near-dup clusters: every verified pair shares a cluster labeled by its min member") {
+    val pairs = Dedup.verifiedNearDups(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val cluster = Dedup.nearDupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // each cluster's label is its minimum member
+    cluster.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"cluster $lbl labeled above its min member")
+    }
+  }
+
   test("simhash is a 60-bit fingerprint and near-dups have small hamming distance") {
     val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp.values.forall(v => v >= 0L && v < (1L << 60)))
