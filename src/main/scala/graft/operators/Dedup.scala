@@ -47,7 +47,10 @@ object Dedup {
   /** (doc_a, doc_b, jaccard): MinHash candidates verified by exact
     * Jaccard ≥ threshold, computed over candidate documents only. */
   def verifiedNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val cand = minhashCandidates(docs)
+    // the candidate list feeds BOTH the candidate-doc semi-join and the
+    // final pair filter; it is output-sized (pairs, not corpus), so
+    // materialize it once instead of re-running signatures + banding
+    val cand = minhashCandidates(docs).localCheckpoint()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candCorpus = docs.join(candDocs, Seq("doc_id"), "left_semi")

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.Streams
@@ -80,5 +82,40 @@ class StreamsSpec extends AnyFunSuite {
       .groupBy("term").agg(max("n").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(last == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("checkpointed streaming restarts exactly-once: stop mid-stream, resume, no dup/loss") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("ckpt").toString
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/checkpoint"
+    val outDir = s"$base/out"
+    new java.io.File(srcDir).mkdirs()
+    def startQuery() = spark.readStream
+      .schema("term STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+    // wave 1: two files, drain, then stop (simulated failure/redeploy)
+    Seq("a", "b").toDF("term").coalesce(1).write.mode("append").json(srcDir)
+    Seq("b", "c").toDF("term").coalesce(1).write.mode("append").json(srcDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // wave 2 lands while the query is down
+    Seq("d").toDF("term").coalesce(1).write.mode("append").json(srcDir)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    // the checkpoint must make the restart resume AFTER wave 1:
+    // every record exactly once, including the offline arrivals
+    val got = spark.read.parquet(outDir).groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
   }
 }
