@@ -11,21 +11,52 @@ class VectorExprsSpec extends AnyFunSuite {
   test("graft_dot matches the interpreted aggregate/zip_with fold bit-for-bit") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // the trailing + 0.0 keeps this OUT of RewriteLambdaDot's strict
+    // match, so b really is the interpreted fold (x + 0.0 == x for
+    // every product sum, so values are unchanged)
     val bad = e.withColumn("a", call_function("graft_dot", col("v"), col("v")))
       .withColumn("b",
-        expr("aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+        expr("aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x + 0.0)"))
       .filter(col("a") =!= col("b"))
       .count()
     assert(bad == 0)
   }
 
-  test("graft_dot handles nulls and empty arrays") {
+  test("graft_dot handles nulls, empty and length-mismatched arrays") {
     val rows = spark.sql(
       """SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS a,
         |       graft_dot(array(), CAST(array() AS ARRAY<DOUBLE>)) AS b,
-        |       graft_dot(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS c""".stripMargin).collect()(0)
+        |       graft_dot(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS c,
+        |       graft_dot(array(2.0d, 3.0d), array(4.0d)) AS d""".stripMargin).collect()(0)
     assert(rows.isNullAt(0))
     assert(rows.getDouble(1) == 0.0)
     assert(rows.getDouble(2) == 23.0)
+    // mismatch → null, same as the lambda form (zip_with null-pads)
+    assert(rows.isNullAt(3))
+  }
+
+  test("RewriteLambdaDot: the natural lambda form optimizes to graft_dot") {
+    val e = Tables.embeddings(spark, sf)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val lambda = e.select(
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("d"))
+    val opt = lambda.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_dot"), s"rule did not fire:\n$opt")
+    // and the rewritten result equals the explicit native call
+    val native = e.select(call_function("graft_dot", col("v"), col("v")).as("d"))
+    assert(lambda.exceptAll(native).isEmpty && native.exceptAll(lambda).isEmpty)
+  }
+
+  test("RewriteLambdaDot leaves non-dot folds alone") {
+    val e = Tables.embeddings(spark, sf)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    for (form <- Seq(
+        // not a multiply
+        "aggregate(zip_with(v, v, (x, y) -> x + y), 0D, (acc, x) -> acc + x)",
+        // nonzero seed
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 1D, (acc, x) -> acc + x)")) {
+      val opt = e.select(expr(form).as("d")).queryExecution.optimizedPlan.toString
+      assert(!opt.contains("graft_dot"), s"rule over-matched on: $form")
+    }
   }
 }
