@@ -65,6 +65,7 @@ object SparkEntry {
     "q_time_window" -> ((s, dir) => Relational.hourlyEventStats(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
     "q_stats_profile" -> ((s, dir) => Sketches.statsProfile(Tables.events(s, dir))),
+    "q_table_profile" -> ((s, dir) => Sketches.tableProfile(Tables.events(s, dir))),
     "q_approx_distinct" -> ((s, dir) => Sketches.approxDistinct(Tables.events(s, dir))),
     "q_approx_quantiles" -> ((s, dir) => Sketches.approxQuantiles(Tables.events(s, dir))),
     "q_asof" -> ((s, dir) => Relational.asOfJoin(Tables.events(s, dir))),
@@ -435,6 +436,13 @@ object SparkEntry {
         |       round(max(value), 6) AS max_value,
         |       round(quantile_cont(value, 0.5), 6) AS median_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_table_profile" -> {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", (count(*) - count($c))::BIGINT AS n_nulls,
+           |       count(DISTINCT $c)::BIGINT AS n_distinct FROM events""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    },
     // q_approx_distinct / q_approx_quantiles: HLL++/GK sketch internals
     // are engine-specific → rows-only; error bounds vs the exact forms
     // are asserted in SketchesSpec.

@@ -27,6 +27,22 @@ object Sketches {
       round(max("value"), 6).as("max_value"),
       round(expr("percentile(value, 0.5)"), 6).as("median_value"))
 
+  /** (column, n_nulls, n_distinct): schema-generic data-quality
+    * profile — null and exact-distinct counts for every column of any
+    * table, in ONE scan (a single wide aggregate, unpivoted with
+    * `stack`). The first thing run against a new 100 TB delivery. */
+  def tableProfile(df: DataFrame): DataFrame = {
+    val aggs = df.columns.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__distinct_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = df.columns
+      .map(c => s"'$c', `__nulls_$c`, `__distinct_$c`").mkString(", ")
+    wide.select(expr(
+      s"stack(${df.columns.length}, $stackArgs) AS (column, n_nulls, n_distinct)"))
+  }
+
   /** (event_type, approx_users, exact_users): HyperLogLog++ distinct
     * counts beside the exact ones. rsd=0.02 → ~2 % relative error at
     * a few KB of state per group, vs a full per-group shuffle of every

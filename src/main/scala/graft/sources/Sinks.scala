@@ -96,6 +96,29 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Compact a parquet directory in place: rewrite into
+    * ceil(rows / rowsPerFile) files. The small-files problem is the
+    * chronic failure mode of streaming/upsert sinks at scale (every
+    * micro-batch appends files; a million 10 KB files kill any later
+    * scan's task scheduling) — periodic compaction is part of the sink
+    * contract, not an afterthought. Same swap protocol as
+    * [[upsertParquet]]: never zero copies on disk. */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long = 1000000L): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.parquet(path)
+    val nFiles = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    val tmp = new Path(path + ".__staging")
+    val old = new Path(path + ".__old")
+    fs.delete(tmp, true)
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(new Path(path), old))
+      throw new java.io.IOException(s"could not move current table aside for $path")
+    if (!fs.rename(tmp, new Path(path)))
+      throw new java.io.IOException(s"swap failed for $path; previous data at $old")
+    fs.delete(old, true)
+  }
+
   /** Per-document text export (the ref writes output/{pid}.txt; at
     * scale one-file-per-doc is an anti-pattern, so the engine writes
     * `doc_id \t payload` lines, splittable and partition-parallel). */

@@ -96,6 +96,18 @@ class IoSpec extends AnyFunSuite {
     assert(bFilesAfter == bFilesBefore, "untouched partition was rewritten")
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    val dir = tmpDir("compact") + "/t"
+    val df = Tables.documents(spark, sf)
+    df.repartition(20).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = nFiles
+    val rows = spark.read.parquet(dir).count()
+    Sinks.compact(spark, dir, rowsPerFile = rows) // everything fits one file
+    assert(nFiles < before && nFiles == 1, s"expected 1 file, have $nFiles (was $before)")
+    assert(spark.read.parquet(dir).count() == rows)
+  }
+
   test("textExport writes tab-separated splittable lines") {
     import spark.implicits._
     val out = tmpDir("export") + "/docs"
