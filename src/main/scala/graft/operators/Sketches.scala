@@ -33,7 +33,9 @@ object Sketches {
     * `stack`). The first thing run against a new 100 TB delivery. */
   def tableProfile(df: DataFrame): DataFrame = {
     val aggs = df.columns.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      // coalesce: sum over zero rows is NULL, but "no rows" profiles
+      // as zero nulls, not unknown
+      Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c"),
         countDistinct(col(c)).as(s"__distinct_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)

@@ -46,4 +46,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, sf)
     assert(Bm25.bm25Score(docs, Seq("zzznonexistent")).count() == 0)
   }
+
+  test("round-2 operators degrade gracefully on empty/degenerate input") {
+    // clustering with no near-dup pairs → empty, no infinite iteration
+    assert(Dedup.nearDupClusters(junk).count() == 0)
+    // contamination with an empty probe set → empty
+    val noProbes = Seq.empty[(Long, String)].toDF("probe_id", "text")
+    assert(TextAnalysis.contamination(junk, noProbes).count() == 0)
+    // batch search with an empty query table → empty
+    val noQueries = Seq.empty[(Int, String)].toDF("query_id", "qtext")
+    assert(Bm25.batchSearch(junk, noQueries).count() == 0)
+    assert(Bm25.batchSearch(empty, noQueries).count() == 0)
+    // table profile of an empty frame still describes every column
+    val prof = graft.operators.Sketches.tableProfile(empty).collect()
+    assert(prof.length == 2 && prof.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0))
+  }
+
+  test("salted operators are safe with salts = 1 (degenerate salting)") {
+    val wc1 = graft.operators.Skew.saltedWordCount(junk, salts = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Bm25.tokenize(junk).groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc1 == plain)
+  }
 }
