@@ -89,6 +89,7 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, Tables.documents(s, dir))
         .withColumn("frame_len", col("frame_len").cast("long"))),
+    "q_multimodal_resize" -> ((s, dir) => Multimodal.resize(Tables.documents(s, dir))),
     "q_multimodal_hist" -> ((s, dir) =>
       Multimodal.byteHistogram(s, Multimodal.asBlobs(Tables.documents(s, dir)))
         .select(col("doc_id"), posexplode(col("histogram")).as(Seq("bin", "ratio")))),
@@ -557,6 +558,14 @@ object SparkEntry {
         |                  (CASE WHEN f = n_frames - 1 THEN n_bytes - f * (n_bytes // n_frames)
         |                        ELSE n_bytes // n_frames END)::INT)) AS frame_md5
         |FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)""".stripMargin,
+    "q_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text)::BIGINT AS n_bytes FROM documents),
+        |r AS (SELECT doc_id, n_bytes,
+        |        list_aggregate(list_transform(range(0, 32),
+        |          i -> substr(text, (i * n_bytes // 32 + 1)::INT, 1)), 'string_agg', '') AS resized
+        |      FROM m)
+        |SELECT doc_id, n_bytes, strlen(resized)::BIGINT AS resized_len,
+        |       md5(resized) AS resized_md5 FROM r""".stripMargin,
     "q_multimodal_hist" ->
       """WITH tot AS (SELECT doc_id, strlen(text)::DOUBLE AS n FROM documents),
         |chars AS (SELECT doc_id, (ord(substr(text, i, 1)) * 16) // 256 AS bin

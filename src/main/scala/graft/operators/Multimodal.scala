@@ -73,6 +73,24 @@ object Multimodal {
         md5(col("frame_bytes")).as("frame_md5"))
   }
 
+  /** (doc_id, n_bytes, resized_len, resized_md5): nearest-neighbor
+    * RESIZE of the opaque payload to a fixed target length — byte i of
+    * the output samples byte floor(i·n/target) of the input, the exact
+    * 1-D form of nearest-neighbor image scaling (a real resize would
+    * decode first; the sampling arithmetic, binary plumbing and
+    * fingerprint contract are the engine-side reality). Pure map
+    * stage, output size fixed per row regardless of input size —
+    * the property that makes resize the normalizing step before
+    * fixed-shape batch encoders. */
+  def resize(docs: DataFrame, targetLen: Int = 32): DataFrame =
+    docs.select(col("doc_id"), col("text"), length(col("text")).as("n_bytes"))
+      .withColumn("resized", expr(
+        s"""array_join(transform(sequence(0, ${targetLen - 1}),
+           |  i -> substring(text, CAST(i * n_bytes DIV $targetLen AS INT) + 1, 1)), '')""".stripMargin))
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        length(col("resized")).cast("long").as("resized_len"),
+        md5(col("resized")).as("resized_md5"))
+
   /** (doc_id, histogram): a REAL feature extractor over the opaque
     * payload — 16-bin byte histogram (the plumbing a learned encoder
     * batch would use: binary in, fixed-width float vector out,
