@@ -68,6 +68,7 @@ object SparkEntry {
     "q_table_profile" -> ((s, dir) => Sketches.tableProfile(Tables.events(s, dir))),
     "q_approx_distinct" -> ((s, dir) => Sketches.approxDistinct(Tables.events(s, dir))),
     "q_approx_quantiles" -> ((s, dir) => Sketches.approxQuantiles(Tables.events(s, dir))),
+    "q_kmv_sample" -> ((s, dir) => Sketches.kmvSample(Tables.events(s, dir))),
     "q_asof" -> ((s, dir) => Relational.asOfJoin(Tables.events(s, dir))),
 
     // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
@@ -447,6 +448,12 @@ object SparkEntry {
     // q_approx_distinct / q_approx_quantiles: HLL++/GK sketch internals
     // are engine-specific → rows-only; error bounds vs the exact forms
     // are asserted in SketchesSpec.
+    "q_kmv_sample" ->
+      """WITH h AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h)
+        |SELECT event_type, string_agg(h, ',' ORDER BY h) AS sample_hashes
+        |FROM r WHERE rn <= 8 GROUP BY event_type""".stripMargin,
     "q_asof" ->
       """WITH pc AS (
         |  SELECT user_id, event_id, ts, event_type FROM events

@@ -54,6 +54,20 @@ object Sketches {
       approx_count_distinct(col("user_id"), rsd).as("approx_users"),
       countDistinct(col("user_id")).as("exact_users"))
 
+  /** (event_type, sample_hashes): deterministic uniform sample of each
+    * group's distinct users — the k smallest md5 hashes, via the
+    * [[graft.functions.BottomK]] typed Aggregator (bounded state ≤ k
+    * per group at any corpus size; replayable, unlike RNG reservoir
+    * sampling). */
+  def kmvSample(events: DataFrame, k: Int = 8): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomK(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(array_join(bottomK(col("h")), ",").as("sample_hashes"))
+  }
+
   /** (event_type, p50, p90, p99): one-pass approximate quantiles
     * (Greenwald-Khanna sketch; `accuracy` trades state for error —
     * observed rank error ≤ 1/accuracy). */

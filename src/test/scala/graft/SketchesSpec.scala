@@ -24,6 +24,17 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("BottomK aggregator equals the unbounded collect_set route") {
+    val viaAggregator = Sketches.kmvSample(events, k = 8).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaCollectSet = events
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(array_join(slice(sort_array(collect_set(col("h"))), 1, 8), ",").as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaAggregator.nonEmpty && viaAggregator == viaCollectSet)
+  }
+
   test("approximate quantiles are ordered and satisfy the rank-error guarantee") {
     val approx = Sketches.approxQuantiles(events).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
