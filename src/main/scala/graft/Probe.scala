@@ -37,6 +37,17 @@ object Probe {
       time("ann_lsh")(graft.operators.Ann.lshTopK(e).count())
       time("ann_ivf")(graft.operators.Ann.ivfTopK(e).count())
       time("dedup_drop")(graft.operators.Dedup.dropDuplicates(d).count())
+      time("dedup_clusters")(graft.operators.Dedup.nearDupClusters(d).count())
+      time("batch_search") {
+        import spark.implicits._
+        graft.operators.Bm25.batchSearch(d,
+          graft.operators.Bm25.DemoQueries.toDF("query_id", "qtext")).count()
+      }
+      time("contamination")(graft.operators.TextAnalysis.contamination(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("probe_id"), col("text"))).count())
+      time("hybrid_rrf")(graft.operators.Hybrid.rrfSearch(d, e).count())
       time("wordcount")(graft.operators.Bm25.tokenize(d)
         .groupBy("term").agg(count(lit(1)).as("n")).count())
       time("wordcount_salted")(graft.operators.Skew.saltedWordCount(d).count())

@@ -68,7 +68,37 @@ object Dedup {
     * Docs in no pair are omitted (singleton clusters are implicit). */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
                       maxIter: Int = 20): DataFrame = {
-    val pairs = verifiedNearDups(docs, threshold).select("doc_a", "doc_b")
+    // exact-dedup FIRST, same reason as dropDuplicates: k exact copies
+    // multiply the pair graph by k² (measured 190 s vs 8 s at 20×
+    // replication). Clustering the canonical corpus then mapping every
+    // exact copy to its canonical's cluster is semantically identical:
+    // copies have identical shingle sets, so a raw-corpus pair exists
+    // iff the canonical pair exists, and the canonical doc_id (min of
+    // its copy group) is the component min either way.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val canonMap = docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("canon", min("doc_id").over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select("doc_id", "canon", "n_copies")
+      .localCheckpoint()
+    val canonCorpus = docs.join(
+      canonMap.filter(col("doc_id") === col("canon")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val canonClusters = propagateMinLabels(
+      verifiedNearDups(canonCorpus, threshold).select("doc_a", "doc_b"), maxIter)
+    // a doc is clustered iff its canonical is near-dup-clustered OR its
+    // exact group has >1 copy (the group alone is a cluster)
+    canonMap
+      .join(canonClusters.select(col("doc_id").as("canon"), col("cluster_id")),
+        Seq("canon"), "left")
+      .filter(col("cluster_id").isNotNull || col("n_copies") > 1)
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("canon")).as("cluster_id"))
+  }
+
+  /** Iterative min-label propagation over an undirected pair list →
+    * (doc_id, cluster_id = component min). */
+  private def propagateMinLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
