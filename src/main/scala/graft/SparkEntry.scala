@@ -487,11 +487,18 @@ object SparkEntry {
       s"""WITH $minhashCandCte
          |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
     // connected components = min doc_id over the transitive closure of
-    // the verified-pair graph (recursive CTE — exact, engine-agnostic)
+    // the duplicate graph: verified near-dup pairs PLUS exact-copy
+    // pairs (copies too short to shingle still duplicate each other).
+    // Recursive CTE — exact, engine-agnostic.
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCandCte,
+         |exd AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+         |        FROM documents),
+         |expairs AS (SELECT canon AS doc_a, doc_id AS doc_b FROM exd WHERE doc_id <> canon),
          |e2 AS (SELECT doc_a AS a, doc_b AS b FROM ver
-         |       UNION SELECT doc_b AS a, doc_a AS b FROM ver),
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM ver
+         |       UNION SELECT doc_a AS a, doc_b AS b FROM expairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM expairs),
          |r(doc, reach) AS (
          |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
          |  UNION

@@ -65,7 +65,10 @@ object Dedup {
     * scale); each round is one join + aggregate, lineage cut by
     * localCheckpoint, and convergence needs at most the graph diameter
     * (duplicate clusters are near-cliques → 2-3 rounds in practice).
-    * Docs in no pair are omitted (singleton clusters are implicit). */
+    * Membership: a doc is clustered iff it has an EXACT copy (n_copies
+    * > 1 — including copies too short to shingle) or its canonical is
+    * in a verified near-dup component; unique docs with no near-dup
+    * are omitted (singleton clusters are implicit). */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
                       maxIter: Int = 20): DataFrame = {
     // exact-dedup FIRST, same reason as dropDuplicates: k exact copies
@@ -75,11 +78,17 @@ object Dedup {
     // copies have identical shingle sets, so a raw-corpus pair exists
     // iff the canonical pair exists, and the canonical doc_id (min of
     // its copy group) is the component min either way.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    // doc → canonical via the skew-safe hash aggregate (exact() does
+    // map-side partial aggregation; a window over md5(text) would sort
+    // each whole copy group on one executor — the very skew this path
+    // exists to avoid)
+    val groups = exact(docs).select(col("text_md5").as("gh"),
+      col("canonical_doc_id").as("canon"), col("n_copies"))
     val canonMap = docs
-      .select(col("doc_id"), col("text"))
-      .withColumn("canon", min("doc_id").over(w))
-      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      // null-safe equality: null-text docs form one group too (their
+      // md5 is null on both sides), matching GROUP BY null semantics
+      .join(groups, col("h") <=> col("gh"))
       .select("doc_id", "canon", "n_copies")
       .localCheckpoint()
     val canonCorpus = docs.join(

@@ -62,6 +62,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(prof.length == 2 && prof.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0))
   }
 
+  test("exact copies too short to shingle still cluster together") {
+    val shortDups = Seq(
+      (1L, "hello world"), (2L, "hello world"),   // 2 tokens: no 3-gram shingles
+      (3L, "unique text entirely"),
+      (10L, "x y"), (11L, "x y"), (12L, "x y")).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(shortDups).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("salted operators are safe with salts = 1 (degenerate salting)") {
     val wc1 = graft.operators.Skew.saltedWordCount(junk, salts = 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
