@@ -53,6 +53,7 @@ object SparkEntry {
     "q_join_multi" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q_large_volume" -> ((s, dir) => Relational.largeVolumeOrders(s, dir)),
+    "q_above_avg" -> ((s, dir) => Relational.aboveCustomerAverage(Tables.orders(s, dir))),
     "q_topn" -> ((s, dir) => Relational.topOrders(Tables.orders(s, dir))),
     "q_window" -> ((s, dir) => Relational.customerOrderWindows(Tables.orders(s, dir))),
     "q_distinct" -> ((s, dir) => Relational.eventTypeStats(Tables.events(s, dir))),
@@ -371,6 +372,16 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey,
         |       floor(o_totalprice * 1000000.0)::BIGINT AS totalprice_micros, sum_qty_micros
         |FROM q JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q_above_avg" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         floor(o_totalprice * 1000000.0)::BIGINT AS totalprice_micros,
+        |         avg(floor(o_totalprice * 1000000.0)::BIGINT)
+        |           OVER (PARTITION BY o_custkey) AS cust_avg_micros
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, totalprice_micros,
+        |       round(cust_avg_micros, 2) AS cust_avg_micros
+        |FROM w WHERE totalprice_micros > cust_avg_micros""".stripMargin,
     "q_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

@@ -40,6 +40,25 @@ object Relational {
 
   /** TPC-H Q5 shape: fact⋈fact shuffle join on orderkey, then
     * broadcast joins against customer/nation/region (dims). */
+  /** Correlated-subquery shape: orders above their own customer's
+    * average order value. Decorrelated into a single window pass —
+    * what Catalyst does to the EXISTS/scalar-subquery form anyway,
+    * written directly so the plan is one shuffle on o_custkey. */
+  def aboveCustomerAverage(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+    orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        micros(col("o_totalprice")).as("totalprice_micros"))
+      // average over exact integer micros: the sum is order-independent,
+      // so the avg (one double division) is engine-deterministic —
+      // avg over raw doubles would vary in the last ulp with partition
+      // row order and could flip the > comparison at the boundary
+      .withColumn("cust_avg_micros", avg("totalprice_micros").over(w))
+      .filter(col("totalprice_micros") > col("cust_avg_micros"))
+      .select(col("o_orderkey"), col("o_custkey"), col("totalprice_micros"),
+        round(col("cust_avg_micros"), 2).as("cust_avg_micros"))
+  }
+
   /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
     * date-filtered orders ⋈ date-filtered lineitems → per-order
     * revenue → top 10. Both date predicates push to the parquet scans;
