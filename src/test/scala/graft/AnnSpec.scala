@@ -38,6 +38,15 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF ANN recall $recall")
   }
 
+  test("staged ANN index search matches live lshTopK exactly") {
+    val idx = java.nio.file.Files.createTempDirectory("annidx").toString + "/index"
+    graft.operators.AnnIndex.build(emb, idx)
+    val live = Ann.lshTopK(emb).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val staged = graft.operators.AnnIndex.searchTopK(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(staged.sameElements(live))
+  }
+
   test("lsh top-k recalls a reasonable fraction of exact top-k") {
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val approx = Ann.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
