@@ -38,6 +38,8 @@ object SparkEntry {
     "q_doc_stats" -> ((s, dir) => Bm25.corpusStats(Tables.documents(s, dir))),
     "q_bm25_score" -> ((s, dir) => Bm25.bm25Score(Tables.documents(s, dir))),
     "q_bm25_ml" -> ((s, dir) => MlPipeline.bm25Score(Tables.documents(s, dir))),
+    "q_bm25_plus" -> ((s, dir) => Bm25.bm25PlusScore(Tables.documents(s, dir))),
+    "q_length_hist" -> ((s, dir) => Bm25.lengthHistogram(Tables.documents(s, dir))),
     "q_search_topn" -> ((s, dir) => Bm25.searchTopN(Tables.documents(s, dir))),
     "q_search_batch" -> ((s, dir) => {
       import s.implicits._
@@ -278,6 +280,27 @@ object SparkEntry {
     // the MLlib-pipeline route computes the SAME scores (shared contract)
     "q_bm25_ml" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored",
+    // BM25+ (Lv & Zhai): plain BM25 term contribution + idf·delta
+    "q_bm25_plus" ->
+      s"""WITH $dlCte,
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN ($queryTermsSql)),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(idfq.idf * ((tf.tf * (${Bm25.K1} + 1.0)) /
+         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))
+         |               + 1.0)), 4) AS score
+         |  FROM tf
+         |  JOIN idfq ON tf.term = idfq.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN avgd
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, score FROM sc""".stripMargin,
+    "q_length_hist" ->
+      s"""WITH $dlCte
+         |SELECT (dl // 10 * 10)::BIGINT AS bucket, count(*)::BIGINT AS n_docs
+         |FROM dl GROUP BY 1""".stripMargin,
     "q_search_topn" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
     "q_search_batch" -> {

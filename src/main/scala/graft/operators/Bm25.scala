@@ -128,6 +128,38 @@ object Bm25 {
   def searchTopN(docs: DataFrame, queryTerms: Seq[String] = QueryTerms, n: Int = 10): DataFrame =
     bm25Score(docs, queryTerms).orderBy(col("score").desc, col("doc_id").asc).limit(n)
 
+  /** (doc_id, score): BM25+ — Lv & Zhai's lower-bounded variant: each
+    * matching term contributes an extra idf·delta regardless of doc
+    * length, fixing plain BM25's over-penalization of long documents
+    * (a long doc containing the term can otherwise score below a short
+    * doc NOT containing it). Same two-pass plan as [[bm25Score]]. */
+  def bm25PlusScore(docs: DataFrame, queryTerms: Seq[String] = QueryTerms,
+                    delta: Double = 1.0): DataFrame = {
+    val tfq = tf(docs).filter(col("term").isin(queryTerms: _*))
+    val dl = docLengths(docs.filter(col("doc_id").isNotNull))
+    val stats = dl.agg(count(col("doc_id")).as("n_docs"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    val scored = tfq
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(K1 + 1.0)) /
+            (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))) +
+            lit(delta))).as("c"))
+    scored.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
+  }
+
+  /** (bucket, n_docs): document-length histogram (kept-token lengths,
+    * bucket = floor(dl/10)·10) — the first corpus-shape question of any
+    * training-data run. */
+  def lengthHistogram(docs: DataFrame, bucketSize: Int = 10): DataFrame =
+    docLengths(docs)
+      .groupBy((floor(col("dl") / bucketSize) * bucketSize).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** The demo query batch for [[batchSearch]] (ids stable, terms drawn
     * from the corpus vocabulary). */
   val DemoQueries: Seq[(Int, String)] = Seq(
