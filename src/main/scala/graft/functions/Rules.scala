@@ -16,13 +16,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * silently lose an order of magnitude on vector workloads. With this
   * rule they keep writing the natural form and get the native loop.
   *
-  * Soundness: [[DotProduct]] returns null on length mismatch, exactly
-  * like the lambda form (zip_with pads the shorter side with null and
-  * the null poisons the sum); equal-length folds are sequential in both
-  * forms, so results are bit-identical. The match is deliberately
-  * strict — double element type, literal 0.0 zero, pure x*y and acc+v
-  * lambdas (either operand order), identity finish — anything else is
-  * left untouched.
+  * Soundness: [[DotProduct]] returns null on length mismatch AND on
+  * any null element, exactly like the lambda form (zip_with pads the
+  * shorter side with null, and a null element's product poisons the
+  * sum either way); equal-length all-non-null folds are sequential in
+  * both forms, so results are bit-identical. When the static element
+  * type has containsNull=false the generated loop carries no
+  * per-element check. The match is deliberately strict — double
+  * element type, literal 0.0 zero, pure x*y and acc+v lambdas (either
+  * operand order), identity finish — anything else is left untouched.
   */
 class RewriteLambdaDot extends Rule[LogicalPlan] {
 

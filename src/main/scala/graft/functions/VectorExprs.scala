@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** `graft_dot(a, b)`: dot product of two array<double> columns as a
   * native Catalyst expression with whole-stage codegen — a tight
@@ -25,17 +25,34 @@ case class DotProduct(left: Expression, right: Expression)
   // because AbstractDataType is private[sql]
   override def dataType: DataType = DoubleType
 
-  // null on length mismatch — the exact semantics of the lambda form
-  // aggregate(zip_with(a,b,(x,y)->x*y),0D,(acc,x)->acc+x), where the
-  // shorter side zip-pads with null and the null poisons the sum; this
-  // is what makes the RewriteLambdaDot optimizer rule a sound swap
+  // null on length mismatch OR any null element — the exact semantics
+  // of the lambda form aggregate(zip_with(a,b,(x,y)->x*y),0D,
+  // (acc,x)->acc+x): the shorter side zip-pads with null, and a null
+  // element's product poisons the sum either way; this is what makes
+  // the RewriteLambdaDot optimizer rule a sound swap
   override def nullable: Boolean = true
+
+  /** Whether either input's STATIC type admits null elements. Resolved
+    * once at planning; when false the generated loop carries no
+    * per-element null check. */
+  private def mayHaveNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -47,6 +64,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -54,6 +75,7 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |  ${ev.value} = $s;

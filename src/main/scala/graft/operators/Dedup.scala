@@ -106,8 +106,15 @@ object Dedup {
   }
 
   /** Iterative min-label propagation over an undirected pair list →
-    * (doc_id, cluster_id = component min). */
-  private def propagateMinLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
+    * (doc_id, cluster_id = component min). Each round takes the min
+    * over graph neighbors AND then chases one hop through the label
+    * table itself (pointer doubling: lbl ← label(lbl), sound because
+    * every label value is a node id in the same component), so label
+    * distance-to-root roughly halves per round → O(log diameter)
+    * rounds, not O(diameter). A path graph of length 2^maxIter would
+    * still exit unconverged, so the loop THROWS rather than silently
+    * returning split components. */
+  private[graft] def propagateMinLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
@@ -122,10 +129,15 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc_b"), col("lbl")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("lbl").as("neighbor_lbl"))
-      val next = labels
+      val stepped = labels
         .join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("neighbor_lbl"), col("lbl"))).as("lbl"))
+      val next = stepped.as("s")
+        .join(stepped.select(col("doc_id").as("p"), col("lbl").as("p_lbl")).as("t"),
+          col("s.lbl") === col("t.p"), "left")
+        .select(col("s.doc_id").as("doc_id"),
+          least(col("s.lbl"), coalesce(col("p_lbl"), col("s.lbl"))).as("lbl"))
         .localCheckpoint()
       converged = next
         .join(labels.select(col("doc_id"), col("lbl").as("old_lbl")), "doc_id")
@@ -134,6 +146,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(component diameter > 2^maxIter); raise maxIter")
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 

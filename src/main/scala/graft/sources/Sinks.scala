@@ -63,10 +63,18 @@ object Sinks {
                                partitionCol: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val touched = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    // isin() never matches null, but dynamic overwrite still rewrites the
+    // null partition when the batch touches it — so the null partition's
+    // existing rows must join the merge explicitly or they are lost
+    val touchedPred = {
+      val nonNull = touched.filter(_ != null)
+      val base = if (nonNull.isEmpty) lit(false) else col(partitionCol).isin(nonNull: _*)
+      if (touched.contains(null)) base || col(partitionCol).isNull else base
+    }
     val merged =
       if (fs.exists(new Path(path))) {
         val existing = spark.read.parquet(path)
-          .filter(col(partitionCol).isin(touched: _*))
+          .filter(touchedPred)
         existing.unionByName(updates.select(existing.columns.map(col): _*))
       } else updates
     val rowHash = xxhash64(merged.columns.map(col): _*)

@@ -80,6 +80,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation converges on a long path graph in O(log diameter) rounds") {
+    import spark.implicits._
+    // a 200-node path has diameter 199 — plain min-propagation needs
+    // ~199 rounds; pointer doubling must finish well under maxIter=20
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateMinLabels(path, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200)
+    assert(labels.values.forall(_ == 0L), "single component must all label 0")
+    // two disjoint paths stay distinct components
+    val two = ((0L until 50L).map(i => (i, i + 1)) ++
+      (100L until 150L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val lbl2 = Dedup.propagateMinLabels(two, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl2.filter(_._1 <= 50).values.toSet == Set(0L))
+    assert(lbl2.filter(_._1 >= 100).values.toSet == Set(100L))
+  }
+
   test("simhash is a 60-bit fingerprint and near-dups have small hamming distance") {
     val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp.values.forall(v => v >= 0L && v < (1L << 60)))

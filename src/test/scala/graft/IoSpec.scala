@@ -96,6 +96,24 @@ class IoSpec extends AnyFunSuite {
     assert(bFilesAfter == bFilesBefore, "untouched partition was rewritten")
   }
 
+  test("partitioned upsert keeps existing rows of the NULL partition") {
+    import spark.implicits._
+    val store = tmpDir("npstore") + "/idf"
+    // seed: one row in shard=null, one in shard=a
+    Sinks.upsertPartitionedParquet(spark,
+      Seq(("w1", 1.0, 1L, null: String), ("w2", 2.0, 1L, "a"))
+        .toDF("term", "idf", "version", "shard"),
+      store, Seq("term"), "version", "shard")
+    // batch touching the null partition with a DIFFERENT key: w1 must
+    // survive the merge (isin() alone would drop it)
+    Sinks.upsertPartitionedParquet(spark,
+      Seq(("w9", 9.0, 2L, null: String)).toDF("term", "idf", "version", "shard"),
+      store, Seq("term"), "version", "shard")
+    val got = spark.read.parquet(store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("w1" -> 1.0, "w2" -> 2.0, "w9" -> 9.0))
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     val dir = tmpDir("compact") + "/t"
     val df = Tables.documents(spark, sf)

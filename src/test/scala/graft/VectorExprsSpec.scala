@@ -35,6 +35,28 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(rows.isNullAt(3))
   }
 
+  test("graft_dot: null ELEMENTS return null, matching the lambda fold") {
+    // containsNull=true arrays (the typical transform/CAST output) with
+    // a null slot: the lambda form's null poisons the sum; graft_dot
+    // must agree or RewriteLambdaDot silently changes results
+    val rows = spark.sql(
+      """SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d)) AS a,
+        |       aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d),
+        |                          (x, y) -> x * y), 0D, (acc, x) -> acc + x + 0.0) AS b,
+        |       graft_dot(array(2.0d, 3.0d), array(CAST(NULL AS DOUBLE), 5.0d)) AS c""".stripMargin)
+      .collect()(0)
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    // and the rewrite itself preserves the null on a real (non-foldable)
+    // plan: null out element 0 of every embedding, fire the rule, every
+    // dot must come back null
+    val viaRule = Tables.embeddings(spark, sf)
+      .select(expr(
+        "transform(embedding, (x, i) -> IF(i = 0, CAST(NULL AS DOUBLE), CAST(x AS DOUBLE)))").as("v"))
+      .select(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("d"))
+    assert(viaRule.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    assert(viaRule.filter(col("d").isNotNull).count() == 0)
+  }
+
   test("RewriteLambdaDot: the natural lambda form optimizes to graft_dot") {
     val e = Tables.embeddings(spark, sf)
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
