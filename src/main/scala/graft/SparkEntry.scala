@@ -73,6 +73,15 @@ object SparkEntry {
     "q_approx_quantiles" -> ((s, dir) => Sketches.approxQuantiles(Tables.events(s, dir))),
     "q_kmv_sample" -> ((s, dir) => Sketches.kmvSample(Tables.events(s, dir))),
     "q_asof" -> ((s, dir) => Relational.asOfJoin(Tables.events(s, dir))),
+    "q_cube" -> ((s, dir) => Relational.returnsCube(Tables.lineitem(s, dir))),
+    "q_grouping_sets" -> ((s, dir) => Relational.groupingSetsAgg(Tables.lineitem(s, dir))),
+    "q_outer_join" -> ((s, dir) => Relational.dailyOrderShipBalance(s, dir)),
+    "q_range_join" -> ((s, dir) => Relational.priceBandJoin(Tables.lineitem(s, dir))),
+    "q_corr" -> ((s, dir) => Relational.quantityPriceCorr(Tables.lineitem(s, dir))),
+    "q_ntile" -> ((s, dir) => Relational.orderQuartiles(Tables.orders(s, dir))),
+    "q_outliers" -> ((s, dir) => Relational.valueOutliers(Tables.events(s, dir))),
+    "q_scd2" -> ((s, dir) => Relational.typeIntervals(Tables.events(s, dir))),
+    "q_percentiles" -> ((s, dir) => Relational.exactPercentiles(Tables.events(s, dir))),
 
     // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -113,6 +122,10 @@ object SparkEntry {
     "q_quality_by_source" -> ((s, dir) => TextAnalysis.qualityBySource(Tables.documents(s, dir))),
     "q_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables.documents(s, dir))),
     "q_sample_mix" -> ((s, dir) => TextAnalysis.mixtureSample(Tables.documents(s, dir))),
+    "q_pmi" -> ((s, dir) => TextAnalysis.bigramPmi(Tables.documents(s, dir))),
+    "q_zipf" -> ((s, dir) => TextAnalysis.zipfProfile(Tables.documents(s, dir))),
+    "q_char_trigrams" -> ((s, dir) => TextAnalysis.charTrigrams(Tables.documents(s, dir))),
+    "q_stem" -> ((s, dir) => TextAnalysis.stemmedVocab(Tables.documents(s, dir))),
 
     // ---- Structured Streaming surface (SURVEY §2 #38-39): real
     // streaming queries drained to a sink, checked vs batch oracles ----
@@ -504,6 +517,82 @@ object SparkEntry {
         |       (click_ref).event_id AS click_event_id,
         |       epoch_ns((click_ref).ts) // 1000000 AS click_ts_ms
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // grp_id from the ANSI convention via explicit CASE (bit = 1 when
+    // the dimension is aggregated away; source columns are non-null)
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+        |        + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS grp_id,
+        |       count(*)::BIGINT AS n,
+        |       sum(floor(l_quantity * 1000000.0)::BIGINT)::BIGINT AS sum_qty_micros
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |       sum(floor(l_quantity * 1000000.0)::BIGINT)::BIGINT AS sum_qty_micros
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_outer_join" ->
+      """WITH od AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day, count(*)::BIGINT AS n_orders
+        |            FROM orders GROUP BY 1),
+        |     ld AS (SELECT epoch_ms(l_shipdate) // 86400000 AS day, count(*)::BIGINT AS n_ships
+        |            FROM lineitem GROUP BY 1)
+        |SELECT coalesce(od.day, ld.day)::BIGINT AS day, n_orders, n_ships
+        |FROM od FULL JOIN ld ON od.day = ld.day""".stripMargin,
+    "q_range_join" ->
+      """WITH bands AS (SELECT * FROM (VALUES
+        |    (1::BIGINT, 0.0, 20000.0), (2::BIGINT, 20000.0, 55000.0),
+        |    (3::BIGINT, 55000.0, 90000.0), (4::BIGINT, 90000.0, 200000.0)) AS b(band_id, lo, hi))
+        |SELECT band_id, count(*)::BIGINT AS n,
+        |       sum(floor(l_extendedprice * 1000000.0)::BIGINT)::BIGINT AS sum_price_micros
+        |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band_id""".stripMargin,
+    "q_corr" ->
+      s"""WITH s AS (
+         |  SELECT l_returnflag, count(*)::BIGINT AS n,
+         |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+         |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |       round(${Relational.CorrExpr}, 6) AS corr_qty_price,
+         |       round(${Relational.CovarExpr}, 6) AS covar_qty_price
+         |FROM s""".stripMargin,
+    "q_ntile" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |                  floor(o_totalprice * 1000000.0)::BIGINT AS totalprice_micros
+        |           FROM orders)
+        |SELECT o_orderkey, o_custkey, totalprice_micros,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       CAST(lag(totalprice_micros, 1) OVER w - totalprice_micros AS BIGINT) AS gap_micros
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY totalprice_micros DESC, o_orderkey ASC)""".stripMargin,
+    "q_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, floor(value * 1000.0)::BIGINT AS v_milli FROM events),
+        |     s AS (SELECT event_type, count(*)::BIGINT AS n, sum(v_milli)::BIGINT AS s1,
+        |                  sum(v_milli * v_milli)::BIGINT AS s2
+        |           FROM e GROUP BY event_type)
+        |SELECT event_id, e.event_type, v_milli
+        |FROM e JOIN s ON e.event_type = s.event_type
+        |WHERE CAST(n * v_milli - s1 AS DOUBLE) * CAST(n * v_milli - s1 AS DOUBLE)
+        |      > 4.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS island
+        |       FROM events)
+        |SELECT user_id, event_type,
+        |       min(epoch_ns(ts) // 1000000)::BIGINT AS valid_from_ms,
+        |       max(epoch_ns(ts) // 1000000)::BIGINT AS valid_to_ms,
+        |       count(*)::BIGINT AS n_events
+        |FROM e GROUP BY user_id, event_type, island""".stripMargin,
+    "q_percentiles" ->
+      """WITH e AS (SELECT event_type, floor(value * 1000000.0)::BIGINT AS v_micros FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       round(quantile_cont(v_micros, 0.5), 4) AS p50_micros,
+        |       round(quantile_cont(v_micros, 0.9), 4) AS p90_micros,
+        |       round(quantile_cont(v_micros, 0.99), 4) AS p99_micros
+        |FROM e GROUP BY event_type""".stripMargin,
 
     // ---- LLM-training-data pipeline (SURVEY §2 #26-37) ----
     "q_dedup_exact" ->
@@ -704,6 +793,43 @@ object SparkEntry {
         |                << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
         |  FROM documents)
         |SELECT doc_id, source FROM s WHERE u < rate""".stripMargin,
+    "q_pmi" ->
+      """WITH wd AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
+        |uni AS (SELECT u.t AS w, count(*)::BIGINT AS c FROM wd, unnest(words) AS u(t) GROUP BY 1),
+        |nu AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
+        |bi AS (SELECT words[i] AS w1, words[i+1] AS w2, count(*)::BIGINT AS n_ab
+        |       FROM wd, unnest(generate_series(1, len(words)-1)) AS t(i)
+        |       WHERE len(words) >= 2 GROUP BY 1, 2),
+        |nb AS (SELECT sum(n_ab)::BIGINT AS n_bi FROM bi),
+        |j AS (SELECT w1, w2, n_ab,
+        |        round(ln(CAST(n_ab * n_uni * n_uni AS DOUBLE) / CAST(n_bi * ca.c * cb.c AS DOUBLE)), 6) AS pmi
+        |      FROM bi JOIN uni ca ON bi.w1 = ca.w JOIN uni cb ON bi.w2 = cb.w, nu, nb
+        |      WHERE n_ab >= 5)
+        |SELECT w1, w2, n_ab, pmi FROM j ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    "q_zipf" ->
+      s"""WITH $tfCte,
+         |tc AS (SELECT term, count(*)::BIGINT AS n FROM tok2 GROUP BY term),
+         |rk AS (SELECT term, n,
+         |         CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS term_rank
+         |       FROM tc)
+         |SELECT term, n, term_rank,
+         |       round(log10(CAST(term_rank AS DOUBLE)), 6) AS log10_rank,
+         |       round(log10(CAST(n AS DOUBLE)), 6) AS log10_n
+         |FROM rk""".stripMargin,
+    "q_char_trigrams" ->
+      """WITH d AS (SELECT lang, lower(text) AS t FROM documents WHERE length(lower(text)) >= 3),
+        |tri AS (SELECT lang, substr(t, i, 3) AS trigram
+        |        FROM d, unnest(generate_series(1, length(t)-2)) AS u(i)),
+        |cnt AS (SELECT lang, trigram, count(*)::BIGINT AS n FROM tri GROUP BY 1, 2),
+        |rk AS (SELECT lang, trigram, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, trigram ASC) AS BIGINT) AS rk
+        |       FROM cnt)
+        |SELECT lang, trigram, n, rk FROM rk WHERE rk <= 10""".stripMargin,
+    "q_stem" ->
+      s"""WITH $tfCte,
+         |tc AS (SELECT term, count(*)::BIGINT AS n FROM tok2 GROUP BY term),
+         |st AS (SELECT ${graft.operators.TextAnalysis.StemCase} AS stem, n FROM tc)
+         |SELECT stem, count(*)::BIGINT AS n_terms, sum(n)::BIGINT AS n_total FROM st GROUP BY stem""".stripMargin,
 
     // ---- Streaming (batch-equivalent oracles; SURVEY §2 #38-39) ----
     "q_stream_wordcount" ->

@@ -209,6 +209,175 @@ object Relational {
         expr("click_ref.ts div 1000000").as("click_ts_ms"))
   }
 
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping combinations
+    * in ONE pass — Catalyst expands the cube into a single Expand +
+    * hash aggregate, so the data is scanned once however many grouping
+    * sets there are. grp_id is computed from the ANSI convention
+    * (bit = 1 when the column is aggregated away) via explicit CASE so
+    * the oracle is engine-convention-independent (the source columns
+    * are non-null, so NULL marks the aggregated dimension). */
+  def returnsCube(li: DataFrame): DataFrame =
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(micros(col("l_quantity"))).as("sum_qty_micros"))
+      .withColumn("grp_id",
+        (when(col("l_returnflag").isNull, 2L).otherwise(0L) +
+          when(col("l_linestatus").isNull, 1L).otherwise(0L)))
+      .select("l_returnflag", "l_linestatus", "grp_id", "n", "sum_qty_micros")
+
+  /** GROUPING SETS ((returnflag), (linestatus), ()): the general form
+    * cube/rollup specialize. Same single-scan Expand plan — NOT a
+    * union of three aggregations (which would scan three times). */
+  def groupingSetsAgg(li: DataFrame): DataFrame =
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(micros(col("l_quantity"))).as("sum_qty_micros"))
+
+  /** FULL OUTER join: per-day order counts vs per-day ship counts —
+    * days with orders but no ships and vice versa both survive with
+    * nulls. Both sides pre-aggregate to day cardinality BEFORE the
+    * join (aggregate-then-join), so the shuffle moves day-level rows,
+    * not fact rows. */
+  def dailyOrderShipBalance(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(spark, dir)
+      .groupBy(expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000").as("day"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, Seq("day"), "full_outer")
+      .select(col("day"), col("n_orders"), col("n_ships"))
+  }
+
+  /** Point-in-interval (range) join via spatial BINNING: each band
+    * interval is exploded to the fixed-width buckets it covers, the
+    * probe side computes its bucket, and the join becomes an EQUI-join
+    * on bucket plus a residual filter. The bands here are broadcast-
+    * small, but the binning shape is the 100 TB contract: when BOTH
+    * sides are large an interval join degenerates to a nested-loop
+    * unless it is re-keyed to something shuffle-partitionable — the
+    * bucket is that key, and bucket width tunes fan-out vs selectivity. */
+  def priceBandJoin(li: DataFrame): DataFrame = {
+    val spark = li.sparkSession
+    import spark.implicits._
+    val bands = Seq(
+      (1L, 0.0, 20000.0), (2L, 20000.0, 55000.0),
+      (3L, 55000.0, 90000.0), (4L, 90000.0, 200000.0))
+      .toDF("band_id", "lo", "hi")
+    val width = 5000.0
+    val bandBuckets = bands.withColumn("bucket",
+      explode(sequence(floor(col("lo") / width).cast("long"),
+        floor((col("hi") - lit(0.01)) / width).cast("long"))))
+    li.select(col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("bucket", floor(col("l_extendedprice") / width).cast("long"))
+      .join(broadcast(bandBuckets), "bucket")
+      .filter(col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), sum(micros(col("l_extendedprice"))).as("sum_price_micros"))
+  }
+
+  /** The shared corr/covar arithmetic: one double expression over the
+    * exact DECIMAL sums, written ONCE so the Spark plan and the DuckDB
+    * oracle evaluate the identical IEEE expression tree. */
+  private[graft] val CorrExpr =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+  private[graft] val CovarExpr =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))"
+
+  /** Pearson correlation + sample covariance of (quantity, price) per
+    * returnflag — computed from EXACT decimal sums (sum/sum-of-squares
+    * /cross-sum are order-independent integers in scaled decimal), with
+    * ONE double expression at the end. The built-in corr() streams
+    * doubles and its result depends on partition merge order — fine for
+    * analytics, wrong for a cross-engine hash gate; this formulation is
+    * deterministic at any parallelism, the same trick as floor-micros
+    * money math (SURVEY §6). */
+  def quantityPriceCorr(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(expr(CorrExpr), 6).as("corr_qty_price"),
+        round(expr(CovarExpr), 6).as("covar_qty_price"))
+
+  /** Window-function breadth: quartile bucket (ntile), percent_rank
+    * and gap-to-previous (lag) per customer, all over ONE window sort —
+    * a single shuffle on o_custkey serves all three. Ordering is total
+    * (micros, orderkey) so every function is deterministic. */
+  def orderQuartiles(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("totalprice_micros").desc, col("o_orderkey").asc)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        micros(col("o_totalprice")).as("totalprice_micros"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("gap_micros",
+        lag(col("totalprice_micros"), 1).over(w) - col("totalprice_micros"))
+  }
+
+  /** Per-group z-score outliers (|x − μ| > 2σ) with NO floating-point
+    * statistics: the predicate (n·x − S1)² > 4·(n·S2 − S1²) is algebra
+    * over exact integer sums of milli-quantized values, evaluated in
+    * doubles only at the final comparison (IEEE ops over identical
+    * exact inputs → identical in any engine). Group stats are
+    * group-cardinality rows → broadcast back into the scan; the whole
+    * operator is two passes and zero wide shuffles. */
+  def valueOutliers(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"),
+      floor(col("value") * lit(1000.0)).cast("long").as("v_milli"))
+    val stats = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v_milli").as("s1"),
+        sum(expr("v_milli * v_milli")).as("s2"))
+    e.join(broadcast(stats), "event_type")
+      .filter(expr(
+        "CAST(n * v_milli - s1 AS DOUBLE) * CAST(n * v_milli - s1 AS DOUBLE) > " +
+          "4.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"))
+      .select("event_id", "event_type", "v_milli")
+  }
+
+  /** SCD-2 style change intervals (gaps-and-islands): collapse each
+    * user's consecutive run of the same event_type into one validity
+    * interval. The island id is the row_number difference trick — two
+    * window functions over the SAME (user_id, ts) sort share one
+    * shuffle+sort. This is how a mutable dimension's change history is
+    * reconstructed from an append-only event log at scale. */
+  def typeIntervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wt = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.select("user_id", "event_type", "ts", "event_id")
+      .withColumn("island", row_number().over(w) - row_number().over(wt))
+      .groupBy("user_id", "event_type", "island")
+      .agg(min(expr("ts div 1000000")).as("valid_from_ms"),
+        max(expr("ts div 1000000")).as("valid_to_ms"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "event_type", "valid_from_ms", "valid_to_ms", "n_events")
+  }
+
+  /** EXACT percentiles per group (p50/p90/p99 with linear
+    * interpolation) over micro-quantized values — the exact
+    * counterpart of the GK-sketch approxQuantiles: a full sort per
+    * group, affordable when group cardinality is low and exactness is
+    * required (the sketch is the 100 TB default). */
+  def exactPercentiles(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("v_micros"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(v_micros, 0.5D)"), 4).as("p50_micros"),
+        round(expr("percentile(v_micros, 0.9D)"), 4).as("p90_micros"),
+        round(expr("percentile(v_micros, 0.99D)"), 4).as("p99_micros"))
+
   /** Session windows via gap analysis: a new session starts after a
     * >30 min silence; one shuffle on user_id, then ordered window
     * scans (no state explosion — sessions are bounded per user). */

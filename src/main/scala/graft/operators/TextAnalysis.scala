@@ -136,6 +136,92 @@ object TextAnalysis {
       .filter(col("u") < col("rate"))
       .select("doc_id", "source")
 
+  /** (w1, w2, n_ab, pmi): top-k collocations by pointwise mutual
+    * information over adjacent word pairs. pmi = ln(p(ab)/(p(a)p(b)))
+    * computed as ln of ONE ratio of exact integer products
+    * (c_ab·N_u², divided by N_b·c_a·c_b) — a single double division +
+    * ln over identical integers is engine-deterministic. Unigram and
+    * bigram counts are two hash aggregations; the unigram side joins in
+    * twice at word cardinality (broadcastable — vocabularies are tiny
+    * next to corpora). The min-count floor kills the noisy tail before
+    * the joins. */
+  def bigramPmi(docs: DataFrame, minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val words = docs.select(graft.functions.Text.rawTokens(col("text")).as("words"))
+    val uni = words.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum("c").as("n_uni"))
+    val bi = words.filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words)-1), i -> struct(element_at(words, CAST(i AS INT)) AS w1, element_at(words, CAST(i+1 AS INT)) AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val nb = bi.agg(sum("n_ab").as("n_bi"))
+    bi.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(expr("ln(CAST(n_ab * n_uni * n_uni AS DOUBLE) / CAST(n_bi * ca * cb AS DOUBLE))"), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** (term, n, rank, log10_rank, log10_n): the corpus rank-frequency
+    * (Zipf) profile over the engine's kept tokens — the standard
+    * corpus-health diagnostic (a healthy natural corpus is ~linear in
+    * log-log; synthetic or template-heavy corpora bend). One aggregate
+    * + one global sort of vocabulary-cardinality rows. */
+  def zipfProfile(docs: DataFrame): DataFrame =
+    Bm25.tokenize(docs)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("term_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
+      .select(col("term"), col("n"), col("term_rank"),
+        round(log10(col("term_rank").cast("double")), 6).as("log10_rank"),
+        round(log10(col("n").cast("double")), 6).as("log10_n"))
+
+  /** (lang, trigram, n, rk): top-k character trigrams per language —
+    * the feature family real language-ID models (CLD/fastText) train
+    * on; per-language profiles are also drift/contamination telemetry.
+    * Pure explode + two-level aggregation, shuffled on (lang, trigram)
+    * — high cardinality, even spread. */
+  def charTrigrams(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("trigram").asc)
+    docs.select(col("lang"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(t)-2), i -> substring(t, CAST(i AS INT), 3))")).as("trigram"))
+      .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** The suffix-stripping CASE, written once and shared verbatim with
+    * the DuckDB oracle so both engines stem identically. Porter-style
+    * step-1-ish rules with length guards against over-stripping. */
+  private[graft] val StemCase =
+    """CASE
+      | WHEN length(term) > 4 AND term LIKE '%ies' THEN substr(term, 1, length(term)-3) || 'y'
+      | WHEN length(term) > 5 AND term LIKE '%ing' THEN substr(term, 1, length(term)-3)
+      | WHEN length(term) > 4 AND term LIKE '%ed' THEN substr(term, 1, length(term)-2)
+      | WHEN length(term) > 4 AND term LIKE '%ly' THEN substr(term, 1, length(term)-2)
+      | WHEN length(term) > 4 AND term LIKE '%es' THEN substr(term, 1, length(term)-2)
+      | WHEN length(term) > 3 AND term LIKE '%s' AND term NOT LIKE '%ss' THEN substr(term, 1, length(term)-1)
+      | ELSE term END""".stripMargin
+
+  /** (stem, n_terms, n_total): vocabulary folded by a deterministic
+    * suffix stemmer — the index-time normalization knob between raw
+    * tokens and full lemmatization. Stemming happens AFTER the term
+    * aggregation, so the expensive part runs at vocabulary cardinality,
+    * not corpus cardinality. */
+  def stemmedVocab(docs: DataFrame): DataFrame =
+    Bm25.tokenize(docs)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("stem", expr(StemCase))
+      .groupBy("stem")
+      .agg(count(lit(1)).as("n_terms"), sum(col("n")).as("n_total"))
+
   /** (doc_id, fingerprint): content fingerprint = min md5 over word
     * 3-gram shingles (md5(text) fallback for tiny docs). Robust to
     * word order at the edges, cheap, and a pure map+min aggregation. */

@@ -75,4 +75,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(joined == 0)
     assert(meta.select("media_type").distinct().count() == 3)
   }
+
+  test("pmi collocations: counts above floor, pmi descending, pairs really adjacent") {
+    val rows = TextAnalysis.bigramPmi(docs).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Long]("n_ab") >= 5L))
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // the top pair occurs adjacently in some document
+    val (w1, w2) = (rows.head.getString(0), rows.head.getString(1))
+    assert(docs.filter(lower(col("text")).contains(s"$w1 $w2")).count() > 0)
+  }
+
+  test("zipf profile: ranks are a permutation and frequency is non-increasing") {
+    val rows = TextAnalysis.zipfProfile(docs).collect()
+      .sortBy(_.getAs[Long]("term_rank"))
+    assert(rows.map(_.getAs[Long]("term_rank")).toSeq == (1L to rows.length).toSeq)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(ns.sum == operators.Bm25.tokenize(docs).count())
+  }
+
+  test("char trigrams: top-k per language, counts match a direct recount") {
+    val rows = TextAnalysis.charTrigrams(docs).collect()
+    val langs = rows.map(_.getString(0)).distinct
+    langs.foreach { l =>
+      val g = rows.filter(_.getString(0) == l)
+      assert(g.length <= 10)
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // recount the global top trigram of the first language directly
+    val top = rows.filter(r => r.getAs[Long]("rk") == 1L).head
+    val direct = docs.filter(col("lang") === top.getString(0))
+      .select(lower(col("text")).as("t")).collect()
+      .map(r => { val t = r.getString(0)
+        (0 to t.length - 3).count(i => t.substring(i, i + 3) == top.getString(1)) }).sum
+    assert(direct == top.getAs[Long]("n"))
+  }
+
+  test("stemmed vocab folds terms without losing token mass") {
+    val vocab = TextAnalysis.stemmedVocab(docs).collect()
+    val tokens = operators.Bm25.tokenize(docs).count()
+    assert(vocab.map(_.getAs[Long]("n_total")).sum == tokens,
+      "stemming must preserve total token count")
+    assert(vocab.map(_.getAs[Long]("n_terms")).sum ==
+      operators.Bm25.tokenize(docs).select("term").distinct().count())
+  }
 }
