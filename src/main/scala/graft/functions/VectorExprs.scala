@@ -231,6 +231,82 @@ case class SimHashWords(child: Expression, bits: Int = 60)
   override def prettyName: String = "graft_simhash"
 }
 
+/** `graft_shingles(words, n)`: the word-n-gram shingle array of a
+  * document in ONE native pass — a single function call per row
+  * instead of an interpreted per-element `transform` lambda (higher-
+  * order array functions never enter codegen; the lambda costs a
+  * virtual call per shingle). Output order and the single-space join
+  * match the SQL-oracle formulation exactly, and callers explode +
+  * distinct downstream, so this is a drop-in for the lambda form.
+  * Returns null when the doc has fewer than n words (callers filter on
+  * size >= n for parity). */
+case class ShingleWords(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val len = words.numElements()
+    if (len < n) return null
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](len - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+/** `graft_char_ngrams(s, n)`: all length-n character substrings of a
+  * string as one native pass (one call per row; the `transform(
+  * sequence(...), i -> substring(...))` form pays an interpreted
+  * lambda per position AND materializes an int sequence first).
+  * Returns null for strings shorter than n (callers filter length
+  * >= n for oracle parity). */
+case class CharNgrams(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    // code-point (not UTF-16) indexing, matching SQL substring semantics
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = s.numChars()
+    if (len < n) return null
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = s.substringSQL(i + 1, n)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_char_ngrams"
+}
+
 /** Session-extension hook registering graft's native expressions.
   * Users: `.withExtensions(new GraftExtensions)` on the session
   * builder, or `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -254,6 +330,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MinHashWords(children(0),
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleWords].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShingleWords(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      (children: Seq[Expression]) => CharNgrams(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
     ))
   }
 }

@@ -154,18 +154,18 @@ object Dedup {
   }
 
   /** (doc_id, shingle): distinct word n-gram shingles per document.
-    * explode + hash-distinct stays inside whole-stage codegen and the
-    * distinct's exchange is REUSED by both sides of the self-join in
-    * [[ngramJaccard]] (measured 5× faster than interpreted row-local
-    * array lambdas). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(words, CAST(i+$j AS INT))").mkString(", ")
+    * The shingle array is built by the native `graft_shingles`
+    * expression — ONE call per row — then explode + hash-distinct; the
+    * previous `transform(sequence(...), i -> concat_ws(...))` form
+    * paid an interpreted lambda call per shingle (higher-order array
+    * functions never enter codegen). The distinct's exchange is REUSED
+    * by both sides of the self-join in [[ngramJaccard]]. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(words)-${n - 1}), i -> concat_ws(' ', $parts))")).as("shingle"))
+        explode(call_function("graft_shingles", col("words"), lit(n))).as("shingle"))
       .distinct()
-  }
 
   /** (doc_a, doc_b, jaccard): exact n-gram Jaccard near-dup pairs via
     * shingle self-join. Quadratic in cluster size — the correctness

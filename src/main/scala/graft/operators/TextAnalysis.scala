@@ -190,8 +190,8 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("trigram").asc)
     docs.select(col("lang"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 3)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(1, length(t)-2), i -> substring(t, CAST(i AS INT), 3))")).as("trigram"))
+      .select(col("lang"),
+        explode(call_function("graft_char_ngrams", col("t"), lit(3))).as("trigram"))
       .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
