@@ -49,6 +49,16 @@ object SparkEntry {
       Hybrid.rrfSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "q_postings" -> ((s, dir) => Bm25.postings(Tables.documents(s, dir), maxDf = 1000)),
     "q_idf_upsert" -> ((s, dir) => Upsert.lastWins(Tables.events(s, dir))),
+    // stage on 80% of the corpus, incrementally ingest the rest, score
+    // — must equal full-corpus BM25 (oracle shared with q_bm25_score)
+    "q_index_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_idx_inc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Bm25Index.build(docs.filter(col("doc_id") % 5 =!= 0), path)
+      Bm25Index.update(docs.filter(col("doc_id") % 5 === 0), path)
+      Bm25Index.score(s, path)
+    }),
 
     // ---- Relational / OLAP surface (SURVEY §2 #13-25) ----
     "q_agg" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -292,6 +302,10 @@ object SparkEntry {
       s"WITH $bm25Cte SELECT doc_id, score FROM scored",
     // the MLlib-pipeline route computes the SAME scores (shared contract)
     "q_bm25_ml" ->
+      s"WITH $bm25Cte SELECT doc_id, score FROM scored",
+    // incremental build+update over a staged index scores the full
+    // corpus identically (shared contract with q_bm25_score)
+    "q_index_incremental" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored",
     // BM25+ (Lv & Zhai): plain BM25 term contribution + idf·delta
     "q_bm25_plus" ->

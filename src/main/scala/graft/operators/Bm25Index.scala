@@ -41,6 +41,37 @@ object Bm25Index {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 
+  /** Incrementally ingest a NEW document batch into a staged index:
+    * the batch's postings and doc lengths are computed from the batch
+    * alone and APPENDED (delta files are term-clustered like the base
+    * build, so query-term pruning still works); only the one-row stats
+    * table is recomputed, from doclen — doc-cardinality, never the
+    * corpus. Work scales with the batch, not the store — the property
+    * that makes a 100 TB index maintainable (the reference re-runs its
+    * whole pipeline per corpus change; a per-doc Mongo upsert has the
+    * same batch-scaled cost, this is its shared-nothing analogue).
+    * Re-ingesting an existing doc_id is REJECTED (appending would
+    * double-count its postings); replacement requires a keyed upsert
+    * of the doc's postings partition or a rebuild. Delta files
+    * accumulate per batch; [[graft.sources.Sinks.compact]] is the
+    * companion maintenance pass. */
+  def update(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val existing = spark.read.parquet(s"$path/doclen").select(col("doc_id"))
+    val nDup = newDocs.select("doc_id").join(existing, Seq("doc_id"), "left_semi").count()
+    require(nDup == 0,
+      s"update batch re-ingests $nDup existing doc_ids; append-only maintenance " +
+        "would double-count their postings — upsert or rebuild instead")
+    val tf = Bm25.tf(newDocs)
+    tf.repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Append).parquet(s"$path/postings")
+    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode(SaveMode.Append).parquet(s"$path/doclen")
+    spark.read.parquet(s"$path/doclen")
+      .agg(count(col("doc_id")).as("n_docs"), avg(col("dl")).cast("double").as("avgdl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
   /** Okapi BM25 over the staged index — matches Bm25.bm25Score on the
     * same corpus exactly (same formula, rounding, tie-breaks). */
   def score(spark: SparkSession, path: String,

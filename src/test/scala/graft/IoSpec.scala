@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Bm25, Bm25Index}
-import graft.sources.{Corpus, Sinks, Tables}
+import graft.sources.{Corpus, Sinks, Tables, Zorder}
 
 class IoSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -148,6 +148,53 @@ class IoSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     }
     assert(p.contains("PushedFilters: [In(term, ["), s"term filter not pushed:\n$p")
+  }
+
+  test("incremental index update equals a full rebuild; re-ingest rejected") {
+    val docs = Tables.documents(spark, sf)
+    val idx = tmpDir("bm25inc") + "/index"
+    Bm25Index.build(docs.filter(col("doc_id") % 3 =!= 0), idx)
+    Bm25Index.update(docs.filter(col("doc_id") % 3 === 0), idx)
+    val incremental = Bm25Index.score(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val direct = Bm25.bm25Score(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(incremental.sameElements(direct))
+    // appending an already-ingested doc would double-count its postings
+    val err = intercept[IllegalArgumentException] {
+      Bm25Index.update(docs.limit(1), idx)
+    }
+    assert(err.getMessage.contains("re-ingests"))
+  }
+
+  test("z-order layout keeps per-file ranges narrow on BOTH dimensions") {
+    val li = Tables.lineitem(spark, sf).select("l_extendedprice", "l_quantity")
+    def spreads(path: String): Map[String, Double] = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("l_extendedprice") - min("l_extendedprice")).as("sp"),
+          (max("l_quantity") - min("l_quantity")).as("sq"))
+        .agg(avg("sp").as("price"), avg("sq").as("qty")).collect()(0)
+      val g = li.agg((max("l_extendedprice") - min("l_extendedprice")).as("gp"),
+        (max("l_quantity") - min("l_quantity")).as("gq")).collect()(0)
+      Map("price" -> perFile.getDouble(0) / g.getDouble(0),
+        "qty" -> perFile.getDouble(1) / g.getDouble(1))
+    }
+    val zdir = tmpDir("zorder") + "/z"
+    Zorder.writeZordered(li, zdir, Seq("l_extendedprice", "l_quantity"))
+    val zs = spreads(zdir)
+    // single-column sort: narrow on the sort key, FULL range on the other
+    val sdir = tmpDir("zorder") + "/s"
+    li.repartitionByRange(16, col("l_extendedprice"))
+      .sortWithinPartitions("l_extendedprice")
+      .write.parquet(sdir)
+    val ss = spreads(sdir)
+    assert(zs("price") < 0.6 && zs("qty") < 0.6,
+      s"z-order files must be narrow on both dims: $zs")
+    assert(ss("qty") > 0.8, s"price-sorted baseline should span qty: $ss")
+    assert(zs("qty") < ss("qty") / 2, "z-order must beat single-sort on the second dim")
+    // schema unchanged — the morton key is transient
+    assert(spark.read.parquet(zdir).columns.toSeq == Seq("l_extendedprice", "l_quantity"))
   }
 
   test("socket word count streams from a live local socket") {
