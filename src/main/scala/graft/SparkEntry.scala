@@ -92,6 +92,9 @@ object SparkEntry {
     "q_outliers" -> ((s, dir) => Relational.valueOutliers(Tables.events(s, dir))),
     "q_scd2" -> ((s, dir) => Relational.typeIntervals(Tables.events(s, dir))),
     "q_percentiles" -> ((s, dir) => Relational.exactPercentiles(Tables.events(s, dir))),
+    "q_nation_volume" -> ((s, dir) => Relational.nationVolume(s, dir)),
+    "q_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
+    "q_part_supplier" -> ((s, dir) => Relational.partSupplierCounts(s, dir)),
 
     // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -607,6 +610,34 @@ object SparkEntry {
         |       round(quantile_cont(v_micros, 0.9), 4) AS p90_micros,
         |       round(quantile_cont(v_micros, 0.99), 4) AS p99_micros
         |FROM e GROUP BY event_type""".stripMargin,
+    "q_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS revenue_micros
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS revenue_micros
+        |  FROM lineitem GROUP BY l_suppkey),
+        |mx AS (SELECT max(revenue_micros) AS m FROM rev)
+        |SELECT s_suppkey, s_name, revenue_micros
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey, mx
+        |WHERE revenue_micros = m""".stripMargin,
+    "q_part_supplier" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_size""".stripMargin,
 
     // ---- LLM-training-data pipeline (SURVEY §2 #26-37) ----
     "q_dedup_exact" ->

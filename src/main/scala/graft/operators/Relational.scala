@@ -378,6 +378,65 @@ object Relational {
         round(expr("percentile(v_micros, 0.9D)"), 4).as("p90_micros"),
         round(expr("percentile(v_micros, 0.99D)"), 4).as("p99_micros"))
 
+  /** TPC-H Q7 shape (volume shipping): the SAME dimension table joined
+    * in TWO roles — supplier's nation and customer's nation — with the
+    * nation-pair filter applied post-join in both directions. Both
+    * nation copies broadcast (dims); the only fact-fact shuffle is
+    * lineitem⋈orders on orderkey. */
+  def nationVolume(spark: SparkSession, dir: String,
+                   n1: String = "NATION_1", n2: String = "NATION_2"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        s("s_nationkey") === col("sn_key"))
+      .join(broadcast(n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        c("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate").cast("timestamp")).cast("long").as("l_year"))
+      .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): global argmax WITHOUT a driver
+    * collect — revenue per supplier, then keep rows equal to the
+    * all-rows window max. The empty-frame max broadcasts as a window
+    * over a single partition of supplier-cardinality rows (already
+    * aggregated), not fact rows. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    rev.withColumn("max_rev", max("revenue_micros").over(Window.partitionBy()))
+      .filter(col("revenue_micros") === col("max_rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_micros"))
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): count DISTINCT
+    * suppliers per part attribute, excluding a supplier denylist via
+    * anti-join (the NOT IN subquery form). The distinct-count shuffles
+    * on the group key after the semi/anti pruning — denylists are
+    * broadcast-small by nature. */
+  def partSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    li.join(bad, li("l_suppkey") === bad("s_suppkey"), "left_anti")
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** Session windows via gap analysis: a new session starts after a
     * >30 min silence; one shuffle on user_id, then ordered window
     * scans (no state explosion — sessions are bounded per user). */

@@ -77,4 +77,24 @@ class PlanSpec extends AnyFunSuite {
     val p = planString(Relational.topOrders(Tables.orders(spark, sf)))
     assert(p.contains("TakeOrderedAndProject"), "top-N should not global-sort")
   }
+
+  test("range join: binning makes it a broadcast HASH join, not nested-loop") {
+    val p = planString(Relational.priceBandJoin(Tables.lineitem(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"expected equi-join on bucket:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval predicate must be a residual filter, not the join condition")
+  }
+
+  test("two-role nation join: all four dims broadcast, one fact-fact shuffle") {
+    // pre-execution plan (no collect): at tiny sf the pair filter
+    // matches nothing and AQE collapses the FINAL plan to EmptyRelation
+    val p = Relational.nationVolume(spark, sf).queryExecution.executedPlan.toString
+    // the four dims (supplier, customer, nation in both roles) must be
+    // broadcast builds; at this sf orders broadcasts too, hence >= 4
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
+      s"supplier/customer/nation(x2) should broadcast:\n$p")
+    assert(p.contains("sn_key") && p.contains("cn_key"),
+      "both nation roles must join independently")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
