@@ -57,11 +57,16 @@ object Bm25Index {
     * companion maintenance pass. */
   def update(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
-    val existing = spark.read.parquet(s"$path/doclen").select(col("doc_id"))
-    val nDup = newDocs.select("doc_id").join(existing, Seq("doc_id"), "left_semi").count()
-    require(nDup == 0,
-      s"update batch re-ingests $nDup existing doc_ids; append-only maintenance " +
-        "would double-count their postings — upsert or rebuild instead")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bootstrap: the first batch of a streaming ingest IS the build
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/doclen"))) {
+      val existing = spark.read.parquet(s"$path/doclen").select(col("doc_id"))
+      val nDup = newDocs.select("doc_id").join(existing, Seq("doc_id"), "left_semi").count()
+      require(nDup == 0,
+        s"update batch re-ingests $nDup existing doc_ids; append-only maintenance " +
+          "would double-count their postings — upsert or rebuild instead")
+    }
     val tf = Bm25.tf(newDocs)
     tf.repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode(SaveMode.Append).parquet(s"$path/postings")

@@ -167,6 +167,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming INDEX ingest: every micro-batch of documents is
+    * incrementally appended to a staged BM25 index via
+    * [[graft.operators.Bm25Index.update]] — the end-to-end shape of
+    * the reference's streaming pipeline (stream in, maintain the
+    * search index's TF/DF/length state, serve queries from the store).
+    * Per-batch cost scales with the batch; exactly-once comes from the
+    * checkpointed source offsets + the idempotence check in update
+    * (a replayed batch's doc_ids are already ingested → rejected, so
+    * the caller skips, here acceptable because batches are immutable
+    * files). Returns the started query; caller awaits/stops. */
+  def indexIngest(spark: SparkSession, docs: DataFrame,
+                  indexPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) graft.operators.Bm25Index.update(batch.toDF(), indexPath)
+      }
+      .start()
+
   /** Streaming word count over a socket text source — the engine's
     * literal SocketWindowWordCount (reference backup/
     * SocketWindowWordCount.java): lines → tokenize → running counts in

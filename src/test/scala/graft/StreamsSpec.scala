@@ -118,4 +118,29 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
   }
+
+  test("streaming index ingest: per-batch updates converge to the batch-built index") {
+    val base = Files.createTempDirectory("idxingest").toString
+    val srcDir = s"$base/src"
+    val idx = s"$base/index"
+    new java.io.File(srcDir).mkdirs()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // land the corpus as 3 separate files; one micro-batch each
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = graft.streaming.Streams.indexIngest(spark, stream, idx)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = graft.operators.Bm25Index.score(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val direct = graft.operators.Bm25.bm25Score(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(streamed.sameElements(direct),
+      "index maintained by streaming micro-batches must equal the batch build")
+  }
 }
