@@ -49,6 +49,15 @@ object SparkEntry {
       Hybrid.rrfSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "q_postings" -> ((s, dir) => Bm25.postings(Tables.documents(s, dir), maxDf = 1000)),
     "q_idf_upsert" -> ((s, dir) => Upsert.lastWins(Tables.events(s, dir))),
+    // round-trip the corpus through the engine's own DataSourceV2
+    // (text export -> graft-tsv scan); oracle = the documents table
+    "q_source_dsv2" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_tsv_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Sinks.textExport(
+        Tables.documents(s, dir).select("doc_id", "text"), path)
+      s.read.format("graft-tsv").load(path)
+    }),
     // stage on 80% of the corpus, incrementally ingest the rest, score
     // — must equal full-corpus BM25 (oracle shared with q_bm25_score)
     "q_index_incremental" -> ((s, dir) => {
@@ -310,6 +319,9 @@ object SparkEntry {
     // corpus identically (shared contract with q_bm25_score)
     "q_index_incremental" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored",
+    // DSv2 round trip reproduces the table it exported
+    "q_source_dsv2" ->
+      "SELECT doc_id, text FROM documents",
     // BM25+ (Lv & Zhai): plain BM25 term contribution + idf·delta
     "q_bm25_plus" ->
       s"""WITH $dlCte,

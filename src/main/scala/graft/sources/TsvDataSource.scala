@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-tsv`: a DataSourceV2 batch source for the engine's own
+  * per-document text export format (`doc_id \t text` lines, the
+  * scale-safe replacement for the reference's one-file-per-doc
+  * output/{pid}.txt — backup/BMStream.java:30-35). Demonstrates the
+  * engine's SOURCE extension point end-to-end: TableProvider →
+  * ScanBuilder with COLUMN-PRUNING pushdown → per-file input
+  * partitions → InternalRow readers.
+  *
+  * Scale shape: one InputPartition per file (the export writes many
+  * splittable files, so parallelism = file count); column pruning is
+  * honored at the reader, so `select(doc_id)` never materializes text
+  * (visible as ReadSchema in the scan node — the same contract the
+  * parquet scans are tested for).
+  *
+  *   spark.read.format("graft-tsv").load(path)
+  */
+class TsvDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tsv"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = TsvTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TsvTable(properties.get("path"))
+}
+
+object TsvTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+}
+
+class TsvTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-tsv($path)"
+  override def schema(): StructType = TsvTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TsvScanBuilder(path)
+}
+
+class TsvScanBuilder(path: String) extends ScanBuilder
+  with SupportsPushDownRequiredColumns {
+  private var required: StructType = TsvTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source field order; an empty projection (count(*)) is legal
+    required = StructType(TsvTable.Schema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new TsvScan(path, required)
+}
+
+class TsvScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.toString)
+      .map(s => TsvInputPartition(s.getPath.toString): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsvReaderFactory(required)
+}
+
+case class TsvInputPartition(file: String) extends InputPartition
+
+class TsvReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[TsvInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val p = new Path(file)
+      private val in = p.getFileSystem(new Configuration()).open(p)
+      private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (!lines.hasNext) return false
+        val line = lines.next()
+        val tab = line.indexOf('\t')
+        val (id, text) =
+          if (tab < 0) (line.toLong, null)
+          else (line.substring(0, tab).toLong, line.substring(tab + 1))
+        row = InternalRow.fromSeq(required.fields.toSeq.map(_.name match {
+          case "doc_id" => id
+          case "text" => if (text == null) null else UTF8String.fromString(text)
+        }))
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -167,6 +167,25 @@ class IoSpec extends AnyFunSuite {
     assert(err.getMessage.contains("re-ingests"))
   }
 
+  test("graft-tsv DSv2 source: round trip + column pruning pushdown") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val out = tmpDir("dsv2") + "/docs"
+    Sinks.textExport(docs, out)
+    val back = spark.read.format("graft-tsv").load(out)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // parallelism = one input partition per exported file
+    assert(back.rdd.getNumPartitions ==
+      new java.io.File(out).listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc")))
+    // pruning: selecting doc_id only must shrink the scan's ReadSchema
+    val pruned = back.select("doc_id")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scan.contains("[doc_id#") && !scan.contains("text#"),
+      s"text column should be pruned at the source:\n$scan")
+  }
+
   test("z-order layout keeps per-file ranges narrow on BOTH dimensions") {
     val li = Tables.lineitem(spark, sf).select("l_extendedprice", "l_quantity")
     def spreads(path: String): Map[String, Double] = {
