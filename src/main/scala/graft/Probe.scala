@@ -51,6 +51,16 @@ object Probe {
       time("wordcount")(graft.operators.Bm25.tokenize(d)
         .groupBy("term").agg(count(lit(1)).as("n")).count())
       time("wordcount_salted")(graft.operators.Skew.saltedWordCount(d).count())
+      time("char_trigrams")(graft.operators.TextAnalysis.charTrigrams(d).count())
+      time("pmi")(graft.operators.TextAnalysis.bigramPmi(d).count())
+      time("zipf")(graft.operators.TextAnalysis.zipfProfile(d).count())
+      time("stem")(graft.operators.TextAnalysis.stemmedVocab(d).count())
+      time("index_incremental") {
+        val p = "/tmp/scale/idx"
+        graft.operators.Bm25Index.build(d.filter(col("doc_id") % 5 =!= 0), p)
+        graft.operators.Bm25Index.update(d.filter(col("doc_id") % 5 === 0), p)
+        graft.operators.Bm25Index.score(spark, p).count()
+      }
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)

@@ -131,19 +131,18 @@ object Dedup {
         .agg(min("lbl").as("neighbor_lbl"))
       val stepped = labels
         .join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("neighbor_lbl"), col("lbl"))).as("lbl"))
+      // old_lbl rides along so convergence is a filter on the
+      // materialized round output — no extra join against last round
       val next = stepped.as("s")
         .join(stepped.select(col("doc_id").as("p"), col("lbl").as("p_lbl")).as("t"),
           col("s.lbl") === col("t.p"), "left")
-        .select(col("s.doc_id").as("doc_id"),
+        .select(col("s.doc_id").as("doc_id"), col("s.old_lbl").as("old_lbl"),
           least(col("s.lbl"), coalesce(col("p_lbl"), col("s.lbl"))).as("lbl"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("doc_id"), col("lbl").as("old_lbl")), "doc_id")
-        .filter(col("lbl") =!= col("old_lbl"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("lbl") =!= col("old_lbl")).isEmpty
+      labels = next.select("doc_id", "lbl")
       i += 1
     }
     if (!converged)
