@@ -104,6 +104,13 @@ object SparkEntry {
     "q_nation_volume" -> ((s, dir) => Relational.nationVolume(s, dir)),
     "q_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
     "q_part_supplier" -> ((s, dir) => Relational.partSupplierCounts(s, dir)),
+    "q_intersect" -> ((s, dir) => Relational.convertedUsers(Tables.events(s, dir))),
+    "q_except" -> ((s, dir) => Relational.windowShoppers(Tables.events(s, dir))),
+    "q_bool_agg" -> ((s, dir) => Relational.orderBoolProfile(Tables.orders(s, dir))),
+    "q_fuzzy" -> ((s, dir) => Relational.fuzzyParts(Tables.part(s, dir))),
+    "q_funnel" -> ((s, dir) => Relational.funnel(Tables.events(s, dir))),
+    "q_retention" -> ((s, dir) => Relational.retention(Tables.events(s, dir))),
+    "q_gap_fill" -> ((s, dir) => Relational.gapFill(Tables.events(s, dir))),
 
     // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -650,6 +657,55 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
         |GROUP BY p_brand, p_size""".stripMargin,
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0""".stripMargin,
+    "q_bool_agg" ->
+      """SELECT o_custkey, bool_or(o_totalprice > 300000.0) AS has_big_order,
+        |       bool_and(o_orderstatus = 'O') AS all_open,
+        |       count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q_fuzzy" ->
+      """SELECT p_partkey, p_name, levenshtein(p_name, 'red widget')::BIGINT AS dist
+        |FROM part WHERE levenshtein(p_name, 'red widget') <= 5""".stripMargin,
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2.t2 GROUP BY e.user_id)
+        |SELECT '1_signup' AS step, count(*)::BIGINT AS n_users FROM t1
+        |UNION ALL SELECT '2_click', count(*)::BIGINT FROM t2
+        |UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM t3""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day, e.day - cohort_day AS day_offset,
+        |       count(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, ts, event_id, value
+        |           FROM events),
+        |dv AS (SELECT user_id, day, value AS day_value
+        |       FROM (SELECT user_id, day, value,
+        |               row_number() OVER (PARTITION BY user_id, day
+        |                                  ORDER BY ts DESC, event_id DESC) AS rn
+        |             FROM e)
+        |       WHERE rn = 1),
+        |grid AS (SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+        |         FROM e GROUP BY user_id)
+        |SELECT g.user_id, g.day, dv.day_value IS NOT NULL AS observed,
+        |       round(last_value(dv.day_value IGNORE NULLS)
+        |             OVER (PARTITION BY g.user_id ORDER BY g.day ASC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
+        |FROM grid g LEFT JOIN dv ON g.user_id = dv.user_id AND g.day = dv.day""".stripMargin,
 
     // ---- LLM-training-data pipeline (SURVEY §2 #26-37) ----
     "q_dedup_exact" ->

@@ -437,6 +437,101 @@ object Relational {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** INTERSECT (distinct) — users present in BOTH event populations.
+    * Plans as a left-semi over distinct sets; same single shuffle
+    * shape as the semi-join, different dedup semantics. */
+  def convertedUsers(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "signup").select("user_id")
+      .intersect(events.filter(col("event_type") === "purchase").select("user_id"))
+
+  /** EXCEPT (distinct) — users in the first population and not the
+    * second (left-anti over distinct sets): clickers with no
+    * high-value purchase. */
+  def windowShoppers(events: DataFrame, minPurchase: Double = 150.0): DataFrame =
+    events.filter(col("event_type") === "click").select("user_id")
+      .except(events.filter(col("event_type") === "purchase" &&
+        col("value") > minPurchase).select("user_id"))
+
+  /** Boolean aggregates (bool_or / bool_and): per-customer order
+    * profile flags. Booleans short-circuit in partial aggregation, so
+    * these are as cheap as count at any scale. */
+  def orderBoolProfile(orders: DataFrame): DataFrame =
+    orders.groupBy("o_custkey")
+      .agg(expr("bool_or(o_totalprice > 300000.0)").as("has_big_order"),
+        expr("bool_and(o_orderstatus = 'O')").as("all_open"),
+        count(lit(1)).as("n_orders"))
+
+  /** Edit-distance fuzzy match against a pattern — the dedup-adjacent
+    * string similarity primitive (catalog/entity reconciliation).
+    * levenshtein is codegen'd and runs per row map-side; for
+    * fuzzy SELF-joins at scale the LSH/banding dedup family is the
+    * right tool, not a quadratic distance join. */
+  def fuzzyParts(part: DataFrame, pattern: String = "red widget",
+                 maxDist: Int = 5): DataFrame =
+    part.select(col("p_partkey"), col("p_name"),
+        levenshtein(col("p_name"), lit(pattern)).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+
+  /** Ordered funnel (signup → click → purchase): each step's entry
+    * time is the first qualifying event STRICTLY AFTER the previous
+    * step. Three filtered aggregates chained by broadcast-sized
+    * per-user timestamps — never a fact-fact shuffle beyond the
+    * groupBys, and each stage's population only shrinks. */
+  def funnel(events: DataFrame): DataFrame = {
+    val t1 = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = events.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = events.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("step"), col("n_users"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), col("n_users")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), col("n_users")))
+  }
+
+  /** Cohort retention: users bucketed by first-activity day, counted
+    * per (cohort_day, day_offset). Two aggregations; the per-user
+    * first-day table joins back in at user cardinality. */
+  def retention(events: DataFrame): DataFrame = {
+    val day = expr("ts div 86400000000000")
+    val firstDay = events.groupBy("user_id").agg(min(day).as("cohort_day"))
+    events.select(col("user_id"), day.as("day"))
+      .join(firstDay, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Time-series gap fill: a complete daily grid per user (sequence +
+    * explode between the user's first and last active day), left-join
+    * the day's closing value, forward-fill with last-non-null over an
+    * ordered window. Grid size is bounded by span×users, not events —
+    * the standard alignment step before any per-entity time-series
+    * modeling. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val day = expr("ts div 86400000000000")
+    val wDayPick = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val dayValue = events.select(col("user_id"), day.as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("__rn", row_number().over(wDayPick))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("day_value"))
+    val grid = events.groupBy("user_id")
+      .agg(min(day).as("d0"), max(day).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wFill = Window.partitionBy("user_id").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(dayValue, Seq("user_id", "day"), "left")
+      .withColumn("filled_value",
+        round(last(col("day_value"), ignoreNulls = true).over(wFill), 6))
+      .select(col("user_id"), col("day"), (col("day_value").isNotNull).as("observed"),
+        col("filled_value"))
+  }
+
   /** Session windows via gap analysis: a new session starts after a
     * >30 min silence; one shuffle on user_id, then ordered window
     * scans (no state explosion — sessions are bounded per user). */
