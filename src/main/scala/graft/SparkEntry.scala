@@ -163,6 +163,7 @@ object SparkEntry {
     "q_stream_sessionize" -> ((s, dir) => graft.streaming.Streams.sessionWindows(s, dir)),
     "q_stream_dedup" -> ((s, dir) => graft.streaming.Streams.streamDedup(s, dir)),
     "q_stream_join" -> ((s, dir) => graft.streaming.Streams.streamStreamJoin(s, dir)),
+    "q_stream_anomaly" -> ((s, dir) => graft.streaming.Streams.anomalyAlerts(s, dir)),
   )
 
   // ---------------------------------------------------------------
@@ -983,5 +984,17 @@ object SparkEntry {
         |SELECT p.user_id, p.event_id AS purchase_event_id, c.event_id AS click_event_id
         |FROM p JOIN c ON p.user_id = c.user_id
         | AND c.tus <= p.tus AND c.tus >= p.tus - 3600000000""".stripMargin,
+    // the streaming stateful detector replays the batch window frame
+    // exactly (integer-only condition: v*n > 3*sum of prior values)
+    "q_stream_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |                  floor(value * 1000000.0)::BIGINT AS v FROM events),
+        |w AS (SELECT user_id, event_id, ts, v,
+        |        count(*) OVER win AS n, sum(v) OVER win AS s
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms, v AS v_micros
+        |FROM w WHERE n > 0 AND v * n > 3 * s""".stripMargin,
   )
 }

@@ -167,6 +167,47 @@ object Streams {
       }
       .start()
 
+  /** (user_id, event_id, ts_ms, v_micros): streaming anomaly alerts
+    * via flatMapGroupsWithState — the custom-state API that emits
+    * ZERO-OR-MORE rows per key per batch (mapGroupsWithState emits
+    * exactly one; an alert stream needs the general form). State per
+    * user is two longs (count + exact micro-sum); an event alerts when
+    * v·n > 3·Σprior — pure integer arithmetic, so the streaming result
+    * is bit-identical to the batch window-frame oracle. Rows are
+    * processed in (ts, event_id) order within each batch, so with
+    * time-ordered batch boundaries the alert stream is deterministic
+    * at any parallelism: state is keyed by user, and 100 TB of users
+    * shard across executors with two longs each. */
+  def anomalyAlerts(spark: SparkSession, dir: String): DataFrame =
+    anomalyAlertsFrom(spark, eventStream(spark, dir))
+
+  /** The detector over any streaming frame with (user_id, event_id,
+    * ts, value) — split out so tests can drive custom micro-batch
+    * boundaries and prove state carries across batches. */
+  private[graft] def anomalyAlertsFrom(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val stream = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+    val alerts = stream.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+       state: GroupState[(Long, Long)]) =>
+        var (n, s) = state.getOption.getOrElse((0L, 0L))
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eventId, ts, v) =>
+          if (n > 0L && v * n > 3L * s) out += ((user, eventId, ts / 1000000L, v))
+          n += 1L
+          s += v
+        }
+        state.update((n, s))
+        out.result().iterator
+    }
+    drainToMemory(spark, alerts.toDF("user_id", "event_id", "ts_ms", "v_micros"),
+      OutputMode.Append())
+  }
+
   /** Streaming INDEX ingest: every micro-batch of documents is
     * incrementally appended to a staged BM25 index via
     * [[graft.operators.Bm25Index.update]] — the end-to-end shape of

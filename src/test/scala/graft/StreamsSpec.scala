@@ -119,6 +119,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
   }
 
+  test("anomaly alerts: state persists across micro-batches, equals the batch window") {
+    val base = Files.createTempDirectory("anomaly").toString
+    val events = graft.sources.Tables.events(spark, sf)
+    // two TIME-ORDERED files -> two micro-batches; the second batch's
+    // alerts depend on state built in the first
+    val cut = events.selectExpr("percentile(ts, 0.5D)").collect()(0).getDouble(0).toLong
+    events.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$base/src_a")
+    // file source orders batches by modification time
+    Thread.sleep(1100)
+    events.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(s"$base/src_a")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src_a")
+    val got = graft.streaming.Streams.anomalyAlertsFrom(spark, stream)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch oracle: the same integer condition over the full window
+    val want = spark.sql(
+      s"""WITH e AS (SELECT user_id, event_id, ts,
+         |           CAST(floor(value * 1000000.0) AS LONG) AS v
+         |           FROM parquet.`${sf + "/events.parquet"}`),
+         |w AS (SELECT user_id, event_id, v,
+         |        count(*) OVER win AS n, sum(v) OVER win AS s
+         |      FROM e
+         |      WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, event_id FROM w WHERE n > 0 AND v * n > 3 * s""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming index ingest: per-batch updates converge to the batch-built index") {
     val base = Files.createTempDirectory("idxingest").toString
     val srcDir = s"$base/src"
