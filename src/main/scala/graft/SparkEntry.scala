@@ -125,6 +125,19 @@ object SparkEntry {
     "q_dedup_minhash_ml" -> ((s, dir) => MlPipeline.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_embcos" -> ((s, dir) => Ann.cosinePairs(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
+    // the SAME search expressed in pure SQL over registered views and
+    // the SQL-visible native graft_dot (oracle shared with bruteforce)
+    "q_sql_api" -> ((s, dir) => {
+      Api.registerTables(s, dir)
+      s.sql(
+        """WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |           FROM embeddings),
+          |vn AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e),
+          |q AS (SELECT v AS qv, nrm AS qn FROM vn WHERE vec_id = 0)
+          |SELECT b.vec_id, round(graft_dot(qv, b.v) / (qn * b.nrm), 4) AS cos
+          |FROM vn b, q WHERE b.vec_id != 0
+          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
     "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Ann.ivfTopK(Tables.embeddings(s, dir))),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
@@ -780,6 +793,15 @@ object SparkEntry {
          |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
          |WHERE c_exact >= 0.45""".stripMargin,
     "q_ann_bruteforce" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
+         |SELECT b.vec_id,
+         |       round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+         |             / (q.nrm * b.nrm), 4) AS cos
+         |FROM vn b, q WHERE b.vec_id != 0
+         |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    // the pure-SQL route computes the same ranking (shared contract)
+    "q_sql_api" ->
       s"""WITH $vecCte,
          |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
          |SELECT b.vec_id,
