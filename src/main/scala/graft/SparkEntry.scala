@@ -168,6 +168,10 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) => TextAnalysis.zipfProfile(Tables.documents(s, dir))),
     "q_char_trigrams" -> ((s, dir) => TextAnalysis.charTrigrams(Tables.documents(s, dir))),
     "q_stem" -> ((s, dir) => TextAnalysis.stemmedVocab(Tables.documents(s, dir))),
+    // dictionary segmentation round trip (ansj plug point) — greedy
+    // longest-match is not SQL-expressible → rows-only; round-trip
+    // rate asserted in TextAnalysisSpec
+    "q_segment" -> ((s, dir) => TextAnalysis.segmentRoundTrip(Tables.documents(s, dir))),
 
     // ---- Structured Streaming surface (SURVEY §2 #38-39): real
     // streaming queries drained to a sink, checked vs batch oracles ----

@@ -307,6 +307,68 @@ case class CharNgrams(child: Expression, n: Int)
   override def prettyName: String = "graft_char_ngrams"
 }
 
+/** `graft_segment(text, dict_array)`: greedy longest-match dictionary
+  * segmentation — the engine's stand-in for the reference's ansj
+  * Chinese segmenter (BatchBM25PreMain.java:185-199), which is
+  * likewise a dictionary-driven tokenizer for text with no word
+  * delimiters. The dictionary arrives as an array literal/column
+  * (driver-broadcast vocabulary — segmenter dictionaries are bounded
+  * by construction); match greedily from the left, longest word
+  * first, falling back to a single character for out-of-vocabulary
+  * runs (ansj's unknown-char behavior). One native pass per row; the
+  * HashSet + max-length probe is rebuilt only when the dictionary
+  * expression is foldable (the normal case — checked once).
+  */
+case class SegmentWords(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  @transient private var cachedDict: (AnyRef, java.util.HashSet[String], Int) = _
+
+  private def dictFor(d: ArrayData): (java.util.HashSet[String], Int) = {
+    val c = cachedDict
+    if (c != null && (c._1 eq d)) return (c._2, c._3)
+    val set = new java.util.HashSet[String]()
+    var maxLen = 1
+    var i = 0
+    while (i < d.numElements()) {
+      val w = d.getUTF8String(i).toString
+      set.add(w)
+      if (w.length > maxLen) maxLen = w.length
+      i += 1
+    }
+    cachedDict = (d, set, maxLen)
+    (set, maxLen)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val (dict, maxLen) = dictFor(b.asInstanceOf[ArrayData])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < s.length) {
+      var len = math.min(maxLen, s.length - i)
+      var found = false
+      while (len > 0 && !found) {
+        if (dict.contains(s.substring(i, i + len))) found = true else len -= 1
+      }
+      if (!found) len = 1 // OOV fallback: single character
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, i + len))
+      i += len
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_segment"
+}
+
 /** Session-extension hook registering graft's native expressions.
   * Users: `.withExtensions(new GraftExtensions)` on the session
   * builder, or `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -342,6 +404,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
       (children: Seq[Expression]) => CharNgrams(children(0),
         children(1).eval().asInstanceOf[Number].intValue())
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_segment"),
+      new ExpressionInfo(classOf[SegmentWords].getName, "graft_segment"),
+      (children: Seq[Expression]) => SegmentWords(children(0), children(1))
     ))
   }
 }

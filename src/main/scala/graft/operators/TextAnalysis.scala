@@ -222,6 +222,32 @@ object TextAnalysis {
       .groupBy("stem")
       .agg(count(lit(1)).as("n_terms"), sum(col("n")).as("n_total"))
 
+  /** (doc_id, n_orig, n_seg, exact): dictionary longest-match
+    * segmentation round trip — the ansj plug-point of the reference
+    * (BatchBM25PreMain.java:185-199) demonstrated end-to-end: strip
+    * every space from the document, re-segment the delimiter-free
+    * string with `graft_segment` against the corpus vocabulary, and
+    * compare with the original token sequence. The vocabulary is
+    * collected once on the driver (segmenter dictionaries are bounded
+    * by design — this is how any dictionary tokenizer ships its model)
+    * and broadcast as a literal; the segmentation itself is one native
+    * pass per row. Greedy longest-match can mis-split genuinely
+    * ambiguous concatenations, so `exact` is reported per doc and the
+    * spec asserts a high round-trip rate rather than perfection. */
+  def segmentRoundTrip(docs: DataFrame): DataFrame = {
+    val vocab = docs.select(explode(graft.functions.Text.rawTokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val dictArr = array(vocab.map(lit): _*)
+    docs
+      .withColumn("orig", graft.functions.Text.rawTokens(col("text")))
+      .withColumn("seg", call_function("graft_segment",
+        regexp_replace(lower(col("text")), " ", ""), dictArr))
+      .select(col("doc_id"),
+        size(col("orig")).cast("long").as("n_orig"),
+        size(col("seg")).cast("long").as("n_seg"),
+        (col("seg") === col("orig")).as("exact"))
+  }
+
   /** (doc_id, fingerprint): content fingerprint = min md5 over word
     * 3-gram shingles (md5(text) fallback for tiny docs). Robust to
     * word order at the edges, cheap, and a pure map+min aggregation. */

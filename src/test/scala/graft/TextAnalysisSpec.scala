@@ -113,6 +113,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(direct == top.getAs[Long]("n"))
   }
 
+  test("dictionary segmentation round-trips de-spaced docs at high rate") {
+    val rows = TextAnalysis.segmentRoundTrip(docs).collect()
+    assert(rows.length == docs.count())
+    val exact = rows.count(_.getBoolean(3))
+    // greedy longest-match may mis-split ambiguous concatenations, but
+    // the corpus vocabulary should round-trip the vast majority
+    assert(exact.toDouble / rows.length >= 0.9,
+      s"only $exact/${rows.length} docs round-tripped")
+    // exact round trips recover the token count too
+    rows.filter(_.getBoolean(3)).foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
   test("stemmed vocab folds terms without losing token mass") {
     val vocab = TextAnalysis.stemmedVocab(docs).collect()
     val tokens = operators.Bm25.tokenize(docs).count()
