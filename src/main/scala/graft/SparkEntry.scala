@@ -934,17 +934,19 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source FROM s WHERE u < rate""".stripMargin,
     "q_pmi" ->
-      """WITH wd AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
+      s"""WITH wd AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
         |uni AS (SELECT u.t AS w, count(*)::BIGINT AS c FROM wd, unnest(words) AS u(t) GROUP BY 1),
         |nu AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
         |bi AS (SELECT words[i] AS w1, words[i+1] AS w2, count(*)::BIGINT AS n_ab
         |       FROM wd, unnest(generate_series(1, len(words)-1)) AS t(i)
         |       WHERE len(words) >= 2 GROUP BY 1, 2),
         |nb AS (SELECT sum(n_ab)::BIGINT AS n_bi FROM bi),
+        |cnt AS (SELECT w1, w2, n_ab, n_uni, n_bi, ca.c AS ca, cb.c AS cb
+        |        FROM bi JOIN uni ca ON bi.w1 = ca.w JOIN uni cb ON bi.w2 = cb.w, nu, nb
+        |        WHERE n_ab >= 5),
         |j AS (SELECT w1, w2, n_ab,
-        |        round(ln(CAST(n_ab * n_uni * n_uni AS DOUBLE) / CAST(n_bi * ca.c * cb.c AS DOUBLE)), 6) AS pmi
-        |      FROM bi JOIN uni ca ON bi.w1 = ca.w JOIN uni cb ON bi.w2 = cb.w, nu, nb
-        |      WHERE n_ab >= 5)
+        |        round(${graft.operators.TextAnalysis.PmiExpr}, 6) AS pmi
+        |      FROM cnt)
         |SELECT w1, w2, n_ab, pmi FROM j ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     "q_zipf" ->
       s"""WITH $tfCte,

@@ -128,6 +128,9 @@ case class MinHashWords(child: Expression, n: Int, numPerm: Int)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
+  // returns null for docs shorter than n regardless of child nullability
+  override def nullable: Boolean = true
+
   @transient private lazy val (as, bs) = GraftHashing.minhashParams(numPerm)
 
   override def nullSafeEval(input: Any): Any = {
@@ -184,6 +187,9 @@ case class SimHashWords(child: Expression, bits: Int = 60)
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  // returns null for docs with no kept tokens regardless of child nullability
+  override def nullable: Boolean = true
 
   @transient private lazy val stop: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -247,6 +253,9 @@ case class ShingleWords(child: Expression, n: Int)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
 
+  // returns null for docs shorter than n regardless of child nullability
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val len = words.numElements()
@@ -259,7 +268,10 @@ case class ShingleWords(child: Expression, n: Int)
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + j).toString)
+        // null elements are skipped, matching concat_ws semantics (the
+        // lambda formulation this replaced); split() never yields them
+        val w = words.getUTF8String(i + j)
+        if (w != null) sb.append(w.toString)
         j += 1
       }
       out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
@@ -286,6 +298,9 @@ case class CharNgrams(child: Expression, n: Int)
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  // returns null for strings shorter than n regardless of child nullability
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     // code-point (not UTF-16) indexing, matching SQL substring semantics
@@ -326,11 +341,7 @@ case class SegmentWords(left: Expression, right: Expression)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
 
-  @transient private var cachedDict: (AnyRef, java.util.HashSet[String], Int) = _
-
-  private def dictFor(d: ArrayData): (java.util.HashSet[String], Int) = {
-    val c = cachedDict
-    if (c != null && (c._1 eq d)) return (c._2, c._3)
+  private def buildDict(d: ArrayData): (java.util.HashSet[String], Int) = {
     val set = new java.util.HashSet[String]()
     var maxLen = 1
     var i = 0
@@ -340,13 +351,20 @@ case class SegmentWords(left: Expression, right: Expression)
       if (w.length > maxLen) maxLen = w.length
       i += 1
     }
-    cachedDict = (d, set, maxLen)
     (set, maxLen)
   }
 
+  // the dictionary HashSet is cached only when the dict expression is
+  // FOLDABLE (the normal case: a literal/broadcast vocabulary); a
+  // per-row dict column would rebuild the set per row, so the honest
+  // contract is: pass the dictionary as a literal
+  @transient private lazy val foldedDict: Option[(java.util.HashSet[String], Int)] =
+    if (right.foldable) Option(right.eval(null)).map(d => buildDict(d.asInstanceOf[ArrayData]))
+    else None
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    val (dict, maxLen) = dictFor(b.asInstanceOf[ArrayData])
+    val (dict, maxLen) = foldedDict.getOrElse(buildDict(b.asInstanceOf[ArrayData]))
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
     while (i < s.length) {

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   /** Codegen'd dot product (graft_dot is registered by GraftExtensions). */
-  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  private def dot(a: Column, b: Column): Column = graft.functions.Native.dot(a, b)
 
   /** Embeddings with double-cast vector `v` and its L2 norm. */
   private def withNorm(embeddings: DataFrame): DataFrame =

@@ -23,7 +23,7 @@ object AnnIndex {
             numTables: Int = 8, bitsPerTable: Int = 4): Unit = {
     val e = embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .withColumn("nrm", sqrt(graft.functions.Native.dot(col("v"), col("v"))))
     e.write.mode(SaveMode.Overwrite).parquet(s"$path/vectors")
     Ann.lshBuckets(embeddings, numTables, bitsPerTable)
       .repartition(col("t"), col("bucket"))
@@ -48,7 +48,7 @@ object AnnIndex {
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cos", round(
-        call_function("graft_dot", col("va"), col("v")) / (col("na") * col("nrm")), 4))
+        graft.functions.Native.dot(col("va"), col("v")) / (col("na") * col("nrm")), 4))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
       .select("vec_id", "cos")

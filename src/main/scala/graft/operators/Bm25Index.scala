@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,83 +9,100 @@ import org.apache.spark.sql.functions._
   * pipeline, which precomputes TF per document and global IDF into
   * MongoDB collections (MongoTFSink.java, BatchBM25PreMain.java:
   * 106-122) and serves queries from the store. Here the store is
-  * parquet:
+  * parquet, laid out as ATOMICALLY-COMMITTED delta directories:
   *
-  *   <path>/postings  (term, doc_id, tf)  — repartitioned + sorted by
-  *                    term so a query's term predicate prunes row
-  *                    groups (min/max stats) instead of scanning
-  *   <path>/doclen    (doc_id, dl)
-  *   <path>/stats     (n_docs, avgdl)     — one row
+  *   <path>/delta-<tag>/postings  (term, doc_id, tf) — term-clustered
+  *   <path>/delta-<tag>/doclen    (doc_id, dl)
   *
-  * Build cost: ONE corpus pass (postings), then doclen/stats derive
-  * from the files just written, never from the raw corpus. Query cost:
-  * NO corpus pass at all — a pushed-down postings scan for the query
-  * terms, one shuffle join against doclen, a broadcast of (df, stats).
-  * That asymmetry (build once, query cheap) is what an inverted index
-  * is for, and it holds at 100 TB: postings are term-clustered, so a
-  * 4-term query touches a handful of row groups per file.
+  * Every ingest (the initial build included) stages its postings +
+  * doc lengths under `<path>/.staging-<tag>` and commits with ONE
+  * directory rename — the only mutation the store ever sees. A crash
+  * before the rename leaves an ignored staging dir; after it, the
+  * batch is fully visible. Replaying a batch with the same tag is a
+  * no-op (the delta exists), which is what makes streaming ingest
+  * ([[graft.streaming.Streams.indexIngest]]) exactly-once without a
+  * transaction log: source-side replay is idempotent by tag.
+  *
+  * Build cost: ONE pass over the batch (postings); doclen derives
+  * from the postings just written, never from the corpus again.
+  * Query cost: NO corpus pass — a pushed-down postings scan for the
+  * query terms across the delta glob, one join against doclen, and
+  * corpus stats aggregated from doclen (doc-cardinality) at query
+  * time. Delta files accumulate per batch;
+  * [[graft.sources.Sinks.compact]] is the companion maintenance pass.
   */
 object Bm25Index {
 
-  def build(docs: DataFrame, path: String): Unit = {
-    val tf = Bm25.tf(docs)
-    tf.repartition(col("term")).sortWithinPartitions("term", "doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/postings")
-    // doclen derives from the postings just written (no second corpus
-    // pass), and stats from the written doclen (no third)
-    val spark = docs.sparkSession
-    spark.read.parquet(s"$path/postings")
-      .groupBy("doc_id").agg(sum("tf").as("dl"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/doclen")
-    spark.read.parquet(s"$path/doclen")
-      .agg(count(col("doc_id")).as("n_docs"), avg(col("dl")).cast("double").as("avgdl"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedDeltas(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val p = new Path(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta-"))
+      .map(_.getPath.toString)
   }
 
-  /** Incrementally ingest a NEW document batch into a staged index:
-    * the batch's postings and doc lengths are computed from the batch
-    * alone and APPENDED (delta files are term-clustered like the base
-    * build, so query-term pruning still works); only the one-row stats
-    * table is recomputed, from doclen — doc-cardinality, never the
-    * corpus. Work scales with the batch, not the store — the property
-    * that makes a 100 TB index maintainable (the reference re-runs its
-    * whole pipeline per corpus change; a per-doc Mongo upsert has the
-    * same batch-scaled cost, this is its shared-nothing analogue).
-    * Re-ingesting an existing doc_id is REJECTED (appending would
-    * double-count its postings); replacement requires a keyed upsert
-    * of the doc's postings partition or a rebuild. Delta files
-    * accumulate per batch; [[graft.sources.Sinks.compact]] is the
-    * companion maintenance pass. */
-  def update(newDocs: DataFrame, path: String): Unit = {
+  /** Full (re)build: reset the store and ingest the corpus as the
+    * first delta. */
+  def build(docs: DataFrame, path: String): Unit = {
+    val fs = fsOf(docs.sparkSession, path)
+    fs.delete(new Path(path), true)
+    update(docs, path, "00000")
+  }
+
+  /** Incrementally ingest a NEW document batch. Work scales with the
+    * batch, not the store (the reference re-runs its whole pipeline
+    * per corpus change; a per-doc Mongo upsert has the same
+    * batch-scaled cost — this is its shared-nothing analogue).
+    * Idempotent per `tag`: a committed tag is skipped, so replays
+    * (streaming restarts) are exactly-once. Re-ingesting an existing
+    * doc_id under a NEW tag is rejected — append-only maintenance
+    * would double-count its postings; replace via rebuild or a keyed
+    * upsert of the affected delta. */
+  def update(newDocs: DataFrame, path: String,
+             tag: String = java.util.UUID.randomUUID().toString): Unit = {
     val spark = newDocs.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bootstrap: the first batch of a streaming ingest IS the build
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/doclen"))) {
-      val existing = spark.read.parquet(s"$path/doclen").select(col("doc_id"))
+    val fs = fsOf(spark, path)
+    val committed = new Path(s"$path/delta-$tag")
+    if (fs.exists(committed)) return // replayed batch: already ingested
+    val deltas = committedDeltas(spark, path)
+    if (deltas.nonEmpty) {
+      val existing = spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
+        .select(col("doc_id"))
       val nDup = newDocs.select("doc_id").join(existing, Seq("doc_id"), "left_semi").count()
       require(nDup == 0,
         s"update batch re-ingests $nDup existing doc_ids; append-only maintenance " +
           "would double-count their postings — upsert or rebuild instead")
     }
-    val tf = Bm25.tf(newDocs)
-    tf.repartition(col("term")).sortWithinPartitions("term", "doc_id")
-      .write.mode(SaveMode.Append).parquet(s"$path/postings")
-    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .write.mode(SaveMode.Append).parquet(s"$path/doclen")
-    spark.read.parquet(s"$path/doclen")
-      .agg(count(col("doc_id")).as("n_docs"), avg(col("dl")).cast("double").as("avgdl"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    val staging = new Path(s"$path/.staging-$tag")
+    fs.delete(staging, true)
+    Bm25.tf(newDocs)
+      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+    // doclen derives from the postings just written — ONE corpus pass
+    spark.read.parquet(s"$staging/postings")
+      .groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
+    if (!fs.rename(staging, committed))
+      throw new java.io.IOException(s"commit failed for $committed")
   }
 
   /** Okapi BM25 over the staged index — matches Bm25.bm25Score on the
     * same corpus exactly (same formula, rounding, tie-breaks). */
   def score(spark: SparkSession, path: String,
             queryTerms: Seq[String] = Bm25.QueryTerms): DataFrame = {
-    val tfq = spark.read.parquet(s"$path/postings")
+    val deltas = committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val tfq = spark.read.parquet(deltas.map(d => s"$d/postings"): _*)
       .filter(col("term").isin(queryTerms: _*)) // pushed to the scan
-    val dl = spark.read.parquet(s"$path/doclen")
-    val stats = spark.read.parquet(s"$path/stats")
+    val dl = spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
+    // corpus stats aggregate doc-cardinality rows at query time — no
+    // stored table to keep transactionally in step with the deltas
+    val stats = dl.agg(count(col("doc_id")).as("n_docs"),
+      avg(col("dl")).cast("double").as("avgdl"))
     val scored = tfq
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .join(dl, "doc_id")

@@ -163,7 +163,7 @@ object Dedup {
     docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
-        explode(call_function("graft_shingles", col("words"), lit(n))).as("shingle"))
+        explode(graft.functions.Native.shingles(col("words"), n)).as("shingle"))
       .distinct()
 
   /** (doc_a, doc_b, jaccard): exact n-gram Jaccard near-dup pairs via
@@ -204,7 +204,7 @@ object Dedup {
     docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
-        call_function("graft_minhash", col("words"), lit(n), lit(numPerm)).as("sigs"))
+        graft.functions.Native.minhash(col("words"), n, numPerm).as("sigs"))
 
   /** (doc_id, p, sig): MinHash signature rows (row-local compute). */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 16): DataFrame =
@@ -269,6 +269,6 @@ object Dedup {
     * formulation in the SQL oracle). */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        call_function("graft_simhash", graft.functions.Text.rawTokens(col("text"))).as("simhash"))
+        graft.functions.Native.simhash(graft.functions.Text.rawTokens(col("text"))).as("simhash"))
       .filter(col("simhash").isNotNull)
 }

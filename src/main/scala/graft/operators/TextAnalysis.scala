@@ -136,11 +136,18 @@ object TextAnalysis {
       .filter(col("u") < col("rate"))
       .select("doc_id", "source")
 
+  /** The PMI arithmetic, written once and shared verbatim with the
+    * DuckDB oracle: ln(p(ab)/(p(a)p(b))) decomposed into a SUM of logs
+    * of the exact integer counts — a product form (c_ab·N_u² etc.)
+    * would overflow int64 once the corpus passes ~3e9 tokens. Each
+    * count casts to double exactly below 2^53, and the identical
+    * expression tree is IEEE-deterministic in both engines. */
+  private[graft] val PmiExpr =
+    "ln(CAST(n_ab AS DOUBLE)) + CAST(2 AS DOUBLE) * ln(CAST(n_uni AS DOUBLE)) " +
+      "- ln(CAST(n_bi AS DOUBLE)) - ln(CAST(ca AS DOUBLE)) - ln(CAST(cb AS DOUBLE))"
+
   /** (w1, w2, n_ab, pmi): top-k collocations by pointwise mutual
-    * information over adjacent word pairs. pmi = ln(p(ab)/(p(a)p(b)))
-    * computed as ln of ONE ratio of exact integer products
-    * (c_ab·N_u², divided by N_b·c_a·c_b) — a single double division +
-    * ln over identical integers is engine-deterministic. Unigram and
+    * information over adjacent word pairs ([[PmiExpr]]). Unigram and
     * bigram counts are two hash aggregations; the unigram side joins in
     * twice at word cardinality (broadcastable — vocabularies are tiny
     * next to corpora). The min-count floor kills the noisy tail before
@@ -161,7 +168,7 @@ object TextAnalysis {
       .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))), "w2")
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
       .select(col("w1"), col("w2"), col("n_ab"),
-        round(expr("ln(CAST(n_ab * n_uni * n_uni AS DOUBLE) / CAST(n_bi * ca * cb AS DOUBLE))"), 6).as("pmi"))
+        round(expr(PmiExpr), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
@@ -191,7 +198,7 @@ object TextAnalysis {
     docs.select(col("lang"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 3)
       .select(col("lang"),
-        explode(call_function("graft_char_ngrams", col("t"), lit(3))).as("trigram"))
+        explode(graft.functions.Native.charNgrams(col("t"), 3)).as("trigram"))
       .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -240,7 +247,7 @@ object TextAnalysis {
     val dictArr = array(vocab.map(lit): _*)
     docs
       .withColumn("orig", graft.functions.Text.rawTokens(col("text")))
-      .withColumn("seg", call_function("graft_segment",
+      .withColumn("seg", graft.functions.Native.segment(
         regexp_replace(lower(col("text")), " ", ""), dictArr))
       .select(col("doc_id"),
         size(col("orig")).cast("long").as("n_orig"),

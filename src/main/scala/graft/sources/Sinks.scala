@@ -129,8 +129,19 @@ object Sinks {
 
   /** Per-document text export (the ref writes output/{pid}.txt; at
     * scale one-file-per-doc is an anti-pattern, so the engine writes
-    * `doc_id \t payload` lines, splittable and partition-parallel). */
-  def textExport(df: DataFrame, path: String): Unit =
-    df.select(concat_ws("\t", df.columns.map(col): _*).as("value"))
+    * `doc_id \t payload` lines, splittable and partition-parallel).
+    * String payloads are ESCAPED (backslash, tab, newline, CR) so a
+    * document containing the delimiter or a line break still occupies
+    * exactly one physical line — the reader ([[TsvDataSource]])
+    * reverses the escaping. */
+  def textExport(df: DataFrame, path: String): Unit = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col(f.name), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n"), "\r", "\\\\r")
+      else col(f.name)
+    }
+    df.select(concat_ws("\t", cols: _*).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
+  }
 }

@@ -27,8 +27,9 @@ object Zorder {
   private def mortonCode(df: DataFrame, cols: Seq[String], bits: Int): Column = {
     val nBuckets = 1 << bits
     val qs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bucketExprs = cols.map { c =>
-      val cuts = df.stat.approxQuantile(c, qs, 0.001)
+    // the multi-column overload sketches every column in ONE scan
+    val allCuts = df.stat.approxQuantile(cols.toArray, qs, 0.001)
+    val bucketExprs = cols.zip(allCuts).map { case (c, cuts) =>
       // bucket = number of cut points <= value (0..2^bits-1); the cut
       // array is a broadcast-sized literal evaluated per row
       val arr = cuts.mkString("array(", "D, ", "D)")

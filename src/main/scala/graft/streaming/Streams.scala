@@ -209,21 +209,22 @@ object Streams {
   }
 
   /** Streaming INDEX ingest: every micro-batch of documents is
-    * incrementally appended to a staged BM25 index via
+    * incrementally committed to a staged BM25 index via
     * [[graft.operators.Bm25Index.update]] — the end-to-end shape of
     * the reference's streaming pipeline (stream in, maintain the
     * search index's TF/DF/length state, serve queries from the store).
-    * Per-batch cost scales with the batch; exactly-once comes from the
-    * checkpointed source offsets + the idempotence check in update
-    * (a replayed batch's doc_ids are already ingested → rejected, so
-    * the caller skips, here acceptable because batches are immutable
-    * files). Returns the started query; caller awaits/stops. */
+    * Per-batch cost scales with the batch. Exactly-once: the batch id
+    * is the delta tag, each delta commits with ONE atomic rename, and
+    * a replayed tag is a no-op — so restarts (with or without a
+    * checkpoint) neither lose nor double-count a batch. Returns the
+    * started query; caller awaits/stops. */
   def indexIngest(spark: SparkSession, docs: DataFrame,
                   indexPath: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) graft.operators.Bm25Index.update(batch.toDF(), indexPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Bm25Index.update(batch.toDF(), indexPath, f"batch-$batchId%05d")
       }
       .start()
 

@@ -165,6 +165,10 @@ class IoSpec extends AnyFunSuite {
       Bm25Index.update(docs.limit(1), idx)
     }
     assert(err.getMessage.contains("re-ingests"))
+    // a REPLAYED tag is a committed delta -> no-op, scores unchanged
+    Bm25Index.update(docs.filter(col("doc_id") % 3 === 0), idx, "00000")
+    assert(Bm25Index.score(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).sameElements(direct))
   }
 
   test("graft-tsv DSv2 source: round trip + column pruning pushdown") {
@@ -184,6 +188,19 @@ class IoSpec extends AnyFunSuite {
       .linesIterator.find(_.contains("BatchScan")).getOrElse("")
     assert(scan.contains("[doc_id#") && !scan.contains("text#"),
       s"text column should be pruned at the source:\n$scan")
+  }
+
+  test("graft-tsv escaping: tabs, newlines and backslashes round-trip") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "plain text"),
+      (2L, "tab\there and\nnewline"),
+      (3L, "back\\slash \\t literal"),
+      (4L, "crlf\r\nmix")).toDF("doc_id", "text")
+    val out = tmpDir("dsv2esc") + "/docs"
+    Sinks.textExport(tricky, out)
+    val back = spark.read.format("graft-tsv").load(out)
+    assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
   }
 
   test("z-order layout keeps per-file ranges narrow on BOTH dimensions") {
