@@ -79,4 +79,37 @@ class EdgeCaseSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(wc1 == plain)
   }
+
+  test("round-3 operators degrade gracefully on empty/degenerate input") {
+    import graft.operators.Relational
+    val noEvents = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // funnel on no events: three steps, zero users each
+    val f = Relational.funnel(noEvents).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("1_signup" -> 0L, "2_click" -> 0L, "3_purchase" -> 0L))
+    assert(Relational.retention(noEvents).count() == 0)
+    assert(Relational.gapFill(noEvents).count() == 0)
+    assert(Relational.valueOutliers(noEvents).count() == 0)
+    assert(Relational.typeIntervals(noEvents).count() == 0)
+    // single-event user: one interval, no outlier (no prior state)
+    val one = Seq((1L, 5L, 9L, "click", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Relational.typeIntervals(one).count() == 1)
+    assert(Relational.valueOutliers(one).count() == 0)
+    // text ops on the junk corpus: no NaN/throw
+    assert(TextAnalysis.zipfProfile(junk).count() > 0)
+    assert(TextAnalysis.bigramPmi(junk, minCount = 1, k = 5).count() <= 5)
+    assert(TextAnalysis.charTrigrams(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")).count() == 0)
+    assert(TextAnalysis.stemmedVocab(empty).count() == 0)
+    assert(TextAnalysis.segmentRoundTrip(junk).count() == junk.count())
+  }
+
+  test("segmentRoundTrip on a corpus with an empty-text doc") {
+    // doc 3 has empty text: zero tokens, zero segments, exact by
+    // definition (empty == empty)
+    val r = TextAnalysis.segmentRoundTrip(junk).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(4L)._3, "normal doc must round-trip")
+  }
 }
