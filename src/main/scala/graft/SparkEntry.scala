@@ -111,6 +111,7 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) => Relational.funnel(Tables.events(s, dir))),
     "q_retention" -> ((s, dir) => Relational.retention(Tables.events(s, dir))),
     "q_gap_fill" -> ((s, dir) => Relational.gapFill(Tables.events(s, dir))),
+    "q_moving_avg" -> ((s, dir) => Relational.movingRevenue(Tables.orders(s, dir))),
 
     // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -724,6 +725,16 @@ object SparkEntry {
         |             OVER (PARTITION BY g.user_id ORDER BY g.day ASC
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
         |FROM grid g LEFT JOIN dv ON g.user_id = dv.user_id AND g.day = dv.day""".stripMargin,
+    "q_moving_avg" ->
+      """WITH byday AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         sum(floor(o_totalprice * 1000000.0)::BIGINT)::BIGINT AS rev_micros
+        |  FROM orders GROUP BY 1)
+        |SELECT day, rev_micros,
+        |       count(*) OVER w AS n_days_in_window,
+        |       round(CAST(sum(rev_micros) OVER w AS DOUBLE) / (count(*) OVER w), 4) AS ma7_micros
+        |FROM byday
+        |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // ---- LLM-training-data pipeline (SURVEY §2 #26-37) ----
     "q_dedup_exact" ->

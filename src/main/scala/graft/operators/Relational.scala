@@ -532,6 +532,24 @@ object Relational {
         col("filled_value"))
   }
 
+  /** 7-day rolling revenue via a RANGE window frame (value-based, so
+    * missing days still count as a 6-day lookback — a ROWS frame would
+    * silently widen across gaps). The fact table pre-aggregates to day
+    * cardinality BEFORE the window, so the unpartitioned sort handles
+    * thousands of rows, not billions, at any corpus size; the rolling
+    * average divides two exact integer window sums (deterministic). */
+  def movingRevenue(orders: DataFrame): DataFrame = {
+    val byDay = orders
+      .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
+      .agg(sum(micros(col("o_totalprice"))).as("rev_micros"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    byDay
+      .withColumn("n_days_in_window", count(lit(1)).over(w))
+      .withColumn("ma7_micros",
+        round(sum(col("rev_micros")).over(w).cast("double") / col("n_days_in_window"), 4))
+      .select("day", "rev_micros", "n_days_in_window", "ma7_micros")
+  }
+
   /** Session windows via gap analysis: a new session starts after a
     * >30 min silence; one shuffle on user_id, then ordered window
     * scans (no state explosion — sessions are bounded per user). */
