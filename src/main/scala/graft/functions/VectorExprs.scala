@@ -266,12 +266,17 @@ case class ShingleWords(child: Expression, n: Int)
     while (i <= len - n) {
       sb.setLength(0)
       var j = 0
+      var appended = false
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        // null elements are skipped, matching concat_ws semantics (the
-        // lambda formulation this replaced); split() never yields them
+        // null elements are skipped WITH their separator, exactly like
+        // concat_ws (the lambda formulation this replaced); split()
+        // never yields them, but SQL callers can pass any array
         val w = words.getUTF8String(i + j)
-        if (w != null) sb.append(w.toString)
+        if (w != null) {
+          if (appended) sb.append(' ')
+          sb.append(w.toString)
+          appended = true
+        }
         j += 1
       }
       out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
@@ -346,9 +351,12 @@ case class SegmentWords(left: Expression, right: Expression)
     var maxLen = 1
     var i = 0
     while (i < d.numElements()) {
-      val w = d.getUTF8String(i).toString
-      set.add(w)
-      if (w.length > maxLen) maxLen = w.length
+      val u = d.getUTF8String(i) // null dictionary entries are ignored
+      if (u != null) {
+        val w = u.toString
+        set.add(w)
+        if (w.length > maxLen) maxLen = w.length
+      }
       i += 1
     }
     (set, maxLen)
@@ -373,7 +381,9 @@ case class SegmentWords(left: Expression, right: Expression)
       while (len > 0 && !found) {
         if (dict.contains(s.substring(i, i + len))) found = true else len -= 1
       }
-      if (!found) len = 1 // OOV fallback: single character
+      // OOV fallback: ONE code point (not code unit — a supplementary
+      // CJK char is two UTF-16 units and must not split into surrogates)
+      if (!found) len = Character.charCount(s.codePointAt(i))
       out += org.apache.spark.unsafe.types.UTF8String.fromString(s.substring(i, i + len))
       i += len
     }

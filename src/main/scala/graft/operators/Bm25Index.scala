@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   * Query cost: NO corpus pass — a pushed-down postings scan for the
   * query terms across the delta glob, one join against doclen, and
   * corpus stats aggregated from doclen (doc-cardinality) at query
-  * time. Delta files accumulate per batch;
-  * [[graft.sources.Sinks.compact]] is the companion maintenance pass.
+  * time. Delta dirs accumulate per batch; [[compactDeltas]] folds
+  * them back into one (single-writer maintenance window).
   */
 object Bm25Index {
 
@@ -77,8 +77,14 @@ object Bm25Index {
         s"update batch re-ingests $nDup existing doc_ids; append-only maintenance " +
           "would double-count their postings — upsert or rebuild instead")
     }
+    // single-writer contract: clear orphaned staging dirs left by any
+    // crashed earlier attempt (they are never visible to readers, but
+    // they should not accumulate)
+    val root = new Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.getPath.getName.startsWith(".staging-"))
+        .foreach(s => fs.delete(s.getPath, true))
     val staging = new Path(s"$path/.staging-$tag")
-    fs.delete(staging, true)
     Bm25.tf(newDocs)
       .repartition(col("term")).sortWithinPartitions("term", "doc_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
@@ -88,6 +94,31 @@ object Bm25Index {
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
     if (!fs.rename(staging, committed))
       throw new java.io.IOException(s"commit failed for $committed")
+  }
+
+  /** Fold all committed deltas into ONE delta (small-files
+    * maintenance: a long-running ingest accumulates a delta dir per
+    * batch, and scan task scheduling degrades with file count). The
+    * merged postings/doclen are staged and committed with the same
+    * single-rename protocol; the old deltas are then removed. Requires
+    * a single-writer maintenance window (no concurrent update/score —
+    * the brief gap between committing the merged delta and removing
+    * the old ones would double-count for a concurrent reader). */
+  def compactDeltas(spark: SparkSession, path: String): Unit = {
+    val deltas = committedDeltas(spark, path)
+    if (deltas.size <= 1) return
+    val fs = fsOf(spark, path)
+    val tag = "compact-" + java.util.UUID.randomUUID().toString
+    val staging = new Path(s"$path/.staging-$tag")
+    fs.delete(staging, true)
+    spark.read.parquet(deltas.map(d => s"$d/postings"): _*)
+      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.parquet(s"$staging/postings")
+    spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
+      .write.parquet(s"$staging/doclen")
+    if (!fs.rename(staging, new Path(s"$path/delta-$tag")))
+      throw new java.io.IOException(s"compaction commit failed for $path")
+    deltas.foreach(d => fs.delete(new Path(d), true))
   }
 
   /** Okapi BM25 over the staged index — matches Bm25.bm25Score on the

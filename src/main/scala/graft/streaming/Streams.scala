@@ -213,15 +213,20 @@ object Streams {
     * [[graft.operators.Bm25Index.update]] — the end-to-end shape of
     * the reference's streaming pipeline (stream in, maintain the
     * search index's TF/DF/length state, serve queries from the store).
-    * Per-batch cost scales with the batch. Exactly-once: the batch id
-    * is the delta tag, each delta commits with ONE atomic rename, and
-    * a replayed tag is a no-op — so restarts (with or without a
-    * checkpoint) neither lose nor double-count a batch. Returns the
-    * started query; caller awaits/stops. */
-  def indexIngest(spark: SparkSession, docs: DataFrame,
-                  indexPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    * Per-batch cost scales with the batch. Exactly-once REQUIRES the
+    * durable checkpoint: it makes batch ids and their contents stable
+    * across restarts, the batch id is the delta tag, each delta
+    * commits with ONE atomic rename, and a replayed tag is a no-op —
+    * so a restart neither loses nor double-counts a batch. (Without a
+    * durable checkpoint, a restarted query renumbers batches from 0
+    * with different contents, and a colliding tag would silently skip
+    * new data — hence the parameter is required.) Returns the started
+    * query; caller awaits/stops. */
+  def indexIngest(spark: SparkSession, docs: DataFrame, indexPath: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Bm25Index.update(batch.toDF(), indexPath, f"batch-$batchId%05d")

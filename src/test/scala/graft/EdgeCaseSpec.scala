@@ -106,10 +106,21 @@ class EdgeCaseSpec extends AnyFunSuite {
   }
 
   test("segmentRoundTrip on a corpus with an empty-text doc") {
-    // doc 3 has empty text: zero tokens, zero segments, exact by
-    // definition (empty == empty)
+    // doc 3 has empty text: split('', ' ') yields [""] (1 token) while
+    // segmenting the de-spaced empty string yields 0 segments, so the
+    // doc reports non-exact rather than throwing — the honest outcome
     val r = TextAnalysis.segmentRoundTrip(junk).collect()
       .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(3L) == ((1L, 0L, false)), s"empty doc reported ${r(3L)}")
     assert(r(4L)._3, "normal doc must round-trip")
+  }
+
+  test("graft_segment keeps supplementary (surrogate-pair) chars whole on OOV") {
+    // U+2000B occupies two UTF-16 units; the OOV fallback must emit it
+    // as ONE token, never split surrogates
+    val toks = spark.sql(
+      "SELECT graft_segment('好𠀋吗', array('好', '吗')) AS t")
+      .collect()(0).getSeq[String](0)
+    assert(toks == Seq("好", "𠀋", "吗"), s"got $toks")
   }
 }

@@ -169,6 +169,11 @@ class IoSpec extends AnyFunSuite {
     Bm25Index.update(docs.filter(col("doc_id") % 3 === 0), idx, "00000")
     assert(Bm25Index.score(spark, idx).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).sameElements(direct))
+    // compaction folds the deltas into one; scores are unchanged
+    Bm25Index.compactDeltas(spark, idx)
+    assert(new java.io.File(idx).listFiles().count(_.getName.startsWith("delta-")) == 1)
+    assert(Bm25Index.score(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).sameElements(direct))
   }
 
   test("graft-tsv DSv2 source: round trip + column pruning pushdown") {

@@ -163,7 +163,7 @@ class StreamsSpec extends AnyFunSuite {
       .schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val q = graft.streaming.Streams.indexIngest(spark, stream, idx)
+    val q = graft.streaming.Streams.indexIngest(spark, stream, idx, s"$base/ckpt")
     q.processAllAvailable()
     q.stop()
     val streamed = graft.operators.Bm25Index.score(spark, idx).collect()
