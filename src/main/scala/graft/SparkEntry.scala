@@ -47,6 +47,7 @@ object SparkEntry {
     }),
     "q_hybrid_rrf" -> ((s, dir) =>
       Hybrid.rrfSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    "q_doc_similar" -> ((s, dir) => Bm25.similarDocs(Tables.documents(s, dir))),
     "q_postings" -> ((s, dir) => Bm25.postings(Tables.documents(s, dir), maxDf = 1000)),
     "q_idf_upsert" -> ((s, dir) => Upsert.lastWins(Tables.events(s, dir))),
     // round-trip the corpus through the engine's own DataSourceV2
@@ -325,6 +326,21 @@ object SparkEntry {
          |idft AS (SELECT term, round(ln(n_docs::DOUBLE / (df + 1)), 6) AS idf FROM dft, nd)
          |SELECT tf.doc_id, tf.term, tf.tf, round(tf.tf * idft.idf, 6) AS tfidf
          |FROM tf JOIN idft ON tf.term = idft.term""".stripMargin,
+    "q_doc_similar" ->
+      s"""WITH $dlCte,
+         |idft AS (SELECT term, round(ln(n_docs::DOUBLE / (df + 1)), 6) AS idf FROM dft, nd),
+         |tt AS (SELECT tf.doc_id, tf.term,
+         |         floor(round(tf.tf * idft.idf, 6) * 1000.0)::BIGINT AS v
+         |       FROM tf JOIN idft ON tf.term = idft.term),
+         |norms AS (SELECT doc_id, sum(v * v)::BIGINT AS n2 FROM tt GROUP BY doc_id),
+         |q AS (SELECT term, v AS qv FROM tt WHERE doc_id = 0),
+         |qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = 0),
+         |dots AS (SELECT tt.doc_id, sum(tt.v * q.qv)::BIGINT AS dot
+         |         FROM tt JOIN q USING (term) WHERE tt.doc_id != 0 GROUP BY tt.doc_id)
+         |SELECT d.doc_id,
+         |       round(CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 4) AS cos
+         |FROM dots d JOIN norms USING (doc_id), qn
+         |ORDER BY cos DESC, d.doc_id ASC LIMIT 10""".stripMargin,
     "q_tfidf_ml" ->
       s"""WITH $tfCte,
          |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),

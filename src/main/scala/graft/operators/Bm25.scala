@@ -88,6 +88,35 @@ object Bm25 {
         round(col("tf") * col("idf"), 6).as("tfidf"))
   }
 
+  /** (doc_id, cos): the k documents most similar to `queryDocId` by
+    * SPARSE tf-idf cosine — the inverted-index similarity path that
+    * complements the dense-embedding ANN family: only documents
+    * SHARING a term with the query doc are ever touched (join through
+    * the term relation), so cost tracks the query doc's posting lists,
+    * never the corpus. Weights are milli-quantized to integers so
+    * norms and dot products are order-independent exact sums; the
+    * single double expression at the end is engine-deterministic
+    * (SURVEY §6). At 100 TB the query side is a broadcast (one doc's
+    * terms) and the term join shuffles nothing new — it rides the
+    * existing (term)-keyed tfidf relation. */
+  def similarDocs(docs: DataFrame, queryDocId: Long = 0L, k: Int = 10): DataFrame = {
+    val v = tfIdf(docs)
+      .select(col("doc_id"), col("term"),
+        floor(col("tfidf") * lit(1000.0)).cast("long").as("v"))
+    val norms = v.groupBy("doc_id").agg(sum(expr("v * v")).as("n2"))
+    val q = v.filter(col("doc_id") === queryDocId).select(col("term"), col("v").as("qv"))
+    val qn = norms.filter(col("doc_id") === queryDocId).select(col("n2").as("qn2"))
+    v.filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(q), "term")
+      .groupBy("doc_id").agg(sum(expr("v * qv")).as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        round(expr("CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** (doc_id, score): Okapi BM25 of every matching document against
     * `queryTerms`.
     *
