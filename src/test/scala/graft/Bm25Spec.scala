@@ -60,6 +60,18 @@ class Bm25Spec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("sparse doc similarity ranks a near-duplicate of the query doc first") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sim = Bm25.similarDocs(docs).collect()
+    assert(sim.length == 10)
+    val cosines = sim.map(_.getDouble(1))
+    assert(cosines.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+    // doc 0's nearest sparse neighbor should overlap it heavily: its
+    // cosine must clearly beat the list's tail
+    assert(cosines.head > cosines.last)
+  }
+
   test("every query in SparkEntry.queries runs and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
