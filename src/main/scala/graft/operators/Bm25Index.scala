@@ -45,6 +45,30 @@ object Bm25Index {
       .map(_.getPath.toString)
   }
 
+  /** Tiny per-delta sidecar recording the delta's [min,max] doc_id.
+    * Written into the staging dir (so the atomic rename covers it);
+    * lets the duplicate-doc_id check skip every delta whose id range
+    * cannot overlap the incoming batch, keeping per-batch cost
+    * batch-scaled for the common monotone-id ingest pattern. */
+  private def writeRange(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                         lo: Long, hi: Long): Unit = {
+    val out = fs.create(new Path(dir, "docid.range"), true)
+    try out.write(s"$lo\n$hi\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readRange(fs: org.apache.hadoop.fs.FileSystem,
+                        delta: String): Option[(Long, Long)] = {
+    val p = new Path(delta, "docid.range")
+    if (!fs.exists(p)) None // pre-range delta: never pruned
+    else {
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        Some((lines.head.toLong, lines(1).toLong))
+      } finally in.close()
+    }
+  }
+
   /** Full (re)build: reset the store and ingest the corpus as the
     * first delta. */
   def build(docs: DataFrame, path: String): Unit = {
@@ -61,7 +85,9 @@ object Bm25Index {
     * (streaming restarts) are exactly-once. Re-ingesting an existing
     * doc_id under a NEW tag is rejected — append-only maintenance
     * would double-count its postings; replace via rebuild or a keyed
-    * upsert of the affected delta. */
+    * upsert of the affected delta. The duplicate check range-prunes
+    * via per-delta doc_id sidecars, so it stays batch-scaled (for
+    * monotone-id ingest it touches O(1) deltas, not the store). */
   def update(newDocs: DataFrame, path: String,
              tag: String = java.util.UUID.randomUUID().toString): Unit = {
     val spark = newDocs.sparkSession
@@ -69,13 +95,28 @@ object Bm25Index {
     val committed = new Path(s"$path/delta-$tag")
     if (fs.exists(committed)) return // replayed batch: already ingested
     val deltas = committedDeltas(spark, path)
-    if (deltas.nonEmpty) {
-      val existing = spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
-        .select(col("doc_id"))
-      val nDup = newDocs.select("doc_id").join(existing, Seq("doc_id"), "left_semi").count()
-      require(nDup == 0,
-        s"update batch re-ingests $nDup existing doc_ids; append-only maintenance " +
-          "would double-count their postings — upsert or rebuild instead")
+    // batch id range: one batch-scaled agg, reused for range-pruning
+    // the duplicate check AND for this delta's own sidecar below
+    val Array(batchRange) = newDocs
+      .agg(min(col("doc_id").cast("long")).as("lo"), max(col("doc_id").cast("long")).as("hi"))
+      .collect()
+    val (batchLo, batchHi) =
+      if (batchRange.isNullAt(0)) (0L, -1L) else (batchRange.getLong(0), batchRange.getLong(1))
+    if (deltas.nonEmpty && batchLo <= batchHi) {
+      // only deltas whose [min,max] doc_id overlaps the batch can hold
+      // a duplicate — for monotone-id ingest this prunes to O(1)
+      // deltas, keeping the check batch-scaled even on a large store
+      val candidates = deltas.filter { d =>
+        readRange(fs, d).forall { case (lo, hi) => lo <= batchHi && hi >= batchLo }
+      }
+      if (candidates.nonEmpty) {
+        val existing = spark.read.parquet(candidates.map(d => s"$d/doclen"): _*)
+          .select(col("doc_id"))
+        val nDup = newDocs.select("doc_id").join(existing, Seq("doc_id"), "left_semi").count()
+        require(nDup == 0,
+          s"update batch re-ingests $nDup existing doc_ids; append-only maintenance " +
+            "would double-count their postings — upsert or rebuild instead")
+      }
     }
     // single-writer contract: clear orphaned staging dirs left by any
     // crashed earlier attempt (they are never visible to readers, but
@@ -92,6 +133,7 @@ object Bm25Index {
     spark.read.parquet(s"$staging/postings")
       .groupBy("doc_id").agg(sum("tf").as("dl"))
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
+    if (batchLo <= batchHi) writeRange(fs, staging, batchLo, batchHi)
     if (!fs.rename(staging, committed))
       throw new java.io.IOException(s"commit failed for $committed")
   }
@@ -116,6 +158,14 @@ object Bm25Index {
       .write.parquet(s"$staging/postings")
     spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
       .write.parquet(s"$staging/doclen")
+    // merged range = union of the input ranges; if ANY input predates
+    // range sidecars its span is unknown → omit (never-pruned) rather
+    // than write a wrong one
+    val ranges = deltas.map(d => readRange(fs, d))
+    if (ranges.forall(_.isDefined)) {
+      val rs = ranges.flatten
+      writeRange(fs, staging, rs.map(_._1).min, rs.map(_._2).max)
+    }
     if (!fs.rename(staging, new Path(s"$path/delta-$tag")))
       throw new java.io.IOException(s"compaction commit failed for $path")
     deltas.foreach(d => fs.delete(new Path(d), true))

@@ -153,14 +153,16 @@ object MlPipeline {
     val sets = Dedup.shingles(docs)
       .groupBy("doc_id").agg(collect_list(col("shingle")).as("shingles"))
     val maxVocab = 1 << 20
+    // fit with one slot of headroom so exactly-maxVocab distinct
+    // shingles (nothing truncated) still passes the check below
     val cv = new CountVectorizer().setInputCol("shingles").setOutputCol("v")
-      .setBinary(true).setVocabSize(maxVocab).fit(sets)
+      .setBinary(true).setVocabSize(maxVocab + 1).fit(sets)
     // a saturated vocabulary silently drops low-frequency shingles and
     // the "exact" jaccard would be computed over truncated sets —
     // breaking the subset-of-exact contract — so fail loudly instead
     // (the hand-built Dedup.minhashCandidates path has no such bound
     // and stays the 100 TB route)
-    require(cv.vocabulary.length < maxVocab,
+    require(cv.vocabulary.length <= maxVocab,
       s"minhashLshPairs: CountVectorizer vocabulary saturated at $maxVocab distinct " +
         "shingles; jaccard over truncated sets would be inexact — use " +
         "Dedup.verifiedNearDups (unbounded, hash-based) at this corpus size")

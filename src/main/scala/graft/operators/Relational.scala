@@ -265,9 +265,11 @@ object Relational {
       (3L, 55000.0, 90000.0), (4L, 90000.0, 200000.0))
       .toDF("band_id", "lo", "hi")
     val width = 5000.0
+    // hi is EXCLUSIVE, so its bucket is ceil(hi/width)-1 — covers any
+    // band definition, aligned to the bucket width or not
     val bandBuckets = bands.withColumn("bucket",
       explode(sequence(floor(col("lo") / width).cast("long"),
-        floor((col("hi") - lit(0.01)) / width).cast("long"))))
+        (ceil(col("hi") / width) - lit(1)).cast("long"))))
     li.select(col("l_orderkey"), col("l_extendedprice"))
       .withColumn("bucket", floor(col("l_extendedprice") / width).cast("long"))
       .join(broadcast(bandBuckets), "bucket")

@@ -108,7 +108,10 @@ class TsvScan(path: String, required: StructType) extends Scan with Batch {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
     fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .filter { s => // skip metadata/hidden/temp files, like Spark's own FileIndex
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
       .sortBy(_.getPath.toString)
       .map(s => TsvInputPartition(s.getPath.toString): InputPartition)
       .toArray

@@ -31,9 +31,14 @@ object Zorder {
     val allCuts = df.stat.approxQuantile(cols.toArray, qs, 0.001)
     val bucketExprs = cols.zip(allCuts).map { case (c, cuts) =>
       // bucket = number of cut points <= value (0..2^bits-1); the cut
-      // array is a broadcast-sized literal evaluated per row
-      val arr = cuts.mkString("array(", "D, ", "D)")
-      s"size(filter($arr, __c -> CAST($c AS DOUBLE) >= __c))"
+      // array is a broadcast-sized literal evaluated per row. An empty
+      // or all-null column yields NO cut points — that column is one
+      // big bucket (rank 0), not invalid SQL
+      if (cuts.isEmpty) "0"
+      else {
+        val arr = cuts.mkString("array(", "D, ", "D)")
+        s"size(filter($arr, __c -> CAST($c AS DOUBLE) >= __c))"
+      }
     }
     val terms = for {
       b <- 0 until bits
