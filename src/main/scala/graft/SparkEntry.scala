@@ -183,7 +183,65 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) => graft.streaming.Streams.streamDedup(s, dir)),
     "q_stream_join" -> ((s, dir) => graft.streaming.Streams.streamStreamJoin(s, dir)),
     "q_stream_anomaly" -> ((s, dir) => graft.streaming.Streams.anomalyAlerts(s, dir)),
+
+    // ---- Round-4 additions: positional search, PRF, index serving,
+    // more TPC-H shapes, pipeline filters, vector analytics ----
+    "q_positions" -> ((s, dir) => Positional.positionalPostings(Tables.documents(s, dir))),
+    "q_phrase" -> ((s, dir) => Positional.phraseSearch(Tables.documents(s, dir))),
+    "q_bm25f" -> ((s, dir) => Positional.bm25fScore(Tables.documents(s, dir))),
+    "q_prf_search" -> ((s, dir) => Positional.expandedSearch(Tables.documents(s, dir))),
+    // query TABLE served from the staged index — same rows as the
+    // corpus-derived q_search_batch (shared oracle)
+    "q_index_batch_search" -> ((s, dir) => {
+      import s.implicits._
+      Bm25Index.batchSearch(s, indexFor(s, dir),
+        Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
+    // query STREAM served from the staged index (the reference's
+    // BMStream serving loop) — same rows again (shared oracle)
+    "q_stream_search" -> ((s, dir) => {
+      import s.implicits._
+      val qdir = sys.props("java.io.tmpdir") +
+        "/graft_stream_q_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Bm25.DemoQueries.toDF("query_id", "qtext")
+        .write.mode("overwrite").parquet(qdir)
+      graft.streaming.Streams.searchStream(s, qdir, indexFor(s, dir))
+    }),
+    "q_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
+    "q_order_priority" -> ((s, dir) => Relational.orderPriority(s, dir)),
+    "q_returned_items" -> ((s, dir) => Relational.returnedItemReporting(s, dir)),
+    "q_promo_share" -> ((s, dir) => Relational.promoShare(s, dir)),
+    "q_argmax" -> ((s, dir) => Relational.richestCustomerPerNation(Tables.customer(s, dir))),
+    "q_window_distinct" -> ((s, dir) => Relational.runningDistinctKinds(Tables.events(s, dir))),
+    "q_gopher" -> ((s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    "q_bloom_join" -> ((s, dir) => {
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey")
+      Skew.bloomSemiJoin(Tables.lineitem(s, dir), big, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * lit(1000000.0)).cast("long")).as("price_micros"))
+    }),
+    // CMS estimates are sketch-internal → rows-only; superset +
+    // overestimate bounds asserted in SketchesSpec
+    "q_heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(Tables.documents(s, dir))),
+    "q_emb_outliers" -> ((s, dir) => Vectors.centroidOutliers(Tables.embeddings(s, dir))),
+    "q_knn_classify" -> ((s, dir) => Vectors.knnClassify(Tables.embeddings(s, dir))),
+    "q_stream_topk" -> ((s, dir) => graft.streaming.Streams.windowedTopK(s, dir)),
   )
+
+  /** One staged index per sf dir per JVM: q_index_batch_search and
+    * q_stream_search serve from the same store; the first caller
+    * builds it. (q_index_incremental keeps its own store — its
+    * build/update split IS the thing it tests.) */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def indexFor(s: SparkSession, dir: String): String =
+    indexCache.computeIfAbsent(dir, { d =>
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_idx_serve_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      Bm25Index.build(Tables.documents(s, d), path)
+      path
+    })
 
   // ---------------------------------------------------------------
   // Oracle SQL (DuckDB dialect; tables registered by the driver with
@@ -294,6 +352,44 @@ object SparkEntry {
        |  CROSS JOIN avgd
        |  GROUP BY tf.doc_id)""".stripMargin
 
+  /** Raw + kept term positions CTE mirroring Positional.termPositions
+    * (0-based offsets into the raw whitespace token stream). */
+  private val posCte =
+    s"""praw AS (SELECT doc_id, toks[i] AS term, (i - 1)::BIGINT AS pos
+       |         FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |         LATERAL unnest(generate_series(1, len(toks))) AS g(i)),
+       |pkept AS (SELECT doc_id, term, pos FROM praw
+       |          WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop))""".stripMargin
+
+  /** Query-table BM25 top-k oracle — shared by the corpus-derived
+    * (q_search_batch), staged-index (q_index_batch_search) and
+    * streaming-serving (q_stream_search) routes, which must all
+    * return identical rows. */
+  private val batchSearchOracle = {
+    val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH $dlCte,
+       |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+       |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
+       |qt AS (SELECT DISTINCT query_id, t AS term
+       |       FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
+       |       WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
+       |idfq AS (SELECT term, df, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+       |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+       |       FROM tf
+       |       JOIN idfq ON tf.term = idfq.term
+       |       JOIN qt ON qt.term = tf.term
+       |       JOIN dl ON tf.doc_id = dl.doc_id
+       |       CROSS JOIN avgd
+       |       GROUP BY qt.query_id, tf.doc_id),
+       |rk AS (SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rk
+       |       FROM sc)
+       |SELECT query_id, doc_id, score, rk FROM rk WHERE rk <= 10""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -387,30 +483,11 @@ object SparkEntry {
          |FROM dl GROUP BY 1""".stripMargin,
     "q_search_topn" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
-    "q_search_batch" -> {
-      val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
-      s"""WITH $dlCte,
-         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
-         |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
-         |qt AS (SELECT DISTINCT query_id, t AS term
-         |       FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
-         |       WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
-         |idfq AS (SELECT term, df, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
-         |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
-         |sc AS (SELECT qt.query_id, tf.doc_id,
-         |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
-         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
-         |       FROM tf
-         |       JOIN idfq ON tf.term = idfq.term
-         |       JOIN qt ON qt.term = tf.term
-         |       JOIN dl ON tf.doc_id = dl.doc_id
-         |       CROSS JOIN avgd
-         |       GROUP BY qt.query_id, tf.doc_id),
-         |rk AS (SELECT query_id, doc_id, score,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rk
-         |       FROM sc)
-         |SELECT query_id, doc_id, score, rk FROM rk WHERE rk <= 10""".stripMargin
-    },
+    "q_search_batch" -> batchSearchOracle,
+    // the staged-index and streaming-serving routes return the SAME
+    // rows as the corpus-derived batch search (shared contract)
+    "q_index_batch_search" -> batchSearchOracle,
+    "q_stream_search" -> batchSearchOracle,
     "q_hybrid_rrf" ->
       s"""WITH $bm25Cte, $vecCte,
          |bmr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rb
@@ -1051,5 +1128,187 @@ object SparkEntry {
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms, v AS v_micros
         |FROM w WHERE n > 0 AND v * n > 3 * s""".stripMargin,
+
+    // ---- Round-4 additions ----
+    "q_positions" ->
+      s"""WITH $posCte
+         |SELECT doc_id, term, string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+         |FROM pkept GROUP BY doc_id, term""".stripMargin,
+    "q_phrase" -> {
+      val Seq(t0, t1) = Positional.DemoPhrase
+      s"""WITH $posCte
+         |SELECT a.doc_id, count(*)::BIGINT AS n_hits
+         |FROM pkept a JOIN pkept b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = '$t0' AND b.term = '$t1'
+         |GROUP BY a.doc_id""".stripMargin
+    },
+    "q_bm25f" ->
+      s"""WITH $posCte,
+         |wtf AS (SELECT doc_id, term,
+         |          sum(CASE WHEN pos < ${Positional.HeadLen} THEN ${Positional.HeadWeight} ELSE 1 END)::BIGINT AS wtf
+         |        FROM pkept GROUP BY doc_id, term),
+         |wdl AS (SELECT doc_id, sum(wtf)::BIGINT AS wdl FROM wtf GROUP BY doc_id),
+         |stw AS (SELECT count(*)::BIGINT AS n_docs, avg(wdl)::DOUBLE AS avgwdl FROM wdl),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM wtf
+         |        WHERE term IN ($queryTermsSql) GROUP BY term)
+         |SELECT w.doc_id,
+         |       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (w.wtf * (${Bm25.K1} + 1.0)) /
+         |             (w.wtf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * wdl.wdl / stw.avgwdl))), 4) AS score
+         |FROM wtf w
+         |JOIN dfq ON w.term = dfq.term
+         |JOIN wdl ON w.doc_id = wdl.doc_id
+         |CROSS JOIN stw
+         |GROUP BY w.doc_id""".stripMargin,
+    "q_prf_search" ->
+      s"""WITH $dlCte,
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |idf1 AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN ($queryTermsSql)),
+         |sc1 AS (SELECT tf.doc_id,
+         |          round(sum(idf1.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+         |                (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+         |        FROM tf JOIN idf1 ON tf.term = idf1.term
+         |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN avgd
+         |        GROUP BY tf.doc_id),
+         |fb AS (SELECT doc_id FROM (
+         |         SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk FROM sc1)
+         |       WHERE rk <= ${Positional.FeedbackDocs}),
+         |ex AS (SELECT term FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+         |       WHERE term NOT IN ($queryTermsSql)
+         |       GROUP BY term ORDER BY sum(tf) DESC, term ASC LIMIT ${Positional.ExpansionTerms}),
+         |q2 AS (SELECT term FROM ex UNION SELECT unnest([$queryTermsSql]) AS term),
+         |idf2 AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN (SELECT term FROM q2)),
+         |sc2 AS (SELECT tf.doc_id,
+         |          round(sum(idf2.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+         |                (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+         |        FROM tf JOIN idf2 ON tf.term = idf2.term
+         |        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN avgd
+         |        GROUP BY tf.doc_id)
+         |SELECT doc_id, score, rk FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rk FROM sc2)
+         |WHERE rk <= 10""".stripMargin,
+    "q_local_supplier" ->
+      """SELECT n_name,
+        |       sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS revenue_micros
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_returned_items" ->
+      """WITH agg AS (
+        |  SELECT o_custkey,
+        |         sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS revenue_micros,
+        |         count(*)::BIGINT AS n_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey AS custkey, c_name,
+        |       floor(c_acctbal * 1000000.0)::BIGINT AS acctbal_micros,
+        |       revenue_micros, n_lines
+        |FROM agg JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue_micros DESC, custkey ASC LIMIT 20""".stripMargin,
+    "q_promo_share" ->
+      """WITH m AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |         sum(CASE WHEN p_type = 'PROMO'
+        |               THEN floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT
+        |               ELSE 0 END)::BIGINT AS promo_micros,
+        |         sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS total_micros
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT ship_month, promo_micros, total_micros,
+        |       round(promo_micros::DOUBLE / total_micros, 6) AS promo_share
+        |FROM m""".stripMargin,
+    "q_argmax" ->
+      """SELECT c_nationkey::BIGINT AS nationkey,
+        |       arg_max(c_name, floor(c_acctbal * 1000000.0)::BIGINT * 1048576 + c_custkey) AS richest,
+        |       arg_min(c_name, floor(c_acctbal * 1000000.0)::BIGINT * 1048576 + c_custkey) AS poorest,
+        |       count(*)::BIGINT AS n_customers
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q_window_distinct" ->
+      """SELECT event_id, user_id,
+        |       count(DISTINCT event_type) OVER (
+        |         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_kinds
+        |FROM events""".stripMargin,
+    "q_gopher" ->
+      s"""WITH t AS (SELECT doc_id, length(text)::BIGINT AS lt,
+         |                  string_split(lower(text), ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, len(toks)::BIGINT AS nw,
+         |             lt - (len(toks)::BIGINT - 1) AS tc,
+         |             list_max(list_transform(list_distinct(toks),
+         |               d -> len(list_filter(toks, t2 -> t2 = d))))::BIGINT AS max_tf,
+         |             len(list_distinct(list_filter(toks, t2 -> t2 IN ($stop))))::BIGINT AS n_stop_kinds
+         |      FROM t),
+         |f AS (SELECT doc_id,
+         |             (nw >= 25 AND nw <= 100000) AS ok_words,
+         |             (tc >= nw * 2 AND tc <= nw * 10) AS ok_word_len,
+         |             (max_tf * 8 <= nw) AS ok_repetition,
+         |             (n_stop_kinds >= 2) AS ok_stopwords
+         |      FROM m)
+         |SELECT doc_id, ok_words, ok_word_len, ok_repetition, ok_stopwords,
+         |       (ok_words AND ok_word_len AND ok_repetition AND ok_stopwords) AS keep
+         |FROM f""".stripMargin,
+    // the bloom prefilter is exact after the final semi-join — the
+    // oracle is the PLAIN semi-join aggregate
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       sum(floor(l_extendedprice * 1000000.0)::BIGINT)::BIGINT AS price_micros
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_emb_outliers" ->
+      """WITH d AS (SELECT vec_id, label, (i - 1) AS dim,
+        |                  floor(CAST(embedding[i] AS DOUBLE) * 1000)::BIGINT AS m
+        |           FROM embeddings,
+        |           LATERAL unnest(generate_series(1, len(embedding))) AS g(i)),
+        |c AS (SELECT label, dim, floor(sum(m)::DOUBLE / count(*))::BIGINT AS c FROM d
+        |      GROUP BY label, dim),
+        |dist AS (SELECT vec_id, d.label, sum((m - c.c) * (m - c.c))::BIGINT AS d2
+        |         FROM d JOIN c ON d.label = c.label AND d.dim = c.dim
+        |         GROUP BY vec_id, d.label)
+        |SELECT vec_id, label::BIGINT AS label, d2
+        |FROM dist ORDER BY d2 DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)::BIGINT) AS mv
+        |           FROM embeddings),
+        |t AS (SELECT vec_id, label AS true_label, mv FROM e WHERE vec_id % 10 = 0),
+        |tr AS (SELECT vec_id AS nb_id, label AS nb_label, mv AS mv2 FROM e WHERE vec_id % 10 <> 0),
+        |pr AS (SELECT t.vec_id, t.true_label, tr.nb_id, tr.nb_label,
+        |         list_sum(list_transform(generate_series(1, len(t.mv)),
+        |           i -> (t.mv[i] - tr.mv2[i]) * (t.mv[i] - tr.mv2[i])))::BIGINT AS d2
+        |       FROM t, tr WHERE t.vec_id <> tr.nb_id),
+        |nb AS (SELECT vec_id, true_label, nb_label,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, nb_id ASC) AS rk
+        |       FROM pr),
+        |v AS (SELECT vec_id, true_label, nb_label, count(*)::BIGINT AS n_votes
+        |      FROM nb WHERE rk <= 5 GROUP BY vec_id, true_label, nb_label),
+        |w AS (SELECT vec_id, true_label, nb_label, n_votes,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY n_votes DESC, nb_label ASC) AS vr
+        |      FROM v)
+        |SELECT vec_id, true_label::BIGINT AS true_label,
+        |       nb_label::BIGINT AS predicted_label, n_votes
+        |FROM w WHERE vr = 1""".stripMargin,
+    "q_stream_topk" ->
+      """WITH c AS (SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms,
+        |                  event_type, count(*)::BIGINT AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT win_start_ms, event_type, n,
+        |        row_number() OVER (PARTITION BY win_start_ms ORDER BY n DESC, event_type ASC)::INT AS rk
+        |      FROM c)
+        |SELECT win_start_ms, event_type, n, rk FROM r WHERE rk <= 3""".stripMargin,
   )
 }

@@ -204,13 +204,22 @@ object Bm25 {
     * twice regardless of how many queries ride the batch; per-query
     * ranking is a windowed top-k on (query_id). */
   def batchSearch(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val dl = docLengths(docs.filter(col("doc_id").isNotNull))
+    batchScoreFrom(tf(docs), dl, queries, k)
+  }
+
+  /** The shared query-table scoring stage over ANY (doc_id, term, tf)
+    * + (doc_id, dl) pair — the corpus-derived form above and the
+    * staged-index form ([[Bm25Index.batchSearch]], streaming serving)
+    * both end here, so the scoring contract lives in one place. */
+  private[operators] def batchScoreFrom(tf: DataFrame, dl: DataFrame,
+                                        queries: DataFrame, k: Int): DataFrame = {
     val qterms = queries
       .select(col("query_id"), explode(Text.rawTokens(col("qtext"))).as("term"))
       .filter(Text.keepToken(col("term")))
       .distinct()
     val allQTerms = qterms.select("term").distinct()
-    val tfq = tf(docs).join(broadcast(allQTerms), "term")
-    val dl = docLengths(docs.filter(col("doc_id").isNotNull))
+    val tfq = tf.join(broadcast(allQTerms), "term")
     val stats = dl.agg(count(col("doc_id")).as("n_docs"),
       avg(col("dl")).cast("double").as("avgdl"))
     val scored = tfq

@@ -198,4 +198,20 @@ object Bm25Index {
   def searchTopN(spark: SparkSession, path: String,
                  queryTerms: Seq[String] = Bm25.QueryTerms, n: Int = 10): DataFrame =
     score(spark, path, queryTerms).orderBy(col("score").desc, col("doc_id").asc).limit(n)
+
+  /** (query_id, doc_id, score, rk): BM25 top-k for a TABLE of queries
+    * served from the staged index — the reference's serving loop
+    * (query in, Mongo TF/IDF lookups, score) as one plan with NO
+    * corpus pass: the postings scan is pruned to the queries' terms,
+    * doclen joins once, and the scoring stage is shared with the
+    * corpus-derived [[Bm25.batchSearch]] so both routes return
+    * identical rows. */
+  def batchSearch(spark: SparkSession, path: String,
+                  queries: DataFrame, k: Int = 10): DataFrame = {
+    val deltas = committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val tf = spark.read.parquet(deltas.map(d => s"$d/postings"): _*)
+    val dl = spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
+    Bm25.batchScoreFrom(tf, dl, queries, k)
+  }
 }

@@ -567,4 +567,116 @@ object Relational {
         min(expr("ts div 1000000")).as("start_ms"),
         max(expr("ts div 1000000")).as("end_ms"))
   }
+
+  /** TPC-H Q5 shape (local supplier volume): 6-table join where the
+    * customer's and the supplying line's nation must COINCIDE — the
+    * same dim joined in two roles with an equality across the roles.
+    * lineitem⋈orders⋈supplier shuffle on their keys; customer/
+    * supplier-nation/nation/region are broadcast. At scale the only
+    * big shuffles are the two fact joins; the nation-equality is a
+    * post-join filter on broadcast columns, never its own shuffle. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .filter(c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
+  }
+
+  /** TPC-H Q4 shape (order priority checking): EXISTS-subquery as a
+    * LEFT SEMI join (here: orders with at least one line shipped >60
+    * days after the order date), then a tiny priority rollup. The
+    * semi join shuffles both sides on orderkey once; the aggregate is
+    * on a 5-value key — map-side partials collapse it. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val late = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(late,
+      o("o_orderkey") === late("l_orderkey") &&
+        late("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+      "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue of RETURNED
+    * lines per customer, top-20. The returnflag filter is pushed to
+    * the lineitem scan (only ~25 % of rows survive), the join
+    * shuffles on orderkey, customer is broadcast into the aggregate's
+    * output — never shuffled with the facts. */
+  def returnedItemReporting(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_acctbal")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"),
+        count(lit(1)).as("n_lines"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"),
+        micros(col("c_acctbal")).as("acctbal_micros"),
+        col("revenue_micros"), col("n_lines"))
+      .orderBy(col("revenue_micros").desc, col("custkey").asc)
+      .limit(n)
+  }
+
+  /** TPC-H Q14 shape (promotion effect): a conditional aggregate
+    * ratio — promo revenue share per ship month. One scan, one
+    * shuffle on the month key; the part dim rides a broadcast. The
+    * share divides two exact micros sums (single final division). */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).otherwise(lit(0L)))
+          .as("promo_micros"),
+        sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_micros"))
+      .withColumn("promo_share", round(col("promo_micros").cast("double") / col("total_micros"), 6))
+  }
+
+  /** Per-group argmax/argmin WITHOUT a window sort: max_by/min_by over
+    * a single composite BIGINT key (acctbal micros ⋅ 2^20 + custkey —
+    * unique, so the winner is deterministic on both engines). One
+    * hash aggregate, map-side partials, no per-group row_number pass
+    * — the cheap form of "top-1 per group" at scale. */
+  def richestCustomerPerNation(customer: DataFrame): DataFrame = {
+    val key = micros(col("c_acctbal")) * lit(1048576L) + col("c_custkey")
+    customer.groupBy("c_nationkey")
+      .agg(max_by(col("c_name"), key).as("richest"),
+        min_by(col("c_name"), key).as("poorest"),
+        count(lit(1)).as("n_customers"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("richest"), col("poorest"), col("n_customers"))
+  }
+
+  /** Running DISTINCT count over an ordered per-user window: the
+    * "how many distinct event kinds has this user produced so far"
+    * profile. Spark has no COUNT(DISTINCT) OVER — the same semantics
+    * is an ordered collect_set whose SIZE grows monotonically; state
+    * per key is bounded by the kind cardinality (5 here), so the
+    * window never holds unbounded state. */
+  def runningDistinctKinds(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("n_kinds", size(collect_set(col("event_type")).over(w)).cast("long"))
+      .select("event_id", "user_id", "n_kinds")
+  }
 }

@@ -78,4 +78,26 @@ object Sketches {
         round(element_at(col("qs"), 1), 6).as("p50"),
         round(element_at(col("qs"), 2), 6).as("p90"),
         round(element_at(col("qs"), 3), 6).as("p99"))
+
+  /** (term, est_count): Count-Min-Sketch heavy hitters — terms whose
+    * ESTIMATED corpus frequency is ≥ `minShare` of all kept tokens.
+    * The sketch is a fixed (eps, confidence)-sized 2-D counter array
+    * folded in one distributed pass (`stat.countMinSketch` merges
+    * per-partition sketches); estimates then price the DISTINCT terms
+    * only. CMS never undercounts, so the result is a SUPERSET of the
+    * true heavy hitters with est ≤ true + eps·N (w.p. ≥ confidence) —
+    * both bounds are asserted in SketchesSpec. At 100 TB this answers
+    * "which tokens dominate my corpus" in one pass with ~eps⁻¹·ln(1/δ)
+    * counters of state, no term-keyed shuffle of the full stream. */
+  def heavyHitters(docs: DataFrame, minShare: Double = 0.01,
+                   eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val toks = Bm25.tokenize(docs)
+    val cms = toks.stat.countMinSketch(col("term"), eps, confidence, seed = 42)
+    val total = cms.totalCount()
+    val threshold = (total * minShare).toLong
+    val est = udf((t: String) => cms.estimateCount(t))
+    toks.select("term").distinct()
+      .withColumn("est_count", est(col("term")))
+      .filter(col("est_count") >= threshold)
+  }
 }

@@ -265,4 +265,37 @@ object TextAnalysis {
       .join(minShingle, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("sh_fp"), col("txt_fp")).as("fingerprint"))
   }
+
+  /** (doc_id, ok_words, ok_word_len, ok_repetition, ok_stopwords,
+    * keep): Gopher-style rule filter (Rae et al. 2021, table A1
+    * adapted to this corpus) — the standard pre-training quality gate.
+    * Every rule is an EXACT integer comparison (ratios are
+    * cross-multiplied), so the verdicts are engine-portable:
+    *  - ok_words:       25 ≤ n_raw_tokens ≤ 100000
+    *  - ok_word_len:    mean raw-token length in [2,10]
+    *                    (2·n ≤ total_chars ≤ 10·n)
+    *  - ok_repetition:  most frequent token ≤ 1/8 of the doc
+    *                    (8·max_tf ≤ n)
+    *  - ok_stopwords:   ≥ 2 DISTINCT engine stopwords present
+    * All four are per-row array expressions over the raw token array —
+    * a pure map stage, no shuffle at any scale. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stop = Text.stopwordsSqlList
+    docs
+      .withColumn("toks", graft.functions.Text.rawTokens(col("text")))
+      .withColumn("nw", size(col("toks")).cast("long"))
+      // single-space separated: total token chars = len(text) - (nw-1)
+      .withColumn("tc", (length(col("text")) - (col("nw") - 1)).cast("long"))
+      .withColumn("max_tf", expr(
+        "array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))").cast("long"))
+      .withColumn("n_stop_kinds",
+        size(expr(s"array_distinct(filter(toks, t -> t IN ($stop)))")).cast("long"))
+      .select(col("doc_id"),
+        (col("nw") >= 25 && col("nw") <= 100000).as("ok_words"),
+        (col("tc") >= col("nw") * 2 && col("tc") <= col("nw") * 10).as("ok_word_len"),
+        (col("max_tf") * 8 <= col("nw")).as("ok_repetition"),
+        (col("n_stop_kinds") >= 2).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_repetition") && col("ok_stopwords"))
+  }
 }

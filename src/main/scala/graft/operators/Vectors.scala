@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector analytics beyond search: per-class centroids, distance
+  * outliers, and k-NN label prediction over the embeddings table.
+  *
+  * Arithmetic contract (SURVEY.md §6): every float component is
+  * quantized ONCE to exact integer "millis" (floor(x·1000) — bounded
+  * by ±~1000 for unit-scale embeddings), and all distances are
+  * integer sums of squared millis differences, so results are
+  * bit-identical across engines and partition orders. Centroids are
+  * floor(Σmillis / n) — integer division, exact and bounded
+  * regardless of class cardinality, so nothing overflows at any
+  * corpus size.
+  *
+  * Scale shape: centroids shuffle on (label, dim) — cardinality
+  * #classes × dim, tiny — then broadcast back; distances are a pure
+  * map stage. k-NN is the brute-force baseline (quadratic in the
+  * class size); [[Ann.ivfTopK]]'s coarse quantizer is the 100 TB
+  * route for the same contract.
+  */
+object Vectors {
+
+  /** millis-quantized dim-exploded view: (vec_id, label, dim, m). */
+  private def dims(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      posexplode(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .as(Seq("dim", "m")))
+
+  /** (vec_id, label, d2): squared millis distance of every vector to
+    * its own class centroid, top `k` farthest (the "does this doc
+    * belong to its cluster" outlier probe). */
+  def centroidOutliers(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val d = dims(embeddings)
+    val centroids = d.groupBy("label", "dim")
+      // floor over the IEEE quotient of two exact integers — the same
+      // expression the oracle runs, so the centroid is engine-identical
+      .agg(floor(sum("m").cast("double") / count(lit(1))).cast("long").as("c"))
+    d.join(centroids, Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("m") - col("c")) * (col("m") - col("c"))).as("d2"))
+      .orderBy(col("d2").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("d2"))
+  }
+
+  /** (vec_id, true_label, predicted_label, n_votes): k-NN majority
+    * vote — vectors with vec_id ≡ 0 (mod `testMod`) are the test
+    * split, scored against all others by exact millis L2; ties break
+    * (distance asc, neighbor id asc) for the neighbor set and
+    * (votes desc, label asc) for the vote. */
+  def knnClassify(embeddings: DataFrame, k: Int = 5, testMod: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("mv"))
+    val test = e.filter(col("vec_id") % testMod === 0)
+      .select(col("vec_id"), col("label").as("true_label"), col("mv").as("qa"))
+    val train = e.filter(col("vec_id") % testMod =!= 0)
+      .select(col("vec_id").as("nb_id"), col("label").as("nb_label"), col("mv").as("qb"))
+    val d2 = expr("aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val wNbr = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("nb_id").asc)
+    // the TEST split is the small side — broadcast it into the train
+    // partitions (train is corpus-sized and must stay distributed)
+    val neighbors = train.join(broadcast(test), col("vec_id") =!= col("nb_id"))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(wNbr))
+      .filter(col("rk") <= k)
+    val wVote = Window.partitionBy("vec_id").orderBy(col("n_votes").desc, col("nb_label").asc)
+    neighbors.groupBy("vec_id", "true_label", "nb_label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("true_label").cast("long").as("true_label"),
+        col("nb_label").cast("long").as("predicted_label"), col("n_votes"))
+  }
+}

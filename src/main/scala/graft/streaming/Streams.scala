@@ -279,4 +279,60 @@ object Streams {
     }
     updated.toDF("term", "n")
   }
+
+  /** (query_id, doc_id, score, rk): a STREAM of search queries served
+    * against the staged inverted index — the reference's whole serving
+    * loop (BMStream.java: query arrives, TF/IDF fetched from Mongo,
+    * scored, top-N out) as stream-in/results-out. Each micro-batch of
+    * queries is scored via [[graft.operators.Bm25Index.batchSearch]]
+    * (per-query ranking is a windowed top-k, which streaming cannot
+    * run inline — foreachBatch is the standard serving form); results
+    * append to the output store. The index is STATIC during serving;
+    * per batch, cost is a term-pruned postings scan — no corpus pass,
+    * state zero. Returns all results after the query stream drains. */
+  def searchStream(spark: SparkSession, queriesDir: String, indexPath: String,
+                   k: Int = 10): DataFrame = {
+    val schema = spark.read.parquet(queriesDir).schema
+    val qs = spark.readStream.schema(schema).parquet(queriesDir)
+    val results = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val sq =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        qs.writeStream.outputMode(OutputMode.Append())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val scored = graft.operators.Bm25Index.batchSearch(spark, indexPath, batch, k)
+            outSchema = scored.schema
+            results.synchronized { results ++= scored.collect() }
+            ()
+          }
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try sq.processAllAvailable()
+    finally sq.stop()
+    require(outSchema != null, s"query stream at $queriesDir produced no micro-batches")
+    val out = results.synchronized { results.toSeq }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outSchema)
+  }
+
+  /** (win_start_ms, event_type, n, rk): top-3 event kinds per 1-hour
+    * window over the event stream. The streaming stage is the same
+    * watermarked windowed count as [[windowedWordCount]] (keyed state,
+    * bounded by the watermark); the per-window RANKING runs on the
+    * drained result — ranking inside an open window is undefined until
+    * the watermark closes it, so the batch rank over closed windows is
+    * the semantically honest (and cheap: #windows × #kinds rows)
+    * placement. */
+  def windowedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = eventStream(spark, dir)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val drained = drainToMemory(spark, counts, OutputMode.Complete())
+      .select(unix_millis(col("win.start")).as("win_start_ms"), col("event_type"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start_ms").orderBy(col("n").desc, col("event_type").asc)
+    drained.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }
