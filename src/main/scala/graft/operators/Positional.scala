@@ -110,7 +110,10 @@ object Positional {
     * pass; expansion terms ride a broadcast, never a driver collect. */
   def expandedSearch(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
                      n: Int = 10): DataFrame = {
-    val tf = Bm25.tf(docs).cache()
+    // NOT cached: a cached tf fragment would be substituted into every
+    // other query sharing the subplan (plan-contract contamination);
+    // the three passes re-scan, which AQE + pushdown keep cheap
+    val tf = Bm25.tf(docs)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(col("doc_id")).as("n_docs"), avg("dl").cast("double").as("avgdl"))
 
