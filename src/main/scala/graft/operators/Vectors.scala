@@ -53,13 +53,20 @@ object Vectors {
     * (distance asc, neighbor id asc) for the neighbor set and
     * (votes desc, label asc) for the vote. */
   def knnClassify(embeddings: DataFrame, k: Int = 5, testMod: Int = 10): DataFrame = {
+    // millis as integer-valued DOUBLES: ‖a-b‖² = ‖a‖²+‖b‖²-2a·b via the
+    // codegen'd native dot — no per-pair intermediate array, and every
+    // product/sum stays an exact integer ≪ 2^53, so the cast back to
+    // BIGINT is lossless
     val e = embeddings.select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("mv"))
+      // floor() yields BIGINT — cast back to DOUBLE for the native dot
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))").as("mv"))
+      .withColumn("n2", graft.functions.Native.dot(col("mv"), col("mv")))
     val test = e.filter(col("vec_id") % testMod === 0)
-      .select(col("vec_id"), col("label").as("true_label"), col("mv").as("qa"))
+      .select(col("vec_id"), col("label").as("true_label"), col("mv").as("qa"), col("n2").as("qa2"))
     val train = e.filter(col("vec_id") % testMod =!= 0)
-      .select(col("vec_id").as("nb_id"), col("label").as("nb_label"), col("mv").as("qb"))
-    val d2 = expr("aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      .select(col("vec_id").as("nb_id"), col("label").as("nb_label"), col("mv").as("qb"), col("n2").as("qb2"))
+    val d2 = (col("qa2") + col("qb2") -
+      lit(2.0) * graft.functions.Native.dot(col("qa"), col("qb"))).cast("long")
     val wNbr = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("nb_id").asc)
     // the TEST split is the small side — broadcast it into the train
     // partitions (train is corpus-sized and must stay distributed)
