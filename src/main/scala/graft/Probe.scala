@@ -61,6 +61,19 @@ object Probe {
         graft.operators.Bm25Index.update(d.filter(col("doc_id") % 5 === 0), p)
         graft.operators.Bm25Index.score(spark, p).count()
       }
+      time("positions")(graft.operators.Positional.positionalPostings(d).count())
+      time("phrase")(graft.operators.Positional.phraseSearch(d).count())
+      time("bm25f")(graft.operators.Positional.bm25fScore(d).count())
+      time("prf_search")(graft.operators.Positional.expandedSearch(d).count())
+      time("index_batch_search") {
+        import spark.implicits._
+        graft.operators.Bm25Index.batchSearch(spark, "/tmp/scale/idx",
+          graft.operators.Bm25.DemoQueries.toDF("query_id", "qtext")).count()
+      }
+      time("gopher")(graft.operators.TextAnalysis.gopherRules(d).count())
+      time("heavy_hitters")(graft.operators.Sketches.heavyHitters(d).count())
+      time("emb_outliers")(graft.operators.Vectors.centroidOutliers(e).count())
+      time("knn_classify")(graft.operators.Vectors.knnClassify(e).count())
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)

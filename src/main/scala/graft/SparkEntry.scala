@@ -228,7 +228,25 @@ object SparkEntry {
     "q_emb_outliers" -> ((s, dir) => Vectors.centroidOutliers(Tables.embeddings(s, dir))),
     "q_knn_classify" -> ((s, dir) => Vectors.knnClassify(Tables.embeddings(s, dir))),
     "q_stream_topk" -> ((s, dir) => graft.streaming.Streams.windowedTopK(s, dir)),
+    // corpus re-laid-out partitioned by lang: the lang predicate prunes
+    // whole directories (PartitionFilters), not just row groups
+    "q_partitioned_scan" -> ((s, dir) => {
+      s.read.parquet(partitionedDocsFor(s, dir))
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
   )
+
+  /** One lang-partitioned copy of the corpus per sf dir per JVM. */
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedDocsFor(s: SparkSession, dir: String): String =
+    partCache.computeIfAbsent(dir, { d =>
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_docs_bylang_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Sinks.writePartitioned(Tables.documents(s, d), path, "lang")
+      path
+    })
 
   /** One staged index per sf dir per JVM: q_index_batch_search and
     * q_stream_search serve from the same store; the first caller
@@ -1310,5 +1328,8 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY win_start_ms ORDER BY n DESC, event_type ASC)::INT AS rk
         |      FROM c)
         |SELECT win_start_ms, event_type, n, rk FROM r WHERE rk <= 3""".stripMargin,
+    "q_partitioned_scan" ->
+      """SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
   )
 }

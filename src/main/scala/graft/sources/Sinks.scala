@@ -144,4 +144,14 @@ object Sinks {
     df.select(concat_ws("\t", cols: _*).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
   }
+
+  /** Hive-style partitioned layout: one directory per `partitionCol`
+    * value. At 100 TB this is the FIRST line of defense — a predicate
+    * on the partition column prunes whole directories before any file
+    * is opened (`PartitionFilters` in the scan, vs `PushedFilters`
+    * which still reads footers). Choose a low-cardinality, frequently-
+    * filtered column (language, source, date); high-cardinality
+    * partition keys shatter the table into tiny files. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 }

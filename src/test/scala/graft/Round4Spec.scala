@@ -111,6 +111,22 @@ class Round4Spec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= nKinds))
   }
 
+  test("partitioned layout prunes partitions, not just row groups") {
+    val path = "/tmp/graft-test-bylang"
+    graft.sources.Sinks.writePartitioned(docs, path, "lang")
+    val df = spark.read.parquet(path).filter(col("lang") === "en")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"lang predicate not applied as a partition filter:\n$scan")
+    // result equality with the unpartitioned route
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.filter(col("lang") === "en").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("argmax picks the customer with the true max/min account balance") {
     val cust = Tables.customer(spark, sf)
     val got = Relational.richestCustomerPerNation(cust).collect()
