@@ -1251,8 +1251,8 @@ object SparkEntry {
         |FROM m""".stripMargin,
     "q_argmax" ->
       """SELECT c_nationkey::BIGINT AS nationkey,
-        |       arg_max(c_name, floor(c_acctbal * 1000000.0)::BIGINT * 1048576 + c_custkey) AS richest,
-        |       arg_min(c_name, floor(c_acctbal * 1000000.0)::BIGINT * 1048576 + c_custkey) AS poorest,
+        |       arg_max(c_name, floor(c_acctbal * 1000000.0)::BIGINT * 536870912 + c_custkey) AS richest,
+        |       arg_min(c_name, floor(c_acctbal * 1000000.0)::BIGINT * 536870912 + c_custkey) AS poorest,
         |       count(*)::BIGINT AS n_customers
         |FROM customer GROUP BY c_nationkey""".stripMargin,
     "q_window_distinct" ->
@@ -1299,15 +1299,21 @@ object SparkEntry {
         |         GROUP BY vec_id, d.label)
         |SELECT vec_id, label::BIGINT AS label, d2
         |FROM dist ORDER BY d2 DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // the SAME ||a||^2+||b||^2-2a.b DOUBLE expression the Spark plan
+    // runs (ordered element folds), so both engines agree even outside
+    // the exact-integer envelope
     "q_knn_classify" ->
       """WITH e AS (SELECT vec_id, label,
-        |                  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)::BIGINT) AS mv
+        |                  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)::DOUBLE) AS mv
         |           FROM embeddings),
-        |t AS (SELECT vec_id, label AS true_label, mv FROM e WHERE vec_id % 10 = 0),
-        |tr AS (SELECT vec_id AS nb_id, label AS nb_label, mv AS mv2 FROM e WHERE vec_id % 10 <> 0),
+        |en AS (SELECT vec_id, label, mv,
+        |              list_sum(list_transform(mv, x -> x * x))::DOUBLE AS n2 FROM e),
+        |t AS (SELECT vec_id, label AS true_label, mv, n2 FROM en WHERE vec_id % 10 = 0),
+        |tr AS (SELECT vec_id AS nb_id, label AS nb_label, mv AS mv2, n2 AS n22
+        |       FROM en WHERE vec_id % 10 <> 0),
         |pr AS (SELECT t.vec_id, t.true_label, tr.nb_id, tr.nb_label,
-        |         list_sum(list_transform(generate_series(1, len(t.mv)),
-        |           i -> (t.mv[i] - tr.mv2[i]) * (t.mv[i] - tr.mv2[i])))::BIGINT AS d2
+        |         (t.n2 + tr.n22 - 2.0 * list_sum(list_transform(generate_series(1, len(t.mv)),
+        |           i -> t.mv[i] * tr.mv2[i]))::DOUBLE)::BIGINT AS d2
         |       FROM t, tr WHERE t.vec_id <> tr.nb_id),
         |nb AS (SELECT vec_id, true_label, nb_label,
         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, nb_id ASC) AS rk

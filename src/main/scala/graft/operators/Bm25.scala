@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,23 @@ object Bm25 {
 
   /** Fixed demo query used by the scored-search entries. */
   val QueryTerms: Seq[String] = Seq("spark", "query", "join", "fast")
+
+  /** Robertson idf: ln(1 + (N - df + 0.5)/(df + 0.5)). */
+  def robertsonIdf(df: Column, nDocs: Column): Column =
+    log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
+
+  /** Okapi tf-saturation term: tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)). */
+  def tfSaturation(tf: Column, dl: Column, avgdl: Column): Column =
+    (tf * lit(K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl))
+
+  /** One matching term's Okapi BM25 contribution — THE scoring
+    * formula, written once; every scoring route (corpus, MLlib,
+    * staged-index, batch/stream serving, BM25F with field-weighted
+    * inputs, PRF rescoring) composes this so a k1/b or formula change
+    * has exactly one source (the oracles mirror it textually). */
+  def okapiTerm(tf: Column, df: Column, dl: Column, avgdl: Column, nDocs: Column): Column =
+    robertsonIdf(df, nDocs) * tfSaturation(tf, dl, avgdl)
 
   /** (doc_id, term): tokenized + stopword/length-filtered corpus. */
   def tokenize(docs: DataFrame): DataFrame =
@@ -147,9 +164,7 @@ object Bm25 {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))).as("c"))
+        okapiTerm(col("tf"), col("df"), col("dl"), col("avgdl"), col("n_docs")).as("c"))
     scored.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
   }
 
@@ -174,10 +189,8 @@ object Bm25 {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          ((col("tf") * lit(K1 + 1.0)) /
-            (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))) +
-            lit(delta))).as("c"))
+        (robertsonIdf(col("df"), col("n_docs")) *
+          (tfSaturation(col("tf"), col("dl"), col("avgdl")) + lit(delta))).as("c"))
     scored.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
   }
 
@@ -228,9 +241,7 @@ object Bm25 {
       .crossJoin(broadcast(stats))
       .join(broadcast(qterms), "term")
       .select(col("query_id"), col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))).as("c"))
+        okapiTerm(col("tf"), col("df"), col("dl"), col("avgdl"), col("n_docs")).as("c"))
       .groupBy("query_id", "doc_id").agg(round(sum("c"), 4).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

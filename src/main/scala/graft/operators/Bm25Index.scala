@@ -95,20 +95,34 @@ object Bm25Index {
     val committed = new Path(s"$path/delta-$tag")
     if (fs.exists(committed)) return // replayed batch: already ingested
     val deltas = committedDeltas(spark, path)
-    // batch id range: one batch-scaled agg, reused for range-pruning
-    // the duplicate check AND for this delta's own sidecar below
-    val Array(batchRange) = newDocs
-      .agg(min(col("doc_id").cast("long")).as("lo"), max(col("doc_id").cast("long")).as("hi"))
-      .collect()
+    // batch id range (integral doc_id only): one batch-scaled agg,
+    // reused for range-pruning the duplicate check AND this delta's
+    // own sidecar below. Non-integral ids get NO range (rangeable =
+    // false) → the check below falls back to scanning every delta,
+    // exactly the pre-sidecar behavior, never a silently skipped check
+    val rangeable = newDocs.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val (batchLo, batchHi) =
-      if (batchRange.isNullAt(0)) (0L, -1L) else (batchRange.getLong(0), batchRange.getLong(1))
-    if (deltas.nonEmpty && batchLo <= batchHi) {
+      if (!rangeable) (0L, -1L)
+      else {
+        val Array(r) = newDocs
+          .agg(min(col("doc_id").cast("long")).as("lo"), max(col("doc_id").cast("long")).as("hi"))
+          .collect()
+        if (r.isNullAt(0)) (0L, -1L) else (r.getLong(0), r.getLong(1))
+      }
+    if (deltas.nonEmpty) {
       // only deltas whose [min,max] doc_id overlaps the batch can hold
       // a duplicate — for monotone-id ingest this prunes to O(1)
-      // deltas, keeping the check batch-scaled even on a large store
-      val candidates = deltas.filter { d =>
-        readRange(fs, d).forall { case (lo, hi) => lo <= batchHi && hi >= batchLo }
-      }
+      // deltas, keeping the check batch-scaled even on a large store.
+      // With no batch range every delta is a candidate (full check).
+      val candidates =
+        if (batchLo > batchHi) deltas
+        else deltas.filter { d =>
+          readRange(fs, d).forall { case (lo, hi) => lo <= batchHi && hi >= batchLo }
+        }
       if (candidates.nonEmpty) {
         val existing = spark.read.parquet(candidates.map(d => s"$d/doclen"): _*)
           .select(col("doc_id"))
@@ -189,9 +203,7 @@ object Bm25Index {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(Bm25.K1 + 1.0)) /
-          (col("tf") + lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl")))).as("c"))
+        Bm25.okapiTerm(col("tf"), col("df"), col("dl"), col("avgdl"), col("n_docs")).as("c"))
     scored.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
   }
 

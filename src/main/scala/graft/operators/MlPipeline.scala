@@ -102,10 +102,8 @@ object MlPipeline {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("c.idx"))))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("c.tf") * lit(Bm25.K1 + 1.0)) /
-          (col("c.tf") + lit(Bm25.K1) *
-            (lit(1.0 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl")))).as("contrib"))
+        Bm25.okapiTerm(col("c.tf"), col("df"), col("dl"), col("avgdl"), col("n_docs"))
+          .as("contrib"))
     contrib.groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
   }
 

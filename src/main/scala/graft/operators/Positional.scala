@@ -56,6 +56,14 @@ object Positional {
     * partitioning) and touches only postings of the phrase's terms. */
   def phraseSearch(docs: DataFrame, phrase: Seq[String] = DemoPhrase): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
+    // a stopword / too-short term has NO positions — the phrase could
+    // never match and an empty result would be indistinguishable from
+    // "phrase absent", so reject loudly instead
+    val dropped = phrase.filterNot(t =>
+      t.length >= Text.MinTokenLength && !Text.Stopwords.contains(t))
+    require(dropped.isEmpty,
+      s"phrase terms ${dropped.mkString("'", "', '", "'")} are removed by the " +
+        "keep-filter (stopword/min-length) and can never match")
     val p = termPositions(docs)
     val anchor = p.filter(col("term") === phrase.head)
       .select(col("doc_id"), col("pos"))
@@ -91,9 +99,7 @@ object Positional {
       .join(wdl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("wtf") * lit(Bm25.K1 + 1.0)) /
-          (col("wtf") + lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * col("wdl") / col("avgwdl")))).as("c"))
+        Bm25.okapiTerm(col("wtf"), col("df"), col("wdl"), col("avgwdl"), col("n_docs")).as("c"))
       .groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
   }
 
@@ -123,9 +129,7 @@ object Positional {
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .select(col("doc_id"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            (col("tf") * lit(Bm25.K1 + 1.0)) /
-            (col("tf") + lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * col("dl") / col("avgdl")))).as("c"))
+          Bm25.okapiTerm(col("tf"), col("df"), col("dl"), col("avgdl"), col("n_docs")).as("c"))
         .groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
 
     val spark = docs.sparkSession

@@ -652,12 +652,18 @@ object Relational {
   }
 
   /** Per-group argmax/argmin WITHOUT a window sort: max_by/min_by over
-    * a single composite BIGINT key (acctbal micros ⋅ 2^20 + custkey —
-    * unique, so the winner is deterministic on both engines). One
-    * hash aggregate, map-side partials, no per-group row_number pass
-    * — the cheap form of "top-1 per group" at scale. */
+    * a single composite BIGINT key (acctbal micros ⋅ 2^29 + custkey).
+    * One hash aggregate, map-side partials, no per-group row_number
+    * pass — the cheap form of "top-1 per group" at scale.
+    *
+    * Determinism envelope: the key is injective (ties impossible, so
+    * Spark's max_by and DuckDB's arg_max agree) while custkey < 2^29
+    * (~5.4·10^8 customers ≈ TPC-H sf 3500) and |acctbal| ≤ 10^4
+    * (micros ≤ 10^10, so the product stays < 2^63). Beyond that
+    * envelope switch to the window-argmax form ([[topSupplier]]),
+    * which has no key-packing bound. */
   def richestCustomerPerNation(customer: DataFrame): DataFrame = {
-    val key = micros(col("c_acctbal")) * lit(1048576L) + col("c_custkey")
+    val key = micros(col("c_acctbal")) * lit(536870912L) + col("c_custkey")
     customer.groupBy("c_nationkey")
       .agg(max_by(col("c_name"), key).as("richest"),
         min_by(col("c_name"), key).as("poorest"),

@@ -70,9 +70,24 @@ object Skew {
   def bloomSemiJoin(large: DataFrame, small: DataFrame,
                     largeKey: String, smallKey: String,
                     expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // probe EXACTLY the way stat.bloomFilter inserted: integral keys as
+    // longs, strings as strings — a mismatched probe would produce
+    // false NEGATIVES, which the exact semi-join below cannot repair
+    val (keyType, smallType) =
+      (large.schema(largeKey).dataType, small.schema(smallKey).dataType)
+    require(keyType == smallType,
+      s"bloomSemiJoin: key types differ ($keyType vs $smallType)")
     val bloom = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
-    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
-    large.filter(mightContain(col(largeKey).cast("long")))
+    val mightContain = keyType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: Long) => bloom.mightContainLong(k)).apply(col(largeKey).cast("long"))
+      case StringType =>
+        udf((k: String) => bloom.mightContainString(k)).apply(col(largeKey))
+      case t => throw new IllegalArgumentException(
+        s"bloomSemiJoin: unsupported key type $t (integral or string)")
+    }
+    large.filter(mightContain)
       .join(small.select(smallKey).distinct(),
         col(largeKey) === col(smallKey), "left_semi")
   }

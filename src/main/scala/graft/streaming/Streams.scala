@@ -296,19 +296,20 @@ object Streams {
     val qs = spark.readStream.schema(schema).parquet(queriesDir)
     val results = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     @volatile var outSchema: org.apache.spark.sql.types.StructType = null
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // no shuffle-partitions pin here: the scoring plans are built
+    // inside foreachBatch on the OUTER session per micro-batch, so a
+    // pin around start() would not reach them (and racily mutating
+    // shared session conf from the stream thread is worse than the
+    // session's own partition setting)
     val sq =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        qs.writeStream.outputMode(OutputMode.Append())
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val scored = graft.operators.Bm25Index.batchSearch(spark, indexPath, batch, k)
-            outSchema = scored.schema
-            results.synchronized { results ++= scored.collect() }
-            ()
-          }
-          .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      qs.writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val scored = graft.operators.Bm25Index.batchSearch(spark, indexPath, batch, k)
+          outSchema = scored.schema
+          results.synchronized { results ++= scored.collect() }
+          ()
+        }
+        .start()
     try sq.processAllAvailable()
     finally sq.stop()
     require(outSchema != null, s"query stream at $queriesDir produced no micro-batches")
