@@ -291,9 +291,11 @@ object Streams {
     * per batch, cost is a term-pruned postings scan — no corpus pass,
     * state zero. Returns all results after the query stream drains. */
   def searchStream(spark: SparkSession, queriesDir: String, indexPath: String,
-                   k: Int = 10): DataFrame = {
+                   k: Int = 10, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(queriesDir).schema
-    val qs = spark.readStream.schema(schema).parquet(queriesDir)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val qs = reader.parquet(queriesDir)
     val results = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     @volatile var outSchema: org.apache.spark.sql.types.StructType = null
     // no shuffle-partitions pin here: the scoring plans are built

@@ -39,6 +39,23 @@ class Round4Spec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming search accumulates across MULTIPLE micro-batches") {
+    import spark.implicits._
+    val path = "/tmp/graft-test-idx-serve3"
+    Bm25Index.build(docs, path)
+    val qdir = "/tmp/graft-test-stream-q-multi"
+    // one file per query + maxFilesPerTrigger=1 → one micro-batch per
+    // query; the drained result must still equal the whole batch
+    Bm25.DemoQueries.toDF("query_id", "qtext")
+      .repartition(3, col("query_id")).write.mode("overwrite").parquet(qdir)
+    val streamed = graft.streaming.Streams
+      .searchStream(spark, qdir, path, maxFilesPerTrigger = Some(1)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val batch = Bm25.batchSearch(docs, Bm25.DemoQueries.toDF("query_id", "qtext")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("bloom semi-join equals the plain semi-join") {
     val li = Tables.lineitem(spark, sf)
     val keys = Tables.orders(spark, sf).filter(col("o_totalprice") > 200000.0)
