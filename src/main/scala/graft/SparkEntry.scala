@@ -236,7 +236,29 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    // lineitem re-laid-out along a (price, quantity) Morton curve: a
+    // selective two-column range probe now touches few files/row
+    // groups via parquet min/max stats instead of the whole table
+    "q_zorder_scan" -> ((s, dir) => {
+      s.read.parquet(zorderedLineitemFor(s, dir))
+        .filter(col("l_extendedprice").between(30000.0, 31000.0) &&
+          col("l_quantity").between(20.0, 30.0))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * lit(1000000.0)).cast("long")).as("price_micros"))
+    }),
   )
+
+  /** One z-ordered copy of lineitem per sf dir per JVM. */
+  private val zorderCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderedLineitemFor(s: SparkSession, dir: String): String =
+    zorderCache.computeIfAbsent(dir, { d =>
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_li_zorder_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sources.Zorder.writeZordered(Tables.lineitem(s, d), path,
+        Seq("l_extendedprice", "l_quantity"))
+      path
+    })
 
   /** One lang-partitioned copy of the corpus per sf dir per JVM. */
   private val partCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1337,5 +1359,12 @@ object SparkEntry {
     "q_partitioned_scan" ->
       """SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       sum(floor(l_extendedprice * 1000000.0)::BIGINT)::BIGINT AS price_micros
+        |FROM lineitem
+        |WHERE l_extendedprice BETWEEN 30000.0 AND 31000.0
+        |  AND l_quantity BETWEEN 20.0 AND 30.0
+        |GROUP BY l_returnflag""".stripMargin,
   )
 }
