@@ -250,23 +250,25 @@ object SparkEntry {
   )
 
   /** One z-ordered copy of lineitem per sf dir per JVM. */
-  private val zorderCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderedLineitemFor(s: SparkSession, dir: String): String =
-    zorderCache.computeIfAbsent(dir, { d =>
-      val path = sys.props("java.io.tmpdir") +
-        "/graft_li_zorder_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      graft.sources.Zorder.writeZordered(Tables.lineitem(s, d), path,
-        Seq("l_extendedprice", "l_quantity"))
-      path
-    })
+    cachedLayout("li_zorder", dir)(p =>
+      graft.sources.Zorder.writeZordered(Tables.lineitem(s, dir), p,
+        Seq("l_extendedprice", "l_quantity")))
 
   /** One lang-partitioned copy of the corpus per sf dir per JVM. */
-  private val partCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def partitionedDocsFor(s: SparkSession, dir: String): String =
-    partCache.computeIfAbsent(dir, { d =>
+    cachedLayout("docs_bylang", dir)(p =>
+      graft.sources.Sinks.writePartitioned(Tables.documents(s, dir), p, "lang"))
+
+  /** Build-once-per-(prefix, sf-dir)-per-JVM derived layouts (staging
+    * index, partitioned/z-ordered copies): the shared cache mechanics
+    * live here so tmpdir/sanitization/once-semantics have ONE source. */
+  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedLayout(prefix: String, dir: String)(build: String => Unit): String =
+    layoutCache.computeIfAbsent(s"$prefix|$dir", { _ =>
       val path = sys.props("java.io.tmpdir") +
-        "/graft_docs_bylang_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      graft.sources.Sinks.writePartitioned(Tables.documents(s, d), path, "lang")
+        s"/graft_${prefix}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      build(path)
       path
     })
 
@@ -274,14 +276,8 @@ object SparkEntry {
     * q_stream_search serve from the same store; the first caller
     * builds it. (q_index_incremental keeps its own store — its
     * build/update split IS the thing it tests.) */
-  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexFor(s: SparkSession, dir: String): String =
-    indexCache.computeIfAbsent(dir, { d =>
-      val path = sys.props("java.io.tmpdir") +
-        "/graft_idx_serve_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      Bm25Index.build(Tables.documents(s, d), path)
-      path
-    })
+    cachedLayout("idx_serve", dir)(p => Bm25Index.build(Tables.documents(s, dir), p))
 
   // ---------------------------------------------------------------
   // Oracle SQL (DuckDB dialect; tables registered by the driver with
@@ -1322,8 +1318,10 @@ object SparkEntry {
         |SELECT vec_id, label::BIGINT AS label, d2
         |FROM dist ORDER BY d2 DESC, vec_id ASC LIMIT 10""".stripMargin,
     // the SAME ||a||^2+||b||^2-2a.b DOUBLE expression the Spark plan
-    // runs (ordered element folds), so both engines agree even outside
-    // the exact-integer envelope
+    // runs (ordered element folds) — identical doubles inside the
+    // exact-integer envelope (|d2| < 2^53), where the final BIGINT
+    // casts (DuckDB rounds, Spark truncates) also agree because d2 is
+    // integer-valued; OUTSIDE the envelope the contract is void
     "q_knn_classify" ->
       """WITH e AS (SELECT vec_id, label,
         |                  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)::DOUBLE) AS mv

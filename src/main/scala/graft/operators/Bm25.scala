@@ -34,7 +34,9 @@ object Bm25 {
   def robertsonIdf(df: Column, nDocs: Column): Column =
     log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
 
-  /** Okapi tf-saturation term: tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)). */
+  /** Okapi tf-saturation term: tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)).
+    * Used where the saturation is needed WITHOUT the idf factor
+    * (BM25+'s per-term lower bound). */
   def tfSaturation(tf: Column, dl: Column, avgdl: Column): Column =
     (tf * lit(K1 + 1.0)) /
       (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl))
@@ -43,9 +45,14 @@ object Bm25 {
     * formula, written once; every scoring route (corpus, MLlib,
     * staged-index, batch/stream serving, BM25F with field-weighted
     * inputs, PRF rescoring) composes this so a k1/b or formula change
-    * has exactly one source (the oracles mirror it textually). */
+    * has exactly one source. The association is deliberately
+    * (idf·num)/denom — LEFT-associative, exactly the textual form of
+    * every oracle's `idf * (tf*(k1+1)) / (...)` — because Catalyst
+    * never re-associates FP ops and an ulp of divergence could flip a
+    * round(·,4) boundary or a rounded-score tie. */
   def okapiTerm(tf: Column, df: Column, dl: Column, avgdl: Column, nDocs: Column): Column =
-    robertsonIdf(df, nDocs) * tfSaturation(tf, dl, avgdl)
+    robertsonIdf(df, nDocs) * (tf * lit(K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl))
 
   /** (doc_id, term): tokenized + stopword/length-filtered corpus. */
   def tokenize(docs: DataFrame): DataFrame =

@@ -105,15 +105,21 @@ object Bm25Index {
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    val (batchLo, batchHi) =
-      if (!rangeable) (0L, -1L)
-      else {
+    // one batch-scaled agg: emptiness always, min/max only when the id
+    // type is integral (an ANSI cast of a non-numeric id would throw)
+    val (batchEmpty, batchLo, batchHi) =
+      if (rangeable) {
         val Array(r) = newDocs
-          .agg(min(col("doc_id").cast("long")).as("lo"), max(col("doc_id").cast("long")).as("hi"))
+          .agg(count(lit(1)).as("n"),
+            min(col("doc_id").cast("long")).as("lo"), max(col("doc_id").cast("long")).as("hi"))
           .collect()
-        if (r.isNullAt(0)) (0L, -1L) else (r.getLong(0), r.getLong(1))
+        if (r.getLong(0) == 0L) (true, 0L, -1L) else (false, r.getLong(1), r.getLong(2))
+      } else {
+        val n = newDocs.limit(1).count()
+        (n == 0L, 0L, -1L)
       }
-    if (deltas.nonEmpty) {
+    // an empty batch cannot contain a duplicate — never scan for one
+    if (deltas.nonEmpty && !batchEmpty) {
       // only deltas whose [min,max] doc_id overlaps the batch can hold
       // a duplicate — for monotone-id ingest this prunes to O(1)
       // deltas, keeping the check batch-scaled even on a large store.

@@ -56,14 +56,16 @@ object Positional {
     * partitioning) and touches only postings of the phrase's terms. */
   def phraseSearch(docs: DataFrame, phrase: Seq[String] = DemoPhrase): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    // a stopword / too-short term has NO positions — the phrase could
-    // never match and an empty result would be indistinguishable from
-    // "phrase absent", so reject loudly instead
+    // a term the tokenizer could never produce (stopword, too short,
+    // not lowercase, contains a space) has NO positions — the phrase
+    // could never match and an empty result would be indistinguishable
+    // from "phrase absent", so reject loudly instead
     val dropped = phrase.filterNot(t =>
-      t.length >= Text.MinTokenLength && !Text.Stopwords.contains(t))
+      t.length >= Text.MinTokenLength && !Text.Stopwords.contains(t) &&
+        t == t.toLowerCase && !t.contains(" "))
     require(dropped.isEmpty,
-      s"phrase terms ${dropped.mkString("'", "', '", "'")} are removed by the " +
-        "keep-filter (stopword/min-length) and can never match")
+      s"phrase terms ${dropped.mkString("'", "', '", "'")} can never match: " +
+        "stopword/min-length filtered, non-lowercase, or not a single token")
     val p = termPositions(docs)
     val anchor = p.filter(col("term") === phrase.head)
       .select(col("doc_id"), col("pos"))

@@ -291,7 +291,8 @@ object Streams {
     * per batch, cost is a term-pruned postings scan — no corpus pass,
     * state zero. Returns all results after the query stream drains. */
   def searchStream(spark: SparkSession, queriesDir: String, indexPath: String,
-                   k: Int = 10, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                   k: Int = 10, maxFilesPerTrigger: Option[Int] = None,
+                   onBatch: Long => Unit = _ => ()): DataFrame = {
     val schema = spark.read.parquet(queriesDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -305,7 +306,8 @@ object Streams {
     // session's own partition setting)
     val sq =
       qs.writeStream.outputMode(OutputMode.Append())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          onBatch(batchId)
           val scored = graft.operators.Bm25Index.batchSearch(spark, indexPath, batch, k)
           outSchema = scored.schema
           results.synchronized { results ++= scored.collect() }

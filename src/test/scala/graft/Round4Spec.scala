@@ -44,13 +44,20 @@ class Round4Spec extends AnyFunSuite {
     val path = "/tmp/graft-test-idx-serve3"
     Bm25Index.build(docs, path)
     val qdir = "/tmp/graft-test-stream-q-multi"
-    // one file per query + maxFilesPerTrigger=1 → one micro-batch per
-    // query; the drained result must still equal the whole batch
-    Bm25.DemoQueries.toDF("query_id", "qtext")
-      .repartition(3, col("query_id")).write.mode("overwrite").parquet(qdir)
+    // one file per query (sequential single-partition appends guarantee
+    // 3 part files) + maxFilesPerTrigger=1 → one micro-batch per query;
+    // the drained result must still equal the whole batch
+    Bm25.DemoQueries.zipWithIndex.foreach { case (q, i) =>
+      Seq(q).toDF("query_id", "qtext").coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(qdir)
+    }
+    val batchIds = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val streamed = graft.streaming.Streams
-      .searchStream(spark, qdir, path, maxFilesPerTrigger = Some(1)).collect()
+      .searchStream(spark, qdir, path, maxFilesPerTrigger = Some(1),
+        onBatch = { id => batchIds.add(id); () }).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the cross-batch accumulation claim is only proven if >1 batch ran
+    assert(batchIds.size >= 3, s"expected >=3 micro-batches, saw ${batchIds.size}")
     val batch = Bm25.batchSearch(docs, Bm25.DemoQueries.toDF("query_id", "qtext")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(streamed == batch && streamed.nonEmpty)
