@@ -236,6 +236,8 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    "q_train_split" -> ((s, dir) => TextAnalysis.trainSplit(Tables.documents(s, dir))),
+    "q_pagerank" -> ((s, dir) => Graph.pagerank(Tables.documents(s, dir))),
     // lineitem re-laid-out along a (price, quantity) Morton curve: a
     // selective two-column range probe now touches few files/row
     // groups via parquet min/max stats instead of the whole table
@@ -1364,5 +1366,39 @@ object SparkEntry {
         |WHERE l_extendedprice BETWEEN 30000.0 AND 31000.0
         |  AND l_quantity BETWEEN 20.0 AND 30.0
         |GROUP BY l_returnflag""".stripMargin,
+    "q_train_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_sum(list_transform(range(1, 9),
+        |           j -> (strpos('0123456789abcdef',
+        |                        substr(md5(doc_id::VARCHAR), j, 1)) - 1)::BIGINT
+        |                << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM s""".stripMargin,
+    // 10 integer PageRank iterations generated as a CTE chain; every
+    // step is floor division of non-negative BIGINTs, mirroring the
+    // Spark loop exactly (SURVEY §6)
+    "q_pagerank" -> {
+      val m = Graph.TotalMass
+      val iters = (1 to 10).map { i =>
+        s"""s$i AS (SELECT e.dst AS node, sum(r.rank // od.outdeg)::BIGINT AS insum
+           |        FROM e JOIN r${i - 1} r ON e.src = r.node JOIN od ON e.src = od.src
+           |        GROUP BY e.dst),
+           |r$i AS (SELECT nd.node, (tp.t + (85 * COALESCE(s$i.insum, 0)) // 100)::BIGINT AS rank
+           |        FROM nodes nd CROSS JOIN tp LEFT JOIN s$i ON nd.node = s$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashCandCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+         |      UNION ALL SELECT doc_b, doc_a FROM ver),
+         |nodes AS (SELECT doc_id AS node FROM documents),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |tp AS (SELECT ((15 * ($m // n)) // 100)::BIGINT AS t FROM nn),
+         |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node, ($m // n)::BIGINT AS rank FROM nodes, nn),
+         |$iters
+         |SELECT node, rank FROM r10""".stripMargin
+    },
   )
 }

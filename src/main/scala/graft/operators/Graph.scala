@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation over document-relation graphs — the
+  * general pattern behind link analysis, label propagation and
+  * influence scoring, here instantiated as PageRank over the verified
+  * near-duplicate similarity graph (which duplicate neighborhoods are
+  * most central — a triage signal for aggressive dedup).
+  *
+  * Arithmetic contract (SURVEY.md §6): ranks are exact BIGINT
+  * "picos" of probability mass (total ≈ 10^12) and every step is
+  * integer: per-edge contribution = rank // outdeg (floor), damping =
+  * (85·Σ) // 100, teleport = (15·r0) // 100. Floor-division of
+  * non-negative longs is identical in Spark (`div`) and DuckDB
+  * (`//`), integer sums are order-independent, so a fixed iteration
+  * count is bit-reproducible across engines and partitionings.
+  *
+  * Scale shape: each iteration is one shuffle — contributions
+  * aggregate on dst — plus a left join back to the node set; edges
+  * and out-degrees are reused unchanged (at 100 TB both would be
+  * co-partitioned once and the rank relation checkpointed every few
+  * iterations to cut lineage; [[Dedup.nearDupClusters]] documents the
+  * same pattern for its pointer-doubling loop).
+  */
+object Graph {
+
+  val TotalMass = 1000000000000L // 10^12 "picos" of probability mass
+
+  /** (node, rank): `iterations` rounds of damped (0.85) PageRank over
+    * the UNDIRECTED verified near-dup graph; isolated docs keep the
+    * teleport mass only. */
+  def pagerank(docs: DataFrame, iterations: Int = 10): DataFrame = {
+    val pairs = Dedup.verifiedNearDups(docs).select("doc_a", "doc_b")
+    // undirected: every pair contributes both directions; materialize
+    // once — the SAME edge relation feeds all iterations
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val nodes = docs.select(col("doc_id").as("node"))
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val r0 = TotalMass / n
+    val teleport = (15L * r0) / 100L
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.withColumn("rank", lit(r0))
+    for (_ <- 1 to iterations) {
+      val inSum = edges.join(ranks, edges("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("insum"))
+      // `div`, not `/`: Column./ is DOUBLE division; div is the
+      // integral floor that mirrors DuckDB's `//`
+      ranks = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+    }
+    ranks
+  }
+}

@@ -279,6 +279,22 @@ object TextAnalysis {
     *  - ok_stopwords:   ≥ 2 DISTINCT engine stopwords present
     * All four are per-row array expressions over the raw token array —
     * a pure map stage, no shuffle at any scale. */
+  /** (doc_id, split): deterministic 80/10/10 train/val/test
+    * assignment by content-free id hash — no RNG state, stable under
+    * corpus growth (a doc keeps its split forever), reproducible on
+    * any engine (md5 → first 8 hex digits → uniform in [0,1)). The
+    * split boundary is a pure map predicate: zero shuffle at any
+    * scale, and downstream readers can push `split = 'train'` into
+    * the scan when the assignment is materialized as a partition
+    * column ([[graft.sources.Sinks.writePartitioned]]). */
+  def trainSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"))
+      .select(col("doc_id"),
+        when(col("u") < 0.8, "train").when(col("u") < 0.9, "val").otherwise("test")
+          .as("split"))
+
   def gopherRules(docs: DataFrame): DataFrame = {
     val stop = Text.stopwordsSqlList
     docs

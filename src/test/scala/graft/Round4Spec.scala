@@ -151,6 +151,41 @@ class Round4Spec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("pagerank: mass bounded, isolated docs hold exactly the teleport floor") {
+    val ranks = graft.operators.Graph.pagerank(docs, iterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    val r0 = graft.operators.Graph.TotalMass / n
+    val teleport = 15L * r0 / 100L
+    assert(ranks.size == n)
+    // floor division only loses mass: total in (0, TotalMass]
+    val total = ranks.values.sum
+    assert(total > 0 && total <= graft.operators.Graph.TotalMass)
+    // every rank >= teleport floor; docs outside the near-dup graph sit exactly on it
+    assert(ranks.values.forall(_ >= teleport))
+    val connected = Dedup.verifiedNearDups(docs).select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    ranks.foreach { case (node, rank) =>
+      if (!connected.contains(node)) assert(rank == teleport, s"isolated $node rank $rank")
+      else assert(rank > teleport, s"connected $node stuck at teleport")
+    }
+  }
+
+  test("train split is deterministic, total, and near 80/10/10") {
+    val a = graft.operators.TextAnalysis.trainSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.operators.TextAnalysis.trainSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b && a.size == docs.count())
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(math.abs(frac("train") - 0.8) < 0.1 && frac("val") < 0.2 && frac("test") < 0.2)
+    // growth stability: a subset corpus assigns every surviving doc identically
+    val sub = graft.operators.TextAnalysis.trainSplit(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (id, s) => a(id) == s })
+  }
+
   test("argmax picks the customer with the true max/min account balance") {
     val cust = Tables.customer(spark, sf)
     val got = Relational.richestCustomerPerNation(cust).collect()
