@@ -20,4 +20,6 @@ object Native {
     GraftShims.column(SimHashWords(GraftShims.expression(words)))
   def segment(text: Column, dict: Column): Column =
     GraftShims.column(SegmentWords(GraftShims.expression(text), GraftShims.expression(dict)))
+  def bucket(value: Column, cuts: Array[Double]): Column =
+    GraftShims.column(EquiDepthBucket(GraftShims.expression(value), cuts))
 }

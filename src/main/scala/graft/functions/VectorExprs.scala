@@ -90,6 +90,64 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** `EquiDepthBucket(value, cuts)`: rank of `value` against a SORTED
+  * driver-side cut-point array — the number of cut points ≤ value,
+  * i.e. the equi-depth bucket id in [0, cuts.length]. Binary search
+  * (O(log nBuckets)) with whole-stage codegen, replacing the O(n)
+  * per-row `size(filter(array(...), c -> value >= c))` literal-array
+  * lambda in the Z-order Morton code — for 8-bit buckets that is
+  * 255 interpreted comparisons per row per column collapsed to 8.
+  * NaN ranks LAST (cuts.length): Spark SQL orders NaN above every
+  * double, so the lambda form counts ALL cut points — Java's `>=`
+  * would count none, hence the explicit branch.
+  * Column-API only ([[Native.bucket]]): the cut array is a plan-time
+  * constant shipped via codegen references, not a SQL literal. */
+case class EquiDepthBucket(child: Expression, cuts: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  private def upperBound(v: Double): Int = {
+    if (java.lang.Double.isNaN(v)) return cuts.length
+    var lo = 0
+    var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v >= cuts(mid)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    upperBound(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("cuts", cuts, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0, $hi = $arr.length;
+         |if (Double.isNaN($v)) {
+         |  $lo = $arr.length;
+         |} else {
+         |  while ($lo < $hi) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    if ($v >= $arr[$mid]) $lo = $mid + 1; else $hi = $mid;
+         |  }
+         |}
+         |${ev.value} = $lo;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bucket"
+}
+
 /** Shared deterministic hashing parameters for MinHash — md5-derived
   * on the driver so SQL oracles can inline identical literals. */
 object GraftHashing {

@@ -22,40 +22,41 @@ import org.apache.spark.sql.functions._
 object Zorder {
 
   /** The Morton code of `cols` as a Column: each column is ranked into
-    * 2^bits equi-depth buckets via its cut-point array, then bucket
-    * bits are interleaved (column 0 owns the low bit of each group). */
+    * 2^bits equi-depth buckets (native binary-search
+    * [[graft.functions.EquiDepthBucket]] against its cut-point array —
+    * O(bits) per row, codegen'd), then bucket bits are interleaved
+    * (column 0 owns the low bit of each group). */
   private def mortonCode(df: DataFrame, cols: Seq[String], bits: Int): Column = {
     val nBuckets = 1 << bits
     val qs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     // the multi-column overload sketches every column in ONE scan
     val allCuts = df.stat.approxQuantile(cols.toArray, qs, 0.001)
-    val bucketExprs = cols.zip(allCuts).map { case (c, cuts) =>
-      // bucket = number of cut points <= value (0..2^bits-1); the cut
-      // array is a broadcast-sized literal evaluated per row. An empty
+    val buckets = cols.zip(allCuts).map { case (c, cuts) =>
+      // bucket = number of cut points <= value (0..2^bits-1). An empty
       // or all-null column yields NO cut points — that column is one
-      // big bucket (rank 0), not invalid SQL
-      if (cuts.isEmpty) "0"
-      else {
-        val arr = cuts.mkString("array(", "D, ", "D)")
-        s"size(filter($arr, __c -> CAST($c AS DOUBLE) >= __c))"
-      }
+      // big bucket (rank 0)
+      if (cuts.isEmpty) lit(0)
+      else graft.functions.Native.bucket(col(c).cast("double"), cuts)
     }
     val terms = for {
       b <- 0 until bits
-      (be, i) <- bucketExprs.zipWithIndex
-    } yield s"shiftleft(CAST(shiftright($be, $b) AS BIGINT) & 1, ${b * cols.length + i})"
-    expr(terms.mkString("(", " + ", ")"))
+      (bk, i) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(bk, b).cast("long") bitwiseAND 1L, b * cols.length + i)
+    terms.reduce(_ + _)
   }
 
   /** Write `df` z-ordered by `cols`: range-partition on the Morton
     * code (so files tile the curve) and sort within partitions (so
-    * row groups tile it too). The code is a transient sort key — the
-    * written schema is unchanged. */
+    * row groups tile it too). The code is MATERIALIZED once as a
+    * transient column — computed in one projection, consumed by both
+    * the range exchange and the sort — and dropped before the write,
+    * so the written schema is unchanged. */
   def writeZordered(df: DataFrame, path: String, cols: Seq[String],
                     bits: Int = 8, nFiles: Int = 16): Unit = {
-    val z = mortonCode(df, cols, bits)
-    df.repartitionByRange(nFiles, z)
-      .sortWithinPartitions(z)
+    df.withColumn("__graft_z", mortonCode(df, cols, bits))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -81,4 +81,21 @@ class VectorExprsSpec extends AnyFunSuite {
       assert(!opt.contains("graft_dot"), s"rule over-matched on: $form")
     }
   }
+
+  test("EquiDepthBucket equals the literal-array lambda rank, including dup cuts and NaN") {
+    import spark.implicits._
+    val cuts = Array(1.0, 2.0, 2.0, 5.5, 9.0) // duplicates on purpose
+    val vals = Seq(0.0, 1.0, 1.5, 2.0, 3.0, 5.5, 9.0, 10.0, Double.NaN,
+      Double.NegativeInfinity, Double.PositiveInfinity)
+    val df = vals.toDF("v")
+    val arr = cuts.mkString("array(", "D, ", "D)")
+    val got = df.select(
+      graft.functions.Native.bucket(col("v"), cuts).as("b"),
+      expr(s"size(filter($arr, c -> v >= c))").as("want")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // null in, null out
+    val n = Seq[Option[Double]](None).toDF("v")
+      .select(graft.functions.Native.bucket(col("v"), cuts)).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
