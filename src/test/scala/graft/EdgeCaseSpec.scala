@@ -105,6 +105,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextAnalysis.segmentRoundTrip(junk).count() == junk.count())
   }
 
+  test("round-4 operators degrade gracefully on empty/degenerate input") {
+    import graft.operators.{Positional, Vectors}
+    // positional chain: empty corpus and junk corpus never throw
+    assert(Positional.positionalPostings(empty).count() == 0)
+    assert(Positional.phraseSearch(empty).count() == 0)
+    assert(Positional.bm25fScore(empty).count() == 0)
+    // junk corpus: only doc 4 has kept tokens; positions survive
+    assert(Positional.positionalPostings(junk).select("doc_id").distinct().count() == 1)
+    // never-matchable phrase terms are rejected loudly, not empty-silently
+    intercept[IllegalArgumentException](Positional.phraseSearch(junk, Seq("the", "part")))
+    intercept[IllegalArgumentException](Positional.phraseSearch(junk, Seq("Part")))
+    intercept[IllegalArgumentException](Positional.phraseSearch(junk, Seq("two words")))
+    // gopher rules: every doc gets a verdict, empty text included
+    assert(TextAnalysis.gopherRules(junk).count() == junk.count())
+    assert(TextAnalysis.trainSplit(empty).count() == 0)
+    // vectors: empty embeddings table
+    val noVecs = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    assert(Vectors.centroidOutliers(noVecs).count() == 0)
+    assert(Vectors.knnClassify(noVecs).count() == 0)
+    // pagerank on an empty graph is rejected (rank of nothing is undefined)
+    intercept[IllegalArgumentException](graft.operators.Graph.pagerank(empty))
+  }
+
   test("segmentRoundTrip on a corpus with an empty-text doc") {
     // doc 3 has empty text: split('', ' ') yields [""] (1 token) while
     // segmenting the de-spaced empty string yields 0 segments, so the
