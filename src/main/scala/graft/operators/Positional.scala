@@ -90,11 +90,16 @@ object Positional {
     * the weighted lengths. Two fields: head (first [[HeadLen]] raw
     * tokens, weight [[HeadWeight]]) and body (weight 1). */
   def bm25fScore(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms): DataFrame = {
-    val wtfAll = termPositions(docs)
+    // explicit isNotNull matches the join's inferred constraint and
+    // count(doc_id) keeps the stats projection identical to the join
+    // branch, so the wdl exchange canonicalizes ONCE and is REUSED
+    // (same tricks as Bm25.bm25Score) — 2 corpus scans total,
+    // asserted in PlanSpec
+    val wtfAll = termPositions(docs.filter(col("doc_id").isNotNull))
       .withColumn("w", when(col("pos") < HeadLen, lit(HeadWeight)).otherwise(lit(1)))
       .groupBy("doc_id", "term").agg(sum("w").as("wtf"))
     val wdl = wtfAll.groupBy("doc_id").agg(sum("wtf").as("wdl"))
-    val stats = wdl.agg(count(lit(1)).as("n_docs"), avg("wdl").cast("double").as("avgwdl"))
+    val stats = wdl.agg(count(col("doc_id")).as("n_docs"), avg("wdl").cast("double").as("avgwdl"))
     val tfq = wtfAll.filter(col("term").isin(queryTerms: _*))
     tfq
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))

@@ -97,4 +97,54 @@ class PlanSpec extends AnyFunSuite {
       "both nation roles must join independently")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("Q5 shape: every dim broadcast, returnflag filter pushed in Q10") {
+    val p5 = planString(Relational.localSupplierVolume(spark, sf))
+    assert(!p5.contains("BroadcastNestedLoopJoin") && !p5.contains("CartesianProduct"))
+    assert(p5.split("BroadcastHashJoin").length - 1 >= 4,
+      s"supplier/customer/nation/region should broadcast:\n$p5")
+    val p10 = planString(Relational.returnedItemReporting(spark, sf))
+    assert(p10.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n$p10")
+  }
+
+  test("phrase search: doc-local equi-joins, never a nested loop") {
+    val docs = Tables.documents(spark, sf)
+    val p = planString(graft.operators.Positional.phraseSearch(docs))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"phrase join degenerated to a nested loop:\n$p")
+  }
+
+  test("BM25F: one corpus scan feeds weighted tf, dl and df") {
+    val docs = Tables.documents(spark, sf)
+    val p = planString(graft.operators.Positional.bm25fScore(docs))
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans <= 2, s"BM25F should need at most 2 corpus scans, saw $scans:\n$p")
+  }
+
+  test("bloom semi-join: the might-contain prefilter sits UNDER the join") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val keys = Tables.orders(spark, sf).filter(col("o_totalprice") > 200000.0)
+      .select("o_orderkey")
+    val df = graft.operators.Skew.bloomSemiJoin(li, keys, "l_orderkey", "o_orderkey")
+    val p = planString(df)
+    // parents print first: the UDF prefilter must appear BELOW (after)
+    // the LeftSemi join line, on the probe side
+    val joinIdx = p.indexOf("LeftSemi")
+    val filterIdx = p.indexOf("UDF(")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom prefilter should be below the semi join:\n$p")
+  }
+
+  test("kNN: the small test split is the broadcast side") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = planString(graft.operators.Vectors.knnClassify(emb))
+    assert(p.contains("BroadcastNestedLoopJoin"), // non-equi pair join: NLJ by design
+      s"expected a broadcast nested-loop pair join:\n$p")
+    // the broadcast exchange must carry the vec_id % 10 = 0 TEST side
+    val bIdx = p.indexOf("BroadcastExchange")
+    assert(bIdx >= 0 && p.indexOf("% 10) = 0", bIdx) >= 0,
+      s"test split should be the broadcast build side:\n$p")
+  }
 }
