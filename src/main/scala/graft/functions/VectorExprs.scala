@@ -105,6 +105,17 @@ case class DotProduct(left: Expression, right: Expression)
 case class EquiDepthBucket(child: Expression, cuts: Array[Double])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  // declared input check ⇒ a non-double child via the public
+  // Native.bucket surface fails at ANALYSIS with a type message, not
+  // with a ClassCastException in eval / a codegen compile error
+  // (AbstractDataType is private[sql], so checkInputDataTypes directly)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bucket requires a DOUBLE child, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
   private def upperBound(v: Double): Int = {

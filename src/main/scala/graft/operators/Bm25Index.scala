@@ -113,7 +113,11 @@ object Bm25Index {
           .agg(count(lit(1)).as("n"),
             min(col("doc_id").cast("long")).as("lo"), max(col("doc_id").cast("long")).as("hi"))
           .collect()
-        if (r.getLong(0) == 0L) (true, 0L, -1L) else (false, r.getLong(1), r.getLong(2))
+        // all-NULL ids: count counts the rows but min/max are NULL —
+        // fall back to the unranged path (lo>hi ⇒ every delta checked)
+        if (r.getLong(0) == 0L) (true, 0L, -1L)
+        else if (r.isNullAt(1) || r.isNullAt(2)) (false, 0L, -1L)
+        else (false, r.getLong(1), r.getLong(2))
       } else {
         val n = newDocs.limit(1).count()
         (n == 0L, 0L, -1L)

@@ -87,8 +87,10 @@ object Skew {
       case t => throw new IllegalArgumentException(
         s"bloomSemiJoin: unsupported key type $t (integral or string)")
     }
+    // alias the small side's key: with identical column names on both
+    // sides col(largeKey) === col(smallKey) is ambiguous at analysis
     large.filter(mightContain)
-      .join(small.select(smallKey).distinct(),
-        col(largeKey) === col(smallKey), "left_semi")
+      .join(small.select(col(smallKey).as("__bloom_key")).distinct(),
+        col(largeKey) === col("__bloom_key"), "left_semi")
   }
 }

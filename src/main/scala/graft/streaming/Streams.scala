@@ -297,8 +297,15 @@ object Streams {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val qs = reader.parquet(queriesDir)
-    val results = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-    @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+    // results land in a per-batch parquet sink, NOT a driver buffer:
+    // each micro-batch overwrites its own batch-<id> dir, so a retried
+    // batch (foreachBatch is at-least-once) replaces rather than
+    // appends — idempotent — and driver memory stays O(1) however
+    // large the query stream is. The checkpoint makes batch ids stable
+    // across restarts of the same stream.
+    val outRoot = java.nio.file.Files
+      .createTempDirectory("graft-search-stream-").toString
+    @volatile var sawBatch = false
     // no shuffle-partitions pin here: the scoring plans are built
     // inside foreachBatch on the OUTER session per micro-batch, so a
     // pin around start() would not reach them (and racily mutating
@@ -306,19 +313,22 @@ object Streams {
     // session's own partition setting)
     val sq =
       qs.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$outRoot/_checkpoint")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           onBatch(batchId)
-          val scored = graft.operators.Bm25Index.batchSearch(spark, indexPath, batch, k)
-          outSchema = scored.schema
-          results.synchronized { results ++= scored.collect() }
+          sawBatch = true
+          graft.operators.Bm25Index.batchSearch(spark, indexPath, batch, k)
+            .write.mode("overwrite").parquet(s"$outRoot/batch-$batchId")
           ()
         }
         .start()
     try sq.processAllAvailable()
     finally sq.stop()
-    require(outSchema != null, s"query stream at $queriesDir produced no micro-batches")
-    val out = results.synchronized { results.toSeq }
-    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outSchema)
+    require(sawBatch, s"query stream at $queriesDir produced no micro-batches")
+    val dirs = new java.io.File(outRoot).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .map(_.getAbsolutePath)
+    spark.read.parquet(dirs: _*)
   }
 
   /** (win_start_ms, event_type, n, rk): top-3 event kinds per 1-hour

@@ -138,6 +138,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r(4L)._3, "normal doc must round-trip")
   }
 
+  test("index update with all-NULL doc_ids takes the unranged path, not an NPE") {
+    val path = "/tmp/graft-test-idx-nullids"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.operators.Bm25Index.build(
+      Seq((1L, "alpha beta gamma words")).toDF("doc_id", "text"), path)
+    // a non-empty batch whose every doc_id is NULL: min/max are NULL —
+    // must fall back to checking every delta (no range), never NPE
+    val nullBatch = Seq((null.asInstanceOf[java.lang.Long], "delta epsilon words"))
+      .toDF("doc_id", "text")
+    graft.operators.Bm25Index.update(nullBatch, path, tag = "nullid-batch")
+    assert(spark.read.parquet(s"$path/delta-nullid-batch/doclen").count() >= 0)
+  }
+
+  test("bloom semi-join works when both sides share the SAME key column name") {
+    val large = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val small = Seq(Tuple1(2L), Tuple1(3L)).toDF("k")
+    val got = graft.operators.Skew.bloomSemiJoin(large, small, "k", "k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+
+  test("graft_bucket on a non-double child fails at analysis, not in eval") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1("notadouble")).toDF("v")
+        .select(graft.functions.Native.bucket(col("v"), Array(1.0, 2.0))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("double"), e.getMessage)
+  }
+
   test("graft_segment keeps supplementary (surrogate-pair) chars whole on OOV") {
     // U+2000B occupies two UTF-16 units; the OOV fallback must emit it
     // as ONE token, never split surrogates
