@@ -21,7 +21,11 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = query-name filter for targeted local timing; the
+    // driver passes none and times the full surface
+    val keep: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
+    val results = SparkEntry.queries.filter(q => keep(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -249,6 +249,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           sum(floor(col("l_extendedprice") * lit(1000000.0)).cast("long")).as("price_micros"))
     }),
+
+    // ---- Round-5 additions: the remaining TPC-H shapes (Q2 Q6 Q8 Q9
+    // Q11 Q12 Q13 Q17 Q19 Q20 Q21 Q22), re-keyed where the testdata
+    // lacks a column (see TpcH scaladoc) ----
+    "q_revenue_forecast" -> ((s, dir) => TpcH.revenueForecast(s, dir)),
+    "q_min_cost_supplier" -> ((s, dir) => TpcH.minCostSupplier(s, dir)),
+    "q_market_share" -> ((s, dir) => TpcH.marketShare(s, dir)),
+    "q_product_profit" -> ((s, dir) => TpcH.productProfit(s, dir)),
+    "q_revenue_concentration" -> ((s, dir) => TpcH.revenueConcentration(s, dir)),
+    "q_late_split" -> ((s, dir) => TpcH.latePrioritySplit(s, dir)),
+    "q_order_distribution" -> ((s, dir) => TpcH.orderDistribution(s, dir)),
+    "q_small_qty_revenue" -> ((s, dir) => TpcH.smallQtyRevenue(s, dir)),
+    "q_disjunctive_pred" -> ((s, dir) => TpcH.disjunctiveRevenue(s, dir)),
+    "q_promo_suppliers" -> ((s, dir) => TpcH.promoSuppliers(s, dir)),
+    "q_waiting_orders" -> ((s, dir) => TpcH.waitingOrders(s, dir)),
+    "q_idle_customers" -> ((s, dir) => TpcH.idleRichCustomers(s, dir)),
   )
 
   /** One z-ordered copy of lineitem per sf dir per JVM. */
@@ -1400,5 +1416,141 @@ object SparkEntry {
          |$iters
          |SELECT node, rank FROM r10""".stripMargin
     },
+
+    // ---- Round-5 TPC-H shapes ----
+    "q_revenue_forecast" ->
+      """SELECT sum(floor(l_extendedprice * l_discount * 1000000.0)::BIGINT)::BIGINT AS revenue_micros,
+        |       count(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |         min(floor(l_extendedprice / l_quantity * 1000000.0)::BIGINT)::BIGINT AS offer_micros
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN part ON l_partkey = p_partkey AND p_size <= 10
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |rk AS (SELECT *, row_number() OVER (
+        |         PARTITION BY p_partkey ORDER BY offer_micros ASC, s_suppkey ASC) AS rk
+        |       FROM offers)
+        |SELECT p_partkey AS partkey, p_name, s_name, n_name, offer_micros
+        |FROM rk WHERE rk = 1""".stripMargin,
+    "q_market_share" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate)::BIGINT AS o_year,
+        |         sum(CASE WHEN sn.n_name = 'NATION_1'
+        |               THEN floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT
+        |               ELSE 0 END)::BIGINT AS nation_micros,
+        |         sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS total_micros
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  GROUP BY 1)
+        |SELECT o_year, nation_micros, total_micros,
+        |       round(nation_micros::DOUBLE / total_micros, 6) AS mkt_share
+        |FROM m""".stripMargin,
+    "q_product_profit" ->
+      """SELECT sn.n_name, year(o_orderdate)::BIGINT AS o_year,
+        |       sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT
+        |           - floor(p_retailprice * l_quantity * 100000.0)::BIGINT)::BIGINT AS profit_micros,
+        |       count(*)::BIGINT AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_revenue_concentration" ->
+      """WITH bysupp AS (
+        |  SELECT l_suppkey,
+        |         sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS rev_micros
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev_micros)::BIGINT AS total_micros FROM bysupp)
+        |SELECT l_suppkey AS suppkey, s_name, rev_micros
+        |FROM bysupp, t
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_micros > total_micros // 50""".stripMargin,
+    "q_late_split" ->
+      """SELECT l_linestatus,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    "q_order_distribution" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |             WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*)::BIGINT AS custdist FROM cc GROUP BY 1""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, floor(l_quantity)::BIGINT AS qty, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'),
+        |st AS (SELECT l_partkey AS sp_key, sum(qty)::BIGINT AS sum_qty, count(*)::BIGINT AS n_li
+        |       FROM li GROUP BY 1)
+        |SELECT sum(floor(l_extendedprice * 1000000.0)::BIGINT)::BIGINT AS revenue_micros,
+        |       count(*)::BIGINT AS n_lines,
+        |       (sum(floor(l_extendedprice * 1000000.0)::BIGINT)::BIGINT // 7)::BIGINT AS avg_yearly_micros
+        |FROM li JOIN st ON l_partkey = sp_key
+        |WHERE qty * 5 * n_li < sum_qty""".stripMargin,
+    "q_disjunctive_pred" ->
+      """SELECT sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS revenue_micros,
+        |       count(*)::BIGINT AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1.0 AND 11.0)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10.0 AND 20.0)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "q_promo_suppliers" ->
+      """WITH q AS (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(floor(l_quantity)::BIGINT) > 50)
+        |SELECT s_suppkey AS suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE EXISTS (SELECT 1 FROM q WHERE q.l_suppkey = s_suppkey)""".stripMargin,
+    "q_waiting_orders" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
+    "q_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |                  floor(c_acctbal * 1000000.0)::BIGINT AS bal_micros FROM customer),
+        |pos AS (SELECT sum(bal_micros)::BIGINT AS sum_pos, count(*)::BIGINT AS n_pos
+        |        FROM c WHERE bal_micros > 0)
+        |SELECT c_nationkey::BIGINT AS nationkey, count(*)::BIGINT AS n_cust,
+        |       sum(bal_micros)::BIGINT AS total_bal_micros
+        |FROM c, pos
+        |WHERE bal_micros * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
   )
 }

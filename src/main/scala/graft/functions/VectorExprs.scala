@@ -367,8 +367,7 @@ case class ShingleWords(child: Expression, n: Int)
   * Returns null for strings shorter than n (callers filter length
   * >= n for oracle parity). */
 case class CharNgrams(child: Expression, n: Int)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -376,24 +375,58 @@ case class CharNgrams(child: Expression, n: Int)
   // returns null for strings shorter than n regardless of child nullability
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    // code-point (not UTF-16) indexing, matching SQL substring semantics
-    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val len = s.numChars()
-    if (len < n) return null
-    val out = new Array[org.apache.spark.unsafe.types.UTF8String](len - n + 1)
-    var i = 0
-    while (i <= len - n) {
-      out(i) = s.substringSQL(i + 1, n)
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.asInstanceOf[Array[Any]])
-  }
+  override def nullSafeEval(input: Any): Any =
+    CharNgrams.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  // codegen = a static call into the same one-pass routine: keeps the
+  // surrounding project/explode stage inside whole-stage codegen
+  // instead of dropping the whole span to interpreted mode
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.CharNgrams.compute($v, $n);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
   override def prettyName: String = "graft_char_ngrams"
+}
+
+object CharNgrams {
+  /** All length-n code-point substrings in ONE pass over the bytes:
+    * record every code-point's byte offset, then slice [off(i),
+    * off(i+n)) per window — O(bytes), where the earlier
+    * `substringSQL(i+1, n)` per window re-scanned the prefix for
+    * code-point alignment every call (O(bytes²) on long documents).
+    * Code-point (not UTF-16) indexing, matching SQL substring
+    * semantics. Null for strings shorter than n. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String,
+              n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val nBytes = s.numBytes()
+    val bytes = s.getBytes // materializes at most once (may copy off-heap)
+    // byte offset of each code point, plus the end sentinel
+    val offs = new Array[Int](nBytes + 1)
+    var nChars = 0
+    var b = 0
+    while (b < nBytes) {
+      offs(nChars) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      nChars += 1
+    }
+    offs(nChars) = nBytes
+    if (nChars < n) return null
+    val out = new Array[Any](nChars - n + 1)
+    var i = 0
+    while (i <= nChars - n) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `graft_segment(text, dict_array)`: greedy longest-match dictionary

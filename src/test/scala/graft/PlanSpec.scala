@@ -137,6 +137,37 @@ class PlanSpec extends AnyFunSuite {
       s"bloom prefilter should be below the semi join:\n$p")
   }
 
+  test("Q6: all three predicates pushed to the lineitem scan") {
+    val p = planString(graft.operators.TpcH.revenueForecast(spark, sf))
+    // the PushedFilters list prints truncated — assert its prefix plus
+    // the full Filter condition carrying all three predicates
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"Q6 predicates not pushed to the scan:\n$p")
+    assert(p.contains(">= 1997-01-01") && p.contains("l_discount#") && p.contains("< 24.0"),
+      s"Q6 filter does not carry all three predicates:\n$p")
+  }
+
+  test("Q19: disjunctive predicate stays a broadcast HASH join") {
+    val p = planString(graft.operators.TpcH.disjunctiveRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected partkey equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "OR-of-ANDs must not degrade the join to a nested loop")
+  }
+
+  test("Q21: both correlations are semi/anti joins, no cartesian work") {
+    val p = planString(graft.operators.TpcH.waitingOrders(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS should lower to semi+anti joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q21:\n$p")
+  }
+
+  test("Q2 shape: dims broadcast, rank-1 filter bounds groups before shuffle") {
+    val p = planString(graft.operators.TpcH.minCostSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"supplier/part dims should broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank()=1 should push a group limit under the window sort:\n$p")
+  }
+
   test("kNN: the small test split is the broadcast side") {
     val emb = Tables.embeddings(spark, sf)
     val p = planString(graft.operators.Vectors.knnClassify(emb))
