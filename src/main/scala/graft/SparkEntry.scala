@@ -265,6 +265,46 @@ object SparkEntry {
     "q_promo_suppliers" -> ((s, dir) => TpcH.promoSuppliers(s, dir)),
     "q_waiting_orders" -> ((s, dir) => TpcH.waitingOrders(s, dir)),
     "q_idle_customers" -> ((s, dir) => TpcH.idleRichCustomers(s, dir)),
+
+    // ---- Round-5 additions: pipeline/text ops, quantization, more
+    // sources/sinks, bucketed co-located join, streaming upsert ----
+    "q_keywords" -> ((s, dir) => TextAnalysis.keywords(Tables.documents(s, dir))),
+    "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(Tables.documents(s, dir))),
+    "q_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
+    "q_emb_quantize" -> ((s, dir) => Vectors.quantizeInt8(Tables.embeddings(s, dir))),
+    "q_stream_upsert" -> ((s, dir) => graft.streaming.Streams.upsertStream(s, dir)),
+    // both fact tables pre-bucketed on the join key: the join runs
+    // with NO exchange on either side (asserted in PlanSpec)
+    "q_bucketed_join" -> ((s, dir) => {
+      val (liName, oName) = bucketedFor(s, dir)
+      graft.sources.Bucketed.table(s, liName).hint("merge")
+        .join(graft.sources.Bucketed.table(s, oName),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * lit(1000000.0)).cast("long")).as("revenue_micros"))
+    }),
+    // corpus round-tripped through header CSV — schema'd read back
+    "q_source_csv" -> ((s, dir) => {
+      s.read.option("header", "true").schema(Tables.documents(s, dir).schema)
+        .csv(csvDocsFor(s, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+    // corpus round-tripped through JSON-lines
+    "q_source_jsonl" -> ((s, dir) => {
+      s.read.schema(Tables.documents(s, dir).schema)
+        .json(jsonlDocsFor(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+    // a 48-file fragmented copy compacted back to size-targeted files
+    // (file-count collapse asserted in IoSpec); content must survive
+    "q_compacted_scan" -> ((s, dir) => {
+      s.read.parquet(compactedDocsFor(s, dir))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
   )
 
   /** One z-ordered copy of lineitem per sf dir per JVM. */
@@ -296,6 +336,41 @@ object SparkEntry {
     * build/update split IS the thing it tests.) */
   private def indexFor(s: SparkSession, dir: String): String =
     cachedLayout("idx_serve", dir)(p => Bm25Index.build(Tables.documents(s, dir), p))
+
+  /** Lineitem+orders bucketed on the join key (8 buckets, sorted,
+    * one file per bucket via the pre-repartition) — the co-located
+    * join layout. Returns (lineitemTable, ordersTable) names. */
+  private def bucketedFor(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+    val (liName, oName) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+    cachedLayout("bkt_pair", dir) { _ =>
+      graft.sources.Bucketed.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice").repartition(8, col("l_orderkey")),
+        liName, "l_orderkey", 8)
+      graft.sources.Bucketed.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus").repartition(8, col("o_orderkey")),
+        oName, "o_orderkey", 8)
+    }
+    (liName, oName)
+  }
+
+  /** One header-CSV copy of the corpus per sf dir per JVM. */
+  private def csvDocsFor(s: SparkSession, dir: String): String =
+    cachedLayout("docs_csv", dir)(p =>
+      Tables.documents(s, dir).write.option("header", "true").mode("overwrite").csv(p))
+
+  /** One JSON-lines copy of the corpus per sf dir per JVM. */
+  private def jsonlDocsFor(s: SparkSession, dir: String): String =
+    cachedLayout("docs_jsonl", dir)(p =>
+      Tables.documents(s, dir).write.mode("overwrite").json(p))
+
+  /** A deliberately fragmented (48-file) copy of the corpus, compacted
+    * back through [[graft.sources.Sinks.compact]]. */
+  private def compactedDocsFor(s: SparkSession, dir: String): String =
+    cachedLayout("docs_compact", dir) { p =>
+      Tables.documents(s, dir).repartition(48).write.mode("overwrite").parquet(p)
+      graft.sources.Sinks.compact(s, p)
+    }
 
   // ---------------------------------------------------------------
   // Oracle SQL (DuckDB dialect; tables registered by the driver with
@@ -1552,5 +1627,65 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+
+    // ---- Round-5 pipeline/source/streaming additions ----
+    "q_keywords" ->
+      s"""WITH $dlCte,
+         |idft AS (SELECT term, round(ln(n_docs::DOUBLE / (df + 1)), 6) AS idf FROM dft, nd),
+         |ti AS (SELECT tf.doc_id, tf.term, round(tf.tf * idft.idf, 6) AS tfidf
+         |       FROM tf JOIN idft ON tf.term = idft.term),
+         |rked AS (SELECT doc_id, term, tfidf,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)::BIGINT AS rk
+         |         FROM ti)
+         |SELECT doc_id, term, tfidf, rk FROM rked WHERE rk <= 3""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        |bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+        |       FROM tokw, unnest(generate_series(1, len(words)-1)) AS t(i)
+        |       WHERE len(words) >= 2),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS n1 FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |       round(avg(ln(n12::DOUBLE / n1)), 4) AS avg_logprob
+        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin,
+    "q_entropy" ->
+      s"""WITH $tfCte
+         |SELECT doc_id, sum(tf)::BIGINT AS dl, count(*)::BIGINT AS n_types,
+         |       round(count(*)::DOUBLE / sum(tf), 6) AS ttr,
+         |       round(ln(sum(tf)::DOUBLE) - sum(tf * ln(tf::DOUBLE)) / sum(tf), 4) AS entropy
+         |FROM tf GROUP BY doc_id""".stripMargin,
+    "q_emb_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+        |SELECT vec_id, (i - 1)::BIGINT AS dim_idx,
+        |       (CASE WHEN maxabs = 0 THEN 0
+        |             ELSE floor(v[i] * 127.0 / maxabs)::BIGINT END)::BIGINT AS qval,
+        |       floor(maxabs * 1000000.0)::BIGINT AS scale_micros
+        |FROM m, unnest(generate_series(1, len(v))) AS t(i)""".stripMargin,
+    // the streaming upsert converges to the SAME last-wins state as
+    // the batch q_idf_upsert (version-ordered merge) — shared shape
+    "q_stream_upsert" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, value, epoch_ms(ts) AS ts_ms,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, round(value, 6) AS last_value, ts_ms AS last_ts_ms
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_lines,
+        |       sum(floor(l_extendedprice * 1000000.0)::BIGINT)::BIGINT AS revenue_micros
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_source_csv" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_source_jsonl" ->
+      """SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_compacted_scan" ->
+      """SELECT count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+        |       count(DISTINCT lang)::BIGINT AS n_langs
+        |FROM documents""".stripMargin,
   )
 }

@@ -204,6 +204,66 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** (doc_id, term, tfidf, rk): per-document top-k KEYWORDS by tf·idf
+    * — extractive keyword tagging, the cheap summarization/routing
+    * signal of a training-data pipeline. Rides [[Bm25.tfIdf]]'s plan
+    * (df as a window over tf — no third corpus pass); the per-doc
+    * rank is a WindowGroupLimit, so each group is bounded to k rows
+    * BEFORE the shuffle. Ties (same rounded tfidf) break on term asc
+    * — deterministic on both engines. */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    Bm25.tfIdf(docs)
+      .select(col("doc_id"), col("term"), col("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** (doc_id, n_bigrams, avg_logprob): per-document mean bigram
+    * log-probability under the CORPUS bigram model P(w2|w1) =
+    * c(w1,w2)/c(w1·) — LM-score filtering, the classic
+    * perplexity-style quality gate (docs whose word sequences are
+    * improbable under the corpus LM are boilerplate/garbled). Raw
+    * whitespace tokens (the LM sees function words). Two corpus-
+    * bigram-cardinality aggregates; both probability factors join
+    * back on bigram keys — even spread, no broadcast of the big
+    * model. round(·,4): the per-doc mean sums FP logs, so the last
+    * digits are association-order noise (same rule as BM25 scores). */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(words)-1),
+          |  i -> struct(element_at(words, CAST(i AS INT)) AS w1,
+          |              element_at(words, CAST(i+1 AS INT)) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val c1 = bg.groupBy(col("w1").as("cw1")).agg(count(lit(1)).as("n1"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, col("w1") === col("cw1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("n12").cast("double") / col("n1"))), 4).as("avg_logprob"))
+  }
+
+  /** (doc_id, dl, n_types, ttr, entropy): token-distribution profile —
+    * type-token ratio and Shannon entropy (nats) of each document's
+    * kept-token histogram. Low entropy = repetitive/template text,
+    * TTR = lexical diversity; both standard corpus-quality features.
+    * H = ln(dl) − Σ tf·ln(tf)/dl, computed in ONE aggregate over the
+    * tf relation (no per-token pass; ln over exact integer counts is
+    * bit-identical across engines, and the Σ is a single FP sum —
+    * round(·,4) absorbs its association order). */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    Bm25.tf(docs)
+      .groupBy("doc_id")
+      .agg(sum("tf").as("dl"), count(lit(1)).as("n_types"),
+        sum(col("tf") * log(col("tf").cast("double"))).as("sum_tlnt"))
+      .select(col("doc_id"), col("dl"), col("n_types"),
+        round(col("n_types").cast("double") / col("dl"), 6).as("ttr"),
+        round(log(col("dl").cast("double")) - col("sum_tlnt") / col("dl"), 4).as("entropy"))
+
   /** The suffix-stripping CASE, written once and shared verbatim with
     * the DuckDB oracle so both engines stem identically. Porter-style
     * step-1-ish rules with length guards against over-stripping. */

@@ -82,4 +82,21 @@ object Vectors {
       .select(col("vec_id"), col("true_label").cast("long").as("true_label"),
         col("nb_label").cast("long").as("predicted_label"), col("n_votes"))
   }
+
+  /** (vec_id, dim_idx, qval, scale_micros): symmetric int8
+    * quantization of the embedding store — per-vector scale =
+    * max|x|/127, qval = floor(x·127/max|x|) ∈ [−127, 127]. The
+    * compression step every billion-vector ANN deployment takes (4×
+    * smaller store, SIMD int8 dot products); emitted EXPLODED so the
+    * quantized values are oracle-comparable row by row. Pure map
+    * stage — zero shuffles at any scale; an all-zero vector gets
+    * qval 0 everywhere (scale 0 marks it degenerate). */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .select(col("vec_id"), col("maxabs"), posexplode(col("v")).as(Seq("dim_idx", "x")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+        when(col("maxabs") === 0.0, lit(0L))
+          .otherwise(floor(col("x") * lit(127.0) / col("maxabs")).cast("long")).as("qval"),
+        floor(col("maxabs") * lit(1000000.0)).cast("long").as("scale_micros"))
 }

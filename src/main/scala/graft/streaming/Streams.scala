@@ -339,6 +339,50 @@ object Streams {
     * the watermark closes it, so the batch rank over closed windows is
     * the semantically honest (and cheap: #windows × #kinds rows)
     * placement. */
+  /** (user_id, last_type, last_value, last_ts_ms): the event stream
+    * upserted per micro-batch into a keyed parquet store — the
+    * reference's STREAMING Mongo sink (MongoTFSink.java /
+    * MongoIDFSink.java: findOneAndUpdate(upsert=true) per record, as
+    * a batched merge). Events arrive in several micro-batches (the
+    * source is staged into time-ranged files, one per trigger);
+    * every batch merges into the store via [[graft.sources.Sinks
+    * .upsertParquet]] keyed on user_id with ts as the version — so
+    * the final store equals the batch last-wins result REGARDLESS of
+    * batch arrival order (version-ordered merge, not arrival-ordered).
+    * Store cost per batch scales with store size here; the
+    * partitioned upsert ([[graft.sources.Sinks
+    * .upsertPartitionedParquet]]) is the 100 TB form. */
+  def upsertStream(spark: SparkSession, dir: String, nBatches: Int = 4): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tmp = sys.props("java.io.tmpdir")
+    val src = s"$tmp/graft_stream_upsert_src_$tag"
+    val store = s"$tmp/graft_stream_upsert_store_$tag"
+    val ckpt = s"$tmp/graft_stream_upsert_ckpt_$tag"
+    // fresh store/checkpoint per run: this query demonstrates the
+    // sink converging from empty; stale state would double-merge
+    Seq(store, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    events.repartitionByRange(nBatches, col("ts"))
+      .write.mode("overwrite").parquet(src)
+    val qs = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val sq = qs.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.upsertParquet(spark, batch, store,
+          keyCols = Seq("user_id"), versionCol = "ts")
+        ()
+      }
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    spark.read.parquet(store)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        round(col("value"), 6).as("last_value"),
+        expr("ts div 1000000").as("last_ts_ms"))
+  }
+
   def windowedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val counts = eventStream(spark, dir)
       .withWatermark("event_time", "1 hour")

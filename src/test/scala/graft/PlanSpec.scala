@@ -168,6 +168,28 @@ class PlanSpec extends AnyFunSuite {
       s"rank()=1 should push a group limit under the window sort:\n$p")
   }
 
+  test("bucketed join: no exchange on either join side") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    df.collect()
+    // QueryStageExec nodes are LEAVES that hide their subtree in
+    // .plan — unwrap them or the traversal stops at the agg shuffle
+    def kids(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def findJoin(p: org.apache.spark.sql.execution.SparkPlan): Option[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Some(j)
+      case other => kids(other).view.flatMap(findJoin).headOption
+    }
+    def hasExchange(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.isInstanceOf[Exchange] || kids(p).exists(hasExchange)
+    val join = findJoin(df.queryExecution.executedPlan)
+    assert(join.isDefined, s"expected a sort-merge join:\n${df.queryExecution.executedPlan}")
+    assert(!join.get.children.exists(hasExchange),
+      s"bucketed tables must join without exchanges:\n${join.get}")
+  }
+
   test("kNN: the small test split is the broadcast side") {
     val emb = Tables.embeddings(spark, sf)
     val p = planString(graft.operators.Vectors.knnClassify(emb))
