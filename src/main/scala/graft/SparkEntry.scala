@@ -1549,11 +1549,11 @@ object SparkEntry {
         |  SELECT l_suppkey,
         |         sum(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS rev_micros
         |  FROM lineitem GROUP BY 1),
-        |t AS (SELECT sum(rev_micros)::BIGINT AS total_micros FROM bysupp)
+        |t AS (SELECT sum(rev_micros)::BIGINT AS total_micros, count(*)::BIGINT AS n_supp FROM bysupp)
         |SELECT l_suppkey AS suppkey, s_name, rev_micros
         |FROM bysupp, t
         |JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE rev_micros > total_micros // 50""".stripMargin,
+        |WHERE rev_micros * n_supp * 20 > total_micros * 21""".stripMargin,
     "q_late_split" ->
       """SELECT l_linestatus,
         |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,

@@ -124,22 +124,26 @@ object TpcH {
   }
 
   /** TPC-H Q11 shape (important stock): groups whose revenue exceeds a
-    * fixed fraction of the GLOBAL total — the scalar-subquery HAVING.
-    * The global total is a second aggregate over the same per-supplier
-    * partials, cross-joined back as a broadcast literal row, so the
-    * fact scans once. Integer threshold via floor-division (exact on
-    * both engines).
+    * threshold derived from the GLOBAL aggregate — the scalar-subquery
+    * HAVING. The threshold is 1.05× the MEAN supplier share (Q11's
+    * `sum(...) * fraction` with the fraction tied to supplier count,
+    * as the spec scales it by SF), kept exact by integer
+    * cross-multiplication: rev·n·20 > total·21 ⟺ rev > 1.05·total/n.
+    * A fixed-share cut would return zero rows once the supplier count
+    * outgrows it — vacuous at every gated scale. The global total is a
+    * second aggregate over the same per-supplier partials, broadcast
+    * back as one literal row, so the fact scans once.
     *
-    * Envelope: total_micros stays < 2^63 while corpus revenue
-    * < ~9.2·10^12 dollars — beyond that, pre-scale to cents. */
-  def revenueConcentration(spark: SparkSession, dir: String, perMille: Int = 20): DataFrame = {
+    * Envelope: rev·n·20 < 2^63 holds to ~10^5 suppliers at ~10^12
+    * micros each — beyond that, pre-divide the total instead. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
     val bySupp = Tables.lineitem(spark, dir)
       .groupBy("l_suppkey")
       .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_micros"))
-    val total = bySupp.agg(sum("rev_micros").as("total_micros"))
+    val total = bySupp.agg(sum("rev_micros").as("total_micros"), count(lit(1)).as("n_supp"))
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     bySupp.crossJoin(broadcast(total))
-      .filter(col("rev_micros") > expr(s"total_micros div ${1000 / perMille}"))
+      .filter(col("rev_micros") * col("n_supp") * lit(20L) > col("total_micros") * lit(21L))
       .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
       .select(col("l_suppkey").as("suppkey"), col("s_name"), col("rev_micros"))
   }

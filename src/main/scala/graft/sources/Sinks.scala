@@ -17,23 +17,29 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   /** Merge `updates` into the parquet table at `path`, last-wins per
-    * `keyCols` ordered by `versionCol` (desc; ties broken by a stable
-    * row hash so replayed batches converge deterministically) — the
-    * distributed analogue of findOneAndUpdate(upsert=true).
+    * `keyCols` ordered by `versionCol` (desc; then any `tieCols` desc,
+    * then a stable row hash so replayed batches converge
+    * deterministically) — the distributed analogue of
+    * findOneAndUpdate(upsert=true). Pass the domain's own tiebreaker
+    * (e.g. an event id) as `tieCols` when version collisions are
+    * possible and the surviving row must match a declarative
+    * last-wins query; the row hash is only the arbitrary-but-stable
+    * last resort.
     *
     * Swap protocol: write staging → move current table aside → rename
     * staging in → drop the old copy. A crash mid-swap leaves either
     * the old table, or the old table under `.__old` (recoverable) —
     * never zero copies of the data. */
   def upsertParquet(spark: SparkSession, updates: DataFrame, path: String,
-                    keyCols: Seq[String], versionCol: String): Unit = {
+                    keyCols: Seq[String], versionCol: String,
+                    tieCols: Seq[String] = Nil): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new Path(path)
     val merged =
       if (fs.exists(dest)) spark.read.parquet(path).unionByName(updates) else updates
     val rowHash = xxhash64(merged.columns.map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, rowHash.asc)
+      .orderBy(col(versionCol).desc +: tieCols.map(col(_).desc) :+ rowHash.asc: _*)
     val latest = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -60,7 +66,7 @@ object Sinks {
     * a key could survive in two partitions. */
   def upsertPartitionedParquet(spark: SparkSession, updates: DataFrame, path: String,
                                keyCols: Seq[String], versionCol: String,
-                               partitionCol: String): Unit = {
+                               partitionCol: String, tieCols: Seq[String] = Nil): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val touched = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
     // isin() never matches null, but dynamic overwrite still rewrites the
@@ -79,7 +85,7 @@ object Sinks {
       } else updates
     val rowHash = xxhash64(merged.columns.map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, rowHash.asc)
+      .orderBy(col(versionCol).desc +: tieCols.map(col(_).desc) :+ rowHash.asc: _*)
     val latest = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -159,13 +159,18 @@ object Streams {
     * `versionCol` orders duplicate keys across batches. Returns the
     * started query; caller awaits/stops. */
   def upsertSink(spark: SparkSession, keyed: DataFrame, storePath: String,
-                 keyCols: Seq[String], versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
-    keyed.writeStream
-      .outputMode(OutputMode.Update())
+                 keyCols: Seq[String], versionCol: String,
+                 tieCols: Seq[String] = Nil,
+                 checkpoint: Option[String] = None,
+                 mode: OutputMode = OutputMode.Update()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = keyed.writeStream.outputMode(mode)
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.Sinks.upsertParquet(spark, batch, storePath, keyCols, versionCol)
+        graft.sources.Sinks.upsertParquet(spark, batch, storePath, keyCols, versionCol, tieCols)
       }
       .start()
+  }
 
   /** (user_id, event_id, ts_ms, v_micros): streaming anomaly alerts
     * via flatMapGroupsWithState — the custom-state API that emits
@@ -302,9 +307,14 @@ object Streams {
     // batch (foreachBatch is at-least-once) replaces rather than
     // appends — idempotent — and driver memory stays O(1) however
     // large the query stream is. The checkpoint makes batch ids stable
-    // across restarts of the same stream.
-    val outRoot = java.nio.file.Files
-      .createTempDirectory("graft-search-stream-").toString
+    // across restarts of the same stream. The sink path is FIXED per
+    // (queries, index) pair and cleared on entry, so repeated serving
+    // runs reuse one directory instead of leaking a tempdir per call
+    // (the previous run's lazily-read DataFrame is dead by then —
+    // single-writer serving contract, same as the index store's).
+    val tag = (queriesDir + "|" + indexPath).replaceAll("[^a-zA-Z0-9]", "_")
+    val outRoot = sys.props("java.io.tmpdir") + s"/graft_search_stream_$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outRoot))
     @volatile var sawBatch = false
     // no shuffle-partitions pin here: the scoring plans are built
     // inside foreachBatch on the OUTER session per micro-batch, so a
@@ -345,10 +355,12 @@ object Streams {
     * MongoIDFSink.java: findOneAndUpdate(upsert=true) per record, as
     * a batched merge). Events arrive in several micro-batches (the
     * source is staged into time-ranged files, one per trigger);
-    * every batch merges into the store via [[graft.sources.Sinks
-    * .upsertParquet]] keyed on user_id with ts as the version — so
-    * the final store equals the batch last-wins result REGARDLESS of
-    * batch arrival order (version-ordered merge, not arrival-ordered).
+    * every batch merges into the store via [[upsertSink]] keyed on
+    * user_id with (ts, event_id) as the version order — so the final
+    * store equals the batch last-wins result REGARDLESS of batch
+    * arrival order (version-ordered merge, not arrival-ordered), and
+    * version TIES resolve exactly like [[graft.operators.Upsert
+    * .lastWins]] and the oracle (event_id desc), not by row hash.
     * Store cost per batch scales with store size here; the
     * partitioned upsert ([[graft.sources.Sinks
     * .upsertPartitionedParquet]]) is the 100 TB form. */
@@ -367,14 +379,9 @@ object Streams {
       .write.mode("overwrite").parquet(src)
     val qs = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
-    val sq = qs.writeStream.outputMode(OutputMode.Append())
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.Sinks.upsertParquet(spark, batch, store,
-          keyCols = Seq("user_id"), versionCol = "ts")
-        ()
-      }
-      .start()
+    val sq = upsertSink(spark, qs, store, keyCols = Seq("user_id"),
+      versionCol = "ts", tieCols = Seq("event_id"),
+      checkpoint = Some(ckpt), mode = OutputMode.Append())
     try sq.processAllAvailable()
     finally sq.stop()
     spark.read.parquet(store)

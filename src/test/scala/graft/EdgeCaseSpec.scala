@@ -148,7 +148,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     val nullBatch = Seq((null.asInstanceOf[java.lang.Long], "delta epsilon words"))
       .toDF("doc_id", "text")
     graft.operators.Bm25Index.update(nullBatch, path, tag = "nullid-batch")
-    assert(spark.read.parquet(s"$path/delta-nullid-batch/doclen").count() >= 0)
+    // the one-doc batch must actually land in its delta's doclen
+    assert(spark.read.parquet(s"$path/delta-nullid-batch/doclen").count() == 1)
   }
 
   test("bloom semi-join works when both sides share the SAME key column name") {
