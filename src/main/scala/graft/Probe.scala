@@ -74,6 +74,12 @@ object Probe {
       time("heavy_hitters")(graft.operators.Sketches.heavyHitters(d).count())
       time("emb_outliers")(graft.operators.Vectors.centroidOutliers(e).count())
       time("knn_classify")(graft.operators.Vectors.knnClassify(e).count())
+      time("keywords")(graft.operators.TextAnalysis.keywords(d).count())
+      time("bigram_lm")(graft.operators.TextAnalysis.bigramLm(d).count())
+      time("entropy")(graft.operators.TextAnalysis.tokenEntropy(d).count())
+      time("emb_quantize")(graft.operators.Vectors.quantizeInt8(e).count())
+      time("waiting_orders")(graft.operators.TpcH.waitingOrders(spark, dir).count())
+      time("min_cost_supplier")(graft.operators.TpcH.minCostSupplier(spark, dir).count())
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)
