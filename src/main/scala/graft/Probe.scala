@@ -78,8 +78,6 @@ object Probe {
       time("bigram_lm")(graft.operators.TextAnalysis.bigramLm(d).count())
       time("entropy")(graft.operators.TextAnalysis.tokenEntropy(d).count())
       time("emb_quantize")(graft.operators.Vectors.quantizeInt8(e).count())
-      time("waiting_orders")(graft.operators.TpcH.waitingOrders(spark, dir).count())
-      time("min_cost_supplier")(graft.operators.TpcH.minCostSupplier(spark, dir).count())
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)

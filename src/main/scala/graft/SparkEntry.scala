@@ -284,9 +284,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           sum(floor(col("l_extendedprice") * lit(1000000.0)).cast("long")).as("revenue_micros"))
     }),
-    // corpus round-tripped through header CSV — schema'd read back
+    // corpus round-tripped through header CSV — schema'd read back.
+    // multiLine: the writer QUOTES embedded newlines rather than
+    // escaping them, so the reader must parse across physical lines
+    // (multiLine reads are per-file, not split-per-block — the
+    // SPLITTABLE newline-bearing path is the escaping graft-tsv
+    // connector, q_source_dsv2)
     "q_source_csv" -> ((s, dir) => {
-      s.read.option("header", "true").schema(Tables.documents(s, dir).schema)
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema(Tables.documents(s, dir).schema)
         .csv(csvDocsFor(s, dir))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
@@ -339,11 +345,15 @@ object SparkEntry {
 
   /** Lineitem+orders bucketed on the join key (8 buckets, sorted,
     * one file per bucket via the pre-repartition) — the co-located
-    * join layout. Returns (lineitemTable, ordersTable) names. */
+    * join layout. Returns (lineitemTable, ordersTable) names.
+    * NOT cachedLayout: bucket metadata lives in the SESSION's catalog,
+    * so a JVM-wide cache would skip the build for a second session
+    * whose catalog never saw the tables — probe the catalog instead
+    * (writeBucketed replaces any on-disk leftovers on rebuild). */
   private def bucketedFor(s: SparkSession, dir: String): (String, String) = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
     val (liName, oName) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
-    cachedLayout("bkt_pair", dir) { _ =>
+    if (!s.catalog.tableExists(liName) || !s.catalog.tableExists(oName)) {
       graft.sources.Bucketed.writeBucketed(
         Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice").repartition(8, col("l_orderkey")),
         liName, "l_orderkey", 8)
@@ -1660,7 +1670,7 @@ object SparkEntry {
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
         |SELECT vec_id, (i - 1)::BIGINT AS dim_idx,
         |       (CASE WHEN maxabs = 0 THEN 0
-        |             ELSE floor(v[i] * 127.0 / maxabs)::BIGINT END)::BIGINT AS qval,
+        |             ELSE greatest(-127, least(127, floor(v[i] * 127.0 / maxabs)::BIGINT)) END)::BIGINT AS qval,
         |       floor(maxabs * 1000000.0)::BIGINT AS scale_micros
         |FROM m, unnest(generate_series(1, len(v))) AS t(i)""".stripMargin,
     // the streaming upsert converges to the SAME last-wins state as

@@ -273,13 +273,15 @@ object TpcH {
     val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
     val othersLate = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    // group by s_name (after the broadcast dim join), exactly like
+    // the oracle: grouping by suppkey would split two suppliers that
+    // happen to share a name into separate rows the oracle merges
     late
       .join(others, col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
       .join(othersLate, col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"), "left_anti")
-      .groupBy("l_suppkey")
-      .agg(count(lit(1)).as("numwait"))
       .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(n)
   }

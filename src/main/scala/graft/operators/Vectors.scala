@@ -90,13 +90,18 @@ object Vectors {
     * smaller store, SIMD int8 dot products); emitted EXPLODED so the
     * quantized values are oracle-comparable row by row. Pure map
     * stage — zero shuffles at any scale; an all-zero vector gets
-    * qval 0 everywhere (scale 0 marks it degenerate). */
+    * qval 0 everywhere (scale 0 marks it degenerate). The final
+    * clamp guarantees the int8 range even for DOUBLE inputs, where
+    * fl(x·127)/maxabs at x = ±maxabs can land one ulp outside ±127
+    * (float inputs are exact in double and always hit full scale). */
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
       .select(col("vec_id"), col("maxabs"), posexplode(col("v")).as(Seq("dim_idx", "x")))
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
         when(col("maxabs") === 0.0, lit(0L))
-          .otherwise(floor(col("x") * lit(127.0) / col("maxabs")).cast("long")).as("qval"),
+          .otherwise(greatest(lit(-127L),
+            least(lit(127L), floor(col("x") * lit(127.0) / col("maxabs")).cast("long"))))
+          .as("qval"),
         floor(col("maxabs") * lit(1000000.0)).cast("long").as("scale_micros"))
 }

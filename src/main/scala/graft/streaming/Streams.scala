@@ -341,14 +341,6 @@ object Streams {
     spark.read.parquet(dirs: _*)
   }
 
-  /** (win_start_ms, event_type, n, rk): top-3 event kinds per 1-hour
-    * window over the event stream. The streaming stage is the same
-    * watermarked windowed count as [[windowedWordCount]] (keyed state,
-    * bounded by the watermark); the per-window RANKING runs on the
-    * drained result — ranking inside an open window is undefined until
-    * the watermark closes it, so the batch rank over closed windows is
-    * the semantically honest (and cheap: #windows × #kinds rows)
-    * placement. */
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
     * upserted per micro-batch into a keyed parquet store — the
     * reference's STREAMING Mongo sink (MongoTFSink.java /
@@ -390,6 +382,14 @@ object Streams {
         expr("ts div 1000000").as("last_ts_ms"))
   }
 
+  /** (win_start_ms, event_type, n, rk): top-3 event kinds per 1-hour
+    * window over the event stream. The streaming stage is the same
+    * watermarked windowed count as [[windowedWordCount]] (keyed state,
+    * bounded by the watermark); the per-window RANKING runs on the
+    * drained result — ranking inside an open window is undefined until
+    * the watermark closes it, so the batch rank over closed windows is
+    * the semantically honest (and cheap: #windows × #kinds rows)
+    * placement. */
   def windowedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val counts = eventStream(spark, dir)
       .withWatermark("event_time", "1 hour")
