@@ -311,6 +311,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           countDistinct(col("lang")).as("n_langs"))
     }),
+    "q_hopping_window" -> ((s, dir) => Relational.hoppingEventStats(Tables.events(s, dir))),
+    "q_skipgrams" -> ((s, dir) => TextAnalysis.skipgrams(Tables.documents(s, dir))),
+    "q_emb_norm" -> ((s, dir) => Vectors.l2Normalize(Tables.embeddings(s, dir))),
+    // corpus round-tripped through ORC (Spark's second builtin
+    // columnar format; same pushdown/pruning surface as parquet)
+    "q_source_orc" -> ((s, dir) => {
+      s.read.orc(orcDocsFor(s, dir))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
   )
 
   /** One z-ordered copy of lineitem per sf dir per JVM. */
@@ -373,6 +383,11 @@ object SparkEntry {
   private def jsonlDocsFor(s: SparkSession, dir: String): String =
     cachedLayout("docs_jsonl", dir)(p =>
       Tables.documents(s, dir).write.mode("overwrite").json(p))
+
+  /** One ORC copy of the corpus per sf dir per JVM. */
+  private def orcDocsFor(s: SparkSession, dir: String): String =
+    cachedLayout("docs_orc", dir)(p =>
+      Tables.documents(s, dir).write.mode("overwrite").orc(p))
 
   /** A deliberately fragmented (48-file) copy of the corpus, compacted
     * back through [[graft.sources.Sinks.compact]]. */
@@ -1697,5 +1712,30 @@ object SparkEntry {
       """SELECT count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
         |       count(DISTINCT lang)::BIGINT AS n_langs
         |FROM documents""".stripMargin,
+    // hopping windows: each event lands in exactly windowLen/slide = 2
+    // windows, enumerated as j ∈ {0,1} offsets from the event's slide
+    // bucket — the closed form of Spark's window(ts, '1 hour', '30 min')
+    "q_hopping_window" ->
+      """SELECT ((epoch_ns(ts) // 1800000000000) - j) * 1800000 AS win_start_ms, event_type,
+        |       count(*)::BIGINT AS n,
+        |       sum(floor(value * 1000000.0)::BIGINT)::BIGINT AS sum_value_micros
+        |FROM events, unnest([0, 1]) AS t(j)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_skipgrams" ->
+      """WITH tokw AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
+        |sg AS (SELECT words[i] AS w1, words[i+2] AS w2
+        |       FROM tokw, unnest(generate_series(1, len(words)-2)) AS t(i)
+        |       WHERE len(words) >= 3)
+        |SELECT w1, w2, count(*)::BIGINT AS n FROM sg GROUP BY 1, 2
+        |ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    "q_emb_norm" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+        |SELECT vec_id, (i - 1)::BIGINT AS dim_idx, round(v[i] / nrm, 6) AS unit
+        |FROM vn, unnest(generate_series(1, len(v))) AS t(i)
+        |WHERE nrm > 0""".stripMargin,
+    "q_source_orc" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
   )
 }

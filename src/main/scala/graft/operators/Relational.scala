@@ -184,6 +184,20 @@ object Relational {
       .groupBy("win_start_ms", "event_type")
       .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("sum_value_micros"))
 
+  /** (win_start_ms, event_type, n, sum_value_micros): HOPPING (sliding)
+    * 1-hour windows every 30 minutes via Spark's native `window()` —
+    * each event lands in exactly windowLen/slide = 2 windows, which the
+    * planner expands inline (no self-join). Same shuffle profile as the
+    * tumbling [[hourlyEventStats]], at 2× the pre-aggregation rows —
+    * the standard trade for overlap-smoothed time series. */
+  def hoppingEventStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micros(col("value"))).as("sum_value_micros"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"), col("event_type"),
+        col("n"), col("sum_value_micros"))
+
   /** As-of (point-in-time) join: for each `left` event, the latest
     * `right` event at or before it per user — here, the latest click
     * before each purchase. Spark has no asof-join operator; the

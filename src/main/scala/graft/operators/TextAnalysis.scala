@@ -121,6 +121,23 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** (w1, w2, n, rk): top-k distance-2 SKIP-GRAM pairs over the raw
+    * token stream — the word2vec-style co-occurrence statistic one
+    * step beyond [[topBigrams]] (distance 1). Same explode + count
+    * shape: corpus-pair cardinality shuffle on the pair key, global
+    * top-k via TakeOrdered. */
+  def skipgrams(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(graft.functions.Text.rawTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(words)-2),
+          |  i -> struct(element_at(words, CAST(i AS INT)) AS w1,
+          |              element_at(words, CAST(i+2 AS INT)) AS w2))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+
   /** (doc_id, source): deterministic mixture sampling — every doc gets
     * a reproducible uniform u from md5(doc_id:source) and survives iff
     * u < its source's mixture rate. This is how training mixes are

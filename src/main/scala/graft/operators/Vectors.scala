@@ -94,6 +94,21 @@ object Vectors {
     * clamp guarantees the int8 range even for DOUBLE inputs, where
     * fl(x·127)/maxabs at x = ±maxabs can land one ulp outside ±127
     * (float inputs are exact in double and always hit full scale). */
+  /** (vec_id, dim_idx, unit): L2-normalized embeddings, exploded —
+    * the mandatory preprocessing before cosine ANN (normalized
+    * vectors turn cosine into a plain dot product, which is what the
+    * LSH/IVF stages index). Pure map stage, zero shuffles; zero-norm
+    * vectors are DROPPED (their direction is undefined — emitting
+    * NaNs would poison any downstream dot). round 6: one sqrt + one
+    * division over the same doubles on both engines. */
+  def l2Normalize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.Native.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"), col("nrm"), posexplode(col("v")).as(Seq("dim_idx", "x")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+        round(col("x") / col("nrm"), 6).as("unit"))
+
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
