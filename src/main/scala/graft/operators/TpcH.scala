@@ -39,8 +39,10 @@ object TpcH {
   /** TPC-H Q2 shape (minimum-cost supplier): the correlated-min
     * subquery, decorrelated to one window pass. No partsupp table →
     * the "offer" is each supplier's best observed unit price
-    * (extendedprice/quantity) per part. Dims (supplier⋈nation⋈region,
-    * small parts) broadcast; the only shuffle is the per-(part,
+    * (extendedprice/quantity) per part. The supplier⋈nation⋈region dim
+    * and the small-part subset are SF-scaled, so no forced broadcast —
+    * AQE/size estimates pick broadcast when they fit and fall back to
+    * shuffle joins when they don't; the heavy shuffle is the per-(part,
     * supplier) offer aggregate, then a part-keyed window picks the
     * cheapest supplier — rank-1 rows only, no self-join. */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
@@ -54,8 +56,8 @@ object TpcH {
       .select("s_suppkey", "s_name", "n_name")
     val p = Tables.part(spark, dir).filter(col("p_size") <= 10).select("p_partkey", "p_name")
     val offers = li
-      .join(broadcast(euroSupp), li("l_suppkey") === euroSupp("s_suppkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(euroSupp, li("l_suppkey") === euroSupp("s_suppkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
       .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
       .agg(min(col("unit_micros")).as("offer_micros"))
     val w = Window.partitionBy("p_partkey")
@@ -67,8 +69,10 @@ object TpcH {
 
   /** TPC-H Q8 (national market share): one nation's share of AMERICA-
     * customer ECONOMY-part revenue per order year. Fact joins once on
-    * orderkey (shuffle) — customer-side region map, supplier-side
-    * nation and the part filter all ride broadcasts; the share is a
+    * orderkey (shuffle); the AMERICA-customer set, supplier⋈nation map
+    * and the part subset are all SF-scaled, so strategy is left to
+    * AQE/size estimates — broadcast when they fit, shuffle join when
+    * they don't (a forced hint would OOM at large SF). The share is a
     * conditional sum over the same rows as the total (one aggregate,
     * two exact micros sums, single final division). */
   def marketShare(spark: SparkSession, dir: String, nation: String = "NATION_1"): DataFrame = {
@@ -89,9 +93,9 @@ object TpcH {
     val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY").select("p_partkey")
     val rev = micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(amerCust), o("o_custkey") === amerCust("c_custkey"))
-      .join(broadcast(suppNation), li("l_suppkey") === suppNation("s_suppkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(amerCust, o("o_custkey") === amerCust("c_custkey"))
+      .join(suppNation, li("l_suppkey") === suppNation("s_suppkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(when(col("supp_nation") === nation, rev).otherwise(lit(0L))).as("nation_micros"),
         sum(rev).as("total_micros"))
@@ -102,8 +106,9 @@ object TpcH {
   /** TPC-H Q9 shape (product-type profit): profit per supplier nation
     * per order year for parts matching a name pattern. No partsupp →
     * cost is proxied at 10 % of retail per unit, kept exact with one
-    * floor per row. Part+supplier dims broadcast; the orderkey join is
-    * the single fact shuffle, then a 25×#years aggregate. */
+    * floor per row. The part subset and supplier⋈nation map scale with
+    * SF — join strategy left to AQE; the orderkey join is the single
+    * guaranteed fact shuffle, then a 25×#years aggregate. */
   def productProfit(spark: SparkSession, dir: String, pattern: String = "%red%"): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_suppkey",
       "l_quantity", "l_extendedprice", "l_discount")
@@ -117,8 +122,8 @@ object TpcH {
     val amount = micros(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
       floor(col("p_retailprice") * col("l_quantity") * lit(100000.0)).cast("long")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(broadcast(sn), li("l_suppkey") === sn("s_suppkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .join(sn, li("l_suppkey") === sn("s_suppkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(amount).as("profit_micros"), count(lit(1)).as("n_lines"))
   }
@@ -132,7 +137,9 @@ object TpcH {
     * A fixed-share cut would return zero rows once the supplier count
     * outgrows it — vacuous at every gated scale. The global total is a
     * second aggregate over the same per-supplier partials, broadcast
-    * back as one literal row, so the fact scans once.
+    * back as one literal row (always safe — one row at any SF), so the
+    * fact scans once; the supplier-name join is SF-scaled and left to
+    * AQE.
     *
     * Envelope: rev·n·20 < 2^63 holds to ~10^5 suppliers at ~10^12
     * micros each — beyond that, pre-divide the total instead. */
@@ -144,7 +151,7 @@ object TpcH {
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     bySupp.crossJoin(broadcast(total))
       .filter(col("rev_micros") * col("n_supp") * lit(20L) > col("total_micros") * lit(21L))
-      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
       .select(col("l_suppkey").as("suppkey"), col("s_name"), col("rev_micros"))
   }
 
@@ -189,17 +196,19 @@ object TpcH {
     * back to the fact. The avg comparison qty < 0.2·avg(qty) is kept
     * EXACT by cross-multiplying integers (5·qty·n < Σqty — quantities
     * are integral), so Spark and the oracle agree bit-for-bit with no
-    * FP average. Small-part stats are tiny → broadcast back; the fact
-    * scans twice (stats pass + probe pass), standard for Q17. */
+    * FP average. The small-part subset and the per-part stats both
+    * scale with SF, so join strategy is left to AQE (broadcast when
+    * they fit, shuffle otherwise); the fact scans twice (stats pass +
+    * probe pass), standard for Q17. */
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val small = Tables.part(spark, dir).filter(col("p_type") === "SMALL").select("p_partkey")
     val li = Tables.lineitem(spark, dir)
-      .join(broadcast(small), col("l_partkey") === col("p_partkey"))
+      .join(small, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), floor(col("l_quantity")).cast("long").as("qty"),
         col("l_extendedprice"))
     val stats = li.groupBy(col("l_partkey").as("sp_key"))
       .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_li"))
-    li.join(broadcast(stats), col("l_partkey") === col("sp_key"))
+    li.join(stats, col("l_partkey") === col("sp_key"))
       .filter(col("qty") * lit(5L) * col("n_li") < col("sum_qty"))
       .agg(sum(micros(col("l_extendedprice"))).as("revenue_micros"),
         count(lit(1)).as("n_lines"))
@@ -210,8 +219,8 @@ object TpcH {
     * OR-of-ANDs filter. Catalyst extracts the common l_partkey join
     * and pushes the brand/size disjunction to the part scan and the
     * quantity bounds (1..30 across branches) to the fact scan; the
-    * residual OR evaluates post-join inside codegen. One broadcast
-    * join, one global sum. */
+    * residual OR evaluates post-join inside codegen. The part side is
+    * SF-scaled (strategy left to AQE), then one global sum. */
   def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
@@ -223,7 +232,7 @@ object TpcH {
         col("l_quantity").between(10.0, 20.0)) ||
       (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
         col("l_quantity").between(20.0, 30.0))
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .filter(cond)
       .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"),
         count(lit(1)).as("n_lines"))
@@ -231,15 +240,16 @@ object TpcH {
 
   /** TPC-H Q20 shape (potential promotion suppliers): the nested
     * semi-join chain — suppliers in an ASIA nation who moved > 50
-    * units of some PROMO part in 1997. PROMO partkeys broadcast into
-    * the fact filter, the (supplier, part) aggregate applies the
-    * HAVING, and the distinct supplier set semi-joins the dim. Every
-    * join is a broadcast; the one shuffle is the qty aggregate. */
+    * units of some PROMO part in 1997. The PROMO partkey set is
+    * SF-scaled (AQE picks broadcast vs shuffle), the (supplier, part)
+    * aggregate applies the HAVING, and the distinct supplier set
+    * semi-joins the dim. Only the nation⋈region map (≤ 25 rows at any
+    * SF) is force-broadcast. */
   def promoSuppliers(spark: SparkSession, dir: String, minQty: Long = 50L): DataFrame = {
     val promo = Tables.part(spark, dir).filter(col("p_type") === "PROMO").select("p_partkey")
     val qualified = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
-      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(floor(col("l_quantity")).cast("long")).as("qty"))
       .filter(col("qty") > minQty)
@@ -273,13 +283,14 @@ object TpcH {
     val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
     val othersLate = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
-    // group by s_name (after the broadcast dim join), exactly like
-    // the oracle: grouping by suppkey would split two suppliers that
-    // happen to share a name into separate rows the oracle merges
+    // group by s_name (after the supplier dim join — SF-scaled, so
+    // strategy is AQE's call), exactly like the oracle: grouping by
+    // suppkey would split two suppliers that happen to share a name
+    // into separate rows the oracle merges
     late
       .join(others, col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
       .join(othersLate, col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"), "left_anti")
-      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)

@@ -83,17 +83,6 @@ object Vectors {
         col("nb_label").cast("long").as("predicted_label"), col("n_votes"))
   }
 
-  /** (vec_id, dim_idx, qval, scale_micros): symmetric int8
-    * quantization of the embedding store — per-vector scale =
-    * max|x|/127, qval = floor(x·127/max|x|) ∈ [−127, 127]. The
-    * compression step every billion-vector ANN deployment takes (4×
-    * smaller store, SIMD int8 dot products); emitted EXPLODED so the
-    * quantized values are oracle-comparable row by row. Pure map
-    * stage — zero shuffles at any scale; an all-zero vector gets
-    * qval 0 everywhere (scale 0 marks it degenerate). The final
-    * clamp guarantees the int8 range even for DOUBLE inputs, where
-    * fl(x·127)/maxabs at x = ±maxabs can land one ulp outside ±127
-    * (float inputs are exact in double and always hit full scale). */
   /** (vec_id, dim_idx, unit): L2-normalized embeddings, exploded —
     * the mandatory preprocessing before cosine ANN (normalized
     * vectors turn cosine into a plain dot product, which is what the
@@ -109,6 +98,17 @@ object Vectors {
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
         round(col("x") / col("nrm"), 6).as("unit"))
 
+  /** (vec_id, dim_idx, qval, scale_micros): symmetric int8
+    * quantization of the embedding store — per-vector scale =
+    * max|x|/127, qval = floor(x·127/max|x|) ∈ [−127, 127]. The
+    * compression step every billion-vector ANN deployment takes (4×
+    * smaller store, SIMD int8 dot products); emitted EXPLODED so the
+    * quantized values are oracle-comparable row by row. Pure map
+    * stage — zero shuffles at any scale; an all-zero vector gets
+    * qval 0 everywhere (scale 0 marks it degenerate). The final
+    * clamp guarantees the int8 range even for DOUBLE inputs, where
+    * fl(x·127)/maxabs at x = ±maxabs can land one ulp outside ±127
+    * (float inputs are exact in double and always hit full scale). */
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))

@@ -25,6 +25,19 @@ import graft.operators.Bm25
   */
 object Streams {
 
+  /** Recursively delete `path` on ITS OWN filesystem — resolved from
+    * the path scheme + the session's Hadoop conf, so tmp dirs clear
+    * correctly whether the default FS is file://, hdfs:// or an object
+    * store (a driver-local java.io.File delete silently no-ops on any
+    * non-local default FS, leaving stale batch/checkpoint state that
+    * double-merges on the next run). */
+  private def deleteRecursive(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fs.makeQualified(p), true)
+    ()
+  }
+
   /** Run `query` (a streaming DataFrame) to a memory sink until the
     * source is drained; return the sink contents as a batch frame. */
   private def drainToMemory(spark: SparkSession, query: DataFrame,
@@ -314,7 +327,7 @@ object Streams {
     // single-writer serving contract, same as the index store's).
     val tag = (queriesDir + "|" + indexPath).replaceAll("[^a-zA-Z0-9]", "_")
     val outRoot = sys.props("java.io.tmpdir") + s"/graft_search_stream_$tag"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outRoot))
+    deleteRecursive(spark, outRoot)
     @volatile var sawBatch = false
     // no shuffle-partitions pin here: the scoring plans are built
     // inside foreachBatch on the OUTER session per micro-batch, so a
@@ -335,10 +348,10 @@ object Streams {
     try sq.processAllAvailable()
     finally sq.stop()
     require(sawBatch, s"query stream at $queriesDir produced no micro-batches")
-    val dirs = new java.io.File(outRoot).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
-      .map(_.getAbsolutePath)
-    spark.read.parquet(dirs: _*)
+    // glob read instead of a driver-local directory listing: resolves
+    // on whatever filesystem outRoot lives on (basePath keeps the
+    // batch-N dirs from being treated as partition columns)
+    spark.read.option("basePath", outRoot).parquet(s"$outRoot/batch-*")
   }
 
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
@@ -364,8 +377,7 @@ object Streams {
     val ckpt = s"$tmp/graft_stream_upsert_ckpt_$tag"
     // fresh store/checkpoint per run: this query demonstrates the
     // sink converging from empty; stale state would double-merge
-    Seq(store, ckpt).foreach(p =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Seq(store, ckpt).foreach(p => deleteRecursive(spark, p))
     val events = spark.read.parquet(s"$dir/events.parquet")
     events.repartitionByRange(nBatches, col("ts"))
       .write.mode("overwrite").parquet(src)
