@@ -323,6 +323,13 @@ object SparkEntry {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+
+    // ---- Round-6 additions: serving features past ranked retrieval
+    // — LM-Dirichlet scoring, snippets, autocomplete, NDCG eval ----
+    "q_lm_dirichlet" -> ((s, dir) => SearchExtras.lmDirichletScore(Tables.documents(s, dir))),
+    "q_snippets" -> ((s, dir) => SearchExtras.snippets(Tables.documents(s, dir))),
+    "q_autocomplete" -> ((s, dir) => SearchExtras.autocomplete(Tables.documents(s, dir))),
+    "q_search_ndcg" -> ((s, dir) => SearchExtras.searchNdcg(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -1777,5 +1784,57 @@ object SparkEntry {
     "q_source_orc" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // LM-Dirichlet (Zhai & Lafferty): matched-term decomposition —
+    // sum ln(1 + tf/(mu*cf/|C|)) + |q|*ln(mu/(dl+mu)); textual FP form
+    // mirrored by SearchExtras.lmDirichletScore
+    "q_lm_dirichlet" ->
+      s"""WITH $dlCte,
+         |tot AS (SELECT sum(dl)::DOUBLE AS total_tokens FROM dl),
+         |cfq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+         |        WHERE term IN ($queryTermsSql) GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1.0 + tf.tf / (2000.0 * cfq.cf / tot.total_tokens)))
+         |               + 4.0 * ln(2000.0 / (dl.dl + 2000.0)), 4) AS score
+         |  FROM tf JOIN cfq ON tf.term = cfq.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN tot
+         |  GROUP BY tf.doc_id, dl.dl)
+         |SELECT doc_id, score FROM scored""".stripMargin,
+    // earliest case-insensitive query-term hit + fixed char window;
+    // strpos/least-skips-nulls/substr semantics match Spark's
+    "q_snippets" -> {
+      val posList = Bm25.QueryTerms
+        .map(t => s"nullif(strpos(lower(text), '$t'), 0)").mkString(",\n         |       ")
+      s"""WITH m AS (SELECT doc_id, text,
+         |  least($posList) AS p
+         |  FROM documents)
+         |SELECT doc_id, p::BIGINT AS pos,
+         |       substr(text, greatest(1, p - 30), 80) AS snippet
+         |FROM m WHERE p IS NOT NULL""".stripMargin
+    },
+    "q_autocomplete" ->
+      s"""WITH $tfCte,
+         |tc AS (SELECT term, count(*)::BIGINT AS n FROM tok2
+         |       WHERE length(term) >= 3 GROUP BY term),
+         |rk AS (SELECT substr(term, 1, 3) AS prefix, term, n,
+         |              row_number() OVER (PARTITION BY substr(term, 1, 3)
+         |                                 ORDER BY n DESC, term ASC) AS rk
+         |       FROM tc)
+         |SELECT prefix, term, n, rk::BIGINT AS rk FROM rk WHERE rk <= 5""".stripMargin,
+    // NDCG@10 of the BM25 ranking vs rel = #distinct matched terms
+    "q_search_ndcg" ->
+      s"""WITH $bm25Cte,
+         |rel AS (SELECT doc_id, count(DISTINCT term)::BIGINT AS rel FROM tf
+         |        WHERE term IN ($queryTermsSql) GROUP BY doc_id),
+         |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10),
+         |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk FROM top),
+         |d AS (SELECT sum((pow(2.0, rel.rel) - 1.0) / log2(ranked.rk + 1.0)) AS dcg
+         |      FROM ranked JOIN rel ON ranked.doc_id = rel.doc_id),
+         |itop AS (SELECT rel, doc_id FROM rel ORDER BY rel DESC, doc_id ASC LIMIT 10),
+         |iranked AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rk FROM itop),
+         |i AS (SELECT sum((pow(2.0, rel) - 1.0) / log2(rk + 1.0)) AS idcg FROM iranked)
+         |SELECT round(d.dcg, 4) AS dcg, round(i.idcg, 4) AS idcg,
+         |       round(d.dcg / i.idcg, 6) AS ndcg FROM d, i""".stripMargin,
   )
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Search-serving extensions past the reference's Okapi surface: a
+  * second classical ranking model (query-likelihood with Dirichlet
+  * smoothing), result snippets/highlighting, prefix autocomplete, and
+  * ranking-quality evaluation (NDCG) — the serving features a user of
+  * a BM25 engine (reference BatchBM25PreMain.java / BMStream.java
+  * scoring loop) reaches for next once ranked retrieval works.
+  *
+  * All operators compose [[Bm25]]'s tokenize/tf/docLengths so the
+  * text pipeline (lowercase, space-split, stopword/length filter) has
+  * exactly one definition on the Spark side and one mirrored CTE on
+  * the oracle side.
+  */
+object SearchExtras {
+
+  /** (doc_id, score): query-likelihood ranking with Dirichlet
+    * smoothing (Zhai & Lafferty) — the standard LM alternative to
+    * BM25. Over matched terms only, using the rank-equivalent
+    * decomposition that never materializes (doc × absent-term) rows:
+    *
+    *   score(q,d) = Σ_{t∈q∩d} ln(1 + tf/(μ·cf_t/|C|)) + |q|·ln(μ/(dl+μ))
+    *
+    * cf_t = collection frequency, |C| = total corpus tokens. Same
+    * plan shape as [[Bm25.bm25Score]]: query-term postings + one dl
+    * aggregate; cf rides a window over the pruned postings (no third
+    * corpus pass), corpus totals ride one broadcast. Docs matching no
+    * query term are unscored, exactly like the BM25 routes. FP
+    * association mirrors the oracle's textual form. */
+  def lmDirichletScore(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
+                       mu: Double = 2000.0): DataFrame = {
+    val nq = queryTerms.size.toDouble
+    val tfq = Bm25.tf(docs).filter(col("term").isin(queryTerms: _*))
+    val dl = Bm25.docLengths(docs.filter(col("doc_id").isNotNull))
+    val tot = dl.agg(sum(col("dl")).cast("double").as("total_tokens"))
+    tfq
+      .withColumn("cf", sum(col("tf")).over(Window.partitionBy("term")).cast("double"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("dl"),
+        log(lit(1.0) + col("tf") / (lit(mu) * col("cf") / col("total_tokens"))).as("c"))
+      .groupBy("doc_id", "dl")
+      .agg(round(sum(col("c")) + lit(nq) * log(lit(mu) / (col("dl") + lit(mu))), 4).as("score"))
+      .select("doc_id", "score")
+  }
+
+  /** (doc_id, pos, snippet): result highlighting — for every document
+    * matching ≥ 1 query term (case-insensitive substring), the 1-based
+    * position of the EARLIEST match and a fixed window of the original
+    * text around it. Pure map stage over the corpus (zero shuffles at
+    * any scale); position arithmetic is identical in Spark and DuckDB
+    * (both `locate`/`strpos` return 0 on miss → nullif, both `least`
+    * skip NULLs, both substring by character). */
+  def snippets(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
+               before: Int = 30, width: Int = 80): DataFrame = {
+    val firstPos = least(queryTerms.map(t =>
+      nullif(locate(t, lower(col("text"))), lit(0))): _*)
+    docs.select(col("doc_id"), col("text"), firstPos.as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        col("text").substr(greatest(lit(1), col("p") - lit(before)), lit(width)).as("snippet"))
+  }
+
+  /** (prefix, term, n, rk): top-k query completions per 3-char prefix
+    * ranked by corpus occurrence count — the search-box suggestion
+    * index. One tokenize pass → per-term counts (map-side combined) →
+    * per-prefix windowed top-k; at 100 TB the window runs on the
+    * per-TERM aggregate (vocabulary-sized, not corpus-sized). */
+  def autocomplete(docs: DataFrame, prefixLen: Int = 3, k: Int = 5): DataFrame = {
+    val counts = Bm25.tokenize(docs)
+      .filter(length(col("term")) >= prefixLen)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("prefix", col("term").substr(1, prefixLen))
+    val w = Window.partitionBy("prefix").orderBy(col("n").desc, col("term").asc)
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("prefix"), col("term"), col("n"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Single row (dcg, idcg, ndcg): NDCG@k of the BM25 ranking against
+    * graded relevance rel(d) = #distinct query terms present in d —
+    * the self-contained ranking-quality harness (swap `rel` for human
+    * labels in production). The ranked list is LIMITed to k BEFORE the
+    * rank window, so the window never sees more than k rows (global
+    * row_number over an unlimited set would single-partition the
+    * corpus); the ideal list gets the same treatment on rel. */
+  def searchNdcg(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
+                 k: Int = 10): DataFrame = {
+    val rel = Bm25.tf(docs).filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("rel"))
+    val gain = (pow(lit(2.0), col("rel")) - lit(1.0)) / log2(col("rk") + lit(1.0))
+    val dcg = Bm25.searchTopN(docs, queryTerms, k)
+      .withColumn("rk", row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .join(rel, "doc_id")
+      .agg(sum(gain).as("dcg"))
+    val idcg = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(col("rel").desc, col("doc_id").asc)))
+      .agg(sum(gain).as("idcg"))
+    dcg.crossJoin(idcg)
+      .select(round(col("dcg"), 4).as("dcg"), round(col("idcg"), 4).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+}
