@@ -327,6 +327,9 @@ object SparkEntry {
     // ---- Round-6 additions: serving features past ranked retrieval
     // — LM-Dirichlet scoring, snippets, autocomplete, NDCG eval ----
     "q_lm_dirichlet" -> ((s, dir) => SearchExtras.lmDirichletScore(Tables.documents(s, dir))),
+    // MaxScore-pruned top-k: EXACT same rows as q_search_topn (shared
+    // oracle) — the pruning is admissible, not approximate
+    "q_search_maxscore" -> ((s, dir) => SearchExtras.maxScoreTopN(Tables.documents(s, dir))),
     "q_snippets" -> ((s, dir) => SearchExtras.snippets(Tables.documents(s, dir))),
     "q_autocomplete" -> ((s, dir) => SearchExtras.autocomplete(Tables.documents(s, dir))),
     "q_search_ndcg" -> ((s, dir) => SearchExtras.searchNdcg(Tables.documents(s, dir))),
@@ -680,6 +683,9 @@ object SparkEntry {
          |SELECT (dl // 10 * 10)::BIGINT AS bucket, count(*)::BIGINT AS n_docs
          |FROM dl GROUP BY 1""".stripMargin,
     "q_search_topn" ->
+      s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
+    // MaxScore pruning is exact → same oracle as q_search_topn
+    "q_search_maxscore" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
     "q_search_batch" -> batchSearchOracle,
     // the staged-index and streaming-serving routes return the SAME

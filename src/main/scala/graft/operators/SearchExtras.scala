@@ -80,6 +80,56 @@ object SearchExtras {
       .select(col("prefix"), col("term"), col("n"), col("rk").cast("long").as("rk"))
   }
 
+  /** (doc_id, score): EXACT BM25 top-k via MaxScore-style upper-bound
+    * pruning — identical rows to [[Bm25.searchTopN]] (shared oracle),
+    * but the doc-length join + full Okapi evaluation run only over a
+    * pruned candidate set:
+    *
+    *  1. ub(d) = Σ_{t∈q∩d} idf(t)·(k1+1) — an admissible per-doc bound
+    *     (the tf-saturation factor is < k1+1 for every tf/dl), computed
+    *     from the pruned postings alone, NO doclen join;
+    *  2. exact-score the k highest-ub docs → θ = their minimum score
+    *     (θ ≤ the true k-th best, since exact ≤ ub everywhere);
+    *  3. exact-score only docs with ub ≥ θ — every true top-k doc
+    *     satisfies this (its exact, hence its ub, is ≥ the true k-th
+    *     best ≥ θ), so the final top-k is exact, not approximate.
+    *
+    * At scale this is the difference between joining doclen for every
+    * doc matching ANY query term (common terms → huge posting lists)
+    * and joining it for the few candidates that can still make the
+    * top-k. */
+  def maxScoreTopN(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
+                   k: Int = 10): DataFrame = {
+    val tfq = Bm25.tf(docs).filter(col("term").isin(queryTerms: _*))
+    val dl = Bm25.docLengths(docs.filter(col("doc_id").isNotNull))
+    val stats = dl.agg(count(col("doc_id")).as("n_docs"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    val withDf = tfq.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val ub = withDf.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (Bm25.robertsonIdf(col("df"), col("n_docs")) * lit(Bm25.K1 + 1.0)).as("u"))
+      .groupBy("doc_id").agg(sum("u").as("ub"))
+    // exact Okapi scoring of an arbitrary candidate set (doclen joins
+    // only the candidates — the whole point of the prune)
+    def exactScores(cand: DataFrame): DataFrame = withDf
+      .join(cand.select("doc_id"), "doc_id", "left_semi")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        Bm25.okapiTerm(col("tf"), col("df"), col("dl"), col("avgdl"), col("n_docs")).as("c"))
+      .groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
+    val seed = ub.orderBy(col("ub").desc, col("doc_id").asc).limit(k)
+    val theta = exactScores(seed).agg(min("score").as("theta"))
+    // -1e-4: exact scores are ROUNDED to 4 decimals before comparing
+    // against the unrounded ub, and rounding can lift a score up to
+    // 5e-5 above its true value — without the slack a doc sitting
+    // exactly at its bound could be wrongly pruned
+    val candidates = ub.crossJoin(broadcast(theta))
+      .filter(col("ub") >= col("theta") - lit(1e-4))
+    exactScores(candidates)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Single row (dcg, idcg, ndcg): NDCG@k of the BM25 ranking against
     * graded relevance rel(d) = #distinct query terms present in d —
     * the self-contained ranking-quality harness (swap `rel` for human

