@@ -333,6 +333,18 @@ object SparkEntry {
     "q_snippets" -> ((s, dir) => SearchExtras.snippets(Tables.documents(s, dir))),
     "q_autocomplete" -> ((s, dir) => SearchExtras.autocomplete(Tables.documents(s, dir))),
     "q_search_ndcg" -> ((s, dir) => SearchExtras.searchNdcg(Tables.documents(s, dir))),
+    // ---- Round-6 batch 2: boolean/spell/proximity/facets serving,
+    // binary-quantized + batched + streamed ANN, training chunking ----
+    "q_boolean_search" -> ((s, dir) => SearchExtras.booleanSearch(Tables.documents(s, dir))),
+    "q_spell_correct" -> ((s, dir) => SearchExtras.spellCorrect(Tables.documents(s, dir))),
+    "q_proximity" -> ((s, dir) => SearchExtras.proximityTopN(Tables.documents(s, dir))),
+    "q_facets" -> ((s, dir) => SearchExtras.facets(Tables.documents(s, dir))),
+    "q_ann_hamming" -> ((s, dir) => Ann.hammingTopK(Tables.embeddings(s, dir))),
+    "q_ann_batch" -> ((s, dir) => Ann.batchTopK(Tables.embeddings(s, dir))),
+    // query-vector STREAM served per micro-batch against the static
+    // store — same rows as q_ann_batch (shared oracle)
+    "q_stream_ann" -> ((s, dir) => graft.streaming.Streams.annStream(s, dir)),
+    "q_seq_chunks" -> ((s, dir) => TextAnalysis.seqChunks(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -590,6 +602,20 @@ object SparkEntry {
        |       FROM sc)
        |SELECT query_id, doc_id, score, rk FROM rk WHERE rk <= 10""".stripMargin
   }
+
+  /** Query-table exact cosine top-k oracle — shared by the one-plan
+    * batch (q_ann_batch) and per-micro-batch streamed (q_stream_ann)
+    * routes, which must return identical rows. */
+  private val annBatchOracle =
+    s"""WITH $vecCte,
+       |q AS (SELECT vec_id AS query_id, v, nrm FROM vn WHERE vec_id IN (0, 1, 2)),
+       |s AS (SELECT q.query_id, b.vec_id,
+       |        round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+       |              / (q.nrm * b.nrm), 4) AS cos
+       |      FROM vn b, q WHERE b.vec_id != q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                ORDER BY cos DESC, vec_id ASC) AS rk FROM s)
+       |SELECT query_id, vec_id, cos, rk::BIGINT AS rk FROM r WHERE rk <= 10""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1842,5 +1868,81 @@ object SparkEntry {
          |i AS (SELECT sum((pow(2.0, rel) - 1.0) / log2(rk + 1.0)) AS idcg FROM iranked)
          |SELECT round(d.dcg, 4) AS dcg, round(i.idcg, 4) AS idcg,
          |       round(d.dcg / i.idcg, 6) AS ndcg FROM d, i""".stripMargin,
+    // boolean retrieval: (spark AND query) AND (join OR merge) AND NOT slow
+    "q_boolean_search" ->
+      s"""WITH $tfCte,
+         |f AS (SELECT doc_id,
+         |        count(DISTINCT CASE WHEN term IN ('spark', 'query') THEN term END) AS n_must,
+         |        max(CASE WHEN term IN ('join', 'merge') THEN 1 ELSE 0 END) AS has_any,
+         |        max(CASE WHEN term IN ('slow') THEN 1 ELSE 0 END) AS has_none
+         |      FROM tok2 WHERE term IN ('spark', 'query', 'join', 'merge', 'slow')
+         |      GROUP BY doc_id)
+         |SELECT doc_id FROM f
+         |WHERE n_must = 2 AND has_any = 1 AND has_none = 0""".stripMargin,
+    // did-you-mean: vocab terms within 2 edits, by (dist, count, term)
+    "q_spell_correct" ->
+      s"""WITH $tfCte,
+         |vocab AS (SELECT term, count(*)::BIGINT AS n FROM tok2 GROUP BY term),
+         |q AS (SELECT * FROM (VALUES ('qery'), ('jion'), ('streem'), ('windoow')) AS t(q)),
+         |c AS (SELECT q.q, term AS suggestion,
+         |             levenshtein(q.q, term)::BIGINT AS dist, n
+         |      FROM vocab, q WHERE levenshtein(q.q, term) <= 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q
+         |                ORDER BY dist ASC, n DESC, suggestion ASC) AS rk FROM c)
+         |SELECT q, suggestion, dist, n, rk::BIGINT AS rk FROM r WHERE rk <= 3""".stripMargin,
+    // tightest min-gap between two DISTINCT query terms per doc
+    "q_proximity" ->
+      s"""WITH $posCte,
+         |qp AS (SELECT doc_id, term, pos FROM pkept WHERE term IN ($queryTermsSql)),
+         |g AS (SELECT a.doc_id, min(abs(a.pos - b.pos))::BIGINT AS min_gap
+         |      FROM qp a JOIN qp b ON a.doc_id = b.doc_id AND a.term < b.term
+         |      GROUP BY a.doc_id)
+         |SELECT doc_id, min_gap FROM g
+         |ORDER BY min_gap ASC, doc_id ASC LIMIT 20""".stripMargin,
+    // facet counts over docs matching >= 1 query term
+    "q_facets" ->
+      s"""WITH $tfCte,
+         |m AS (SELECT DISTINCT doc_id FROM tok2 WHERE term IN ($queryTermsSql)),
+         |d AS (SELECT lang, source FROM documents JOIN m USING (doc_id)),
+         |u AS (SELECT 'lang' AS facet, lang AS value FROM d
+         |      UNION ALL SELECT 'source', source FROM d)
+         |SELECT facet, value, count(*)::BIGINT AS n FROM u GROUP BY 1, 2""".stripMargin,
+    // 64-bit sign signature (4x16-bit chunks), hamming candidates,
+    // exact cosine rerank — mirrors Ann.hammingTopK chunk for chunk
+    "q_ann_hamming" -> {
+      def sigChunk(rel: String, c: Int) =
+        s"list_sum(list_transform(range(1, 17), i -> CASE WHEN $rel.embedding[${c * 16} + i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END))"
+      s"""WITH $vecCte,
+         |sig AS (SELECT e2.vec_id,
+         |          ${sigChunk("e2", 0)} AS s0, ${sigChunk("e2", 1)} AS s1,
+         |          ${sigChunk("e2", 2)} AS s2, ${sigChunk("e2", 3)} AS s3
+         |        FROM embeddings e2),
+         |qsig AS (SELECT s0 AS t0, s1 AS t1, s2 AS t2, s3 AS t3 FROM sig WHERE vec_id = 0),
+         |h AS (SELECT vec_id,
+         |        (bit_count(xor(s0, t0)) + bit_count(xor(s1, t1))
+         |         + bit_count(xor(s2, t2)) + bit_count(xor(s3, t3)))::BIGINT AS hamming
+         |      FROM sig, qsig WHERE vec_id != 0),
+         |cand AS (SELECT vec_id, hamming FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 100),
+         |q0 AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |sc AS (SELECT b.vec_id, cand.hamming,
+         |         round(list_sum(list_transform(range(1, len(q0.v) + 1), i -> q0.v[i] * b.v[i]))
+         |               / (q0.nrm * b.nrm), 4) AS cos
+         |       FROM vn b JOIN cand ON b.vec_id = cand.vec_id, q0)
+         |SELECT vec_id, hamming, cos FROM sc
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+    // exact cosine top-10 per query vector, one plan for the batch
+    "q_ann_batch" -> annBatchOracle,
+    // the streamed form returns the same rows (shared contract)
+    "q_stream_ann" -> annBatchOracle,
+    // 16-token context windows; md5 gates chunk CONTENT
+    "q_seq_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, words, i AS chunk_id
+        |      FROM w, unnest(generate_series(0, (len(words) - 1) // 16)) AS g(i))
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |       len(words[(chunk_id * 16 + 1):(chunk_id * 16 + 16)])::BIGINT AS n_tokens,
+        |       md5(array_to_string(words[(chunk_id * 16 + 1):(chunk_id * 16 + 16)], ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
   )
 }

@@ -164,6 +164,75 @@ object Ann {
     exactTopK(embeddings, Some(candidates), queryId, k)
   }
 
+  /** (vec_id, hamming, cos): binary-quantized ANN — every vector is
+    * collapsed to a 64-bit SIGN signature (stored as 4×16-bit chunks
+    * so the bit arithmetic never touches the sign bit of a 64-bit
+    * int), candidates are the `nCandidates` smallest hamming
+    * distances to the query signature, and the exact cosine rerank
+    * runs on candidates only. This is the 1-bit extreme of the
+    * quantization ladder ([[Vectors.quantizeInt8]] is the 8-bit rung):
+    * a 64-dim float vector becomes 8 BYTES, hamming is two
+    * instructions (xor + popcount, both codegen'd here), and the
+    * expensive float math touches only the candidate set — the memory
+    * /compute shape billion-vector first-pass retrieval uses.
+    * Signature construction is a pure map stage (zero shuffles);
+    * candidate selection is a size-nCandidates TakeOrdered. */
+  def hammingTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+                  nCandidates: Int = 100): DataFrame = {
+    val sigCols = (0 until 4).map { c =>
+      expr(s"aggregate(zip_with(slice(embedding, ${c * 16 + 1}, 16), sequence(0, 15), " +
+        "(x, i) -> IF(x > CAST(0 AS FLOAT), shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+        .as(s"s$c")
+    }
+    val sigs = embeddings.select(col("vec_id") +: sigCols: _*)
+    val q = sigs.filter(col("vec_id") === queryId)
+      .select((0 until 4).map(c => col(s"s$c").as(s"q$c")): _*)
+    val hamming = (0 until 4)
+      .map(c => bit_count(col(s"s$c").bitwiseXOR(col(s"q$c"))).cast("long"))
+      .reduce(_ + _)
+    val cand = sigs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), hamming.as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc).limit(nCandidates)
+    exactTopK(embeddings, Some(cand.select("vec_id")), queryId, k)
+      .join(cand, "vec_id")
+      .select(col("vec_id"), col("hamming"), col("cos"))
+  }
+
+  /** (query_id, vec_id, cos, rk): exact cosine top-k for a TABLE of
+    * query vectors in ONE plan — the ANN sibling of
+    * [[Bm25.batchSearch]]. `queries` is (query_id, embedding); it is
+    * broadcast (query batches are small next to the corpus), the
+    * corpus is scanned ONCE however many queries arrive, and the
+    * per-query ranking is a window over query_id — at 1000 executors
+    * the scan×queries product parallelizes over corpus partitions.
+    * Shared scoring contract with [[bruteForceTopK]] (same rounding,
+    * same tiebreak). */
+  def batchTopKFrom(embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = queries
+      .select(col("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("va"))
+      .withColumn("na", sqrt(dot(col("va"), col("va"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
+  /** [[batchTopKFrom]] with the query batch drawn from the corpus
+    * itself by id (the driver-entry form). */
+  def batchTopK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+                k: Int = 10): DataFrame =
+    batchTopKFrom(embeddings,
+      embeddings.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding")), k)
+
   private def cosineSim(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < math.min(a.length, b.length)) {

@@ -72,7 +72,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
       .filter(col("l_shipdate") > cutoff)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
       .select(col("l_orderkey"), col("revenue_micros"),
@@ -104,7 +104,7 @@ object Relational {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .filter(col("r_name") === "ASIA")
@@ -408,8 +408,8 @@ object Relational {
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
         s("s_nationkey") === col("sn_key"))
       .join(broadcast(n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
@@ -433,7 +433,7 @@ object Relational {
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     rev.withColumn("max_rev", max("revenue_micros").over(Window.partitionBy()))
       .filter(col("revenue_micros") === col("max_rev"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("revenue_micros"))
   }
 
@@ -598,8 +598,8 @@ object Relational {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .filter(c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -626,8 +626,10 @@ object Relational {
   /** TPC-H Q10 shape (returned-item reporting): revenue of RETURNED
     * lines per customer, top-20. The returnflag filter is pushed to
     * the lineitem scan (only ~25 % of rows survive), the join
-    * shuffles on orderkey, customer is broadcast into the aggregate's
-    * output — never shuffled with the facts. */
+    * shuffles on orderkey; customer joins AFTER the aggregate — one
+    * row per customer on each side, and the strategy is left to
+    * AQE/size estimates (customer is SF-scaled: broadcast when it
+    * fits, shuffle join at large SF). */
   def returnedItemReporting(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
@@ -638,7 +640,7 @@ object Relational {
       .groupBy("o_custkey")
       .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"),
         count(lit(1)).as("n_lines"))
-      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .join(c, col("o_custkey") === c("c_custkey"))
       .select(col("o_custkey").as("custkey"), col("c_name"),
         micros(col("c_acctbal")).as("acctbal_micros"),
         col("revenue_micros"), col("n_lines"))
@@ -654,7 +656,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
     val p = Tables.part(spark, dir).select("p_partkey", "p_type")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
         sum(when(col("p_type") === "PROMO",

@@ -130,6 +130,102 @@ object SearchExtras {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** (doc_id): boolean retrieval — documents satisfying
+    * (ALL `must` terms) AND (ANY `any` term) AND (NO `none` term) over
+    * the kept-token set. The missing half of ranked retrieval: the
+    * reference's index answers "score docs for these terms"; a search
+    * UI also needs hard AND/OR/NOT filters. One tokenize pass pruned
+    * to the query's terms BEFORE the per-doc aggregation, so only
+    * query-term postings ever shuffle (same pruning contract as the
+    * scoring routes); the aggregation key is doc_id — high
+    * cardinality, even spread at any corpus size. NOT-semantics
+    * subtlety: a doc with no kept query terms at all vanishes in the
+    * pruned aggregation, which is correct — `must` is non-empty, so
+    * such a doc can never match. */
+  def booleanSearch(docs: DataFrame,
+                    must: Seq[String] = Seq("spark", "query"),
+                    any: Seq[String] = Seq("join", "merge"),
+                    none: Seq[String] = Seq("slow")): DataFrame = {
+    require(must.nonEmpty, "boolean search needs at least one must-term")
+    val all = must ++ any ++ none
+    Bm25.tokenize(docs).filter(col("term").isin(all: _*))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(when(col("term").isin(must: _*), col("term"))).as("n_must"),
+        max(when(col("term").isin(any: _*), 1L).otherwise(0L)).as("has_any"),
+        max(when(col("term").isin(none: _*), 1L).otherwise(0L)).as("has_none"))
+      .filter(col("n_must") === must.size &&
+        (if (any.isEmpty) lit(true) else col("has_any") === 1L) &&
+        col("has_none") === 0L)
+      .select("doc_id")
+  }
+
+  /** (q, suggestion, dist, n, rk): spell correction / did-you-mean —
+    * top-k vocabulary terms within `maxDist` edits of each (possibly
+    * misspelled) query term, ranked by (edit distance, corpus count
+    * desc, term). The candidate join is query-terms × VOCABULARY —
+    * vocabulary-sized, not corpus-sized, so it stays a broadcast
+    * nested loop over a few thousand rows even at 100 TB (the corpus
+    * pass is only the term-count aggregation, map-side combined).
+    * Production engines prune the vocab side with n-gram/BK-tree
+    * indexes; the asymptotics that matter at scale — never touch the
+    * corpus per query — hold already. */
+  def spellCorrect(docs: DataFrame,
+                   queries: Seq[String] = Seq("qery", "jion", "streem", "windoow"),
+                   maxDist: Int = 2, k: Int = 3): DataFrame = {
+    val vocab = Bm25.tokenize(docs).groupBy("term").agg(count(lit(1)).as("n"))
+    val spark = docs.sparkSession
+    val q = spark.createDataFrame(queries.map(Tuple1(_))).toDF("q")
+    val w = Window.partitionBy("q")
+      .orderBy(col("dist").asc, col("n").desc, col("suggestion").asc)
+    vocab.crossJoin(broadcast(q))
+      .select(col("q"), col("term").as("suggestion"),
+        levenshtein(col("q"), col("term")).cast("long").as("dist"), col("n"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q"), col("suggestion"), col("dist"), col("n"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** (doc_id, min_gap): proximity search — for every document holding
+    * ≥ 2 DISTINCT query terms, the minimum raw-token distance between
+    * any two different query terms; the `k` tightest docs. This is the
+    * query positional postings exist for (SURVEY §2 #12d/12e): phrase
+    * search demands adjacency, proximity ranks by nearness. The
+    * self-join runs on (doc_id) over positions of QUERY TERMS ONLY —
+    * per-doc fanout is bounded by the query terms' occurrence counts,
+    * never by document length, and the join key is the high-cardinality
+    * doc_id. */
+  def proximityTopN(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
+                    k: Int = 20): DataFrame = {
+    val p = graft.operators.Positional.termPositions(docs)
+      .filter(col("term").isin(queryTerms: _*))
+    val a = p.select(col("doc_id"), col("term").as("ta"), col("pos").as("pa"))
+    val b = p.select(col("doc_id"), col("term").as("tb"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id")).filter(col("ta") < col("tb"))
+      .groupBy("doc_id")
+      .agg(min(abs(col("pa") - col("pb"))).as("min_gap"))
+      .orderBy(col("min_gap").asc, col("doc_id").asc).limit(k)
+  }
+
+  /** (facet, value, n): faceted search — result counts per facet
+    * value (lang, source) over the documents matching ≥ 1 query term.
+    * The refinement sidebar every search UI draws next to the ranked
+    * list. Matching docs via a left-semi join on the pruned postings
+    * (no score needed, no doclen join), then ONE aggregation over the
+    * unpivoted facet pairs — facet cardinality is tiny, the map-side
+    * combine collapses each partition to #facet-values rows before
+    * the shuffle. */
+  def facets(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms): DataFrame = {
+    val matched = Bm25.tokenize(docs).filter(col("term").isin(queryTerms: _*))
+      .select("doc_id").distinct()
+    docs.join(matched, Seq("doc_id"), "left_semi")
+      .select(explode(map(
+        lit("lang"), col("lang"),
+        lit("source"), col("source"))).as(Seq("facet", "value")))
+      .groupBy("facet", "value").agg(count(lit(1)).as("n"))
+  }
+
   /** Single row (dcg, idcg, ndcg): NDCG@k of the BM25 ranking against
     * graded relevance rel(d) = #distinct query terms present in d —
     * the self-contained ranking-quality harness (swap `rel` for human

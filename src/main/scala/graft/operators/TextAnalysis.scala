@@ -372,6 +372,27 @@ object TextAnalysis {
         when(col("u") < 0.8, "train").when(col("u") < 0.9, "val").otherwise("test")
           .as("split"))
 
+  /** (doc_id, chunk_id, n_tokens, chunk_md5): context-window chunking
+    * — every document's RAW token stream split into consecutive
+    * `chunkSize`-token windows, the unit a training pipeline feeds a
+    * fixed-context model (the md5 of the re-joined chunk text makes
+    * the gate verify chunk CONTENT, not just counts). Pure map +
+    * explode stage: chunk count per doc = ceil(len/chunkSize), zero
+    * shuffles at any corpus size, and chunk rows carry no full-text
+    * copy — just the hash. The raw (unfiltered) stream is
+    * deliberate: training sequences keep stopwords. */
+  def seqChunks(docs: DataFrame, chunkSize: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("words"),
+        explode(expr(s"sequence(0, (size(words) - 1) div $chunkSize)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("words"), col("chunk_id") * chunkSize + 1, lit(chunkSize)))
+          .cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("words"), col("chunk_id") * chunkSize + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+
   def gopherRules(docs: DataFrame): DataFrame = {
     val stop = Text.stopwordsSqlList
     docs

@@ -354,6 +354,47 @@ object Streams {
     spark.read.option("basePath", outRoot).parquet(s"$outRoot/batch-*")
   }
 
+  /** (query_id, vec_id, cos, rk): a STREAM of query VECTORS served
+    * against the static embedding store — the vector-search sibling of
+    * [[searchStream]] (the reference's BMStream serving loop, with the
+    * inverted index swapped for the embedding corpus). Query vectors
+    * are staged one file per trigger; each micro-batch is scored by
+    * [[graft.operators.Ann.batchTopKFrom]] (query batch broadcast, one
+    * corpus pass per batch) into an idempotent per-batch parquet sink —
+    * same O(1)-driver-memory, retry-safe shape as searchStream. Rows
+    * equal [[graft.operators.Ann.batchTopK]] on the same query ids
+    * (shared oracle). */
+  def annStream(spark: SparkSession, dir: String,
+                queryIds: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 10): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tmp = sys.props("java.io.tmpdir")
+    val src = s"$tmp/graft_ann_stream_src_$tag"
+    val outRoot = s"$tmp/graft_ann_stream_out_$tag"
+    Seq(src, outRoot).foreach(p => deleteRecursive(spark, p))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // one file per query id → maxFilesPerTrigger=1 proves multi-batch
+    queries.repartitionByRange(queryIds.size, col("query_id"))
+      .write.mode("overwrite").parquet(src)
+    val qs = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    @volatile var batches = 0
+    val sq = qs.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$outRoot/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batches += 1
+        graft.operators.Ann.batchTopKFrom(emb, batch, k)
+          .write.mode("overwrite").parquet(s"$outRoot/batch-$batchId")
+        ()
+      }
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+    require(batches > 0, s"vector query stream at $src produced no micro-batches")
+    spark.read.option("basePath", outRoot).parquet(s"$outRoot/batch-*")
+  }
+
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
     * upserted per micro-batch into a keyed parquet store — the
     * reference's STREAMING Mongo sink (MongoTFSink.java /

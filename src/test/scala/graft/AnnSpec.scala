@@ -53,4 +53,55 @@ class AnnSpec extends AnyFunSuite {
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.4, s"LSH ANN recall $recall")
   }
+
+  test("hamming signatures match a literal sign-bit computation; rerank cos is exact") {
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float]): (Long, Long, Long, Long) = {
+      def chunk(c: Int) = (0 until 16).map(i =>
+        if (v(c * 16 + i) > 0f) 1L << i else 0L).sum
+      (chunk(0), chunk(1), chunk(2), chunk(3))
+    }
+    def ham(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Long =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) + java.lang.Long.bitCount(a._4 ^ b._4)
+    val qs = sig(vecs(0L))
+    val rows = Ann.hammingTopK(emb, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    rows.foreach { case (id, h, cos) =>
+      assert(h == ham(sig(vecs(id)), qs), s"vec $id hamming")
+      val (va, vb) = (vecs(0L).map(_.toDouble), vecs(id).map(_.toDouble))
+      val exact = va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(cos - exact) < 1e-3, s"vec $id cos $cos vs $exact")
+    }
+  }
+
+  test("hamming candidates recall most of the exact top-k (the 1-bit quantization trade)") {
+    val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val approx = Ann.hammingTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"hamming ANN recall $recall")
+  }
+
+  test("batch ANN: per-query rows equal the single-query brute force") {
+    val batch = Ann.batchTopK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(batch.length == 30)
+    Seq(0L, 1L, 2L).foreach { q =>
+      val single = Ann.bruteForceTopK(emb, q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toList
+      val fromBatch = batch.filter(_._1 == q).sortBy(_._4).map(r => (r._2, r._3)).toList
+      assert(fromBatch == single, s"query $q: batch != single")
+    }
+  }
+
+  test("ann stream: streamed micro-batches reproduce the one-plan batch rows") {
+    val streamed = graft.streaming.Streams.annStream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    val batch = Ann.batchTopK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    assert(streamed.sameElements(batch))
+  }
 }

@@ -96,4 +96,89 @@ class Round6Spec extends AnyFunSuite {
     assert(dcg > 0.0 && idcg >= dcg, s"dcg=$dcg idcg=$idcg")
     assert(ndcg > 0.0 && ndcg <= 1.0, s"ndcg=$ndcg outside (0,1]")
   }
+
+  test("boolean search: exact AND/OR/NOT set semantics vs a literal per-doc check") {
+    val terms = Bm25.tokenize(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    val expected = terms.filter { case (_, ts) =>
+      ts("spark") && ts("query") && (ts("join") || ts("merge")) && !ts("slow")
+    }.keySet
+    val got = operators.SearchExtras.booleanSearch(docs).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < terms.size, "boolean filter is vacuous at this sf")
+  }
+
+  test("spell correct: every suggestion within maxDist; best-ranked is a true nearest") {
+    val rows = operators.SearchExtras.spellCorrect(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { case (q, s, dist, _, _) =>
+      assert(lev(q, s) == dist && dist <= 2, s"($q, $s): dist $dist != ${lev(q, s)}")
+    }
+    // 'qery' must correct to 'query' at rank 1 (distance 1, unique)
+    val best = rows.filter(r => r._1 == "qery" && r._5 == 1L)
+    assert(best.length == 1 && best.head._2 == "query", s"qery corrected to ${best.map(_._2).toList}")
+  }
+
+  test("proximity: min_gap is the true minimum pairwise distance of distinct query terms") {
+    val pos = operators.Positional.termPositions(docs)
+      .filter(col("term").isin(Bm25.QueryTerms: _*)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = pos.flatMap { case (d, rs) =>
+      val gaps = for {
+        (_, ta, pa) <- rs; (_, tb, pb) <- rs if ta < tb
+      } yield math.abs(pa - pb)
+      if (gaps.isEmpty) None else Some(d -> gaps.min)
+    }
+    val got = operators.SearchExtras.proximityTopN(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == math.min(20, expected.size))
+    got.foreach { case (d, g) => assert(expected(d) == g, s"doc $d: $g != ${expected(d)}") }
+    // returned docs are exactly the k smallest under (gap, doc_id)
+    val want = expected.toSeq.sortBy { case (d, g) => (g, d) }.take(20).toSet
+    assert(got.toSet == want)
+  }
+
+  test("facets: counts match per-facet-value matched-doc counts; only matching docs counted") {
+    val matched = Bm25.tokenize(docs).filter(col("term").isin(Bm25.QueryTerms: _*))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val dims = docs.select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(r => matched(r._1))
+    val got = operators.SearchExtras.facets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expLang = dims.groupBy(_._2).map { case (v, rs) => ("lang", v) -> rs.length.toLong }
+    val expSrc = dims.groupBy(_._3).map { case (v, rs) => ("source", v) -> rs.length.toLong }
+    assert(got == expLang ++ expSrc)
+  }
+
+  test("seq chunks: per-doc chunk count and sizes reconstruct the token stream") {
+    val words = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val got = operators.TextAnalysis.seqChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    words.foreach { case (d, ws) =>
+      val chunks = got(d).sortBy(_._2)
+      assert(chunks.length == (ws.length - 1) / 16 + 1, s"doc $d chunk count")
+      assert(chunks.map(_._3).sum == ws.length, s"doc $d token total")
+      chunks.foreach { case (_, c, n, h) =>
+        val slice = ws.slice((c * 16).toInt, (c * 16).toInt + 16)
+        assert(n == slice.length)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(slice.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(h == hex, s"doc $d chunk $c content hash")
+      }
+    }
+  }
 }
