@@ -14,15 +14,18 @@ object Bench {
     "q_min_cost_supplier", "q_large_volume", "q_returned_items",
     // BM25 / search serving
     "q_bm25_score", "q_search_batch", "q_phrase", "q_prf_search",
-    "q_hybrid_rrf", "q_index_batch_search",
+    "q_hybrid_rrf", "q_index_batch_search", "q_search_maxscore",
+    "q_boolean_search", "q_spell_correct", "q_proximity",
     // dedup family
     "q_dedup_minhash", "q_dedup_simhash_pairs", "q_dedup_ngram",
     // ANN / vectors
-    "q_ann_bruteforce", "q_ann_ivf",
+    "q_ann_bruteforce", "q_ann_ivf", "q_ann_hamming", "q_ann_batch",
     // text analysis
     "q_lang_id", "q_quality", "q_gopher", "q_keywords",
     // streaming
-    "q_stream_search", "q_stream_upsert", "q_stream_dedup",
+    "q_stream_search", "q_stream_upsert", "q_stream_dedup", "q_stream_ann",
+    // training-sequence prep
+    "q_seq_pack",
     // storage layout
     "q_bucketed_join", "q_zorder_scan", "q_partitioned_scan",
     // windows / temporal

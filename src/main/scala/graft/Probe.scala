@@ -78,6 +78,18 @@ object Probe {
       time("bigram_lm")(graft.operators.TextAnalysis.bigramLm(d).count())
       time("entropy")(graft.operators.TextAnalysis.tokenEntropy(d).count())
       time("emb_quantize")(graft.operators.Vectors.quantizeInt8(e).count())
+      time("lm_dirichlet")(graft.operators.SearchExtras.lmDirichletScore(d).count())
+      time("snippets")(graft.operators.SearchExtras.snippets(d).count())
+      time("autocomplete")(graft.operators.SearchExtras.autocomplete(d).count())
+      time("maxscore")(graft.operators.SearchExtras.maxScoreTopN(d).count())
+      time("boolean_search")(graft.operators.SearchExtras.booleanSearch(d).count())
+      time("spell_correct")(graft.operators.SearchExtras.spellCorrect(d).count())
+      time("proximity")(graft.operators.SearchExtras.proximityTopN(d).count())
+      time("facets")(graft.operators.SearchExtras.facets(d).count())
+      time("ann_hamming")(graft.operators.Ann.hammingTopK(e).count())
+      time("ann_batch")(graft.operators.Ann.batchTopK(e).count())
+      time("seq_chunks")(graft.operators.TextAnalysis.seqChunks(d).count())
+      time("seq_pack")(graft.operators.TextAnalysis.packSequences(d).count())
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)

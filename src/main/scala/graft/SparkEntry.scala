@@ -345,6 +345,7 @@ object SparkEntry {
     // store — same rows as q_ann_batch (shared oracle)
     "q_stream_ann" -> ((s, dir) => graft.streaming.Streams.annStream(s, dir)),
     "q_seq_chunks" -> ((s, dir) => TextAnalysis.seqChunks(Tables.documents(s, dir))),
+    "q_seq_pack" -> ((s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -1944,5 +1945,22 @@ object SparkEntry {
         |       len(words[(chunk_id * 16 + 1):(chunk_id * 16 + 16)])::BIGINT AS n_tokens,
         |       md5(array_to_string(words[(chunk_id * 16 + 1):(chunk_id * 16 + 16)], ' ')) AS chunk_md5
         |FROM c""".stripMargin,
+    // greedy per-source packing replayed as a recursive CTE: one row
+    // per recursion step carries (bin, fill) state down the doc_id
+    // order — the sequential fold the Spark side streams per group
+    "q_seq_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens, rn, 0::BIGINT AS bin_id, n_tokens AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+        |         CASE WHEN r.fill + t.n_tokens <= 256 THEN r.bin_id ELSE r.bin_id + 1 END,
+        |         CASE WHEN r.fill + t.n_tokens <= 256 THEN r.fill + t.n_tokens ELSE t.n_tokens END
+        |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+        |SELECT doc_id, source, n_tokens, bin_id FROM r""".stripMargin,
   )
 }

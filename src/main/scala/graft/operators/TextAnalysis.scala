@@ -393,6 +393,40 @@ object TextAnalysis {
           slice(col("words"), col("chunk_id") * chunkSize + 1, lit(chunkSize))))
           .as("chunk_md5"))
 
+  /** (doc_id, source, n_tokens, bin_id): greedy sequence PACKING —
+    * within each source, docs in doc_id order are packed into bins of
+    * ≤ `cap` raw tokens; a doc that would overflow starts the next
+    * bin (an over-cap doc gets a bin of its own). The step after
+    * [[seqChunks]] in a training pipeline: chunking splits long docs,
+    * packing coalesces short ones so fixed-context batches waste no
+    * tokens. The greedy fold is inherently SEQUENTIAL per group — the
+    * one operator family where the imperative rung of the extension
+    * ladder is honest: `flatMapSortedGroups` streams each source's
+    * docs in order through O(1) state (never materializing the
+    * group), and sources partition the corpus, so parallelism =
+    * #sources. At 100 TB the pack key would be (source, day-shard) —
+    * same code, finer groups; packing across ALL data in one sequence
+    * is not a parallelizable spec, and no engine runs it that way. */
+  def packSequences(docs: DataFrame, cap: Long = 256L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapSortedGroups(col("doc_id")) { (_: String, it: Iterator[(Long, String, Long)]) =>
+        var bin = 0L
+        var fill = -1L // sentinel: first doc seeds bin 0 whatever its size
+        it.map { case (d, s, n) =>
+          if (fill < 0L) fill = n
+          else if (fill + n <= cap) fill += n
+          else { bin += 1L; fill = n }
+          (d, s, n, bin)
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "bin_id")
+  }
+
   def gopherRules(docs: DataFrame): DataFrame = {
     val stop = Text.stopwordsSqlList
     docs

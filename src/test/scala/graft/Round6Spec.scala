@@ -161,6 +161,31 @@ class Round6Spec extends AnyFunSuite {
     assert(got == expLang ++ expSrc)
   }
 
+  test("seq pack: bins respect the cap, are contiguous in doc_id order, and match a literal greedy fold") {
+    val cap = 256L
+    val got = operators.TextAnalysis.packSequences(docs, cap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+      .groupBy(_._2)
+    val expected = bySource.values.flatMap { rs =>
+      var bin = 0L; var fill = -1L
+      rs.sortBy(_._1).map { case (d, s, n) =>
+        if (fill < 0L) fill = n
+        else if (fill + n <= cap) fill += n
+        else { bin += 1L; fill = n }
+        (d, s, n, bin)
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    // bins genuinely coalesce, and only single-doc bins may exceed cap
+    val bins = got.groupBy(r => (r._2, r._4)).values
+    assert(bins.exists(_.length > 1), "no bin packed 2+ docs")
+    assert(bins.forall(b => b.length == 1 || b.map(_._3).sum <= cap),
+      "a multi-doc bin exceeds the cap")
+    assert(got.map(_._4).max > 0, "everything landed in one bin — cap never bound")
+  }
+
   test("seq chunks: per-doc chunk count and sizes reconstruct the token stream") {
     val words = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
