@@ -194,9 +194,19 @@ object Ann {
       .crossJoin(broadcast(q))
       .select(col("vec_id"), hamming.as("hamming"))
       .orderBy(col("hamming").asc, col("vec_id").asc).limit(nCandidates)
-    exactTopK(embeddings, Some(cand.select("vec_id")), queryId, k)
-      .join(cand, "vec_id")
-      .select(col("vec_id"), col("hamming"), col("cos"))
+    // exact rerank inlined (not exactTopK) so the signature/candidate
+    // subtree is referenced ONCE — routing through exactTopK's semi
+    // -join and re-joining cand for the hamming column would evaluate
+    // the candidate TakeOrdered (and its corpus signature pass) twice
+    val e = withNorm(embeddings)
+    val qn = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("va"), col("nrm").as("na"))
+    e.join(cand, "vec_id")
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"), col("hamming"),
+        round(dot(col("va"), col("v")) / (col("na") * col("nrm")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   /** (query_id, vec_id, cos, rk): exact cosine top-k for a TABLE of

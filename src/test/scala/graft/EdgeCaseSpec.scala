@@ -176,4 +176,35 @@ class EdgeCaseSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0)
     assert(toks == Seq("好", "𠀋", "吗"), s"got $toks")
   }
+
+  test("round-6 operators degrade gracefully on empty/degenerate input") {
+    import graft.operators.SearchExtras
+    // empty corpus: retrieval/ranking ops return empty, never throw
+    assert(SearchExtras.booleanSearch(empty).count() == 0)
+    assert(SearchExtras.proximityTopN(empty).count() == 0)
+    assert(SearchExtras.spellCorrect(empty).count() == 0)
+    assert(SearchExtras.lmDirichletScore(empty).count() == 0)
+    assert(SearchExtras.maxScoreTopN(empty).count() == 0)
+    // must-terms are required — an all-optional boolean query has no
+    // defined NOT semantics under postings pruning
+    intercept[IllegalArgumentException] {
+      SearchExtras.booleanSearch(junk, must = Nil)
+    }
+    // single-token and empty-text docs chunk to exactly one window
+    val ch = TextAnalysis.seqChunks(junk).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ch.filter(_._1 == 3L).toList == List((3L, 0L, 1L)),
+      "empty text splits to one single-empty-token chunk (split semantics)")
+    assert(ch.count(_._1 == 2L) == 1)
+    // packing: a doc larger than the cap gets a bin of its own and
+    // packing continues after it
+    val wide = Seq(
+      (1L, "w " * 9 + "w", "s"),     // 10 tokens
+      (2L, "w " * 399 + "w", "s"),   // 400 tokens > cap
+      (3L, "w " * 9 + "w", "s"))
+      .toDF("doc_id", "text", "source")
+    val packed = TextAnalysis.packSequences(wide, cap = 256L).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(packed == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"got $packed")
+  }
 }
