@@ -346,6 +346,18 @@ object SparkEntry {
     "q_stream_ann" -> ((s, dir) => graft.streaming.Streams.annStream(s, dir)),
     "q_seq_chunks" -> ((s, dir) => TextAnalysis.seqChunks(Tables.documents(s, dir))),
     "q_seq_pack" -> ((s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir))),
+    // staged ANN store maintained incrementally (build 4/5 + ingest
+    // 1/5, same DeltaStore protocol as q_index_incremental); search
+    // equals the live LSH over the union — rows-only key (LSH recall
+    // is spec-gated, and AnnSpec proves staged == live exactly)
+    "q_ann_index_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = sys.props("java.io.tmpdir") +
+        "/graft_annidx_inc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), path)
+      AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), path, "00001")
+      AnnIndex.searchTopK(s, path)
+    }),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the

@@ -3,13 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Materialized ANN index — the vector-side sibling of [[Bm25Index]]:
-  * build once, query without touching the raw corpus.
+import graft.sources.DeltaStore
+
+/** Materialized ANN index — the vector-side sibling of [[Bm25Index]],
+  * sharing its delta-directory commit protocol ([[DeltaStore]]):
   *
-  *   <path>/vectors  (vec_id, v, nrm)        — double vectors + norms
-  *   <path>/buckets  (t, bucket, vec_id)     — LSH bucket membership,
+  *   <path>/delta-<tag>/vectors  (vec_id, v, nrm)    — doubles + norms
+  *   <path>/delta-<tag>/buckets  (t, bucket, vec_id) — LSH membership,
   *                   repartitioned + sorted by (t, bucket) so a
   *                   query's bucket predicate prunes row groups
+  *
+  * Incremental ingest is SOUND for LSH by construction: bucket ids
+  * come from md5-derived hyperplanes materialized as plan literals
+  * ([[Ann.lshBuckets]]), so every batch hashes into the same bucket
+  * space and a staged search over N deltas equals the live search over
+  * their union (AnnSpec proves it). Per-batch cost scales with the
+  * batch — signatures are a map stage, the bucket write shuffles the
+  * batch once. Contrast IVF: its coarse quantizer is TRAINED, so
+  * incremental ingest there would need centroid-drift maintenance —
+  * that is exactly why the hyperplane family is the streaming-ingest
+  * index of choice.
   *
   * Query cost: read the query's own bucket rows (pushed-down scan on
   * the tiny bucket table), semi-join candidates against the vector
@@ -19,24 +32,79 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Full (re)build: reset the store and ingest the corpus as the
+    * first delta. */
   def build(embeddings: DataFrame, path: String,
             numTables: Int = 8, bitsPerTable: Int = 4): Unit = {
-    val e = embeddings
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(graft.functions.Native.dot(col("v"), col("v"))))
-    e.write.mode(SaveMode.Overwrite).parquet(s"$path/vectors")
-    Ann.lshBuckets(embeddings, numTables, bitsPerTable)
-      .repartition(col("t"), col("bucket"))
-      .sortWithinPartitions("t", "bucket")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/buckets")
+    DeltaStore.reset(embeddings.sparkSession, path)
+    update(embeddings, path, "00000", numTables, bitsPerTable)
+  }
+
+  /** Incrementally ingest a NEW vector batch. Idempotent per `tag`
+    * (replayed streaming batches are exactly-once); re-ingesting an
+    * existing vec_id is rejected — append-only maintenance would
+    * return it twice from its buckets. The duplicate check is
+    * range-pruned by per-delta vec_id sidecars, batch-scaled for
+    * monotone-id ingest. The hyperplane parameters must match the
+    * store's (same defaults everywhere); they are cheap literals, not
+    * trained state, so there is nothing else to keep in step. */
+  def update(embeddings: DataFrame, path: String,
+             tag: String = java.util.UUID.randomUUID().toString,
+             numTables: Int = 8, bitsPerTable: Int = 4): Unit = {
+    val spark = embeddings.sparkSession
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    // a batch hashed with DIFFERENT hyperplane parameters would land
+    // in an incompatible bucket space and silently corrupt every
+    // search — each delta records its params, and a mismatch is loud
+    val params = s"$numTables,$bitsPerTable"
+    deltas.headOption.foreach { d =>
+      val stored = readParams(DeltaStore.fsOf(spark, path), d)
+      require(stored.forall(_ == params),
+        s"LSH params $params do not match the store's ${stored.get} — " +
+          "rebuild the index to change hyperplane parameters")
+    }
+    val (batchEmpty, lo, hi) = DeltaStore.batchRange(embeddings, "vec_id")
+    if (deltas.nonEmpty && !batchEmpty)
+      DeltaStore.rejectDuplicateIds(spark,
+        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, lo, hi),
+        "vectors", "vec_id", embeddings, "ANN-index")
+    val range = if (lo <= hi) Some((lo, hi)) else None
+    DeltaStore.commit(spark, path, tag, range) { staging =>
+      embeddings
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", sqrt(graft.functions.Native.dot(col("v"), col("v"))))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
+      Ann.lshBuckets(embeddings, numTables, bitsPerTable)
+        .repartition(col("t"), col("bucket"))
+        .sortWithinPartitions("t", "bucket")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
+      val fs = DeltaStore.fsOf(spark, staging)
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, "lsh.params"), true)
+      try out.write(params.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def readParams(fs: org.apache.hadoop.fs.FileSystem,
+                         delta: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(delta, "lsh.params")
+    if (!fs.exists(p)) None // pre-params delta: unguarded (legacy)
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
   }
 
   /** (vec_id, cos): top-k neighbors of `queryId` from the staged
-    * index — matches [[Ann.lshTopK]] on the same data exactly. */
+    * index — matches [[Ann.lshTopK]] on the same data exactly,
+    * however many deltas the store has accumulated. */
   def searchTopK(spark: SparkSession, path: String,
                  queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val vectors = spark.read.parquet(s"$path/vectors")
-    val buckets = spark.read.parquet(s"$path/buckets")
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val vectors = spark.read.parquet(deltas.map(d => s"$d/vectors"): _*)
+    val buckets = spark.read.parquet(deltas.map(d => s"$d/buckets"): _*)
     val qb = buckets.filter(col("vec_id") === queryId)
       .select(col("t").as("qt"), col("bucket").as("qbucket"))
     val candidates = buckets

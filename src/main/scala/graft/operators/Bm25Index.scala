@@ -33,47 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Bm25Index {
 
-  private def fsOf(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committedDeltas(spark: SparkSession, path: String): Seq[String] = {
-    val fs = fsOf(spark, path)
-    val p = new Path(path)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta-"))
-      .map(_.getPath.toString)
-  }
-
-  /** Tiny per-delta sidecar recording the delta's [min,max] doc_id.
-    * Written into the staging dir (so the atomic rename covers it);
-    * lets the duplicate-doc_id check skip every delta whose id range
-    * cannot overlap the incoming batch, keeping per-batch cost
-    * batch-scaled for the common monotone-id ingest pattern. */
-  private def writeRange(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-                         lo: Long, hi: Long): Unit = {
-    val out = fs.create(new Path(dir, "docid.range"), true)
-    try out.write(s"$lo\n$hi\n".getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readRange(fs: org.apache.hadoop.fs.FileSystem,
-                        delta: String): Option[(Long, Long)] = {
-    val p = new Path(delta, "docid.range")
-    if (!fs.exists(p)) None // pre-range delta: never pruned
-    else {
-      val in = fs.open(p)
-      try {
-        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        Some((lines.head.toLong, lines(1).toLong))
-      } finally in.close()
-    }
-  }
+  import graft.sources.DeltaStore
+  private def committedDeltas(spark: SparkSession, path: String): Seq[String] =
+    DeltaStore.committedDeltas(spark, path)
 
   /** Full (re)build: reset the store and ingest the corpus as the
     * first delta. */
   def build(docs: DataFrame, path: String): Unit = {
-    val fs = fsOf(docs.sparkSession, path)
-    fs.delete(new Path(path), true)
+    DeltaStore.reset(docs.sparkSession, path)
     update(docs, path, "00000")
   }
 
@@ -91,75 +58,28 @@ object Bm25Index {
   def update(newDocs: DataFrame, path: String,
              tag: String = java.util.UUID.randomUUID().toString): Unit = {
     val spark = newDocs.sparkSession
-    val fs = fsOf(spark, path)
-    val committed = new Path(s"$path/delta-$tag")
-    if (fs.exists(committed)) return // replayed batch: already ingested
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
     val deltas = committedDeltas(spark, path)
     // batch id range (integral doc_id only): one batch-scaled agg,
     // reused for range-pruning the duplicate check AND this delta's
-    // own sidecar below. Non-integral ids get NO range (rangeable =
-    // false) → the check below falls back to scanning every delta,
-    // exactly the pre-sidecar behavior, never a silently skipped check
-    val rangeable = newDocs.schema("doc_id").dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
+    // own sidecar. Non-integral or all-NULL ids get NO range (lo > hi)
+    // → the check falls back to scanning every delta, never silently
+    // skipped; an empty batch cannot contain a duplicate
+    val (batchEmpty, batchLo, batchHi) = DeltaStore.batchRange(newDocs, "doc_id")
+    if (deltas.nonEmpty && !batchEmpty)
+      DeltaStore.rejectDuplicateIds(spark,
+        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, batchLo, batchHi),
+        "doclen", "doc_id", newDocs, "postings")
+    val range = if (batchLo <= batchHi) Some((batchLo, batchHi)) else None
+    DeltaStore.commit(spark, path, tag, range) { staging =>
+      Bm25.tf(newDocs)
+        .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+      // doclen derives from the postings just written — ONE corpus pass
+      spark.read.parquet(s"$staging/postings")
+        .groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
     }
-    // one batch-scaled agg: emptiness always, min/max only when the id
-    // type is integral (an ANSI cast of a non-numeric id would throw)
-    val (batchEmpty, batchLo, batchHi) =
-      if (rangeable) {
-        val Array(r) = newDocs
-          .agg(count(lit(1)).as("n"),
-            min(col("doc_id").cast("long")).as("lo"), max(col("doc_id").cast("long")).as("hi"))
-          .collect()
-        // all-NULL ids: count counts the rows but min/max are NULL —
-        // fall back to the unranged path (lo>hi ⇒ every delta checked)
-        if (r.getLong(0) == 0L) (true, 0L, -1L)
-        else if (r.isNullAt(1) || r.isNullAt(2)) (false, 0L, -1L)
-        else (false, r.getLong(1), r.getLong(2))
-      } else {
-        val n = newDocs.limit(1).count()
-        (n == 0L, 0L, -1L)
-      }
-    // an empty batch cannot contain a duplicate — never scan for one
-    if (deltas.nonEmpty && !batchEmpty) {
-      // only deltas whose [min,max] doc_id overlaps the batch can hold
-      // a duplicate — for monotone-id ingest this prunes to O(1)
-      // deltas, keeping the check batch-scaled even on a large store.
-      // With no batch range every delta is a candidate (full check).
-      val candidates =
-        if (batchLo > batchHi) deltas
-        else deltas.filter { d =>
-          readRange(fs, d).forall { case (lo, hi) => lo <= batchHi && hi >= batchLo }
-        }
-      if (candidates.nonEmpty) {
-        val existing = spark.read.parquet(candidates.map(d => s"$d/doclen"): _*)
-          .select(col("doc_id"))
-        val nDup = newDocs.select("doc_id").join(existing, Seq("doc_id"), "left_semi").count()
-        require(nDup == 0,
-          s"update batch re-ingests $nDup existing doc_ids; append-only maintenance " +
-            "would double-count their postings — upsert or rebuild instead")
-      }
-    }
-    // single-writer contract: clear orphaned staging dirs left by any
-    // crashed earlier attempt (they are never visible to readers, but
-    // they should not accumulate)
-    val root = new Path(path)
-    if (fs.exists(root))
-      fs.listStatus(root).filter(_.getPath.getName.startsWith(".staging-"))
-        .foreach(s => fs.delete(s.getPath, true))
-    val staging = new Path(s"$path/.staging-$tag")
-    Bm25.tf(newDocs)
-      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
-    // doclen derives from the postings just written — ONE corpus pass
-    spark.read.parquet(s"$staging/postings")
-      .groupBy("doc_id").agg(sum("tf").as("dl"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
-    if (batchLo <= batchHi) writeRange(fs, staging, batchLo, batchHi)
-    if (!fs.rename(staging, committed))
-      throw new java.io.IOException(s"commit failed for $committed")
   }
 
   /** Fold all committed deltas into ONE delta (small-files
@@ -173,25 +93,24 @@ object Bm25Index {
   def compactDeltas(spark: SparkSession, path: String): Unit = {
     val deltas = committedDeltas(spark, path)
     if (deltas.size <= 1) return
-    val fs = fsOf(spark, path)
+    val fs = DeltaStore.fsOf(spark, path)
     val tag = "compact-" + java.util.UUID.randomUUID().toString
-    val staging = new Path(s"$path/.staging-$tag")
-    fs.delete(staging, true)
-    spark.read.parquet(deltas.map(d => s"$d/postings"): _*)
-      .repartition(col("term")).sortWithinPartitions("term", "doc_id")
-      .write.parquet(s"$staging/postings")
-    spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
-      .write.parquet(s"$staging/doclen")
     // merged range = union of the input ranges; if ANY input predates
     // range sidecars its span is unknown → omit (never-pruned) rather
     // than write a wrong one
-    val ranges = deltas.map(d => readRange(fs, d))
-    if (ranges.forall(_.isDefined)) {
-      val rs = ranges.flatten
-      writeRange(fs, staging, rs.map(_._1).min, rs.map(_._2).max)
+    val ranges = deltas.map(d => DeltaStore.readRange(fs, d))
+    val merged =
+      if (ranges.forall(_.isDefined)) {
+        val rs = ranges.flatten
+        Some((rs.map(_._1).min, rs.map(_._2).max))
+      } else None
+    DeltaStore.commit(spark, path, tag, merged) { staging =>
+      spark.read.parquet(deltas.map(d => s"$d/postings"): _*)
+        .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+        .write.parquet(s"$staging/postings")
+      spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
+        .write.parquet(s"$staging/doclen")
     }
-    if (!fs.rename(staging, new Path(s"$path/delta-$tag")))
-      throw new java.io.IOException(s"compaction commit failed for $path")
     deltas.foreach(d => fs.delete(new Path(d), true))
   }
 

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The delta-directory commit protocol shared by the materialized
+  * search indexes ([[graft.operators.Bm25Index]],
+  * [[graft.operators.AnnIndex]]): a store is a directory of
+  * `delta-<tag>` subdirectories, each written in full under
+  * `.staging-<tag>` and made visible with ONE directory rename — the
+  * only mutation readers ever observe. A crash before the rename
+  * leaves an invisible staging dir (cleared by the next writer); a
+  * replayed tag is detected committed and skipped, which is what makes
+  * streaming ingest exactly-once without a transaction log.
+  *
+  * Per-delta `<id>.range` sidecars record each batch's [min,max] id so
+  * duplicate-id checks can skip every delta whose range cannot overlap
+  * an incoming batch — batch-scaled maintenance on a long-running
+  * store for the common monotone-id ingest pattern.
+  */
+object DeltaStore {
+
+  def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def committedDeltas(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val p = new Path(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta-"))
+      .map(_.getPath.toString)
+  }
+
+  def isCommitted(spark: SparkSession, path: String, tag: String): Boolean =
+    fsOf(spark, path).exists(new Path(s"$path/delta-$tag"))
+
+  /** Reset the store (full rebuild entry point). */
+  def reset(spark: SparkSession, path: String): Unit = {
+    fsOf(spark, path).delete(new Path(path), true)
+    ()
+  }
+
+  def writeRange(fs: FileSystem, dir: Path, lo: Long, hi: Long): Unit = {
+    val out = fs.create(new Path(dir, "docid.range"), true)
+    try out.write(s"$lo\n$hi\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  def readRange(fs: FileSystem, delta: String): Option[(Long, Long)] = {
+    val p = new Path(delta, "docid.range")
+    if (!fs.exists(p)) None // pre-range delta: never pruned
+    else {
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        Some((lines.head.toLong, lines(1).toLong))
+      } finally in.close()
+    }
+  }
+
+  /** One batch-scaled aggregation: (isEmpty, lo, hi) of `idCol`. A
+    * non-integral id type (or an all-NULL id column) yields lo > hi —
+    * the "no range" marker, which disables pruning but never the
+    * correctness checks that consume it. */
+  def batchRange(batch: DataFrame, idCol: String): (Boolean, Long, Long) = {
+    val rangeable = batch.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (rangeable) {
+      val Array(r) = batch
+        .agg(count(lit(1)).as("n"),
+          min(col(idCol).cast("long")).as("lo"), max(col(idCol).cast("long")).as("hi"))
+        .collect()
+      if (r.getLong(0) == 0L) (true, 0L, -1L)
+      else if (r.isNullAt(1) || r.isNullAt(2)) (false, 0L, -1L)
+      else (false, r.getLong(1), r.getLong(2))
+    } else {
+      (batch.limit(1).count() == 0L, 0L, -1L)
+    }
+  }
+
+  /** The deltas whose recorded id range can overlap [lo, hi]; with no
+    * batch range (lo > hi) every delta is a candidate. */
+  def overlappingDeltas(fs: FileSystem, deltas: Seq[String],
+                        lo: Long, hi: Long): Seq[String] =
+    if (lo > hi) deltas
+    else deltas.filter { d =>
+      readRange(fs, d).forall { case (dlo, dhi) => dlo <= hi && dhi >= lo }
+    }
+
+  /** Reject a batch that re-ingests ids already present in the store
+    * (append-only maintenance would double-count them). `sub` is the
+    * per-delta subdirectory holding one row per id (e.g. "doclen"). */
+  def rejectDuplicateIds(spark: SparkSession, candidates: Seq[String],
+                         sub: String, idCol: String, batch: DataFrame,
+                         what: String): Unit =
+    if (candidates.nonEmpty) {
+      val existing = spark.read.parquet(candidates.map(d => s"$d/$sub"): _*)
+        .select(col(idCol))
+      val nDup = batch.select(idCol).join(existing, Seq(idCol), "left_semi").count()
+      require(nDup == 0,
+        s"update batch re-ingests $nDup existing ${idCol}s; append-only $what " +
+          "maintenance would double-count them — upsert or rebuild instead")
+    }
+
+  /** Stage-and-commit: clear orphaned staging dirs (single-writer
+    * contract), run `stage` against the staging path, optionally write
+    * the range sidecar, then commit with one rename. The caller has
+    * already handled the replayed-tag case via [[isCommitted]]. */
+  def commit(spark: SparkSession, path: String, tag: String,
+             range: Option[(Long, Long)])(stage: String => Unit): Unit = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.getPath.getName.startsWith(".staging-"))
+        .foreach(s => fs.delete(s.getPath, true))
+    val staging = new Path(s"$path/.staging-$tag")
+    stage(staging.toString)
+    range.foreach { case (lo, hi) => writeRange(fs, staging, lo, hi) }
+    if (!fs.rename(staging, new Path(s"$path/delta-$tag")))
+      throw new java.io.IOException(s"commit failed for $path/delta-$tag")
+  }
+}

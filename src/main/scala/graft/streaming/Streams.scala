@@ -251,6 +251,24 @@ object Streams {
       }
       .start()
 
+  /** Streaming ANN-index maintenance — the vector-side sibling of
+    * [[indexIngest]]: each micro-batch of (vec_id, embedding) rows is
+    * committed to the staged ANN store as one atomic delta, tagged by
+    * batch id so checkpoint replays are exactly-once. Sound for LSH
+    * because bucket ids come from literal hyperplanes (no trained
+    * state to drift); after the stream drains, a staged search equals
+    * the live search over everything ingested. */
+  def annIndexIngest(spark: SparkSession, vectors: DataFrame, indexPath: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.AnnIndex.update(batch.toDF(), indexPath, f"batch-$batchId%05d")
+      }
+      .start()
+
   /** Streaming word count over a socket text source — the engine's
     * literal SocketWindowWordCount (reference backup/
     * SocketWindowWordCount.java): lines → tokenize → running counts in

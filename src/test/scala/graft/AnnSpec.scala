@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Ann
@@ -95,6 +96,55 @@ class AnnSpec extends AnyFunSuite {
       val fromBatch = batch.filter(_._1 == q).sortBy(_._4).map(r => (r._2, r._3)).toList
       assert(fromBatch == single, s"query $q: batch != single")
     }
+  }
+
+  test("incremental ANN index: build+update equals live LSH on the union; replay and dup-id guards hold") {
+    val idx = java.nio.file.Files.createTempDirectory("annidxinc").toString + "/index"
+    val a = emb.filter(col("vec_id") % 5 =!= 0)
+    val b = emb.filter(col("vec_id") % 5 === 0)
+    graft.operators.AnnIndex.build(a, idx)
+    graft.operators.AnnIndex.update(b, idx, "00001")
+    val staged = graft.operators.AnnIndex.searchTopK(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val live = Ann.lshTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(staged == live, "staged incremental search != live LSH on the union")
+    // replaying the same tag is a no-op, not a duplicate ingest
+    graft.operators.AnnIndex.update(b, idx, "00001")
+    assert(graft.operators.AnnIndex.searchTopK(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList == live)
+    // re-ingesting existing ids under a NEW tag is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AnnIndex.update(b, idx, "00002")
+    }
+    assert(e.getMessage.contains("re-ingests"), e.getMessage)
+    // ingesting with different hyperplane params is rejected loudly
+    // (incompatible bucket space would silently corrupt searches)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.AnnIndex.update(
+        b.withColumn("vec_id", col("vec_id") + 1000000L), idx, "00003",
+        numTables = 4, bitsPerTable = 4)
+    }
+    assert(e2.getMessage.contains("LSH params"), e2.getMessage)
+  }
+
+  test("streaming ANN ingest: micro-batched deltas converge to the full build") {
+    val tmp = java.nio.file.Files.createTempDirectory("annstream").toString
+    val idx = s"$tmp/index"
+    val src = s"$tmp/src"
+    // stage the vectors as 3 files -> 3 micro-batches
+    emb.repartitionByRange(3, col("vec_id")).write.parquet(src)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val sq = graft.streaming.Streams.annIndexIngest(spark, stream, idx, s"$tmp/ckpt")
+    try sq.processAllAvailable() finally sq.stop()
+    assert(graft.sources.DeltaStore.committedDeltas(spark, idx).size >= 2,
+      "expected multiple micro-batch deltas")
+    val staged = graft.operators.AnnIndex.searchTopK(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val live = Ann.lshTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(staged == live, "streamed ANN index != live LSH after drain")
   }
 
   test("ann stream: streamed micro-batches reproduce the one-plan batch rows") {
