@@ -128,6 +128,25 @@ class AnnSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("LSH params"), e2.getMessage)
   }
 
+  test("ANN compaction folds deltas to one with identical search results") {
+    val idx = java.nio.file.Files.createTempDirectory("anncompact").toString + "/index"
+    graft.operators.AnnIndex.build(emb.filter(col("vec_id") % 3 === 0), idx)
+    graft.operators.AnnIndex.update(emb.filter(col("vec_id") % 3 === 1), idx, "00001")
+    graft.operators.AnnIndex.update(emb.filter(col("vec_id") % 3 === 2), idx, "00002")
+    val before = graft.operators.AnnIndex.searchTopK(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    graft.operators.AnnIndex.compactDeltas(spark, idx)
+    assert(graft.sources.DeltaStore.committedDeltas(spark, idx).size == 1)
+    val after = graft.operators.AnnIndex.searchTopK(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(after == before, "compaction changed search results")
+    // compacted store still accepts (and range-guards) new ingest
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AnnIndex.update(emb.limit(5), idx, "00003")
+    }
+    assert(e.getMessage.contains("re-ingests"))
+  }
+
   test("streaming ANN ingest: micro-batched deltas converge to the full build") {
     val tmp = java.nio.file.Files.createTempDirectory("annstream").toString
     val idx = s"$tmp/index"

@@ -200,4 +200,39 @@ class PlanSpec extends AnyFunSuite {
     assert(bIdx >= 0 && p.indexOf("% 10) = 0", bIdx) >= 0,
       s"test split should be the broadcast build side:\n$p")
   }
+
+  test("boolean search: term prune reaches the tokenize stage, one doc_id aggregation tree") {
+    val p = planString(graft.operators.SearchExtras.booleanSearch(Tables.documents(spark, sf)))
+    // the isin prune must sit directly on the exploded terms (one scan)
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"boolean search must be a single corpus pass, got $scans")
+    assert(p.contains("term#") && p.contains("IN (spark,query,join,merge,slow)"),
+      s"query-term prune not applied before aggregation:\n$p")
+  }
+
+  test("hamming ANN: exactly 2 corpus-sized scans (signatures + rerank), candidates TakeOrdered") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = planString(graft.operators.Ann.hammingTopK(emb))
+    // corpus-sized scans exclude the pushed-down single-row query lookups
+    val corpusScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("embeddings") && l.contains("Not(EqualTo(vec_id,0))"))
+    assert(corpusScans == 2, s"expected 2 corpus-sized scans, got $corpusScans:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=100"),
+      s"candidate selection should be a bounded TakeOrdered:\n$p")
+  }
+
+  test("seq chunks: zero exchanges (pure map+explode)") {
+    val df = graft.operators.TextAnalysis.seqChunks(Tables.documents(spark, sf))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("spell correct: the vocabulary joins the broadcast query list, corpus scanned once") {
+    val p = planString(graft.operators.SearchExtras.spellCorrect(Tables.documents(spark, sf)))
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"spell correction must scan the corpus once, got $scans")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query list should broadcast against the vocabulary:\n$p")
+  }
 }
