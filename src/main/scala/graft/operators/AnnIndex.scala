@@ -87,23 +87,16 @@ object AnnIndex {
 
   /** Fold all committed deltas into ONE delta (small-files
     * maintenance, same single-writer window as
-    * [[Bm25Index.compactDeltas]]). Buckets are re-clustered on
+    * [[Bm25Index.compactDeltas]]; crash-atomic via [[DeltaStore
+    * .compact]]'s supersedes sidecar). Buckets are re-clustered on
     * (t, bucket) across the merged store so query pruning recovers
-    * its row-group locality after many small ingests. */
+    * its row-group locality after many small ingests; the lsh.params
+    * sidecar carries through. */
   def compactDeltas(spark: SparkSession, path: String): Unit = {
-    val deltas = DeltaStore.committedDeltas(spark, path)
-    if (deltas.size <= 1) return
     val fs = DeltaStore.fsOf(spark, path)
-    val tag = "compact-" + java.util.UUID.randomUUID().toString
-    val params = deltas.flatMap(d => readParams(fs, d)).distinct
-    require(params.size <= 1, s"deltas disagree on LSH params: $params")
-    val ranges = deltas.map(d => DeltaStore.readRange(fs, d))
-    val merged =
-      if (ranges.forall(_.isDefined)) {
-        val rs = ranges.flatten
-        Some((rs.map(_._1).min, rs.map(_._2).max))
-      } else None
-    DeltaStore.commit(spark, path, tag, merged) { staging =>
+    DeltaStore.compact(spark, path) { (deltas, staging) =>
+      val params = deltas.flatMap(d => readParams(fs, d)).distinct
+      require(params.size <= 1, s"deltas disagree on LSH params: $params")
       spark.read.parquet(deltas.map(d => s"$d/vectors"): _*)
         .write.parquet(s"$staging/vectors")
       spark.read.parquet(deltas.map(d => s"$d/buckets"): _*)
@@ -115,7 +108,6 @@ object AnnIndex {
         try out.write(ps.getBytes("UTF-8")) finally out.close()
       }
     }
-    deltas.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
   private def readParams(fs: org.apache.hadoop.fs.FileSystem,

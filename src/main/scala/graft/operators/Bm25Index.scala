@@ -90,29 +90,14 @@ object Bm25Index {
     * a single-writer maintenance window (no concurrent update/score —
     * the brief gap between committing the merged delta and removing
     * the old ones would double-count for a concurrent reader). */
-  def compactDeltas(spark: SparkSession, path: String): Unit = {
-    val deltas = committedDeltas(spark, path)
-    if (deltas.size <= 1) return
-    val fs = DeltaStore.fsOf(spark, path)
-    val tag = "compact-" + java.util.UUID.randomUUID().toString
-    // merged range = union of the input ranges; if ANY input predates
-    // range sidecars its span is unknown → omit (never-pruned) rather
-    // than write a wrong one
-    val ranges = deltas.map(d => DeltaStore.readRange(fs, d))
-    val merged =
-      if (ranges.forall(_.isDefined)) {
-        val rs = ranges.flatten
-        Some((rs.map(_._1).min, rs.map(_._2).max))
-      } else None
-    DeltaStore.commit(spark, path, tag, merged) { staging =>
+  def compactDeltas(spark: SparkSession, path: String): Unit =
+    DeltaStore.compact(spark, path) { (deltas, staging) =>
       spark.read.parquet(deltas.map(d => s"$d/postings"): _*)
         .repartition(col("term")).sortWithinPartitions("term", "doc_id")
         .write.parquet(s"$staging/postings")
       spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
         .write.parquet(s"$staging/doclen")
     }
-    deltas.foreach(d => fs.delete(new Path(d), true))
-  }
 
   /** Okapi BM25 over the staged index — matches Bm25.bm25Score on the
     * same corpus exactly (same formula, rounding, tie-breaks). */

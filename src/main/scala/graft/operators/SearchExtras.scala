@@ -146,16 +146,19 @@ object SearchExtras {
                     must: Seq[String] = Seq("spark", "query"),
                     any: Seq[String] = Seq("join", "merge"),
                     none: Seq[String] = Seq("slow")): DataFrame = {
-    require(must.nonEmpty, "boolean search needs at least one must-term")
-    val all = must ++ any ++ none
+    // dedupe: n_must counts DISTINCT matched terms, so a duplicated
+    // must-term would make the must.size comparison unsatisfiable
+    val (m, a, n) = (must.distinct, any.distinct, none.distinct)
+    require(m.nonEmpty, "boolean search needs at least one must-term")
+    val all = m ++ a ++ n
     Bm25.tokenize(docs).filter(col("term").isin(all: _*))
       .groupBy("doc_id")
       .agg(
-        countDistinct(when(col("term").isin(must: _*), col("term"))).as("n_must"),
-        max(when(col("term").isin(any: _*), 1L).otherwise(0L)).as("has_any"),
-        max(when(col("term").isin(none: _*), 1L).otherwise(0L)).as("has_none"))
-      .filter(col("n_must") === must.size &&
-        (if (any.isEmpty) lit(true) else col("has_any") === 1L) &&
+        countDistinct(when(col("term").isin(m: _*), col("term"))).as("n_must"),
+        max(when(col("term").isin(a: _*), 1L).otherwise(0L)).as("has_any"),
+        max(when(col("term").isin(n: _*), 1L).otherwise(0L)).as("has_none"))
+      .filter(col("n_must") === m.size &&
+        (if (a.isEmpty) lit(true) else col("has_any") === 1L) &&
         col("has_none") === 0L)
       .select("doc_id")
   }

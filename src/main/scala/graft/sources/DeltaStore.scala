@@ -28,9 +28,27 @@ object DeltaStore {
     val fs = fsOf(spark, path)
     val p = new Path(path)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta-"))
-      .map(_.getPath.toString)
+    else {
+      val all = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta-"))
+        .map(_.getPath.toString)
+      // a committed compaction lists the deltas it folded in a
+      // `supersedes.list` sidecar; those inputs are INVISIBLE from the
+      // moment the compact delta commits, so the swap is atomic for
+      // readers even if the writer crashes before deleting them
+      val superseded = all.flatMap(d => readSupersedes(fs, d)).toSet
+      all.filterNot(d => superseded.contains(new Path(d).getName))
+    }
+  }
+
+  private def readSupersedes(fs: FileSystem, delta: String): Seq[String] = {
+    val p = new Path(delta, "supersedes.list")
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+      finally in.close()
+    }
   }
 
   def isCommitted(spark: SparkSession, path: String, tag: String): Boolean =
@@ -106,21 +124,63 @@ object DeltaStore {
           "maintenance would double-count them — upsert or rebuild instead")
     }
 
-  /** Stage-and-commit: clear orphaned staging dirs (single-writer
-    * contract), run `stage` against the staging path, optionally write
-    * the range sidecar, then commit with one rename. The caller has
-    * already handled the replayed-tag case via [[isCommitted]]. */
+  /** Stage-and-commit: clear orphaned staging dirs AND any superseded
+    * delta dirs a crashed compaction left behind (single-writer
+    * contract — readers never mutate), run `stage` against the staging
+    * path, optionally write the range / supersedes sidecars, then
+    * commit with one rename. The caller has already handled the
+    * replayed-tag case via [[isCommitted]]. */
   def commit(spark: SparkSession, path: String, tag: String,
-             range: Option[(Long, Long)])(stage: String => Unit): Unit = {
+             range: Option[(Long, Long)], supersedes: Seq[String] = Nil)
+            (stage: String => Unit): Unit = {
     val fs = fsOf(spark, path)
     val root = new Path(path)
-    if (fs.exists(root))
+    if (fs.exists(root)) {
       fs.listStatus(root).filter(_.getPath.getName.startsWith(".staging-"))
         .foreach(s => fs.delete(s.getPath, true))
+      val all = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("delta-")).toSeq
+      val stale = all.flatMap(d => readSupersedes(fs, s"$path/$d")).toSet
+      all.filter(stale.contains).foreach(d => fs.delete(new Path(s"$path/$d"), true))
+    }
     val staging = new Path(s"$path/.staging-$tag")
     stage(staging.toString)
     range.foreach { case (lo, hi) => writeRange(fs, staging, lo, hi) }
+    if (supersedes.nonEmpty) {
+      val out = fs.create(new Path(staging, "supersedes.list"), true)
+      try out.write(supersedes.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     if (!fs.rename(staging, new Path(s"$path/delta-$tag")))
       throw new java.io.IOException(s"commit failed for $path/delta-$tag")
+  }
+
+  /** Compact all committed deltas into ONE: `restage` rewrites the
+    * merged store content under the staging path; the commit carries
+    * a `supersedes.list` naming the inputs, so from the commit instant
+    * readers see ONLY the compacted delta — the subsequent input
+    * deletion is pure housekeeping and a crash anywhere in between
+    * never double-counts (stale dirs are invisible and swept by the
+    * next writer). Merged id range = union of the input ranges; if
+    * ANY input predates range sidecars its span is unknown → omitted
+    * (never-pruned) rather than wrong. Requires the store's
+    * single-writer maintenance window. */
+  def compact(spark: SparkSession, path: String)
+             (restage: (Seq[String], String) => Unit): Unit = {
+    val deltas = committedDeltas(spark, path)
+    if (deltas.size <= 1) return
+    val fs = fsOf(spark, path)
+    val tag = "compact-" + java.util.UUID.randomUUID().toString
+    val ranges = deltas.map(d => readRange(fs, d))
+    val merged =
+      if (ranges.forall(_.isDefined)) {
+        val rs = ranges.flatten
+        Some((rs.map(_._1).min, rs.map(_._2).max))
+      } else None
+    commit(spark, path, tag, merged,
+      supersedes = deltas.map(d => new Path(d).getName)) { staging =>
+      restage(deltas, staging)
+    }
+    deltas.foreach(d => fs.delete(new Path(d), true))
   }
 }

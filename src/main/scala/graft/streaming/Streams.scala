@@ -333,42 +333,54 @@ object Streams {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val qs = reader.parquet(queriesDir)
-    // results land in a per-batch parquet sink, NOT a driver buffer:
-    // each micro-batch overwrites its own batch-<id> dir, so a retried
-    // batch (foreachBatch is at-least-once) replaces rather than
-    // appends — idempotent — and driver memory stays O(1) however
-    // large the query stream is. The checkpoint makes batch ids stable
-    // across restarts of the same stream. The sink path is FIXED per
-    // (queries, index) pair and cleared on entry, so repeated serving
-    // runs reuse one directory instead of leaking a tempdir per call
-    // (the previous run's lazily-read DataFrame is dead by then —
-    // single-writer serving contract, same as the index store's).
+    // sink path FIXED per (queries, index) pair and cleared on entry,
+    // so repeated serving runs reuse one directory instead of leaking
+    // a tempdir per call (the previous run's lazily-read DataFrame is
+    // dead by then — single-writer serving contract, like the store's)
     val tag = (queriesDir + "|" + indexPath).replaceAll("[^a-zA-Z0-9]", "_")
     val outRoot = sys.props("java.io.tmpdir") + s"/graft_search_stream_$tag"
+    serveStream(spark, qs, outRoot, onBatch) { batch =>
+      graft.operators.Bm25Index.batchSearch(spark, indexPath, batch, k)
+    }
+  }
+
+  /** The drain-and-serve skeleton shared by [[searchStream]] and
+    * [[annStream]]: run the query stream to completion, scoring each
+    * micro-batch with `score` into a per-batch parquet sink, and
+    * return everything served.
+    *
+    * Results land in per-batch dirs, NOT a driver buffer: each
+    * micro-batch OVERWRITES its own batch-<id> dir, so a retried batch
+    * (foreachBatch is at-least-once) replaces rather than appends —
+    * idempotent — and driver memory stays O(1) however large the query
+    * stream is. The checkpoint (under outRoot, which the caller owns
+    * and clears) makes batch ids stable across restarts of the same
+    * stream. No shuffle-partitions pin here: the scoring plans are
+    * built inside foreachBatch on the OUTER session per micro-batch,
+    * so a pin around start() would not reach them (and racily mutating
+    * shared session conf from the stream thread is worse than the
+    * session's own partition setting). The final read is a GLOB, not a
+    * driver-local directory listing — it resolves on whatever
+    * filesystem outRoot lives on (basePath keeps the batch-N dirs from
+    * being treated as partition columns). */
+  private def serveStream(spark: SparkSession, queries: DataFrame, outRoot: String,
+                          onBatch: Long => Unit = _ => ())
+                         (score: DataFrame => DataFrame): DataFrame = {
     deleteRecursive(spark, outRoot)
     @volatile var sawBatch = false
-    // no shuffle-partitions pin here: the scoring plans are built
-    // inside foreachBatch on the OUTER session per micro-batch, so a
-    // pin around start() would not reach them (and racily mutating
-    // shared session conf from the stream thread is worse than the
-    // session's own partition setting)
     val sq =
-      qs.writeStream.outputMode(OutputMode.Append())
+      queries.writeStream.outputMode(OutputMode.Append())
         .option("checkpointLocation", s"$outRoot/_checkpoint")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           onBatch(batchId)
           sawBatch = true
-          graft.operators.Bm25Index.batchSearch(spark, indexPath, batch, k)
-            .write.mode("overwrite").parquet(s"$outRoot/batch-$batchId")
+          score(batch.toDF()).write.mode("overwrite").parquet(s"$outRoot/batch-$batchId")
           ()
         }
         .start()
     try sq.processAllAvailable()
     finally sq.stop()
-    require(sawBatch, s"query stream at $queriesDir produced no micro-batches")
-    // glob read instead of a driver-local directory listing: resolves
-    // on whatever filesystem outRoot lives on (basePath keeps the
-    // batch-N dirs from being treated as partition columns)
+    require(sawBatch, s"query stream produced no micro-batches (sink $outRoot)")
     spark.read.option("basePath", outRoot).parquet(s"$outRoot/batch-*")
   }
 
@@ -388,7 +400,7 @@ object Streams {
     val tmp = sys.props("java.io.tmpdir")
     val src = s"$tmp/graft_ann_stream_src_$tag"
     val outRoot = s"$tmp/graft_ann_stream_out_$tag"
-    Seq(src, outRoot).foreach(p => deleteRecursive(spark, p))
+    deleteRecursive(spark, src)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -397,20 +409,8 @@ object Streams {
       .write.mode("overwrite").parquet(src)
     val qs = spark.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
-    @volatile var batches = 0
-    val sq = qs.writeStream.outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"$outRoot/_checkpoint")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batches += 1
-        graft.operators.Ann.batchTopKFrom(emb, batch, k)
-          .write.mode("overwrite").parquet(s"$outRoot/batch-$batchId")
-        ()
-      }
-      .start()
-    try sq.processAllAvailable()
-    finally sq.stop()
-    require(batches > 0, s"vector query stream at $src produced no micro-batches")
-    spark.read.option("basePath", outRoot).parquet(s"$outRoot/batch-*")
+    serveStream(spark, qs, outRoot)(batch =>
+      graft.operators.Ann.batchTopKFrom(emb, batch, k))
   }
 
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
