@@ -346,6 +346,14 @@ object SparkEntry {
     "q_stream_ann" -> ((s, dir) => graft.streaming.Streams.annStream(s, dir)),
     "q_seq_chunks" -> ((s, dir) => TextAnalysis.seqChunks(Tables.documents(s, dir))),
     "q_seq_pack" -> ((s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir))),
+    // hot-key salted equi-join: large side salted in [0,8), small side
+    // replicated per salt — identical rows to the plain inner join
+    // (shared oracle shape), no reducer ever owns a whole hot key
+    "q_salted_join" -> ((s, dir) => graft.operators.Skew.saltedJoin(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      Tables.customer(s, dir).select("c_custkey", "c_name"),
+      "o_custkey", "c_custkey", salts = 8)
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))),
     // staged ANN store maintained incrementally (build 4/5 + ingest
     // 1/5, same DeltaStore protocol as q_index_incremental); search
     // equals the live LSH over the union — rows-only key (LSH recall
@@ -1957,6 +1965,10 @@ object SparkEntry {
         |       len(words[(chunk_id * 16 + 1):(chunk_id * 16 + 16)])::BIGINT AS n_tokens,
         |       md5(array_to_string(words[(chunk_id * 16 + 1):(chunk_id * 16 + 16)], ' ')) AS chunk_md5
         |FROM c""".stripMargin,
+    // the salted join is row-identical to the plain inner join
+    "q_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     // greedy per-source packing replayed as a recursive CTE: one row
     // per recursion step carries (bin, fill) state down the doc_id
     // order — the sequential fold the Spark side streams per group
