@@ -1858,7 +1858,7 @@ object SparkEntry {
     // strpos/least-skips-nulls/substr semantics match Spark's
     "q_snippets" -> {
       val posList = Bm25.QueryTerms
-        .map(t => s"nullif(strpos(lower(text), '$t'), 0)").mkString(",\n         |       ")
+        .map(t => s"nullif(strpos(lower(text), '${t.toLowerCase}'), 0)").mkString(",\n         |       ")
       s"""WITH m AS (SELECT doc_id, text,
          |  least($posList) AS p
          |  FROM documents)

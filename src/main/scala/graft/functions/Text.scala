@@ -41,4 +41,13 @@ object Text {
   /** Keep predicate applied to each token (stopword + min length). */
   def keepToken(term: Column): Column =
     length(term) >= MinTokenLength && !term.isin(Stopwords: _*)
+
+  /** Driver-side twin of [[keepToken]] over a LITERAL query term: can
+    * the tokenizer ever produce `t`? (Stopword / too short / not
+    * lowercase / multi-token terms never match, and a query built on
+    * one would return empty indistinguishably from "absent" — callers
+    * reject such terms loudly.) */
+  def producibleToken(t: String): Boolean =
+    t.length >= MinTokenLength && !Stopwords.contains(t) &&
+      t == t.toLowerCase && !t.contains(" ")
 }

@@ -60,9 +60,7 @@ object Positional {
     // not lowercase, contains a space) has NO positions — the phrase
     // could never match and an empty result would be indistinguishable
     // from "phrase absent", so reject loudly instead
-    val dropped = phrase.filterNot(t =>
-      t.length >= Text.MinTokenLength && !Text.Stopwords.contains(t) &&
-        t == t.toLowerCase && !t.contains(" "))
+    val dropped = phrase.filterNot(Text.producibleToken)
     require(dropped.isEmpty,
       s"phrase terms ${dropped.mkString("'", "', '", "'")} can never match: " +
         "stopword/min-length filtered, non-lowercase, or not a single token")

@@ -33,8 +33,18 @@ object SearchExtras {
     * association mirrors the oracle's textual form. */
   def lmDirichletScore(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
                        mu: Double = 2000.0): DataFrame = {
-    val nq = queryTerms.size.toDouble
-    val tfq = Bm25.tf(docs).filter(col("term").isin(queryTerms: _*))
+    // the decomposition requires the matched-term sum and the |q|
+    // penalty to range over the SAME term set: tf rows are per
+    // DISTINCT term, so q must be deduped, and a term the tokenizer
+    // can never produce would inflate only the penalty — reject it
+    // loudly (same contract as phrase/boolean search)
+    val terms = queryTerms.distinct
+    val dropped = terms.filterNot(graft.functions.Text.producibleToken)
+    require(dropped.isEmpty,
+      s"query terms ${dropped.mkString("'", "', '", "'")} can never match: " +
+        "stopword/min-length filtered, non-lowercase, or not a single token")
+    val nq = terms.size.toDouble
+    val tfq = Bm25.tf(docs).filter(col("term").isin(terms: _*))
     val dl = Bm25.docLengths(docs.filter(col("doc_id").isNotNull))
     val tot = dl.agg(sum(col("dl")).cast("double").as("total_tokens"))
     tfq
@@ -54,11 +64,19 @@ object SearchExtras {
     * text around it. Pure map stage over the corpus (zero shuffles at
     * any scale); position arithmetic is identical in Spark and DuckDB
     * (both `locate`/`strpos` return 0 on miss → nullif, both `least`
-    * skip NULLs, both substring by character). */
+    * skip NULLs, both substring by character). Terms are lowercased to
+    * match the lowercased haystack (a mixed-case term would otherwise
+    * never hit). Positions are computed on lower(text) and applied to
+    * the original — exact whenever lowercasing is length-preserving,
+    * which holds for ASCII and every common script (the İ/ẞ class of
+    * length-changing mappings would shift the window by their delta). */
   def snippets(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
                before: Int = 30, width: Int = 80): DataFrame = {
-    val firstPos = least(queryTerms.map(t =>
-      nullif(locate(t, lower(col("text"))), lit(0))): _*)
+    require(queryTerms.nonEmpty, "snippets needs at least one query term")
+    val hits = queryTerms.map(t =>
+      nullif(locate(t.toLowerCase, lower(col("text"))), lit(0)))
+    // least() requires arity > 1; a single-term query is its own min
+    val firstPos = if (hits.size == 1) hits.head else least(hits: _*)
     docs.select(col("doc_id"), col("text"), firstPos.as("p"))
       .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p").cast("long").as("pos"),
@@ -150,6 +168,13 @@ object SearchExtras {
     // must-term would make the must.size comparison unsatisfiable
     val (m, a, n) = (must.distinct, any.distinct, none.distinct)
     require(m.nonEmpty, "boolean search needs at least one must-term")
+    // a term the tokenizer can never produce makes must/any silently
+    // unsatisfiable and none silently vacuous — reject loudly (same
+    // contract as phrase search)
+    val dropped = (m ++ a ++ n).filterNot(graft.functions.Text.producibleToken)
+    require(dropped.isEmpty,
+      s"boolean terms ${dropped.mkString("'", "', '", "'")} can never match: " +
+        "stopword/min-length filtered, non-lowercase, or not a single token")
     val all = m ++ a ++ n
     Bm25.tokenize(docs).filter(col("term").isin(all: _*))
       .groupBy("doc_id")
@@ -178,7 +203,10 @@ object SearchExtras {
                    maxDist: Int = 2, k: Int = 3): DataFrame = {
     val vocab = Bm25.tokenize(docs).groupBy("term").agg(count(lit(1)).as("n"))
     val spark = docs.sparkSession
-    val q = spark.createDataFrame(queries.map(Tuple1(_))).toDF("q")
+    // the vocabulary is all-lowercase (rawTokens lowercases), so a
+    // capitalized typo would pay a spurious case-substitution edit —
+    // normalize queries to the vocabulary's case before the join
+    val q = spark.createDataFrame(queries.map(_.toLowerCase).distinct.map(Tuple1(_))).toDF("q")
     val w = Window.partitionBy("q")
       .orderBy(col("dist").asc, col("n").desc, col("suggestion").asc)
     vocab.crossJoin(broadcast(q))

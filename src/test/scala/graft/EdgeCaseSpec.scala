@@ -190,6 +190,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SearchExtras.booleanSearch(junk, must = Nil)
     }
+    // never-producible terms (stopword / uppercase / too short) are
+    // rejected loudly, not silently unsatisfiable — in every slot
+    intercept[IllegalArgumentException] {
+      SearchExtras.booleanSearch(junk, must = Seq("the", "meaningful"))
+    }
+    intercept[IllegalArgumentException] {
+      SearchExtras.booleanSearch(junk, must = Seq("meaningful"), none = Seq("Spark"))
+    }
+    intercept[IllegalArgumentException] {
+      SearchExtras.lmDirichletScore(junk, Seq("meaningful", "a"))
+    }
+    // duplicated LM query terms collapse (matched sum and |q| penalty
+    // must range over the same set)
+    val lmOnce = SearchExtras.lmDirichletScore(junk, Seq("meaningful")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lmDup = SearchExtras.lmDirichletScore(junk, Seq("meaningful", "meaningful"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lmDup == lmOnce, "duplicated query term changed LM-Dirichlet scores")
+    // mixed-case inputs hit the lowercase corpus/vocabulary
+    assert(SearchExtras.snippets(junk, Seq("MEANINGFUL")).count() == 1)
+    val sc = SearchExtras.spellCorrect(junk, Seq("Meaningfull"), maxDist = 2, k = 1)
+      .collect()
+    assert(sc.length == 1 && sc.head.getString(1) == "meaningful" && sc.head.getLong(2) == 1L,
+      s"capitalized typo mis-ranked: ${sc.toList}")
     // single-token and empty-text docs chunk to exactly one window
     val ch = TextAnalysis.seqChunks(junk).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
