@@ -38,24 +38,51 @@ object Streams {
     ()
   }
 
+  /** Collision-free directory tag for a raw identifier: the lossy
+    * `replaceAll("[^a-zA-Z0-9]", "_")` form mapped distinct pairs like
+    * `idx.v1`/`idx_v1` to one tempdir, letting one serving run delete
+    * another's sink — an md5 of the RAW string cannot collide that
+    * way. */
+  private def pathTag(raw: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Serializes the shuffle-partition pin below: two concurrent
+    * drains could otherwise interleave set/restore and leave the
+    * session pinned at 8 (the restore would capture the OTHER call's
+    * pin as "previous"). */
+  private val drainLock = new Object
+
   /** Run `query` (a streaming DataFrame) to a memory sink until the
-    * source is drained; return the sink contents as a batch frame. */
+    * source is drained; return the sink contents as a batch frame.
+    * The memory sink holds the full result on the driver, so it is
+    * materialized and DROPPED before returning — otherwise every
+    * drained stream would pin its result in the session catalog for
+    * the session's lifetime. Results here are aggregates/alerts
+    * (bounded), never a corpus. */
   private def drainToMemory(spark: SparkSession, query: DataFrame,
                             mode: OutputMode): DataFrame = {
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
     // stateful operators keep one state store per shuffle partition per
     // batch; a drained local stream doesn't need the batch session's
     // partition count, so pin a small one while the plan is resolved
-    // (pinned into the query at start()) and restore right after
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val sq =
+    // (pinned into the query at start()) and restore right after.
+    // Other threads planning on the same session during this window
+    // would see the pin — the documented single-driver-thread contract
+    // of these drain-style entry points.
+    val sq = drainLock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         query.writeStream.format("memory").queryName(name).outputMode(mode).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     try sq.processAllAvailable()
     finally sq.stop()
-    spark.table(name)
+    val rows = spark.table(name).collect().toSeq
+    val schema = spark.table(name).schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Events as a file-source stream with an event-time column.
@@ -87,7 +114,11 @@ object Streams {
     * document stream (streaming agg in complete mode = the ref's
     * union/reduce running state), idf finished against the final doc
     * count. One streaming aggregation keyed by term — the same single
-    * shuffle as the batch plan. */
+    * shuffle as the batch plan. PRECONDITION: one row per doc_id
+    * (df counts rows holding a term, the batch oracle counts DISTINCT
+    * docs — they agree only on a doc_id-unique corpus; the staged
+    * -index ingest path enforces this, Bm25Index.update rejects
+    * re-ingested ids). */
   def runningIdf(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val docs = spark.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
@@ -214,8 +245,17 @@ object Streams {
        state: GroupState[(Long, Long)]) =>
         var (n, s) = state.getOption.getOrElse((0L, 0L))
         val out = Seq.newBuilder[(Long, Long, Long, Long)]
-        rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eventId, ts, v) =>
-          if (n > 0L && v * n > 3L * s) out += ((user, eventId, ts / 1000000L, v))
+        // the in-batch (ts, event_id) sort buffers THIS USER'S rows of
+        // THIS MICRO-BATCH (cross-batch state stays two longs) — the
+        // per-key-per-batch volume is the real bound, kept honest by
+        // micro-batch sizing at scale
+        // multiplyExact: v*n and 3*s on a pathological history would
+        // wrap silently in Java; the DuckDB oracle ERRORS on BIGINT
+        // overflow, so fail the same way instead of diverging
+        rows.toArray.sortBy(r => (r._3, r._2)).foreach { case (_, eventId, ts, v) =>
+          if (n > 0L && java.lang.Math.multiplyExact(v, n) >
+                java.lang.Math.multiplyExact(3L, s))
+            out += ((user, eventId, ts / 1000000L, v))
           n += 1L
           s += v
         }
@@ -337,7 +377,7 @@ object Streams {
     // so repeated serving runs reuse one directory instead of leaking
     // a tempdir per call (the previous run's lazily-read DataFrame is
     // dead by then — single-writer serving contract, like the store's)
-    val tag = (queriesDir + "|" + indexPath).replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = pathTag(queriesDir + "|" + indexPath)
     val outRoot = sys.props("java.io.tmpdir") + s"/graft_search_stream_$tag"
     serveStream(spark, qs, outRoot, onBatch) { batch =>
       graft.operators.Bm25Index.batchSearch(spark, indexPath, batch, k)
@@ -396,7 +436,7 @@ object Streams {
     * (shared oracle). */
   def annStream(spark: SparkSession, dir: String,
                 queryIds: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 10): DataFrame = {
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = pathTag(dir + "|" + queryIds.mkString(","))
     val tmp = sys.props("java.io.tmpdir")
     val src = s"$tmp/graft_ann_stream_src_$tag"
     val outRoot = s"$tmp/graft_ann_stream_out_$tag"
@@ -404,9 +444,16 @@ object Streams {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding"))
-    // one file per query id → maxFilesPerTrigger=1 proves multi-batch
-    queries.repartitionByRange(queryIds.size, col("query_id"))
+    // one file per query id → maxFilesPerTrigger=1 proves multi-batch.
+    // Written id-by-id: a sampled range partitioner (or a hash
+    // repartition) can co-locate ids / leave empty partitions, which
+    // would silently collapse the multi-batch demonstration
+    queries.filter(col("query_id") === queryIds.head).coalesce(1)
       .write.mode("overwrite").parquet(src)
+    queryIds.drop(1).foreach { id =>
+      queries.filter(col("query_id") === id).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
     val qs = spark.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     serveStream(spark, qs, outRoot)(batch =>
@@ -429,7 +476,7 @@ object Streams {
     * partitioned upsert ([[graft.sources.Sinks
     * .upsertPartitionedParquet]]) is the 100 TB form. */
   def upsertStream(spark: SparkSession, dir: String, nBatches: Int = 4): DataFrame = {
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = pathTag(dir)
     val tmp = sys.props("java.io.tmpdir")
     val src = s"$tmp/graft_stream_upsert_src_$tag"
     val store = s"$tmp/graft_stream_upsert_store_$tag"
@@ -462,12 +509,9 @@ object Streams {
     * the semantically honest (and cheap: #windows × #kinds rows)
     * placement. */
   def windowedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val counts = eventStream(spark, dir)
-      .withWatermark("event_time", "1 hour")
-      .groupBy(window(col("event_time"), "1 hour").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val drained = drainToMemory(spark, counts, OutputMode.Complete())
-      .select(unix_millis(col("win.start")).as("win_start_ms"), col("event_type"), col("n"))
+    // the streaming stage IS windowedWordCount — one definition of the
+    // watermark/window/count; only the closed-window ranking is added
+    val drained = windowedWordCount(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("win_start_ms").orderBy(col("n").desc, col("event_type").asc)
     drained.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
