@@ -24,10 +24,16 @@ object DeltaStore {
   def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def committedDeltas(spark: SparkSession, path: String): Seq[String] = {
-    val fs = fsOf(spark, path)
+  /** Raw delta listing plus the superseded (stale) name subset — the
+    * ONE definition of visibility: readers hide what this says is
+    * stale, writers sweep exactly the same set. Only compaction
+    * writes `supersedes.list` and its tags always start with
+    * "compact-", so only `delta-compact-*` dirs are probed —
+    * visibility costs O(#compactions) sidecar reads, not O(#deltas)
+    * round-trips on an object store. */
+  private def deltaState(fs: FileSystem, path: String): (Seq[String], Set[String]) = {
     val p = new Path(path)
-    if (!fs.exists(p)) Seq.empty
+    if (!fs.exists(p)) (Seq.empty, Set.empty)
     else {
       val all = fs.listStatus(p).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("delta-"))
@@ -36,23 +42,51 @@ object DeltaStore {
       // `supersedes.list` sidecar; those inputs are INVISIBLE from the
       // moment the compact delta commits, so the swap is atomic for
       // readers even if the writer crashes before deleting them
-      val superseded = all.flatMap(d => readSupersedes(fs, d)).toSet
-      all.filterNot(d => superseded.contains(new Path(d).getName))
+      val stale = all
+        .filter(d => new Path(d).getName.startsWith("delta-compact-"))
+        .flatMap(d => readLines(fs, new Path(d, "supersedes.list"))).toSet
+      (all, stale)
     }
   }
 
-  private def readSupersedes(fs: FileSystem, delta: String): Seq[String] = {
-    val p = new Path(delta, "supersedes.list")
+  def committedDeltas(spark: SparkSession, path: String): Seq[String] = {
+    val (all, stale) = deltaState(fsOf(spark, path), path)
+    all.filterNot(d => stale.contains(new Path(d).getName))
+  }
+
+  /** Delete superseded delta dirs a crashed compaction left behind
+    * (invisible to readers, but they double the store's footprint). */
+  private def sweepStale(fs: FileSystem, path: String): Unit = {
+    val (all, stale) = deltaState(fs, path)
+    all.filter(d => stale.contains(new Path(d).getName))
+      .foreach(d => fs.delete(new Path(d), true))
+  }
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] =
     if (!fs.exists(p)) Seq.empty
     else {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
       finally in.close()
     }
-  }
 
-  def isCommitted(spark: SparkSession, path: String, tag: String): Boolean =
-    fsOf(spark, path).exists(new Path(s"$path/delta-$tag"))
+  /** Has `tag` ever been committed to this store? True when its delta
+    * dir exists OR when a compaction folded (and deleted) it — every
+    * compact delta carries the CUMULATIVE `tags.history` of everything
+    * it absorbed, so streaming checkpoint replays stay idempotent
+    * across compactions instead of crash-looping on the duplicate-id
+    * guard. */
+  def isCommitted(spark: SparkSession, path: String, tag: String): Boolean = {
+    val fs = fsOf(spark, path)
+    fs.exists(new Path(s"$path/delta-$tag")) || {
+      val (all, _) = deltaState(fs, path)
+      // stale compact deltas are included deliberately: their history
+      // is a subset of their successor's, and "was committed once" can
+      // never become false
+      all.filter(d => new Path(d).getName.startsWith("delta-compact-"))
+        .exists(d => readLines(fs, new Path(d, "tags.history")).contains(s"delta-$tag"))
+    }
+  }
 
   /** Reset the store (full rebuild entry point). */
   def reset(spark: SparkSession, path: String): Unit = {
@@ -80,23 +114,38 @@ object DeltaStore {
   /** One batch-scaled aggregation: (isEmpty, lo, hi) of `idCol`. A
     * non-integral id type (or an all-NULL id column) yields lo > hi —
     * the "no range" marker, which disables pruning but never the
-    * correctness checks that consume it. */
+    * correctness checks that consume it. The same pass also REJECTS a
+    * batch holding one id twice (NULL ids exempt — they carry no
+    * identity): the store-vs-batch duplicate check can't see
+    * within-batch copies, and committing them would double-count as
+    * silently as re-ingesting would. */
   def batchRange(batch: DataFrame, idCol: String): (Boolean, Long, Long) = {
     val rangeable = batch.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+    def requireUnique(nonNull: Long, distinct: Long): Unit =
+      require(nonNull == distinct,
+        s"batch holds ${nonNull - distinct} duplicated ${idCol}s within itself — " +
+          "committing would double-count them; dedupe the batch first")
     if (rangeable) {
       val Array(r) = batch
         .agg(count(lit(1)).as("n"),
+          count(col(idCol)).as("nn"), countDistinct(col(idCol)).as("nd"),
           min(col(idCol).cast("long")).as("lo"), max(col(idCol).cast("long")).as("hi"))
         .collect()
+      requireUnique(r.getLong(1), r.getLong(2))
       if (r.getLong(0) == 0L) (true, 0L, -1L)
-      else if (r.isNullAt(1) || r.isNullAt(2)) (false, 0L, -1L)
-      else (false, r.getLong(1), r.getLong(2))
+      else if (r.isNullAt(3) || r.isNullAt(4)) (false, 0L, -1L)
+      else (false, r.getLong(3), r.getLong(4))
     } else {
-      (batch.limit(1).count() == 0L, 0L, -1L)
+      val Array(r) = batch
+        .agg(count(lit(1)).as("n"),
+          count(col(idCol)).as("nn"), countDistinct(col(idCol)).as("nd"))
+        .collect()
+      requireUnique(r.getLong(1), r.getLong(2))
+      (r.getLong(0) == 0L, 0L, -1L)
     }
   }
 
@@ -131,26 +180,26 @@ object DeltaStore {
     * commit with one rename. The caller has already handled the
     * replayed-tag case via [[isCommitted]]. */
   def commit(spark: SparkSession, path: String, tag: String,
-             range: Option[(Long, Long)], supersedes: Seq[String] = Nil)
+             range: Option[(Long, Long)], supersedes: Seq[String] = Nil,
+             history: Seq[String] = Nil)
             (stage: String => Unit): Unit = {
     val fs = fsOf(spark, path)
     val root = new Path(path)
     if (fs.exists(root)) {
       fs.listStatus(root).filter(_.getPath.getName.startsWith(".staging-"))
         .foreach(s => fs.delete(s.getPath, true))
-      val all = fs.listStatus(root).map(_.getPath.getName)
-        .filter(_.startsWith("delta-")).toSeq
-      val stale = all.flatMap(d => readSupersedes(fs, s"$path/$d")).toSet
-      all.filter(stale.contains).foreach(d => fs.delete(new Path(s"$path/$d"), true))
+      sweepStale(fs, path)
     }
     val staging = new Path(s"$path/.staging-$tag")
     stage(staging.toString)
     range.foreach { case (lo, hi) => writeRange(fs, staging, lo, hi) }
-    if (supersedes.nonEmpty) {
-      val out = fs.create(new Path(staging, "supersedes.list"), true)
-      try out.write(supersedes.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def writeList(name: String, lines: Seq[String]): Unit = {
+      val out = fs.create(new Path(staging, name), true)
+      try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
     }
+    if (supersedes.nonEmpty) writeList("supersedes.list", supersedes)
+    if (history.nonEmpty) writeList("tags.history", history)
     if (!fs.rename(staging, new Path(s"$path/delta-$tag")))
       throw new java.io.IOException(s"commit failed for $path/delta-$tag")
   }
@@ -167,9 +216,12 @@ object DeltaStore {
     * single-writer maintenance window. */
   def compact(spark: SparkSession, path: String)
              (restage: (Seq[String], String) => Unit): Unit = {
+    val fs = fsOf(spark, path)
+    // sweep a crashed earlier compaction's leftovers FIRST: they are
+    // invisible below, so an early return must not strand them
+    sweepStale(fs, path)
     val deltas = committedDeltas(spark, path)
     if (deltas.size <= 1) return
-    val fs = fsOf(spark, path)
     val tag = "compact-" + java.util.UUID.randomUUID().toString
     val ranges = deltas.map(d => readRange(fs, d))
     val merged =
@@ -177,9 +229,14 @@ object DeltaStore {
         val rs = ranges.flatten
         Some((rs.map(_._1).min, rs.map(_._2).max))
       } else None
-    commit(spark, path, tag, merged,
-      supersedes = deltas.map(d => new Path(d).getName)) { staging =>
-      restage(deltas, staging)
+    val names = deltas.map(d => new Path(d).getName)
+    // cumulative tag history: the folded deltas' names plus everything
+    // THEY had already absorbed — keeps isCommitted true for every tag
+    // ever ingested, however many compactions later
+    val history = (names ++
+      deltas.flatMap(d => readLines(fs, new Path(d, "tags.history")))).distinct
+    commit(spark, path, tag, merged, supersedes = names, history = history) {
+      staging => restage(deltas, staging)
     }
     deltas.foreach(d => fs.delete(new Path(d), true))
   }

@@ -16,9 +16,12 @@ class DeltaStoreSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory("deltastore").toString + "/store"
 
   private def writeDelta(path: String, tag: String, ids: Seq[Long]): Unit = {
-    DeltaStore.commit(spark, path, tag,
-      Some((ids.min, ids.max))) { staging =>
-      ids.toDF("id").write.parquet(s"$staging/rows")
+    val df = ids.toDF("id")
+    // route through batchRange exactly like the index update paths do
+    // (it carries the intra-batch duplicate check)
+    val (_, lo, hi) = DeltaStore.batchRange(df, "id")
+    DeltaStore.commit(spark, path, tag, Some((lo, hi))) { staging =>
+      df.write.parquet(s"$staging/rows")
     }
   }
 
@@ -69,6 +72,51 @@ class DeltaStoreSpec extends AnyFunSuite {
     assert(visibleIds(store) == Seq(10L, 20L, 30L))
     assert(DeltaStore.readRange(DeltaStore.fsOf(spark, store), remaining.head)
       .contains((10L, 30L)))
+  }
+
+  test("a tag folded away by compaction still reads as committed (streaming replay after compact)") {
+    val store = newStore()
+    writeDelta(store, "batch-00000", Seq(1L))
+    writeDelta(store, "batch-00001", Seq(2L))
+    DeltaStore.compact(spark, store) { (deltas, staging) =>
+      spark.read.parquet(deltas.map(d => s"$d/rows"): _*)
+        .write.parquet(s"$staging/rows")
+    }
+    // the tags' delta dirs are gone, but a checkpoint replay of either
+    // batch must still be a no-op, not a duplicate-id crash loop
+    assert(DeltaStore.isCommitted(spark, store, "batch-00000"))
+    assert(DeltaStore.isCommitted(spark, store, "batch-00001"))
+    assert(!DeltaStore.isCommitted(spark, store, "batch-00002"))
+    // ...and the history survives a SECOND compaction
+    writeDelta(store, "batch-00002", Seq(3L))
+    DeltaStore.compact(spark, store) { (deltas, staging) =>
+      spark.read.parquet(deltas.map(d => s"$d/rows"): _*)
+        .write.parquet(s"$staging/rows")
+    }
+    assert(DeltaStore.isCommitted(spark, store, "batch-00000"))
+    assert(DeltaStore.isCommitted(spark, store, "batch-00002"))
+    assert(visibleIds(store) == Seq(1L, 2L, 3L))
+    // end-to-end: the Bm25Index ingest path takes the replay no-op
+    val idx = newStore()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    graft.operators.Bm25Index.build(docs.filter(org.apache.spark.sql.functions.col("doc_id") < 100), idx)
+    graft.operators.Bm25Index.update(docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 100), idx, "b1")
+    graft.operators.Bm25Index.compactDeltas(spark, idx)
+    graft.operators.Bm25Index.update(docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 100), idx, "b1") // replay: no-op, no throw
+    val scored = graft.operators.Bm25Index.score(spark, idx).count()
+    assert(scored > 0)
+  }
+
+  test("a batch holding the same id twice is rejected before commit") {
+    val store = newStore()
+    writeDelta(store, "ok", Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      writeDelta(store, "dup", Seq(3L, 3L))
+    }
+    assert(e.getMessage.contains("within itself"), e.getMessage)
+    // nothing was committed for the bad tag
+    assert(!DeltaStore.isCommitted(spark, store, "dup"))
+    assert(visibleIds(store) == Seq(1L, 2L))
   }
 
   test("boolean search tolerates duplicated must-terms (review fix)") {
