@@ -36,9 +36,17 @@ object Dedup {
     // doc would otherwise multiply every shingle join by 400; measured
     // 104 s -> ~4 s at 20x replication). Near-dup pairs lost by
     // dropping a copy are redundant: the canonical copy has identical
-    // shingles, so it forms the same pairs.
+    // shingles, so it forms the same pairs. NULL-text docs hash to one
+    // exact group by design (oracle GROUP BY null parity) — all but
+    // the min-id null-text doc are dropped as "copies"; filter nulls
+    // upstream if extraction failures must survive dedup.
+    // localCheckpoint: this subtree feeds the verify stage AND the
+    // final anti-join — two separate jobs whose exchange reuse cannot
+    // span them; pay the corpus hash-agg once (eager, like the
+    // candidate list in verifiedNearDups).
     val canonCorpus = docs.join(
       exact(docs).select(col("canonical_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val losers = verifiedNearDups(canonCorpus, threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     canonCorpus.join(losers, Seq("doc_id"), "left_anti")
@@ -46,11 +54,24 @@ object Dedup {
 
   /** (doc_a, doc_b, jaccard): MinHash candidates verified by exact
     * Jaccard ≥ threshold, computed over candidate documents only. */
-  def verifiedNearDups(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def verifiedNearDups(docs: DataFrame, threshold: Double = 0.8,
+                       numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // the banding's S-curve midpoint (1/bands)^(1/rows) is where a
+    // true pair's candidate probability crosses 50%: a verify
+    // threshold far BELOW it silently loses most boundary pairs in
+    // candidate generation (at the 16/4 default, midpoint ~0.71; a
+    // 0.5 threshold would recall only ~23% of Jaccard-0.5 pairs).
+    // Reject the mismatch instead of returning a quietly-partial set.
+    val bands = numPerm / math.max(1, rowsPerBand)
+    val midpoint = math.pow(1.0 / bands, 1.0 / rowsPerBand)
+    require(threshold >= midpoint - 0.05,
+      f"verify threshold $threshold%.2f is far below the LSH banding's " +
+        f"S-curve midpoint $midpoint%.2f (numPerm=$numPerm, rowsPerBand=$rowsPerBand): " +
+        "candidate generation would miss most boundary pairs — use more/narrower bands")
     // the candidate list feeds BOTH the candidate-doc semi-join and the
     // final pair filter; it is output-sized (pairs, not corpus), so
     // materialize it once instead of re-running signatures + banding
-    val cand = minhashCandidates(docs).localCheckpoint()
+    val cand = minhashCandidates(docs, numPerm, rowsPerBand).localCheckpoint()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candCorpus = docs.join(candDocs, Seq("doc_id"), "left_semi")
@@ -115,6 +136,7 @@ object Dedup {
     * still exit unconverged, so the loop THROWS rather than silently
     * returning split components. */
   private[graft] def propagateMinLabels(pairs: DataFrame, maxIter: Int): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
@@ -129,10 +151,14 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc_b"), col("lbl")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("lbl").as("neighbor_lbl"))
+      // checkpointed: the pointer-doubling self-join below reads this
+      // subtree on BOTH sides with different join keys — uncut, each
+      // round would re-evaluate the labels⋈prop join twice
       val stepped = labels
         .join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("neighbor_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       // old_lbl rides along so convergence is a filter on the
       // materialized round output — no extra join against last round
       val next = stepped.as("s")
@@ -243,8 +269,18 @@ object Dedup {
     * the fingerprint exchange is computed once and reused. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bits = 60
+    // guard the pigeonhole geometry BEFORE the division: maxHamming
+    // < 0 divides by zero, and a large maxHamming shrinks blocks until
+    // buckets hold large corpus fractions (the candidate join
+    // degenerates toward a cross product) — SimHash blocking is only
+    // meaningful for small radii
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val nBlocks = maxHamming + 1
     val blockLen = bits / nBlocks
+    require(blockLen >= 4,
+      s"maxHamming=$maxHamming leaves $blockLen-bit blocks on a $bits-bit " +
+        "fingerprint: buckets would hold large corpus fractions and the " +
+        "candidate join degenerates — keep maxHamming <= 14")
     val mask = (1L << blockLen) - 1
     val bands = simhash(docs)
       .select(col("doc_id"), col("simhash"), posexplode(expr(

@@ -98,6 +98,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lbl2.filter(_._1 >= 100).values.toSet == Set(100L))
   }
 
+  test("parameter guards: mismatched LSH threshold, degenerate hamming radius, non-positive maxIter") {
+    // a verify threshold far below the banding's S-curve midpoint
+    // would silently lose most boundary pairs — rejected loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.verifiedNearDups(docs, threshold = 0.4)
+    }
+    assert(e1.getMessage.contains("S-curve"), e1.getMessage)
+    // degenerate SimHash radii: negative divides by zero, large ones
+    // collapse buckets to corpus fractions
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(docs, maxHamming = -1) }
+    intercept[IllegalArgumentException] { Dedup.simhashPairs(docs, maxHamming = 30) }
+    // non-positive iteration budget is a caller error, not
+    // "did not converge"
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.nearDupClusters(docs, maxIter = 0)
+    }
+    assert(e2.getMessage.contains("positive"), e2.getMessage)
+  }
+
   test("simhash is a 60-bit fingerprint and near-dups have small hamming distance") {
     val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp.values.forall(v => v >= 0L && v < (1L << 60)))
