@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,6 +16,62 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Last-wins dedup per `keyCols`, ordered by `versionCol` desc, then
+    * `tieCols` desc, then a stable row hash (arbitrary-but-stable last
+    * resort so replayed batches converge deterministically). Shared by
+    * the flat and partitioned upserts — ONE definition of the merge
+    * semantics. */
+  private def latestPerKey(merged: DataFrame, keyCols: Seq[String],
+                           versionCol: String, tieCols: Seq[String]): DataFrame = {
+    val rowHash = xxhash64(merged.columns.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc +: tieCols.map(col(_).desc) :+ rowHash.asc: _*)
+    merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Recover from a crash that happened mid-swap: the protocol's only
+    * zero-`dest` window is between rename(dest → __old) and
+    * rename(__staging → dest), so dest-missing + __old-present means
+    * exactly that — restore the old table FIRST. Without this, a
+    * retried upsert would see no destination, merge against nothing,
+    * and then delete __old: silent total loss of the store. */
+  private def recoverSwap(fs: FileSystem, path: String): Unit = {
+    val dest = new Path(path)
+    val old = new Path(path + ".__old")
+    if (!fs.exists(dest) && fs.exists(old)) {
+      if (!fs.rename(old, dest))
+        throw new java.io.IOException(s"crash recovery failed: could not restore $old to $path")
+    }
+  }
+
+  /** Never-zero-copies table swap: `write` the replacement into
+    * `.__staging`, move the current table to `.__old`, rename staging
+    * in, drop old. A crash leaves the old table either in place or
+    * under `.__old` — [[recoverSwap]] (run on entry here AND by every
+    * upsert before it reads) restores the latter. Shared by the flat
+    * upsert and [[compact]]. */
+  private def atomicSwap(fs: FileSystem, path: String)(write: String => Unit): Unit = {
+    recoverSwap(fs, path)
+    val dest = new Path(path)
+    val tmp = new Path(path + ".__staging")
+    val old = new Path(path + ".__old")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new java.io.IOException(s"could not move current table aside for $path")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"swap failed for $path; previous data at $old")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Merge `updates` into the parquet table at `path`, last-wins per
     * `keyCols` ordered by `versionCol` (desc; then any `tieCols` desc,
     * then a stable row hash so replayed batches converge
@@ -26,34 +82,18 @@ object Sinks {
     * last-wins query; the row hash is only the arbitrary-but-stable
     * last resort.
     *
-    * Swap protocol: write staging → move current table aside → rename
-    * staging in → drop the old copy. A crash mid-swap leaves either
-    * the old table, or the old table under `.__old` (recoverable) —
-    * never zero copies of the data. */
+    * Swap protocol: [[atomicSwap]] — never zero copies on disk, and a
+    * crash mid-swap is repaired before the next merge reads. */
   def upsertParquet(spark: SparkSession, updates: DataFrame, path: String,
                     keyCols: Seq[String], versionCol: String,
                     tieCols: Seq[String] = Nil): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
+    recoverSwap(fs, path) // BEFORE the read below, or a retry merges against nothing
     val dest = new Path(path)
     val merged =
       if (fs.exists(dest)) spark.read.parquet(path).unionByName(updates) else updates
-    val rowHash = xxhash64(merged.columns.map(col): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc +: tieCols.map(col(_).desc) :+ rowHash.asc: _*)
-    val latest = merged
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-    val tmp = new Path(path + ".__staging")
-    val old = new Path(path + ".__old")
-    fs.delete(tmp, true)
-    latest.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(old, true)
-    if (fs.exists(dest) && !fs.rename(dest, old))
-      throw new java.io.IOException(s"could not move current table aside for $path")
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"swap failed for $path; previous data at $old")
-    fs.delete(old, true)
+    val latest = latestPerKey(merged, keyCols, versionCol, tieCols)
+    atomicSwap(fs, path)(tmp => latest.write.mode(SaveMode.Overwrite).parquet(tmp))
   }
 
   /** Keyed last-wins upsert into a PARTITIONED parquet store: the
@@ -63,11 +103,20 @@ object Sinks {
     * scales with the touched partitions, not the store size — the
     * property the flat-table upsert lacks. `partitionCol` must be
     * functionally dependent on the key (same key → same partition) or
-    * a key could survive in two partitions. */
+    * a key could survive in two partitions.
+    *
+    * Durability trade, stated plainly: dynamic overwrite commits
+    * per-partition (delete dir, move staged dir in), so a crash inside
+    * the commit can lose a touched partition's PRIOR rows — weaker
+    * than the flat sink's never-zero-copies swap, and a batch replay
+    * cannot restore them (the merge would read the emptied partition).
+    * At 100 TB the full-table swap is not an option; the transactional
+    * answer is a manifest/commit log over immutable files — the
+    * [[DeltaStore]] protocol the search indexes use. */
   def upsertPartitionedParquet(spark: SparkSession, updates: DataFrame, path: String,
                                keyCols: Seq[String], versionCol: String,
                                partitionCol: String, tieCols: Seq[String] = Nil): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
     val touched = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
     // isin() never matches null, but dynamic overwrite still rewrites the
     // null partition when the batch touches it — so the null partition's
@@ -79,58 +128,62 @@ object Sinks {
     }
     val merged =
       if (fs.exists(new Path(path))) {
-        val existing = spark.read.parquet(path)
-          .filter(touchedPred)
+        val existing = spark.read.parquet(path).filter(touchedPred)
+        // loud on schema drift: silently projecting away an
+        // updates-only column would discard its data on every batch
+        // (the flat sink's unionByName throws on the same mismatch)
+        val extra = updates.columns.toSet -- existing.columns.toSet
+        require(extra.isEmpty,
+          s"update batch carries columns ${extra.mkString(", ")} absent from the " +
+            "store — merging would silently drop them; evolve the store first")
         existing.unionByName(updates.select(existing.columns.map(col): _*))
       } else updates
-    val rowHash = xxhash64(merged.columns.map(col): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc +: tieCols.map(col(_).desc) :+ rowHash.asc: _*)
-    val latest = merged
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      latest.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    val latest = latestPerKey(merged, keyCols, versionCol, tieCols)
+    // per-write option, NOT session conf: mutating the session's
+    // partitionOverwriteMode races concurrent writers — a static-mode
+    // overwrite deletes every untouched partition
+    latest.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
   }
 
   /** Hive-style partitioned parquet layout (`path/col=value/...`).
     * The 100 TB ingest contract: partition by a low-cardinality scan
     * predicate (source, date) so downstream queries touch only
     * matching directories — partition PRUNING, stronger than row-group
-    * filter pushdown because unmatched files are never opened. Proven
-    * by IoSpec: a filtered read shows the predicate under
-    * `PartitionFilters` and scans a subset of files. */
+    * filter pushdown because unmatched files are never opened (the
+    * predicate shows under `PartitionFilters`, proven by IoSpec).
+    * High-cardinality partition keys shatter the table into tiny
+    * files. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
-  /** Compact a parquet directory in place: rewrite into
+  /** Single-column convenience overload of [[writePartitioned]]. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    writePartitioned(df, path, Seq(partitionCol))
+
+  /** Compact an UNPARTITIONED parquet directory in place: rewrite into
     * ceil(rows / rowsPerFile) files. The small-files problem is the
     * chronic failure mode of streaming/upsert sinks at scale (every
     * micro-batch appends files; a million 10 KB files kill any later
     * scan's task scheduling) — periodic compaction is part of the sink
     * contract, not an afterthought. Same swap protocol as
-    * [[upsertParquet]]: never zero copies on disk. */
+    * [[upsertParquet]]: never zero copies on disk. Hive-partitioned
+    * stores are REJECTED: a naive read-rewrite would flatten the
+    * `col=value` directories into data columns, destroying partition
+    * pruning for every downstream reader (compact each partition
+    * directory individually instead). */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long = 1000000L): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
+    val partitioned = fs.exists(new Path(path)) &&
+      fs.listStatus(new Path(path)).exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path holds a Hive-partitioned layout; compacting it flat would destroy " +
+        "the partition directories — compact each partition dir instead")
     val df = spark.read.parquet(path)
     val nFiles = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
-    val tmp = new Path(path + ".__staging")
-    val old = new Path(path + ".__old")
-    fs.delete(tmp, true)
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(new Path(path), old))
-      throw new java.io.IOException(s"could not move current table aside for $path")
-    if (!fs.rename(tmp, new Path(path)))
-      throw new java.io.IOException(s"swap failed for $path; previous data at $old")
-    fs.delete(old, true)
+    atomicSwap(fs, path)(tmp =>
+      df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp))
   }
 
   /** Per-document text export (the ref writes output/{pid}.txt; at
@@ -139,10 +192,29 @@ object Sinks {
     * String payloads are ESCAPED (backslash, tab, newline, CR) so a
     * document containing the delimiter or a line break still occupies
     * exactly one physical line — the reader ([[TsvDataSource]])
-    * reverses the escaping. */
+    * reverses the escaping. Contract guards: columns must be atomic
+    * (an array's elements would be joined UNESCAPED, breaking the
+    * one-line invariant), and only the LAST column may hold NULLs —
+    * concat_ws drops null fields, which round-trips for a trailing
+    * field (the reader maps the missing field back to null) but would
+    * silently shift every later field out of position anywhere else. */
   def textExport(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
+    df.schema.fields.foreach { f =>
+      val bad = f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] || f.dataType.isInstanceOf[StructType]
+      require(!bad, s"textExport: column ${f.name} has non-atomic type " +
+        s"${f.dataType.simpleString} — its elements would be joined unescaped")
+    }
+    val nonLast = df.columns.dropRight(1)
+    if (nonLast.nonEmpty) {
+      val nBad = df.filter(nonLast.map(c => col(c).isNull).reduce(_ || _)).limit(1).count()
+      require(nBad == 0,
+        s"textExport: NULL in a non-last column (${nonLast.mkString(", ")}) would " +
+          "shift every following field out of position on the line")
+    }
     val cols = df.schema.fields.map { f =>
-      if (f.dataType == org.apache.spark.sql.types.StringType)
+      if (f.dataType == StringType)
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
           col(f.name), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n"), "\r", "\\\\r")
       else col(f.name)
@@ -150,14 +222,4 @@ object Sinks {
     df.select(concat_ws("\t", cols: _*).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
   }
-
-  /** Hive-style partitioned layout: one directory per `partitionCol`
-    * value. At 100 TB this is the FIRST line of defense — a predicate
-    * on the partition column prunes whole directories before any file
-    * is opened (`PartitionFilters` in the scan, vs `PushedFilters`
-    * which still reads footers). Choose a low-cardinality, frequently-
-    * filtered column (language, source, date); high-cardinality
-    * partition keys shatter the table into tiny files. */
-  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 }

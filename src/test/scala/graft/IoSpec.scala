@@ -74,6 +74,53 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 3)
   }
 
+  test("upsertParquet recovers a crash between the two swap renames instead of wiping the store") {
+    import spark.implicits._
+    val store = tmpDir("crashstore") + "/idf"
+    Sinks.upsertParquet(spark,
+      Seq(("w1", 1.0, 1L), ("w2", 2.0, 1L)).toDF("term", "idf", "version"),
+      store, Seq("term"), "version")
+    // simulate the crash window: dest moved aside, staging never
+    // renamed in — the store path does not exist, only .__old does
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".__old")))
+    // the retried merge must restore the old table FIRST, then merge
+    Sinks.upsertParquet(spark,
+      Seq(("w3", 3.0, 2L)).toDF("term", "idf", "version"),
+      store, Seq("term"), "version")
+    val got = spark.read.parquet(store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("w1" -> 1.0, "w2" -> 2.0, "w3" -> 3.0),
+      s"prior rows lost after crash-retry: $got")
+  }
+
+  test("textExport guards: non-atomic columns and non-trailing nulls rejected; compact rejects partitioned layouts") {
+    import spark.implicits._
+    val e1 = intercept[IllegalArgumentException] {
+      Sinks.textExport(Seq((1L, Seq("a", "b"))).toDF("doc_id", "toks"), tmpDir("te1"))
+    }
+    assert(e1.getMessage.contains("non-atomic"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.textExport(Seq[(java.lang.Long, String)]((null, "x"), (2L, "y"))
+        .toDF("doc_id", "text"), tmpDir("te2"))
+    }
+    assert(e2.getMessage.contains("non-last"), e2.getMessage)
+    // a null LAST column still round-trips (missing field -> null)
+    val okDir = tmpDir("te3")
+    Sinks.textExport(Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"), okDir)
+    val back = spark.read.format("graft-tsv").load(okDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "x", 2L -> null))
+    // compacting a Hive-partitioned store would flatten its layout
+    val pdir = tmpDir("pcompact")
+    Sinks.writePartitioned(Seq((1L, "en"), (2L, "fr")).toDF("id", "lang"), pdir, "lang")
+    val e3 = intercept[IllegalArgumentException] { Sinks.compact(spark, pdir) }
+    assert(e3.getMessage.contains("partition"), e3.getMessage)
+  }
+
   test("partitioned upsert rewrites only touched partitions") {
     import spark.implicits._
     val store = tmpDir("pstore") + "/idf"
