@@ -18,8 +18,10 @@ import graft.sources.Tables
   * bit-identical in Spark and DuckDB, integer sums are
   * order-independent, and the single final division is deterministic.
   *
-  * Scale notes per query are on each method; dims (nation/region/
-  * customer) are always the broadcast side.
+  * Scale notes per query are on each method; fixed-size dims
+  * (nation/region) broadcast explicitly, while SF-scaled tables
+  * (customer/supplier/part) are left to AQE/size estimates —
+  * broadcast when they fit, shuffle join at large SF.
   */
 object Relational {
 
@@ -38,8 +40,6 @@ object Relational {
         sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_micros"),
         count(lit(1)).as("n"))
 
-  /** TPC-H Q5 shape: fact⋈fact shuffle join on orderkey, then
-    * broadcast joins against customer/nation/region (dims). */
   /** Correlated-subquery shape: orders above their own customer's
     * average order value. Decorrelated into a single window pass —
     * what Catalyst does to the EXISTS/scalar-subquery form anyway,
@@ -49,11 +49,13 @@ object Relational {
     orders
       .select(col("o_orderkey"), col("o_custkey"),
         micros(col("o_totalprice")).as("totalprice_micros"))
-      // average over exact integer micros: the sum is order-independent,
-      // so the avg (one double division) is engine-deterministic —
-      // avg over raw doubles would vary in the last ulp with partition
-      // row order and could flip the > comparison at the boundary
-      .withColumn("cust_avg_micros", avg("totalprice_micros").over(w))
+      // EXACT average: sum(long)/count — Spark's avg() over integral
+      // input accumulates in a DOUBLE buffer, so past 2^53 total
+      // micros per customer the merge order would leak ulps into the
+      // > comparison; an exact long sum divided once matches DuckDB's
+      // integer-accumulated avg at any magnitude
+      .withColumn("cust_avg_micros",
+        sum("totalprice_micros").over(w).cast("double") / count(lit(1)).over(w))
       .filter(col("totalprice_micros") > col("cust_avg_micros"))
       .select(col("o_orderkey"), col("o_custkey"), col("totalprice_micros"),
         round(col("cust_avg_micros"), 2).as("cust_avg_micros"))
@@ -97,6 +99,8 @@ object Relational {
         micros(col("o_totalprice")).as("totalprice_micros"), col("sum_qty_micros"))
   }
 
+  /** TPC-H Q5 shape: fact⋈fact shuffle join on orderkey; nation/
+    * region broadcast (fixed dims), customer left to AQE. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
@@ -351,9 +355,14 @@ object Relational {
   def valueOutliers(events: DataFrame): DataFrame = {
     val e = events.select(col("event_id"), col("event_type"),
       floor(col("value") * lit(1000.0)).cast("long").as("v_milli"))
+    // s2 sums SQUARES of milli values: a long sum overflows around
+    // 3e7 rows/group at value≈1000, where DuckDB's sum(BIGINT)
+    // silently promotes to HUGEINT — sum in DECIMAL(38,0) so both
+    // engines stay exact to ~1e38 and the final double comparison
+    // sees identical inputs at any group size
     val stats = e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("v_milli").as("s1"),
-        sum(expr("v_milli * v_milli")).as("s2"))
+        sum(expr("CAST(v_milli AS DECIMAL(19,0)) * v_milli")).as("s2"))
     e.join(broadcast(stats), "event_type")
       .filter(expr(
         "CAST(n * v_milli - s1 AS DOUBLE) * CAST(n * v_milli - s1 AS DOUBLE) > " +
@@ -386,8 +395,7 @@ object Relational {
     * group, affordable when group cardinality is low and exactness is
     * required (the sketch is the 100 TB default). */
   def exactPercentiles(events: DataFrame): DataFrame =
-    events.select(col("event_type"),
-        floor(col("value") * lit(1000000.0)).cast("long").as("v_micros"))
+    events.select(col("event_type"), micros(col("value")).as("v_micros"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         round(expr("percentile(v_micros, 0.5D)"), 4).as("p50_micros"),
@@ -410,9 +418,16 @@ object Relational {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+      // each broadcast copy is pre-filtered to the two nations of
+      // interest: the cross-side disjunction below cannot be pushed
+      // into either join by Catalyst, and without the prefilter ~92%
+      // of post-shuffle fact rows ride through both joins only to be
+      // discarded (the standard Q7 formulation filters both sides)
+      .join(broadcast(n.filter(col("n_name").isin(n1, n2))
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
         s("s_nationkey") === col("sn_key"))
-      .join(broadcast(n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+      .join(broadcast(n.filter(col("n_name").isin(n1, n2))
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
         c("c_nationkey") === col("cn_key"))
       .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
         (col("supp_nation") === n2 && col("cust_nation") === n1))
@@ -585,8 +600,9 @@ object Relational {
   /** TPC-H Q5 shape (local supplier volume): 6-table join where the
     * customer's and the supplying line's nation must COINCIDE — the
     * same dim joined in two roles with an equality across the roles.
-    * lineitem⋈orders⋈supplier shuffle on their keys; customer/
-    * supplier-nation/nation/region are broadcast. At scale the only
+    * lineitem⋈orders⋈supplier shuffle on their keys; nation/region
+    * broadcast (fixed dims), customer/supplier left to AQE/size
+    * estimates. At scale the only
     * big shuffles are the two fact joins; the nation-equality is a
     * post-join filter on broadcast columns, never its own shuffle. */
   def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
