@@ -1246,7 +1246,7 @@ object SparkEntry {
     "q_fingerprint" ->
       s"""WITH $shingleCte,
          |mins AS (SELECT doc_id, min(md5(shingle)) AS sh_fp FROM sh GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(m.sh_fp, md5(d.text)) AS fingerprint
+         |SELECT d.doc_id, coalesce(m.sh_fp, md5(lower(d.text))) AS fingerprint
          |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id""".stripMargin,
 
     "q_normalize" ->

@@ -44,6 +44,23 @@ object TextAnalysis {
           .otherwise("und").as("predicted_lang"))
   }
 
+  /** Max term frequency within a token array, LINEARLY: run-length
+    * max over the sorted array (one aggregate pass, O(n log n) for the
+    * sort) — the naive transform(array_distinct, d -> count matches)
+    * form is O(distinct × n) interpreted-lambda work per row, which a
+    * 100k-token doc turns into ~5e9 comparisons. NULL on an empty
+    * array (matching array_max-over-empty semantics and the oracle).
+    * The VALUE is identical to the naive form; only the cost changed. */
+  private def maxTfSql(toks: String): String =
+    s"""IF(size($toks) = 0, CAST(NULL AS BIGINT), aggregate(
+       |  array_sort($toks),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       |  (a, t) -> named_struct(
+       |    'prev', t,
+       |    'run', IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L),
+       |    'best', greatest(a.best, IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L))),
+       |  a -> a.best))""".stripMargin
+
   /** (doc_id, n_tokens, n_distinct, distinct_ratio, stop_ratio,
     * mean_token_len, rep_ratio, quality_ok): document quality metrics
     * — length, vocabulary diversity, stopword share, repetition. */
@@ -57,8 +74,7 @@ object TextAnalysis {
       // single-space separated: total token chars = len(text) - (n-1)
       .withColumn("mean_token_len",
         round((length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4))
-      .withColumn("max_tf", expr(
-        "array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))").cast("long"))
+      .withColumn("max_tf", expr(maxTfSql("toks")).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
         round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
@@ -121,7 +137,7 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
-  /** (w1, w2, n, rk): top-k distance-2 SKIP-GRAM pairs over the raw
+  /** (w1, w2, n): top-k distance-2 SKIP-GRAM pairs over the raw
     * token stream — the word2vec-style co-occurrence statistic one
     * step beyond [[topBigrams]] (distance 1). Same explode + count
     * shape: corpus-pair cardinality shuffle on the pair key, global
@@ -144,14 +160,29 @@ object TextAnalysis {
     * built at scale: no RNG state, re-runs and late-arriving partitions
     * sample identically, and rates are per-source weights. Pure map
     * stage. Demo rates: (source index mod 4 + 1) × 0.25. */
-  def mixtureSample(docs: DataFrame): DataFrame =
+  def mixtureSample(docs: DataFrame, rate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // the DEFAULT rate parses the demo corpus's "src<digits>" source
+    // names; any other label fails LOUDLY (try_cast + raise_error)
+    // instead of Spark's opaque CAST_INVALID_INPUT (ANSI) or a silent
+    // all-rows drop (non-ANSI NULL rate) — real mixes pass `rate`
+    val demoRate = expr(
+      "CASE WHEN try_cast(substring(source, 4, 10) AS INT) IS NULL THEN " +
+        "CAST(raise_error('mixtureSample default rates require src<digits> source names; " +
+        "pass an explicit rate column') AS DOUBLE) " +
+        "ELSE (try_cast(substring(source, 4, 10) AS INT) % 4 + 1) * 0.25 END")
     docs
-      .withColumn("rate",
-        ((expr("CAST(substring(source, 4, 10) AS INT)") % 4 + 1) * lit(0.25)))
-      .withColumn("u", expr(
-        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', source)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"))
+      .withColumn("rate", rate.getOrElse(demoRate))
+      .withColumn("u", expr(hashU("concat(CAST(doc_id AS STRING), ':', source)")))
       .filter(col("u") < col("rate"))
       .select("doc_id", "source")
+  }
+
+  /** md5 → uniform [0,1) over an arbitrary SQL key expression — the
+    * shared deterministic-sampling primitive of [[mixtureSample]] and
+    * [[trainSplit]], written once so the two samplers (and their
+    * DuckDB oracles) cannot drift. */
+  private def hashU(keySql: String): String =
+    s"CAST(conv(substr(md5($keySql), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"
 
   /** The PMI arithmetic, written once and shared verbatim with the
     * DuckDB oracle: ln(p(ab)/(p(a)p(b))) decomposed into a SUM of logs
@@ -190,7 +221,7 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** (term, n, rank, log10_rank, log10_n): the corpus rank-frequency
+  /** (term, n, term_rank, log10_rank, log10_n): the corpus rank-frequency
     * (Zipf) profile over the engine's kept tokens — the standard
     * corpus-health diagnostic (a healthy natural corpus is ~linear in
     * log-log; synthetic or template-heavy corpora bend). One aggregate
@@ -318,9 +349,16 @@ object TextAnalysis {
     * pass per row. Greedy longest-match can mis-split genuinely
     * ambiguous concatenations, so `exact` is reported per doc and the
     * spec asserts a high round-trip rate rather than perfection. */
-  def segmentRoundTrip(docs: DataFrame): DataFrame = {
+  def segmentRoundTrip(docs: DataFrame, maxVocab: Int = 100000): DataFrame = {
     val vocab = docs.select(explode(graft.functions.Text.rawTokens(col("text"))).as("w"))
       .distinct().collect().map(_.getString(0)).sorted
+    // the bounded-dictionary contract is ENFORCED, not assumed: a
+    // corpus-derived vocabulary has no intrinsic bound, and past this
+    // size the literal dictionary array would bloat every serialized
+    // task (a web-scale vocab would OOM the driver outright)
+    require(vocab.length <= maxVocab,
+      s"segmentation dictionary has ${vocab.length} entries (max $maxVocab): " +
+        "pass a curated dictionary instead of deriving one from a corpus this large")
     val dictArr = array(vocab.map(lit): _*)
     docs
       .withColumn("orig", graft.functions.Text.rawTokens(col("text")))
@@ -338,24 +376,15 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame = {
     val minShingle = Dedup.shingles(docs)
       .groupBy("doc_id").agg(min(md5(col("shingle"))).as("sh_fp"))
-    docs.select(col("doc_id"), md5(col("text")).as("txt_fp"))
+    // fallback hashes the NORMALIZED (lowercased) text so tiny docs
+    // get the same case-insensitivity as the shingle path (shingles
+    // come from the lowercasing rawTokens) — dedup semantics must not
+    // flip with document length
+    docs.select(col("doc_id"), md5(lower(col("text"))).as("txt_fp"))
       .join(minShingle, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("sh_fp"), col("txt_fp")).as("fingerprint"))
   }
 
-  /** (doc_id, ok_words, ok_word_len, ok_repetition, ok_stopwords,
-    * keep): Gopher-style rule filter (Rae et al. 2021, table A1
-    * adapted to this corpus) — the standard pre-training quality gate.
-    * Every rule is an EXACT integer comparison (ratios are
-    * cross-multiplied), so the verdicts are engine-portable:
-    *  - ok_words:       25 ≤ n_raw_tokens ≤ 100000
-    *  - ok_word_len:    mean raw-token length in [2,10]
-    *                    (2·n ≤ total_chars ≤ 10·n)
-    *  - ok_repetition:  most frequent token ≤ 1/8 of the doc
-    *                    (8·max_tf ≤ n)
-    *  - ok_stopwords:   ≥ 2 DISTINCT engine stopwords present
-    * All four are per-row array expressions over the raw token array —
-    * a pure map stage, no shuffle at any scale. */
   /** (doc_id, split): deterministic 80/10/10 train/val/test
     * assignment by content-free id hash — no RNG state, stable under
     * corpus growth (a doc keeps its split forever), reproducible on
@@ -366,8 +395,7 @@ object TextAnalysis {
     * column ([[graft.sources.Sinks.writePartitioned]]). */
   def trainSplit(docs: DataFrame): DataFrame =
     docs
-      .withColumn("u", expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"))
+      .withColumn("u", expr(hashU("CAST(doc_id AS STRING)")))
       .select(col("doc_id"),
         when(col("u") < 0.8, "train").when(col("u") < 0.9, "val").otherwise("test")
           .as("split"))
@@ -410,8 +438,11 @@ object TextAnalysis {
   def packSequences(docs: DataFrame, cap: Long = 256L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NULL text packs as a zero-token doc (size(split(NULL)) is NULL,
+    // and the non-null tuple encoder would abort the whole job on it —
+    // the one degenerate row must not kill a corpus-wide pack)
     docs.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("n_tokens"))
       .as[(Long, String, Long)]
       .groupByKey(_._2)
       .flatMapSortedGroups(col("doc_id")) { (_: String, it: Iterator[(Long, String, Long)]) =>
@@ -427,6 +458,19 @@ object TextAnalysis {
       .toDF("doc_id", "source", "n_tokens", "bin_id")
   }
 
+  /** (doc_id, ok_words, ok_word_len, ok_repetition, ok_stopwords,
+    * keep): Gopher-style rule filter (Rae et al. 2021, table A1
+    * adapted to this corpus) — the standard pre-training quality gate.
+    * Every rule is an EXACT integer comparison (ratios are
+    * cross-multiplied), so the verdicts are engine-portable:
+    *  - ok_words:       25 ≤ n_raw_tokens ≤ 100000
+    *  - ok_word_len:    mean raw-token length in [2,10]
+    *                    (2·n ≤ total_chars ≤ 10·n)
+    *  - ok_repetition:  most frequent token ≤ 1/8 of the doc
+    *                    (8·max_tf ≤ n)
+    *  - ok_stopwords:   ≥ 2 DISTINCT engine stopwords present
+    * All four are per-row array expressions over the raw token array —
+    * a pure map stage, no shuffle at any scale. */
   def gopherRules(docs: DataFrame): DataFrame = {
     val stop = Text.stopwordsSqlList
     docs
@@ -434,8 +478,7 @@ object TextAnalysis {
       .withColumn("nw", size(col("toks")).cast("long"))
       // single-space separated: total token chars = len(text) - (nw-1)
       .withColumn("tc", (length(col("text")) - (col("nw") - 1)).cast("long"))
-      .withColumn("max_tf", expr(
-        "array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))").cast("long"))
+      .withColumn("max_tf", expr(maxTfSql("toks")).cast("long"))
       .withColumn("n_stop_kinds",
         size(expr(s"array_distinct(filter(toks, t -> t IN ($stop)))")).cast("long"))
       .select(col("doc_id"),
