@@ -21,8 +21,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // inputs are always array<double> (callers cast); no ExpectsInputTypes
-  // because AbstractDataType is private[sql]
+  // analysis-time type check (no ExpectsInputTypes — AbstractDataType
+  // is private[sql]): the SQL surface exposes graft_dot to any array,
+  // and a non-double array read with getDouble strides would return
+  // GARBAGE on unsafe data rather than erroring
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      // array<void>: the untyped empty/all-null array literal — no
+      // element is ever read as a double (empty loop, or the null
+      // check returns first), so it stays accepted as before
+      case ArrayType(org.apache.spark.sql.types.NullType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two ARRAY<DOUBLE> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString} " +
+        "(cast with transform(a, x -> CAST(x AS DOUBLE)))")
+  }
+
   override def dataType: DataType = DoubleType
 
   // null on length mismatch OR any null element — the exact semantics
@@ -33,9 +51,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   /** Whether either input's STATIC type admits null elements. Resolved
-    * once at planning; when false the generated loop carries no
-    * per-element null check. */
-  private def mayHaveNullElements: Boolean =
+    * once per (deserialized) instance — a def would re-match the
+    * children's types on every interpreted-eval row; when false the
+    * generated loop carries no per-element null check. */
+  @transient private lazy val mayHaveNullElements: Boolean =
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, containsNull) => containsNull
       case _ => true
@@ -99,11 +118,21 @@ case class DotProduct(left: Expression, right: Expression)
   * 255 interpreted comparisons per row per column collapsed to 8.
   * NaN ranks LAST (cuts.length): Spark SQL orders NaN above every
   * double, so the lambda form counts ALL cut points — Java's `>=`
-  * would count none, hence the explicit branch.
+  * would count none, hence the explicit branch. NULL input yields
+  * bucket 0, also matching the lambda (a null predicate drops every
+  * cut from the filter): a null column value must produce a VALID
+  * Morton digit, or one null column would poison the whole
+  * interleaved code and collapse those rows' OTHER dimensions into
+  * one unsorted range.
   * Column-API only ([[Native.bucket]]): the cut array is a plan-time
-  * constant shipped via codegen references, not a SQL literal. */
-case class EquiDepthBucket(child: Expression, cuts: Array[Double])
+  * constant shipped via codegen references, not a SQL literal.
+  * `cuts` is a Seq (not Array) so case-class equality is structural —
+  * array identity-equals would defeat canonicalization/CSE/exchange
+  * reuse between semantically identical expressions. */
+case class EquiDepthBucket(child: Expression, cuts: Seq[Double])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val cutsArr: Array[Double] = cuts.toArray
 
   // declared input check ⇒ a non-double child via the public
   // Native.bucket surface fails at ANALYSIS with a type message, not
@@ -119,38 +148,52 @@ case class EquiDepthBucket(child: Expression, cuts: Array[Double])
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
   private def upperBound(v: Double): Int = {
-    if (java.lang.Double.isNaN(v)) return cuts.length
+    if (java.lang.Double.isNaN(v)) return cutsArr.length
     var lo = 0
-    var hi = cuts.length
+    var hi = cutsArr.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (v >= cuts(mid)) lo = mid + 1 else hi = mid
+      if (v >= cutsArr(mid)) lo = mid + 1 else hi = mid
     }
     lo
   }
 
-  override def nullSafeEval(input: Any): Any =
-    upperBound(input.asInstanceOf[Double])
+  // NULL input → bucket 0 (see class doc): the output is never null,
+  // so eval/codegen are written in full rather than via the null-
+  // propagating nullSafe* helpers
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0 else upperBound(v.asInstanceOf[Double])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val arr = ctx.addReferenceObj("cuts", cuts, "double[]")
-    nullSafeCodeGen(ctx, ev, v => {
-      val lo = ctx.freshName("lo")
-      val hi = ctx.freshName("hi")
-      val mid = ctx.freshName("mid")
-      s"""
-         |int $lo = 0, $hi = $arr.length;
-         |if (Double.isNaN($v)) {
-         |  $lo = $arr.length;
-         |} else {
-         |  while ($lo < $hi) {
-         |    int $mid = ($lo + $hi) >>> 1;
-         |    if ($v >= $arr[$mid]) $lo = $mid + 1; else $hi = $mid;
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val arr = ctx.addReferenceObj("cuts", cutsArr, "double[]")
+    val childGen = child.genCode(ctx)
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |int ${ev.value} = 0;
+         |if (!${childGen.isNull}) {
+         |  int $lo = 0, $hi = $arr.length;
+         |  if (Double.isNaN(${childGen.value})) {
+         |    $lo = $arr.length;
+         |  } else {
+         |    while ($lo < $hi) {
+         |      int $mid = ($lo + $hi) >>> 1;
+         |      if (${childGen.value} >= $arr[$mid]) $lo = $mid + 1; else $hi = $mid;
+         |    }
          |  }
+         |  ${ev.value} = $lo;
          |}
-         |${ev.value} = $lo;
        """.stripMargin
-    })
+    ev.copy(code = resultCode,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -202,20 +245,33 @@ case class MinHashWords(child: Expression, n: Int, numPerm: Int)
 
   @transient private lazy val (as, bs) = GraftHashing.minhashParams(numPerm)
 
+  // one digest per (deserialized, per-task) instance, not per row —
+  // getInstance is a JCA provider lookup + allocation in the hot path;
+  // digest() resets the instance so reuse is safe
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val len = words.numElements()
     if (len < n) return null
     val mins = Array.fill(numPerm)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = digest
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= len - n) {
       sb.setLength(0)
       var j = 0
+      var appended = false
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + j).toString)
+        // null elements skipped WITH their separator — the concat_ws
+        // semantics ShingleWords documents; split() never yields
+        // nulls, but the registered SQL function accepts any array
+        val w = words.getUTF8String(i + j)
+        if (w != null) {
+          if (appended) sb.append(' ')
+          sb.append(w.toString)
+          appended = true
+        }
         j += 1
       }
       val d = md.digest(sb.toString.getBytes("UTF-8"))
@@ -266,19 +322,28 @@ case class SimHashWords(child: Expression, bits: Int = 60)
     s
   }
 
+  // see MinHashWords.digest: per-instance, not per-row
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]
     val tf = new java.util.HashMap[String, Int]()
     var i = 0
     while (i < words.numElements()) {
-      val w = words.getUTF8String(i).toString
-      if (w.length >= Text.MinTokenLength && !stop.contains(w))
-        tf.merge(w, 1, Integer.sum)
+      val u = words.getUTF8String(i) // null elements: never kept tokens
+      if (u != null) {
+        val w = u.toString
+        // CODE-POINT length, matching Text.keepToken's length() and
+        // the oracle — Java's UTF-16 w.length would keep a single
+        // supplementary char that both of those drop
+        if (w.codePointCount(0, w.length) >= Text.MinTokenLength && !stop.contains(w))
+          tf.merge(w, 1, Integer.sum)
+      }
       i += 1
     }
     if (tf.isEmpty) return null
     val acc = new Array[Long](bits)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = digest
     val it = tf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -504,41 +569,62 @@ case class SegmentWords(left: Expression, right: Expression)
   * builder, or `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Validated extraction of a literal-int SQL argument: without this,
+    * a non-foldable / non-numeric / NULL argument surfaced as a raw
+    * UnsupportedOperationException / ClassCastException / NPE from
+    * deep inside planning instead of a message naming the function. */
+  private def intArg(fn: String, args: Seq[Expression], pos: Int): Int = {
+    require(args.length > pos, s"$fn expects at least ${pos + 1} arguments, got ${args.length}")
+    val e = args(pos)
+    require(e.foldable, s"$fn argument ${pos + 1} must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${pos + 1} must be a literal integer, got $other")
+    }
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Seq[Expression] = {
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+    args
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new RewriteLambdaDot)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))
+      (children: Seq[Expression]) => { arity("graft_dot", children, 2); DotProduct(children(0), children(1)) }
     ))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashWords].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashWords(children(0))
+      (children: Seq[Expression]) => SimHashWords(arity("graft_simhash", children, 1).head)
     ))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashWords].getName, "graft_minhash"),
-      (children: Seq[Expression]) => MinHashWords(children(0),
-        children(1).eval().asInstanceOf[Number].intValue(),
-        children(2).eval().asInstanceOf[Number].intValue())
+      (children: Seq[Expression]) => MinHashWords(arity("graft_minhash", children, 3).head,
+        intArg("graft_minhash", children, 1),
+        intArg("graft_minhash", children, 2))
     ))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleWords].getName, "graft_shingles"),
-      (children: Seq[Expression]) => ShingleWords(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())
+      (children: Seq[Expression]) => ShingleWords(arity("graft_shingles", children, 2).head,
+        intArg("graft_shingles", children, 1))
     ))
     ext.injectFunction((
       new FunctionIdentifier("graft_char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
-      (children: Seq[Expression]) => CharNgrams(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())
+      (children: Seq[Expression]) => CharNgrams(arity("graft_char_ngrams", children, 2).head,
+        intArg("graft_char_ngrams", children, 1))
     ))
     ext.injectFunction((
       new FunctionIdentifier("graft_segment"),
       new ExpressionInfo(classOf[SegmentWords].getName, "graft_segment"),
-      (children: Seq[Expression]) => SegmentWords(children(0), children(1))
+      (children: Seq[Expression]) => { arity("graft_segment", children, 2); SegmentWords(children(0), children(1)) }
     ))
   }
 }

@@ -93,9 +93,11 @@ class VectorExprsSpec extends AnyFunSuite {
       graft.functions.Native.bucket(col("v"), cuts).as("b"),
       expr(s"size(filter($arr, c -> v >= c))").as("want")).collect()
     got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
-    // null in, null out
+    // null in, bucket 0 out — matching the lambda it replaced (a null
+    // predicate drops every cut from the filter → size 0) and keeping
+    // one null column from poisoning the whole interleaved Morton code
     val n = Seq[Option[Double]](None).toDF("v")
       .select(graft.functions.Native.bucket(col("v"), cuts)).collect()
-    assert(n.head.isNullAt(0))
+    assert(!n.head.isNullAt(0) && n.head.getInt(0) == 0)
   }
 }
