@@ -57,8 +57,7 @@ object SparkEntry {
     // — must equal full-corpus BM25 (oracle shared with q_bm25_score)
     "q_index_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val path = sys.props("java.io.tmpdir") +
-        "/graft_idx_inc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = sys.props("java.io.tmpdir") + "/graft_idx_inc_" + dirTag(dir)
       Bm25Index.build(docs.filter(col("doc_id") % 5 =!= 0), path)
       Bm25Index.update(docs.filter(col("doc_id") % 5 === 0), path)
       Bm25Index.score(s, path)
@@ -195,8 +194,7 @@ object SparkEntry {
     // BMStream serving loop) — same rows again (shared oracle)
     "q_stream_search" -> ((s, dir) => {
       import s.implicits._
-      val qdir = sys.props("java.io.tmpdir") +
-        "/graft_stream_q_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val qdir = sys.props("java.io.tmpdir") + "/graft_stream_q_" + dirTag(dir)
       Bm25.DemoQueries.toDF("query_id", "qtext")
         .write.mode("overwrite").parquet(qdir)
       graft.streaming.Streams.searchStream(s, qdir, indexFor(s, dir))
@@ -360,8 +358,7 @@ object SparkEntry {
     // is spec-gated, and AnnSpec proves staged == live exactly)
     "q_ann_index_incremental" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val path = sys.props("java.io.tmpdir") +
-        "/graft_annidx_inc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = sys.props("java.io.tmpdir") + "/graft_annidx_inc_" + dirTag(dir)
       AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), path)
       AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), path, "00001")
       AnnIndex.searchTopK(s, path)
@@ -407,11 +404,19 @@ object SparkEntry {
   private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def cachedLayout(prefix: String, dir: String)(build: String => Unit): String =
     layoutCache.computeIfAbsent(s"$prefix|$dir", { _ =>
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft_${prefix}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = sys.props("java.io.tmpdir") + s"/graft_${prefix}_" + dirTag(dir)
       build(path)
       path
     })
+
+  /** Collision-free directory/table tag for an sf dir: md5 of the RAW
+    * string (same rationale as Streams.pathTag — the lossy
+    * `replaceAll("[^a-zA-Z0-9]", "_")` form mapped distinct dirs like
+    * `sf0.1`/`sf0_1` to one path, letting one run reset or clobber
+    * another's derived store). */
+  private def dirTag(raw: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** One staged index per sf dir per JVM: q_index_batch_search and
     * q_stream_search serve from the same store; the first caller
@@ -441,7 +446,7 @@ object SparkEntry {
     }
   private def bucketedFor(s: SparkSession, dir: String): (String, String) =
     bucketedLock.synchronized {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase
+      val tag = dirTag(dir)
       val (liName, oName) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
       if (!bucketedTableReady(s, liName) || !bucketedTableReady(s, oName)) {
         graft.sources.Bucketed.writeBucketed(

@@ -58,10 +58,16 @@ object AnnIndex {
     // in an incompatible bucket space and silently corrupt every
     // search — each delta records its params, and a mismatch is loud
     val params = s"$numTables,$bitsPerTable"
-    deltas.headOption.foreach { d =>
-      val stored = readParams(DeltaStore.fsOf(spark, path), d)
-      require(stored.forall(_ == params),
-        s"LSH params $params do not match the store's ${stored.get} — " +
+    // check EVERY delta, not just the first listed: listStatus order is
+    // unspecified, and a heterogeneous store (a delta committed through
+    // DeltaStore.commit directly, or a param-less legacy delta listed
+    // first) must not let a mismatched batch slip in and corrupt search
+    // — the same all-deltas validation compactDeltas runs
+    val storedAll = deltas.flatMap(d => readParams(DeltaStore.fsOf(spark, path), d)).distinct
+    require(storedAll.size <= 1, s"deltas disagree on LSH params: $storedAll")
+    storedAll.foreach { stored =>
+      require(stored == params,
+        s"LSH params $params do not match the store's $stored — " +
           "rebuild the index to change hyperplane parameters")
     }
     val (batchEmpty, lo, hi) = DeltaStore.batchRange(embeddings, "vec_id")

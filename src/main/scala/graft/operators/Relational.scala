@@ -600,26 +600,38 @@ object Relational {
   /** TPC-H Q5 shape (local supplier volume): 6-table join where the
     * customer's and the supplying line's nation must COINCIDE — the
     * same dim joined in two roles with an equality across the roles.
-    * lineitem⋈orders⋈supplier shuffle on their keys; nation/region
-    * broadcast (fixed dims), customer/supplier left to AQE/size
-    * estimates. At scale the only
-    * big shuffles are the two fact joins; the nation-equality is a
-    * post-join filter on broadcast columns, never its own shuffle. */
+    * The region predicate is applied to supplier AND customer BEFORE
+    * the fact joins (nation⋈region is a broadcast-tiny dim product):
+    * Catalyst does not reorder user joins, so filtering r_name after
+    * the fact joins would ride every non-ASIA supplier/customer row
+    * through both fact shuffles only to discard ~80 % of them — the
+    * same pre-restriction Q7 ([[nationVolume]]) and Q8
+    * ([[TpcH.marketShare]]) apply. lineitem⋈orders⋈supplier shuffle on
+    * their keys; customer/supplier join strategy left to AQE/size
+    * estimates; the nation-equality stays a post-join filter on
+    * already-restricted columns, never its own shuffle. */
   def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
-    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
+    // ASIA nation keys: a handful of rows, computed once and broadcast
+    // into both dim restrictions below
+    val asiaN = n.join(broadcast(r.filter(col("r_name") === "ASIA")),
+        n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaN.select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"), "left_semi")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(asiaN.select(col("n_nationkey").as("sn_key"))),
+        col("s_nationkey") === col("sn_key"), "left_semi")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
-      .filter(c("c_nationkey") === s("s_nationkey"))
-      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
   }

@@ -408,9 +408,16 @@ object TextAnalysis {
     * explode stage: chunk count per doc = ceil(len/chunkSize), zero
     * shuffles at any corpus size, and chunk rows carry no full-text
     * copy — just the hash. The raw (unfiltered) stream is
-    * deliberate: training sequences keep stopwords. */
+    * deliberate: training sequences keep stopwords. NULL-text contract:
+    * NO chunk rows (there is no token stream to window — matching the
+    * oracle's generate_series-over-NULL); without the filter,
+    * size(NULL) = -1 under non-ANSI semantics and sequence(0, -1 div
+    * chunkSize) would emit one garbage chunk with n_tokens = -1.
+    * (packSequences differs deliberately: packing must place every DOC
+    * in a bin, so a NULL-text doc packs as zero tokens there.) */
   def seqChunks(docs: DataFrame, chunkSize: Int = 16): DataFrame =
     docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), col("words"),
         explode(expr(s"sequence(0, (size(words) - 1) div $chunkSize)")).as("chunk_id"))

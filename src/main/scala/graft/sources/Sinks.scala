@@ -175,6 +175,12 @@ object Sinks {
     * directory individually instead). */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long = 1000000L): Unit = {
     val fs = fsOf(spark, path)
+    // BEFORE the layout probe and the read: a predecessor that crashed
+    // mid-swap left the table only under .__old, and atomicSwap's own
+    // recovery runs too late to save the spark.read below from "path
+    // does not exist" (no data loss, but compact would fail on every
+    // retry until some upsert happened to repair the store)
+    recoverSwap(fs, path)
     val partitioned = fs.exists(new Path(path)) &&
       fs.listStatus(new Path(path)).exists(s => s.isDirectory && s.getPath.getName.contains("="))
     require(!partitioned,
