@@ -118,7 +118,11 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_minhash_ml" -> ((s, dir) => MlPipeline.minhashLshPairs(Tables.documents(s, dir))),
-    "q_dedup_embcos" -> ((s, dir) => Ann.cosinePairs(Tables.embeddings(s, dir))),
+    // wired to the bucketed-LSH + exact-verify plan (the all-pairs
+    // crossJoin baseline stays available as Ann.cosinePairs); the
+    // oracle below is STILL the all-pairs SQL — candidate recall must
+    // close the gap exactly, as with q_dedup_minhash
+    "q_dedup_embcos" -> ((s, dir) => Ann.lshCosinePairs(Tables.embeddings(s, dir))),
     "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
     // the SAME search expressed in pure SQL over registered views and
     // the SQL-visible native graft_dot (oracle shared with bruteforce)
@@ -218,7 +222,9 @@ object SparkEntry {
     // overestimate bounds asserted in SketchesSpec
     "q_heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(Tables.documents(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Vectors.centroidOutliers(Tables.embeddings(s, dir))),
-    "q_knn_classify" -> ((s, dir) => Vectors.knnClassify(Tables.embeddings(s, dir))),
+    // IVF-composed (probed inverted lists, not the N×M cross join);
+    // oracle unchanged — probes must cover the true neighbor sets
+    "q_knn_classify" -> ((s, dir) => Vectors.knnClassifyIvf(Tables.embeddings(s, dir))),
     "q_stream_topk" -> ((s, dir) => graft.streaming.Streams.windowedTopK(s, dir)),
     // corpus re-laid-out partitioned by lang: the lang predicate prunes
     // whole directories (PartitionFilters), not just row groups

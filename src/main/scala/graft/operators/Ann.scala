@@ -63,6 +63,49 @@ object Ann {
       .select(col("vec_a"), col("vec_b"), round(col("c_exact"), 4).as("cos"))
   }
 
+  /** (vec_a, vec_b, cos): [[cosinePairs]] re-shaped for scale — the
+    * semantic-dedup pair surface as a hyperplane-LSH bucket self-join
+    * for candidates plus an exact-cosine verify over candidates only
+    * (the [[Dedup.verifiedNearDups]] shape applied to vectors). The
+    * plan never materializes the N² cross product: buckets come from a
+    * pure map stage over literal planes, the candidate join shuffles on
+    * the (table, bucket) key, and the float math runs on candidate
+    * pairs only.
+    *
+    * Recall contract (same family as the MinHash banding guard): a pair
+    * at cosine c survives candidate generation with probability
+    * 1-(1-p^b)^T where p = 1-acos(c)/π; thresholds below the S-curve's
+    * 50% midpoint are rejected loudly. The 24×4 default holds every
+    * ≥0.45 pair of the test corpus; for production semantic dedup at
+    * cosine ≥0.8 RAISE bitsPerTable (8-16) — more bits shrink buckets
+    * (candidate volume) exponentially while the higher threshold keeps
+    * per-table hit probability up. bitsPerTable 4 at a 0.45 threshold
+    * is the recall-safe floor, not the throughput point. */
+  def lshCosinePairs(embeddings: DataFrame, threshold: Double = 0.45,
+                     numTables: Int = 24, bitsPerTable: Int = 4): DataFrame = {
+    val pMid = math.pow(1.0 - math.pow(0.5, 1.0 / numTables), 1.0 / bitsPerTable)
+    val cMid = math.cos(math.Pi * (1.0 - pMid))
+    require(threshold >= cMid - 0.05,
+      f"verify threshold $threshold%.2f is below the hyperplane-LSH S-curve " +
+        f"midpoint $cMid%.2f (numTables=$numTables, bitsPerTable=$bitsPerTable): " +
+        "candidate generation would miss most boundary pairs — add tables or drop bits")
+    val buckets = lshBuckets(embeddings, numTables, bitsPerTable)
+    val cand = buckets.select(col("vec_id").as("vec_a"), col("t"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val e = withNorm(embeddings)
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("vec_b"))
+      .withColumn("c_exact", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("c_exact") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c_exact"), 4).as("cos"))
+  }
+
   /** (vec_id, cos): exact top-k cosine neighbors of `queryId` —
     * one-vs-all with the single query row broadcast. */
   def bruteForceTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame =

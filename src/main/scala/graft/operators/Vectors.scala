@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: centroids shuffle on (label, dim) — cardinality
   * #classes × dim, tiny — then broadcast back; distances are a pure
-  * map stage. k-NN is the brute-force baseline (quadratic in the
-  * class size); [[Ann.ivfTopK]]'s coarse quantizer is the 100 TB
-  * route for the same contract.
+  * map stage. [[knnClassify]] is the brute-force k-NN baseline
+  * (quadratic in the split sizes); [[knnClassifyIvf]] composes the
+  * same contract with the IVF coarse quantizer and is the wired
+  * 100 TB route.
   */
 object Vectors {
 
@@ -71,6 +72,113 @@ object Vectors {
     // the TEST split is the small side — broadcast it into the train
     // partitions (train is corpus-sized and must stay distributed)
     val neighbors = train.join(broadcast(test), col("vec_id") =!= col("nb_id"))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(wNbr))
+      .filter(col("rk") <= k)
+    val wVote = Window.partitionBy("vec_id").orderBy(col("n_votes").desc, col("nb_label").asc)
+    neighbors.groupBy("vec_id", "true_label", "nb_label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("true_label").cast("long").as("true_label"),
+        col("nb_label").cast("long").as("predicted_label"), col("n_votes"))
+  }
+
+  /** [[knnClassify]] composed with the IVF coarse quantizer — the
+    * 100 TB route the brute-force scaladoc promises. A k-means
+    * quantizer (MLlib, fixed seed, sample-trained — same recipe as
+    * [[Ann.ivfTopK]]) partitions the TRAIN side into nLists inverted
+    * lists in one map pass; each test vector probes its nProbe nearest
+    * centroids (centroids are nLists×64 doubles — a broadcast literal
+    * table, so probe selection is a pure map stage over the test
+    * split); the exact millis-L2 top-k then runs on the probed lists
+    * only, shuffling on list_id instead of cross-joining the splits.
+    * Per-pair uniqueness is structural: a train vector lives in
+    * exactly one list, so no candidate dedup pass is needed.
+    *
+    * The OUTPUT is EXACT unconditionally (same oracle as
+    * [[knnClassify]]): pass 1 scans the nProbe nearest lists and takes
+    * the running kth-best distance d_k; pass 2 rescans ONLY lists whose
+    * ball bound says they could still hold something closer —
+    * d(q, c_L) − r_L ≤ d_k with r_L the list radius (a train point x
+    * in L has d(q,x) ≥ d(q,c_L) − r_L by the triangle inequality, so a
+    * list failing the bound cannot improve the answer; the bound check
+    * runs with a conservative FP slack, which can only ADD candidates).
+    * On clustered corpora pass 2 prunes to nearly nothing; on
+    * adversarial (near-uniform) data it degrades toward a full scan of
+    * the lists — exactness is never traded, only scan fraction. FP
+    * wobble in quantizer training moves bucket boundaries and hence
+    * cost, never the result. */
+  def knnClassifyIvf(embeddings: DataFrame, k: Int = 5, testMod: Int = 10,
+                     nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dotc = graft.functions.Native.dot _
+    val e = embeddings.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))").as("mv"))
+      .withColumn("n2", dotc(col("mv"), col("mv")))
+    val test = e.filter(col("vec_id") % testMod === 0)
+      .select(col("vec_id"), col("label").as("true_label"), col("mv").as("qa"), col("n2").as("qa2"))
+    val train = e.filter(col("vec_id") % testMod =!= 0)
+    // quantizer trained on a deterministic ~200-per-centroid sample of
+    // the train side (training on the full corpus would be an extra
+    // full pass — the sample is the 100 TB norm)
+    val feats = train.select(col("vec_id"), array_to_vector(col("mv")).as("features"))
+    val n = feats.count()
+    // no train vectors → no neighbors (the brute-force contract);
+    // KMeans cannot fit on an empty set
+    if (n == 0)
+      return test.select(col("vec_id"), col("true_label").cast("long").as("true_label"),
+        lit(0L).as("predicted_label"), lit(0L).as("n_votes")).limit(0)
+    val frac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
+    val fitSet = if (frac < 1.0) feats.sample(withReplacement = false, frac, seed = 7L) else feats
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(fitSet)
+    // one assign pass; a train vector lives in exactly ONE list, so
+    // (test, train) candidate pairs are structurally unique — no dedup.
+    // localCheckpoint: feeds both scan passes (separate jobs).
+    val trainLists = model.transform(
+      train.withColumn("features", array_to_vector(col("mv"))))
+      .select(col("prediction").as("list_id"), col("vec_id").as("nb_id"),
+        col("label").as("nb_label"), col("mv").as("qb"), col("n2").as("qb2"))
+      .localCheckpoint()
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list_id", "cv")
+      .withColumn("c2", dotc(col("cv"), col("cv")))
+    // list radii: max member distance to own centroid — nLists rows
+    val radii = trainLists.join(broadcast(cents), Seq("list_id"))
+      .select(col("list_id"),
+        sqrt(greatest(lit(0.0), col("qb2") + col("c2") -
+          lit(2.0) * dotc(col("qb"), col("cv")))).as("rx"))
+      .groupBy("list_id").agg(max("rx").as("r"))
+    val centsR = cents.join(radii, Seq("list_id"))
+    // every (test vector, list) with centroid distance — test × nLists,
+    // centroid table broadcast, pure map stage
+    val qc = test.crossJoin(broadcast(centsR))
+      .withColumn("cd2", greatest(lit(0.0), col("qa2") + col("c2") -
+        lit(2.0) * dotc(col("qa"), col("cv"))))
+      .select(col("vec_id"), col("true_label"), col("qa"), col("qa2"),
+        col("list_id"), col("cd2"), col("r"))
+    val d2 = (col("qa2") + col("qb2") -
+      lit(2.0) * dotc(col("qa"), col("qb"))).cast("long")
+    val wNbr = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("nb_id").asc)
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("cd2").asc, col("list_id").asc)
+    // pass 1: nProbe nearest lists → running kth-best distance
+    val probes1 = qc.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id"), col("qa"), col("qa2"), col("list_id"))
+    val stats1 = probes1.join(trainLists, Seq("list_id"))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(wNbr)).filter(col("rk") <= k)
+      .groupBy("vec_id").agg(max("d2").as("kd2"), count(lit(1)).as("cnt"))
+    // pass 2: every list the ball bound cannot exclude (always a
+    // superset of the lists holding the true top-k)
+    val keep = qc.join(stats1, Seq("vec_id"), "left")
+      .filter(col("cnt").isNull || col("cnt") < k ||
+        sqrt(col("cd2")) - col("r") <= sqrt(col("kd2").cast("double")) + lit(1e-6))
+      .select(col("vec_id"), col("true_label"), col("qa"), col("qa2"), col("list_id"))
+    val neighbors = keep.join(trainLists, Seq("list_id"))
       .withColumn("d2", d2)
       .withColumn("rk", row_number().over(wNbr))
       .filter(col("rk") <= k)

@@ -48,6 +48,19 @@ class AnnSpec extends AnyFunSuite {
     assert(staged.sameElements(live))
   }
 
+  test("lsh cosine pairs equal the all-pairs exact baseline") {
+    val exact = Ann.cosinePairs(emb).collect().map(_.toSeq.mkString("|")).sorted
+    val lsh = Ann.lshCosinePairs(emb).collect().map(_.toSeq.mkString("|")).sorted
+    assert(exact.nonEmpty)
+    assert(lsh.sameElements(exact))
+  }
+
+  test("lsh cosine pairs reject a threshold below the S-curve midpoint") {
+    intercept[IllegalArgumentException] {
+      Ann.lshCosinePairs(emb, threshold = -0.9, numTables = 2, bitsPerTable = 8)
+    }
+  }
+
   test("lsh top-k recalls a reasonable fraction of exact top-k") {
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val approx = Ann.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Vectors
+import graft.sources.Tables
+
+/** Round-7 additions: scale reworks that must stay EXACT — the
+  * IVF-composed kNN (ball-pruned second pass) and the LSH-bucketed
+  * cosine pair surface (equality spec lives in AnnSpec next to its
+  * operator family). */
+class Round7Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("IVF kNN equals brute-force kNN exactly (ball-pruned pass 2)") {
+    val brute = Vectors.knnClassify(emb).collect().map(_.toSeq.mkString("|")).sorted
+    val ivf = Vectors.knnClassifyIvf(emb).collect().map(_.toSeq.mkString("|")).sorted
+    assert(brute.nonEmpty)
+    assert(ivf.sameElements(brute))
+  }
+
+  test("IVF kNN stays exact even with a single probed list") {
+    // nProbe=1 forces the ball bound to do ALL the coverage work
+    val brute = Vectors.knnClassify(emb).collect().map(_.toSeq.mkString("|")).sorted
+    val ivf = Vectors.knnClassifyIvf(emb, nProbe = 1)
+      .collect().map(_.toSeq.mkString("|")).sorted
+    assert(ivf.sameElements(brute))
+  }
+
+  test("IVF kNN on an empty embeddings table returns empty, not a crash") {
+    import spark.implicits._
+    val noVecs = Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+    assert(Vectors.knnClassifyIvf(noVecs).count() == 0)
+  }
+
+  test("IVF kNN candidate join is an equi join, not a cartesian pair scan") {
+    val p = Vectors.knnClassifyIvf(emb).queryExecution.optimizedPlan.toString
+    // the train side must join on list_id; the only nested-loop join
+    // allowed is the tiny centroid-table broadcast
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian product:\n$p")
+    assert(p.contains("list_id"), s"expected a list_id equi join:\n$p")
+  }
+}
