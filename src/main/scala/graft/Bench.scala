@@ -2,34 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
-  /** Headline queries surfaced per-query in the benchmark JSON line.
-    * The driver captures only the tail of the sbt output (≈2000 chars),
-    * so the printed line must stay well under that with the sbt
-    * "[success]" trailer included; `value` still totals EVERY query so
-    * a regression anywhere on the surface moves the headline number.
+  /** Headline queries surfaced inline in the benchmark JSON line. The
+    * FULL per-query map goes to `bench_out.json` (path in the line's
+    * "file" field) — two rounds of tail-capture mangling proved a long
+    * stdout line is not machine-recoverable, so the line stays a short
+    * summary (driver captures ≈2000 chars incl. sbt's "[success]"
+    * trailer) and the file is the structured record; `value` still
+    * totals EVERY query so a regression anywhere moves the headline.
     */
   private val headline: Seq[String] = Seq(
-    // TPC-H relational core
-    "q_agg", "q_order_priority", "q_local_supplier", "q_topn",
-    "q_min_cost_supplier", "q_large_volume", "q_returned_items",
-    // BM25 / search serving
-    "q_bm25_score", "q_search_batch", "q_phrase", "q_prf_search",
-    "q_hybrid_rrf", "q_index_batch_search", "q_search_maxscore",
-    "q_boolean_search", "q_spell_correct", "q_proximity",
-    // dedup family
-    "q_dedup_minhash", "q_dedup_simhash_pairs", "q_dedup_ngram",
-    // ANN / vectors
-    "q_ann_bruteforce", "q_ann_ivf", "q_ann_hamming", "q_ann_batch",
-    // text analysis
-    "q_lang_id", "q_quality", "q_gopher", "q_keywords",
-    // streaming
-    "q_stream_search", "q_stream_upsert", "q_stream_dedup", "q_stream_ann",
-    // training-sequence prep
-    "q_seq_pack",
-    // storage layout
-    "q_bucketed_join", "q_zorder_scan", "q_partitioned_scan",
-    // windows / temporal
-    "q_window", "q_asof")
+    "q_agg", "q_bm25_score", "q_dedup_minhash", "q_ann_ivf",
+    "q_knn_classify", "q_dedup_embcos", "q_stream_search", "q_seq_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +48,14 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the complete structured record: every query's seconds, written
+    // where the driver (and regression tracking) can always read it
+    val outFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(outFile, fullJson.getBytes("UTF-8"))
     // when run with an explicit filter, show exactly what was timed;
     // the driver's unfiltered run shows the fixed headline subset
     val shown =
@@ -73,7 +64,7 @@ object Bench {
     val qs = shown.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","file":"$outFile"}"""
     spark.stop()
     // print LAST so the line sits at the very end of the captured tail
     println(line)

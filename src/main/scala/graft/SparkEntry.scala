@@ -26,6 +26,7 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(Text.regexTokens(col("text"))).as("term"))
         .filter(Text.keepToken(col("term")))),
+    "q_tokenize_pos" -> ((s, dir) => Bm25.tokenizePos(Tables.documents(s, dir))),
     "q_wordcount" -> ((s, dir) =>
       Bm25.tokenize(Tables.documents(s, dir)).groupBy("term").agg(count(lit(1)).as("n"))),
     "q_wordcount_salted" -> ((s, dir) => Skew.saltedWordCount(Tables.documents(s, dir))),
@@ -348,6 +349,10 @@ object SparkEntry {
     // query-vector STREAM served per micro-batch against the static
     // store — same rows as q_ann_batch (shared oracle)
     "q_stream_ann" -> ((s, dir) => graft.streaming.Streams.annStream(s, dir)),
+    // UNBOUNDED rate source through the serving skeleton (the ref's
+    // live socket feed) — wall-clock-dependent counts → rows-only
+    // gate, shape pinned by StreamsSpec
+    "q_stream_rate" -> ((s, dir) => graft.streaming.Streams.rateSmoke(s)),
     "q_seq_chunks" -> ((s, dir) => TextAnalysis.seqChunks(Tables.documents(s, dir))),
     "q_seq_pack" -> ((s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir))),
     // hot-key salted equi-join: large side salted in [0,8), small side
@@ -659,6 +664,12 @@ object SparkEntry {
          |             FROM documents)
          |SELECT doc_id, term FROM rtok
          |WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)""".stripMargin,
+    "q_tokenize_pos" ->
+      s"""WITH $tfCte,
+         |lex AS (SELECT * FROM (VALUES ${Text.posLexiconSqlValues}) AS v(term, tag))
+         |SELECT t.doc_id, t.term, coalesce(l.tag, 'x') AS tag
+         |FROM tok2 t LEFT JOIN lex l USING (term)
+         |WHERE coalesce(l.tag, 'x') IN (${Text.PosWhitelist.map(t => s"'$t'").mkString(", ")})""".stripMargin,
     "q_wordcount" ->
       s"WITH $tfCte SELECT term, count(*)::BIGINT AS n FROM tok2 GROUP BY term",
     // the salted two-phase aggregation computes the SAME counts

@@ -42,6 +42,31 @@ object Text {
   def keepToken(term: Column): Column =
     length(term) >= MinTokenLength && !term.isin(Stopwords: _*)
 
+  /** Deterministic POS lexicon over the corpus vocabulary — the
+    * engine's stand-in for a real tagger's term→tag table (the
+    * reference tags with ansj and keeps nouns n/ns/nt/nz, reference
+    * BatchBM25PreMain.java:38-48,185-199). The lexicon is DATA, not
+    * code: a broadcast term→tag join plus a whitelist predicate on the
+    * tag column, so swapping in a million-entry real lexicon changes
+    * nothing about the plan shape. */
+  val PosLexicon: Seq[(String, String)] = Seq(
+    "batch" -> "n", "column" -> "n", "customer" -> "n", "data" -> "n",
+    "group" -> "n", "hash" -> "n", "key" -> "n", "line" -> "n",
+    "order" -> "n", "part" -> "n", "query" -> "n", "row" -> "n",
+    "stream" -> "n", "table" -> "n", "value" -> "n", "vector" -> "n",
+    "window" -> "n",
+    "agg" -> "v", "dup" -> "v", "filter" -> "v", "join" -> "v",
+    "merge" -> "v", "scan" -> "v", "sort" -> "v",
+    "big" -> "adj", "fast" -> "adj", "slow" -> "adj", "small" -> "adj",
+    "spark" -> "nz")
+
+  /** Tags [[tokenizePos]] keeps by default — the ansj noun family. */
+  val PosWhitelist: Seq[String] = Seq("n", "nz")
+
+  /** SQL VALUES form of [[PosLexicon]] for oracle queries. */
+  def posLexiconSqlValues: String =
+    PosLexicon.map { case (t, g) => s"('$t', '$g')" }.mkString(", ")
+
   /** Driver-side twin of [[keepToken]] over a LITERAL query term: can
     * the tokenizer ever produce `t`? (Stopword / too short / not
     * lowercase / multi-token terms never match, and a query built on

@@ -60,6 +60,27 @@ object Bm25 {
       .select(col("doc_id"), explode(Text.rawTokens(col("text"))).as("term"))
       .filter(Text.keepToken(col("term")))
 
+  /** (doc_id, term, tag): [[tokenize]] with a part-of-speech tag from
+    * the broadcast [[Text.PosLexicon]], filtered to `whitelist` — the
+    * reference's ansj POS-whitelist tokenization (reference
+    * BatchBM25PreMain.java:38-48,185-199 keeps nouns n/ns/nt/nz)
+    * re-expressed as data: a term→tag dictionary join (broadcast — a
+    * real lexicon is still tiny next to the corpus) and a predicate on
+    * the tag column. Unknown terms tag 'x' so a whitelist can opt them
+    * in or out explicitly rather than dropping them silently. */
+  def tokenizePos(docs: DataFrame,
+                  whitelist: Seq[String] = Text.PosWhitelist): DataFrame = {
+    require(whitelist.nonEmpty, "POS whitelist must name at least one tag")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = Text.PosLexicon.toDF("term", "tag")
+    tokenize(docs)
+      .join(broadcast(lex), Seq("term"), "left")
+      .withColumn("tag", coalesce(col("tag"), lit("x")))
+      .filter(col("tag").isin(whitelist: _*))
+      .select("doc_id", "term", "tag")
+  }
+
   /** (doc_id, term, tf): per-document term frequency. */
   def tf(docs: DataFrame): DataFrame =
     tokenize(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -188,16 +188,45 @@ object SearchExtras {
       .select("doc_id")
   }
 
+  /** All strings reachable from column `name` by deleting up to
+    * `maxDist` (≤ 2) characters, the term itself included. The SymSpell
+    * candidate signature: lev(a, b) ≤ d implies an alignment whose
+    * matched characters form a common subsequence reachable by ≤ d
+    * deletes on EACH side (subs delete from both, ins/del from one), so
+    * two strings within d edits always share a variant — the
+    * neighborhood is a SOUND candidate filter, turning the edit-distance
+    * join into an equi-join. (A first-char prune is NOT sound: a
+    * substitution at position 0 — "jion"→"lion", dist 1 — changes the
+    * first char.) */
+  private def deleteNeighborhood(name: String, maxDist: Int): Column = {
+    require(maxDist >= 0 && maxDist <= 2,
+      s"delete-neighborhood signatures support maxDist 0..2, got $maxDist")
+    val del1 =
+      s"transform(sequence(1, length($name)), i -> " +
+        s"concat(substring($name, 1, i-1), substring($name, i+1)))"
+    val del2 =
+      s"flatten(transform(sequence(1, length($name)-1), i -> " +
+        s"transform(sequence(i+1, length($name)), j -> " +
+        s"concat(substring($name, 1, i-1), substring($name, i+1, j-i-1), substring($name, j+1)))))"
+    // sequence(1, 0) DESCENDS in Spark — guard every range to nonempty
+    val parts = Seq(s"array($name)") ++
+      (if (maxDist >= 1) Seq(s"if(length($name) >= 1, $del1, array())") else Nil) ++
+      (if (maxDist >= 2) Seq(s"if(length($name) >= 2, $del2, array())") else Nil)
+    expr(s"array_distinct(concat(${parts.mkString(", ")}))")
+  }
+
   /** (q, suggestion, dist, n, rk): spell correction / did-you-mean —
     * top-k vocabulary terms within `maxDist` edits of each (possibly
     * misspelled) query term, ranked by (edit distance, corpus count
-    * desc, term). The candidate join is query-terms × VOCABULARY —
-    * vocabulary-sized, not corpus-sized, so it stays a broadcast
-    * nested loop over a few thousand rows even at 100 TB (the corpus
-    * pass is only the term-count aggregation, map-side combined).
-    * Production engines prune the vocab side with n-gram/BK-tree
-    * indexes; the asymptotics that matter at scale — never touch the
-    * corpus per query — hold already. */
+    * desc, term). Candidates come from a length band (|len(a)−len(b)|
+    * ≤ d is a Levenshtein lower bound) plus a [[deleteNeighborhood]]
+    * signature EQUI-join — the query side's variants are tiny and
+    * broadcast, so the vocabulary streams through a hash join keyed on
+    * the variant string instead of paying a nested-loop levenshtein
+    * against every query; the exact edit distance then verifies
+    * candidates only (candidate → verify, the repo-wide shape). The
+    * corpus pass is still only the term-count aggregation, map-side
+    * combined. */
   def spellCorrect(docs: DataFrame,
                    queries: Seq[String] = Seq("qery", "jion", "streem", "windoow"),
                    maxDist: Int = 2, k: Int = 3): DataFrame = {
@@ -206,10 +235,20 @@ object SearchExtras {
     // the vocabulary is all-lowercase (rawTokens lowercases), so a
     // capitalized typo would pay a spurious case-substitution edit —
     // normalize queries to the vocabulary's case before the join
-    val q = spark.createDataFrame(queries.map(_.toLowerCase).distinct.map(Tuple1(_))).toDF("q")
+    val qNorm = queries.map(_.toLowerCase).distinct
+    require(qNorm.nonEmpty, "spellCorrect needs at least one query term")
+    val q = spark.createDataFrame(qNorm.map(Tuple1(_))).toDF("q")
+    val qSigs = q.select(col("q"), explode(deleteNeighborhood("q", maxDist)).as("sig"))
+    val (lo, hi) = (qNorm.map(_.length).min - maxDist, qNorm.map(_.length).max + maxDist)
+    val cand = vocab
+      .filter(length(col("term")).between(lo, hi))
+      .select(col("term"), col("n"), explode(deleteNeighborhood("term", maxDist)).as("sig"))
+      .join(broadcast(qSigs), Seq("sig"))
+      // a pair can share many variants — one candidate row per (q, term)
+      .select("q", "term", "n").distinct()
     val w = Window.partitionBy("q")
       .orderBy(col("dist").asc, col("n").desc, col("suggestion").asc)
-    vocab.crossJoin(broadcast(q))
+    cand
       .select(col("q"), col("term").as("suggestion"),
         levenshtein(col("q"), col("term")).cast("long").as("dist"), col("n"))
       .filter(col("dist") <= maxDist)

@@ -424,6 +424,69 @@ object Streams {
     spark.read.option("basePath", outRoot).parquet(s"$outRoot/batch-*")
   }
 
+  /** [[serveStream]] for UNBOUNDED sources: the same idempotent
+    * per-batch parquet sink, but the drain stops once at least
+    * `minRows` SOURCE rows have been served (or `timeoutSec` passes)
+    * instead of waiting for source exhaustion — which never comes on a
+    * live feed. Only batch dirs whose write COMPLETED are read back,
+    * so a stop() landing mid-write cannot poison the result with a
+    * partial file. */
+  private def serveStreamUntil(spark: SparkSession, stream: DataFrame, outRoot: String,
+                               minRows: Long, timeoutSec: Int = 60)
+                              (score: DataFrame => DataFrame): DataFrame = {
+    deleteRecursive(spark, outRoot)
+    @volatile var served = 0L
+    val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val sq =
+      stream.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$outRoot/_checkpoint")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val dir = s"$outRoot/batch-$batchId"
+          val n = batch.count()
+          if (n > 0) { // rate ticks can deliver empty batches — skip
+            score(batch.toDF()).write.mode("overwrite").parquet(dir)
+            done.add(dir)
+            served += n
+          }
+          ()
+        }
+        .start()
+    val deadline = System.nanoTime() + timeoutSec * 1e9.toLong
+    try {
+      while (served < minRows && System.nanoTime() < deadline) Thread.sleep(100)
+    } finally sq.stop()
+    require(served >= minRows,
+      s"unbounded source served only $served/$minRows rows in ${timeoutSec}s (sink $outRoot)")
+    import scala.jdk.CollectionConverters._
+    spark.read.option("basePath", outRoot).parquet(done.asScala.toSeq.sorted: _*)
+  }
+
+  /** (bucket, n_events): the serving skeleton fed by the built-in
+    * UNBOUNDED `rate` source — the engine's analogue of the
+    * reference's live socket loop (reference
+    * backup/SocketWindowWordCount.java:80-120, an unbounded text feed
+    * into windowed counts). Each micro-batch buckets the monotonically
+    * increasing `value` column (value % nBuckets — the wordcount
+    * stand-in for a source with no text) and counts; the read-back
+    * sums per bucket. Row count is deterministic (exactly nBuckets
+    * buckets once ≥ minRows consecutive values have flowed) even
+    * though per-bucket totals are wall-clock dependent — hence a
+    * rows-only gate + shape spec, no value oracle. */
+  def rateSmoke(spark: SparkSession, rowsPerSecond: Int = 1000,
+                nBuckets: Int = 10, minRows: Long = 200): DataFrame = {
+    require(minRows >= nBuckets.toLong * 2,
+      s"minRows=$minRows cannot guarantee all $nBuckets buckets appear")
+    val tag = pathTag(s"rate|$rowsPerSecond|$nBuckets|$minRows")
+    val outRoot = sys.props("java.io.tmpdir") + s"/graft_rate_smoke_$tag"
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+    val perBatch = serveStreamUntil(spark, src, outRoot, minRows) { batch =>
+      batch.select((col("value") % nBuckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }
+    perBatch.groupBy("bucket").agg(sum("n").as("n_events"))
+  }
+
   /** (query_id, vec_id, cos, rk): a STREAM of query VECTORS served
     * against the static embedding store — the vector-search sibling of
     * [[searchStream]] (the reference's BMStream serving loop, with the

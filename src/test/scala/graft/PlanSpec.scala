@@ -228,11 +228,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
-  test("spell correct: the vocabulary joins the broadcast query list, corpus scanned once") {
+  test("spell correct: pruned signature equi-join, corpus scanned once") {
     val p = planString(graft.operators.SearchExtras.spellCorrect(Tables.documents(spark, sf)))
     val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
     assert(scans == 1, s"spell correction must scan the corpus once, got $scans")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"query list should broadcast against the vocabulary:\n$p")
+    // the candidate join must be a HASH join on the delete-variant
+    // signature (query variants broadcast), not a nested-loop
+    // levenshtein over the whole vocabulary
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join should be an equi join on sig:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("sig"),
+      s"expected a broadcast hash join keyed on sig:\n$p")
+    // the length band reaches the vocabulary side before the explode
+    assert(p.contains("length(term"), s"length band missing from vocab side:\n$p")
   }
 }

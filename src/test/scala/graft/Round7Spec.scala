@@ -36,6 +36,24 @@ class Round7Spec extends AnyFunSuite {
     assert(Vectors.knnClassifyIvf(noVecs).count() == 0)
   }
 
+  test("POS tokenizer: whitelist keeps exactly the lexicon's matching tags") {
+    val docs = Tables.documents(spark, sf)
+    val all = graft.operators.Bm25.tokenize(docs)
+    val nouns = graft.operators.Bm25.tokenizePos(docs).collect()
+    assert(nouns.nonEmpty)
+    val lex = graft.functions.Text.PosLexicon.toMap
+    assert(nouns.forall(r => Set("n", "nz").contains(r.getString(2))))
+    assert(nouns.forall(r => lex(r.getString(1)) == r.getString(2)))
+    // the whitelist partitions the token stream: every kept token is
+    // accounted for across the four tag families + unknown
+    val counts = Seq(Seq("n", "nz"), Seq("v"), Seq("adj"), Seq("x"))
+      .map(wl => graft.operators.Bm25.tokenizePos(docs, wl).count())
+    assert(counts.sum == all.count())
+    intercept[IllegalArgumentException] {
+      graft.operators.Bm25.tokenizePos(docs, Seq.empty)
+    }
+  }
+
   test("IVF kNN candidate join is an equi join, not a cartesian pair scan") {
     val p = Vectors.knnClassifyIvf(emb).queryExecution.optimizedPlan.toString
     // the train side must join on list_id; the only nested-loop join

@@ -149,6 +149,16 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("rate-source smoke: unbounded feed through the serving skeleton, full bucket domain") {
+    val rows = graft.streaming.Streams.rateSmoke(spark, rowsPerSecond = 2000,
+      nBuckets = 10, minRows = 200).collect()
+    // exactly the bucket domain, every bucket hit, >= minRows total
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    assert(rows.forall(_.getLong(1) >= 1L))
+    assert(rows.map(_.getLong(1)).sum >= 200L)
+  }
+
   test("streaming index ingest: per-batch updates converge to the batch-built index") {
     val base = Files.createTempDirectory("idxingest").toString
     val srcDir = s"$base/src"
