@@ -73,7 +73,14 @@ object Probe {
       time("gopher")(graft.operators.TextAnalysis.gopherRules(d).count())
       time("heavy_hitters")(graft.operators.Sketches.heavyHitters(d).count())
       time("emb_outliers")(graft.operators.Vectors.centroidOutliers(e).count())
-      time("knn_classify")(graft.operators.Vectors.knnClassify(e).count())
+      time("knn_brute")(graft.operators.Vectors.knnClassify(e).count())
+      time("knn_ivf")(graft.operators.Vectors.knnClassifyIvf(e).count())
+      // the production semantic-dedup point: high threshold, 12-bit
+      // buckets (4k buckets/table shrink candidate volume; the gate's
+      // 24x4 recall-floor config is for the low-threshold band)
+      time("dedup_embcos_lsh")(graft.operators.Ann.lshCosinePairs(
+        e, threshold = 0.8, numTables = 32, bitsPerTable = 12).count())
+      time("tokenize_pos")(graft.operators.Bm25.tokenizePos(d).count())
       time("keywords")(graft.operators.TextAnalysis.keywords(d).count())
       time("bigram_lm")(graft.operators.TextAnalysis.bigramLm(d).count())
       time("entropy")(graft.operators.TextAnalysis.tokenEntropy(d).count())
@@ -97,6 +104,40 @@ object Probe {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try spark.table("probe_docs_a").join(spark.table("probe_dl"), "doc_id").count()
         finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+    } else if (args.headOption.contains("scale-tpch")) {
+      // 20x FACT tables (lineitem/orders, order keys offset so joins
+      // still resolve), dimensions kept at sf0.1 — the realistic scale
+      // shape: facts grow, dims don't, per-dim-key fanout rises 20x.
+      val out = "/tmp/scale_tpch"
+      val off = 100000000L
+      def rep(t: String, keys: Seq[String]): Unit = {
+        val base = spark.read.parquet(s"$dir/$t.parquet")
+        (0 until 20).map { i =>
+          keys.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * off)))
+        }.reduce(_ unionByName _).repartition(32)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      rep("lineitem", Seq("l_orderkey"))
+      rep("orders", Seq("o_orderkey"))
+      Seq("region", "nation", "customer", "supplier", "part",
+          "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$dir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      val tpchKeys = Seq(
+        "q_agg", "q_shipping_priority", "q_large_volume", "q_join_multi",
+        "q_above_avg", "q_nation_volume", "q_top_supplier", "q_part_supplier",
+        "q_local_supplier", "q_revenue_forecast", "q_min_cost_supplier",
+        "q_market_share", "q_product_profit", "q_revenue_concentration",
+        "q_late_split", "q_order_distribution", "q_small_qty_revenue",
+        "q_disjunctive_pred", "q_promo_suppliers", "q_waiting_orders",
+        "q_idle_customers", "q_order_priority", "q_returned_items",
+        "q_promo_share", "q_topn", "q_window")
+      tpchKeys.foreach { n =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, out).count()
+        println(f"SCALE-TPCH $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
       }
     } else {
       args.foreach { n =>

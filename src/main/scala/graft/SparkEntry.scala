@@ -54,6 +54,15 @@ object SparkEntry {
     // round-trip the corpus through the engine's own DataSourceV2
     // (text export -> graft-tsv scan); oracle = the documents table
     "q_source_dsv2" -> ((s, dir) => s.read.format("graft-tsv").load(tsvDocsFor(s, dir))),
+    // round trip THROUGH the connector both ways: DSv2 truncate-write
+    // then DSv2 read must reproduce the table (the ref's sink side is
+    // a connector write, MongoTFSink.java:30-60, not a file dump)
+    "q_sink_dsv2" -> ((s, dir) => {
+      val p = sys.props("java.io.tmpdir") + "/graft_dsv2_sink_" + dirTag(dir)
+      Tables.documents(s, dir).select("doc_id", "text")
+        .write.format("graft-tsv").mode("overwrite").save(p)
+      s.read.format("graft-tsv").load(p)
+    }),
     // stage on 80% of the corpus, incrementally ingest the rest, score
     // — must equal full-corpus BM25 (oracle shared with q_bm25_score)
     "q_index_incremental" -> ((s, dir) => {
@@ -729,6 +738,9 @@ object SparkEntry {
       s"WITH $bm25Cte SELECT doc_id, score FROM scored",
     // DSv2 round trip reproduces the table it exported
     "q_source_dsv2" ->
+      "SELECT doc_id, text FROM documents",
+    // connector-write → connector-read round trip, same contract
+    "q_sink_dsv2" ->
       "SELECT doc_id, text FROM documents",
     // BM25+ (Lv & Zhai): plain BM25 term contribution + idf·delta
     "q_bm25_plus" ->
@@ -1697,7 +1709,7 @@ object SparkEntry {
         |SELECT l_suppkey AS suppkey, s_name, rev_micros
         |FROM bysupp, t
         |JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE rev_micros * n_supp * 20 > total_micros * 21""".stripMargin,
+        |WHERE rev_micros::DECIMAL(38,0) * n_supp * 20 > total_micros::DECIMAL(38,0) * 21""".stripMargin,
     "q_late_split" ->
       """SELECT l_linestatus,
         |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,

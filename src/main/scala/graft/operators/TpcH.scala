@@ -141,8 +141,10 @@ object TpcH {
     * fact scans once; the supplier-name join is SF-scaled and left to
     * AQE.
     *
-    * Envelope: rev·n·20 < 2^63 holds to ~10^5 suppliers at ~10^12
-    * micros each — beyond that, pre-divide the total instead. */
+    * The cross-multiplication runs in DECIMAL(38,0): rev·n·20 crosses
+    * 2^63 already at ~10^3 suppliers × ~10^14 micros (the 20× probe
+    * found the BIGINT form overflowing right at that edge); decimal128
+    * keeps the comparison exact on both engines at any SF. */
   def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
     val bySupp = Tables.lineitem(spark, dir)
       .groupBy("l_suppkey")
@@ -150,7 +152,8 @@ object TpcH {
     val total = bySupp.agg(sum("rev_micros").as("total_micros"), count(lit(1)).as("n_supp"))
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     bySupp.crossJoin(broadcast(total))
-      .filter(col("rev_micros") * col("n_supp") * lit(20L) > col("total_micros") * lit(21L))
+      .filter(col("rev_micros").cast("decimal(38,0)") * col("n_supp") * lit(20L) >
+        col("total_micros").cast("decimal(38,0)") * lit(21L))
       .join(s, col("l_suppkey") === s("s_suppkey"))
       .select(col("l_suppkey").as("suppkey"), col("s_name"), col("rev_micros"))
   }

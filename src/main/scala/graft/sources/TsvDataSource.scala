@@ -6,9 +6,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -19,10 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * backslash escaping of tab/newline/CR — see
   * [[Sinks.textExport]]; the scale-safe replacement for the
   * reference's one-file-per-doc output/{pid}.txt —
-  * backup/BMStream.java:30-35). Demonstrates the engine's SOURCE
-  * extension point end-to-end: TableProvider → ScanBuilder with
+  * backup/BMStream.java:30-35). Demonstrates the engine's SOURCE and
+  * SINK extension points end-to-end: TableProvider → ScanBuilder with
   * COLUMN-PRUNING pushdown → per-file input partitions → InternalRow
-  * readers.
+  * readers, and WriteBuilder (truncate-capable) → per-task hidden
+  * temp files → driver-side rename commit.
   *
   * Scale shape: one InputPartition per file (the export writes many
   * splittable files, so parallelism = file count); column pruning is
@@ -46,6 +48,32 @@ object TsvTable {
   val Schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = true)))
+
+  /** [[Sinks.textExport]]'s escaping, writer-side: backslash first,
+    * then tab/newline/CR — the exact inverse of [[unescape]]. */
+  def escape(s: String): String = {
+    var needs = false
+    var i = 0
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      needs = c == '\\' || c == '\t' || c == '\n' || c == '\r'
+      i += 1
+    }
+    if (!needs) return s
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Reverse [[Sinks.textExport]]'s escaping in one linear scan. */
   def unescape(s: String): String = {
@@ -82,13 +110,102 @@ object TsvTable {
   }
 }
 
-class TsvTable(path: String) extends Table with SupportsRead {
+class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-tsv($path)"
   override def schema(): StructType = TsvTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TsvWriteBuilder(path, info.schema())
+}
+
+/** Batch write through the connector — the sink side of the
+  * extension point (the reference writes through connector sinks,
+  * MongoTFSink.java:1-64; here the store is the engine's own escaped
+  * TSV layout, so DSv2 write → DSv2 read round-trips losslessly).
+  *
+  * Commit protocol: every task writes a DOT-PREFIXED temp file (the
+  * read path skips hidden files, so in-flight writes are invisible);
+  * the driver-side commit renames the one winning attempt per
+  * partition to its visible name — and, for truncate (SaveMode
+  * .Overwrite), deletes the previous generation's visible files
+  * first. Task retries/speculation are safe: only the attempt whose
+  * commit message reaches BatchWrite.commit is renamed, the rest are
+  * swept by abort or the next truncate. */
+class TsvWriteBuilder(path: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val names = schema.fields.map(f => f.name -> f.dataType).toSeq
+    require(names == Seq("doc_id" -> LongType, "text" -> StringType),
+      s"graft-tsv writes exactly (doc_id BIGINT, text STRING); got " +
+        schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+    new TsvWrite(path, doTruncate)
+  }
+}
+
+case class TsvCommitMessage(tmpFile: String, finalFile: String) extends WriterCommitMessage
+
+class TsvWrite(path: String, doTruncate: Boolean) extends Write with BatchWrite {
+  // job-unique suffix: APPEND generations must not collide on the
+  // per-partition file name (same partition id, different job)
+  private val jobTag = util.UUID.randomUUID().toString.take(8)
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new TsvWriterFactory(path, jobTag, TsvTable.confEntries())
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    if (doTruncate && fs.exists(p))
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isFile && !n.startsWith(".") && !n.startsWith("_")) fs.delete(s.getPath, false)
+      }
+    messages.foreach { case TsvCommitMessage(tmp, fin) =>
+      val dst = new Path(fin)
+      fs.delete(dst, false) // a stale same-name file must not block rename
+      require(fs.rename(new Path(tmp), dst), s"commit rename failed: $tmp -> $fin")
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case TsvCommitMessage(tmp, _) => fs.delete(new Path(tmp), false)
+      case _ => ()
+    }
+  }
+}
+
+class TsvWriterFactory(path: String, jobTag: String, confEntries: Seq[(String, String)])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      // hidden while in flight; the final name is (job, partition) —
+      // one winner per partition per job reaches commit, and appended
+      // generations never collide across jobs
+      private val tmp = new Path(path, s".tmp-part-$jobTag-$partitionId-$taskId.tsv")
+      private val fin = new Path(path, f"part-$jobTag-$partitionId%05d.tsv")
+      private val fs = tmp.getFileSystem(TsvTable.confFrom(confEntries))
+      private val out = fs.create(tmp, true)
+      override def write(row: InternalRow): Unit = {
+        val sb = new java.lang.StringBuilder
+        sb.append(row.getLong(0))
+        if (!row.isNullAt(1)) sb.append('\t').append(TsvTable.escape(row.getUTF8String(1).toString))
+        sb.append('\n')
+        out.write(sb.toString.getBytes("UTF-8"))
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        TsvCommitMessage(tmp.toString, fin.toString)
+      }
+      override def abort(): Unit = { out.close(); fs.delete(tmp, false); () }
+      override def close(): Unit = ()
+    }
 }
 
 class TsvScanBuilder(path: String) extends ScanBuilder

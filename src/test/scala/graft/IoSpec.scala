@@ -255,6 +255,41 @@ class IoSpec extends AnyFunSuite {
     assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
   }
 
+  test("graft-tsv DSv2 WRITE: connector round trip, truncate overwrite, append") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "plain text"),
+      (2L, "tab\there and\nnewline"),
+      (3L, "back\\slash \\t literal"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = tmpDir("dsv2w") + "/docs"
+    tricky.write.format("graft-tsv").mode("overwrite").save(out)
+    val back = spark.read.format("graft-tsv").load(out)
+    assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
+    // overwrite truncates the previous generation, not doubles it
+    tricky.write.format("graft-tsv").mode("overwrite").save(out)
+    assert(spark.read.format("graft-tsv").load(out).count() == 4)
+    // append keeps both generations
+    val more = Seq((9L, "appended")).toDF("doc_id", "text")
+    more.write.format("graft-tsv").mode("append").save(out)
+    assert(spark.read.format("graft-tsv").load(out).count() == 5)
+    // no hidden temp files left behind
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith(".tmp-")))
+    // the fixed layout rejects any other schema loudly
+    intercept[Exception] {
+      Seq((1L, "x", 2L)).toDF("doc_id", "text", "extra")
+        .write.format("graft-tsv").mode("append").save(out)
+    }
+  }
+
+  test("graft-tsv DSv2 write round-trips the real corpus against the parquet original") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val out = tmpDir("dsv2wrt") + "/docs"
+    docs.write.format("graft-tsv").mode("overwrite").save(out)
+    val back = spark.read.format("graft-tsv").load(out)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("z-order layout keeps per-file ranges narrow on BOTH dimensions") {
     val li = Tables.lineitem(spark, sf).select("l_extendedprice", "l_quantity")
     def spreads(path: String): Map[String, Double] = {
