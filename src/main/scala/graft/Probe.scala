@@ -105,6 +105,15 @@ object Probe {
         try spark.table("probe_docs_a").join(spark.table("probe_dl"), "doc_id").count()
         finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       }
+    } else if (args.headOption.contains("knn-probe")) {
+      // quick re-measure on the staged 20x tables (run "scale" first)
+      val e = spark.read.parquet("/tmp/scale/embeddings.parquet")
+      def time(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"SCALE $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      }
+      time("knn_brute")(graft.operators.Vectors.knnClassify(e).count())
+      time("knn_ivf")(graft.operators.Vectors.knnClassifyIvf(e).count())
     } else if (args.headOption.contains("scale-tpch")) {
       // 20x FACT tables (lineitem/orders, order keys offset so joins
       // still resolve), dimensions kept at sf0.1 — the realistic scale

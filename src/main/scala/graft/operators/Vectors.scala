@@ -97,18 +97,31 @@ object Vectors {
     * exactly one list, so no candidate dedup pass is needed.
     *
     * The OUTPUT is EXACT unconditionally (same oracle as
-    * [[knnClassify]]): pass 1 scans the nProbe nearest lists and takes
-    * the running kth-best distance d_k; pass 2 rescans ONLY lists whose
-    * ball bound says they could still hold something closer —
-    * d(q, c_L) − r_L ≤ d_k with r_L the list radius (a train point x
-    * in L has d(q,x) ≥ d(q,c_L) − r_L by the triangle inequality, so a
-    * list failing the bound cannot improve the answer; the bound check
-    * runs with a conservative FP slack, which can only ADD candidates).
-    * On clustered corpora pass 2 prunes to nearly nothing; on
-    * adversarial (near-uniform) data it degrades toward a full scan of
-    * the lists — exactness is never traded, only scan fraction. FP
-    * wobble in quantizer training moves bucket boundaries and hence
-    * cost, never the result. */
+    * [[knnClassify]]), by composing three exact reductions:
+    *
+    * 1. EXACT-DUPLICATE COLLAPSE on BOTH sides (the
+    *    [[Dedup.dropDuplicates]] shape applied to geometry): distances
+    *    depend only on the vector value, so one representative per
+    *    DISTINCT train vector does all the distance work (copy groups
+    *    expand back just before the final (d2, nb_id) rank — the k-th
+    *    expanded distance comes from a running sum of group sizes, and
+    *    every representative at or below it expands, a superset of the
+    *    true top-k resolved by the final window); and one
+    *    representative per distinct TEST vector computes the vote,
+    *    which is value-determined, joined back to every copy at the
+    *    end. On duplicate-heavy corpora (the realistic dedup-pipeline
+    *    input) this divides pair work by the SQUARE of the copy
+    *    factor; on duplicate-free data it costs two hash aggregates.
+    * 2. IVF pass 1: scan the nProbe nearest inverted lists of
+    *    representatives → running k-th expanded distance d_k.
+    * 3. Ball-bound pass 2: rescan ONLY lists with d(q, c_L) − r_L ≤
+    *    d_k (triangle inequality: no member of a failing list can beat
+    *    d_k; the check carries a conservative FP slack, which can only
+    *    ADD candidates). Clustered data prunes to nearly nothing;
+    *    near-uniform data degrades toward a full scan of the
+    *    REPRESENTATIVES — exactness is never traded, only scan
+    *    fraction. FP wobble in quantizer training moves bucket
+    *    boundaries and hence cost, never the result. */
   def knnClassifyIvf(embeddings: DataFrame, k: Int = 5, testMod: Int = 10,
                      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -121,74 +134,104 @@ object Vectors {
       .withColumn("n2", dotc(col("mv"), col("mv")))
     val test = e.filter(col("vec_id") % testMod === 0)
       .select(col("vec_id"), col("label").as("true_label"), col("mv").as("qa"), col("n2").as("qa2"))
+    // test-side collapse: the vote is a function of the vector value
+    // alone — one representative per distinct test vector computes it
+    val testReps = test.groupBy("qa").agg(min("vec_id").as("tid"), min("qa2").as("qa2r"))
+    val q = testReps.select(col("tid").as("vec_id"), col("qa"), col("qa2r").as("qa2"))
     val train = e.filter(col("vec_id") % testMod =!= 0)
+      .select(col("vec_id").as("nb_id"), col("label").as("nb_label"), col("mv"), col("n2"))
+    // 1. collapse exact-duplicate train vectors; reps carry the group
+    // size for expanded-rank arithmetic. localCheckpoint: reps feed
+    // the quantizer fit, assignment, radii and both scan passes.
+    val reps = train.groupBy("mv")
+      .agg(min("nb_id").as("rep_id"), min("n2").as("qb2"), count(lit(1)).as("grp_n"))
+      .localCheckpoint()
+    val members = train.join(reps.select(col("mv"), col("rep_id")), Seq("mv"))
+      .select("rep_id", "nb_id", "nb_label")
     // quantizer trained on a deterministic ~200-per-centroid sample of
-    // the train side (training on the full corpus would be an extra
-    // full pass — the sample is the 100 TB norm)
-    val feats = train.select(col("vec_id"), array_to_vector(col("mv")).as("features"))
-    val n = feats.count()
+    // the representatives (training on the full corpus would be an
+    // extra full pass — the sample is the 100 TB norm)
+    val n = reps.count()
     // no train vectors → no neighbors (the brute-force contract);
     // KMeans cannot fit on an empty set
     if (n == 0)
       return test.select(col("vec_id"), col("true_label").cast("long").as("true_label"),
         lit(0L).as("predicted_label"), lit(0L).as("n_votes")).limit(0)
+    val feats = reps.select(col("rep_id"), array_to_vector(col("mv")).as("features"))
     val frac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
     val fitSet = if (frac < 1.0) feats.sample(withReplacement = false, frac, seed = 7L) else feats
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(fitSet)
-    // one assign pass; a train vector lives in exactly ONE list, so
-    // (test, train) candidate pairs are structurally unique — no dedup.
-    // localCheckpoint: feeds both scan passes (separate jobs).
-    val trainLists = model.transform(
-      train.withColumn("features", array_to_vector(col("mv"))))
-      .select(col("prediction").as("list_id"), col("vec_id").as("nb_id"),
-        col("label").as("nb_label"), col("mv").as("qb"), col("n2").as("qb2"))
+    // one assign pass; a representative lives in exactly ONE list, so
+    // (test, rep) candidate pairs are structurally unique — no dedup
+    val repLists = model.transform(
+      reps.withColumn("features", array_to_vector(col("mv"))))
+      .select(col("prediction").as("list_id"), col("rep_id"),
+        col("mv").as("vr"), col("qb2"), col("grp_n"))
       .localCheckpoint()
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list_id", "cv")
       .withColumn("c2", dotc(col("cv"), col("cv")))
     // list radii: max member distance to own centroid — nLists rows
-    val radii = trainLists.join(broadcast(cents), Seq("list_id"))
+    val radii = repLists.join(broadcast(cents), Seq("list_id"))
       .select(col("list_id"),
         sqrt(greatest(lit(0.0), col("qb2") + col("c2") -
-          lit(2.0) * dotc(col("qb"), col("cv")))).as("rx"))
+          lit(2.0) * dotc(col("vr"), col("cv")))).as("rx"))
       .groupBy("list_id").agg(max("rx").as("r"))
     val centsR = cents.join(radii, Seq("list_id"))
-    // every (test vector, list) with centroid distance — test × nLists,
-    // centroid table broadcast, pure map stage
-    val qc = test.crossJoin(broadcast(centsR))
+    // every (test representative, list) with centroid distance —
+    // reps × nLists, centroid table broadcast, pure map stage
+    val qc = q.crossJoin(broadcast(centsR))
       .withColumn("cd2", greatest(lit(0.0), col("qa2") + col("c2") -
         lit(2.0) * dotc(col("qa"), col("cv"))))
-      .select(col("vec_id"), col("true_label"), col("qa"), col("qa2"),
+      .select(col("vec_id"), col("qa"), col("qa2"),
         col("list_id"), col("cd2"), col("r"))
     val d2 = (col("qa2") + col("qb2") -
-      lit(2.0) * dotc(col("qa"), col("qb"))).cast("long")
-    val wNbr = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("nb_id").asc)
+      lit(2.0) * dotc(col("qa"), col("vr"))).cast("long")
+    // running EXPANDED count in (d2, rep_id) order; the k-th expanded
+    // distance is the smallest d2 whose running group-size sum reaches k
+    val wCum = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("rep_id").asc)
+    val wAll = Window.partitionBy("vec_id")
     val wProbe = Window.partitionBy("vec_id").orderBy(col("cd2").asc, col("list_id").asc)
-    // pass 1: nProbe nearest lists → running kth-best distance
+    // 2. pass 1: nProbe nearest lists → preliminary k-th expanded distance
     val probes1 = qc.withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("vec_id"), col("qa"), col("qa2"), col("list_id"))
-    val stats1 = probes1.join(trainLists, Seq("list_id"))
+    val stats1 = probes1.join(repLists, Seq("list_id"))
       .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(wNbr)).filter(col("rk") <= k)
-      .groupBy("vec_id").agg(max("d2").as("kd2"), count(lit(1)).as("cnt"))
-    // pass 2: every list the ball bound cannot exclude (always a
-    // superset of the lists holding the true top-k)
+      .withColumn("cum", sum("grp_n").over(wCum))
+      .groupBy("vec_id")
+      .agg(min(when(col("cum") >= k, col("d2"))).as("kd2"), sum("grp_n").as("cnt"))
+    // 3. pass 2: every list the ball bound cannot exclude (always a
+    // superset of the lists holding the true top-k members)
     val keep = qc.join(stats1, Seq("vec_id"), "left")
-      .filter(col("cnt").isNull || col("cnt") < k ||
+      .filter(col("kd2").isNull || col("cnt") < k ||
         sqrt(col("cd2")) - col("r") <= sqrt(col("kd2").cast("double")) + lit(1e-6))
-      .select(col("vec_id"), col("true_label"), col("qa"), col("qa2"), col("list_id"))
-    val neighbors = keep.join(trainLists, Seq("list_id"))
+      .select(col("vec_id"), col("qa"), col("qa2"), col("list_id"))
+    val candReps = keep.join(repLists, Seq("list_id"))
       .withColumn("d2", d2)
+      .withColumn("cum", sum("grp_n").over(wCum))
+      .withColumn("kd2", min(when(col("cum") >= k, col("d2"))).over(wAll))
+      // reps at or below the k-th expanded distance (all of them when
+      // the whole train side holds fewer than k members)
+      .filter(col("kd2").isNull || col("d2") <= col("kd2"))
+      .select(col("vec_id"), col("rep_id"), col("d2"))
+    // expand the surviving copy groups and rank members exactly
+    val wNbr = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("nb_id").asc)
+    val neighbors = candReps.join(members, Seq("rep_id"))
       .withColumn("rk", row_number().over(wNbr))
       .filter(col("rk") <= k)
     val wVote = Window.partitionBy("vec_id").orderBy(col("n_votes").desc, col("nb_label").asc)
-    neighbors.groupBy("vec_id", "true_label", "nb_label")
+    val repVotes = neighbors.groupBy("vec_id", "nb_label")
       .agg(count(lit(1)).as("n_votes"))
       .withColumn("vr", row_number().over(wVote))
       .filter(col("vr") === 1)
-      .select(col("vec_id"), col("true_label").cast("long").as("true_label"),
+      .select(col("vec_id").as("tid"),
         col("nb_label").cast("long").as("predicted_label"), col("n_votes"))
+    // fan the value-determined vote back out to every test copy
+    test.join(testReps.select(col("qa"), col("tid")), Seq("qa"))
+      .join(repVotes, Seq("tid"))
+      .select(col("vec_id"), col("true_label").cast("long").as("true_label"),
+        col("predicted_label"), col("n_votes"))
   }
 
   /** (vec_id, dim_idx, unit): L2-normalized embeddings, exploded —
