@@ -114,6 +114,9 @@ object Probe {
       }
       time("knn_brute")(graft.operators.Vectors.knnClassify(e).count())
       time("knn_ivf")(graft.operators.Vectors.knnClassifyIvf(e).count())
+      time("dedup_embcos_lsh")(graft.operators.Ann.lshCosinePairs(
+        e, threshold = 0.8, numTables = 32, bitsPerTable = 12).count())
+      time("dedup_embcos_brute")(graft.operators.Ann.cosinePairs(e, 0.8).count())
     } else if (args.headOption.contains("scale-tpch")) {
       // 20x FACT tables (lineitem/orders, order keys offset so joins
       // still resolve), dimensions kept at sf0.1 — the realistic scale

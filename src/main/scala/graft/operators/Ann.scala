@@ -149,7 +149,11 @@ object Ann {
     val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     val tableBuckets = (0 until numTables).map { t =>
       val bits = (0 until bitsPerTable).map { j =>
-        val plane = array(w(t * bitsPerTable + j).map(lit): _*)
+        // ONE literal node per plane (typedlit of the whole array):
+        // 64 element-wise lit()s per plane once put a many-table
+        // bucketing past the codegen method limit and the whole map
+        // stage fell back to interpreted evaluation
+        val plane = typedlit(w(t * bitsPerTable + j).toSeq)
         when(dot(v, plane) > lit(0.0), lit("1")).otherwise(lit("0"))
       }
       struct(lit(t).as("t"), concat(bits: _*).as("bucket"))
