@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,21 +132,31 @@ object Vectors {
     val e = embeddings.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))").as("mv"))
       .withColumn("n2", dotc(col("mv"), col("mv")))
+    // collapse key: md5 of the exactly-formatted vector — injective
+    // (Double.toString round-trips and ',' cannot occur inside it), so
+    // groups are precisely the equal-value classes, and the shuffle
+    // key is 16 bytes instead of the 512-byte array itself
+    def vkey(c: Column): Column = md5(concat_ws(",", c))
     val test = e.filter(col("vec_id") % testMod === 0)
       .select(col("vec_id"), col("label").as("true_label"), col("mv").as("qa"), col("n2").as("qa2"))
+      .withColumn("tkey", vkey(col("qa")))
     // test-side collapse: the vote is a function of the vector value
     // alone — one representative per distinct test vector computes it
-    val testReps = test.groupBy("qa").agg(min("vec_id").as("tid"), min("qa2").as("qa2r"))
-    val q = testReps.select(col("tid").as("vec_id"), col("qa"), col("qa2r").as("qa2"))
+    val testReps = test.groupBy("tkey")
+      .agg(min("vec_id").as("tid"), min("qa").as("qar"), min("qa2").as("qa2r"))
+    val q = testReps.select(col("tid").as("vec_id"), col("qar").as("qa"), col("qa2r").as("qa2"))
     val train = e.filter(col("vec_id") % testMod =!= 0)
       .select(col("vec_id").as("nb_id"), col("label").as("nb_label"), col("mv"), col("n2"))
+      .withColumn("vkey", vkey(col("mv")))
     // 1. collapse exact-duplicate train vectors; reps carry the group
     // size for expanded-rank arithmetic. localCheckpoint: reps feed
     // the quantizer fit, assignment, radii and both scan passes.
-    val reps = train.groupBy("mv")
-      .agg(min("nb_id").as("rep_id"), min("n2").as("qb2"), count(lit(1)).as("grp_n"))
+    val reps = train.groupBy("vkey")
+      .agg(min("nb_id").as("rep_id"), min("mv").as("mv0"), min("n2").as("qb2"),
+        count(lit(1)).as("grp_n"))
+      .withColumnRenamed("mv0", "mv")
       .localCheckpoint()
-    val members = train.join(reps.select(col("mv"), col("rep_id")), Seq("mv"))
+    val members = train.join(reps.select(col("vkey"), col("rep_id")), Seq("vkey"))
       .select("rep_id", "nb_id", "nb_label")
     // quantizer trained on a deterministic ~200-per-centroid sample of
     // the representatives (training on the full corpus would be an
@@ -228,7 +238,7 @@ object Vectors {
       .select(col("vec_id").as("tid"),
         col("nb_label").cast("long").as("predicted_label"), col("n_votes"))
     // fan the value-determined vote back out to every test copy
-    test.join(testReps.select(col("qa"), col("tid")), Seq("qa"))
+    test.join(testReps.select(col("tkey"), col("tid")), Seq("tkey"))
       .join(repVotes, Seq("tid"))
       .select(col("vec_id"), col("true_label").cast("long").as("true_label"),
         col("predicted_label"), col("n_votes"))
