@@ -22,4 +22,6 @@ object Native {
     GraftShims.column(SegmentWords(GraftShims.expression(text), GraftShims.expression(dict)))
   def bucket(value: Column, cuts: Array[Double]): Column =
     GraftShims.column(EquiDepthBucket(GraftShims.expression(value), cuts))
+  def hyperplaneBuckets(vec: Column, numTables: Int, bitsPerTable: Int): Column =
+    GraftShims.column(HyperplaneBuckets(GraftShims.expression(vec), numTables, bitsPerTable))
 }

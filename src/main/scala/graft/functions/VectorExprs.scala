@@ -219,6 +219,18 @@ object GraftHashing {
     (Array.tabulate(numPerm)(p => h(s"a$p", (1L << 30) - 1)),
      Array.tabulate(numPerm)(p => h(s"b$p", (1L << 30) - 1)))
   }
+
+  /** md5-derived hyperplane weights for cosine LSH: plane p, dims
+    * 1..dims → uniform[-0.5, 0.5]. Deterministic and tiny; shared by
+    * [[HyperplaneBuckets]] and any oracle that needs the literals. */
+  def planeWeights(numPlanes: Int, dims: Int = 64): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dims) { (p, i0) =>
+      val hex = md.digest(s"${p}_${i0 + 1}".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
 }
 
 /** `graft_minhash(words, n, numPerm)`: the full MinHash signature of a
@@ -293,6 +305,107 @@ case class MinHashWords(child: Expression, n: Int, numPerm: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_minhash"
+}
+
+/** `HyperplaneBuckets(vec, numTables, bitsPerTable)`: ALL cosine-LSH
+  * table buckets of an embedding in ONE native pass — for table t,
+  * bit j is the sign of vec · plane(t·bits+j) over the md5-derived
+  * [[GraftHashing.planeWeights]], packed as a "0101" string per
+  * table. Replaces numTables×bitsPerTable separate dot-expression
+  * trees (each one re-walking the array, and at production plane
+  * counts blowing the expression tree far past codegen limits) with a
+  * single loop that reads each element once and advances every
+  * plane's accumulator. Output is indexed by table: element t IS
+  * table t's bucket (posexplode recovers (t, bucket)).
+  *
+  * Exact semantics of the expression-tree form it replaces: elements
+  * cast to double before multiplying; a vector whose length differs
+  * from the planes' 64 dims, or with any null element, gets the
+  * all-zero bucket in every table (the dot is NULL there, and
+  * NULL > 0 is false); a NULL vector yields NULL (callers explode, so
+  * such rows drop out of the bucket relation). */
+case class HyperplaneBuckets(child: Expression, numTables: Int, bitsPerTable: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(numTables > 0 && bitsPerTable > 0,
+    s"graft_hyperplane_buckets needs positive table/bit counts, got $numTables x $bitsPerTable")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hyperplane_buckets requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val w: Array[Array[Double]] =
+    GraftHashing.planeWeights(numTables * bitsPerTable)
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType == ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false) ||
+      child.dataType == ArrayType(org.apache.spark.sql.types.FloatType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val dims = w(0).length
+    var degenerate = n != dims
+    if (!degenerate) {
+      var i = 0
+      while (i < n && !degenerate) { degenerate = v.isNullAt(i); i += 1 }
+    }
+    val nPlanes = numTables * bitsPerTable
+    val signs = new Array[Boolean](nPlanes)
+    if (!degenerate) {
+      // copy the input once into the per-task scratch, then run each
+      // plane's dot over plain arrays (sequential fold order — the
+      // exact FP sum the dot-expression form produced)
+      var i = 0
+      while (i < dims) {
+        xbuf(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        i += 1
+      }
+      var p = 0
+      while (p < nPlanes) {
+        val wp = w(p)
+        var s = 0.0
+        i = 0
+        while (i < dims) { s += xbuf(i) * wp(i); i += 1 }
+        signs(p) = s > 0.0
+        p += 1
+      }
+    }
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](numTables)
+    val sb = new java.lang.StringBuilder(bitsPerTable)
+    var t = 0
+    while (t < numTables) {
+      sb.setLength(0)
+      var j = 0
+      while (j < bitsPerTable) {
+        sb.append(if (signs(t * bitsPerTable + j)) '1' else '0')
+        j += 1
+      }
+      out(t) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
+  // per-instance scratch: one allocation per task, not per row
+  @transient private lazy val xbuf: Array[Double] = new Array[Double](w(0).length)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hyperplane_buckets"
 }
 
 /** `graft_simhash(words)`: 60-bit tf-weighted SimHash of a document

@@ -125,42 +125,21 @@ object Ann {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
   }
 
-  /** md5-derived hyperplane weights: plane p, dims 1..64 →
-    * uniform[-0.5, 0.5]. Deterministic, tiny (numPlanes × 64 doubles)
-    * → computed on the driver and inlined as plan literals. */
-  private def planeWeights(numPlanes: Int, dims: Int = 64): Array[Array[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(numPlanes, dims) { (p, i0) =>
-      val hex = md.digest(s"${p}_${i0 + 1}".getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
-    }
-  }
-
   /** (vec_id, t, bucket): random-hyperplane LSH — `numTables` tables
     * of `bitsPerTable` sign bits each (OR-amplification). With cosine
     * c, P(table hit) = (1 - acos(c)/pi)^bits; 8 tables × 4 bits gives
     * ~0.7 recall at c≈0.35 while scanning ~1/3 of the corpus. Pure map
-    * stage: each row's buckets come from dot products against literal
-    * planes — no join, no shuffle. */
+    * stage — no join, no shuffle: ALL table buckets come from the
+    * fused native [[graft.functions.HyperplaneBuckets]] expression
+    * (one pass over the vector, md5-derived planes baked in; the
+    * previous per-plane dot-expression forest blew past codegen
+    * limits at production plane counts and ran interpreted). A NULL
+    * embedding yields no bucket rows. */
   def lshBuckets(embeddings: DataFrame,
-                 numTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
-    val w = planeWeights(numTables * bitsPerTable)
-    val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    val tableBuckets = (0 until numTables).map { t =>
-      val bits = (0 until bitsPerTable).map { j =>
-        // ONE literal node per plane (typedlit of the whole array):
-        // 64 element-wise lit()s per plane once put a many-table
-        // bucketing past the codegen method limit and the whole map
-        // stage fell back to interpreted evaluation
-        val plane = typedlit(w(t * bitsPerTable + j).toSeq)
-        when(dot(v, plane) > lit(0.0), lit("1")).otherwise(lit("0"))
-      }
-      struct(lit(t).as("t"), concat(bits: _*).as("bucket"))
-    }
-    embeddings.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-  }
+                 numTables: Int = 8, bitsPerTable: Int = 4): DataFrame =
+    embeddings.select(col("vec_id"),
+      posexplode(graft.functions.Native.hyperplaneBuckets(
+        col("embedding"), numTables, bitsPerTable)).as(Seq("t", "bucket")))
 
   /** (vec_id, cos): LSH-approximated top-k neighbors of `queryId` —
     * candidates = vectors sharing any table bucket with the query,
