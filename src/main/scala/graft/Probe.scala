@@ -113,7 +113,8 @@ object Probe {
         println(f"SCALE $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
       }
       time("knn_brute")(graft.operators.Vectors.knnClassify(e).count())
-      time("knn_ivf")(graft.operators.Vectors.knnClassifyIvf(e).count())
+      time("knn_adaptive")(graft.operators.Vectors.knnClassifyIvf(e).count())
+      time("knn_ivf_forced")(graft.operators.Vectors.knnClassifyIvf(e, minIvfReps = 0L).count())
       time("dedup_embcos_lsh")(graft.operators.Ann.lshCosinePairs(
         e, threshold = 0.8, numTables = 32, bitsPerTable = 12).count())
       time("dedup_embcos_brute")(graft.operators.Ann.cosinePairs(e, 0.8).count())

@@ -121,9 +121,16 @@ object Vectors {
     *    near-uniform data degrades toward a full scan of the
     *    REPRESENTATIVES — exactness is never traded, only scan
     *    fraction. FP wobble in quantizer training moves bucket
-    *    boundaries and hence cost, never the result. */
+    *    boundaries and hence cost, never the result.
+    *
+    * Below `minIvfReps` DISTINCT train vectors the quantizer fit plus
+    * two scan passes cost more than they save — the candidate stage
+    * then scores every (test-rep, train-rep) pair directly (reps are
+    * broadcastable at that size) through the same exact expanded-rank
+    * selection. Specs force the IVF path with `minIvfReps = 0`. */
   def knnClassifyIvf(embeddings: DataFrame, k: Int = 5, testMod: Int = 10,
-                     nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+                     nLists: Int = 16, nProbe: Int = 4,
+                     minIvfReps: Long = 4096L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
@@ -167,34 +174,6 @@ object Vectors {
     if (n == 0)
       return test.select(col("vec_id"), col("true_label").cast("long").as("true_label"),
         lit(0L).as("predicted_label"), lit(0L).as("n_votes")).limit(0)
-    val feats = reps.select(col("rep_id"), array_to_vector(col("mv")).as("features"))
-    val frac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
-    val fitSet = if (frac < 1.0) feats.sample(withReplacement = false, frac, seed = 7L) else feats
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(fitSet)
-    // one assign pass; a representative lives in exactly ONE list, so
-    // (test, rep) candidate pairs are structurally unique — no dedup
-    val repLists = model.transform(
-      reps.withColumn("features", array_to_vector(col("mv"))))
-      .select(col("prediction").as("list_id"), col("rep_id"),
-        col("mv").as("vr"), col("qb2"), col("grp_n"))
-      .localCheckpoint()
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list_id", "cv")
-      .withColumn("c2", dotc(col("cv"), col("cv")))
-    // list radii: max member distance to own centroid — nLists rows
-    val radii = repLists.join(broadcast(cents), Seq("list_id"))
-      .select(col("list_id"),
-        sqrt(greatest(lit(0.0), col("qb2") + col("c2") -
-          lit(2.0) * dotc(col("vr"), col("cv")))).as("rx"))
-      .groupBy("list_id").agg(max("rx").as("r"))
-    val centsR = cents.join(radii, Seq("list_id"))
-    // every (test representative, list) with centroid distance —
-    // reps × nLists, centroid table broadcast, pure map stage
-    val qc = q.crossJoin(broadcast(centsR))
-      .withColumn("cd2", greatest(lit(0.0), col("qa2") + col("c2") -
-        lit(2.0) * dotc(col("qa"), col("cv"))))
-      .select(col("vec_id"), col("qa"), col("qa2"),
-        col("list_id"), col("cd2"), col("r"))
     val d2 = (col("qa2") + col("qb2") -
       lit(2.0) * dotc(col("qa"), col("vr"))).cast("long")
     // running EXPANDED count in (d2, rep_id) order; the k-th expanded
@@ -202,23 +181,62 @@ object Vectors {
     val wCum = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("rep_id").asc)
     val wAll = Window.partitionBy("vec_id")
     val wProbe = Window.partitionBy("vec_id").orderBy(col("cd2").asc, col("list_id").asc)
-    // 2. pass 1: nProbe nearest lists → preliminary k-th expanded distance
-    val probes1 = qc.withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
-      .select(col("vec_id"), col("qa"), col("qa2"), col("list_id"))
-    val stats1 = probes1.join(repLists, Seq("list_id"))
-      .withColumn("d2", d2)
-      .withColumn("cum", sum("grp_n").over(wCum))
-      .groupBy("vec_id")
-      .agg(min(when(col("cum") >= k, col("d2"))).as("kd2"), sum("grp_n").as("cnt"))
-    // 3. pass 2: every list the ball bound cannot exclude (always a
-    // superset of the lists holding the true top-k members)
-    val keep = qc.join(stats1, Seq("vec_id"), "left")
-      .filter(col("kd2").isNull || col("cnt") < k ||
-        sqrt(col("cd2")) - col("r") <= sqrt(col("kd2").cast("double")) + lit(1e-6))
-      .select(col("vec_id"), col("qa"), col("qa2"), col("list_id"))
-    val candReps = keep.join(repLists, Seq("list_id"))
-      .withColumn("d2", d2)
+    // (vec_id, rep_id, d2) candidate rep pairs, guaranteed to cover the
+    // true top-k expanded members of every test representative
+    val pairs: DataFrame =
+      if (n < minIvfReps) {
+        // small-reps path: the whole rep table broadcasts; scoring all
+        // pairs directly beats paying the quantizer fit + two passes
+        q.crossJoin(broadcast(reps.select(col("rep_id"),
+            col("mv").as("vr"), col("qb2"), col("grp_n"))))
+          .withColumn("d2", d2)
+      } else {
+        val feats = reps.select(col("rep_id"), array_to_vector(col("mv")).as("features"))
+        val frac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
+        val fitSet = if (frac < 1.0) feats.sample(withReplacement = false, frac, seed = 7L) else feats
+        val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(fitSet)
+        // one assign pass; a representative lives in exactly ONE list, so
+        // (test, rep) candidate pairs are structurally unique — no dedup
+        val repLists = model.transform(
+          reps.withColumn("features", array_to_vector(col("mv"))))
+          .select(col("prediction").as("list_id"), col("rep_id"),
+            col("mv").as("vr"), col("qb2"), col("grp_n"))
+          .localCheckpoint()
+        val cents = model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list_id", "cv")
+          .withColumn("c2", dotc(col("cv"), col("cv")))
+        // list radii: max member distance to own centroid — nLists rows
+        val radii = repLists.join(broadcast(cents), Seq("list_id"))
+          .select(col("list_id"),
+            sqrt(greatest(lit(0.0), col("qb2") + col("c2") -
+              lit(2.0) * dotc(col("vr"), col("cv")))).as("rx"))
+          .groupBy("list_id").agg(max("rx").as("r"))
+        val centsR = cents.join(radii, Seq("list_id"))
+        // every (test representative, list) with centroid distance —
+        // reps × nLists, centroid table broadcast, pure map stage
+        val qc = q.crossJoin(broadcast(centsR))
+          .withColumn("cd2", greatest(lit(0.0), col("qa2") + col("c2") -
+            lit(2.0) * dotc(col("qa"), col("cv"))))
+          .select(col("vec_id"), col("qa"), col("qa2"),
+            col("list_id"), col("cd2"), col("r"))
+        // 2. pass 1: nProbe nearest lists → preliminary k-th expanded distance
+        val probes1 = qc.withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= nProbe)
+          .select(col("vec_id"), col("qa"), col("qa2"), col("list_id"))
+        val stats1 = probes1.join(repLists, Seq("list_id"))
+          .withColumn("d2", d2)
+          .withColumn("cum", sum("grp_n").over(wCum))
+          .groupBy("vec_id")
+          .agg(min(when(col("cum") >= k, col("d2"))).as("kd2"), sum("grp_n").as("cnt"))
+        // 3. pass 2: every list the ball bound cannot exclude (always a
+        // superset of the lists holding the true top-k members)
+        val keep = qc.join(stats1, Seq("vec_id"), "left")
+          .filter(col("kd2").isNull || col("cnt") < k ||
+            sqrt(col("cd2")) - col("r") <= sqrt(col("kd2").cast("double")) + lit(1e-6))
+          .select(col("vec_id"), col("qa"), col("qa2"), col("list_id"))
+        keep.join(repLists, Seq("list_id")).withColumn("d2", d2)
+      }
+    val candReps = pairs
       .withColumn("cum", sum("grp_n").over(wCum))
       .withColumn("kd2", min(when(col("cum") >= k, col("d2"))).over(wAll))
       // reps at or below the k-th expanded distance (all of them when

@@ -15,17 +15,22 @@ class Round7Spec extends AnyFunSuite {
 
   lazy val emb = Tables.embeddings(spark, sf)
 
-  test("IVF kNN equals brute-force kNN exactly (ball-pruned pass 2)") {
+  test("IVF kNN equals brute-force kNN exactly on BOTH candidate paths") {
     val brute = Vectors.knnClassify(emb).collect().map(_.toSeq.mkString("|")).sorted
-    val ivf = Vectors.knnClassifyIvf(emb).collect().map(_.toSeq.mkString("|")).sorted
     assert(brute.nonEmpty)
+    // default: the small-reps direct path at this SF
+    val direct = Vectors.knnClassifyIvf(emb).collect().map(_.toSeq.mkString("|")).sorted
+    assert(direct.sameElements(brute))
+    // forced quantizer path (ball-pruned pass 2)
+    val ivf = Vectors.knnClassifyIvf(emb, minIvfReps = 0L)
+      .collect().map(_.toSeq.mkString("|")).sorted
     assert(ivf.sameElements(brute))
   }
 
   test("IVF kNN stays exact even with a single probed list") {
     // nProbe=1 forces the ball bound to do ALL the coverage work
     val brute = Vectors.knnClassify(emb).collect().map(_.toSeq.mkString("|")).sorted
-    val ivf = Vectors.knnClassifyIvf(emb, nProbe = 1)
+    val ivf = Vectors.knnClassifyIvf(emb, nProbe = 1, minIvfReps = 0L)
       .collect().map(_.toSeq.mkString("|")).sorted
     assert(ivf.sameElements(brute))
   }
@@ -55,7 +60,7 @@ class Round7Spec extends AnyFunSuite {
   }
 
   test("IVF kNN candidate join is an equi join, not a cartesian pair scan") {
-    val p = Vectors.knnClassifyIvf(emb).queryExecution.optimizedPlan.toString
+    val p = Vectors.knnClassifyIvf(emb, minIvfReps = 0L).queryExecution.optimizedPlan.toString
     // the train side must join on list_id; the only nested-loop join
     // allowed is the tiny centroid-table broadcast
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian product:\n$p")

@@ -22,8 +22,10 @@ object Scratch {
       val b1 = sorted(graft.operators.Ann.lshCosinePairs(emb))
       println(s"$sf embcos: exact=${a1.length} lsh=${b1.length} equal=${a1.sameElements(b1)}")
       val a2 = sorted(graft.operators.Vectors.knnClassify(emb))
-      val b2 = sorted(graft.operators.Vectors.knnClassifyIvf(emb))
+      val b2 = sorted(graft.operators.Vectors.knnClassifyIvf(emb, minIvfReps = 0L))
       println(s"$sf knn:    exact=${a2.length} ivf=${b2.length} equal=${a2.sameElements(b2)}")
+      val c2 = sorted(graft.operators.Vectors.knnClassifyIvf(emb))
+      println(s"$sf knnD:   exact=${a2.length} direct=${c2.length} equal=${a2.sameElements(c2)}")
       if (!a2.sameElements(b2))
         a2.diff(b2).take(5).foreach(r => println(s"  only-exact: $r"))
     }
