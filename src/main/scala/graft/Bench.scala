@@ -48,23 +48,27 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // locale-pinned formatting: the scala f-interpolator uses the JVM
+    // default locale, which renders 0.603 as "0,603" under e.g. de_DE
+    // — invalid JSON for both the file and the printed line
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // the complete structured record: every query's seconds, written
     // where the driver (and regression tracking) can always read it
     val outFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     val fullQs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(outFile, fullJson.getBytes("UTF-8"))
     // when run with an explicit filter, show exactly what was timed;
     // the driver's unfiltered run shows the fixed headline subset
     val shown =
       if (args.isEmpty) headline.flatMap(n => results.get(n).map(n -> _))
       else results.toSeq
-    val qs = shown.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = shown.map { case (k, v) => s""""$k":${sec(v)}""" }
       .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","file":"$outFile"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","file":"$outFile"}"""
     spark.stop()
     // print LAST so the line sits at the very end of the captured tail
     println(line)

@@ -2,6 +2,20 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 object Probe {
+  /** Shared timing/print helper for every probe mode. */
+  private def timed(prefix: String)(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime(); val n = f
+    println(f"$prefix $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+  }
+
+  /** `copies`× replication of `df` with every key in `keys` offset per
+    * copy (keeps joins resolvable while multiplying the fact side). */
+  private def replicate(df: DataFrame, keys: Seq[String],
+                        copies: Int, offset: Long): DataFrame =
+    (0 until copies).map { i =>
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * offset)))
+    }.reduce(_ unionByName _).repartition(32)
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]").config("spark.sql.shuffle.partitions","32")
@@ -13,20 +27,13 @@ object Probe {
     if (args.headOption.contains("scale")) {
       // 20x corpus: 100k docs incl. 20 exact copies of each (worst-case
       // dup skew), 40k vectors
-      val docs0 = graft.sources.Tables.documents(spark, dir)
-      val docs = (0 until 20).map(i => docs0.withColumn("doc_id", col("doc_id") + lit(i * 10000L)))
-        .reduce(_ unionByName _).repartition(32)
-      docs.write.mode("overwrite").parquet("/tmp/scale/documents.parquet")
-      val emb0 = graft.sources.Tables.embeddings(spark, dir)
-      val emb = (0 until 20).map(i => emb0.withColumn("vec_id", col("vec_id") + lit(i * 10000L)))
-        .reduce(_ unionByName _).repartition(32)
-      emb.write.mode("overwrite").parquet("/tmp/scale/embeddings.parquet")
+      replicate(graft.sources.Tables.documents(spark, dir), Seq("doc_id"), 20, 10000L)
+        .write.mode("overwrite").parquet("/tmp/scale/documents.parquet")
+      replicate(graft.sources.Tables.embeddings(spark, dir), Seq("vec_id"), 20, 10000L)
+        .write.mode("overwrite").parquet("/tmp/scale/embeddings.parquet")
       val d = spark.read.parquet("/tmp/scale/documents.parquet")
       val e = spark.read.parquet("/tmp/scale/embeddings.parquet")
-      def time(name: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime(); val n = f
-        println(f"SCALE $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
-      }
+      val time = timed("SCALE") _
       time("count")(d.count() + e.count())
       time("tf")(graft.operators.Bm25.tf(d).count())
       time("bm25_score")(graft.operators.Bm25.bm25Score(d).count())
@@ -97,6 +104,11 @@ object Probe {
       time("ann_batch")(graft.operators.Ann.batchTopK(e).count())
       time("seq_chunks")(graft.operators.TextAnalysis.seqChunks(d).count())
       time("seq_pack")(graft.operators.TextAnalysis.packSequences(d).count())
+      time("kmeans")(graft.operators.Clustering.kmeans(e).count())
+      // 20 exact copies of every vector is this operator's worst case:
+      // the value collapse must absorb the 400x pair blowup
+      time("semantic_clusters")(graft.operators.Clustering.semanticClusters(e).count())
+      time("semantic_drop")(graft.operators.Clustering.semanticDrop(e).count())
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)
@@ -108,10 +120,7 @@ object Probe {
     } else if (args.headOption.contains("knn-probe")) {
       // quick re-measure on the staged 20x tables (run "scale" first)
       val e = spark.read.parquet("/tmp/scale/embeddings.parquet")
-      def time(name: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime(); val n = f
-        println(f"SCALE $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
-      }
+      val time = timed("SCALE") _
       time("knn_brute")(graft.operators.Vectors.knnClassify(e).count())
       time("knn_adaptive")(graft.operators.Vectors.knnClassifyIvf(e).count())
       time("knn_ivf_forced")(graft.operators.Vectors.knnClassifyIvf(e, minIvfReps = 0L).count())
@@ -123,14 +132,9 @@ object Probe {
       // still resolve), dimensions kept at sf0.1 — the realistic scale
       // shape: facts grow, dims don't, per-dim-key fanout rises 20x.
       val out = "/tmp/scale_tpch"
-      val off = 100000000L
-      def rep(t: String, keys: Seq[String]): Unit = {
-        val base = spark.read.parquet(s"$dir/$t.parquet")
-        (0 until 20).map { i =>
-          keys.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * off)))
-        }.reduce(_ unionByName _).repartition(32)
+      def rep(t: String, keys: Seq[String]): Unit =
+        replicate(spark.read.parquet(s"$dir/$t.parquet"), keys, 20, 100000000L)
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      }
       rep("lineitem", Seq("l_orderkey"))
       rep("orders", Seq("o_orderkey"))
       Seq("region", "nation", "customer", "supplier", "part",
@@ -147,11 +151,7 @@ object Probe {
         "q_disjunctive_pred", "q_promo_suppliers", "q_waiting_orders",
         "q_idle_customers", "q_order_priority", "q_returned_items",
         "q_promo_share", "q_topn", "q_window")
-      tpchKeys.foreach { n =>
-        val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(n)(spark, out).count()
-        println(f"SCALE-TPCH $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
-      }
+      tpchKeys.foreach(n => timed("SCALE-TPCH")(n)(SparkEntry.queries(n)(spark, out).count()))
     } else {
       args.foreach { n =>
         val df = SparkEntry.queries(n)(spark, dir)

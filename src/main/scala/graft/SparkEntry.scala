@@ -383,6 +383,13 @@ object SparkEntry {
       AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), path, "00001")
       AnnIndex.searchTopK(s, path)
     }),
+
+    // ---- Round-7 additions: embedding-side curation (deterministic
+    // k-means, SemDeDup semantic clusters / keep-one-per-cluster) ----
+    "q_kmeans" -> ((s, dir) => Clustering.kmeans(Tables.embeddings(s, dir))),
+    "q_semantic_clusters" -> ((s, dir) =>
+      Clustering.semanticClusters(Tables.embeddings(s, dir))),
+    "q_semantic_drop" -> ((s, dir) => Clustering.semanticDrop(Tables.embeddings(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -595,6 +602,69 @@ object SparkEntry {
   private val vecCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  /** Unrolled Lloyd's on the exact millis grid, mirroring
+    * Clustering.kmeans: `iters` assign+update rounds from the k
+    * lowest-vec_id seeds, then the final assignment. Every distance is
+    * an integer sum of squared millis differences; every updated
+    * centroid coordinate is floor over the IEEE quotient of two exact
+    * integers — the same two operations the Spark plan runs, so the
+    * assignment is engine-identical at every iteration. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+         |           FROM embeddings WHERE embedding IS NOT NULL),
+         |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
+         |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),""".stripMargin)
+    for (it <- 1 to iters) {
+      val cp = s"c${it - 1}"
+      sb.append(
+        s"""
+           |d$it AS (SELECT q.vec_id, q.qv, $cp.cid,
+           |         list_sum(list_transform(range(1, len(q.qv) + 1),
+           |                  i -> (q.qv[i] - $cp.cv[i]) * (q.qv[i] - $cp.cv[i]))) AS d2
+           |         FROM q, $cp),
+           |a$it AS (SELECT vec_id, qv, cid FROM (
+           |           SELECT vec_id, qv, cid,
+           |                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |           FROM d$it) WHERE rn = 1),
+           |s$it AS (SELECT cid, i, CAST(floor(sum(qv[i])::DOUBLE / count(*)) AS BIGINT) AS cm
+           |         FROM a$it, unnest(generate_series(1, len(qv))) AS t(i) GROUP BY cid, i),
+           |c$it AS (SELECT $cp.cid, coalesce(u.cv, $cp.cv) AS cv
+           |         FROM $cp LEFT JOIN (SELECT cid, list(cm ORDER BY i) AS cv
+           |                             FROM s$it GROUP BY cid) u ON $cp.cid = u.cid),""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |fd AS (SELECT q.vec_id, c$iters.cid,
+         |       list_sum(list_transform(range(1, len(q.qv) + 1),
+         |                i -> (q.qv[i] - c$iters.cv[i]) * (q.qv[i] - c$iters.cv[i]))) AS d2
+         |       FROM q, c$iters)
+         |SELECT vec_id, cid::BIGINT AS cluster_id, d2::BIGINT AS d2 FROM (
+         |  SELECT vec_id, cid, d2,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM fd) WHERE rn = 1""".stripMargin)
+    sb.toString
+  }
+
+  /** Recursive-CTE connected components over the exact all-pairs
+    * cosine ≥ 0.45 graph on nonzero-norm vectors — the oracle twin of
+    * Clustering.semanticClusters (whose LSH candidates + collapse are
+    * pinned complete at gate SFs by ClusteringSpec). */
+  private val semanticCcCte =
+    s"""$vecCte,
+       |nz AS (SELECT vec_id, v, nrm FROM vn WHERE nrm > 0),
+       |spr AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |        FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+       |        WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |              / (a.nrm * b.nrm) >= 0.45),
+       |se2 AS (SELECT va AS a, vb AS b FROM spr UNION SELECT vb AS a, va AS b FROM spr),
+       |sr(node, reach) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM se2)
+       |  UNION
+       |  SELECT sr.node, se2.b FROM sr JOIN se2 ON sr.reach = se2.a),
+       |scl AS (SELECT node AS vec_id, min(reach)::BIGINT AS cluster_id FROM sr GROUP BY node)""".stripMargin
 
   private val bm25Cte =
     s"""$dlCte,
@@ -2020,5 +2090,25 @@ object SparkEntry {
         |         CASE WHEN r.fill + t.n_tokens <= 256 THEN r.fill + t.n_tokens ELSE t.n_tokens END
         |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
         |SELECT doc_id, source, n_tokens, bin_id FROM r""".stripMargin,
+
+    // ---- Round-7: embedding-side curation ----
+    // exact integer-grid Lloyd's, unrolled — centroid sync and all
+    // arithmetic replayed operation-for-operation (SURVEY §6)
+    "q_kmeans" -> kmeansOracleSql(8, 2),
+    // connected components over the exact all-pairs cosine graph; the
+    // Spark side's LSH candidates + value collapse are pinned complete
+    // at gate SFs by ClusteringSpec, so the CC labels coincide
+    "q_semantic_clusters" ->
+      s"""WITH RECURSIVE $semanticCcCte
+         |SELECT vec_id, cluster_id FROM scl""".stripMargin,
+    // SemDeDup keep-one-per-cluster: cluster canonicals plus every
+    // vector with no ≥0.45 neighbor (zero-norm vectors survive — they
+    // have no angle, so they near-duplicate nothing)
+    "q_semantic_drop" ->
+      s"""WITH RECURSIVE $semanticCcCte
+         |SELECT emb.vec_id, emb.label::BIGINT AS label FROM embeddings emb
+         |LEFT JOIN scl ON emb.vec_id = scl.vec_id
+         |WHERE emb.embedding IS NOT NULL
+         |  AND (scl.vec_id IS NULL OR emb.vec_id = scl.cluster_id)""".stripMargin,
   )
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Clustering for training-data curation: deterministic k-means over
+  * the embeddings table, and SemDeDup-style semantic deduplication
+  * (cluster the near-duplicate cosine graph, keep one document per
+  * semantic cluster).
+  *
+  * k-means follows the MLlib execution recipe — centroids sync
+  * through the driver between iterations (k×dim integers, a few KB at
+  * any corpus size) and each assignment is a PURE MAP stage over
+  * centroid literals baked into the plan — but on the repo's exact
+  * integer-millis grid (SURVEY.md §6): every coordinate is quantized
+  * once to floor(x·1000), distances are integer sums of squared
+  * millis differences, and updated centroids are floor(Σmillis/n)
+  * (one IEEE double division of two exact integers — bit-identical
+  * across engines and partition orders, unlike float-mean Lloyd's,
+  * which no two engines reduce in the same order). Results are
+  * therefore hash-exact against the unrolled SQL oracle, iteration
+  * by iteration, while keeping the true 100 TB shape: per iteration
+  * one map-only assignment pass plus one (k×dim)-cell partial
+  * aggregate — no shuffle ever carries vectors.
+  *
+  * Re-expresses no single reference operator: the reference
+  * (flink-BM25) stops at lexical statistics; this is the standard
+  * embedding-side curation stage a corpus pipeline adds next to it.
+  */
+object Clustering {
+
+  private def dot(a: Column, b: Column): Column = graft.functions.Native.dot(a, b)
+
+  /** Millis-grid view: mv = double-typed exact integer millis (for the
+    * codegen'd native dot), qv = the same values as BIGINT (for exact
+    * exploded sums in the update step). NULL embeddings are excluded —
+    * a missing vector has no position, so it belongs to no cluster. */
+  private def millis(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))").as("mv"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      .withColumn("n2", dot(col("mv"), col("mv")))
+
+  /** One assignment pass against literal centroids: argmin over k
+    * squared-millis distances, ties to the lower cluster id. Each
+    * distance is n2 + ‖c‖² − 2·(mv·c) through the native dot — every
+    * term an exact integer ≪ 2^53 in double, so the BIGINT cast is
+    * lossless and the argmin is exact. Zero joins, zero shuffles:
+    * the centroid table rides in the plan as k literal arrays. */
+  private def assign(e: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val choices = cents.zipWithIndex.map { case (c, i) =>
+      val cv = typedlit(c.map(_.toDouble).toSeq)
+      val c2 = lit(c.map(m => m * m).sum.toDouble)
+      struct((col("n2") + c2 - lit(2.0) * dot(col("mv"), cv)).cast("long").as("d2"),
+        lit(i.toLong).as("cid"))
+    }
+    val best = if (choices.length == 1) choices(0) else least(choices.toIndexedSeq: _*)
+    e.withColumn("best", best)
+      .select(col("vec_id"), col("qv"),
+        col("best.cid").as("cluster_id"), col("best.d2").as("d2"))
+  }
+
+  /** (vec_id, cluster_id, d2): Lloyd's k-means, `iters` full
+    * assign+update iterations from a deterministic seed (the k lowest
+    * vec_ids' vectors, in vec_id order), then a final assignment under
+    * the post-iteration centroids. Empty clusters keep their previous
+    * centroid. d2 is the exact squared-millis distance to the owning
+    * centroid.
+    *
+    * The driver round-trip per iteration is k×dim aggregated cells —
+    * the same sync MLlib's KMeans does (collectAsMap on centers), and
+    * the only part of Lloyd's that is inherently iterative. Overflow
+    * bounds: |millis| ≤ ~10⁶ for |x| ≤ 1000, so Σmillis stays exact in
+    * BIGINT for any corpus and converts losslessly to double below
+    * 2^53 ≈ 9·10¹⁵ — at 10¹² same-cluster rows of unit-scale
+    * embeddings the sum is ~10¹⁵, still exact. */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k, iters=$iters")
+    val e = millis(embeddings).localCheckpoint() // reused iters+1 times
+    // seed: the k lowest vec_ids in id order — deterministic, and k
+    // rows through the driver (the oracle's ORDER BY vec_id LIMIT k)
+    var cents: Array[Array[Long]] = e.orderBy("vec_id").limit(k)
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    require(cents.nonEmpty, "k-means needs at least one non-NULL embedding")
+    for (_ <- 1 to iters) {
+      // update: per-(cluster, dim) exact sums — k×dim cells shuffled
+      // after map-side partials, nothing vector-sized moves
+      val sums = assign(e, cents)
+        .select(col("cluster_id"), posexplode(col("qv")).as(Seq("dim", "m")))
+        .groupBy("cluster_id", "dim")
+        .agg(sum("m").as("sm"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        if (!sums.contains((cid, 0))) old // empty cluster: keep centroid
+        else old.indices.map { d =>
+          val (sm, n) = sums((cid, d))
+          math.floor(sm.toDouble / n).toLong
+        }.toArray
+      }
+    }
+    assign(e, cents).select(col("vec_id"), col("cluster_id"), col("d2"))
+  }
+
+  /** (vec_id, cluster_id): connected components of the semantic
+    * near-duplicate graph — cosine ≥ `threshold` — labeled by
+    * component-min vec_id. The 100 TB composition, end to end:
+    *
+    *  1. EXACT-VALUE COLLAPSE first (the [[Dedup.nearDupClusters]]
+    *     canonicalization applied to vectors): byte-identical vectors
+    *     are cosine-1 duplicates by definition, so one representative
+    *     per distinct value enters the pair stage — k copies would
+    *     otherwise multiply the candidate join by k². The collapse key
+    *     is md5 of the JSON-formatted double vector (injective, 16
+    *     bytes on the wire).
+    *  2. Candidates + verify via [[Ann.lshCosinePairs]] — hyperplane
+    *     buckets from the fused native expression, (table, bucket)
+    *     equi-join, exact cosine over candidates only. Never all-pairs.
+    *  3. [[Dedup.propagateMinLabels]] pointer-doubling min-label CC on
+    *     the verified PAIR graph (pairs only, O(log d) rounds).
+    *  4. Copies rejoin through their representative's label; a vector
+    *     is emitted iff it near-duplicates something: its rep is in a
+    *     verified component, or its value group has > 1 copy.
+    *
+    * Zero-norm vectors are excluded up front: cosine is undefined for
+    * them (they cannot near-duplicate anything by angle). Singleton
+    * clusters are implicit, as in the lexical CC operator. */
+  def semanticClusters(embeddings: DataFrame, threshold: Double = 0.45,
+                       numTables: Int = 24, bitsPerTable: Int = 4,
+                       maxIter: Int = 20): DataFrame = {
+    val keyed = embeddings.filter(col("embedding").isNotNull)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .filter(dot(col("v"), col("v")) > 0.0)
+      .select(col("vec_id"), col("embedding"), md5(to_json(col("v"))).as("vk"))
+      .localCheckpoint() // feeds reps AND the member fan-back below
+    val reps = keyed.groupBy("vk")
+      .agg(min("vec_id").as("rep"), count(lit(1)).as("n_copies"),
+        min("embedding").as("embedding"))
+    val pairs = Ann.lshCosinePairs(
+      reps.select(col("rep").as("vec_id"), col("embedding")),
+      threshold, numTables, bitsPerTable)
+    val repClusters = Dedup.propagateMinLabels(
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")), maxIter)
+    keyed.select(col("vec_id"), col("vk"))
+      .join(reps.select(col("vk"), col("rep"), col("n_copies")), Seq("vk"))
+      .join(repClusters.select(col("doc_id").as("rep"), col("cluster_id")),
+        Seq("rep"), "left")
+      .filter(col("cluster_id").isNotNull || col("n_copies") > 1)
+      .select(col("vec_id"), coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+  }
+
+  /** (vec_id, label): the semantically deduplicated embedding set —
+    * SemDeDup's keep-one-per-cluster policy over [[semanticClusters]]:
+    * every cluster survives through its min-vec_id canonical, plus
+    * every vector that near-duplicates nothing (including zero-norm
+    * vectors, which cannot). Anti-join against the loser set — the
+    * corpus is never shuffled by anything vector-sized. */
+  def semanticDrop(embeddings: DataFrame, threshold: Double = 0.45,
+                   numTables: Int = 24, bitsPerTable: Int = 4): DataFrame = {
+    val losers = semanticClusters(embeddings, threshold, numTables, bitsPerTable)
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select("vec_id")
+    embeddings.filter(col("embedding").isNotNull)
+      .join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+  }
+}

@@ -139,11 +139,13 @@ object Vectors {
     val e = embeddings.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))").as("mv"))
       .withColumn("n2", dotc(col("mv"), col("mv")))
-    // collapse key: md5 of the exactly-formatted vector — injective
-    // (Double.toString round-trips and ',' cannot occur inside it), so
-    // groups are precisely the equal-value classes, and the shuffle
-    // key is 16 bytes instead of the 512-byte array itself
-    def vkey(c: Column): Column = md5(concat_ws(",", c))
+    // collapse key: md5 of the JSON-formatted vector — injective
+    // (JSON number formatting round-trips doubles, and NULL elements
+    // are preserved as literal `null`, which a concat_ws-based key
+    // would silently DROP, merging distinct vectors), so groups are
+    // precisely the equal-value classes and the shuffle key is 16
+    // bytes instead of the 512-byte array itself
+    def vkey(c: Column): Column = md5(to_json(c))
     val test = e.filter(col("vec_id") % testMod === 0)
       .select(col("vec_id"), col("label").as("true_label"), col("mv").as("qa"), col("n2").as("qa2"))
       .withColumn("tkey", vkey(col("qa")))
@@ -227,11 +229,13 @@ object Vectors {
           .withColumn("d2", d2)
           .withColumn("cum", sum("grp_n").over(wCum))
           .groupBy("vec_id")
-          .agg(min(when(col("cum") >= k, col("d2"))).as("kd2"), sum("grp_n").as("cnt"))
+          .agg(min(when(col("cum") >= k, col("d2"))).as("kd2"))
         // 3. pass 2: every list the ball bound cannot exclude (always a
-        // superset of the lists holding the true top-k members)
+        // superset of the lists holding the true top-k members). A NULL
+        // kd2 means the probed lists held fewer than k expanded members
+        // (cum never reached k) — no bound exists yet, keep every list.
         val keep = qc.join(stats1, Seq("vec_id"), "left")
-          .filter(col("kd2").isNull || col("cnt") < k ||
+          .filter(col("kd2").isNull ||
             sqrt(col("cd2")) - col("r") <= sqrt(col("kd2").cast("double")) + lit(1e-6))
           .select(col("vec_id"), col("qa"), col("qa2"), col("list_id"))
         keep.join(repLists, Seq("list_id")).withColumn("d2", d2)

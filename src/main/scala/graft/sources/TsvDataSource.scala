@@ -133,8 +133,10 @@ class TsvTable(path: String) extends Table with SupportsRead with SupportsWrite 
   * partition to its visible name — and, for truncate (SaveMode
   * .Overwrite), deletes the previous generation's visible files
   * first. Task retries/speculation are safe: only the attempt whose
-  * commit message reaches BatchWrite.commit is renamed, the rest are
-  * swept by abort or the next truncate. */
+  * commit message reaches BatchWrite.commit is renamed; losing
+  * attempts of the SAME job are swept at the end of commit (by job
+  * tag), and orphans of crashed earlier jobs (whose writers never
+  * reached abort) are swept by the next truncate. */
 class TsvWriteBuilder(path: String, schema: StructType)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -163,13 +165,29 @@ class TsvWrite(path: String, doTruncate: Boolean) extends Write with BatchWrite 
     if (doTruncate && fs.exists(p))
       fs.listStatus(p).foreach { s =>
         val n = s.getPath.getName
-        if (s.isFile && !n.startsWith(".") && !n.startsWith("_")) fs.delete(s.getPath, false)
+        // truncate invalidates every prior generation — including
+        // orphaned temp files of crashed earlier jobs (a killed
+        // executor's writer never reaches abort, and its attempt never
+        // delivers a commit message, so this is their only sweeper).
+        // THIS job's temps are excluded: its tasks already wrote them
+        // by the time commit runs, and the rename loop below needs them.
+        if (s.isFile && ((!n.startsWith(".") && !n.startsWith("_")) ||
+          (n.startsWith(".tmp-part-") && !n.startsWith(s".tmp-part-$jobTag-"))))
+          fs.delete(s.getPath, false)
       }
     messages.foreach { case TsvCommitMessage(tmp, fin) =>
       val dst = new Path(fin)
       fs.delete(dst, false) // a stale same-name file must not block rename
       require(fs.rename(new Path(tmp), dst), s"commit rename failed: $tmp -> $fin")
     }
+    // sweep THIS job's losing speculative/retried attempts (same tag;
+    // other jobs' in-flight temps are left alone — appends may run
+    // concurrently)
+    if (fs.exists(p))
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isFile && n.startsWith(s".tmp-part-$jobTag-")) fs.delete(s.getPath, false)
+      }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(path)
@@ -193,6 +211,10 @@ class TsvWriterFactory(path: String, jobTag: String, confEntries: Seq[(String, S
       private val fs = tmp.getFileSystem(TsvTable.confFrom(confEntries))
       private val out = fs.create(tmp, true)
       override def write(row: InternalRow): Unit = {
+        // getLong on a NULL field returns 0 silently — fail loudly
+        // like the rest of the connector's contract violations
+        require(!row.isNullAt(0), "graft-tsv: doc_id must not be NULL " +
+          "(the line format has no NULL representation for the key column)")
         val sb = new java.lang.StringBuilder
         sb.append(row.getLong(0))
         if (!row.isNullAt(1)) sb.append('\t').append(TsvTable.escape(row.getUTF8String(1).toString))

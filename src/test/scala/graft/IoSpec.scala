@@ -280,6 +280,15 @@ class IoSpec extends AnyFunSuite {
       Seq((1L, "x", 2L)).toDF("doc_id", "text", "extra")
         .write.format("graft-tsv").mode("append").save(out)
     }
+    // a NULL key is rejected loudly (getLong on a null field would
+    // silently write doc_id=0), and the failed job leaves no rows or
+    // temp files behind
+    intercept[Exception] {
+      Seq((Option.empty[Long], "x")).toDF("doc_id", "text")
+        .write.format("graft-tsv").mode("append").save(out)
+    }
+    assert(spark.read.format("graft-tsv").load(out).count() == 5)
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith(".tmp-")))
   }
 
   test("graft-tsv DSv2 write round-trips the real corpus against the parquet original") {
