@@ -386,7 +386,9 @@ object SparkEntry {
 
     // ---- Round-7 additions: embedding-side curation (deterministic
     // k-means, SemDeDup semantic clusters / keep-one-per-cluster) ----
+    "q_emb_project" -> ((s, dir) => Vectors.projectSigns(Tables.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => Clustering.kmeans(Tables.embeddings(s, dir))),
+    "q_cluster_sample" -> ((s, dir) => Clustering.clusterSample(Tables.embeddings(s, dir))),
     "q_semantic_clusters" -> ((s, dir) =>
       Clustering.semanticClusters(Tables.embeddings(s, dir))),
     "q_semantic_drop" -> ((s, dir) => Clustering.semanticDrop(Tables.embeddings(s, dir))),
@@ -2092,9 +2094,32 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, bin_id FROM r""".stripMargin,
 
     // ---- Round-7: embedding-side curation ----
+    // deterministic ±1 JL sign projection: the matrix is md5-derived in
+    // BOTH engines (hex digits sort '0'..'9' < 'a'..'f', so <= '7' is
+    // exactly the Scala side's high-bit-of-first-nibble test) and every
+    // output is an exact ± integer sum on the millis grid
+    "q_emb_project" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |p AS (SELECT q.vec_id, j.j AS dim,
+        |             sum(CASE WHEN substring(md5('proj:' || j.j || ':' || (t.i - 1)), 1, 1) <= '7'
+        |                      THEN q.qv[t.i] ELSE -q.qv[t.i] END) AS y
+        |      FROM q, unnest(generate_series(0, 15)) AS j(j),
+        |           unnest(generate_series(1, len(q.qv))) AS t(i)
+        |      GROUP BY q.vec_id, j.j)
+        |SELECT vec_id, dim::BIGINT AS dim, y::BIGINT AS y FROM p""".stripMargin,
     // exact integer-grid Lloyd's, unrolled — centroid sync and all
     // arithmetic replayed operation-for-operation (SURVEY §6)
     "q_kmeans" -> kmeansOracleSql(8, 2),
+    // cluster-balanced quota sampling over the SAME unrolled kmeans
+    // (md5 order is engine-identical: both sides hash 'cs:<id>')
+    "q_cluster_sample" ->
+      s"""SELECT vec_id, cluster_id, rn FROM (
+         |  SELECT vec_id, cluster_id,
+         |         (row_number() OVER (PARTITION BY cluster_id
+         |            ORDER BY md5('cs:' || vec_id), vec_id))::BIGINT AS rn
+         |  FROM (${kmeansOracleSql(8, 2)}) km
+         |) WHERE rn <= 50""".stripMargin,
     // connected components over the exact all-pairs cosine graph; the
     // Spark side's LSH candidates + value collapse are pinned complete
     // at gate SFs by ClusteringSpec, so the CC labels coincide

@@ -104,6 +104,27 @@ object Clustering {
     assign(e, cents).select(col("vec_id"), col("cluster_id"), col("d2"))
   }
 
+  /** (vec_id, cluster_id, rn): cluster-balanced sampling — at most
+    * `perCluster` vectors from each [[kmeans]] cluster, chosen in
+    * deterministic md5("cs:vec_id") order (a content-free shuffle with
+    * no RNG state, the [[TextAnalysis]] hash-sampling rule applied
+    * within clusters). The standard diverse-subset selection stage:
+    * quota per REGION of embedding space, so dense regions can't
+    * crowd out sparse ones. Cost over kmeans itself: one rank window
+    * partitioned by cluster_id — a single small-key shuffle, no
+    * vector payload. */
+  def clusterSample(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                    perCluster: Int = 50): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("hk"), col("vec_id"))
+    kmeans(embeddings, k, iters)
+      .withColumn("hk", md5(concat(lit("cs:"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perCluster)
+      .select(col("vec_id"), col("cluster_id"), col("rn"))
+  }
+
   /** (vec_id, cluster_id): connected components of the semantic
     * near-duplicate graph — cosine ≥ `threshold` — labeled by
     * component-min vec_id. The 100 TB composition, end to end:

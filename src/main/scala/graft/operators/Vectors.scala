@@ -302,4 +302,47 @@ object Vectors {
             least(lit(127L), floor(col("x") * lit(127.0) / col("maxabs")).cast("long"))))
           .as("qval"),
         floor(col("maxabs") * lit(1000000.0)).cast("long").as("scale_micros"))
+
+  /** +1 when the first hex character of md5(s) is '0'..'7' (high bit
+    * of the digest's first nibble is 0) — the identical predicate the
+    * oracle evaluates as `substring(md5(s),1,1) <= '7'`, since hex
+    * digits sort '0'..'9' < 'a'..'f' in ASCII. */
+  private def md5SignPlus(s: String): Boolean =
+    (java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))(0) & 0x80) == 0
+
+  /** (vec_id, dim, y): Achlioptas-style random ±1 sign projection of
+    * the embedding store down to `outDim` dimensions — the
+    * Johnson–Lindenstrauss dimensionality-reduction stage that runs
+    * BEFORE sketch/ANN work at corpus scale (distances are preserved
+    * within (1±ε) w.h.p., and a dense float matrix multiply becomes
+    * sign-flips and adds).
+    *
+    * Determinism contract: the projection matrix is derived from
+    * md5("`tag`:j:i") — both engines compute the identical matrix with
+    * no RNG state — and inputs are quantized once to exact integer
+    * millis, so each output coordinate is an exact ± sum of integers
+    * (|y| ≤ dim·10⁶ ≪ 2^53: exact in the double-typed native dot,
+    * lossless BIGINT cast). Scale shape: the matrix rides in the plan
+    * as `outDim` literal rows (one fused codegen'd dot each) — a PURE
+    * MAP stage, zero shuffles at any corpus size.
+    *
+    * All vectors must share one dimensionality (the embeddings-table
+    * contract); the input must be non-empty (the matrix width is read
+    * from it). */
+  def projectSigns(embeddings: DataFrame, outDim: Int = 16, tag: String = "proj"): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))").as("mv"))
+    val head = e.select(size(col("mv"))).head(1)
+    require(head.nonEmpty, "projectSigns needs at least one non-NULL embedding")
+    val inDim = head(0).getInt(0)
+    val ys = (0 until outDim).map { j =>
+      val row = (0 until inDim).map(i => if (md5SignPlus(s"$tag:$j:$i")) 1.0 else -1.0)
+      graft.functions.Native.dot(col("mv"), typedlit(row)).cast("long")
+    }
+    e.select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("dim", "y")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+  }
 }

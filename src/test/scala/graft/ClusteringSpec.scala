@@ -66,6 +66,29 @@ class ClusteringSpec extends AnyFunSuite {
       s"blobs must land in two distinct clusters: $out")
   }
 
+  test("clusterSample respects the per-cluster quota in exact md5 order") {
+    val quota = 5
+    val out = Clustering.clusterSample(emb, perCluster = quota).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.values.forall(_.length <= quota))
+    assert(out.forall(_._3 >= 1L) && out.forall(_._3 <= quota))
+    // the sample is the md5-order prefix of the full cluster assignment
+    val full = Clustering.kmeans(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    def hk(v: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cs:$v".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    full.groupBy(_._2).foreach { case (cid, members) =>
+      val want = members.map(_._1).sortBy(v => (hk(v), v)).take(quota)
+        .zipWithIndex.map { case (v, i) => (v, cid, i + 1L) }.toSet
+      val got = byCluster.getOrElse(cid, Array.empty).toSet
+      assert(got == want, s"cluster $cid: sample is not the md5-order prefix")
+    }
+  }
+
   // -- semantic clustering / drop ----------------------------------------
 
   test("semanticClusters equals CC over the exact all-pairs cosine graph") {

@@ -66,4 +66,30 @@ class Round7Spec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian product:\n$p")
     assert(p.contains("list_id"), s"expected a list_id equi join:\n$p")
   }
+
+  test("sign projection: md5-exact coordinates, full dim grid, zero shuffles") {
+    val df = Vectors.projectSigns(emb)
+    val out = df.collect()
+    val n = emb.filter(col("embedding").isNotNull).count()
+    assert(out.length == n * 16)
+    // every (vec, dim) cell exactly once
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length == out.length)
+    // brute recompute of one vector through the identical md5-sign rule
+    val v0 = emb.filter(col("embedding").isNotNull).orderBy("vec_id").limit(1)
+      .collect().head
+    val vid = v0.getLong(0)
+    val qv = v0.getSeq[Float](v0.fieldIndex("embedding"))
+      .map(x => math.floor(x.toDouble * 1000).toLong)
+    def sign(j: Int, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"proj:$j:$i".getBytes("UTF-8"))
+      if ((d(0) & 0x80) == 0) 1L else -1L
+    }
+    val got = out.filter(_.getLong(0) == vid).sortBy(_.getLong(1)).map(_.getLong(2))
+    val want = (0 until 16).map(j => qv.indices.map(i => sign(j, i) * qv(i)).sum)
+    assert(got.toSeq == want, s"vec $vid: got ${got.toSeq}, want $want")
+    // a projection that shuffles is wrong at any scale: pure map stage
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+  }
 }
