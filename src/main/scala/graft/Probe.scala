@@ -104,7 +104,9 @@ object Probe {
       time("ann_batch")(graft.operators.Ann.batchTopK(e).count())
       time("seq_chunks")(graft.operators.TextAnalysis.seqChunks(d).count())
       time("seq_pack")(graft.operators.TextAnalysis.packSequences(d).count())
+      time("emb_project")(graft.operators.Vectors.projectSigns(e).count())
       time("kmeans")(graft.operators.Clustering.kmeans(e).count())
+      time("cluster_sample")(graft.operators.Clustering.clusterSample(e).count())
       // 20 exact copies of every vector is this operator's worst case:
       // the value collapse must absorb the 400x pair blowup
       time("semantic_clusters")(graft.operators.Clustering.semanticClusters(e).count())

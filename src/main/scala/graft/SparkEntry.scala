@@ -358,6 +358,7 @@ object SparkEntry {
     // query-vector STREAM served per micro-batch against the static
     // store — same rows as q_ann_batch (shared oracle)
     "q_stream_ann" -> ((s, dir) => graft.streaming.Streams.annStream(s, dir)),
+    "q_stream_kmeans" -> ((s, dir) => graft.streaming.Streams.kmeansStream(s, dir)),
     // UNBOUNDED rate source through the serving skeleton (the ref's
     // live socket feed) — wall-clock-dependent counts → rows-only
     // gate, shape pinned by StreamsSpec
@@ -2111,6 +2112,9 @@ object SparkEntry {
     // exact integer-grid Lloyd's, unrolled — centroid sync and all
     // arithmetic replayed operation-for-operation (SURVEY §6)
     "q_kmeans" -> kmeansOracleSql(8, 2),
+    // per-micro-batch assignment against the once-fitted centroids is
+    // the SAME map the batch final assignment runs → shared oracle
+    "q_stream_kmeans" -> kmeansOracleSql(8, 2),
     // cluster-balanced quota sampling over the SAME unrolled kmeans
     // (md5 order is engine-identical: both sides hash 'cs:<id>')
     "q_cluster_sample" ->

@@ -76,8 +76,18 @@ object Clustering {
     * 2^53 ≈ 9·10¹⁵ — at 10¹² same-cluster rows of unit-scale
     * embeddings the sum is ~10¹⁵, still exact. */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k, iters=$iters")
     val e = millis(embeddings).localCheckpoint() // reused iters+1 times
+    assign(e, fitFrom(e, k, iters)).select(col("vec_id"), col("cluster_id"), col("d2"))
+  }
+
+  /** The fitted centroid table (k×dim exact millis) after `iters`
+    * Lloyd's rounds — the artifact a serving path bakes into its
+    * assignment plan (see [[graft.streaming.Streams.kmeansStream]]). */
+  def fit(embeddings: DataFrame, k: Int = 8, iters: Int = 2): Array[Array[Long]] =
+    fitFrom(millis(embeddings).localCheckpoint(), k, iters)
+
+  private def fitFrom(e: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k, iters=$iters")
     // seed: the k lowest vec_ids in id order — deterministic, and k
     // rows through the driver (the oracle's ORDER BY vec_id LIMIT k)
     var cents: Array[Array[Long]] = e.orderBy("vec_id").limit(k)
@@ -101,7 +111,16 @@ object Clustering {
         }.toArray
       }
     }
-    assign(e, cents).select(col("vec_id"), col("cluster_id"), col("d2"))
+    cents
+  }
+
+  /** One map-only assignment of `embeddings` against an already-fitted
+    * centroid table — the serving form of [[kmeans]]: no iteration, no
+    * driver sync, centroids ride as plan literals. */
+  def assignVectors(embeddings: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    require(cents.nonEmpty, "assignVectors needs at least one centroid")
+    assign(millis(embeddings), cents)
+      .select(col("vec_id"), col("cluster_id"), col("d2"))
   }
 
   /** (vec_id, cluster_id, rn): cluster-balanced sampling — at most

@@ -523,6 +523,36 @@ object Streams {
       graft.operators.Ann.batchTopKFrom(emb, batch, k))
   }
 
+  /** (vec_id, cluster_id, d2): the embedding corpus streamed through
+    * micro-batches and assigned against a k-means centroid table
+    * fitted ONCE from the static corpus — the curation serving shape:
+    * the quantizer is a fitted artifact, arriving vectors are labeled
+    * by a PURE MAP against its plan-literal centroids (zero per-batch
+    * shuffles, zero driver sync after the fit). Batches are staged by
+    * vec_id mod `nBatches` with maxFilesPerTrigger=1, so the
+    * multi-batch path is genuinely exercised; the union of batch
+    * outputs equals [[graft.operators.Clustering.kmeans]] on the same
+    * corpus exactly (same centroids, same integer arithmetic — shared
+    * oracle). */
+  def kmeansStream(spark: SparkSession, dir: String, nBatches: Int = 3): DataFrame = {
+    require(nBatches > 0, s"nBatches must be positive, got $nBatches")
+    val tag = pathTag(dir + "|kmeans|" + nBatches)
+    val tmp = sys.props("java.io.tmpdir")
+    val src = s"$tmp/graft_kmeans_stream_src_$tag"
+    val outRoot = s"$tmp/graft_kmeans_stream_out_$tag"
+    deleteRecursive(spark, src)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.operators.Clustering.fit(emb)
+    (0 until nBatches).foreach { b =>
+      emb.filter(col("vec_id") % nBatches === b).coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(src)
+    }
+    val s = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    serveStream(spark, s, outRoot)(batch =>
+      graft.operators.Clustering.assignVectors(batch, cents))
+  }
+
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
     * upserted per micro-batch into a keyed parquet store — the
     * reference's STREAMING Mongo sink (MongoTFSink.java /

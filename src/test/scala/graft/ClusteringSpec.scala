@@ -89,6 +89,14 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans stream: streamed micro-batch assignments equal the batch run") {
+    val streamed = graft.streaming.Streams.kmeansStream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = Clustering.kmeans(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   // -- semantic clustering / drop ----------------------------------------
 
   test("semanticClusters equals CC over the exact all-pairs cosine graph") {
@@ -111,6 +119,41 @@ class ClusteringSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the three identical vectors form one cluster labeled by the min id
     assert(out.get(10L).contains(10L) && out.get(11L).contains(10L) && out.get(12L).contains(10L))
+  }
+
+  test("kmeans with k exceeding the corpus still assigns every vector") {
+    val mk = (base: Double) => Array.tabulate(8)(i => (base + i * 0.01).toFloat)
+    val df = Seq((1L, 0, mk(0.1)), (2L, 0, mk(0.5)), (3L, 0, mk(0.9)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Clustering.kmeans(df, k = 5, iters = 2).collect()
+    assert(out.length == 3)
+    // only as many clusters as seeds exist
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 3))
+  }
+
+  test("zero-norm vectors join no semantic cluster but survive semanticDrop") {
+    val v = Array.tabulate(8)(i => (0.2 + i * 0.01).toFloat)
+    val zero = Array.fill(8)(0.0f)
+    val df = Seq((1L, 0, v), (2L, 0, v), (3L, 0, zero))
+      .toDF("vec_id", "label", "embedding")
+    val clusters = Clustering.semanticClusters(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L), s"got $clusters")
+    val kept = Clustering.semanticDrop(df).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"canonical + zero-norm survive: $kept")
+  }
+
+  test("projectSigns skips NULL embeddings and rejects an all-NULL input") {
+    val v = Array.tabulate(8)(i => (0.3 + i * 0.01).toFloat)
+    val df = Seq((1L, 0, Some(v)), (2L, 0, None))
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Vectors.projectSigns(df).collect()
+    assert(out.map(_.getLong(0)).distinct.toSeq == Seq(1L))
+    assert(out.length == 16)
+    intercept[IllegalArgumentException] {
+      graft.operators.Vectors.projectSigns(
+        Seq((9L, 0, Option.empty[Array[Float]])).toDF("vec_id", "label", "embedding"))
+    }
   }
 
   test("semanticDrop keeps one canonical per cluster plus all unclustered vectors") {
