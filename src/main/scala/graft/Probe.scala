@@ -54,6 +54,15 @@ object Probe {
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0)
           .select(col("doc_id").as("probe_id"), col("text"))).count())
+      // span dedup worst case under 20x replication: EVERY window is
+      // cross-doc duplicated, so the dup-span set is maximal
+      time("dedup_spans")(graft.operators.Dedup.dupSpans(d).count())
+      time("span_flag")(graft.operators.Dedup.spanFlags(d).count())
+      time("gopher_rep")(graft.operators.TextAnalysis.gopherRepetition(d).count())
+      time("contamination_fuzzy")(graft.operators.Dedup.fuzzyContamination(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("probe_id"), col("text"))).count())
       time("hybrid_rrf")(graft.operators.Hybrid.rrfSearch(d, e).count())
       time("wordcount")(graft.operators.Bm25.tokenize(d)
         .groupBy("term").agg(count(lit(1)).as("n")).count())

@@ -122,6 +122,11 @@ object SparkEntry {
     "q_dedup_drop" -> ((s, dir) =>
       Dedup.dropDuplicates(Tables.documents(s, dir)).select("doc_id", "n_chars")),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    // substring-level exact dedup: duplicated w-token spans across
+    // documents (windowed-hash suffix-array re-expression) and the
+    // per-doc exposure/keep roll-up
+    "q_dedup_spans" -> ((s, dir) => Dedup.dupSpans(Tables.documents(s, dir))),
+    "q_span_flag" -> ((s, dir) => Dedup.spanFlags(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_dedup_verified" -> ((s, dir) => Dedup.verifiedNearDups(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
@@ -162,6 +167,15 @@ object SparkEntry {
       TextAnalysis.contamination(
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("probe_id"), col("text")))
+    }),
+    // FUZZY decontamination: near-dup (not just verbatim-overlap)
+    // matches of corpus docs against the probe set, candidates from a
+    // cross-relation MinHash band join (8 bands x 2 rows)
+    "q_contamination_fuzzy" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.fuzzyContamination(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("probe_id"), col("text")))
     }),
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
@@ -220,6 +234,7 @@ object SparkEntry {
     "q_argmax" -> ((s, dir) => Relational.richestCustomerPerNation(Tables.customer(s, dir))),
     "q_window_distinct" -> ((s, dir) => Relational.runningDistinctKinds(Tables.events(s, dir))),
     "q_gopher" -> ((s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    "q_gopher_rep" -> ((s, dir) => TextAnalysis.gopherRepetition(Tables.documents(s, dir))),
     "q_bloom_join" -> ((s, dir) => {
       val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
         .select("o_orderkey")
@@ -541,6 +556,15 @@ object SparkEntry {
        |       WHERE len(words) >= 3)""".stripMargin
   private val shingleCte = shingleCteFor("documents")
 
+  /** Sliding w-token window hashes mirroring Dedup.spanHashes: one row
+    * per window OCCURRENCE (no distinct — the span operators count
+    * occurrences), md5 over the space-joined window. */
+  private def spanCte(w: Int) =
+    s"""tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+       |sp AS (SELECT doc_id, md5(array_to_string(words[i:i+${w - 1}], ' ')) AS span_md5
+       |       FROM tokw, unnest(generate_series(1, len(words) - ${w - 1})) AS t(i)
+       |       WHERE len(words) >= $w)""".stripMargin
+
   /** MinHash banding CTEs mirroring Dedup.minhashCandidates: shingle →
     * 32-bit md5 key → 16 affine permutations (constants inlined from
     * the same Scala arrays the plan uses) → 4 bands of 4 → candidate
@@ -578,6 +602,39 @@ object SparkEntry {
        |        WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8)""".stripMargin
   }
   private val minhashCandCte = minhashCandCteFor("documents")
+
+  /** Cross-relation fuzzy-contamination replay mirroring
+    * Dedup.fuzzyContamination at its 8-bands-of-2 default: same
+    * shingle → md5-affine signature pipeline as [[minhashCandCteFor]],
+    * but bands of 2 rows and a train × probe (doc_id % 5) band join in
+    * place of the self-join; exact Jaccard >= 0.5 over candidates. */
+  private val fuzzyContamCte = {
+    val (a, b) = Dedup.minhashParams(16)
+    val aList = a.mkString("[", ", ", "]")
+    val bList = b.mkString("[", ", ", "]")
+    s"""$shingleCte,
+       |xk AS (SELECT doc_id,
+       |         list_sum(list_transform(range(1, 9),
+       |           j -> (strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1)::BIGINT
+       |                << ((8 - j) * 4))) AS x
+       |       FROM sh),
+       |sig AS (SELECT doc_id, p,
+       |          min(($aList[p + 1] * x + $bList[p + 1]) % ${Dedup.MinhashMod}) AS sig
+       |        FROM xk, unnest(generate_series(0, 15)) AS t(p)
+       |        GROUP BY doc_id, p),
+       |fbands AS (SELECT doc_id, p // 2 AS band, string_agg(sig::VARCHAR, '|' ORDER BY p) AS bkey
+       |           FROM sig GROUP BY doc_id, p // 2),
+       |fcand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS probe_id
+       |          FROM fbands a JOIN fbands b
+       |            ON a.band = b.band AND a.bkey = b.bkey
+       |            AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+       |csz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+       |fint AS (SELECT c.doc_id, c.probe_id, count(*)::BIGINT AS inter
+       |         FROM fcand c
+       |         JOIN sh sa ON sa.doc_id = c.doc_id
+       |         JOIN sh sb ON sb.doc_id = c.probe_id AND sa.shingle = sb.shingle
+       |         GROUP BY c.doc_id, c.probe_id)""".stripMargin
+  }
 
   /** The exact-deduplicated (canonical) corpus — near-dup verification
     * in q_dedup_drop runs over THIS, mirroring Dedup.dropDuplicates'
@@ -1220,6 +1277,28 @@ object SparkEntry {
          |  UNION
          |  SELECT r.doc, e2.b FROM r JOIN e2 ON r.reach = e2.a)
          |SELECT doc AS doc_id, min(reach)::BIGINT AS cluster_id FROM r GROUP BY doc""".stripMargin,
+    // cross-document duplicated spans: distinct-doc count >= 2 (same-
+    // doc repetition is a quality signal, not duplication)
+    "q_dedup_spans" ->
+      s"""WITH ${spanCte(8)}
+         |SELECT span_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |       count(*)::BIGINT AS n_occ
+         |FROM sp GROUP BY span_md5
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // per-doc roll-up of the same dup-span set; docs too short to
+    // window (including NULL text) carry zero windows and keep = true
+    "q_span_flag" ->
+      s"""WITH ${spanCte(8)},
+         |d AS (SELECT span_md5 FROM sp GROUP BY span_md5
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT sp.doc_id, count(*)::BIGINT AS n_windows,
+         |             count(d.span_md5)::BIGINT AS n_dup_windows
+         |      FROM sp LEFT JOIN d ON sp.span_md5 = d.span_md5
+         |      GROUP BY sp.doc_id)
+         |SELECT documents.doc_id, coalesce(f.n_windows, 0)::BIGINT AS n_windows,
+         |       coalesce(f.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |       coalesce(f.n_dup_windows, 0) = 0 AS keep
+         |FROM documents LEFT JOIN f ON documents.doc_id = f.doc_id""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
@@ -1321,6 +1400,14 @@ object SparkEntry {
          |       count(DISTINCT tr.shingle)::BIGINT AS n_shingles
          |FROM tr JOIN pr ON tr.shingle = pr.shingle
          |GROUP BY tr.doc_id""".stripMargin,
+    "q_contamination_fuzzy" ->
+      s"""WITH $fuzzyContamCte
+         |SELECT f.doc_id, f.probe_id,
+         |       round(f.inter::DOUBLE / (na.n_sh + nb.n_sh - f.inter), 4) AS jaccard
+         |FROM fint f
+         |JOIN csz na ON f.doc_id = na.doc_id
+         |JOIN csz nb ON f.probe_id = nb.doc_id
+         |WHERE f.inter::DOUBLE / (na.n_sh + nb.n_sh - f.inter) >= 0.5""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
          |c AS (SELECT doc_id, len(toks) AS n_tokens,
@@ -1619,6 +1706,42 @@ object SparkEntry {
          |SELECT doc_id, ok_words, ok_word_len, ok_repetition, ok_stopwords,
          |       (ok_words AND ok_word_len AND ok_repetition AND ok_stopwords) AS keep
          |FROM f""".stripMargin,
+    // n-gram char coverage: count x word-chars (len(gram) minus the
+    // n-1 joining spaces) over total token chars; integer arithmetic
+    // until the final division, keep decided on ROUNDED values
+    "q_gopher_rep" ->
+      """WITH t AS (SELECT doc_id, length(text)::BIGINT AS lt,
+        |                  string_split(lower(text), ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, lt - (len(w)::BIGINT - 1) AS tc, w FROM t),
+        |g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |       FROM b, unnest(generate_series(1, len(w) - 1)) AS u(i) WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, max(cnt * glen) AS cov FROM (
+        |         SELECT doc_id, count(*)::BIGINT AS cnt,
+        |                (length(gram) - 1)::BIGINT AS glen
+        |         FROM g2 GROUP BY doc_id, gram) GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |       FROM b, unnest(generate_series(1, len(w) - 2)) AS u(i) WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, max(cnt * glen) AS cov FROM (
+        |         SELECT doc_id, count(*)::BIGINT AS cnt,
+        |                (length(gram) - 2)::BIGINT AS glen
+        |         FROM g3 GROUP BY doc_id, gram) GROUP BY doc_id),
+        |g5 AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+        |       FROM b, unnest(generate_series(1, len(w) - 4)) AS u(i) WHERE len(w) >= 5),
+        |c5 AS (SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS cov FROM (
+        |         SELECT doc_id, count(*)::BIGINT AS cnt,
+        |                (length(gram) - 4)::BIGINT AS glen
+        |         FROM g5 GROUP BY doc_id, gram) GROUP BY doc_id),
+        |f AS (SELECT b.doc_id,
+        |             coalesce(round(c2.cov::DOUBLE / b.tc, 4), 0)::DOUBLE AS top2_frac,
+        |             coalesce(round(c3.cov::DOUBLE / b.tc, 4), 0)::DOUBLE AS top3_frac,
+        |             coalesce(round(c5.cov::DOUBLE / b.tc, 4), 0)::DOUBLE AS dup5_frac
+        |      FROM b
+        |      LEFT JOIN c2 ON b.doc_id = c2.doc_id
+        |      LEFT JOIN c3 ON b.doc_id = c3.doc_id
+        |      LEFT JOIN c5 ON b.doc_id = c5.doc_id)
+        |SELECT doc_id, top2_frac, top3_frac, dup5_frac,
+        |       (top2_frac <= 0.20 AND top3_frac <= 0.18 AND dup5_frac <= 0.15) AS keep
+        |FROM f""".stripMargin,
     // the bloom prefilter is exact after the final semi-join — the
     // oracle is the PLAIN semi-join aggregate
     "q_bloom_join" ->

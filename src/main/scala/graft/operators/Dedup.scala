@@ -178,6 +178,66 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** (doc_id, span_md5): every w-token sliding window of every
+    * document, hashed — NON-distinct, one row per occurrence, because
+    * the span operators below count occurrences as well as documents.
+    * Pure map + explode: zero shuffle until the consumer aggregates. */
+  private def spanHashes(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, s"span width must be >= 2 tokens, got $w")
+    docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"),
+        explode(graft.functions.Native.shingles(col("words"), w)).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("span_md5"))
+  }
+
+  /** (span_md5, n_docs, n_occ): w-token spans that appear in at least
+    * two DISTINCT documents — substring-level exact duplication, the
+    * windowed-hash re-expression of suffix-array training-data dedup
+    * (Lee et al. 2022: duplicated passages, not just duplicated whole
+    * documents, are what LLM corpora need scrubbed). Repetition within
+    * a single document does NOT qualify (that is a quality signal —
+    * see [[TextAnalysis.gopherRules]]); only cross-document spans are
+    * duplication. One flatMap (windows) + one hash aggregation on the
+    * span hash — map-side partial aggregation applies, and the output
+    * is duplicated-span-sized, never corpus-sized. At 100 TB the
+    * window relation is ~tokens-per-corpus rows, but it is never
+    * materialized: it streams from the scan into the partial
+    * aggregate. */
+  def dupSpans(docs: DataFrame, w: Int = 8): DataFrame =
+    spanHashes(docs, w)
+      .groupBy("span_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+
+  /** (doc_id, n_windows, n_dup_windows, keep): per-document duplicated
+    * -span exposure — how many of the doc's w-token windows also
+    * appear in some OTHER document, and a keep flag for the standard
+    * policy "drop documents containing cross-corpus duplicated
+    * passages". Documents too short to window (fewer than w tokens,
+    * including NULL text) have zero windows and are kept. Two
+    * aggregations on the span hash (dup-span set, then the per-doc
+    * roll-up through a left join against it) — both shuffle on
+    * bounded-skew md5 keys; the dup-span side is output-sized. */
+  def spanFlags(docs: DataFrame, w: Int = 8): DataFrame = {
+    val sp = spanHashes(docs, w)
+    // distinct-doc count, not occurrence count: a span repeated inside
+    // one document only is self-repetition, not duplication
+    val dup = sp.groupBy("span_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span_md5"), lit(1).as("is_dup"))
+    val perDoc = sp.join(dup, Seq("span_md5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), count(col("is_dup")).as("n_dup_windows"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("keep", col("n_dup_windows") === 0)
+  }
+
   /** (doc_id, shingle): distinct word n-gram shingles per document.
     * The shingle array is built by the native `graft_shingles`
     * expression — ONE call per row — then explode + hash-distinct; the
@@ -243,21 +303,79 @@ object Dedup {
     * equi-join on (band, band key) — bounded buckets by construction,
     * never an all-pairs join (SURVEY.md §5). */
   def minhashCandidates(docs: DataFrame, numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    require(rowsPerBand > 0 && numPerm % rowsPerBand == 0,
-      s"rowsPerBand ($rowsPerBand) must evenly divide numPerm ($numPerm); " +
-        "a remainder would silently drop permutations from the banding")
-    val numBands = numPerm / rowsPerBand
-    val bands = signatureArray(docs, n = 3, numPerm = numPerm)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, ${numBands - 1}),
-           |  b -> array_join(transform(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand),
-           |                            x -> CAST(x AS STRING)), '|'))""".stripMargin))
-        .as(Seq("band", "bkey")))
+    val bands = bandKeys(docs, numPerm, rowsPerBand)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** (doc_id, band, bkey): LSH band keys — bands sliced row-locally
+    * from the fused signature array, so banding costs ZERO shuffle;
+    * consumers pay only their equi-join on (band, bkey). */
+  private def bandKeys(docs: DataFrame, numPerm: Int, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand > 0 && numPerm % rowsPerBand == 0,
+      s"rowsPerBand ($rowsPerBand) must evenly divide numPerm ($numPerm); " +
+        "a remainder would silently drop permutations from the banding")
+    val numBands = numPerm / rowsPerBand
+    signatureArray(docs, n = 3, numPerm = numPerm)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${numBands - 1}),
+           |  b -> array_join(transform(slice(sigs, b * $rowsPerBand + 1, $rowsPerBand),
+           |                            x -> CAST(x AS STRING)), '|'))""".stripMargin))
+        .as(Seq("band", "bkey")))
+  }
+
+  /** (doc_id, probe_id, jaccard): FUZZY train/test contamination — the
+    * scale path for benchmark decontamination. The exact variant
+    * ([[TextAnalysis.contamination]]) only catches verbatim shingle
+    * overlap counts; this one reports which corpus documents are
+    * near-duplicates of a probe (benchmark) document by n-gram
+    * Jaccard, with candidates from a cross-relation MinHash band join
+    * instead of corpus × probes. The probe side is benchmark-sized —
+    * its band keys and shingles broadcast — so the corpus side is
+    * touched exactly once (signatures are a pure map; the band join
+    * is broadcast-hash); exact Jaccard verification runs over
+    * candidate documents only, mirroring [[verifiedNearDups]].
+    * Default banding is 8 bands × 2 rows: S-curve midpoint ≈ 0.35,
+    * matching the lower thresholds decontamination uses (a benchmark
+    * doc paraphrased into training data rarely survives at J ≥ 0.8).*/
+  def fuzzyContamination(docs: DataFrame, probes: DataFrame, threshold: Double = 0.5,
+                         numPerm: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    // same S-curve guard as verifiedNearDups: a threshold far below
+    // the banding midpoint would silently lose boundary pairs
+    val bands = numPerm / math.max(1, rowsPerBand)
+    val midpoint = math.pow(1.0 / bands, 1.0 / rowsPerBand)
+    require(threshold >= midpoint - 0.05,
+      f"verify threshold $threshold%.2f is far below the LSH banding's " +
+        f"S-curve midpoint $midpoint%.2f (numPerm=$numPerm, rowsPerBand=$rowsPerBand): " +
+        "candidate generation would miss most boundary pairs — use more/narrower bands")
+    val p = probes.select(col("probe_id").as("doc_id"), col("text"))
+    // candidate list is output-sized and feeds three consumers
+    // (two semi-joins + the final pair filter) — materialize once
+    val cand = bandKeys(docs, numPerm, rowsPerBand).as("a")
+      .join(broadcast(bandKeys(p, numPerm, rowsPerBand)).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("probe_id"))
+      .distinct()
+      .localCheckpoint()
+    val dsh = shingles(docs.join(cand.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val psh = shingles(p.join(
+        cand.select(col("probe_id").as("doc_id")), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    val dsz = dsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val psz = psh.groupBy("probe_id").agg(count(lit(1)).as("nb"))
+    dsh.join(broadcast(psh), "shingle")
+      .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("inter"))
+      // candidate-pair filter: shared shingles between docs that only
+      // band-collided with OTHER probes are not candidates
+      .join(cand, Seq("doc_id", "probe_id"), "left_semi")
+      .join(dsz, "doc_id")
+      .join(broadcast(psz), "probe_id")
+      .withColumn("j_exact", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j_exact") >= threshold)
+      .select(col("doc_id"), col("probe_id"), round(col("j_exact"), 4).as("jaccard"))
   }
 
   /** (doc_a, doc_b, hamming): near-dup pairs by SimHash hamming

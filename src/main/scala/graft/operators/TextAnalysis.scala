@@ -496,4 +496,53 @@ object TextAnalysis {
       .withColumn("keep",
         col("ok_words") && col("ok_word_len") && col("ok_repetition") && col("ok_stopwords"))
   }
+
+  /** (doc_id, n, gram, cnt, glen): n-gram OCCURRENCE counts per doc
+    * plus the gram's character length (word chars only — the n-1
+    * joining spaces subtracted). Explode + per-doc hash aggregation;
+    * the gram relation streams from the scan into map-side partials. */
+  private def ngramCounts(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(graft.functions.Native.shingles(col("toks"), n)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("glen", (length(col("gram")) - (n - 1)).cast("long"))
+
+  /** (doc_id, top2_frac, top3_frac, dup5_frac, keep): Gopher
+    * REPETITION signals (Rae et al. 2021, table A1's n-gram rows —
+    * [[gopherRules]] covers the scalar rows): the fraction of a
+    * document's characters covered by its highest-coverage 2-gram and
+    * 3-gram (max over grams of count × chars — deterministic with no
+    * tie-break, unlike "most frequent" which ties), and by all
+    * duplicated (count ≥ 2) 5-grams. Character
+    * coverage is count × word-chars of the gram over total token
+    * chars (single-space contract, as in gopherRules); overlapping
+    * occurrences double-count — the standard approximation, identical
+    * in any engine since it is pure integer arithmetic until the one
+    * final division. Too-short docs (fewer than n tokens, including
+    * NULL text) score 0 and keep. Three explode→per-doc aggregations,
+    * all map-side-partial friendly; nothing corpus-pairwise. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val top2 = ngramCounts(docs, 2).groupBy("doc_id")
+      .agg(max(col("cnt") * col("glen")).as("cov2"))
+    val top3 = ngramCounts(docs, 3).groupBy("doc_id")
+      .agg(max(col("cnt") * col("glen")).as("cov3"))
+    val dup5 = ngramCounts(docs, 5).groupBy("doc_id")
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * col("glen")).otherwise(0L)).as("cov5"))
+    docs
+      .withColumn("nw", size(graft.functions.Text.rawTokens(col("text"))).cast("long"))
+      .withColumn("tc", (length(col("text")) - (col("nw") - 1)).cast("long"))
+      .select(col("doc_id"), col("tc"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(top3, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(round(col("cov2").cast("double") / col("tc"), 4), lit(0.0)).as("top2_frac"),
+        coalesce(round(col("cov3").cast("double") / col("tc"), 4), lit(0.0)).as("top3_frac"),
+        coalesce(round(col("cov5").cast("double") / col("tc"), 4), lit(0.0)).as("dup5_frac"))
+      // thresholds from the Gopher paper's repetition table; compared
+      // on the ROUNDED values so both engines decide identically
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 && col("dup5_frac") <= 0.15)
+  }
 }

@@ -126,4 +126,64 @@ class DedupSpec extends AnyFunSuite {
     val dists = nearDup.map { case (a, b) => ham(fp(a), fp(b)) }
     assert(dists.forall(_ <= 12), s"near-dup hamming distances too large: ${dists.toSeq}")
   }
+
+  test("dupSpans finds cross-doc spans only; spanFlags rolls them up per doc") {
+    import spark.implicits._
+    // doc 1/2 share an 8-token span; doc 3 repeats its own span twice
+    // (self-repetition: NOT duplication); doc 4 is too short to window
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha $span beta"),
+      (2L, s"gamma $span delta"),
+      (3L, s"$span epsilon $span"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val dup = Dedup.dupSpans(df).collect()
+    // every window of the shared 11-token overlap region is NOT shared;
+    // only the exact 8-token span itself appears in doc 1, 2 AND 3
+    assert(dup.length == 1)
+    assert(dup(0).getLong(1) == 3 && dup(0).getLong(2) == 4) // n_docs, n_occ (doc 3 twice)
+    val flags = Dedup.spanFlags(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(flags(1L) == ((3L, 1L, false)))   // 10 tokens -> 3 windows, 1 dup
+    assert(flags(2L) == ((3L, 1L, false)))
+    assert(flags(3L) == ((10L, 2L, false)))  // 17 tokens -> 10 windows, 2 dup occurrences
+    assert(flags(4L) == ((0L, 0L, true)))    // too short to window -> kept
+  }
+
+  test("fuzzy contamination finds the cross-split near-dups and only them") {
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val probes = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    val found = Dedup.fuzzyContamination(train, probes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(found.nonEmpty)
+    assert(found.forall(_._3 >= 0.5))
+    // exact cross-split Jaccard baseline, computed driver-side at the
+    // test SF: every high-J pair must be recalled (8 bands of 2 puts
+    // the candidate probability at ~1 for J >= 0.9)
+    val sh = Dedup.shingles(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val gold = for {
+      (d, dsh) <- sh.toSeq if d % 5 != 0
+      (p, psh) <- sh.toSeq if p % 5 == 0
+      j = (dsh & psh).size.toDouble / (dsh | psh).size if j >= 0.9
+    } yield (d, p)
+    assert(gold.nonEmpty)
+    val foundPairs = found.map(f => (f._1, f._2)).toSet
+    assert(gold.forall(foundPairs.contains), s"missed gold pairs: ${gold.filterNot(foundPairs.contains)}")
+    // threshold far below the banding midpoint is rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyContamination(train, probes, threshold = 0.2)
+    }
+  }
+
+  test("span operators on the corpus: dup spans exist and flags cover every doc") {
+    val dup = Dedup.dupSpans(docs).collect()
+    assert(dup.nonEmpty)
+    assert(dup.forall(r => r.getLong(1) >= 2 && r.getLong(2) >= r.getLong(1)))
+    val flags = Dedup.spanFlags(docs)
+    assert(flags.count() == docs.count())
+    val flagged = flags.filter(col("n_dup_windows") > 0).count()
+    assert(flagged > 0 && flagged < docs.count())
+  }
 }

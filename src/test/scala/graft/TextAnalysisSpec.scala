@@ -125,6 +125,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     rows.filter(_.getBoolean(3)).foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
 
+  test("gopher repetition: hand-built docs score exactly, corpus covered") {
+    import spark.implicits._
+    // 'a b a b a b': 2-grams = [a b, b a, a b, b a, a b] -> top 'a b'
+    // cnt 3, glen 2 -> cov 6; tc = 11 - 5 = 6 -> top2 = 1.0
+    // 5-grams: [a b a b a, b a b a b] each cnt 1 -> dup5 = 0
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "unique words only here today friend"),
+      (3L, "x y z w v x y z w v")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._1 == 1.0 && !out(1L)._4)
+    // doc 3: tc=10; top 2-gram 'x y' cnt 2 glen 2 -> 0.4; top 3-gram
+    // 'x y z' cnt 2 glen 3 -> 0.6; dup 5-grams: 'x y z w v' cnt 2
+    // glen 5 -> 1.0
+    assert(out(3L) == ((0.4, 0.6, 1.0, false)))
+    // doc 2 has no repeated grams: dup5 = 0, and top2 is the longest
+    // count-1 pair ('unique words' = 11 chars over tc 30) — short docs
+    // fail the top-gram thresholds by construction
+    assert(out(2L)._1 == 0.3667 && out(2L)._3 == 0.0 && !out(2L)._4)
+    val corpus = TextAnalysis.gopherRepetition(docs)
+    assert(corpus.count() == docs.count())
+    assert(corpus.filter(col("top2_frac") > 0).count() > 0)
+  }
+
   test("stemmed vocab folds terms without losing token mass") {
     val vocab = TextAnalysis.stemmedVocab(docs).collect()
     val tokens = operators.Bm25.tokenize(docs).count()
