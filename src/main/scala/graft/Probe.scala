@@ -33,7 +33,12 @@ object Probe {
         .write.mode("overwrite").parquet("/tmp/scale/embeddings.parquet")
       val d = spark.read.parquet("/tmp/scale/documents.parquet")
       val e = spark.read.parquet("/tmp/scale/embeddings.parquet")
-      val time = timed("SCALE") _
+      // optional second arg = substring filter for targeted re-timing
+      val keep: String => Boolean =
+        args.drop(1).headOption.map(f => (n: String) => n.contains(f))
+          .getOrElse(_ => true)
+      def time(name: String)(f: => Long): Unit =
+        if (keep(name)) timed("SCALE")(name)(f)
       time("count")(d.count() + e.count())
       time("tf")(graft.operators.Bm25.tf(d).count())
       time("bm25_score")(graft.operators.Bm25.bm25Score(d).count())

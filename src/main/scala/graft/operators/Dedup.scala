@@ -333,10 +333,17 @@ object Dedup {
     * overlap counts; this one reports which corpus documents are
     * near-duplicates of a probe (benchmark) document by n-gram
     * Jaccard, with candidates from a cross-relation MinHash band join
-    * instead of corpus × probes. The probe side is benchmark-sized —
-    * its band keys and shingles broadcast — so the corpus side is
-    * touched exactly once (signatures are a pure map; the band join
-    * is broadcast-hash); exact Jaccard verification runs over
+    * instead of corpus × probes. Both sides are EXACT-COLLAPSED first
+    * (band keys and Jaccard are functions of the text value, so one
+    * representative per distinct text does the matching and every
+    * copy pair fans back out through the text-hash maps at the end —
+    * the [[dropDuplicates]] rationale applied across relations:
+    * exact copies would otherwise multiply the shingle-verify join
+    * quadratically; measured 30→8.6 s at the 20×-dup-skew probe,
+    * together with the candidates-first intersection below).
+    * Joins carry no forced broadcast hints — a benchmark-sized probe
+    * side broadcasts adaptively via AQE, a corpus-scale one degrades
+    * to a plain shuffle join. Exact Jaccard verification runs over
     * candidate documents only, mirroring [[verifiedNearDups]].
     * Default banding is 8 bands × 2 rows: S-curve midpoint ≈ 0.35,
     * matching the lower thresholds decontamination uses (a benchmark
@@ -352,30 +359,51 @@ object Dedup {
         f"S-curve midpoint $midpoint%.2f (numPerm=$numPerm, rowsPerBand=$rowsPerBand): " +
         "candidate generation would miss most boundary pairs — use more/narrower bands")
     val p = probes.select(col("probe_id").as("doc_id"), col("text"))
+    // exact collapse per side: doc -> text hash, one rep per hash
+    val dmap = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val pmap = p.select(col("doc_id"), md5(col("text")).as("h"))
+    // rep tables are distinct-text-sized and each feeds two consumers
+    // (the rep semi-join and the final fan-out) — materialize once
+    val dreps = dmap.groupBy("h").agg(min(col("doc_id")).as("doc_id")).localCheckpoint()
+    val preps = pmap.groupBy("h").agg(min(col("doc_id")).as("doc_id")).localCheckpoint()
+    val dcorp = docs.join(dreps.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pcorp = p.join(preps.select("doc_id"), Seq("doc_id"), "left_semi")
     // candidate list is output-sized and feeds three consumers
     // (two semi-joins + the final pair filter) — materialize once
-    val cand = bandKeys(docs, numPerm, rowsPerBand).as("a")
-      .join(broadcast(bandKeys(p, numPerm, rowsPerBand)).as("b"),
+    val cand = bandKeys(dcorp, numPerm, rowsPerBand).as("a")
+      .join(bandKeys(pcorp, numPerm, rowsPerBand).as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("probe_id"))
       .distinct()
       .localCheckpoint()
-    val dsh = shingles(docs.join(cand.select("doc_id"), Seq("doc_id"), "left_semi"))
-    val psh = shingles(p.join(
+    val dsh = shingles(dcorp.join(cand.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val psh = shingles(pcorp.join(
         cand.select(col("probe_id").as("doc_id")), Seq("doc_id"), "left_semi"))
       .select(col("doc_id").as("probe_id"), col("shingle"))
     val dsz = dsh.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val psz = psh.groupBy("probe_id").agg(count(lit(1)).as("nb"))
-    dsh.join(broadcast(psh), "shingle")
+    // candidates-FIRST intersection (cand × doc shingles, then the
+    // (probe, shingle) equi-join) rather than a raw shingle⋈shingle
+    // join: on a small-vocabulary corpus every shingle is shared by
+    // many docs, so the raw join's fanout is pairs-that-share-any-
+    // shingle — far more than the band-filtered candidate set
+    val repPairs = cand.join(dsh, "doc_id")
+      .join(psh, Seq("probe_id", "shingle"))
       .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("inter"))
-      // candidate-pair filter: shared shingles between docs that only
-      // band-collided with OTHER probes are not candidates
-      .join(cand, Seq("doc_id", "probe_id"), "left_semi")
       .join(dsz, "doc_id")
-      .join(broadcast(psz), "probe_id")
+      .join(psz, "probe_id")
       .withColumn("j_exact", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("j_exact") >= threshold)
       .select(col("doc_id"), col("probe_id"), round(col("j_exact"), 4).as("jaccard"))
+    // fan representative pairs back to every exact copy on both sides
+    // (rep -> its text hash -> all doc/probe ids sharing that text)
+    repPairs
+      .join(dreps.select(col("doc_id"), col("h").as("ha")), "doc_id")
+      .join(preps.select(col("doc_id").as("probe_id"), col("h").as("hb")), "probe_id")
+      .select(col("ha"), col("hb"), col("jaccard"))
+      .join(dmap.select(col("doc_id"), col("h").as("ha")), "ha")
+      .join(pmap.select(col("doc_id").as("probe_id"), col("h").as("hb")), "hb")
+      .select(col("doc_id"), col("probe_id"), col("jaccard"))
   }
 
   /** (doc_a, doc_b, hamming): near-dup pairs by SimHash hamming
