@@ -13,7 +13,7 @@ object Bench {
   private val headline: Seq[String] = Seq(
     "q_agg", "q_bm25_score", "q_dedup_minhash", "q_ann_ivf",
     "q_knn_classify", "q_dedup_embcos", "q_stream_search", "q_seq_pack",
-    "q_semantic_drop")
+    "q_semantic_drop", "q_dedup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -63,6 +63,7 @@ object Probe {
       // cross-doc duplicated, so the dup-span set is maximal
       time("dedup_spans")(graft.operators.Dedup.dupSpans(d).count())
       time("span_flag")(graft.operators.Dedup.spanFlags(d).count())
+      time("span_scrub")(graft.operators.Dedup.scrubSpans(d).count())
       time("gopher_rep")(graft.operators.TextAnalysis.gopherRepetition(d).count())
       time("contamination_fuzzy")(graft.operators.Dedup.fuzzyContamination(
         d.filter(col("doc_id") % 5 =!= 0),

@@ -127,6 +127,7 @@ object SparkEntry {
     // per-doc exposure/keep roll-up
     "q_dedup_spans" -> ((s, dir) => Dedup.dupSpans(Tables.documents(s, dir))),
     "q_span_flag" -> ((s, dir) => Dedup.spanFlags(Tables.documents(s, dir))),
+    "q_span_scrub" -> ((s, dir) => Dedup.scrubSpans(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_dedup_verified" -> ((s, dir) => Dedup.verifiedNearDups(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
@@ -558,10 +559,13 @@ object SparkEntry {
 
   /** Sliding w-token window hashes mirroring Dedup.spanHashes: one row
     * per window OCCURRENCE (no distinct — the span operators count
-    * occurrences), md5 over the space-joined window. */
+    * occurrences), md5 over the space-joined window, with the 1-based
+    * start position (the scrub oracle consumes it; the others ignore
+    * it). */
   private def spanCte(w: Int) =
     s"""tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
-       |sp AS (SELECT doc_id, md5(array_to_string(words[i:i+${w - 1}], ' ')) AS span_md5
+       |sp AS (SELECT doc_id, i AS pos,
+       |              md5(array_to_string(words[i:i+${w - 1}], ' ')) AS span_md5
        |       FROM tokw, unnest(generate_series(1, len(words) - ${w - 1})) AS t(i)
        |       WHERE len(words) >= $w)""".stripMargin
 
@@ -1299,6 +1303,29 @@ object SparkEntry {
          |       coalesce(f.n_dup_windows, 0)::BIGINT AS n_dup_windows,
          |       coalesce(f.n_dup_windows, 0) = 0 AS keep
          |FROM documents LEFT JOIN f ON documents.doc_id = f.doc_id""".stripMargin,
+    // scrub every non-first occurrence (first = (doc_id, pos)-lex min
+    // per span, row_number replayed) in the normalized token space;
+    // empty-after-scrub docs are '' (array_to_string [] is NULL in
+    // DuckDB, '' in Spark — coalesced), NULL text stays NULL
+    "q_span_scrub" ->
+      s"""WITH ${spanCte(8)},
+         |d AS (SELECT span_md5 FROM sp GROUP BY span_md5
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |occ AS (SELECT sp.doc_id, sp.pos,
+         |               row_number() OVER (PARTITION BY sp.span_md5
+         |                                  ORDER BY sp.doc_id, sp.pos) AS rn
+         |        FROM sp JOIN d USING (span_md5)),
+         |cov AS (SELECT DISTINCT doc_id, u.ci
+         |        FROM occ, unnest(generate_series(pos, pos + 7)) AS u(ci)
+         |        WHERE rn > 1),
+         |covs AS (SELECT doc_id, list(ci) AS cl FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       CASE WHEN t.words IS NULL THEN NULL
+         |            ELSE coalesce(array_to_string(list_filter(t.words,
+         |                   (x, i) -> NOT list_contains(coalesce(c.cl, []::BIGINT[]), i)),
+         |                   ' '), '') END AS clean_text,
+         |       coalesce(len(c.cl), 0)::BIGINT AS n_removed
+         |FROM tokw t LEFT JOIN covs c USING (doc_id)""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),

@@ -238,6 +238,50 @@ object Dedup {
       .withColumn("keep", col("n_dup_windows") === 0)
   }
 
+  /** (doc_id, clean_text, n_removed): the corpus with every NON-FIRST
+    * occurrence of a cross-document duplicated w-token span scrubbed —
+    * the output form of suffix-array dedup (Lee et al. 2022: the
+    * duplicated PASSAGE is removed everywhere but its first
+    * occurrence, rather than whole documents dropped). "First" is the
+    * (doc_id, position)-lexicographic minimum occurrence per span;
+    * every token covered by any other occurrence is dropped and the
+    * text rebuilt from the survivors in the engine's normalized
+    * (lowercased, single-space) token space. NULL text stays NULL;
+    * docs too short to window pass through verbatim (normalized).
+    * Scale shape: the occurrence relation is duplicated-span-sized
+    * (semi-join against the dup-span set before anything pairwise);
+    * the only ordered operation is a per-span row_number whose
+    * partitions are occurrence counts (bounded by corpus dup degree,
+    * never corpus-sized); coverage positions collapse per doc into a
+    * bounded-by-doc-length set that rides one row. */
+  def scrubSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    require(w >= 2, s"span width must be >= 2 tokens, got $w")
+    val sp = docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Native.shingles(col("words"), w)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), md5(col("span")).as("span_md5"))
+    val dup = sp.groupBy("span_md5")
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+    val occ = sp.join(dup.select("span_md5"), Seq("span_md5"), "left_semi")
+    val ranked = occ.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("span_md5").orderBy("doc_id", "pos")))
+    val covSets = ranked.filter(col("rn") > 1)
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${w - 1})")).as("ci"))
+      .distinct()
+      .groupBy("doc_id").agg(collect_set(col("ci")).as("cov"))
+    docs.join(covSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.Text.rawTokens(col("text")).as("words"), col("cov"))
+      .select(col("doc_id"),
+        expr("""array_join(
+                  filter(transform(words, (t, i) ->
+                           IF(cov IS NOT NULL AND array_contains(cov, i), NULL, t)),
+                         x -> x IS NOT NULL), ' ')""").as("clean_text"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"))
+  }
+
   /** (doc_id, shingle): distinct word n-gram shingles per document.
     * The shingle array is built by the native `graft_shingles`
     * expression — ONE call per row — then explode + hash-distinct; the

@@ -150,6 +150,37 @@ class DedupSpec extends AnyFunSuite {
     assert(flags(4L) == ((0L, 0L, true)))    // too short to window -> kept
   }
 
+  test("scrubSpans keeps the first occurrence and scrubs every other") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha $span beta"),
+      (2L, s"gamma $span delta"),
+      (3L, s"$span epsilon $span"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // first occurrence is (1, pos 1): doc 1 untouched
+    assert(out(1L) == ((s"alpha $span beta", 0L)))
+    // doc 2 loses the 8 span tokens, keeps its frame
+    assert(out(2L) == (("gamma delta", 8L)))
+    // doc 3: both its occurrences are non-first -> 16 tokens scrubbed
+    assert(out(3L) == (("epsilon", 16L)))
+    // too short to window: verbatim (normalized space)
+    assert(out(4L) == (("tiny doc", 0L)))
+    // corpus: scrub covers every doc; untouched docs round-trip the
+    // normalized text, and scrubbing happened somewhere
+    val scrub = Dedup.scrubSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(scrub.size == docs.count())
+    assert(scrub.values.exists(_._2 > 0))
+    val untouched = Dedup.spanFlags(docs).collect()
+      .filter(_.getLong(2) == 0).map(_.getLong(0))
+    val norm = docs.select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    untouched.foreach(id => assert(scrub(id) == ((norm(id), 0L))))
+  }
+
   test("fuzzy contamination finds the cross-split near-dups and only them") {
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val probes = docs.filter(col("doc_id") % 5 === 0)
