@@ -43,33 +43,66 @@ object Bench {
     // driver passes none and times the full surface
     val keep: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
-    val results = SparkEntry.queries.filter(q => keep(q._1)).map { case (name, fn) =>
+    val picked = SparkEntry.queries.filter(q => keep(q._1)).toSeq.sortBy(_._1)
+    // one timed execution: a FAILED query must surface as an error, not
+    // as a fast fake timing — a swallowed analysis error once hid 14
+    // broken keys behind "0.07 s" entries
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160)
+        ((System.nanoTime() - t0) / 1e9, Some(s"${e.getClass.getSimpleName}: $msg"))
+      }
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // two full passes, per-query MIN: a one-off 20-s load spike on one
+    // query cannot swing the round-over-round signal by 2×. Every query
+    // is re-runnable (staged stores delete-and-rebuild), so pass 2 is
+    // a plain repeat.
+    val pass1 = picked.map { case (n, fn) => n -> runOnce(fn) }.toMap
+    val pass2 = picked.map { case (n, fn) => n -> runOnce(fn) }.toMap
+    val results: Seq[(String, Double)] = picked.map { case (n, _) =>
+      val times = Seq(pass1(n), pass2(n)).collect { case (t, None) => t }
+      n -> (if (times.nonEmpty) times.min else -1.0)
+    }
+    val errors: Seq[(String, String)] = picked.flatMap { case (n, _) =>
+      (pass1(n)._2, pass2(n)._2) match {
+        case (Some(e), Some(_)) => Some(n -> e) // errored BOTH passes
+        case _ => None
+      }
+    }
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     // locale-pinned formatting: the scala f-interpolator uses the JVM
     // default locale, which renders 0.603 as "0,603" under e.g. de_DE
     // — invalid JSON for both the file and the printed line
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s""""$k":${jstr(v)}""" }
+      .mkString("{", ",", "}")
     // the complete structured record: every query's seconds, written
     // where the driver (and regression tracking) can always read it
     val outFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
-    val fullQs = results.toSeq.sortBy(_._1)
+    val fullQs = results
       .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(outFile, fullJson.getBytes("UTF-8"))
     // when run with an explicit filter, show exactly what was timed;
     // the driver's unfiltered run shows the fixed headline subset
+    val resultMap = results.toMap
     val shown =
-      if (args.isEmpty) headline.flatMap(n => results.get(n).map(n -> _))
-      else results.toSeq
+      if (args.isEmpty) headline.flatMap(n => resultMap.get(n).map(n -> _))
+      else results
     val qs = shown.map { case (k, v) => s""""$k":${sec(v)}""" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","file":"$outFile"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qs,"sf":"$sfDir","file":"$outFile"}"""
     spark.stop()
     // print LAST so the line sits at the very end of the captured tail
     println(line)

@@ -20,10 +20,58 @@ object Probe {
     val spark = SparkSession.builder().withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]").config("spark.sql.shuffle.partitions","32")
       .config("spark.ui.enabled","false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
+    if (args.headOption.contains("spell")) {
+      // SymSpell-at-scale probe: the delete-neighborhood equi-join is
+      // motivated by web-scale vocabularies — at sf0.1's 31-term vocab
+      // it costs MORE than a nested loop (documented trade, SURVEY
+      // §14). This probe builds a 10k-term synthetic vocabulary and
+      // times the shipped join against the nested-loop levenshtein
+      // baseline it replaced, showing where the curve crosses.
+      import spark.implicits._
+      val syl = Array("ka", "ri", "to", "ve", "mu", "sa", "ne", "lo", "pi", "du", "ga", "che")
+      def word(i: Int): String = {
+        var x = i; val sb = new StringBuilder
+        (0 until 4).foreach { _ => sb.append(syl(x % syl.length)); x /= syl.length }
+        sb.toString
+      }
+      val vocabTerms = (0 until 20736).map(word).distinct
+      // 1000 misspelled queries: deterministic typo per source word
+      // (drop a char / substitute first char / append) — the realistic
+      // did-you-mean batch a search frontend sends
+      val nQ = sys.env.getOrElse("SPARK_GRAFT_SPELL_NQ", "1000").toInt
+      val queries = (0 until nQ).map { i =>
+        val w = word(i * 17 % vocabTerms.size)
+        (i % 3: @unchecked) match {
+          case 0 => w.substring(0, i % w.length) + w.substring(i % w.length + 1)
+          case 1 => ('z' +: w.tail).mkString
+          case 2 => w + "x"
+        }
+      }.distinct
+      println(s"SPELL vocab=${vocabTerms.size} terms, queries=${queries.size}")
+      val docs = vocabTerms.grouped(100).zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      docs.cache().count()
+      // warmup: codegen + first-job costs land here, not in a timing
+      graft.operators.SearchExtras.spellCorrect(docs, Seq("kari"), k = 1).count()
+      timed("SPELL")("symspell_join")(
+        graft.operators.SearchExtras.spellCorrect(docs, queries).count())
+      // the replaced nested loop: levenshtein against EVERY (q, term)
+      // pair — vocab×queries evaluations, no candidate pruning
+      val vocab = graft.operators.Bm25.tokenize(docs)
+        .groupBy("term").agg(count(lit(1)).as("n")).cache()
+      vocab.count()
+      val q = queries.toDF("q")
+      timed("SPELL")("crossjoin_baseline")(
+        vocab.crossJoin(broadcast(q))
+          .filter(levenshtein(col("q"), col("term")) <= 2).count())
+      spark.stop(); return
+    }
     if (args.headOption.contains("scale")) {
       // 20x corpus: 100k docs incl. 20 exact copies of each (worst-case
       // dup skew), 40k vectors

@@ -99,19 +99,30 @@ object Relational {
         micros(col("o_totalprice")).as("totalprice_micros"), col("sum_qty_micros"))
   }
 
-  /** TPC-H Q5 shape: fact⋈fact shuffle join on orderkey; nation/
-    * region broadcast (fixed dims), customer left to AQE. */
+  /** TPC-H Q5 shape. Catalyst does not reorder user joins, so the
+    * ASIA restriction is applied BEFORE any fact shuffle (the
+    * [[localSupplierVolume]] pattern): region⋈nation collapses to a
+    * handful of ASIA nation keys computed once and broadcast into a
+    * LEFT SEMI restriction of customer; orders joins the restricted
+    * customer FIRST, so only ~1/5 of orders (and then of lineitem
+    * rows) ride the big orderkey shuffle — at 100 TB that is the
+    * difference between shuffling 20 TB and 100 TB of fact rows. The
+    * nation-name decode is a final broadcast lookup on the already
+    * -reduced rows. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
+    val asiaN = n.join(broadcast(r.filter(col("r_name") === "ASIA")),
+        n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaN.select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"), "left_semi")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(li, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"),
         count(lit(1)).as("n_items"))

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated testdata layout
   * (`<sfDir>/<table>.parquet`). Column pruning + filter pushdown are
@@ -13,7 +15,30 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  /** Events with `ts` normalized to epoch NANOS (long) regardless of
+    * the parquet layout the generator produced: TIMESTAMP(NANOS) files
+    * arrive as raw long nanos via the `nanosAsLong` legacy conf and
+    * pass through; `timestamp[us]` files (Spark: TIMESTAMP or, for
+    * tz-naive pandas output, TIMESTAMP_NTZ — treated as UTC, the
+    * sessions here pin `spark.sql.session.timeZone=UTC`) convert via
+    * `unix_micros * 1000`. Every downstream consumer keeps doing
+    * integer event-time arithmetic (`ts div N`) on one stable type,
+    * and the DuckDB oracles' `epoch_ns(ts)` agrees on both layouts. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** ts → epoch-nanos long (see [[events]]); works on batch and
+    * streaming frames alike (pure projection, preserves column order). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case t @ (TimestampType | TimestampNTZType) =>
+        val asTs: Column = if (t == TimestampType) col("ts") else col("ts").cast(TimestampType)
+        df.withColumn("ts", unix_micros(asTs) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

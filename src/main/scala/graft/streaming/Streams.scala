@@ -85,12 +85,15 @@ object Streams {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Events as a file-source stream with an event-time column.
-    * `ts` arrives as parquet TIMESTAMP(NANOS) read as long nanos. */
+  /** Events as a file-source stream with an event-time column. `ts`
+    * is normalized to epoch-nanos long whatever the parquet layout
+    * (TIMESTAMP(NANOS)-as-long or timestamp[us]) — same contract as
+    * [[graft.sources.Tables.events]], applied on the streaming frame. */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // single-file layout: a glob path makes the file source accept it
-    spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parque[t]")
+    graft.sources.Tables.normalizeEventTs(raw)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -487,6 +490,32 @@ object Streams {
     perBatch.groupBy("bucket").agg(sum("n").as("n_events"))
   }
 
+  /** (term, n): the serving skeleton fed by Spark's built-in `socket`
+    * TEXT source — the literal re-expression of the reference's live
+    * socket loop (reference backup/SocketWindowWordCount.java:40-80:
+    * TCP text feed → tokenize → keyed counts). Each micro-batch
+    * tokenizes its lines and partially counts; the read-back folds
+    * the per-batch partials, the same two-level aggregation as
+    * [[rateSmoke]]. Spec-gated only (StreamsSpec spins up a local
+    * ServerSocket feeding a known script): the socket source is
+    * non-replayable and wall-clock shaped, so there is no oracle —
+    * what the spec pins is the serving skeleton (unbounded drain,
+    * idempotent per-batch sink, completed-dirs-only read-back) over
+    * the true `socket` source rather than its `rate` stand-in. */
+  def socketServeSmoke(spark: SparkSession, host: String, port: Int,
+                       minRows: Long, timeoutSec: Int = 60): DataFrame = {
+    val tag = pathTag(s"socket|$host|$port|$minRows")
+    val outRoot = sys.props("java.io.tmpdir") + s"/graft_socket_smoke_$tag"
+    val src = spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+    val perBatch = serveStreamUntil(spark, src, outRoot, minRows, timeoutSec) { batch =>
+      batch.select(explode(graft.functions.Text.rawTokens(col("value"))).as("term"))
+        .filter(graft.functions.Text.keepToken(col("term")))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+    }
+    perBatch.groupBy("term").agg(sum("n").as("n"))
+  }
+
   /** (query_id, vec_id, cos, rk): a STREAM of query VECTORS served
     * against the static embedding store — the vector-search sibling of
     * [[searchStream]] (the reference's BMStream serving loop, with the
@@ -577,7 +606,9 @@ object Streams {
     // fresh store/checkpoint per run: this query demonstrates the
     // sink converging from empty; stale state would double-merge
     Seq(store, ckpt).foreach(p => deleteRecursive(spark, p))
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    // ts-normalized load: the staged src files then carry long nanos,
+    // so the streaming re-read below needs no second normalization
+    val events = graft.sources.Tables.events(spark, dir)
     events.repartitionByRange(nBatches, col("ts"))
       .write.mode("overwrite").parquet(src)
     val qs = spark.readStream.schema(events.schema)

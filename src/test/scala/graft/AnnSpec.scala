@@ -55,6 +55,49 @@ class AnnSpec extends AnyFunSuite {
     assert(lsh.sameElements(exact))
   }
 
+  test("lsh cosine pairs hold recall at the 0.8-threshold 32x12 production point") {
+    // the Scaladoc's production recipe for semantic dedup at cosine
+    // >=0.8 is numTables=32, bitsPerTable=12 — this pins recall THERE,
+    // not just at the 0.45/24x4 gate point: planted pairs at known
+    // cosines (near-dup 0.97 and boundary 0.85) must all survive
+    // candidate generation. Deterministic end to end: seeded vectors,
+    // md5-derived literal hyperplanes.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def rndVec(): Array[Double] = norm(Array.fill(dim)(rnd.nextGaussian()))
+    // random unit vector orthogonal to a: controls the planted cosine
+    def perp(a: Array[Double]): Array[Double] = {
+      val r = rndVec()
+      val d = r.zip(a).map { case (ri, ai) => ri * ai }.sum
+      norm(r.zip(a).map { case (ri, ai) => ri - d * ai })
+    }
+    val base = Array.fill(40)(rndVec())
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    base.zipWithIndex.foreach { case (v, i) => rows += ((i.toLong, v.map(_.toFloat))) }
+    var id = 1000L
+    var next = 0
+    Seq(0.97 -> 10, 0.85 -> 10).foreach { case (c, k) =>
+      (0 until k).foreach { _ =>
+        val a = base(next); next += 1
+        val u = perp(a)
+        val s = math.sqrt(1 - c * c)
+        rows += ((id, a.zip(u).map { case (ai, ui) => (c * ai + s * ui).toFloat }))
+        id += 1
+      }
+    }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.cosinePairs(df, 0.8))
+    val lsh = pairs(Ann.lshCosinePairs(df, 0.8, numTables = 32, bitsPerTable = 12))
+    assert(exact.size >= 20, s"expected all 20 planted pairs >=0.8, got ${exact.size}")
+    assert(lsh == exact, s"LSH missed ${(exact -- lsh).size} pairs at the production point")
+  }
+
   test("lsh cosine pairs reject a threshold below the S-curve midpoint") {
     intercept[IllegalArgumentException] {
       Ann.lshCosinePairs(emb, threshold = -0.9, numTables = 2, bitsPerTable = 8)

@@ -25,6 +25,12 @@ class PlanSpec extends AnyFunSuite {
   test("multi-join: dims broadcast, lineitem scan pruned to 3 columns") {
     val p = planString(Relational.revenueByNation(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
+    // the ASIA restriction must hit customer BEFORE any fact join — a
+    // broadcast LEFT SEMI on the handful of ASIA nation keys; without
+    // it ~80% of customers (and their orders/lineitem rows) ride the
+    // fact shuffles just to be discarded at the end
+    assert(p.contains("LeftSemi"),
+      "customer side not pre-restricted by an ASIA semi-join")
     val lineitemScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("lineitem"))
     assert(lineitemScan.isDefined)
     assert(lineitemScan.get.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),

@@ -13,6 +13,7 @@ object Scratch {
     val spark = SparkSession.builder().withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -15,7 +15,7 @@ class StreamsSpec extends AnyFunSuite {
   test("windowed word count over the event stream matches the batch plan") {
     val got = Streams.windowedWordCount(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-    val want = spark.read.parquet(s"$sf/events.parquet")
+    val want = graft.sources.Tables.events(spark, sf)
       .groupBy(((col("ts").cast("long") / 3600000000000L).cast("long") * 3600000L).as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -147,6 +147,47 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
     assert(got.nonEmpty)
+  }
+
+  test("socket source through the serving skeleton (ref SocketWindowWordCount)") {
+    // local TCP feeder: a known 2-line script repeated until the
+    // stream side has drained enough rows — the reference's live
+    // socket text feed, in-process
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    @volatile var stop = false
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        while (!stop && !out.checkError()) {
+          out.println("alpha beta")
+          out.println("alpha gamma")
+          Thread.sleep(20)
+        }
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    try {
+      val rows = Streams.socketServeSmoke(spark,
+          java.net.InetAddress.getLoopbackAddress.getHostAddress, port,
+          minRows = 20, timeoutSec = 120)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // tokens only from the script; every line contributes its two
+      // terms, and >=20 drained lines mean >=40 term occurrences
+      assert(rows.keySet.subsetOf(Set("alpha", "beta", "gamma")))
+      assert(rows.contains("alpha"))
+      assert(rows.values.sum >= 40L)
+      // alpha appears once per line; the others split the remainder
+      assert(rows("alpha") == rows.getOrElse("beta", 0L) + rows.getOrElse("gamma", 0L)
+        || rows("alpha") == rows.getOrElse("beta", 0L) + rows.getOrElse("gamma", 0L) + 1)
+    } finally {
+      stop = true
+      server.close()
+    }
   }
 
   test("rate-source smoke: unbounded feed through the serving skeleton, full bucket domain") {
