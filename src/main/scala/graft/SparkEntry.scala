@@ -261,6 +261,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
     "q_train_split" -> ((s, dir) => TextAnalysis.trainSplit(Tables.documents(s, dir))),
+    // domain balancing: per-source quota over the corpus
+    "q_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir))),
+    // reproducible hash-derived training-order shuffle into shards
+    "q_shuffle_order" -> ((s, dir) => TextAnalysis.shuffleOrder(Tables.documents(s, dir))),
     "q_pagerank" -> ((s, dir) => Graph.pagerank(Tables.documents(s, dir))),
     // lineitem re-laid-out along a (price, quantity) Morton curve: a
     // selective two-column range probe now touches few files/row
@@ -1846,6 +1850,25 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM s""".stripMargin,
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin,
+    "q_shuffle_order" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_sum(list_transform(range(1, 9),
+        |           j -> (strpos('0123456789abcdef',
+        |                        substr(md5(doc_id::VARCHAR || ':shuf'), j, 1)) - 1)::BIGINT
+        |                << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, floor(u * 8)::BIGINT AS shard,
+        |       row_number() OVER (PARTITION BY floor(u * 8)
+        |                          ORDER BY u ASC, doc_id ASC)::BIGINT AS pos
         |FROM s""".stripMargin,
     // 10 integer PageRank iterations generated as a CTE chain; every
     // step is floor division of non-negative BIGINTs, mirroring the

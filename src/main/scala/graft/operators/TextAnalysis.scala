@@ -400,6 +400,43 @@ object TextAnalysis {
         when(col("u") < 0.8, "train").when(col("u") < 0.9, "val").otherwise("test")
           .as("split"))
 
+  /** (doc_id, source, n_chars, rk): per-domain document cap — domain
+    * balancing, the Gopher/C4-style per-source quota: keep the `cap`
+    * highest-ranked docs of every source so no single domain dominates
+    * the training mixture. Rank = (n_chars desc, doc_id asc), a
+    * deterministic quality proxy (swap in a quality score column for
+    * real mixes). Scale: rank ≤ cap is a WindowGroupLimit — Spark
+    * bounds every group to `cap` rows BEFORE the sort materializes
+    * (the topK-per-group plan family, pinned in PlanSpec), so state
+    * per domain is O(cap) however large the domain. */
+  def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.select("doc_id", "source", "n_chars")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
+
+  /** (doc_id, shard, pos): reproducible global training-order shuffle
+    * — the "shuffle the corpus before packing" step, derived entirely
+    * from a content-stable hash (md5 of doc_id): shard = floor(u ×
+    * nShards), pos = rank of u within the shard. No RNG state: every
+    * engine/run derives the same order, and a re-run over a grown
+    * corpus keeps every old doc's shard (only in-shard positions
+    * shift). The window is PER-SHARD, never a global sort: at 100 TB
+    * each shard's order materializes independently after one shuffle
+    * on the shard key; u = k/2^32 is exactly representable, so
+    * floor(u×nShards) has no fp boundary ambiguity across engines. */
+  def shuffleOrder(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("u").asc, col("doc_id").asc)
+    docs
+      .withColumn("u", expr(hashU("concat(CAST(doc_id AS STRING), ':shuf')")))
+      .withColumn("shard", floor(col("u") * nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
   /** (doc_id, chunk_id, n_tokens, chunk_md5): context-window chunking
     * — every document's RAW token stream split into consecutive
     * `chunkSize`-token windows, the unit a training pipeline feeds a

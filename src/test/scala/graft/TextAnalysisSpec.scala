@@ -159,4 +159,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(vocab.map(_.getAs[Long]("n_terms")).sum ==
       operators.Bm25.tokenize(docs).select("term").distinct().count())
   }
+
+  test("source cap keeps the longest docs per domain, bounded by WindowGroupLimit") {
+    val cap = 3
+    val out = TextAnalysis.sourceCap(docs, cap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // <= cap rows per source, rk dense from 1
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.length <= cap)
+      assert(rows.map(_._4).sorted.sameElements(1L to rows.length.toLong))
+    }
+    // the kept docs ARE each source's top-cap by (n_chars desc, doc_id asc)
+    val want = docs.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).values.flatMap(
+        _.sortBy(t => (-t._3, t._1)).take(cap)).map(_._1).toSet
+    assert(out.map(_._1).toSet == want)
+    // plan: the per-group limit runs BEFORE the full sort materializes
+    val plan = TextAnalysis.sourceCap(docs, cap)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-source cap not bounded by WindowGroupLimit:\n$plan")
+  }
+
+  test("shuffle order: stable hash-derived shards with dense in-shard positions") {
+    val n = docs.count()
+    val a = TextAnalysis.shuffleOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.length == n)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    // every shard's positions are dense 1..size (a total order per shard)
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length.toLong))
+    }
+    // reproducible: a second run derives the identical order
+    val b = TextAnalysis.shuffleOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    // growth stability: docs keep their shard when the corpus grows
+    val half = TextAnalysis.shuffleOrder(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = a.map(t => t._1 -> t._2).toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+  }
 }
