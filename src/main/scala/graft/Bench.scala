@@ -25,7 +25,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.ts is parquet TIMESTAMP(NANOS): read as raw nanos (long)
+      // legacy events.ts layouts (TIMESTAMP(NANOS)) read as raw nanos;
+      // newer timestamp[us] layouts normalize in Tables.events (UTC pin)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,7 +13,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): read as raw nanos (long)
+      // legacy events.ts layouts (TIMESTAMP(NANOS)) read as raw nanos;
+      // newer timestamp[us] layouts normalize in Tables.events (UTC pin)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
 object Upsert {
   /** (user_id, last_type, last_value, last_ts_ms): latest event per
     * user, ordered by (ts, event_id) for deterministic ties. `ts` is
-    * raw epoch nanos (long) — see the nanosAsLong session config. */
+    * epoch nanos (long) — normalized by [[graft.sources.Tables.events]]
+    * whatever the parquet layout. */
   def lastWins(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
     events
