@@ -192,6 +192,38 @@ object Probe {
       time("dedup_embcos_lsh")(graft.operators.Ann.lshCosinePairs(
         e, threshold = 0.8, numTables = 32, bitsPerTable = 12).count())
       time("dedup_embcos_brute")(graft.operators.Ann.cosinePairs(e, 0.8).count())
+    } else if (args.headOption.contains("q5ab")) {
+      // A/B the Q5 join orders on the staged 20x facts (run scale-tpch
+      // first): pre-restricted customer + orders-first vs the late
+      // region filter riding every fact row through the shuffles
+      import org.apache.spark.sql.functions.broadcast
+      val out = "/tmp/scale_tpch"
+      spark.read.parquet(s"$out/lineitem.parquet").count() // warm cache
+      def old(): Long = {
+        val li = spark.read.parquet(s"$out/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = spark.read.parquet(s"$out/orders.parquet").select("o_orderkey", "o_custkey")
+        val c = spark.read.parquet(s"$out/customer.parquet").select("c_custkey", "c_nationkey")
+        val n = spark.read.parquet(s"$out/nation.parquet")
+        val r = spark.read.parquet(s"$out/region.parquet")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000.0).cast("long")).as("revenue_micros"),
+            count(lit(1)).as("n_items"))
+          .count()
+      }
+      (1 to 3).foreach { i =>
+        timed("Q5AB")(s"new_$i")(graft.operators.Relational.revenueByNation(spark, out).count())
+        timed("Q5AB")(s"old_$i")(old())
+      }
+      val df = graft.operators.Relational.revenueByNation(spark, out)
+      df.collect()
+      println("===== NEW PLAN =====")
+      println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
     } else if (args.headOption.contains("scale-tpch")) {
       // 20x FACT tables (lineitem/orders, order keys offset so joins
       // still resolve), dimensions kept at sf0.1 — the realistic scale
