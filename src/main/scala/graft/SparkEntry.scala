@@ -131,6 +131,9 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_dedup_verified" -> ((s, dir) => Dedup.verifiedNearDups(Tables.documents(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
+    // the keep decision: one representative per near-dup cluster,
+    // loners keep themselves — the cleaned-corpus id set
+    "q_dedup_keep_best" -> ((s, dir) => Dedup.keepBest(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_minhash_ml" -> ((s, dir) => MlPipeline.minhashLshPairs(Tables.documents(s, dir))),
@@ -1285,6 +1288,32 @@ object SparkEntry {
          |  UNION
          |  SELECT r.doc, e2.b FROM r JOIN e2 ON r.reach = e2.a)
          |SELECT doc AS doc_id, min(reach)::BIGINT AS cluster_id FROM r GROUP BY doc""".stripMargin,
+    // the same transitive closure, finished with the keep decision:
+    // rank-1 by (n_chars desc, doc_id asc) per cluster, loners keep
+    // themselves
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCandCte,
+         |exd AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+         |        FROM documents),
+         |expairs AS (SELECT canon AS doc_a, doc_id AS doc_b FROM exd WHERE doc_id <> canon),
+         |e2 AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM ver
+         |       UNION SELECT doc_a AS a, doc_b AS b FROM expairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM expairs),
+         |r(doc, reach) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+         |  UNION
+         |  SELECT r.doc, e2.b FROM r JOIN e2 ON r.reach = e2.a),
+         |cl AS (SELECT doc AS doc_id, min(reach)::BIGINT AS cluster_id FROM r GROUP BY doc),
+         |best AS (SELECT doc_id, cluster_id FROM (
+         |  SELECT cl.doc_id, cl.cluster_id,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |                            ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rk
+         |  FROM cl JOIN documents d USING (doc_id)) WHERE rk = 1)
+         |SELECT doc_id, cluster_id FROM best
+         |UNION ALL
+         |SELECT doc_id, doc_id AS cluster_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cl)""".stripMargin,
     // cross-document duplicated spans: distinct-doc count >= 2 (same-
     // doc repetition is a quality signal, not duplication)
     "q_dedup_spans" ->

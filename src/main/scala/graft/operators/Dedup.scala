@@ -90,6 +90,30 @@ object Dedup {
     * > 1 — including copies too short to shingle) or its canonical is
     * in a verified near-dup component; unique docs with no near-dup
     * are omitted (singleton clusters are implicit). */
+  /** (doc_id, cluster_id): the KEEP decision that finishes near-dup
+    * dedup — exactly one representative per [[nearDupClusters]]
+    * component, ranked (n_chars desc, doc_id asc): the longest copy is
+    * the least-truncated one (swap in a quality score for real mixes);
+    * every unclustered doc keeps itself (cluster_id = doc_id), so the
+    * output doc_id set IS the cleaned corpus. Scale: all corpus-sized
+    * work stays inside nearDupClusters' exact-collapse + bucketed-LSH
+    * pipeline; the ranking window runs over the small clustered-docs
+    * relation only (WindowGroupLimit at rank 1), and the loner side is
+    * one LEFT ANTI hash join on doc_id. */
+  def keepBest(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(docs, threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id").asc)
+    val best = clusters
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("doc_id", "cluster_id")
+    val loners = docs.join(clusters, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    best.unionByName(loners)
+  }
+
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
                       maxIter: Int = 20): DataFrame = {
     // exact-dedup FIRST, same reason as dropDuplicates: k exact copies

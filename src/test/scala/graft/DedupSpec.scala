@@ -217,4 +217,27 @@ class DedupSpec extends AnyFunSuite {
     val flagged = flags.filter(col("n_dup_windows") > 0).count()
     assert(flagged > 0 && flagged < docs.count())
   }
+
+  test("keep-best finishes dedup: one longest rep per cluster, loners keep themselves") {
+    val clusters = Dedup.nearDupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val kept = Dedup.keepBest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lens = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exactly one kept doc per cluster, and it is the (longest, min-id) member
+    val byCluster = clusters.groupBy(_._2)
+    val keptClustered = kept.filter(k => byCluster.contains(k._2)).toMap
+    assert(keptClustered.size == byCluster.size)
+    byCluster.foreach { case (cid, members) =>
+      val want = members.map(_._1).minBy(id => (-lens(id), id))
+      assert(keptClustered.collectFirst { case (id, c) if c == cid => id }.contains(want),
+        s"cluster $cid kept wrong rep")
+    }
+    // loners all present with self-cluster; total = #clusters + #loners
+    val clusteredIds = clusters.map(_._1).toSet
+    val loners = lens.keySet -- clusteredIds
+    assert(kept.filter(k => loners.contains(k._1)).forall(k => k._1 == k._2))
+    assert(kept.length == byCluster.size + loners.size)
+  }
 }
