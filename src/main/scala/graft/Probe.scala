@@ -98,6 +98,7 @@ object Probe {
       time("ann_ivf")(graft.operators.Ann.ivfTopK(e).count())
       time("dedup_drop")(graft.operators.Dedup.dropDuplicates(d).count())
       time("dedup_clusters")(graft.operators.Dedup.nearDupClusters(d).count())
+      time("dedup_keep_best")(graft.operators.Dedup.keepBest(d).count())
       time("batch_search") {
         import spark.implicits._
         graft.operators.Bm25.batchSearch(d,

@@ -101,7 +101,10 @@ object Dedup {
     * relation only (WindowGroupLimit at rank 1), and the loner side is
     * one LEFT ANTI hash join on doc_id. */
   def keepBest(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val clusters = nearDupClusters(docs, threshold)
+    // the cluster relation feeds BOTH branches below (rank-1 pick and
+    // the loner anti-join) — checkpoint it once or the whole iterative
+    // CC pipeline executes twice (measured 2x at the 20x probe)
+    val clusters = nearDupClusters(docs, threshold).localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id").asc)
     val best = clusters
