@@ -360,6 +360,16 @@ object SparkEntry {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    // one-object-per-file binary ingest via the builtin binaryFile
+    // source — how media corpora land; id parsed from the file name,
+    // payload fingerprinted for the join with the metadata tables
+    "q_source_binary" -> ((s, dir) => {
+      s.read.format("binaryFile").load(binaryDocsFor(s, dir) + "/*.bin")
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("payload_md5"))
+    }),
 
     // ---- Round-6 additions: serving features past ranked retrieval
     // — LM-Dirichlet scoring, snippets, autocomplete, NDCG eval ----
@@ -437,8 +447,29 @@ object SparkEntry {
     indexFor(s, dir); zorderedLineitemFor(s, dir); partitionedDocsFor(s, dir)
     csvDocsFor(s, dir); jsonlDocsFor(s, dir); orcDocsFor(s, dir)
     compactedDocsFor(s, dir); tsvDocsFor(s, dir); bucketedFor(s, dir)
+    binaryDocsFor(s, dir)
     ()
   }
+
+  /** One file-per-document binary staging per sf dir per JVM — the
+    * ingest-boundary fixture for the `binaryFile` source (media
+    * corpora arrive as one object per file). Written partition-wise on
+    * the executors; on a cluster the target must be shared storage,
+    * exactly like any ingest landing zone. */
+  private def binaryDocsFor(s: SparkSession, dir: String): String =
+    cachedLayout("docs_bin", dir) { p =>
+      new java.io.File(p).mkdirs()
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .repartition(8)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p, r.getLong(0).toString + ".bin"),
+              r.getAs[Array[Byte]]("payload"))
+          }
+        }
+    }
 
   /** One z-ordered copy of lineitem per sf dir per JVM. */
   private def zorderedLineitemFor(s: SparkSession, dir: String): String =
@@ -2146,6 +2177,11 @@ object SparkEntry {
     "q_source_orc" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // strlen = BYTE length in DuckDB (octet semantics, matching the
+    // binaryFile `length` column); md5 over the same UTF-8 bytes
+    "q_source_binary" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, md5(text) AS payload_md5
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // LM-Dirichlet (Zhai & Lafferty): matched-term decomposition —
     // sum ln(1 + tf/(mu*cf/|C|)) + |q|*ln(mu/(dl+mu)); textual FP form
     // mirrored by SearchExtras.lmDirichletScore

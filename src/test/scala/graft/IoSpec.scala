@@ -14,6 +14,31 @@ class IoSpec extends AnyFunSuite {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("binaryFile source: one file per doc, content fingerprints match the table") {
+    // the q_source_binary shape driven directly: stage a few docs as
+    // individual .bin objects, read them back through the builtin
+    // binaryFile source, and check id/byte-length/md5 against the rows
+    import spark.implicits._
+    val dir = Files.createTempDirectory("binsrc").toString
+    val rows = Seq((1L, "alpha beta"), (2L, "gamma"), (7L, "deltä"))
+    rows.foreach { case (id, text) =>
+      Files.write(java.nio.file.Paths.get(dir, s"$id.bin"), text.getBytes("UTF-8"))
+    }
+    val got = spark.read.format("binaryFile").load(s"$dir/*.bin")
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("payload_md5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = rows.map { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map("%02x".format(_)).mkString
+      (id, b.length.toLong, fp)
+    }.toSet
+    assert(got == want) // note deltä: byte length != char length
+  }
+
   test("corpus round-trips through tsv, csv, jsonl and parquet readers") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
