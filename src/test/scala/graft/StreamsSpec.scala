@@ -149,6 +149,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("watermark evicts closed windows in append mode and drops late data") {
+    // the production-mode contract behind the complete-mode drains:
+    // in APPEND mode a window emits only once the watermark passes its
+    // end, and an event arriving after that is DROPPED, bounding state
+    // on an unbounded stream. Driven batch by batch so the watermark
+    // (computed from the PREVIOUS batch's max event time) is explicit.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)] // (event-time seconds, key)
+    val counts = in.toDF().toDF("secs", "k")
+      .withColumn("event_time", timestamp_seconds(col("secs")))
+      .withWatermark("event_time", "10 seconds")
+      .groupBy(window(col("event_time"), "1 minute").as("win"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("win.start")).as("w"), col("k"), col("n"))
+    val sq = counts.writeStream.format("memory").queryName("graft_wm_test")
+      .outputMode(OutputMode.Append()).start()
+    def emitted() = spark.table("graft_wm_test")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    try {
+      // batch 1: two rows in window [0,60); watermark still at -inf
+      in.addData((5L, "a"), (20L, "a")); sq.processAllAvailable()
+      assert(emitted().isEmpty, "open window must not emit in append mode")
+      // batch 2: event time jumps to 200 -> watermark 190 > 60 closes
+      // window [0,60), which now emits its final count
+      in.addData((200L, "a")); sq.processAllAvailable()
+      assert(emitted() == Map((0L, "a") -> 2L))
+      // batch 3: a LATE row for the closed window — dropped, no update
+      // (and no duplicate emission of the closed window)
+      in.addData((25L, "a")); sq.processAllAvailable()
+      assert(emitted() == Map((0L, "a") -> 2L), "late data must be dropped")
+    } finally sq.stop()
+  }
+
   test("socket source through the serving skeleton (ref SocketWindowWordCount)") {
     // local TCP feeder: a known 2-line script repeated until the
     // stream side has drained enough rows — the reference's live
