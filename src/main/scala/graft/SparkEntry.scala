@@ -458,7 +458,14 @@ object SparkEntry {
     * exactly like any ingest landing zone. */
   private def binaryDocsFor(s: SparkSession, dir: String): String =
     cachedLayout("docs_bin", dir) { p =>
-      new java.io.File(p).mkdirs()
+      // clear any stale staging first (Spark's overwrite mode does
+      // this for the other layouts): a doc REMOVED by a testdata
+      // regen would otherwise linger as an orphan .bin and poison the
+      // read-back row count
+      val root = new java.io.File(p)
+      if (root.exists())
+        root.listFiles().foreach(f => { f.delete(); () })
+      root.mkdirs()
       Tables.documents(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .repartition(8)
