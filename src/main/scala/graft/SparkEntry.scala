@@ -158,6 +158,9 @@ object SparkEntry {
     }),
     "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Ann.ivfTopK(Tables.embeddings(s, dir))),
+    // PQ/ADC: trained codebooks -> rows-only (recall + code-range
+    // bounds spec-gated in AnnSpec, like the other trained ANN paths)
+    "q_ann_pq" -> ((s, dir) => Ann.pqTopK(Tables.embeddings(s, dir))),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, Tables.documents(s, dir))

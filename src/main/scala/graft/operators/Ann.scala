@@ -235,6 +235,84 @@ object Ann {
       .limit(k)
   }
 
+  /** (vec_id, adc, cos): product-quantization ANN — the
+    * memory-compression rung between int8 ([[graft.operators.Vectors]]
+    * symmetric quantization) and the 1-bit sign signature
+    * ([[hammingTopK]]): each `dim/m`-dim subspace of a vector collapses
+    * to one byte code against a `ksub`-centroid codebook, so a 64-dim
+    * float vector becomes m=8 bytes and query-time scoring never reads
+    * the float corpus. Codebooks are trained per subspace on a
+    * deterministic sample (MLlib k-means, fixed seeds — the
+    * [[ivfTopK]] recipe; driver sync = m×ksub×sub doubles, shipped as
+    * plan LITERALS). Encoding is a pure map stage (argmin centroid,
+    * ties to the lower index via the (dist, idx) struct min — zero
+    * shuffles); a query scores the corpus by ASYMMETRIC distance: an
+    * m×ksub lookup table computed once on the driver from the query
+    * vector, per-vector cost = m table lookups. The nCandidates
+    * smallest ADC distances are a TakeOrdered, and exact cosine
+    * reranks candidates only (the repo-wide candidates-first shape). */
+  def pqTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+             m: Int = 8, ksub: Int = 16, nCandidates: Int = 100): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim does not split into $m subspaces")
+    val sub = dim / m
+    val v = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val n = v.count()
+    val frac = math.min(1.0, ksub * 200.0 / math.max(1L, n))
+    val fitBase =
+      (if (frac < 1.0) v.sample(withReplacement = false, frac, seed = 7L) else v).cache()
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      val feats = fitBase.select(array_to_vector(
+        expr(s"slice(v, ${j * sub + 1}, $sub)")).as("features"))
+      new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(3).fit(feats)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    fitBase.unpersist()
+    def lit1d(a: Array[Double]): String =
+      "array(" + a.map(x => s"CAST($x AS DOUBLE)").mkString(",") + ")"
+    def lit2d(cb: Array[Array[Double]]): String =
+      cb.map(lit1d).mkString("array(", ",", ")")
+    val codeCols = (0 until m).map { j =>
+      expr(
+        s"""array_min(transform(sequence(0, ${ksub - 1}), c ->
+           |  struct(aggregate(zip_with(slice(v, ${j * sub + 1}, $sub),
+           |           element_at(${lit2d(codebooks(j))}, c + 1),
+           |           (x, y) -> (x - y) * (x - y)),
+           |         CAST(0 AS DOUBLE), (a, b) -> a + b) AS d,
+           |         c AS c))).c""".stripMargin).as(s"code$j")
+    }
+    val codes = v.select(col("vec_id") +: codeCols: _*)
+    val q = v.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
+    val table: Array[Array[Double]] = (0 until m).map { j =>
+      codebooks(j).map { c =>
+        var s = 0.0; var i = 0
+        while (i < sub) { val d = q(j * sub + i) - c(i); s += d * d; i += 1 }
+        s
+      }
+    }.toArray
+    val adcCol = (0 until m)
+      .map(j => expr(s"element_at(${lit1d(table(j))}, code$j + 1)"))
+      .reduce(_ + _)
+    val cand = codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(adcCol, 6).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(nCandidates)
+    // exact rerank inlined for the same single-reference reason as
+    // hammingTopK: exactTopK's semi-join would re-evaluate the encode
+    // pass and the candidate TakeOrdered twice
+    val e = withNorm(embeddings)
+    val qn = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("va"), col("nrm").as("na"))
+    e.join(cand, "vec_id")
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"), col("adc"),
+        round(dot(col("va"), col("v")) / (col("na") * col("nrm")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** (query_id, vec_id, cos, rk): exact cosine top-k for a TABLE of
     * query vectors in ONE plan — the ANN sibling of
     * [[Bm25.batchSearch]]. `queries` is (query_id, embedding); it is

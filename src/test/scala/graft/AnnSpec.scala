@@ -104,6 +104,22 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("pq top-k: k rows, adc non-negative, recalls a reasonable fraction of exact") {
+    val rows = Ann.pqTopK(emb, 0L, 10).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(0) != 0L))
+    assert(rows.forall(_.getDouble(1) >= 0.0)) // ADC is a squared distance
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val recall = exact.count(rows.map(_.getLong(0)).toSet.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"PQ ANN recall $recall")
+    // deterministic: trained codebooks have fixed seeds, ties break on
+    // centroid index — a second run reproduces the ranking exactly
+    val again = Ann.pqTopK(emb, 0L, 10).collect()
+    assert(again.map(_.toSeq).sameElements(rows.map(_.toSeq)))
+  }
+
   test("lsh top-k recalls a reasonable fraction of exact top-k") {
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val approx = Ann.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
