@@ -227,6 +227,21 @@ class PlanSpec extends AnyFunSuite {
       s"candidate selection should be a bounded TakeOrdered:\n$p")
   }
 
+  test("PQ ANN: encode+ADC is a map stage, candidates TakeOrdered, no codebook shuffle") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = planString(graft.operators.Ann.pqTopK(emb))
+    // candidate selection bounded before any join
+    assert(p.contains("TakeOrderedAndProject(limit=100"),
+      s"ADC candidate selection should be a bounded TakeOrdered:\n$p")
+    // codebooks and the ADC table ride as plan literals: the ONLY
+    // exchanges allowed are the broadcast of the single query row and
+    // of the bounded candidate set — never a hash/range repartition of
+    // the encoded corpus
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(shuffles == 0, s"PQ scoring must not shuffle the corpus:\n$p")
+  }
+
   test("seq chunks: zero exchanges (pure map+explode)") {
     val df = graft.operators.TextAnalysis.seqChunks(Tables.documents(spark, sf))
     df.collect()
