@@ -161,6 +161,8 @@ object SparkEntry {
     // PQ/ADC: trained codebooks -> rows-only (recall + code-range
     // bounds spec-gated in AnnSpec, like the other trained ANN paths)
     "q_ann_pq" -> ((s, dir) => Ann.pqTopK(Tables.embeddings(s, dir))),
+    // IVF+PQ composed (residual-encoded, per-probe ADC tables)
+    "q_ann_ivfpq" -> ((s, dir) => Ann.ivfPqTopK(Tables.embeddings(s, dir))),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, Tables.documents(s, dir))

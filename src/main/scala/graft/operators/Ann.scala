@@ -354,4 +354,106 @@ object Ann {
     }
     d / math.sqrt(na * nb)
   }
+
+  /** (vec_id, adc, cos): IVF+PQ — the canonical billion-vector index
+    * shape, composing the two trained stages: a coarse k-means
+    * quantizer routes every vector to an inverted list ([[ivfTopK]]'s
+    * recipe), and PQ codebooks trained on the RESIDUALS (v − its list
+    * centroid — residuals concentrate near zero, so the same ksub
+    * centroids quantize far more finely than on raw vectors) collapse
+    * each vector to m byte codes. A query probes the nProbe nearest
+    * lists only and scores each probed vector by asymmetric distance
+    * against the table of ITS list (query residual differs per list —
+    * nProbe driver-computed m×ksub tables dispatched by a literal
+    * list-keyed CASE). Scan cost per query = probed-lists fraction of
+    * the corpus × m lookups; candidates-first exact rerank as
+    * everywhere. All trained state (centroids, codebooks, tables)
+    * ships as plan literals — the scoring stage is a pure map +
+    * TakeOrdered, zero shuffles of the encoded corpus. */
+  def ivfPqTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+                nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, nCandidates: Int = 100): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim does not split into $m subspaces")
+    val sub = dim / m
+    val v = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val n = v.count()
+    // coarse quantizer: the ivfTopK recipe (sampled fit, one map-stage
+    // assignment over literal centroids via the model transform)
+    val feats = v.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val cFrac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
+    val cFit = if (cFrac < 1.0) feats.sample(withReplacement = false, cFrac, seed = 7L) else feats
+    val coarse = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(cFit)
+    val centers: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
+    def lit1d(a: Array[Double]): String =
+      "array(" + a.map(x => s"CAST($x AS DOUBLE)").mkString(",") + ")"
+    def lit2d(cb: Array[Array[Double]]): String =
+      cb.map(lit1d).mkString("array(", ",", ")")
+    val assigned = coarse.transform(feats)
+      .select(col("vec_id"), col("prediction").as("list_id"))
+      .join(v, "vec_id")
+      // residual = v − centroid(list): the quantity PQ encodes
+      .withColumn("r", expr(
+        s"zip_with(v, element_at(${lit2d(centers)}, list_id + 1), (x, c) -> x - c)"))
+    // PQ codebooks on residual samples (deterministic), one per subspace
+    val rFrac = math.min(1.0, ksub * 200.0 / math.max(1L, n))
+    val rFit = (if (rFrac < 1.0) assigned.sample(withReplacement = false, rFrac, seed = 9L)
+                else assigned).cache()
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      val sf = rFit.select(array_to_vector(expr(s"slice(r, ${j * sub + 1}, $sub)")).as("features"))
+      new KMeans().setK(ksub).setSeed(71L + j).setMaxIter(3).fit(sf)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    rFit.unpersist()
+    val codeCols = (0 until m).map { j =>
+      expr(
+        s"""array_min(transform(sequence(0, ${ksub - 1}), c ->
+           |  struct(aggregate(zip_with(slice(r, ${j * sub + 1}, $sub),
+           |           element_at(${lit2d(codebooks(j))}, c + 1),
+           |           (x, y) -> (x - y) * (x - y)),
+           |         CAST(0 AS DOUBLE), (a, b) -> a + b) AS d,
+           |         c AS c))).c""".stripMargin).as(s"code$j")
+    }
+    val codes = assigned.select(col("vec_id") +: col("list_id") +: codeCols: _*)
+    // query: probe the nProbe nearest lists; one ADC table per probe
+    // from the query's PER-LIST residual
+    val q = v.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
+    val probes: Array[Int] = centers.zipWithIndex
+      .sortBy { case (c, _) => -cosineSim(c, q) }.take(nProbe).map(_._2)
+    def adcTable(list: Int): Array[Array[Double]] = {
+      val c0 = centers(list)
+      (0 until m).map { j =>
+        codebooks(j).map { cb =>
+          var s = 0.0; var i = 0
+          while (i < sub) {
+            val d = (q(j * sub + i) - c0(j * sub + i)) - cb(i); s += d * d; i += 1
+          }
+          s
+        }
+      }.toArray
+    }
+    val adcByList: Column = probes.map { list =>
+      val t = adcTable(list)
+      val sumExpr = (0 until m)
+        .map(j => s"element_at(${lit1d(t(j))}, code$j + 1)").mkString(" + ")
+      (col("list_id") === list, expr(sumExpr))
+    }.foldRight(lit(null).cast("double")) { case ((cond, e), acc) => when(cond, e).otherwise(acc) }
+    val cand = codes
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(adcByList, 6).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(nCandidates)
+    val e = withNorm(embeddings)
+    val qn = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("va"), col("nrm").as("na"))
+    e.join(cand, "vec_id")
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"), col("adc"),
+        round(dot(col("va"), col("v")) / (col("na") * col("nrm")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -120,6 +120,18 @@ class AnnSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).sameElements(rows.map(_.toSeq)))
   }
 
+  test("ivf+pq top-k: probed-list candidates only, deterministic, reasonable recall") {
+    val rows = Ann.ivfPqTopK(emb, 0L, 10).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(0) != 0L))
+    assert(rows.forall(_.getDouble(1) >= 0.0))
+    val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val recall = exact.count(rows.map(_.getLong(0)).toSet.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVFPQ recall $recall")
+    val again = Ann.ivfPqTopK(emb, 0L, 10).collect()
+    assert(again.map(_.toSeq).sameElements(rows.map(_.toSeq)))
+  }
+
   test("lsh top-k recalls a reasonable fraction of exact top-k") {
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val approx = Ann.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
