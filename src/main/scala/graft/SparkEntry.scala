@@ -959,14 +959,17 @@ object SparkEntry {
     "q_stream_search" -> batchSearchOracle,
     "q_hybrid_rrf" ->
       s"""WITH $bm25Cte, $vecCte,
-         |bmr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rb
-         |        FROM scored),
+         |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rb
+         |        FROM (SELECT doc_id AS id, score FROM scored
+         |              ORDER BY score DESC, doc_id ASC LIMIT ${Hybrid.FusionDepth}) tb),
          |q0 AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
          |cosall AS (SELECT b.vec_id AS id,
          |             round(list_sum(list_transform(range(1, len(q0.v) + 1), i -> q0.v[i] * b.v[i]))
          |                   / (q0.nrm * b.nrm), 4) AS cos
          |           FROM vn b, q0 WHERE b.vec_id != 0),
-         |cr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rc FROM cosall),
+         |cr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rc
+         |       FROM (SELECT id, cos FROM cosall
+         |             ORDER BY cos DESC, id ASC LIMIT ${Hybrid.FusionDepth}) tc),
          |f AS (SELECT coalesce(bmr.id, cr.id) AS doc_id,
          |        round(coalesce(1.0 / (60 + rb), 0) + coalesce(1.0 / (60 + rc), 0), 6) AS rrf
          |      FROM bmr FULL JOIN cr ON bmr.id = cr.id)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
@@ -10,13 +9,22 @@ import org.apache.spark.sql.functions._
   * Σ_lists 1/(K + rank_list(d)), K = 60 (Cormack et al.'s robust
   * default); documents missing from a list simply contribute nothing.
   *
-  * Plan shape: both rankings are tiny relative to the corpus (BM25
-  * ranks only query-term postings; at 100 TB the dense side would rank
-  * an ANN candidate set, not the full corpus — the full scan here is
-  * the small-scale exactness baseline). The fusion itself is a join of
-  * two rank lists on id — negligible.
+  * Plan shape: RRF is defined over RETRIEVED runs, so each side is a
+  * depth-[[FusionDepth]] top-N list (TakeOrderedAndProject — the
+  * distributed top-N [[TopK.rankedTopN]] plans), never a corpus-sized
+  * global rank window. Truncation at depth N is exact for the fused
+  * top-k: a document absent from a run contributes nothing, and any
+  * document outside BOTH depth-N lists could score at most
+  * 2/(K+N+1) = 2/1061 < 1/(K+N') for every in-list rank N' ≤ N, so it
+  * can never displace a fused result that appears in either list. The
+  * fusion itself joins two N-row rank lists on id — negligible.
   */
 object Hybrid {
+
+  /** Run depth for each fused ranking. 2/(K + FusionDepth + 1) ≈ 0.0019
+    * bounds the score of anything truncated away — far below the
+    * 1/(K+1…K+10) ≈ 0.014–0.016 band the top-10 lives in. */
+  val FusionDepth = 1000
 
   /** (doc_id, rrf): top-k fused results for a lexical query + a query
     * vector. Ranks are computed on the ROUNDED scores with id
@@ -24,14 +32,12 @@ object Hybrid {
     * deterministic and engine-portable. */
   def rrfSearch(docs: DataFrame, embeddings: DataFrame,
                 queryTerms: Seq[String] = Bm25.QueryTerms, queryVecId: Long = 0L,
-                k: Int = 10, kConst: Int = 60): DataFrame = {
-    val wb = Window.orderBy(col("score").desc, col("doc_id").asc)
-    val bmRanks = Bm25.bm25Score(docs, queryTerms)
-      .withColumn("rb", row_number().over(wb))
+                k: Int = 10, kConst: Int = 60, depth: Int = FusionDepth): DataFrame = {
+    val bmRanks = TopK.rankedTopN(Bm25.bm25Score(docs, queryTerms),
+        "score", "doc_id", depth, "rb")
       .select(col("doc_id").as("id"), col("rb"))
-    val wc = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    val cosRanks = Ann.cosineAll(embeddings, queryVecId)
-      .withColumn("rc", row_number().over(wc))
+    val cosRanks = TopK.rankedTopN(Ann.cosineAll(embeddings, queryVecId),
+        "cos", "vec_id", depth, "rc")
       .select(col("vec_id").as("id"), col("rc"))
     bmRanks.join(cosRanks, Seq("id"), "full_outer")
       .select(col("id").as("doc_id"),

@@ -118,7 +118,12 @@ object Positional {
     * the feedback set (integer-exact, ties → term asc; excluding the
     * original query terms), then rescore with the expanded term set
     * and return the top `n`. Two corpus passes + one feedback-doc-only
-    * pass; expansion terms ride a broadcast, never a driver collect. */
+    * pass; expansion terms ride a broadcast, never a driver collect.
+    * All three top-N selections are `orderBy().limit()` plans
+    * (TakeOrderedAndProject — distributed top-N): the feedback and
+    * expansion stages only need the SET of survivors, and the final
+    * ranked output goes through the window-free [[TopK.rankedTopN]] —
+    * no global rank window ever sees an unbounded relation. */
   def expandedSearch(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
                      n: Int = 10): DataFrame = {
     // NOT cached: a cached tf fragment would be substituted into every
@@ -141,17 +146,13 @@ object Positional {
     import spark.implicits._
     val q0 = queryTerms.toDF("term")
     val feedback = score(q0)
-      .withColumn("rk", row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .filter(col("rk") <= FeedbackDocs)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(FeedbackDocs)
       .select("doc_id")
     val expansion = tf.join(broadcast(feedback), "doc_id")
       .filter(!col("term").isin(queryTerms: _*))
       .groupBy("term").agg(sum("tf").as("ttf"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("ttf").desc, col("term").asc)))
-      .filter(col("rk") <= ExpansionTerms)
+      .orderBy(col("ttf").desc, col("term").asc).limit(ExpansionTerms)
       .select("term")
-    score(q0.union(expansion))
-      .withColumn("rk", row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .filter(col("rk") <= n)
+    TopK.rankedTopN(score(q0.union(expansion)), "score", "doc_id", n, "rk")
   }
 }

@@ -448,16 +448,19 @@ object Relational {
   }
 
   /** TPC-H Q15 shape (top supplier): global argmax WITHOUT a driver
-    * collect — revenue per supplier, then keep rows equal to the
-    * all-rows window max. The empty-frame max broadcasts as a window
-    * over a single partition of supplier-cardinality rows (already
-    * aggregated), not fact rows. */
+    * collect and WITHOUT a window — the scalar max rides a partial-agg
+    * tree (map-side combine all the way down) and re-joins the
+    * supplier-revenue relation as a broadcast single row; a
+    * partition-less window max would instead drag every supplier row
+    * to one partition. Keeps ALL suppliers tied at the max, like the
+    * Q15 HAVING = (SELECT max(...)) formulation. */
   def topSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .groupBy("l_suppkey")
       .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
-    rev.withColumn("max_rev", max("revenue_micros").over(Window.partitionBy()))
+    val mx = rev.agg(max("revenue_micros").as("max_rev"))
+    rev.crossJoin(broadcast(mx))
       .filter(col("revenue_micros") === col("max_rev"))
       .join(s, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("revenue_micros"))
@@ -574,22 +577,28 @@ object Relational {
         col("filled_value"))
   }
 
-  /** 7-day rolling revenue via a RANGE window frame (value-based, so
+  /** 7-day rolling revenue with RANGE semantics (value-based, so
     * missing days still count as a 6-day lookback — a ROWS frame would
-    * silently widen across gaps). The fact table pre-aggregates to day
-    * cardinality BEFORE the window, so the unpartitioned sort handles
-    * thousands of rows, not billions, at any corpus size; the rolling
-    * average divides two exact integer window sums (deterministic). */
+    * silently widen across gaps). Instead of a partition-less RANGE
+    * window (single-partition sort), each day's aggregate is EXPLODED
+    * into the 7 target days it contributes to and re-aggregated on the
+    * day key — a plain distributed shuffle whose width is 7× a
+    * day-cardinality relation (thousands of rows at any corpus size).
+    * The inner join back to `byDay` keeps exactly the observed days,
+    * matching RANGE-frame output row-for-row; the rolling average
+    * divides two exact integer sums (deterministic). */
   def movingRevenue(orders: DataFrame): DataFrame = {
     val byDay = orders
       .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
       .agg(sum(micros(col("o_totalprice"))).as("rev_micros"))
-    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
-    byDay
-      .withColumn("n_days_in_window", count(lit(1)).over(w))
-      .withColumn("ma7_micros",
-        round(sum(col("rev_micros")).over(w).cast("double") / col("n_days_in_window"), 4))
-      .select("day", "rev_micros", "n_days_in_window", "ma7_micros")
+    val contrib = byDay
+      .select(explode(sequence(col("day"), col("day") + lit(6L))).as("day"),
+        col("rev_micros").as("c_micros"))
+      .groupBy("day").agg(count(lit(1)).as("n_days_in_window"),
+        sum("c_micros").as("wsum_micros"))
+    byDay.join(contrib, "day")
+      .select(col("day"), col("rev_micros"), col("n_days_in_window"),
+        round(col("wsum_micros").cast("double") / col("n_days_in_window"), 4).as("ma7_micros"))
   }
 
   /** Session windows via gap analysis: a new session starts after a

@@ -299,21 +299,20 @@ object SearchExtras {
   /** Single row (dcg, idcg, ndcg): NDCG@k of the BM25 ranking against
     * graded relevance rel(d) = #distinct query terms present in d —
     * the self-contained ranking-quality harness (swap `rel` for human
-    * labels in production). The ranked list is LIMITed to k BEFORE the
-    * rank window, so the window never sees more than k rows (global
-    * row_number over an unlimited set would single-partition the
-    * corpus); the ideal list gets the same treatment on rel. */
+    * labels in production). Both ranked lists go through the
+    * window-free [[TopK.rankedTopN]] (TakeOrderedAndProject bounds the
+    * set to k rows, array positions assign ranks — a global row_number
+    * over an unlimited set would single-partition the corpus). */
   def searchNdcg(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
                  k: Int = 10): DataFrame = {
     val rel = Bm25.tf(docs).filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id").agg(countDistinct(col("term")).as("rel"))
     val gain = (pow(lit(2.0), col("rel")) - lit(1.0)) / log2(col("rk") + lit(1.0))
-    val dcg = Bm25.searchTopN(docs, queryTerms, k)
-      .withColumn("rk", row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+    val dcg = TopK.rankedTopN(Bm25.searchTopN(docs, queryTerms, k),
+        "score", "doc_id", k, "rk")
       .join(rel, "doc_id")
       .agg(sum(gain).as("dcg"))
-    val idcg = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(k)
-      .withColumn("rk", row_number().over(Window.orderBy(col("rel").desc, col("doc_id").asc)))
+    val idcg = TopK.rankedTopN(rel, "rel", "doc_id", k, "rk")
       .agg(sum(gain).as("idcg"))
     dcg.crossJoin(idcg)
       .select(round(col("dcg"), 4).as("dcg"), round(col("idcg"), 4).as("idcg"),

@@ -224,16 +224,34 @@ object TextAnalysis {
   /** (term, n, term_rank, log10_rank, log10_n): the corpus rank-frequency
     * (Zipf) profile over the engine's kept tokens — the standard
     * corpus-health diagnostic (a healthy natural corpus is ~linear in
-    * log-log; synthetic or template-heavy corpora bend). One aggregate
-    * + one global sort of vocabulary-cardinality rows. */
-  def zipfProfile(docs: DataFrame): DataFrame =
-    Bm25.tokenize(docs)
+    * log-log; synthetic or template-heavy corpora bend).
+    *
+    * A web-scale vocabulary is 10⁸⁺ terms, so the exact global rank
+    * cannot ride a partition-less `row_number` window (that moves the
+    * whole vocabulary to ONE partition) and cannot be truncated (the
+    * diagnostic needs the full curve). This is the engine's one RDD
+    * drop: `zipWithIndex` is the canonical scalable exact-rank — a
+    * range-partitioned global sort stays distributed, a first job
+    * counts rows per partition, and a second assigns offset+local
+    * index. Both jobs run over the SAME RDD, so the range partitioner
+    * boundaries are identical and ranks are exact and deterministic
+    * under the total order (n DESC, term ASC). */
+  def zipfProfile(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val counts = Bm25.tokenize(docs)
       .groupBy("term").agg(count(lit(1)).as("n"))
-      .withColumn("term_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
-      .select(col("term"), col("n"), col("term_rank"),
-        round(log10(col("term_rank").cast("double")), 6).as("log10_rank"),
-        round(log10(col("n").cast("double")), 6).as("log10_n"))
+      .orderBy(col("n").desc, col("term").asc)
+    val schema = org.apache.spark.sql.types.StructType(counts.schema.fields :+
+      org.apache.spark.sql.types.StructField("term_rank",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      counts.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), i + 1L)
+      }, schema)
+    ranked.select(col("term"), col("n"), col("term_rank"),
+      round(log10(col("term_rank").cast("double")), 6).as("log10_rank"),
+      round(log10(col("n").cast("double")), 6).as("log10_n"))
+  }
 
   /** (lang, trigram, n, rk): top-k character trigrams per language —
     * the feature family real language-ID models (CLD/fastText) train

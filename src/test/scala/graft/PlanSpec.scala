@@ -249,6 +249,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("plan hygiene: no wired query plans a partition-less window") {
+    // A Window (or WindowGroupLimit) with an empty partitionSpec moves
+    // its ENTIRE input to one partition — Spark's "No Partition
+    // Defined" warning, and a single-executor chokepoint at 100 TB.
+    // Every rank-for-top-N in the engine routes through the window-free
+    // TopK.rankedTopN instead, so the whole wired surface must plan
+    // ZERO of them. Logical-plan level: cheap (no execution) and
+    // independent of AQE re-planning.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit => LWgl}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w.getClass.getSimpleName
+        case w: LWgl if w.partitionSpec.isEmpty => w.getClass.getSimpleName
+      }
+      if (bad.isEmpty) Nil else Seq(s"$name: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows in wired plans:\n${offenders.mkString("\n")}")
+  }
+
   test("spell correct: pruned signature equi-join, corpus scanned once") {
     val p = planString(graft.operators.SearchExtras.spellCorrect(Tables.documents(spark, sf)))
     val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
