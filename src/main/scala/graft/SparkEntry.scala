@@ -158,11 +158,13 @@ object SparkEntry {
     }),
     "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Ann.ivfTopK(Tables.embeddings(s, dir))),
-    // PQ/ADC: trained codebooks -> rows-only (recall + code-range
-    // bounds spec-gated in AnnSpec, like the other trained ANN paths)
-    "q_ann_pq" -> ((s, dir) => Ann.pqTopK(Tables.embeddings(s, dir))),
-    // IVF+PQ composed (residual-encoded, per-probe ADC tables)
-    "q_ann_ivfpq" -> ((s, dir) => Ann.ivfPqTopK(Tables.embeddings(s, dir))),
+    // PQ/ADC served from the staged PqIndex (training is an offline
+    // build, cached per sf dir — the benched path is SERVING) ->
+    // rows-only (recall + staged==live spec-gated in AnnSpec)
+    "q_ann_pq" -> ((s, dir) => PqIndex.searchTopK(s, pqIndexFor(s, dir))),
+    // IVF+PQ composed (residual-encoded, per-probe ADC tables), same
+    // staged-serving split
+    "q_ann_ivfpq" -> ((s, dir) => PqIndex.searchIvfTopK(s, ivfPqIndexFor(s, dir))),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, Tables.documents(s, dir))
@@ -520,6 +522,13 @@ object SparkEntry {
     * build/update split IS the thing it tests.) */
   private def indexFor(s: SparkSession, dir: String): String =
     cachedLayout("idx_serve", dir)(p => Bm25Index.build(Tables.documents(s, dir), p))
+
+  /** Staged PQ / IVF+PQ stores (codebook training is the offline
+    * build; q_ann_pq / q_ann_ivfpq bench the serving path). */
+  private def pqIndexFor(s: SparkSession, dir: String): String =
+    cachedLayout("pq_idx", dir)(p => PqIndex.build(Tables.embeddings(s, dir), p))
+  private def ivfPqIndexFor(s: SparkSession, dir: String): String =
+    cachedLayout("ivfpq_idx", dir)(p => PqIndex.buildIvf(Tables.embeddings(s, dir), p))
 
   /** Lineitem+orders bucketed on the join key (8 buckets, sorted,
     * one file per bucket via the pre-repartition) — the co-located

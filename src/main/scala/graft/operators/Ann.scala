@@ -23,10 +23,14 @@ object Ann {
   /** Codegen'd dot product (graft_dot is registered by GraftExtensions). */
   private def dot(a: Column, b: Column): Column = graft.functions.Native.dot(a, b)
 
+  /** Embeddings as (vec_id, v: array<double>). */
+  private[operators] def doubleVecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
   /** Embeddings with double-cast vector `v` and its L2 norm. */
-  private def withNorm(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  private[operators] def withNorm(embeddings: DataFrame): DataFrame =
+    doubleVecs(embeddings)
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** The shared exact-rescore stage: cosine of `queryId` against every
@@ -235,6 +239,100 @@ object Ann {
       .limit(k)
   }
 
+  // ---- shared PQ machinery (live paths here + the staged PqIndex) ----
+
+  /** SQL literal for a double array: trained state ships as plan
+    * literals, never as shuffled relations. */
+  private[operators] def lit1d(a: Array[Double]): String =
+    "array(" + a.map(x => s"CAST($x AS DOUBLE)").mkString(",") + ")"
+  private[operators] def lit2d(cb: Array[Array[Double]]): String =
+    cb.map(lit1d).mkString("array(", ",", ")")
+
+  /** Per-subspace k-means codebooks fit on a deterministic sample of
+    * `srcCol` (array<double>, length m·sub). The sample bounds the
+    * fit at ksub×200 rows regardless of corpus size — training cost
+    * is corpus-size-independent. */
+  private[operators] def pqFitCodebooks(src: DataFrame, srcCol: String,
+      m: Int, sub: Int, ksub: Int, n: Long,
+      sampleSeed: Long, kmeansSeedBase: Long): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val frac = math.min(1.0, ksub * 200.0 / math.max(1L, n))
+    val fitBase = (if (frac < 1.0)
+      src.sample(withReplacement = false, frac, seed = sampleSeed) else src).cache()
+    val out: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      val feats = fitBase.select(array_to_vector(
+        expr(s"slice($srcCol, ${j * sub + 1}, $sub)")).as("features"))
+      new KMeans().setK(ksub).setSeed(kmeansSeedBase + j).setMaxIter(3).fit(feats)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    fitBase.unpersist()
+    out
+  }
+
+  /** Encode columns code0..code{m-1}: argmin centroid per subspace,
+    * ties to the lower index via the (dist, idx) struct min — a pure
+    * map stage over literal codebooks, zero shuffles. */
+  private[operators] def pqCodeCols(codebooks: Array[Array[Array[Double]]],
+      srcCol: String, m: Int, sub: Int, ksub: Int): Seq[Column] =
+    (0 until m).map { j =>
+      expr(
+        s"""array_min(transform(sequence(0, ${ksub - 1}), c ->
+           |  struct(aggregate(zip_with(slice($srcCol, ${j * sub + 1}, $sub),
+           |           element_at(${lit2d(codebooks(j))}, c + 1),
+           |           (x, y) -> (x - y) * (x - y)),
+           |         CAST(0 AS DOUBLE), (a, b) -> a + b) AS d,
+           |         c AS c))).c""".stripMargin).as(s"code$j")
+    }
+
+  /** Driver-computed m×ksub asymmetric-distance lookup table for a
+    * query (or query-residual) vector. */
+  private[operators] def pqAdcTable(q: Array[Double],
+      codebooks: Array[Array[Array[Double]]], m: Int, sub: Int): Array[Array[Double]] =
+    (0 until m).map { j =>
+      codebooks(j).map { c =>
+        var s = 0.0; var i = 0
+        while (i < sub) { val d = q(j * sub + i) - c(i); s += d * d; i += 1 }
+        s
+      }
+    }.toArray
+
+  /** ADC score column: m literal-table lookups over code0..code{m-1}. */
+  private[operators] def pqAdcCol(table: Array[Array[Double]], m: Int): Column =
+    (0 until m).map(j => expr(s"element_at(${lit1d(table(j))}, code$j + 1)")).reduce(_ + _)
+
+  /** (vec_id, v, list_id, r): coarse-assignment output with the
+    * residual r = v − centroid(list). `transformed` is the KMeansModel
+    * transform of (vec_id, features); v is recovered from the features
+    * column itself (vector_to_array) so the encode stage stays a pure
+    * map — no corpus re-join, no shuffle. */
+  private[operators] def ivfAssignResiduals(transformed: DataFrame,
+      centers: Array[Array[Double]]): DataFrame =
+    transformed.select(col("vec_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("features")).as("v"),
+        col("prediction").as("list_id"))
+      .withColumn("r", expr(
+        s"zip_with(v, element_at(${lit2d(centers)}, list_id + 1), (x, c) -> x - c)"))
+
+  /** The nProbe list ids nearest the query by centroid cosine. */
+  private[operators] def ivfProbesFor(q: Array[Double],
+      centers: Array[Array[Double]], nProbe: Int): Array[Int] =
+    centers.zipWithIndex.sortBy { case (c, _) => -cosineSim(c, q) }
+      .take(nProbe).map(_._2)
+
+  /** Per-probed-list ADC dispatch: each probed list gets its own
+    * m×ksub table from the query's PER-LIST residual, selected by a
+    * literal list-keyed CASE. */
+  private[operators] def ivfAdcByList(q: Array[Double],
+      centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      probes: Array[Int], m: Int, sub: Int): Column =
+    probes.map { list =>
+      val qres = q.indices.map(i => q(i) - centers(list)(i)).toArray
+      (col("list_id") === list, pqAdcCol(pqAdcTable(qres, codebooks, m, sub), m))
+    }.foldRight(lit(null).cast("double")) {
+      case ((cond, e), acc) => when(cond, e).otherwise(acc)
+    }
+
   /** (vec_id, adc, cos): product-quantization ANN — the
     * memory-compression rung between int8 ([[graft.operators.Vectors]]
     * symmetric quantization) and the 1-bit sign signature
@@ -253,51 +351,18 @@ object Ann {
     * reranks candidates only (the repo-wide candidates-first shape). */
   def pqTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
              m: Int = 8, ksub: Int = 16, nCandidates: Int = 100): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim does not split into $m subspaces")
     val sub = dim / m
-    val v = embeddings.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val v = doubleVecs(embeddings)
     val n = v.count()
-    val frac = math.min(1.0, ksub * 200.0 / math.max(1L, n))
-    val fitBase =
-      (if (frac < 1.0) v.sample(withReplacement = false, frac, seed = 7L) else v).cache()
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
-      val feats = fitBase.select(array_to_vector(
-        expr(s"slice(v, ${j * sub + 1}, $sub)")).as("features"))
-      new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(3).fit(feats)
-        .clusterCenters.map(_.toArray)
-    }.toArray
-    fitBase.unpersist()
-    def lit1d(a: Array[Double]): String =
-      "array(" + a.map(x => s"CAST($x AS DOUBLE)").mkString(",") + ")"
-    def lit2d(cb: Array[Array[Double]]): String =
-      cb.map(lit1d).mkString("array(", ",", ")")
-    val codeCols = (0 until m).map { j =>
-      expr(
-        s"""array_min(transform(sequence(0, ${ksub - 1}), c ->
-           |  struct(aggregate(zip_with(slice(v, ${j * sub + 1}, $sub),
-           |           element_at(${lit2d(codebooks(j))}, c + 1),
-           |           (x, y) -> (x - y) * (x - y)),
-           |         CAST(0 AS DOUBLE), (a, b) -> a + b) AS d,
-           |         c AS c))).c""".stripMargin).as(s"code$j")
-    }
-    val codes = v.select(col("vec_id") +: codeCols: _*)
+    val codebooks = pqFitCodebooks(v, "v", m, sub, ksub, n,
+      sampleSeed = 7L, kmeansSeedBase = 42L)
+    val codes = v.select(col("vec_id") +: pqCodeCols(codebooks, "v", m, sub, ksub): _*)
     val q = v.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
-    val table: Array[Array[Double]] = (0 until m).map { j =>
-      codebooks(j).map { c =>
-        var s = 0.0; var i = 0
-        while (i < sub) { val d = q(j * sub + i) - c(i); s += d * d; i += 1 }
-        s
-      }
-    }.toArray
-    val adcCol = (0 until m)
-      .map(j => expr(s"element_at(${lit1d(table(j))}, code$j + 1)"))
-      .reduce(_ + _)
+    val table = pqAdcTable(q, codebooks, m, sub)
     val cand = codes.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(adcCol, 6).as("adc"))
+      .select(col("vec_id"), round(pqAdcCol(table, m), 6).as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc).limit(nCandidates)
     // exact rerank inlined for the same single-reference reason as
     // hammingTopK: exactTopK's semi-join would re-evaluate the encode
@@ -347,7 +412,7 @@ object Ann {
       embeddings.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding")), k)
 
-  private def cosineSim(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def cosineSim(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < math.min(a.length, b.length)) {
       d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
@@ -378,8 +443,7 @@ object Ann {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim does not split into $m subspaces")
     val sub = dim / m
-    val v = embeddings.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val v = doubleVecs(embeddings)
     val n = v.count()
     // coarse quantizer: the ivfTopK recipe (sampled fit, one map-stage
     // assignment over literal centroids via the model transform)
@@ -388,59 +452,20 @@ object Ann {
     val cFit = if (cFrac < 1.0) feats.sample(withReplacement = false, cFrac, seed = 7L) else feats
     val coarse = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(cFit)
     val centers: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
-    def lit1d(a: Array[Double]): String =
-      "array(" + a.map(x => s"CAST($x AS DOUBLE)").mkString(",") + ")"
-    def lit2d(cb: Array[Array[Double]]): String =
-      cb.map(lit1d).mkString("array(", ",", ")")
-    val assigned = coarse.transform(feats)
-      .select(col("vec_id"), col("prediction").as("list_id"))
-      .join(v, "vec_id")
-      // residual = v − centroid(list): the quantity PQ encodes
-      .withColumn("r", expr(
-        s"zip_with(v, element_at(${lit2d(centers)}, list_id + 1), (x, c) -> x - c)"))
+    // residual = v − centroid(list), with v recovered from the
+    // transform output's OWN features column — re-joining the corpus
+    // relation here would shuffle the whole encode stage
+    val assigned = ivfAssignResiduals(coarse.transform(feats), centers)
     // PQ codebooks on residual samples (deterministic), one per subspace
-    val rFrac = math.min(1.0, ksub * 200.0 / math.max(1L, n))
-    val rFit = (if (rFrac < 1.0) assigned.sample(withReplacement = false, rFrac, seed = 9L)
-                else assigned).cache()
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
-      val sf = rFit.select(array_to_vector(expr(s"slice(r, ${j * sub + 1}, $sub)")).as("features"))
-      new KMeans().setK(ksub).setSeed(71L + j).setMaxIter(3).fit(sf)
-        .clusterCenters.map(_.toArray)
-    }.toArray
-    rFit.unpersist()
-    val codeCols = (0 until m).map { j =>
-      expr(
-        s"""array_min(transform(sequence(0, ${ksub - 1}), c ->
-           |  struct(aggregate(zip_with(slice(r, ${j * sub + 1}, $sub),
-           |           element_at(${lit2d(codebooks(j))}, c + 1),
-           |           (x, y) -> (x - y) * (x - y)),
-           |         CAST(0 AS DOUBLE), (a, b) -> a + b) AS d,
-           |         c AS c))).c""".stripMargin).as(s"code$j")
-    }
-    val codes = assigned.select(col("vec_id") +: col("list_id") +: codeCols: _*)
+    val codebooks = pqFitCodebooks(assigned, "r", m, sub, ksub, n,
+      sampleSeed = 9L, kmeansSeedBase = 71L)
+    val codes = assigned.select(
+      col("vec_id") +: col("list_id") +: pqCodeCols(codebooks, "r", m, sub, ksub): _*)
     // query: probe the nProbe nearest lists; one ADC table per probe
     // from the query's PER-LIST residual
     val q = v.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
-    val probes: Array[Int] = centers.zipWithIndex
-      .sortBy { case (c, _) => -cosineSim(c, q) }.take(nProbe).map(_._2)
-    def adcTable(list: Int): Array[Array[Double]] = {
-      val c0 = centers(list)
-      (0 until m).map { j =>
-        codebooks(j).map { cb =>
-          var s = 0.0; var i = 0
-          while (i < sub) {
-            val d = (q(j * sub + i) - c0(j * sub + i)) - cb(i); s += d * d; i += 1
-          }
-          s
-        }
-      }.toArray
-    }
-    val adcByList: Column = probes.map { list =>
-      val t = adcTable(list)
-      val sumExpr = (0 until m)
-        .map(j => s"element_at(${lit1d(t(j))}, code$j + 1)").mkString(" + ")
-      (col("list_id") === list, expr(sumExpr))
-    }.foldRight(lit(null).cast("double")) { case ((cond, e), acc) => when(cond, e).otherwise(acc) }
+    val probes = ivfProbesFor(q, centers, nProbe)
+    val adcByList = ivfAdcByList(q, centers, codebooks, probes, m, sub)
     val cand = codes
       .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= queryId)

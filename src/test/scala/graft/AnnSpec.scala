@@ -132,6 +132,22 @@ class AnnSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).sameElements(rows.map(_.toSeq)))
   }
 
+  test("staged PQ index search matches live pqTopK exactly") {
+    val idx = java.nio.file.Files.createTempDirectory("pqidx").toString + "/index"
+    graft.operators.PqIndex.build(emb, idx)
+    val live = Ann.pqTopK(emb).collect().map(_.toSeq)
+    val staged = graft.operators.PqIndex.searchTopK(spark, idx).collect().map(_.toSeq)
+    assert(staged.sameElements(live))
+  }
+
+  test("staged IVF+PQ index search matches live ivfPqTopK exactly") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqidx").toString + "/index"
+    graft.operators.PqIndex.buildIvf(emb, idx)
+    val live = Ann.ivfPqTopK(emb).collect().map(_.toSeq)
+    val staged = graft.operators.PqIndex.searchIvfTopK(spark, idx).collect().map(_.toSeq)
+    assert(staged.sameElements(live))
+  }
+
   test("lsh top-k recalls a reasonable fraction of exact top-k") {
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val approx = Ann.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet

@@ -242,6 +242,27 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 0, s"PQ scoring must not shuffle the corpus:\n$p")
   }
 
+  test("IVF+PQ ANN: residual encode is a map stage, no corpus shuffle") {
+    // the residual attach must come from the transform output's own
+    // features column — a vec_id re-join of the corpus would shuffle
+    // the whole encode stage (mirrors the pqTopK zero-shuffle pin)
+    val p = planString(graft.operators.Ann.ivfPqTopK(Tables.embeddings(spark, sf)))
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(shuffles == 0, s"IVF+PQ scoring must not shuffle the corpus:\n$p")
+  }
+
+  test("staged PQ serving: zero corpus shuffles, candidates TakeOrdered") {
+    val idx = java.nio.file.Files.createTempDirectory("pqsrv").toString + "/index"
+    graft.operators.PqIndex.build(Tables.embeddings(spark, sf), idx)
+    val p = planString(graft.operators.PqIndex.searchTopK(spark, idx))
+    assert(p.contains("TakeOrderedAndProject(limit=100"),
+      s"ADC candidate selection should be a bounded TakeOrdered:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(shuffles == 0, s"staged PQ serving must not shuffle the corpus:\n$p")
+  }
+
   test("seq chunks: zero exchanges (pure map+explode)") {
     val df = graft.operators.TextAnalysis.seqChunks(Tables.documents(spark, sf))
     df.collect()
