@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Sinks, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every query key has a DuckDB-runnable oracle in [[oracleSql]]; the
@@ -62,6 +62,24 @@ object SparkEntry {
       Tables.documents(s, dir).select("doc_id", "text")
         .write.format("graft-tsv").mode("overwrite").save(p)
       s.read.format("graft-tsv").load(p)
+    }),
+    // the ref's OTHER sink shape: one output/{pid}.txt per document
+    // (backup/BMStream.java:30-35). Write per-doc tf-profile files for
+    // a bounded subset, then read them BACK in the same plan — the
+    // returned relation (doc_id, n_chars) proves the round trip and
+    // the oracle recomputes the exact profile length relationally
+    "q_perdoc_sink" -> ((s, dir) => {
+      val out = sys.props("java.io.tmpdir") + "/graft_perdoc_" + dirTag(dir)
+      // stale files from a prior corpus layout would pollute read-back
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      Sinks.perDocFiles(Bm25.tfProfiles(docs), out, "doc_id", "profile")
+      s.read.format("binaryFile").load(out + "/*.txt")
+        .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+          length(col("content").cast("string")).cast("long").as("n_chars"))
     }),
     // stage on 80% of the corpus, incrementally ingest the rest, score
     // — must equal full-corpus BM25 (oracle shared with q_bm25_score)
@@ -935,6 +953,16 @@ object SparkEntry {
     // connector-write → connector-read round trip, same contract
     "q_sink_dsv2" ->
       "SELECT doc_id, text FROM documents",
+    // per-doc file sink round trip: the read-back byte length of each
+    // {doc_id}.txt must equal the relationally recomputed profile
+    // length — "(term,tf)" lines, tf desc / term asc, '\n'-joined
+    "q_perdoc_sink" ->
+      s"""WITH $tfCte,
+         |p AS (SELECT doc_id,
+         |        string_agg('(' || term || ',' || tf || ')', chr(10)
+         |                   ORDER BY tf DESC, term ASC) AS profile
+         |      FROM tf WHERE doc_id < 200 GROUP BY doc_id)
+         |SELECT doc_id, length(profile)::BIGINT AS n_chars FROM p""".stripMargin,
     // BM25+ (Lv & Zhai): plain BM25 term contribution + idf·delta
     "q_bm25_plus" ->
       s"""WITH $dlCte,

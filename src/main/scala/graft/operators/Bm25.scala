@@ -85,6 +85,23 @@ object Bm25 {
   def tf(docs: DataFrame): DataFrame =
     tokenize(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** (doc_id, profile): each document's term-frequency profile as the
+    * reference's per-doc file body — one `(term,tf)` line per term,
+    * ordered tf desc then term asc (backup/BMStream.java:30-35 emits
+    * exactly this into output/{pid}.txt). One shuffle to the doc key;
+    * the per-doc sort rides a bounded in-row array (vocab-per-doc),
+    * never a window. Feed to [[graft.sources.Sinks.perDocFiles]] for
+    * the literal file-per-doc layout. */
+  def tfProfiles(docs: DataFrame): DataFrame =
+    tf(docs).groupBy("doc_id")
+      .agg(sort_array(collect_list(struct((-col("tf")).as("nt"),
+        col("term").as("t")))).as("arr"))
+      .select(col("doc_id"), array_join(
+        transform(col("arr"), x =>
+          concat(lit("("), x.getField("t"), lit(","),
+            (-x.getField("nt")).cast("string"), lit(")"))),
+        "\n").as("profile"))
+
   /** (doc_id, term, tf, rk): top-[[MaxWordCount]] terms per document,
     * ties broken by term so the result is a deterministic set. */
   def topKTerms(docs: DataFrame, k: Int = MaxWordCount): DataFrame = {

@@ -228,4 +228,58 @@ object Sinks {
     df.select(concat_ws("\t", cols: _*).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
   }
+
+  /** One-file-per-key sink — the literal layout of the reference's
+    * per-document output (backup/BMStream.java:30-35 writes
+    * `output/{pid}.txt` per doc; the 50 files in the reference repo's
+    * output/ are its product). Each row lands as `<id>.txt` under
+    * `path`, written task-parallel by `foreachPartition` with a
+    * streaming iterator (bounded executor memory) and
+    * `create(overwrite)` on a deterministic name+content — a retried
+    * task rewrites identical files, so the sink is idempotent.
+    *
+    * SMALL-FILES HONESTY: one object per document is the classic
+    * metadata pathology (the q_source_binary ingest measures it, the
+    * compacted layouts cure it) — this sink exists for bounded
+    * per-doc artifact handoffs, NOT corpus dumps, and REFUSES above
+    * `maxFiles` rather than melting the namenode; export corpus-scale
+    * text through [[textExport]]/parquet and compact instead.
+    *
+    * Guards (all single bounded jobs): row count ≤ maxFiles, ids
+    * unique (a duplicate would silently last-write-win), ids
+    * filename-safe (`[A-Za-z0-9._-]+`, no "."/".."; escaping or
+    * hashing here would silently alias distinct keys — the caller
+    * sanitizes explicitly or not at all). Returns the file count. */
+  def perDocFiles(df: DataFrame, path: String, idCol: String = "doc_id",
+                  textCol: String = "text", maxFiles: Long = 100000L): Long = {
+    val rows = df.select(col(idCol).cast("string").as("id"),
+      col(textCol).cast("string").as("txt"))
+    val stats = rows.agg(count(lit(1)).as("n"),
+      countDistinct(col("id")).as("d"),
+      sum(when(col("id").rlike("^[A-Za-z0-9._-]+$") &&
+        !col("id").isin(".", ".."), 0).otherwise(1)).as("unsafe")).head()
+    val (n, d, unsafe) = (stats.getLong(0), stats.getLong(1),
+      if (stats.isNullAt(2)) 0L else stats.getLong(2))
+    require(n <= maxFiles,
+      s"perDocFiles: $n rows exceeds maxFiles=$maxFiles — a corpus-scale " +
+        "per-doc dump is a small-files anti-pattern; use textExport/parquet + compact")
+    require(n == d, s"perDocFiles: ids are not unique ($n rows, $d distinct) — " +
+      "duplicates would silently last-write-win")
+    require(unsafe == 0L,
+      s"perDocFiles: $unsafe ids are not filename-safe ([A-Za-z0-9._-]+)")
+    val dir = path
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val root = new Path(dir)
+        val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(root)
+        it.foreach { r =>
+          val out = fs.create(new Path(root, s"${r.getString(0)}.txt"), true)
+          try out.write(Option(r.getString(1)).getOrElse("").getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+    }
+    n
+  }
 }

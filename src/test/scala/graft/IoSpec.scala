@@ -324,6 +324,51 @@ class IoSpec extends AnyFunSuite {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("per-doc file sink: round trip, idempotent rewrite, and refusal guards") {
+    import spark.implicits._
+    val dir = tmpDir("perdoc")
+    val rows = Seq((1L, "(a,3)\n(b,1)"), (2L, ""), (7L, "höla (ü,2)"))
+    val df = rows.toDF("doc_id", "text")
+    val n = Sinks.perDocFiles(df, dir)
+    assert(n == 3)
+    def readBack(): Map[Long, String] = rows.map { case (id, _) =>
+      id -> new String(Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"$id.txt")), "UTF-8")
+    }.toMap
+    assert(readBack() == rows.toMap, "per-doc content must round-trip byte-exact")
+    // retry idempotence: a rerun (same names, same content) is a no-op
+    Sinks.perDocFiles(df, dir)
+    assert(readBack() == rows.toMap)
+    // refusal guards, each loud: over-cap, duplicate ids, unsafe ids
+    val cap = intercept[IllegalArgumentException] {
+      Sinks.perDocFiles(df, dir, maxFiles = 2)
+    }
+    assert(cap.getMessage.contains("small-files"))
+    intercept[IllegalArgumentException] {
+      Sinks.perDocFiles(df.union(df.limit(1)), dir)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.perDocFiles(Seq(("../escape", "x")).toDF("doc_id", "text"), dir)
+    }
+  }
+
+  test("per-doc tf profiles: reference file body shape, written and read back") {
+    // the BMStream output/{pid}.txt product: "(term,tf)" lines,
+    // tf desc then term asc — written through the sink and read back
+    import spark.implicits._
+    val docs = Seq((1L, "xx yy xx zz xx yy"), (2L, "solo")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+    val prof = Bm25.tfProfiles(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prof(1L) == "(xx,3)\n(yy,2)\n(zz,1)")
+    assert(prof(2L) == "(solo,1)")
+    val dir = tmpDir("perdoctf")
+    Sinks.perDocFiles(Bm25.tfProfiles(docs), dir, "doc_id", "profile")
+    val f1 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "1.txt")), "UTF-8")
+    assert(f1 == "(xx,3)\n(yy,2)\n(zz,1)")
+  }
+
   test("z-order layout keeps per-file ranges narrow on BOTH dimensions") {
     val li = Tables.lineitem(spark, sf).select("l_extendedprice", "l_quantity")
     def spreads(path: String): Map[String, Double] = {
