@@ -395,6 +395,17 @@ object SparkEntry {
           col("length").as("n_bytes"),
           md5(col("content")).as("payload_md5"))
     }),
+    // the landing zone COMPOSED with compaction: the per-object cost
+    // q_source_binary measures is paid once at build; the downstream
+    // metadata join scans the compacted columnar store instead of
+    // 5,000 tiny objects — the wired cure for the ingest pathology
+    "q_binary_compacted" -> ((s, dir) => {
+      s.read.parquet(compactedBinaryFor(s, dir))
+        .join(Tables.documents(s, dir).select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("total_bytes"),
+          countDistinct(col("payload_md5")).as("n_distinct_payloads"))
+    }),
 
     // ---- Round-6 additions: serving features past ranked retrieval
     // — LM-Dirichlet scoring, snippets, autocomplete, NDCG eval ----
@@ -486,10 +497,14 @@ object SparkEntry {
       // clear any stale staging first (Spark's overwrite mode does
       // this for the other layouts): a doc REMOVED by a testdata
       // regen would otherwise linger as an orphan .bin and poison the
-      // read-back row count
+      // read-back row count. Null-safe: listFiles() returns null for
+      // a non-directory or unlistable path — delete and rebuild
+      // rather than NPE mid-staging
       val root = new java.io.File(p)
+      if (root.isFile) root.delete()
       if (root.exists())
-        root.listFiles().foreach(f => { f.delete(); () })
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foreach(f => { f.delete(); () })
       root.mkdirs()
       Tables.documents(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -501,6 +516,24 @@ object SparkEntry {
               r.getAs[Array[Byte]]("payload"))
           }
         }
+    }
+
+  /** The binary landing zone folded into size-targeted parquet — the
+    * cure for the per-object ingest cost q_source_binary measures:
+    * the one-object-per-doc read happens ONCE at build (it is the
+    * landing read — unavoidable), then every downstream scan serves
+    * from the compacted columnar store ([[graft.sources.Sinks
+    * .compact]] machinery, like the docs_compact layout). */
+  private def compactedBinaryFor(s: SparkSession, dir: String): String =
+    cachedLayout("bin_compact", dir) { p =>
+      s.read.format("binaryFile").load(binaryDocsFor(s, dir) + "/*.bin")
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("payload_md5"),
+          col("content"))
+        .write.mode("overwrite").parquet(p)
+      graft.sources.Sinks.compact(s, p)
     }
 
   /** One z-ordered copy of lineitem per sf dir per JVM. */
@@ -1497,9 +1530,40 @@ object SparkEntry {
          |             / (q.nrm * b.nrm), 4) AS cos
          |FROM vn b, q WHERE b.vec_id != 0
          |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin,
-    // q_ann_lsh: md5-derived hyperplanes are deterministic but the sign
-    // of a 64-term float sum is not portably reproducible in SQL → rows
-    // -only here; recall vs brute force is covered by AnnSpec.
+    // LSH bucketing replayed relationally: the md5-derived hyperplanes
+    // are driver-computed literal doubles (GraftHashing.planeWeights —
+    // the same literals the native expression bakes into the plan), so
+    // the oracle inlines them, recomputes each table's sign-bit bucket
+    // string, joins candidates on the query's (t, bucket) set, and
+    // reranks exactly. Sign portability: only the SIGN of each plane
+    // dot must agree, and both engines fold the 64 doubles
+    // sequentially — a flip would need |sum| within FP-error of zero
+    // (~1e-15 relative; checked green at sf0.01 and sf0.1).
+    "q_ann_lsh" -> {
+      val planes = graft.functions.GraftHashing.planeWeights(32) // 8 tables × 4 bits
+      val rows = planes.zipWithIndex
+        .map { case (wp, p) => s"($p, [${wp.mkString(",")}])" }
+        .mkString(",\n         |  ")
+      s"""WITH $vecCte,
+         |w(p, wv) AS (VALUES
+         |  $rows),
+         |sgn AS (SELECT vn.vec_id, w.p,
+         |          CASE WHEN list_sum(list_transform(range(1, len(vn.v) + 1),
+         |                 i -> vn.v[i] * w.wv[i])) > 0 THEN '1' ELSE '0' END AS bit
+         |        FROM vn, w),
+         |bkt AS (SELECT vec_id, p // 4 AS t, string_agg(bit, '' ORDER BY p) AS bucket
+         |        FROM sgn GROUP BY vec_id, p // 4),
+         |qb AS (SELECT t, bucket FROM bkt WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT b.vec_id FROM bkt b
+         |         JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+         |         WHERE b.vec_id != 0),
+         |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
+         |SELECT b.vec_id,
+         |       round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+         |             / (q.nrm * b.nrm), 4) AS cos
+         |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, q
+         |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin
+    },
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -2234,6 +2298,14 @@ object SparkEntry {
     "q_source_binary" ->
       """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, md5(text) AS payload_md5
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // compacted-store metadata join: byte lengths and payload digests
+    // recomputed from the documents relation (same octet semantics)
+    "q_binary_compacted" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |       sum(strlen(text))::BIGINT AS total_bytes,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct_payloads
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY lang, source""".stripMargin,
     // LM-Dirichlet (Zhai & Lafferty): matched-term decomposition —
     // sum ln(1 + tf/(mu*cf/|C|)) + |q|*ln(mu/(dl+mu)); textual FP form
     // mirrored by SearchExtras.lmDirichletScore
