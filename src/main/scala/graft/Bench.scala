@@ -63,9 +63,12 @@ object Bench {
     // a plain repeat.
     val pass1 = picked.map { case (n, fn) => n -> runOnce(fn) }.toMap
     val pass2 = picked.map { case (n, fn) => n -> runOnce(fn) }.toMap
-    val results: Seq[(String, Double)] = picked.map { case (n, _) =>
+    // both-pass failures live ONLY in `errors` (a -1 placeholder in
+    // the queries map would break sum(queries) == value); a one-pass
+    // failure still times the good pass but leaves a warning trace
+    val results: Seq[(String, Double)] = picked.flatMap { case (n, _) =>
       val times = Seq(pass1(n), pass2(n)).collect { case (t, None) => t }
-      n -> (if (times.nonEmpty) times.min else -1.0)
+      if (times.nonEmpty) Some(n -> times.min) else None
     }
     val errors: Seq[(String, String)] = picked.flatMap { case (n, _) =>
       (pass1(n)._2, pass2(n)._2) match {
@@ -73,7 +76,14 @@ object Bench {
         case _ => None
       }
     }
-    val total = results.collect { case (_, t) if t >= 0 => t }.sum
+    val warnings: Seq[(String, String)] = picked.flatMap { case (n, _) =>
+      (pass1(n)._2, pass2(n)._2) match {
+        case (Some(e), None) => Some(n -> s"pass1: $e")
+        case (None, Some(e)) => Some(n -> s"pass2: $e")
+        case _ => None
+      }
+    }
+    val total = results.map(_._2).sum
     // locale-pinned formatting: the scala f-interpolator uses the JVM
     // default locale, which renders 0.603 as "0,603" under e.g. de_DE
     // — invalid JSON for both the file and the printed line
@@ -86,13 +96,15 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s""""$k":${jstr(v)}""" }
       .mkString("{", ",", "}")
+    val warnJson = warnings.map { case (k, v) => s""""$k":${jstr(v)}""" }
+      .mkString("{", ",", "}")
     // the complete structured record: every query's seconds, written
     // where the driver (and regression tracking) can always read it
     val outFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     val fullQs = results
       .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"warnings":$warnJson,"queries":$fullQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(outFile, fullJson.getBytes("UTF-8"))
     // when run with an explicit filter, show exactly what was timed;
     // the driver's unfiltered run shows the fixed headline subset

@@ -34,6 +34,16 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df
       case t @ (TimestampType | TimestampNTZType) =>
+        // NTZ wall-clock → instant goes through the SESSION timezone:
+        // correct only under the UTC pin every entry point sets (the
+        // DuckDB oracle reads the same naive value as UTC). A caller
+        // without the pin must fail loudly, not shift silently.
+        if (t == TimestampNTZType) {
+          val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+          require(tz == "UTC",
+            s"events.ts is TIMESTAMP_NTZ and session timezone is '$tz' — " +
+              "pin spark.sql.session.timeZone=UTC or the epoch conversion shifts")
+        }
         val asTs: Column = if (t == TimestampType) col("ts") else col("ts").cast(TimestampType)
         df.withColumn("ts", unix_micros(asTs) * lit(1000L))
       case other =>
