@@ -81,6 +81,21 @@ object SparkEntry {
           .cast("long").as("doc_id"),
           length(col("content").cast("string")).cast("long").as("n_chars"))
     }),
+    // the ref's BMStream IS a STREAMING per-doc writer: documents
+    // arrive in micro-batches, each batch writes its own profile
+    // files (doc-local, zero cross-batch state), and the read-back
+    // relation shares q_perdoc_sink's oracle — streamed == batch
+    "q_stream_perdoc" -> ((s, dir) => {
+      val staged = sys.props("java.io.tmpdir") + "/graft_sperdoc_src_" + dirTag(dir)
+      Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .repartition(4).write.mode("overwrite").parquet(staged)
+      val out = sys.props("java.io.tmpdir") + "/graft_sperdoc_out_" + dirTag(dir)
+      graft.streaming.Streams.perDocStream(s, staged, out, maxFilesPerTrigger = Some(1))
+      s.read.format("binaryFile").load(out + "/*.txt")
+        .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+          length(col("content").cast("string")).cast("long").as("n_chars"))
+    }),
     // stage on 80% of the corpus, incrementally ingest the rest, score
     // — must equal full-corpus BM25 (oracle shared with q_bm25_score)
     "q_index_incremental" -> ((s, dir) => {
@@ -175,7 +190,9 @@ object SparkEntry {
           |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
     }),
     "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(Tables.embeddings(s, dir))),
-    "q_ann_ivf" -> ((s, dir) => Ann.ivfTopK(Tables.embeddings(s, dir))),
+    // flat IVF served from the staged store (coarse training is the
+    // offline build — the whole trained-ANN family now stages)
+    "q_ann_ivf" -> ((s, dir) => PqIndex.searchIvfFlat(s, ivfIndexFor(s, dir))),
     // PQ/ADC served from the staged PqIndex (training is an offline
     // build, cached per sf dir — the benched path is SERVING) ->
     // rows-only (recall + staged==live spec-gated in AnnSpec)
@@ -580,6 +597,8 @@ object SparkEntry {
     cachedLayout("pq_idx", dir)(p => PqIndex.build(Tables.embeddings(s, dir), p))
   private def ivfPqIndexFor(s: SparkSession, dir: String): String =
     cachedLayout("ivfpq_idx", dir)(p => PqIndex.buildIvf(Tables.embeddings(s, dir), p))
+  private def ivfIndexFor(s: SparkSession, dir: String): String =
+    cachedLayout("ivf_idx", dir)(p => PqIndex.buildIvfFlat(Tables.embeddings(s, dir), p))
 
   /** Lineitem+orders bucketed on the join key (8 buckets, sorted,
     * one file per bucket via the pre-repartition) — the co-located
@@ -868,6 +887,18 @@ object SparkEntry {
     * (q_search_batch), staged-index (q_index_batch_search) and
     * streaming-serving (q_stream_search) routes, which must all
     * return identical rows. */
+  /** Shared by q_perdoc_sink (batch) and q_stream_perdoc (streamed
+    * micro-batches): both write {doc_id}.txt profile files whose
+    * read-back char length must equal the relationally recomputed
+    * "(term,tf)"-lines profile length. */
+  private val perDocOracle =
+    s"""WITH $tfCte,
+       |p AS (SELECT doc_id,
+       |        string_agg('(' || term || ',' || tf || ')', chr(10)
+       |                   ORDER BY tf DESC, term ASC) AS profile
+       |      FROM tf WHERE doc_id < 200 GROUP BY doc_id)
+       |SELECT doc_id, length(profile)::BIGINT AS n_chars FROM p""".stripMargin
+
   private val batchSearchOracle = {
     val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
     s"""WITH $dlCte,
@@ -989,13 +1020,9 @@ object SparkEntry {
     // per-doc file sink round trip: the read-back byte length of each
     // {doc_id}.txt must equal the relationally recomputed profile
     // length — "(term,tf)" lines, tf desc / term asc, '\n'-joined
-    "q_perdoc_sink" ->
-      s"""WITH $tfCte,
-         |p AS (SELECT doc_id,
-         |        string_agg('(' || term || ',' || tf || ')', chr(10)
-         |                   ORDER BY tf DESC, term ASC) AS profile
-         |      FROM tf WHERE doc_id < 200 GROUP BY doc_id)
-         |SELECT doc_id, length(profile)::BIGINT AS n_chars FROM p""".stripMargin,
+    "q_perdoc_sink" -> perDocOracle,
+    // streamed micro-batch per-doc writes converge to the batch files
+    "q_stream_perdoc" -> perDocOracle,
     // BM25+ (Lv & Zhai): plain BM25 term contribution + idf·delta
     "q_bm25_plus" ->
       s"""WITH $dlCte,

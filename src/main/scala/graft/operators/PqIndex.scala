@@ -99,6 +99,60 @@ object PqIndex {
     }
   }
 
+  /** Build the flat IVF store (no PQ codes — [[Ann.ivfTopK]]'s recipe,
+    * seeds 7/42): coarse centers, per-vector list assignments, and the
+    * exact-rescore vector store. */
+  def buildIvfFlat(embeddings: DataFrame, path: String, nLists: Int = 16): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val feats = Ann.doubleVecs(embeddings)
+      .select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val n = feats.count()
+    val cFrac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
+    val cFit = if (cFrac < 1.0) feats.sample(withReplacement = false, cFrac, seed = 7L) else feats
+    val coarse = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(cFit)
+    val centers = coarse.clusterCenters.map(_.toArray)
+    DeltaStore.reset(spark, path)
+    DeltaStore.commit(spark, path, "00000", None) { staging =>
+      writeCenters(spark, centers, s"$staging/centers")
+      coarse.transform(feats)
+        .select(col("vec_id"), col("prediction").as("list_id"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/lists")
+      Ann.withNorm(embeddings)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
+      writeParams(spark, staging, s"ivf,$nLists,$dim")
+    }
+  }
+
+  /** (vec_id, cos): serve a flat-IVF top-k from the staged store —
+    * matches [[Ann.ivfTopK]] on the same data exactly. Query-time
+    * work: bounded center collect, probed-lists candidate filter,
+    * exact rescore on probed lists only. */
+  def searchIvfFlat(spark: SparkSession, path: String, queryId: Long = 0L,
+                    k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val d = firstDelta(spark, path, "ivf")
+    val centers = readCenters(spark, d)
+    val vectors = spark.read.parquet(s"$d/vectors")
+    val lists = spark.read.parquet(s"$d/lists")
+    val q = queryVec(vectors, queryId)
+    val probes = Ann.ivfProbesFor(q, centers, nProbe)
+    val cand = lists
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
+      .select("vec_id")
+    val qn = vectors.filter(col("vec_id") === queryId)
+      .select(col("v").as("va"), col("nrm").as("na"))
+    vectors.join(cand, "vec_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"),
+        round(graft.functions.Native.dot(col("va"), col("v")) /
+          (col("na") * col("nrm")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** (vec_id, adc, cos): serve a PQ top-k from the staged store —
     * matches [[Ann.pqTopK]] on the same data exactly. Query-time work:
     * one bounded codebook collect, one pushed-down single-row vector
@@ -106,8 +160,7 @@ object PqIndex {
     * candidates, exact rerank on candidates only. */
   def searchTopK(spark: SparkSession, path: String, queryId: Long = 0L,
                  k: Int = 10, nCandidates: Int = 100): DataFrame = {
-    val (kind, _, codebooks, _, vectors, codes) = load(spark, path)
-    require(kind == "pq", s"store at $path is '$kind', expected 'pq'")
+    val (codebooks, _, vectors, codes) = load(spark, path, "pq")
     val m = codebooks.length; val sub = codebooks(0)(0).length
     val q = queryVec(vectors, queryId)
     val table = Ann.pqAdcTable(q, codebooks, m, sub)
@@ -123,8 +176,7 @@ object PqIndex {
   def searchIvfTopK(spark: SparkSession, path: String, queryId: Long = 0L,
                     k: Int = 10, nProbe: Int = 4,
                     nCandidates: Int = 100): DataFrame = {
-    val (kind, _, codebooks, centers, vectors, codes) = load(spark, path)
-    require(kind == "ivfpq", s"store at $path is '$kind', expected 'ivfpq'")
+    val (codebooks, centers, vectors, codes) = load(spark, path, "ivfpq")
     val m = codebooks.length; val sub = codebooks(0)(0).length
     val q = queryVec(vectors, queryId)
     val probes = Ann.ivfProbesFor(q, centers, nProbe)
@@ -163,22 +215,36 @@ object PqIndex {
     try out.write(params.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Load the trained state (bounded collects: m×ksub codebook rows,
-    * nLists center rows — the k-means-sync shape) and open the codes/
-    * vectors relations. Single-delta store by construction (build
+  /** First committed delta, with a loud kind check against the
+    * pq.params sidecar. Single-delta store by construction (build
     * resets), so the first committed delta IS the index. */
-  private def load(spark: SparkSession, path: String)
-      : (String, Int, Array[Array[Array[Double]]], Array[Array[Double]], DataFrame, DataFrame) = {
+  private def firstDelta(spark: SparkSession, path: String,
+                         expectKind: String): String = {
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
     val d = deltas.head
     val fs = DeltaStore.fsOf(spark, path)
     val pp = new org.apache.hadoop.fs.Path(d, "pq.params")
-    require(fs.exists(pp), s"$d has no pq.params — not a PQ store")
+    require(fs.exists(pp), s"$d has no pq.params — not a staged vector index")
     val in = fs.open(pp)
     val params = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                  finally in.close()
     val kind = params.split(",")(0)
+    require(kind == expectKind, s"store at $path is '$kind', expected '$expectKind'")
+    d
+  }
+
+  /** Bounded collect of the nLists coarse centers. */
+  private def readCenters(spark: SparkSession, delta: String): Array[Array[Double]] =
+    spark.read.parquet(s"$delta/centers").select("list_id", "center").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  /** Load the trained PQ state (bounded collects: m×ksub codebook
+    * rows, nLists center rows — the k-means-sync shape) and open the
+    * codes/vectors relations. */
+  private def load(spark: SparkSession, path: String, expectKind: String)
+      : (Array[Array[Array[Double]]], Array[Array[Double]], DataFrame, DataFrame) = {
+    val d = firstDelta(spark, path, expectKind)
     val cbRows = spark.read.parquet(s"$d/codebooks")
       .select("j", "c", "center").collect()
     val m = cbRows.map(_.getInt(0)).max + 1
@@ -186,11 +252,8 @@ object PqIndex {
     val codebooks = Array.ofDim[Array[Double]](m, ksub)
     cbRows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
     val centers: Array[Array[Double]] =
-      if (kind == "ivfpq")
-        spark.read.parquet(s"$d/centers").select("list_id", "center").collect()
-          .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-      else Array.empty
-    (kind, m, codebooks, centers, spark.read.parquet(s"$d/vectors"),
+      if (expectKind == "ivfpq") readCenters(spark, d) else Array.empty
+    (codebooks, centers, spark.read.parquet(s"$d/vectors"),
       spark.read.parquet(s"$d/codes"))
   }
 

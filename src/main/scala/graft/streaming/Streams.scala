@@ -312,6 +312,39 @@ object Streams {
       }
       .start()
 
+  /** Streaming per-document file sink — the reference's BMStream is
+    * EXACTLY this shape (backup/BMStream.java:30-35 reworks the batch
+    * per-doc tf dump as a dataStream): documents stream in, and each
+    * micro-batch writes its own docs' "(term,tf)" profile files
+    * through the bounded idempotent [[graft.sources.Sinks
+    * .perDocFiles]] writer. Sound per-batch with ZERO cross-batch
+    * state because a doc's profile depends on that doc alone (tf is
+    * doc-local); a replayed batch rewrites identical bytes
+    * (create-overwrite), so the sink is effectively exactly-once.
+    * Blocks until the file-backed stream drains. */
+  def perDocStream(spark: SparkSession, docsDir: String, outDir: String,
+                   maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val docs = reader.parquet(docsDir)
+    val ckpt = outDir + "_ckpt"
+    deleteRecursive(spark, outDir)
+    deleteRecursive(spark, ckpt)
+    val sq = docs.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val profiles = graft.operators.Bm25.tfProfiles(batch.toDF())
+        if (!profiles.isEmpty) {
+          graft.sources.Sinks.perDocFiles(profiles, outDir, "doc_id", "profile")
+          ()
+        }
+      }
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+  }
+
   /** Streaming word count over a socket text source — the engine's
     * literal SocketWindowWordCount (reference backup/
     * SocketWindowWordCount.java): lines → tokenize → running counts in

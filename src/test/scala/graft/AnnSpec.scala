@@ -132,6 +132,14 @@ class AnnSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).sameElements(rows.map(_.toSeq)))
   }
 
+  test("staged flat-IVF index search matches live ivfTopK exactly") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index"
+    graft.operators.PqIndex.buildIvfFlat(emb, idx)
+    val live = Ann.ivfTopK(emb).collect().map(_.toSeq)
+    val staged = graft.operators.PqIndex.searchIvfFlat(spark, idx).collect().map(_.toSeq)
+    assert(staged.sameElements(live))
+  }
+
   test("staged PQ index search matches live pqTopK exactly") {
     val idx = java.nio.file.Files.createTempDirectory("pqidx").toString + "/index"
     graft.operators.PqIndex.build(emb, idx)

@@ -234,6 +234,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum >= 200L)
   }
 
+  test("streamed per-doc file sink converges to the batch writer's files") {
+    // the ref's BMStream shape: docs arrive in micro-batches, each
+    // batch writes its own {doc_id}.txt profiles — after the drain the
+    // file set and bytes must equal one batch perDocFiles pass
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa"), (2L, "cc cc dd"), (3L, "ee"), (4L, "ff gg"))
+      .toDF("doc_id", "text")
+    val src = Files.createTempDirectory("sperdoc_src").toString
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    val streamOut = Files.createTempDirectory("sperdoc_out").toString + "/files"
+    Streams.perDocStream(spark, src, streamOut, maxFilesPerTrigger = Some(1))
+    val batchOut = Files.createTempDirectory("sperdoc_batch").toString
+    graft.sources.Sinks.perDocFiles(
+      graft.operators.Bm25.tfProfiles(docs), batchOut, "doc_id", "profile")
+    def slurp(dir: String): Map[String, String] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.endsWith(".txt"))
+        .map(f => f.getName -> new String(
+          Files.readAllBytes(f.toPath), "UTF-8")).toMap
+    }
+    val streamed = slurp(streamOut)
+    assert(streamed.nonEmpty)
+    assert(streamed == slurp(batchOut))
+  }
+
   test("streaming index ingest: per-batch updates converge to the batch-built index") {
     val base = Files.createTempDirectory("idxingest").toString
     val srcDir = s"$base/src"
