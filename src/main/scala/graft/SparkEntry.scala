@@ -479,6 +479,17 @@ object SparkEntry {
     "q_semantic_clusters" -> ((s, dir) =>
       Clustering.semanticClusters(Tables.embeddings(s, dir))),
     "q_semantic_drop" -> ((s, dir) => Clustering.semanticDrop(Tables.embeddings(s, dir))),
+
+    // ---- Round-9 additions: CDC apply, corpus-statistics sampling,
+    // held-out-LM perplexity, DSIR importance weights, length-bucketed
+    // batching, chunk-level boilerplate profiling ----
+    "q_cdc_apply" -> ((s, dir) => Relational.cdcApply(Tables.events(s, dir))),
+    "q_temperature_mix" -> ((s, dir) => TextAnalysis.temperatureMix(Tables.documents(s, dir))),
+    "q_doc_perplexity" -> ((s, dir) => TextAnalysis.docPerplexity(Tables.documents(s, dir))),
+    "q_importance_weights" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(Tables.documents(s, dir))),
+    "q_length_buckets" -> ((s, dir) => TextAnalysis.lengthBuckets(Tables.documents(s, dir))),
+    "q_dedup_chunks" -> ((s, dir) => Dedup.chunkDups(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -2528,5 +2539,91 @@ object SparkEntry {
          |LEFT JOIN scl ON emb.vec_id = scl.vec_id
          |WHERE emb.embedding IS NOT NULL
          |  AND (scl.vec_id IS NULL OR emb.vec_id = scl.cluster_id)""".stripMargin,
+
+    // ---- Round-9 additions ----
+    // CDC apply: last op per key wins, trailing deletes drop the key
+    "q_cdc_apply" ->
+      """WITH ops AS (
+        |  SELECT user_id, value,
+        |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT user_id, floor(value * 1000000.0)::BIGINT AS last_value_micros,
+        |       n_ops::BIGINT AS n_ops
+        |FROM ops WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+    // temperature sampling: rates derive from per-source counts; the
+    // md5→uniform threshold replays graft's hashU bit-for-bit and the
+    // rate is rounded to 6 decimals in BOTH engines before comparing
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_s)::BIGINT AS n_total, sum(pow(n_s::DOUBLE, 0.7)) AS sum_w FROM c),
+        |r AS (SELECT source,
+        |             round(least(1.0, 0.5 * n_total * (pow(n_s::DOUBLE, 0.7) / sum_w) / n_s), 6) AS rate
+        |      FROM c, t),
+        |u AS (SELECT doc_id, source,
+        |             list_sum(list_transform(range(1, 9),
+        |               j -> (strpos('0123456789abcdef',
+        |                            substr(md5(doc_id::VARCHAR || ':temp'), j, 1)) - 1)::BIGINT
+        |                    << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
+        |      FROM documents)
+        |SELECT doc_id, u.source FROM u JOIN r ON u.source = r.source
+        |WHERE u.u < r.rate""".stripMargin,
+    // held-out bigram LM (even doc_ids), add-one smoothing over the
+    // LM's continuation vocabulary; ppl derives from the ROUNDED
+    // avg_logprob so exp sees identical inputs in both engines
+    "q_doc_perplexity" ->
+      """WITH tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        |bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+        |       FROM tokw, unnest(generate_series(1, len(words)-1)) AS t(i)
+        |       WHERE len(words) >= 2),
+        |lm AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM lm GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS n1 FROM lm GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2)::BIGINT AS vocab FROM lm),
+        |s AS (SELECT bg.doc_id,
+        |             ln((coalesce(n12, 0) + 1)::DOUBLE / (coalesce(n1, 0) + vocab)::DOUBLE) AS lp
+        |      FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+        |a AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |             round(avg(lp), 4) AS avg_logprob FROM s GROUP BY 1)
+        |SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 4) AS ppl
+        |FROM a""".stripMargin,
+    // DSIR log-likelihood ratio: target = lang='en' slice, add-one
+    // smoothing over the joint vocabulary
+    "q_importance_weights" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |             FROM documents),
+        |raw AS (SELECT tok, count(*)::BIGINT AS c_r FROM tok GROUP BY 1),
+        |tgt AS (SELECT tok, count(*)::BIGINT AS c_t FROM tok WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT raw.tok, c_r, coalesce(c_t, 0)::BIGINT AS c_t
+        |      FROM raw LEFT JOIN tgt USING (tok)),
+        |sc AS (SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t,
+        |              count(*)::BIGINT AS vocab FROM v)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |       round(sum(ln((c_t + 1)::DOUBLE / (n_t + vocab)::DOUBLE)
+        |               - ln((c_r + 1)::DOUBLE / (n_r + vocab)::DOUBLE)), 4) AS log_ratio
+        |FROM tok JOIN v USING (tok) CROSS JOIN sc
+        |GROUP BY doc_id""".stripMargin,
+    // width-64 length buckets, 8-doc batches per (source, bucket)
+    "q_length_buckets" ->
+      """SELECT doc_id, source, n_tokens, bucket_id,
+        |       ((row_number() OVER (PARTITION BY source, bucket_id ORDER BY doc_id) - 1) // 8)::BIGINT AS batch_id
+        |FROM (SELECT doc_id, source,
+        |             len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+        |             (len(string_split(lower(text), ' ')) // 64)::BIGINT AS bucket_id
+        |      FROM documents)""".stripMargin,
+    // chunk hashes replay q_seq_chunks' windows (raw, un-lowercased
+    // words — training sequences keep case exactly as seqChunks does)
+    "q_dedup_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id,
+        |             md5(array_to_string(words[(i * 16 + 1):(i * 16 + 16)], ' ')) AS chunk_md5
+        |      FROM w, unnest(generate_series(0, (len(words) - 1) // 16)) AS g(i)),
+        |f AS (SELECT chunk_md5, count(DISTINCT doc_id)::BIGINT AS n_docs FROM c GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |       sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+        |       round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_ratio
+        |FROM c JOIN f USING (chunk_md5)
+        |GROUP BY doc_id""".stripMargin,
   )
 }

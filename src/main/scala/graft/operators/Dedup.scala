@@ -524,4 +524,29 @@ object Dedup {
     docs.select(col("doc_id"),
         graft.functions.Native.simhash(graft.functions.Text.rawTokens(col("text"))).as("simhash"))
       .filter(col("simhash").isNotNull)
+
+  /** (doc_id, n_chunks, n_dup_chunks, dup_ratio): chunk-level
+    * duplicate profiling — every doc's fixed-size token chunks
+    * ([[TextAnalysis.seqChunks]]'s exact windows) hashed, and a chunk
+    * counted as duplicated when its md5 appears in ≥2 DISTINCT docs
+    * (cross-document boilerplate: shared headers, license blocks,
+    * navigation text — the within-doc repetition case is the Gopher
+    * repetition operator's). The per-doc dup ratio is the
+    * curation signal: high ratio = mostly-boilerplate doc. Scale
+    * shape: chunk relation shuffles once on the uniform chunk_md5 key
+    * for the frequency agg, joins back on the same key (co-partitioned
+    * by AQE), final agg on doc_id; chunk rows carry hashes, never
+    * text. */
+  def chunkDups(docs: DataFrame, chunkSize: Int = 16): DataFrame = {
+    val chunks = TextAnalysis.seqChunks(docs, chunkSize)
+      .select("doc_id", "chunk_md5")
+    val freq = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(freq, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+  }
 }

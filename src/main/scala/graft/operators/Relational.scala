@@ -749,4 +749,31 @@ object Relational {
       .withColumn("n_kinds", size(collect_set(col("event_type")).over(w)).cast("long"))
       .select("event_id", "user_id", "n_kinds")
   }
+
+  /** (user_id, last_value_micros, n_ops): CDC APPLY — reduce an
+    * ordered change log to final table state. The event stream is read
+    * as a changelog on the user_id key: 'error' events are DELETEs,
+    * everything else an UPSERT carrying `value`; ops apply in
+    * (ts, event_id) order and the LAST op wins — a key whose last op
+    * is a delete is absent from the result. This is the batch apply
+    * step of any CDC ingestion (Debezium → table) and the
+    * delete-aware superset of the q_idf_upsert last-wins merge.
+    * Scale shape: one window over the key partition (same
+    * shuffle+sort any per-key reduction pays), rn=1 filter is a
+    * WindowGroupLimit — per-key state is O(1), no re-sort of history
+    * per key. */
+  def cdcApply(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("delete")).otherwise(lit("upsert")).as("op"),
+        col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .select(col("user_id"),
+        floor(col("value") * 1000000.0).cast("long").as("last_value_micros"),
+        col("n_ops").cast("long").as("n_ops"))
+  }
 }

@@ -297,13 +297,7 @@ object TextAnalysis {
     * model. round(·,4): the per-doc mean sums FP logs, so the last
     * digits are association-order noise (same rule as BM25 scores). */
   def bigramLm(docs: DataFrame): DataFrame = {
-    val bg = docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(words)-1),
-          |  i -> struct(element_at(words, CAST(i AS INT)) AS w1,
-          |              element_at(words, CAST(i+1 AS INT)) AS w2))""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = bigramRows(docs)
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     val c1 = bg.groupBy(col("w1").as("cw1")).agg(count(lit(1)).as("n1"))
     bg.join(c12, Seq("w1", "w2"))
@@ -599,5 +593,134 @@ object TextAnalysis {
       // on the ROUNDED values so both engines decide identically
       .withColumn("keep",
         col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 && col("dup5_frac") <= 0.15)
+  }
+
+  /** Raw-token bigram relation (doc_id, w1, w2) — the extraction step
+    * shared by [[bigramLm]] and [[docPerplexity]] (and replayed
+    * verbatim by their oracles' generate_series CTE). */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(words)-1),
+          |  i -> struct(element_at(words, CAST(i AS INT)) AS w1,
+          |              element_at(words, CAST(i+1 AS INT)) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** (doc_id, n_bigrams, avg_logprob, ppl): per-document perplexity
+    * under a HELD-OUT bigram language model — the classic
+    * perplexity-filter quality signal (CCNet/Gopher use a KenLM; the
+    * engine's model is the corpus's own bigram LM so the operator
+    * stays self-contained and oracle-replayable). The LM trains on
+    * the even-doc_id half, scores ALL docs, and add-one smoothing
+    * over the LM's continuation vocabulary V handles unseen bigrams:
+    * p(w2|w1) = (n12+1)/(n1+V). Scale shape: two aggregations over
+    * the bigram relation (n12, n1 — shuffles on term keys), the
+    * scored pass left-joins them on the same keys, and V rides in as
+    * a broadcast scalar; nothing corpus-sized reaches the driver.
+    * ppl is derived from the ROUNDED avg_logprob (exp amplifies
+    * last-bit FP noise; rounding first makes both engines' exp see
+    * identical inputs). */
+  def docPerplexity(docs: DataFrame): DataFrame = {
+    val bg = bigramRows(docs)
+    val lmBg = bigramRows(docs.filter(col("doc_id") % 2 === 0))
+    val c12 = lmBg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val c1 = lmBg.groupBy(col("w1").as("cw1")).agg(count(lit(1)).as("n1"))
+    val vocab = lmBg.agg(countDistinct(col("w2")).as("vocab"))
+    val scored = bg
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, col("w1") === col("cw1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((coalesce(col("n12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("n1"), lit(0L)) + col("vocab")).cast("double")))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 4).as("avg_logprob"))
+      .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
+  }
+
+  /** (doc_id, n_tokens, log_ratio): DSIR-style importance weights
+    * (Xie et al., "Data Selection for LMs via Importance Resampling")
+    * — per-document log-likelihood ratio between a TARGET unigram
+    * distribution (here: the lang='en' slice standing in for the
+    * high-quality target corpus) and the RAW corpus distribution,
+    * both add-one smoothed over the joint vocabulary:
+    * log_ratio = Σ_tok ln[ (c_t+1)/(N_t+V) ÷ (c_r+1)/(N_r+V) ].
+    * High ratio = looks like target → keep/upsample. Scale shape:
+    * two vocabulary-sized count aggregations, the scoring pass joins
+    * occurrences to the vocabulary relation on the token key (one
+    * shuffle), scalars (N_t, N_r, V) broadcast; resampling itself is
+    * [[trainSplit]]'s hash-threshold against these weights. */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(graft.functions.Text.rawTokens(col("text"))).as("tok"))
+    val raw = toks.groupBy("tok").agg(count(lit(1)).as("c_r"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy(col("tok").as("ttok")).agg(count(lit(1)).as("c_t"))
+    // one vocabulary relation carrying both counts (absent-in-target → 0)
+    val vocabRel = raw.join(tgt, col("tok") === col("ttok"), "left")
+      .select(col("tok"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val scalars = vocabRel.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"),
+      count(lit(1)).as("vocab"))
+    toks.join(vocabRel, "tok")
+      .crossJoin(broadcast(scalars))
+      .withColumn("lr",
+        log((col("c_t") + 1).cast("double") / (col("n_t") + col("vocab")).cast("double")) -
+          log((col("c_r") + 1).cast("double") / (col("n_r") + col("vocab")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(sum(col("lr")), 4).as("log_ratio"))
+  }
+
+  /** (doc_id, source, n_tokens, bucket_id, batch_id): length-bucketed
+    * batch assignment — docs grouped into fixed-width token-length
+    * buckets (bucket = n_tokens div width) and, within each
+    * (source, bucket), packed into deterministic `batchSize`-doc
+    * batches in doc_id order. The batching step before padding-free
+    * training: same-length docs batch together so a fixed-context
+    * collator wastes no pad tokens. The window partitions on
+    * (source, bucket_id) — at 100 TB the shard key grows a day/shard
+    * component exactly like [[packSequences]]; a bucket-only window
+    * would funnel each length class through one partition. */
+  def lengthBuckets(docs: DataFrame, width: Int = 64, batchSize: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "bucket_id").orderBy(col("doc_id").asc)
+    docs
+      .withColumn("n_tokens", size(graft.functions.Text.rawTokens(col("text"))).cast("long"))
+      .withColumn("bucket_id", (col("n_tokens") / lit(width)).cast("long"))
+      .withColumn("batch_id",
+        ((row_number().over(w) - 1) / lit(batchSize)).cast("long"))
+      .select("doc_id", "source", "n_tokens", "bucket_id", "batch_id")
+  }
+
+  /** (doc_id, source): temperature-scaled mixture sampling — the
+    * multilingual/multi-domain rebalancing standard (mBERT/XLM-R,
+    * τ-sampling): a source with n_s docs gets sampled share
+    * ∝ n_s^τ (τ<1 upsamples small sources), realized as a
+    * deterministic hash-threshold keep with per-source rate
+    * rate_s = min(1, targetFrac · N · share_s / n_s). Unlike
+    * [[mixtureSample]] (caller-supplied rates), the rates here DERIVE
+    * from corpus statistics: one tiny per-source count aggregation
+    * (≤ #domains rows, broadcast back), then the same [[hashU]]
+    * map-side filter — no RNG, replayable, one corpus pass. Rates
+    * are rounded to 6 decimals BEFORE the compare so the pow(·,τ)
+    * libm last bit can never flip a keep decision across engines. */
+  def temperatureMix(docs: DataFrame, tau: Double = 0.7,
+      targetFrac: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(col("source").as("csource"))
+      .agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum("n_s").as("n_total"),
+      sum(pow(col("n_s").cast("double"), tau)).as("sum_w"))
+    val rates = counts.crossJoin(tot)
+      .select(col("csource"),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("n_total") *
+            (pow(col("n_s").cast("double"), tau) / col("sum_w")) / col("n_s")), 6)
+          .as("rate"))
+    docs
+      .join(broadcast(rates), col("source") === col("csource"))
+      .withColumn("u", expr(hashU("concat(CAST(doc_id AS STRING), ':temp')")))
+      .filter(col("u") < col("rate"))
+      .select("doc_id", "source")
   }
 }
