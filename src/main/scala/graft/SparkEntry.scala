@@ -445,6 +445,8 @@ object SparkEntry {
     // store — same rows as q_ann_batch (shared oracle)
     "q_stream_ann" -> ((s, dir) => graft.streaming.Streams.annStream(s, dir)),
     "q_stream_kmeans" -> ((s, dir) => graft.streaming.Streams.kmeansStream(s, dir)),
+    "q_stream_dedup_minhash" -> ((s, dir) =>
+      graft.streaming.Streams.minhashDedupStream(s, dir)),
     // UNBOUNDED rate source through the serving skeleton (the ref's
     // live socket feed) — wall-clock-dependent counts → rows-only
     // gate, shape pinned by StreamsSpec
@@ -490,6 +492,12 @@ object SparkEntry {
       TextAnalysis.importanceWeights(Tables.documents(s, dir))),
     "q_length_buckets" -> ((s, dir) => TextAnalysis.lengthBuckets(Tables.documents(s, dir))),
     "q_dedup_chunks" -> ((s, dir) => Dedup.chunkDups(Tables.documents(s, dir))),
+    // BPE training: the corpus-shaped pair-statistics primitive is
+    // oracle-checked; the iterative merge learner is rows-only (the
+    // step-k rewrite depends on all k-1 prior merges — not SQL),
+    // spec-gated in Round9Spec
+    "q_bpe_pairs" -> ((s, dir) => Bpe.pairCounts(Tables.documents(s, dir))),
+    "q_bpe_train" -> ((s, dir) => Bpe.trainMerges(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -2515,6 +2523,12 @@ object SparkEntry {
     // per-micro-batch assignment against the once-fitted centroids is
     // the SAME map the batch final assignment runs → shared oracle
     "q_stream_kmeans" -> kmeansOracleSql(8, 2),
+    // each micro-batch bands against the static corpus keeping
+    // static_id < arriving_id, so the union of batches equals the
+    // batch LSH candidate set exactly → shared oracle
+    "q_stream_dedup_minhash" ->
+      s"""WITH $minhashCandCte
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
     // cluster-balanced quota sampling over the SAME unrolled kmeans
     // (md5 order is engine-identical: both sides hash 'cs:<id>')
     "q_cluster_sample" ->
@@ -2625,5 +2639,15 @@ object SparkEntry {
         |       round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_ratio
         |FROM c JOIN f USING (chunk_md5)
         |GROUP BY doc_id""".stripMargin,
+    // first-iteration BPE pair statistics over the word-frequency
+    // dictionary ("left"/"right" quoted — reserved in DuckDB)
+    "q_bpe_pairs" ->
+      """WITH wc AS (SELECT word, count(*)::BIGINT AS wcount
+        |            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |            WHERE len(word) > 0 GROUP BY 1),
+        |p AS (SELECT substr(word, i, 1) AS "left", substr(word, i + 1, 1) AS "right", wcount
+        |      FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)
+        |      WHERE length(word) >= 2)
+        |SELECT "left", "right", sum(wcount)::BIGINT AS n FROM p GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING — the step a training-data
+  * pipeline runs before token counting is meaningful (the engine's
+  * q_token_count BPE-ish regex is the heuristic stand-in; this is the
+  * real learner). The industry-standard shape (Sennrich et al. 2016;
+  * HF tokenizers / SentencePiece do the same): BPE never iterates
+  * over the corpus — it iterates over the WORD-FREQUENCY DICTIONARY,
+  * which is vocabulary-sized. So the corpus-scale part is exactly one
+  * Spark aggregation (word counts, one shuffle on a uniform key), and
+  * the merge loop runs driver-side over the capped vocabulary, the
+  * same division of labor as [[TextAnalysis]]'s segmentation
+  * dictionary (enforced `require` cap = the honesty guard: a 10⁸-term
+  * web vocabulary must be pruned by min-count BEFORE the loop, which
+  * is itself a relational filter).
+  */
+object Bpe {
+
+  /** (word, wcount): the corpus's word-frequency dictionary — raw
+    * whitespace tokens (BPE trains on raw words; stopwords carry
+    * signal for subwording). ONE corpus pass, vocabulary-sized out. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.functions.Text.rawTokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+
+  /** (left, right, n): the FIRST BPE iteration's pair statistics —
+    * adjacent single-character pairs of every vocabulary word,
+    * weighted by word count and position multiplicity ("aaa" yields
+    * (a,a) twice per occurrence). This is the relational primitive
+    * the merge loop repeats; exposed as its own oracle-checked
+    * operator because it is the corpus-shaped part of training (pure
+    * map+explode over the vocabulary relation, one small agg). */
+  def pairCounts(docs: DataFrame): DataFrame =
+    wordCounts(docs)
+      .filter(length(col("word")) >= 2)
+      .select(col("wcount"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> struct(substr(word, CAST(i AS INT), 1) AS left,
+          |              substr(word, CAST(i AS INT) + 1, 1) AS right))""".stripMargin)).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("wcount")).as("n"))
+
+  /** (rank, left, right, n): the first `numMerges` learned BPE merges
+    * in training order. Greedy: each step merges the highest-count
+    * adjacent symbol pair (ties: lexicographic (left, right) asc —
+    * fully deterministic, no RNG), rewriting the dictionary's symbol
+    * sequences left-to-right non-overlapping. The dictionary is
+    * collected under an enforced cap — the corpus never is. Not
+    * SQL-expressible (the rewrite at step k depends on all k-1 prior
+    * merges), so the key is rows-only, spec-gated on the invariants:
+    * merge counts non-increasing, encode round-trips, rerun-identical. */
+  def trainMerges(docs: DataFrame, numMerges: Int = 20,
+      maxVocab: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    val vocabDf = wordCounts(docs)
+    val n = vocabDf.count()
+    require(n <= maxVocab,
+      s"BPE dictionary has $n words > cap $maxVocab — prune by min-count " +
+        "(a relational filter) before training; the driver loop is vocab-resident by design")
+    val vocab: Array[(Array[String], Long)] = vocabDf.collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = learn(vocab, numMerges)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i.toLong, l, r, c) }
+      .toSeq.toDF("rank", "left", "right", "n")
+  }
+
+  /** The driver-side greedy loop over the (symbols, count) dictionary.
+    * Returns (left, right, pairCount) in merge order. */
+  private[graft] def learn(vocab0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    var vocab = vocab0
+    val out = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        vocab = vocab.map { case (syms, wc) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2 // left-to-right, non-overlapping
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), wc)
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Encode one word with a learned merge list (driver-side helper for
+    * the spec's round-trip check — application order = training
+    * order, exactly how BPE inference applies ranks). */
+  private[graft] def encode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString).toArray
+    merges.foreach { case (l, r) =>
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      syms = b.result()
+    }
+    syms.toSeq
+  }
+}

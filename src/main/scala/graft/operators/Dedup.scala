@@ -384,8 +384,11 @@ object Dedup {
 
   /** (doc_id, band, bkey): LSH band keys — bands sliced row-locally
     * from the fused signature array, so banding costs ZERO shuffle;
-    * consumers pay only their equi-join on (band, bkey). */
-  private def bandKeys(docs: DataFrame, numPerm: Int, rowsPerBand: Int): DataFrame = {
+    * consumers pay only their equi-join on (band, bkey). Shared with
+    * the streaming near-dup path, which bands each arriving
+    * micro-batch against a persisted static band relation. */
+  private[graft] def bandKeys(docs: DataFrame, numPerm: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
     require(rowsPerBand > 0 && numPerm % rowsPerBand == 0,
       s"rowsPerBand ($rowsPerBand) must evenly divide numPerm ($numPerm); " +
         "a remainder would silently drop permutations from the banding")

@@ -615,6 +615,47 @@ object Streams {
       graft.operators.Clustering.assignVectors(batch, cents))
   }
 
+  /** (doc_a, doc_b): documents streamed through micro-batches and
+    * MinHash-LSH-matched against the STATIC corpus — the streaming
+    * ingest-dedup shape: the corpus's band-bucket relation is a
+    * persisted index artifact, each arriving micro-batch bands its
+    * own docs row-locally (the fused native signature pass works
+    * unchanged on a streaming frame) and pays ONE equi-join on
+    * (band, bkey) against it — never a corpus pass per batch. Pairs
+    * keep the static side as doc_a with doc_a < doc_b, so every
+    * near-dup pair is emitted exactly once, when its higher id
+    * arrives; the union of batch outputs equals
+    * [[graft.operators.Dedup.minhashCandidates]] on the same corpus
+    * (shared oracle). At 100 TB the static band relation is the
+    * staged LSH store ([[graft.operators.AnnIndex]]'s shape) rather
+    * than a recompute; here it is computed once and persisted across
+    * the run's micro-batches. */
+  def minhashDedupStream(spark: SparkSession, dir: String, nBatches: Int = 3): DataFrame = {
+    require(nBatches > 0, s"nBatches must be positive, got $nBatches")
+    val tag = pathTag(dir + "|mhdedup|" + nBatches)
+    val tmp = sys.props("java.io.tmpdir")
+    val src = s"$tmp/graft_mhdedup_stream_src_$tag"
+    val outRoot = s"$tmp/graft_mhdedup_stream_out_$tag"
+    deleteRecursive(spark, src)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val staticBands = graft.operators.Dedup.bandKeys(docs).persist()
+    try {
+      (0 until nBatches).foreach { b =>
+        docs.filter(col("doc_id") % nBatches === b).coalesce(1)
+          .write.mode(if (b == 0) "overwrite" else "append").parquet(src)
+      }
+      val s = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      serveStream(spark, s, outRoot)(batch =>
+        graft.operators.Dedup.bandKeys(batch).as("b")
+          .join(staticBands.as("a"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct())
+    } finally staticBands.unpersist()
+  }
+
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
     * upserted per micro-batch into a keyed parquet store — the
     * reference's STREAMING Mongo sink (MongoTFSink.java /

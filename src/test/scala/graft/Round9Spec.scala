@@ -115,4 +115,45 @@ class Round9Spec extends AnyFunSuite {
     // on the real corpus the profile covers every non-null doc
     assert(Dedup.chunkDups(docs).count() == docs.filter(col("text").isNotNull).count())
   }
+
+  test("streaming minhash dedup: union of micro-batches equals the batch candidate set") {
+    val streamed = graft.streaming.Streams.minhashDedupStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    streamed.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("bpe: first merge is the argmax pair; merge counts non-increasing; deterministic") {
+    val pairs = graft.operators.Bpe.pairCounts(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val top = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+    val merges = graft.operators.Bpe.trainMerges(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(merges.nonEmpty)
+    assert((merges.head._2, merges.head._3) == top._1 && merges.head._4 == top._2)
+    merges.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 >= b._4) // greedy max is non-increasing
+      case _ =>
+    }
+    val again = graft.operators.Bpe.trainMerges(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(merges.sameElements(again))
+  }
+
+  test("bpe encode: segments concatenate back to the word and shrink with more merges") {
+    val merges = graft.operators.Bpe.trainMerges(docs).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = graft.operators.Bpe.wordCounts(docs)
+      .orderBy(col("wcount").desc, col("word")).limit(20)
+      .collect().map(_.getString(0))
+    words.foreach { w =>
+      val segs = graft.operators.Bpe.encode(w, merges)
+      assert(segs.mkString == w)
+      assert(segs.length <= w.length)
+      assert(graft.operators.Bpe.encode(w, merges.take(3)).length >= segs.length)
+    }
+  }
 }
