@@ -498,6 +498,27 @@ object SparkEntry {
     // spec-gated in Round9Spec
     "q_bpe_pairs" -> ((s, dir) => Bpe.pairCounts(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => Bpe.trainMerges(Tables.documents(s, dir))),
+
+    // ---- Round-9 batch 2: unpivot/listagg export shapes, attribution
+    // + concurrency over events, stratified/k-fold sampling, markup
+    // strip, higher-order array stats, containment dedup, ANN range ----
+    "q_unpivot" -> ((s, dir) => Relational.returnFlagUnpivot(Tables.lineitem(s, dir))),
+    "q_string_agg" -> ((s, dir) => Relational.docListBySource(Tables.documents(s, dir))),
+    "q_first_touch" -> ((s, dir) => Relational.firstTouch(Tables.events(s, dir))),
+    "q_active_intervals" -> ((s, dir) => Relational.activeIntervals(Tables.events(s, dir))),
+    "q_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
+    "q_crossval_folds" -> ((s, dir) => TextAnalysis.crossvalFolds(Tables.documents(s, dir))),
+    "q_html_strip" -> ((s, dir) => TextAnalysis.stripMarkup(Tables.documents(s, dir))),
+    "q_array_stats" -> ((s, dir) => TextAnalysis.tokenLengthStats(Tables.documents(s, dir))),
+    "q_dedup_containment" -> ((s, dir) => Dedup.containmentPairs(Tables.documents(s, dir))),
+    "q_ann_range" -> ((s, dir) => Ann.rangeSearch(Tables.embeddings(s, dir))),
+    // streaming CDC apply — incremental max_by state, same rows as
+    // q_cdc_apply (shared oracle: arrival order cannot change winners)
+    "q_stream_cdc" -> ((s, dir) => graft.streaming.Streams.cdcStream(s, dir)),
+    // corpus tokenized under the learned BPE merges — inherits the
+    // merge loop → rows-only, spec-gated (bounds/monotonicity/rerun)
+    "q_bpe_encode" -> ((s, dir) => Bpe.encodeCorpus(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -2649,5 +2670,116 @@ object SparkEntry {
         |      FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)
         |      WHERE length(word) >= 2)
         |SELECT "left", "right", sum(wcount)::BIGINT AS n FROM p GROUP BY 1, 2""".stripMargin,
+    // wide per-flag metric block melted to (key, metric, value) —
+    // UNION ALL is the relational spelling of the Expand
+    "q_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |  sum(floor(l_extendedprice * 1000000.0)::BIGINT)::BIGINT AS price_micros,
+        |  sum(floor(l_quantity)::BIGINT)::BIGINT AS qty_units,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'price_micros' AS metric, price_micros AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'qty_units', qty_units FROM w
+        |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w""".stripMargin,
+    // ordered + capped LISTAGG; n_docs counts ALL members
+    "q_string_agg" ->
+      """WITH g AS (SELECT lang, source, list(doc_id ORDER BY doc_id) AS ids,
+        |                  count(*)::BIGINT AS n_docs
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT lang, source,
+        |       array_to_string(list_transform(ids[1:100], x -> x::VARCHAR), ',') AS doc_ids,
+        |       n_docs
+        |FROM g""".stripMargin,
+    "q_first_touch" ->
+      """WITH f AS (SELECT user_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |           FROM events)
+        |SELECT event_type AS first_type, count(*)::BIGINT AS n_users
+        |FROM f WHERE rn = 1 GROUP BY 1""".stripMargin,
+    // [ts, ts+300s) intervals exploded into covered 60s buckets
+    "q_active_intervals" ->
+      """WITH b AS (SELECT epoch_ns(ts) // 60000000000 AS b0,
+        |                  (epoch_ns(ts) + 299999999999) // 60000000000 AS b1
+        |           FROM events)
+        |SELECT bucket, count(*)::BIGINT AS n_active
+        |FROM b, unnest(generate_series(b0, b1)) AS t(bucket)
+        |GROUP BY 1""".stripMargin,
+    // md5-u replay (the q_train_split trick) keyed doc_id:lang:strat,
+    // then the per-stratum rank-50 cut
+    "q_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         list_sum(list_transform(range(1, 9),
+        |           j -> (strpos('0123456789abcdef',
+        |                        substr(md5(doc_id::VARCHAR || ':' || lang || ':strat'), j, 1)) - 1)::BIGINT
+        |                << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)::BIGINT AS rk
+        |  FROM s)
+        |WHERE rk <= 50""".stripMargin,
+    // fold = md5(doc_id:fold) first-8-hex value mod 5
+    "q_crossval_folds" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         list_sum(list_transform(range(1, 9),
+        |           j -> (strpos('0123456789abcdef',
+        |                        substr(md5(doc_id::VARCHAR || ':fold'), j, 1)) - 1)::BIGINT
+        |                << ((8 - j) * 4))) % 5 AS fold
+        |  FROM documents)
+        |SELECT fold, source, count(*)::BIGINT AS n_docs FROM s GROUP BY 1, 2""".stripMargin,
+    // tags → entities → whitespace runs, trimmed; 'g' = replace ALL
+    // (DuckDB defaults to first match; Spark always replaces all)
+    "q_html_strip" ->
+      """SELECT doc_id, length(c)::BIGINT AS n_clean_chars, md5(c) AS clean_md5
+        |FROM (SELECT doc_id,
+        |             trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |               '<[^>]*>', ' ', 'g'), '&[a-zA-Z]+;', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |      FROM documents)""".stripMargin,
+    // list_transform/list_sum/list_max mirror the higher-order
+    // transform/aggregate/array_max plan — no unnest
+    "q_array_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       len(toks)::BIGINT AS n_toks,
+        |       list_sum(list_transform(toks, t -> length(t)))::BIGINT AS sum_len,
+        |       list_max(list_transform(toks, t -> length(t)))::BIGINT AS max_len
+        |FROM t WHERE len(toks) > 0""".stripMargin,
+    // banded candidates + shingle intersection from the shared minhash
+    // CTE; containment divides by EACH side's set size (unrounded
+    // compare, rounded output — same discipline as q_dedup_verified)
+    "q_dedup_containment" ->
+      s"""WITH $minhashCandCte
+         |SELECT i.doc_a, i.doc_b,
+         |       round(i.inter::DOUBLE / na.n_sh, 4) AS cont_a,
+         |       round(i.inter::DOUBLE / nb.n_sh, 4) AS cont_b
+         |FROM cinter i
+         |JOIN csizes na ON i.doc_a = na.doc_id
+         |JOIN csizes nb ON i.doc_b = nb.doc_id
+         |WHERE i.inter::DOUBLE / na.n_sh >= 0.5
+         |   OR i.inter::DOUBLE / nb.n_sh >= 0.5""".stripMargin,
+    // exact range search: same scoring contract as q_ann_bruteforce,
+    // threshold filter on the ROUNDED cosine (the published score)
+    "q_ann_range" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |c AS (SELECT b.vec_id,
+         |        round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+         |              / (q.nrm * b.nrm), 4) AS cos
+         |      FROM vn b, q WHERE b.vec_id != 0)
+         |SELECT vec_id, cos FROM c WHERE cos >= 0.2""".stripMargin,
+    // the streaming CDC apply emits exactly the batch apply's state
+    // (version-ordered max_by — arrival order is immaterial)
+    "q_stream_cdc" ->
+      """WITH ops AS (
+        |  SELECT user_id, value,
+        |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT user_id, floor(value * 1000000.0)::BIGINT AS last_value_micros,
+        |       n_ops::BIGINT AS n_ops
+        |FROM ops WHERE rn = 1 AND op = 'upsert'""".stripMargin,
   )
 }

@@ -129,6 +129,20 @@ object Ann {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
   }
 
+  /** (vec_id, cos): RANGE search — every vector within cosine ≥
+    * `minCos` of the query, the "all sufficiently-similar neighbors"
+    * complement of top-k (dedup radius queries, recall-at-threshold
+    * eval). Exact form: one broadcast of the query row + a codegen'd
+    * map-filter over the corpus — zero shuffles, and unlike top-k
+    * there is no ordering step at all, so the plan is scan-shaped and
+    * embarrassingly parallel. At 100 TB, when the full scan itself is
+    * too much, route the same predicate through the probed IVF lists
+    * ([[ivfTopK]]'s substrate) and accept list-recall — this exact
+    * form stays the oracle-checkable baseline. */
+  def rangeSearch(embeddings: DataFrame, queryId: Long = 0L,
+                  minCos: Double = 0.2): DataFrame =
+    cosineAll(embeddings, queryId).filter(col("cos") >= minCos)
+
   /** (vec_id, t, bucket): random-hyperplane LSH — `numTables` tables
     * of `bitsPerTable` sign bits each (OR-amplification). With cosine
     * c, P(table hit) = (1 - acos(c)/pi)^bits; 8 tables × 4 bits gives

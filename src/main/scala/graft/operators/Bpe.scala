@@ -70,6 +70,42 @@ object Bpe {
       .toSeq.toDF("rank", "left", "right", "n")
   }
 
+  /** (doc_id, n_words, n_bpe_tokens): the corpus tokenized under the
+    * learned merges — the ACTUAL token count a trained tokenizer
+    * yields (q_token_count's regex is the heuristic; this is the
+    * real thing). Scale split, same as training: the iterative merge
+    * application runs once per DISTINCT word (the capped vocabulary,
+    * driver-side), producing a tiny (word → subword count) relation
+    * that BROADCAST-joins back to the corpus's exploded tokens — the
+    * corpus is never encoded row-by-row, and the join adds no
+    * shuffle beyond the per-doc count aggregation. Not
+    * SQL-expressible (inherits the merge loop) → rows-only,
+    * spec-gated: counts bounded by [n_words, n_chars], monotone
+    * non-increasing in numMerges, round-trip via [[encode]]. */
+  def encodeCorpus(docs: DataFrame, numMerges: Int = 20,
+      maxVocab: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabDf = wordCounts(docs)
+    val n = vocabDf.count()
+    require(n <= maxVocab,
+      s"BPE dictionary has $n words > cap $maxVocab — prune by min-count " +
+        "before encoding; the encode table is vocab-resident by design")
+    val vocab = vocabDf.collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = learn(
+      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }, numMerges)
+      .map { case (l, r, _) => (l, r) }
+    val lens = vocab.toSeq
+      .map { case (w, _) => (w, encode(w, merges).length.toLong) }
+      .toDF("word", "n_sub")
+    docs.select(col("doc_id"),
+        explode(graft.functions.Text.rawTokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(lens), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
+  }
+
   /** The driver-side greedy loop over the (symbols, count) dictionary.
     * Returns (left, right, pairCount) in merge order. */
   private[graft] def learn(vocab0: Array[(Array[String], Long)],

@@ -323,6 +323,43 @@ object Dedup {
         explode(graft.functions.Native.shingles(col("words"), n)).as("shingle"))
       .distinct()
 
+  /** (doc_a, doc_b, cont_a, cont_b): directional CONTAINMENT over the
+    * LSH candidate pairs — |A∩B|/|A| and |A∩B|/|B| on word-3-gram
+    * shingle sets. Jaccard misses the quote/sub-document case (a short
+    * doc wholly inside a long one has tiny Jaccard but containment
+    * ≈ 1); a pair survives when EITHER direction clears `threshold`.
+    * Scale shape is [[verifiedNearDups]]'s: candidates come from the
+    * banded MinHash bucket join (never all-pairs), the shingle
+    * intersection joins only candidate docs (left-semi restricted
+    * corpus), sizes ride broadcastable doc-cardinality aggregates.
+    * Banding recall note: candidates are generated by JACCARD-tuned
+    * bands, so asymmetric pairs BELOW the banding's S-curve midpoint
+    * in Jaccard can be missed even when containment is high — the
+    * documented trade; hook a containment-tuned band scheme (shingle
+    * SAMPLING by the smaller side) in `numPerm`/`rowsPerBand` when
+    * the workload is quote-mining rather than near-dup cleanup. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
+                       numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cand = minhashCandidates(docs, numPerm, rowsPerBand).localCheckpoint()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    inter
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("ca", col("inter").cast("double") / col("na"))
+      .withColumn("cb", col("inter").cast("double") / col("nb"))
+      .filter(col("ca") >= threshold || col("cb") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ca"), 4).as("cont_a"), round(col("cb"), 4).as("cont_b"))
+  }
+
   /** (doc_a, doc_b, jaccard): exact n-gram Jaccard near-dup pairs via
     * shingle self-join. Quadratic in cluster size — the correctness
     * baseline for [[minhashCandidates]]. The threshold applies to the

@@ -750,6 +750,82 @@ object Relational {
       .select("event_id", "user_id", "n_kinds")
   }
 
+  /** (l_returnflag, metric, value): UNPIVOT/melt — the inverse of
+    * [[statusPivot]]. A wide per-flag metric block (price micros, whole
+    * quantity units, row count) folds into long (key, metric, value)
+    * form — the shape feature stores and metric sinks ingest. The
+    * expensive part is the upstream 6-group aggregate (one map-side
+    * combining shuffle); the unpivot itself is a pure row-local
+    * Expand — 3 output rows per input row, zero shuffle, never
+    * corpus-sized because it runs on the aggregate. */
+  def returnFlagUnpivot(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        sum(micros(col("l_extendedprice"))).as("price_micros"),
+        sum(floor(col("l_quantity")).cast("long")).as("qty_units"),
+        count(lit(1)).as("n_rows"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("price_micros"), col("qty_units"), col("n_rows")),
+        "metric", "value")
+
+  /** (lang, source, doc_ids, n_docs): sorted LISTAGG/string_agg per
+    * group — the "give me the member list per dimension cell" export
+    * shape. The list is ORDERED (ascending doc_id) and TRUNCATED to
+    * the first `cap` members — the ANSI LISTAGG ... ON OVERFLOW
+    * TRUNCATE discipline: per-group state is O(cap), so a pathological
+    * group cannot balloon an aggregation buffer; n_docs still counts
+    * ALL members, so truncation is visible, not silent. One hash
+    * aggregate (collect_list partials combine map-side), then a pure
+    * projection does sort/slice/join — no window, no second shuffle. */
+  def docListBySource(docs: DataFrame, cap: Int = 100): DataFrame =
+    docs.groupBy("lang", "source")
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("source"),
+        array_join(
+          transform(slice(array_sort(col("ids")), 1, cap), _.cast("string")),
+          ",").as("doc_ids"),
+        col("n_docs"))
+
+  /** (first_type, n_users): first-touch attribution — which event
+    * kind FIRST touched each user, then how many users each kind
+    * acquired. Per-user first op by (ts, event_id) via a rank-1
+    * window: WindowGroupLimit keeps per-key state O(1) (same shape as
+    * [[cdcApply]]'s last-wins, flipped to first-wins), then a 5-group
+    * hash aggregate. One shuffle on user_id, one on event_type —
+    * both unavoidable for the semantics. */
+  def firstTouch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type").as("first_type"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** (bucket, n_active): concurrency profile — how many 5-minute
+    * activity intervals overlap each 1-minute wall-clock bucket. Each
+    * event opens the interval [ts, ts+hold); the interval explodes
+    * into the ≤ ceil(hold/bucket)+1 buckets it covers (bounded
+    * fan-out — sequence() of at most 6 elements, NOT a range join),
+    * then one hash aggregate counts actives per bucket. The classic
+    * +1/−1 sweep needs a GLOBAL ordered window (single-partition
+    * chokepoint); this bounded-explode form is a pure map + one
+    * shuffle on the bucket key and holds at any event volume. `ts` is
+    * epoch nanos (the [[graft.sources.Tables.events]] contract). */
+  def activeIntervals(events: DataFrame,
+                      holdSeconds: Long = 300L, bucketSeconds: Long = 60L): DataFrame = {
+    val ns = 1000000000L
+    val bucketNs = bucketSeconds * ns
+    // `div`, not `/`: epoch nanos exceed 2^53, so double division
+    // could land a boundary event in the wrong bucket
+    val b0 = expr(s"ts div ${bucketNs}L")
+    val b1 = expr(s"(ts + ${holdSeconds * ns - 1L}L) div ${bucketNs}L")
+    events.select(explode(sequence(b0, b1)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_active"))
+  }
+
   /** (user_id, last_value_micros, n_ops): CDC APPLY — reduce an
     * ordered change log to final table state. The event stream is read
     * as a changelog on the user_id key: 'error' events are DELETEs,

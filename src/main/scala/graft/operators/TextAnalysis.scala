@@ -723,4 +723,71 @@ object TextAnalysis {
       .filter(col("u") < col("rate"))
       .select("doc_id", "source")
   }
+
+  /** (doc_id, lang, rk): stratified fixed-SIZE sample — exactly
+    * min(perStratum, |stratum|) docs per language, picked by the
+    * deterministic [[hashU]] uniform (so the pick is an unbiased
+    * without-replacement sample, reproducible across reruns and
+    * engines). Rank-`perStratum` cut via a per-stratum window:
+    * WindowGroupLimit bounds every stratum's state to O(perStratum)
+    * — no stratum ever sorts fully, no global window. The complement
+    * of [[mixtureSample]]/[[temperatureMix]] (fractional rates): this
+    * is the "give me exactly 10k eval docs per language" shape. */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("u").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("u", expr(hashU("concat(CAST(doc_id AS STRING), ':', lang, ':strat')")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perStratum)
+      .select("doc_id", "lang", "rk")
+  }
+
+  /** (fold, source, n_docs): k-fold cross-validation assignment —
+    * every doc lands in fold md5(doc_id:fold) mod k (content-stable:
+    * re-runs, late partitions and corpus growth never move an
+    * existing doc between folds, unlike zipWithIndex-mod or RNG
+    * splits), summarized as per-(fold, source) counts. Pure map +
+    * one k×sources-group aggregate; the doc-level assignment column
+    * is the first select if a caller wants rows not counts. */
+  def crossvalFolds(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':fold')), 1, 8), 16, 10) AS BIGINT)")
+          .mod(k).as("fold"))
+      .groupBy("fold", "source").agg(count(lit(1)).as("n_docs"))
+
+  /** (doc_id, n_clean_chars, clean_md5): markup strip + whitespace
+    * normalization — the first pass of any web-corpus cleaner: drop
+    * `<...>` tags, collapse entity escapes, fold whitespace runs to
+    * one space, trim. Pure codegen'd map stage (three regexp_replace
+    * passes), zero shuffle; the md5 fingerprints the CLEANED text so
+    * downstream exact-dedup ([[fingerprint]]) can run pre- or
+    * post-strip and the difference is observable. */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "<[^>]*>", " "), "&[a-zA-Z]+;", " "), "\\s+", " "))
+    docs.select(col("doc_id"),
+      length(clean).cast("long").as("n_clean_chars"),
+      md5(clean).as("clean_md5"))
+  }
+
+  /** (doc_id, n_toks, sum_len, max_len): per-document token-length
+    * profile computed entirely with HIGHER-ORDER array functions —
+    * transform/aggregate/array_max over the token array, no explode:
+    * the row count never multiplies by token count, so the stage
+    * stays a pure narrow map over the corpus (the explode form
+    * shuffles |corpus|×|tokens| rows into a re-grouping aggregate —
+    * strictly worse at every scale). Empty-token artifacts of the
+    * space split count like the tokenizer emits them (parity with
+    * [[graft.functions.Text.rawTokens]] everywhere else). */
+  def tokenLengthStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.Text.rawTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)), 0L, (acc, x) -> acc + x)")
+          .as("sum_len"),
+        expr("CAST(array_max(transform(toks, t -> length(t))) AS BIGINT)").as("max_len"))
 }

@@ -698,6 +698,31 @@ object Streams {
         expr("ts div 1000000").as("last_ts_ms"))
   }
 
+  /** (user_id, last_value_micros, n_ops): STREAMING CDC apply — the
+    * event changelog reduced to final table state as it arrives,
+    * matching [[graft.operators.Relational.cdcApply]] row-for-row
+    * (shared oracle). One streaming aggregation keyed by user_id:
+    * max_by picks the (ts, event_id)-latest op incrementally (state
+    * per key = one op row + a count — O(1), watermark-evictable on an
+    * unbounded changelog), so arrival order across micro-batches
+    * cannot change the winner; 'error' tombstones ride the state like
+    * any op and keys whose LAST op is a delete drop at emission —
+    * the compacted-changelog contract (Kafka log compaction,
+    * Debezium → table materialization). */
+  def cdcStream(spark: SparkSession, dir: String): DataFrame = {
+    val state = eventStream(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_ops"))
+    drainToMemory(spark, state, OutputMode.Complete())
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"),
+        floor(col("last.value") * 1000000.0).cast("long").as("last_value_micros"),
+        col("n_ops"))
+  }
+
   /** (win_start_ms, event_type, n, rk): top-3 event kinds per 1-hour
     * window over the event stream. The streaming stage is the same
     * watermarked windowed count as [[windowedWordCount]] (keyed state,

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Dedup, Relational, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-9 batch 2: unpivot/listagg export shapes, first-touch
+  * attribution, interval concurrency, stratified/k-fold sampling,
+  * markup strip, higher-order array stats, containment dedup, ANN
+  * range search. The DuckDB oracle is the exactness gate; these pin
+  * the invariants the hash can't express.
+  */
+class Round9bSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val events = Tables.events(spark, sf)
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("unpivot: every flag carries the 3 metrics and values replay the wide aggregate") {
+    val li = Tables.lineitem(spark, sf)
+    val rows = Relational.returnFlagUnpivot(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val flags = rows.keys.map(_._1).toSet
+    flags.foreach { f =>
+      assert(Set("price_micros", "qty_units", "n_rows").forall(m => rows.contains((f, m))))
+    }
+    val nRows = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    flags.foreach(f => assert(rows((f, "n_rows")) == nRows(f)))
+    assert(rows.size == flags.size * 3)
+  }
+
+  test("string agg: member list is ascending, capped, and n_docs counts ALL members") {
+    val rows = Relational.docListBySource(docs, cap = 5).collect()
+    val sizes = docs.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val ids = r.getString(2).split(",").map(_.toLong).toVector
+      assert(ids == ids.sorted)
+      assert(ids.length == math.min(5L, sizes((r.getString(0), r.getString(1)))))
+      assert(r.getLong(3) == sizes((r.getString(0), r.getString(1))))
+    }
+  }
+
+  test("first touch: user totals conserved and each user's first event wins") {
+    val rows = Relational.firstTouch(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum == events.select("user_id").distinct().count())
+    val want = events
+      .groupBy("user_id")
+      .agg(min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("ft"))
+      .groupBy("ft").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == want)
+  }
+
+  test("active intervals: bucket fan-out is 5..6 per event and totals conserve") {
+    val total = Relational.activeIntervals(events).agg(sum("n_active")).collect()(0).getLong(0)
+    val perEvent = events.select(
+      (expr("(ts + 299999999999L) div 60000000000L") - expr("ts div 60000000000L") + 1L).as("nb"))
+      .collect().map(_.getLong(0))
+    assert(perEvent.forall(n => n == 5L || n == 6L))
+    assert(total == perEvent.sum)
+  }
+
+  test("stratified sample: exactly min(perStratum, stratum size) per lang, deterministic") {
+    val a = TextAnalysis.stratifiedSample(docs, perStratum = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = a.groupBy(_._2)
+    assert(byLang.keySet == sizes.keySet.filter(l => sizes(l) > 0))
+    byLang.foreach { case (l, rs) =>
+      assert(rs.length == math.min(7L, sizes(l)))
+      assert(rs.map(_._3).sorted.toVector == (1L to rs.length.toLong).toVector)
+    }
+    val b = TextAnalysis.stratifiedSample(docs, perStratum = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+  }
+
+  test("crossval folds: counts conserve the corpus and folds live in [0, k)") {
+    val rows = TextAnalysis.crossvalFolds(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == docs.count())
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 5))
+    // content-stable: a doc's fold never depends on the rest of the corpus
+    val one = TextAnalysis.crossvalFolds(docs.limit(10), k = 5)
+    val sub = one.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(sub == 10L)
+  }
+
+  test("markup strip: tags and entities drop, whitespace folds, clean text is fingerprinted") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "<p>hello   <b>world</b></p> &amp; more"),
+      (2L, "no markup here"),
+      (3L, "  edge   spacing  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(synth).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L)._1 == "hello world more".length)
+    assert(got(2L)._2 == TextAnalysis.stripMarkup(
+      Seq((9L, "no markup here")).toDF("doc_id", "text")).collect()(0).getString(2))
+    assert(got(3L)._1 == "edge spacing".length)
+    // corpus pass covers every non-null doc
+    assert(TextAnalysis.stripMarkup(docs).count() ==
+      docs.filter(col("text").isNotNull).count())
+  }
+
+  test("array stats: higher-order profile replays the exploded recompute") {
+    val got = TextAnalysis.tokenLengthStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(length(col("t"))).as("s"), max(length(col("t"))).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3).toLong)).toMap
+    assert(got == want)
+  }
+
+  test("containment: an exact copy scores 1.0 both ways; a contained doc scores ~1 one way") {
+    import spark.implicits._
+    val base = docs.filter(length(col("text")) > 200).limit(1)
+      .select("doc_id", "text").as[(Long, String)].collect().head
+    val words = base._2.split(" ")
+    val sub = words.take(math.max(3, (words.length * 0.8).toInt)).mkString(" ")
+    val corpus = Seq((1L, base._2), (2L, base._2), (3L, sub)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(pairs((1L, 2L)) == ((1.0, 1.0)))
+    // the 80%-prefix doc is (near-)contained in its source: its own
+    // direction reads ~1 even though Jaccard would read ~0.8
+    val c = pairs.get((1L, 3L)).orElse(pairs.get((2L, 3L)))
+    assert(c.isDefined && c.get._2 >= 0.95)
+  }
+
+  test("ann range: exactly the vectors at cos >= threshold, consistent with brute-force top-k") {
+    val got = Ann.rangeSearch(emb, minCos = 0.2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val all = Ann.cosineAll(emb).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == all.filter(_._2 >= 0.2))
+    val topInRange = Ann.bruteForceTopK(emb).collect()
+      .filter(_.getDouble(1) >= 0.2).map(_.getLong(0))
+    topInRange.foreach(v => assert(got.contains(v)))
+  }
+
+  test("stream cdc: incremental state equals the batch apply exactly") {
+    val streamed = graft.streaming.Streams.cdcStream(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Relational.cdcApply(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
+
+  test("bpe encode: counts bounded, monotone in merges, and replayed by the driver encoder") {
+    val got = graft.operators.Bpe.encodeCorpus(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val zero = graft.operators.Bpe.encodeCorpus(docs, numMerges = 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == zero.keySet)
+    got.foreach { case (id, (nWords, nBpe)) =>
+      assert(nBpe >= nWords) // a word is >= 1 subword
+      assert(nBpe <= zero(id)._2) // merges only ever shrink
+    }
+    // zero merges = every word splits into its characters
+    val charSum = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id").agg(sum(length(col("w"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    zero.foreach { case (id, (_, nBpe)) => assert(nBpe == charSum(id)) }
+  }
+}
