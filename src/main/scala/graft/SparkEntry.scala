@@ -519,6 +519,22 @@ object SparkEntry {
     // corpus tokenized under the learned BPE merges — inherits the
     // merge loop → rows-only, spec-gated (bounds/monotonicity/rerun)
     "q_bpe_encode" -> ((s, dir) => Bpe.encodeCorpus(Tables.documents(s, dir))),
+    // ---- Round-9 batch 3: value-range window frames, relative
+    // standing, Markov transitions, index time-travel ----
+    "q_range_frame" -> ((s, dir) => Relational.slidingHourStats(Tables.events(s, dir))),
+    "q_percent_rank" -> ((s, dir) => Relational.priceStanding(Tables.orders(s, dir))),
+    "q_event_transitions" -> ((s, dir) =>
+      Relational.eventTransitions(Tables.events(s, dir))),
+    // staged-index snapshot read: version 00000 (4/5 build) pinned
+    // while 00001 (1/5 ingest) is committed — the search equals the
+    // live LSH over the version-00000 corpus (oracle replays it)
+    "q_index_timetravel" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = sys.props("java.io.tmpdir") + "/graft_annidx_tt_" + dirTag(dir)
+      AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), path)
+      AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), path, "00001")
+      AnnIndex.searchTopKAt(s, path, maxTag = "00000", queryId = 1L)
+    }),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -835,6 +851,41 @@ object SparkEntry {
   private val vecCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  /** LSH top-10 replay (Ann.lshTopK / AnnIndex.searchTopK semantics)
+    * over `embeddings WHERE whereSql`, querying `qid`: the md5-derived
+    * hyperplanes are driver-computed literal doubles (GraftHashing
+    * .planeWeights — the same literals the native expression bakes
+    * into the plan), so bucketing + candidates + exact rerank replay
+    * relationally for ANY corpus restriction — which is what makes
+    * the staged index's time-travel snapshots oracle-checkable too. */
+  private def lshTopKOracleSql(whereSql: String, qid: Long): String = {
+    val planes = graft.functions.GraftHashing.planeWeights(32) // 8 tables × 4 bits
+    val rows = planes.zipWithIndex
+      .map { case (wp, p) => s"($p, [${wp.mkString(",")}])" }
+      .mkString(",\n       |  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings WHERE $whereSql),
+       |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |w(p, wv) AS (VALUES
+       |  $rows),
+       |sgn AS (SELECT vn.vec_id, w.p,
+       |          CASE WHEN list_sum(list_transform(range(1, len(vn.v) + 1),
+       |                 i -> vn.v[i] * w.wv[i])) > 0 THEN '1' ELSE '0' END AS bit
+       |        FROM vn, w),
+       |bkt AS (SELECT vec_id, p // 4 AS t, string_agg(bit, '' ORDER BY p) AS bucket
+       |        FROM sgn GROUP BY vec_id, p // 4),
+       |qb AS (SELECT t, bucket FROM bkt WHERE vec_id = $qid),
+       |cand AS (SELECT DISTINCT b.vec_id FROM bkt b
+       |         JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+       |         WHERE b.vec_id != $qid),
+       |q AS (SELECT v, nrm FROM vn WHERE vec_id = $qid)
+       |SELECT b.vec_id,
+       |       round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+       |             / (q.nrm * b.nrm), 4) AS cos
+       |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, q
+       |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin
+  }
 
   /** Unrolled Lloyd's on the exact millis grid, mirroring
     * Clustering.kmeans: `iters` assign+update rounds from the k
@@ -1606,31 +1657,11 @@ object SparkEntry {
     // dot must agree, and both engines fold the 64 doubles
     // sequentially — a flip would need |sum| within FP-error of zero
     // (~1e-15 relative; checked green at sf0.01 and sf0.1).
-    "q_ann_lsh" -> {
-      val planes = graft.functions.GraftHashing.planeWeights(32) // 8 tables × 4 bits
-      val rows = planes.zipWithIndex
-        .map { case (wp, p) => s"($p, [${wp.mkString(",")}])" }
-        .mkString(",\n         |  ")
-      s"""WITH $vecCte,
-         |w(p, wv) AS (VALUES
-         |  $rows),
-         |sgn AS (SELECT vn.vec_id, w.p,
-         |          CASE WHEN list_sum(list_transform(range(1, len(vn.v) + 1),
-         |                 i -> vn.v[i] * w.wv[i])) > 0 THEN '1' ELSE '0' END AS bit
-         |        FROM vn, w),
-         |bkt AS (SELECT vec_id, p // 4 AS t, string_agg(bit, '' ORDER BY p) AS bucket
-         |        FROM sgn GROUP BY vec_id, p // 4),
-         |qb AS (SELECT t, bucket FROM bkt WHERE vec_id = 0),
-         |cand AS (SELECT DISTINCT b.vec_id FROM bkt b
-         |         JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
-         |         WHERE b.vec_id != 0),
-         |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
-         |SELECT b.vec_id,
-         |       round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
-         |             / (q.nrm * b.nrm), 4) AS cos
-         |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, q
-         |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin
-    },
+    "q_ann_lsh" -> lshTopKOracleSql("TRUE", 0L),
+    // the SAME LSH replay restricted to the version-00000 vectors:
+    // time travel = searching the retained delta subset, and the
+    // md5-derived hyperplanes make every snapshot oracle-replayable
+    "q_index_timetravel" -> lshTopKOracleSql("vec_id % 5 <> 0", 1L),
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -2769,6 +2800,33 @@ object SparkEntry {
          |              / (q.nrm * b.nrm), 4) AS cos
          |      FROM vn b, q WHERE b.vec_id != 0)
          |SELECT vec_id, cos FROM c WHERE cos >= 0.2""".stripMargin,
+    // value-RANGE frame: peers of the current ts are in-frame in both
+    // engines, so tied timestamps cannot perturb the sums
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+        |       (count(*) OVER w)::BIGINT AS n_1h,
+        |       (sum(floor(value * 1000000.0)::BIGINT) OVER w)::BIGINT AS sum_micros_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // rank functions on the EXACT micros ordering key — tie-stable
+    "q_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY floor(o_totalprice * 1000000.0)::BIGINT)""".stripMargin,
+    "q_event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM m""".stripMargin,
     // the streaming CDC apply emits exactly the batch apply's state
     // (version-ordered max_by — arrival order is immaterial)
     "q_stream_cdc" ->

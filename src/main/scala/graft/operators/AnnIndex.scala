@@ -131,8 +131,35 @@ object AnnIndex {
     * index — matches [[Ann.lshTopK]] on the same data exactly,
     * however many deltas the store has accumulated. */
   def searchTopK(spark: SparkSession, path: String,
-                 queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val deltas = DeltaStore.committedDeltas(spark, path)
+                 queryId: Long = 0L, k: Int = 10): DataFrame =
+    searchDeltas(spark, path, DeltaStore.committedDeltas(spark, path),
+      queryId, k)
+
+  /** TIME-TRAVEL search: the same top-k, but against the store AS OF
+    * version `maxTag` — only deltas whose tag sorts ≤ maxTag
+    * participate, so a reader can pin the exact index snapshot a
+    * batch job was validated against while ingest keeps committing
+    * (snapshot isolation for free: deltas are immutable and the
+    * manifest is the tag set). Retention contract, stated plainly:
+    * [[compactDeltas]] collapses folded history (its compact delta
+    * supersedes the originals, like VACUUM in a lakehouse table), so
+    * travel reaches only versions newer than the last compaction —
+    * the standard retention/no-time-travel-past-vacuum trade. */
+  def searchTopKAt(spark: SparkSession, path: String, maxTag: String,
+                   queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val visible = DeltaStore.committedDeltas(spark, path).filter { d =>
+      val name = new org.apache.hadoop.fs.Path(d).getName
+      name.stripPrefix("delta-") <= maxTag
+    }
+    require(visible.nonEmpty,
+      s"no committed deltas at or before version $maxTag under $path " +
+        "(compaction may have collapsed that history)")
+    searchDeltas(spark, path, visible, queryId, k)
+  }
+
+  private def searchDeltas(spark: SparkSession, path: String,
+                           deltas: Seq[String],
+                           queryId: Long, k: Int): DataFrame = {
     require(deltas.nonEmpty, s"no committed deltas under $path")
     val vectors = spark.read.parquet(deltas.map(d => s"$d/vectors"): _*)
     val buckets = spark.read.parquet(deltas.map(d => s"$d/buckets"): _*)

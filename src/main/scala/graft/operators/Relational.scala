@@ -826,6 +826,66 @@ object Relational {
       .groupBy("bucket").agg(count(lit(1)).as("n_active"))
   }
 
+  /** (event_id, user_id, n_1h, sum_micros_1h): VALUE-RANGE window
+    * frame — for each event, the count and exact micro-sum of the
+    * same user's events in the PRECEDING hour (ts-3600s, ts],
+    * rangeBetween on the epoch-nanos ordering column. RANGE frames
+    * include peers of the current ts, so tied timestamps cannot make
+    * the result order-dependent (a ROWS frame would). One shuffle on
+    * user_id + an ordered scan whose frame state is bounded by the
+    * per-user event rate within the hour — the sliding-metric shape
+    * (rate limiting, rolling spend) that tumbling windows can't
+    * express. */
+  def slidingHourStats(events: DataFrame): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
+      .rangeBetween(-hourNs, 0L)
+    events.select(col("event_id"), col("user_id"), col("ts"),
+        micros(col("value")).as("v_micros"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_micros_1h", sum(col("v_micros")).over(w))
+      .select("event_id", "user_id", "n_1h", "sum_micros_1h")
+  }
+
+  /** (o_orderkey, o_orderpriority, pr, cd): percent_rank + cume_dist
+    * of order value within each priority class — the relative-standing
+    * analytics pair (q_ntile buckets; this is the continuous form).
+    * Ordering runs on the EXACT micros key, so ranks are tie-stable
+    * and engine-identical; both functions depend only on rank/peer
+    * counts, never row order within ties. One shuffle on the priority
+    * key; 5 partitions at any scale — a skew-safe partition column
+    * because priorities are few AND each window is rank-only state. */
+  def priceStanding(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("price_key").asc)
+    orders.select(col("o_orderkey"), col("o_orderpriority"),
+        micros(col("o_totalprice")).as("price_key"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select("o_orderkey", "o_orderpriority", "pr", "cd")
+  }
+
+  /** (from_type, to_type, n, p): first-order Markov transition profile
+    * of the event stream — which kind follows which, per user, with
+    * the row-conditional probability p = n / Σ_from. The lead() pass
+    * is one shuffle on user_id (ordered scan, O(1) state); the
+    * transition matrix is kinds² rows (25 here), so the probability
+    * normalization joins a broadcast-sized aggregate. The
+    * session-analysis / UX-funnel primitive that generalizes
+    * [[funnel]]'s fixed path to ALL observed paths. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val trans = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type").as("ft"))
+      .agg(sum("n").as("n_from"))
+    trans.join(broadcast(totals), col("from_type") === col("ft"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+  }
+
   /** (user_id, last_value_micros, n_ops): CDC APPLY — reduce an
     * ordered change log to final table state. The event stream is read
     * as a changelog on the user_id key: 'error' events are DELETEs,

@@ -173,4 +173,58 @@ class Round9bSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     zero.foreach { case (id, (_, nBpe)) => assert(nBpe == charSum(id)) }
   }
+
+  test("range frame: the hour window replays a driver-side recompute per user") {
+    val got = Relational.slidingHourStats(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val raw = events.select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 1000000.0).cast("long").as("vm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hourNs = 3600L * 1000000000L
+    raw.foreach { case (eid, uid, ts, _) =>
+      val inFrame = raw.filter(e => e._2 == uid && e._3 > ts - hourNs && e._3 <= ts)
+      assert(got(eid) == ((inFrame.length.toLong, inFrame.map(_._4).sum)))
+    }
+  }
+
+  test("percent rank: bounds, extremes, and monotonicity in order value") {
+    val rows = Relational.priceStanding(Tables.orders(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    rows.foreach { case (_, _, pr, cd) =>
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0 && cd >= pr)
+    }
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.exists(_._3 == 0.0)) // cheapest order anchors at 0
+      assert(rs.exists(_._4 == 1.0)) // cume_dist tops out at 1
+    }
+  }
+
+  test("event transitions: counts conserve lead pairs and probabilities sum to 1 per from") {
+    val rows = Relational.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val nPairs = rows.map(_._3).sum
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(nPairs == nEvents - nUsers) // each user contributes (n_i - 1) pairs
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("index time travel: the pinned snapshot ignores the later delta and matches live LSH") {
+    val path = sys.props("java.io.tmpdir") + "/graft_annidx_tt_spec"
+    val v0 = emb.filter(col("vec_id") % 5 =!= 0)
+    graft.operators.AnnIndex.build(v0, path)
+    graft.operators.AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), path, "00001")
+    val snap = graft.operators.AnnIndex.searchTopKAt(spark, path, "00000", queryId = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val live = Ann.lshTopK(v0, queryId = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(snap == live)
+    // the full (current-version) search CAN see version-00001 vectors
+    val full = graft.operators.AnnIndex.searchTopK(spark, path, queryId = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(snap.map(_._1).forall(v => v % 5 != 0))
+    assert(full != snap.map(_._1).toSet || full.forall(v => v % 5 != 0))
+  }
 }
