@@ -535,6 +535,14 @@ object SparkEntry {
       AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), path, "00001")
       AnnIndex.searchTopKAt(s, path, maxTag = "00000", queryId = 1L)
     }),
+    // bipartite user↔item connected components (communities) — labels
+    // propagate through the bipartite edges, never the quadratic
+    // user-user projection
+    "q_graph_cc" -> ((s, dir) => Graph.userCommunities(Tables.events(s, dir))),
+    // streaming Markov transitions: O(1) state/user carries the last
+    // event across batch boundaries — same rows as q_event_transitions
+    "q_stream_transitions" -> ((s, dir) =>
+      graft.streaming.Streams.transitionsStream(s, dir)),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -2827,6 +2835,33 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM m""".stripMargin,
+    // the streaming fold emits the same pair multiset (state carries
+    // the previous event across batch boundaries)
+    "q_stream_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM m""".stripMargin,
+    // bipartite CC replayed as a recursive reachability closure over
+    // the encoded (2·user / 2·item+1) node space
+    "q_graph_cc" ->
+      """WITH RECURSIVE ed AS (SELECT DISTINCT user_id * 2 AS a,
+        |                   json_extract_string(props, '$.k')::BIGINT * 2 + 1 AS b
+        |            FROM events
+        |            WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e2 AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        |r(node, reach) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+        |  UNION
+        |  SELECT r.node, e2.b FROM r JOIN e2 ON r.reach = e2.a),
+        |cl AS (SELECT node, min(reach)::BIGINT AS community_id FROM r GROUP BY node)
+        |SELECT (node // 2)::BIGINT AS user_id, community_id
+        |FROM cl WHERE node % 2 = 0""".stripMargin,
     // the streaming CDC apply emits exactly the batch apply's state
     // (version-ordered max_by — arrival order is immaterial)
     "q_stream_cdc" ->

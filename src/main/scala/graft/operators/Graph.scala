@@ -59,4 +59,29 @@ object Graph {
     }
     ranks
   }
+
+  /** (user_id, community_id): behavioral communities — connected
+    * components of the BIPARTITE user↔item graph (item = the props.k
+    * the user acted on). The user-user projection of a bipartite
+    * graph is quadratic per item (one 10⁶-user item yields 10¹²
+    * pairs); propagating labels THROUGH the bipartite edges keeps
+    * every round linear in |edges| — the same never-materialize-pairs
+    * discipline as exact-collapse-first dedup. Encoded id space:
+    * user → 2·user_id, item → 2·k+1 (injective, overflow-safe far
+    * past any real id range); community_id = the component's minimum
+    * ENCODED node id — kept raw because that is the engine-replayable
+    * contract (decode is a caller-side projection). Reuses the
+    * pointer-doubling min-label propagation (O(log diameter) rounds,
+    * convergence-enforced) from the dedup CC pipeline. */
+  def userCommunities(events: DataFrame, maxIter: Int = 12): DataFrame = {
+    val edges = events
+      .select((col("user_id") * 2L).as("doc_a"),
+        (get_json_object(col("props"), "$.k").cast("long") * 2L + 1L).as("doc_b"))
+      .filter(col("doc_b").isNotNull)
+      .distinct()
+    Dedup.propagateMinLabels(edges, maxIter)
+      .filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id div 2").as("user_id"),
+        col("cluster_id").as("community_id"))
+  }
 }

@@ -698,6 +698,60 @@ object Streams {
         expr("ts div 1000000").as("last_ts_ms"))
   }
 
+  /** (from_type, to_type, n, p): STREAMING Markov transitions — each
+    * user's state is the last (ts, event_id, type) seen, so every
+    * arriving event emits exactly one (prev → this) pair through
+    * flatMapGroupsWithState and cross-batch continuity costs O(1)
+    * state per user. Batches are staged time-RANGED and mtime-ordered
+    * (the per-key in-order delivery a partitioned changelog gives in
+    * production); the drained pair multiset then aggregates to
+    * exactly the batch [[graft.operators.Relational
+    * .eventTransitions]] matrix — shared oracle, and the cross-batch
+    * pairs (a user's last event of batch b joined to their first of
+    * b+1) only exist because the state survived the batch boundary. */
+  def transitionsStream(spark: SparkSession, dir: String, nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val tag = pathTag(dir + "|trans|" + nBatches)
+    val src = sys.props("java.io.tmpdir") + s"/graft_trans_stream_src_$tag"
+    deleteRecursive(spark, src)
+    val events = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val (lo, hi) = events.agg(min("ts"), max("ts")).as[(Long, Long)].collect()(0)
+    val width = (hi - lo) / nBatches + 1
+    (0 until nBatches).foreach { b =>
+      events.filter(col("ts") >= lo + b * width && col("ts") < lo + (b + 1) * width)
+        .coalesce(1).write.mode(if (b == 0) "overwrite" else "append").parquet(src)
+      // the file source orders batches by modification time — keep
+      // the time-ranged slices in distinct mtime ticks
+      if (b < nBatches - 1) Thread.sleep(1100)
+    }
+    val s = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(Long, Long, Long, String)]
+    val pairs = s.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: Long, rows: Iterator[(Long, Long, Long, String)],
+       state: GroupState[(Long, Long, String)]) =>
+        // in-batch (ts, event_id) sort buffers this user's batch rows
+        // only; cross-batch state is one (ts, event_id, type) triple
+        val out = Seq.newBuilder[(String, String)]
+        var prev = state.getOption
+        rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, eid, tpe) =>
+          prev.foreach { case (_, _, pt) => out += ((pt, tpe)) }
+          prev = Some((ts, eid, tpe))
+        }
+        prev.foreach(state.update)
+        out.result().iterator
+    }
+    val drained = drainToMemory(spark,
+      pairs.toDF("from_type", "to_type"), OutputMode.Append())
+    val trans = drained.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type").as("ft")).agg(sum("n").as("n_from"))
+    trans.join(broadcast(totals), col("from_type") === col("ft"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+  }
+
   /** (user_id, last_value_micros, n_ops): STREAMING CDC apply — the
     * event changelog reduced to final table state as it arrives,
     * matching [[graft.operators.Relational.cdcApply]] row-for-row

@@ -227,4 +227,28 @@ class Round9bSpec extends AnyFunSuite {
     assert(snap.map(_._1).forall(v => v % 5 != 0))
     assert(full != snap.map(_._1).toSet || full.forall(v => v % 5 != 0))
   }
+
+  test("graph cc: users sharing an item share a community; labels are component minima") {
+    val comm = graft.operators.Graph.userCommunities(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byItem = events
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    byItem.groupBy(_._2).values.foreach { us =>
+      val cs = us.map(u => comm(u._1)).toSet
+      assert(cs.size == 1) // co-acting users are one community
+    }
+    // each community's label is <= every member's encoded id
+    comm.foreach { case (u, c) => assert(c <= u * 2) }
+    assert(comm.keySet == byItem.map(_._1).toSet)
+  }
+
+  test("stream transitions: cross-batch state reproduces the batch transition matrix") {
+    val streamed = graft.streaming.Streams.transitionsStream(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = Relational.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == batch)
+  }
 }
