@@ -463,8 +463,9 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_custkey"), col("c_name"))),
     // staged ANN store maintained incrementally (build 4/5 + ingest
     // 1/5, same DeltaStore protocol as q_index_incremental); search
-    // equals the live LSH over the union — rows-only key (LSH recall
-    // is spec-gated, and AnnSpec proves staged == live exactly)
+    // equals the live LSH over the union (AnnSpec proves staged ==
+    // live exactly), so the key hash-checks against the same LSH
+    // replay oracle as q_ann_lsh
     "q_ann_index_incremental" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = sys.props("java.io.tmpdir") + "/graft_annidx_inc_" + dirTag(dir)
@@ -1666,6 +1667,10 @@ object SparkEntry {
     // sequentially — a flip would need |sum| within FP-error of zero
     // (~1e-15 relative; checked green at sf0.01 and sf0.1).
     "q_ann_lsh" -> lshTopKOracleSql("TRUE", 0L),
+    // build (4/5) + incremental ingest (1/5) = the FULL corpus, and
+    // AnnSpec proves staged == live — so the staged search replays as
+    // the live LSH over all embeddings (promoted from rows-only)
+    "q_ann_index_incremental" -> lshTopKOracleSql("TRUE", 0L),
     // the SAME LSH replay restricted to the version-00000 vectors:
     // time travel = searching the retained delta subset, and the
     // md5-derived hyperplanes make every snapshot oracle-replayable

@@ -718,12 +718,21 @@ object Streams {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     val (lo, hi) = events.agg(min("ts"), max("ts")).as[(Long, Long)].collect()(0)
     val width = (hi - lo) / nBatches + 1
+    // the file source orders batches by modification time — pin each
+    // slice's part files to a distinct synthetic mtime tick instead
+    // of sleeping between writes (fixed PAST base: freshly-written
+    // files carry a current mtime far above it, which is how the
+    // not-yet-pinned ones are recognized after each append)
+    val mtimeBase = 1000000000000L
+    val root = new java.io.File(src)
     (0 until nBatches).foreach { b =>
       events.filter(col("ts") >= lo + b * width && col("ts") < lo + (b + 1) * width)
         .coalesce(1).write.mode(if (b == 0) "overwrite" else "append").parquet(src)
-      // the file source orders batches by modification time — keep
-      // the time-ranged slices in distinct mtime ticks
-      if (b < nBatches - 1) Thread.sleep(1100)
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+        if (f.lastModified() > mtimeBase + nBatches * 60000L) {
+          f.setLastModified(mtimeBase + b * 60000L); ()
+        }
+      }
     }
     val s = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
