@@ -175,6 +175,33 @@ object Probe {
       // the value collapse must absorb the 400x pair blowup
       time("semantic_clusters")(graft.operators.Clustering.semanticClusters(e).count())
       time("semantic_drop")(graft.operators.Clustering.semanticDrop(e).count())
+      // round-9 operators under the same 20x dup-skew corpus
+      time("dedup_containment")(graft.operators.Dedup.containmentPairs(d).count())
+      time("chunk_dups")(graft.operators.Dedup.chunkDups(d).count())
+      time("bpe_pairs")(graft.operators.Bpe.pairCounts(d).count())
+      time("bpe_encode")(graft.operators.Bpe.encodeCorpus(d).count())
+      time("doc_perplexity")(graft.operators.TextAnalysis.docPerplexity(d).count())
+      time("importance_weights")(graft.operators.TextAnalysis.importanceWeights(d).count())
+      time("temperature_mix")(graft.operators.TextAnalysis.temperatureMix(d).count())
+      time("stratified_sample")(graft.operators.TextAnalysis.stratifiedSample(d).count())
+      time("crossval_folds")(graft.operators.TextAnalysis.crossvalFolds(d).count())
+      time("html_strip")(graft.operators.TextAnalysis.stripMarkup(d).count())
+      time("array_stats")(graft.operators.TextAnalysis.tokenLengthStats(d).count())
+      time("string_agg")(graft.operators.Relational.docListBySource(d).count())
+      time("ann_range")(graft.operators.Ann.rangeSearch(e).count())
+      // events replicated 20x on (event_id, user_id) with the SAME 100
+      // items — every item becomes 20x hotter, the bipartite-CC and
+      // transition shapes' worst skew
+      val ev = replicate(graft.sources.Tables.events(spark, dir),
+        Seq("event_id", "user_id"), 20, 10000000L)
+      ev.write.mode("overwrite").parquet("/tmp/scale/events.parquet")
+      val evr = spark.read.parquet("/tmp/scale/events.parquet")
+      time("graph_cc")(graft.operators.Graph.userCommunities(evr).count())
+      time("event_transitions")(graft.operators.Relational.eventTransitions(evr).count())
+      time("range_frame")(graft.operators.Relational.slidingHourStats(evr).count())
+      time("active_intervals")(graft.operators.Relational.activeIntervals(evr).count())
+      time("first_touch")(graft.operators.Relational.firstTouch(evr).count())
+      time("cdc_apply")(graft.operators.Relational.cdcApply(evr).count())
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)

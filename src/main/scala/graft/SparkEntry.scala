@@ -544,6 +544,11 @@ object SparkEntry {
     // event across batch boundaries — same rows as q_event_transitions
     "q_stream_transitions" -> ((s, dir) =>
       graft.streaming.Streams.transitionsStream(s, dir)),
+    // robust location: discrete-percentile clip over a histogram CDF
+    // (value-cardinality windows — no per-type full-row sort)
+    "q_winsorized" -> ((s, dir) => Relational.winsorizedMean(Tables.events(s, dir))),
+    // vocabulary coverage curve: one corpus pass, TakeOrdered per k
+    "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -2791,10 +2796,13 @@ object SparkEntry {
         |       list_max(list_transform(toks, t -> length(t)))::BIGINT AS max_len
         |FROM t WHERE len(toks) > 0""".stripMargin,
     // banded candidates + shingle intersection from the shared minhash
-    // CTE; containment divides by EACH side's set size (unrounded
-    // compare, rounded output — same discipline as q_dedup_verified)
+    // CTE over the CANONICAL relation (exact-collapse-first: one rep
+    // per distinct text); containment divides by EACH side's set size
+    // (unrounded compare, rounded output — q_dedup_verified's rule)
     "q_dedup_containment" ->
-      s"""WITH $minhashCandCte
+      s"""WITH canonr AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |cdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN canonr USING (doc_id)),
+         |${minhashCandCteFor("cdocs")}
          |SELECT i.doc_a, i.doc_b,
          |       round(i.inter::DOUBLE / na.n_sh, 4) AS cont_a,
          |       round(i.inter::DOUBLE / nb.n_sh, 4) AS cont_b
@@ -2867,6 +2875,46 @@ object SparkEntry {
         |cl AS (SELECT node, min(reach)::BIGINT AS community_id FROM r GROUP BY node)
         |SELECT (node // 2)::BIGINT AS user_id, community_id
         |FROM cl WHERE node % 2 = 0""".stripMargin,
+    // nearest-rank percentiles found on the histogram CDF with pure
+    // integer positions ((q·n) ceil'd in integer arithmetic); the
+    // clip and sum are exact longs, one final division
+    "q_winsorized" ->
+      """WITH e AS (SELECT event_type, floor(value * 1000000.0)::BIGINT AS v FROM events),
+        |h AS (SELECT event_type, v, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+        |cu AS (SELECT event_type, v, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |       FROM h),
+        |lo AS (SELECT event_type AS et, min(v) AS lo FROM cu
+        |       WHERE cum - c < (5 * n + 99) // 100 AND (5 * n + 99) // 100 <= cum
+        |       GROUP BY 1),
+        |hi AS (SELECT event_type AS et, min(v) AS hi FROM cu
+        |       WHERE cum - c < (95 * n + 99) // 100 AND (95 * n + 99) // 100 <= cum
+        |       GROUP BY 1),
+        |w AS (SELECT e.event_type, greatest(lo.lo, least(hi.hi, e.v)) AS wv
+        |      FROM e JOIN lo ON e.event_type = lo.et JOIN hi ON e.event_type = hi.et)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       round(sum(wv)::DOUBLE / count(*), 4) AS wins_mean_micros
+        |FROM w GROUP BY 1""".stripMargin,
+    // top-k vocabulary coverage at each curve point (count desc, term
+    // asc tiebreak pins the k-boundary term in both engines)
+    "q_vocab_coverage" ->
+      s"""WITH $tfCte,
+         |wc AS (SELECT term, count(*)::BIGINT AS n FROM tok2 GROUP BY term),
+         |tot AS (SELECT sum(n)::BIGINT AS total_tokens FROM wc),
+         |cov AS (
+         |  SELECT 100::BIGINT AS k, sum(n)::BIGINT AS covered
+         |  FROM (SELECT n FROM wc ORDER BY n DESC, term LIMIT 100)
+         |  UNION ALL
+         |  SELECT 1000::BIGINT, sum(n)::BIGINT
+         |  FROM (SELECT n FROM wc ORDER BY n DESC, term LIMIT 1000)
+         |  UNION ALL
+         |  SELECT 10000::BIGINT, sum(n)::BIGINT
+         |  FROM (SELECT n FROM wc ORDER BY n DESC, term LIMIT 10000))
+         |SELECT k, covered, total_tokens,
+         |       round(covered::DOUBLE / total_tokens, 6) AS coverage
+         |FROM cov, tot""".stripMargin,
     // the streaming CDC apply emits exactly the batch apply's state
     // (version-ordered max_by — arrival order is immaterial)
     "q_stream_cdc" ->

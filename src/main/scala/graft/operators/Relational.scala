@@ -886,6 +886,40 @@ object Relational {
         round(col("n").cast("double") / col("n_from"), 6).as("p"))
   }
 
+  /** (event_type, n, wins_mean_micros): winsorized mean — values
+    * clipped at the type's exact DISCRETE p05/p95 before averaging
+    * (robust location estimate; the outlier-tolerant sibling of
+    * [[valueOutliers]]). Determinism: percentiles are NEAREST-RANK
+    * (position = ceil(q·n) in pure integer arithmetic — no 0.05·n
+    * float boundary), found on a per-(type, value) HISTOGRAM with a
+    * running-count window — the window runs over distinct values per
+    * type (value cardinality, not row count), so no type ever sorts
+    * its full row set on one partition; the clip is long-vs-long and
+    * the mean divides an exact integer sum once. */
+  def winsorizedMean(events: DataFrame): DataFrame = {
+    val v = events.select(col("event_type"), micros(col("value")).as("v"))
+    val hist = v.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("event_type").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(wcum))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    // element AT integer position p of the sorted multiset is the
+    // value whose cumulative range covers p: cum - c < p <= cum
+    def at(posSql: String) = cum
+      .withColumn("p", expr(posSql))
+      .filter(col("cum") - col("c") < col("p") && col("p") <= col("cum"))
+      .groupBy(col("event_type").as("et")).agg(min("v"))
+    val bounds = at("(5 * n + 99) div 100").withColumnRenamed("min(v)", "lo")
+      .join(at("(95 * n + 99) div 100").withColumnRenamed("min(v)", "hi"), "et")
+    v.join(broadcast(bounds), col("event_type") === col("et"))
+      .select(col("event_type"), greatest(col("lo"), least(col("hi"), col("v"))).as("wv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("wv").as("s"))
+      .select(col("event_type"), col("n"),
+        round(col("s").cast("double") / col("n"), 4).as("wins_mean_micros"))
+  }
+
   /** (user_id, last_value_micros, n_ops): CDC APPLY — reduce an
     * ordered change log to final table state. The event stream is read
     * as a changelog on the user_id key: 'error' events are DELETEs,

@@ -790,4 +790,29 @@ object TextAnalysis {
         expr("aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)), 0L, (acc, x) -> acc + x)")
           .as("sum_len"),
         expr("CAST(array_max(transform(toks, t -> length(t))) AS BIGINT)").as("max_len"))
+
+  /** (k, covered, total_tokens, coverage): vocabulary coverage curve —
+    * what fraction of corpus TOKEN OCCURRENCES the top-k most frequent
+    * kept terms cover, at k ∈ {100, 1000, 10000}. The tokenizer-sizing
+    * and OOV-budget signal (how big must a vocab be before coverage
+    * plateaus). One corpus aggregation builds the term-count relation;
+    * each k is then a distributed TakeOrdered (orderBy().limit() —
+    * never a global rank window) over the vocabulary-sized counts plus
+    * a one-row sum, so the corpus is scanned once however many k
+    * points the curve has. Deterministic tiebreak (count desc, term
+    * asc) pins which boundary term is inside k in both engines. */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    val counts = graft.operators.Bm25.tokenize(docs)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused by every k point and the total
+    val total = counts.agg(sum("n").as("total_tokens"))
+    ks.map { k =>
+      counts.orderBy(col("n").desc, col("term").asc).limit(k)
+        .agg(sum("n").as("covered"))
+        .select(lit(k.toLong).as("k"), col("covered"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("total_tokens"),
+        round(col("covered").cast("double") / col("total_tokens"), 6).as("coverage"))
+  }
 }

@@ -120,7 +120,7 @@ class Round9bSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("containment: an exact copy scores 1.0 both ways; a contained doc scores ~1 one way") {
+  test("containment: copies collapse to one canonical; a contained doc scores ~1 one way") {
     import spark.implicits._
     val base = docs.filter(length(col("text")) > 200).limit(1)
       .select("doc_id", "text").as[(Long, String)].collect().head
@@ -129,10 +129,12 @@ class Round9bSpec extends AnyFunSuite {
     val corpus = Seq((1L, base._2), (2L, base._2), (3L, sub)).toDF("doc_id", "text")
     val pairs = Dedup.containmentPairs(corpus, threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
-    assert(pairs((1L, 2L)) == ((1.0, 1.0)))
+    // exact-collapse-first: the (1, 2) copy pair is exact-dedup's job
+    // and never reaches banding; doc 2 (non-canonical) appears in NO pair
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
     // the 80%-prefix doc is (near-)contained in its source: its own
     // direction reads ~1 even though Jaccard would read ~0.8
-    val c = pairs.get((1L, 3L)).orElse(pairs.get((2L, 3L)))
+    val c = pairs.get((1L, 3L))
     assert(c.isDefined && c.get._2 >= 0.95)
   }
 
@@ -242,6 +244,40 @@ class Round9bSpec extends AnyFunSuite {
     // each community's label is <= every member's encoded id
     comm.foreach { case (u, c) => assert(c <= u * 2) }
     assert(comm.keySet == byItem.map(_._1).toSet)
+  }
+
+  test("winsorized mean: clip bounds are real order statistics and the mean replays") {
+    val got = Relational.winsorizedMean(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val byType = events.select(col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    got.foreach { case (t, (n, mean)) =>
+      val vs = byType(t).map(_._2).sorted
+      assert(n == vs.length)
+      val lo = vs((5 * vs.length + 99) / 100 - 1)
+      val hi = vs((95 * vs.length + 99) / 100 - 1)
+      val clipped = vs.map(v => math.max(lo, math.min(hi, v)))
+      val want = BigDecimal(clipped.map(BigDecimal(_)).sum.toDouble / vs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - want) < 1e-9, s"$t: $mean vs $want")
+      // a winsorized mean is bounded by the clip points
+      assert(mean >= lo && mean <= hi)
+    }
+    assert(got.keySet == byType.keySet)
+  }
+
+  test("vocab coverage: monotone in k, bounded by 1, and exact at vocab size") {
+    val rows = TextAnalysis.vocabCoverage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val total = rows.head._3
+    assert(rows.forall(_._3 == total))
+    assert(rows.map(_._2).toVector == rows.map(_._2).toVector.sorted) // covered grows with k
+    rows.foreach { case (_, cov, tot, c) =>
+      assert(cov <= tot && c <= 1.0 && c > 0.0)
+    }
+    val vocabSize = graft.operators.Bm25.tokenize(docs).select("term").distinct().count()
+    rows.filter(_._1 >= vocabSize).foreach { case (_, cov, tot, _) => assert(cov == tot) }
   }
 
   test("stream transitions: cross-batch state reproduces the batch transition matrix") {
