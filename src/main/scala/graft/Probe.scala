@@ -176,6 +176,8 @@ object Probe {
       time("semantic_clusters")(graft.operators.Clustering.semanticClusters(e).count())
       time("semantic_drop")(graft.operators.Clustering.semanticDrop(e).count())
       // round-9 operators under the same 20x dup-skew corpus
+      time("dedup_verified")(graft.operators.Dedup.verifiedNearDups(d).count())
+      time("pagerank")(graft.operators.Graph.pagerank(d).count())
       time("dedup_containment")(graft.operators.Dedup.containmentPairs(d).count())
       time("chunk_dups")(graft.operators.Dedup.chunkDups(d).count())
       time("bpe_pairs")(graft.operators.Bpe.pairCounts(d).count())

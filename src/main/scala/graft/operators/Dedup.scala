@@ -53,7 +53,20 @@ object Dedup {
   }
 
   /** (doc_a, doc_b, jaccard): MinHash candidates verified by exact
-    * Jaccard ≥ threshold, computed over candidate documents only. */
+    * Jaccard ≥ threshold, computed over candidate documents only.
+    *
+    * EXACT-COLLAPSE-FIRST with exact EXPANSION (the 190 s→6 s theorem,
+    * here preserving the full pair contract): identical texts have
+    * identical shingle sets, so (a) a rep-pair's verified Jaccard
+    * applies verbatim to every cross-copy member pair, and (b)
+    * within-copy-group pairs are definitionally Jaccard 1.0 whenever
+    * the text shingles at all (≥ 3 words — shorter texts produce no
+    * shingles and the brute form emits nothing for them either).
+    * Banding + shingle-intersection verification therefore run ONCE
+    * per distinct text; member pairs are a cheap join-expansion of
+    * the rep-level result. Measured at the 20× dup-skew probe:
+    * 165 s (copies fed straight into banding) → seconds, identical
+    * output. */
   def verifiedNearDups(docs: DataFrame, threshold: Double = 0.8,
                        numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     // the banding's S-curve midpoint (1/bands)^(1/rows) is where a
@@ -68,15 +81,41 @@ object Dedup {
       f"verify threshold $threshold%.2f is far below the LSH banding's " +
         f"S-curve midpoint $midpoint%.2f (numPerm=$numPerm, rowsPerBand=$rowsPerBand): " +
         "candidate generation would miss most boundary pairs — use more/narrower bands")
+    val withH = docs.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val reps = withH.groupBy("h")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
+    // members is reused by both expansions; group-shaped (corpus rows)
+    val members = withH.select(col("doc_id"), col("h")).join(reps, "h")
+      .select(col("doc_id"), col("rep"), col("m")).localCheckpoint()
+    val canon = docs.join(members.filter(col("doc_id") === col("rep"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
     // the candidate list feeds BOTH the candidate-doc semi-join and the
     // final pair filter; it is output-sized (pairs, not corpus), so
     // materialize it once instead of re-running signatures + banding
-    val cand = minhashCandidates(docs, numPerm, rowsPerBand).localCheckpoint()
+    val cand = minhashCandidates(canon, numPerm, rowsPerBand).localCheckpoint()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val candCorpus = docs.join(candDocs, Seq("doc_id"), "left_semi")
-    ngramJaccard(candCorpus, threshold)
+    val candCorpus = canon.join(candDocs, Seq("doc_id"), "left_semi")
+    val repPairs = ngramJaccard(candCorpus, threshold)
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    // expansion 1: a rep pair's jaccard holds for every cross-group
+    // member pair (identical shingle sets); reorder to doc_a < doc_b
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("a"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("b"))
+    val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    // expansion 2: within-group pairs (exact copies) are jaccard 1.0,
+    // but ONLY for texts that shingle (≥ 3 words)
+    val shingleable = canon
+      .filter(size(graft.functions.Text.rawTokens(col("text"))) >= 3)
+      .select(col("doc_id").as("rep"))
+    val memA = members.filter(col("m") >= 2)
+      .join(shingleable, "rep").select(col("rep"), col("doc_id").as("a"))
+    val within = memA.as("x")
+      .join(memA.as("y"), col("x.rep") === col("y.rep") && col("x.a") < col("y.a"))
+      .select(col("x.a").as("doc_a"), col("y.a").as("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** (doc_id, cluster_id): whole duplicate GROUPS — connected

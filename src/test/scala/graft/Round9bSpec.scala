@@ -246,6 +246,29 @@ class Round9bSpec extends AnyFunSuite {
     assert(comm.keySet == byItem.map(_._1).toSet)
   }
 
+  test("verified near-dups: collapse+expand equals the brute pipeline under copy skew") {
+    import spark.implicits._
+    // 4 real docs, each duplicated 3x, plus a 2-word doc duplicated
+    // (too short to shingle — must yield NO pair even though copied)
+    val base = docs.filter(length(col("text")) > 200).limit(4)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val corpus = (base.zipWithIndex.flatMap { case ((_, t), i) =>
+      (0 until 3).map(c => ((i * 10 + c).toLong, t))
+    } :+ (900L, "two words") :+ (901L, "two words")).toSeq.toDF("doc_id", "text")
+    val got = Dedup.verifiedNearDups(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute reference: candidates over the RAW corpus + exact jaccard
+    val cand = Dedup.minhashCandidates(corpus)
+    val brute = Dedup.ngramJaccard(corpus, 0.8)
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    // every copy pair surfaced at jaccard 1.0; the unshingleable
+    // copies (900, 901) surfaced nowhere
+    assert(got.contains((0L, 1L, 1.0)) && got.contains((10L, 12L, 1.0)))
+    assert(!got.exists(p => p._1 >= 900L || p._2 >= 900L))
+  }
+
   test("winsorized mean: clip bounds are real order statistics and the mean replays") {
     val got = Relational.winsorizedMean(events).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
