@@ -513,6 +513,9 @@ object SparkEntry {
     "q_html_strip" -> ((s, dir) => TextAnalysis.stripMarkup(Tables.documents(s, dir))),
     "q_array_stats" -> ((s, dir) => TextAnalysis.tokenLengthStats(Tables.documents(s, dir))),
     "q_dedup_containment" -> ((s, dir) => Dedup.containmentPairs(Tables.documents(s, dir))),
+    // the KEEP decision over containment: contained sub-documents
+    // (quotes/excerpts) drop, the longest source stays
+    "q_dedup_contained_drop" -> ((s, dir) => Dedup.dropContained(Tables.documents(s, dir))),
     "q_ann_range" -> ((s, dir) => Ann.rangeSearch(Tables.embeddings(s, dir))),
     // streaming CDC apply — incremental max_by state, same rows as
     // q_cdc_apply (shared oracle: arrival order cannot change winners)
@@ -2811,6 +2814,20 @@ object SparkEntry {
          |JOIN csizes nb ON i.doc_b = nb.doc_id
          |WHERE i.inter::DOUBLE / na.n_sh >= 0.5
          |   OR i.inter::DOUBLE / nb.n_sh >= 0.5""".stripMargin,
+    // the contained (smaller-set; tie → higher id) side drops at
+    // containment ≥ 0.9; output = canonical keep set
+    "q_dedup_contained_drop" ->
+      s"""WITH canonr AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |cdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN canonr USING (doc_id)),
+         |${minhashCandCteFor("cdocs")},
+         |losers AS (SELECT DISTINCT
+         |             CASE WHEN na.n_sh < nb.n_sh THEN i.doc_a ELSE i.doc_b END AS doc_id
+         |           FROM cinter i
+         |           JOIN csizes na ON i.doc_a = na.doc_id
+         |           JOIN csizes nb ON i.doc_b = nb.doc_id
+         |           WHERE i.inter::DOUBLE / least(na.n_sh, nb.n_sh) >= 0.9)
+         |SELECT doc_id FROM canonr
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     // exact range search: same scoring contract as q_ann_bruteforce,
     // threshold filter on the ROUNDED cosine (the published score)
     "q_ann_range" ->

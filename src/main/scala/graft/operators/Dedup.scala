@@ -387,29 +387,64 @@ object Dedup {
     * therefore runs on ONE canonical doc per distinct text (min
     * doc_id); compose with [[exact]] to recover copy membership. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.5,
-                       numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val reps = docs.withColumn("h", md5(col("text")))
-      .groupBy("h").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val canon = docs.join(reps, Seq("doc_id"), "left_semi")
-    val cand = minhashCandidates(canon, numPerm, rowsPerBand).localCheckpoint()
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingles(canon.join(candDocs, Seq("doc_id"), "left_semi"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    inter
-      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+                       numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    containmentStats(docs, numPerm, rowsPerBand)
       .withColumn("ca", col("inter").cast("double") / col("na"))
       .withColumn("cb", col("inter").cast("double") / col("nb"))
       .filter(col("ca") >= threshold || col("cb") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("ca"), 4).as("cont_a"), round(col("cb"), 4).as("cont_b"))
+
+  /** One canonical doc per distinct text — the exact-collapse step
+    * every pairwise stage runs first. */
+  private def canonicalDocs(docs: DataFrame): DataFrame = {
+    val reps = docs.withColumn("h", md5(col("text")))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(reps, Seq("doc_id"), "left_semi")
+  }
+
+  /** (doc_a, doc_b, inter, na, nb): the shared containment substrate —
+    * LSH candidates over the CANONICAL corpus, shingle-set
+    * intersection sizes joined with both sides' set sizes (exact
+    * integers; the consumers derive their ratios from these). */
+  private def containmentStats(docs: DataFrame,
+                               numPerm: Int, rowsPerBand: Int): DataFrame = {
+    val canon = canonicalDocs(docs)
+    val cand = minhashCandidates(canon, numPerm, rowsPerBand).localCheckpoint()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(canon.join(candDocs, Seq("doc_id"), "left_semi"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+  }
+
+  /** (doc_id): the corpus cleaned of CONTAINED sub-documents — the
+    * KEEP decision over [[containmentPairs]], the way [[dropDuplicates]]
+    * is the decision over near-dup pairs: for every candidate pair,
+    * the more-contained side is the one with the SMALLER shingle set
+    * (containment inter/n is larger there; equal sizes keep the lower
+    * doc_id), and it drops when its containment clears `threshold` —
+    * quotes, excerpts and boilerplate-wrapped copies leave the corpus
+    * while the longest source stays. Output is the CANONICAL kept
+    * set (exact copies collapse first, like every pairwise stage);
+    * the decision arithmetic is one exact-integer division per pair
+    * compared against the literal threshold — engine-identical. */
+  def dropContained(docs: DataFrame, threshold: Double = 0.9,
+                    numPerm: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val losers = containmentStats(docs, numPerm, rowsPerBand)
+      .filter(col("inter").cast("double") / least(col("na"), col("nb")) >= threshold)
+      .select(when(col("na") < col("nb"), col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    canonicalDocs(docs).join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id")
   }
 
   /** (doc_a, doc_b, jaccard): exact n-gram Jaccard near-dup pairs via

@@ -269,6 +269,25 @@ class Round9bSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 >= 900L || p._2 >= 900L))
   }
 
+  test("drop contained: the excerpt drops, the source and unrelated docs stay") {
+    import spark.implicits._
+    val base = docs.filter(length(col("text")) > 300).limit(2)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val words = base(0)._2.split(" ")
+    val excerpt = words.take(math.max(3, (words.length * 0.85).toInt)).mkString(" ")
+    val corpus = Seq(
+      (1L, base(0)._2), (2L, excerpt), (3L, base(1)._2),
+      (4L, base(0)._2) // exact copy of 1 — collapses, never a loser
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(corpus, threshold = 0.8).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // excerpt dropped, source + unrelated kept
+    // on the real corpus the kept set is a subset of the canonical set
+    val full = Dedup.dropContained(docs).collect().map(_.getLong(0)).toSet
+    val nCanon = docs.select(md5(col("text"))).distinct().count()
+    assert(full.size <= nCanon && full.nonEmpty)
+  }
+
   test("winsorized mean: clip bounds are real order statistics and the mean replays") {
     val got = Relational.winsorizedMean(events).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
