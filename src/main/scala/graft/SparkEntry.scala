@@ -552,6 +552,24 @@ object SparkEntry {
     "q_winsorized" -> ((s, dir) => Relational.winsorizedMean(Tables.events(s, dir))),
     // vocabulary coverage curve: one corpus pass, TakeOrdered per k
     "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    // RFM segmentation: broadcast quartile boundaries, never a global
+    // ntile window
+    "q_rfm" -> ((s, dir) => Relational.rfmSegments(Tables.orders(s, dir))),
+    // year-over-year growth: lag window over the (nation, year)-sized
+    // aggregate, not the fact table
+    "q_yoy" -> ((s, dir) => Relational.yoyGrowth(s, dir)),
+    "q_order_gaps" -> ((s, dir) => Relational.orderGaps(Tables.orders(s, dir))),
+    // relative per-source quality gate (top 20% by diversity)
+    "q_quality_percentile" -> ((s, dir) =>
+      TextAnalysis.qualityPercentile(Tables.documents(s, dir))),
+    // exact-dedup corpus-health rollup incl. cross-source canonical
+    // ownership
+    "q_dup_rate_by_source" -> ((s, dir) => Dedup.dupRateBySource(Tables.documents(s, dir))),
+    // blob-side exact dedup: digests shuffle, payloads never move
+    "q_multimodal_dedup" -> ((s, dir) => Multimodal.dedupBlobs(Tables.documents(s, dir))),
+    // streaming per-source quality dashboard (Complete-mode keyed agg)
+    "q_stream_quality" -> ((s, dir) =>
+      graft.streaming.Streams.streamQualityBySource(s, dir)),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -2944,5 +2962,95 @@ object SparkEntry {
         |SELECT user_id, floor(value * 1000000.0)::BIGINT AS last_value_micros,
         |       n_ops::BIGINT AS n_ops
         |FROM ops WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+    // RFM quartile boundaries as interpolated percentiles over exact
+    // integers; a score counts strictly-beaten boundaries (ties land
+    // low in both engines)
+    "q_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, max(epoch_ms(o_orderdate) // 86400000) AS last_day,
+        |         count(*)::BIGINT AS freq,
+        |         sum(floor(o_totalprice * 1000000.0)::BIGINT)::BIGINT AS mon_micros
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT quantile_cont(last_day, [0.25, 0.5, 0.75]) AS rq,
+        |             quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+        |             quantile_cont(mon_micros, [0.25, 0.5, 0.75]) AS mq FROM pc),
+        |s AS (SELECT
+        |        (1 + (last_day > rq[1])::INT + (last_day > rq[2])::INT
+        |           + (last_day > rq[3])::INT)::BIGINT AS r_score,
+        |        (1 + (freq > fq[1])::INT + (freq > fq[2])::INT
+        |           + (freq > fq[3])::INT)::BIGINT AS f_score,
+        |        (1 + (mon_micros > mq[1])::INT + (mon_micros > mq[2])::INT
+        |           + (mon_micros > mq[3])::INT)::BIGINT AS m_score,
+        |        mon_micros
+        |      FROM pc CROSS JOIN b)
+        |SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_customers,
+        |       sum(mon_micros)::BIGINT AS sum_monetary_micros
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // growth only vs the DIRECTLY preceding calendar year (gap years
+    // break the chain)
+    "q_yoy" ->
+      """WITH by_year AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         sum(floor(o_totalprice * 1000000.0)::BIGINT)::BIGINT AS rev_micros
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |l AS (SELECT n_name, o_year, rev_micros,
+        |        lag(rev_micros) OVER w AS prev_micros,
+        |        lag(o_year) OVER w AS prev_year
+        |      FROM by_year WINDOW w AS (PARTITION BY n_name ORDER BY o_year))
+        |SELECT n_name, o_year, rev_micros, prev_micros,
+        |       (rev_micros - prev_micros)::BIGINT AS delta_micros
+        |FROM l WHERE prev_year = o_year - 1""".stripMargin,
+    "q_order_gaps" ->
+      """WITH d AS (SELECT o_custkey, o_orderkey,
+        |             epoch_ms(o_orderdate) // 86400000 AS day FROM orders),
+        |g AS (SELECT o_custkey,
+        |        day - lag(day) OVER (PARTITION BY o_custkey
+        |                             ORDER BY day, o_orderkey) AS gap
+        |      FROM d)
+        |SELECT o_custkey, count(*)::BIGINT AS n_orders, count(gap)::BIGINT AS n_gaps,
+        |       min(gap)::BIGINT AS min_gap_days, max(gap)::BIGINT AS max_gap_days,
+        |       sum(gap)::BIGINT AS sum_gap_days
+        |FROM g GROUP BY 1 HAVING count(gap) >= 1""".stripMargin,
+    // exact-integer rank signal; round-then-compare replayed verbatim
+    "q_quality_percentile" ->
+      """WITH t AS (SELECT source, doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT source, doc_id,
+        |        (len(list_distinct(toks))::BIGINT * 1000000) // len(toks) AS dr_micros
+        |      FROM t WHERE len(toks) > 0),
+        |r AS (SELECT source, doc_id, dr_micros,
+        |        round(percent_rank() OVER (PARTITION BY source
+        |          ORDER BY dr_micros DESC, doc_id), 6) AS pr
+        |      FROM c)
+        |SELECT source, doc_id, dr_micros, pr FROM r WHERE pr <= 0.2""".stripMargin,
+    "q_dup_rate_by_source" ->
+      """WITH hh AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+        |canon AS (SELECT h, min(doc_id) AS keep_id FROM hh GROUP BY h)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT x.h)::BIGINT AS n_distinct_texts,
+        |       (count(*) - count(DISTINCT x.h))::BIGINT AS n_copies,
+        |       sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)::BIGINT AS n_canonical
+        |FROM hh x JOIN canon USING (h) GROUP BY source""".stripMargin,
+    // payload = utf8(text), so the blob digest replays as md5(text)
+    // and byte length as octet_length of the encoded text
+    "q_multimodal_dedup" ->
+      """SELECT md5(text) AS payload_md5, min(doc_id)::BIGINT AS keep_doc_id,
+        |       count(*)::BIGINT AS n_copies,
+        |       sum(octet_length(encode(text)))::BIGINT AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
+    // the drained stream equals the batch rollup: shared oracle with
+    // q_quality_by_source
+    "q_stream_quality" ->
+      """WITH t AS (SELECT source, string_split(lower(text), ' ') AS toks FROM documents),
+        |c AS (SELECT source, len(toks)::BIGINT AS n_tokens,
+        |             len(list_distinct(toks))::BIGINT AS n_distinct FROM t)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       round(avg(n_tokens), 6) AS avg_tokens,
+        |       sum(CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
+        |                     AND n_distinct::DOUBLE / n_tokens >= 0.2
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_ok
+        |FROM c GROUP BY source""".stripMargin,
   )
 }

@@ -676,4 +676,27 @@ object Dedup {
       .withColumn("dup_ratio",
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
   }
+
+  /** (source, n_docs, n_distinct_texts, n_copies, n_canonical): the
+    * corpus-health ROLLUP of exact dedup — per ingestion source, how
+    * many documents arrive, how many distinct texts they carry, how
+    * many are redundant copies, and how many of the GLOBAL canonical
+    * representatives (min doc_id per text, [[exact]]'s keep rule) this
+    * source owns. n_canonical > n_distinct_texts is impossible;
+    * n_canonical < n_distinct_texts means other sources shipped the
+    * same text earlier — the cross-source contamination signal a
+    * mixture designer reads before weighting sources. All-integer
+    * output. Scale shape: two hash aggregations and one join, all
+    * keyed on the uniform md5 — no skew, no global ordering. */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    val withH = docs.select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+    val canon = withH.groupBy("h").agg(min("doc_id").as("keep_id"))
+    withH.join(canon, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("n_canonical"))
+      .select(col("source"), col("n_docs"), col("n_distinct_texts"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_copies"), col("n_canonical"))
+  }
 }

@@ -110,4 +110,20 @@ object Multimodal {
       }
     }.toDF("doc_id", "histogram")
   }
+
+  /** (payload_md5, keep_doc_id, n_copies, total_bytes): exact media
+    * dedup — the blob-side analogue of [[Dedup.exact]]: byte-identical
+    * payloads collapse under their content hash (min doc_id keeps),
+    * with the redundant-byte accounting (total_bytes per group) that
+    * drives storage reclamation in an image/video corpus. Hashing
+    * happens NEXT TO the payload (map stage); only the 16-byte digest
+    * + two integers shuffle — the payloads themselves never move,
+    * which is the entire point at 100 TB of media. */
+  def dedupBlobs(docs: DataFrame): DataFrame =
+    asBlobs(docs)
+      .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("payload_md5")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        sum("n_bytes").as("total_bytes"))
 }

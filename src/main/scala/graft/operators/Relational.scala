@@ -946,4 +946,92 @@ object Relational {
         floor(col("value") * 1000000.0).cast("long").as("last_value_micros"),
         col("n_ops").cast("long").as("n_ops"))
   }
+
+  /** (r_score, f_score, m_score, n_customers, sum_monetary_micros):
+    * RFM customer segmentation — recency (last order day), frequency
+    * (order count) and monetary (lifetime spend micros) per customer,
+    * each scored 1-4 by quartile. The quartile boundaries are ONE
+    * tiny 9-double scalar aggregate broadcast back over the customer
+    * relation — the textbook `ntile(4)` formulation is a
+    * partition-less global window (the whole customer relation sorted
+    * on one partition, the anti-pattern this engine bans); comparing
+    * against broadcast boundary literals gives the same quartile
+    * semantics as a pure map stage. A score counts the boundaries the
+    * customer strictly beats, so ties at a boundary land LOW
+    * deterministically in both engines. Inputs to the percentiles are
+    * exact integers (epoch days / counts / micros), so the
+    * interpolated boundaries and the compares replay bit-identically
+    * in the DuckDB oracle. Scale shape: one shuffle on o_custkey,
+    * one scalar agg, one map, one 64-key agg. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy("o_custkey").agg(
+      max(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")).as("last_day"),
+      count(lit(1)).as("freq"),
+      sum(micros(col("o_totalprice"))).as("mon_micros"))
+    val bounds = perCust.agg(
+      expr("percentile(last_day, array(0.25D, 0.5D, 0.75D))").as("rq"),
+      expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").as("fq"),
+      expr("percentile(mon_micros, array(0.25D, 0.5D, 0.75D))").as("mq"))
+    def score(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      (lit(1) + when(v > q.getItem(0), 1).otherwise(0)
+        + when(v > q.getItem(1), 1).otherwise(0)
+        + when(v > q.getItem(2), 1).otherwise(0)).cast("long")
+    perCust.crossJoin(broadcast(bounds))
+      .select(score(col("last_day"), col("rq")).as("r_score"),
+        score(col("freq"), col("fq")).as("f_score"),
+        score(col("mon_micros"), col("mq")).as("m_score"),
+        col("mon_micros"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("mon_micros").as("sum_monetary_micros"))
+  }
+
+  /** (n_name, o_year, rev_micros, prev_micros, delta_micros):
+    * year-over-year revenue growth per customer nation — the time-
+    * intelligence complement of the Q7/Q8 share queries. Revenue
+    * aggregates once on (nation, year); the lag window then runs over
+    * the TINY aggregated relation partitioned by nation (bounded by
+    * |nations|×|years|, never corpus-sized). Only years with a
+    * predecessor appear. nation broadcasts; customer joins by AQE
+    * size estimate. */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val byYear = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(micros(col("o_totalprice"))).as("rev_micros"))
+    val w = Window.partitionBy("n_name").orderBy(col("o_year").asc)
+    byYear
+      .withColumn("prev_micros", lag(col("rev_micros"), 1).over(w))
+      .withColumn("prev_year", lag(col("o_year"), 1).over(w))
+      // a gap year breaks the chain: growth is only vs the DIRECTLY
+      // preceding calendar year
+      .filter(col("prev_year") === col("o_year") - 1)
+      .select(col("n_name"), col("o_year"), col("rev_micros"),
+        col("prev_micros"), (col("rev_micros") - col("prev_micros")).as("delta_micros"))
+  }
+
+  /** (o_custkey, n_orders, n_gaps, min_gap_days, max_gap_days,
+    * sum_gap_days): inter-order cadence per repeat customer — the
+    * purchase-rhythm profile behind churn/idle detection (the
+    * continuous complement of Q22's cutoff rule). One shuffle on
+    * o_custkey; the lag window is per-customer (bounded partitions);
+    * all outputs are exact integer day arithmetic. */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("day").asc, col("o_orderkey").asc)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("gap")).as("n_gaps"),
+        min(col("gap")).as("min_gap_days"),
+        max(col("gap")).as("max_gap_days"),
+        sum(col("gap")).as("sum_gap_days"))
+      .filter(col("n_gaps") >= 1)
+  }
 }

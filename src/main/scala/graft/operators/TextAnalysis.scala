@@ -815,4 +815,29 @@ object TextAnalysis {
       .select(col("k"), col("covered"), col("total_tokens"),
         round(col("covered").cast("double") / col("total_tokens"), 6).as("coverage"))
   }
+
+  /** (source, doc_id, dr_micros, pr): RELATIVE quality gate — keep the
+    * top `keep` fraction of each source's documents by vocabulary
+    * diversity (distinct-token ratio), the per-source analogue of the
+    * ABSOLUTE Gopher rules ([[gopherRules]] drops by fixed thresholds;
+    * a mixture designer instead asks for "the best 20 % of every
+    * source"). The rank signal is the exact integer
+    * floor(n_distinct·10⁶ / n_tokens) so ordering and the DuckDB
+    * replay never touch float division; percent_rank runs PARTITIONED
+    * by source (bounded partitions — never the global-window
+    * anti-pattern) with a (signal desc, doc_id asc) tiebreak pinning
+    * boundary docs identically in both engines. Scale shape: one map,
+    * one shuffle on source; skewed mega-sources would salt the window
+    * by pre-bucketed rank the way [[shuffle_order]]'s shards do. */
+  def qualityPercentile(docs: DataFrame, keep: Double = 0.2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("dr_micros").desc, col("doc_id").asc)
+    docs
+      .withColumn("toks", graft.functions.Text.rawTokens(col("text")))
+      .filter(size(col("toks")) > 0) // exact-integer rank signal needs a divisor
+      .select(col("source"), col("doc_id"),
+        expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000L) div size(toks)").as("dr_micros"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .filter(col("pr") <= keep)
+  }
 }

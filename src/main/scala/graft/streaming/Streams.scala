@@ -173,6 +173,30 @@ object Streams {
     drainToMemory(spark, distinctHashes, OutputMode.Append())
   }
 
+  /** (source, n_docs, avg_tokens, n_ok): the streaming form of the
+    * corpus-triage rollup ([[graft.operators.TextAnalysis
+    * .qualityBySource]]) — per-document quality metrics are a pure map
+    * over the arriving stream; the per-source running aggregate is
+    * keyed state (bounded by |sources|) emitted in Complete mode. The
+    * ingest-side quality dashboard: the same plan on an unbounded
+    * source keeps per-source counts current batch over batch, and the
+    * drained result equals the batch rollup (shared oracle). */
+  def streamQualityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema).parquet(s"$dir/documents.parque[t]")
+    val agg = docs
+      .withColumn("toks", graft.functions.Text.rawTokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        sum(when(col("n_tokens") >= 10 && col("n_tokens") <= 10000 &&
+          col("n_distinct").cast("double") / col("n_tokens") >= 0.2, 1L)
+          .otherwise(0L)).as("n_ok"))
+    drainToMemory(spark, agg, OutputMode.Complete())
+  }
+
   /** (user_id, purchase_event_id, click_event_id): stream-stream
     * interval join — every click of the same user in the hour BEFORE
     * (inclusive) each purchase. Both sides are watermarked streams;

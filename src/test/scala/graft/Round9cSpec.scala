@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Relational, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-9 batch 3: RFM segmentation, year-over-year growth, order
+  * cadence, relative quality gating, per-source dup-rate health,
+  * blob dedup and the streaming quality rollup. The DuckDB oracle is
+  * the exactness gate; these pin the invariants the hash can't
+  * express.
+  */
+class Round9cSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val orders = Tables.orders(spark, sf)
+
+  test("rfm: segments partition the customer base and scores stay in 1..4") {
+    val rows = Relational.rfmSegments(orders).collect()
+    val nCustomers = orders.select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCustomers)
+    rows.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getLong(i) >= 1L && r.getLong(i) <= 4L))
+    }
+    // quartile scoring: roughly a quarter of customers beat all three
+    // boundaries on monetary (exactly n/4 under distinct values)
+    val top = rows.filter(_.getLong(2) == 4L).map(_.getLong(3)).sum
+    assert(top >= nCustomers / 5 && top <= nCustomers / 3)
+  }
+
+  test("yoy: deltas replay the per-year revenue differences, chains only over adjacent years") {
+    val byYear = orders.join(Tables.customer(spark, sf),
+        orders("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("y"))
+      .agg(sum(floor(col("o_totalprice") * 1000000.0).cast("long")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = Relational.yoyGrowth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, y) = (r.getString(0), r.getLong(1))
+      assert(r.getLong(2) == byYear((n, y)))
+      assert(r.getLong(3) == byYear((n, y - 1)))
+      assert(r.getLong(4) == byYear((n, y)) - byYear((n, y - 1)))
+    }
+  }
+
+  test("order gaps: only repeat customers, gap extremes bound the mean, counts consistent") {
+    val rows = Relational.orderGaps(orders).collect()
+    rows.foreach { r =>
+      val (nOrders, nGaps) = (r.getLong(1), r.getLong(2))
+      assert(nOrders >= 2 && nGaps == nOrders - 1)
+      val (mn, mx, sm) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mn >= 0 && mn <= mx)
+      assert(sm >= mn * nGaps && sm <= mx * nGaps)
+    }
+    val repeat = orders.groupBy("o_custkey").count().filter(col("count") >= 2).count()
+    assert(rows.length.toLong == repeat)
+  }
+
+  test("quality percentile: per-source keep is ~20%, kept docs dominate dropped ones") {
+    val kept = TextAnalysis.qualityPercentile(docs).collect()
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySource = kept.groupBy(_.getString(0)).view.mapValues(_.length.toLong)
+    keptBySource.foreach { case (s, n) =>
+      // percent_rank <= 0.2 keeps floor(0.2*(n-1))+1 rows per source
+      val expected = (0.2 * (perSource(s) - 1)).toInt + 1
+      assert(n == expected, s"source $s kept $n, expected $expected")
+    }
+    // every kept doc's diversity signal >= the source's dropped max...
+    // cheaper invariant: kept min signal >= the 20th-percentile cutoff
+    // implied by its own worst member (ordering is what the oracle
+    // hash pins; here just check pr is monotone with the signal)
+    kept.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (-r.getLong(2), r.getLong(1)))
+      assert(sorted.map(_.getDouble(3)).zip(sorted.tail.map(_.getDouble(3)))
+        .forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("dup rate by source: totals reconcile and canonical ownership sums to global distinct") {
+    val rows = Dedup.dupRateBySource(docs).collect()
+    val nDocs = docs.count()
+    val nGlobalDistinct = docs.select(md5(col("text"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    assert(rows.map(_.getLong(4)).sum == nGlobalDistinct)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2)) // copies = docs - distinct
+      assert(r.getLong(4) <= r.getLong(2)) // canonical reps <= within-source distinct
+    }
+  }
+
+  test("blob dedup: groups cover the corpus, keeper is the min id, bytes reconcile") {
+    val rows = Multimodal.dedupBlobs(docs).collect()
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+    val totalBytes = docs.select(sum(length(col("text").cast("binary")))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == totalBytes)
+    // the keep rule matches exact dedup's canonical choice
+    val canon = docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == canon(r.getString(0))))
+  }
+
+  test("streaming quality rollup equals the batch rollup") {
+    val streamed = graft.streaming.Streams.streamQualityBySource(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val batch = TextAnalysis.qualityBySource(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(streamed == batch)
+  }
+}
