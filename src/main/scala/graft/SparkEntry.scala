@@ -570,6 +570,10 @@ object SparkEntry {
     // streaming per-source quality dashboard (Complete-mode keyed agg)
     "q_stream_quality" -> ((s, dir) =>
       graft.streaming.Streams.streamQualityBySource(s, dir)),
+    // contrastive hard-negative mining: near-dup cutoff before rank
+    "q_hard_negatives" -> ((s, dir) => Ann.hardNegatives(Tables.embeddings(s, dir))),
+    // MMR diverse rerank: distributed candidates, bounded greedy
+    "q_mmr" -> ((s, dir) => Ann.mmrTopK(Tables.embeddings(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -3052,5 +3056,19 @@ object SparkEntry {
         |                     AND n_distinct::DOUBLE / n_tokens >= 0.2
         |                THEN 1 ELSE 0 END)::BIGINT AS n_ok
         |FROM c GROUP BY source""".stripMargin,
+    // hard negatives: the near-dup cutoff applies to the ROUNDED
+    // cosine before ranking (boundary decisions replay verbatim)
+    "q_hard_negatives" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT vec_id AS query_id, v, nrm FROM vn WHERE vec_id IN (0, 1, 2)),
+         |sc AS (SELECT q.query_id, b.vec_id,
+         |         round(list_sum(list_transform(range(1, len(q.v) + 1),
+         |                 i -> q.v[i] * b.v[i])) / (q.nrm * b.nrm), 4) AS cos
+         |       FROM vn b, q WHERE b.vec_id != q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, vec_id) AS rk
+         |      FROM sc WHERE cos < 0.95)
+         |SELECT query_id, vec_id, cos, rk::BIGINT AS rk FROM r WHERE rk <= 10""".stripMargin,
   )
 }

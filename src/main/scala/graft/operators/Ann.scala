@@ -495,4 +495,72 @@ object Ann {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** (query_id, vec_id, cos, rk): HARD-NEGATIVE mining for contrastive
+    * retrieval training — per query, the top-k most similar vectors
+    * that are NOT near-duplicates (rounded cosine < `dupCos`): similar
+    * enough to be hard, distinct enough to be true negatives (the
+    * batch-mining shape behind DPR/contrastive embedding training).
+    * Same plan as [[batchTopKFrom]] — queries broadcast, corpus
+    * scanned once, per-query rank window — with the near-dup cutoff
+    * applied to the ROUNDED score BEFORE ranking, so the boundary
+    * decision replays exactly in the oracle. At scale the scan side
+    * swaps for ANN candidates ([[lshTopK]]) unchanged. */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+                    k: Int = 10, dupCos: Double = 0.95): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") < dupCos)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
+  /** (vec_id, cos, pick_order): MAXIMAL MARGINAL RELEVANCE rerank —
+    * diversity-aware top-k: greedily pick argmax of
+    * λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), so each pick trades
+    * query relevance against redundancy with what's already chosen
+    * (Carbonell & Goldstein '98; the result-diversification pass after
+    * any dense retrieval). Candidate generation is the DISTRIBUTED
+    * part (exact top-`nCandidates` here, ANN at scale — TakeOrdered,
+    * zero extra shuffles); the greedy loop then runs on the BOUNDED
+    * collected candidate set (nCandidates × dim doubles — the same
+    * bounded-driver-sync contract as k-means' k×dim centroid
+    * collect), because greedy selection is inherently sequential in k.
+    * All scores round to 4 before comparison; ties break on vec_id
+    * asc — fully deterministic. Rows-only key: the iterative greedy
+    * argmax has no SQL replay; the spec pins first-pick-is-top-1,
+    * pool membership and the diversity improvement over plain top-k. */
+  def mmrTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+              nCandidates: Int = 50, lambda: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cand = exactTopK(embeddings, None, queryId, nCandidates)
+      .join(doubleVecs(embeddings), "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(c => c._1 -> c).toSeq: _*)
+    while (picked.length < math.min(k, cand.length)) {
+      val best = remaining.values.minBy { case (id, rel, v) =>
+        val maxSim = if (pickedVecs.isEmpty) 0.0
+          else pickedVecs.map(p => r4(cosineSim(v, p))).max
+        (-r4(lambda * rel - (1.0 - lambda) * maxSim), id)
+      }
+      picked += ((best._1, best._2, picked.length + 1L))
+      pickedVecs += best._3
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("vec_id", "cos", "pick_order")
+  }
 }

