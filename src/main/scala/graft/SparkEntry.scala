@@ -574,6 +574,8 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, dir) => Ann.hardNegatives(Tables.embeddings(s, dir))),
     // MMR diverse rerank: distributed candidates, bounded greedy
     "q_mmr" -> ((s, dir) => Ann.mmrTopK(Tables.embeddings(s, dir))),
+    // per-source signature terms (BERTopic c-TF-IDF)
+    "q_class_tfidf" -> ((s, dir) => TextAnalysis.classTfIdf(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -3070,5 +3072,24 @@ object SparkEntry {
          |          ORDER BY cos DESC, vec_id) AS rk
          |      FROM sc WHERE cos < 0.95)
          |SELECT query_id, vec_id, cos, rk::BIGINT AS rk FROM r WHERE rk <= 10""".stripMargin,
+    // c-TF-IDF ranks on the ROUNDED score (term-asc tiebreak), so
+    // libm-ulp differences cannot reorder the boundary
+    "q_class_tfidf" ->
+      s"""WITH tokc AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+         |             FROM documents),
+         |tokc2 AS (SELECT source, term FROM tokc
+         |          WHERE length(term) >= ${graft.functions.Text.MinTokenLength}
+         |            AND term NOT IN ($stop)),
+         |bc AS (SELECT source, term, count(*)::BIGINT AS tf_c FROM tokc2 GROUP BY 1, 2),
+         |tt AS (SELECT term, sum(tf_c)::BIGINT AS tf_all FROM bc GROUP BY 1),
+         |aa AS (SELECT sum(tf_c)::DOUBLE / count(DISTINCT source) AS a FROM bc),
+         |sc AS (SELECT source, bc.term,
+         |         round(tf_c * ln(1 + a / tf_all), 4) AS ctfidf
+         |       FROM bc JOIN tt ON bc.term = tt.term CROSS JOIN aa),
+         |r AS (SELECT source, term, ctfidf,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY ctfidf DESC, term) AS rk
+         |      FROM sc)
+         |SELECT source, term, ctfidf, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin,
   )
 }

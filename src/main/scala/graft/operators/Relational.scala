@@ -968,6 +968,9 @@ object Relational {
       max(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")).as("last_day"),
       count(lit(1)).as("freq"),
       sum(micros(col("o_totalprice"))).as("mon_micros"))
+      // customer-cardinality, feeds BOTH the boundary aggregate and
+      // the scoring map — checkpointing avoids a second orders scan
+      .localCheckpoint()
     val bounds = perCust.agg(
       expr("percentile(last_day, array(0.25D, 0.5D, 0.75D))").as("rq"),
       expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").as("fq"),

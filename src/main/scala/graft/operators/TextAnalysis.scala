@@ -840,4 +840,37 @@ object TextAnalysis {
       .withColumn("pr", round(percent_rank().over(w), 6))
       .filter(col("pr") <= keep)
   }
+
+  /** (source, term, ctfidf, rk): class-based TF-IDF (the BERTopic
+    * c-TF-IDF form) — which terms DISTINGUISH each source: term
+    * frequency within the class × ln(1 + A / corpus term frequency),
+    * A = average class token mass. Where [[keywords]] asks "what is
+    * this DOCUMENT about", this asks "what is this SOURCE about" —
+    * the per-domain signature a mixture designer reads. One corpus
+    * tokenize into (source, term) counts (single shuffle, checkpointed
+    * — the vocab×sources relation feeds three consumers without
+    * rescanning the corpus); term totals and the scalar A derive from
+    * it; top-k per source is a PARTITIONED rank window
+    * (WindowGroupLimit). Ranking on the ROUNDED score with a term-asc
+    * tiebreak pins boundary order in both engines even when two raw
+    * scores differ only in libm ulps. */
+  def classTfIdf(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(Text.rawTokens(col("text"))).as("term"))
+      .filter(Text.keepToken(col("term")))
+    val byClass = toks.groupBy("source", "term").agg(count(lit(1)).as("tf_c"))
+      .localCheckpoint()
+    val termTotals = byClass.groupBy("term").agg(sum("tf_c").as("tf_all"))
+    val a = byClass.agg(
+      (sum("tf_c").cast("double") / countDistinct("source")).as("a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("ctfidf").desc, col("term").asc)
+    byClass.join(termTotals, "term")
+      .crossJoin(broadcast(a))
+      .withColumn("ctfidf",
+        round(col("tf_c") * log(lit(1.0) + col("a") / col("tf_all")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "term", "ctfidf", "rk")
+  }
 }

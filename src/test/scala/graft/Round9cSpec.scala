@@ -143,6 +143,22 @@ class Round9cSpec extends AnyFunSuite {
     assert(vecs.length == 10) // extreme diversity still fills k
   }
 
+  test("class tfidf: k signature terms per source, dense ranks, score-ordered") {
+    val rows = TextAnalysis.classTfIdf(docs).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val nSources = docs.select("source").distinct().count()
+    assert(bySource.size.toLong == nSources)
+    bySource.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length))
+      val ordered = rs.sortBy(_.getLong(3))
+      ordered.map(_.getDouble(2)).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b); case _ => ()
+      }
+      // a signature term is a real kept token (length >= min, not a stopword)
+      rs.foreach(r => assert(r.getString(1).length >= graft.functions.Text.MinTokenLength))
+    }
+  }
+
   test("streaming quality rollup equals the batch rollup") {
     val streamed = graft.streaming.Streams.streamQualityBySource(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
