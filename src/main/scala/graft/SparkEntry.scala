@@ -576,6 +576,17 @@ object SparkEntry {
     "q_mmr" -> ((s, dir) => Ann.mmrTopK(Tables.embeddings(s, dir))),
     // per-source signature terms (BERTopic c-TF-IDF)
     "q_class_tfidf" -> ((s, dir) => TextAnalysis.classTfIdf(Tables.documents(s, dir))),
+    // snapshot diff audit over deterministic derived versions
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val v1 = d.filter(col("doc_id") % 7 =!= 3)
+      val v2 = d.filter(col("doc_id") % 11 =!= 5)
+        .withColumn("text", when(col("doc_id") % 13 === 2,
+          concat(col("text"), lit(" vmark"))).otherwise(col("text")))
+      Relational.corpusDiff(v1, v2)
+    }),
+    // k-anonymity release gate on the event log
+    "q_k_anonymize" -> ((s, dir) => Relational.kAnonymize(Tables.events(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -3091,5 +3102,28 @@ object SparkEntry {
          |          ORDER BY ctfidf DESC, term) AS rk
          |      FROM sc)
          |SELECT source, term, ctfidf, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin,
+    // snapshot diff: content compared by hash, statuses rolled up
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1, source AS s1
+        |            FROM documents WHERE doc_id % 7 != 3),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 13 = 2 THEN text || ' vmark' ELSE text END) AS h2,
+        |         source AS s2
+        |       FROM documents WHERE doc_id % 11 != 5),
+        |j AS (SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |                  WHEN h2 IS NULL THEN 'removed'
+        |                  WHEN h1 = h2 THEN 'unchanged'
+        |                  ELSE 'changed' END AS status,
+        |             coalesce(s2, s1) AS source
+        |      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT status, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT source)::BIGINT AS n_sources
+        |FROM j GROUP BY 1""".stripMargin,
+    "q_k_anonymize" ->
+      """SELECT event_type, (epoch_ns(ts) // 86400000000000)::BIGINT AS day,
+        |       count(*)::BIGINT AS n_events,
+        |       count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1, 2
+        |HAVING count(DISTINCT user_id) >= 5""".stripMargin,
   )
 }

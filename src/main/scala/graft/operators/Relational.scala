@@ -1037,4 +1037,39 @@ object Relational {
         sum(col("gap")).as("sum_gap_days"))
       .filter(col("n_gaps") >= 1)
   }
+
+  /** (status, n_docs, n_sources): corpus SNAPSHOT DIFF — the audit a
+    * pipeline runs between two corpus versions before retraining:
+    * per-doc status added / removed / changed / unchanged from a
+    * full-outer join on doc_id with content compared BY HASH (the
+    * 16-byte digests shuffle and compare; the texts never pairwise
+    * compare), rolled up with how many distinct sources each status
+    * touches. One shuffle per side on doc_id, 4-key rollup. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"), col("source").as("s1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"), col("source").as("s2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("s2"), col("s1")).as("source"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"))
+  }
+
+  /** (event_type, day, n_events, n_users): K-ANONYMITY release gate —
+    * publish an aggregate view of the event log only for
+    * quasi-identifier groups (kind × day) carried by at least `k`
+    * DISTINCT users; smaller groups are suppressed entirely (the
+    * standard re-identification guard before event data leaves the
+    * pipeline). One aggregation on the quasi-identifier; the distinct-
+    * user count rides the same shuffle. HAVING-style filter — no
+    * second pass. */
+  def kAnonymize(events: DataFrame, k: Int = 5): DataFrame =
+    events
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .filter(col("n_users") >= k)
 }

@@ -159,6 +159,37 @@ class Round9cSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus diff: statuses partition the id universe and react to real changes") {
+    val v1 = docs.filter(col("doc_id") % 7 =!= 3)
+    val v2 = docs.filter(col("doc_id") % 11 =!= 5)
+      .withColumn("text", when(col("doc_id") % 13 === 2,
+        concat(col("text"), lit(" vmark"))).otherwise(col("text")))
+    val rows = Relational.corpusDiff(v1, v2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val union = v1.select("doc_id").union(v2.select("doc_id")).distinct().count()
+    assert(rows.values.sum == union)
+    assert(rows("added") == v2.join(v1, Seq("doc_id"), "left_anti").count())
+    assert(rows("removed") == v1.join(v2, Seq("doc_id"), "left_anti").count())
+    assert(rows.getOrElse("changed", 0L) >= 1L) // the vmark docs
+    // identical versions diff to pure unchanged
+    val same = Relational.corpusDiff(v1, v1).collect()
+    assert(same.length == 1 && same.head.getString(0) == "unchanged")
+  }
+
+  test("k-anonymity: no published group smaller than k, suppressed groups really existed") {
+    val events = Tables.events(spark, sf)
+    val k = 5
+    val kept = Relational.kAnonymize(events, k).collect()
+    kept.foreach(r => assert(r.getLong(3) >= k))
+    val allGroups = events
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(countDistinct("user_id").as("u")).count()
+    assert(kept.length <= allGroups)
+    // raising k can only shrink the published view
+    val kept10 = Relational.kAnonymize(events, 10).count()
+    assert(kept10 <= kept.length)
+  }
+
   test("streaming quality rollup equals the batch rollup") {
     val streamed = graft.streaming.Streams.streamQualityBySource(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
