@@ -587,6 +587,9 @@ object SparkEntry {
     }),
     // k-anonymity release gate on the event log
     "q_k_anonymize" -> ((s, dir) => Relational.kAnonymize(Tables.events(s, dir))),
+    // the composed clean→dedup→quality funnel as ONE plan
+    "q_pipeline_funnel" -> ((s, dir) =>
+      TextAnalysis.pipelineFunnel(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -3125,5 +3128,26 @@ object SparkEntry {
         |       count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1, 2
         |HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    // funnel accounting: dedup keep = min doc_id per normalized hash;
+    // quality rules shared with q_quality_by_source
+    "q_pipeline_funnel" ->
+      """WITH n AS (SELECT doc_id, source,
+        |             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |           FROM documents),
+        |h AS (SELECT doc_id, source, norm, md5(norm) AS h FROM n),
+        |reps AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h),
+        |f AS (SELECT x.source, x.doc_id = reps.keep_id AS is_canon,
+        |        len(string_split(x.norm, ' '))::BIGINT AS n_tokens,
+        |        len(list_distinct(string_split(x.norm, ' ')))::BIGINT AS n_distinct
+        |      FROM h x JOIN reps ON x.h = reps.h)
+        |SELECT source, count(*)::BIGINT AS n_raw,
+        |       sum(CASE WHEN is_canon THEN 1 ELSE 0 END)::BIGINT AS n_after_dedup,
+        |       sum(CASE WHEN is_canon AND n_tokens >= 10 AND n_tokens <= 10000
+        |                     AND n_distinct::DOUBLE / n_tokens >= 0.2
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_after_quality,
+        |       sum(CASE WHEN is_canon AND n_tokens >= 10 AND n_tokens <= 10000
+        |                     AND n_distinct::DOUBLE / n_tokens >= 0.2
+        |                THEN n_tokens ELSE 0 END)::BIGINT AS tokens_kept
+        |FROM f GROUP BY source""".stripMargin,
   )
 }

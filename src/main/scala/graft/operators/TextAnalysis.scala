@@ -873,4 +873,33 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select("source", "term", "ctfidf", "rk")
   }
+
+  /** (source, n_raw, n_after_dedup, n_after_quality, tokens_kept):
+    * the COMPOSED cleaning pipeline as ONE declarative plan — the
+    * end-to-end funnel every corpus build runs (normalize → exact
+    * dedup on the normalized hash → quality gate → per-source
+    * accounting), expressed as a single DataFrame chain so Catalyst
+    * plans the whole flow together (one shuffle on the content hash,
+    * one on source — no materialization between "stages"; the stages
+    * are columns, not jobs). The funnel numbers are what a pipeline
+    * owner actually monitors: how much each gate costs per source.
+    * Gate rules shared with [[quality]]/[[qualityBySource]]; keep
+    * rule shared with [[Dedup.exact]] (min doc_id per hash). */
+  def pipelineFunnel(docs: DataFrame): DataFrame = {
+    val norm = docs.select(col("doc_id"), col("source"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .withColumn("h", md5(col("norm")))
+    val reps = norm.groupBy("h").agg(min("doc_id").as("keep_id"))
+    norm.join(reps, "h")
+      .withColumn("is_canon", col("doc_id") === col("keep_id"))
+      .withColumn("toks", Text.rawTokens(col("norm")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("ok", col("n_tokens") >= 10 && col("n_tokens") <= 10000 &&
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens") >= 0.2)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(when(col("is_canon") && col("ok"), 1L).otherwise(0L)).as("n_after_quality"),
+        sum(when(col("is_canon") && col("ok"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+  }
 }

@@ -190,6 +190,19 @@ class Round9cSpec extends AnyFunSuite {
     assert(kept10 <= kept.length)
   }
 
+  test("pipeline funnel: monotone gates, totals reconcile with the standalone operators") {
+    val rows = TextAnalysis.pipelineFunnel(docs).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= r.getLong(3))
+      assert(r.getLong(4) >= r.getLong(3) * 10) // every kept doc has >= 10 tokens
+    }
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    // dedup stage agrees with the normalized-hash distinct count
+    val nCanon = docs.select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nCanon)
+  }
+
   test("streaming quality rollup equals the batch rollup") {
     val streamed = graft.streaming.Streams.streamQualityBySource(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
