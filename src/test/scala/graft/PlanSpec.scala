@@ -291,6 +291,25 @@ class PlanSpec extends AnyFunSuite {
       s"partition-less windows in wired plans:\n${offenders.mkString("\n")}")
   }
 
+  test("per-group top-k ranks are WindowGroupLimit-pruned (hard negatives, class tfidf)") {
+    // rank-filter top-k per group must trigger InferWindowGroupLimit:
+    // each map partition keeps only k rows per group BEFORE the
+    // shuffle, so the per-group window never concentrates a
+    // corpus-sized relation on one partition
+    val hn = planString(graft.operators.Ann.hardNegatives(Tables.embeddings(spark, sf)))
+    assert(hn.contains("WindowGroupLimit"),
+      s"hardNegatives rank filter not group-limit pruned:\n$hn")
+    val ct = planString(graft.operators.TextAnalysis.classTfIdf(Tables.documents(spark, sf)))
+    assert(ct.contains("WindowGroupLimit"),
+      s"classTfIdf rank filter not group-limit pruned:\n$ct")
+  }
+
+  test("rfm: orders scanned once (checkpointed customer aggregate feeds both consumers)") {
+    val p = planString(graft.operators.Relational.rfmSegments(Tables.orders(spark, sf)))
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("orders"))
+    assert(scans == 0, s"post-checkpoint plan must not rescan orders, got $scans:\n$p")
+  }
+
   test("spell correct: pruned signature equi-join, corpus scanned once") {
     val p = planString(graft.operators.SearchExtras.spellCorrect(Tables.documents(spark, sf)))
     val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
