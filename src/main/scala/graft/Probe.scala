@@ -191,6 +191,24 @@ object Probe {
       time("array_stats")(graft.operators.TextAnalysis.tokenLengthStats(d).count())
       time("string_agg")(graft.operators.Relational.docListBySource(d).count())
       time("ann_range")(graft.operators.Ann.rangeSearch(e).count())
+      // round-9c operators: 20 exact copies of every doc is the
+      // containment/dup-rate worst case (value collapse must hold);
+      // 20x vectors stress the per-query rank pruning
+      time("dedup_contained_drop")(graft.operators.Dedup.dropContained(d).count())
+      time("dup_rate_by_source")(graft.operators.Dedup.dupRateBySource(d).count())
+      time("class_tfidf")(graft.operators.TextAnalysis.classTfIdf(d).count())
+      time("quality_percentile")(graft.operators.TextAnalysis.qualityPercentile(d).count())
+      time("pipeline_funnel")(graft.operators.TextAnalysis.pipelineFunnel(d).count())
+      time("multimodal_dedup")(graft.operators.Multimodal.dedupBlobs(d).count())
+      time("hard_negatives")(graft.operators.Ann.hardNegatives(e).count())
+      time("mmr")(graft.operators.Ann.mmrTopK(e).count())
+      time("corpus_diff") {
+        val v1 = d.filter(col("doc_id") % 7 =!= 3)
+        val v2 = d.filter(col("doc_id") % 11 =!= 5)
+          .withColumn("text", when(col("doc_id") % 13 === 2,
+            concat(col("text"), lit(" vmark"))).otherwise(col("text")))
+        graft.operators.Relational.corpusDiff(v1, v2).count()
+      }
       // events replicated 20x on (event_id, user_id) with the SAME 100
       // items — every item becomes 20x hotter, the bipartite-CC and
       // transition shapes' worst skew
@@ -204,6 +222,7 @@ object Probe {
       time("active_intervals")(graft.operators.Relational.activeIntervals(evr).count())
       time("first_touch")(graft.operators.Relational.firstTouch(evr).count())
       time("cdc_apply")(graft.operators.Relational.cdcApply(evr).count())
+      time("k_anonymize")(graft.operators.Relational.kAnonymize(evr).count())
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)

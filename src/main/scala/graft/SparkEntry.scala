@@ -590,6 +590,8 @@ object SparkEntry {
     // the composed clean→dedup→quality funnel as ONE plan
     "q_pipeline_funnel" -> ((s, dir) =>
       TextAnalysis.pipelineFunnel(Tables.documents(s, dir))),
+    // index-quality monitoring: recall@10 of LSH vs brute force
+    "q_ann_recall" -> ((s, dir) => Ann.recallAtK(Tables.embeddings(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -3149,5 +3151,24 @@ object SparkEntry {
         |                     AND n_distinct::DOUBLE / n_tokens >= 0.2
         |                THEN n_tokens ELSE 0 END)::BIGINT AS tokens_kept
         |FROM f GROUP BY source""".stripMargin,
+    // even the EVALUATION replays: both the LSH path and the brute
+    // ranking are deterministic plans
+    "q_ann_recall" ->
+      s"""WITH lsh AS (SELECT vec_id FROM (
+         |${lshTopKOracleSql("TRUE", 0L)}
+         |)),
+         |brute AS (SELECT vec_id FROM (
+         |  WITH $vecCte,
+         |  q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
+         |  SELECT b.vec_id,
+         |         round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+         |               / (q.nrm * b.nrm), 4) AS cos
+         |  FROM vn b, q WHERE b.vec_id != 0
+         |  ORDER BY cos DESC, b.vec_id ASC LIMIT 10
+         |))
+         |SELECT 10::BIGINT AS k, (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+         |       count(*)::BIGINT AS n_hits,
+         |       round(count(*)::DOUBLE / 10, 4) AS recall
+         |FROM lsh JOIN brute USING (vec_id)""".stripMargin,
   )
 }

@@ -563,4 +563,23 @@ object Ann {
     import spark.implicits._
     picked.toSeq.toDF("vec_id", "cos", "pick_order")
   }
+
+  /** (k, n_lsh, n_hits, recall): ANN QUALITY EVALUATION as a query —
+    * recall@k of the hyperplane-LSH path against the exact brute-force
+    * ranking, the continuous-monitoring number every approximate index
+    * ships with (run it per index build; alert when the bucket config
+    * drifts below target). Both sides are deterministic plans
+    * (md5-derived hyperplanes are plan literals), so even this
+    * EVALUATION replays exactly in the oracle. The join is k×k ids —
+    * driver-free, all-integer. */
+  def recallAtK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val lsh = lshTopK(embeddings, queryId, k).select("vec_id")
+    val brute = bruteForceTopK(embeddings, queryId, k).select("vec_id")
+    val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+    lsh.join(brute, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nL))
+      .select(lit(k.toLong).as("k"), col("n_lsh"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 4).as("recall"))
+  }
 }
