@@ -3151,6 +3151,41 @@ object SparkEntry {
         |                     AND n_distinct::DOUBLE / n_tokens >= 0.2
         |                THEN n_tokens ELSE 0 END)::BIGINT AS tokens_kept
         |FROM f GROUP BY source""".stripMargin,
+    // the greedy MMR loop unrolled as a RECURSIVE CTE carrying the
+    // picked-id list: each step's argmax replays the engine's exact
+    // arithmetic (HALF_UP 4-digit rounding on score and pairwise sims,
+    // (1.0 - 0.7) spelled as the same IEEE expression, vec_id-asc
+    // ties) — the same deep-replay discipline as the unrolled k-means
+    // oracle
+    "q_mmr" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |                    FROM embeddings),
+        |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+        |cand AS (SELECT b.vec_id,
+        |           round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+        |                 / (q.nrm * b.nrm), 4) AS rel,
+        |           b.v, b.nrm
+        |         FROM vn b, q WHERE b.vec_id != 0
+        |         ORDER BY rel DESC, b.vec_id ASC LIMIT 50),
+        |sel(it, ids) AS (
+        |  SELECT 0, []::BIGINT[]
+        |  UNION ALL
+        |  SELECT s.it + 1, list_append(s.ids, (
+        |      SELECT c.vec_id FROM cand c
+        |      WHERE NOT list_contains(s.ids, c.vec_id)
+        |      ORDER BY round(0.7 * c.rel - (1.0 - 0.7) * coalesce((
+        |          SELECT max(round(list_sum(list_transform(range(1, len(c.v) + 1),
+        |                     j -> c.v[j] * p.v[j])) / (c.nrm * p.nrm), 4))
+        |          FROM cand p WHERE list_contains(s.ids, p.vec_id)), 0.0), 4) DESC,
+        |        c.vec_id ASC
+        |      LIMIT 1))
+        |  FROM sel s WHERE s.it < 10),
+        |fin AS (SELECT ids FROM sel ORDER BY it DESC LIMIT 1),
+        |ord AS (SELECT unnest(ids) AS vec_id,
+        |               unnest(range(1, len(ids) + 1)) AS pick_order FROM fin)
+        |SELECT o.vec_id, c.rel AS cos, o.pick_order::BIGINT AS pick_order
+        |FROM ord o JOIN cand c ON o.vec_id = c.vec_id""".stripMargin,
     // even the EVALUATION replays: both the LSH path and the brute
     // ranking are deterministic plans
     "q_ann_recall" ->

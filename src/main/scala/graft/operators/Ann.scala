@@ -545,7 +545,10 @@ object Ann {
       .join(doubleVecs(embeddings), "vec_id")
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
-    def r4(x: Double): Double = math.round(x * 10000.0) / 10000.0
+    // HALF_UP on the exact decimal expansion = Spark's round() =
+    // DuckDB's round(): the greedy decisions replay in the oracle
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
     val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val remaining = scala.collection.mutable.LinkedHashMap(
