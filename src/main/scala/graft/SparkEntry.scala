@@ -592,6 +592,9 @@ object SparkEntry {
       TextAnalysis.pipelineFunnel(Tables.documents(s, dir))),
     // index-quality monitoring: recall@10 of LSH vs brute force
     "q_ann_recall" -> ((s, dir) => Ann.recallAtK(Tables.embeddings(s, dir))),
+    // DSIR selection step: deterministic Gumbel-top-k over the
+    // importance weights
+    "q_dsir_resample" -> ((s, dir) => TextAnalysis.dsirResample(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -3205,5 +3208,33 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_hits,
          |       round(count(*)::DOUBLE / 10, 4) AS recall
          |FROM lsh JOIN brute USING (vec_id)""".stripMargin,
+    // Gumbel-top-k resampling: the md5-uniform, the importance weight
+    // and the rounded Gumbel key all replay exactly
+    "q_dsir_resample" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |             FROM documents),
+        |raw AS (SELECT tok, count(*)::BIGINT AS c_r FROM tok GROUP BY 1),
+        |tgt AS (SELECT tok, count(*)::BIGINT AS c_t FROM tok WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT raw.tok, c_r, coalesce(c_t, 0)::BIGINT AS c_t
+        |      FROM raw LEFT JOIN tgt USING (tok)),
+        |sc AS (SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t,
+        |              count(*)::BIGINT AS vocab FROM v),
+        |iw AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |         round(sum(ln((c_t + 1)::DOUBLE / (n_t + vocab)::DOUBLE)
+        |                 - ln((c_r + 1)::DOUBLE / (n_r + vocab)::DOUBLE)), 4) AS log_ratio
+        |       FROM tok JOIN v USING (tok) CROSS JOIN sc
+        |       GROUP BY doc_id),
+        |u AS (SELECT doc_id,
+        |        greatest(list_sum(list_transform(range(1, 9),
+        |          j -> (strpos('0123456789abcdef',
+        |                       substr(md5(doc_id::VARCHAR), j, 1)) - 1)::BIGINT
+        |               << ((8 - j) * 4)))::DOUBLE / 4294967296.0, 1e-12) AS u
+        |      FROM documents),
+        |g AS (SELECT iw.doc_id,
+        |        round(log_ratio / n_tokens - ln(-ln(u.u)), 4) AS gkey
+        |      FROM iw JOIN u ON iw.doc_id = u.doc_id),
+        |r AS (SELECT doc_id, gkey,
+        |        row_number() OVER (ORDER BY gkey DESC, doc_id) AS rk FROM g)
+        |SELECT doc_id, gkey, rk::BIGINT AS rk FROM r WHERE rk <= 100""".stripMargin,
   )
 }

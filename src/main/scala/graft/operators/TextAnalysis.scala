@@ -672,6 +672,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), round(sum(col("lr")), 4).as("log_ratio"))
   }
 
+  /** (doc_id, gkey, rk): DSIR importance RESAMPLING — the selection
+    * step completing [[importanceWeights]]: draw the k docs with
+    * probability ∝ exp(length-normalized log-ratio) via the
+    * Gumbel-top-k trick, g_i = w_i − ln(−ln(u_i)) with u_i a
+    * DETERMINISTIC md5-uniform per doc (same hash family as
+    * [[trainSplit]]) — sampling that is reproducible run-over-run,
+    * replayable in the oracle, and distributed (the top-k is a
+    * window-free [[TopK.rankedTopN]] TakeOrdered, never a global rank
+    * window). The Gumbel key rounds to 4 before ranking so libm ulps
+    * can't flip a boundary; u clamps away from 0 with the same
+    * literal in both engines. */
+  def dsirResample(docs: DataFrame, k: Int = 100,
+                   targetLang: String = "en"): DataFrame = {
+    val wts = importanceWeights(docs, targetLang)
+    val keyed = wts
+      .withColumn("u", greatest(expr(hashU("CAST(doc_id AS STRING)")), lit(1e-12)))
+      .withColumn("gkey",
+        round(col("log_ratio") / col("n_tokens") - log(-log(col("u"))), 4))
+    TopK.rankedTopN(keyed, "gkey", "doc_id", k, "rk")
+  }
+
   /** (doc_id, source, n_tokens, bucket_id, batch_id): length-bucketed
     * batch assignment — docs grouped into fixed-width token-length
     * buckets (bucket = n_tokens div width) and, within each

@@ -203,6 +203,29 @@ class Round9cSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == nCanon)
   }
 
+  test("dsir resample: dense ranks, deterministic, selection tilts toward the target") {
+    val sel = TextAnalysis.dsirResample(docs, k = 50).collect()
+    assert(sel.map(_.getInt(2)).sorted.toSeq == (1 to sel.length))
+    // reproducible: a second run returns the identical selection
+    val again = TextAnalysis.dsirResample(docs, k = 50).collect()
+    assert(sel.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // importance sampling must tilt the sample toward the target
+    // distribution — proven on a corpus with REAL weight separation
+    // (the sf0.001 corpus is near-uniform, where Gumbel noise rightly
+    // dominates): half the docs speak the target's vocabulary, half a
+    // disjoint one; a quarter-sized draw must overrepresent the former
+    import spark.implicits._
+    val planted = (0L until 200L).map { i =>
+      val tgt = i % 2 == 0
+      val words = if (tgt) "alpha beta gamma delta" else "omega sigma theta kappa"
+      (i, s"$words $words $words", if (tgt) "en" else "xx", s"s${i % 4}", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val picked = TextAnalysis.dsirResample(planted, k = 50).collect()
+      .map(_.getLong(0)).toSet
+    val nTarget = picked.count(_ % 2 == 0)
+    assert(nTarget >= 40, s"expected the draw to tilt to target-like docs, got $nTarget/50")
+  }
+
   test("streaming quality rollup equals the batch rollup") {
     val streamed = graft.streaming.Streams.streamQualityBySource(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
