@@ -3227,7 +3227,7 @@ object SparkEntry {
         |u AS (SELECT doc_id,
         |        greatest(list_sum(list_transform(range(1, 9),
         |          j -> (strpos('0123456789abcdef',
-        |                       substr(md5(doc_id::VARCHAR), j, 1)) - 1)::BIGINT
+        |                       substr(md5('dsir:' || doc_id::VARCHAR), j, 1)) - 1)::BIGINT
         |               << ((8 - j) * 4)))::DOUBLE / 4294967296.0, 1e-12) AS u
         |      FROM documents),
         |g AS (SELECT iw.doc_id,

@@ -682,12 +682,16 @@ object TextAnalysis {
     * window-free [[TopK.rankedTopN]] TakeOrdered, never a global rank
     * window). The Gumbel key rounds to 4 before ranking so libm ulps
     * can't flip a boundary; u clamps away from 0 with the same
-    * literal in both engines. */
+    * literal in both engines. The hash key is SALTED ('dsir:' prefix)
+    * so this draw is independent of [[trainSplit]]'s uniform — the
+    * unsalted form would systematically overdraw the test split
+    * (same u drives both decisions). */
   def dsirResample(docs: DataFrame, k: Int = 100,
                    targetLang: String = "en"): DataFrame = {
     val wts = importanceWeights(docs, targetLang)
     val keyed = wts
-      .withColumn("u", greatest(expr(hashU("CAST(doc_id AS STRING)")), lit(1e-12)))
+      .withColumn("u", greatest(
+        expr(hashU("CONCAT('dsir:', CAST(doc_id AS STRING))")), lit(1e-12)))
       .withColumn("gkey",
         round(col("log_ratio") / col("n_tokens") - log(-log(col("u"))), 4))
     TopK.rankedTopN(keyed, "gkey", "doc_id", k, "rk")
