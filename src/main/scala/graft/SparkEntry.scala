@@ -289,9 +289,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           sum(floor(col("l_extendedprice") * lit(1000000.0)).cast("long")).as("price_micros"))
     }),
-    // CMS estimates are sketch-internal → rows-only; superset +
-    // overestimate bounds asserted in SketchesSpec
+    // md5-derived CMS → deterministic counters, hash-checked against a
+    // DuckDB rebuild of the identical sketch; bounds also in Round4Spec
     "q_heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(Tables.documents(s, dir))),
+    "q_kmv_distinct" -> ((s, dir) => Sketches.kmvDistinct(Tables.events(s, dir))),
     "q_emb_outliers" -> ((s, dir) => Vectors.centroidOutliers(Tables.embeddings(s, dir))),
     // IVF-composed (probed inverted lists, not the N×M cross join);
     // oracle unchanged — probes must cover the true neighbor sets
@@ -343,6 +344,8 @@ object SparkEntry {
     // sources/sinks, bucketed co-located join, streaming upsert ----
     "q_keywords" -> ((s, dir) => TextAnalysis.keywords(Tables.documents(s, dir))),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(Tables.documents(s, dir))),
+    "q_kn_bigram" -> ((s, dir) => TextAnalysis.knBigram(Tables.documents(s, dir))),
+    "q_log_odds" -> ((s, dir) => TextAnalysis.logOdds(Tables.documents(s, dir))),
     "q_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
     "q_emb_quantize" -> ((s, dir) => Vectors.quantizeInt8(Tables.embeddings(s, dir))),
     "q_stream_upsert" -> ((s, dir) => graft.streaming.Streams.upsertStream(s, dir)),
@@ -493,10 +496,10 @@ object SparkEntry {
       TextAnalysis.importanceWeights(Tables.documents(s, dir))),
     "q_length_buckets" -> ((s, dir) => TextAnalysis.lengthBuckets(Tables.documents(s, dir))),
     "q_dedup_chunks" -> ((s, dir) => Dedup.chunkDups(Tables.documents(s, dir))),
-    // BPE training: the corpus-shaped pair-statistics primitive is
-    // oracle-checked; the iterative merge learner is rows-only (the
-    // step-k rewrite depends on all k-1 prior merges — not SQL),
-    // spec-gated in Round9Spec
+    // BPE training: the greedy merge loop replays as a RECURSIVE-CTE
+    // oracle (single-row list state; the delimiter-wrapped replace()
+    // IS BPE's left-to-right non-overlapping rewrite) → hash-checked,
+    // invariants additionally spec-gated in Round9Spec
     "q_bpe_pairs" -> ((s, dir) => Bpe.pairCounts(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => Bpe.trainMerges(Tables.documents(s, dir))),
 
@@ -507,6 +510,9 @@ object SparkEntry {
     "q_string_agg" -> ((s, dir) => Relational.docListBySource(Tables.documents(s, dir))),
     "q_first_touch" -> ((s, dir) => Relational.firstTouch(Tables.events(s, dir))),
     "q_active_intervals" -> ((s, dir) => Relational.activeIntervals(Tables.events(s, dir))),
+    // binned interval-overlap join: equi-join on the time bin, never
+    // the O(N·M) nested-loop the raw overlap predicate would force
+    "q_interval_join" -> ((s, dir) => Relational.intervalJoin(Tables.events(s, dir))),
     "q_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     "q_crossval_folds" -> ((s, dir) => TextAnalysis.crossvalFolds(Tables.documents(s, dir))),
@@ -520,8 +526,9 @@ object SparkEntry {
     // streaming CDC apply — incremental max_by state, same rows as
     // q_cdc_apply (shared oracle: arrival order cannot change winners)
     "q_stream_cdc" -> ((s, dir) => graft.streaming.Streams.cdcStream(s, dir)),
-    // corpus tokenized under the learned BPE merges — inherits the
-    // merge loop → rows-only, spec-gated (bounds/monotonicity/rerun)
+    // corpus tokenized under the learned BPE merges — the training
+    // rewrite applied to the dictionary IS the encode of every word,
+    // so the recursive oracle's FINAL vocab state replays this too
     "q_bpe_encode" -> ((s, dir) => Bpe.encodeCorpus(Tables.documents(s, dir))),
     // ---- Round-9 batch 3: value-range window frames, relative
     // standing, Markov transitions, index time-travel ----
@@ -1089,6 +1096,45 @@ object SparkEntry {
        |                ORDER BY cos DESC, vec_id ASC) AS rk FROM s)
        |SELECT query_id, vec_id, cos, rk::BIGINT AS rk FROM r WHERE rk <= 10""".stripMargin
 
+  /** The BPE merge loop as a single-row recursive CTE: state = the
+    * whole word-frequency dictionary (a list of (syms, count) structs
+    * riding ONE row) + the merges learned so far. Each step finds the
+    * argmax adjacent pair by unnesting that list, then rewrites every
+    * word with `replace()` over a delimiter-wrapped symbol string —
+    * plain replace scans left-to-right and never rematches inside a
+    * replacement, which IS BPE's non-overlapping rewrite rule (the
+    * `(sym)` wrapping stops cross-boundary false matches that a bare
+    * space join would allow on runs like "a a a a"). Mirrors
+    * Bpe.learn's tie-break (-n, left, right) exactly. */
+  private val bpeSelCte =
+    """wc AS (SELECT word, count(*)::BIGINT AS wcount
+      |       FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      |       WHERE length(word) > 0 GROUP BY 1),
+      |init AS (SELECT list(struct_pack(syms := string_split(word, ''), c := wcount)
+      |                     ORDER BY word) AS vocab FROM wc),
+      |sel(it, vocab, merges) AS (
+      |  SELECT 0, (SELECT vocab FROM init),
+      |         []::STRUCT(l VARCHAR, r VARCHAR, n BIGINT)[]
+      |  UNION ALL
+      |  SELECT s.it + 1,
+      |         list_transform(s.vocab, w -> struct_pack(
+      |           syms := string_split(trim(replace(
+      |             '(' || array_to_string(w.syms, ')(') || ')',
+      |             '(' || b.l || ')(' || b.r || ')',
+      |             '(' || b.l || b.r || ')'), '()'), ')('),
+      |           c := w.c)),
+      |         list_append(s.merges, struct_pack(l := b.l, r := b.r, n := b.n))
+      |  FROM sel s, LATERAL (
+      |    SELECT l, r, n FROM (
+      |      SELECT p.l AS l, p.r AS r, sum(cc)::BIGINT AS n FROM (
+      |        SELECT w.c AS cc,
+      |               unnest(list_transform(range(1, len(w.syms)),
+      |                      i -> struct_pack(l := w.syms[i], r := w.syms[i+1]))) AS p
+      |        FROM (SELECT unnest(s.vocab) AS w))
+      |      GROUP BY p.l, p.r)
+      |    ORDER BY n DESC, l ASC, r ASC LIMIT 1) b
+      |  WHERE s.it < 20)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1345,6 +1391,39 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
         |       min(tns // 1000000)::BIGINT AS start_ms, max(tns // 1000000)::BIGINT AS end_ms
         |FROM t GROUP BY user_id, session_id""".stripMargin,
+    // overlap replayed as the GENERIC interval predicate (a.start <=
+    // b.end AND b.start <= a.end) — the binned equi-join must select
+    // exactly the same pairs
+    "q_interval_join" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |         lag(epoch_ns(ts)) OVER w AS prev_tns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, event_id, tns,
+        |         CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |t AS (
+        |  SELECT user_id, event_id, tns,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+        |  FROM s),
+        |sess AS (SELECT user_id, session_id,
+        |                min(tns // 1000000)::BIGINT AS start_ms,
+        |                max(tns // 1000000)::BIGINT AS end_ms
+        |         FROM t GROUP BY 1, 2),
+        |hourly AS (SELECT epoch_ns(ts) // 3600000000000 AS hour, count(*)::BIGINT AS cnt
+        |           FROM events GROUP BY 1),
+        |avgc AS (SELECT avg(cnt) AS avg_cnt FROM hourly),
+        |hot AS (SELECT hour, hour * 3600000 AS w_start_ms,
+        |               (hour + 1) * 3600000 - 1 AS w_end_ms
+        |        FROM hourly, avgc WHERE cnt >= 1.25 * avg_cnt)
+        |SELECT h.hour::BIGINT AS hour, count(*)::BIGINT AS n_sessions,
+        |       count(DISTINCT se.user_id)::BIGINT AS n_users
+        |FROM sess se JOIN hot h
+        |  ON se.start_ms <= h.w_end_ms AND h.w_start_ms <= se.end_ms
+        |GROUP BY 1""".stripMargin,
     "q_stats_profile" ->
       """SELECT event_type, count(*)::BIGINT AS n, count(DISTINCT user_id)::BIGINT AS n_users,
         |       round(avg(value), 6) AS avg_value,
@@ -1362,7 +1441,37 @@ object SparkEntry {
     },
     // q_approx_distinct / q_approx_quantiles: HLL++/GK sketch internals
     // are engine-specific → rows-only; error bounds vs the exact forms
-    // are asserted in SketchesSpec.
+    // are asserted in SketchesSpec. The md5-derived sketches below
+    // (CMS heavy hitters, KMV cardinality) ARE replayable → hash-checked.
+    "q_heavy_hitters" ->
+      s"""WITH $tfCte,
+         |hs AS (SELECT term, r,
+         |         list_sum(list_transform(range(1, 9),
+         |           j -> (strpos('0123456789abcdef',
+         |                        substr(md5(r::VARCHAR || ':' || term), j, 1)) - 1)::BIGINT
+         |                << ((8 - j) * 4))) % 2048 AS bucket
+         |       FROM tok2, unnest(generate_series(0, 3)) AS t(r)),
+         |counters AS (SELECT r, bucket, count(*)::BIGINT AS cnt FROM hs GROUP BY 1, 2),
+         |total AS (SELECT sum(cnt)::BIGINT AS n FROM counters WHERE r = 0),
+         |est AS (SELECT term, min(cnt)::BIGINT AS est_count
+         |        FROM (SELECT DISTINCT term, r, bucket FROM hs) h
+         |        JOIN counters USING (r, bucket)
+         |        GROUP BY term)
+         |SELECT term, est_count FROM est, total WHERE est_count >= 0.01 * n""".stripMargin,
+    "q_kmv_distinct" ->
+      """WITH dh AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h FROM events),
+        |cnt AS (SELECT event_type, count(*)::BIGINT AS exact_users FROM dh GROUP BY 1),
+        |rk AS (SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh),
+        |kth AS (SELECT event_type, h FROM rk WHERE rn = 64)
+        |SELECT c.event_type,
+        |       round(CASE WHEN c.exact_users < 64 THEN c.exact_users::DOUBLE
+        |             ELSE 63.0 / (list_sum(list_transform(range(1, 16),
+        |                    j -> (strpos('0123456789abcdef', substr(k.h, j, 1)) - 1)::BIGINT
+        |                         << ((15 - j) * 4)))::DOUBLE / 1152921504606846976.0)
+        |             END, 4) AS kmv_users,
+        |       c.exact_users
+        |FROM cnt c LEFT JOIN kth k USING (event_type)""".stripMargin,
     "q_kmv_sample" ->
       """WITH h AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h FROM events),
         |r AS (SELECT event_type, h,
@@ -2389,6 +2498,41 @@ object SparkEntry {
         |       round(avg(ln(n12::DOUBLE / n1)), 4) AS avg_logprob
         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin,
+    // interpolated Kneser-Ney: same discount/interpolation arithmetic,
+    // same left-to-right FP evaluation order as TextAnalysis.knBigram
+    "q_kn_bigram" ->
+      """WITH tokw AS (SELECT string_split(lower(text), ' ') AS words FROM documents),
+        |bg AS (SELECT words[i] AS w1, words[i+1] AS w2
+        |       FROM tokw, unnest(generate_series(1, len(words)-1)) AS t(i)
+        |       WHERE len(words) >= 2),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM bg GROUP BY 1, 2),
+        |lft AS (SELECT w1, sum(n12)::BIGINT AS c1, count(*)::BIGINT AS t1 FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, count(*)::BIGINT AS t2 FROM c12 GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM c12)
+        |SELECT w1, w2, n12,
+        |       round(greatest(n12 - 0.75, 0.0) / c1 + 0.75 * t1 / c1 * (t2::DOUBLE / t), 6) AS pkn
+        |FROM c12 JOIN lft USING (w1) JOIN cont USING (w2), tot""".stripMargin,
+    // Monroe et al. log-odds with informative Dirichlet prior; all count
+    // arithmetic integer-exact, the two ln/sqrt orders mirror logOdds
+    "q_log_odds" ->
+      s"""WITH $tfCte,
+         |st AS (SELECT d.source, t.term, count(*)::BIGINT AS y
+         |       FROM tok2 t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |corpus AS (SELECT term, sum(y)::BIGINT AS alpha FROM st GROUP BY 1),
+         |bysrc AS (SELECT source, sum(y)::BIGINT AS n_i FROM st GROUP BY 1),
+         |tot AS (SELECT sum(n_i)::BIGINT AS n_all FROM bysrc),
+         |aa AS (SELECT sum(alpha)::BIGINT AS a0 FROM corpus),
+         |zs AS (SELECT s.source, s.term, s.y,
+         |         round((ln((s.y + c.alpha) / (b.n_i + a.a0 - s.y - c.alpha))
+         |              - ln(((c.alpha - s.y) + c.alpha)
+         |                   / ((t.n_all - b.n_i) + a.a0 - (c.alpha - s.y) - c.alpha)))
+         |             / sqrt(1.0 / (s.y + c.alpha) + 1.0 / ((c.alpha - s.y) + c.alpha)), 4) AS z
+         |       FROM st s JOIN corpus c USING (term) JOIN bysrc b USING (source), tot t, aa a),
+         |rked AS (SELECT source, term, y, z,
+         |           row_number() OVER (PARTITION BY source
+         |                              ORDER BY abs(z) DESC, term ASC)::BIGINT AS rk
+         |         FROM zs)
+         |SELECT source, term, y, z, rk FROM rked WHERE rk <= 5""".stripMargin,
     "q_entropy" ->
       s"""WITH $tfCte
          |SELECT doc_id, sum(tf)::BIGINT AS dl, count(*)::BIGINT AS n_types,
@@ -2765,6 +2909,26 @@ object SparkEntry {
         |      FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)
         |      WHERE length(word) >= 2)
         |SELECT "left", "right", sum(wcount)::BIGINT AS n FROM p GROUP BY 1, 2""".stripMargin,
+    "q_bpe_train" ->
+      s"""WITH RECURSIVE $bpeSelCte,
+         |fin AS (SELECT merges FROM sel ORDER BY it DESC LIMIT 1)
+         |SELECT (i - 1)::BIGINT AS rank, merges[i].l AS "left",
+         |       merges[i].r AS "right", merges[i].n AS n
+         |FROM fin, unnest(range(1, len(merges) + 1)) AS t(i)""".stripMargin,
+    // the training rewrite applied step-by-step to the dictionary IS
+    // the encode of every word under the learned ranks — the recursive
+    // state's FINAL vocab gives (word → subword count) directly
+    "q_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeSelCte,
+         |fin AS (SELECT vocab FROM sel ORDER BY it DESC LIMIT 1),
+         |lens AS (SELECT array_to_string(w.syms, '') AS word, len(w.syms)::BIGINT AS n_sub
+         |         FROM (SELECT unnest(vocab) AS w FROM fin)),
+         |tokd AS (SELECT doc_id, word FROM (
+         |           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |           FROM documents)
+         |         WHERE length(word) > 0)
+         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_bpe_tokens
+         |FROM tokd JOIN lens USING (word) GROUP BY doc_id""".stripMargin,
     // wide per-flag metric block melted to (key, metric, value) —
     // UNION ALL is the relational spelling of the Expand
     "q_unpivot" ->

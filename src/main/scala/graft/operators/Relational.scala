@@ -826,6 +826,42 @@ object Relational {
       .groupBy("bucket").agg(count(lit(1)).as("n_active"))
   }
 
+  /** (hour, n_sessions, n_users): BINNED interval-overlap join — user
+    * sessions ([[sessionize]] intervals) joined to "hot hours" (hour
+    * buckets whose event count is ≥ 1.25× the mean non-empty-hour count)
+    * on temporal OVERLAP. The generic interval-overlap predicate
+    * (a.start ≤ b.end AND b.start ≤ a.end) is not an equi-join — naive
+    * Spark falls back to BroadcastNestedLoopJoin, O(N·M). The scale
+    * plan bins the session side by covered hour (explode bounded by
+    * session span / bin width; sessions are gap-bounded) and joins on
+    * the bin key — an EQUI-join that shuffles on a uniform time key.
+    * A hot window is exactly one bin, so each overlapping
+    * (session, window) pair materializes exactly once and no
+    * post-join dedup shuffle is needed (windows spanning several bins
+    * would need a distinct — the documented general form). The
+    * overlap guard stays as a cheap post-join filter (here implied by
+    * bin co-membership, load-bearing under wider windows). Mean
+    * threshold rides a broadcast scalar. Same binning answers
+    * point-in-interval and interval-interval joins at any scale. */
+  def intervalJoin(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val hourMs = 3600000L
+    val sessions = sessionize(events, gapMinutes)
+    val hourly = events.select(expr("ts div 3600000000000").as("hour"))
+      .groupBy("hour").agg(count(lit(1)).as("cnt"))
+    val avgC = hourly.agg(avg(col("cnt")).as("avg_cnt"))
+    val hot = hourly.crossJoin(broadcast(avgC))
+      .filter(col("cnt") >= lit(1.25) * col("avg_cnt"))
+      .select(col("hour"), (col("hour") * hourMs).as("w_start_ms"),
+        ((col("hour") + 1) * hourMs - 1).as("w_end_ms"))
+    val binned = sessions.select(col("user_id"), col("session_id"),
+      col("start_ms"), col("end_ms"),
+      explode(sequence(expr("start_ms div 3600000"), expr("end_ms div 3600000"))).as("hour"))
+    binned.join(hot, Seq("hour"))
+      .filter(col("start_ms") <= col("w_end_ms") && col("w_start_ms") <= col("end_ms"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** (event_id, user_id, n_1h, sum_micros_1h): VALUE-RANGE window
     * frame — for each event, the count and exact micro-sum of the
     * same user's events in the PRECEDING hour (ts-3600s, ts],

@@ -81,23 +81,75 @@ object Sketches {
 
   /** (term, est_count): Count-Min-Sketch heavy hitters — terms whose
     * ESTIMATED corpus frequency is ≥ `minShare` of all kept tokens.
-    * The sketch is a fixed (eps, confidence)-sized 2-D counter array
-    * folded in one distributed pass (`stat.countMinSketch` merges
-    * per-partition sketches); estimates then price the DISTINCT terms
-    * only. CMS never undercounts, so the result is a SUPERSET of the
-    * true heavy hitters with est ≤ true + eps·N (w.p. ≥ confidence) —
-    * both bounds are asserted in SketchesSpec. At 100 TB this answers
-    * "which tokens dominate my corpus" in one pass with ~eps⁻¹·ln(1/δ)
-    * counters of state, no term-keyed shuffle of the full stream. */
+    * The sketch is the classic d×w counter array (Cormode &
+    * Muthukrishnan 2005), built here from md5-DERIVED row hashes
+    * (`conv(substr(md5(r:term),1,8),16,10) % w`) so the whole sketch
+    * is deterministic and replayable — the DuckDB oracle rebuilds the
+    * identical counters, promoting this key from rows-only to
+    * hash-checked (same treatment the MinHash banding got). Counter
+    * fold = one aggregation on (row, bucket): d·w distinct keys
+    * (8,192 at the defaults), so map-side partial aggregation
+    * collapses every partition to sketch-sized state and the shuffle
+    * moves ~d·w rows per partition — NO term-keyed shuffle of the
+    * token stream, the property that makes CMS the 100 TB answer to
+    * "which tokens dominate". Estimates then price the DISTINCT terms
+    * via a broadcast join against the tiny counter relation, min over
+    * the d rows. CMS never undercounts, so the result is a SUPERSET
+    * of the true heavy hitters with est ≤ true + (e/w)·N — both
+    * bounds asserted in SketchesSpec. */
   def heavyHitters(docs: DataFrame, minShare: Double = 0.01,
-                   eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+                   d: Int = 4, w: Int = 2048): DataFrame = {
     val toks = Bm25.tokenize(docs)
-    val cms = toks.stat.countMinSketch(col("term"), eps, confidence, seed = 42)
-    val total = cms.totalCount()
-    val threshold = (total * minShare).toLong
-    val est = udf((t: String) => cms.estimateCount(t))
-    toks.select("term").distinct()
-      .withColumn("est_count", est(col("term")))
-      .filter(col("est_count") >= threshold)
+    val rows = (0 until d).map { r =>
+      struct(lit(r).as("r"),
+        (conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 8), 16, 10)
+          .cast("long") % w).as("bucket"))
+    }
+    def buckets(rel: DataFrame): DataFrame =
+      rel.select(col("term"), explode(array(rows: _*)).as("rb"))
+        .select(col("term"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    val counters = buckets(toks).groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    // N = every token counted once = the row-0 counter mass
+    val total = counters.filter(col("r") === 0).agg(sum("cnt").as("n"))
+    // distinct on the term ALONE (not term×d exploded rows) — the
+    // d bucket columns re-derive as a pure projection after the shuffle
+    buckets(toks.select("term").distinct())
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy("term").agg(min("cnt").as("est_count"))
+      .crossJoin(broadcast(total))
+      .filter(col("est_count") >= lit(minShare) * col("n"))
+      .select(col("term"), col("est_count"))
+  }
+
+  /** (event_type, kmv_users, exact_users): K-Minimum-Values distinct
+    * cardinality estimate (Bar-Yossef et al. 2002) beside the exact
+    * count — est = (k−1)/h_(k) where h_(k) is the k-th smallest
+    * md5(user) mapped to [0,1). The fold is [[graft.functions.BottomK]]
+    * (sorted-distinct, ≤ k strings of state per group, merged
+    * per-partition — no distinct-user shuffle for the sketch itself),
+    * and because lowercase fixed-width hex compares lexicographically
+    * exactly as the 128-bit value compares numerically, the k-th
+    * string IS the k-th hash. Unlike HLL ([[approxDistinct]]) the
+    * estimator is hash-replayable: the DuckDB oracle re-derives the
+    * same k-th hash and the same (k−1)/h_(k), so this key is
+    * hash-checked. Groups with fewer than k distinct users report the
+    * exact count (the sketch holds them all). exact_users is the
+    * side-by-side verification baseline (as in [[approxDistinct]]);
+    * at scale you would drop that column and keep the bounded fold. */
+  def kmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val bottomK = udaf(new graft.functions.BottomK(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val M = "1152921504606846976" // 16^15: first-15-hex-digits scale
+    events
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(bottomK(col("h")).as("bk"), countDistinct(col("h")).as("exact_users"))
+      .select(col("event_type"),
+        round(when(col("exact_users") < k, col("exact_users").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (conv(substring(element_at(col("bk"), least(size(col("bk")), lit(k))), 1, 15), 16, 10)
+              .cast("double") / lit(M).cast("double"))), 4).as("kmv_users"),
+        col("exact_users"))
   }
 }

@@ -307,6 +307,83 @@ object TextAnalysis {
         round(avg(log(col("n12").cast("double") / col("n1"))), 4).as("avg_logprob"))
   }
 
+  /** (w1, w2, n12, pkn): interpolated Kneser-Ney bigram probabilities —
+    * the standard LM smoothing (Kneser & Ney 1995; Chen & Goodman 1999)
+    * the MLE model in [[bigramLm]] lacks. With absolute discount
+    * D = 0.75:
+    *   pkn(w2|w1) = max(n12 − D, 0)/c1 + D·T1/c1 · (T2/T)
+    * where c1 = Σ_w n(w1,w) (left-context total), T1 = |{w : n(w1,w)>0}|
+    * (distinct continuations of w1), T2 = |{w : n(w,w2)>0}| (distinct
+    * left contexts of w2 — the continuation count that makes KN "KN"),
+    * and T = total distinct bigram types. Everything derives from the
+    * bigram-type relation c12 in three partial-aggregations (by w1, by
+    * w2, and one scalar) joined back on their own keys — nothing
+    * corpus-sized shuffles twice, and the scalar rides a broadcast.
+    * At web scale the relation is bigram-type-sized (the model itself),
+    * which is what an LM build materializes anyway. round(·,6) absorbs
+    * FP division noise. */
+  def knBigram(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val c12 = bigramRows(docs).groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val left = c12.groupBy(col("w1").as("lw1"))
+      .agg(sum("n12").as("c1"), count(lit(1)).as("t1"))
+    val cont = c12.groupBy(col("w2").as("cw2")).agg(count(lit(1)).as("t2"))
+    val tot = c12.agg(count(lit(1)).as("t"))
+    c12.join(left, col("w1") === col("lw1"))
+      .join(cont, col("w2") === col("cw2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n12"),
+        round(
+          greatest(col("n12") - lit(discount), lit(0.0)) / col("c1") +
+            lit(discount) * col("t1") / col("c1") *
+              (col("t2").cast("double") / col("t")), 6).as("pkn"))
+  }
+
+  /** (source, term, y, z): per-source discriminative terms by weighted
+    * log-odds-ratio with an informative Dirichlet prior (Monroe, Colaresi
+    * & Quinn 2008 — "Fightin' Words"), the principled replacement for
+    * raw per-class TF-IDF ([[classTfidf]]): rare terms get shrunk toward
+    * the corpus prior instead of dominating. For each source i vs the
+    * rest, with prior α_t = corpus count of t and α0 = Σα:
+    *   δ = ln((y_i+α_t)/(n_i+α0−y_i−α_t)) − ln((y_r+α_t)/(n_r+α0−y_r−α_t))
+    *   z = δ / sqrt(1/(y_i+α_t) + 1/(y_r+α_t))
+    * Emits the top-`k` terms per source by |z| (rank over the ROUNDED
+    * z with a term tiebreak, so the selection is engine-stable). One
+    * term-keyed aggregation to (source, term) counts; corpus totals
+    * come from re-aggregating that output (term-type-sized);
+    * per-source scalars broadcast. The rank window partitions by
+    * source over per-source vocabularies — the same bounded shape as
+    * per-doc top-k terms. */
+  def logOdds(docs: DataFrame, k: Int = 5): DataFrame = {
+    val st = Bm25.tokenize(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "term").agg(count(lit(1)).as("y"))
+    val corpus = st.groupBy(col("term").as("ct")).agg(sum("y").as("alpha"))
+    val bySrc = st.groupBy(col("source").as("cs")).agg(sum("y").as("n_i"))
+    val totals = bySrc.agg(sum("n_i").as("n_all"))
+    val a0 = corpus.agg(sum("alpha").as("a0"))
+    st.join(corpus, col("term") === col("ct"))
+      .join(bySrc, col("source") === col("cs"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(a0))
+      .select(col("source"), col("term"), col("y"),
+        col("alpha"), col("n_i"), col("a0"),
+        (col("alpha") - col("y")).as("y_r"),
+        (col("n_all") - col("n_i")).as("n_r"))
+      .select(col("source"), col("term"), col("y"),
+        round(
+          (log((col("y") + col("alpha")) /
+               (col("n_i") + col("a0") - col("y") - col("alpha"))) -
+           log((col("y_r") + col("alpha")) /
+               (col("n_r") + col("a0") - col("y_r") - col("alpha")))) /
+          sqrt(lit(1.0) / (col("y") + col("alpha")) +
+               lit(1.0) / (col("y_r") + col("alpha"))), 4).as("z"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(abs(col("z")).desc, col("term").asc))
+        .cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** (doc_id, dl, n_types, ttr, entropy): token-distribution profile —
     * type-token ratio and Shannon entropy (nats) of each document's
     * kept-token histogram. Low entropy = repetitive/template text,

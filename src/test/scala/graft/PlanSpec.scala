@@ -324,4 +324,26 @@ class PlanSpec extends AnyFunSuite {
     // the length band reaches the vocabulary side before the explode
     assert(p.contains("length(term"), s"length band missing from vocab side:\n$p")
   }
+
+  test("interval join: overlap runs as a bin equi-join, never a nested loop") {
+    val p = planString(Relational.intervalJoin(Tables.events(spark, sf)))
+    // the session↔window join must be a HASH join keyed on the hour
+    // bin (the overlap predicate demoted to a join residual); the only
+    // nested-loop allowed is the 1-row broadcast of the avg threshold
+    assert(p.contains("BroadcastHashJoin [hour") || p.contains("SortMergeJoin [hour"),
+      s"interval overlap must equi-join on the time bin:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in interval join:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the scalar-threshold broadcast may nested-loop, got $bnlj:\n$p")
+  }
+
+  test("cms heavy hitters: no term-keyed exchange feeds the counter fold") {
+    val p = planString(graft.operators.Sketches.heavyHitters(Tables.documents(spark, sf)))
+    // the counter aggregation exchanges on (r, bucket) — sketch-sized
+    // keys; the only term exchange allowed is the distinct-term
+    // pricing side
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.exists(_.contains("bucket")),
+      s"counter fold must shuffle on (r, bucket):\n$p")
+  }
 }

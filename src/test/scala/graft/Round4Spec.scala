@@ -76,20 +76,21 @@ class Round4Spec extends AnyFunSuite {
     assert(viaBloom == plain && viaBloom.nonEmpty)
   }
 
-  test("CMS heavy hitters: superset of exact, est within eps*N overcount") {
-    val eps = 0.001
-    val hh = Sketches.heavyHitters(docs, minShare = 0.01, eps = eps).collect()
+  test("CMS heavy hitters: superset of exact, est within (e/w)*N overcount") {
+    val (d, w) = (4, 2048)
+    val hh = Sketches.heavyHitters(docs, minShare = 0.01, d = d, w = w).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Bm25.tokenize(docs).groupBy("term").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = exact.values.sum
-    val trueHeavy = exact.filter { case (_, n) => n >= (total * 0.01).toLong }
+    val trueHeavy = exact.filter { case (_, n) => n >= total * 0.01 }
     // CMS never undercounts → every true heavy hitter is present
     assert(trueHeavy.keySet.subsetOf(hh.keySet) && trueHeavy.nonEmpty)
+    val epsN = math.ceil(math.E / w * total).toLong
     hh.foreach { case (t, est) =>
       val tru = exact.getOrElse(t, 0L)
       assert(est >= tru, s"$t undercounted: $est < $tru")
-      assert(est <= tru + (eps * total).toLong + 1, s"$t overcounted beyond bound: $est vs $tru")
+      assert(est <= tru + epsN + 1, s"$t overcounted beyond bound: $est vs $tru")
     }
   }
 
