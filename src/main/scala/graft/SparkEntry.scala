@@ -346,6 +346,10 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(Tables.documents(s, dir))),
     "q_kn_bigram" -> ((s, dir) => TextAnalysis.knBigram(Tables.documents(s, dir))),
     "q_log_odds" -> ((s, dir) => TextAnalysis.logOdds(Tables.documents(s, dir))),
+    // per-source KS doc-length drift vs the rest of the corpus
+    "q_ks_drift" -> ((s, dir) => TextAnalysis.ksDrift(Tables.documents(s, dir))),
+    // Coleman-Liau reading level per source (exact regexp counts)
+    "q_readability" -> ((s, dir) => TextAnalysis.readability(Tables.documents(s, dir))),
     "q_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
     "q_emb_quantize" -> ((s, dir) => Vectors.quantizeInt8(Tables.embeddings(s, dir))),
     "q_stream_upsert" -> ((s, dir) => graft.streaming.Streams.upsertStream(s, dir)),
@@ -594,6 +598,10 @@ object SparkEntry {
     }),
     // k-anonymity release gate on the event log
     "q_k_anonymize" -> ((s, dir) => Relational.kAnonymize(Tables.events(s, dir))),
+    // deterministic-Laplace DP count release (noisy sibling of the gate)
+    "q_dp_counts" -> ((s, dir) => Relational.dpCounts(Tables.events(s, dir))),
+    // robust modified-z outliers (MAD), integer-exact flag rule
+    "q_mad_outliers" -> ((s, dir) => Relational.madOutliers(Tables.events(s, dir))),
     // the composed clean→dedup→quality funnel as ONE plan
     "q_pipeline_funnel" -> ((s, dir) =>
       TextAnalysis.pipelineFunnel(Tables.documents(s, dir))),
@@ -3297,6 +3305,87 @@ object SparkEntry {
         |       count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1, 2
         |HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    // deterministic Laplace noise replayed from the same md5-uniform:
+    // u = first-15-hex/16^15 - 0.5, noise = -(1/eps)*sign(u)*ln(1-2|u|)
+    "q_dp_counts" ->
+      """WITH g AS (SELECT event_type,
+        |             (epoch_ns(ts) // 86400000000000)::BIGINT AS day,
+        |             count(*)::BIGINT AS n
+        |           FROM events GROUP BY 1, 2),
+        |u AS (SELECT event_type, day, n,
+        |        list_sum(list_transform(range(1, 16),
+        |          j -> (strpos('0123456789abcdef',
+        |                 substr(md5(event_type || ':' || day::VARCHAR), j, 1)) - 1)::BIGINT
+        |               << ((15 - j) * 4)))::DOUBLE / 1152921504606846976.0 - 0.5 AS u
+        |      FROM g)
+        |SELECT event_type, day,
+        |       round(n + (-1.0) * sign(u) * ln(1.0 - 2.0 * abs(u)), 4) AS n_noisy
+        |FROM u""".stripMargin,
+    // both medians nearest-rank at position (n+1)//2 on value
+    // histograms; the outlier rule is the integer cross-multiplication
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT event_type, floor(value * 1000000.0)::BIGINT AS v FROM events),
+        |h1 AS (SELECT event_type, v, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, v, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |       FROM h1),
+        |med AS (SELECT event_type AS et, min(v) AS med FROM c1
+        |        WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum GROUP BY 1),
+        |d AS (SELECT v.event_type, v.v, abs(v.v - med.med) AS d
+        |      FROM v JOIN med ON v.event_type = med.et),
+        |h2 AS (SELECT event_type, d, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, d, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY d
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |       FROM h2),
+        |mad AS (SELECT event_type AS et2, min(d) AS mad FROM c2
+        |        WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum GROUP BY 1)
+        |SELECT d.event_type, count(*)::BIGINT AS n,
+        |       min(med.med) AS med_micros, min(mad.mad) AS mad_micros,
+        |       sum(CASE WHEN d.d * 6745 > mad.mad * 35000 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_outliers
+        |FROM d JOIN med ON d.event_type = med.et
+        |       JOIN mad ON d.event_type = mad.et2
+        |GROUP BY 1""".stripMargin,
+    // per-source CDF gap vs rest, evaluated on the full source x
+    // length grid; divisions written exactly as the plan's
+    "q_ks_drift" ->
+      """WITH h AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+        |           FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT v FROM h),
+        |srcs AS (SELECT source, sum(c)::BIGINT AS n_s FROM h GROUP BY 1),
+        |grid AS (SELECT s.source, s.n_s, vals.v, coalesce(h.c, 0) AS c
+        |         FROM vals CROSS JOIN srcs s
+        |         LEFT JOIN h ON h.source = s.source AND h.v = vals.v),
+        |cum AS (SELECT source, n_s, v,
+        |          sum(c) OVER (PARTITION BY source ORDER BY v
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+        |        FROM grid),
+        |g AS (SELECT v AS gv, sum(cum_s)::BIGINT AS cum_all,
+        |        sum(n_s)::BIGINT AS n_all
+        |      FROM cum GROUP BY 1)
+        |SELECT source, min(n_s)::BIGINT AS n_docs,
+        |       round(max(abs(cum_s::DOUBLE / n_s -
+        |                     (cum_all - cum_s)::DOUBLE / (n_all - n_s))), 6) AS ks_d
+        |FROM cum JOIN g ON cum.v = g.gv
+        |WHERE n_all > n_s
+        |GROUP BY 1""".stripMargin,
+    // letters / whitespace words / [.!?]+ runs as exact integer sums;
+    // the CLI formula runs once per source on the aggregates
+    "q_readability" ->
+      """WITH p AS (SELECT source,
+        |             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS l,
+        |             len(string_split(lower(text), ' '))::BIGINT AS w,
+        |             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s
+        |           FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(l)::BIGINT AS letters,
+        |       sum(w)::BIGINT AS words, sum(s)::BIGINT AS sentences,
+        |       round(0.0588 * (100.0 * sum(l) / sum(w)) -
+        |             0.296 * (100.0 * sum(s) / sum(w)) - 15.8, 4) AS cli
+        |FROM p GROUP BY 1""".stripMargin,
     // funnel accounting: dedup keep = min doc_id per normalized hash;
     // quality rules shared with q_quality_by_source
     "q_pipeline_funnel" ->

@@ -956,6 +956,47 @@ object Relational {
         round(col("s").cast("double") / col("n"), 4).as("wins_mean_micros"))
   }
 
+  /** (event_type, n, med_micros, mad_micros, n_outliers): robust
+    * outlier detection by modified z-score (Iglewicz & Hoaglin 1993) —
+    * med = nearest-rank median of value micros per type, MAD = median
+    * of |v − med|, flag when 0.6745·|v − med|/MAD > 3.5. Unlike the
+    * mean/stddev rule in [[valueOutliers]], both location and scale
+    * are breakdown-0.5 robust: the outliers themselves cannot mask
+    * the threshold. Determinism: both medians are nearest-rank
+    * position (n+1) div 2 on per-(type, value) HISTOGRAMS (the
+    * [[winsorizedMean]] machinery — windows run over distinct values
+    * per type, never row count), and the flag comparison is the
+    * integer cross-multiplication 6745·|v−med| > 35000·MAD — no FP
+    * anywhere. A zero MAD (majority-tied values) flags every
+    * deviating row, the rule's documented degenerate case. */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val v = events.select(col("event_type"), micros(col("value")).as("v"))
+    // nearest-rank median of `valCol` per type over a value histogram
+    def medianOf(rel: DataFrame, valCol: String): DataFrame = {
+      val hist = rel.groupBy("event_type", valCol).agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy(col(valCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum("c").over(wcum))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+        .filter(col("cum") - col("c") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("cum"))
+        .groupBy(col("event_type").as("et")).agg(min(valCol).as("med"))
+    }
+    val med = medianOf(v, "v")
+    val dev = v.join(broadcast(med), col("event_type") === col("et"))
+      .select(col("event_type"), col("v"), abs(col("v") - col("med")).as("d"))
+    val mad = medianOf(dev.select(col("event_type"), col("d")), "d")
+      .withColumnRenamed("med", "mad").withColumnRenamed("et", "et2")
+    dev.join(broadcast(med), col("event_type") === col("et"))
+      .join(broadcast(mad), col("event_type") === col("et2"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("med").as("med_micros"),
+        min("mad").as("mad_micros"),
+        sum(when(col("d") * 6745 > col("mad") * 35000, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** (user_id, last_value_micros, n_ops): CDC APPLY — reduce an
     * ordered change log to final table state. The event stream is read
     * as a changelog on the user_id key: 'error' events are DELETEs,
@@ -1108,4 +1149,29 @@ object Relational {
       .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
       .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
       .filter(col("n_users") >= k)
+
+  /** (event_type, day, n_noisy): ε-differential-privacy Laplace count
+    * release — per (kind, day) event counts with Laplace(1/ε) noise
+    * (Dwork et al. 2006; sensitivity 1 for a count), the noisy sibling
+    * of the [[kAnonymize]] suppression gate. The noise is DETERMINISTIC
+    * inverse-CDF sampling: u = md5(kind:day) first-15-hex / 16¹⁵ − 0.5
+    * ∈ [−0.5, 0.5), noise = −(1/ε)·sign(u)·ln(1 − 2|u|) — the engine's
+    * standard replayable-randomness trick (same as the train-split and
+    * KMV hashes), so the oracle re-derives the identical release and
+    * the key stays hash-checked. Per-group work is one md5 + one ln on
+    * the AGGREGATED relation (group-cardinality, not event count); a
+    * real release would emit n_noisy alone — the determinism is a
+    * test-harness property, swap the hash for a secret seed in
+    * production. round(·,4) absorbs libm ulp differences. */
+  def dpCounts(events: DataFrame, epsilon: Double = 1.0): DataFrame = {
+    val g = events
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val u = conv(substring(md5(concat_ws(":", col("event_type"), col("day"))), 1, 15), 16, 10)
+      .cast("double") / lit(1.152921504606846976e18) - lit(0.5)
+    g.select(col("event_type"), col("day"),
+      round(col("n") +
+        lit(-1.0 / epsilon) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u)), 4)
+        .as("n_noisy"))
+  }
 }

@@ -384,6 +384,74 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** (source, n_docs, ks_d): two-sample Kolmogorov-Smirnov drift test —
+    * for each source, D = max over observed lengths of
+    * |F_source(v) − F_rest(v)| between that source's doc-length CDF and
+    * the rest of the corpus (the standard distribution-shift detector
+    * between corpus slices/snapshots). Both CDFs are step functions, so
+    * the max is attained at a jump point of either — evaluated on the
+    * full (source × distinct length) grid, with each per-source
+    * cumulative a window PARTITIONED by source over the length domain
+    * (value-cardinality bounded: distinct doc lengths, never doc
+    * count). The corpus-wide cumulative is derived by re-aggregating
+    * the per-source cumulatives at each grid point — no partition-less
+    * window anywhere. The grid is |sources| × |lengths|, both bounded
+    * at any corpus size. Divisions are written identically in the
+    * oracle so the FP max picks the same jump point; round(·,6) at the
+    * end absorbs representation noise. */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val h = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val values = h.select("v").distinct()
+    val sources = h.groupBy("source").agg(sum("c").as("n_s"))
+    val grid = values.crossJoin(broadcast(sources))
+    val cum = grid.join(h, Seq("source", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_s", sum("c").over(
+        w.partitionBy("source").orderBy(col("v").asc)
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+    // Σ over sources of cum_s(v) = corpus-wide cumulative at v
+    val gcum = cum.groupBy(col("v").as("gv"))
+      .agg(sum("cum_s").as("cum_all"), sum("n_s").as("n_all"))
+    cum.join(gcum, col("v") === col("gv"))
+      .filter(col("n_all") > col("n_s")) // degenerate one-source corpus
+      .select(col("source"), col("n_s"),
+        abs(col("cum_s").cast("double") / col("n_s") -
+          (col("cum_all") - col("cum_s")).cast("double") /
+            (col("n_all") - col("n_s"))).as("gap"))
+      .groupBy("source")
+      .agg(min("n_s").as("n_docs"), round(max("gap"), 6).as("ks_d"))
+  }
+
+  /** (source, n_docs, letters, words, sentences, cli): Coleman-Liau
+    * readability per source — CLI = 0.0588·L − 0.296·S − 15.8 with
+    * L = letters per 100 words and S = sentences per 100 words
+    * (Coleman & Liau 1975; chosen over Flesch because it needs no
+    * syllable model — every input is an exact regexp count). Letters,
+    * words (whitespace tokens, matching the tokenizer's split) and
+    * sentence marks ([.!?]+ runs, floor 1 per doc) aggregate as exact
+    * integer sums per source; the formula runs ONCE on the aggregate
+    * sums — one codegen'd map pass over the corpus, one tiny
+    * source-keyed aggregation, no FP until the final expression
+    * (round(·,4)). The corpus-health sibling of [[quality]]: quality
+    * scores docs, this profiles a source's overall reading level. */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("l"),
+        size(Text.rawTokens(col("text"))).cast("long").as("w"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"), lit(1L)).as("s"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("l").as("letters"),
+        sum("w").as("words"), sum("s").as("sentences"))
+      .select(col("source"), col("n_docs"), col("letters"), col("words"),
+        col("sentences"),
+        round(lit(0.0588) * (lit(100.0) * col("letters") / col("words")) -
+          lit(0.296) * (lit(100.0) * col("sentences") / col("words")) -
+          lit(15.8), 4).as("cli"))
+
   /** (doc_id, dl, n_types, ttr, entropy): token-distribution profile —
     * type-token ratio and Shannon entropy (nats) of each document's
     * kept-token histogram. Low entropy = repetitive/template text,

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-9 batch 5: corpus-health statistics — KS drift, Coleman-Liau
+  * readability, MAD robust outliers, DP count release. The DuckDB
+  * oracle pins exactness; these pin the statistical semantics (brute
+  * replays, robustness, noise bounds) the hash can't express.
+  */
+class Round9eSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val events = Tables.events(spark, sf)
+
+  test("ks drift: matches the brute-force two-sample statistic per source") {
+    val got = TextAnalysis.ksDrift(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    val lens = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = lens.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    got.foreach { case (s, (nDocs, ksD)) =>
+      val mine = bySrc(s).sorted
+      val rest = lens.collect { case (o, v) if o != s => v }.sorted
+      assert(nDocs == mine.length)
+      val points = (mine ++ rest).distinct
+      val d = points.map { v =>
+        math.abs(mine.count(_ <= v).toDouble / mine.length -
+          rest.count(_ <= v).toDouble / rest.length)
+      }.max
+      assert(math.abs(ksD - d) < 1e-6, s"$s: $ksD vs brute $d")
+      assert(ksD >= 0.0 && ksD <= 1.0)
+    }
+  }
+
+  test("readability: CLI reproduces from the emitted exact aggregates") {
+    val rows = TextAnalysis.readability(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, l, w, s, cli) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(n > 0 && l > 0 && w >= n && s >= n) // >=1 word+sentence/doc
+      val expect = 0.0588 * (100.0 * l / w) - 0.296 * (100.0 * s / w) - 15.8
+      assert(math.abs(cli - expect) < 5e-5, s"${r.getString(0)}: $cli vs $expect")
+    }
+  }
+
+  test("mad outliers: brute-replays, and huge injected outliers cannot mask") {
+    val got = Relational.madOutliers(events).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty)
+    val vals = events.select(col("event_type"),
+        floor(col("value") * 1000000.0).cast("long").as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def nearestRankMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    got.foreach { case (t, (n, med, mad, nOut)) =>
+      val xs = vals(t)
+      assert(n == xs.size)
+      assert(med == nearestRankMedian(xs), s"$t median")
+      assert(mad == nearestRankMedian(xs.map(v => math.abs(v - med))), s"$t mad")
+      assert(nOut == xs.count(v => math.abs(v - med) * 6745L > mad * 35000L), s"$t flags")
+    }
+    // robustness: replacing 10% of one type's rows with a huge spike
+    // must leave median and MAD unmoved (breakdown 0.5 — the spike
+    // cannot mask itself the way it inflates q_outliers' stddev)
+    val t0 = got.keys.min
+    val spiked = events.withColumn("value",
+      when(col("event_type") === t0 && col("event_id") % 10 === 0, lit(1.0e9))
+        .otherwise(col("value")))
+    val after = Relational.madOutliers(spiked).collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+    val (medB, madB) = (got(t0)._2, got(t0)._3)
+    val (medA, madA) = after(t0)
+    // nearest-rank position shifts by at most the injected fraction
+    assert(math.abs(medA - medB).toDouble <= math.abs(medB) * 0.25 + 1,
+      s"median moved $medB -> $medA under 10% spike")
+    assert(madA <= madB * 2 + 1, s"MAD exploded $madB -> $madA under 10% spike")
+  }
+
+  test("dp counts: deterministic, noise bounded by the Laplace inverse-CDF range") {
+    val a = Relational.dpCounts(events).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val b = Relational.dpCounts(events).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(a == b && a.nonEmpty) // replayable release
+    val truth = events
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(a.keySet == truth.keySet)
+    // |noise| <= (1/eps)·ln(16^15) ≈ 41.6 at eps=1 (u resolution 16^-15)
+    val bound = math.log(1.152921504606846976e18)
+    var moved = 0
+    a.foreach { case (k, noisy) =>
+      assert(math.abs(noisy - truth(k)) <= bound, s"$k noise out of range")
+      if (math.abs(noisy - truth(k)) > 1e-9) moved += 1
+    }
+    assert(moved > a.size / 2, "noise degenerate: most groups unperturbed")
+  }
+}
