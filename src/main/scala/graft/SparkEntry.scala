@@ -348,6 +348,12 @@ object SparkEntry {
     "q_log_odds" -> ((s, dir) => TextAnalysis.logOdds(Tables.documents(s, dir))),
     // per-source KS doc-length drift vs the rest of the corpus
     "q_ks_drift" -> ((s, dir) => TextAnalysis.ksDrift(Tables.documents(s, dir))),
+    // Heaps'-law vocab growth over nested md5-uniform subsamples
+    "q_heaps_law" -> ((s, dir) => TextAnalysis.heapsLaw(Tables.documents(s, dir))),
+    // MinHash estimator quality: signature agreement vs exact Jaccard
+    "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimate(Tables.documents(s, dir))),
+    // BPE fertility per language (tokenizer-equity metric)
+    "q_bpe_fertility" -> ((s, dir) => Bpe.fertility(Tables.documents(s, dir))),
     // Coleman-Liau reading level per source (exact regexp counts)
     "q_readability" -> ((s, dir) => TextAnalysis.readability(Tables.documents(s, dir))),
     "q_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
@@ -1681,6 +1687,26 @@ object SparkEntry {
     "q_dedup_verified" ->
       s"""WITH $minhashCandCte
          |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
+    // signature-agreement estimate over candidate pairs beside the
+    // UNthresholded exact Jaccard (cinter/csizes, pre-`ver` cut);
+    // disjoint-shingle banding collisions coalesce to exact 0.0
+    "q_minhash_est" ->
+      s"""WITH $minhashCandCte,
+         |je AS (SELECT i.doc_a, i.doc_b,
+         |         i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) AS j
+         |       FROM cinter i
+         |       JOIN csizes na ON i.doc_a = na.doc_id
+         |       JOIN csizes nb ON i.doc_b = nb.doc_id),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |          sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::DOUBLE / 16 AS e
+         |        FROM cand c
+         |        JOIN sig sa ON sa.doc_id = c.doc_a
+         |        JOIN sig sb ON sb.doc_id = c.doc_b AND sa.p = sb.p
+         |        GROUP BY 1, 2)
+         |SELECT est.doc_a, est.doc_b, round(est.e, 4) AS est_jaccard,
+         |       coalesce(round(je.j, 4), 0.0) AS jaccard
+         |FROM est LEFT JOIN je
+         |  ON est.doc_a = je.doc_a AND est.doc_b = je.doc_b""".stripMargin,
     // connected components = min doc_id over the transitive closure of
     // the duplicate graph: verified near-dup pairs PLUS exact-copy
     // pairs (copies too short to shingle still duplicate each other).
@@ -2937,6 +2963,25 @@ object SparkEntry {
          |         WHERE length(word) > 0)
          |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_bpe_tokens
          |FROM tokd JOIN lens USING (word) GROUP BY doc_id""".stripMargin,
+    // same encode replay, aggregated by the doc's language — the
+    // fertility (subwords per word) equity metric
+    "q_bpe_fertility" ->
+      s"""WITH RECURSIVE $bpeSelCte,
+         |fin AS (SELECT vocab FROM sel ORDER BY it DESC LIMIT 1),
+         |lens AS (SELECT array_to_string(w.syms, '') AS word, len(w.syms)::BIGINT AS n_sub
+         |         FROM (SELECT unnest(vocab) AS w FROM fin)),
+         |tokd AS (SELECT doc_id, word FROM (
+         |           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |           FROM documents)
+         |         WHERE length(word) > 0),
+         |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+         |             sum(n_sub)::BIGINT AS n_bpe_tokens
+         |           FROM tokd JOIN lens USING (word) GROUP BY doc_id)
+         |SELECT d.lang, sum(p.n_words)::BIGINT AS n_words,
+         |       sum(p.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+         |       round(sum(p.n_bpe_tokens)::DOUBLE / sum(p.n_words), 4) AS fertility
+         |FROM perdoc p JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     // wide per-flag metric block melted to (key, metric, value) —
     // UNION ALL is the relational spelling of the Expand
     "q_unpivot" ->
@@ -3373,6 +3418,33 @@ object SparkEntry {
         |FROM cum JOIN g ON cum.v = g.gv
         |WHERE n_all > n_s
         |GROUP BY 1""".stripMargin,
+    // nested md5-uniform subsample tiers; the OLS slope over the
+    // log-log curve replays as plain aggregate arithmetic
+    "q_heaps_law" ->
+      s"""WITH $tfCte,
+         |du AS (SELECT doc_id,
+         |         list_sum(list_transform(range(1, 16),
+         |           j -> (strpos('0123456789abcdef',
+         |                  substr(md5('heaps:' || doc_id::VARCHAR), j, 1)) - 1)::BIGINT
+         |                << ((15 - j) * 4)))::DOUBLE / 1152921504606846976.0 AS u
+         |       FROM documents),
+         |dl AS (SELECT t.doc_id, du.u, count(*)::BIGINT AS dl
+         |       FROM tok2 t JOIN du ON t.doc_id = du.doc_id GROUP BY 1, 2),
+         |tu AS (SELECT t.term, min(du.u) AS mu
+         |       FROM tok2 t JOIN du ON t.doc_id = du.doc_id GROUP BY 1),
+         |ks AS (SELECT unnest(generate_series(0, 6)) AS k),
+         |pts AS (SELECT ks.k,
+         |          (SELECT coalesce(sum(CASE WHEN dl.u < 2.0 ^ (ks.k - 6) THEN dl.dl ELSE 0 END), 0)::BIGINT FROM dl) AS n_tokens,
+         |          (SELECT coalesce(sum(CASE WHEN tu.mu < 2.0 ^ (ks.k - 6) THEN 1 ELSE 0 END), 0)::BIGINT FROM tu) AS vocab
+         |        FROM ks),
+         |pf AS (SELECT * FROM pts WHERE n_tokens > 0 AND vocab > 0),
+         |fit AS (SELECT ((sum(ln(n_tokens::DOUBLE) * ln(vocab::DOUBLE)) -
+         |                 sum(ln(n_tokens::DOUBLE)) * sum(ln(vocab::DOUBLE)) / count(*)::DOUBLE) /
+         |                (sum(ln(n_tokens::DOUBLE) * ln(n_tokens::DOUBLE)) -
+         |                 sum(ln(n_tokens::DOUBLE)) * sum(ln(n_tokens::DOUBLE)) / count(*)::DOUBLE)) AS b
+         |        FROM pf)
+         |SELECT pf.k::BIGINT AS k, pf.n_tokens, pf.vocab, round(fit.b, 4) AS beta
+         |FROM pf, fit""".stripMargin,
     // letters / whitespace words / [.!?]+ runs as exact integer sums;
     // the CLI formula runs once per source on the aggregates
     "q_readability" ->

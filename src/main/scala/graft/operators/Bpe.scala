@@ -106,6 +106,26 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_bpe_tokens"))
   }
 
+  /** (lang, n_words, n_bpe_tokens, fertility): tokenizer FERTILITY per
+    * language — mean subword tokens emitted per word under the learned
+    * BPE merges (the standard tokenizer-equity metric: a tokenizer
+    * trained on skewed data over-segments under-represented languages,
+    * inflating their effective sequence length and training cost;
+    * cf. the multilingual-tokenizer fairness literature). Rides
+    * [[encodeCorpus]]'s plan unchanged — encode once per DISTINCT
+    * word on the capped driver vocab, broadcast the subword lengths,
+    * aggregate by the doc's language instead of by doc. One division
+    * on exact integer sums, rounded. */
+  def fertility(docs: DataFrame, numMerges: Int = 20,
+      maxVocab: Int = 100000): DataFrame =
+    encodeCorpus(docs, numMerges, maxVocab)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4)
+          .as("fertility"))
+
   /** The driver-side greedy loop over the (symbols, count) dictionary.
     * Returns (left, right, pairCount) in merge order. */
   private[graft] def learn(vocab0: Array[(Array[String], Long)],

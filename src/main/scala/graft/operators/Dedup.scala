@@ -471,6 +471,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j_exact"), 4).as("jaccard"))
   }
 
+  /** (doc_a, doc_b, est_jaccard, jaccard): MinHash ESTIMATOR-QUALITY
+    * evaluation — for every LSH candidate pair, the signature-agreement
+    * estimate (matching components / numPerm, the unbiased MinHash
+    * Jaccard estimator of Broder 1997) beside the exact n-gram
+    * Jaccard. This is the monitoring query a production dedup pipeline
+    * runs on a sample to validate its banding configuration: a
+    * systematic est-vs-exact gap means the permutation family or
+    * shingle width is wrong for the corpus. Work is PAIR-bounded: the
+    * signature join restricts to candidate docs first (left-semi), the
+    * agreement count is candidates × numPerm rows, and the exact side
+    * reuses [[ngramJaccard]] over candidate docs only. Candidate pairs
+    * whose shingle sets are disjoint (banding collision) report exact
+    * 0.0 — the false-positive rows the estimator gap surfaces. */
+  def minhashEstimate(docs: DataFrame, numPerm: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val cand = minhashCandidates(docs, numPerm, rowsPerBand).localCheckpoint()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candCorpus = docs.join(candDocs, Seq("doc_id"), "left_semi")
+    val sigs = minhashSignatures(candCorpus, numPerm)
+    val est = cand
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.p") === col("sb.p"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("sa.sig") === col("sb.sig"), 1L).otherwise(0L))
+        .cast("double") / numPerm).as("e"))
+    val exact = ngramJaccard(candCorpus, 0.0)
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), round(col("e"), 4).as("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
   /** See [[graft.functions.GraftHashing]] — re-exported for oracle
     * construction in SparkEntry. */
   val MinhashMod: Long = graft.functions.GraftHashing.MinhashMod

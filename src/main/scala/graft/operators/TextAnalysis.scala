@@ -221,6 +221,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** (k, n_tokens, vocab, beta): Heaps'-law vocabulary-growth curve
+    * and exponent fit — V(N) ≈ K·N^β (Heaps 1978; β ≈ 0.4-0.6 for
+    * natural text, the tokenizer/vocab-sizing law: it predicts how
+    * vocabulary grows as the corpus scales to 100 TB). The curve
+    * points are NESTED md5-uniform subsamples, not doc-order prefixes:
+    * subset k = docs with u < 2^(k−6) for k = 0..6 (u = md5-uniform of
+    * doc_id), so each point is a random sample of the corpus, every
+    * subset contains the smaller ones by construction, and the whole
+    * curve needs NO ordering, rank, or window — n_tokens(k) is seven
+    * conditional sums over the per-doc length relation, vocab(k) seven
+    * conditional counts over the per-term MIN-u relation (a term
+    * enters the vocabulary at the tier of its earliest-sampled doc).
+    * β is the log-log OLS slope over the (≤7)-point curve — all the
+    * regression arithmetic runs on a broadcast scalar. Everything
+    * md5-replayable, hash-checked. */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    val toks = Bm25.tokenize(docs)
+    def u(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("heaps:"), c.cast("string"))), 1, 15), 16, 10)
+        .cast("double") / lit(1.152921504606846976e18)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .select(u(col("doc_id")).as("u"), col("dl"))
+    val tu = toks.groupBy("term").agg(min(u(col("doc_id"))).as("mu"))
+    def tier(uCol: org.apache.spark.sql.Column, valCol: org.apache.spark.sql.Column) =
+      (0 to 6).map(k => sum(when(uCol < math.pow(2.0, k - 6), valCol)
+        .otherwise(lit(0L))).as(s"c$k"))
+    val tok7 = dl.agg(tier(col("u"), col("dl")).head, tier(col("u"), col("dl")).tail: _*)
+    val voc7 = tu.agg(tier(col("mu"), lit(1L)).head, tier(col("mu"), lit(1L)).tail: _*)
+    val stackExpr = (0 to 6).map(k => s"$k, t.c$k, v.c$k").mkString(", ")
+    val pts = tok7.as("t").crossJoin(voc7.as("v"))
+      .select(expr(s"stack(7, $stackExpr)").as(Seq("k", "n_tokens", "vocab")))
+      .filter(col("n_tokens") > 0 && col("vocab") > 0)
+    val fit = pts.select(log(col("n_tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("m"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(((col("sxy") - col("sx") * col("sy") / col("m")) /
+        (col("sxx") - col("sx") * col("sx") / col("m"))).as("b"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("k").cast("long").as("k"), col("n_tokens"), col("vocab"),
+        round(col("b"), 4).as("beta"))
+  }
+
   /** (term, n, term_rank, log10_rank, log10_n): the corpus rank-frequency
     * (Zipf) profile over the engine's kept tokens — the standard
     * corpus-health diagnostic (a healthy natural corpus is ~linear in

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Relational, TextAnalysis}
+import graft.operators.{Bm25, Relational, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-9 batch 5: corpus-health statistics — KS drift, Coleman-Liau
@@ -82,6 +82,72 @@ class Round9eSpec extends AnyFunSuite {
     assert(math.abs(medA - medB).toDouble <= math.abs(medB) * 0.25 + 1,
       s"median moved $medB -> $medA under 10% spike")
     assert(madA <= madB * 2 + 1, s"MAD exploded $madB -> $madA under 10% spike")
+  }
+
+  test("minhash estimate: unbiased-family bounds — est within 1/numPerm grid, tracks exact") {
+    val rows = graft.operators.Dedup.minhashEstimate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, est, exact) =>
+      assert(a < b)
+      // candidates share >= one full band of 4 components
+      assert(est >= 4.0 / 16 - 1e-9 && est <= 1.0)
+      assert(exact >= 0.0 && exact <= 1.0)
+      // identical texts must estimate 1.0 exactly
+      if (exact == 1.0) assert(est == 1.0, s"($a,$b) exact=1 but est=$est")
+    }
+    // est lives on the 1/16 grid (it counts matching components)
+    rows.foreach { case (a, b, est, _) =>
+      assert(math.abs(est * 16 - math.round(est * 16)) < 1e-9,
+        s"($a,$b) est $est off the signature grid")
+    }
+    // banding SELECTS on agreement, so the estimate is upward-biased
+    // on the candidate set — the false-positive gap this monitor
+    // exists to surface (tiny docs make it large at this sf)
+    val meanEst = rows.map(_._3).sum / rows.length
+    val meanExact = rows.map(_._4).sum / rows.length
+    assert(meanEst >= meanExact - 1e-9,
+      s"candidate-set estimate $meanEst below exact $meanExact")
+  }
+
+  test("heaps law: nested tiers are monotone and beta is a sublinear-growth exponent") {
+    val pts = TextAnalysis.heapsLaw(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(pts.nonEmpty && pts.last._1 == 6L)
+    // nested subsets: both coordinates monotone non-decreasing in k
+    pts.sliding(2).foreach {
+      case Array((_, t1, v1, _), (_, t2, v2, _)) =>
+        assert(t2 >= t1 && v2 >= v1, "tiers not nested")
+      case _ =>
+    }
+    // tier 6 is the whole corpus
+    val full = Bm25.tokenize(docs)
+    assert(pts.last._2 == full.count())
+    assert(pts.last._3 == full.select("term").distinct().count())
+    val beta = pts.head._4
+    assert(pts.forall(_._4 == beta), "beta must be constant across rows")
+    // sublinear growth; strictly positive only when the vocabulary
+    // actually grows across tiers (the tiny synthetic vocab saturates
+    // at the first tier, a legitimate beta ~ 0)
+    assert(beta >= 0.0 && beta < 1.0, s"Heaps exponent $beta outside [0,1)")
+    if (pts.last._3 > pts.head._3) assert(beta > 0.0, "vocab grew but beta = 0")
+  }
+
+  test("bpe fertility: language totals reconcile with the per-doc encode") {
+    val perLang = graft.operators.Bpe.fertility(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(perLang.nonEmpty)
+    val perDoc = graft.operators.Bpe.encodeCorpus(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang").agg(sum("n_words").as("w"), sum("n_bpe_tokens").as("t"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(perLang.keySet == perDoc.keySet)
+    perLang.foreach { case (l, (w, t, f)) =>
+      assert((w, t) == perDoc(l), s"$l totals diverge")
+      assert(f >= 1.0, s"$l fertility $f < 1 (a word is at least one subword)")
+      assert(math.abs(f - t.toDouble / w) < 5e-5)
+    }
   }
 
   test("dp counts: deterministic, noise bounded by the Laplace inverse-CDF range") {
