@@ -606,6 +606,12 @@ object SparkEntry {
     "q_k_anonymize" -> ((s, dir) => Relational.kAnonymize(Tables.events(s, dir))),
     // deterministic-Laplace DP count release (noisy sibling of the gate)
     "q_dp_counts" -> ((s, dir) => Relational.dpCounts(Tables.events(s, dir))),
+    // CEP sequence matching: signup->click->purchase within 1h
+    "q_cep_match" -> ((s, dir) => Relational.cepMatch(Tables.events(s, dir))),
+    // interval-union coverage sweep per user (true active time)
+    "q_interval_union" -> ((s, dir) => Relational.intervalUnion(Tables.events(s, dir))),
+    // per-node triangle counts over the verified near-dup graph
+    "q_triangles" -> ((s, dir) => Graph.triangles(Tables.documents(s, dir))),
     // robust modified-z outliers (MAD), integer-exact flag rule
     "q_mad_outliers" -> ((s, dir) => Relational.madOutliers(Tables.events(s, dir))),
     // the composed clean→dedup→quality funnel as ONE plan
@@ -3350,6 +3356,63 @@ object SparkEntry {
         |       count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1, 2
         |HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    // forward-window min(struct) binds each step to the earliest
+    // qualifying follower; the b->c chain joins back on the bound b
+    "q_cep_match" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+        |           WHERE event_type IN ('signup', 'click', 'purchase')),
+        |w AS (SELECT user_id, event_id, ts, event_type,
+        |        min(CASE WHEN event_type = 'click'
+        |                 THEN struct_pack(ts := ts, event_id := event_id) END)
+        |          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
+        |        min(CASE WHEN event_type = 'purchase'
+        |                 THEN struct_pack(ts := ts, event_id := event_id) END)
+        |          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+        |      FROM e),
+        |an AS (SELECT user_id, event_id AS a_id, ts AS a_ts,
+        |              (nb).event_id AS b_id, (nb).ts AS b_ts
+        |       FROM w WHERE event_type = 'signup' AND nb IS NOT NULL),
+        |ab AS (SELECT user_id, event_id AS b_id, (nc).event_id AS c_id, (nc).ts AS c_ts
+        |       FROM w WHERE event_type = 'click' AND nc IS NOT NULL)
+        |SELECT an.user_id, a_id AS a_event_id, epoch_ns(a_ts) // 1000000 AS a_ts_ms,
+        |       an.b_id AS b_event_id, epoch_ns(b_ts) // 1000000 AS b_ts_ms,
+        |       c_id AS c_event_id, epoch_ns(c_ts) // 1000000 AS c_ts_ms,
+        |       (epoch_ns(c_ts) - epoch_ns(a_ts)) // 1000000 AS span_ms
+        |FROM an JOIN ab ON an.user_id = ab.user_id AND an.b_id = ab.b_id
+        |WHERE epoch_ns(c_ts) - epoch_ns(a_ts) <= 86400000000000""".stripMargin,
+    // running-max sweep: a block opens where start clears all prior
+    // ends; identical-row ties make peer order immaterial
+    "q_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) // 1000000 AS s,
+        |              epoch_ns(ts) // 1000000 + 300000 AS e FROM events),
+        |p AS (SELECT user_id, s, e,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM iv),
+        |o AS (SELECT user_id, s, e,
+        |        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS opens FROM p),
+        |bl AS (SELECT user_id, s, e,
+        |         sum(opens) OVER (PARTITION BY user_id ORDER BY s
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block
+        |       FROM o),
+        |g AS (SELECT user_id, block, min(s) AS bs, max(e) AS be FROM bl GROUP BY 1, 2)
+        |SELECT user_id, count(*)::BIGINT AS n_blocks,
+        |       sum(be - bs)::BIGINT AS covered_ms
+        |FROM g GROUP BY 1""".stripMargin,
+    // wedge join + closing-edge EXISTS on the a<b oriented verified
+    // dup graph; each triangle credits its three vertices
+    "q_triangles" ->
+      s"""WITH $minhashCandCte,
+         |ed AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),
+         |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |       FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+         |       WHERE EXISTS (SELECT 1 FROM ed e3
+         |                     WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |u AS (SELECT x AS doc_id FROM tr
+         |      UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr)
+         |SELECT doc_id, count(*)::BIGINT AS n_triangles FROM u GROUP BY 1""".stripMargin,
     // deterministic Laplace noise replayed from the same md5-uniform:
     // u = first-15-hex/16^15 - 0.5, noise = -(1/eps)*sign(u)*ln(1-2|u|)
     "q_dp_counts" ->

@@ -28,6 +28,30 @@ object Graph {
 
   val TotalMass = 1000000000000L // 10^12 "picos" of probability mass
 
+  /** (doc_id, n_triangles): per-node TRIANGLE COUNT over the verified
+    * near-dup graph — the local clustering signal that separates tight
+    * duplicate cliques (template farms, mirrored sites: triangle-dense)
+    * from chain-shaped drift (successive revisions: triangle-free),
+    * which [[Dedup.nearDupClusters]]'s component ids cannot distinguish.
+    * Standard distributed triangle enumeration on the a<b<c orientation
+    * (each triangle counted once): wedge join (e1.b = e2.a) + closing-
+    * edge semi-check, all equi-joins on the PAIR relation — work scales
+    * with wedges of the dup graph, never with the corpus. Each closed
+    * triangle credits its three vertices via one Expand + count. */
+  def triangles(docs: DataFrame): DataFrame = {
+    val e = Dedup.verifiedNearDups(docs)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"), "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** (node, rank): `iterations` rounds of damped (0.85) PageRank over
     * the UNDIRECTED verified near-dup graph; isolated docs keep the
     * teleport mass only. */

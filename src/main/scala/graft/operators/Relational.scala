@@ -862,6 +862,76 @@ object Relational {
       .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** (user_id, a_event_id, a_ts_ms, b_event_id, b_ts_ms, c_event_id,
+    * c_ts_ms, span_ms): CEP sequence-pattern matching — every match of
+    * signup → click → purchase per user completing within `withinMs`
+    * (default 24 h — matched to the corpus's ~11 h inter-event gaps),
+    * under MATCH_RECOGNIZE "AFTER MATCH SKIP TO NEXT ROW" semantics:
+    * each signup anchors its own match attempt, each later step binds
+    * the EARLIEST qualifying event after the previous step (the
+    * reference's Flink lineage makes CEP a first-class ask; Spark has
+    * no MATCH_RECOGNIZE, so this is the scalable re-expression). Plan:
+    * ONE shuffle on user_id computing, per event, the earliest
+    * following b and earliest following c via forward-window
+    * min(struct(ts, event_id)) (the [[asOfJoin]] trick mirrored
+    * forward); the b→c chain step is an equi-join back on the bound
+    * b event id — pair-bounded, no row explosion, ties totally
+    * ordered by (ts, event_id). */
+  def cepMatch(events: DataFrame, a: String = "signup", b: String = "click",
+               c: String = "purchase", withinMs: Long = 86400000L): DataFrame = {
+    val wNext = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val e = events.filter(col("event_type").isin(a, b, c))
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("next_b", min(when(col("event_type") === b,
+        struct(col("ts"), col("event_id")))).over(wNext))
+      .withColumn("next_c", min(when(col("event_type") === c,
+        struct(col("ts"), col("event_id")))).over(wNext))
+      .localCheckpoint()
+    val anchors = e.filter(col("event_type") === a && col("next_b").isNotNull)
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"),
+        col("next_b.event_id").as("b_id"), col("next_b.ts").as("b_ts"))
+    val atB = e.filter(col("event_type") === b && col("next_c").isNotNull)
+      .select(col("user_id"), col("event_id").as("b_id"),
+        col("next_c.event_id").as("c_id"), col("next_c.ts").as("c_ts"))
+    anchors.join(atB, Seq("user_id", "b_id"))
+      .filter(col("c_ts") - col("a_ts") <= withinMs * 1000000L)
+      .select(col("user_id"), col("a_id").as("a_event_id"),
+        expr("a_ts div 1000000").as("a_ts_ms"),
+        col("b_id").as("b_event_id"), expr("b_ts div 1000000").as("b_ts_ms"),
+        col("c_id").as("c_event_id"), expr("c_ts div 1000000").as("c_ts_ms"),
+        expr("(c_ts - a_ts) div 1000000").as("span_ms"))
+  }
+
+  /** (user_id, n_blocks, covered_ms): INTERVAL UNION (coverage sweep) —
+    * total wall-clock each user's [ts, ts+5 min) activity intervals
+    * cover once overlaps merge, plus the merged-block count (true
+    * "active time" vs the naive n_events × 5 min overcount; the
+    * interval-algebra complement of [[intervalJoin]]). The classic
+    * sweep is sequential; the scalable form is two per-user windows:
+    * a block opens where an interval's start clears the running max
+    * of all PRIOR ends (strictly-before frame), block ids are the
+    * running sum of those opens, and each block reduces to
+    * max(end) − min(start). Work is one shuffle on user_id; every
+    * window is user-partitioned — no global order anywhere. */
+  def intervalUnion(events: DataFrame, lenMs: Long = 300000L): DataFrame = {
+    val wPrev = Window.partitionBy("user_id")
+      .orderBy(col("s").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("user_id")
+      .orderBy(col("s").asc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("user_id"), expr("ts div 1000000").as("s"))
+      .withColumn("e", col("s") + lenMs)
+      .withColumn("pmax", max("e").over(wPrev))
+      .withColumn("opens",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("block", sum("opens").over(wRun))
+      .groupBy("user_id", "block")
+      .agg(min("s").as("bs"), max("e").as("be"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("be") - col("bs")).as("covered_ms"))
+  }
+
   /** (event_id, user_id, n_1h, sum_micros_1h): VALUE-RANGE window
     * frame — for each event, the count and exact micro-sum of the
     * same user's events in the PRECEDING hour (ts-3600s, ts],

@@ -150,6 +150,77 @@ class Round9eSpec extends AnyFunSuite {
     }
   }
 
+  test("cep match: every match is a valid ordered chain bound to earliest followers") {
+    val ms = Relational.cepMatch(events, withinMs = 86400000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(ms.nonEmpty)
+    // nanos ground truth keyed by event id (the output carries ms)
+    val ev = events.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val ns = ev.map(e => e._2 -> e._3).toMap
+    val byUser = ev.groupBy(_._1)
+    ms.foreach { case (u, aId, aTs, bId, bTs, cId, cTs, span) =>
+      assert(aTs <= bTs && bTs <= cTs && span <= 86400000L)
+      val (aNs, bNs, cNs) = (ns(aId), ns(bId), ns(cId))
+      assert(span == (cNs - aNs) / 1000000L, s"user $u span")
+      val mine = byUser(u)
+      def after(e: (Long, Long, Long, String), t: Long, id: Long) =
+        e._3 > t || (e._3 == t && e._2 > id)
+      val bBrute = mine.filter(e => e._4 == "click" && after(e, aNs, aId))
+        .minBy(e => (e._3, e._2))
+      assert(bBrute._2 == bId, s"user $u: b not earliest")
+      val cBrute = mine.filter(e => e._4 == "purchase" && after(e, bNs, bId))
+        .minBy(e => (e._3, e._2))
+      assert(cBrute._2 == cId, s"user $u: c not earliest")
+    }
+    // one match attempt per qualifying signup: a_event_id unique
+    assert(ms.map(_._2).distinct.length == ms.length)
+  }
+
+  test("interval union: coverage equals the brute sweep and bounds hold") {
+    val got = Relational.intervalUnion(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val starts = events.select(col("user_id"), expr("ts div 1000000").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    got.foreach { case (u, nBlocks, covered) =>
+      val iv = starts(u).map(_._2).sorted.map(s => (s, s + 300000L))
+      // brute merge sweep
+      var blocks = List.empty[(Long, Long)]
+      iv.foreach { case (s, e) =>
+        blocks match {
+          case (bs, be) :: rest if s <= be =>
+            blocks = (bs, math.max(be, e)) :: rest
+          case _ => blocks = (s, e) :: blocks
+        }
+      }
+      assert(nBlocks == blocks.length, s"user $u blocks")
+      assert(covered == blocks.map { case (s, e) => e - s }.sum, s"user $u coverage")
+      assert(covered <= iv.length * 300000L && covered >= 300000L)
+    }
+  }
+
+  test("triangles: every credited node closes, chain graphs credit nothing") {
+    import spark.implicits._
+    val tri = graft.operators.Graph.triangles(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // triangle total divides by 3 (each triangle credits 3 nodes)
+    assert(tri.map(_._2).sum % 3 == 0)
+    // brute check on the pair relation
+    val edges = graft.operators.Dedup.verifiedNearDups(docs)
+      .select(least(col("doc_a"), col("doc_b")), greatest(col("doc_a"), col("doc_b")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (Seq(x, y, z) <- nodes.combinations(3)
+         if edges((x, y)) && edges((y, z)) && edges((x, z))) {
+      brute(x) += 1; brute(y) += 1; brute(z) += 1
+    }
+    assert(tri.toMap == brute.toMap, "triangle credits diverge from brute force")
+  }
+
   test("dp counts: deterministic, noise bounded by the Laplace inverse-CDF range") {
     val a = Relational.dpCounts(events).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
