@@ -250,6 +250,8 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) => graft.streaming.Streams.streamDedup(s, dir)),
     "q_stream_join" -> ((s, dir) => graft.streaming.Streams.streamStreamJoin(s, dir)),
     "q_stream_anomaly" -> ((s, dir) => graft.streaming.Streams.anomalyAlerts(s, dir)),
+    // per-day PSI of the event-type mix vs the corpus reference mix
+    "q_stream_psi" -> ((s, dir) => graft.streaming.Streams.psiDriftStream(s, dir)),
 
     // ---- Round-4 additions: positional search, PRF, index serving,
     // more TPC-H shapes, pipeline filters, vector analytics ----
@@ -2081,6 +2083,23 @@ object SparkEntry {
         | AND c.tus <= p.tus AND c.tus >= p.tus - 3600000000""".stripMargin,
     // the streaming stateful detector replays the batch window frame
     // exactly (integer-only condition: v*n > 3*sum of prior values)
+    // streaming run-to-completion == batch replay; +1 Laplace
+    // smoothing keeps absent types' log terms finite in both engines
+    "q_stream_psi" ->
+      """WITH wc AS (SELECT (epoch_ns(ts) // 86400000000000) * 86400000 AS win_start_ms,
+        |              event_type, count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        |ref AS (SELECT event_type, count(*)::BIGINT AS cr FROM events GROUP BY 1),
+        |rt AS (SELECT sum(cr)::BIGINT AS nr, count(*)::BIGINT AS t FROM ref),
+        |wins AS (SELECT win_start_ms, sum(c)::BIGINT AS nw FROM wc GROUP BY 1),
+        |g AS (SELECT w.win_start_ms, w.nw, r.event_type, r.cr, coalesce(wc.c, 0) AS c
+        |      FROM wins w CROSS JOIN ref r
+        |      LEFT JOIN wc ON wc.win_start_ms = w.win_start_ms
+        |                  AND wc.event_type = r.event_type)
+        |SELECT win_start_ms, min(nw)::BIGINT AS n_events,
+        |       round(sum(((c + 1)::DOUBLE / (nw + t) - (cr + 1)::DOUBLE / (nr + t)) *
+        |                 ln(((c + 1)::DOUBLE / (nw + t)) /
+        |                    ((cr + 1)::DOUBLE / (nr + t)))), 4) AS psi
+        |FROM g, rt GROUP BY 1""".stripMargin,
     "q_stream_anomaly" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |                  floor(value * 1000000.0)::BIGINT AS v FROM events),

@@ -197,6 +197,43 @@ object Streams {
     drainToMemory(spark, agg, OutputMode.Complete())
   }
 
+  /** (win_start_ms, n_events, psi): streaming POPULATION-STABILITY
+    * drift monitor — per 1-day event-time window, the PSI of the
+    * window's event-type mix against the whole-corpus reference mix
+    * (PSI = Σ (p_w − p_r)·ln(p_w/p_r), the industry drift metric; a
+    * day whose traffic mix shifts from the baseline scores high and
+    * pages the pipeline). The streaming side is ONE windowed keyed
+    * count (the same shuffle any windowed agg pays, watermark-evicted
+    * in production update mode); the reference mix is a static batch
+    * aggregate joined in AFTER the drain, types-cardinality-sized.
+    * Missing types Laplace-smooth with +1 on both mixes so the log
+    * stays finite — smoothing replayed identically by the oracle.
+    * round(·,4) absorbs ln association noise. */
+  def psiDriftStream(spark: SparkSession, dir: String): DataFrame = {
+    val counts = eventStream(spark, dir)
+      .withWatermark("event_time", "1 day")
+      .groupBy(window(col("event_time"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val winCounts = drainToMemory(spark, counts, OutputMode.Complete())
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("event_type"), col("c"))
+    // batch reference mix + (window x type) grid so absent types smooth
+    val ref = graft.sources.Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("cr"))
+    val refTot = ref.agg(sum("cr").as("nr"), count(lit(1)).as("t"))
+    val wins = winCounts.groupBy("win_start_ms").agg(sum("c").as("nw"))
+    wins.crossJoin(broadcast(ref))
+      .join(winCounts, Seq("win_start_ms", "event_type"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(refTot))
+      .withColumn("pw", (col("c") + 1).cast("double") / (col("nw") + col("t")))
+      .withColumn("pr", (col("cr") + 1).cast("double") / (col("nr") + col("t")))
+      .groupBy("win_start_ms")
+      .agg(min("nw").as("n_events"),
+        round(sum((col("pw") - col("pr")) * log(col("pw") / col("pr"))), 4)
+          .as("psi"))
+  }
+
   /** (user_id, purchase_event_id, click_event_id): stream-stream
     * interval join — every click of the same user in the hour BEFORE
     * (inclusive) each purchase. Both sides are watermarked streams;

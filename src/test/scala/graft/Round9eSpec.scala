@@ -221,6 +221,27 @@ class Round9eSpec extends AnyFunSuite {
     assert(tri.toMap == brute.toMap, "triangle credits diverge from brute force")
   }
 
+  test("stream psi: a window matching the reference mix scores near zero, skew scores high") {
+    // pure-math invariant of the smoothed PSI the streaming key emits:
+    // identical mixes -> 0; concentrated mix -> strictly larger
+    def psi(w: Map[String, Long], r: Map[String, Long]): Double = {
+      val t = r.size; val nw = w.values.sum; val nr = r.values.sum
+      r.keys.map { k =>
+        val pw = (w.getOrElse(k, 0L) + 1).toDouble / (nw + t)
+        val pr = (r(k) + 1).toDouble / (nr + t)
+        (pw - pr) * math.log(pw / pr)
+      }.sum
+    }
+    val ref = Map("a" -> 100L, "b" -> 100L, "c" -> 100L)
+    assert(math.abs(psi(ref, ref)) < 1e-12)
+    assert(psi(Map("a" -> 300L), ref) > 0.5)
+    assert(psi(Map("a" -> 90L, "b" -> 110L, "c" -> 100L), ref) <
+      psi(Map("a" -> 10L, "b" -> 190L, "c" -> 100L), ref))
+    // and PSI is non-negative for any mix pair (sum of (p-q)ln(p/q) terms,
+    // each sign-aligned)
+    assert(psi(Map("a" -> 1L, "b" -> 500L), ref) >= 0.0)
+  }
+
   test("dp counts: deterministic, noise bounded by the Laplace inverse-CDF range") {
     val a = Relational.dpCounts(events).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
