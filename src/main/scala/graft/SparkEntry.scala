@@ -614,6 +614,14 @@ object SparkEntry {
     "q_interval_union" -> ((s, dir) => Relational.intervalUnion(Tables.events(s, dir))),
     // per-node triangle counts over the verified near-dup graph
     "q_triangles" -> ((s, dir) => Graph.triangles(Tables.documents(s, dir))),
+    // exact maximum-inner-product top-k (recommender retrieval)
+    "q_mips" -> ((s, dir) => Ann.mipsTopK(Tables.embeddings(s, dir))),
+    // LSH banding sweep: candidate volume per (bands, rows) config
+    "q_lsh_tune" -> ((s, dir) => Dedup.lshTune(Tables.documents(s, dir))),
+    // binary-segmentation change point on daily event volume
+    "q_changepoint" -> ((s, dir) => Relational.changepoint(Tables.events(s, dir))),
+    // two-proportion A/B (A/A) z-test on a parity cohort split
+    "q_ab_test" -> ((s, dir) => Relational.abTest(Tables.events(s, dir))),
     // robust modified-z outliers (MAD), integer-exact flag rule
     "q_mad_outliers" -> ((s, dir) => Relational.madOutliers(Tables.events(s, dir))),
     // the composed clean→dedup→quality funnel as ONE plan
@@ -880,6 +888,42 @@ object SparkEntry {
        |        WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8)""".stripMargin
   }
   private val minhashCandCte = minhashCandCteFor("documents")
+
+  /** Banding-sweep replay (Dedup.lshTune): one shared 16-perm `sig`
+    * relation, one bands/cand CTE pair per rowsPerBand config, counts
+    * unioned with the SAME midpoint literals the plan bakes in. */
+  private val lshTuneSql = {
+    val (a, b) = Dedup.minhashParams(16)
+    val aList = a.mkString("[", ", ", "]")
+    val bList = b.mkString("[", ", ", "]")
+    val per = Dedup.TuneConfigs.map { case (bands, r, _) =>
+      s"""bands$r AS (SELECT doc_id, p // $r AS band,
+         |            string_agg(sig::VARCHAR, '|' ORDER BY p) AS bkey
+         |          FROM sig GROUP BY doc_id, p // $r),
+         |cand$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands$r a JOIN bands$r b
+         |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = Dedup.TuneConfigs.map { case (bands, r, mid) =>
+      s"""SELECT ${bands}::BIGINT AS bands, ${r}::BIGINT AS rows_per_band,
+         |       $mid::DOUBLE AS midpoint,
+         |       (SELECT count(*) FROM cand$r)::BIGINT AS n_candidates"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingleCte,
+       |xk AS (SELECT doc_id,
+       |         list_sum(list_transform(range(1, 9),
+       |           j -> (strpos('0123456789abcdef', substr(md5(shingle), j, 1)) - 1)::BIGINT
+       |                << ((8 - j) * 4))) AS x
+       |       FROM sh),
+       |sig AS (SELECT doc_id, p,
+       |          min(($aList[p + 1] * x + $bList[p + 1]) % ${Dedup.MinhashMod}) AS sig
+       |        FROM xk, unnest(generate_series(0, 15)) AS t(p)
+       |        GROUP BY doc_id, p),
+       |$per
+       |$sel""".stripMargin
+  }
 
   /** Cross-relation fuzzy-contamination replay mirroring
     * Dedup.fuzzyContamination at its 8-bands-of-2 default: same
@@ -3420,6 +3464,53 @@ object SparkEntry {
         |SELECT user_id, count(*)::BIGINT AS n_blocks,
         |       sum(be - bs)::BIGINT AS covered_ms
         |FROM g GROUP BY 1""".stripMargin,
+    // raw inner product, no norm division; selection on the rounded
+    // score with the vec_id tiebreak (the bruteforce contract)
+    "q_mips" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT v FROM vn WHERE vec_id = 0)
+         |SELECT b.vec_id,
+         |       round(list_sum(list_transform(range(1, len(q.v) + 1),
+         |                                     i -> q.v[i] * b.v[i])), 4) AS ip
+         |FROM vn b, q WHERE b.vec_id != 0
+         |ORDER BY ip DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "q_lsh_tune" -> lshTuneSql,
+    // day-cardinality prefix sums via triangle join; standardized mean
+    // gap, 1-row argmax on (rounded score desc, day asc)
+    "q_changepoint" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day, count(*)::BIGINT AS x
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT sum(x)::BIGINT AS t, count(*)::BIGINT AS n FROM d),
+        |p AS (SELECT a.day, sum(b.x)::BIGINT AS s, count(*)::BIGINT AS n1
+        |      FROM d a JOIN d b ON b.day <= a.day GROUP BY a.day)
+        |SELECT p.day AS split_day, p.n1 AS n_before, (t.n - p.n1)::BIGINT AS n_after,
+        |       round(p.s::DOUBLE / p.n1, 4) AS mean_before,
+        |       round((t.t - p.s)::DOUBLE / (t.n - p.n1), 4) AS mean_after,
+        |       round(sqrt(p.n1 * (t.n - p.n1) / t.n::DOUBLE) *
+        |             abs(p.s::DOUBLE / p.n1 - (t.t - p.s)::DOUBLE / (t.n - p.n1)), 4)
+        |         AS score
+        |FROM p, t WHERE p.n1 < t.n
+        |ORDER BY score DESC, split_day ASC LIMIT 1""".stripMargin,
+    // pooled two-proportion z on the parity cohort split
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS np
+        |           FROM events GROUP BY 1),
+        |c AS (SELECT user_id % 2 AS cohort, count(*)::BIGINT AS n,
+        |        sum(CASE WHEN np >= 14 THEN 1 ELSE 0 END)::BIGINT AS c
+        |      FROM u GROUP BY 1),
+        |a AS (SELECT n AS n_a, c AS conv_a FROM c WHERE cohort = 0),
+        |b AS (SELECT n AS n_b, c AS conv_b FROM c WHERE cohort = 1),
+        |p AS (SELECT n_a, n_b, conv_a, conv_b,
+        |        (conv_a + conv_b)::DOUBLE / (n_a + n_b) AS pp FROM a, b)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |       round(conv_a::DOUBLE / n_a, 4) AS rate_a,
+        |       round(conv_b::DOUBLE / n_b, 4) AS rate_b,
+        |       CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+        |         round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) /
+        |               sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
+        |       END AS z
+        |FROM p""".stripMargin,
     // wedge join + closing-edge EXISTS on the a<b oriented verified
     // dup graph; each triangle credits its three vertices
     "q_triangles" ->

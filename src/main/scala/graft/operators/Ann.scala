@@ -52,6 +52,43 @@ object Ann {
       .select("vec_id", "cos")
   }
 
+  /** (vec_id, ip): exact top-k MAXIMUM INNER PRODUCT search (MIPS) —
+    * the retrieval objective of recommender/two-tower models, where
+    * un-normalized magnitude IS signal and cosine's normalization is
+    * wrong. Same scan shape as [[bruteForceTopK]]: one broadcast query
+    * row, codegen'd graft_dot over the corpus, distributed
+    * TakeOrdered on (rounded ip desc, vec_id asc). The scale path is
+    * the classic norm-augmentation REDUCTION to cosine (Bachrach et
+    * al. 2014): append sqrt(M² − ‖x‖²) to each vector (M = max norm)
+    * and 0 to the query — augmented-cosine order equals inner-product
+    * order, so every ANN structure in this file (LSH buckets, IVF
+    * lists) serves MIPS unchanged; the reduction's order-equivalence
+    * is spec-asserted against this exact baseline. */
+  def mipsTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = doubleVecs(embeddings)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("va"))
+    e.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("v").as("vb"))
+      .crossJoin(broadcast(q))
+      .withColumn("ip", round(dot(col("va"), col("vb")), 4))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "ip")
+  }
+
+  /** The norm-augmentation transform backing the MIPS→cosine
+    * reduction: (vec_id, v) with sqrt(M² − ‖x‖²) appended, M = max
+    * corpus norm (a broadcast scalar). Exposed for the spec that
+    * proves augmented-cosine order == inner-product order. */
+  private[graft] def normAugmented(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
+    val m = e.agg(max("nrm").as("m"))
+    e.crossJoin(broadcast(m))
+      .select(col("vec_id"),
+        concat(col("v"), array(sqrt(col("m") * col("m") - col("nrm") * col("nrm"))))
+          .as("v"))
+  }
+
   /** (vec_a, vec_b, cos): all pairs with cosine ≥ threshold. O(n²) —
     * the exactness baseline for near-dup detection; LSH below is what
     * runs at scale. The threshold applies to the EXACT cosine

@@ -505,6 +505,35 @@ object Dedup {
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
 
+  /** The banding configurations [[lshTune]] sweeps (bands ×
+    * rowsPerBand partitions of the 16-perm signature), with each
+    * config's S-curve midpoint (1/b)^(1/r) — the Jaccard level where
+    * candidate probability crosses 50%. */
+  val TuneConfigs: Seq[(Int, Int, Double)] =
+    Seq(2, 4, 8).map { r =>
+      val b = 16 / r
+      (b, r, BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+  /** (bands, rows_per_band, midpoint, n_candidates): LSH banding
+    * parameter SWEEP — the candidate-pair volume each (bands, rows)
+    * partition of the SAME 16-permutation signature matrix would
+    * produce, beside its S-curve midpoint. This is the tuning query an
+    * operator runs before committing a dedup configuration: more/
+    * narrower bands move the midpoint down (higher recall at low
+    * Jaccard) and the candidate count up — the cost/recall frontier as
+    * ONE relation. Each config re-slices the row-local signature array
+    * (map stage) and pays only its own (band, key) equi-join; counts
+    * are config-keyed scalars unioned at the end. */
+  def lshTune(docs: DataFrame, numPerm: Int = 16): DataFrame =
+    TuneConfigs.map { case (b, r, mid) =>
+      minhashCandidates(docs, numPerm, r)
+        .agg(count(lit(1)).as("n_candidates"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          lit(mid).as("midpoint"), col("n_candidates"))
+    }.reduce(_ unionByName _)
+
   /** See [[graft.functions.GraftHashing]] — re-exported for oracle
     * construction in SparkEntry. */
   val MinhashMod: Long = graft.functions.GraftHashing.MinhashMod

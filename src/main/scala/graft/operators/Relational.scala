@@ -1067,6 +1067,73 @@ object Relational {
           .as("n_outliers"))
   }
 
+  /** (split_day, n_before, n_after, mean_before, mean_after, score):
+    * CHANGE-POINT detection on the daily event-volume series — the
+    * binary-segmentation first split (Scott & Knott / CUSUM family):
+    * the day boundary maximizing the standardized mean gap
+    * sqrt(n₁·n₂/n)·|mean_before − mean_after| over daily counts. The
+    * pipeline-health question "did ingest volume shift, and when".
+    * The series is DAY-cardinality (bounded at any event scale —
+    * centuries are ~10⁴ rows), so the prefix sums ride a triangle
+    * self-join on the aggregated relation rather than any global
+    * window; the event-scale work is the one day-keyed count. Argmax
+    * is a 1-row TakeOrdered on (rounded score desc, day asc). */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum("x").as("t"), count(lit(1)).as("n"))
+    val pre = daily.as("a").join(daily.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(sum("b.x").as("s"), count(lit(1)).as("n1"))
+    pre.crossJoin(broadcast(tot))
+      .filter(col("n1") < col("n")) // a split needs a non-empty right side
+      .select(col("day").as("split_day"), col("n1").as("n_before"),
+        (col("n") - col("n1")).as("n_after"),
+        round(col("s").cast("double") / col("n1"), 4).as("mean_before"),
+        round((col("t") - col("s")).cast("double") / (col("n") - col("n1")), 4)
+          .as("mean_after"),
+        round(sqrt(col("n1") * (col("n") - col("n1")) / col("n").cast("double")) *
+          abs(col("s").cast("double") / col("n1") -
+            (col("t") - col("s")).cast("double") / (col("n") - col("n1"))), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("split_day").asc)
+      .limit(1)
+  }
+
+  /** (n_a, n_b, conv_a, conv_b, rate_a, rate_b, z): two-proportion
+    * A/B test — users split into deterministic cohorts by user_id
+    * parity, conversion = the user made ≥ `minPurchases` purchase
+    * events (14 splits this corpus near 50/50 at every scale factor;
+    * "≥1" saturates to p=1 and degenerates the statistic), z =
+    * (p_a − p_b)/sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with the pooled p̂ (the
+    * standard two-proportion z statistic; |z| > 1.96 ⇒ the split
+    * behaves differently at α = 0.05 — on a parity split it should
+    * NOT, making this the A/A sanity check experiment platforms run).
+    * A saturated pool (p̂ ∈ {0, 1}) yields NULL z — undefined, not a
+    * crash. One user-keyed aggregation, then scalar arithmetic on a
+    * 2-row relation. */
+  def abTest(events: DataFrame, minPurchases: Int = 14): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select((col("user_id") % 2).as("cohort"),
+        when(col("np") >= minPurchases, 1L).otherwise(0L).as("conv"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val a = users.filter(col("cohort") === 0).select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = users.filter(col("cohort") === 1).select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.crossJoin(b)
+      .withColumn("pa", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("pb", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("pp",
+        (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(col("pa"), 4).as("rate_a"), round(col("pb"), 4).as("rate_b"),
+        when(col("pp") > 0.0 && col("pp") < 1.0,
+          round((col("pa") - col("pb")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)).as("z"))
+  }
+
   /** (user_id, last_value_micros, n_ops): CDC APPLY — reduce an
     * ordered change log to final table state. The event stream is read
     * as a changelog on the user_id key: 'error' events are DELETEs,

@@ -242,6 +242,79 @@ class Round9eSpec extends AnyFunSuite {
     assert(psi(Map("a" -> 1L, "b" -> 500L), ref) >= 0.0)
   }
 
+  test("mips: norm-augmentation reduction preserves inner-product order") {
+    val emb = Tables.embeddings(spark, sf)
+    val mips = graft.operators.Ann.mipsTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mips.length == 10)
+    assert(mips.map(_._2).toSeq == mips.map(_._2).sorted.reverse.toSeq,
+      "not score-sorted")
+    // brute replay of the augmented-cosine ranking: cosine order over
+    // augmented vectors == inner-product order (query aug component 0)
+    val aug = graft.operators.Ann.normAugmented(emb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val q = aug(0L)
+    def dot(a: Array[Double], b: Array[Double], n: Int) =
+      (0 until n).map(i => a(i) * b(i)).sum
+    val d = q.length - 1 // original dims; query's aug component is dropped
+    val byAugCos = aug.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      (id, dot(q, v, d) / (math.sqrt(dot(q, q, d)) * math.sqrt(dot(v, v, d + 1))))
+    }.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    // same top-k membership and order as exact MIPS (rounded-score ties
+    // can permute within a tie group; compare id sets per score tier)
+    val mipsIds = mips.map(_._1).toSeq
+    assert(byAugCos.toSet == mipsIds.toSet,
+      s"augmented-cosine top-10 $byAugCos != mips $mipsIds")
+  }
+
+  test("lsh tune: narrower bands never lose candidates, midpoints descend") {
+    val rows = graft.operators.Dedup.lshTune(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1) // by bands: 2, 4, 8
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq((2L, 8L), (4L, 4L), (8L, 2L)))
+    // more/narrower bands -> lower midpoint and >= candidate volume
+    rows.sliding(2).foreach {
+      case Array((_, _, m1, _), (_, _, m2, _)) => assert(m2 < m1)
+      case _ =>
+    }
+    val byBands = rows.map(t => t._1 -> t._4).toMap
+    assert(byBands(8L) >= byBands(4L) && byBands(4L) >= byBands(2L),
+      s"candidate volume not monotone in bands: $byBands")
+    // the 4x4 row must equal the production banding's candidate count
+    assert(byBands(4L) ==
+      graft.operators.Dedup.minhashCandidates(docs).count())
+  }
+
+  test("changepoint: splits a synthetic level shift at the true boundary") {
+    import spark.implicits._
+    // 20 days at ~10/day then 20 days at ~30/day (ns timestamps)
+    val rows = (0 until 40).flatMap { d =>
+      val n = if (d < 20) 10 else 30
+      (0 until n).map(i => (d.toLong * 86400000000000L + i * 1000000L + 1L,
+        d.toLong, i.toLong))
+    }
+    val ev = rows.toDF("ts", "d", "i")
+    val got = Relational.changepoint(ev).collect().head
+    assert(got.getLong(0) == 19L, s"split at ${got.getLong(0)}, want day 19")
+    assert(got.getLong(1) == 20L && got.getLong(2) == 20L)
+    assert(math.abs(got.getDouble(3) - 10.0) < 1e-9)
+    assert(math.abs(got.getDouble(4) - 30.0) < 1e-9)
+    // and on the real corpus it returns exactly one well-formed row
+    val real = Relational.changepoint(events).collect()
+    assert(real.length == 1 && real.head.getDouble(5) >= 0.0)
+  }
+
+  test("ab test: parity A/A split is balanced and not significant") {
+    val r = Relational.abTest(events).collect().head
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    assert(nA > 0 && nB > 0 && math.abs(nA - nB) <= 1) // parity split
+    val conv = r.getLong(2) + r.getLong(3)
+    assert(conv > 0 && conv < nA + nB, "conversion saturated — test degenerate")
+    assert(!r.isNullAt(6), "z undefined on a non-saturated pool")
+    // A/A: no real effect; allow generous slack (|z| < 3.29 ~ alpha 0.001)
+    assert(math.abs(r.getDouble(6)) < 3.29, s"A/A split z=${r.getDouble(6)}")
+  }
+
   test("dp counts: deterministic, noise bounded by the Laplace inverse-CDF range") {
     val a = Relational.dpCounts(events).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
