@@ -252,6 +252,8 @@ object SparkEntry {
     "q_stream_anomaly" -> ((s, dir) => graft.streaming.Streams.anomalyAlerts(s, dir)),
     // per-day PSI of the event-type mix vs the corpus reference mix
     "q_stream_psi" -> ((s, dir) => graft.streaming.Streams.psiDriftStream(s, dir)),
+    // stateful streaming CEP; equals the batch matcher (shared oracle)
+    "q_stream_cep" -> ((s, dir) => graft.streaming.Streams.cepStream(s, dir)),
 
     // ---- Round-4 additions: positional search, PRF, index serving,
     // more TPC-H shapes, pipeline filters, vector analytics ----
@@ -888,6 +890,33 @@ object SparkEntry {
        |        WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8)""".stripMargin
   }
   private val minhashCandCte = minhashCandCteFor("documents")
+
+  /** Shared by q_cep_match (batch) and q_stream_cep (streaming):
+    * the streaming detector equals the batch matcher row-for-row. */
+  private val cepMatchSql =
+    """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+        |           WHERE event_type IN ('signup', 'click', 'purchase')),
+        |w AS (SELECT user_id, event_id, ts, event_type,
+        |        min(CASE WHEN event_type = 'click'
+        |                 THEN struct_pack(ts := ts, event_id := event_id) END)
+        |          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
+        |        min(CASE WHEN event_type = 'purchase'
+        |                 THEN struct_pack(ts := ts, event_id := event_id) END)
+        |          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+        |      FROM e),
+        |an AS (SELECT user_id, event_id AS a_id, ts AS a_ts,
+        |              (nb).event_id AS b_id, (nb).ts AS b_ts
+        |       FROM w WHERE event_type = 'signup' AND nb IS NOT NULL),
+        |ab AS (SELECT user_id, event_id AS b_id, (nc).event_id AS c_id, (nc).ts AS c_ts
+        |       FROM w WHERE event_type = 'click' AND nc IS NOT NULL)
+        |SELECT an.user_id, a_id AS a_event_id, epoch_ns(a_ts) // 1000000 AS a_ts_ms,
+        |       an.b_id AS b_event_id, epoch_ns(b_ts) // 1000000 AS b_ts_ms,
+        |       c_id AS c_event_id, epoch_ns(c_ts) // 1000000 AS c_ts_ms,
+        |       (epoch_ns(c_ts) - epoch_ns(a_ts)) // 1000000 AS span_ms
+        |FROM an JOIN ab ON an.user_id = ab.user_id AND an.b_id = ab.b_id
+        |WHERE epoch_ns(c_ts) - epoch_ns(a_ts) <= 86400000000000""".stripMargin
 
   /** Banding-sweep replay (Dedup.lshTune): one shared 16-perm `sig`
     * relation, one bands/cand CTE pair per rowsPerBand config, counts
@@ -3421,30 +3450,9 @@ object SparkEntry {
         |HAVING count(DISTINCT user_id) >= 5""".stripMargin,
     // forward-window min(struct) binds each step to the earliest
     // qualifying follower; the b->c chain joins back on the bound b
-    "q_cep_match" ->
-      """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
-        |           WHERE event_type IN ('signup', 'click', 'purchase')),
-        |w AS (SELECT user_id, event_id, ts, event_type,
-        |        min(CASE WHEN event_type = 'click'
-        |                 THEN struct_pack(ts := ts, event_id := event_id) END)
-        |          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
-        |        min(CASE WHEN event_type = 'purchase'
-        |                 THEN struct_pack(ts := ts, event_id := event_id) END)
-        |          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
-        |      FROM e),
-        |an AS (SELECT user_id, event_id AS a_id, ts AS a_ts,
-        |              (nb).event_id AS b_id, (nb).ts AS b_ts
-        |       FROM w WHERE event_type = 'signup' AND nb IS NOT NULL),
-        |ab AS (SELECT user_id, event_id AS b_id, (nc).event_id AS c_id, (nc).ts AS c_ts
-        |       FROM w WHERE event_type = 'click' AND nc IS NOT NULL)
-        |SELECT an.user_id, a_id AS a_event_id, epoch_ns(a_ts) // 1000000 AS a_ts_ms,
-        |       an.b_id AS b_event_id, epoch_ns(b_ts) // 1000000 AS b_ts_ms,
-        |       c_id AS c_event_id, epoch_ns(c_ts) // 1000000 AS c_ts_ms,
-        |       (epoch_ns(c_ts) - epoch_ns(a_ts)) // 1000000 AS span_ms
-        |FROM an JOIN ab ON an.user_id = ab.user_id AND an.b_id = ab.b_id
-        |WHERE epoch_ns(c_ts) - epoch_ns(a_ts) <= 86400000000000""".stripMargin,
+    "q_cep_match" -> cepMatchSql,
+    // the streaming CEP detector equals the batch matcher row-for-row
+    "q_stream_cep" -> cepMatchSql,
     // running-max sweep: a block opens where start clears all prior
     // ends; identical-row ties make peer order immaterial
     "q_interval_union" ->

@@ -197,6 +197,82 @@ object Streams {
     drainToMemory(spark, agg, OutputMode.Complete())
   }
 
+  /** (user_id, a_event_id, a_ts_ms, b_event_id, b_ts_ms, c_event_id,
+    * c_ts_ms, span_ms): STREAMING CEP — the signup→click→purchase
+    * pattern of [[graft.operators.Relational.cepMatch]] detected
+    * incrementally with flatMapGroupsWithState (the capability Flink
+    * CEP owns; this is its Structured-Streaming re-expression, and it
+    * matches the batch operator row-for-row — shared oracle). Per-user
+    * state is two small lists: anchors awaiting their first click, and
+    * (anchor, click) pairs awaiting their first purchase — every
+    * pending anchor binds the SAME earliest follower, which is exactly
+    * the batch forward-window semantics. State is BOUNDED by the match
+    * window: once event time passes anchor_ts + within, no future
+    * completion can satisfy the span filter, so the entry evicts —
+    * the CEP equivalent of watermark eviction. Event-time order across
+    * micro-batches comes from the mtime-ordered staging (a partitioned
+    * changelog's per-key order); in-batch, rows sort per user. */
+  def cepStream(spark: SparkSession, dir: String, nBatches: Int = 3,
+                withinMs: Long = 86400000L): DataFrame = {
+    import spark.implicits._
+    val withinNs = withinMs * 1000000L
+    val tag = pathTag(dir + "|cep|" + nBatches)
+    val src = sys.props("java.io.tmpdir") + s"/graft_cep_stream_src_$tag"
+    deleteRecursive(spark, src)
+    val events = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val (lo, hi) = events.agg(min("ts"), max("ts")).as[(Long, Long)].collect()(0)
+    val width = (hi - lo) / nBatches + 1
+    val mtimeBase = 1000000000000L
+    val root = new java.io.File(src)
+    (0 until nBatches).foreach { b =>
+      events.filter(col("ts") >= lo + b * width && col("ts") < lo + (b + 1) * width)
+        .coalesce(1).write.mode(if (b == 0) "overwrite" else "append").parquet(src)
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+        if (f.lastModified() > mtimeBase + nBatches * 60000L) {
+          f.setLastModified(mtimeBase + b * 60000L); ()
+        }
+      }
+    }
+    val s = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(Long, Long, Long, String)]
+    val matches = s.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, rows: Iterator[(Long, Long, Long, String)],
+       state: GroupState[(Seq[(Long, Long)], Seq[(Long, Long, Long, Long)])]) =>
+        var (openA, openAB) = state.getOption.getOrElse(
+          (Seq.empty[(Long, Long)], Seq.empty[(Long, Long, Long, Long)]))
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, eid, tpe) =>
+          // horizon eviction: a completion after this point would fail
+          // the span filter anyway — state stays window-bounded
+          openA = openA.filter { case (aTs, _) => ts <= aTs + withinNs }
+          openAB = openAB.filter { case (aTs, _, _, _) => ts <= aTs + withinNs }
+          tpe match {
+            case "signup" => openA :+= ((ts, eid))
+            case "click" =>
+              openAB ++= openA.map { case (aTs, aId) => (aTs, aId, ts, eid) }
+              openA = Seq.empty
+            case "purchase" =>
+              openAB.foreach { case (aTs, aId, bTs, bId) =>
+                if (ts - aTs <= withinNs)
+                  out += ((user, aId, aTs / 1000000L, bId, bTs / 1000000L,
+                    eid, ts / 1000000L, (ts - aTs) / 1000000L))
+              }
+              openAB = Seq.empty
+            case _ =>
+          }
+        }
+        state.update((openA, openAB))
+        out.result().iterator
+    }
+    drainToMemory(spark, matches.toDF("user_id", "a_event_id", "a_ts_ms",
+      "b_event_id", "b_ts_ms", "c_event_id", "c_ts_ms", "span_ms"),
+      OutputMode.Append())
+  }
+
   /** (win_start_ms, n_events, psi): streaming POPULATION-STABILITY
     * drift monitor — per 1-day event-time window, the PSI of the
     * window's event-type mix against the whole-corpus reference mix

@@ -315,6 +315,28 @@ class Round9eSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6)) < 3.29, s"A/A split z=${r.getDouble(6)}")
   }
 
+  test("stream cep: equals batch matcher with matches straddling micro-batch boundaries") {
+    val streamed = graft.streaming.Streams.cepStream(spark, sf, nBatches = 3)
+      .collect().map(_.toSeq).toSet
+    val batch = Relational.cepMatch(events).collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream ${streamed.size} rows vs batch ${batch.size}")
+    // cross-batch state proof: at least one match's a..c span must
+    // cross a staging slice boundary (slices replicate cepStream's)
+    import org.apache.spark.sql.functions._
+    val typed = events.filter(col("event_type")
+      .isin("signup", "click", "purchase"))
+    val Array(lo, hi) = typed.agg(min("ts"), max("ts")).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val width = (hi - lo) / 3 + 1
+    val bounds = Seq(lo + width, lo + 2 * width).map(_ / 1000000L)
+    val straddling = batch.count { row =>
+      val aMs = row(2).asInstanceOf[Long]; val cMs = row(6).asInstanceOf[Long]
+      bounds.exists(b => aMs < b && b <= cMs)
+    }
+    assert(straddling > 0, "no match crosses a micro-batch boundary — state untested")
+  }
+
   test("dp counts: deterministic, noise bounded by the Laplace inverse-CDF range") {
     val a = Relational.dpCounts(events).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
