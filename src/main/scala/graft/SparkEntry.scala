@@ -616,6 +616,10 @@ object SparkEntry {
     "q_interval_union" -> ((s, dir) => Relational.intervalUnion(Tables.events(s, dir))),
     // per-node triangle counts over the verified near-dup graph
     "q_triangles" -> ((s, dir) => Graph.triangles(Tables.documents(s, dir))),
+    // common-neighbor link prediction: the dedup review queue
+    "q_common_neighbors" -> ((s, dir) => Graph.commonNeighbors(Tables.documents(s, dir))),
+    // Benford first-digit screen on order totals
+    "q_benford" -> ((s, dir) => Relational.benford(Tables.orders(s, dir))),
     // exact maximum-inner-product top-k (recommender retrieval)
     "q_mips" -> ((s, dir) => Ann.mipsTopK(Tables.embeddings(s, dir))),
     // LSH banding sweep: candidate volume per (bands, rows) config
@@ -3519,6 +3523,35 @@ object SparkEntry {
         |               sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
         |       END AS z
         |FROM p""".stripMargin,
+    // first digit of the price-micros BIGINT; p and chi2 both use
+    // ln(1+1/d)/ln(10) to mirror the plan's Logarithm expression
+    "q_benford" ->
+      """WITH d AS (SELECT substr(floor(o_totalprice * 1000000.0)::BIGINT::VARCHAR,
+        |                        1, 1)::BIGINT AS digit,
+        |             count(*)::BIGINT AS n
+        |           FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t FROM d),
+        |wp AS (SELECT digit, n, t, ln(1.0 + 1.0 / digit) / ln(10.0) AS p FROM d, t),
+        |chi AS (SELECT round(sum((n - t * p) * (n - t * p) / (t * p)), 4) AS chi2
+        |        FROM wp)
+        |SELECT digit, n, round(n::DOUBLE / t, 4) AS freq,
+        |       round(p, 4) AS benford_p, chi.chi2
+        |FROM wp, chi""".stripMargin,
+    // open wedges (shared neighbor, no closing edge) ranked by count:
+    // the pairs the graph says the banding missed
+    "q_common_neighbors" ->
+      s"""WITH $minhashCandCte,
+         |ed AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM cand),
+         |nb AS (SELECT a AS node, b AS nbr FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |w AS (SELECT x.node AS doc_a, y.node AS doc_b, count(*)::BIGINT AS n_common
+         |      FROM nb x JOIN nb y ON x.nbr = y.nbr AND x.node < y.node
+         |      GROUP BY 1, 2),
+         |nw AS (SELECT w.doc_a, w.doc_b, w.n_common FROM w
+         |       LEFT JOIN ed ON w.doc_a = ed.a AND w.doc_b = ed.b
+         |       WHERE ed.a IS NULL)
+         |SELECT doc_a, doc_b, n_common FROM nw
+         |ORDER BY n_common DESC, doc_a ASC, doc_b ASC LIMIT 10""".stripMargin,
     // wedge join + closing-edge EXISTS on the a<b oriented verified
     // dup graph; each triangle credits its three vertices
     "q_triangles" ->

@@ -1067,6 +1067,35 @@ object Relational {
           .as("n_outliers"))
   }
 
+  /** (digit, n, freq, benford_p, chi2): BENFORD first-significant-digit
+    * profile of order totals — the classic bulk data-quality / fraud
+    * screen: organically-generated money amounts follow
+    * P(d) = log₁₀(1 + 1/d); synthetic, capped, or fabricated values
+    * bend the curve. The digit is exact integer arithmetic: first
+    * char of the price-micros BIGINT (scaling by 10⁶ preserves the
+    * leading significant digit of a positive value — no log/pow in
+    * the digit path). One digit-keyed aggregation (9 groups); the
+    * chi-squared statistic against the Benford expectation rides a
+    * broadcast scalar and repeats per row (digit rows + the corpus
+    * verdict in one relation). */
+  def benford(orders: DataFrame): DataFrame = {
+    val d = orders.filter(col("o_totalprice") > 0)
+      .select(substring(micros(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum("n").as("t"))
+    val withP = d.crossJoin(broadcast(tot))
+      .withColumn("p", log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+    val chi2 = withP
+      .select(((col("n") - col("t") * col("p")) * (col("n") - col("t") * col("p")) /
+        (col("t") * col("p"))).as("c"))
+      .agg(round(sum("c"), 4).as("chi2"))
+    withP.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("t"), 4).as("freq"),
+        round(col("p"), 4).as("benford_p"), col("chi2"))
+  }
+
   /** (split_day, n_before, n_after, mean_before, mean_after, score):
     * CHANGE-POINT detection on the daily event-volume series — the
     * binary-segmentation first split (Scott & Knott / CUSUM family):

@@ -337,6 +337,47 @@ class Round9eSpec extends AnyFunSuite {
     assert(straddling > 0, "no match crosses a micro-batch boundary — state untested")
   }
 
+  test("benford: digits 1-9 cover all orders, probabilities sum to 1, chi2 finite") {
+    val rows = Relational.benford(Tables.orders(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSet.subsetOf((1L to 9L).toSet) && rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3) // freqs sum to ~1
+    // Benford reference masses are the exact log10(1+1/d) values
+    rows.foreach { case (d, _, _, p, chi2) =>
+      assert(math.abs(p - math.log10(1.0 + 1.0 / d)) < 5e-5)
+      assert(chi2 >= 0.0 && !chi2.isNaN)
+    }
+    val total = Tables.orders(spark, sf).filter(col("o_totalprice") > 0).count()
+    assert(rows.map(_._2).sum == total)
+  }
+
+  test("common neighbors: planted chain predicts the missing link; corpus queue is honestly empty") {
+    import spark.implicits._
+    // path 1-2-3-4 plus hub 5 connected to {1,3}: top prediction must
+    // be (1,3) (2 common: 2 and 5), then the 1-hop-apart path pairs
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (3L, 5L))
+      .toDF("a", "b")
+    val got = graft.operators.Graph.commonNeighborsFrom(e, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(got.head == ((1L, 3L), 2L), s"top prediction ${got.head}")
+    val asMap = got.toMap
+    assert(asMap((2L, 4L)) == 1L && asMap((2L, 5L)) == 2L && asMap((4L, 5L)) == 1L)
+    assert(!asMap.contains((1L, 2L)), "existing edge leaked into predictions")
+    // wired key: every prediction brute-verifies as a non-adjacent
+    // pair with exactly that many shared candidate-graph neighbors
+    val edges = graft.operators.Dedup.minhashCandidates(docs).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val adj = edges.foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)) {
+      case (m, (a, b)) => m.updated(a, m(a) + b).updated(b, m(b) + a)
+    }
+    graft.operators.Graph.commonNeighbors(docs).collect().foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(!edges((a, b)), s"($a,$b) already an edge")
+      assert((adj(a) intersect adj(b)).size == n, s"($a,$b) count wrong")
+    }
+  }
+
   test("dp counts: deterministic, noise bounded by the Laplace inverse-CDF range") {
     val a = Relational.dpCounts(events).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
