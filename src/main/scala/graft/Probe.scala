@@ -223,6 +223,30 @@ object Probe {
       time("first_touch")(graft.operators.Relational.firstTouch(evr).count())
       time("cdc_apply")(graft.operators.Relational.cdcApply(evr).count())
       time("k_anonymize")(graft.operators.Relational.kAnonymize(evr).count())
+      // round-9e operators under the same 20x skew: the graph pair
+      // (triangles/link-prediction) sees 20-copy cliques — the wedge
+      // joins must survive the cubic per-clique blowup the exact
+      // collapse bounds; minhash_est and lsh_tune re-band the skewed
+      // corpus; cep/interval/mad ride the 20x-hot event log
+      time("triangles")(graft.operators.Graph.triangles(d).count())
+      time("common_neighbors")(graft.operators.Graph.commonNeighbors(d).count())
+      time("minhash_est")(graft.operators.Dedup.minhashEstimate(d).count())
+      time("lsh_tune")(graft.operators.Dedup.lshTune(d).count())
+      time("ks_drift")(graft.operators.TextAnalysis.ksDrift(d).count())
+      time("heaps_law")(graft.operators.TextAnalysis.heapsLaw(d).count())
+      time("readability")(graft.operators.TextAnalysis.readability(d).count())
+      time("kn_bigram")(graft.operators.TextAnalysis.knBigram(d).count())
+      time("log_odds")(graft.operators.TextAnalysis.logOdds(d).count())
+      time("bpe_fertility")(graft.operators.Bpe.fertility(d).count())
+      time("mips")(graft.operators.Ann.mipsTopK(e).count())
+      time("cep_match")(graft.operators.Relational.cepMatch(evr).count())
+      time("interval_union")(graft.operators.Relational.intervalUnion(evr).count())
+      time("interval_join")(graft.operators.Relational.intervalJoin(evr).count())
+      time("mad_outliers")(graft.operators.Relational.madOutliers(evr).count())
+      time("changepoint")(graft.operators.Relational.changepoint(evr).count())
+      time("ab_test")(graft.operators.Relational.abTest(evr).count())
+      time("dp_counts")(graft.operators.Relational.dpCounts(evr).count())
+      time("kmv_distinct")(graft.operators.Sketches.kmvDistinct(evr).count())
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)

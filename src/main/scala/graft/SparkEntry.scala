@@ -620,6 +620,10 @@ object SparkEntry {
     "q_common_neighbors" -> ((s, dir) => Graph.commonNeighbors(Tables.documents(s, dir))),
     // Benford first-digit screen on order totals
     "q_benford" -> ((s, dir) => Relational.benford(Tables.orders(s, dir))),
+    // top-k session journeys (clickstream path analysis)
+    "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
+    // language-ID confusion matrix vs the ground-truth lang column
+    "q_langid_confusion" -> ((s, dir) => TextAnalysis.langConfusion(Tables.documents(s, dir))),
     // exact maximum-inner-product top-k (recommender retrieval)
     "q_mips" -> ((s, dir) => Ann.mipsTopK(Tables.embeddings(s, dir))),
     // LSH banding sweep: candidate volume per (bands, rows) config
@@ -894,6 +898,14 @@ object SparkEntry {
        |        WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8)""".stripMargin
   }
   private val minhashCandCte = minhashCandCteFor("documents")
+
+  /** One representative doc per distinct text — the exact-collapse
+    * subset the estimator monitor and link predictor band over. */
+  private val canonDocsRel =
+    """(SELECT d.* FROM documents d
+      | JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) cn
+      | USING (doc_id))""".stripMargin
+  private val minhashCanonCte = minhashCandCteFor(canonDocsRel)
 
   /** Shared by q_cep_match (batch) and q_stream_cep (streaming):
     * the streaming detector equals the batch matcher row-for-row. */
@@ -1776,7 +1788,7 @@ object SparkEntry {
     // UNthresholded exact Jaccard (cinter/csizes, pre-`ver` cut);
     // disjoint-shingle banding collisions coalesce to exact 0.0
     "q_minhash_est" ->
-      s"""WITH $minhashCandCte,
+      s"""WITH $minhashCanonCte,
          |je AS (SELECT i.doc_a, i.doc_b,
          |         i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) AS j
          |       FROM cinter i
@@ -3523,6 +3535,38 @@ object SparkEntry {
         |               sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
         |       END AS z
         |FROM p""".stripMargin,
+    // gap sessionization replayed, paths as the ordered first-5 type
+    // list; identical (ts, event_id) total order in both engines
+    "q_session_paths" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |        sum(CASE WHEN prev_ts IS NULL OR
+        |                      epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM o),
+        |p AS (SELECT user_id, session_id,
+        |        array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+        |      FROM s GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC LIMIT 10""".stripMargin,
+    // the lang-id CTE joined back to truth; share = cell / true-row
+    "q_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, len(toks) AS n_tokens,
+         |             len(list_filter(toks, t -> t IN ($stop))) AS n_stop FROM t),
+         |pred AS (SELECT doc_id,
+         |           CASE WHEN n_stop::DOUBLE / n_tokens >= 0.05 THEN 'en'
+         |                ELSE 'und' END AS predicted_lang
+         |         FROM c),
+         |cells AS (SELECT d.lang, p.predicted_lang, count(*)::BIGINT AS n
+         |          FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT lang AS tl, sum(n)::BIGINT AS row_n FROM cells GROUP BY 1)
+         |SELECT lang, predicted_lang, n, round(n::DOUBLE / row_n, 4) AS share
+         |FROM cells JOIN tot ON lang = tl""".stripMargin,
     // first digit of the price-micros BIGINT; p and chi2 both use
     // ln(1+1/d)/ln(10) to mirror the plan's Logarithm expression
     "q_benford" ->
@@ -3540,7 +3584,7 @@ object SparkEntry {
     // open wedges (shared neighbor, no closing edge) ranked by count:
     // the pairs the graph says the banding missed
     "q_common_neighbors" ->
-      s"""WITH $minhashCandCte,
+      s"""WITH $minhashCanonCte,
          |ed AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM cand),
          |nb AS (SELECT a AS node, b AS nbr FROM ed
          |       UNION ALL SELECT b, a FROM ed),

@@ -483,10 +483,18 @@ object Dedup {
     * agreement count is candidates × numPerm rows, and the exact side
     * reuses [[ngramJaccard]] over candidate docs only. Candidate pairs
     * whose shingle sets are disjoint (banding collision) report exact
-    * 0.0 — the false-positive rows the estimator gap surfaces. */
+    * 0.0 — the false-positive rows the estimator gap surfaces.
+    * Exact-collapse-first: the monitor measures ONE representative per
+    * distinct text — copies carry identical signatures and shingles,
+    * so copy pairs are redundant measurements that would blow the pair
+    * space up quadratically under dup skew (20× probe: 15.4 s / 3.9 M
+    * rows raw → rep-level). */
   def minhashEstimate(docs: DataFrame, numPerm: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val cand = minhashCandidates(docs, numPerm, rowsPerBand).localCheckpoint()
+    val canon = docs.join(
+      docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val cand = minhashCandidates(canon, numPerm, rowsPerBand).localCheckpoint()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candCorpus = docs.join(candDocs, Seq("doc_id"), "left_semi")

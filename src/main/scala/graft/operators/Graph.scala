@@ -67,7 +67,14 @@ object Graph {
     * anti-joined away, distributed TakeOrdered on (count desc, pair
     * asc). Work scales with candidate-graph wedges. */
   def commonNeighbors(docs: DataFrame, k: Int = 10): DataFrame = {
-    val e = Dedup.minhashCandidates(docs)
+    // exact-collapse-first: copies carry identical band keys, so they
+    // add 20-copy cliques and zero structural signal — the 20x probe
+    // measured 36 s raw vs seconds rep-level; predictions are between
+    // distinct TEXTS, which is what a review queue wants anyway
+    val canon = docs.join(
+      docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val e = Dedup.minhashCandidates(canon)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .distinct().localCheckpoint()

@@ -1067,6 +1067,35 @@ object Relational {
           .as("n_outliers"))
   }
 
+  /** (path, n_sessions): CLICKSTREAM PATH analysis — the top-k most
+    * common session journeys, where a journey is the session's first
+    * `cap` event types in (ts, event_id) order joined with '>'
+    * (the "what do users actually do" product-analytics staple; the
+    * sequence sibling of [[eventTransitions]]' one-step matrix). Same
+    * gap-based session assignment as [[sessionize]]; the path
+    * aggregates per session via sort_array over a collected struct
+    * list — per-session state is the session's own events, capped at
+    * emission, and the path relation is path-cardinality (tiny) for
+    * the final count. One user shuffle + one path shuffle. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30, cap: Int = 5,
+                   k: Int = 10): DataFrame = {
+    val gapNs = gapMinutes * 60L * 1000000000L
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val paths = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        slice(expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          1, cap), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** (digit, n, freq, benford_p, chi2): BENFORD first-significant-digit
     * profile of order totals — the classic bulk data-quality / fraud
     * screen: organically-generated money amounts follow

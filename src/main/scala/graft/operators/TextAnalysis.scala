@@ -44,6 +44,25 @@ object TextAnalysis {
           .otherwise("und").as("predicted_lang"))
   }
 
+  /** (lang, predicted_lang, n, share): language-ID CONFUSION MATRIX —
+    * [[langId]]'s predictions cross-tabulated against the corpus's
+    * ground-truth lang column, with each cell's share of its true-lang
+    * row (the per-class recall diagonal / leakage off-diagonal). This
+    * is the evaluation query that turns the heuristic into a measured
+    * component: a production pipeline runs it on every labeled sample
+    * before trusting the filter. One doc-keyed join (prediction ←
+    * truth), one (lang, predicted)-keyed aggregation; row totals are
+    * a langs-cardinality broadcast. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val cells = langId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang").as("tl")).agg(sum("n").as("row_n"))
+    cells.join(broadcast(totals), col("lang") === col("tl"))
+      .select(col("lang"), col("predicted_lang"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 4).as("share"))
+  }
+
   /** Max term frequency within a token array, LINEARLY: run-length
     * max over the sorted array (one aggregate pass, O(n log n) for the
     * sort) — the naive transform(array_distinct, d -> count matches)

@@ -365,7 +365,12 @@ class Round9eSpec extends AnyFunSuite {
     assert(!asMap.contains((1L, 2L)), "existing edge leaked into predictions")
     // wired key: every prediction brute-verifies as a non-adjacent
     // pair with exactly that many shared candidate-graph neighbors
-    val edges = graft.operators.Dedup.minhashCandidates(docs).collect()
+    // (same exact-collapse the operator applies)
+    val canon = docs.join(
+      docs.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val edges = graft.operators.Dedup.minhashCandidates(canon).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1)))).toSet
     val adj = edges.foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)) {
@@ -376,6 +381,30 @@ class Round9eSpec extends AnyFunSuite {
       assert(!edges((a, b)), s"($a,$b) already an edge")
       assert((adj(a) intersect adj(b)).size == n, s"($a,$b) count wrong")
     }
+  }
+
+  test("session paths: capped journeys, session totals reconcile with sessionize") {
+    val top = Relational.sessionPaths(events, k = 1000000).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.nonEmpty)
+    top.foreach { case (p, n) =>
+      assert(p.split(">").length <= 5 && n >= 1, s"malformed path row ($p, $n)")
+    }
+    val nSessions = Relational.sessionize(events).count()
+    assert(top.map(_._2).sum == nSessions, "path multiset loses sessions")
+  }
+
+  test("langid confusion: cells partition the corpus, shares are per-truth-row") {
+    val cells = TextAnalysis.langConfusion(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(cells.nonEmpty)
+    assert(cells.map(_._2._1).sum == docs.count(), "cells don't partition the corpus")
+    cells.groupBy(_._1._1).foreach { case (lang, rows) =>
+      assert(math.abs(rows.map(_._2._2).sum - 1.0) < 1e-3,
+        s"$lang row shares don't sum to 1")
+    }
+    // predictions restricted to the heuristic's codomain
+    assert(cells.map(_._1._2).forall(Set("en", "und")))
   }
 
   test("dp counts: deterministic, noise bounded by the Laplace inverse-CDF range") {
