@@ -624,6 +624,12 @@ object SparkEntry {
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
     "q_langid_confusion" -> ((s, dir) => TextAnalysis.langConfusion(Tables.documents(s, dir))),
+    // synonym-expanded batch search (query rewriting as a broadcast join)
+    "q_synonym_search" -> ((s, dir) => {
+      import s.implicits._
+      SearchExtras.synonymSearch(Tables.documents(s, dir),
+        Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
     // exact maximum-inner-product top-k (recommender retrieval)
     "q_mips" -> ((s, dir) => Ann.mipsTopK(Tables.embeddings(s, dir))),
     // LSH banding sweep: candidate volume per (bands, rows) config
@@ -1193,6 +1199,44 @@ object SparkEntry {
        |SELECT query_id, doc_id, score, rk FROM rk WHERE rk <= 10""".stripMargin
   }
 
+  /** batchSearchOracle with the synonym-expansion CTE spliced in
+    * front: expanded terms re-pass the keep predicate exactly as the
+    * rewritten qtext re-tokenizes on the Spark side. */
+  private val synonymSearchOracle = {
+    val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    val synVals = graft.operators.SearchExtras.Synonyms
+      .map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+    s"""WITH $dlCte,
+       |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+       |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
+       |qt0 AS (SELECT DISTINCT query_id, t AS term
+       |        FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
+       |        WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
+       |syn AS (SELECT * FROM (VALUES $synVals) AS s(term, syn)),
+       |qt AS (SELECT DISTINCT query_id, term FROM (
+       |         SELECT query_id, term FROM qt0
+       |         UNION ALL
+       |         SELECT qt0.query_id, syn.syn AS term FROM qt0
+       |         JOIN syn ON qt0.term = syn.term
+       |         WHERE length(syn.syn) >= ${Text.MinTokenLength}
+       |           AND syn.syn NOT IN ($stop))),
+       |idfq AS (SELECT term, df, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+       |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+       |       FROM tf
+       |       JOIN idfq ON tf.term = idfq.term
+       |       JOIN qt ON qt.term = tf.term
+       |       JOIN dl ON tf.doc_id = dl.doc_id
+       |       CROSS JOIN avgd
+       |       GROUP BY qt.query_id, tf.doc_id),
+       |rk AS (SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rk
+       |       FROM sc)
+       |SELECT query_id, doc_id, score, rk FROM rk WHERE rk <= 10""".stripMargin
+  }
+
   /** Query-table exact cosine top-k oracle — shared by the one-plan
     * batch (q_ann_batch) and per-micro-batch streamed (q_stream_ann)
     * routes, which must return identical rows. */
@@ -1358,6 +1402,7 @@ object SparkEntry {
     "q_search_maxscore" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
     "q_search_batch" -> batchSearchOracle,
+    "q_synonym_search" -> synonymSearchOracle,
     // the staged-index and streaming-serving routes return the SAME
     // rows as the corpus-derived batch search (shared contract)
     "q_index_batch_search" -> batchSearchOracle,

@@ -227,6 +227,39 @@ object SearchExtras {
     * candidates only (candidate → verify, the repo-wide shape). The
     * corpus pass is still only the term-count aggregation, map-side
     * combined. */
+  /** Synonym thesaurus — engine DATA, not code (the [[graft.functions
+    * .Text.PosLexicon]] discipline): a real WordNet-scale table drops
+    * in without changing the plan, because expansion is a broadcast
+    * join, never a driver loop. Directed (term → expansion). */
+  val Synonyms: Seq[(String, String)] = Seq(
+    "fast" -> "quick", "fast" -> "slow", "query" -> "scan",
+    "join" -> "merge", "agg" -> "group", "big" -> "small",
+    "sort" -> "order", "stream" -> "batch")
+
+  /** (query_id, doc_id, score, rk): SYNONYM-EXPANDED search — each
+    * query's terms widen through the broadcast [[Synonyms]] relation
+    * (original terms always kept), then the expanded term sets run
+    * through the one-plan batch BM25 ([[Bm25.batchSearch]]), so recall
+    * grows without touching the scoring contract. This is the query-
+    * rewriting stage every production search front-end runs; the
+    * engine's other rewriting primitive is [[spellCorrect]] (errors),
+    * this one is vocabulary mismatch. Expansion work is query-table-
+    * sized; the corpus sees exactly the batch-search plan. */
+  def synonymSearch(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val syn = Synonyms.toDF("term", "syn")
+    val qterms = queries
+      .select(col("query_id"), explode(graft.functions.Text.rawTokens(col("qtext"))).as("term"))
+      .filter(graft.functions.Text.keepToken(col("term")))
+    val expanded = qterms
+      .unionByName(qterms.join(broadcast(syn), "term")
+        .select(col("query_id"), col("syn").as("term")))
+    val rewritten = expanded.groupBy("query_id")
+      .agg(array_join(array_sort(collect_set(col("term"))), " ").as("qtext"))
+    Bm25.batchSearch(docs, rewritten, k)
+  }
+
   def spellCorrect(docs: DataFrame,
                    queries: Seq[String] = Seq("qery", "jion", "streem", "windoow"),
                    maxDist: Int = 2, k: Int = 3): DataFrame = {
