@@ -337,6 +337,24 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"only the scalar-threshold broadcast may nested-loop, got $bnlj:\n$p")
   }
 
+  test("mips: scan-shaped plan — broadcast query, TakeOrdered, no hash exchange") {
+    val p = planString(graft.operators.Ann.mipsTopK(Tables.embeddings(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"MIPS scan must not shuffle the corpus:\n$p")
+  }
+
+  test("heaps law: no window, no sort — conditional aggregates only") {
+    val df = graft.operators.TextAnalysis.heapsLaw(Tables.documents(spark, sf))
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Sort => LSort}
+    val bad = plan.collect {
+      case w: LWindow => w.getClass.getSimpleName
+      case s: LSort => s.getClass.getSimpleName
+    }
+    assert(bad.isEmpty, s"heaps law must be pure aggregation, found: $bad")
+  }
+
   test("cms heavy hitters: no term-keyed exchange feeds the counter fold") {
     val p = planString(graft.operators.Sketches.heavyHitters(Tables.documents(spark, sf)))
     // the counter aggregation exchanges on (r, bucket) — sketch-sized
