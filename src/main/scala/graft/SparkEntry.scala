@@ -630,6 +630,12 @@ object SparkEntry {
       SearchExtras.synonymSearch(Tables.documents(s, dir),
         Bm25.DemoQueries.toDF("query_id", "qtext"))
     }),
+    // passage-granularity BM25: chunks are the retrieval unit (RAG)
+    "q_passage_search" -> ((s, dir) => {
+      import s.implicits._
+      SearchExtras.passageSearch(Tables.documents(s, dir),
+        Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
     // exact maximum-inner-product top-k (recommender retrieval)
     "q_mips" -> ((s, dir) => Ann.mipsTopK(Tables.embeddings(s, dir))),
     // LSH banding sweep: candidate volume per (bands, rows) config
@@ -1403,6 +1409,45 @@ object SparkEntry {
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
     "q_search_batch" -> batchSearchOracle,
     "q_synonym_search" -> synonymSearchOracle,
+    // the shared batch scoring replayed over the chunk relation:
+    // passages key as doc_id*65536+chunk_id exactly as the plan does
+    "q_passage_search" -> {
+      val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |           FROM documents WHERE text IS NOT NULL),
+         |ch AS (SELECT doc_id * 65536 + i AS pid,
+         |              words[(i * 16 + 1):(i * 16 + 16)] AS cw
+         |       FROM w, unnest(generate_series(0, (len(words) - 1) // 16)) AS g(i)),
+         |tok AS (SELECT pid, unnest(cw) AS term FROM ch),
+         |tok2 AS (SELECT pid, term FROM tok
+         |         WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)),
+         |tf AS (SELECT pid, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+         |dl AS (SELECT pid, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, t AS term
+         |       FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
+         |       WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
+         |idfq AS (SELECT term, df, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
+         |sc AS (SELECT qt.query_id, tf.pid,
+         |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+         |       FROM tf
+         |       JOIN idfq ON tf.term = idfq.term
+         |       JOIN qt ON qt.term = tf.term
+         |       JOIN dl ON tf.pid = dl.pid
+         |       CROSS JOIN avgd
+         |       GROUP BY qt.query_id, tf.pid),
+         |rk AS (SELECT query_id, pid, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, pid ASC)::INT AS rk
+         |       FROM sc)
+         |SELECT query_id, (pid // 65536)::BIGINT AS doc_id,
+         |       (pid % 65536)::BIGINT AS chunk_id, score, rk
+         |FROM rk WHERE rk <= 10""".stripMargin
+    },
     // the staged-index and streaming-serving routes return the SAME
     // rows as the corpus-derived batch search (shared contract)
     "q_index_batch_search" -> batchSearchOracle,

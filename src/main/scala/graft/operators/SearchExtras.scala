@@ -260,6 +260,36 @@ object SearchExtras {
     Bm25.batchSearch(docs, rewritten, k)
   }
 
+  /** (query_id, doc_id, chunk_id, score, rk): PASSAGE retrieval — the
+    * batch BM25 ranking run at CHUNK granularity: documents split into
+    * `chunkSize`-token windows ([[TextAnalysis.seqChunks]]'s chunking
+    * contract) and each passage scored as its own retrieval unit (the
+    * RAG-era granularity: a long doc's one relevant passage should
+    * outrank a mediocre short doc, and the passage — not the doc — is
+    * what a generator consumes). Passages key as doc_id·2¹⁶+chunk_id
+    * through the shared scoring stage (decoded on output; documents
+    * beyond 2¹⁶ chunks ≈ 1M words at the default width are out of
+    * contract — split upstream). Plan shape is EXACTLY
+    * [[Bm25.batchSearch]] over the chunk relation: chunking is a pure
+    * map stage (explode + slice), the corpus pays the same two passes,
+    * and k passages per query come from the same bounded rank. */
+  def passageSearch(docs: DataFrame, queries: DataFrame,
+                    chunkSize: Int = 16, k: Int = 10): DataFrame = {
+    val passages = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (size(words) - 1) div $chunkSize)")).as("chunk_id"),
+        col("words"))
+      .select((col("doc_id") * 65536L + col("chunk_id")).as("doc_id"),
+        concat_ws(" ",
+          slice(col("words"), col("chunk_id") * chunkSize + 1, lit(chunkSize)))
+          .as("text"))
+    Bm25.batchSearch(passages, queries, k)
+      .select(col("query_id"), expr("doc_id div 65536").as("doc_id"),
+        (col("doc_id") % 65536L).as("chunk_id"), col("score"), col("rk"))
+  }
+
   def spellCorrect(docs: DataFrame,
                    queries: Seq[String] = Seq("qery", "jion", "streem", "windoow"),
                    maxDist: Int = 2, k: Int = 3): DataFrame = {

@@ -407,6 +407,30 @@ class Round9eSpec extends AnyFunSuite {
     assert(cells.map(_._1._2).forall(Set("en", "und")))
   }
 
+  test("passage search: hits decode to real chunks, ranks are passage-level") {
+    import spark.implicits._
+    val qs = Bm25.DemoQueries.toDF("query_id", "qtext")
+    val hits = graft.operators.SearchExtras.passageSearch(docs, qs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(hits.nonEmpty)
+    // every hit's (doc_id, chunk_id) exists in the chunking contract
+    val chunks = TextAnalysis.seqChunks(docs).select("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hits.foreach { case (_, d, c, s, _) =>
+      assert(chunks((d, c)), s"hit ($d, $c) is not a real chunk")
+      assert(s > 0.0)
+    }
+    // ranks dense 1..k per query, ordered by (score desc, passage key)
+    hits.groupBy(_._1).foreach { case (q, rows) =>
+      val rks = rows.map(_._5).sorted.toSeq
+      assert(rks == (1 to rows.length), s"query $q ranks not dense: $rks")
+    }
+    // passage granularity is load-bearing: some doc contributes a hit
+    // whose chunk is not chunk 0 (doc-level ranking could never say
+    // WHICH window matched)
+    assert(hits.exists(_._3 > 0L), "no non-leading chunk ever hit")
+  }
+
   test("dp counts: deterministic, noise bounded by the Laplace inverse-CDF range") {
     val a = Relational.dpCounts(events).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
