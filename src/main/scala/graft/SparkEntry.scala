@@ -610,7 +610,7 @@ object SparkEntry {
     "q_k_anonymize" -> ((s, dir) => Relational.kAnonymize(Tables.events(s, dir))),
     // deterministic-Laplace DP count release (noisy sibling of the gate)
     "q_dp_counts" -> ((s, dir) => Relational.dpCounts(Tables.events(s, dir))),
-    // CEP sequence matching: signup->click->purchase within 1h
+    // CEP sequence matching: signup->click->purchase within 24h
     "q_cep_match" -> ((s, dir) => Relational.cepMatch(Tables.events(s, dir))),
     // interval-union coverage sweep per user (true active time)
     "q_interval_union" -> ((s, dir) => Relational.intervalUnion(Tables.events(s, dir))),
@@ -1266,7 +1266,18 @@ object SparkEntry {
     * replacement, which IS BPE's non-overlapping rewrite rule (the
     * `(sym)` wrapping stops cross-boundary false matches that a bare
     * space join would allow on runs like "a a a a"). Mirrors
-    * Bpe.learn's tie-break (-n, left, right) exactly. */
+    * Bpe.learn's tie-break (-n, left, right) exactly.
+    *
+    * Charset contract: the corpus alphabet must (a) exclude '(' and
+    * ')' — they are the symbol delimiters here, so a corpus word
+    * containing either would mis-parse / false-match in `replace()` —
+    * and (b) stay within the Basic Multilingual Plane, because DuckDB's
+    * string_split(word,'') yields Unicode codepoints while Bpe.learn's
+    * initial symbolization splits UTF-16 code units (a non-BMP char is
+    * ONE symbol here but TWO surrogates there). The generated testdata
+    * corpus is ASCII words, which satisfies both; feeding either side a
+    * corpus that violates the contract diverges by construction, not by
+    * bug. */
   private val bpeSelCte =
     """wc AS (SELECT word, count(*)::BIGINT AS wcount
       |       FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
@@ -3239,10 +3250,10 @@ object SparkEntry {
     "q_crossval_folds" ->
       """WITH s AS (
         |  SELECT doc_id, source,
-        |         list_sum(list_transform(range(1, 9),
+        |         (list_sum(list_transform(range(1, 9),
         |           j -> (strpos('0123456789abcdef',
         |                        substr(md5(doc_id::VARCHAR || ':fold'), j, 1)) - 1)::BIGINT
-        |                << ((8 - j) * 4))) % 5 AS fold
+        |                << ((8 - j) * 4))) % 5)::BIGINT AS fold
         |  FROM documents)
         |SELECT fold, source, count(*)::BIGINT AS n_docs FROM s GROUP BY 1, 2""".stripMargin,
     // tags → entities → whitespace runs, trimmed; 'g' = replace ALL
@@ -3663,7 +3674,8 @@ object SparkEntry {
       """WITH d AS (SELECT substr(floor(o_totalprice * 1000000.0)::BIGINT::VARCHAR,
         |                        1, 1)::BIGINT AS digit,
         |             count(*)::BIGINT AS n
-        |           FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |           FROM orders WHERE o_totalprice > 0
+        |             AND floor(o_totalprice * 1000000.0) >= 1 GROUP BY 1),
         |t AS (SELECT sum(n)::BIGINT AS t FROM d),
         |wp AS (SELECT digit, n, t, ln(1.0 + 1.0 / digit) / ln(10.0) AS p FROM d, t),
         |chi AS (SELECT round(sum((n - t * p) * (n - t * p) / (t * p)), 4) AS chi2
@@ -3786,10 +3798,12 @@ object SparkEntry {
          |          (SELECT coalesce(sum(CASE WHEN tu.mu < 2.0 ^ (ks.k - 6) THEN 1 ELSE 0 END), 0)::BIGINT FROM tu) AS vocab
          |        FROM ks),
          |pf AS (SELECT * FROM pts WHERE n_tokens > 0 AND vocab > 0),
-         |fit AS (SELECT ((sum(ln(n_tokens::DOUBLE) * ln(vocab::DOUBLE)) -
+         |fit AS (SELECT CASE WHEN count(*) > 1 THEN
+         |                ((sum(ln(n_tokens::DOUBLE) * ln(vocab::DOUBLE)) -
          |                 sum(ln(n_tokens::DOUBLE)) * sum(ln(vocab::DOUBLE)) / count(*)::DOUBLE) /
          |                (sum(ln(n_tokens::DOUBLE) * ln(n_tokens::DOUBLE)) -
-         |                 sum(ln(n_tokens::DOUBLE)) * sum(ln(n_tokens::DOUBLE)) / count(*)::DOUBLE)) AS b
+         |                 sum(ln(n_tokens::DOUBLE)) * sum(ln(n_tokens::DOUBLE)) / count(*)::DOUBLE))
+         |               END AS b
          |        FROM pf)
          |SELECT pf.k::BIGINT AS k, pf.n_tokens, pf.vocab, round(fit.b, 4) AS beta
          |FROM pf, fit""".stripMargin,

@@ -1111,6 +1111,10 @@ object Relational {
     val d = orders.filter(col("o_totalprice") > 0)
       .select(substring(micros(col("o_totalprice")).cast("string"), 1, 1)
         .cast("long").as("digit"))
+      // a value in (0, 1e-6) rounds to micros 0 → digit 0, which would
+      // divide by zero in the Benford expectation; guard it out (latent
+      // on TPC-H money, where the minimum price is ≫ 1e-6)
+      .filter(col("digit") >= 1)
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val tot = d.agg(sum("n").as("t"))
     val withP = d.crossJoin(broadcast(tot))

@@ -277,8 +277,11 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("m"), sum("x").as("sx"),
         sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
-      .select(((col("sxy") - col("sx") * col("sy") / col("m")) /
-        (col("sxx") - col("sx") * col("sx") / col("m"))).as("b"))
+      // a one-point curve has sxx - sx²/m = 0 exactly → 0/0 NaN; emit
+      // NULL for "no defined slope" instead (oracle mirrors the guard)
+      .select(when(col("m") > 1,
+        (col("sxy") - col("sx") * col("sy") / col("m")) /
+          (col("sxx") - col("sx") * col("sx") / col("m"))).as("b"))
     pts.crossJoin(broadcast(fit))
       .select(col("k").cast("long").as("k"), col("n_tokens"), col("vocab"),
         round(col("b"), 4).as("beta"))

@@ -231,7 +231,11 @@ object Streams {
         .coalesce(1).write.mode(if (b == 0) "overwrite" else "append").parquet(src)
       Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
         if (f.lastModified() > mtimeBase + nBatches * 60000L) {
-          f.setLastModified(mtimeBase + b * 60000L); ()
+          // the stream==batch row-order contract rides on micro-batch
+          // file order = this pinned mtime order; fail loudly if the
+          // filesystem refuses rather than degrade into flakiness
+          require(f.setLastModified(mtimeBase + b * 60000L),
+            s"setLastModified failed for $f — mtime-ordered micro-batching unavailable")
         }
       }
     }
@@ -867,7 +871,11 @@ object Streams {
         .coalesce(1).write.mode(if (b == 0) "overwrite" else "append").parquet(src)
       Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
         if (f.lastModified() > mtimeBase + nBatches * 60000L) {
-          f.setLastModified(mtimeBase + b * 60000L); ()
+          // the stream==batch row-order contract rides on micro-batch
+          // file order = this pinned mtime order; fail loudly if the
+          // filesystem refuses rather than degrade into flakiness
+          require(f.setLastModified(mtimeBase + b * 60000L),
+            s"setLastModified failed for $f — mtime-ordered micro-batching unavailable")
         }
       }
     }
