@@ -297,6 +297,45 @@ object Probe {
       df.collect()
       println("===== NEW PLAN =====")
       println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+    } else if (args.headOption.contains("binary")) {
+      // break q_source_binary's cost down: driver-side file LISTING of
+      // the 5,000-object landing zone vs the read+md5 tasks, and the
+      // effect of the small-file packing knobs (openCostInBytes drives
+      // how many tiny files share a task)
+      val path = "/tmp/graft_docs_bin_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      require(new java.io.File(path).isDirectory, s"stage first: $path missing")
+      val time = timed("BINARY") _
+      (1 to 3).foreach { i =>
+        time(s"list_only_$i") {
+          val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+            spark, Seq(new org.apache.hadoop.fs.Path(path)), Map.empty, None)
+          idx.allFiles().size.toLong
+        }
+        time(s"full_read_$i")(
+          spark.read.format("binaryFile").load(path + "/*.bin")
+            .select(md5(col("content"))).count())
+        time(s"status_only_$i")(
+          spark.read.format("binaryFile").load(path + "/*.bin")
+            .select(col("length")).count())
+      }
+      Seq("1048576", "65536", "4096").foreach { oc =>
+        spark.conf.set("spark.sql.files.openCostInBytes", oc)
+        time(s"read_openCost_$oc")(
+          spark.read.format("binaryFile").load(path + "/*.bin")
+            .select(md5(col("content"))).count())
+      }
+      (1 to 2).foreach { i =>
+        time(s"noglob_dir_$i")(
+          spark.read.format("binaryFile").load(path)
+            .select(md5(col("content"))).count())
+        time(s"text_source_$i")(
+          spark.read.format("text").load(path + "/*.bin").count())
+        time(s"pathfilter_$i")(
+          spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin").load(path)
+            .select(md5(col("content"))).count())
+      }
     } else if (args.headOption.contains("scale-tpch")) {
       // 20x FACT tables (lineitem/orders, order keys offset so joins
       // still resolve), dimensions kept at sf0.1 — the realistic scale

@@ -76,7 +76,10 @@ object SparkEntry {
       if (fs.exists(root)) fs.delete(root, true)
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
       Sinks.perDocFiles(Bm25.tfProfiles(docs), out, "doc_id", "profile")
-      s.read.format("binaryFile").load(out + "/*.txt")
+      // pathGlobFilter, never a glob IN the load path: a glob path
+      // expands to one root per matched file and the driver validates
+      // each individually (probe: 9.4 s vs 0.2 s on 5,000 objects)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
         .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1)
           .cast("long").as("doc_id"),
           length(col("content").cast("string")).cast("long").as("n_chars"))
@@ -91,7 +94,10 @@ object SparkEntry {
         .repartition(4).write.mode("overwrite").parquet(staged)
       val out = sys.props("java.io.tmpdir") + "/graft_sperdoc_out_" + dirTag(dir)
       graft.streaming.Streams.perDocStream(s, staged, out, maxFilesPerTrigger = Some(1))
-      s.read.format("binaryFile").load(out + "/*.txt")
+      // pathGlobFilter, never a glob IN the load path: a glob path
+      // expands to one root per matched file and the driver validates
+      // each individually (probe: 9.4 s vs 0.2 s on 5,000 objects)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
         .select(regexp_extract(col("path"), "([0-9]+)\\.txt$", 1)
           .cast("long").as("doc_id"),
           length(col("content").cast("string")).cast("long").as("n_chars"))
@@ -425,7 +431,9 @@ object SparkEntry {
     // source — how media corpora land; id parsed from the file name,
     // payload fingerprinted for the join with the metadata tables
     "q_source_binary" -> ((s, dir) => {
-      s.read.format("binaryFile").load(binaryDocsFor(s, dir) + "/*.bin")
+      // pathGlobFilter, never a glob IN the load path (see q_perdoc_sink)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(binaryDocsFor(s, dir))
         .select(
           regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
           col("length").as("n_bytes"),
@@ -721,7 +729,8 @@ object SparkEntry {
     * .compact]] machinery, like the docs_compact layout). */
   private def compactedBinaryFor(s: SparkSession, dir: String): String =
     cachedLayout("bin_compact", dir) { p =>
-      s.read.format("binaryFile").load(binaryDocsFor(s, dir) + "/*.bin")
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(binaryDocsFor(s, dir))
         .select(
           regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
           col("length").as("n_bytes"),

@@ -117,7 +117,7 @@ object Graph {
     val teleport = (15L * r0) / 100L
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = nodes.withColumn("rank", lit(r0))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val inSum = edges.join(ranks, edges("src") === ranks("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
@@ -128,6 +128,12 @@ object Graph {
         .select(col("node"),
           (lit(teleport) + expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
+      // periodic lineage cut: uncut, iteration N's plan nests N
+      // join+agg rounds — optimizer time grows superlinearly and a
+      // task failure would recompute the whole chain. Every 3rd round
+      // (and the last) materializes the node-cardinality rank relation
+      // and restarts lineage from it.
+      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -82,7 +82,13 @@ object Streams {
     val rows = spark.table(name).collect().toSeq
     val schema = spark.table(name).schema
     spark.catalog.dropTempView(name)
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    // slice so no task closure exceeds ~task-warn size: parallelize
+    // ships each slice INSIDE its task, and a single-slice drain of a
+    // large result (e.g. per-session rows at bench scale) was the
+    // bench's 9.5 MiB oversized task. Slices are contiguous chunks of
+    // the original order, so collect() order is unchanged.
+    val numSlices = math.max(1, (rows.size + 4095) / 4096)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, numSlices), schema)
   }
 
   /** Events as a file-source stream with an event-time column. `ts`

