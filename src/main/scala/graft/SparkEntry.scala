@@ -245,9 +245,9 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) => TextAnalysis.zipfProfile(Tables.documents(s, dir))),
     "q_char_trigrams" -> ((s, dir) => TextAnalysis.charTrigrams(Tables.documents(s, dir))),
     "q_stem" -> ((s, dir) => TextAnalysis.stemmedVocab(Tables.documents(s, dir))),
-    // dictionary segmentation round trip (ansj plug point) — greedy
-    // longest-match is not SQL-expressible → rows-only; round-trip
-    // rate asserted in TextAnalysisSpec
+    // dictionary segmentation round trip (ansj plug point) — the
+    // greedy longest-match loop replays as a DuckDB recursive CTE
+    // (hash-checked); round-trip rate also asserted in TextAnalysisSpec
     "q_segment" -> ((s, dir) => TextAnalysis.segmentRoundTrip(Tables.documents(s, dir))),
 
     // ---- Structured Streaming surface (SURVEY §2 #38-39): real
@@ -323,7 +323,9 @@ object SparkEntry {
     "q_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir))),
     // reproducible hash-derived training-order shuffle into shards
     "q_shuffle_order" -> ((s, dir) => TextAnalysis.shuffleOrder(Tables.documents(s, dir))),
-    "q_pagerank" -> ((s, dir) => Graph.pagerank(Tables.documents(s, dir))),
+    "q_pagerank" -> ((s, dir) => Graph.pagerankFrom(
+      DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
+      Tables.documents(s, dir))),
     // lineitem re-laid-out along a (price, quantity) Morton curve: a
     // selective two-column range probe now touches few files/row
     // groups via parquet min/max stats instead of the whole table
@@ -507,8 +509,9 @@ object SparkEntry {
     "q_kmeans" -> ((s, dir) => Clustering.kmeans(Tables.embeddings(s, dir))),
     "q_cluster_sample" -> ((s, dir) => Clustering.clusterSample(Tables.embeddings(s, dir))),
     "q_semantic_clusters" -> ((s, dir) =>
-      Clustering.semanticClusters(Tables.embeddings(s, dir))),
-    "q_semantic_drop" -> ((s, dir) => Clustering.semanticDrop(Tables.embeddings(s, dir))),
+      SemanticStore.semanticClusters(s, semanticStoreFor(s, dir))),
+    "q_semantic_drop" -> ((s, dir) =>
+      SemanticStore.semanticDrop(Tables.embeddings(s, dir), semanticStoreFor(s, dir))),
 
     // ---- Round-9 additions: CDC apply, corpus-statistics sampling,
     // held-out-LM perplexity, DSIR importance weights, length-bucketed
@@ -625,9 +628,11 @@ object SparkEntry {
     // interval-union coverage sweep per user (true active time)
     "q_interval_union" -> ((s, dir) => Relational.intervalUnion(Tables.events(s, dir))),
     // per-node triangle counts over the verified near-dup graph
-    "q_triangles" -> ((s, dir) => Graph.triangles(Tables.documents(s, dir))),
+    "q_triangles" -> ((s, dir) =>
+      Graph.trianglesFrom(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
     // common-neighbor link prediction: the dedup review queue
-    "q_common_neighbors" -> ((s, dir) => Graph.commonNeighbors(Tables.documents(s, dir))),
+    "q_common_neighbors" -> ((s, dir) =>
+      Graph.commonNeighborsFromCandidates(DedupStore.candidates(s, dedupStoreFor(s, dir)))),
     // Benford first-digit screen on order totals
     "q_benford" -> ((s, dir) => Relational.benford(Tables.orders(s, dir))),
     // top-k session journeys (clickstream path analysis)
@@ -683,7 +688,7 @@ object SparkEntry {
     * query: the build/update split IS what it measures.) */
   def prestage(s: SparkSession, dir: String): Unit = {
     indexFor(s, dir); zorderedLineitemFor(s, dir); partitionedDocsFor(s, dir)
-    dedupStoreFor(s, dir)
+    dedupStoreFor(s, dir); semanticStoreFor(s, dir)
     csvDocsFor(s, dir); jsonlDocsFor(s, dir); orcDocsFor(s, dir)
     compactedDocsFor(s, dir); tsvDocsFor(s, dir); bucketedFor(s, dir)
     binaryDocsFor(s, dir)
@@ -784,6 +789,11 @@ object SparkEntry {
     * derives signatures + candidates + verify intersections once. */
   private def dedupStoreFor(s: SparkSession, dir: String): String =
     cachedLayout("dedup_store", dir)(p => DedupStore.build(Tables.documents(s, dir), p))
+
+  /** One staged semantic (embedding) pair substrate per sf dir per JVM:
+    * the SemDeDup decision keys serve from it. */
+  private def semanticStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("sem_store", dir)(p => SemanticStore.build(Tables.embeddings(s, dir), p))
 
   /** Staged PQ / IVF+PQ stores (codebook training is the offline
     * build; q_ann_pq / q_ann_ivfpq bench the serving path). */
@@ -2250,6 +2260,36 @@ object SparkEntry {
          |tc AS (SELECT term, count(*)::BIGINT AS n FROM tok2 GROUP BY term),
          |st AS (SELECT ${graft.operators.TextAnalysis.StemCase} AS stem, n FROM tc)
          |SELECT stem, count(*)::BIGINT AS n_terms, sum(n)::BIGINT AS n_total FROM st GROUP BY stem""".stripMargin,
+    // greedy longest-match segmentation replayed as a recursive CTE
+    // (the q_bpe_train precedent: the per-step argmax is a correlated
+    // max over the vocabulary at the cursor, one char consumed per
+    // OOV step). Charset contract: BMP-only corpus — DuckDB substr/
+    // length are codepoint-based while SegmentWords walks UTF-16 code
+    // units (one OOV step = one code POINT on both sides, but a dict
+    // word's length only agrees inside the BMP); testdata is ASCII.
+    "q_segment" ->
+      """WITH RECURSIVE
+        |vl AS (SELECT DISTINCT w, length(w) AS wl
+        |       FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |       WHERE length(w) > 0),
+        |base AS (SELECT doc_id, replace(lower(text), ' ', '') AS s,
+        |                string_split(lower(text), ' ') AS orig
+        |         FROM documents WHERE text IS NOT NULL),
+        |seg AS (
+        |  SELECT doc_id, s, orig, 1 AS pos, []::VARCHAR[] AS toks FROM base
+        |  UNION ALL
+        |  SELECT doc_id, s, orig, pos + len, list_append(toks, substr(s, pos, len))
+        |  FROM (
+        |    SELECT g.doc_id, g.s, g.orig, g.pos, g.toks,
+        |           coalesce((SELECT max(vl.wl) FROM vl
+        |                     WHERE vl.wl <= length(g.s) - g.pos + 1
+        |                       AND vl.w = substr(g.s, g.pos, vl.wl)), 1) AS len
+        |    FROM seg g WHERE g.pos <= length(g.s))
+        |),
+        |fin AS (SELECT doc_id, orig, toks FROM seg WHERE pos > length(s))
+        |SELECT doc_id, len(orig)::BIGINT AS n_orig, len(toks)::BIGINT AS n_seg,
+        |       (toks = orig) AS exact
+        |FROM fin""".stripMargin,
 
     // ---- Streaming (batch-equivalent oracles; SURVEY §2 #38-39) ----
     "q_stream_wordcount" ->

@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   *   <path>/delta-<tag>/reps     (rep, shingleable) — one row per
   *       canonical doc; shingleable = the text has ≥ 3 raw tokens
   *       (shorter texts produce no shingles and can never pair)
+  *   <path>/delta-<tag>/cands    (doc_a, doc_b) — the RAW LSH
+  *       candidate pairs over the canonical corpus (banding collisions
+  *       included, before any verify) — the substrate of the
+  *       candidate-graph consumers (link-prediction review queues)
   *   <path>/delta-<tag>/pairs    (doc_a, doc_b, inter, na, nb) —
   *       for every LSH candidate pair of CANONICAL docs (16-perm
   *       MinHash, 4 rows/band) with a non-empty shingle intersection:
@@ -92,6 +96,7 @@ object DedupStore {
     DeltaStore.commit(spark, path, "00000", None) { staging =>
       members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
       reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
+      cand.write.mode(SaveMode.Overwrite).parquet(s"$staging/cands")
       stats.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")
     }
   }
@@ -105,6 +110,7 @@ object DedupStore {
   def members(spark: SparkSession, path: String): DataFrame = read(spark, path, "members")
   def reps(spark: SparkSession, path: String): DataFrame = read(spark, path, "reps")
   def pairStats(spark: SparkSession, path: String): DataFrame = read(spark, path, "pairs")
+  def candidates(spark: SparkSession, path: String): DataFrame = read(spark, path, "cands")
 
   /** Same S-curve sanity gate as [[Dedup.verifiedNearDups]]: the staged
     * banding's candidate recall must cover the requested threshold. */

@@ -38,8 +38,15 @@ object Graph {
     * edge semi-check, all equi-joins on the PAIR relation — work scales
     * with wedges of the dup graph, never with the corpus. Each closed
     * triangle credits its three vertices via one Expand + count. */
-  def triangles(docs: DataFrame): DataFrame = {
-    val e = Dedup.verifiedNearDups(docs)
+  def triangles(docs: DataFrame): DataFrame =
+    trianglesFrom(Dedup.verifiedNearDups(docs))
+
+  /** [[triangles]] over an externally-supplied verified pair relation
+    * (doc_a, doc_b, ...) — the staged-substrate entry point
+    * ([[DedupStore.verifiedNearDups]] serves the same relation the live
+    * derivation produces). */
+  def trianglesFrom(pairs: DataFrame): DataFrame = {
+    val e = pairs
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .distinct().localCheckpoint()
@@ -81,6 +88,16 @@ object Graph {
     commonNeighborsFrom(e, k)
   }
 
+  /** [[commonNeighbors]] over an externally-supplied candidate pair
+    * relation (doc_a, doc_b) — the staged-substrate entry point
+    * ([[DedupStore.candidates]] stages exactly the canonical-corpus
+    * candidate graph the live derivation builds). */
+  def commonNeighborsFromCandidates(cands: DataFrame, k: Int = 10): DataFrame =
+    commonNeighborsFrom(
+      cands.select(least(col("doc_a"), col("doc_b")).as("a"),
+          greatest(col("doc_a"), col("doc_b")).as("b"))
+        .distinct().localCheckpoint(), k)
+
   /** The wedge-count core of [[commonNeighbors]] over any (a < b) edge
     * relation — split out so specs can drive planted graph topologies
     * (near-dup candidate graphs are mostly bucket cliques, so the
@@ -103,8 +120,14 @@ object Graph {
   /** (node, rank): `iterations` rounds of damped (0.85) PageRank over
     * the UNDIRECTED verified near-dup graph; isolated docs keep the
     * teleport mass only. */
-  def pagerank(docs: DataFrame, iterations: Int = 10): DataFrame = {
-    val pairs = Dedup.verifiedNearDups(docs).select("doc_a", "doc_b")
+  def pagerank(docs: DataFrame, iterations: Int = 10): DataFrame =
+    pagerankFrom(Dedup.verifiedNearDups(docs), docs, iterations)
+
+  /** [[pagerank]] over an externally-supplied verified pair relation —
+    * the staged-substrate entry point. `docs` still supplies the node
+    * set (isolated docs keep teleport mass). */
+  def pagerankFrom(pairs: DataFrame, docs: DataFrame,
+                   iterations: Int = 10): DataFrame = {
     // undirected: every pair contributes both directions; materialize
     // once — the SAME edge relation feeds all iterations
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

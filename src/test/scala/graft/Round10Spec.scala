@@ -63,6 +63,32 @@ class Round10Spec extends AnyFunSuite {
       Dedup.dropContained(docs).select("doc_id"), "dropContained")
   }
 
+  test("staged graph serves == live (pagerank, triangles, common neighbors)") {
+    import graft.operators.Graph
+    assertSame(
+      Graph.pagerankFrom(DedupStore.verifiedNearDups(spark, store), docs),
+      Graph.pagerank(docs), "pagerank")
+    assertSame(
+      Graph.trianglesFrom(DedupStore.verifiedNearDups(spark, store)),
+      Graph.triangles(docs), "triangles")
+    // common neighbors can legitimately be empty at some scale factors
+    // (candidate cliques close); compare without the nonEmpty gate
+    val s = rows(Graph.commonNeighborsFromCandidates(DedupStore.candidates(spark, store)))
+    val l = rows(Graph.commonNeighbors(docs))
+    assert(s == l, s"commonNeighbors staged != live (${s.size} vs ${l.size})")
+  }
+
+  test("staged semantic serves == live (clusters, drop)") {
+    import graft.operators.{Clustering, SemanticStore}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val p = java.nio.file.Files.createTempDirectory("semstore").toString + "/store"
+    SemanticStore.build(emb, p)
+    assertSame(SemanticStore.semanticClusters(spark, p),
+      Clustering.semanticClusters(emb), "semanticClusters")
+    assertSame(SemanticStore.semanticDrop(emb, p),
+      Clustering.semanticDrop(emb), "semanticDrop")
+  }
+
   test("pagerank lineage is cut: iteration N's plan does not nest N join rounds") {
     val pr = graft.operators.Graph.pagerank(docs, iterations = 10)
     val plan = pr.queryExecution.optimizedPlan
