@@ -170,6 +170,19 @@ object SparkEntry {
     "q_span_scrub" -> ((s, dir) => Dedup.scrubSpans(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
     "q_dedup_verified" -> ((s, dir) => DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir))),
+    // stage the substrate on the first 80% of doc ids, incrementally
+    // ingest the rest (append-only: new reps banded/shingled, new
+    // candidates verified against the staged shingle index) — the
+    // served pairs must equal the full-corpus result (oracle shared
+    // with q_dedup_verified)
+    "q_dedup_store_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = sys.props("java.io.tmpdir") + "/graft_dedup_inc_" + dirTag(dir)
+      val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) * 4 / 5
+      DedupStore.build(docs.filter(col("doc_id") <= cut), path)
+      DedupStore.update(docs.filter(col("doc_id") > cut), path)
+      DedupStore.verifiedNearDups(s, path)
+    }),
     "q_dedup_clusters" -> ((s, dir) => DedupStore.nearDupClusters(s, dedupStoreFor(s, dir))),
     // the keep decision: one representative per near-dup cluster,
     // loners keep themselves — the cleaned-corpus id set
@@ -1912,6 +1925,11 @@ object SparkEntry {
          |JOIN canon USING (doc_id)
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "q_dedup_verified" ->
+      s"""WITH $minhashCandCte
+         |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
+    // incremental build+update of the staged substrate serves the
+    // full-corpus pair relation identically (shared contract)
+    "q_dedup_store_incremental" ->
       s"""WITH $minhashCandCte
          |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
     // signature-agreement estimate over candidate pairs beside the

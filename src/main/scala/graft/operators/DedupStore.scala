@@ -21,30 +21,45 @@ import org.apache.spark.sql.functions._
   * Store layout (delta-committed via [[graft.sources.DeltaStore]],
   * same atomic-rename protocol as [[Bm25Index]] / [[AnnIndex]]):
   *
-  *   <path>/delta-<tag>/members  (doc_id, rep, m)  — exact-collapse map:
+  *   <path>/delta-<tag>/members  (doc_id, rep) — exact-collapse map:
   *       every doc → the min-doc_id representative of its identical-text
-  *       group (null texts form one group, null-safe), m = group size
-  *   <path>/delta-<tag>/reps     (rep, shingleable) — one row per
-  *       canonical doc; shingleable = the text has ≥ 3 raw tokens
-  *       (shorter texts produce no shingles and can never pair)
-  *   <path>/delta-<tag>/cands    (doc_a, doc_b) — the RAW LSH
-  *       candidate pairs over the canonical corpus (banding collisions
-  *       included, before any verify) — the substrate of the
-  *       candidate-graph consumers (link-prediction review queues)
-  *   <path>/delta-<tag>/pairs    (doc_a, doc_b, inter, na, nb) —
-  *       for every LSH candidate pair of CANONICAL docs (16-perm
-  *       MinHash, 4 rows/band) with a non-empty shingle intersection:
-  *       exact 3-gram shingle-set intersection size and both set sizes.
-  *       Jaccard (inter/(na+nb−inter)) and directional containment
-  *       (inter/na, inter/nb) are both pure arithmetic over this row —
-  *       one staged relation serves every decision family.
+  *       group (null texts form one group, null-safe). Group size is
+  *       DERIVED at serve time (count per rep), never stored — that is
+  *       what lets incremental ingest stay append-only: a new copy of
+  *       an old text appends one row instead of rewriting the group.
+  *   <path>/delta-<tag>/reps     (rep, h, shingleable, n_sh) — one row
+  *       per canonical doc: its text hash (the update path's group-match
+  *       key), whether it shingles (≥ 3 raw tokens), and its distinct
+  *       3-gram shingle count (the Jaccard/containment denominator)
+  *   <path>/delta-<tag>/bands    (doc_id, band, bkey) — the rep's
+  *       MinHash LSH band keys: an update bands ONLY its new reps and
+  *       equi-joins them against this relation for new-vs-old candidates
+  *   <path>/delta-<tag>/shingles (doc_id, sh) — md5 of every distinct
+  *       3-gram shingle per rep: the verify-side index, the exact
+  *       analogue of [[Bm25Index]]'s postings (corpus-token-scaled,
+  *       hash-only — no text in the store), letting an update compute
+  *       exact intersections for new-vs-old candidate pairs
+  *   <path>/delta-<tag>/cands    (doc_a, doc_b) — the RAW LSH candidate
+  *       pairs (banding collisions included, before any verify) — the
+  *       substrate of the candidate-graph consumers (link prediction)
+  *   <path>/delta-<tag>/pairs    (doc_a, doc_b, inter, na, nb) — for
+  *       every candidate pair with a non-empty shingle intersection:
+  *       exact intersection size and both set sizes. Jaccard
+  *       (inter/(na+nb−inter)) and directional containment (inter/na,
+  *       inter/nb) are both pure arithmetic over this row — one staged
+  *       relation serves every decision family.
   *
-  * Scale shape: the build is exactly one run of the engine's
-  * exact-collapse-first banded pipeline (the [[Dedup.verifiedNearDups]]
-  * plan, preserving its candidates-first semi-joins); the staged
-  * relations are pair-/corpus-id-sized — texts and shingles never land
-  * in the store. Serving is arithmetic + id joins: no tokenization, no
-  * signatures, no shingle joins at query time.
+  * Incremental ingest ([[update]]) is append-only and batch-scaled:
+  * new texts hash-match old groups through `reps`, only genuinely new
+  * reps are banded/shingled, and new candidate pairs (new×old and
+  * new×new) verify against the staged shingle index. doc_ids must be
+  * MONOTONE across batches (enforced loudly): the min-id rep of every
+  * group then never changes, which is what keeps every staged relation
+  * append-only. After any sequence of updates the union of deltas
+  * equals a full rebuild on the union corpus (Round10Spec).
+  *
+  * Serving is arithmetic + id joins: no tokenization, no signatures,
+  * no shingle joins at query time.
   */
 object DedupStore {
 
@@ -56,46 +71,121 @@ object DedupStore {
   val NumPerm = 16
   val RowsPerBand = 4
 
-  /** Full (re)build: reset the store and stage the substrate as one
-    * delta. The plan is [[Dedup.verifiedNearDups]]'s substrate portion
-    * verbatim — exact collapse, zero-shuffle banding, candidate
-    * equi-join, shingle intersection over candidate docs only. */
+  /** Full (re)build: reset the store and ingest the corpus as the
+    * first delta. */
   def build(docs: DataFrame, path: String): Unit = {
-    val spark = docs.sparkSession
-    DeltaStore.reset(spark, path)
-    val withH = docs.select(col("doc_id"), md5(col("text")).as("h"))
-    val groups = withH.groupBy("h")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
-      .withColumnRenamed("h", "gh")
-    // null-safe: null-text docs share the null hash group (GROUP BY
-    // null parity with the oracles); their rep never shingles, so they
-    // can never pair — but cluster membership (m > 1) needs them mapped
-    val members = withH.join(groups, col("h") <=> col("gh"))
-      .select("doc_id", "rep", "m")
+    DeltaStore.reset(docs.sparkSession, path)
+    update(docs, path, "00000")
+  }
+
+  /** Ingest a document batch: exact-collapse against the store's
+    * existing groups, band/shingle only the NEW reps, verify only the
+    * NEW candidate pairs. Idempotent per `tag` (replayed tags skip);
+    * re-ingesting an existing doc_id is rejected; batch ids must all
+    * exceed every stored id (monotone-ingest contract — see the
+    * class doc for why that keeps the store append-only). */
+  def update(newDocs: DataFrame, path: String,
+             tag: String = java.util.UUID.randomUUID().toString): Unit = {
+    val spark = newDocs.sparkSession
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    val (batchEmpty, batchLo, batchHi) = DeltaStore.batchRange(newDocs, "doc_id")
+    if (deltas.nonEmpty && !batchEmpty) {
+      DeltaStore.rejectDuplicateIds(spark,
+        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, batchLo, batchHi),
+        "members", "doc_id", newDocs, "dedup substrate")
+      // monotone-id contract: an id below the stored maximum could
+      // become a group's new minimum and silently invalidate every
+      // staged rep-keyed relation — refuse rather than corrupt. The
+      // maximum comes from the per-delta range sidecars when every
+      // delta carries one (O(#deltas) sidecar reads); otherwise one
+      // store-scaled aggregate — never silently skipped.
+      val fs = DeltaStore.fsOf(spark, path)
+      val ranges = deltas.map(d => DeltaStore.readRange(fs, d))
+      val maxExisting: Option[Long] =
+        if (ranges.forall(_.isDefined)) Some(ranges.flatten.map(_._2).max)
+        else {
+          val r = spark.read.parquet(deltas.map(d => s"$d/members"): _*)
+            .agg(max(col("doc_id"))).collect()(0)
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }
+      maxExisting.foreach(hi => require(batchLo > hi,
+        s"batch doc_ids start at $batchLo but the store already holds ids up to " +
+          s"$hi — the append-only substrate requires monotone ingest; rebuild instead"))
+    }
+    val empty = deltas.isEmpty
+    def existing(sub: String): Option[DataFrame] =
+      if (empty) None else Some(spark.read.parquet(deltas.map(d => s"$d/$sub"): _*))
+
+    val withH = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+    // group the batch internally first (min id per hash)...
+    val batchGroups = withH.groupBy("h")
+      .agg(min("doc_id").as("brep"), count(lit(1)).as("bm"))
+    // ...then null-safe match every batch group against the store's
+    // existing groups: matched groups adopt the OLD rep (monotone ids
+    // keep it the global min); unmatched ones become new reps
+    val matched = existing("reps") match {
+      case Some(oldReps) => batchGroups.join(
+        oldReps.select(col("rep").as("old_rep"), col("h").as("oh")),
+        col("h") <=> col("oh"), "left")
+        .select(col("h"), col("brep"), coalesce(col("old_rep"), col("brep")).as("rep"))
+      case None => batchGroups.select(col("h"), col("brep"), col("brep").as("rep"))
+    }
+    val members = withH.as("w")
+      .join(matched.as("g"), col("w.h") <=> col("g.h"))
+      .select(col("w.doc_id"), col("g.rep"))
       .localCheckpoint()
-    val canon = docs.join(
-      members.filter(col("doc_id") === col("rep")).select("doc_id"),
-      Seq("doc_id"), "left_semi").localCheckpoint()
-    val reps = canon.select(col("doc_id").as("rep"),
-      coalesce(size(graft.functions.Text.rawTokens(col("text"))) >= 3, lit(false))
-        .as("shingleable"))
-    val cand = Dedup.minhashCandidates(canon, NumPerm, RowsPerBand).localCheckpoint()
+    // new reps: batch groups whose text the store has never seen
+    val newRepIds = matched.filter(col("rep") === col("brep")).select(col("brep").as("doc_id"))
+    val canonNew = newDocs.join(newRepIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    val shNew = Dedup.shingles(canonNew)
+      .select(col("doc_id"), md5(col("shingle")).as("sh"))
+      .localCheckpoint()
+    val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val reps = canonNew
+      .select(col("doc_id").as("rep"), md5(col("text")).as("h"),
+        coalesce(size(graft.functions.Text.rawTokens(col("text"))) >= 3, lit(false))
+          .as("shingleable"))
+      .join(sizesNew.select(col("doc_id").as("rep"), col("n_sh")), Seq("rep"), "left")
+      .select(col("rep"), col("h"), col("shingleable"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"))
+    val bandsNew = Dedup.bandKeys(canonNew, NumPerm, RowsPerBand).localCheckpoint()
+    // candidates touching the batch: new bands against (old ∪ new)
+    // bands — old×old pairs already live in earlier deltas
+    val allBands = existing("bands")
+      .map(_.unionByName(bandsNew)).getOrElse(bandsNew)
+    val cand = bandsNew.as("a").join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    // verify: exact shingle intersections for the new candidate pairs,
+    // reading the OLD side from the staged shingle index
+    val allSh = existing("shingles").map(_.unionByName(shNew)).getOrElse(shNew)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = Dedup.shingles(canon.join(candDocs, Seq("doc_id"), "left_semi"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val stats = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    val shCand = allSh.join(candDocs, Seq("doc_id"), "left_semi")
+    val allSizes = existing("reps")
+      .map(_.select(col("rep"), col("n_sh")).unionByName(
+        reps.select(col("rep"), col("n_sh"))))
+      .getOrElse(reps.select(col("rep"), col("n_sh")))
+    val stats = shCand.as("a").join(shCand.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      .join(sizes.select(col("doc_id"), col("n_sh").as("na")),
-        col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n_sh").as("nb")),
-        col("doc_b") === col("doc_id")).drop("doc_id")
-    DeltaStore.commit(spark, path, "00000", None) { staging =>
+      .join(allSizes.select(col("rep"), col("n_sh").as("na")),
+        col("doc_a") === col("rep")).drop("rep")
+      .join(allSizes.select(col("rep"), col("n_sh").as("nb")),
+        col("doc_b") === col("rep")).drop("rep")
+    val range = if (batchLo <= batchHi) Some((batchLo, batchHi)) else None
+    DeltaStore.commit(spark, path, tag, range) { staging =>
       members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
       reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
+      bandsNew.write.mode(SaveMode.Overwrite).parquet(s"$staging/bands")
+      shNew.write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")
       cand.write.mode(SaveMode.Overwrite).parquet(s"$staging/cands")
       stats.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")
     }
@@ -111,6 +201,14 @@ object DedupStore {
   def reps(spark: SparkSession, path: String): DataFrame = read(spark, path, "reps")
   def pairStats(spark: SparkSession, path: String): DataFrame = read(spark, path, "pairs")
   def candidates(spark: SparkSession, path: String): DataFrame = read(spark, path, "cands")
+
+  /** Members with their group size — derived, never stored (the
+    * append-only contract): one rep-keyed aggregation + join. */
+  private def membersWithM(spark: SparkSession, path: String): DataFrame = {
+    val mem = members(spark, path)
+    mem.join(mem.groupBy("rep").agg(count(lit(1)).as("m")), Seq("rep"))
+      .select("doc_id", "rep", "m")
+  }
 
   /** Same S-curve sanity gate as [[Dedup.verifiedNearDups]]: the staged
     * banding's candidate recall must cover the requested threshold. */
@@ -139,7 +237,7 @@ object DedupStore {
                        threshold: Double = 0.8): DataFrame = {
     requireThreshold(threshold)
     val repPairs = repPairsAt(spark, path, threshold)
-    val mem = members(spark, path)
+    val mem = membersWithM(spark, path)
     val ma = mem.select(col("rep").as("doc_a"), col("doc_id").as("a"))
     val mb = mem.select(col("rep").as("doc_b"), col("doc_id").as("b"))
     val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
@@ -163,7 +261,7 @@ object DedupStore {
     requireThreshold(threshold)
     val canonClusters = Dedup.propagateMinLabels(
       repPairsAt(spark, path, threshold).select("doc_a", "doc_b"), maxIter)
-    members(spark, path)
+    membersWithM(spark, path)
       .join(canonClusters.select(col("doc_id").as("rep"), col("cluster_id")),
         Seq("rep"), "left")
       .filter(col("cluster_id").isNotNull || col("m") > 1)

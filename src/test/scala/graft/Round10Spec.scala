@@ -78,6 +78,34 @@ class Round10Spec extends AnyFunSuite {
     assert(s == l, s"commonNeighbors staged != live (${s.size} vs ${l.size})")
   }
 
+  test("incremental build+update == full rebuild across every serve") {
+    val cut = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .collect()(0).getLong(0) * 4 / 5
+    val inc = java.nio.file.Files.createTempDirectory("dedupinc").toString + "/store"
+    DedupStore.build(docs.filter(org.apache.spark.sql.functions.col("doc_id") <= cut), inc)
+    DedupStore.update(docs.filter(org.apache.spark.sql.functions.col("doc_id") > cut), inc)
+    // `store` (the full one-shot build) is the rebuild baseline
+    assertSame(DedupStore.verifiedNearDups(spark, inc),
+      DedupStore.verifiedNearDups(spark, store), "incremental verifiedNearDups")
+    assertSame(DedupStore.nearDupClusters(spark, inc),
+      DedupStore.nearDupClusters(spark, store), "incremental nearDupClusters")
+    assertSame(DedupStore.containmentPairs(spark, inc),
+      DedupStore.containmentPairs(spark, store), "incremental containmentPairs")
+    val si = rows(DedupStore.candidates(spark, inc))
+    val sf0 = rows(DedupStore.candidates(spark, store))
+    assert(si == sf0, s"incremental candidates != rebuild (${si.size} vs ${sf0.size})")
+  }
+
+  test("incremental update rejects non-monotone and duplicate ids") {
+    val inc = java.nio.file.Files.createTempDirectory("dedupmono").toString + "/store"
+    val hi = docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 100)
+    val lo = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+    DedupStore.build(hi, inc)
+    intercept[IllegalArgumentException] { DedupStore.update(lo, inc) } // below max
+    intercept[IllegalArgumentException] { DedupStore.update(hi.limit(1), inc) } // replayed id
+    ()
+  }
+
   test("staged semantic serves == live (clusters, drop)") {
     import graft.operators.{Clustering, SemanticStore}
     val emb = graft.sources.Tables.embeddings(spark, sf)
