@@ -648,6 +648,26 @@ object SparkEntry {
       Graph.commonNeighborsFromCandidates(DedupStore.candidates(s, dedupStoreFor(s, dir)))),
     // Benford first-digit screen on order totals
     "q_benford" -> ((s, dir) => Relational.benford(Tables.orders(s, dir))),
+    // 2-D skyline (Pareto frontier) of parts: min price, max size
+    "q_skyline" -> ((s, dir) => Relational.skyline(Tables.part(s, dir))),
+    // exact weighted percentiles of price weighted by quantity
+    "q_weighted_percentiles" -> ((s, dir) =>
+      Relational.weightedPercentiles(Tables.lineitem(s, dir))),
+    // DAU/MAU stickiness per calendar month
+    "q_stickiness" -> ((s, dir) => Relational.stickiness(Tables.events(s, dir))),
+    // pairwise event-type audience overlap (user-set Jaccard)
+    "q_audience_overlap" -> ((s, dir) => Relational.audienceOverlap(Tables.events(s, dir))),
+    // winnowing (MOSS) positional fingerprints, k=3 w=4
+    "q_winnowing" -> ((s, dir) => TextAnalysis.winnowing(Tables.documents(s, dir))),
+    // CCNet head/middle/tail perplexity tertiles per language
+    "q_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(Tables.documents(s, dir))),
+    // quality-score bands vs exact-duplication incidence (lift)
+    "q_quality_calibration" -> ((s, dir) =>
+      TextAnalysis.qualityCalibration(Tables.documents(s, dir))),
+    // dedup aggressiveness curve across a Jaccard-threshold grid,
+    // answered from the staged pair substrate by arithmetic alone
+    "q_dedup_threshold_curve" -> ((s, dir) =>
+      DedupStore.thresholdCurve(s, dedupStoreFor(s, dir))),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -952,6 +972,26 @@ object SparkEntry {
        |        WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8)""".stripMargin
   }
   private val minhashCandCte = minhashCandCteFor("documents")
+
+  /** Add-one-smoothed bigram-LM per-doc perplexity CTE mirroring
+    * TextAnalysis.docPerplexity (LM trained on even doc_ids); shared
+    * by q_doc_perplexity and the CCNet bucketing oracle. */
+  private val pplCte =
+    """tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+      |bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+      |       FROM tokw, unnest(generate_series(1, len(words)-1)) AS t(i)
+      |       WHERE len(words) >= 2),
+      |lm AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+      |c12 AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM lm GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*)::BIGINT AS n1 FROM lm GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w2)::BIGINT AS vocab FROM lm),
+      |s AS (SELECT bg.doc_id,
+      |             ln((coalesce(n12, 0) + 1)::DOUBLE / (coalesce(n1, 0) + vocab)::DOUBLE) AS lp
+      |      FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+      |a AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |             round(avg(lp), 4) AS avg_logprob FROM s GROUP BY 1),
+      |ppl AS (SELECT doc_id, n_bigrams, avg_logprob,
+      |               round(exp(-avg_logprob), 4) AS ppl FROM a)""".stripMargin
 
   /** One representative doc per distinct text — the exact-collapse
     * subset the estimator monitor and link predictor band over. */
@@ -3173,21 +3213,82 @@ object SparkEntry {
     // LM's continuation vocabulary; ppl derives from the ROUNDED
     // avg_logprob so exp sees identical inputs in both engines
     "q_doc_perplexity" ->
+      s"""WITH $pplCte
+         |SELECT doc_id, n_bigrams, avg_logprob, ppl FROM ppl""".stripMargin,
+    // tertile cuts replayed as naive per-lang running-count windows at
+    // oracle scale; the plan's bucket-split prefix picks the identical
+    // min(ppl | 3*cum >= m*tot) value-level order statistic
+    "q_ccnet_buckets" ->
+      s"""WITH $pplCte,
+         |j AS (SELECT p.doc_id, d.lang, p.ppl FROM ppl p JOIN documents d USING (doc_id)),
+         |g AS (SELECT lang, ppl, count(*)::BIGINT AS n FROM j GROUP BY 1, 2),
+         |cc AS (SELECT lang, ppl,
+         |         sum(n) OVER (PARTITION BY lang ORDER BY ppl
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(n) OVER (PARTITION BY lang) AS tot FROM g),
+         |cuts AS (SELECT lang, min(CASE WHEN 3 * cum >= tot THEN ppl END) AS p33,
+         |                min(CASE WHEN 3 * cum >= 2 * tot THEN ppl END) AS p66
+         |         FROM cc GROUP BY lang)
+         |SELECT doc_id, lang, ppl,
+         |       CASE WHEN ppl <= p33 THEN 'head'
+         |            WHEN ppl <= p66 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM j JOIN cuts USING (lang)""".stripMargin,
+    // winnowing k=3 w=4: per-window min (hash, pos) struct, full
+    // windows only (short shingleable docs keep their single best)
+    "q_winnowing" ->
       """WITH tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
-        |bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
-        |       FROM tokw, unnest(generate_series(1, len(words)-1)) AS t(i)
-        |       WHERE len(words) >= 2),
-        |lm AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
-        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS n12 FROM lm GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*)::BIGINT AS n1 FROM lm GROUP BY 1),
-        |v AS (SELECT count(DISTINCT w2)::BIGINT AS vocab FROM lm),
-        |s AS (SELECT bg.doc_id,
-        |             ln((coalesce(n12, 0) + 1)::DOUBLE / (coalesce(n1, 0) + vocab)::DOUBLE) AS lp
-        |      FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
-        |a AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |             round(avg(lp), 4) AS avg_logprob FROM s GROUP BY 1)
-        |SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 4) AS ppl
-        |FROM a""".stripMargin,
+        |kg AS (SELECT doc_id, len(words)::BIGINT - 2 AS nk, i AS pos,
+        |              md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS h
+        |       FROM tokw, unnest(generate_series(1, len(words) - 2)) AS t(i)
+        |       WHERE len(words) >= 3),
+        |sel AS (SELECT doc_id, nk, pos,
+        |          min(struct_pack(h := h, pos := pos))
+        |            OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+        |        FROM kg)
+        |SELECT DISTINCT doc_id, (s).pos AS pos, (s).h AS fp
+        |FROM sel WHERE pos <= greatest(nk - 3, 1)""".stripMargin,
+    "q_quality_calibration" ->
+      """WITH m AS (SELECT md5(text) AS h, count(*)::BIGINT AS m FROM documents GROUP BY 1),
+        |b AS (SELECT doc_id, md5(text) AS h,
+        |        floor(round(len(list_distinct(string_split(lower(text), ' ')))::DOUBLE /
+        |              len(string_split(lower(text), ' ')), 4) * 10)::BIGINT AS band
+        |      FROM documents),
+        |pb AS (SELECT band, count(*)::BIGINT AS n_docs,
+        |         sum(CASE WHEN m.m > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        |       FROM b JOIN m USING (h) GROUP BY band),
+        |o AS (SELECT sum(n_docs)::BIGINT AS tn, sum(n_dup)::BIGINT AS td FROM pb)
+        |SELECT band, n_docs, n_dup,
+        |       round(n_dup::DOUBLE / n_docs, 6) AS dup_rate,
+        |       CASE WHEN td > 0
+        |            THEN round((n_dup::DOUBLE / n_docs) / (td::DOUBLE / tn), 6)
+        |       END AS lift
+        |FROM pb, o""".stripMargin,
+    // the curve replays doc-level: expanded volume = all candidate
+    // pairs above t (copies band identically, so the staged m_a*m_b +
+    // C(m,2) arithmetic equals this count); rep rows restrict to the
+    // canonical (min-id per text) subset
+    "q_dedup_threshold_curve" ->
+      s"""WITH $minhashCandCte,
+         |jall AS (SELECT i.doc_a, i.doc_b,
+         |           i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) AS j
+         |         FROM cinter i JOIN csizes na ON i.doc_a = na.doc_id
+         |                       JOIN csizes nb ON i.doc_b = nb.doc_id),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |th AS (SELECT unnest([0.7, 0.75, 0.8, 0.85, 0.9, 0.95]::DOUBLE[]) AS threshold),
+         |rp AS (SELECT threshold,
+         |         sum(CASE WHEN j >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_rep_pairs,
+         |         count(DISTINCT CASE WHEN j >= threshold THEN doc_b END)::BIGINT
+         |           AS n_rep_losers
+         |       FROM jall JOIN canon ca ON jall.doc_a = ca.doc_id
+         |                 JOIN canon cb ON jall.doc_b = cb.doc_id
+         |                 CROSS JOIN th
+         |       GROUP BY threshold),
+         |ex AS (SELECT threshold,
+         |         sum(CASE WHEN j >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_pairs_expanded
+         |       FROM jall CROSS JOIN th GROUP BY threshold)
+         |SELECT threshold, n_rep_pairs, n_rep_losers, n_pairs_expanded
+         |FROM rp JOIN ex USING (threshold)""".stripMargin,
     // DSIR log-likelihood ratio: target = lang='en' slice, add-one
     // smoothing over the joint vocabulary
     "q_importance_weights" ->
@@ -3760,6 +3861,56 @@ object SparkEntry {
         |SELECT digit, n, round(n::DOUBLE / t, 4) AS freq,
         |       round(p, 4) AS benford_p, chi.chi2
         |FROM wp, chi""".stripMargin,
+    // dominance is replayed on the same exact price-micros the plan
+    // quantizes to; duplicated (price, size) points all survive
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice, p_size,
+        |                  floor(p_retailprice * 1000000.0)::BIGINT AS pm FROM part)
+        |SELECT a.p_partkey, a.p_retailprice, a.p_size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |                  WHERE q.pm <= a.pm AND q.p_size >= a.p_size
+        |                    AND (q.pm < a.pm OR q.p_size > a.p_size))""".stripMargin,
+    // naive per-flag running-weight window at oracle scale; the plan's
+    // bucket-split prefix selects the identical min(v | k*cum >= m*tot)
+    "q_weighted_percentiles" ->
+      """WITH r AS (SELECT l_returnflag AS flag,
+        |                  floor(l_extendedprice * 1000000.0)::BIGINT AS v,
+        |                  l_quantity::BIGINT AS w, l_orderkey, l_linenumber
+        |           FROM lineitem),
+        |c AS (SELECT flag, v,
+        |             sum(w) OVER (PARTITION BY flag ORDER BY v, l_orderkey, l_linenumber
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             sum(w) OVER (PARTITION BY flag) AS tot
+        |      FROM r)
+        |SELECT flag AS l_returnflag, min(tot)::BIGINT AS total_qty,
+        |       min(CASE WHEN 4 * cum >= tot THEN v END)::BIGINT AS p25_micros,
+        |       min(CASE WHEN 2 * cum >= tot THEN v END)::BIGINT AS p50_micros,
+        |       min(CASE WHEN 4 * cum >= 3 * tot THEN v END)::BIGINT AS p75_micros
+        |FROM c GROUP BY flag""".stripMargin,
+    "q_stickiness" ->
+      """WITH e AS (SELECT date_trunc('month', ts)::DATE AS month,
+        |                  epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
+        |dau AS (SELECT month, day, count(DISTINCT user_id)::BIGINT AS dau
+        |        FROM e GROUP BY 1, 2),
+        |d AS (SELECT month, count(*)::BIGINT AS n_days, sum(dau)::BIGINT AS sum_dau
+        |      FROM dau GROUP BY 1),
+        |m AS (SELECT month, count(DISTINCT user_id)::BIGINT AS mau FROM e GROUP BY 1)
+        |SELECT month, n_days, mau,
+        |       round(sum_dau::DOUBLE / n_days, 6) AS avg_dau,
+        |       round(sum_dau::DOUBLE / (n_days * mau), 6) AS stickiness
+        |FROM d JOIN m USING (month)""".stripMargin,
+    "q_audience_overlap" ->
+      """WITH au AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n FROM au GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             count(*)::BIGINT AS inter
+        |      FROM au a JOIN au b ON a.user_id = b.user_id
+        |                        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, inter, sa.n AS na, sb.n AS nb,
+        |       round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM p JOIN s sa ON p.type_a = sa.event_type
+        |       JOIN s sb ON p.type_b = sb.event_type""".stripMargin,
     // open wedges (shared neighbor, no closing edge) ranked by count:
     // the pairs the graph says the banding missed
     "q_common_neighbors" ->

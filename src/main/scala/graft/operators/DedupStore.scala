@@ -310,6 +310,41 @@ object DedupStore {
       .select(col("doc_a"), col("doc_b"),
         round(col("ca"), 4).as("cont_a"), round(col("cb"), 4).as("cont_b"))
 
+  /** (threshold, n_rep_pairs, n_rep_losers, n_pairs_expanded): the
+    * DEDUP THRESHOLD CURVE — how aggressive each Jaccard cutoff would
+    * be, across a grid, answered from the staged substrate by pure
+    * arithmetic (the decision a pipeline owner makes BEFORE committing
+    * to a drop threshold). Per threshold: surviving rep-level pairs,
+    * distinct rep-level losers (the drop decision's doc_b set), and
+    * the document-level pair volume — cross-group pairs expand as
+    * m_a·m_b and identical-copy groups contribute C(m,2) Jaccard-1.0
+    * pairs (threshold-independent for any t ≤ 1), so the expansion is
+    * never materialized. One pass over the pair relation × a literal
+    * grid; every threshold stays ≥ the banding S-curve gate. */
+  def thresholdCurve(spark: SparkSession, path: String,
+                     thresholds: Seq[Double] = Seq(0.7, 0.75, 0.8, 0.85, 0.9, 0.95)): DataFrame = {
+    thresholds.foreach(requireThreshold)
+    val mem = membersWithM(spark, path)
+    val mm = mem.filter(col("doc_id") === col("rep")).select(col("rep"), col("m"))
+    val pairs = pairStats(spark, path)
+      .withColumn("j", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .join(mm.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
+      .join(mm.select(col("rep").as("doc_b"), col("m").as("mb")), "doc_b")
+    val within = reps(spark, path).filter(col("shingleable"))
+      .join(mm, "rep").filter(col("m") >= 2)
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("w"))
+    val grid = array(thresholds.map(lit): _*)
+    pairs.crossJoin(broadcast(spark.range(1).select(explode(grid).as("threshold"))))
+      .groupBy("threshold")
+      .agg(sum(when(col("j") >= col("threshold"), 1L).otherwise(0L)).as("n_rep_pairs"),
+        countDistinct(when(col("j") >= col("threshold"), col("doc_b"))).as("n_rep_losers"),
+        sum(when(col("j") >= col("threshold"), col("ma") * col("mb")).otherwise(0L))
+          .as("cross_exp"))
+      .crossJoin(broadcast(within))
+      .select(col("threshold"), col("n_rep_pairs"), col("n_rep_losers"),
+        (col("cross_exp") + col("w")).as("n_pairs_expanded"))
+  }
+
   /** [[Dedup.dropContained]] served from the store: the more-contained
     * (smaller-shingle-set) side of every clearing pair drops. */
   def dropContained(spark: SparkSession, path: String,

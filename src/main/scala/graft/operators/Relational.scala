@@ -1373,4 +1373,123 @@ object Relational {
         lit(-1.0 / epsilon) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u)), 4)
         .as("n_noisy"))
   }
+
+  /** (p_partkey, p_retailprice, p_size): 2-D SKYLINE (Pareto frontier)
+    * of parts — minimize price, maximize size; a part survives iff no
+    * other part is at-least-as-good on both axes and strictly better
+    * on one. Grid-pruned, never all-pairs: prices quantize to exact
+    * micros, collapse to one row per distinct price (max size), and
+    * the strict-lower-price running max splits into (a) a cross-BUCKET
+    * prefix via bounded explode-contributions over ~price-range/W
+    * integer buckets and (b) a within-bucket window PARTITIONED BY
+    * bucket (bounded partitions — no global sort at any scale). A row
+    * is dominated iff a strictly cheaper price reached its size, or an
+    * equal price exceeded it. Duplicated (price, size) points all
+    * survive (neither dominates: no strict axis), matching the
+    * NOT-EXISTS oracle. */
+  def skyline(part: DataFrame, bucketMicros: Long = 10000000L): DataFrame = {
+    val pm = part.select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+      micros(col("p_retailprice")).as("pmm"))
+    val g = pm.groupBy("pmm").agg(max("p_size").as("gmax"))
+      .withColumn("b", expr(s"pmm div $bucketMicros"))
+    val maxB = g.agg(max("b").as("maxb"))
+    val preOff = g.crossJoin(broadcast(maxB))
+      .filter(col("b") < col("maxb"))
+      .select(explode(sequence(col("b") + 1, col("maxb"))).as("b"),
+        col("gmax").as("c"))
+      .groupBy("b").agg(max("c").as("pre"))
+    val wIn = Window.partitionBy("b").orderBy("pmm")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gL = g.withColumn("lin", max("gmax").over(wIn))
+      .join(preOff, Seq("b"), "left")
+      .withColumn("lmax", greatest(coalesce(col("pre"), lit(-1)),
+        coalesce(col("lin"), lit(-1))))
+    pm.join(gL.select("pmm", "gmax", "lmax"), "pmm")
+      .filter(col("p_size") === col("gmax") && col("p_size") > col("lmax"))
+      .select("p_partkey", "p_retailprice", "p_size")
+  }
+
+  /** (l_returnflag, total_qty, p25_micros, p50_micros, p75_micros):
+    * EXACT weighted percentiles of extended price, weighted by
+    * quantity, per return flag — the order-statistic the approximate
+    * sketches (q_approx_quantiles) trade away, computed without a
+    * per-flag global sort: values quantize to micros and collapse to
+    * one (flag, value) row with its weight sum, the cross-bucket
+    * running-weight offset rides bounded explode-contributions over
+    * ~value-range/W buckets, and the within-bucket prefix is a window
+    * PARTITIONED BY (flag, bucket) — bounded partitions, so three
+    * enormous flag groups never serialize through one task. The
+    * percentile is min(value | k·cum ≥ m·total) in exact BIGINT
+    * arithmetic; collapsing equal values first cannot move the answer
+    * (if any row of a value crosses the threshold, that value's last
+    * row does). */
+  def weightedPercentiles(li: DataFrame, bucketMicros: Long = 1000000000L): DataFrame = {
+    val gv = li.select(col("l_returnflag").as("flag"),
+        micros(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy("flag", "v").agg(sum("w").as("wv"))
+      .withColumn("b", expr(s"v div $bucketMicros"))
+    val bsum = gv.groupBy("flag", "b").agg(sum("wv").as("bw"))
+    val maxB = bsum.groupBy("flag").agg(max("b").as("maxb"))
+    val off = bsum.join(maxB, "flag")
+      .filter(col("b") < col("maxb"))
+      .select(col("flag"), explode(sequence(col("b") + 1, col("maxb"))).as("b"),
+        col("bw").as("c"))
+      .groupBy("flag", "b").agg(sum("c").as("off"))
+    val tot = bsum.groupBy("flag").agg(sum("bw").as("tot"))
+    val wIn = Window.partitionBy("flag", "b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    gv.withColumn("cin", sum("wv").over(wIn))
+      .join(off, Seq("flag", "b"), "left")
+      .join(tot, "flag")
+      .withColumn("cum", coalesce(col("off"), lit(0L)) + col("cin"))
+      .groupBy(col("flag").as("l_returnflag"))
+      .agg(min("tot").as("total_qty"),
+        min(when(col("cum") * 4 >= col("tot"), col("v"))).as("p25_micros"),
+        min(when(col("cum") * 2 >= col("tot"), col("v"))).as("p50_micros"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as("p75_micros"))
+  }
+
+  /** (month, n_days, mau, avg_dau, stickiness): DAU/MAU engagement
+    * ratio per calendar month — the standard product-health metric
+    * beside cohort retention. Two distinct-user aggregations (per day,
+    * per month) and one day-cardinality roll-up; user ids shuffle once
+    * per aggregation, nothing serializes through a global sort. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val mo = trunc(timestamp_micros(expr("ts div 1000")).cast("date"), "month").as("month")
+    val dau = events.select(mo, expr("ts div 86400000000000").as("day"), col("user_id"))
+      .groupBy("month", "day").agg(countDistinct("user_id").as("dau"))
+    val daily = dau.groupBy("month")
+      .agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+    val mau = events.select(mo, col("user_id"))
+      .groupBy("month").agg(countDistinct("user_id").as("mau"))
+    daily.join(mau, "month")
+      .select(col("month"), col("n_days"), col("mau"),
+        round(col("sum_dau").cast("double") / col("n_days"), 6).as("avg_dau"),
+        round(col("sum_dau").cast("double") / (col("n_days") * col("mau")), 6)
+          .as("stickiness"))
+  }
+
+  /** (type_a, type_b, inter, na, nb, jaccard): pairwise AUDIENCE
+    * OVERLAP between event types — Jaccard of the distinct-user sets,
+    * the segmentation view behind "do purchasers also browse".
+    * Distinct (type, user) first, then a user-keyed self-join whose
+    * per-user fan-out is bounded by the type cardinality (a handful),
+    * never a type×type cross of user sets. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val au = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = au.groupBy("event_type").agg(count(lit(1)).as("n"))
+    au.as("a").join(au.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("na"))),
+        "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("nb"))),
+        "type_b")
+      .select(col("type_a"), col("type_b"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+  }
 }

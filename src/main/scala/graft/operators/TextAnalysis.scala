@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -1137,5 +1138,113 @@ object TextAnalysis {
         sum(when(col("is_canon"), 1L).otherwise(0L)).as("n_after_dedup"),
         sum(when(col("is_canon") && col("ok"), 1L).otherwise(0L)).as("n_after_quality"),
         sum(when(col("is_canon") && col("ok"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+  }
+
+  /** (doc_id, pos, fp): WINNOWING fingerprints (Schleimer, Wilkerson,
+    * Aiken 2003 — the MOSS local fingerprinting scheme): hash every
+    * k-token k-gram, slide a w-kgram window, select each window's
+    * minimum (hash, position) pair, emit the distinct selections. The
+    * guarantee winnowing adds over min-shingle fingerprints
+    * ([[fingerprint]]) is POSITIONAL density: every w consecutive
+    * kgrams contribute at least one fingerprint, so any shared run of
+    * w+k-1 tokens between two documents shares at least one (fp, Δpos)
+    * — the local substring-match index plagiarism/contamination
+    * scanners build on. Per-document windows only (partitioned by
+    * doc_id, w-row frames): embarrassingly parallel at any corpus
+    * size, output ≈ 2·tokens/w rows. Ties break to the EARLIER
+    * position via lexicographic (hash, pos) struct min — deterministic
+    * and engine-replayable (md5 hex strings compare identically
+    * everywhere). */
+  def winnowing(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val kg = docs
+      .select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), size(col("words")).as("nw"),
+        posexplode(graft.functions.Native.shingles(col("words"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5(col("col")).as("h"), (col("nw") - k + 1).cast("long").as("nk"))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    kg.withColumn("sel", min(struct(col("h"), col("pos"))).over(win))
+      // only full windows select (window starts 1 .. nk-w+1); shorter
+      // docs (k <= tokens < k+w-1) keep their single best kgram so no
+      // shingleable doc is fingerprint-less
+      .filter(col("pos") <= greatest(col("nk") - w + 1, lit(1)))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.h").as("fp"))
+      .distinct()
+  }
+
+  /** (doc_id, lang, ppl, bucket): CCNet-style perplexity bucketing
+    * (Wenzek et al. 2020) — every document lands in its language's
+    * head/middle/tail perplexity tertile, the standard quality
+    * stratification before mixing web data into a training corpus.
+    * The tertile CUTS are exact order statistics computed without a
+    * per-language global sort: (lang, ppl) collapse to value rows with
+    * counts, the cross-bucket running count rides bounded
+    * explode-contributions over integer ppl buckets, and the
+    * within-bucket prefix is a window partitioned by (lang, bucket) —
+    * the same bucket-split exact-percentile shape as
+    * [[Relational.weightedPercentiles]]. cut = min(ppl | 3·cum ≥ m·tot)
+    * in exact integer-count arithmetic over the ROUNDED ppl (both
+    * engines see identical doubles, so grouping and comparison agree
+    * bit-for-bit). */
+  def ccnetBuckets(docs: DataFrame, bucketWidth: Long = 100L): DataFrame = {
+    val pp = docPerplexity(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("ppl"))
+    val gv = pp.groupBy("lang", "ppl").agg(count(lit(1)).as("n"))
+      .withColumn("b", expr(s"CAST(floor(ppl) AS BIGINT) div $bucketWidth"))
+    val bsum = gv.groupBy("lang", "b").agg(sum("n").as("bn"))
+    val maxB = bsum.groupBy("lang").agg(max("b").as("maxb"))
+    val off = bsum.join(maxB, "lang")
+      .filter(col("b") < col("maxb"))
+      .select(col("lang"), explode(sequence(col("b") + 1, col("maxb"))).as("b"),
+        col("bn").as("c"))
+      .groupBy("lang", "b").agg(sum("c").as("off"))
+    val tot = bsum.groupBy("lang").agg(sum("bn").as("tot"))
+    val wIn = Window.partitionBy("lang", "b").orderBy("ppl")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cuts = gv.withColumn("cin", sum("n").over(wIn))
+      .join(off, Seq("lang", "b"), "left")
+      .join(tot, "lang")
+      .withColumn("cum", coalesce(col("off"), lit(0L)) + col("cin"))
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("tot"), col("ppl"))).as("p33"),
+        min(when(col("cum") * 3 >= col("tot") * 2, col("ppl"))).as("p66"))
+    pp.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("ppl") <= col("p33"), "head")
+          .when(col("ppl") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** (band, n_docs, n_dup, dup_rate, lift): QUALITY-vs-DUPLICATION
+    * calibration — does the cheap quality heuristic actually separate
+    * duplicated content? Documents band by lexical-diversity score
+    * (floor(distinct_ratio·10), fixed-width bands — no global ranking
+    * at any scale), each band reports its exact-duplicate incidence
+    * and the lift over the corpus-wide rate. A lift ramp across bands
+    * is the evidence that score-thresholding removes duplication
+    * pressure; a flat profile says the heuristic and the dedup signal
+    * are orthogonal. Two hash aggregations and a broadcast scalar. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val m = docs.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("m"))
+    val banded = docs
+      .withColumn("toks", Text.rawTokens(col("text")))
+      .withColumn("ratio", round(size(array_distinct(col("toks"))).cast("double") /
+        size(col("toks")), 4))
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        floor(col("ratio") * 10).cast("long").as("band"))
+      .join(m, "h")
+    val perBand = banded.groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_dup"))
+    val overall = perBand.agg(sum("n_docs").as("tn"), sum("n_dup").as("td"))
+    perBand.crossJoin(broadcast(overall))
+      .select(col("band"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        // a dup-free corpus has no base rate to lift against — NULL,
+        // not a divide-by-zero (ANSI) or infinity
+        when(col("td") > 0,
+          round((col("n_dup").cast("double") / col("n_docs")) /
+            (col("td").cast("double") / col("tn")), 6)).as("lift"))
   }
 }
