@@ -668,6 +668,20 @@ object SparkEntry {
     // answered from the staged pair substrate by arithmetic alone
     "q_dedup_threshold_curve" -> ((s, dir) =>
       DedupStore.thresholdCurve(s, dedupStoreFor(s, dir))),
+    // CombSUM/CombMNZ score fusion of the lexical + dense runs
+    "q_fusion_combsum" -> ((s, dir) =>
+      Hybrid.combSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // Jelinek-Mercer query likelihood (fixed-interpolation LM)
+    "q_lm_jm" -> ((s, dir) => SearchExtras.lmJmScore(Tables.documents(s, dir))),
+    // market-basket top pairs with lift (order-keyed self-join)
+    "q_basket_pairs" -> ((s, dir) => Relational.basketPairs(Tables.lineitem(s, dir))),
+    // Gini coefficient of per-customer revenue (no global sort)
+    "q_gini" -> ((s, dir) => Relational.gini(Tables.orders(s, dir))),
+    // per-label embedding centroid drift vs the corpus centroid
+    "q_emb_drift" -> ((s, dir) => Vectors.embDrift(Tables.embeddings(s, dir))),
+    // cross-source near-dup matrix from the staged pair substrate
+    "q_dedup_cross_source" -> ((s, dir) =>
+      DedupStore.crossSourceMatrix(Tables.documents(s, dir), dedupStoreFor(s, dir))),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -3861,6 +3875,112 @@ object SparkEntry {
         |SELECT digit, n, round(n::DOUBLE / t, 4) AS freq,
         |       round(p, 4) AS benford_p, chi.chi2
         |FROM wp, chi""".stripMargin,
+    // CombSUM/CombMNZ fusion: both runs min-max normalized on their
+    // ROUNDED scores over the same depth-N lists the plan retrieves
+    "q_fusion_combsum" ->
+      s"""WITH $bm25Cte, $vecCte,
+         |tb AS (SELECT doc_id AS id, score FROM scored
+         |       ORDER BY score DESC, doc_id ASC LIMIT ${Hybrid.FusionDepth}),
+         |bn AS (SELECT id, CASE WHEN m.mx = m.mn THEN 1.0
+         |                       ELSE (score - m.mn) / (m.mx - m.mn) END AS ns
+         |       FROM tb, (SELECT min(score) AS mn, max(score) AS mx FROM tb) m),
+         |q0 AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |cosall AS (SELECT b.vec_id AS id,
+         |             round(list_sum(list_transform(range(1, len(q0.v) + 1), i -> q0.v[i] * b.v[i]))
+         |                   / (q0.nrm * b.nrm), 4) AS cos
+         |           FROM vn b, q0 WHERE b.vec_id != 0),
+         |tc AS (SELECT id, cos FROM cosall ORDER BY cos DESC, id ASC LIMIT ${Hybrid.FusionDepth}),
+         |cn AS (SELECT id, CASE WHEN m.mx = m.mn THEN 1.0
+         |                       ELSE (cos - m.mn) / (m.mx - m.mn) END AS nc
+         |       FROM tc, (SELECT min(cos) AS mn, max(cos) AS mx FROM tc) m),
+         |f AS (SELECT coalesce(bn.id, cn.id) AS doc_id,
+         |        round(coalesce(ns, 0) + coalesce(nc, 0), 6) AS combsum,
+         |        round((coalesce(ns, 0) + coalesce(nc, 0)) *
+         |              ((ns IS NOT NULL)::INT + (nc IS NOT NULL)::INT), 6) AS combmnz
+         |      FROM bn FULL JOIN cn ON bn.id = cn.id)
+         |SELECT doc_id, combsum, combmnz FROM f
+         |ORDER BY combsum DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // JM decomposition: doc-independent background constant + matched
+    // postings; corpus-absent query terms contribute nothing (both
+    // sides range over cfq, the PRESENT query terms)
+    "q_lm_jm" ->
+      s"""WITH $dlCte,
+         |tot AS (SELECT sum(dl)::DOUBLE AS total_tokens FROM dl),
+         |cfq AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+         |        WHERE term IN ($queryTermsSql) GROUP BY term),
+         |qc AS (SELECT sum(ln(0.1 * cf / tot.total_tokens)) AS qc
+         |       FROM cfq CROSS JOIN tot),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + ((1.0 - 0.1) * tf.tf * tot.total_tokens) /
+         |                      (0.1 * cfq.cf * dl.dl))) AS cs
+         |  FROM tf JOIN cfq ON tf.term = cfq.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN tot
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(cs + qc.qc, 4) AS score
+         |FROM scored CROSS JOIN qc""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |s AS (SELECT l_partkey, count(*)::BIGINT AS n FROM it GROUP BY 1),
+        |no AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM it),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |             count(*)::BIGINT AS n_ab
+        |      FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+        |                        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab, sa.n AS na, sb.n AS nb,
+        |       round(n_ab::DOUBLE * n_orders / (sa.n * sb.n), 6) AS lift
+        |FROM p JOIN s sa ON part_a = sa.l_partkey
+        |       JOIN s sb ON part_b = sb.l_partkey CROSS JOIN no
+        |ORDER BY n_ab DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+    // sorted-formula Gini replayed with a naive running-count window
+    // at oracle scale; all products in HUGEINT (plan: decimal(38,0))
+    "q_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |               sum(floor(o_totalprice * 1000000.0)::BIGINT)::BIGINT AS x
+        |             FROM orders GROUP BY 1),
+        |g AS (SELECT x, count(*)::BIGINT AS c FROM rev GROUP BY 1),
+        |w AS (SELECT x, c,
+        |        coalesce(sum(c) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS p
+        |      FROM g),
+        |t AS (SELECT sum(c)::BIGINT AS n, sum(x::HUGEINT * c)::HUGEINT AS sx FROM g),
+        |nm AS (SELECT sum(x::HUGEINT * c * (2 * p + c - t.n))::HUGEINT AS num
+        |       FROM w CROSS JOIN t)
+        |SELECT t.n AS n_customers, t.sx::BIGINT AS total_rev_micros,
+        |       round(nm.num::DOUBLE / (t.n::DOUBLE * t.sx::DOUBLE), 6) AS gini
+        |FROM t CROSS JOIN nm""".stripMargin,
+    // integer-millis sum vectors: cosine is scale-invariant, the
+    // centroid L2 clears denominators — every product exact HUGEINT
+    "q_emb_drift" ->
+      """WITH d AS (SELECT label, i - 1 AS dim,
+        |             floor(embedding[i]::DOUBLE * 1000)::BIGINT AS mv
+        |           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |bl AS (SELECT label, dim, sum(mv)::HUGEINT AS s, count(*)::BIGINT AS cnt
+        |       FROM d GROUP BY 1, 2),
+        |g AS (SELECT dim, sum(s)::HUGEINT AS gs, sum(cnt)::BIGINT AS gc
+        |      FROM bl GROUP BY 1),
+        |j AS (SELECT label, cnt, gc, s, gs FROM bl JOIN g USING (dim)),
+        |a AS (SELECT label, max(cnt)::BIGINT AS n_vecs, max(gc)::BIGINT AS gcv,
+        |        sum(s * gs)::HUGEINT AS dot, sum(s * s)::HUGEINT AS nl,
+        |        sum(gs * gs)::HUGEINT AS ng,
+        |        sum((s * gc - gs * cnt) * (s * gc - gs * cnt))::HUGEINT AS d2
+        |      FROM j GROUP BY label)
+        |SELECT label, n_vecs,
+        |       CASE WHEN nl > 0 AND ng > 0
+        |            THEN round(dot::DOUBLE / sqrt(nl::DOUBLE * ng::DOUBLE), 6)
+        |       END AS cos_to_global,
+        |       round(sqrt(d2::DOUBLE) / (n_vecs * gcv * 1000.0), 6) AS l2_dist
+        |FROM a""".stripMargin,
+    "q_dedup_cross_source" ->
+      s"""WITH $minhashCandCte
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*)::BIGINT AS n_pairs
+         |FROM ver JOIN documents da ON ver.doc_a = da.doc_id
+         |         JOIN documents db ON ver.doc_b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     // dominance is replayed on the same exact price-micros the plan
     // quantizes to; duplicated (price, size) points all survive
     "q_skyline" ->

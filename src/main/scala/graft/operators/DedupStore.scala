@@ -345,6 +345,25 @@ object DedupStore {
         (col("cross_exp") + col("w")).as("n_pairs_expanded"))
   }
 
+  /** (source_a, source_b, n_pairs): CROSS-SOURCE duplication matrix —
+    * the verified near-dup pairs bucketed by the (unordered) source
+    * pair of their endpoints, the provenance view that separates
+    * within-crawl boilerplate from cross-source syndication (the pairs
+    * dedup must catch BEFORE per-source quotas are trusted). Pair
+    * relation from the store, two id-keyed source joins, one
+    * source²-cardinality aggregate. */
+  def crossSourceMatrix(docs: DataFrame, path: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    val src = docs.select(col("doc_id"), col("source"))
+    verifiedNearDups(spark, path, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** [[Dedup.dropContained]] served from the store: the more-contained
     * (smaller-shingle-set) side of every clearing pair drops. */
   def dropContained(spark: SparkSession, path: String,

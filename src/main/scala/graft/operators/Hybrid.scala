@@ -47,4 +47,41 @@ object Hybrid {
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** (doc_id, combsum, combmnz): score-based fusion of the same two
+    * runs (Fox & Shaw 1994) — the scale-sensitive complement of RRF:
+    * each depth-N run is min-max normalized onto [0, 1] (on the
+    * ROUNDED scores, so both engines normalize identical doubles),
+    * CombSUM adds the normalized scores (absent → 0) and CombMNZ
+    * multiplies by the number of runs that retrieved the document
+    * (rewarding agreement). A degenerate constant run normalizes to
+    * 1.0 everywhere rather than dividing by zero. Same plan economics
+    * as [[rrfSearch]]: two distributed top-N lists, run-level min/max
+    * as broadcast scalars, an N-row join — nothing corpus-sized
+    * shuffles for the fusion itself. */
+  def combSearch(docs: DataFrame, embeddings: DataFrame,
+                 queryTerms: Seq[String] = Bm25.QueryTerms, queryVecId: Long = 0L,
+                 k: Int = 10, depth: Int = FusionDepth): DataFrame = {
+    def normalized(run: DataFrame, scoreCol: String, idCol: String,
+                   out: String): DataFrame = {
+      val top = TopK.rankedTopN(run, scoreCol, idCol, depth, "__r")
+        .select(col(idCol).as("id"), col(scoreCol).as("s"))
+      val mm = top.agg(min("s").as("mn"), max("s").as("mx"))
+      top.crossJoin(broadcast(mm))
+        .select(col("id"),
+          when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("s") - col("mn")) / (col("mx") - col("mn"))).as(out))
+    }
+    val bn = normalized(Bm25.bm25Score(docs, queryTerms), "score", "doc_id", "ns")
+    val cn = normalized(Ann.cosineAll(embeddings, queryVecId), "cos", "vec_id", "nc")
+    bn.join(cn, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        round(coalesce(col("ns"), lit(0.0)) + coalesce(col("nc"), lit(0.0)), 6)
+          .as("combsum"),
+        round((coalesce(col("ns"), lit(0.0)) + coalesce(col("nc"), lit(0.0))) *
+          (col("ns").isNotNull.cast("int") + col("nc").isNotNull.cast("int")), 6)
+          .as("combmnz"))
+      .orderBy(col("combsum").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

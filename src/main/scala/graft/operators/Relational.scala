@@ -1470,6 +1470,70 @@ object Relational {
           .as("stickiness"))
   }
 
+  /** (part_a, part_b, n_ab, na, nb, lift): MARKET-BASKET pair mining —
+    * the top co-purchased part pairs with their lift
+    * (P(a,b) / (P(a)·P(b)), support counted over distinct orders).
+    * The pair explosion is an order-keyed self-join whose per-order
+    * fan-out is bounded by items-per-order (single digits on order
+    * data) — O(orders · k²), never part×part; the final top-K is a
+    * distributed TakeOrderedAndProject under a total order. */
+  def basketPairs(li: DataFrame, topK: Int = 20): DataFrame = {
+    val items = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val nOrders = items.select("l_orderkey").distinct().agg(count(lit(1)).as("n_orders"))
+    items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(supp.select(col("l_partkey").as("part_a"), col("n").as("na")), "part_a")
+      .join(supp.select(col("l_partkey").as("part_b"), col("n").as("nb")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("na"), col("nb"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("na") * col("nb")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
+      .limit(topK)
+  }
+
+  /** (n_customers, total_rev_micros, gini): GINI COEFFICIENT of the
+    * per-customer revenue distribution — the whole-distribution
+    * inequality stat behind q_revenue_concentration's top-k share.
+    * Sorted-formula G = Σ_i (2i − n − 1)·x_(i) / (n·Σx), computed
+    * WITHOUT a global sort: revenues collapse to distinct values with
+    * counts, the strictly-lower prefix count p(v) rides the
+    * cross-bucket explode-contribution + within-bucket-partitioned
+    * window pattern, and a value's positions p+1..p+c contribute
+    * v·c·(2p + c − n) in closed form. All integer arithmetic in
+    * decimal(38,0) (micros × counts × ranks overflow BIGINT at
+    * warehouse scale); one final double division. */
+  def gini(orders: DataFrame, bucketMicros: Long = 10000000000L): DataFrame = {
+    val rev = orders.groupBy("o_custkey").agg(sum(micros(col("o_totalprice"))).as("x"))
+    val g = rev.groupBy("x").agg(count(lit(1)).as("c"))
+      .withColumn("b", expr(s"x div $bucketMicros"))
+    val bsum = g.groupBy("b").agg(sum("c").as("bc"))
+    val maxB = bsum.agg(max("b").as("maxb"))
+    val off = bsum.crossJoin(broadcast(maxB))
+      .filter(col("b") < col("maxb"))
+      .select(explode(sequence(col("b") + 1, col("maxb"))).as("b"), col("bc").as("cc"))
+      .groupBy("b").agg(sum("cc").as("off"))
+    val wIn = Window.partitionBy("b").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = g.agg(sum("c").as("n"),
+      sum(col("x").cast("decimal(38,0)") * col("c")).as("sx"))
+    g.withColumn("pin", coalesce(sum("c").over(wIn), lit(0L)))
+      .join(off, Seq("b"), "left")
+      .withColumn("p", coalesce(col("off"), lit(0L)) + col("pin"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("sx"),
+        (col("x").cast("decimal(38,0)") * col("c") *
+          (col("p") * 2 + col("c") - col("n")).cast("decimal(38,0)")).as("term"))
+      .groupBy("n", "sx").agg(sum("term").as("num"))
+      .select(col("n").as("n_customers"), col("sx").cast("long").as("total_rev_micros"),
+        round(col("num").cast("double") /
+          (col("n").cast("double") * col("sx").cast("double")), 6).as("gini"))
+  }
+
   /** (type_a, type_b, inter, na, nb, jaccard): pairwise AUDIENCE
     * OVERLAP between event types — Jaccard of the distinct-user sets,
     * the segmentation view behind "do purchasers also browse".

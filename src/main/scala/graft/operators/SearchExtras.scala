@@ -58,6 +58,45 @@ object SearchExtras {
       .select("doc_id", "score")
   }
 
+  /** (doc_id, score): query-likelihood ranking under JELINEK-MERCER
+    * smoothing — score = Σ_t log((1−λ)·tf_t/dl + λ·cf_t/|C|), the
+    * fixed-interpolation sibling of [[lmDirichletScore]] (Zhai &
+    * Lafferty 2001: JM favors verbose queries, Dirichlet short ones —
+    * an engine serves both). Same decomposition trick: the
+    * doc-independent background Σ_t log(λ·cf_t/|C|) is ONE broadcast
+    * scalar and per-doc work ranges over matched postings only:
+    * score = qconst + Σ_matched log(1 + (1−λ)·tf·|C| / (λ·cf·dl)).
+    * Query terms absent from the corpus have no background probability
+    * (cf = 0 would put −∞ in every score) and contribute nothing —
+    * the oracle replays the same rule. Plan: query-term postings + one
+    * dl aggregate + two broadcast scalars; no third corpus pass. */
+  def lmJmScore(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
+                lambda: Double = 0.1): DataFrame = {
+    val terms = queryTerms.distinct
+    val dropped = terms.filterNot(graft.functions.Text.producibleToken)
+    require(dropped.isEmpty,
+      s"query terms ${dropped.mkString("'", "', '", "'")} can never match: " +
+        "stopword/min-length filtered, non-lowercase, or not a single token")
+    val oneMinus = 1.0 - lambda
+    val tfq = Bm25.tf(docs).filter(col("term").isin(terms: _*))
+    val dl = Bm25.docLengths(docs.filter(col("doc_id").isNotNull))
+    val tot = dl.agg(sum(col("dl")).cast("double").as("total_tokens"))
+    val qconst = tfq.groupBy("term").agg(sum("tf").cast("double").as("cf"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(log(lit(lambda) * col("cf") / col("total_tokens"))).as("qc"))
+    tfq
+      .withColumn("cf", sum(col("tf")).over(Window.partitionBy("term")).cast("double"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("dl"),
+        log(lit(1.0) + (lit(oneMinus) * col("tf") * col("total_tokens")) /
+          (lit(lambda) * col("cf") * col("dl"))).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("cs"))
+      .crossJoin(broadcast(qconst))
+      .select(col("doc_id"), round(col("cs") + col("qc"), 4).as("score"))
+  }
+
   /** (doc_id, pos, snippet): result highlighting — for every document
     * matching ≥ 1 query term (case-insensitive substring), the 1-based
     * position of the EARLIEST match and a fixed window of the original

@@ -345,4 +345,43 @@ object Vectors {
     e.select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("dim", "y")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
   }
+
+  /** (label, n_vecs, cos_to_global, l2_dist): EMBEDDING DRIFT per
+    * class — each label's centroid against the corpus centroid, the
+    * distribution-shift monitor for embedding columns (the vector
+    * sibling of [[TextAnalysis]]'s KS drift on scalars). Exactness via
+    * the file's millis contract: per-(label, dim) integer component
+    * SUMS are the centroid up to a scale factor, cosine is
+    * scale-invariant so it runs directly on the exact sum vectors, and
+    * the centroid L2 distance clears denominators —
+    * ‖s_l/c_l − s_g/c_g‖ = ‖s_l·c_g − s_g·c_l‖ / (c_l·c_g) — so every
+    * sum/product is exact decimal(38,0) and the single sqrt/divide is
+    * bit-deterministic. Shuffles are (label, dim)-cardinality; vectors
+    * never move whole. Exact to ~1e19 millis·count magnitudes — far
+    * past any real corpus's class sizes. */
+  def embDrift(emb: DataFrame): DataFrame = {
+    val dims = emb.filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")))
+      .select(col("label"), col("pos").as("dim"), col("col").as("mv"))
+    val byLabel = dims.groupBy("label", "dim")
+      .agg(sum("mv").as("s"), count(lit(1)).as("cnt"))
+    val global = byLabel.groupBy("dim").agg(sum("s").as("gs"), sum("cnt").as("gc"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    byLabel.join(global, "dim")
+      .groupBy("label")
+      .agg(max("cnt").as("n_vecs"), max("gc").as("gcv"),
+        sum(dec(col("s")) * dec(col("gs"))).as("dot"),
+        sum(dec(col("s")) * dec(col("s"))).as("nl"),
+        sum(dec(col("gs")) * dec(col("gs"))).as("ng"),
+        sum((dec(col("s")) * dec(col("gc")) - dec(col("gs")) * dec(col("cnt"))) *
+          (dec(col("s")) * dec(col("gc")) - dec(col("gs")) * dec(col("cnt")))).as("d2"))
+      .select(col("label"), col("n_vecs"),
+        when(col("nl") > 0 && col("ng") > 0,
+          round(col("dot").cast("double") /
+            sqrt(col("nl").cast("double") * col("ng").cast("double")), 6))
+          .as("cos_to_global"),
+        round(sqrt(col("d2").cast("double")) /
+          (col("n_vecs") * col("gcv") * lit(1000.0)), 6).as("l2_dist"))
+  }
 }

@@ -110,6 +110,65 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("combsum/combmnz are bounded and mnz = sum x lists-present") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.operators.Hybrid.combSearch(docs, emb).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (cs, mnz) = (r.getDouble(1), r.getDouble(2))
+      assert(cs >= 0 && cs <= 2.0 + 1e-9, s"combsum out of [0,2]: $r")
+      // both fields round at 6dp independently — allow that slack
+      assert(mnz >= cs - 3e-6 && mnz <= 2 * cs + 3e-6, s"mnz inconsistent: $r")
+    }
+  }
+
+  test("lm-jm scores the same docs as lm-dirichlet (shared match set)") {
+    import graft.operators.SearchExtras
+    val jm = SearchExtras.lmJmScore(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = SearchExtras.lmDirichletScore(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(jm === dir, "JM and Dirichlet must score exactly the matched-doc set")
+    assert(jm.nonEmpty)
+  }
+
+  test("basket pairs: co-occurrence bounded by either support") {
+    val rows = Relational.basketPairs(Tables.lineitem(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)), s"n_ab > support: $r")
+      assert(r.getDouble(5) > 0)
+    }
+  }
+
+  test("gini is in [0, 1)") {
+    val r = Relational.gini(Tables.orders(spark, sf)).collect()(0)
+    val g = r.getDouble(2)
+    assert(g >= 0 && g < 1, s"gini out of range: $g")
+  }
+
+  test("emb drift: one row per label, cosine bounded, self-consistent sizes") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.operators.Vectors.embDrift(emb).collect()
+    assert(rows.length === emb.select("label").distinct().count())
+    val total = emb.count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"cos out of range: $r")
+      assert(r.getDouble(3) >= 0)
+    }
+  }
+
+  test("cross-source matrix accounts for every verified pair") {
+    val store = {
+      val p = java.nio.file.Files.createTempDirectory("xsrcstore").toString + "/store"
+      DedupStore.build(docs, p)
+      p
+    }
+    val m = DedupStore.crossSourceMatrix(docs, store).collect()
+    assert(m.map(_.getLong(2)).sum ===
+      DedupStore.verifiedNearDups(spark, store).count())
+  }
+
   test("threshold curve is monotone and agrees with the fixed-threshold serves") {
     val store = {
       val p = java.nio.file.Files.createTempDirectory("curvestore").toString + "/store"
