@@ -489,6 +489,10 @@ object SparkEntry {
     "q_stream_kmeans" -> ((s, dir) => graft.streaming.Streams.kmeansStream(s, dir)),
     "q_stream_dedup_minhash" -> ((s, dir) =>
       graft.streaming.Streams.minhashDedupStream(s, dir)),
+    // streaming ingest gate: arriving docs screened against the
+    // static benchmark shingle index (union == batch contamination)
+    "q_stream_contamination" -> ((s, dir) =>
+      graft.streaming.Streams.contaminationStream(s, dir)),
     // UNBOUNDED rate source through the serving skeleton (the ref's
     // live socket feed) — wall-clock-dependent counts → rows-only
     // gate, shape pinned by StreamsSpec
@@ -682,6 +686,20 @@ object SparkEntry {
     // cross-source near-dup matrix from the staged pair substrate
     "q_dedup_cross_source" -> ((s, dir) =>
       DedupStore.crossSourceMatrix(Tables.documents(s, dir), dedupStoreFor(s, dir))),
+    // Adamic-Adar link prediction over the staged candidate graph
+    "q_adamic_adar" -> ((s, dir) =>
+      Graph.adamicAdarFromCandidates(DedupStore.candidates(s, dedupStoreFor(s, dir)))),
+    // degree distribution of the verified near-dup graph (deg-0 incl.)
+    "q_degree_dist" -> ((s, dir) =>
+      Graph.degreeDistribution(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
+        Tables.documents(s, dir))),
+    // Spearman agreement between the lexical and dense runs
+    "q_run_correlation" -> ((s, dir) =>
+      Hybrid.runCorrelation(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // near-dup media by frame-hash overlap (shot-level video dedup):
+    // content-bounded frame_md5 join, hot frames capped out first
+    "q_multimodal_neardup" -> ((s, dir) =>
+      Multimodal.frameNearDups(s, Tables.documents(s, dir))),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -986,6 +1004,18 @@ object SparkEntry {
        |        WHERE i.inter::DOUBLE / (na.n_sh + nb.n_sh - i.inter) >= 0.8)""".stripMargin
   }
   private val minhashCandCte = minhashCandCteFor("documents")
+
+  /** Verbatim-overlap contamination screen (train docs vs the %97
+    * probe slice); shared by the batch key and its streaming-gate
+    * sibling (union of micro-batches == batch, row-for-row). */
+  private val contaminationSql =
+    s"""WITH $shingleCte,
+       |pr AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT tr.doc_id, count(DISTINCT pr.probe_id)::BIGINT AS n_probes,
+       |       count(DISTINCT tr.shingle)::BIGINT AS n_shingles
+       |FROM tr JOIN pr ON tr.shingle = pr.shingle
+       |GROUP BY tr.doc_id""".stripMargin
 
   /** Add-one-smoothed bigram-LM per-doc perplexity CTE mirroring
     * TextAnalysis.docPerplexity (LM trained on even doc_ids); shared
@@ -2203,14 +2233,10 @@ object SparkEntry {
         |grid AS (SELECT doc_id, n, b::INT AS bin FROM tot, unnest(generate_series(0, 15)) AS g(b))
         |SELECT grid.doc_id, grid.bin, round(coalesce(binned.cnt, 0) / grid.n, 4) AS ratio
         |FROM grid LEFT JOIN binned ON grid.doc_id = binned.doc_id AND grid.bin = binned.bin""".stripMargin,
-    "q_contamination" ->
-      s"""WITH $shingleCte,
-         |pr AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 97 = 0),
-         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
-         |SELECT tr.doc_id, count(DISTINCT pr.probe_id)::BIGINT AS n_probes,
-         |       count(DISTINCT tr.shingle)::BIGINT AS n_shingles
-         |FROM tr JOIN pr ON tr.shingle = pr.shingle
-         |GROUP BY tr.doc_id""".stripMargin,
+    "q_contamination" -> contaminationSql,
+    // the streaming ingest gate probes the same static index batch by
+    // batch; union of batches == the batch screen (shared oracle)
+    "q_stream_contamination" -> contaminationSql,
     "q_contamination_fuzzy" ->
       s"""WITH $fuzzyContamCte
          |SELECT f.doc_id, f.probe_id,
@@ -3981,6 +4007,79 @@ object SparkEntry {
          |FROM ver JOIN documents da ON ver.doc_a = da.doc_id
          |         JOIN documents db ON ver.doc_b = db.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    // Adamic-Adar over the canonical candidate graph: shared neighbors
+    // reweighted by 1/ln(deg) — a shared neighbor always has deg >= 2
+    "q_adamic_adar" ->
+      s"""WITH $minhashCanonCte,
+         |ed AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM cand),
+         |nb AS (SELECT a AS node, b AS nbr FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |dg AS (SELECT node AS w, count(*)::BIGINT AS deg FROM nb GROUP BY 1),
+         |wd AS (SELECT x.node AS doc_a, y.node AS doc_b, x.nbr AS w
+         |       FROM nb x JOIN nb y ON x.nbr = y.nbr AND x.node < y.node),
+         |ag AS (SELECT wd.doc_a, wd.doc_b, count(*)::BIGINT AS n_common,
+         |              round(sum(1.0 / ln(deg)), 6) AS aa
+         |       FROM wd JOIN dg USING (w) GROUP BY 1, 2),
+         |nw AS (SELECT ag.* FROM ag LEFT JOIN ed ON ag.doc_a = ed.a AND ag.doc_b = ed.b
+         |       WHERE ed.a IS NULL)
+         |SELECT doc_a, doc_b, n_common, aa FROM nw
+         |ORDER BY aa DESC, doc_a ASC, doc_b ASC LIMIT 10""".stripMargin,
+    "q_degree_dist" ->
+      s"""WITH $minhashCandCte,
+         |nodes AS (SELECT doc_a AS doc_id FROM ver
+         |          UNION ALL SELECT doc_b FROM ver),
+         |dg AS (SELECT doc_id, count(*)::BIGINT AS degree FROM nodes GROUP BY 1),
+         |conn AS (SELECT degree, count(*)::BIGINT AS n_docs FROM dg GROUP BY 1),
+         |iso AS (SELECT 0::BIGINT AS degree, count(*)::BIGINT AS n_docs FROM documents d
+         |        WHERE NOT EXISTS (SELECT 1 FROM dg WHERE dg.doc_id = d.doc_id)),
+         |u AS (SELECT * FROM conn UNION ALL SELECT * FROM iso)
+         |SELECT degree, n_docs FROM u WHERE n_docs > 0""".stripMargin,
+    // both runs re-ranked 1..m within their overlap; exact-integer
+    // Spearman, NULL below two shared docs
+    "q_run_correlation" ->
+      s"""WITH $bm25Cte, $vecCte,
+         |tb AS (SELECT doc_id AS id, score FROM scored
+         |       ORDER BY score DESC, doc_id ASC LIMIT ${Hybrid.FusionDepth}),
+         |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rb FROM tb),
+         |q0 AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |cosall AS (SELECT b.vec_id AS id,
+         |             round(list_sum(list_transform(range(1, len(q0.v) + 1), i -> q0.v[i] * b.v[i]))
+         |                   / (q0.nrm * b.nrm), 4) AS cos
+         |           FROM vn b, q0 WHERE b.vec_id != 0),
+         |tc AS (SELECT id, cos FROM cosall ORDER BY cos DESC, id ASC LIMIT ${Hybrid.FusionDepth}),
+         |cr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rc FROM tc),
+         |o AS (SELECT id, rb, rc FROM bmr JOIN cr USING (id)),
+         |r1 AS (SELECT id, row_number() OVER (ORDER BY rb ASC) AS ra FROM o),
+         |r2 AS (SELECT id, row_number() OVER (ORDER BY rc ASC) AS rcc FROM o),
+         |d AS (SELECT ((ra - rcc) * (ra - rcc))::BIGINT AS d2 FROM r1 JOIN r2 USING (id)),
+         |a AS (SELECT count(*)::BIGINT AS m, coalesce(sum(d2), 0)::BIGINT AS s FROM d)
+         |SELECT m AS n_overlap,
+         |       CASE WHEN m >= 2
+         |            THEN round(1.0 - 6.0 * s / (m * (m * m - 1)), 6) END AS rho
+         |FROM a""".stripMargin,
+    // frame-hash overlap: the only join is on frame_md5 (content
+    // bounded); hot frames (df > 100) dropped first, Jaccard over the
+    // identity-bearing frame sets in exact integer arithmetic
+    "q_multimodal_neardup" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text)::BIGINT AS n_bytes,
+        |                  (1 + doc_id % 8)::INT AS n_frames FROM documents),
+        |fr0 AS (SELECT DISTINCT doc_id,
+        |          md5(substr(text, (f * (n_bytes // n_frames) + 1)::INT,
+        |                     (CASE WHEN f = n_frames - 1
+        |                           THEN n_bytes - f * (n_bytes // n_frames)
+        |                           ELSE n_bytes // n_frames END)::INT)) AS frame_md5
+        |        FROM m, unnest(generate_series(0, n_frames - 1)) AS t(f)),
+        |rare AS (SELECT frame_md5 FROM fr0 GROUP BY frame_md5 HAVING count(*) <= 100),
+        |fr AS (SELECT fr0.doc_id, fr0.frame_md5 FROM fr0 JOIN rare USING (frame_md5)),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS nf FROM fr GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        |      FROM fr a JOIN fr b ON a.frame_md5 = b.frame_md5
+        |                        AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared,
+        |       round(n_shared::DOUBLE / (sa.nf + sb.nf - n_shared), 4) AS jaccard
+        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+        |       JOIN sz sb ON p.doc_b = sb.doc_id""".stripMargin,
     // dominance is replayed on the same exact price-micros the plan
     // quantizes to; duplicated (price, size) points all survive
     "q_skyline" ->

@@ -117,6 +117,52 @@ object Graph {
       .limit(k)
   }
 
+  /** (doc_a, doc_b, n_common, aa): ADAMIC-ADAR link prediction over
+    * the candidate graph — the common-neighbor count reweighted by
+    * 1/ln(deg(w)) per shared neighbor w, so promiscuous hub neighbors
+    * (giant LSH buckets) stop dominating the review queue; the
+    * standard upgrade over raw common-neighbor ranking (Adamic & Adar
+    * 2003). Same wedge-bounded join shape as [[commonNeighbors]] plus
+    * one degree join; a shared neighbor always has degree ≥ 2, so
+    * ln(deg) > 0 by construction. Ranked under the ROUNDED score with
+    * id tiebreaks (deterministic, engine-portable). */
+  def adamicAdarFromCandidates(cands: DataFrame, k: Int = 10): DataFrame = {
+    val e = cands.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    val nb = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = nb.groupBy("node").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("node", "w")
+    val wedges = nb.as("x").join(nb.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .select(col("x.node").as("doc_a"), col("y.node").as("doc_b"),
+        col("x.nbr").as("w"))
+      .join(deg, "w")
+    wedges.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(lit(1.0) / log(col("deg").cast("double"))), 6).as("aa"))
+      .join(e, col("doc_a") === col("a") && col("doc_b") === col("b"), "left_anti")
+      .orderBy(col("aa").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+  }
+
+  /** (degree, n_docs): DEGREE DISTRIBUTION of the verified near-dup
+    * graph, isolated corpus docs included as degree 0 — the one-look
+    * graph-health profile (a heavy tail here means boilerplate hubs;
+    * dedup clusters should be small cliques). Two aggregations and an
+    * anti-join; nothing corpus-sized concentrates. */
+  def degreeDistribution(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val conn = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+    val iso = docs.select(col("doc_id")).join(deg, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit(0L).as("degree"), col("n_docs"))
+    conn.unionByName(iso).filter(col("n_docs") > 0)
+  }
+
   /** (node, rank): `iterations` rounds of damped (0.85) PageRank over
     * the UNDIRECTED verified near-dup graph; isolated docs keep the
     * teleport mass only. */

@@ -84,4 +84,36 @@ object Hybrid {
       .orderBy(col("combsum").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** (n_overlap, rho): SPEARMAN rank correlation between the lexical
+    * and dense runs over their overlap — the run-agreement diagnostic
+    * that says whether fusion can help at all (rho ≈ 1: the runs
+    * agree, fusion adds nothing; rho ≈ 0: complementary evidence,
+    * fusion shines). Docs in both depth-N lists are re-ranked 1..m
+    * within the overlap on each side (window-free, via the same
+    * bounded [[TopK.rankedTopN]] collapse), then
+    * rho = 1 − 6·Σd² / (m(m²−1)) in exact BIGINT arithmetic; m < 2
+    * has no defined correlation → NULL. */
+  def runCorrelation(docs: DataFrame, embeddings: DataFrame,
+                     queryTerms: Seq[String] = Bm25.QueryTerms, queryVecId: Long = 0L,
+                     depth: Int = FusionDepth): DataFrame = {
+    val bm = TopK.rankedTopN(Bm25.bm25Score(docs, queryTerms),
+        "score", "doc_id", depth, "rb")
+      .select(col("doc_id").as("id"), col("rb"))
+    val cr = TopK.rankedTopN(Ann.cosineAll(embeddings, queryVecId),
+        "cos", "vec_id", depth, "rc")
+      .select(col("vec_id").as("id"), col("rc"))
+    val both = bm.join(cr, "id").localCheckpoint()
+    val ra = TopK.rankedTopN(both.withColumn("nr", -col("rb")), "nr", "id", depth, "ra")
+      .select(col("id"), col("ra").cast("long").as("ra"))
+    val rc2 = TopK.rankedTopN(both.withColumn("nr", -col("rc")), "nr", "id", depth, "rcc")
+      .select(col("id"), col("rcc").cast("long").as("rcc"))
+    ra.join(rc2, "id")
+      .select(((col("ra") - col("rcc")) * (col("ra") - col("rcc"))).as("d2"))
+      .agg(count(lit(1)).as("m"), coalesce(sum("d2"), lit(0L)).as("s"))
+      .select(col("m").as("n_overlap"),
+        when(col("m") >= 2,
+          round(lit(1.0) - lit(6.0) * col("s") /
+            (col("m") * (col("m") * col("m") - 1)), 6)).as("rho"))
+  }
 }

@@ -126,4 +126,43 @@ object Multimodal {
       .groupBy("payload_md5")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"),
         sum("n_bytes").as("total_bytes"))
+
+  /** (doc_a, doc_b, n_shared, jaccard): NEAR-duplicate media by
+    * FRAME-HASH overlap — the shot/segment-level video-dedup shape:
+    * payloads slice into frames ([[frameSample]]), each frame carries
+    * an exact content hash, and two assets pair when they share
+    * frames (re-encodes, trims and concatenations share runs of
+    * identical segments even when whole-file hashes differ). Exact and
+    * candidates-first: the only join is on frame_md5, so pair volume
+    * is bounded by genuinely shared content, never corpus²; frames
+    * occurring in more than `maxDf` assets are dropped first (black
+    * frames / intros / color bars carry no identity — the postings-cap
+    * rule from text retrieval, deterministic and oracle-replayed).
+    * Jaccard is exact integer arithmetic over distinct-frame sets.
+    * NOTE: a cheaper histogram-LSH variant was probed and rejected —
+    * byte histograms over this corpus are too concentrated to bucket
+    * (every config left ≥ 15% of all pairs as candidates), while the
+    * frame join stays content-bounded. */
+  def frameNearDups(spark: SparkSession, docs: DataFrame,
+                    maxDf: Int = 100): DataFrame = {
+    val fr = frameSample(spark, docs)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+      .localCheckpoint()
+    val rare = fr.groupBy("frame_md5").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("frame_md5")
+    // sizes over the capped relation too: Jaccard ranges over the
+    // identity-bearing frames on both sides of the ratio
+    val frk = fr.join(rare, "frame_md5")
+    val sizes = frk.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    frk.as("a").join(frk.as("b"),
+        col("a.frame_md5") === col("b.frame_md5") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 4).as("jaccard"))
+  }
 }

@@ -20,16 +20,20 @@ object TextAnalysis {
     * suites), so its shingles are BROADCAST into the corpus shingle
     * stream — at 100 TB the corpus-side pass stays map-local and only
     * flagged docs reach the final aggregation. */
-  def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3): DataFrame = {
-    val docSh = Dedup.shingles(docs, n)
-    val probeSh = Dedup.shingles(
-        probes.select(col("probe_id").as("doc_id"), col("text")), n)
-      .select(col("doc_id").as("probe_id"), col("shingle"))
-    docSh.join(broadcast(probeSh), "shingle")
+  def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3): DataFrame =
+    contaminationFromIndex(docs,
+      Dedup.shingles(probes.select(col("probe_id").as("doc_id"), col("text")), n)
+        .select(col("doc_id").as("probe_id"), col("shingle")), n)
+
+  /** [[contamination]] against a PRE-SHINGLED probe index — the
+    * staged-artifact form: benchmark suites shingle once, every
+    * corpus (or arriving micro-batch) joins the same persisted
+    * relation. Probe sets are benchmark-sized → broadcast. */
+  def contaminationFromIndex(docs: DataFrame, probeSh: DataFrame, n: Int = 3): DataFrame =
+    Dedup.shingles(docs, n).join(broadcast(probeSh), "shingle")
       .groupBy("doc_id")
       .agg(countDistinct(col("probe_id")).as("n_probes"),
         countDistinct(col("shingle")).as("n_shingles"))
-  }
 
   /** (doc_id, en_ratio, predicted_lang): stopword-hit-ratio language
     * heuristic. Ratios are exact rational divisions → deterministic. */

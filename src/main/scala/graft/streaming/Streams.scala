@@ -803,6 +803,41 @@ object Streams {
     } finally staticBands.unpersist()
   }
 
+  /** (doc_id, n_probes, n_shingles): documents streamed through
+    * micro-batches and screened against a STATIC contamination probe
+    * index — the INGEST GATE shape: benchmark/eval suites are
+    * shingled ONCE into a persisted index artifact
+    * ([[graft.operators.TextAnalysis.contaminationFromIndex]]), each
+    * arriving micro-batch shingles only its own documents and pays one
+    * broadcast join against it — never a probe-set pass per batch.
+    * Per-doc aggregates group within the batch that carries the doc
+    * (each doc arrives exactly once), so the union of batch outputs
+    * equals batch [[graft.operators.TextAnalysis.contamination]] on
+    * the same corpus row-for-row (shared oracle). */
+  def contaminationStream(spark: SparkSession, dir: String, nBatches: Int = 3): DataFrame = {
+    require(nBatches > 0, s"nBatches must be positive, got $nBatches")
+    val tag = pathTag(dir + "|contam|" + nBatches)
+    val tmp = sys.props("java.io.tmpdir")
+    val src = s"$tmp/graft_contam_stream_src_$tag"
+    val outRoot = s"$tmp/graft_contam_stream_out_$tag"
+    deleteRecursive(spark, src)
+    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val probeSh = graft.operators.Dedup.shingles(
+        d.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("probe_id"), col("shingle")).persist()
+    try {
+      val train = d.filter(col("doc_id") % 97 =!= 0)
+      (0 until nBatches).foreach { b =>
+        train.filter(col("doc_id") % nBatches === b).coalesce(1)
+          .write.mode(if (b == 0) "overwrite" else "append").parquet(src)
+      }
+      val s = spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      serveStream(spark, s, outRoot)(batch =>
+        graft.operators.TextAnalysis.contaminationFromIndex(batch, probeSh))
+    } finally probeSh.unpersist()
+  }
+
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
     * upserted per micro-batch into a keyed parquet store — the
     * reference's STREAMING Mongo sink (MongoTFSink.java /

@@ -169,6 +169,73 @@ class Round10OpsSpec extends AnyFunSuite {
       DedupStore.verifiedNearDups(spark, store).count())
   }
 
+  test("adamic-adar on a planted graph: chain wedge outranks star wedge") {
+    import spark.implicits._
+    // chain 1-2-3 (shared neighbor 2 has degree 2) plus star 10-{11,12,13}
+    // (shared neighbor 10 has degree 3): chain prediction (1,3) scores
+    // 1/ln2 > any star pair's 1/ln3
+    val cands = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (10L, 13L))
+      .toDF("doc_a", "doc_b")
+    val out = graft.operators.Graph.adamicAdarFromCandidates(cands).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 4, s"expected 4 predictions, got ${out.mkString(",")}")
+    assert(out.head._1 === ((1L, 3L)), s"chain pair must rank first: ${out.head}")
+    assert(math.abs(out.head._3 - 1.0 / math.log(2)) < 1e-6)
+    out.tail.foreach { case (pair, nc, aa) =>
+      assert(nc === 1L && math.abs(aa - 1.0 / math.log(3)) < 1e-6,
+        s"star pair $pair wrong: $aa")
+    }
+  }
+
+  test("degree distribution accounts for every document") {
+    val store = {
+      val p = java.nio.file.Files.createTempDirectory("degstore").toString + "/store"
+      DedupStore.build(docs, p)
+      p
+    }
+    val dd = graft.operators.Graph.degreeDistribution(
+      DedupStore.verifiedNearDups(spark, store), docs).collect()
+    assert(dd.map(_.getLong(1)).sum === docs.count())
+    dd.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(1) > 0))
+  }
+
+  test("run correlation is a valid spearman over a nonempty overlap") {
+    val r = graft.operators.Hybrid.runCorrelation(docs, Tables.embeddings(spark, sf))
+      .collect()(0)
+    assert(r.getLong(0) > 0, "runs must overlap")
+    if (!r.isNullAt(1))
+      assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  test("frame near-dup: planted identical assets pair at jaccard 1.0") {
+    import spark.implicits._
+    // ids congruent mod 8 slice into the same frame grid; identical
+    // payloads then share every frame
+    val planted = Seq(
+      (8L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (16L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (3L, "totally different payload content here xyz")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Multimodal.frameNearDups(spark, planted).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 8L && out(0).getLong(1) === 16L)
+    assert(out(0).getDouble(3) === 1.0)
+  }
+
+  test("streaming contamination gate == batch screen row-for-row") {
+    import graft.operators.TextAnalysis
+    val stream = graft.streaming.Streams.contaminationStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val batch = TextAnalysis.contamination(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+          .select(org.apache.spark.sql.functions.col("doc_id").as("probe_id"),
+            org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(stream.nonEmpty)
+    assert(stream === batch, s"stream (${stream.size}) != batch (${batch.size})")
+  }
+
   test("threshold curve is monotone and agrees with the fixed-threshold serves") {
     val store = {
       val p = java.nio.file.Files.createTempDirectory("curvestore").toString + "/store"
