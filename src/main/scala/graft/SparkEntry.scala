@@ -700,6 +700,21 @@ object SparkEntry {
     // content-bounded frame_md5 join, hot frames capped out first
     "q_multimodal_neardup" -> ((s, dir) =>
       Multimodal.frameNearDups(s, Tables.documents(s, dir))),
+    // degree assortativity of the verified near-dup graph
+    "q_assortativity" -> ((s, dir) =>
+      Graph.assortativity(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // deterministic synchronous label-propagation communities
+    "q_label_propagation" -> ((s, dir) =>
+      Graph.labelPropagation(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
+        Tables.documents(s, dir))),
+    // blocked fuzzy record linkage via the native Jaro-Winkler expr
+    "q_record_linkage" -> ((s, dir) => Relational.recordLinkage(Tables.part(s, dir))),
+    // linear multi-touch attribution in exact credit-micros
+    "q_attribution" -> ((s, dir) => Relational.linearAttribution(Tables.events(s, dir))),
+    // dow x hour event heat map from pure integer epoch arithmetic
+    "q_seasonality" -> ((s, dir) => Relational.seasonality(Tables.events(s, dir))),
+    // cross-source KMV-sketch jaccard matrix (md5-replayable)
+    "q_kmv_jaccard" -> ((s, dir) => Sketches.kmvJaccard(Tables.documents(s, dir))),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -4080,6 +4095,102 @@ object SparkEntry {
         |       round(n_shared::DOUBLE / (sa.nf + sb.nf - n_shared), 4) AS jaccard
         |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
         |       JOIN sz sb ON p.doc_b = sb.doc_id""".stripMargin,
+    // Pearson over exact-BIGINT degree sums; zero-variance → NULL
+    "q_assortativity" ->
+      s"""WITH $minhashCandCte,
+         |e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),
+         |dr AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |dg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM dr GROUP BY 1),
+         |xy AS (SELECT dx.deg AS x, dy.deg AS y FROM dr
+         |       JOIN dg dx ON dr.a = dx.node JOIN dg dy ON dr.b = dy.node),
+         |agg AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         |               sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+         |               sum(x*y)::BIGINT AS sxy FROM xy)
+         |SELECT n AS n_edges,
+         |       CASE WHEN n > 0 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |            THEN round((n*sxy - sx*sy)::DOUBLE /
+         |                       sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6)
+         |       END AS assortativity
+         |FROM agg""".stripMargin,
+    // three synchronous rounds unrolled as chained CTEs; tie rule =
+    // (votes desc, label asc), exactly the plan's max-struct argmax
+    "q_label_propagation" ->
+      s"""WITH $minhashCandCte,
+         |e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),
+         |nb AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM nb),
+         |v1 AS (SELECT nb.a, l.label, count(*)::BIGINT AS votes
+         |       FROM nb JOIN l0 l ON nb.b = l.node GROUP BY 1, 2),
+         |l1 AS (SELECT a AS node, label FROM (
+         |         SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY votes DESC, label ASC) AS rn
+         |         FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT nb.a, l.label, count(*)::BIGINT AS votes
+         |       FROM nb JOIN l1 l ON nb.b = l.node GROUP BY 1, 2),
+         |l2 AS (SELECT a AS node, label FROM (
+         |         SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY votes DESC, label ASC) AS rn
+         |         FROM v2) WHERE rn = 1),
+         |v3 AS (SELECT nb.a, l.label, count(*)::BIGINT AS votes
+         |       FROM nb JOIN l2 l ON nb.b = l.node GROUP BY 1, 2),
+         |l3 AS (SELECT a AS node, label FROM (
+         |         SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY votes DESC, label ASC) AS rn
+         |         FROM v3) WHERE rn = 1)
+         |SELECT d.doc_id, coalesce(l3.label, d.doc_id) AS community
+         |FROM documents d LEFT JOIN l3 ON d.doc_id = l3.node""".stripMargin,
+    // DuckDB's built-in jaro_winkler replays the native expression
+    // (semantics probed: boost iff jaro > 0.7, prefix cap 4, empty -> 0)
+    "q_record_linkage" ->
+      """WITH nm AS (SELECT lower(p_name) AS name, count(*)::BIGINT AS n FROM part GROUP BY 1),
+        |tk AS (SELECT name, n, tok FROM nm, unnest(string_split(name, ' ')) AS t(tok)
+        |       WHERE len(tok) > 0),
+        |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+        |                a.n AS n_a, b.n AS n_b
+        |         FROM tk a JOIN tk b ON a.tok = b.tok AND a.name < b.name)
+        |SELECT name_a, name_b, n_a, n_b,
+        |       round(jaro_winkler_similarity(name_a, name_b), 4) AS jw
+        |FROM cand
+        |WHERE round(jaro_winkler_similarity(name_a, name_b), 4) >= 0.8""".stripMargin,
+    // fixed-point credit: each touch books round(1e6/n) exact micros,
+    // so the per-channel ledger is an order-independent BIGINT sum
+    "q_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS channel, epoch_ns(ts) AS tts
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |a AS (SELECT p.p_id, t.channel FROM p JOIN t ON p.user_id = t.user_id
+        |      WHERE t.tts < p.pts AND p.pts - t.tts <= 604800000000000),
+        |n AS (SELECT p_id, count(*)::BIGINT AS n FROM a GROUP BY 1)
+        |SELECT a.channel AS event_type, count(*)::BIGINT AS n_touches,
+        |       sum(round(1000000.0 / n.n)::BIGINT)::BIGINT AS credit_micros
+        |FROM a JOIN n USING (p_id) GROUP BY 1""".stripMargin,
+    // pure integer epoch arithmetic (day 0 = Thursday; 0 = Sunday) —
+    // no calendar function on either side
+    "q_seasonality" ->
+      """WITH s AS (SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+        |                  (epoch_ns(ts) % 86400000000000) // 3600000000000 AS hour
+        |           FROM events),
+        |tot AS (SELECT count(*)::BIGINT AS total FROM events)
+        |SELECT dow, hour, count(*)::BIGINT AS n_events,
+        |       round(count(*)::DOUBLE / tot.total, 6) AS share
+        |FROM s, tot GROUP BY dow, hour, tot.total""".stripMargin,
+    // the sketch algebra itself is the oracle: same md5 bottom-k, same
+    // union-k-min membership count — estimator replayed end-to-end
+    "q_kmv_jaccard" ->
+      """WITH tokw AS (SELECT source, string_split(lower(text), ' ') AS words FROM documents),
+        |shq AS (SELECT DISTINCT source,
+        |          md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS h
+        |        FROM tokw, unnest(generate_series(1, len(words)-2)) AS t(i)
+        |        WHERE len(words) >= 3),
+        |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM shq),
+        |sk AS (SELECT source, list(h ORDER BY h ASC) AS bk FROM rk WHERE r <= 64 GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.bk AS abk, b.bk AS bbk
+        |      FROM sk a JOIN sk b ON a.source < b.source),
+        |m AS (SELECT src_a, src_b, abk, bbk,
+        |        list_sort(list_distinct(list_concat(abk, bbk)))[1:64] AS mg FROM p)
+        |SELECT src_a, src_b, len(mg)::BIGINT AS k_used,
+        |       len(list_filter(mg, h -> list_contains(abk, h) AND list_contains(bbk, h)))::BIGINT AS n_both,
+        |       round(len(list_filter(mg, h -> list_contains(abk, h) AND list_contains(bbk, h)))::DOUBLE
+        |             / len(mg), 6) AS est_jaccard
+        |FROM m""".stripMargin,
     // dominance is replayed on the same exact price-micros the plan
     // quantizes to; duplicated (price, size) points all survive
     "q_skyline" ->

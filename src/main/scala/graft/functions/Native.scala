@@ -24,4 +24,6 @@ object Native {
     GraftShims.column(EquiDepthBucket(GraftShims.expression(value), cuts))
   def hyperplaneBuckets(vec: Column, numTables: Int, bitsPerTable: Int): Column =
     GraftShims.column(HyperplaneBuckets(GraftShims.expression(vec), numTables, bitsPerTable))
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftShims.column(JaroWinkler(GraftShims.expression(a), GraftShims.expression(b)))
 }

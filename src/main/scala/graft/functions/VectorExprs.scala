@@ -739,5 +739,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SegmentWords].getName, "graft_segment"),
       (children: Seq[Expression]) => { arity("graft_segment", children, 2); SegmentWords(children(0), children(1)) }
     ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => { arity("graft_jaro_winkler", children, 2); JaroWinkler(children(0), children(1)) }
+    ))
   }
 }

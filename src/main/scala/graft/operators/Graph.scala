@@ -231,4 +231,75 @@ object Graph {
       .select(expr("doc_id div 2").as("user_id"),
         col("cluster_id").as("community_id"))
   }
+
+  /** (n_edges, assortativity): DEGREE ASSORTATIVITY of the verified
+    * near-dup graph — the Pearson correlation of endpoint degrees over
+    * every directed edge (Newman 2002). Positive: hub pages duplicate
+    * other hubs (template networks); negative: hubs surrounded by
+    * leaves (boilerplate radiating from one source) — which of the two
+    * regimes the dedup graph is in decides whether cluster-collapse or
+    * hub-excision is the right cleanup. Degrees are BIGINTs, so every
+    * sum in the correlation is EXACT integer arithmetic (order
+    * independent); the two float divisions happen once, on the final
+    * 1-row aggregate, rounded to 6. Degenerate graphs (all degrees
+    * equal → zero variance) yield NULL, not NaN. Cost: one degree
+    * aggregation + two degree joins + a 1-row reduce — edge-linear. */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val dir = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = dir.groupBy("a").agg(count(lit(1)).as("deg"))
+    val xy = dir
+      .join(deg.select(col("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("a").as("b"), col("deg").as("dy")), "b")
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n").as("n_edges"),
+        when(col("n") > 0 &&
+            (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+          .as("assortativity"))
+  }
+
+  /** (doc_id, community): LABEL PROPAGATION communities (Raghavan et
+    * al. 2007) on the verified near-dup graph, made DETERMINISTIC the
+    * standard way: synchronous updates, a FIXED iteration count, and
+    * the tie rule "most frequent neighbor label, ties → smallest
+    * label" — no RNG, no visit order, so any engine replays it (the
+    * oracle unrolls the same `iterations` rounds as chained CTEs).
+    * Differs from [[Dedup.propagateMinLabels]] (= connected
+    * components) by splitting a component along density: a label only
+    * travels while it keeps winning local majorities. Each round is
+    * one neighbor-join + two bounded aggregations (count per
+    * (node,label) → argmax per node), labels checkpointed per round to
+    * keep lineage flat — edge-linear per round at any scale. */
+  def labelPropagation(pairs: DataFrame, docs: DataFrame,
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nbr = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = nbr.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iterations) {
+      labels = nbr
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        // argmax with (votes desc, label asc) tiebreak via max_by on
+        // an encoded (votes, -label) struct — window-free
+        .groupBy(col("a").as("node"))
+        .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("label"))
+        .localCheckpoint()
+    }
+    docs.select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
+  }
 }

@@ -1556,4 +1556,82 @@ object Relational {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
   }
+
+  /** (name_a, name_b, n_a, n_b, jw): RECORD LINKAGE over part names —
+    * the classic blocked fuzzy-match shape: collapse to DISTINCT name
+    * strings with occurrence counts first (linkage cost scales with
+    * the name vocabulary, not row count), generate candidate pairs
+    * ONLY through a blocking join (pairs sharing ≥ 1 name token —
+    * never vocab², the same candidates-first economics as MinHash
+    * banding), then score each candidate with the native
+    * [[graft.functions.JaroWinkler]] codegen expression and keep pairs
+    * at or above `threshold`. Both sides of the blocking join carry
+    * the same token key, so the join shuffles name-sized rows on a
+    * bounded-vocabulary key; scores round to 4 decimals for
+    * engine-portable hashing (oracle: DuckDB's built-in
+    * `jaro_winkler_similarity`, semantics probed to match). */
+  def recordLinkage(part: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val names = part.groupBy(lower(col("p_name")).as("name"))
+      .agg(count(lit(1)).as("n"))
+    val toks = names.select(col("name"), col("n"),
+        explode(split(col("name"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+      .withColumn("jw",
+        round(graft.functions.Native.jaroWinkler(col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= threshold)
+  }
+
+  /** (event_type, n_touches, credit_micros): LINEAR MULTI-TOUCH
+    * ATTRIBUTION — every purchase splits one unit of credit equally
+    * across the user's click/view touches in the preceding
+    * `windowDays`; credit is ledgered per touch channel. The join is
+    * user-keyed (per-user event volumes are bounded), the per-purchase
+    * touch count rides one aggregation, and credit is FIXED-POINT:
+    * each touch books round(1e6 / n) micros, an exact BIGINT both
+    * engines sum order-independently — no float accumulation anywhere
+    * (the repo's money-micros determinism rule, SURVEY.md §6). */
+  def linearAttribution(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val spanNs = windowDays * 86400000000000L
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val touches = events.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"), col("ts").as("t_ts"))
+    val attributed = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") && col("p_ts") - col("t_ts") <= lit(spanNs))
+    val perPurchase = attributed.groupBy("p_id")
+      .agg(count(lit(1)).as("n"))
+    attributed.join(perPurchase, "p_id")
+      .groupBy(col("channel").as("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(round(lit(1000000.0) / col("n"), 0).cast("long")).as("credit_micros"))
+  }
+
+  /** (dow, hour, n_events, share): SEASONALITY PROFILE — the
+    * day-of-week × hour-of-day event heat map, the first diagnostic
+    * over any clickstream. Time fields derive from epoch-nanos by
+    * PURE INTEGER arithmetic (day 0 = 1970-01-01 = Thursday, so
+    * dow = (epoch_day + 4) mod 7 with 0 = Sunday) — no calendar
+    * library, no timezone, identical in any engine; share is one exact
+    * division per output row. One aggregation to a ≤ 168-row result:
+    * map-side partials collapse every partition to profile-sized
+    * state, so the shuffle is O(168 · partitions) at any corpus size. */
+  def seasonality(events: DataFrame): DataFrame = {
+    val day = 86400000000000L
+    // `div` = exact integral division: epoch-nanos overflow the double
+    // mantissa, so a float divide here would misplace slot boundaries
+    val withSlots = events.select(
+      expr(s"(ts div ${day}L + 4L) % 7").as("dow"),
+      expr(s"(ts % ${day}L) div 3600000000000L").as("hour"))
+    val total = events.agg(count(lit(1)).as("total"))
+    withSlots.groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .select(col("dow"), col("hour"), col("n_events"),
+        round(col("n_events").cast("double") / col("total"), 6).as("share"))
+  }
 }

@@ -152,4 +152,48 @@ object Sketches {
               .cast("double") / lit(M).cast("double"))), 4).as("kmv_users"),
         col("exact_users"))
   }
+
+  /** (src_a, src_b, k_used, n_both, est_jaccard): pairwise SOURCE
+    * SIMILARITY from KMV SKETCHES — the cross-source content-overlap
+    * matrix at sketch cost. Each source's word-3-gram shingle set
+    * collapses to its k smallest md5 hashes (the [[graft.functions
+    * .BottomK]] aggregator: bounded state, partial-merged map-side, so
+    * at 100 TB each source ships k strings, never its shingle set);
+    * Jaccard is then estimated on the sketch algebra alone: take the k
+    * smallest of the UNION of two sketches and count how many sit in
+    * both (Beyer et al. 2007's k-min-values sets). The pair join is
+    * sketch×sketch — source-count-bounded rows of k hashes, nothing
+    * corpus-sized — and the estimate divides two exact ints. md5 is
+    * deterministic, so unlike RNG-seeded sketches the WHOLE estimator
+    * replays in the oracle: hash-checked, not rows-only (the same
+    * promotion the CMS heavy hitters and KMV distinct counts got).
+    * Contrast with the exact [[Relational.audienceOverlap]]: that one
+    * intersects full id sets; this one never materializes a set. */
+  def kmvJaccard(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val bottomK = udaf(new graft.functions.BottomK(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val sh = docs
+      .select(col("source"), graft.functions.Text.rawTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.Native.shingles(col("words"), 3)).as("shingle"))
+      .select(col("source"), md5(col("shingle")).as("h"))
+    // no distinct() before the UDAF: BottomK dedups internally, so the
+    // only shuffle carries <= k hashes per (partition, source)
+    val sk = sh.groupBy("source").agg(bottomK(col("h")).as("bk"))
+    val pairs = sk.as("a").join(broadcast(sk.as("b")),
+      col("a.source") < col("b.source")) // sketch-bounded nested loop
+    pairs
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.bk").as("abk"), col("b.bk").as("bbk"))
+      .withColumn("mg", slice(array_sort(array_distinct(concat(col("abk"), col("bbk")))), 1, k))
+      .select(col("src_a"), col("src_b"),
+        size(col("mg")).cast("long").as("k_used"),
+        size(filter(col("mg"), h =>
+          array_contains(col("abk"), h) && array_contains(col("bbk"), h)))
+          .cast("long").as("n_both"))
+      .withColumn("est_jaccard",
+        round(col("n_both").cast("double") / col("k_used"), 6))
+  }
 }
