@@ -178,7 +178,10 @@ object SparkEntry {
     "q_dedup_store_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = sys.props("java.io.tmpdir") + "/graft_dedup_inc_" + dirTag(dir)
-      val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) * 4 / 5
+      val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        "q_dedup_store_incremental: documents table is empty — no ids to split on")
+      val cut = maxRow.getLong(0) * 4 / 5
       DedupStore.build(docs.filter(col("doc_id") <= cut), path)
       DedupStore.update(docs.filter(col("doc_id") > cut), path)
       DedupStore.verifiedNearDups(s, path)
@@ -191,11 +194,30 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_minhash_ml" -> ((s, dir) => MlPipeline.minhashLshPairs(Tables.documents(s, dir))),
-    // wired to the bucketed-LSH + exact-verify plan (the all-pairs
-    // crossJoin baseline stays available as Ann.cosinePairs); the
-    // oracle below is STILL the all-pairs SQL — candidate recall must
-    // close the gap exactly, as with q_dedup_minhash
-    "q_dedup_embcos" -> ((s, dir) => Ann.lshCosinePairs(Tables.embeddings(s, dir))),
+    // served from the staged SemanticStore pair substrate (value
+    // collapse + bucketed-LSH + exact-verify staged once, shared with
+    // the SemDeDup keys; the all-pairs crossJoin baseline stays
+    // available as Ann.cosinePairs and the unstaged plan as
+    // Ann.lshCosinePairs); the oracle below is STILL the all-pairs
+    // SQL — staged candidate recall must close the gap exactly
+    "q_dedup_embcos" -> ((s, dir) =>
+      SemanticStore.cosinePairs(s, semanticStoreFor(s, dir))),
+    // stage the semantic substrate on the first 80% of vec_ids, then
+    // incrementally ingest the rest (append-only: new reps bucketed,
+    // new candidates cosine-verified against the staged rep vectors)
+    // — the served pairs must equal the full-corpus result (oracle
+    // shared with q_dedup_embcos)
+    "q_semantic_store_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = sys.props("java.io.tmpdir") + "/graft_sem_inc_" + dirTag(dir)
+      val maxRow = emb.agg(max(col("vec_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        "q_semantic_store_incremental: embeddings table is empty — no ids to split on")
+      val cut = maxRow.getLong(0) * 4 / 5
+      SemanticStore.build(emb.filter(col("vec_id") <= cut), path)
+      SemanticStore.update(emb.filter(col("vec_id") > cut), path)
+      SemanticStore.cosinePairs(s, path)
+    }),
     "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
     // the SAME search expressed in pure SQL over registered views and
     // the SQL-visible native graft_dot (oracle shared with bruteforce)
@@ -1225,10 +1247,15 @@ object SparkEntry {
     * centroid coordinate is floor over the IEEE quotient of two exact
     * integers — the same two operations the Spark plan runs, so the
     * assignment is engine-identical at every iteration. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  /** The unrolled exact-integer Lloyd's CTE chain (q, c0, d/a/s/c per
+    * iteration, fd = final distances) — shared by the kmeans-family
+    * oracles and the deterministic-IVF replay (which appends probe
+    * selection + rescore CTEs of its own). No leading WITH, no final
+    * SELECT, no trailing comma. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+      s"""q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
          |           FROM embeddings WHERE embedding IS NOT NULL),
          |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS cv
          |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),""".stripMargin)
@@ -1255,13 +1282,45 @@ object SparkEntry {
          |fd AS (SELECT q.vec_id, c$iters.cid,
          |       list_sum(list_transform(range(1, len(q.qv) + 1),
          |                i -> (q.qv[i] - c$iters.cv[i]) * (q.qv[i] - c$iters.cv[i]))) AS d2
-         |       FROM q, c$iters)
-         |SELECT vec_id, cid::BIGINT AS cluster_id, d2::BIGINT AS d2 FROM (
-         |  SELECT vec_id, cid, d2,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |  FROM fd) WHERE rn = 1""".stripMargin)
+         |       FROM q, c$iters)""".stripMargin)
     sb.toString
   }
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, iters)}
+       |SELECT vec_id, cid::BIGINT AS cluster_id, d2::BIGINT AS d2 FROM (
+       |  SELECT vec_id, cid, d2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM fd) WHERE rn = 1""".stripMargin
+
+  /** Deterministic flat-IVF replay: the SAME unrolled Lloyd's chain
+    * re-derives the coarse centers (exact BIGINT — training included),
+    * then list assignment (argmin, ties low), probe selection for the
+    * query under the identical metric, and the exact-cosine rescore
+    * over probed lists only — the staged [[graft.operators.PqIndex]]
+    * serve replayed end-to-end, training and all. */
+  private def ivfExactOracleSql(nLists: Int, iters: Int,
+                                nProbe: Int, k: Int): String =
+    s"""WITH $vecCte,
+       |${kmeansCtes(nLists, iters)},
+       |asg AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |          FROM fd) WHERE rn = 1),
+       |qd AS (SELECT c.cid,
+       |              list_sum(list_transform(range(1, len(q0.qv) + 1),
+       |                       i -> (q0.qv[i] - c.cv[i]) * (q0.qv[i] - c.cv[i]))) AS d2
+       |       FROM c$iters c, (SELECT qv FROM q WHERE vec_id = 0) q0),
+       |pr AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT $nProbe),
+       |qrow AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
+       |SELECT b.vec_id,
+       |       round(list_sum(list_transform(range(1, len(qrow.v) + 1),
+       |             i -> qrow.v[i] * b.v[i])) / (qrow.nrm * b.nrm), 4) AS cos
+       |FROM vn b
+       |JOIN asg ON b.vec_id = asg.vec_id
+       |JOIN pr ON asg.cid = pr.cid, qrow
+       |WHERE b.vec_id != 0
+       |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
 
   /** Recursive-CTE connected components over the exact all-pairs
     * cosine ≥ 0.45 graph on nonzero-norm vectors — the oracle twin of
@@ -2178,6 +2237,16 @@ object SparkEntry {
          |               / (a.nrm * b.nrm) AS c_exact
          |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
          |WHERE c_exact >= 0.45""".stripMargin,
+    // staged-then-incremental semantic substrate must serve the SAME
+    // pair relation as the full corpus (shared all-pairs oracle)
+    "q_semantic_store_incremental" ->
+      s"""WITH $vecCte
+         |SELECT vec_a, vec_b, round(c_exact, 4) AS cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         |               / (a.nrm * b.nrm) AS c_exact
+         |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+         |WHERE c_exact >= 0.45""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH $vecCte,
          |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
@@ -2205,6 +2274,10 @@ object SparkEntry {
     // sequentially — a flip would need |sum| within FP-error of zero
     // (~1e-15 relative; checked green at sf0.01 and sf0.1).
     "q_ann_lsh" -> lshTopKOracleSql("TRUE", 0L),
+    // the deterministic-quantizer IVF replays END-TO-END: the unrolled
+    // exact-integer Lloyd's chain re-trains the coarse centers in SQL,
+    // then probes + rescores exactly as the staged serve does
+    "q_ann_ivf" -> ivfExactOracleSql(16, 2, 4, 10),
     // build (4/5) + incremental ingest (1/5) = the FULL corpus, and
     // AnnSpec proves staged == live — so the staged search replays as
     // the live LSH over all embeddings (promoted from rows-only)
@@ -4140,8 +4213,10 @@ object SparkEntry {
     // (semantics probed: boost iff jaro > 0.7, prefix cap 4, empty -> 0)
     "q_record_linkage" ->
       """WITH nm AS (SELECT lower(p_name) AS name, count(*)::BIGINT AS n FROM part GROUP BY 1),
-        |tk AS (SELECT name, n, tok FROM nm, unnest(string_split(name, ' ')) AS t(tok)
-        |       WHERE len(tok) > 0),
+        |tk0 AS (SELECT name, n, tok FROM nm, unnest(string_split(name, ' ')) AS t(tok)
+        |        WHERE len(tok) > 0),
+        |tk AS (SELECT * FROM tk0 WHERE tok IN (
+        |         SELECT tok FROM tk0 GROUP BY tok HAVING count(*) <= 100)),
         |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b,
         |                a.n AS n_a, b.n AS n_b
         |         FROM tk a JOIN tk b ON a.tok = b.tok AND a.name < b.name)

@@ -371,6 +371,47 @@ object Ann {
     centers.zipWithIndex.sortBy { case (c, _) => -cosineSim(c, q) }
       .take(nProbe).map(_._2)
 
+  /** The nProbe list ids nearest the query under the DETERMINISTIC
+    * integer-millis quantizer's own metric (exact squared millis
+    * distance, ties to the lower list id — the same argmin
+    * [[Clustering.assignVectors]] runs, so probe selection and list
+    * assignment replay identically in any engine). */
+  private[operators] def ivfProbesForExact(q: Array[Double],
+      centers: Array[Array[Long]], nProbe: Int): Array[Int] = {
+    val qm = q.map(x => math.floor(x * 1000).toLong)
+    centers.zipWithIndex
+      .map { case (c, i) =>
+        (c.indices.map { d => val diff = qm(d) - c(d); diff * diff }.sum, i)
+      }
+      .sortBy(identity)
+      .take(nProbe).map(_._2)
+  }
+
+  /** (vec_id, cos): flat-IVF top-k under the DETERMINISTIC
+    * integer-grid coarse quantizer ([[Clustering.fit]]: seeded by the
+    * k lowest vec_ids, exact BIGINT Lloyd's) — the fully replayable
+    * sibling of [[ivfTopK]] (whose MLlib k-means quantizer is
+    * sampling-seeded and float-iterated, so its list boundaries
+    * cannot be re-derived relationally). Same serving shape: probe
+    * the nProbe nearest lists (exact integer d2, ties to the lower
+    * id), exact-cosine rescore on probed lists only. The staged form
+    * is [[PqIndex.buildIvfFlat]]/[[PqIndex.searchIvfFlat]]. */
+  def ivfExactTopK(embeddings: DataFrame,
+                   queryId: Long = 0L, k: Int = 10,
+                   nLists: Int = 16, iters: Int = 2, nProbe: Int = 4): DataFrame = {
+    val cents = Clustering.fit(embeddings, nLists, iters)
+    val assigned = Clustering.assignVectors(embeddings, cents)
+      .select(col("vec_id"), col("cluster_id").as("list_id"))
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .head().getSeq[Double](0).toArray
+    val probes = ivfProbesForExact(qVec, cents, nProbe)
+    val candidates = assigned
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
+      .select("vec_id")
+    exactTopK(embeddings, Some(candidates), queryId, k)
+  }
+
   /** Per-probed-list ADC dispatch: each probed list gets its own
     * m×ksub table from the query's PER-LIST residual, selected by a
     * literal list-keyed CASE. */

@@ -96,8 +96,15 @@ object Dedup {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candCorpus = canon.join(candDocs, Seq("doc_id"), "left_semi")
-    val repPairs = ngramJaccard(candCorpus, threshold)
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val sh = shingles(candCorpus)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val repPairs = pairIntersections(cand, sh, "shingle")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("j_exact",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j_exact") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j_exact"), 4).as("jaccard"))
     // expansion 1: a rep pair's jaccard holds for every cross-group
     // member pair (identical shingle sets); reorder to doc_a < doc_b
     val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("a"))
@@ -395,6 +402,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("ca"), 4).as("cont_a"), round(col("cb"), 4).as("cont_b"))
 
+  /** (doc_a, doc_b, inter): exact element-intersection sizes for
+    * EXACTLY the given candidate pairs — PAIR-DRIVEN: cand joins the
+    * element relation on doc_a (Σ_pairs |set(doc_a)| rows), then the
+    * match closes on (doc_b, element). Cost is linear in the candidate
+    * set; the alternative all-candidate-docs element self-join pays
+    * O(k²) rows for every boilerplate element shared by k candidate
+    * docs even when few of those pairs are actual candidates — a skew
+    * amplifier this shape cannot exhibit. Pairs with an empty
+    * intersection do not appear (inner-join semantics, same as the
+    * self-join shape). `sh` must be (doc_id, `key`) with distinct
+    * elements per doc. */
+  private[operators] def pairIntersections(cand: DataFrame, sh: DataFrame,
+                                           key: String): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col(key)), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col(key)), Seq("doc_b", key))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+
   /** One canonical doc per distinct text — the exact-collapse step
     * every pairwise stage runs first. */
   private def canonicalDocs(docs: DataFrame): DataFrame = {
@@ -416,11 +442,7 @@ object Dedup {
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shingles(canon.join(candDocs, Seq("doc_id"), "left_semi"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    pairIntersections(cand, sh, "shingle")
       .join(sizes.select(col("doc_id"), col("n_sh").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sizes.select(col("doc_id"), col("n_sh").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
   }
@@ -481,7 +503,7 @@ object Dedup {
     * shingle width is wrong for the corpus. Work is PAIR-bounded: the
     * signature join restricts to candidate docs first (left-semi), the
     * agreement count is candidates × numPerm rows, and the exact side
-    * reuses [[ngramJaccard]] over candidate docs only. Candidate pairs
+    * is the pair-driven [[pairIntersections]] verify. Candidate pairs
     * whose shingle sets are disjoint (banding collision) report exact
     * 0.0 — the false-positive rows the estimator gap surfaces.
     * Exact-collapse-first: the monitor measures ONE representative per
@@ -506,8 +528,14 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg((sum(when(col("sa.sig") === col("sb.sig"), 1L).otherwise(0L))
         .cast("double") / numPerm).as("e"))
-    val exact = ngramJaccard(candCorpus, 0.0)
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val shE = shingles(candCorpus)
+    val sizesE = shE.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val exact = pairIntersections(cand, shE, "shingle")
+      .join(sizesE.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizesE.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
     est.join(exact, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), round(col("e"), 4).as("est_jaccard"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))

@@ -162,20 +162,23 @@ object DedupStore {
       .distinct()
       .localCheckpoint()
     // verify: exact shingle intersections for the new candidate pairs,
-    // reading the OLD side from the staged shingle index
+    // reading the OLD side from the staged shingle index. The join is
+    // PAIR-DRIVEN (cand → shingles(doc_a) → shingles(doc_b) on
+    // (doc_b, sh)) so cost is Σ_pairs |shingles(doc_a)| — linear in the
+    // candidate set. The alternative shCand ⋈ shCand co-shingle
+    // self-join generates O(k²) rows for every boilerplate shingle
+    // shared by k candidate DOCS even when few of those pairs are LSH
+    // candidates — a skew amplifier this shape cannot exhibit.
     val allSh = existing("shingles").map(_.unionByName(shNew)).getOrElse(shNew)
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = allSh.join(candDocs, Seq("doc_id"), "left_semi")
     val allSizes = existing("reps")
       .map(_.select(col("rep"), col("n_sh")).unionByName(
         reps.select(col("rep"), col("n_sh"))))
       .getOrElse(reps.select(col("rep"), col("n_sh")))
-    val stats = shCand.as("a").join(shCand.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val stats = cand
+      .join(allSh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(allSh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .join(allSizes.select(col("rep"), col("n_sh").as("na")),
         col("doc_a") === col("rep")).drop("rep")
       .join(allSizes.select(col("rep"), col("n_sh").as("nb")),

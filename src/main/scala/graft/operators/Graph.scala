@@ -245,7 +245,12 @@ object Graph {
     * equal → zero variance) yield NULL, not NaN. Cost: one degree
     * aggregation + two degree joins + a 1-row reduce — edge-linear. */
   def assortativity(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // normalize + distinct defensively (the sibling entry points
+    // trianglesFrom/adamicAdarFromCandidates do the same): a caller
+    // handing duplicate or unnormalized (doc_a, doc_b) rows would
+    // otherwise inflate every degree and skew r
+    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+      greatest(col("doc_a"), col("doc_b")).as("b")).distinct()
     val dir = e.union(e.select(col("b").as("a"), col("a").as("b")))
     val deg = dir.groupBy("a").agg(count(lit(1)).as("deg"))
     val xy = dir

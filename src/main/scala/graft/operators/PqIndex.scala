@@ -99,26 +99,26 @@ object PqIndex {
     }
   }
 
-  /** Build the flat IVF store (no PQ codes — [[Ann.ivfTopK]]'s recipe,
-    * seeds 7/42): coarse centers, per-vector list assignments, and the
-    * exact-rescore vector store. */
-  def buildIvfFlat(embeddings: DataFrame, path: String, nLists: Int = 16): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  /** Build the flat IVF store with the DETERMINISTIC integer-grid
+    * coarse quantizer ([[Clustering.fit]]: seeded by the nLists lowest
+    * vec_ids, exact BIGINT Lloyd's, `iters` rounds — the
+    * [[Ann.ivfExactTopK]] recipe): coarse centers in exact millis,
+    * per-vector list assignments, and the exact-rescore vector store.
+    * Because every build step is integer-exact and seed-free, the
+    * whole index — training included — replays relationally (the
+    * q_ann_ivf oracle re-derives centers, lists, probes and the
+    * rescore in DuckDB), which is what promotes the staged IVF from
+    * rows-only to hash-checked. */
+  def buildIvfFlat(embeddings: DataFrame, path: String,
+                   nLists: Int = 16, iters: Int = 2): Unit = {
     val spark = embeddings.sparkSession
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    val feats = Ann.doubleVecs(embeddings)
-      .select(col("vec_id"), array_to_vector(col("v")).as("features"))
-    val n = feats.count()
-    val cFrac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
-    val cFit = if (cFrac < 1.0) feats.sample(withReplacement = false, cFrac, seed = 7L) else feats
-    val coarse = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(cFit)
-    val centers = coarse.clusterCenters.map(_.toArray)
+    val centers = Clustering.fit(embeddings, nLists, iters)
     DeltaStore.reset(spark, path)
     DeltaStore.commit(spark, path, "00000", None) { staging =>
-      writeCenters(spark, centers, s"$staging/centers")
-      coarse.transform(feats)
-        .select(col("vec_id"), col("prediction").as("list_id"))
+      writeCentersLong(spark, centers, s"$staging/centers")
+      Clustering.assignVectors(embeddings, centers)
+        .select(col("vec_id"), col("cluster_id").as("list_id"))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/lists")
       Ann.withNorm(embeddings)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
@@ -127,17 +127,18 @@ object PqIndex {
   }
 
   /** (vec_id, cos): serve a flat-IVF top-k from the staged store —
-    * matches [[Ann.ivfTopK]] on the same data exactly. Query-time
-    * work: bounded center collect, probed-lists candidate filter,
+    * matches [[Ann.ivfExactTopK]] on the same data exactly. Query-time
+    * work: bounded center collect, probed-lists candidate filter
+    * (probe selection under the quantizer's own exact-integer metric),
     * exact rescore on probed lists only. */
   def searchIvfFlat(spark: SparkSession, path: String, queryId: Long = 0L,
                     k: Int = 10, nProbe: Int = 4): DataFrame = {
     val d = firstDelta(spark, path, "ivf")
-    val centers = readCenters(spark, d)
+    val centers = readCentersLong(spark, d)
     val vectors = spark.read.parquet(s"$d/vectors")
     val lists = spark.read.parquet(s"$d/lists")
     val q = queryVec(vectors, queryId)
-    val probes = Ann.ivfProbesFor(q, centers, nProbe)
+    val probes = Ann.ivfProbesForExact(q, centers, nProbe)
     val cand = lists
       .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
       .select("vec_id")
@@ -207,6 +208,21 @@ object PqIndex {
       .toDF("list_id", "center")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Exact-millis (BIGINT) centers — the deterministic flat-IVF
+    * quantizer's artifact (lossless, so the oracle re-derives the
+    * identical table). */
+  private def writeCentersLong(spark: SparkSession,
+      centers: Array[Array[Long]], path: String): Unit = {
+    import spark.implicits._
+    centers.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
+      .toDF("list_id", "center")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  private def readCentersLong(spark: SparkSession, delta: String): Array[Array[Long]] =
+    spark.read.parquet(s"$delta/centers").select("list_id", "center").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Long](1).toArray)
 
   private def writeParams(spark: SparkSession, staging: String,
                           params: String): Unit = {

@@ -1393,10 +1393,16 @@ object Relational {
     val g = pm.groupBy("pmm").agg(max("p_size").as("gmax"))
       .withColumn("b", expr(s"pmm div $bucketMicros"))
     val maxB = g.agg(max("b").as("maxb"))
-    val preOff = g.crossJoin(broadcast(maxB))
+    // collapse to ONE row per bucket before exploding the contribution
+    // ranges: the explode volume is O(buckets²), independent of how
+    // many distinct prices share a bucket (the weightedPercentiles /
+    // gini prefix shape — exploding per distinct price would scale
+    // with the price domain)
+    val bAgg = g.groupBy("b").agg(max("gmax").as("bmax"))
+    val preOff = bAgg.crossJoin(broadcast(maxB))
       .filter(col("b") < col("maxb"))
       .select(explode(sequence(col("b") + 1, col("maxb"))).as("b"),
-        col("gmax").as("c"))
+        col("bmax").as("c"))
       .groupBy("b").agg(max("c").as("pre"))
     val wIn = Window.partitionBy("b").orderBy("pmm")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1561,21 +1567,35 @@ object Relational {
     * the classic blocked fuzzy-match shape: collapse to DISTINCT name
     * strings with occurrence counts first (linkage cost scales with
     * the name vocabulary, not row count), generate candidate pairs
-    * ONLY through a blocking join (pairs sharing ≥ 1 name token —
-    * never vocab², the same candidates-first economics as MinHash
-    * banding), then score each candidate with the native
+    * ONLY through a blocking join (pairs sharing ≥ 1 DISCRIMINATING
+    * name token — never vocab², the same candidates-first economics as
+    * MinHash banding), then score each candidate with the native
     * [[graft.functions.JaroWinkler]] codegen expression and keep pairs
-    * at or above `threshold`. Both sides of the blocking join carry
-    * the same token key, so the join shuffles name-sized rows on a
-    * bounded-vocabulary key; scores round to 4 decimals for
-    * engine-portable hashing (oracle: DuckDB's built-in
-    * `jaro_winkler_similarity`, semantics probed to match). */
-  def recordLinkage(part: DataFrame, threshold: Double = 0.8): DataFrame = {
+    * at or above `threshold`. Blocking tokens with document frequency
+    * above `dfCap` are DROPPED before the self-join — the production
+    * record-linkage convention: a token shared by more than `dfCap`
+    * names carries no discriminating power, and without the cap block
+    * sizes grow linearly with the catalog and the self-join
+    * quadratically (the full-shuffle-on-skewed-key pathology at
+    * 100 TB). With it, worst-case candidate volume is bounded by
+    * dfCap² per surviving block regardless of catalog size. Both
+    * sides of the blocking join carry the same token key, so the join
+    * shuffles name-sized rows on a bounded-frequency key; scores
+    * round to 4 decimals for engine-portable hashing (oracle: DuckDB's
+    * built-in `jaro_winkler_similarity`, semantics probed to match,
+    * replaying the identical df-capped candidate generation). */
+  def recordLinkage(part: DataFrame, threshold: Double = 0.8,
+                    dfCap: Long = 100L): DataFrame = {
     val names = part.groupBy(lower(col("p_name")).as("name"))
       .agg(count(lit(1)).as("n"))
-    val toks = names.select(col("name"), col("n"),
+    val rawToks = names.select(col("name"), col("n"),
         explode(split(col("name"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
+    // df over DISTINCT names (the relation being self-joined): one
+    // vocabulary-sized aggregate, broadcast back as the cap filter
+    val tokDf = rawToks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val toks = rawToks.join(broadcast(tokDf.select("tok")), Seq("tok"), "left_semi")
     toks.as("a").join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"),

@@ -7,18 +7,43 @@ import org.apache.spark.sql.functions._
   * [[DedupStore]] idea applied to the embedding side: the value
   * collapse and the LSH-bucketed + exact-verified cosine pair relation
   * are derived once and staged; the SemDeDup decisions (cluster
-  * labeling, keep-one-per-cluster drop) serve from the staged
-  * relations by CC + id joins, never re-touching a vector.
+  * labeling, keep-one-per-cluster drop) AND the near-dup pair report
+  * ([[cosinePairs]]) serve from the staged relations by CC + id
+  * joins, never re-touching a vector at query time.
   *
-  * Store layout (delta-committed via [[graft.sources.DeltaStore]]):
+  * Store layout (delta-committed via [[graft.sources.DeltaStore]],
+  * same atomic-rename protocol as [[DedupStore]]):
   *
-  *   <path>/delta-<tag>/members  (vec_id, rep, n_copies) — value
-  *       collapse: every nonzero vector → the min-vec_id rep of its
-  *       byte-identical value group (zero-norm/null vectors are
-  *       excluded — cosine is undefined for them, they cannot pair)
-  *   <path>/delta-<tag>/pairs    (vec_a, vec_b, cos) — rep-level
-  *       verified cosine pairs from [[Ann.lshCosinePairs]] at the
-  *       build configuration below
+  *   <path>/delta-<tag>/members (vec_id, rep) — value collapse: every
+  *       nonzero vector → the min-vec_id rep of its byte-identical
+  *       value group (zero-norm/null vectors are excluded — cosine is
+  *       undefined for them, they cannot pair). Group size is DERIVED
+  *       at serve time, never stored — that keeps incremental ingest
+  *       append-only: a new copy of an old value appends one row.
+  *   <path>/delta-<tag>/reps    (rep, vk, embedding, selfcos) — one
+  *       row per NEW canonical vector: its value key (the update
+  *       path's group-match key), the vector itself (the verify-side
+  *       index — an update computes exact cosines for new-vs-old
+  *       candidates from here), and the rounded self-cosine (what the
+  *       live plan emits for an identical-value pair — ≈1.0 up to
+  *       float round-off, staged so the within-group expansion
+  *       replays the live arithmetic bit-for-bit).
+  *   <path>/delta-<tag>/buckets (vec_id, t, bucket) — the rep's
+  *       hyperplane-LSH buckets: an update buckets ONLY its new reps
+  *       and equi-joins them against this relation.
+  *   <path>/delta-<tag>/pairs   (vec_a, vec_b, cos) — rep-level
+  *       verified cosine pairs touching this batch (new×old and
+  *       new×new; old×old pairs live in earlier deltas).
+  *
+  * Incremental ingest ([[update]]) is append-only and batch-scaled:
+  * new values hash-match old groups through `reps`, only genuinely
+  * new reps are bucketed, and new candidate pairs verify against the
+  * staged rep vectors. vec_ids must be MONOTONE across batches
+  * (enforced loudly, the [[DedupStore]] contract): the min-id rep of
+  * every value group then never changes, which is what keeps every
+  * staged relation append-only. After any sequence of updates the
+  * union of deltas equals a full rebuild on the union corpus
+  * (Round10Spec / Round11Spec).
   *
   * The threshold/banding are BAKED into the staged pairs (the verify
   * filter ran on the exact cosine at build); serving a different
@@ -30,36 +55,120 @@ object SemanticStore {
   import graft.sources.DeltaStore
 
   /** Build configuration: the engine's wired semantic-dedup defaults
-    * ([[Clustering.semanticClusters]]). */
+    * ([[Clustering.semanticClusters]] / [[Ann.lshCosinePairs]]). */
   val Threshold = 0.45
   val NumTables = 24
   val BitsPerTable = 4
 
   private def dot(a: Column, b: Column): Column = graft.functions.Native.dot(a, b)
 
-  /** Full (re)build — [[Clustering.semanticClusters]]'s substrate
-    * portion verbatim: value collapse, hyperplane buckets, candidate
-    * equi-join, exact-cosine verify over candidates only. */
+  /** Full (re)build: reset the store and ingest the corpus as the
+    * first delta. */
   def build(embeddings: DataFrame, path: String): Unit = {
-    val spark = embeddings.sparkSession
-    DeltaStore.reset(spark, path)
-    val keyed = embeddings.filter(col("embedding").isNotNull)
+    DeltaStore.reset(embeddings.sparkSession, path)
+    update(embeddings, path, "00000")
+  }
+
+  /** Ingest a vector batch: value-collapse against the store's
+    * existing groups, bucket only the NEW reps, verify only the NEW
+    * candidate pairs against the staged rep vectors. Idempotent per
+    * `tag`; re-ingesting an existing vec_id is rejected; batch ids
+    * must all exceed every stored id (monotone-ingest contract — see
+    * the class doc for why that keeps the store append-only). */
+  def update(newEmb: DataFrame, path: String,
+             tag: String = java.util.UUID.randomUUID().toString): Unit = {
+    val spark = newEmb.sparkSession
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    val (batchEmpty, batchLo, batchHi) = DeltaStore.batchRange(newEmb, "vec_id")
+    if (deltas.nonEmpty && !batchEmpty) {
+      DeltaStore.rejectDuplicateIds(spark,
+        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, batchLo, batchHi),
+        "members", "vec_id", newEmb, "semantic substrate")
+      val fs = DeltaStore.fsOf(spark, path)
+      val ranges = deltas.map(d => DeltaStore.readRange(fs, d))
+      val maxExisting: Option[Long] =
+        if (ranges.forall(_.isDefined)) Some(ranges.flatten.map(_._2).max)
+        else {
+          val r = spark.read.parquet(deltas.map(d => s"$d/members"): _*)
+            .agg(max(col("vec_id"))).collect()(0)
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }
+      maxExisting.foreach(hi => require(batchLo > hi,
+        s"batch vec_ids start at $batchLo but the store already holds ids up to " +
+          s"$hi — the append-only substrate requires monotone ingest; rebuild instead"))
+    }
+    val empty = deltas.isEmpty
+    def existing(sub: String): Option[DataFrame] =
+      if (empty) None else Some(spark.read.parquet(deltas.map(d => s"$d/$sub"): _*))
+
+    // nonzero-vector view with the byte-identity value key; reused by
+    // the group match and the new-rep extraction
+    val keyed = newEmb.filter(col("embedding").isNotNull)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .filter(dot(col("v"), col("v")) > 0.0)
-      .select(col("vec_id"), col("embedding"), md5(to_json(col("v"))).as("vk"))
+      .select(col("vec_id"), col("embedding"), col("v"),
+        md5(to_json(col("v"))).as("vk"))
       .localCheckpoint()
-    val reps = keyed.groupBy("vk")
-      .agg(min("vec_id").as("rep"), count(lit(1)).as("n_copies"),
-        min("embedding").as("embedding"))
+    // group the batch internally (min id per value)...
+    val batchGroups = keyed.groupBy("vk").agg(min("vec_id").as("brep"))
+    // ...then match against the store's groups: matched groups adopt
+    // the OLD rep (monotone ids keep it the global min)
+    val matched = existing("reps") match {
+      case Some(oldReps) => batchGroups.join(
+        oldReps.select(col("rep").as("old_rep"), col("vk").as("ok")),
+        col("vk") === col("ok"), "left")
+        .select(col("vk"), col("brep"), coalesce(col("old_rep"), col("brep")).as("rep"))
+      case None => batchGroups.select(col("vk"), col("brep"), col("brep").as("rep"))
+    }
+    val members = keyed.as("w")
+      .join(matched.as("g"), col("w.vk") === col("g.vk"))
+      .select(col("w.vec_id"), col("g.rep"))
       .localCheckpoint()
-    val members = keyed.select(col("vec_id"), col("vk"))
-      .join(reps.select(col("vk"), col("rep"), col("n_copies")), Seq("vk"))
-      .select("vec_id", "rep", "n_copies")
-    val pairs = Ann.lshCosinePairs(
-      reps.select(col("rep").as("vec_id"), col("embedding")),
-      Threshold, NumTables, BitsPerTable)
-    DeltaStore.commit(spark, path, "00000", None) { staging =>
+    // new reps: batch groups whose value the store has never seen.
+    // selfcos replays the LIVE within-group pair arithmetic
+    // ([[Ann.lshCosinePairs]]'s c_exact for identical vectors) so the
+    // expansion is bit-identical to the unstaged plan.
+    val newRepIds = matched.filter(col("rep") === col("brep"))
+      .select(col("brep").as("vec_id"))
+    val canonNew = keyed.join(newRepIds, Seq("vec_id"), "left_semi")
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint()
+    val reps = canonNew.select(col("vec_id").as("rep"), col("vk"), col("embedding"),
+      round(dot(col("v"), col("v")) / (col("nrm") * col("nrm")), 4).as("selfcos"))
+    val bucketsNew = Ann.lshBuckets(
+      canonNew.select(col("vec_id"), col("embedding")), NumTables, BitsPerTable)
+      .localCheckpoint()
+    // candidates touching the batch: new buckets against (old ∪ new)
+    val allBuckets = existing("buckets")
+      .map(_.unionByName(bucketsNew)).getOrElse(bucketsNew)
+    val cand = bucketsNew.as("a").join(allBuckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+    // verify: exact cosine for the new candidate pairs, both sides'
+    // vectors read from the (old ∪ new) staged rep relation
+    val allRepVecs = existing("reps").map(_.select(col("rep"), col("embedding")))
+      .map(_.unionByName(reps.select(col("rep"), col("embedding"))))
+      .getOrElse(reps.select(col("rep"), col("embedding")))
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("rep"), col("v"), col("nrm"))
+    val pairs = cand
+      .join(allRepVecs.select(col("rep").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(allRepVecs.select(col("rep").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("c_exact", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("c_exact") >= Threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c_exact"), 4).as("cos"))
+    val range = if (batchLo <= batchHi) Some((batchLo, batchHi)) else None
+    DeltaStore.commit(spark, path, tag, range) { staging =>
       members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
+      reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
+      bucketsNew.write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
       pairs.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")
     }
   }
@@ -71,7 +180,39 @@ object SemanticStore {
   }
 
   def members(spark: SparkSession, path: String): DataFrame = read(spark, path, "members")
+  def reps(spark: SparkSession, path: String): DataFrame = read(spark, path, "reps")
   def pairs(spark: SparkSession, path: String): DataFrame = read(spark, path, "pairs")
+
+  /** Members with their value-group size — derived, never stored (the
+    * append-only contract). */
+  private def membersWithM(spark: SparkSession, path: String): DataFrame = {
+    val mem = members(spark, path)
+    mem.join(mem.groupBy("rep").agg(count(lit(1)).as("m")), Seq("rep"))
+      .select("vec_id", "rep", "m")
+  }
+
+  /** [[Ann.lshCosinePairs]] served from the store: rep-level pairs by
+    * lookup, then the two exact-copy expansions (cross-group via the
+    * members map — identical values ⇒ identical cosine; within-group
+    * pairs emit the staged selfcos, the exact value the live plan's
+    * c_exact arithmetic produces for two copies of the value). */
+  def cosinePairs(spark: SparkSession, path: String): DataFrame = {
+    val repPairs = pairs(spark, path)
+    val mem = membersWithM(spark, path)
+    val ma = mem.select(col("rep").as("vec_a"), col("vec_id").as("a"))
+    val mb = mem.select(col("rep").as("vec_b"), col("vec_id").as("b"))
+    val cross = repPairs.join(ma, "vec_a").join(mb, "vec_b")
+      .select(least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"), col("cos"))
+    val memA = mem.filter(col("m") >= 2)
+      .join(reps(spark, path).select(col("rep"), col("selfcos")), Seq("rep"))
+      .select(col("rep"), col("vec_id").as("a"), col("selfcos"))
+    val within = memA.as("x")
+      .join(memA.as("y"), col("x.rep") === col("y.rep") && col("x.a") < col("y.a"))
+      .select(col("x.a").as("vec_a"), col("y.a").as("vec_b"),
+        col("x.selfcos").as("cos"))
+    cross.unionByName(within)
+  }
 
   /** [[Clustering.semanticClusters]] served from the store: CC over the
     * staged rep pairs, labels fanned to every value copy. */
@@ -80,10 +221,10 @@ object SemanticStore {
     val repClusters = Dedup.propagateMinLabels(
       pairs(spark, path).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       maxIter)
-    members(spark, path)
+    membersWithM(spark, path)
       .join(repClusters.select(col("doc_id").as("rep"), col("cluster_id")),
         Seq("rep"), "left")
-      .filter(col("cluster_id").isNotNull || col("n_copies") > 1)
+      .filter(col("cluster_id").isNotNull || col("m") > 1)
       .select(col("vec_id"), coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
   }
 

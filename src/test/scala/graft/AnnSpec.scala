@@ -132,12 +132,20 @@ class AnnSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).sameElements(rows.map(_.toSeq)))
   }
 
-  test("staged flat-IVF index search matches live ivfTopK exactly") {
+  test("staged flat-IVF index search matches live ivfExactTopK exactly") {
     val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index"
     graft.operators.PqIndex.buildIvfFlat(emb, idx)
-    val live = Ann.ivfTopK(emb).collect().map(_.toSeq)
+    val live = Ann.ivfExactTopK(emb).collect().map(_.toSeq)
     val staged = graft.operators.PqIndex.searchIvfFlat(spark, idx).collect().map(_.toSeq)
     assert(staged.sameElements(live))
+  }
+
+  test("deterministic flat-IVF recalls a reasonable fraction of exact top-k") {
+    val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val approx = Ann.ivfExactTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"deterministic IVF recall $recall")
   }
 
   test("staged PQ index search matches live pqTopK exactly") {

@@ -31,10 +31,14 @@ def canon(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional third arg: comma-separated key subset (local iteration)
+    keys = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if keys is not None:
+        oracle = {k: v for k, v in oracle.items() if k in keys}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
