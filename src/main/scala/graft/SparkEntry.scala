@@ -771,6 +771,26 @@ object SparkEntry {
     // DSIR selection step: deterministic Gumbel-top-k over the
     // importance weights
     "q_dsir_resample" -> ((s, dir) => TextAnalysis.dsirResample(Tables.documents(s, dir))),
+
+    // ---- Round-11 additions ----
+    // BM25 (k1 × b) parameter sweep: one corpus derivation, top-3 per
+    // grid config ranked on the rounded score
+    "q_bm25_tune" -> ((s, dir) => SearchExtras.bm25Tune(Tables.documents(s, dir))),
+    // MRR ranking eval of the batch run vs derived binary relevance
+    "q_search_mrr" -> ((s, dir) => {
+      import s.implicits._
+      SearchExtras.searchMrr(Tables.documents(s, dir),
+        Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
+    // eval-slice n-gram novelty vs the training corpus (memorization)
+    "q_ngram_novelty" -> ((s, dir) => TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
+    // per-source PII density release gate (emails + long digit runs)
+    "q_pii_audit" -> ((s, dir) => TextAnalysis.piiAudit(Tables.documents(s, dir))),
+    // shared-prefix duplication report (titles/licence boilerplate)
+    "q_dedup_prefix" -> ((s, dir) => Dedup.prefixDups(Tables.documents(s, dir))),
+    // 2-core of the verified near-dup graph (entangled-cluster signal)
+    "q_kcore" -> ((s, dir) =>
+      Graph.kcore(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -1321,6 +1341,36 @@ object SparkEntry {
        |JOIN pr ON asg.cid = pr.cid, qrow
        |WHERE b.vec_id != 0
        |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
+
+  /** Unrolled k-core peeling over the verified near-dup pair graph:
+    * each round recomputes degrees over the surviving edge set and
+    * drops nodes under k — the exact replay of Graph.kcore's fixed
+    * iteration budget. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $minhashCandCte,\n")
+    // every e_i MUST be MATERIALIZED: round i+1 references e_i three
+    // times, so letting the planner inline the chain expands the base
+    // scan 3^rounds times (observed as an fd-exhaustion blowup)
+    sb.append("e0 AS MATERIALIZED (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),")
+    for (i <- 1 to rounds) {
+      val p = s"e${i - 1}"
+      sb.append(
+        s"""
+           |d$i AS (SELECT a, count(*) AS deg FROM
+           |          (SELECT a, b FROM $p UNION ALL SELECT b, a FROM $p) GROUP BY a),
+           |n$i AS MATERIALIZED (SELECT a AS node FROM d$i WHERE deg >= $k),
+           |e$i AS MATERIALIZED (SELECT $p.a, $p.b FROM $p
+           |        JOIN n$i na ON $p.a = na.node
+           |        JOIN n$i nb ON $p.b = nb.node),""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |fin AS (SELECT a, b FROM e$rounds)
+         |SELECT a AS doc_id, count(*)::BIGINT AS degree
+         |FROM (SELECT a, b FROM fin UNION ALL SELECT b, a FROM fin) GROUP BY 1""".stripMargin)
+    sb.toString
+  }
 
   /** Recursive-CTE connected components over the exact all-pairs
     * cosine ≥ 0.45 graph on nonzero-norm vectors — the oracle twin of
@@ -2278,6 +2328,98 @@ object SparkEntry {
     // exact-integer Lloyd's chain re-trains the coarse centers in SQL,
     // then probes + rescores exactly as the staged serve does
     "q_ann_ivf" -> ivfExactOracleSql(16, 2, 4, 10),
+
+    // ---- Round-11 additions ----
+    // BM25 grid sweep: same scoring CTE as q_bm25_score with (k1, b)
+    // as a literal grid relation; ranked on the rounded score
+    "q_bm25_tune" ->
+      s"""WITH $dlCte,
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |grid AS (SELECT k1::DOUBLE AS k1, b::DOUBLE AS b FROM (VALUES
+         |           (0.9, 0.4), (0.9, 0.75), (1.2, 0.4), (1.2, 0.75),
+         |           (1.5, 0.4), (1.5, 0.75)) AS g(k1, b)),
+         |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN ($queryTermsSql)),
+         |sc AS (SELECT grid.k1, grid.b, tf.doc_id,
+         |         round(sum(idfq.idf * (tf.tf * (grid.k1 + 1.0)) /
+         |               (tf.tf + grid.k1 * (1.0 - grid.b + grid.b * dl.dl / avgd.avgdl))), 4) AS score
+         |       FROM tf
+         |       JOIN idfq ON tf.term = idfq.term
+         |       JOIN dl ON tf.doc_id = dl.doc_id
+         |       CROSS JOIN avgd CROSS JOIN grid
+         |       GROUP BY grid.k1, grid.b, tf.doc_id),
+         |rk AS (SELECT k1, b, doc_id, score,
+         |         row_number() OVER (PARTITION BY k1, b ORDER BY score DESC, doc_id ASC) AS rk
+         |       FROM sc)
+         |SELECT k1, b, rk::BIGINT AS rk, doc_id, score FROM rk WHERE rk <= 3""".stripMargin,
+    // MRR: the batch-search scoring CTE + derived binary relevance
+    // (≥ 2 distinct kept query terms), first relevant rank per query
+    "q_search_mrr" -> {
+      val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH $dlCte,
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, t AS term
+         |       FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
+         |       WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
+         |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+         |       FROM tf
+         |       JOIN idfq ON tf.term = idfq.term
+         |       JOIN qt ON qt.term = tf.term
+         |       JOIN dl ON tf.doc_id = dl.doc_id
+         |       CROSS JOIN avgd
+         |       GROUP BY qt.query_id, tf.doc_id),
+         |rkd AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+         |        FROM sc),
+         |run AS (SELECT query_id, doc_id, rk FROM rkd WHERE rk <= 10),
+         |rel AS (SELECT qt.query_id, tf.doc_id FROM tf JOIN qt ON tf.term = qt.term
+         |        GROUP BY qt.query_id, tf.doc_id HAVING count(DISTINCT tf.term) >= 2),
+         |fr AS (SELECT run.query_id, min(run.rk) AS fr FROM run
+         |       JOIN rel ON run.query_id = rel.query_id AND run.doc_id = rel.doc_id
+         |       GROUP BY run.query_id)
+         |SELECT qrs.query_id, fr.fr::BIGINT AS first_rank,
+         |       coalesce(round(1.0 / fr.fr, 6), 0.0) AS rr
+         |FROM qrs LEFT JOIN fr ON qrs.query_id = fr.query_id""".stripMargin
+    },
+    // eval-slice n-gram novelty: distinct probe shingles anti-joined
+    // against the training corpus's distinct shingle set
+    "q_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |pr AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 <> 0),
+         |sz AS (SELECT probe_id, count(*)::BIGINT AS n_shingles FROM pr GROUP BY 1),
+         |nv AS (SELECT probe_id, count(*)::BIGINT AS n_novel FROM pr
+         |       WHERE NOT EXISTS (SELECT 1 FROM tr WHERE tr.shingle = pr.shingle)
+         |       GROUP BY 1)
+         |SELECT sz.probe_id, sz.n_shingles,
+         |       coalesce(nv.n_novel, 0)::BIGINT AS n_novel,
+         |       round(coalesce(nv.n_novel, 0)::DOUBLE / sz.n_shingles, 6) AS novelty
+         |FROM sz LEFT JOIN nv ON sz.probe_id = nv.probe_id""".stripMargin,
+    // PII audit: the redact patterns as per-source match counts
+    "q_pii_audit" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(length(text))::BIGINT AS n_chars,
+        |       sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT AS n_emails,
+        |       sum(len(regexp_extract_all(text, '[0-9]{7,}')))::BIGINT AS n_longnums,
+        |       CASE WHEN sum(length(text)) > 0 THEN
+        |         round((sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+        |                + sum(len(regexp_extract_all(text, '[0-9]{7,}'))))::DOUBLE * 10000.0
+        |               / sum(length(text)), 6) END AS pii_per_10k
+        |FROM documents GROUP BY source""".stripMargin,
+    // shared-prefix duplication groups (first-8-token digest)
+    "q_dedup_prefix" ->
+      """WITH tokw AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+        |pf AS (SELECT doc_id, md5(array_to_string(words[1:8], ' ')) AS prefix_md5
+        |       FROM tokw WHERE len(words) >= 8)
+        |SELECT prefix_md5, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_doc_id
+        |FROM pf GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // 2-core of the verified near-dup graph, 8 peel rounds unrolled
+    "q_kcore" -> kcoreOracleSql(2, 8),
     // build (4/5) + incremental ingest (1/5) = the FULL corpus, and
     // AnnSpec proves staged == live — so the staged search replays as
     // the live LSH over all embeddings (promoted from rows-only)

@@ -421,6 +421,22 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
 
+  /** (prefix_md5, n_docs, canonical_doc_id): PREFIX-DUPLICATION report
+    * — groups of documents sharing an identical first-`w`-token prefix
+    * (crawl boilerplate: shared titles, licence headers, templated
+    * openings that full-document Jaccard under-weights on long docs).
+    * Pure hash-groupBy on the prefix digest — one map + one
+    * group-cardinality shuffle, the [[exact]] shape on a prefix key;
+    * docs under `w` tokens have no prefix and are skipped. */
+  def prefixDups(docs: DataFrame, w: Int = 8): DataFrame =
+    docs.select(col("doc_id"), graft.functions.Text.rawTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("words"), 1, w))).as("prefix_md5"))
+      .groupBy("prefix_md5")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc_id"))
+      .filter(col("n_docs") >= 2)
+
   /** One canonical doc per distinct text — the exact-collapse step
     * every pairwise stage runs first. */
   private def canonicalDocs(docs: DataFrame): DataFrame = {

@@ -307,4 +307,38 @@ object Graph {
       .join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
   }
+
+  /** (doc_id, degree): the `k`-CORE of the pair graph after `rounds`
+    * peeling iterations — repeatedly drop nodes of degree < k and the
+    * edges touching them; survivors are the densely inter-duplicated
+    * neighborhoods (a chain of pairwise near-dups peels away, a
+    * boilerplate clique stays — the "how entangled is this cluster"
+    * signal CC ids and degrees alone can't give). Each round is one
+    * edge-scaled degree aggregation + two semi-joins; `rounds` is a
+    * FIXED iteration budget so the operator is deterministic at any
+    * scale (the oracle unrolls the same rounds; convergence within
+    * the budget on the gate corpus is spec-asserted, the
+    * [[labelPropagation]] convention). Lineage is cut per round. */
+  def kcore(pairs: DataFrame, k: Int = 2, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got k=$k, rounds=$rounds")
+    var e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // select("a","b") pins column ORDER before the positional union:
+      // a using-column semi-join moves its key to position 0, so the
+      // round-2 union would otherwise zip (b,a) against (a,b)
+      val dir = e.select("a", "b")
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+      val alive = dir.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a").as("node"))
+      e = e.join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    e.select("a", "b").union(e.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+  }
 }

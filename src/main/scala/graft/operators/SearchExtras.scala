@@ -420,4 +420,70 @@ object SearchExtras {
       .select(round(col("dcg"), 4).as("dcg"), round(col("idcg"), 4).as("idcg"),
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
+
+  /** (k1, b, rk, doc_id, score): BM25 PARAMETER SWEEP — the ranking
+    * under every (k1, b) of a literal grid, top-`k` per configuration
+    * (the relevance-tuning decision an engine owner makes before
+    * pinning constants, the [[Dedup.lshTune]] idea applied to the
+    * scoring model). ONE corpus derivation (query-term postings + doc
+    * lengths — [[Bm25.bm25Score]]'s two passes) serves every
+    * configuration: the grid is a broadcast literal relation crossed
+    * into the postings AFTER the heavy work, so sweep cost grows with
+    * the grid only in the final per-config aggregation, never in
+    * corpus passes. Ranking uses the ROUNDED score (ties to the lower
+    * doc_id) — the libm-ulp-proof boundary rule. */
+  def bm25Tune(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
+               k1s: Seq[Double] = Seq(0.9, 1.2, 1.5),
+               bs: Seq[Double] = Seq(0.4, 0.75), k: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tfq = Bm25.tf(docs).filter(col("term").isin(queryTerms: _*))
+    val dl = Bm25.docLengths(docs.filter(col("doc_id").isNotNull))
+    val stats = dl.agg(count(col("doc_id")).as("n_docs"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    val grid = k1s.flatMap(k1 => bs.map(b => (k1, b))).toDF("k1", "b")
+    val scored = tfq
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(grid))
+      .select(col("k1"), col("b"), col("doc_id"),
+        (Bm25.robertsonIdf(col("df"), col("n_docs")) *
+          (col("tf") * (col("k1") + lit(1.0))) /
+          (col("tf") + col("k1") *
+            (lit(1.0) - col("b") + col("b") * col("dl") / col("avgdl")))).as("c"))
+      .groupBy("k1", "b", "doc_id").agg(round(sum("c"), 4).as("score"))
+    val w = Window.partitionBy("k1", "b").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("k1"), col("b"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score"))
+  }
+
+  /** (query_id, first_rank, rr): MEAN-RECIPROCAL-RANK eval of the
+    * batch BM25 run — per query, the rank of the first RELEVANT
+    * result in the top-`k` and its reciprocal (0.0 when no relevant
+    * doc ranks). Relevance is derived, deterministic and replayable
+    * (the [[searchNdcg]] convention): a doc is relevant to a query iff
+    * it contains ≥ 2 distinct kept query terms. The run is
+    * [[Bm25.batchSearch]] (one distributed plan for the whole query
+    * table); the relevance side rides the same broadcast-pruned
+    * postings, so the eval adds no corpus pass. */
+  def searchMrr(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val run = Bm25.batchSearch(docs, queries, k)
+    val qterms = queries
+      .select(col("query_id"), explode(graft.functions.Text.rawTokens(col("qtext"))).as("term"))
+      .filter(graft.functions.Text.keepToken(col("term")))
+      .distinct()
+    val rel = Bm25.tf(docs)
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("term")).as("n_terms"))
+      .filter(col("n_terms") >= 2)
+      .select("query_id", "doc_id")
+    val firsts = run.join(rel, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id").agg(min("rk").as("fr"))
+    queries.select("query_id")
+      .join(firsts, Seq("query_id"), "left")
+      .select(col("query_id"), col("fr").cast("long").as("first_rank"),
+        coalesce(round(lit(1.0) / col("fr"), 6), lit(0.0)).as("rr"))
+  }
 }

@@ -1251,4 +1251,55 @@ object TextAnalysis {
           round((col("n_dup").cast("double") / col("n_docs")) /
             (col("td").cast("double") / col("tn")), 6)).as("lift"))
   }
+
+  /** (probe_id, n_shingles, n_novel, novelty): N-GRAM NOVELTY of the
+    * eval slice vs the training corpus — per probe doc, how many of
+    * its distinct word 3-grams NEVER occur in any training document
+    * (the memorization/contamination EVAL metric: a probe whose
+    * n-grams are mostly non-novel is answerable by regurgitation; the
+    * complement of [[contamination]], which flags the TRAINING side).
+    * Probe split is the contamination convention (doc_id % 97). The
+    * training side collapses to DISTINCT shingle hashes once (one
+    * corpus-token-scaled aggregation); probes anti-join it on the
+    * hash — probe-sized rows through the join, no text movement.
+    * Probes under 3 tokens have no shingles and do not appear. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val probes = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val psh = Dedup.shingles(probes)
+      .select(col("doc_id").as("probe_id"), md5(col("shingle")).as("h"))
+    val tsh = Dedup.shingles(train).select(md5(col("shingle")).as("h")).distinct()
+    val sizes = psh.groupBy("probe_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = psh.join(tsh, Seq("h"), "left_anti")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_novel"))
+    sizes.join(novel, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("novelty"))
+  }
+
+  /** (source, n_docs, n_chars, n_emails, n_longnums, pii_per_10k):
+    * PII AUDIT rolled up per ingestion source — total counts of the
+    * two [[redact]] pattern families (emails, ≥7-digit number runs)
+    * and their density per 10k chars: the release-gate dashboard that
+    * decides which sources need scrubbing BEFORE training. Counting
+    * is a pure map (regexp_extract_all size per doc); one
+    * source-cardinality aggregation. */
+  def piiAudit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ne", size(regexp_extract_all(col("text"),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))).cast("long"))
+      .withColumn("nn", size(regexp_extract_all(col("text"),
+        lit("[0-9]{7,}"), lit(0))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("nn")).as("n_longnums"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_emails"), col("n_longnums"),
+        when(col("n_chars") > 0,
+          round((col("n_emails") + col("n_longnums")).cast("double") *
+            10000.0 / col("n_chars"), 6)).as("pii_per_10k"))
 }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25, Dedup, DedupStore, Graph, SearchExtras, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-11 operator batch: k-core peeling, prefix-duplication report,
+  * PII audit, n-gram novelty, the BM25 parameter sweep, and MRR eval.
+  * Properties here are the algorithmic guarantees the oracles can't
+  * see (peel convergence, slice-equivalence with the pinned-constant
+  * ranking, rr arithmetic); value parity is the DuckDB crosscheck. */
+class Round11OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  // ---- k-core ----
+
+  test("kcore keeps the triangle, peels the chain") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.kcore(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kcore peels a lollipop tail over multiple rounds and converges in budget") {
+    import spark.implicits._
+    // triangle 1-2-3 with a 6-node tail hanging off node 3: each peel
+    // round removes exactly one tail node (the current endpoint), so
+    // full convergence genuinely needs 6 rounds — inside the 8-round
+    // default budget; the tail's attachment edge dies with node 4
+    val tail = (3L to 8L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++ tail).toDF("doc_a", "doc_b")
+    val got = Graph.kcore(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    // fixed budget is genuinely a convergence point: more rounds = same
+    val more = Graph.kcore(pairs, rounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(more === got)
+  }
+
+  test("kcore on the gate corpus's verified near-dup graph converges within the budget") {
+    val path = java.nio.file.Files.createTempDirectory("r11kcore").toString + "/s"
+    DedupStore.build(docs, path)
+    val ver = DedupStore.verifiedNearDups(spark, path)
+    val at8 = Graph.kcore(ver).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at12 = Graph.kcore(ver, rounds = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at8 === at12, "8-round budget must be a fixed point on the gate corpus")
+    // every survivor has within-core degree >= k by definition of a k-core
+    assert(at8.forall(_._2 >= 2))
+  }
+
+  // ---- prefix duplication ----
+
+  test("prefixDups groups identical 8-token prefixes, skips short docs and singletons") {
+    import spark.implicits._
+    val boiler = "terms of service licensed under the apache two"
+    val d = Seq(
+      (10L, s"$boiler body alpha beta"),
+      (11L, s"$boiler completely different tail text"),
+      (12L, "unique opening eight tokens here right now ok tail"),
+      (13L, "short doc")).toDF("doc_id", "text")
+    val got = Dedup.prefixDups(d).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(1) === 2L)           // n_docs
+    assert(got(0).getLong(2) === 10L)          // canonical = min doc_id
+  }
+
+  // ---- PII audit ----
+
+  test("piiAudit counts emails and long digit runs per source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact a@b.com and c.d@e.org now", "crawl"),
+      (2L, "call 12345678 or 999 short", "crawl"),
+      (3L, "clean text only", "books")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.piiAudit(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("crawl").getLong(3) === 2L)  // n_emails
+    assert(got("crawl").getLong(4) === 1L)  // n_longnums (999 is short)
+    assert(got("books").getLong(3) === 0L && got("books").getLong(4) === 0L)
+    val crawl = got("crawl")
+    val expected = (crawl.getLong(3) + crawl.getLong(4)).toDouble * 10000.0 /
+      crawl.getLong(2)
+    assert(math.abs(crawl.getDouble(5) - expected) < 1e-4)
+  }
+
+  // ---- n-gram novelty ----
+
+  test("ngramNovelty: fully-seen probe scores 0, fully-unseen probe scores 1") {
+    import spark.implicits._
+    // ids 0 and 97 are probes (doc_id % 97 == 0); 1..3 are training
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),          // shingles all appear in doc 1
+      (97L, "zeta eta theta iota"),            // no shingle in training
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "other training text entirely here")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getLong(2) === 0L && got(0L).getDouble(3) === 0.0)
+    assert(got(97L).getLong(2) === got(97L).getLong(1) &&
+      got(97L).getDouble(3) === 1.0)
+  }
+
+  // ---- BM25 parameter sweep ----
+
+  test("bm25Tune's (K1, B) slice replays the pinned-constant top-3 ranking") {
+    val sweep = SearchExtras.bm25Tune(docs).collect()
+    val grid = sweep.map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(grid.size === 6, "3 k1 values x 2 b values")
+    sweep.groupBy(r => (r.getDouble(0), r.getDouble(1))).foreach { case (g, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L), s"ranks at $g")
+    }
+    val slice = sweep.filter(r => r.getDouble(0) == Bm25.K1 && r.getDouble(1) == Bm25.B)
+      .sortBy(_.getLong(2)).map(r => (r.getLong(3), r.getDouble(4))).toSeq
+    val pinned = Bm25.searchTopN(docs, n = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(slice === pinned, "sweep slice at the pinned constants must equal searchTopN")
+  }
+
+  // ---- MRR ----
+
+  test("searchMrr: rr is 1/first_rank, 0.0 with null rank when nothing relevant ranks") {
+    import spark.implicits._
+    val queries = (Bm25.DemoQueries :+ (9 -> "qqqqz zzzzq"))
+      .toDF("query_id", "qtext")
+    val got = SearchExtras.searchMrr(docs, queries).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.size === 4)
+    // the nonsense query matches no doc: no first rank, rr exactly 0
+    assert(got(9).isNullAt(1) && got(9).getDouble(2) === 0.0)
+    got.values.filterNot(_.isNullAt(1)).foreach { r =>
+      val fr = r.getLong(1)
+      assert(fr >= 1 && fr <= 10)
+      assert(math.abs(r.getDouble(2) - BigDecimal(1.0 / fr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // first_rank really is the first RELEVANT rank of the batch run
+    val run = Bm25.batchSearch(docs, queries.toDF("query_id", "qtext"))
+    val qt = queries.select(col("query_id"),
+        explode(graft.functions.Text.rawTokens(col("qtext"))).as("term"))
+      .filter(graft.functions.Text.keepToken(col("term"))).distinct()
+    val rel = Bm25.tf(docs).join(qt, "term")
+      .groupBy("query_id", "doc_id").agg(countDistinct("term").as("nt"))
+      .filter(col("nt") >= 2)
+    val recomputed = run.join(rel.select("query_id", "doc_id"), Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(min("rk").as("fr")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
+    got.values.filterNot(_.isNullAt(1)).foreach { r =>
+      assert(recomputed(r.getInt(0)) === r.getLong(1))
+    }
+  }
+}
