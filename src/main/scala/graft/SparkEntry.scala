@@ -791,6 +791,21 @@ object SparkEntry {
     // 2-core of the verified near-dup graph (entangled-cluster signal)
     "q_kcore" -> ((s, dir) =>
       Graph.kcore(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // local clustering coefficient per node of the near-dup graph
+    "q_clustering_coef" -> ((s, dir) =>
+      Graph.clusteringCoef(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // C4-style blocklist screen rolled up per source
+    "q_blocklist_screen" -> ((s, dir) =>
+      TextAnalysis.blocklistScreen(Tables.documents(s, dir))),
+    // source-pair shingle-vocabulary Jaccard overlap matrix
+    "q_source_jaccard" -> ((s, dir) =>
+      TextAnalysis.sourceJaccard(Tables.documents(s, dir))),
+    // average precision @ 10 of the batch BM25 run (eval family leg 3)
+    "q_search_map" -> ((s, dir) => {
+      import s.implicits._
+      SearchExtras.searchMap(Tables.documents(s, dir),
+        Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -2420,6 +2435,95 @@ object SparkEntry {
         |FROM pf GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     // 2-core of the verified near-dup graph, 8 peel rounds unrolled
     "q_kcore" -> kcoreOracleSql(2, 8),
+    // local clustering coefficient: triangles wedge join + degrees
+    "q_clustering_coef" ->
+      s"""WITH $minhashCandCte,
+         |e0 AS MATERIALIZED (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),
+         |deg AS (SELECT a AS doc_id, count(*)::BIGINT AS degree
+         |        FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0) GROUP BY 1),
+         |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |       FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+         |       WHERE EXISTS (SELECT 1 FROM e0 e3
+         |                     WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |tn AS (SELECT node AS doc_id, count(*)::BIGINT AS n_triangles FROM
+         |         (SELECT x AS node FROM tr UNION ALL SELECT y FROM tr
+         |          UNION ALL SELECT z FROM tr) GROUP BY 1)
+         |SELECT deg.doc_id, deg.degree, coalesce(tn.n_triangles, 0)::BIGINT AS n_triangles,
+         |       CASE WHEN deg.degree >= 2
+         |         THEN round(2.0 * coalesce(tn.n_triangles, 0) /
+         |                    (deg.degree * (deg.degree - 1)), 6)
+         |         ELSE 0.0 END AS cc
+         |FROM deg LEFT JOIN tn ON deg.doc_id = tn.doc_id""".stripMargin,
+    // blocklist screen: any-hit flag + per-source rate, list literal
+    "q_blocklist_screen" -> {
+      val bl = TextAnalysis.DefaultBlocklist.map(t => s"'$t'").mkString(", ")
+      s"""WITH h AS (SELECT source,
+         |             len(list_filter(string_split(lower(text), ' '),
+         |                 w -> list_contains([$bl], w)))::BIGINT AS hits
+         |           FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN hits >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+         |       sum(hits)::BIGINT AS total_hits,
+         |       round(sum(CASE WHEN hits >= 1 THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*), 6) AS flag_rate
+         |FROM h GROUP BY source""".stripMargin
+    },
+    // source-pair shingle-set Jaccard, zero-overlap pairs included
+    "q_source_jaccard" ->
+      s"""WITH $shingleCte,
+         |ssh AS (SELECT DISTINCT d.source, md5(sh.shingle) AS h
+         |        FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+         |sz AS (SELECT source, count(*)::BIGINT AS n FROM ssh GROUP BY 1),
+         |iv AS (SELECT x.source AS source_a, y.source AS source_b,
+         |              count(*)::BIGINT AS inter
+         |       FROM ssh x JOIN ssh y ON x.h = y.h AND x.source < y.source
+         |       GROUP BY 1, 2)
+         |SELECT sa.source AS source_a, sb.source AS source_b,
+         |       sa.n AS n_a, sb.n AS n_b,
+         |       coalesce(iv.inter, 0)::BIGINT AS inter,
+         |       round(coalesce(iv.inter, 0)::DOUBLE /
+         |             (sa.n + sb.n - coalesce(iv.inter, 0)), 6) AS jaccard
+         |FROM sz sa JOIN sz sb ON sa.source < sb.source
+         |LEFT JOIN iv ON iv.source_a = sa.source AND iv.source_b = sb.source""".stripMargin,
+    // AP@10: the MRR scoring chain + hit numbering + min(R, k) norm
+    "q_search_map" -> {
+      val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH $dlCte,
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, t AS term
+         |       FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
+         |       WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
+         |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+         |       FROM tf
+         |       JOIN idfq ON tf.term = idfq.term
+         |       JOIN qt ON qt.term = tf.term
+         |       JOIN dl ON tf.doc_id = dl.doc_id
+         |       CROSS JOIN avgd
+         |       GROUP BY qt.query_id, tf.doc_id),
+         |rkd AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+         |        FROM sc),
+         |run AS (SELECT query_id, doc_id, rk FROM rkd WHERE rk <= 10),
+         |rel AS (SELECT qt.query_id, tf.doc_id FROM tf JOIN qt ON tf.term = qt.term
+         |        GROUP BY qt.query_id, tf.doc_id HAVING count(DISTINCT tf.term) >= 2),
+         |tot AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+         |hit AS (SELECT run.query_id, run.rk,
+         |          row_number() OVER (PARTITION BY run.query_id ORDER BY run.rk) AS i
+         |        FROM run JOIN rel ON run.query_id = rel.query_id
+         |                         AND run.doc_id = rel.doc_id),
+         |aps AS (SELECT query_id, count(*)::BIGINT AS n_hits,
+         |          sum(i::DOUBLE / rk) AS psum FROM hit GROUP BY 1)
+         |SELECT qrs.query_id, coalesce(tot.n_rel, 0)::BIGINT AS n_rel,
+         |       coalesce(aps.n_hits, 0)::BIGINT AS n_hits,
+         |       coalesce(round(aps.psum / least(tot.n_rel, 10), 6), 0.0) AS ap
+         |FROM qrs LEFT JOIN tot ON qrs.query_id = tot.query_id
+         |LEFT JOIN aps ON qrs.query_id = aps.query_id""".stripMargin
+    },
     // build (4/5) + incremental ingest (1/5) = the FULL corpus, and
     // AnnSpec proves staged == live — so the staged search replays as
     // the live LSH over all embeddings (promoted from rows-only)

@@ -308,6 +308,39 @@ object Graph {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
   }
 
+  /** (doc_id, degree, n_triangles, cc): LOCAL CLUSTERING COEFFICIENT
+    * per node of the pair graph — 2·T / (deg·(deg−1)), the "how
+    * clique-like is this node's dup neighborhood" number that turns
+    * [[trianglesFrom]]'s raw counts into a degree-normalized signal
+    * (a hub with 3 triangles across 40 neighbors is chain-y; a
+    * 4-clique member with 3 triangles across 3 neighbors is a mirror
+    * farm). Degree-1 nodes report cc = 0. Triangle side is the
+    * [[trianglesFrom]] wedge join (edge/wedge-scaled); degrees are one
+    * edge-scaled aggregation; the divide is exact integer → one
+    * rounded double. */
+  def clusteringCoef(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = e.select(col("a"), col("b"))
+      .union(e.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"), "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6)).otherwise(0.0).as("cc"))
+  }
+
   /** (doc_id, degree): the `k`-CORE of the pair graph after `rounds`
     * peeling iterations — repeatedly drop nodes of degree < k and the
     * edges touching them; survivors are the densely inter-duplicated
@@ -324,7 +357,15 @@ object Graph {
     var e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // early exit on a count fixed point is exact, not heuristic: a
+    // peel round only ever REMOVES edges, so an unchanged edge count
+    // means an unchanged edge set, and peeling a fixed point yields
+    // itself — the remaining rounds are identities (the budget stays
+    // the determinism bound for adversarial inputs that never settle)
+    var prev = e.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       // select("a","b") pins column ORDER before the positional union:
       // a using-column semi-join moves its key to position 0, so the
       // round-2 union would otherwise zip (b,a) against (a,b)
@@ -336,6 +377,10 @@ object Graph {
         .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint()
+      val n = e.count()
+      converged = n == prev
+      prev = n
+      round += 1
     }
     e.select("a", "b").union(e.select(col("b").as("a"), col("a").as("b")))
       .groupBy(col("a").as("doc_id"))

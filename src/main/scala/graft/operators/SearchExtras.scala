@@ -467,18 +467,55 @@ object SearchExtras {
     * [[Bm25.batchSearch]] (one distributed plan for the whole query
     * table); the relevance side rides the same broadcast-pruned
     * postings, so the eval adds no corpus pass. */
-  def searchMrr(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+  /** (query_id, n_rel, n_hits, ap): AVERAGE PRECISION @ k of the batch
+    * BM25 run — the third leg of the ranking-eval family
+    * ([[searchNdcg]] grades the whole list, [[searchMrr]] the first
+    * hit, AP the precision profile across every hit). Relevance is the
+    * [[searchMrr]] derived contract (≥ 2 distinct kept query terms).
+    * AP@k = Σ_i (i / rank_i) / min(R, k) over the run's relevant hits
+    * in rank order, R = corpus-wide relevant count; queries with no
+    * relevant docs report 0.0. Rides the same batch plan + postings
+    * join; the per-query hit numbering is a window over ≤ k rows. */
+  def searchMap(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val run = Bm25.batchSearch(docs, queries, k)
+    val rel = relevanceOf(docs, queries)
+    val totals = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy("query_id").orderBy(col("rk").asc)
+    val hits = run.join(rel, Seq("query_id", "doc_id"), "left_semi")
+      .withColumn("i", row_number().over(w))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("i").cast("double") / col("rk")).as("psum"))
+    queries.select("query_id")
+      .join(totals, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(round(col("psum") / least(col("n_rel"), lit(k.toLong)), 6),
+          lit(0.0)).as("ap"))
+  }
+
+  /** The shared derived-relevance relation of the eval family: a doc
+    * is relevant to a query iff it contains ≥ 2 distinct kept query
+    * terms — deterministic, replayable by the oracle, and computed off
+    * the broadcast-pruned postings (no extra corpus pass). */
+  private def relevanceOf(docs: DataFrame, queries: DataFrame): DataFrame = {
     val qterms = queries
       .select(col("query_id"), explode(graft.functions.Text.rawTokens(col("qtext"))).as("term"))
       .filter(graft.functions.Text.keepToken(col("term")))
       .distinct()
-    val rel = Bm25.tf(docs)
+    Bm25.tf(docs)
       .join(broadcast(qterms), "term")
       .groupBy("query_id", "doc_id")
       .agg(countDistinct(col("term")).as("n_terms"))
       .filter(col("n_terms") >= 2)
       .select("query_id", "doc_id")
+  }
+
+  def searchMrr(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val run = Bm25.batchSearch(docs, queries, k)
+    val rel = relevanceOf(docs, queries)
     val firsts = run.join(rel, Seq("query_id", "doc_id"), "left_semi")
       .groupBy("query_id").agg(min("rk").as("fr"))
     queries.select("query_id")

@@ -1302,4 +1302,65 @@ object TextAnalysis {
         when(col("n_chars") > 0,
           round((col("n_emails") + col("n_longnums")).cast("double") *
             10000.0 / col("n_chars"), 6)).as("pii_per_10k"))
+
+  /** The default blocklist for [[blocklistScreen]] — a deterministic
+    * stand-in for a production badword list (C4 ships ~400 terms; the
+    * MECHANISM — any-hit flagging + per-source rate — is what the
+    * operator owns, the list is configuration). */
+  val DefaultBlocklist: Seq[String] = Seq("slow", "broken", "spam")
+
+  /** (source, n_docs, n_flagged, total_hits, flag_rate): BLOCKLIST
+    * SCREEN per ingestion source — the C4-style cleaning rule (a doc
+    * with ANY blocklist token is flagged) rolled up to the per-source
+    * removal-rate dashboard. Hit counting is a pure per-row map: the
+    * blocklist rides as an array LITERAL into a higher-order filter
+    * over the raw token array (no explode, no join, no shuffle before
+    * the one source-cardinality aggregation) — at 100 TB this is a
+    * single scan with a codegen'd lambda. */
+  def blocklistScreen(docs: DataFrame,
+                      blocklist: Seq[String] = DefaultBlocklist): DataFrame = {
+    val bl = array(blocklist.map(lit): _*)
+    docs
+      .withColumn("hits", size(filter(graft.functions.Text.rawTokens(col("text")),
+        w => array_contains(bl, w))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") >= 1, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits")).as("total_hits"))
+      .select(col("source"), col("n_docs"), col("n_flagged"), col("total_hits"),
+        round(col("n_flagged").cast("double") / col("n_docs"), 6).as("flag_rate"))
+  }
+
+  /** (source_a, source_b, n_a, n_b, inter, jaccard): SOURCE-PAIR
+    * VOCABULARY OVERLAP — exact Jaccard between the distinct word-
+    * 3-gram shingle sets of every ingestion-source pair (which crawls
+    * are near-copies of each other vs genuinely disjoint: the
+    * source-level view the doc-level cross-source dup matrix can't
+    * give when duplication is diffuse). Shingle sets collapse to
+    * (source, hash) DISTINCT once (corpus-token-scaled); the
+    * intersection is a hash equi-join between source-tagged shingle
+    * relations (shingle-scaled, never doc-pairwise); the source-pair
+    * frame is a tiny broadcast cross of per-source sizes, so
+    * zero-overlap pairs still report. */
+  def sourceJaccard(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), md5(col("shingle")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    val frame = sizes.as("sa").join(sizes.as("sb"),
+        col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+    frame.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))), 6)
+          .as("jaccard"))
+  }
 }

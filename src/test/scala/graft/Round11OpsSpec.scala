@@ -56,6 +56,56 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(at8.forall(_._2 >= 2))
   }
 
+  test("clusteringCoef: clique nodes score 1, chain nodes 0, tri+pendant scores 1/3") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}; chain 5-6-7; triangle {8,9,10} with pendant 11 on 8
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (clique ++ Seq((5L, 6L), (6L, 7L),
+      (8L, 9L), (9L, 10L), (8L, 10L), (8L, 11L))).toDF("doc_a", "doc_b")
+    val got = Graph.clusteringCoef(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    (1L to 4L).foreach(n => assert(got(n) === ((3L, 3L, 1.0)), s"clique node $n"))
+    assert(got(6L) === ((2L, 0L, 0.0)))     // chain middle: deg 2, no triangle
+    assert(got(5L)._3 === 0.0 && got(11L)._3 === 0.0)  // deg-1 nodes
+    assert(got(9L) === ((2L, 1L, 1.0)) && got(10L) === ((2L, 1L, 1.0)))
+    assert(got(8L) === ((3L, 1L, 0.333333)))  // deg 3, one triangle
+  }
+
+  // ---- blocklist screen ----
+
+  test("blocklistScreen flags any-hit docs and counts total hits per source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "clean text here", "a"),
+      (2L, "spam spam and more spam", "a"),
+      (3L, "one broken thing", "a"),
+      (4L, "all clean again", "b")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.blocklistScreen(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(1) === 3L)      // n_docs
+    assert(got("a").getLong(2) === 2L)      // n_flagged (docs 2 and 3)
+    assert(got("a").getLong(3) === 4L)      // total hits: 3 spam + 1 broken
+    assert(math.abs(got("a").getDouble(4) - 0.666667) < 1e-9)
+    assert(got("b").getLong(2) === 0L && got("b").getDouble(4) === 0.0)
+  }
+
+  // ---- source vocabulary overlap ----
+
+  test("sourceJaccard: identical sources score 1, disjoint pairs still report 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s2"),   // same shingles as s1
+      (3L, "zeta eta theta iota", "s3")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceJaccard(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.size === 3, "all 3 source pairs must report")
+    assert(got(("s1", "s2")) === ((2L, 2L, 2L, 1.0)))
+    assert(got(("s1", "s3")) === ((2L, 2L, 0L, 0.0)))
+    assert(got(("s2", "s3"))._4 === 0.0)
+  }
+
   // ---- prefix duplication ----
 
   test("prefixDups groups identical 8-token prefixes, skips short docs and singletons") {
@@ -154,6 +204,36 @@ class Round11OpsSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
     got.values.filterNot(_.isNullAt(1)).foreach { r =>
       assert(recomputed(r.getInt(0)) === r.getLong(1))
+    }
+  }
+
+  test("searchMap: AP matches a hand recomputation from the run and relevance") {
+    import spark.implicits._
+    val queries = (Bm25.DemoQueries :+ (9 -> "qqqqz zzzzq"))
+      .toDF("query_id", "qtext")
+    val got = SearchExtras.searchMap(docs, queries).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(9) === ((0L, 0L, 0.0)))
+    // recompute AP@10 driver-side from the run + the relevance contract
+    val run = Bm25.batchSearch(docs, queries).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    val qt = queries.select(col("query_id"),
+        explode(graft.functions.Text.rawTokens(col("qtext"))).as("term"))
+      .filter(graft.functions.Text.keepToken(col("term"))).distinct()
+    val rel = Bm25.tf(docs).join(qt, "term")
+      .groupBy("query_id", "doc_id").agg(countDistinct("term").as("nt"))
+      .filter(col("nt") >= 2).select("query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    got.keys.filter(_ != 9).foreach { q =>
+      val nRel = rel.count(_._1 == q)
+      val hits = run.filter(t => t._1 == q && rel.contains((q, t._2)))
+        .map(_._3).sorted.zipWithIndex
+      val ap = if (hits.isEmpty) 0.0
+        else BigDecimal(hits.map { case (rk, i) => (i + 1).toDouble / rk }.sum /
+          math.min(nRel, 10)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(q)._1 === nRel.toLong, s"n_rel for query $q")
+      assert(got(q)._2 === hits.length.toLong, s"n_hits for query $q")
+      assert(math.abs(got(q)._3 - ap) < 1e-9, s"ap for query $q")
     }
   }
 }
