@@ -806,6 +806,12 @@ object SparkEntry {
       SearchExtras.searchMap(Tables.documents(s, dir),
         Bm25.DemoQueries.toDF("query_id", "qtext"))
     }),
+    // learning-to-rank feature export for the batch run's top-10
+    "q_ltr_features" -> ((s, dir) => {
+      import s.implicits._
+      SearchExtras.ltrFeatures(Tables.documents(s, dir),
+        Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -2485,6 +2491,45 @@ object SparkEntry {
          |             (sa.n + sb.n - coalesce(iv.inter, 0)), 6) AS jaccard
          |FROM sz sa JOIN sz sb ON sa.source < sb.source
          |LEFT JOIN iv ON iv.source_a = sa.source AND iv.source_b = sb.source""".stripMargin,
+    // LTR features: the batch scoring chain + per-(query,doc) term
+    // aggregates + doc length + query-coverage ratio
+    "q_ltr_features" -> {
+      val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH $dlCte,
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, t AS term
+         |       FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
+         |       WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
+         |qsz AS (SELECT query_id, count(*)::BIGINT AS n_qterms FROM qt GROUP BY 1),
+         |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+         |       FROM tf
+         |       JOIN idfq ON tf.term = idfq.term
+         |       JOIN qt ON qt.term = tf.term
+         |       JOIN dl ON tf.doc_id = dl.doc_id
+         |       CROSS JOIN avgd
+         |       GROUP BY qt.query_id, tf.doc_id),
+         |rkd AS (SELECT query_id, doc_id, score,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+         |        FROM sc),
+         |run AS (SELECT query_id, doc_id, score, rk FROM rkd WHERE rk <= 10),
+         |feat AS (SELECT qt.query_id, tf.doc_id,
+         |           count(DISTINCT tf.term)::BIGINT AS n_match,
+         |           sum(tf.tf)::BIGINT AS sum_tf, max(tf.tf)::BIGINT AS max_tf
+         |         FROM tf JOIN qt ON tf.term = qt.term
+         |         GROUP BY qt.query_id, tf.doc_id)
+         |SELECT run.query_id, run.doc_id, run.rk::BIGINT AS rk, run.score,
+         |       feat.n_match, feat.sum_tf, feat.max_tf, dl.dl,
+         |       round(feat.n_match::DOUBLE / qsz.n_qterms, 6) AS overlap
+         |FROM run
+         |JOIN feat ON run.query_id = feat.query_id AND run.doc_id = feat.doc_id
+         |JOIN dl ON run.doc_id = dl.doc_id
+         |JOIN qsz ON run.query_id = qsz.query_id""".stripMargin
+    },
     // AP@10: the MRR scoring chain + hit numbering + min(R, k) norm
     "q_search_map" -> {
       val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")

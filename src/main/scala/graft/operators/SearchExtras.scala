@@ -496,6 +496,37 @@ object SearchExtras {
           lit(0.0)).as("ap"))
   }
 
+  /** (query_id, doc_id, rk, score, n_match, sum_tf, max_tf, dl,
+    * overlap): LEARNING-TO-RANK FEATURE EXPORT for the batch run's
+    * top-`k` — the (query, doc) feature matrix a reranker trains on
+    * (BM25 score + term-overlap + tf aggregates + doc length + the
+    * query-coverage ratio), emitted by ONE plan riding the batch
+    * scoring pass: the feature aggregation reuses the same
+    * broadcast-pruned postings join (corpus still scanned exactly
+    * twice), and the top-k restriction keeps the export
+    * run-sized, not corpus-sized. */
+  def ltrFeatures(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val run = Bm25.batchSearch(docs, queries, k)
+    val qterms = queries
+      .select(col("query_id"), explode(graft.functions.Text.rawTokens(col("qtext"))).as("term"))
+      .filter(graft.functions.Text.keepToken(col("term")))
+      .distinct()
+    val qsizes = qterms.groupBy("query_id").agg(count(lit(1)).as("n_qterms"))
+    val feat = Bm25.tf(docs)
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("term")).as("n_match"),
+        sum("tf").as("sum_tf"), max("tf").as("max_tf"))
+    val dl = Bm25.docLengths(docs.filter(col("doc_id").isNotNull))
+    run
+      .join(feat, Seq("query_id", "doc_id"))
+      .join(dl, "doc_id")
+      .join(broadcast(qsizes), "query_id")
+      .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rk"),
+        col("score"), col("n_match"), col("sum_tf"), col("max_tf"), col("dl"),
+        round(col("n_match").cast("double") / col("n_qterms"), 6).as("overlap"))
+  }
+
   /** The shared derived-relevance relation of the eval family: a doc
     * is relevant to a query iff it contains ≥ 2 distinct kept query
     * terms — deterministic, replayable by the oracle, and computed off

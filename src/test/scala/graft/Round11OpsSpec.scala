@@ -207,6 +207,26 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ltrFeatures: one feature row per run row, with consistent aggregates") {
+    import spark.implicits._
+    val queries = Bm25.DemoQueries.toDF("query_id", "qtext")
+    val run = Bm25.batchSearch(docs, queries).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toMap
+    val feats = SearchExtras.ltrFeatures(docs, queries).collect()
+    assert(feats.length === run.size, "exactly one feature row per run row")
+    feats.foreach { r =>
+      val key = (r.getInt(0), r.getLong(1))
+      val (score, rk) = run(key)
+      assert(r.getLong(2) === rk.toLong && r.getDouble(3) === score,
+        s"rank/score must replay the batch run for $key")
+      val (nMatch, sumTf, maxTf, dl) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(nMatch >= 1 && maxTf >= 1 && sumTf >= maxTf && sumTf >= nMatch)
+      assert(dl >= sumTf, "doc length bounds the matched-term tf sum")
+      assert(r.getDouble(8) > 0.0 && r.getDouble(8) <= 1.0)
+    }
+  }
+
   test("searchMap: AP matches a hand recomputation from the run and relevance") {
     import spark.implicits._
     val queries = (Bm25.DemoQueries :+ (9 -> "qqqqz zzzzq"))
