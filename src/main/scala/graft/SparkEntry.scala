@@ -794,6 +794,9 @@ object SparkEntry {
     // local clustering coefficient per node of the near-dup graph
     "q_clustering_coef" -> ((s, dir) =>
       Graph.clusteringCoef(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // 3-truss of the near-dup graph (edge-level robustness peel)
+    "q_ktruss" -> ((s, dir) =>
+      Graph.ktruss(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
     // C4-style blocklist screen rolled up per source
     "q_blocklist_screen" -> ((s, dir) =>
       TextAnalysis.blocklistScreen(Tables.documents(s, dir))),
@@ -1390,6 +1393,41 @@ object SparkEntry {
          |fin AS (SELECT a, b FROM e$rounds)
          |SELECT a AS doc_id, count(*)::BIGINT AS degree
          |FROM (SELECT a, b FROM fin UNION ALL SELECT b, a FROM fin) GROUP BY 1""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled k-truss support peeling: each round enumerates triangles
+    * over the surviving edges, counts per-edge support, and keeps
+    * edges with support >= k-2 — Graph.ktruss's replay (MATERIALIZED
+    * for the same inlining reason as the k-core oracle). */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $minhashCandCte,\n")
+    sb.append("e0 AS MATERIALIZED (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),")
+    def triSql(p: String) =
+      s"""(SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM $p e1 JOIN $p e2 ON e1.b = e2.a
+         |        WHERE EXISTS (SELECT 1 FROM $p e3
+         |                      WHERE e3.a = e1.a AND e3.b = e2.b))""".stripMargin
+    def supSql(t: String) =
+      s"""(SELECT a, b, count(*) AS sup FROM
+         |          (SELECT x AS a, y AS b FROM $t UNION ALL
+         |           SELECT y, z FROM $t UNION ALL SELECT x, z FROM $t)
+         |        GROUP BY 1, 2)""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = s"e${i - 1}"
+      sb.append(
+        s"""
+           |t$i AS MATERIALIZED ${triSql(p)},
+           |s$i AS ${supSql(s"t$i")},
+           |e$i AS MATERIALIZED (SELECT $p.a, $p.b FROM $p
+           |       JOIN s$i ON $p.a = s$i.a AND $p.b = s$i.b AND s$i.sup >= ${k - 2}),""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |tf AS MATERIALIZED ${triSql(s"e$rounds")},
+         |sf AS ${supSql("tf")}
+         |SELECT a AS doc_a, b AS doc_b, sup::BIGINT AS support FROM sf""".stripMargin)
     sb.toString
   }
 
@@ -2441,6 +2479,8 @@ object SparkEntry {
         |FROM pf GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     // 2-core of the verified near-dup graph, 8 peel rounds unrolled
     "q_kcore" -> kcoreOracleSql(2, 8),
+    // 3-truss of the verified near-dup graph, 4 peel rounds unrolled
+    "q_ktruss" -> ktrussOracleSql(3, 4),
     // local clustering coefficient: triangles wedge join + degrees
     "q_clustering_coef" ->
       s"""WITH $minhashCandCte,

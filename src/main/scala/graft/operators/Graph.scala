@@ -341,6 +341,55 @@ object Graph {
             (col("degree") * (col("degree") - 1)), 6)).otherwise(0.0).as("cc"))
   }
 
+  /** (doc_a, doc_b, support): the `k`-TRUSS of the pair graph — the
+    * maximal subgraph where every EDGE sits in ≥ k−2 triangles — by
+    * fixed-budget support peeling (compute per-edge triangle support
+    * over the surviving edge set, drop under-supported edges, repeat).
+    * The edge-level sibling of [[kcore]]: a node can clear the k-core
+    * on degree alone while its edges are chain-y; truss membership
+    * certifies the edge itself is embedded in overlapping triangles —
+    * the strongest cheap "this really is one mirrored cluster" signal
+    * before collapsing a component. Each round is the [[trianglesFrom]]
+    * wedge join (wedge-scaled) + one edge-count aggregation; early
+    * exit on an edge-count fixed point is exact (peeling only removes
+    * edges; a fixed point peels to itself), `rounds` stays the
+    * determinism bound; lineage cut per round. Output is the surviving
+    * edges with their final-round support. */
+  def ktruss(pairs: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"need k >= 3, rounds >= 1; got k=$k, rounds=$rounds")
+    def supports(e: DataFrame): DataFrame = {
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"), "left_semi")
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      tri.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("y").as("a"), col("z").as("b")),
+          struct(col("x").as("a"), col("z").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    var e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    var prev = e.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      e = e.join(supports(e).filter(col("support") >= k - 2),
+          Seq("a", "b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val n = e.count()
+      converged = n == prev
+      prev = n
+      round += 1
+    }
+    supports(e).join(e, Seq("a", "b"), "left_semi")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("support"))
+  }
+
   /** (doc_id, degree): the `k`-CORE of the pair graph after `rounds`
     * peeling iterations — repeatedly drop nodes of degree < k and the
     * edges touching them; survivors are the densely inter-duplicated

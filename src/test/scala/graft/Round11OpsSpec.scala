@@ -56,6 +56,26 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(at8.forall(_._2 >= 2))
   }
 
+  test("ktruss: 3-truss keeps clique+triangle edges, 4-truss keeps only the clique") {
+    import spark.implicits._
+    // 4-clique {1..4}, lone triangle {8,9,10}, chain 5-6-7
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pairs = (clique ++ Seq((8L, 9L), (9L, 10L), (8L, 10L),
+      (5L, 6L), (6L, 7L))).toDF("doc_a", "doc_b")
+    val t3 = Graph.ktruss(pairs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3.keySet === (clique ++ Seq((8L, 9L), (9L, 10L), (8L, 10L))).toSet)
+    clique.foreach(e => assert(t3(e) === 2L, s"clique edge $e sits in 2 triangles"))
+    Seq((8L, 9L), (9L, 10L), (8L, 10L)).foreach(e => assert(t3(e) === 1L))
+    val t4 = Graph.ktruss(pairs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4 === clique.toSet, "4-truss peels the lone triangle")
+    // budget is a genuine fixed point: more rounds = same result
+    val more = Graph.ktruss(pairs, k = 4, rounds = 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(more === t4)
+  }
+
   test("clusteringCoef: clique nodes score 1, chain nodes 0, tri+pendant scores 1/3") {
     import spark.implicits._
     // 4-clique {1,2,3,4}; chain 5-6-7; triangle {8,9,10} with pendant 11 on 8
