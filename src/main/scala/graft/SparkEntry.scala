@@ -809,6 +809,8 @@ object SparkEntry {
       SearchExtras.searchMap(Tables.documents(s, dir),
         Bm25.DemoQueries.toDF("query_id", "qtext"))
     }),
+    // OOV-rate curve across a vocabulary-size grid (tokenizer budget)
+    "q_oov_curve" -> ((s, dir) => TextAnalysis.oovCurve(Tables.documents(s, dir))),
     // learning-to-rank feature export for the batch run's top-10
     "q_ltr_features" -> ((s, dir) => {
       import s.implicits._
@@ -2531,6 +2533,24 @@ object SparkEntry {
          |             (sa.n + sb.n - coalesce(iv.inter, 0)), 6) AS jaccard
          |FROM sz sa JOIN sz sb ON sa.source < sb.source
          |LEFT JOIN iv ON iv.source_a = sa.source AND iv.source_b = sb.source""".stripMargin,
+    // OOV curve: corpus term counts ranked (count desc, term asc),
+    // cumulative coverage per literal grid point
+    "q_oov_curve" ->
+      s"""WITH $dlCte,
+         |tc AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS total_tokens FROM tc),
+         |rkd AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+         |        FROM tc),
+         |grid AS (SELECT n FROM (VALUES (5), (10), (20), (40)) AS g(n)),
+         |cov AS (SELECT grid.n, sum(rkd.cnt)::BIGINT AS covered_tokens
+         |        FROM rkd JOIN grid ON rkd.rk <= grid.n AND rkd.rk <= 40
+         |        GROUP BY grid.n)
+         |SELECT grid.n::BIGINT AS vocab_size,
+         |       coalesce(cov.covered_tokens, 0)::BIGINT AS covered_tokens,
+         |       tot.total_tokens,
+         |       round(1.0 - coalesce(cov.covered_tokens, 0)::DOUBLE
+         |             / tot.total_tokens, 6) AS oov_rate
+         |FROM grid LEFT JOIN cov ON grid.n = cov.n CROSS JOIN tot""".stripMargin,
     // LTR features: the batch scoring chain + per-(query,doc) term
     // aggregates + doc length + query-coverage ratio
     "q_ltr_features" -> {

@@ -1331,6 +1331,35 @@ object TextAnalysis {
         round(col("n_flagged").cast("double") / col("n_docs"), 6).as("flag_rate"))
   }
 
+  /** (vocab_size, covered_tokens, total_tokens, oov_rate): OOV-RATE
+    * CURVE across a vocabulary-size grid — the fraction of kept-token
+    * OCCURRENCES falling outside the top-`N`-by-count vocabulary, for
+    * each N of the grid (the tokenizer-budget question: how big must
+    * the vocab be before <x% of the stream is UNK). ONE corpus term
+    * aggregation serves the whole curve: the top-max(N) ranking is the
+    * window-free [[TopK.rankedTopN]] (no global window chokepoint),
+    * and every grid point is a cumulative sum over those ≤ max(N)
+    * rows crossed with the literal grid — grid cost never touches the
+    * corpus. Vocabularies smaller than N report oov 0. */
+  def oovCurve(docs: DataFrame, grid: Seq[Int] = Seq(5, 10, 20, 40)): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ >= 1), s"bad vocab grid: $grid")
+    import docs.sparkSession.implicits._
+    val tc = Bm25.tf(docs).groupBy("term").agg(sum("tf").as("cnt"))
+    val total = tc.agg(sum("cnt").as("total_tokens"))
+    val ranked = TopK.rankedTopN(tc, "cnt", "term", grid.max)
+    val gridDf = grid.toDF("n")
+    val covered = ranked.crossJoin(broadcast(gridDf))
+      .filter(col("rk") <= col("n"))
+      .groupBy("n").agg(sum("cnt").as("covered_tokens"))
+    gridDf.join(covered, Seq("n"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("n").cast("long").as("vocab_size"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("total_tokens"),
+        round(lit(1.0) - coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("total_tokens"), 6).as("oov_rate"))
+  }
+
   /** (source_a, source_b, n_a, n_b, inter, jaccard): SOURCE-PAIR
     * VOCABULARY OVERLAP — exact Jaccard between the distinct word-
     * 3-gram shingle sets of every ingestion-source pair (which crawls

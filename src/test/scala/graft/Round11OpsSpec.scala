@@ -178,6 +178,23 @@ class Round11OpsSpec extends AnyFunSuite {
       got(97L).getDouble(3) === 1.0)
   }
 
+  // ---- OOV curve ----
+
+  test("oovCurve is monotone in vocab size and hits 0 once the vocab is covered") {
+    val rows = TextAnalysis.oovCurve(docs).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(5L, 10L, 20L, 40L))
+    val rates = rows.map(_.getDouble(3))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a >= b },
+      "bigger vocab can only lower the OOV rate")
+    // testdata vocab has < 40 kept terms → the largest grid point covers it
+    assert(rates.last === 0.0)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      val expect = 1.0 - r.getLong(1).toDouble / r.getLong(2)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6)
+    }
+  }
+
   // ---- BM25 parameter sweep ----
 
   test("bm25Tune's (K1, B) slice replays the pinned-constant top-3 ranking") {
