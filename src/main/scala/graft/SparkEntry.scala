@@ -187,6 +187,12 @@ object SparkEntry {
       DedupStore.verifiedNearDups(s, path)
     }),
     "q_dedup_clusters" -> ((s, dir) => DedupStore.nearDupClusters(s, dedupStoreFor(s, dir))),
+    // cluster-size histogram of the near-dup graph (staged rollup)
+    "q_cluster_sizes" -> ((s, dir) =>
+      DedupStore.clusterSizeHistogram(s, dedupStoreFor(s, dir))),
+    // per-cluster size + exact integer within-cluster sum of squares
+    "q_kmeans_inertia" -> ((s, dir) =>
+      Clustering.kmeansInertia(Tables.embeddings(s, dir))),
     // the keep decision: one representative per near-dup cluster,
     // loners keep themselves — the cleaned-corpus id set
     "q_dedup_keep_best" -> ((s, dir) =>
@@ -2239,6 +2245,32 @@ object SparkEntry {
          |  UNION
          |  SELECT r.doc, e2.b FROM r JOIN e2 ON r.reach = e2.a)
          |SELECT doc AS doc_id, min(reach)::BIGINT AS cluster_id FROM r GROUP BY doc""".stripMargin,
+    // the same transitive closure, rolled to the cluster-size histogram
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashCandCte,
+         |exd AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+         |        FROM documents),
+         |expairs AS (SELECT canon AS doc_a, doc_id AS doc_b FROM exd WHERE doc_id <> canon),
+         |e2 AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM ver
+         |       UNION SELECT doc_a AS a, doc_b AS b FROM expairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM expairs),
+         |r(doc, reach) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+         |  UNION
+         |  SELECT r.doc, e2.b FROM r JOIN e2 ON r.reach = e2.a),
+         |cl AS (SELECT doc AS doc_id, min(reach)::BIGINT AS cluster_id FROM r GROUP BY doc),
+         |cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM cs GROUP BY 1""".stripMargin,
+    // the kmeans assignment chain rolled to per-cluster size + inertia
+    "q_kmeans_inertia" ->
+      s"""WITH ${kmeansCtes(8, 2)},
+         |asg AS (SELECT vec_id, cid, d2 FROM (
+         |          SELECT vec_id, cid, d2,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |          FROM fd) WHERE rn = 1)
+         |SELECT cid::BIGINT AS cluster_id, count(*)::BIGINT AS n_points,
+         |       sum(d2)::BIGINT AS inertia FROM asg GROUP BY 1""".stripMargin,
     // the same transitive closure, finished with the keep decision:
     // rank-1 by (n_chars desc, doc_id asc) per cluster, loners keep
     // themselves

@@ -80,6 +80,17 @@ object Clustering {
     assign(e, fitFrom(e, k, iters)).select(col("vec_id"), col("cluster_id"), col("d2"))
   }
 
+  /** (cluster_id, n_points, inertia): per-cluster SIZE + WITHIN-CLUSTER
+    * SUM OF SQUARES of the fitted model — the clustering family's eval
+    * leg (the elbow diagnostic's ingredient, and the "did one centroid
+    * swallow everything" check). d2 is already the exact integer
+    * squared distance in milli-units², so inertia is an exact BIGINT
+    * sum — one k-cardinality rollup on the [[kmeans]] assignment. */
+  def kmeansInertia(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeans(embeddings, k, iters)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_points"), sum("d2").as("inertia"))
+
   /** The fitted centroid table (k×dim exact millis) after `iters`
     * Lloyd's rounds — the artifact a serving path bakes into its
     * assignment plan (see [[graft.streaming.Streams.kmeansStream]]). */

@@ -271,6 +271,19 @@ object DedupStore {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
   }
 
+  /** (cluster_size, n_clusters): the CLUSTER-SIZE HISTOGRAM of the
+    * near-dup graph — the one-look "is duplication a few huge
+    * boilerplate blobs or many small mirrors" triage that decides
+    * between hub-excision and pairwise review (the cluster-level
+    * complement of [[graft.operators.Graph]]'s degree distribution).
+    * Two cluster-cardinality aggregations on top of the staged
+    * [[nearDupClusters]] relation — no new pairwise work. */
+  def clusterSizeHistogram(spark: SparkSession, path: String,
+                           threshold: Double = 0.8): DataFrame =
+    nearDupClusters(spark, path, threshold)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
   /** [[Dedup.keepBest]] served from the store (`docs` supplies the
     * ranking feature n_chars; all pairwise work is staged). */
   def keepBest(docs: DataFrame, path: String, threshold: Double = 0.8): DataFrame = {

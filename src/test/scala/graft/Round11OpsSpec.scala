@@ -178,6 +178,24 @@ class Round11OpsSpec extends AnyFunSuite {
       got(97L).getDouble(3) === 1.0)
   }
 
+  test("clusterSizeHistogram partitions the clustered docs; kmeansInertia sums d2") {
+    val path = java.nio.file.Files.createTempDirectory("r11hist").toString + "/s"
+    DedupStore.build(docs, path)
+    val clusters = DedupStore.nearDupClusters(spark, path)
+    val hist = DedupStore.clusterSizeHistogram(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.keys.forall(_ >= 2), "near-dup clusters have at least 2 members")
+    assert(hist.map { case (sz, n) => sz * n }.sum === clusters.count(),
+      "histogram mass equals the clustered doc count")
+    val emb = Tables.embeddings(spark, sf)
+    val inert = graft.operators.Clustering.kmeansInertia(emb).collect()
+    assert(inert.map(_.getLong(1)).sum === emb.count(),
+      "every vector lands in exactly one cluster")
+    val totalD2 = graft.operators.Clustering.kmeans(emb)
+      .agg(sum("d2")).collect()(0).getLong(0)
+    assert(inert.map(_.getLong(2)).sum === totalD2)
+  }
+
   // ---- OOV curve ----
 
   test("oovCurve is monotone in vocab size and hits 0 once the vocab is covered") {
