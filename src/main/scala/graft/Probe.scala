@@ -81,9 +81,11 @@ object Probe {
         .write.mode("overwrite").parquet("/tmp/scale/embeddings.parquet")
       val d = spark.read.parquet("/tmp/scale/documents.parquet")
       val e = spark.read.parquet("/tmp/scale/embeddings.parquet")
-      // optional second arg = substring filter for targeted re-timing
+      // optional second arg = comma-separated substring filters for
+      // targeted re-timing
       val keep: String => Boolean =
-        args.drop(1).headOption.map(f => (n: String) => n.contains(f))
+        args.drop(1).headOption
+          .map(f => (n: String) => f.split(",").exists(n.contains))
           .getOrElse(_ => true)
       def time(name: String)(f: => Long): Unit =
         if (keep(name)) timed("SCALE")(name)(f)
@@ -247,6 +249,46 @@ object Probe {
       time("ab_test")(graft.operators.Relational.abTest(evr).count())
       time("dp_counts")(graft.operators.Relational.dpCounts(evr).count())
       time("kmv_distinct")(graft.operators.Sketches.kmvDistinct(evr).count())
+      // round-11 operators under the same 20x dup skew: prefix groups
+      // hit 20-copy membership, the novelty anti-join and source
+      // Jaccard must absorb copies in their distinct collapses, the
+      // graph peels see the 20-copy cliques of the doc-level pair
+      // relation, and the search evals ride 20x postings
+      time("dedup_prefix")(graft.operators.Dedup.prefixDups(d).count())
+      time("ngram_novelty")(graft.operators.TextAnalysis.ngramNovelty(d).count())
+      time("pii_audit")(graft.operators.TextAnalysis.piiAudit(d).count())
+      time("blocklist_screen")(graft.operators.TextAnalysis.blocklistScreen(d).count())
+      time("oov_curve")(graft.operators.TextAnalysis.oovCurve(d).count())
+      time("source_jaccard")(graft.operators.TextAnalysis.sourceJaccard(d).count())
+      time("bm25_tune")(graft.operators.SearchExtras.bm25Tune(d).count())
+      time("search_mrr") {
+        import spark.implicits._
+        graft.operators.SearchExtras.searchMrr(d,
+          graft.operators.Bm25.DemoQueries.toDF("query_id", "qtext")).count()
+      }
+      time("search_map") {
+        import spark.implicits._
+        graft.operators.SearchExtras.searchMap(d,
+          graft.operators.Bm25.DemoQueries.toDF("query_id", "qtext")).count()
+      }
+      time("ltr_features") {
+        import spark.implicits._
+        graft.operators.SearchExtras.ltrFeatures(d,
+          graft.operators.Bm25.DemoQueries.toDF("query_id", "qtext")).count()
+      }
+      time("kcore")(graft.operators.Graph.kcore(
+        graft.operators.Dedup.verifiedNearDups(d)).count())
+      time("kcore_store_build") {
+        graft.operators.DedupStore.build(d, "/tmp/scale/kcore_store"); 0L
+      }
+      time("kcore_staged")(graft.operators.DedupStore
+        .kcoreDegrees(spark, "/tmp/scale/kcore_store").count())
+      time("ktruss_staged")(graft.operators.DedupStore
+        .ktrussEdges(spark, "/tmp/scale/kcore_store").count())
+      time("ktruss")(graft.operators.Graph.ktruss(
+        graft.operators.Dedup.verifiedNearDups(d)).count())
+      time("clustering_coef")(graft.operators.Graph.clusteringCoef(
+        graft.operators.Dedup.verifiedNearDups(d)).count())
       graft.sources.Bucketed.writeBucketed(d, "probe_docs_a", "doc_id", 32)
       graft.sources.Bucketed.writeBucketed(
         graft.operators.Bm25.docLengths(d), "probe_dl", "doc_id", 32)

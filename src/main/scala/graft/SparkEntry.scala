@@ -794,15 +794,17 @@ object SparkEntry {
     "q_pii_audit" -> ((s, dir) => TextAnalysis.piiAudit(Tables.documents(s, dir))),
     // shared-prefix duplication report (titles/licence boilerplate)
     "q_dedup_prefix" -> ((s, dir) => Dedup.prefixDups(Tables.documents(s, dir))),
-    // 2-core of the verified near-dup graph (entangled-cluster signal)
-    "q_kcore" -> ((s, dir) =>
-      Graph.kcore(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // 2-core of the verified near-dup graph (entangled-cluster
+    // signal), peeled at REP level with multiplicity-weighted degrees
+    // (exact by copy symmetry; oracle replays the doc-level peel)
+    "q_kcore" -> ((s, dir) => DedupStore.kcoreDegrees(s, dedupStoreFor(s, dir))),
     // local clustering coefficient per node of the near-dup graph
     "q_clustering_coef" -> ((s, dir) =>
       Graph.clusteringCoef(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
-    // 3-truss of the near-dup graph (edge-level robustness peel)
-    "q_ktruss" -> ((s, dir) =>
-      Graph.ktruss(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // 3-truss of the near-dup graph (edge-level robustness peel),
+    // peeled at edge-class level with closed-form weighted supports
+    // (exact by copy symmetry; oracle replays the doc-level peel)
+    "q_ktruss" -> ((s, dir) => DedupStore.ktrussEdges(s, dedupStoreFor(s, dir))),
     // C4-style blocklist screen rolled up per source
     "q_blocklist_screen" -> ((s, dir) =>
       TextAnalysis.blocklistScreen(Tables.documents(s, dir))),

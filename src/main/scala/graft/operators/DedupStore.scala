@@ -255,6 +255,170 @@ object DedupStore {
     cross.unionByName(within)
   }
 
+  /** [[graft.operators.Graph.kcore]] of the doc-level verified
+    * near-dup graph, computed at REP level with multiplicity-weighted
+    * degrees — exact, because exact copies are structurally symmetric:
+    * every copy of a text has the same degree
+    * (intra = m−1 for shingleable groups, plus Σ m_s over verified
+    * neighbor groups), so a peel round drops ALL copies of a group or
+    * none, and the whole peel runs on the group graph. This is the
+    * exact-collapse-first discipline applied to the peel itself: at
+    * the 20× dup-skew probe the doc-level peel walks ~1M expanded
+    * edges per round; this walks the rep pairs (thousands). Output is
+    * identical to Graph.kcore(verifiedNearDups(...)) — the final
+    * degrees expand through the members map; the shared oracle
+    * replays the doc-level peel. */
+  def kcoreDegrees(spark: SparkSession, path: String, k: Int = 2,
+                   rounds: Int = 8, threshold: Double = 0.8): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got k=$k, rounds=$rounds")
+    requireThreshold(threshold)
+    val mem = membersWithM(spark, path)
+    val cls = mem.groupBy("rep").agg(max("m").as("m"))
+      .join(reps(spark, path).select("rep", "shingleable"), Seq("rep"), "left")
+      .select(col("rep"), col("m"),
+        when(coalesce(col("shingleable"), lit(false)) && col("m") >= 2, col("m") - 1)
+          .otherwise(0L).cast("long").as("intra"))
+    val e0 = repPairsAt(spark, path, threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+    // classes present in the doc-level graph: an edge endpoint, or an
+    // intra-clique group (m >= 2 copies of a shingleable text)
+    val endpoints = e0.select(col("a").as("rep"))
+      .union(e0.select(col("b").as("rep"))).distinct()
+    var alive = cls.join(endpoints, Seq("rep"), "left_semi")
+      .unionByName(cls.join(endpoints, Seq("rep"), "left_anti")
+        .filter(col("intra") >= 1))
+      .localCheckpoint()
+    var e = e0.localCheckpoint()
+    def weightedDegrees(): DataFrame = {
+      val dir = e.select("a", "b")
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+      val nbrSum = dir
+        .join(alive.select(col("rep").as("b"), col("m").as("mb")), "b")
+        .groupBy("a").agg(sum("mb").as("nsum"))
+      alive.join(nbrSum.select(col("a").as("rep"), col("nsum")), Seq("rep"), "left")
+        .select(col("rep"), col("m"), col("intra"),
+          (col("intra") + coalesce(col("nsum"), lit(0L))).as("degree"))
+    }
+    // early exit on a class-count fixed point is exact for the same
+    // reason as Graph.kcore's edge-count exit: classes only ever drop
+    var prev = alive.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      alive = weightedDegrees().filter(col("degree") >= k)
+        .select("rep", "m", "intra").localCheckpoint()
+      e = e.join(alive.select(col("rep").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("rep").as("b")), Seq("b"), "left_semi")
+        .select("a", "b").localCheckpoint()
+      val n = alive.count()
+      converged = n == prev
+      prev = n
+      round += 1
+    }
+    // doc-level output keeps only nodes with at least one surviving
+    // edge (degree >= 1); fan the class degree out to every copy
+    mem.join(weightedDegrees().filter(col("degree") >= 1)
+        .select("rep", "degree"), Seq("rep"))
+      .select(col("doc_id"), col("degree"))
+  }
+
+  /** [[graft.operators.Graph.ktruss]] of the doc-level verified
+    * near-dup graph, peeled at EDGE-CLASS level — the k-core treatment
+    * ([[kcoreDegrees]]) extended to edges. Copy symmetry partitions
+    * the doc-level edges into classes that peel together: INTRA(r)
+    * (the C(m,2) pairs inside a shingleable copy group) and CROSS(r,s)
+    * (the m_r·m_s pairs between verified rep neighbors). Every doc
+    * edge of a class has the same triangle support, in closed form:
+    *
+    *   support(intra r)   = (m_r − 2) + Σ_{s : cross(r,s) alive} m_s
+    *   support(cross r,s) = (m_r − 1)·[intra r alive]
+    *                      + (m_s − 1)·[intra s alive]
+    *                      + Σ_{t : cross(r,t), cross(s,t) alive} m_t
+    *
+    * so each peel round is one rep-level wedge join + two tiny
+    * aggregations instead of a doc-level triangle enumeration over
+    * copy cliques (~1M expanded edges at the 20× dup-skew probe).
+    * Rounds correspond 1:1 with the doc-level peel; early exit on a
+    * class-count fixed point is exact (classes only drop). The final
+    * supports expand through the members map — output identical to
+    * Graph.ktruss(verifiedNearDups(...)), shared doc-level oracle. */
+  def ktrussEdges(spark: SparkSession, path: String, k: Int = 3,
+                  rounds: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"need k >= 3, rounds >= 1; got k=$k, rounds=$rounds")
+    requireThreshold(threshold)
+    val mem = membersWithM(spark, path)
+    val clsM = mem.groupBy("rep").agg(max("m").as("m")).localCheckpoint()
+    var intra = clsM
+      .join(reps(spark, path).filter(col("shingleable")).select("rep"), Seq("rep"), "left_semi")
+      .filter(col("m") >= 2)
+      .select("rep", "m").localCheckpoint()
+    var cross = repPairsAt(spark, path, threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    def dirCross = cross.select(col("a").as("r"), col("b").as("s"))
+      .union(cross.select(col("b").as("r"), col("a").as("s")))
+    def intraSupports(): DataFrame = {
+      val nbrSum = dirCross
+        .join(clsM.select(col("rep").as("s"), col("m").as("ms")), "s")
+        .groupBy("r").agg(sum("ms").as("xs"))
+      intra.join(nbrSum.select(col("r").as("rep"), col("xs")), Seq("rep"), "left")
+        .select(col("rep"), col("m"),
+          (col("m") - 2 + coalesce(col("xs"), lit(0L))).cast("long").as("support"))
+    }
+    def crossSupports(): DataFrame = {
+      val ia = intra.select(col("rep"), (col("m") - 1).cast("long").as("mi"))
+      val common = cross.as("e")
+        .join(dirCross.as("x"), col("e.a") === col("x.r"))
+        .join(dirCross.as("y"),
+          col("e.b") === col("y.r") && col("x.s") === col("y.s"))
+        .join(clsM.select(col("rep").as("t"), col("m").as("mt")),
+          col("x.s") === col("t"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(sum("mt").as("ct"))
+      cross
+        .join(ia.select(col("rep").as("a"), col("mi").as("mia")), Seq("a"), "left")
+        .join(ia.select(col("rep").as("b"), col("mi").as("mib")), Seq("b"), "left")
+        .join(common, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (coalesce(col("mia"), lit(0L)) + coalesce(col("mib"), lit(0L)) +
+            coalesce(col("ct"), lit(0L))).as("support"))
+    }
+    var prev = intra.count() + cross.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      val keepI = intraSupports().filter(col("support") >= k - 2)
+        .select("rep", "m").localCheckpoint()
+      val keepX = crossSupports().filter(col("support") >= k - 2)
+        .select("a", "b").localCheckpoint()
+      intra = keepI
+      cross = keepX
+      val n = intra.count() + cross.count()
+      converged = n == prev
+      prev = n
+      round += 1
+    }
+    // expand final class supports to doc-level pairs; only classes
+    // with support >= 1 carry a triangle, matching the doc-level
+    // output (supports come off the final surviving class sets)
+    val memA = mem.select(col("rep"), col("doc_id"))
+    val intraOut = intraSupports().filter(col("support") >= 1)
+      .join(memA.as("x"), Seq("rep"))
+      .join(memA.as("y"), Seq("rep"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("support"))
+    val crossOut = crossSupports().filter(col("support") >= 1)
+      .join(memA.select(col("rep").as("a"), col("doc_id").as("da")), Seq("a"))
+      .join(memA.select(col("rep").as("b"), col("doc_id").as("db")), Seq("b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("support"))
+    intraOut.unionByName(crossOut)
+  }
+
   /** [[Dedup.nearDupClusters]] served from the store: connected
     * components over the rep-level verified pair graph (the only
     * iterative work — pair-sized, not corpus-sized), then the members

@@ -54,6 +54,48 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(at8 === at12, "8-round budget must be a fixed point on the gate corpus")
     // every survivor has within-core degree >= k by definition of a k-core
     assert(at8.forall(_._2 >= 2))
+    // the rep-level weighted peel is exactly the doc-level peel
+    val staged = DedupStore.kcoreDegrees(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged === at8, "weighted rep-level peel must equal the doc-level peel")
+  }
+
+  test("rep-level kcore equals doc-level kcore on a planted copy-heavy corpus") {
+    import spark.implicits._
+    // 3 near-dup texts (a triangle at rep level) with 1/3/5 exact
+    // copies each, a lone pair, and copy-only cliques of 2 and 4 —
+    // the multiplicity arithmetic must reproduce every expanded degree
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val texts = Seq(
+      base, base + " lambda", base + " lambda mu",       // rep triangle
+      "one two three four five six seven", "one two three four five six seven eight",
+      "copy clique text here right now ok", "solo text nothing like the others at all")
+    val mult = Seq(1, 3, 5, 1, 1, 4, 2)
+    val docRows = texts.zip(mult).zipWithIndex.flatMap { case ((t, m), ti) =>
+      (0 until m).map(ci => (ti * 100L + ci, t))
+    }
+    val d = docRows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val path = java.nio.file.Files.createTempDirectory("r11kcopies").toString + "/s"
+    DedupStore.build(d, path)
+    val docLevel = Graph.kcore(DedupStore.verifiedNearDups(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val repLevel = DedupStore.kcoreDegrees(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repLevel === docLevel)
+    assert(repLevel.nonEmpty)
+    // and the edge-class truss equals the doc-level truss, support and all
+    val docTruss = Graph.ktruss(DedupStore.verifiedNearDups(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val classTruss = DedupStore.ktrussEdges(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(classTruss === docTruss)
+    assert(classTruss.nonEmpty)
+    val docTruss4 = Graph.ktruss(DedupStore.verifiedNearDups(spark, path), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val classTruss4 = DedupStore.ktrussEdges(spark, path, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(classTruss4 === docTruss4, "k=4 peel must also agree")
   }
 
   test("ktruss: 3-truss keeps clique+triangle edges, 4-truss keeps only the clique") {
