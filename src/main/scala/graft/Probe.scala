@@ -285,6 +285,10 @@ object Probe {
         .kcoreDegrees(spark, "/tmp/scale/kcore_store").count())
       time("ktruss_staged")(graft.operators.DedupStore
         .ktrussEdges(spark, "/tmp/scale/kcore_store").count())
+      time("triangles_staged")(graft.operators.DedupStore
+        .triangleCounts(spark, "/tmp/scale/kcore_store").count())
+      time("clustering_coef_staged")(graft.operators.DedupStore
+        .clusteringCoefs(spark, "/tmp/scale/kcore_store").count())
       time("ktruss")(graft.operators.Graph.ktruss(
         graft.operators.Dedup.verifiedNearDups(d)).count())
       time("clustering_coef")(graft.operators.Graph.clusteringCoef(

@@ -673,8 +673,10 @@ object SparkEntry {
     // interval-union coverage sweep per user (true active time)
     "q_interval_union" -> ((s, dir) => Relational.intervalUnion(Tables.events(s, dir))),
     // per-node triangle counts over the verified near-dup graph
+    // per-node triangle counts served by copy-symmetry arithmetic on
+    // the rep graph (doc-level enumeration stays as Graph.trianglesFrom)
     "q_triangles" -> ((s, dir) =>
-      Graph.trianglesFrom(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+      DedupStore.triangleCounts(s, dedupStoreFor(s, dir))),
     // common-neighbor link prediction: the dedup review queue
     "q_common_neighbors" -> ((s, dir) =>
       Graph.commonNeighborsFromCandidates(DedupStore.candidates(s, dedupStoreFor(s, dir)))),
@@ -798,9 +800,10 @@ object SparkEntry {
     // signal), peeled at REP level with multiplicity-weighted degrees
     // (exact by copy symmetry; oracle replays the doc-level peel)
     "q_kcore" -> ((s, dir) => DedupStore.kcoreDegrees(s, dedupStoreFor(s, dir))),
-    // local clustering coefficient per node of the near-dup graph
+    // local clustering coefficient per node of the near-dup graph,
+    // served by the same copy-symmetry arithmetic
     "q_clustering_coef" -> ((s, dir) =>
-      Graph.clusteringCoef(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+      DedupStore.clusteringCoefs(s, dedupStoreFor(s, dir))),
     // 3-truss of the near-dup graph (edge-level robustness peel),
     // peeled at edge-class level with closed-form weighted supports
     // (exact by copy symmetry; oracle replays the doc-level peel)

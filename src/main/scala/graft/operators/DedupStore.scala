@@ -419,6 +419,87 @@ object DedupStore {
     intraOut.unionByName(crossOut)
   }
 
+  /** Per-rep structural profile of the doc-level graph under copy
+    * symmetry: multiplicity m, intra flag, weighted degree and the
+    * exact per-copy triangle count
+    *
+    *   T(copy of r) = i_r·C(m_r−1, 2)                 (two other copies)
+    *                + i_r·(m_r−1)·Σ_{s∈N(r)} m_s      (one copy + neighbor)
+    *                + Σ_{s∈N(r)} i_s·C(m_s, 2)        (two copies of s)
+    *                + Σ_{rep triangles (r,s,t)} m_s·m_t (distinct neighbors)
+    *
+    * where i_r = [r shingleable ∧ m_r ≥ 2]. One rep-level wedge join +
+    * three small aggregations — the doc-level triangle enumeration
+    * over copy cliques never happens. */
+  private def repTriangleProfile(spark: SparkSession, path: String,
+                                 threshold: Double): DataFrame = {
+    val mem = membersWithM(spark, path)
+    val clsM = mem.groupBy("rep").agg(max("m").as("m"))
+      .join(reps(spark, path).select("rep", "shingleable"), Seq("rep"), "left")
+      .select(col("rep"), col("m"),
+        (coalesce(col("shingleable"), lit(false)) && col("m") >= 2).as("i"))
+      .localCheckpoint()
+    val e = repPairsAt(spark, path, threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    val dir = e.select(col("a").as("r"), col("b").as("s"))
+      .union(e.select(col("b").as("r"), col("a").as("s")))
+    val nbr = dir
+      .join(clsM.select(col("rep").as("s"), col("m").as("ms"),
+        when(col("i"), (col("m") * (col("m") - 1)) / 2).otherwise(0L).as("c2s")), "s")
+      .groupBy("r").agg(sum("ms").as("nsum"), sum("c2s").as("nc2"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"), "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(clsM.select(col("rep").as("x"), col("m").as("mx")), "x")
+      .join(clsM.select(col("rep").as("y"), col("m").as("my")), "y")
+      .join(clsM.select(col("rep").as("z"), col("m").as("mz")), "z")
+      .select(explode(array(
+        struct(col("x").as("rep"), (col("my") * col("mz")).as("p")),
+        struct(col("y").as("rep"), (col("mx") * col("mz")).as("p")),
+        struct(col("z").as("rep"), (col("mx") * col("my")).as("p")))).as("e"))
+      .groupBy(col("e.rep").as("rep")).agg(sum(col("e.p")).as("tsum"))
+    clsM
+      .join(nbr.select(col("r").as("rep"), col("nsum"), col("nc2")), Seq("rep"), "left")
+      .join(tri, Seq("rep"), "left")
+      .select(col("rep"), col("m"),
+        (when(col("i"), col("m") - 1).otherwise(0L) +
+          coalesce(col("nsum"), lit(0L))).cast("long").as("degree"),
+        (when(col("i"), ((col("m") - 1) * (col("m") - 2)) / 2).otherwise(0L) +
+          when(col("i"), col("m") - 1).otherwise(0L) * coalesce(col("nsum"), lit(0L)) +
+          coalesce(col("nc2"), lit(0L)) +
+          coalesce(col("tsum"), lit(0L))).cast("long").as("n_triangles"))
+  }
+
+  /** [[graft.operators.Graph.trianglesFrom]] of the doc-level verified
+    * graph served from the store by copy-symmetry arithmetic — output
+    * identical to the doc-level wedge enumeration (shared oracle). */
+  def triangleCounts(spark: SparkSession, path: String,
+                     threshold: Double = 0.8): DataFrame = {
+    requireThreshold(threshold)
+    membersWithM(spark, path)
+      .join(repTriangleProfile(spark, path, threshold)
+        .filter(col("n_triangles") >= 1).select("rep", "n_triangles"), Seq("rep"))
+      .select(col("doc_id"), col("n_triangles"))
+  }
+
+  /** [[graft.operators.Graph.clusteringCoef]] of the doc-level graph
+    * served from the store by the same arithmetic. */
+  def clusteringCoefs(spark: SparkSession, path: String,
+                      threshold: Double = 0.8): DataFrame = {
+    requireThreshold(threshold)
+    membersWithM(spark, path)
+      .join(repTriangleProfile(spark, path, threshold)
+        .filter(col("degree") >= 1).select("rep", "degree", "n_triangles"), Seq("rep"))
+      .select(col("doc_id"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1)), 6)).otherwise(0.0).as("cc"))
+  }
+
   /** [[Dedup.nearDupClusters]] served from the store: connected
     * components over the rep-level verified pair graph (the only
     * iterative work — pair-sized, not corpus-sized), then the members

@@ -96,6 +96,18 @@ class Round11OpsSpec extends AnyFunSuite {
     val classTruss4 = DedupStore.ktrussEdges(spark, path, k = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(classTruss4 === docTruss4, "k=4 peel must also agree")
+    // triangle counts and clustering coefficients by the same arithmetic
+    val docTri = Graph.trianglesFrom(DedupStore.verifiedNearDups(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val repTri = DedupStore.triangleCounts(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repTri === docTri)
+    assert(repTri.nonEmpty)
+    val docCc = Graph.clusteringCoef(DedupStore.verifiedNearDups(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val repCc = DedupStore.clusteringCoefs(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(repCc === docCc)
   }
 
   test("ktruss: 3-truss keeps clique+triangle edges, 4-truss keeps only the clique") {
