@@ -666,6 +666,11 @@ object SparkEntry {
     }),
     // k-anonymity release gate on the event log
     "q_k_anonymize" -> ((s, dir) => Relational.kAnonymize(Tables.events(s, dir))),
+    // k-anonymity + l-diversity combined release gate
+    "q_l_diversity" -> ((s, dir) => Relational.lDiversity(Tables.events(s, dir))),
+    // per-source n-gram type-token ratio (diversity collapse metric)
+    "q_source_diversity" -> ((s, dir) =>
+      TextAnalysis.sourceDiversity(Tables.documents(s, dir))),
     // deterministic-Laplace DP count release (noisy sibling of the gate)
     "q_dp_counts" -> ((s, dir) => Relational.dpCounts(Tables.events(s, dir))),
     // CEP sequence matching: signup->click->purchase within 24h
@@ -4259,6 +4264,26 @@ object SparkEntry {
         |       count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1, 2
         |HAVING count(DISTINCT user_id) >= 5""".stripMargin,
+    // the same gate with the sensitive-attribute diversity floor
+    "q_l_diversity" ->
+      """SELECT event_type, (epoch_ns(ts) // 86400000000000)::BIGINT AS day,
+        |       count(*)::BIGINT AS n_events,
+        |       count(DISTINCT user_id)::BIGINT AS n_users,
+        |       count(DISTINCT json_extract_string(props, '$.k')::BIGINT)::BIGINT AS n_items
+        |FROM events GROUP BY 1, 2
+        |HAVING count(DISTINCT user_id) >= 5
+        |   AND count(DISTINCT json_extract_string(props, '$.k')::BIGINT) >= 3""".stripMargin,
+    // per-source shingle type-token ratio
+    "q_source_diversity" ->
+      s"""WITH $shingleCte,
+         |ssh AS (SELECT d.source, md5(sh.shingle) AS h
+         |        FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+         |tot AS (SELECT source, count(*)::BIGINT AS n_shingles FROM ssh GROUP BY 1),
+         |dst AS (SELECT source, count(*)::BIGINT AS n_distinct FROM
+         |          (SELECT DISTINCT source, h FROM ssh) GROUP BY 1)
+         |SELECT tot.source, tot.n_shingles, dst.n_distinct,
+         |       round(dst.n_distinct::DOUBLE / tot.n_shingles, 6) AS ttr
+         |FROM tot JOIN dst ON tot.source = dst.source""".stripMargin,
     // forward-window min(struct) binds each step to the earliest
     // qualifying follower; the b->c chain joins back on the bound b
     "q_cep_match" -> cepMatchSql,

@@ -1343,6 +1343,21 @@ object Relational {
     * pipeline). One aggregation on the quasi-identifier; the distinct-
     * user count rides the same shuffle. HAVING-style filter — no
     * second pass. */
+  /** (event_type, day, n_events, n_users, n_items): the k-anonymity +
+    * l-DIVERSITY release gate — groups must contain ≥ k distinct users
+    * (re-identification) AND ≥ l distinct sensitive values (the item
+    * acted on: homogeneous groups leak the attribute even when the
+    * user set is large — Machanavajjhala et al. 2007). Same
+    * group-cardinality shape as [[kAnonymize]] with one more distinct
+    * aggregate riding the identical shuffle. */
+  def lDiversity(events: DataFrame, k: Int = 5, l: Int = 3): DataFrame =
+    events
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"),
+        countDistinct("item").as("n_items"))
+      .filter(col("n_users") >= k && col("n_items") >= l)
+
   def kAnonymize(events: DataFrame, k: Int = 5): DataFrame =
     events
       .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))

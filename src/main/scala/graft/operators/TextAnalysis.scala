@@ -1360,6 +1360,26 @@ object TextAnalysis {
           col("total_tokens"), 6).as("oov_rate"))
   }
 
+  /** (source, n_shingles, n_distinct, ttr): per-source N-GRAM
+    * TYPE-TOKEN RATIO — distinct word-3-grams over total per-doc-
+    * distinct occurrences: the diversity-collapse metric (a source
+    * whose ttr craters is templated/boilerplate even when no two docs
+    * are near-dups). The "total" side counts each shingle once per
+    * DOC ([[Dedup.shingles]] is per-doc distinct), so within-doc
+    * repetition — a different signal, [[gopherRepetition]]'s — cannot
+    * deflate the ratio. Two source-cardinality aggregations over the
+    * shingle relation. */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), md5(col("shingle")).as("h"))
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val dst = sh.distinct().groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    tot.join(dst, Seq("source"))
+      .select(col("source"), col("n_shingles"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_shingles"), 6).as("ttr"))
+  }
+
   /** (source_a, source_b, n_a, n_b, inter, jaccard): SOURCE-PAIR
     * VOCABULARY OVERLAP — exact Jaccard between the distinct word-
     * 3-gram shingle sets of every ingestion-source pair (which crawls

@@ -250,6 +250,33 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(inert.map(_.getLong(2)).sum === totalD2)
   }
 
+  test("lDiversity is a subset of kAnonymize with the item floor enforced") {
+    val events = Tables.events(spark, sf)
+    val ka = graft.operators.Relational.kAnonymize(events).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val ld = graft.operators.Relational.lDiversity(events).collect()
+    assert(ld.nonEmpty)
+    ld.foreach { r =>
+      assert(ka.contains((r.getString(0), r.getLong(1))),
+        "every l-diverse group must also be k-anonymous")
+      assert(r.getLong(4) >= 3 && r.getLong(3) >= 5)
+    }
+  }
+
+  test("sourceDiversity: templated source craters, varied source stays high") {
+    import spark.implicits._
+    val varied = (0 until 10).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "varied"))
+    val templated = (10 until 20).map(i =>
+      (i.toLong, "same old template text every single time", "templated"))
+    val d = (varied ++ templated).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceDiversity(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("varied")._3 === 1.0, "all shingles distinct")
+    assert(got("templated")._2 === 5L, "one template = 5 distinct shingles")
+    assert(got("templated")._3 < 0.2)
+  }
+
   // ---- OOV curve ----
 
   test("oovCurve is monotone in vocab size and hits 0 once the vocab is covered") {
