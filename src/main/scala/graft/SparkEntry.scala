@@ -750,6 +750,40 @@ object SparkEntry {
     "q_seasonality" -> ((s, dir) => Relational.seasonality(Tables.events(s, dir))),
     // cross-source KMV-sketch jaccard matrix (md5-replayable)
     "q_kmv_jaccard" -> ((s, dir) => Sketches.kmvJaccard(Tables.documents(s, dir))),
+    // Jaccard-coefficient link prediction over the candidate graph
+    "q_graph_jaccard" -> ((s, dir) =>
+      Graph.jaccardLinkPred(DedupStore.candidates(s, dedupStoreFor(s, dir)))),
+    // multi-source BFS hop distance from the %7 audited seed set
+    "q_bfs_hops" -> ((s, dir) =>
+      Graph.bfsHops(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // directed association rules (confidence + lift) over baskets
+    "q_assoc_rules" -> ((s, dir) => Relational.assocRules(Tables.lineitem(s, dir))),
+    // exact trailing-7-row median of daily revenue
+    "q_rolling_median" -> ((s, dir) => Relational.rollingMedian(Tables.orders(s, dir))),
+    // autocorrelation of daily revenue at lags 1..7 (calendar-exact)
+    "q_acf" -> ((s, dir) => Relational.acf(Tables.orders(s, dir))),
+    // chi-square independence of document lang x source + Cramer's V
+    "q_chi2" -> ((s, dir) => Relational.chi2LangSource(Tables.documents(s, dir))),
+    // time-weighted average event value per user (metering semantics)
+    "q_time_weighted_avg" -> ((s, dir) =>
+      Relational.timeWeightedAvg(Tables.events(s, dir))),
+    // per-source type-token ratio and hapax-legomena rate
+    "q_lexical_richness" -> ((s, dir) =>
+      TextAnalysis.lexicalRichness(Tables.documents(s, dir))),
+    // ROUGE-1 F1 over the verified near-dup pairs (pair-driven join)
+    "q_rouge_pairs" -> ((s, dir) =>
+      TextAnalysis.rouge1Pairs(Tables.documents(s, dir),
+        DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // PSI drift of the distinct-token-ratio across corpus halves
+    "q_psi" -> ((s, dir) => TextAnalysis.psiDistinctRatio(Tables.documents(s, dir))),
+    // per-cluster majority-label purity of the k-means assignment
+    "q_cluster_purity" -> ((s, dir) =>
+      Clustering.clusterPurity(Tables.embeddings(s, dir))),
+    // normalized mutual information of clusters vs ground-truth labels
+    "q_cluster_nmi" -> ((s, dir) => Clustering.clusterNmi(Tables.embeddings(s, dir))),
+    // exact per-hour distinct users via streaming dedup state
+    "q_stream_distinct" -> ((s, dir) =>
+      graft.streaming.Streams.streamDistinctUsers(s, dir)),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -2196,6 +2230,78 @@ object SparkEntry {
         |       round(CAST(sum(rev_micros) OVER w AS DOUBLE) / (count(*) OVER w), 4) AS ma7_micros
         |FROM byday
         |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_rolling_median" ->
+      """WITH byday AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         sum(floor(o_totalprice * 1000000.0)::BIGINT)::BIGINT AS rev_micros
+        |  FROM orders GROUP BY 1)
+        |SELECT day, rev_micros,
+        |       round(median(rev_micros) OVER (ORDER BY day
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7_micros
+        |FROM byday""".stripMargin,
+    // calendar-exact lag pairs (equi-join on day+lag, not a ROWS lag)
+    "q_acf" ->
+      """WITH byday AS (
+        |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |         sum(floor(o_totalprice * 1000000.0)::BIGINT)::DOUBLE / 1e6 AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT lag FROM generate_series(1, 7) AS t(lag)),
+        |p AS (SELECT l.lag::BIGINT AS lag, a.rev AS x, b.rev AS y
+        |      FROM byday a CROSS JOIN l
+        |      JOIN byday b ON b.day = a.day + l.lag)
+        |SELECT lag, count(*)::BIGINT AS n_pairs, round(corr(x, y), 6) AS acf
+        |FROM p GROUP BY 1""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |supp AS (SELECT l_partkey, count(*)::BIGINT AS n FROM it GROUP BY 1),
+        |no AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM it),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS n_both
+        |      FROM it a JOIN it b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (SELECT pa AS antecedent, pb AS consequent, n_both FROM p
+        |      UNION ALL SELECT pb, pa, n_both FROM p),
+        |j AS (SELECT r.antecedent, r.consequent, r.n_both, sa.n AS n_ante,
+        |        round(r.n_both::DOUBLE / sa.n, 6) AS confidence,
+        |        round(r.n_both::DOUBLE * no.n_orders / (sa.n * sc.n), 6) AS lift
+        |      FROM r JOIN supp sa ON r.antecedent = sa.l_partkey
+        |             JOIN supp sc ON r.consequent = sc.l_partkey, no)
+        |SELECT antecedent, consequent, n_both, n_ante, confidence, lift FROM j
+        |ORDER BY confidence DESC, antecedent ASC, consequent ASC LIMIT 15""".stripMargin,
+    "q_chi2" ->
+      """WITH obs AS (SELECT lang, source, count(*)::BIGINT AS o
+        |             FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o)::BIGINT AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT source, sum(o)::BIGINT AS ct FROM obs GROUP BY 1),
+        |n AS (SELECT sum(o)::BIGINT AS n FROM obs),
+        |cells AS (SELECT rt.lang, ct.source, rt.rt, ct.ct, n.n,
+        |            coalesce(obs.o, 0)::BIGINT AS o,
+        |            rt.rt::DOUBLE * ct.ct / n.n AS e
+        |          FROM rt CROSS JOIN ct CROSS JOIN n
+        |          LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source),
+        |a AS (SELECT count(DISTINCT lang)::BIGINT AS n_langs,
+        |        count(DISTINCT source)::BIGINT AS n_sources,
+        |        sum((o - e) * (o - e) / e) AS x2,
+        |        max(n)::BIGINT AS nn
+        |      FROM cells)
+        |SELECT n_langs, n_sources,
+        |       (n_langs - 1) * (n_sources - 1) AS dof,
+        |       round(x2, 6) AS chi2,
+        |       round(sqrt(x2 / (nn * least(n_langs - 1, n_sources - 1))), 6) AS cramers_v
+        |FROM a""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value FROM events),
+        |w AS (SELECT user_id, value, tsn,
+        |        lead(tsn) OVER (PARTITION BY user_id
+        |                        ORDER BY tsn ASC, event_id ASC) AS next_ts
+        |      FROM e),
+        |f AS (SELECT user_id, value, next_ts - tsn AS dns,
+        |        (next_ts - tsn)::DOUBLE / 1e9 AS dt
+        |      FROM w WHERE next_ts IS NOT NULL)
+        |SELECT user_id, (count(*) + 1)::BIGINT AS n_events,
+        |       round(sum(dns)::DOUBLE / 1e9, 6) AS span_sec,
+        |       round(sum(value * dt) / (sum(dns)::DOUBLE / 1e9), 6) AS twa
+        |FROM f GROUP BY 1""".stripMargin,
 
     // ---- LLM-training-data pipeline (SURVEY §2 #26-37) ----
     "q_dedup_exact" ->
@@ -4525,6 +4631,37 @@ object SparkEntry {
          |       WHERE ed.a IS NULL)
          |SELECT doc_a, doc_b, n_common, aa FROM nw
          |ORDER BY aa DESC, doc_a ASC, doc_b ASC LIMIT 10""".stripMargin,
+    // Jaccard link prediction: common / (deg(a) + deg(b) - common)
+    "q_graph_jaccard" ->
+      s"""WITH $minhashCanonCte,
+         |ed AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM cand),
+         |nb AS (SELECT a AS node, b AS nbr FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |dg AS (SELECT node, count(*)::BIGINT AS deg FROM nb GROUP BY 1),
+         |w AS (SELECT x.node AS doc_a, y.node AS doc_b, count(*)::BIGINT AS n_common
+         |      FROM nb x JOIN nb y ON x.nbr = y.nbr AND x.node < y.node
+         |      GROUP BY 1, 2),
+         |nw AS (SELECT w.* FROM w LEFT JOIN ed ON w.doc_a = ed.a AND w.doc_b = ed.b
+         |       WHERE ed.a IS NULL),
+         |j AS (SELECT nw.doc_a, nw.doc_b, nw.n_common,
+         |        round(nw.n_common::DOUBLE / (da.deg + db.deg - nw.n_common), 6) AS jaccard
+         |      FROM nw JOIN dg da ON nw.doc_a = da.node
+         |              JOIN dg db ON nw.doc_b = db.node)
+         |SELECT doc_a, doc_b, n_common, jaccard FROM j
+         |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 10""".stripMargin,
+    // bounded multi-source BFS replayed as a depth-capped recursive
+    // CTE: collect every (node, hops<=6) derivation, keep the min
+    "q_bfs_hops" ->
+      s"""WITH RECURSIVE $minhashCandCte,
+         |ed AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),
+         |nb AS (SELECT a AS node, b AS nbr FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |r AS (
+         |  SELECT DISTINCT node, 0::BIGINT AS hops FROM nb WHERE node % 7 = 0
+         |  UNION
+         |  SELECT nb.nbr AS node, r.hops + 1 AS hops
+         |  FROM r JOIN nb ON nb.node = r.node WHERE r.hops < 6)
+         |SELECT node AS doc_id, min(hops)::BIGINT AS hops FROM r GROUP BY 1""".stripMargin,
     "q_degree_dist" ->
       s"""WITH $minhashCandCte,
          |nodes AS (SELECT doc_a AS doc_id FROM ver
@@ -4826,6 +4963,94 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // nested md5-uniform subsample tiers; the OLS slope over the
     // log-log curve replays as plain aggregate arithmetic
+    // clipped-unigram ROUGE-1 F1 per verified pair; pairs with no
+    // shared kept token drop out of BOTH engines' inner joins
+    "q_rouge_pairs" ->
+      s"""WITH $minhashCandCte,
+         |$dlCte,
+         |ov AS (SELECT v.doc_a, v.doc_b, sum(least(ta.tf, tb.tf))::BIGINT AS overlap
+         |       FROM ver v JOIN tf ta ON ta.doc_id = v.doc_a
+         |                  JOIN tf tb ON tb.doc_id = v.doc_b AND tb.term = ta.term
+         |       GROUP BY 1, 2)
+         |SELECT o.doc_a, o.doc_b, o.overlap, la.dl AS len_a, lb.dl AS len_b,
+         |       round(2.0 * o.overlap / (la.dl + lb.dl), 6) AS rouge1_f
+         |FROM ov o JOIN dl la ON o.doc_a = la.doc_id
+         |          JOIN dl lb ON o.doc_b = lb.doc_id""".stripMargin,
+    "q_psi" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id % 2 AS half,
+        |        least(floor(len(list_distinct(toks))::DOUBLE / len(toks) * 10)::BIGINT, 9) AS bin
+        |      FROM t),
+        |c AS (SELECT bin,
+        |        sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+        |        sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        |      FROM s GROUP BY 1),
+        |g AS (SELECT bin FROM generate_series(0, 9) AS t2(bin)),
+        |tt AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM c),
+        |f AS (SELECT g.bin::BIGINT AS bin, coalesce(c.n_ref, 0)::BIGINT AS n_ref,
+        |        coalesce(c.n_cur, 0)::BIGINT AS n_cur
+        |      FROM g LEFT JOIN c ON g.bin = c.bin)
+        |SELECT bin, n_ref, n_cur,
+        |       round((n_ref + 1)::DOUBLE / (tr + 10), 6) AS p_ref,
+        |       round((n_cur + 1)::DOUBLE / (tc + 10), 6) AS p_cur,
+        |       round(((n_cur + 1)::DOUBLE / (tc + 10) - (n_ref + 1)::DOUBLE / (tr + 10)) *
+        |             ln(((n_cur + 1)::DOUBLE / (tc + 10)) /
+        |                ((n_ref + 1)::DOUBLE / (tr + 10))), 6) AS psi_term
+        |FROM f, tt""".stripMargin,
+    "q_cluster_purity" ->
+      s"""WITH ${kmeansCtes(8, 2)},
+         |asg AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |          FROM fd) WHERE rn = 1),
+         |cl AS (SELECT a.cid, e.label::BIGINT AS label, count(*)::BIGINT AS n
+         |       FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+         |tp AS (SELECT cid, label AS top_label, n AS n_top FROM (
+         |         SELECT cid, label, n,
+         |                row_number() OVER (PARTITION BY cid ORDER BY n DESC, label ASC) AS rn
+         |         FROM cl) WHERE rn = 1),
+         |tot AS (SELECT cid, sum(n)::BIGINT AS n_points FROM cl GROUP BY 1)
+         |SELECT tot.cid::BIGINT AS cluster_id, tot.n_points, tp.top_label, tp.n_top,
+         |       round(tp.n_top::DOUBLE / tot.n_points, 6) AS purity
+         |FROM tot JOIN tp ON tot.cid = tp.cid""".stripMargin,
+    "q_cluster_nmi" ->
+      s"""WITH ${kmeansCtes(8, 2)},
+         |asg AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |          FROM fd) WHERE rn = 1),
+         |cl AS (SELECT a.cid, e.label::BIGINT AS label, count(*)::BIGINT AS n
+         |       FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+         |nn AS (SELECT sum(n)::BIGINT AS nn FROM cl),
+         |pc AS (SELECT cid, sum(n)::BIGINT AS nc FROM cl GROUP BY 1),
+         |pl AS (SELECT label, sum(n)::BIGINT AS nl FROM cl GROUP BY 1),
+         |mi AS (SELECT sum((cl.n::DOUBLE / nn.nn) *
+         |              ln(cl.n::DOUBLE * nn.nn / (pc.nc::DOUBLE * pl.nl))) AS mi
+         |       FROM cl JOIN pc ON cl.cid = pc.cid
+         |               JOIN pl ON cl.label = pl.label, nn),
+         |hc AS (SELECT -sum((nc::DOUBLE / nn) * ln(nc::DOUBLE / nn)) AS hc FROM pc, nn),
+         |hl AS (SELECT -sum((nl::DOUBLE / nn) * ln(nl::DOUBLE / nn)) AS hl FROM pl, nn),
+         |cn AS (SELECT count(DISTINCT cid)::BIGINT AS n_clusters,
+         |              count(DISTINCT label)::BIGINT AS n_labels FROM cl)
+         |SELECT cn.n_clusters, cn.n_labels, round(mi.mi, 6) AS mi,
+         |       round(mi.mi / sqrt(hc.hc * hl.hl), 6) AS nmi
+         |FROM cn, mi, hc, hl""".stripMargin,
+    "q_stream_distinct" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms,
+        |       count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_lexical_richness" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+         |            FROM documents),
+         |tok2 AS (SELECT source, term FROM tok
+         |         WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)),
+         |tc AS (SELECT source, term, count(*)::BIGINT AS c FROM tok2 GROUP BY 1, 2)
+         |SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         |       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         |       round(count(*)::DOUBLE / sum(c), 6) AS ttr,
+         |       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |         AS hapax_rate
+         |FROM tc GROUP BY 1""".stripMargin,
     "q_heaps_law" ->
       s"""WITH $tfCte,
          |du AS (SELECT doc_id,

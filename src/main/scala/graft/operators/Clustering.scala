@@ -91,6 +91,60 @@ object Clustering {
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_points"), sum("d2").as("inertia"))
 
+  /** (cluster_id, n_points, top_label, n_top, purity): external
+    * cluster validation against the embeddings' ground-truth `label`
+    * column — per-cluster majority-label purity, the "did the
+    * clustering recover the classes" eval leg beside [[kmeansInertia]]
+    * 's internal one. Ties break to the LOWER label (max_by over a
+    * (count, −label) struct — window-free). One label join + two
+    * k×|labels|-sized aggregations on the assignment. */
+  def clusterPurity(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    labelContingency(embeddings, k, iters)
+      .groupBy("cluster_id")
+      .agg(sum("n").as("n_points"),
+        max(struct(col("n"), (-col("label")).as("negl"))).as("m"))
+      .select(col("cluster_id"), col("n_points"),
+        (-col("m.negl")).as("top_label"), col("m.n").as("n_top"),
+        round(col("m.n").cast("double") / col("n_points"), 6).as("purity"))
+
+  /** (n_clusters, n_labels, mi, nmi): NORMALIZED MUTUAL INFORMATION
+    * between the k-means assignment and the ground-truth labels — the
+    * permutation-invariant summary purity can't give (purity inflates
+    * with k; NMI doesn't). MI/H terms fold over the k×|labels|
+    * contingency cells (tiny); sqrt(Hc·Hl) normalization. */
+  def clusterNmi(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val cl = labelContingency(embeddings, k, iters).localCheckpoint()
+    val n = cl.agg(sum("n").as("nn"))
+    val pc = cl.groupBy("cluster_id").agg(sum("n").as("nc"))
+    val pl = cl.groupBy("label").agg(sum("n").as("nl"))
+    val mi = cl.join(pc, "cluster_id").join(pl, "label").crossJoin(broadcast(n))
+      .agg(sum((col("n").cast("double") / col("nn")) *
+        // margins to double BEFORE the product: nc·nl overflows BIGINT
+        // at warehouse-scale contingency counts
+        log(col("n").cast("double") * col("nn") /
+          (col("nc").cast("double") * col("nl")))).as("mi"))
+    val hc = pc.crossJoin(broadcast(n))
+      .agg((-sum((col("nc").cast("double") / col("nn")) *
+        log(col("nc").cast("double") / col("nn")))).as("hc"))
+    val hl = pl.crossJoin(broadcast(n))
+      .agg((-sum((col("nl").cast("double") / col("nn")) *
+        log(col("nl").cast("double") / col("nn")))).as("hl"))
+    val counts = cl.agg(countDistinct(col("cluster_id")).as("n_clusters"),
+      countDistinct(col("label")).as("n_labels"))
+    counts.crossJoin(mi).crossJoin(hc).crossJoin(hl)
+      .select(col("n_clusters"), col("n_labels"),
+        round(col("mi"), 6).as("mi"),
+        round(col("mi") / sqrt(col("hc") * col("hl")), 6).as("nmi"))
+  }
+
+  /** The k-means-vs-label contingency table (cluster_id, label, n) the
+    * two external-validation rollups share. */
+  private def labelContingency(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeans(embeddings, k, iters)
+      .join(embeddings.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
+
   /** The fitted centroid table (k×dim exact millis) after `iters`
     * Lloyd's rounds — the artifact a serving path bakes into its
     * assignment plan (see [[graft.streaming.Streams.kmeansStream]]). */

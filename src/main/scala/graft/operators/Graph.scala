@@ -401,6 +401,84 @@ object Graph {
     * scale (the oracle unrolls the same rounds; convergence within
     * the budget on the gate corpus is spec-asserted, the
     * [[labelPropagation]] convention). Lineage is cut per round. */
+  /** (doc_a, doc_b, n_common, jaccard): JACCARD-coefficient link
+    * prediction over the candidate graph — |N(a)∩N(b)| / |N(a)∪N(b)|
+    * for non-adjacent pairs, the set-overlap normalization of the raw
+    * common-neighbor count (penalizes pairs whose shared neighbors
+    * are a small fraction of either neighborhood). Union size comes
+    * free from the degree join: |N(a)∪N(b)| = deg(a)+deg(b)−common,
+    * so the plan is the same wedge-bounded join as
+    * [[commonNeighborsFrom]] plus two broadcast-sized degree joins —
+    * no neighborhood materialization beyond the wedge rows. Ranked
+    * under the ROUNDED score with id tiebreaks (deterministic,
+    * engine-portable). Re-expresses the similarity-join family the
+    * reference drives through TfIdfUtil (TfIdfUtil.java:104-124) at
+    * graph granularity. */
+  def jaccardLinkPred(cands: DataFrame, k: Int = 10): DataFrame = {
+    val e = cands.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    val nb = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = nb.groupBy("node").agg(count(lit(1)).as("deg"))
+    val wedges = nb.as("x").join(nb.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("doc_a"), col("y.node").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    wedges
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), "doc_b")
+      .join(e, col("doc_a") === col("a") && col("doc_b") === col("b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("da") + col("db") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+  }
+
+  /** (doc_id, hops): MULTI-SOURCE BFS hop distance over the near-dup
+    * graph — every reached node labeled with its distance to the
+    * NEAREST seed (seeds = nodes with doc_id % seedMod == 0, the
+    * deterministic stand-in for an audited/flagged subset), bounded
+    * at `maxHops`. The "blast radius" primitive of a review pipeline:
+    * how far does a flagged document's near-dup neighborhood extend?
+    * Classic frontier-expansion BFS — each round joins ONLY the new
+    * frontier against the adjacency relation (never the full distance
+    * table), anti-joins the already-settled set, and localCheckpoints
+    * to cut lineage; rounds are bounded by maxHops and exit early on
+    * an empty frontier (exact, not heuristic: BFS frontiers are
+    * monotone). Cost per round is frontier-degree-sum, so the total
+    * is O(edges within maxHops) regardless of graph size. */
+  def bfsHops(pairs: DataFrame, maxHops: Int = 6, seedMod: Int = 7): DataFrame = {
+    require(maxHops >= 0 && seedMod >= 1,
+      s"need maxHops >= 0, seedMod >= 1; got maxHops=$maxHops, seedMod=$seedMod")
+    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+    val nb = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint()
+    var dist = nb.select("node").distinct()
+      .filter(col("node") % seedMod === 0)
+      .withColumn("hops", lit(0L))
+      .localCheckpoint()
+    var frontier = dist
+    var h = 1
+    var done = frontier.isEmpty
+    while (h <= maxHops && !done) {
+      val next = frontier.join(nb, "node")
+        .select(col("nbr").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) dist = dist.union(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    dist.select(col("node").as("doc_id"), col("hops"))
+  }
+
   def kcore(pairs: DataFrame, k: Int = 2, rounds: Int = 8): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got k=$k, rounds=$rounds")
     var e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),

@@ -1669,4 +1669,136 @@ object Relational {
       .select(col("dow"), col("hour"), col("n_events"),
         round(col("n_events").cast("double") / col("total"), 6).as("share"))
   }
+
+  /** (antecedent, consequent, n_both, n_ante, confidence, lift):
+    * DIRECTED association rules over the order baskets — the rule-
+    * mining step on top of [[basketPairs]]'s symmetric co-occurrence:
+    * each qualifying pair emits BOTH directions, confidence =
+    * P(consequent | antecedent) = n_both / n_ante, lift shared with
+    * the pair. Same order-keyed self-join (per-order fan-out is
+    * basket-size-bounded, not data-sized); support floor `minBoth`
+    * prunes the singleton noise before ranking. Top-k under rounded
+    * confidence with id tiebreaks. */
+  def assocRules(li: DataFrame, minBoth: Long = 2, topK: Int = 15): DataFrame = {
+    val items = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val nOrders = items.select("l_orderkey").distinct().agg(count(lit(1)).as("n_orders"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minBoth)
+    val rules = pairs.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("n_both"))
+      .union(pairs.select(col("pb"), col("pa"), col("n_both")))
+    rules
+      .join(supp.select(col("l_partkey").as("antecedent"), col("n").as("n_ante")), "antecedent")
+      .join(supp.select(col("l_partkey").as("consequent"), col("n").as("n_cons")), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("n_both"), col("n_ante"),
+        round(col("n_both").cast("double") / col("n_ante"), 6).as("confidence"),
+        round(col("n_both").cast("double") * col("n_orders") /
+          (col("n_ante") * col("n_cons")), 6).as("lift"))
+      .orderBy(col("confidence").desc, col("antecedent").asc, col("consequent").asc)
+      .limit(topK)
+  }
+
+  /** (day, rev_micros, med7_micros): EXACT trailing-7-day median of
+    * the daily-revenue series — the robust twin of [[movingRevenue]]'s
+    * mean (a single flash-sale day drags a mean for a week; the
+    * median shrugs). Same window-FREE shape as the mean: each day's
+    * revenue is exploded into the ≤7 trailing windows it serves, and
+    * the exact `percentile` aggregate folds each window's ≤7
+    * contributions under a day-keyed groupBy — no global-ORDER window
+    * (which would single-partition the series), everything stays
+    * days-sized and shuffle-partitioned. */
+  def rollingMedian(orders: DataFrame): DataFrame = {
+    val byDay = orders
+      .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
+      .agg(sum(micros(col("o_totalprice"))).as("rev_micros"))
+    val med = byDay
+      .select(explode(sequence(col("day"), col("day") + lit(6L))).as("day"),
+        col("rev_micros").as("c_micros"))
+      .groupBy("day")
+      .agg(round(expr("percentile(c_micros, 0.5)"), 4).as("med7_micros"))
+    byDay.join(med, "day")
+      .select(col("day"), col("rev_micros"), col("med7_micros"))
+  }
+
+  /** (lag, n_pairs, acf): AUTOCORRELATION function of the daily
+    * revenue series at lags 1..maxLag — the seasonality detector
+    * (weekly cadence shows as a lag-7 spike). Calendar-exact: lag
+    * pairs come from a self-equi-join on day+lag (a LAG window over
+    * ROWS would silently misalign across missing days), then one
+    * sample-correlation aggregate per lag. The series is day-keyed,
+    * so the join and agg are days×lags-sized. Micros scaled to
+    * dollars before the correlation for conditioning; corr is
+    * scale-invariant so the result is unchanged. */
+  def acf(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val byDay = orders
+      .groupBy(expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("day"))
+      .agg((sum(micros(col("o_totalprice"))).cast("double") / 1e6).as("rev"))
+    val lagged = byDay
+      .select(col("day"), col("rev"), explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+      .withColumn("day2", col("day") + col("lag"))
+    lagged.as("a")
+      .join(byDay.as("b"), col("a.day2") === col("b.day"))
+      .groupBy(col("a.lag").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("a.rev"), col("b.rev")), 6).as("acf"))
+  }
+
+  /** (n_langs, n_sources, dof, chi2, cramers_v): CHI-SQUARE test of
+    * independence between document language and source — the
+    * composition-drift screen (a training mix where language depends
+    * on source needs per-source language caps, not a global one).
+    * Observed counts are one exact groupBy; expected counts are the
+    * margin product join (langs × sources cells, all tiny); the
+    * statistic and Cramér's V are one final double fold. */
+  def chi2LangSource(docs: DataFrame): DataFrame = {
+    val obs = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("lang").agg(sum("o").as("rt"))
+    val colT = obs.groupBy("source").agg(sum("o").as("ct"))
+    val n = obs.agg(sum("o").as("n"))
+    val cells = rowT.crossJoin(colT).crossJoin(broadcast(n))
+      .join(obs, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("rt"), col("ct"), col("n"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        (col("rt").cast("double") * col("ct") / col("n")).as("e"))
+    cells.agg(
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("x2"),
+        first(col("n")).as("nn"))
+      .select(col("n_langs"), col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        round(col("x2"), 6).as("chi2"),
+        round(sqrt(col("x2") / (col("nn") *
+          least(col("n_langs") - 1, col("n_sources") - 1))), 6).as("cramers_v"))
+  }
+
+  /** (user_id, n_events, span_sec, twa): TIME-WEIGHTED average of the
+    * event `value` per user — each reading weighted by how long it
+    * was the latest one (the metering convention; a plain mean
+    * over-counts bursts). One shuffle on user_id, a lead window for
+    * the holding duration, users below two events dropped (no
+    * interval to weight). Durations in double seconds; the ratio is
+    * magnitude-stable. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dt", (col("next_ts") - col("ts")).cast("double") / 1e9)
+      .groupBy("user_id")
+      .agg((count(lit(1)) + 1).as("n_events"),
+        // span folded as EXACT integer nanos (engine-portable; a
+        // double fold would land on the round-6 boundary, since true
+        // spans are exact micro multiples), one division at the end
+        sum(col("next_ts") - col("ts")).as("span_ns"),
+        sum(col("value") * col("dt")).as("vdt"))
+      .select(col("user_id"), col("n_events"),
+        round(col("span_ns").cast("double") / 1e9, 6).as("span_sec"),
+        round(col("vdt") / (col("span_ns").cast("double") / 1e9), 6).as("twa"))
+  }
 }

@@ -1412,4 +1412,89 @@ object TextAnalysis {
           (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))), 6)
           .as("jaccard"))
   }
+
+  /** (doc_a, doc_b, overlap, len_a, len_b, rouge1_f): ROUGE-1 F1
+    * between the texts of each verified near-dup pair — the clipped
+    * unigram-overlap score (Σ_term min(tf_a, tf_b), the summarization-
+    * eval standard) that grades HOW textually close each surviving
+    * pair is, beyond the shingle-Jaccard that surfaced it. The join is
+    * PAIR-DRIVEN (pairs → tf(doc_a) → tf(doc_b) on (doc_b, term)), so
+    * cost is Σ_pairs |terms(doc_a)| — candidate-scaled, never
+    * co-token-quadratic (the DedupStore verify-join shape). */
+  def rouge1Pairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(Text.rawTokens(col("text"))).as("term"))
+      .filter(Text.keepToken(col("term")))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val ov = pairs.select("doc_a", "doc_b")
+      .join(tf.select(col("doc_id").as("doc_a"), col("term"), col("tf").as("tfa")),
+        Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("term"), col("tf").as("tfb")),
+        Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("tfa"), col("tfb"))).as("overlap"))
+    ov
+      .join(dl.select(col("doc_id").as("doc_a"), col("dl").as("len_a")), "doc_a")
+      .join(dl.select(col("doc_id").as("doc_b"), col("dl").as("len_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("len_a"), col("len_b"),
+        round(lit(2.0) * col("overlap") / (col("len_a") + col("len_b")), 6)
+          .as("rouge1_f"))
+  }
+
+  /** (bin, n_ref, n_cur, p_ref, p_cur, psi_term): POPULATION STABILITY
+    * INDEX of the distinct-token-ratio distribution between the even-
+    * and odd-id halves of the corpus (the old-crawl / new-crawl drift
+    * monitor at ingest granularity): ten fixed-width score bins,
+    * add-one smoothing so empty bins stay finite, per-bin
+    * (p_cur − p_ref)·ln(p_cur/p_ref) terms whose sum is the PSI. The
+    * ratio is a single exact-integer division, so binning is engine-
+    * portable; everything after the per-doc map is bins-sized. */
+  def psiDistinctRatio(docs: DataFrame, bins: Int = 10): DataFrame = {
+    val scored = docs
+      .withColumn("toks", Text.rawTokens(col("text")))
+      .select((col("doc_id") % 2).as("half"),
+        least(floor(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")) * bins).cast("long"), lit(bins - 1L)).as("bin"))
+    val counts = scored.groupBy("bin")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val grid = docs.sparkSession.range(0, bins).select(col("id").as("bin"))
+    val totals = counts.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((col("n_ref") + 1).cast("double") / (col("tr") + bins), 6).as("p_ref"),
+        round((col("n_cur") + 1).cast("double") / (col("tc") + bins), 6).as("p_cur"),
+        round(((col("n_cur") + 1).cast("double") / (col("tc") + bins) -
+            (col("n_ref") + 1).cast("double") / (col("tr") + bins)) *
+          log(((col("n_cur") + 1).cast("double") / (col("tc") + bins)) /
+            ((col("n_ref") + 1).cast("double") / (col("tr") + bins))), 6)
+          .as("psi_term"))
+  }
+
+  /** (source, n_tokens, n_types, n_hapax, ttr, hapax_rate): LEXICAL
+    * RICHNESS profile per source — type-token ratio and hapax-legomena
+    * rate, the two classic vocabulary-health stats (machine-generated
+    * or templated corpora crater both; a healthy natural-language
+    * source keeps a long hapax tail). Tokenization is the library
+    * standard ([[graft.functions.Text.rawTokens]] + keepToken). One
+    * shuffle on (source, term) with map-side combine, then a
+    * sources-sized rollup — the Heaps-law shape at aggregate
+    * granularity. */
+  def lexicalRichness(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(Text.rawTokens(col("text"))).as("term"))
+      .filter(Text.keepToken(col("term")))
+    tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_rate"))
+  }
 }

@@ -179,6 +179,25 @@ object Streams {
     drainToMemory(spark, distinctHashes, OutputMode.Append())
   }
 
+  /** (win_start_ms, n_users): per-hour DISTINCT user counts over the
+    * event stream — exact streaming cardinality via keyed dedup state,
+    * not a sketch: `dropDuplicates` on (window, user_id) holds one
+    * state row per distinct pair and the 1-hour watermark evicts each
+    * window's state once it closes, so state is live-windows × users
+    * bounded, never stream-length. The window rollup runs on the
+    * drained sink (a second stateful agg in the same streaming query
+    * would be the multi-stateful-operator trap); countDistinct there
+    * keeps the result exact even under micro-batch replay. */
+  def streamDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .withWatermark("event_time", "1 hour")
+      .select(window(col("event_time"), "1 hour").as("win"), col("user_id"))
+      .dropDuplicates("win", "user_id")
+    drainToMemory(spark, deduped, OutputMode.Append())
+      .groupBy(unix_millis(col("win.start")).as("win_start_ms"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** (source, n_docs, avg_tokens, n_ok): the streaming form of the
     * corpus-triage rollup ([[graft.operators.TextAnalysis
     * .qualityBySource]]) — per-document quality metrics are a pure map

@@ -1,0 +1,257 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Graph, Relational, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-11 batch 2: Jaccard link prediction, multi-source BFS,
+  * association rules, rolling median, ACF, chi-square, time-weighted
+  * average, lexical richness. Planted-topology and closed-form cases
+  * prove the semantics the corpus oracles can't isolate (empty review
+  * queues, multi-source min-hop, window gaps, independence nulls). */
+class Round11bSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- Jaccard link prediction ----
+
+  test("jaccardLinkPred scores the square's diagonals at 1.0") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4-1: the two non-edges (1,3) and (2,4) share both
+    // neighbors, so common=2 and union=deg+deg-common=2 → jaccard 1.0
+    val cands = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.jaccardLinkPred(cands).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+  }
+
+  test("jaccardLinkPred penalizes hub overlap that raw common-neighbors ranks equal") {
+    import spark.implicits._
+    // star center 10 with leaves 1..4, plus a tight pair 20-21 both
+    // linked to 22: (20,21) is an edge (excluded); (1,2) vs (20,22)…
+    // simplest check: leaves of the star share only the hub (common=1,
+    // union=1+1-1=1 → 1.0); attach extra edges to leaf 1 so its
+    // neighborhood grows and (1,2)'s jaccard drops below (3,4)'s
+    val cands = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L),
+        (1L, 30L), (1L, 31L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.jaccardLinkPred(cands, k = 100).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got((3L, 4L)) === 1.0)      // N(3)=N(4)={10}
+    assert(got((1L, 2L)) === 0.333333) // common 1, union 3+1-1
+  }
+
+  // ---- multi-source BFS ----
+
+  test("bfsHops labels min-hop distance from the %7 seed set") {
+    import spark.implicits._
+    // chain 7-8-…-13 with a second seed 14 attached at 13: node 13 is
+    // 6 hops from seed 7 but 1 hop from seed 14 — min wins; plus a
+    // seedless component {31,32} that must be absent entirely
+    val pairs = Seq((7L, 8L), (8L, 9L), (9L, 10L), (10L, 11L),
+        (11L, 12L), (12L, 13L), (14L, 13L), (31L, 32L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.bfsHops(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(7L -> 0L, 14L -> 0L, 8L -> 1L, 13L -> 1L,
+      9L -> 2L, 12L -> 2L, 10L -> 3L, 11L -> 3L))
+  }
+
+  test("bfsHops respects the hop cap") {
+    import spark.implicits._
+    // 10-node chain with exactly one seed (mod 100) at its head:
+    // nodes beyond 6 hops stay unlabeled
+    val pairs = (100L to 109L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val got = Graph.bfsHops(pairs, seedMod = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === (100L to 106L).map(n => n -> (n - 100L)).toMap)
+    // hops=0 degenerates to the seed set itself
+    val seedsOnly = Graph.bfsHops(pairs, maxHops = 0, seedMod = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(seedsOnly === Map(100L -> 0L))
+  }
+
+  // ---- association rules ----
+
+  test("assocRules emits both directions with confidence and lift") {
+    import spark.implicits._
+    // baskets: {1,2} ×2, {1,3}, {2}: pair (1,2) qualifies (n_both=2),
+    // (1,3) is under the support floor
+    val li = Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+        (103L, 1L), (103L, 3L), (104L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Relational.assocRules(li).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    // n1 = 3 orders, n2 = 3 orders, n_orders = 4
+    assert(got.keySet === Set((1L, 2L), (2L, 1L)))
+    assert(got((1L, 2L)) === ((2L, 3L, 0.666667, 0.888889)))
+    assert(got((2L, 1L)) === ((2L, 3L, 0.666667, 0.888889)))
+  }
+
+  // ---- rolling median ----
+
+  test("rollingMedian is calendar-ranged and exact at gap days") {
+    import spark.implicits._
+    val ts = (d: Long) => new java.sql.Timestamp(d * 86400000L)
+    // days 0, 1, 8: day 8's trailing window spans days 2..8 → itself
+    val orders = Seq((ts(0), 100.0), (ts(1), 200.0), (ts(8), 300.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = Relational.rollingMedian(orders).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got === Map(0L -> 1.0e8, 1L -> 1.5e8, 8L -> 3.0e8))
+  }
+
+  // ---- autocorrelation ----
+
+  test("acf of a linear series is 1.0 at every lag") {
+    import spark.implicits._
+    val ts = (d: Long) => new java.sql.Timestamp(d * 86400000L)
+    val orders = (0L to 9L).map(d => (ts(d), 100.0 + d)).toDF("o_orderdate", "o_totalprice")
+    val got = Relational.acf(orders).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === (1L to 7L).toSet)
+    got.foreach { case (lag, (n, a)) =>
+      assert(n === 10 - lag, s"lag $lag pair count")
+      assert(a === 1.0, s"lag $lag acf")
+    }
+  }
+
+  // ---- chi-square ----
+
+  test("chi2LangSource is zero under exact independence") {
+    import spark.implicits._
+    val docs = (for { l <- Seq("en", "fr"); s <- Seq("web", "book"); _ <- 1 to 5 }
+      yield (l, s)).toDF("lang", "source")
+    val r = Relational.chi2LangSource(docs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 1L)))
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 0.0)
+  }
+
+  test("chi2LangSource detects a fully dependent layout") {
+    import spark.implicits._
+    // lang determines source exactly: chi2 = n, Cramér's V = 1
+    val docs = (Seq.fill(6)(("en", "web")) ++ Seq.fill(4)(("fr", "book")))
+      .toDF("lang", "source")
+    val r = Relational.chi2LangSource(docs).collect()(0)
+    assert(r.getDouble(3) === 10.0)
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  // ---- time-weighted average ----
+
+  test("timeWeightedAvg weights by holding duration, drops single-event users") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 10000000000L, 4.0), (3L, 1L, 30000000000L, 99.0),
+      (4L, 2L, 5000000000L, 7.0)) // single interval-less event → dropped
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Relational.timeWeightedAvg(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // user 1: value 1.0 held 10 s, 4.0 held 20 s → (10 + 80) / 30 = 3.0
+    assert(got === Map(1L -> ((3L, 30.0, 3.0))))
+  }
+
+  // ---- ROUGE-1 over pairs ----
+
+  test("rouge1Pairs clips unigram overlap and is pair-driven") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta beta"), (2L, "alpha beta gamma"),
+      (3L, "delta delta")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = TextAnalysis.rouge1Pairs(docs, pairs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // overlap = min(1,1) + min(2,1) = 2; F1 = 2·2/(3+3)
+    assert(got((1L, 2L)) === ((2L, 3L, 3L, 0.666667)))
+    // disjoint vocab pair drops out entirely (inner term join)
+    assert(!got.contains((1L, 3L)))
+  }
+
+  // ---- PSI ----
+
+  test("psiDistinctRatio is zero when the halves are identical") {
+    import spark.implicits._
+    // same text on an even and an odd id → every bin has p_ref == p_cur
+    val docs = Seq((0L, "alpha beta beta"), (1L, "alpha beta beta"),
+      (2L, "gamma gamma gamma gamma"), (3L, "gamma gamma gamma gamma"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.psiDistinctRatio(docs).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getDouble(3) === r.getDouble(4), s"bin ${r.getLong(0)} p mismatch")
+      assert(r.getDouble(5) === 0.0, s"bin ${r.getLong(0)} psi term")
+    }
+  }
+
+  test("psiDistinctRatio flags a shifted distribution with positive PSI") {
+    import spark.implicits._
+    // even half: repetitive (ratio 1/4 → bin 2); odd half: all-distinct
+    // (ratio 1 → bin 9): both directional terms are positive
+    val docs = Seq((0L, "x1 x1 x1 x1"), (2L, "y1 y1 y1 y1"),
+      (1L, "a1 b1 c1 d1"), (3L, "e1 f1 g1 h1")).toDF("doc_id", "text")
+    // closed form under add-one smoothing: 2 × (1/12 − 3/12)·ln(1/3)
+    val psi = TextAnalysis.psiDistinctRatio(docs).agg(sum("psi_term")).collect()(0).getDouble(0)
+    assert(math.abs(psi - 2 * (1.0 / 6) * math.log(3.0)) < 1e-5, s"psi $psi")
+  }
+
+  // ---- cluster purity / NMI ----
+
+  test("clusterPurity and clusterNmi are perfect on separable labeled clusters") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f), 0), (3L, Seq(0.1f, 0.0f), 0),
+      (2L, Seq(10.0f, 10.0f), 1), (4L, Seq(10.1f, 10.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pur = Clustering.clusterPurity(emb, k = 2, iters = 1).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(pur === Map(0L -> ((2L, 0L, 2L, 1.0)), 1L -> ((2L, 1L, 2L, 1.0))))
+    val nmi = Clustering.clusterNmi(emb, k = 2, iters = 1).collect()(0)
+    assert((nmi.getLong(0), nmi.getLong(1)) === ((2L, 2L)))
+    assert(nmi.getDouble(3) === 1.0)
+  }
+
+  test("clusterNmi is zero when labels are independent of clusters") {
+    import spark.implicits._
+    // both labels appear equally in both spatial clusters
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f), 0), (3L, Seq(0.1f, 0.0f), 1),
+      (2L, Seq(10.0f, 10.0f), 0), (4L, Seq(10.1f, 10.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val nmi = Clustering.clusterNmi(emb, k = 2, iters = 1).collect()(0)
+    assert(nmi.getDouble(2) === 0.0) // MI exactly 0 under independence
+  }
+
+  // ---- streaming distinct users ----
+
+  test("streamDistinctUsers equals the batch per-hour distinct rollup") {
+    val live = graft.streaming.Streams.streamDistinctUsers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy((expr("ts div 3600000000000") * 3600000L).as("w"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(live === batch)
+  }
+
+  // ---- lexical richness ----
+
+  test("lexicalRichness computes TTR and hapax rate per source") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "alpha beta alpha"),  // tokens 3, types 2, hapax 1 (beta)
+      ("s2", "gamma gamma gamma")) // tokens 3, types 1, hapax 0
+      .toDF("source", "text")
+    val got = TextAnalysis.lexicalRichness(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("s1") === ((3L, 2L, 1L, 0.666667, 0.5)))
+    assert(got("s2") === ((3L, 1L, 0L, 0.333333, 0.0)))
+  }
+}
