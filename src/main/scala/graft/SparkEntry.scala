@@ -784,6 +784,17 @@ object SparkEntry {
     // exact per-hour distinct users via streaming dedup state
     "q_stream_distinct" -> ((s, dir) =>
       graft.streaming.Streams.streamDistinctUsers(s, dir)),
+    // personalized pagerank: damped walk restarting to the %7 seeds
+    "q_ppr" -> ((s, dir) => Graph.personalizedPagerankFrom(
+      DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
+      Tables.documents(s, dir))),
+    // pairwise Jensen-Shannon divergence between source unigram mixes
+    "q_js_divergence" -> ((s, dir) =>
+      TextAnalysis.jsDivergence(Tables.documents(s, dir))),
+    // Church-Gale term burstiness (Fano factor over containing docs)
+    "q_burstiness" -> ((s, dir) => TextAnalysis.burstiness(Tables.documents(s, dir))),
+    // EWMA event rate: one streaming window agg + drained-sink rollup
+    "q_stream_ema" -> ((s, dir) => graft.streaming.Streams.emaRate(s, dir)),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -5039,6 +5050,80 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms,
         |       count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    // teleport gated to the %7 seed set; same integer-exact replay as
+    // q_pagerank with seed-split mass
+    "q_ppr" -> {
+      val m = Graph.TotalMass
+      val iters = (1 to 10).map { i =>
+        s"""s$i AS (SELECT e.dst AS node, sum(r.rank // od.outdeg)::BIGINT AS insum
+           |        FROM e JOIN r${i - 1} r ON e.src = r.node JOIN od ON e.src = od.src
+           |        GROUP BY e.dst),
+           |r$i AS (SELECT nd.node,
+           |          (CASE WHEN nd.node % 7 = 0 THEN tp.t ELSE 0 END
+           |           + (85 * COALESCE(s$i.insum, 0)) // 100)::BIGINT AS rank
+           |        FROM nodes nd CROSS JOIN tp LEFT JOIN s$i ON nd.node = s$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashCandCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+         |      UNION ALL SELECT doc_b, doc_a FROM ver),
+         |nodes AS (SELECT doc_id AS node FROM documents),
+         |ns AS (SELECT count(*)::BIGINT AS n FROM nodes WHERE node % 7 = 0),
+         |tp AS (SELECT ((15 * ($m // n)) // 100)::BIGINT AS t FROM ns),
+         |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node,
+         |         (CASE WHEN node % 7 = 0 THEN $m // n ELSE 0 END)::BIGINT AS rank
+         |       FROM nodes, ns),
+         |$iters
+         |SELECT node, rank FROM r10""".stripMargin
+    },
+    // shared-vocabulary join only; single-side terms enter in closed
+    // form through the shared-mass complement × ln 2
+    "q_js_divergence" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+         |            FROM documents),
+         |tok2 AS (SELECT source, term FROM tok
+         |         WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)),
+         |tfs AS (SELECT source, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+         |tot AS (SELECT source, sum(tf)::BIGINT AS tot FROM tfs GROUP BY 1),
+         |p AS (SELECT tfs.source, tfs.term, tfs.tf::DOUBLE / tot.tot AS p
+         |      FROM tfs JOIN tot ON tfs.source = tot.source),
+         |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+         |         count(*)::BIGINT AS n_shared_terms,
+         |         sum(0.5 * a.p * ln(2.0 * a.p / (a.p + b.p)) +
+         |             0.5 * b.p * ln(2.0 * b.p / (a.p + b.p))) AS shared_term,
+         |         sum(a.p) AS pa_shared, sum(b.p) AS pb_shared
+         |       FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared_terms,
+         |       round(shared_term + 0.5 * (1.0 - pa_shared) * ln(2.0)
+         |                         + 0.5 * (1.0 - pb_shared) * ln(2.0), 6) AS jsd
+         |FROM sh""".stripMargin,
+    "q_burstiness" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |            FROM documents),
+         |tok2 AS (SELECT doc_id, term FROM tok
+         |         WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)),
+         |tfd AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+         |st AS (SELECT term, count(*)::BIGINT AS df,
+         |         sum(tf::DOUBLE) AS s1, sum(tf::DOUBLE * tf) AS s2
+         |       FROM tfd GROUP BY 1)
+         |SELECT term, df, round(s1 / df, 6) AS mean_tf,
+         |       round(((s2 - s1 * s1 / df) / (df - 1)) / (s1 / df), 6) AS fano
+         |FROM st WHERE df >= 5
+         |ORDER BY fano DESC, term ASC LIMIT 15""".stripMargin,
+    "q_stream_ema" ->
+      """WITH w AS (SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms,
+        |             event_type, count(*)::BIGINT AS n
+        |           FROM events GROUP BY 1, 2),
+        |c AS (SELECT w.win_start_ms + k * 3600000 AS tgt, event_type,
+        |        (n * (1::BIGINT << (5 - k)::INT))::BIGINT AS num,
+        |        (1::BIGINT << (5 - k)::INT)::BIGINT AS den
+        |      FROM w, generate_series(0, 5) AS t(k)),
+        |a AS (SELECT tgt, event_type, sum(num)::BIGINT AS num, sum(den)::BIGINT AS den
+        |      FROM c GROUP BY 1, 2)
+        |SELECT w.win_start_ms, w.event_type, w.n,
+        |       round(a.num::DOUBLE / a.den, 6) AS ema6
+        |FROM w JOIN a ON a.tgt = w.win_start_ms AND a.event_type = w.event_type""".stripMargin,
     "q_lexical_richness" ->
       s"""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
          |            FROM documents),

@@ -207,6 +207,42 @@ object Graph {
     ranks
   }
 
+  /** (node, rank): PERSONALIZED PageRank — the damped walk restarts
+    * only to the %`seedMod` seed set (the audited/trusted subset), so
+    * rank measures proximity to the seeds instead of global
+    * centrality: the "expand a trusted list through the near-dup
+    * graph" primitive (TrustRank's shape). Same integer-exact
+    * machinery as [[pagerankFrom]] — micros mass, floor division,
+    * engine-replayable — with the teleport term gated per node; seed
+    * mass splits over the seed count. Non-seed isolated nodes decay
+    * to rank 0, seeds keep their teleport floor. */
+  def personalizedPagerankFrom(pairs: DataFrame, docs: DataFrame,
+                               iterations: Int = 10, seedMod: Int = 7): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val nodes = docs.select(col("doc_id").as("node"))
+    val nSeeds = nodes.filter(col("node") % seedMod === 0).count()
+    require(nSeeds > 0, s"personalized pagerank: no seeds under mod $seedMod")
+    val r0 = TotalMass / nSeeds
+    val teleport = (15L * r0) / 100L
+    val isSeed = col("node") % seedMod === 0
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.withColumn("rank", when(isSeed, lit(r0)).otherwise(lit(0L)))
+    for (i <- 1 to iterations) {
+      val inSum = edges.join(ranks, edges("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("insum"))
+      ranks = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("rank"))
+      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** (user_id, community_id): behavioral communities — connected
     * components of the BIPARTITE user↔item graph (item = the props.k
     * the user acted on). The user-user projection of a bipartite

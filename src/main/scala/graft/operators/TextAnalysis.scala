@@ -1413,6 +1413,62 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** (source_a, source_b, n_shared_terms, jsd): pairwise JENSEN-
+    * SHANNON divergence between per-source unigram distributions —
+    * the symmetric, bounded ([0, ln 2]) distribution distance for the
+    * mix dashboard (vocabulary-overlap Jaccard says WHICH terms are
+    * shared; JSD says whether they're used at the same RATES). Terms
+    * present in only one side contribute p·ln2 in closed form via the
+    * shared-mass complement, so only the SHARED vocabulary is ever
+    * joined — the pair join is term-keyed and source-pair-fanout
+    * bounded (|sources|² pairs per hot term, sources are dozens). */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("source"), explode(Text.rawTokens(col("text"))).as("term"))
+      .filter(Text.keepToken(col("term")))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("source").agg(sum("tf").as("tot"))
+    val p = tf.join(tot, "source")
+      .select(col("source"), col("term"), (col("tf").cast("double") / col("tot")).as("p"))
+    val shared = p.as("a").join(p.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(lit(0.5) * col("a.p") * log(lit(2.0) * col("a.p") / (col("a.p") + col("b.p"))) +
+          lit(0.5) * col("b.p") * log(lit(2.0) * col("b.p") / (col("a.p") + col("b.p"))))
+          .as("shared_term"),
+        sum(col("a.p")).as("pa_shared"), sum(col("b.p")).as("pb_shared"))
+    shared.select(col("source_a"), col("source_b"), col("n_shared_terms"),
+      round(col("shared_term") +
+        lit(0.5) * (lit(1.0) - col("pa_shared")) * log(lit(2.0)) +
+        lit(0.5) * (lit(1.0) - col("pb_shared")) * log(lit(2.0)), 6).as("jsd"))
+  }
+
+  /** (term, df, mean_tf, fano): TERM BURSTINESS — for every term seen
+    * in at least `minDf` docs, the mean within-document frequency and
+    * the Fano factor (variance/mean over containing docs): bursty
+    * content words repeat hard where they appear (fano ≫ 1), function
+    * words sprinkle evenly (fano ≈ depressed) — the Church–Gale
+    * screen that separates topical vocabulary from boilerplate
+    * residue. Sums fold per term from exact tf integers (squares in
+    * double — BIGINT would overflow at warehouse scale); top-k under
+    * the rounded score with term tiebreak. */
+  def burstiness(docs: DataFrame, minDf: Long = 5, topK: Int = 15): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(Text.rawTokens(col("text"))).as("term"))
+      .filter(Text.keepToken(col("term")))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf").cast("double")).as("s1"),
+        sum(col("tf").cast("double") * col("tf")).as("s2"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"),
+        round(col("s1") / col("df"), 6).as("mean_tf"),
+        round(((col("s2") - col("s1") * col("s1") / col("df")) / (col("df") - 1)) /
+          (col("s1") / col("df")), 6).as("fano"))
+      .orderBy(col("fano").desc, col("term").asc)
+      .limit(topK)
+  }
+
   /** (doc_a, doc_b, overlap, len_a, len_b, rouge1_f): ROUGE-1 F1
     * between the texts of each verified near-dup pair — the clipped
     * unigram-overlap score (Σ_term min(tf_a, tf_b), the summarization-

@@ -179,6 +179,39 @@ object Streams {
     drainToMemory(spark, distinctHashes, OutputMode.Append())
   }
 
+  /** (win_start_ms, event_type, n, ema6): exponentially-weighted
+    * per-type event rate over the hourly stream — the windowed count
+    * is the ONE streaming aggregation (same plan as
+    * [[windowedWordCount]]); the 6-bucket truncated EWMA (weights
+    * 2⁻ᵏ over the trailing calendar hours present) is a bucket-keyed
+    * rollup on the drained, hours-sized result, in the explode-
+    * contribution shape — no ordered window, no second stateful
+    * operator. Weights are exact binary, so numerator/denominator
+    * fold as EXACT integers (n·2^(5−k)) and the single final division
+    * is engine-portable. */
+  def emaRate(spark: SparkSession, dir: String): DataFrame = {
+    val counts = eventStream(spark, dir)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val drained = drainToMemory(spark, counts, OutputMode.Complete())
+      .select(unix_millis(col("win.start")).as("win_start_ms"), col("event_type"), col("n"))
+      .localCheckpoint()
+    val contrib = drained
+      .select(col("win_start_ms"), col("event_type"), col("n"),
+        explode(sequence(lit(0), lit(5))).as("k"))
+      .select((col("win_start_ms") + col("k").cast("long") * 3600000L).as("tgt"),
+        col("event_type").as("etype"),
+        (col("n") * expr("shiftleft(CAST(1 AS BIGINT), CAST(5 - k AS INT))")).as("num"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(5 - k AS INT))").as("den"))
+      .groupBy(col("tgt"), col("etype"))
+      .agg(sum("num").as("num"), sum("den").as("den"))
+    drained.join(contrib,
+        col("win_start_ms") === col("tgt") && col("event_type") === col("etype"))
+      .select(col("win_start_ms"), col("event_type"), col("n"),
+        round(col("num").cast("double") / col("den"), 6).as("ema6"))
+  }
+
   /** (win_start_ms, n_users): per-hour DISTINCT user counts over the
     * event stream — exact streaming cardinality via keyed dedup state,
     * not a sketch: `dropDuplicates` on (window, user_id) holds one

@@ -240,6 +240,85 @@ class Round11bSpec extends AnyFunSuite {
     assert(live === batch)
   }
 
+  // ---- personalized pagerank ----
+
+  test("personalizedPagerank starves non-seed components and feeds seed neighborhoods") {
+    import spark.implicits._
+    // seed 7 linked to 8; component {9,10} has no seed → decays to 0
+    val docs = Seq(7L, 8L, 9L, 10L).toDF("doc_id")
+    val pairs = Seq((7L, 8L), (9L, 10L)).toDF("doc_a", "doc_b")
+    val got = Graph.personalizedPagerankFrom(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(9L) === 0L)
+    assert(got(10L) === 0L)
+    // stationary on the 2-cycle: r7 = t + 0.85·r8, r8 = 0.85·r7
+    assert(got(7L) > got(8L) && got(8L) > 0L)
+    assert(got(7L) + got(8L) <= Graph.TotalMass)
+  }
+
+  test("personalizedPagerank teleports only to seeds") {
+    import spark.implicits._
+    // isolated seed keeps exactly the teleport floor; isolated
+    // non-seeds get nothing
+    val docs = Seq(7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Graph.personalizedPagerankFrom(pairs, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(7L -> (15L * Graph.TotalMass) / 100L, 8L -> 0L, 9L -> 0L))
+  }
+
+  // ---- Jensen-Shannon divergence ----
+
+  test("jsDivergence is zero for identical mixes and closed-form for partial overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "alpha alpha beta"), ("s2", "alpha alpha beta"),
+      ("s3", "alpha gamma gamma gamma"), ("s4", "zeta zeta"))
+      .toDF("source", "text")
+    val got = TextAnalysis.jsDivergence(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("s1", "s2")) === ((2L, 0.0)))
+    // s1 vs s3 share only "alpha": p=2/3, q=1/4 + complements × ln 2
+    val p = 2.0 / 3; val q = 1.0 / 4
+    val exp = 0.5 * p * math.log(2 * p / (p + q)) + 0.5 * q * math.log(2 * q / (p + q)) +
+      0.5 * (1 - p) * math.log(2.0) + 0.5 * (1 - q) * math.log(2.0)
+    assert(got(("s1", "s3"))._2 === math.rint(exp * 1e6) / 1e6)
+    // fully disjoint vocabularies never meet the shared join: the pair
+    // is ABSENT by contract (jsd would be exactly ln 2)
+    assert(!got.contains(("s1", "s4")) && !got.contains(("s3", "s4")))
+  }
+
+  // ---- burstiness ----
+
+  test("burstiness ranks bursty terms above evenly-sprinkled ones") {
+    import spark.implicits._
+    val docs = ((1L to 4L).map(i => (i, "uu uu zz")) :+
+      ((5L, "uu uu zz zz zz zz zz zz"))).toDF("doc_id", "text")
+    val got = TextAnalysis.burstiness(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    // zz: tf [1,1,1,1,6] → mean 2, var (40−20)/4 = 5 → fano 2.5
+    // uu: tf [2,2,2,2,2] → var 0 → fano 0
+    assert(got === Seq(("zz", (5L, 2.0, 2.5)), ("uu", (5L, 2.0, 0.0))))
+  }
+
+  // ---- streaming EWMA ----
+
+  test("emaRate equals the batch 6-bucket EWMA closed form") {
+    val live = graft.streaming.Streams.emaRate(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val w = Tables.events(spark, sf)
+      .groupBy((expr("ts div 3600000000000") * 3600000L).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(live.keySet === w.keySet)
+    live.foreach { case ((win, et), (n, ema)) =>
+      assert(n === w((win, et)))
+      val terms = (0 to 5).flatMap(k => w.get((win - k * 3600000L, et)).map(x => (x, 1L << (5 - k))))
+      val exp = terms.map(t => t._1 * t._2).sum.toDouble / terms.map(_._2).sum
+      assert(ema === math.rint(exp * 1e6) / 1e6, s"win $win type $et")
+    }
+  }
+
   // ---- lexical richness ----
 
   test("lexicalRichness computes TTR and hapax rate per source") {
