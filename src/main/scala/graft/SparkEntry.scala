@@ -795,6 +795,20 @@ object SparkEntry {
     "q_burstiness" -> ((s, dir) => TextAnalysis.burstiness(Tables.documents(s, dir))),
     // EWMA event rate: one streaming window agg + drained-sink rollup
     "q_stream_ema" -> ((s, dir) => graft.streaming.Streams.emaRate(s, dir)),
+    // Newman modularity decomposition of the LP communities
+    "q_modularity" -> ((s, dir) => Graph.modularity(
+      DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
+      Tables.documents(s, dir))),
+    // median/avg latency between consecutive funnel conversions
+    "q_funnel_latency" -> ((s, dir) => Relational.funnelLatency(Tables.events(s, dir))),
+    // mergeSchema scan across a pre/post-migration parquet layout:
+    // the missing pre-migration column surfaces as NULL, partition
+    // col v distinguishes generations
+    "q_schema_evolution" -> ((s, dir) => {
+      s.read.option("mergeSchema", "true").parquet(evolvedDocsFor(s, dir))
+        .groupBy(col("v").cast("long").as("v"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -1062,6 +1076,20 @@ object SparkEntry {
     cachedLayout("docs_orc", dir)(p =>
       Tables.documents(s, dir).write.mode("overwrite").orc(p))
 
+  /** A two-generation parquet layout: v=1 holds the even-id half in
+    * the PRE-migration schema (no `lang` column), v=2 the odd-id half
+    * post-migration — the schema-drift fixture every long-lived lake
+    * accumulates (columns added mid-crawl). */
+  private def evolvedDocsFor(s: SparkSession, dir: String): String =
+    cachedLayout("docs_evolved", dir) { p =>
+      val d = Tables.documents(s, dir)
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$p/v=1")
+      d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$p/v=2")
+    }
+
   /** A deliberately fragmented (48-file) copy of the corpus, compacted
     * back through [[graft.sources.Sinks.compact]]. */
   private def compactedDocsFor(s: SparkSession, dir: String): String =
@@ -1188,6 +1216,30 @@ object SparkEntry {
       | JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) cn
       | USING (doc_id))""".stripMargin
   private val minhashCanonCte = minhashCandCteFor(canonDocsRel)
+
+  /** 3-round synchronous min-tiebreak label propagation over the
+    * verified dup graph (expects `ver` in scope; graph nodes only),
+    * ending at relation l3(node, label) — shared by the LP key and
+    * the modularity decomposition that grades its partition. */
+  private val lpCte =
+    """e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),
+      |nb AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |l0 AS (SELECT DISTINCT a AS node, a AS label FROM nb),
+      |v1 AS (SELECT nb.a, l.label, count(*)::BIGINT AS votes
+      |       FROM nb JOIN l0 l ON nb.b = l.node GROUP BY 1, 2),
+      |l1 AS (SELECT a AS node, label FROM (
+      |         SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY votes DESC, label ASC) AS rn
+      |         FROM v1) WHERE rn = 1),
+      |v2 AS (SELECT nb.a, l.label, count(*)::BIGINT AS votes
+      |       FROM nb JOIN l1 l ON nb.b = l.node GROUP BY 1, 2),
+      |l2 AS (SELECT a AS node, label FROM (
+      |         SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY votes DESC, label ASC) AS rn
+      |         FROM v2) WHERE rn = 1),
+      |v3 AS (SELECT nb.a, l.label, count(*)::BIGINT AS votes
+      |       FROM nb JOIN l2 l ON nb.b = l.node GROUP BY 1, 2),
+      |l3 AS (SELECT a AS node, label FROM (
+      |         SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY votes DESC, label ASC) AS rn
+      |         FROM v3) WHERE rn = 1)""".stripMargin
 
   /** Shared by q_cep_match (batch) and q_stream_cep (streaming):
     * the streaming detector equals the batch matcher row-for-row. */
@@ -4750,26 +4802,29 @@ object SparkEntry {
     // (votes desc, label asc), exactly the plan's max-struct argmax
     "q_label_propagation" ->
       s"""WITH $minhashCandCte,
-         |e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),
-         |nb AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM nb),
-         |v1 AS (SELECT nb.a, l.label, count(*)::BIGINT AS votes
-         |       FROM nb JOIN l0 l ON nb.b = l.node GROUP BY 1, 2),
-         |l1 AS (SELECT a AS node, label FROM (
-         |         SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY votes DESC, label ASC) AS rn
-         |         FROM v1) WHERE rn = 1),
-         |v2 AS (SELECT nb.a, l.label, count(*)::BIGINT AS votes
-         |       FROM nb JOIN l1 l ON nb.b = l.node GROUP BY 1, 2),
-         |l2 AS (SELECT a AS node, label FROM (
-         |         SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY votes DESC, label ASC) AS rn
-         |         FROM v2) WHERE rn = 1),
-         |v3 AS (SELECT nb.a, l.label, count(*)::BIGINT AS votes
-         |       FROM nb JOIN l2 l ON nb.b = l.node GROUP BY 1, 2),
-         |l3 AS (SELECT a AS node, label FROM (
-         |         SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY votes DESC, label ASC) AS rn
-         |         FROM v3) WHERE rn = 1)
+         |$lpCte
          |SELECT d.doc_id, coalesce(l3.label, d.doc_id) AS community
          |FROM documents d LEFT JOIN l3 ON d.doc_id = l3.node""".stripMargin,
+    // Newman Q decomposition over the SAME replayed l3 partition:
+    // exact intra-edge / degree-volume counts, two divisions per row
+    "q_modularity" ->
+      s"""WITH $minhashCandCte,
+         |$lpCte,
+         |dgn AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+         |deg AS (SELECT node, count(*)::BIGINT AS deg FROM dgn GROUP BY 1),
+         |m AS (SELECT count(*)::BIGINT AS m FROM e),
+         |vol AS (SELECT l.label AS community, count(*)::BIGINT AS n_nodes,
+         |          sum(deg)::BIGINT AS volume
+         |        FROM deg d JOIN l3 l ON d.node = l.node GROUP BY 1),
+         |intra AS (SELECT la.label AS community, count(*)::BIGINT AS intra_edges
+         |          FROM e JOIN l3 la ON e.a = la.node JOIN l3 lb ON e.b = lb.node
+         |          WHERE la.label = lb.label GROUP BY 1)
+         |SELECT v.community, v.n_nodes,
+         |       coalesce(i.intra_edges, 0)::BIGINT AS intra_edges, v.volume,
+         |       round(coalesce(i.intra_edges, 0)::DOUBLE / m.m -
+         |             (v.volume::DOUBLE / (2 * m.m)) * (v.volume::DOUBLE / (2 * m.m)), 6)
+         |         AS contrib
+         |FROM vol v LEFT JOIN intra i ON v.community = i.community, m""".stripMargin,
     // DuckDB's built-in jaro_winkler replays the native expression
     // (semantics probed: boost iff jaro > 0.7, prefix cap 4, empty -> 0)
     "q_record_linkage" ->
@@ -5111,6 +5166,31 @@ object SparkEntry {
          |       round(((s2 - s1 * s1 / df) / (df - 1)) / (s1 / df), 6) AS fano
          |FROM st WHERE df >= 5
          |ORDER BY fano DESC, term ASC LIMIT 15""".stripMargin,
+    // p=0.5 only: the midpoint interpolation of two exact integers is
+    // engine-portable; arbitrary-quantile position arithmetic is not
+    "q_funnel_latency" ->
+      """WITH t1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(epoch_ns(ts)) AS t2, min(t1.t1) AS t1
+        |       FROM events e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND epoch_ns(ts) > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(epoch_ns(ts)) AS t3
+        |       FROM events e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND epoch_ns(ts) > t2.t2 GROUP BY e.user_id),
+        |u AS (SELECT '1_signup_to_click' AS step, t2 - t1 AS d FROM t2
+        |      UNION ALL
+        |      SELECT '2_click_to_purchase', t3.t3 - t2.t2
+        |      FROM t3 JOIN t2 USING (user_id))
+        |SELECT step, count(*)::BIGINT AS n_users,
+        |       round(quantile_cont(d, 0.5) / 1000.0, 1) AS median_us,
+        |       round(sum(d)::DOUBLE / count(*) / 1000.0, 1) AS avg_us
+        |FROM u GROUP BY 1""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT 1::BIGINT AS v, CAST(NULL AS VARCHAR) AS lang, count(*)::BIGINT AS n_docs
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 2::BIGINT AS v, lang, count(*)::BIGINT
+        |FROM documents WHERE doc_id % 2 = 1 GROUP BY 2""".stripMargin,
     "q_stream_ema" ->
       """WITH w AS (SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms,
         |             event_type, count(*)::BIGINT AS n

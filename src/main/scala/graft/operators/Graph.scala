@@ -207,6 +207,42 @@ object Graph {
     ranks
   }
 
+  /** (community, n_nodes, intra_edges, volume, contrib): MODULARITY
+    * decomposition of the [[labelPropagation]] communities — per
+    * community, its contribution e_c/m − (vol_c/2m)² to Newman's Q,
+    * the "are these communities better than chance" score that grades
+    * the partition LP produced (Q = Σ contrib; near 0 means the dup
+    * graph has no community structure beyond degree). All counts are
+    * exact integers (intra-edge count, degree volume, m); the two
+    * divisions happen once per community row. Only graph nodes
+    * participate — isolated docs are zero-volume singletons and carry
+    * no Q mass. */
+  def modularity(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+      .localCheckpoint()
+    val comm = labelPropagation(pairs, docs)
+      .select(col("doc_id").as("node"), col("community"))
+    val nbr = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+    val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val vol = deg.join(comm, "node")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("volume"))
+    val intra = e
+      .join(comm.select(col("node").as("a"), col("community").as("ca")), "a")
+      .join(comm.select(col("node").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    vol.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"), col("volume"),
+        round(coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m") -
+          (col("volume").cast("double") / (col("m") * 2)) *
+          (col("volume").cast("double") / (col("m") * 2)), 6).as("contrib"))
+  }
+
   /** (node, rank): PERSONALIZED PageRank — the damped walk restarts
     * only to the %`seedMod` seed set (the audited/trusted subset), so
     * rank measures proximity to the seeds instead of global

@@ -1777,6 +1777,34 @@ object Relational {
           least(col("n_langs") - 1, col("n_sources") - 1))), 6).as("cramers_v"))
   }
 
+  /** (step, n_users, median_us, avg_us): FUNNEL LATENCY — how long
+    * converting users take between consecutive funnel steps (first
+    * signup → first later click → first later purchase), the timing
+    * companion to the step-count funnel. Deltas are exact integer
+    * nanos; the median interpolates at p=0.5 (midpoint of two exact
+    * ints — engine-portable, unlike arbitrary quantiles whose 0.9·pos
+    * arithmetic differs across engines) and both stats are reported
+    * in micros rounded to 0.1. Per-step state is one min() per user —
+    * three user-keyed aggregations, no window. */
+  def funnelLatency(events: DataFrame): DataFrame = {
+    val t1 = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = events.join(t1, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"), first("t1").as("t1"))
+    val t3 = events.join(t2.select("user_id", "t2"), "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val d12 = t2.select(lit("1_signup_to_click").as("step"), (col("t2") - col("t1")).as("d"))
+    val d23 = t3.join(t2.select("user_id", "t2"), "user_id")
+      .select(lit("2_click_to_purchase").as("step"), (col("t3") - col("t2")).as("d"))
+    d12.union(d23)
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(d, 0.5)") / 1000.0, 1).as("median_us"),
+        round(sum("d").cast("double") / count(lit(1)) / 1000.0, 1).as("avg_us"))
+  }
+
   /** (user_id, n_events, span_sec, twa): TIME-WEIGHTED average of the
     * event `value` per user — each reading weighted by how long it
     * was the latest one (the metering convention; a plain mean

@@ -267,6 +267,54 @@ class Round11bSpec extends AnyFunSuite {
     assert(got === Map(7L -> (15L * Graph.TotalMass) / 100L, 8L -> 0L, 9L -> 0L))
   }
 
+  // ---- modularity ----
+
+  test("modularity rewards a two-clique partition and zeroes a random one") {
+    import spark.implicits._
+    // two disjoint triangles: LP labels each by its min node; Q =
+    // 2 × (3/6 − (6/12)²) = 0.5 — the textbook two-community value
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (4L, 5L), (5L, 6L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 6L).toDF("doc_id")
+    val got = Graph.modularity(pairs, docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got === Map(1L -> ((3L, 3L, 6L, 0.25)), 4L -> ((3L, 3L, 6L, 0.25))))
+  }
+
+  test("modularity of the whole-graph partition is zero") {
+    import spark.implicits._
+    // a single triangle → one community holding every edge:
+    // Q = 3/3 − (6/6)² = 0 exactly
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 3L).toDF("doc_id")
+    val got = Graph.modularity(pairs, docs).collect()
+    assert(got.length === 1)
+    assert(got(0).getDouble(4) === 0.0)
+  }
+
+  // ---- funnel latency ----
+
+  test("funnelLatency takes first-occurrence deltas per converting user") {
+    import spark.implicits._
+    val ns = (s: Long) => s * 1000000000L
+    val ev = Seq(
+      // user 1 converts twice over each step; only FIRSTs count:
+      // signup@0, click@10 (not 20), purchase@40
+      (1L, 1L, ns(0), "signup"), (2L, 1L, ns(10), "click"),
+      (3L, 1L, ns(20), "click"), (4L, 1L, ns(40), "purchase"),
+      // user 2: signup@0, click@30, no purchase
+      (5L, 2L, ns(0), "signup"), (6L, 2L, ns(30), "click"),
+      // user 3: click before signup only → never enters step 2
+      (7L, 3L, ns(5), "click"), (8L, 3L, ns(9), "signup"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Relational.funnelLatency(ev).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // deltas: signup→click = [10s, 30s] → median 20s = 2.0e7 us
+    assert(got("1_signup_to_click") === ((2L, 2.0e7, 2.0e7)))
+    assert(got("2_click_to_purchase") === ((1L, 3.0e7, 3.0e7)))
+  }
+
   // ---- Jensen-Shannon divergence ----
 
   test("jsDivergence is zero for identical mixes and closed-form for partial overlap") {
