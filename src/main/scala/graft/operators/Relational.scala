@@ -1517,6 +1517,50 @@ object Relational {
       .limit(topK)
   }
 
+  /** [[basketPairs]] served from a STAGED pair substrate (pairs /
+    * supports / order count materialized once — the DedupStore
+    * consolidation repeated on the retail side): ranking and lift are
+    * pure arithmetic over the stored exact counts, so every consumer
+    * skips the order-keyed self-join. Results are count-identical to
+    * the live plan by construction. */
+  def basketPairsFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                           topK: Int = 20): DataFrame = {
+    val pairs = spark.read.parquet(s"$path/pairs")
+    val supp = spark.read.parquet(s"$path/supp")
+    val nOrders = spark.read.parquet(s"$path/norders")
+    pairs.select(col("pa").as("part_a"), col("pb").as("part_b"), col("n_both").as("n_ab"))
+      .join(supp.select(col("l_partkey").as("part_a"), col("n").as("na")), "part_a")
+      .join(supp.select(col("l_partkey").as("part_b"), col("n").as("nb")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("na"), col("nb"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("na") * col("nb")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
+      .limit(topK)
+  }
+
+  /** [[assocRules]] from the same staged substrate — both rule
+    * directions, confidence and lift by arithmetic over stored
+    * counts. */
+  def assocRulesFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                          minBoth: Long = 2, topK: Int = 15): DataFrame = {
+    val pairs = spark.read.parquet(s"$path/pairs").filter(col("n_both") >= minBoth)
+    val supp = spark.read.parquet(s"$path/supp")
+    val nOrders = spark.read.parquet(s"$path/norders")
+    val rules = pairs.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("n_both"))
+      .union(pairs.select(col("pb"), col("pa"), col("n_both")))
+    rules
+      .join(supp.select(col("l_partkey").as("antecedent"), col("n").as("n_ante")), "antecedent")
+      .join(supp.select(col("l_partkey").as("consequent"), col("n").as("n_cons")), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("n_both"), col("n_ante"),
+        round(col("n_both").cast("double") / col("n_ante"), 6).as("confidence"),
+        round(col("n_both").cast("double") * col("n_orders") /
+          (col("n_ante") * col("n_cons")), 6).as("lift"))
+      .orderBy(col("confidence").desc, col("antecedent").asc, col("consequent").asc)
+      .limit(topK)
+  }
+
   /** (n_customers, total_rev_micros, gini): GINI COEFFICIENT of the
     * per-customer revenue distribution — the whole-distribution
     * inequality stat behind q_revenue_concentration's top-k share.

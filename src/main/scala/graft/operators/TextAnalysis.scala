@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1530,6 +1530,51 @@ object TextAnalysis {
           log(((col("n_cur") + 1).cast("double") / (col("tc") + bins)) /
             ((col("n_ref") + 1).cast("double") / (col("tr") + bins))), 6)
           .as("psi_term"))
+  }
+
+  /** (source, n_docs, mean_len, sd_len, skewness, kurtosis): LENGTH
+    * DISTRIBUTION MOMENTS per source — mean, standard deviation,
+    * skewness (m₃/m₂^1.5) and excess kurtosis (m₄/m₂² − 3) of the
+    * character-length distribution, the one-look shape profile that
+    * separates natural corpora (right-skewed, heavy tail) from
+    * truncated or templated ones (symmetric, platykurtic). Explicit
+    * central-moment formula from raw power sums so BOTH engines run
+    * the same arithmetic (built-in skewness/kurtosis disagree on
+    * sample-bias conventions across engines); power sums fold in
+    * double — per-source magnitudes keep the round-6 output stable. */
+  def lengthMoments(docs: DataFrame): DataFrame = {
+    val x = col("n_chars").cast("double")
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .select(col("source"), col("n").as("n_docs"),
+        round(col("s1") / col("n"), 6).as("mean_len"),
+        round(sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))), 6)
+          .as("sd_len"),
+        // m2^1.5 as m2·sqrt(m2): sqrt is IEEE-correctly-rounded in
+        // every engine, pow is not — the only bit-portable spelling
+        round(mom3(col("n"), col("s1"), col("s2"), col("s3")) /
+          (mom2(col("n"), col("s1"), col("s2")) *
+            sqrt(mom2(col("n"), col("s1"), col("s2")))), 6).as("skewness"),
+        round(mom4(col("n"), col("s1"), col("s2"), col("s3"), col("s4")) /
+          (mom2(col("n"), col("s1"), col("s2")) * mom2(col("n"), col("s1"), col("s2"))) -
+          lit(3.0), 6).as("kurtosis"))
+  }
+
+  // central moments from raw power sums: m2 = s2/n − μ², m3 = s3/n −
+  // 3μ·s2/n + 2μ³, m4 = s4/n − 4μ·s3/n + 6μ²·s2/n − 3μ⁴ (population
+  // convention, no bias correction — the engine-portable choice)
+  private def mu(n: Column, s1: Column) = s1 / n
+  private def mom2(n: Column, s1: Column, s2: Column) =
+    s2 / n - mu(n, s1) * mu(n, s1)
+  private def mom3(n: Column, s1: Column, s2: Column, s3: Column) = {
+    val m = mu(n, s1)
+    s3 / n - lit(3.0) * m * (s2 / n) + lit(2.0) * m * m * m
+  }
+  private def mom4(n: Column, s1: Column, s2: Column, s3: Column, s4: Column) = {
+    val m = mu(n, s1)
+    s4 / n - lit(4.0) * m * (s3 / n) + lit(6.0) * m * m * (s2 / n) -
+      lit(3.0) * m * m * m * m
   }
 
   /** (source, n_tokens, n_types, n_hapax, ttr, hapax_rate): LEXICAL

@@ -179,6 +179,31 @@ object Streams {
     drainToMemory(spark, distinctHashes, OutputMode.Append())
   }
 
+  /** (win_start_ms, n_name, n_events, value_micros): STREAM-STATIC
+    * enrichment — the arriving event stream joined to the (small)
+    * customer→nation dimension and rolled up per hour per nation.
+    * The dimension rides BROADCAST into every micro-batch (a
+    * stream-static join is stateless — no watermark bookkeeping on
+    * the static side), so the streaming plan stays one windowed
+    * aggregation; value folds as exact micros. The canonical "tag
+    * each event with its account's region at ingest" pipeline stage. */
+  def enrichedNationRate(spark: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .join(spark.read.parquet(s"$dir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    val counts = eventStream(spark, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour").as("win"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000000.0).cast("long")).as("value_micros"))
+    drainToMemory(spark, counts, OutputMode.Complete())
+      .select(unix_millis(col("win.start")).as("win_start_ms"), col("n_name"),
+        col("n_events"), col("value_micros"))
+  }
+
   /** (win_start_ms, event_type, n, ema6): exponentially-weighted
     * per-type event rate over the hourly stream — the windowed count
     * is the ONE streaming aggregation (same plan as

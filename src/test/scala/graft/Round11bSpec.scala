@@ -228,6 +228,67 @@ class Round11bSpec extends AnyFunSuite {
     assert(nmi.getDouble(2) === 0.0) // MI exactly 0 under independence
   }
 
+  // ---- staged basket substrate ----
+
+  test("store-served basket pairs and rules equal the live self-join plans") {
+    import spark.implicits._
+    val li = Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 1L), (103L, 3L), (104L, 2L), (101L, 1L)) // dup row: distinct matters
+      .toDF("l_orderkey", "l_partkey")
+    val p = java.nio.file.Files.createTempDirectory("r11basket").toString
+    li.select(col("l_orderkey"), col("l_partkey")).distinct().localCheckpoint()
+      .createOrReplaceTempView("it_tmp")
+    val items = spark.table("it_tmp")
+    items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$p/supp")
+    items.select("l_orderkey").distinct().agg(count(lit(1)).as("n_orders"))
+      .write.mode("overwrite").parquet(s"$p/norders")
+    items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .write.mode("overwrite").parquet(s"$p/pairs")
+    val livePairs = Relational.basketPairs(li).collect().map(_.toSeq).toSeq
+    val storePairs = Relational.basketPairsFromStore(spark, p).collect().map(_.toSeq).toSeq
+    assert(storePairs === livePairs)
+    val liveRules = Relational.assocRules(li).collect().map(_.toSeq).toSeq
+    val storeRules = Relational.assocRulesFromStore(spark, p).collect().map(_.toSeq).toSeq
+    assert(storeRules === liveRules)
+  }
+
+  // ---- length moments ----
+
+  test("lengthMoments matches closed-form shape stats") {
+    import spark.implicits._
+    // symmetric {1,2,3}: skewness 0, m2 = 2/3, m4 = 2/3·… kurt = m4/m2²−3
+    val docs = Seq(("s", 1L), ("s", 2L), ("s", 3L)).toDF("source", "n_chars")
+    val r = TextAnalysis.lengthMoments(docs).collect()(0)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === math.rint(math.sqrt(2.0 / 3) * 1e6) / 1e6)
+    assert(r.getDouble(4) === 0.0)
+    // m4 = (1 + 0 + 1)/3 = 2/3; kurt = (2/3)/(4/9) − 3 = 1.5 − 3
+    assert(r.getDouble(5) === -1.5)
+  }
+
+  // ---- stream-static enrichment ----
+
+  test("enrichedNationRate equals the batch three-way rollup") {
+    val live = graft.streaming.Streams.enrichedNationRate(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+    val batch = Tables.events(spark, sf)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy((expr("ts div 3600000000000") * 3600000L).as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000000.0).cast("long")).as("vm"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(live === batch)
+  }
+
   // ---- streaming distinct users ----
 
   test("streamDistinctUsers equals the batch per-hour distinct rollup") {
