@@ -819,6 +819,11 @@ object SparkEntry {
     // length-distribution moments per source (population convention)
     "q_length_moments" -> ((s, dir) =>
       TextAnalysis.lengthMoments(Tables.documents(s, dir))),
+    // filtered vector search: metadata predicate prunes BEFORE scoring
+    "q_ann_filtered" -> ((s, dir) => Ann.filteredTopK(Tables.embeddings(s, dir))),
+    // lambda handoff: batch history + streaming tail, seam-free union
+    "q_stream_backfill" -> ((s, dir) =>
+      graft.streaming.Streams.backfillHandoff(s, dir)),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -5222,6 +5227,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2::BIGINT AS v, lang, count(*)::BIGINT
         |FROM documents WHERE doc_id % 2 = 1 GROUP BY 2""".stripMargin,
+    "q_ann_filtered" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
+         |SELECT b.vec_id,
+         |       round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+         |             / (q.nrm * b.nrm), 4) AS cos
+         |FROM vn b JOIN embeddings e ON b.vec_id = e.vec_id, q
+         |WHERE b.vec_id != 0 AND e.label = 3
+         |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    // the cut replays as the same integer day arithmetic on the data
+    // bounds; day-range disjointness is the seam contract
+    "q_stream_backfill" ->
+      """WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+        |                  max(epoch_ns(ts) // 86400000000000) AS hi FROM events),
+        |c AS (SELECT lo + (hi - lo) * 4 // 5 AS cut FROM b),
+        |d AS (SELECT epoch_ns(ts) // 86400000000000 AS day FROM events)
+        |SELECT day, count(*)::BIGINT AS n_events,
+        |       CASE WHEN day < c.cut THEN 'batch' ELSE 'stream' END AS src
+        |FROM d, c GROUP BY 1, 3""".stripMargin,
     "q_stream_enrich" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms, n.n_name,
         |       count(*)::BIGINT AS n_events,

@@ -152,6 +152,18 @@ object Ann {
   def bruteForceTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame =
     exactTopK(embeddings, None, queryId, k)
 
+  /** (vec_id, cos): FILTERED vector search — exact top-k cosine among
+    * vectors satisfying a metadata predicate (here label = `label`),
+    * the "vector search with a WHERE clause" every retrieval stack
+    * ships. The predicate prunes the pool BEFORE scoring (predicate
+    * pushdown reaches the parquet scan), so the scan is
+    * selectivity-scaled; scoring and ranking are [[bruteForceTopK]]'s
+    * broadcast-query plan on the surviving pool. */
+  def filteredTopK(embeddings: DataFrame, label: Int = 3,
+                   queryId: Long = 0L, k: Int = 10): DataFrame =
+    exactTopK(embeddings,
+      Some(embeddings.filter(col("label") === label).select("vec_id")), queryId, k)
+
   /** (vec_id, cos): cosine of `queryId` against EVERY other vector,
     * unranked (rounded to 4 dp — the scoring contract shared with the
     * top-k variants). The rank-fusion input for [[Hybrid.rrfSearch]]. */

@@ -179,6 +179,37 @@ object Streams {
     drainToMemory(spark, distinctHashes, OutputMode.Append())
   }
 
+  /** (day, n_events, src): LAMBDA HANDOFF — the batch history (days
+    * before the 4/5 cut) and the streaming tail (days at/after it)
+    * composed into one seam-free daily series, each side labeled. The
+    * backfill pattern every migration to streaming runs through: the
+    * cut is pure integer day arithmetic on the data's own bounds, the
+    * two sides aggregate independently (batch scan vs one watermarked
+    * streaming count), and disjointness of their day ranges is
+    * guaranteed by the shared predicate — union, not reconciliation. */
+  def backfillHandoff(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000000L
+    val ev = graft.sources.Tables.events(spark, dir)
+    val b = ev.agg(min(expr(s"ts div ${day}L")), max(expr(s"ts div ${day}L"))).collect()(0)
+    require(!b.isNullAt(0), "backfillHandoff: events table is empty — no days to cut")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val cut = lo + (hi - lo) * 4 / 5
+    val hist = ev.filter(expr(s"ts div ${day}L") < cut)
+      .groupBy(expr(s"ts div ${day}L").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("src", lit("batch"))
+    val tailCounts = eventStream(spark, dir)
+      .filter(expr(s"ts div ${day}L") >= cut)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 day").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+    val tail = drainToMemory(spark, tailCounts, OutputMode.Complete())
+      .select((unix_millis(col("win.start")) / 86400000L).cast("long").as("day"),
+        col("n_events"))
+      .withColumn("src", lit("stream"))
+    hist.select("day", "n_events", "src").union(tail.select("day", "n_events", "src"))
+  }
+
   /** (win_start_ms, n_name, n_events, value_micros): STREAM-STATIC
     * enrichment — the arriving event stream joined to the (small)
     * customer→nation dimension and rolled up per hour per nation.

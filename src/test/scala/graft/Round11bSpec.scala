@@ -228,6 +228,41 @@ class Round11bSpec extends AnyFunSuite {
     assert(nmi.getDouble(2) === 0.0) // MI exactly 0 under independence
   }
 
+  // ---- filtered ANN ----
+
+  test("filteredTopK scores only vectors passing the predicate") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 9),          // query
+      (1L, Seq(1.0f, 0.0f), 3),          // perfect match, right label
+      (2L, Seq(1.0f, 0.01f), 5),         // near match, WRONG label
+      (3L, Seq(0.0f, 1.0f), 3))          // orthogonal, right label
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Ann.filteredTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === Seq(1L, 3L)) // 2 excluded by label
+    assert(got(0)._2 === 1.0)
+    assert(got(1)._2 === 0.0)
+  }
+
+  // ---- lambda handoff ----
+
+  test("backfillHandoff composes a seam-free daily series") {
+    val rows = graft.streaming.Streams.backfillHandoff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val batchDays = rows.filter(_._3 == "batch").map(_._1).toSet
+    val streamDays = rows.filter(_._3 == "stream").map(_._1).toSet
+    assert(batchDays.nonEmpty && streamDays.nonEmpty)
+    assert(batchDays.intersect(streamDays).isEmpty, "seam overlap")
+    assert(batchDays.max < streamDays.min, "cut must separate the ranges")
+    // the union re-aggregates to the plain batch daily counts
+    val batch = Tables.events(spark, sf)
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(r => (r._1, r._2)).toMap === batch)
+  }
+
   // ---- staged basket substrate ----
 
   test("store-served basket pairs and rules equal the live self-join plans") {
