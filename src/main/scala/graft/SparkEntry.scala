@@ -824,6 +824,17 @@ object SparkEntry {
     // lambda handoff: batch history + streaming tail, seam-free union
     "q_stream_backfill" -> ((s, dir) =>
       graft.streaming.Streams.backfillHandoff(s, dir)),
+    // lexical vs semantic near-dup detector agreement (both staged)
+    "q_semantic_vs_lexical" -> ((s, dir) => Hybrid.modalityAgreement(
+      DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
+      SemanticStore.cosinePairs(s, semanticStoreFor(s, dir)))),
+    // retrieve-then-rehydrate: ranked ids joined back to payloads
+    "q_ann_rehydrate" -> ((s, dir) =>
+      Hybrid.rehydratedSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // Pearson r between shingle jaccard and embedding cosine per pair
+    "q_modality_corr" -> ((s, dir) => Hybrid.modalityCorr(
+      DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
+      Tables.embeddings(s, dir))),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -5227,6 +5238,50 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2::BIGINT AS v, lang, count(*)::BIGINT
         |FROM documents WHERE doc_id % 2 = 1 GROUP BY 2""".stripMargin,
+    "q_semantic_vs_lexical" ->
+      s"""WITH $minhashCandCte,
+         |$vecCte,
+         |sm AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+         |         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |                list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         |                      / (a.nrm * b.nrm) AS c_exact
+         |         FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+         |       WHERE c_exact >= 0.45),
+         |lx AS (SELECT DISTINCT doc_a, doc_b FROM ver),
+         |ag AS (SELECT (SELECT count(*) FROM lx)::BIGINT AS nl,
+         |              (SELECT count(*) FROM sm)::BIGINT AS ns,
+         |              (SELECT count(*) FROM lx JOIN sm USING (doc_a, doc_b))::BIGINT AS nb)
+         |SELECT nl AS n_lexical, ns AS n_semantic, nb AS n_both,
+         |       round(nb::DOUBLE / (nl + ns - nb), 6) AS jaccard FROM ag""".stripMargin,
+    "q_ann_rehydrate" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |tk AS (SELECT b.vec_id,
+         |         round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+         |               / (q.nrm * b.nrm), 4) AS cos
+         |       FROM vn b, q WHERE b.vec_id != 0
+         |       ORDER BY cos DESC, b.vec_id ASC LIMIT 10)
+         |SELECT tk.vec_id, tk.cos, d.lang, d.source, d.n_chars
+         |FROM tk JOIN documents d ON tk.vec_id = d.doc_id""".stripMargin,
+    // x rides the round-4 jaccard contract, y the round-4 cosine one;
+    // r through the explicit closed form with a zero-variance guard
+    "q_modality_corr" ->
+      s"""WITH $minhashCandCte,
+         |$vecCte,
+         |xy AS (SELECT round(v.j_exact, 4) AS x,
+         |         round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         |               / (a.nrm * b.nrm), 4) AS y
+         |       FROM ver v JOIN vn a ON v.doc_a = a.vec_id
+         |                  JOIN vn b ON v.doc_b = b.vec_id),
+         |ag AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         |              sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |       FROM xy)
+         |SELECT n AS n_pairs,
+         |       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |            THEN round((n * sxy - sx * sy) /
+         |                       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         |       END AS pearson
+         |FROM ag""".stripMargin,
     "q_ann_filtered" ->
       s"""WITH $vecCte,
          |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)

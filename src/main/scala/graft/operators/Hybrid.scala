@@ -116,4 +116,70 @@ object Hybrid {
           round(lit(1.0) - lit(6.0) * col("s") /
             (col("m") * (col("m") * col("m") - 1)), 6)).as("rho"))
   }
+
+  /** (n_lexical, n_semantic, n_both, jaccard): MODALITY AGREEMENT
+    * audit between the two near-dup detectors — the shingle-verified
+    * lexical pairs vs the embedding-cosine semantic pairs (ids align
+    * doc_id == vec_id). Low agreement is the expected, USEFUL reading:
+    * the semantic detector's whole point is catching paraphrases the
+    * lexical one can't — but a lexical pair the semantic side MISSES
+    * flags an embedding-quality problem. One full-outer join of two
+    * already-pair-sized relations; corpus never rescanned. */
+  def modalityAgreement(lexPairs: DataFrame, semPairs: DataFrame): DataFrame = {
+    val lx = lexPairs.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("l", lit(1L))
+    val sm = semPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .distinct().withColumn("s", lit(1L))
+    lx.join(sm, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("l"), lit(0L))).as("n_lexical"),
+        sum(coalesce(col("s"), lit(0L))).as("n_semantic"),
+        sum(when(col("l").isNotNull && col("s").isNotNull, 1L).otherwise(0L)).as("n_both"))
+      .select(col("n_lexical"), col("n_semantic"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_lexical") + col("n_semantic") - col("n_both")), 6).as("jaccard"))
+  }
+
+  /** (vec_id, cos, lang, source, n_chars): RETRIEVE-THEN-REHYDRATE —
+    * the exact top-k dense neighbors joined back to their document
+    * payloads (ids align doc_id == vec_id), the serving join every
+    * retrieval stack ends with (a ranked id list is useless without
+    * its text). The k-row ranked side drives the join, so the
+    * documents side is probed, never scanned into the ranking. */
+  def rehydratedSearch(docs: DataFrame, embeddings: DataFrame,
+                       queryId: Long = 0L, k: Int = 10): DataFrame =
+    Ann.bruteForceTopK(embeddings, queryId, k)
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang"), col("source"),
+        col("n_chars")), "vec_id")
+      .select(col("vec_id"), col("cos"), col("lang"), col("source"), col("n_chars"))
+
+  /** (n_pairs, pearson): LEXICAL-SEMANTIC CORRELATION — Pearson r
+    * between shingle Jaccard and embedding cosine over the verified
+    * near-dup pairs: does surface overlap track embedding proximity
+    * on the pairs both metrics can see? Cosines ride the scoring
+    * contract (ordered fold, round 4); r folds through the explicit
+    * closed form with a zero-variance guard (exact-copy-only pair
+    * sets have no lexical spread — r is undefined, reported NULL,
+    * not NaN). */
+  def modalityCorr(lexPairs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val vn = Ann.withNorm(embeddings)
+    val xy = lexPairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(vn.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")),
+        "doc_a")
+      .join(vn.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")),
+        "doc_b")
+      .select(col("jaccard").as("x"),
+        round(graft.functions.Native.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4).as("y"))
+    xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_pairs"),
+        when(col("n") >= 2 &&
+            (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("pearson"))
+  }
 }

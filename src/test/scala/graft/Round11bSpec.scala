@@ -228,6 +228,43 @@ class Round11bSpec extends AnyFunSuite {
     assert(nmi.getDouble(2) === 0.0) // MI exactly 0 under independence
   }
 
+  // ---- cross-modal ops ----
+
+  test("modalityAgreement counts exact pair overlap") {
+    import spark.implicits._
+    val lex = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val sem = Seq((1L, 2L), (7L, 8L)).toDF("vec_a", "vec_b")
+    val r = graft.operators.Hybrid.modalityAgreement(lex, sem).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((3L, 2L, 1L, 0.25)))
+  }
+
+  test("modalityCorr is +1 on aligned scores and NULL without spread") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),   // cos(1,2) = 1
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(0.0f, 1.0f)))   // cos(3,4) = 0
+      .toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 0.5)).toDF("doc_a", "doc_b", "jaccard")
+    val r = graft.operators.Hybrid.modalityCorr(pairs, emb).collect()(0)
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === 1.0) // two points, both increasing → r = 1
+    // all-identical jaccard → zero variance → NULL, never NaN
+    val flat = Seq((1L, 2L, 1.0), (3L, 4L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val r2 = graft.operators.Hybrid.modalityCorr(flat, emb).collect()(0)
+    assert(r2.isNullAt(1))
+  }
+
+  test("rehydratedSearch attaches payloads without changing the ranking") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val ranked = graft.operators.Ann.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val re = graft.operators.Hybrid.rehydratedSearch(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(re === ranked.toSet)
+  }
+
   // ---- filtered ANN ----
 
   test("filteredTopK scores only vectors passing the predicate") {
