@@ -835,6 +835,12 @@ object SparkEntry {
     "q_modality_corr" -> ((s, dir) => Hybrid.modalityCorr(
       DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
       Tables.embeddings(s, dir))),
+    // per-label P/R/F1 of the k-NN predictions (confusion margins)
+    "q_knn_metrics" -> ((s, dir) =>
+      Vectors.knnMetrics(Vectors.knnClassifyIvf(Tables.embeddings(s, dir)))),
+    // rolling 7-day distinct actives by day (WAU series)
+    "q_rolling_actives" -> ((s, dir) =>
+      Relational.rollingActives(Tables.events(s, dir))),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -1263,6 +1269,35 @@ object SparkEntry {
       | JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) cn
       | USING (doc_id))""".stripMargin
   private val minhashCanonCte = minhashCandCteFor(canonDocsRel)
+
+  /** Brute 5-NN majority-vote prediction replay (test = %10 ids,
+    * exact integer-millis distances, min-label vote tiebreak) ending
+    * at pred(vec_id, true_label, predicted_label, n_votes) — shared
+    * by the classifier key and its per-label metrics rollup. */
+  private val knnPredCte =
+    """e AS (SELECT vec_id, label,
+      |                 list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)::DOUBLE) AS mv
+      |          FROM embeddings),
+      |en AS (SELECT vec_id, label, mv,
+      |              list_sum(list_transform(mv, x -> x * x))::DOUBLE AS n2 FROM e),
+      |t AS (SELECT vec_id, label AS true_label, mv, n2 FROM en WHERE vec_id % 10 = 0),
+      |tr AS (SELECT vec_id AS nb_id, label AS nb_label, mv AS mv2, n2 AS n22
+      |       FROM en WHERE vec_id % 10 <> 0),
+      |pr AS (SELECT t.vec_id, t.true_label, tr.nb_id, tr.nb_label,
+      |         (t.n2 + tr.n22 - 2.0 * list_sum(list_transform(generate_series(1, len(t.mv)),
+      |           i -> t.mv[i] * tr.mv2[i]))::DOUBLE)::BIGINT AS d2
+      |       FROM t, tr WHERE t.vec_id <> tr.nb_id),
+      |nb AS (SELECT vec_id, true_label, nb_label,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, nb_id ASC) AS rk
+      |       FROM pr),
+      |v AS (SELECT vec_id, true_label, nb_label, count(*)::BIGINT AS n_votes
+      |      FROM nb WHERE rk <= 5 GROUP BY vec_id, true_label, nb_label),
+      |w AS (SELECT vec_id, true_label, nb_label, n_votes,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY n_votes DESC, nb_label ASC) AS vr
+      |      FROM v),
+      |pred AS (SELECT vec_id, true_label::BIGINT AS true_label,
+      |                nb_label::BIGINT AS predicted_label, n_votes
+      |         FROM w WHERE vr = 1)""".stripMargin
 
   /** 3-round synchronous min-tiebreak label propagation over the
     * verified dup graph (expects `ver` in scope; graph nodes only),
@@ -3349,29 +3384,46 @@ object SparkEntry {
     // casts (DuckDB rounds, Spark truncates) also agree because d2 is
     // integer-valued; OUTSIDE the envelope the contract is void
     "q_knn_classify" ->
-      """WITH e AS (SELECT vec_id, label,
-        |                  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)::DOUBLE) AS mv
-        |           FROM embeddings),
-        |en AS (SELECT vec_id, label, mv,
-        |              list_sum(list_transform(mv, x -> x * x))::DOUBLE AS n2 FROM e),
-        |t AS (SELECT vec_id, label AS true_label, mv, n2 FROM en WHERE vec_id % 10 = 0),
-        |tr AS (SELECT vec_id AS nb_id, label AS nb_label, mv AS mv2, n2 AS n22
-        |       FROM en WHERE vec_id % 10 <> 0),
-        |pr AS (SELECT t.vec_id, t.true_label, tr.nb_id, tr.nb_label,
-        |         (t.n2 + tr.n22 - 2.0 * list_sum(list_transform(generate_series(1, len(t.mv)),
-        |           i -> t.mv[i] * tr.mv2[i]))::DOUBLE)::BIGINT AS d2
-        |       FROM t, tr WHERE t.vec_id <> tr.nb_id),
-        |nb AS (SELECT vec_id, true_label, nb_label,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, nb_id ASC) AS rk
-        |       FROM pr),
-        |v AS (SELECT vec_id, true_label, nb_label, count(*)::BIGINT AS n_votes
-        |      FROM nb WHERE rk <= 5 GROUP BY vec_id, true_label, nb_label),
-        |w AS (SELECT vec_id, true_label, nb_label, n_votes,
-        |        row_number() OVER (PARTITION BY vec_id ORDER BY n_votes DESC, nb_label ASC) AS vr
-        |      FROM v)
-        |SELECT vec_id, true_label::BIGINT AS true_label,
-        |       nb_label::BIGINT AS predicted_label, n_votes
-        |FROM w WHERE vr = 1""".stripMargin,
+      s"""WITH $knnPredCte
+         |SELECT vec_id, true_label, predicted_label, n_votes FROM pred""".stripMargin,
+    // per-label eval of the SAME replayed predictions: exact count
+    // ratios with zero-denominator NULL guards
+    "q_knn_metrics" ->
+      s"""WITH $knnPredCte,
+         |ac AS (SELECT true_label AS label, count(*)::BIGINT AS n_actual FROM pred GROUP BY 1),
+         |pc AS (SELECT predicted_label AS label, count(*)::BIGINT AS n_predicted
+         |       FROM pred GROUP BY 1),
+         |cc AS (SELECT true_label AS label, count(*)::BIGINT AS n_correct
+         |       FROM pred WHERE true_label = predicted_label GROUP BY 1),
+         |g AS (SELECT coalesce(ac.label, pc.label) AS label,
+         |        coalesce(ac.n_actual, 0)::BIGINT AS n_actual,
+         |        coalesce(pc.n_predicted, 0)::BIGINT AS n_predicted
+         |      FROM ac FULL OUTER JOIN pc ON ac.label = pc.label),
+         |f AS (SELECT g.label, g.n_actual, g.n_predicted,
+         |        coalesce(cc.n_correct, 0)::BIGINT AS n_correct
+         |      FROM g LEFT JOIN cc ON g.label = cc.label)
+         |SELECT label, n_actual, n_predicted, n_correct,
+         |       CASE WHEN n_predicted > 0
+         |            THEN round(n_correct::DOUBLE / n_predicted, 6) END AS precision,
+         |       CASE WHEN n_actual > 0
+         |            THEN round(n_correct::DOUBLE / n_actual, 6) END AS recall,
+         |       CASE WHEN n_correct > 0
+         |            THEN round(2.0 * (n_correct::DOUBLE / n_predicted) * (n_correct::DOUBLE / n_actual) /
+         |                       (n_correct::DOUBLE / n_predicted + n_correct::DOUBLE / n_actual), 6)
+         |            ELSE CASE WHEN n_actual > 0 AND n_predicted > 0 THEN 0.0 END
+         |       END AS f1
+         |FROM f""".stripMargin,
+    // only days present in the data are reported; a (user, day) pair
+    // collapses once and serves its <=7 trailing windows
+    "q_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |c AS (SELECT user_id, ud.day + k AS day
+        |      FROM ud, generate_series(0, 6) AS t(k))
+        |SELECT days.day, count(DISTINCT c.user_id)::BIGINT AS wau
+        |FROM days JOIN c ON c.day = days.day
+        |GROUP BY 1""".stripMargin,
     "q_stream_topk" ->
       """WITH c AS (SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms,
         |                  event_type, count(*)::BIGINT AS n

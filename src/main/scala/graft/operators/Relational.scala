@@ -1821,6 +1821,26 @@ object Relational {
           least(col("n_langs") - 1, col("n_sources") - 1))), 6).as("cramers_v"))
   }
 
+  /** (day, wau): ROLLING 7-DAY ACTIVE USERS by day — the trailing-
+    * window engagement series between DAU and MAU ("WAU by day").
+    * Exact distinct over a sliding window without re-scanning seven
+    * days per output row: each (user, day) pair is collapsed once,
+    * exploded into the ≤7 trailing windows it serves, and distinct-
+    * counted per target day — user-days × 7 rows, never events × 7.
+    * Only days present in the data are reported (the gap-fill key
+    * owns grid densification). */
+  def rollingActives(events: DataFrame): DataFrame = {
+    val day = 86400000000000L
+    val userDays = events
+      .select(col("user_id"), expr(s"ts div ${day}L").as("day")).distinct()
+    val days = userDays.select("day").distinct()
+    val contrib = userDays
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + lit(6L))).as("day"))
+    days.join(contrib, "day")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+  }
+
   /** (step, n_users, median_us, avg_us): FUNNEL LATENCY — how long
     * converting users take between consecutive funnel steps (first
     * signup → first later click → first later purchase), the timing

@@ -84,6 +84,36 @@ object Vectors {
         col("nb_label").cast("long").as("predicted_label"), col("n_votes"))
   }
 
+  /** (label, n_actual, n_predicted, n_correct, precision, recall, f1):
+    * per-label eval of the k-NN predictions — the confusion-matrix
+    * margins every classifier report needs, from exact count ratios
+    * (zero-denominator classes report NULL, a class predicted-but-
+    * never-correct reports 0.0). Label grid = actual ∪ predicted via
+    * one full-outer of two k-labels-sized rollups. */
+  def knnMetrics(preds: DataFrame): DataFrame = {
+    val ac = preds.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_actual"))
+    val pc = preds.groupBy(col("predicted_label").as("label"))
+      .agg(count(lit(1)).as("n_predicted"))
+    val cc = preds.filter(col("true_label") === col("predicted_label"))
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_correct"))
+    val p = col("n_correct").cast("double") / col("n_predicted")
+    val r = col("n_correct").cast("double") / col("n_actual")
+    ac.join(pc, Seq("label"), "full_outer")
+      .join(cc, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .select(col("label"), col("n_actual"), col("n_predicted"), col("n_correct"),
+        when(col("n_predicted") > 0, round(p, 6)).as("precision"),
+        when(col("n_actual") > 0, round(r, 6)).as("recall"),
+        when(col("n_correct") > 0, round(lit(2.0) * p * r / (p + r), 6))
+          .otherwise(when(col("n_actual") > 0 && col("n_predicted") > 0, lit(0.0)))
+          .as("f1"))
+  }
+
   /** [[knnClassify]] composed with the IVF coarse quantizer — the
     * 100 TB route the brute-force scaladoc promises. A k-means
     * quantizer (MLlib, fixed seed, sample-trained — same recipe as

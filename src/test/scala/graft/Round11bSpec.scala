@@ -228,6 +228,41 @@ class Round11bSpec extends AnyFunSuite {
     assert(nmi.getDouble(2) === 0.0) // MI exactly 0 under independence
   }
 
+  // ---- knn metrics ----
+
+  test("knnMetrics computes confusion margins with guards") {
+    import spark.implicits._
+    // preds: label 1 → 2 actual, 1 correct + 1 stolen by label 2;
+    // label 3 predicted once, never actual
+    val preds = Seq(
+      (10L, 1L, 1L, 3L), (11L, 1L, 2L, 3L), (12L, 2L, 2L, 3L), (13L, 2L, 3L, 3L))
+      .toDF("vec_id", "true_label", "predicted_label", "n_votes")
+    val got = graft.operators.Vectors.knnMetrics(preds).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(got(1L) === ((2L, 1L, 1L, Some(1.0), Some(0.5), Some(0.666667))))
+    assert(got(2L) === ((2L, 2L, 1L, Some(0.5), Some(0.5), Some(0.5))))
+    // label 3: predicted once, zero actual → recall NULL, f1 0.0
+    assert(got(3L) === ((0L, 1L, 0L, Some(0.0), None, None)))
+  }
+
+  // ---- rolling actives ----
+
+  test("rollingActives counts trailing-window distinct users") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val ev = Seq(
+      (1L, 1L, 0L * day), (2L, 2L, 0L * day),       // day 0: users 1,2
+      (3L, 1L, 3L * day),                           // day 3: user 1
+      (4L, 3L, 10L * day))                          // day 10: user 3
+      .toDF("event_id", "user_id", "ts")
+    val got = Relational.rollingActives(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // day 0: {1,2}; day 3 window (days -3..3 present: 0,3): {1,2};
+    // day 10 is past day 3 + 6 → only {3}
+    assert(got === Map(0L -> 2L, 3L -> 2L, 10L -> 1L))
+  }
+
   // ---- cross-modal ops ----
 
   test("modalityAgreement counts exact pair overlap") {
