@@ -364,4 +364,34 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.exists(_.contains("bucket")),
       s"counter fold must shuffle on (r, bucket):\n$p")
   }
+
+  test("filtered ANN: label predicate pushed to the embeddings scan, TakeOrdered ranking") {
+    val p = planString(graft.operators.Ann.filteredTopK(Tables.embeddings(spark, sf)))
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)")
+      || p.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+  }
+
+  test("rolling median: window-free explode-contribution plan") {
+    val df = Relational.rollingMedian(Tables.orders(spark, sf))
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.isEmpty, "rolling median must not plan a window (global-sort trap)")
+  }
+
+  test("rouge pairs: the tf join is pair-driven (no tf-tf self-join on term alone)") {
+    // the verify-join lesson encoded: the second tf join must carry
+    // doc_b in its key so cost is pair-scaled, never co-token-squared
+    import spark.implicits._
+    val docs = Seq((1L, "a1 b1"), (2L, "a1 c1")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val p = planString(graft.operators.TextAnalysis.rouge1Pairs(docs, pairs))
+    val joinKeys = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq ++
+      p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq ++
+      p.linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
+    assert(joinKeys.exists(l => l.contains("doc_b") && l.contains("term")),
+      s"tf-tf join must be keyed on (doc_b, term):\n$p")
+  }
 }
