@@ -841,6 +841,11 @@ object SparkEntry {
     // rolling 7-day distinct actives by day (WAU series)
     "q_rolling_actives" -> ((s, dir) =>
       Relational.rollingActives(Tables.events(s, dir))),
+    // t-closeness release audit (third leg after k-anon / l-div)
+    "q_t_closeness" -> ((s, dir) => Relational.tCloseness(Tables.events(s, dir))),
+    // balanced interleave of the lexical and dense runs (online eval)
+    "q_interleave" -> ((s, dir) =>
+      Hybrid.interleave(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -1986,6 +1991,48 @@ object SparkEntry {
          |        round(coalesce(1.0 / (60 + rb), 0) + coalesce(1.0 / (60 + rc), 0), 6) AS rrf
          |      FROM bmr FULL JOIN cr ON bmr.id = cr.id)
          |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // positions never collide across runs (parity), src = pos parity
+    "q_interleave" ->
+      s"""WITH $bm25Cte, $vecCte,
+         |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rb
+         |        FROM (SELECT doc_id AS id, score FROM scored
+         |              ORDER BY score DESC, doc_id ASC LIMIT ${Hybrid.FusionDepth}) tb),
+         |q0 AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |cosall AS (SELECT b.vec_id AS id,
+         |             round(list_sum(list_transform(range(1, len(q0.v) + 1), i -> q0.v[i] * b.v[i]))
+         |                   / (q0.nrm * b.nrm), 4) AS cos
+         |           FROM vn b, q0 WHERE b.vec_id != 0),
+         |cr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rc
+         |       FROM (SELECT id, cos FROM cosall
+         |             ORDER BY cos DESC, id ASC LIMIT ${Hybrid.FusionDepth}) tc),
+         |u AS (SELECT id AS doc_id, 2 * rb - 1 AS pos FROM bmr
+         |      UNION ALL SELECT id, 2 * rc FROM cr),
+         |m AS (SELECT doc_id, min(pos)::BIGINT AS pos FROM u GROUP BY 1)
+         |SELECT doc_id, pos,
+         |       CASE WHEN pos % 2 = 1 THEN 'lex' ELSE 'dense' END AS src
+         |FROM m ORDER BY pos ASC, doc_id ASC LIMIT 10""".stripMargin,
+    // tv folds over the class's own items; complement mass closed-form
+    "q_t_closeness" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |             user_id, json_extract_string(props, '$.k')::BIGINT AS item
+        |           FROM events),
+        |cls AS (SELECT event_type, day, item, count(*)::BIGINT AS n
+        |        FROM e GROUP BY 1, 2, 3),
+        |us AS (SELECT event_type, day, count(DISTINCT user_id)::BIGINT AS n_users
+        |       FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, day, sum(n)::BIGINT AS nc FROM cls GROUP BY 1, 2),
+        |gl AS (SELECT item, count(*)::BIGINT AS g FROM e GROUP BY 1),
+        |na AS (SELECT count(*)::BIGINT AS nn FROM e),
+        |ag AS (SELECT cls.event_type, cls.day, count(*)::BIGINT AS n_items,
+        |         sum(abs(cls.n::DOUBLE / tot.nc - gl.g::DOUBLE / na.nn)) AS s1,
+        |         sum(gl.g::DOUBLE / na.nn) AS s2
+        |       FROM cls JOIN tot ON cls.event_type = tot.event_type AND cls.day = tot.day
+        |                JOIN gl ON cls.item = gl.item, na
+        |       GROUP BY 1, 2)
+        |SELECT ag.event_type, ag.day, us.n_users, ag.n_items,
+        |       round(0.5 * (s1 + 1.0 - s2), 6) AS tv,
+        |       (us.n_users >= 5 AND 0.5 * (s1 + 1.0 - s2) <= 0.5) AS released
+        |FROM ag JOIN us ON ag.event_type = us.event_type AND ag.day = us.day""".stripMargin,
     "q_postings" ->
       s"""WITH $tfCte
          |SELECT term, count(*)::BIGINT AS df,

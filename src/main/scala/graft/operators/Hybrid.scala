@@ -117,6 +117,29 @@ object Hybrid {
             (col("m") * (col("m") * col("m") - 1)), 6)).as("rho"))
   }
 
+  /** (doc_id, pos, src): BALANCED INTERLEAVE of the lexical and dense
+    * runs — the online-eval primitive (which system's results do
+    * users click?) in its deterministic form: run A occupies odd
+    * positions by rank, run B even ones, a document in both keeps its
+    * earliest slot. Positions never collide across runs (parity), so
+    * src falls out of pos parity — no window, no re-rank: two
+    * depth-bounded TakeOrdered runs, a union, one min per doc. */
+  def interleave(docs: DataFrame, embeddings: DataFrame,
+                 queryVecId: Long = 0L, k: Int = 10,
+                 depth: Int = FusionDepth): DataFrame = {
+    val a = TopK.rankedTopN(Bm25.bm25Score(docs), "score", "doc_id", depth, "rb")
+      .select(col("doc_id").as("id"), (lit(2L) * col("rb") - 1).as("pos"))
+    val b = TopK.rankedTopN(Ann.cosineAll(embeddings, queryVecId), "cos", "vec_id", depth, "rc")
+      .select(col("vec_id").as("id"), (lit(2L) * col("rc")).as("pos"))
+    a.union(b)
+      .groupBy(col("id").as("doc_id"))
+      .agg(min(col("pos")).cast("long").as("pos"))
+      .select(col("doc_id"), col("pos"),
+        when(col("pos") % 2 === 1, lit("lex")).otherwise(lit("dense")).as("src"))
+      .orderBy(col("pos").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** (n_lexical, n_semantic, n_both, jaccard): MODALITY AGREEMENT
     * audit between the two near-dup detectors — the shingle-verified
     * lexical pairs vs the embedding-cosine semantic pairs (ids align

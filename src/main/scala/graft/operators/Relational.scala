@@ -1358,6 +1358,41 @@ object Relational {
         countDistinct("item").as("n_items"))
       .filter(col("n_users") >= k && col("n_items") >= l)
 
+  /** (event_type, day, n_users, n_items, tv, released): T-CLOSENESS
+    * audit — the third leg of the release-gate family after
+    * [[kAnonymize]] (class size) and [[lDiversity]] (sensitive-value
+    * count): per equivalence class, the TOTAL VARIATION distance
+    * between the class's sensitive-item distribution and the global
+    * one (the categorical EMD with unit ground distance), because a
+    * class can be k-anonymous AND l-diverse while still leaking via a
+    * badly skewed item mix. tv folds per class over ONLY the class's
+    * own items — the complement mass enters closed form as
+    * 1 − Σ_class p_global — so work is class-item-cardinality-scaled.
+    * `released` = n_users ≥ k AND tv ≤ t. */
+  def tCloseness(events: DataFrame, k: Int = 5, t: Double = 0.5): DataFrame = {
+    val e = events
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("day", expr("ts div 86400000000000"))
+    val cls = e.groupBy("event_type", "day", "item").agg(count(lit(1)).as("n"))
+    val users = e.groupBy("event_type", "day")
+      .agg(countDistinct("user_id").as("n_users"))
+    val tot = cls.groupBy("event_type", "day").agg(sum("n").as("nc"))
+    val glob = e.groupBy("item").agg(count(lit(1)).as("g"))
+    val nAll = e.agg(count(lit(1)).as("nn"))
+    cls.join(tot, Seq("event_type", "day"))
+      .join(glob, "item").crossJoin(broadcast(nAll))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_items"),
+        sum(abs(col("n").cast("double") / col("nc") -
+          col("g").cast("double") / col("nn"))).as("s1"),
+        sum(col("g").cast("double") / col("nn")).as("s2"))
+      .join(users, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n_users"), col("n_items"),
+        round(lit(0.5) * (col("s1") + lit(1.0) - col("s2")), 6).as("tv"),
+        (col("n_users") >= k &&
+          lit(0.5) * (col("s1") + lit(1.0) - col("s2")) <= t).as("released"))
+  }
+
   def kAnonymize(events: DataFrame, k: Int = 5): DataFrame =
     events
       .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))

@@ -228,6 +228,52 @@ class Round11bSpec extends AnyFunSuite {
     assert(nmi.getDouble(2) === 0.0) // MI exactly 0 under independence
   }
 
+  // ---- t-closeness ----
+
+  test("tCloseness scores skewed classes higher than representative ones") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // global items: {1: 4, 2: 4}; class A mirrors it (tv 0), class B
+    // holds only item 1 (tv = 0.5·(|1−0.5| + 0.5) = 0.5)
+    val ev = Seq(
+      (1L, 1L, 0L * day, "a", """{"k": 1}"""), (2L, 2L, 0L * day, "a", """{"k": 2}"""),
+      (3L, 3L, 0L * day, "a", """{"k": 1}"""), (4L, 4L, 0L * day, "a", """{"k": 2}"""),
+      (5L, 5L, 0L * day, "b", """{"k": 1}"""), (6L, 6L, 0L * day, "b", """{"k": 1}"""),
+      (7L, 7L, 0L * day, "b", """{"k": 2}"""), (8L, 8L, 0L * day, "b", """{"k": 2}"""))
+      .toDF("event_id", "user_id", "ts", "event_type", "props")
+    val got = Relational.tCloseness(ev, k = 2).collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(got("a") === ((4L, 2L, 0.0, true)))
+    assert(got("b") === ((4L, 2L, 0.0, true)))
+    // skew class c: only item 1, global becomes {1: 6, 2: 4}
+    val ev2 = ev.union(Seq(
+      (9L, 9L, 0L * day, "c", """{"k": 1}"""), (10L, 10L, 0L * day, "c", """{"k": 1}"""))
+      .toDF("event_id", "user_id", "ts", "event_type", "props"))
+    val got2 = Relational.tCloseness(ev2, k = 2).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toMap
+    // class c: p_cls(1)=1 vs p_g(1)=0.6 → tv = 0.5·(0.4 + 0.4) = 0.4
+    assert(got2("c") === 0.4)
+    assert(got2("a") < got2("c") && got2("b") < got2("c"))
+  }
+
+  // ---- balanced interleave ----
+
+  test("interleave alternates runs, dedups to the earliest slot") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val got = graft.operators.Hybrid.interleave(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length === 10)
+    // positions strictly increase and parity matches src
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    got.foreach { case (_, pos, src) =>
+      assert((pos % 2 == 1) == (src == "lex"), s"pos $pos src $src")
+    }
+    // no doc appears twice
+    assert(got.map(_._1).distinct.length === 10)
+  }
+
   // ---- knn metrics ----
 
   test("knnMetrics computes confusion margins with guards") {
