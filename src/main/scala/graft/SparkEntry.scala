@@ -846,6 +846,12 @@ object SparkEntry {
     // balanced interleave of the lexical and dense runs (online eval)
     "q_interleave" -> ((s, dir) =>
       Hybrid.interleave(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // support-0 (bridge-class) edges of the verified near-dup graph
+    "q_graph_bridges" -> ((s, dir) =>
+      Graph.bridgeEdges(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // 1-hop and 2-hop ego-network sizes per graph node
+    "q_ego_sizes" -> ((s, dir) =>
+      Graph.egoSizes(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column
@@ -4840,6 +4846,34 @@ object SparkEntry {
          |       WHERE ed.a IS NULL)
          |SELECT doc_a, doc_b, n_common, aa FROM nw
          |ORDER BY aa DESC, doc_a ASC, doc_b ASC LIMIT 10""".stripMargin,
+    // a support-0 edge closes no wedge into another edge
+    "q_graph_bridges" ->
+      s"""WITH $minhashCandCte,
+         |ed AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+         |         greatest(doc_a, doc_b) AS b FROM ver),
+         |nb AS (SELECT a AS node, b AS nbr FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |sup AS (SELECT DISTINCT x.node AS a, y.node AS b
+         |        FROM nb x JOIN nb y ON x.nbr = y.nbr AND x.node < y.node
+         |        WHERE EXISTS (SELECT 1 FROM ed WHERE ed.a = x.node AND ed.b = y.node))
+         |SELECT ed.a AS doc_a, ed.b AS doc_b FROM ed
+         |LEFT JOIN sup ON ed.a = sup.a AND ed.b = sup.b
+         |WHERE sup.a IS NULL""".stripMargin,
+    "q_ego_sizes" ->
+      s"""WITH $minhashCandCte,
+         |ed AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+         |         greatest(doc_a, doc_b) AS b FROM ver),
+         |nb AS (SELECT a AS node, b AS nbr FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |one AS (SELECT node, count(*)::BIGINT AS n_1hop FROM nb GROUP BY 1),
+         |r2 AS (SELECT x.node, y.nbr AS hop2
+         |       FROM nb x JOIN nb y ON x.nbr = y.node
+         |       WHERE y.nbr <> x.node),
+         |reach AS (SELECT node, count(DISTINCT nbr)::BIGINT AS n_2hop FROM (
+         |            SELECT node, hop2 AS nbr FROM r2
+         |            UNION SELECT node, nbr FROM nb) GROUP BY 1)
+         |SELECT one.node AS doc_id, one.n_1hop, reach.n_2hop
+         |FROM one JOIN reach ON one.node = reach.node""".stripMargin,
     // Jaccard link prediction: common / (deg(a) + deg(b) - common)
     "q_graph_jaccard" ->
       s"""WITH $minhashCanonCte,

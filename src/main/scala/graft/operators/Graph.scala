@@ -207,6 +207,56 @@ object Graph {
     ranks
   }
 
+  /** (doc_a, doc_b): BRIDGE-CLASS edges — edges of the near-dup graph
+    * closing no triangle (support 0, the 3-truss reject class in one
+    * shot): the links CONNECTING otherwise-unrelated clusters, which
+    * in a dedup graph are the suspicious pairs (real dup clusters are
+    * clique-y; a support-0 edge is either a chance LSH collision that
+    * survived verification or genuine cross-cluster syndication) —
+    * the review queue's highest-precision slice. One wedge join
+    * anti-joined back to the edge list; wedge-bounded like the
+    * triangle ops. */
+  def bridgeEdges(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    val nb = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+    // an (a, b) edge has support > 0 iff some w is adjacent to both
+    val supported = nb.as("x").join(nb.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .select(col("x.node").as("a"), col("y.node").as("b"))
+      .join(e, Seq("a", "b"), "left_semi")
+      .distinct()
+    e.join(supported, Seq("a", "b"), "left_anti")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+  }
+
+  /** (doc_id, n_1hop, n_2hop): EGO-NETWORK sizes — each node's direct
+    * neighborhood and its 2-hop closure (neighbors-of-neighbors,
+    * self and duplicates excluded): the local-reach profile that
+    * separates a node inside a tight clique (n_2hop ≈ n_1hop) from a
+    * gateway between clusters (n_2hop ≫ n_1hop). One adjacency
+    * self-join + two distinct rollups — wedge-bounded. */
+  def egoSizes(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    val nb = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+    val one = nb.groupBy("node").agg(count(lit(1)).as("n_1hop"))
+    // rename to avoid ambiguity: y keyed on its node column
+    val yk = nb.select(col("node").as("nbr2Key"), col("nbr").as("hop2"))
+    val reach = nb.join(yk, col("nbr") === col("nbr2Key"))
+      .filter(col("hop2") =!= col("node"))
+      .select(col("node"), col("hop2")).distinct()
+      .union(nb.select(col("node"), col("nbr")).distinct())
+      .distinct()
+      .groupBy("node").agg(count(lit(1)).as("n_2hop"))
+    one.join(reach, "node")
+      .select(col("node").as("doc_id"), col("n_1hop"), col("n_2hop"))
+  }
+
   /** (community, n_nodes, intra_edges, volume, contrib): MODULARITY
     * decomposition of the [[labelPropagation]] communities — per
     * community, its contribution e_c/m − (vol_c/2m)² to Newman's Q,

@@ -228,6 +228,28 @@ class Round11bSpec extends AnyFunSuite {
     assert(nmi.getDouble(2) === 0.0) // MI exactly 0 under independence
   }
 
+  // ---- bridges & ego sizes ----
+
+  test("bridgeEdges keeps only triangle-free edges") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a pendant edge 3-4 and a lone edge 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.bridgeEdges(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 4L), (5L, 6L)))
+  }
+
+  test("egoSizes separates clique members from gateways") {
+    import spark.implicits._
+    // path 1-2-3: node 2 reaches both ends in 1 hop; 1 and 3 reach
+    // the far end only at hop 2
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Graph.egoSizes(pairs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((1L, 2L)), 2L -> ((2L, 2L)), 3L -> ((1L, 2L))))
+  }
+
   // ---- t-closeness ----
 
   test("tCloseness scores skewed classes higher than representative ones") {
