@@ -301,6 +301,29 @@ object Probe {
         try spark.table("probe_docs_a").join(spark.table("probe_dl"), "doc_id").count()
         finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       }
+    } else if (args.headOption.contains("graph-r11")) {
+      // round-11 graph ops under 20x dup skew (run "scale" first):
+      // each text gains 20 exact copies → 20-cliques in the verified
+      // pair relation — the wedge-bounded ops' worst case (a 20-clique
+      // holds 1140 wedges); bfs frontiers grow with edge count only
+      val d = spark.read.parquet("/tmp/scale/documents.parquet")
+      val storePath = "/tmp/scale_r11_store"
+      val time = timed("SCALE") _
+      time("store_build") {
+        graft.operators.DedupStore.build(d, storePath); 1L
+      }
+      val ver = graft.operators.DedupStore.verifiedNearDups(spark, storePath)
+        .localCheckpoint()
+      val cand = graft.operators.DedupStore.candidates(spark, storePath)
+        .localCheckpoint()
+      time("ver_edges")(ver.count())
+      time("bfs_hops")(graft.operators.Graph.bfsHops(ver).count())
+      time("bridges")(graft.operators.Graph.bridgeEdges(ver).count())
+      time("ego_sizes")(graft.operators.Graph.egoSizes(ver).count())
+      time("ego_staged")(graft.operators.DedupStore.egoProfiles(spark, storePath).count())
+      time("graph_jaccard")(graft.operators.Graph.jaccardLinkPred(cand).count())
+      time("modularity")(graft.operators.Graph.modularity(ver, d).count())
+      time("ppr")(graft.operators.Graph.personalizedPagerankFrom(ver, d).count())
     } else if (args.headOption.contains("knn-probe")) {
       // quick re-measure on the staged 20x tables (run "scale" first)
       val e = spark.read.parquet("/tmp/scale/embeddings.parquet")

@@ -849,9 +849,11 @@ object SparkEntry {
     // support-0 (bridge-class) edges of the verified near-dup graph
     "q_graph_bridges" -> ((s, dir) =>
       Graph.bridgeEdges(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
-    // 1-hop and 2-hop ego-network sizes per graph node
+    // 1-hop and 2-hop ego-network sizes per graph node, served by
+    // copy-symmetry arithmetic on the rep graph (doc-level wedge
+    // enumeration stays as Graph.egoSizes; staged==live spec-gated)
     "q_ego_sizes" -> ((s, dir) =>
-      Graph.egoSizes(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+      DedupStore.egoProfiles(s, dedupStoreFor(s, dir))),
     // top-k session journeys (clickstream path analysis)
     "q_session_paths" -> ((s, dir) => Relational.sessionPaths(Tables.events(s, dir))),
     // language-ID confusion matrix vs the ground-truth lang column

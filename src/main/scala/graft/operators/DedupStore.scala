@@ -486,6 +486,58 @@ object DedupStore {
       .select(col("doc_id"), col("n_triangles"))
   }
 
+  /** [[graft.operators.Graph.egoSizes]] of the doc-level verified
+    * graph served from the store by copy-symmetry arithmetic: every
+    * copy of a rep has the same ego profile, so 1-hop reach is
+    * (within-clique co-copies when the rep is shingleable with m ≥ 2)
+    * + Σ members of neighbor reps, and 2-hop reach sums members over
+    * the rep-level distance-≤2 closure (co-copies re-enter at hop 2
+    * through any neighbor even when the clique itself has no within
+    * edges). All joins are REP-graph-sized — the doc-level wedge
+    * enumeration (20× probe: 15.8 s) never runs; output identical by
+    * construction (staged==live spec-gated, shared oracle). */
+  def egoProfiles(spark: SparkSession, path: String,
+                  threshold: Double = 0.8): DataFrame = {
+    requireThreshold(threshold)
+    val mem = membersWithM(spark, path)
+    val clsM = mem.groupBy("rep").agg(max("m").as("m"))
+      .join(reps(spark, path).select("rep", "shingleable"), Seq("rep"), "left")
+      .select(col("rep"), col("m"),
+        (coalesce(col("shingleable"), lit(false)) && col("m") >= 2).as("i"))
+      .localCheckpoint()
+    val e = repPairsAt(spark, path, threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    val dir = e.select(col("a").as("r"), col("b").as("s"))
+      .union(e.select(col("b").as("r"), col("a").as("s")))
+    val n1 = dir
+      .join(clsM.select(col("rep").as("s"), col("m").as("ms")), "s")
+      .groupBy("r").agg(sum("ms").as("n1sum"))
+    // rep-level distance-<=2 closure, self excluded
+    val reach2 = dir
+      .union(dir.as("d1").join(dir.as("d2"), col("d1.s") === col("d2.r"))
+        .select(col("d1.r").as("r"), col("d2.s").as("s")))
+      .filter(col("r") =!= col("s"))
+      .distinct()
+    val n2 = reach2
+      .join(clsM.select(col("rep").as("s"), col("m").as("ms")), "s")
+      .groupBy("r").agg(sum("ms").as("n2sum"))
+    val prof = clsM
+      .join(n1.select(col("r").as("rep"), col("n1sum")), Seq("rep"), "left")
+      .join(n2.select(col("r").as("rep"), col("n2sum")), Seq("rep"), "left")
+      .select(col("rep"),
+        (when(col("i"), col("m") - 1).otherwise(0L) +
+          coalesce(col("n1sum"), lit(0L))).cast("long").as("n_1hop"),
+        (when(col("i") || col("n1sum").isNotNull, col("m") - 1).otherwise(0L) +
+          coalesce(col("n2sum"), lit(0L))).cast("long").as("n_2hop"),
+        // a member is a graph node iff its clique has within edges or
+        // its rep has at least one neighbor
+        (col("i") || col("n1sum").isNotNull).as("inGraph"))
+    mem.join(prof.filter(col("inGraph")), Seq("rep"))
+      .select(col("doc_id"), col("n_1hop"), col("n_2hop"))
+  }
+
   /** [[graft.operators.Graph.clusteringCoef]] of the doc-level graph
     * served from the store by the same arithmetic. */
   def clusteringCoefs(spark: SparkSession, path: String,

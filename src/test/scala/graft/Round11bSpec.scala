@@ -250,6 +250,17 @@ class Round11bSpec extends AnyFunSuite {
     assert(got === Map(1L -> ((1L, 2L)), 2L -> ((2L, 2L)), 3L -> ((1L, 2L))))
   }
 
+  test("rep-level ego profiles equal the doc-level wedge enumeration on the gate corpus") {
+    val path = java.nio.file.Files.createTempDirectory("r11ego").toString + "/s"
+    graft.operators.DedupStore.build(Tables.documents(spark, sf), path)
+    val live = Graph.egoSizes(
+      graft.operators.DedupStore.verifiedNearDups(spark, path)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val staged = graft.operators.DedupStore.egoProfiles(spark, path).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(staged === live)
+  }
+
   // ---- t-closeness ----
 
   test("tCloseness scores skewed classes higher than representative ones") {
