@@ -849,6 +849,9 @@ object SparkEntry {
     // support-0 (bridge-class) edges of the verified near-dup graph
     "q_graph_bridges" -> ((s, dir) =>
       Graph.bridgeEdges(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // per-cluster diameter: blob (clique, d=1) vs drift chain (d>>1)
+    "q_cluster_diameter" -> ((s, dir) =>
+      Graph.clusterDiameters(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
     // 1-hop and 2-hop ego-network sizes per graph node, served by
     // copy-symmetry arithmetic on the rep graph (doc-level wedge
     // enumeration stays as Graph.egoSizes; staged==live spec-gated)
@@ -4848,6 +4851,26 @@ object SparkEntry {
          |       WHERE ed.a IS NULL)
          |SELECT doc_a, doc_b, n_common, aa FROM nw
          |ORDER BY aa DESC, doc_a ASC, doc_b ASC LIMIT 10""".stripMargin,
+    // hop-capped all-pairs closure via a depth-bounded recursive CTE,
+    // min distance per pair, max per component
+    "q_cluster_diameter" ->
+      s"""WITH RECURSIVE $minhashCandCte,
+         |ed AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+         |         greatest(doc_a, doc_b) AS b FROM ver),
+         |nb AS (SELECT a AS node, b AS nbr FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |r AS (
+         |  SELECT node AS x, nbr AS y, 1::BIGINT AS d FROM nb
+         |  UNION
+         |  SELECT r.x, nb.nbr AS y, r.d + 1 AS d
+         |  FROM r JOIN nb ON nb.node = r.y
+         |  WHERE r.d < 8 AND nb.nbr <> r.x),
+         |ap AS (SELECT x, y, min(d) AS d FROM r GROUP BY 1, 2),
+         |comp AS (SELECT x, least(x, min(y)) AS cluster_id FROM ap GROUP BY x)
+         |SELECT comp.cluster_id, count(DISTINCT ap.x)::BIGINT AS n_nodes,
+         |       max(ap.d)::BIGINT AS diameter
+         |FROM ap JOIN comp ON ap.x = comp.x
+         |GROUP BY 1""".stripMargin,
     // a support-0 edge closes no wedge into another edge
     "q_graph_bridges" ->
       s"""WITH $minhashCandCte,

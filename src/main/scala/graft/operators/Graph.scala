@@ -207,6 +207,49 @@ object Graph {
     ranks
   }
 
+  /** (cluster_id, n_nodes, diameter): per-component DIAMETER of the
+    * near-dup graph — the cluster SHAPE metric the size histogram
+    * can't see (a 10-doc clique, diameter 1, is one boilerplate blob;
+    * a 10-doc chain, diameter 9, is drift — A≈B≈C where A and C no
+    * longer match, the transitive-closure dedup failure mode).
+    * Frontier BFS from every node simultaneously, capped at `maxD`
+    * hops (distances beyond the cap saturate — real dup clusters are
+    * clique-y, so the cap is generous); per-round cost is
+    * Σ_components frontier-degree, i.e. within-component pair work,
+    * never cross-component. cluster_id = component min node. */
+  def clusterDiameters(pairs: DataFrame, maxD: Int = 8): DataFrame = {
+    require(maxD >= 1, s"maxD must be >= 1, got $maxD")
+    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+    val nb = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint()
+    var dist = nb.select(col("node").as("x"), col("nbr").as("y"))
+      .withColumn("d", lit(1L)).localCheckpoint()
+    var frontier = dist
+    var h = 2
+    var done = false
+    while (h <= maxD && !done) {
+      val next = frontier
+        .join(nb.select(col("node").as("y"), col("nbr").as("y2")), "y")
+        .filter(col("y2") =!= col("x"))
+        .select(col("x"), col("y2").as("y")).distinct()
+        .join(dist, Seq("x", "y"), "left_anti")
+        .withColumn("d", lit(h.toLong))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) dist = dist.union(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    val comp = dist.groupBy("x")
+      .agg(least(col("x"), min(col("y"))).as("cluster_id"))
+    dist.join(comp, "x")
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("x")).as("n_nodes"), max(col("d")).as("diameter"))
+  }
+
   /** (doc_a, doc_b): BRIDGE-CLASS edges — edges of the near-dup graph
     * closing no triangle (support 0, the 3-truss reject class in one
     * shot): the links CONNECTING otherwise-unrelated clusters, which

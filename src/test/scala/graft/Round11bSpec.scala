@@ -250,6 +250,16 @@ class Round11bSpec extends AnyFunSuite {
     assert(got === Map(1L -> ((1L, 2L)), 2L -> ((2L, 2L)), 3L -> ((1L, 2L))))
   }
 
+  test("clusterDiameters tells cliques from chains") {
+    import spark.implicits._
+    // triangle {1,2,3} (diameter 1), 4-chain 10-11-12-13 (diameter 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("doc_a", "doc_b")
+    val got = Graph.clusterDiameters(pairs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, 1L)), 10L -> ((4L, 3L))))
+  }
+
   test("rep-level ego profiles equal the doc-level wedge enumeration on the gate corpus") {
     val path = java.nio.file.Files.createTempDirectory("r11ego").toString + "/s"
     graft.operators.DedupStore.build(Tables.documents(spark, sf), path)
