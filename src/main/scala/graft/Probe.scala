@@ -319,6 +319,8 @@ object Probe {
       time("ver_edges")(ver.count())
       time("bfs_hops")(graft.operators.Graph.bfsHops(ver).count())
       time("bridges")(graft.operators.Graph.bridgeEdges(ver).count())
+      time("bridges_staged")(graft.operators.DedupStore.bridgeEdges(spark, storePath).count())
+      time("diameter_staged")(graft.operators.DedupStore.clusterDiameters(spark, storePath).count())
       time("ego_sizes")(graft.operators.Graph.egoSizes(ver).count())
       time("ego_staged")(graft.operators.DedupStore.egoProfiles(spark, storePath).count())
       time("graph_jaccard")(graft.operators.Graph.jaccardLinkPred(cand).count())

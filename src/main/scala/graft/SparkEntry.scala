@@ -846,12 +846,19 @@ object SparkEntry {
     // balanced interleave of the lexical and dense runs (online eval)
     "q_interleave" -> ((s, dir) =>
       Hybrid.interleave(Tables.documents(s, dir), Tables.embeddings(s, dir))),
-    // support-0 (bridge-class) edges of the verified near-dup graph
+    // support-0 (bridge-class) edges of the verified near-dup graph,
+    // served at edge-class level by copy symmetry (intra bridges are
+    // closed-form, cross bridges a rep-graph wedge join; the doc-level
+    // wedge enumeration stays as Graph.bridgeEdges, staged==live
+    // spec-gated)
     "q_graph_bridges" -> ((s, dir) =>
-      Graph.bridgeEdges(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
-    // per-cluster diameter: blob (clique, d=1) vs drift chain (d>>1)
+      DedupStore.bridgeEdges(s, dedupStoreFor(s, dir))),
+    // per-cluster diameter: blob (clique, d=1) vs drift chain (d>>1),
+    // BFS on the rep graph + closed-form copy expansion (doc-level
+    // all-sources BFS stays as Graph.clusterDiameters, staged==live
+    // spec-gated)
     "q_cluster_diameter" -> ((s, dir) =>
-      Graph.clusterDiameters(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+      DedupStore.clusterDiameters(s, dedupStoreFor(s, dir))),
     // 1-hop and 2-hop ego-network sizes per graph node, served by
     // copy-symmetry arithmetic on the rep graph (doc-level wedge
     // enumeration stays as Graph.egoSizes; staged==live spec-gated)

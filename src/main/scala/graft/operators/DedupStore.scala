@@ -538,6 +538,134 @@ object DedupStore {
       .select(col("doc_id"), col("n_1hop"), col("n_2hop"))
   }
 
+  /** [[graft.operators.Graph.clusterDiameters]] of the doc-level
+    * verified graph served from the store by copy symmetry: the BFS
+    * runs on the REP graph only (thousands of nodes at the 20×
+    * dup-skew probe vs ~1M expanded doc edges), and the expanded
+    * component profile is closed-form —
+    *
+    *   - cross-copy distance d(copy(r), copy(s)) = d_rep(r, s): a rep
+    *     path expands edge-for-edge to a doc path, and contracting
+    *     copies never lengthens one;
+    *   - co-copy distance is 1 whenever m ≥ 2: every in-graph rep is
+    *     shingleable (pairs need a shingle intersection), so its copy
+    *     group is a within-clique — which also means the ≥1 cross
+    *     distance already dominates, so only ISOLATED m ≥ 2 groups
+    *     contribute a diameter-1 component of their own;
+    *   - cluster_id(copy of r) = min doc_id over r's hop-capped reach
+    *     = min(r, min rep in R_maxD(r)), because the rep IS the min id
+    *     of its group — identical for every copy, so the id is a pure
+    *     rep-level function;
+    *   - n_nodes sums multiplicities over the reps sharing a cluster_id.
+    *
+    * Same hop cap (and therefore the same >maxD-radius fragmentation
+    * contract documented on the doc-level op); output identical to
+    * Graph.clusterDiameters(verifiedNearDups(...)) — shared oracle,
+    * staged==live spec-gated. */
+  def clusterDiameters(spark: SparkSession, path: String,
+                       threshold: Double = 0.8, maxD: Int = 8): DataFrame = {
+    require(maxD >= 1, s"maxD must be >= 1, got $maxD")
+    requireThreshold(threshold)
+    val mem = membersWithM(spark, path)
+    val clsM = mem.groupBy("rep").agg(max("m").as("m"))
+      .join(reps(spark, path).select("rep", "shingleable"), Seq("rep"), "left")
+      .select(col("rep"), col("m"),
+        (coalesce(col("shingleable"), lit(false)) && col("m") >= 2).as("i"))
+      .localCheckpoint()
+    val e = repPairsAt(spark, path, threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+    val nb = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint()
+    // hop-capped frontier BFS on the rep graph (Graph.clusterDiameters'
+    // loop, rep-sized): dist = every (x, y) rep pair within maxD hops
+    var dist = nb.select(col("node").as("x"), col("nbr").as("y"))
+      .withColumn("d", lit(1L)).localCheckpoint()
+    var frontier = dist
+    var h = 2
+    var done = false
+    while (h <= maxD && !done) {
+      val next = frontier
+        .join(nb.select(col("node").as("y"), col("nbr").as("y2")), "y")
+        .filter(col("y2") =!= col("x"))
+        .select(col("x"), col("y2").as("y")).distinct()
+        .join(dist, Seq("x", "y"), "left_anti")
+        .withColumn("d", lit(h.toLong))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) dist = dist.union(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    val reach = dist.groupBy("x")
+      .agg(least(col("x"), min(col("y"))).as("cluster_id"), max("d").as("maxd"))
+    val connected = clsM
+      .join(reach.select(col("x").as("rep"), col("cluster_id"), col("maxd")), Seq("rep"))
+      .select(col("rep"), col("m"), col("cluster_id"), col("maxd"))
+    // isolated within-cliques: no rep neighbor, all C(m,2) doc pairs
+    // at distance 1 — their own diameter-1 component
+    val isolated = clsM.filter(col("i"))
+      .join(reach.select(col("x").as("rep")), Seq("rep"), "left_anti")
+      .select(col("rep"), col("m"), col("rep").as("cluster_id"),
+        lit(1L).as("maxd"))
+    connected.unionByName(isolated)
+      .groupBy("cluster_id")
+      .agg(sum("m").as("n_nodes"), max("maxd").as("diameter"))
+  }
+
+  /** [[graft.operators.Graph.bridgeEdges]] of the doc-level verified
+    * graph served from the store by copy symmetry — the wedge work
+    * drops to the rep graph because multiplicity closes triangles in
+    * closed form:
+    *
+    *   - an intra-group edge (two copies of r) has support ≥ m−2 from
+    *     the other copies and ≥ Σ m_s from any rep neighbor, so it is
+    *     a bridge iff m = 2 AND r has no rep neighbor;
+    *   - a cross edge (copy of r, copy of s) gains support m_r−1 and
+    *     m_s−1 from co-copies, so it is a bridge iff m_r = m_s = 1 AND
+    *     (r, s) share no rep-level common neighbor — one rep-graph
+    *     wedge join instead of the doc-level Σ deg(w)² enumeration
+    *     that costs O(m³) per m-copy clique.
+    *
+    * Output identical to Graph.bridgeEdges(verifiedNearDups(...)) —
+    * shared oracle, staged==live spec-gated. */
+  def bridgeEdges(spark: SparkSession, path: String,
+                  threshold: Double = 0.8): DataFrame = {
+    requireThreshold(threshold)
+    val mem = membersWithM(spark, path)
+    val clsM = mem.groupBy("rep").agg(max("m").as("m"))
+    val e = repPairsAt(spark, path, threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct().localCheckpoint()
+    val dir = e.select(col("a").as("r"), col("b").as("s"))
+      .union(e.select(col("b").as("r"), col("a").as("s")))
+    // rep pairs sharing at least one rep-level neighbor
+    val wedged = dir.as("x").join(dir.as("y"),
+        col("x.s") === col("y.s") && col("x.r") < col("y.r"))
+      .select(col("x.r").as("a"), col("y.r").as("b"))
+      .join(e, Seq("a", "b"), "left_semi")
+      .distinct()
+    val m1 = clsM.filter(col("m") === 1)
+    val crossBridges = e
+      .join(wedged, Seq("a", "b"), "left_anti")
+      .join(m1.select(col("rep").as("a")), Seq("a"), "left_semi")
+      .join(m1.select(col("rep").as("b")), Seq("b"), "left_semi")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val endpoints = e.select(col("a").as("rep"))
+      .union(e.select(col("b").as("rep"))).distinct()
+    val intraBridges = clsM.filter(col("m") === 2)
+      .join(reps(spark, path).filter(col("shingleable")).select("rep"),
+        Seq("rep"), "left_semi")
+      .join(endpoints, Seq("rep"), "left_anti")
+      .join(mem.groupBy("rep")
+        .agg(min("doc_id").as("doc_a"), max("doc_id").as("doc_b")), Seq("rep"))
+      .select("doc_a", "doc_b")
+    crossBridges.unionByName(intraBridges)
+  }
+
   /** [[graft.operators.Graph.clusteringCoef]] of the doc-level graph
     * served from the store by the same arithmetic. */
   def clusteringCoefs(spark: SparkSession, path: String,

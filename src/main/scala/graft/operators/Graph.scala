@@ -216,7 +216,14 @@ object Graph {
     * hops (distances beyond the cap saturate — real dup clusters are
     * clique-y, so the cap is generous); per-round cost is
     * Σ_components frontier-degree, i.e. within-component pair work,
-    * never cross-component. cluster_id = component min node. */
+    * never cross-component. cluster_id = min node of each node's
+    * hop-capped REACHABLE set — equal to the component min only while
+    * the component's radius fits in `maxD`. A wider component (a
+    * drift chain longer than the cap) FRAGMENTS into several rows
+    * with overlapping n_nodes, all saturated at diameter = maxD; the
+    * saturation is the signal, the ids are not component ids there.
+    * (The oracle replays the identical cap, so the contract is the
+    * capped one on both sides.) */
   def clusterDiameters(pairs: DataFrame, maxD: Int = 8): DataFrame = {
     require(maxD >= 1, s"maxD must be >= 1, got $maxD")
     val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
@@ -555,17 +562,6 @@ object Graph {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("support"))
   }
 
-  /** (doc_id, degree): the `k`-CORE of the pair graph after `rounds`
-    * peeling iterations — repeatedly drop nodes of degree < k and the
-    * edges touching them; survivors are the densely inter-duplicated
-    * neighborhoods (a chain of pairwise near-dups peels away, a
-    * boilerplate clique stays — the "how entangled is this cluster"
-    * signal CC ids and degrees alone can't give). Each round is one
-    * edge-scaled degree aggregation + two semi-joins; `rounds` is a
-    * FIXED iteration budget so the operator is deterministic at any
-    * scale (the oracle unrolls the same rounds; convergence within
-    * the budget on the gate corpus is spec-asserted, the
-    * [[labelPropagation]] convention). Lineage is cut per round. */
   /** (doc_a, doc_b, n_common, jaccard): JACCARD-coefficient link
     * prediction over the candidate graph — |N(a)∩N(b)| / |N(a)∪N(b)|
     * for non-adjacent pairs, the set-overlap normalization of the raw
@@ -644,6 +640,17 @@ object Graph {
     dist.select(col("node").as("doc_id"), col("hops"))
   }
 
+  /** (doc_id, degree): the `k`-CORE of the pair graph after `rounds`
+    * peeling iterations — repeatedly drop nodes of degree < k and the
+    * edges touching them; survivors are the densely inter-duplicated
+    * neighborhoods (a chain of pairwise near-dups peels away, a
+    * boilerplate clique stays — the "how entangled is this cluster"
+    * signal CC ids and degrees alone can't give). Each round is one
+    * edge-scaled degree aggregation + two semi-joins; `rounds` is a
+    * FIXED iteration budget so the operator is deterministic at any
+    * scale (the oracle unrolls the same rounds; convergence within
+    * the budget on the gate corpus is spec-asserted, the
+    * [[labelPropagation]] convention). Lineage is cut per round. */
   def kcore(pairs: DataFrame, k: Int = 2, rounds: Int = 8): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got k=$k, rounds=$rounds")
     var e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),

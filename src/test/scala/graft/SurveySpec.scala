@@ -43,6 +43,17 @@ class SurveySpec extends AnyFunSuite {
       s"§2 rows naming unwired keys: ${phantom.toSeq.sorted.mkString(", ")}")
   }
 
+  test("§2 row ids are unique") {
+    val start = survey.indexOf("## §2")
+    val rest = survey.substring(start + 5)
+    val end = rest.indexOf("\n## ")
+    val body = if (end >= 0) rest.substring(0, end) else rest
+    val row = """(?m)^\|\s*([0-9a-z]+)\s*\|\s*`q_\w+`\s*\|""".r
+    val ids = row.findAllMatchIn(body).map(_.group(1)).toSeq
+    val dupes = ids.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate §2 row ids: ${dupes.toSeq.sorted.mkString(", ")}")
+  }
+
   test("the §2 header counts match the wired surface") {
     val hdr = """\((\d+) as of round \d+: (\d+) oracle \+\s*(\d+) rows-only\)""".r
     val m = hdr.findFirstMatchIn(survey)

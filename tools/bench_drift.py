@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Per-key bench-budget regression gate.
+
+Compares a fresh bench JSON (the one-line {"queries": {key: sec}}
+record Bench.scala prints and the driver stores as BENCH_r{N}.json /
+bench_out.json) against the committed prior-round baseline
+(tools/bench_baseline.json, refreshed each round from the DRIVER
+artifact, never from a best local pass).
+
+A key FAILS the gate when it regresses > 50% round-over-round AND the
+new time is above the jitter floor (0.3 s — sub-300ms keys swing with
+JVM/disk contention, not plan shape), unless tools/bench_allowlist.json
+carries a `key: "reason"` entry pointing at the SURVEY note that
+explains the regression. This is the check that would have caught
+q_dedup_embcos's three-round drift (0.8 -> 3.1 s) and q_knn_classify's
+creep (1.79 -> 1.84 -> 1.99) the round they started.
+
+Usage: python3 tools/bench_drift.py <new_bench.json> [<baseline.json>]
+Exit 0 = clean (or explained), 1 = unexplained regression.
+"""
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+JITTER_FLOOR_SEC = 0.3
+REGRESSION_RATIO = 1.5
+
+
+def load_queries(path):
+    with open(path) as f:
+        data = json.load(f)
+    return data.get("queries", data)
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    new = load_queries(sys.argv[1])
+    base_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(HERE, "bench_baseline.json")
+    base = load_queries(base_path)
+    allow_path = os.path.join(HERE, "bench_allowlist.json")
+    allow = json.load(open(allow_path)) if os.path.exists(allow_path) else {}
+
+    failures, explained, added, removed = [], [], [], []
+    for key, t_new in sorted(new.items()):
+        if key not in base:
+            added.append(key)
+            continue
+        t_old = base[key]
+        if t_old <= 0 or t_new <= JITTER_FLOOR_SEC:
+            continue
+        ratio = t_new / t_old
+        if ratio > REGRESSION_RATIO:
+            line = f"{key}: {t_old:.3f} -> {t_new:.3f} s ({ratio:.2f}x)"
+            if key in allow:
+                explained.append(f"{line} [allowlisted: {allow[key]}]")
+            else:
+                failures.append(line)
+    removed = sorted(set(base) - set(new))
+
+    if added:
+        print(f"new keys (no baseline yet): {len(added)}: {', '.join(added)}")
+    if removed:
+        print(f"keys gone from the bench: {', '.join(removed)}")
+    for line in explained:
+        print(f"EXPLAINED {line}")
+    for line in failures:
+        print(f"REGRESSED {line}")
+    if failures:
+        print(f"== {len(failures)} unexplained >50% regressions — add a SURVEY "
+              "note + tools/bench_allowlist.json entry, or fix the plan ==")
+        return 1
+    print(f"== bench drift clean: {len(new)} keys vs baseline {len(base)} ==")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
