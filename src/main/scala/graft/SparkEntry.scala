@@ -243,12 +243,29 @@ object SparkEntry {
     // offline build — the whole trained-ANN family now stages)
     "q_ann_ivf" -> ((s, dir) => PqIndex.searchIvfFlat(s, ivfIndexFor(s, dir))),
     // PQ/ADC served from the staged PqIndex (training is an offline
-    // build, cached per sf dir — the benched path is SERVING) ->
-    // rows-only (recall + staged==live spec-gated in AnnSpec)
+    // build, cached per sf dir — the benched path is SERVING); the
+    // deterministic integer-Lloyd's trainer makes the whole pipeline
+    // — training included — hash-checked via the pqCtes replay
     "q_ann_pq" -> ((s, dir) => PqIndex.searchTopK(s, pqIndexFor(s, dir))),
     // IVF+PQ composed (residual-encoded, per-probe ADC tables), same
-    // staged-serving split
+    // staged-serving split, same end-to-end replay
     "q_ann_ivfpq" -> ((s, dir) => PqIndex.searchIvfTopK(s, ivfPqIndexFor(s, dir))),
+    // stage the PQ index on the first 80% of vec_ids, incrementally
+    // ingest the rest ENCODED UNDER THE FROZEN CODEBOOKS (the
+    // add-to-trained-index contract — retraining is a rebuild), serve
+    // — the oracle replays training on the build cut and encoding of
+    // the full corpus
+    "q_pq_store_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = sys.props("java.io.tmpdir") + "/graft_pq_inc_" + dirTag(dir)
+      val maxRow = emb.agg(max(col("vec_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        "q_pq_store_incremental: embeddings table is empty — no ids to split on")
+      val cut = maxRow.getLong(0) * 4 / 5
+      PqIndex.build(emb.filter(col("vec_id") <= cut), path)
+      PqIndex.update(emb.filter(col("vec_id") > cut), path)
+      PqIndex.searchTopK(s, path)
+    }),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, Tables.documents(s, dir))
@@ -1586,6 +1603,136 @@ object SparkEntry {
        |WHERE b.vec_id != 0
        |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
 
+  /** Unrolled per-subspace exact-integer Lloyd's — the PQ trainer
+    * replay (Ann.pqFitCodebooksExact): all m subspaces train together
+    * keyed by j, seeds are the ksub lowest TRAIN vec_ids' subvectors,
+    * assignments are exact-BIGINT argmins (ties to the lower code),
+    * updates floor(Σ/n). `srcRel` must provide (vec_id[, list_id],
+    * `vcol` array<bigint> of length m·sub); `trainWhere` restricts the
+    * TRAINING rows (the incremental key trains on the build cut only)
+    * while encoding covers every row. Emits pv (slices), pc{iters}
+    * (final codebooks) and pcode (vec_id[, list_id], j, code). No
+    * leading WITH, no trailing comma. */
+  private def pqCtes(m: Int, sub: Int, ksub: Int, iters: Int,
+                     srcRel: String, vcol: String,
+                     trainWhere: String = "TRUE",
+                     carryListId: Boolean = false): String = {
+    val carry = if (carryListId) "list_id, " else ""
+    val sb = new StringBuilder
+    sb.append(
+      s"""pv AS (SELECT vec_id, ${carry}j, list_slice($vcol, j * $sub + 1, (j + 1) * $sub) AS sv
+         |       FROM $srcRel, unnest(generate_series(0, ${m - 1})) AS gj(j)),
+         |ptr AS (SELECT vec_id, j, sv FROM pv WHERE $trainWhere),
+         |sd AS (SELECT vec_id FROM $srcRel WHERE $trainWhere ORDER BY vec_id LIMIT $ksub),
+         |pc0 AS (SELECT j, (row_number() OVER (PARTITION BY j ORDER BY vec_id)) - 1 AS cid, sv AS cv
+         |        FROM ptr JOIN sd USING (vec_id)),""".stripMargin)
+    for (it <- 1 to iters) {
+      val cp = s"pc${it - 1}"
+      sb.append(
+        s"""
+           |pd$it AS (SELECT ptr.vec_id, ptr.j, ptr.sv, c.cid,
+           |          list_sum(list_transform(range(1, $sub + 1),
+           |                   i -> (ptr.sv[i] - c.cv[i]) * (ptr.sv[i] - c.cv[i]))) AS d2
+           |          FROM ptr JOIN $cp c ON ptr.j = c.j),
+           |pa$it AS (SELECT j, sv, cid FROM (
+           |            SELECT j, sv, cid,
+           |                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+           |            FROM pd$it) WHERE rn = 1),
+           |ps$it AS (SELECT j, cid, i, CAST(floor(sum(sv[i])::DOUBLE / count(*)) AS BIGINT) AS cm
+           |          FROM pa$it, unnest(generate_series(1, $sub)) AS t(i) GROUP BY j, cid, i),
+           |pc$it AS (SELECT p.j, p.cid, coalesce(u.cv, p.cv) AS cv
+           |          FROM $cp p LEFT JOIN (SELECT j, cid, list(cm ORDER BY i) AS cv
+           |                                FROM ps$it GROUP BY j, cid) u
+           |          ON p.j = u.j AND p.cid = u.cid),""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |pdf AS (SELECT pv.vec_id, ${carry}pv.j, c.cid,
+         |        list_sum(list_transform(range(1, $sub + 1),
+         |                 i -> (pv.sv[i] - c.cv[i]) * (pv.sv[i] - c.cv[i]))) AS d2
+         |        FROM pv JOIN pc$iters c ON pv.j = c.j),
+         |pcode AS (SELECT vec_id, ${carry}j, cid AS code FROM (
+         |            SELECT vec_id, ${carry}j, cid,
+         |                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+         |            FROM pdf) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  /** Full PQ replay (Ann.pqTopK / PqIndex.searchTopK): millis grid →
+    * per-subspace integer Lloyd's (training included) → codes → the
+    * query's exact-integer ADC table → nCandidates TakeOrdered →
+    * exact-cosine rerank. `trainWhere` parameterizes the incremental
+    * key (codebooks frozen at the build cut, everything encoded). */
+  private def pqOracleSql(m: Int, sub: Int, ksub: Int, iters: Int,
+                          nCandidates: Int, k: Int,
+                          trainWhere: String = "TRUE"): String =
+    s"""WITH $vecCte,
+       |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+       |      FROM embeddings WHERE embedding IS NOT NULL),
+       |${pqCtes(m, sub, ksub, iters, "q", "qv", trainWhere)},
+       |qsv AS (SELECT j, sv FROM pv WHERE vec_id = 0),
+       |adct AS (SELECT c.j, c.cid,
+       |         list_sum(list_transform(range(1, $sub + 1),
+       |                  i -> (qsv.sv[i] - c.cv[i]) * (qsv.sv[i] - c.cv[i]))) AS ad
+       |         FROM pc$iters c JOIN qsv ON c.j = qsv.j),
+       |adcs AS (SELECT pcode.vec_id, sum(ad)::BIGINT AS adc
+       |         FROM pcode JOIN adct ON pcode.j = adct.j AND pcode.code = adct.cid
+       |         WHERE pcode.vec_id != 0 GROUP BY 1),
+       |cand AS (SELECT vec_id, adc FROM adcs ORDER BY adc ASC, vec_id ASC LIMIT $nCandidates),
+       |qrow AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
+       |SELECT b.vec_id, cand.adc,
+       |       round(list_sum(list_transform(range(1, len(qrow.v) + 1),
+       |             i -> qrow.v[i] * b.v[i])) / (qrow.nrm * b.nrm), 4) AS cos
+       |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, qrow
+       |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
+
+  /** Full IVF+PQ replay (Ann.ivfPqTopK / PqIndex.searchIvfTopK): the
+    * unrolled coarse Lloyd's (kmeansCtes) re-derives centers and list
+    * assignments, residuals are exact BIGINT differences, the residual
+    * codebooks train via pqCtes, probes come from the quantizer's own
+    * exact metric, and each probed list scores against the table of
+    * the query's PER-LIST residual. Non-probed lists never join an
+    * ADC table — the probed-lists-only scan falls out of the join. */
+  private def ivfPqOracleSql(nLists: Int, iters: Int, nProbe: Int,
+                             m: Int, sub: Int, ksub: Int,
+                             nCandidates: Int, k: Int): String =
+    s"""WITH $vecCte,
+       |${kmeansCtes(nLists, iters)},
+       |asg AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |          FROM fd) WHERE rn = 1),
+       |res AS (SELECT q.vec_id, asg.cid AS list_id,
+       |               list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] - c.cv[i]) AS rv
+       |        FROM q JOIN asg ON q.vec_id = asg.vec_id JOIN c$iters c ON asg.cid = c.cid),
+       |${pqCtes(m, sub, ksub, iters, "res", "rv", "TRUE", carryListId = true)},
+       |qd AS (SELECT c.cid,
+       |              list_sum(list_transform(range(1, len(q0.qv) + 1),
+       |                       i -> (q0.qv[i] - c.cv[i]) * (q0.qv[i] - c.cv[i]))) AS d2
+       |       FROM c$iters c, (SELECT qv FROM q WHERE vec_id = 0) q0),
+       |pr AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT $nProbe),
+       |qres AS (SELECT pr.cid AS list_id,
+       |                list_transform(range(1, len(q0.qv) + 1), i -> q0.qv[i] - c.cv[i]) AS qrv
+       |         FROM pr JOIN c$iters c ON pr.cid = c.cid,
+       |              (SELECT qv FROM q WHERE vec_id = 0) q0),
+       |qsvl AS (SELECT list_id, j, list_slice(qrv, j * $sub + 1, (j + 1) * $sub) AS sv
+       |         FROM qres, unnest(generate_series(0, ${m - 1})) AS gj(j)),
+       |adct AS (SELECT qsvl.list_id, c.j, c.cid,
+       |         list_sum(list_transform(range(1, $sub + 1),
+       |                  i -> (qsvl.sv[i] - c.cv[i]) * (qsvl.sv[i] - c.cv[i]))) AS ad
+       |         FROM pc$iters c JOIN qsvl ON c.j = qsvl.j),
+       |adcs AS (SELECT pcode.vec_id, sum(ad)::BIGINT AS adc
+       |         FROM pcode JOIN adct ON pcode.list_id = adct.list_id
+       |                             AND pcode.j = adct.j AND pcode.code = adct.cid
+       |         WHERE pcode.vec_id != 0 GROUP BY 1),
+       |cand AS (SELECT vec_id, adc FROM adcs ORDER BY adc ASC, vec_id ASC LIMIT $nCandidates),
+       |qrow AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
+       |SELECT b.vec_id, cand.adc,
+       |       round(list_sum(list_transform(range(1, len(qrow.v) + 1),
+       |             i -> qrow.v[i] * b.v[i])) / (qrow.nrm * b.nrm), 4) AS cos
+       |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, qrow
+       |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
+
   /** Unrolled k-core peeling over the verified near-dup pair graph:
     * each round recomputes degrees over the surviving edge set and
     * drops nodes under k — the exact replay of Graph.kcore's fixed
@@ -2747,6 +2894,14 @@ object SparkEntry {
     // exact-integer Lloyd's chain re-trains the coarse centers in SQL,
     // then probes + rescores exactly as the staged serve does
     "q_ann_ivf" -> ivfExactOracleSql(16, 2, 4, 10),
+    // end-to-end PQ / IVF+PQ replays — training (per-subspace integer
+    // Lloyd's), encode, ADC scan and rerank all re-derived in SQL
+    "q_ann_pq" -> pqOracleSql(8, 8, 16, 2, 100, 10),
+    "q_ann_ivfpq" -> ivfPqOracleSql(16, 2, 4, 8, 8, 16, 100, 10),
+    // incremental PQ: codebooks FROZEN at the 80% build cut, every
+    // vector (old + new batch) encoded and served
+    "q_pq_store_incremental" -> pqOracleSql(8, 8, 16, 2, 100, 10,
+      trainWhere = "vec_id <= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
 
     // ---- Round-11 additions ----
     // BM25 grid sweep: same scoring CTE as q_bm25_score with (k1, b)

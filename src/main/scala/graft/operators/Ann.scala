@@ -303,85 +303,142 @@ object Ann {
   }
 
   // ---- shared PQ machinery (live paths here + the staged PqIndex) ----
+  // Everything below runs on the repo's exact integer-millis grid
+  // (SURVEY §6): coordinates quantize ONCE to floor(x·1000) BIGINT,
+  // every subspace distance is an exact integer sum of squared millis
+  // differences, and every trained centroid coordinate is
+  // floor(Σmillis/n) — one IEEE division of two exact integers. That
+  // makes the WHOLE pipeline (training included) bit-replayable in
+  // any engine, which is what promotes the staged PQ / IVF+PQ keys
+  // from rows-only to hash-checked (the q_ann_ivf precedent applied
+  // to the fine quantizer).
 
-  /** SQL literal for a double array: trained state ships as plan
-    * literals, never as shuffled relations. */
-  private[operators] def lit1d(a: Array[Double]): String =
-    "array(" + a.map(x => s"CAST($x AS DOUBLE)").mkString(",") + ")"
-  private[operators] def lit2d(cb: Array[Array[Double]]): String =
-    cb.map(lit1d).mkString("array(", ",", ")")
+  /** Embeddings on the exact integer-millis grid: (vec_id, qv
+    * array<bigint>). NULL embeddings are excluded — a missing vector
+    * encodes to nothing. */
+  private[operators] def millisVecs(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("qv"))
 
-  /** Per-subspace k-means codebooks fit on a deterministic sample of
-    * `srcCol` (array<double>, length m·sub). The sample bounds the
-    * fit at ksub×200 rows regardless of corpus size — training cost
-    * is corpus-size-independent. */
-  private[operators] def pqFitCodebooks(src: DataFrame, srcCol: String,
-      m: Int, sub: Int, ksub: Int, n: Long,
-      sampleSeed: Long, kmeansSeedBase: Long): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val frac = math.min(1.0, ksub * 200.0 / math.max(1L, n))
-    val fitBase = (if (frac < 1.0)
-      src.sample(withReplacement = false, frac, seed = sampleSeed) else src).cache()
-    val out: Array[Array[Array[Double]]] = (0 until m).map { j =>
-      val feats = fitBase.select(array_to_vector(
-        expr(s"slice($srcCol, ${j * sub + 1}, $sub)")).as("features"))
-      new KMeans().setK(ksub).setSeed(kmeansSeedBase + j).setMaxIter(3).fit(feats)
-        .clusterCenters.map(_.toArray)
-    }.toArray
-    fitBase.unpersist()
-    out
+  /** SQL literal for a BIGINT array / nested arrays: trained state
+    * ships as plan literals, never as shuffled relations. */
+  private[operators] def lit1dL(a: Array[Long]): String =
+    "array(" + a.map(x => s"${x}L").mkString(",") + ")"
+  private[operators] def lit2dL(cb: Array[Array[Long]]): String =
+    cb.map(lit1dL).mkString("array(", ",", ")")
+  private[operators] def lit3dL(cb: Array[Array[Array[Long]]]): String =
+    cb.map(lit2dL).mkString("array(", ",", ")")
+
+  /** Per-subspace codebooks by EXACT integer Lloyd's: seeds are the
+    * ksub lowest vec_ids' subvectors (in vec_id order — the oracle's
+    * ORDER BY vec_id LIMIT ksub), every assignment is an exact BIGINT
+    * argmin (ties to the lower code), every update floor(Σ/n). All m
+    * subspaces train TOGETHER: one (vec_id, j, sv) relation, one
+    * assignment map stage per iteration against the 3-d literal
+    * codebook, one (j, code, dim)-cell aggregate — the driver sync is
+    * m×ksub×sub integers, the k-means-sync shape. `src` must carry
+    * `srcCol`: array<bigint> of length m·sub. Empty codes keep their
+    * previous centroid (the [[Clustering]] convention). */
+  private[operators] def pqFitCodebooksExact(src: DataFrame, srcCol: String,
+      m: Int, sub: Int, ksub: Int, iters: Int): Array[Array[Array[Long]]] = {
+    require(ksub > 0 && iters >= 0, s"need ksub > 0, iters >= 0; got $ksub, $iters")
+    val sv = (0 until m).map { j =>
+      src.select(col("vec_id"), lit(j).as("j"),
+        expr(s"slice($srcCol, ${j * sub + 1}, $sub)").as("sv"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val seedIds = src.select("vec_id").orderBy("vec_id").limit(ksub)
+      .collect().map(_.getLong(0))
+    require(seedIds.nonEmpty, "PQ training needs at least one non-NULL vector")
+    val idRank = seedIds.zipWithIndex.toMap
+    var cb: Array[Array[Array[Long]]] = Array.ofDim[Array[Long]](m, seedIds.length)
+    sv.filter(col("vec_id").isin(seedIds.map(java.lang.Long.valueOf): _*))
+      .collect().foreach { r =>
+        cb(r.getInt(1))(idRank(r.getLong(0))) = r.getSeq[Long](2).toArray
+      }
+    for (_ <- 1 to iters) {
+      val sums = sv
+        .select(col("j"), pqAssignCol(cb, "sv").as("cid"),
+          posexplode(col("sv")).as(Seq("dim", "mm")))
+        .groupBy("j", "cid", "dim")
+        .agg(sum("mm").as("sm"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      cb = cb.zipWithIndex.map { case (cbj, j) =>
+        cbj.zipWithIndex.map { case (old, c) =>
+          if (!sums.contains((j, c, 0))) old // empty code: keep centroid
+          else old.indices.map { d =>
+            val (sm, n) = sums((j, c, d))
+            math.floor(sm.toDouble / n).toLong
+          }.toArray
+        }
+      }
+    }
+    cb
   }
 
-  /** Encode columns code0..code{m-1}: argmin centroid per subspace,
-    * ties to the lower index via the (dist, idx) struct min — a pure
-    * map stage over literal codebooks, zero shuffles. */
-  private[operators] def pqCodeCols(codebooks: Array[Array[Array[Double]]],
-      srcCol: String, m: Int, sub: Int, ksub: Int): Seq[Column] =
+  /** Exact-BIGINT argmin over the row's own subspace (`j` column
+    * selects the codebook), ties to the lower code via the (d, c)
+    * struct min. Squared-millis terms stay ≪ 2^63: |millis| ≤ ~10⁶
+    * per coordinate → ≤ 4·10¹²·sub per distance. */
+  private def pqAssignCol(cb: Array[Array[Array[Long]]], svCol: String): Column =
+    expr(
+      s"""array_min(transform(sequence(0, ${cb(0).length - 1}), c ->
+         |  struct(aggregate(zip_with($svCol, element_at(element_at(${lit3dL(cb)}, j + 1), c + 1),
+         |           (x, y) -> (x - y) * (x - y)),
+         |         CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
+         |         c AS c))).c""".stripMargin)
+
+  /** Encode columns code0..code{m-1}: exact-integer argmin centroid
+    * per subspace, ties to the lower index — a pure map stage over
+    * literal codebooks, zero shuffles. `srcCol`: array<bigint>. */
+  private[operators] def pqCodeColsExact(cb: Array[Array[Array[Long]]],
+      srcCol: String, m: Int, sub: Int): Seq[Column] =
     (0 until m).map { j =>
       expr(
-        s"""array_min(transform(sequence(0, ${ksub - 1}), c ->
+        s"""array_min(transform(sequence(0, ${cb(j).length - 1}), c ->
            |  struct(aggregate(zip_with(slice($srcCol, ${j * sub + 1}, $sub),
-           |           element_at(${lit2d(codebooks(j))}, c + 1),
+           |           element_at(${lit2dL(cb(j))}, c + 1),
            |           (x, y) -> (x - y) * (x - y)),
-           |         CAST(0 AS DOUBLE), (a, b) -> a + b) AS d,
+           |         CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
            |         c AS c))).c""".stripMargin).as(s"code$j")
     }
 
   /** Driver-computed m×ksub asymmetric-distance lookup table for a
-    * query (or query-residual) vector. */
-  private[operators] def pqAdcTable(q: Array[Double],
-      codebooks: Array[Array[Array[Double]]], m: Int, sub: Int): Array[Array[Double]] =
+    * query (or query-residual) millis vector — exact BIGINT. */
+  private[operators] def pqAdcTableExact(qm: Array[Long],
+      cb: Array[Array[Array[Long]]], m: Int, sub: Int): Array[Array[Long]] =
     (0 until m).map { j =>
-      codebooks(j).map { c =>
-        var s = 0.0; var i = 0
-        while (i < sub) { val d = q(j * sub + i) - c(i); s += d * d; i += 1 }
+      cb(j).map { c =>
+        var s = 0L; var i = 0
+        while (i < sub) { val d = qm(j * sub + i) - c(i); s += d * d; i += 1 }
         s
       }
     }.toArray
 
-  /** ADC score column: m literal-table lookups over code0..code{m-1}. */
-  private[operators] def pqAdcCol(table: Array[Array[Double]], m: Int): Column =
-    (0 until m).map(j => expr(s"element_at(${lit1d(table(j))}, code$j + 1)")).reduce(_ + _)
+  /** ADC score column: m literal-table lookups over code0..code{m-1},
+    * summed in BIGINT. */
+  private[operators] def pqAdcColExact(table: Array[Array[Long]], m: Int): Column =
+    (0 until m).map(j => expr(s"element_at(${lit1dL(table(j))}, code$j + 1)")).reduce(_ + _)
 
-  /** (vec_id, v, list_id, r): coarse-assignment output with the
-    * residual r = v − centroid(list). `transformed` is the KMeansModel
-    * transform of (vec_id, features); v is recovered from the features
-    * column itself (vector_to_array) so the encode stage stays a pure
-    * map — no corpus re-join, no shuffle. */
-  private[operators] def ivfAssignResiduals(transformed: DataFrame,
-      centers: Array[Array[Double]]): DataFrame =
-    transformed.select(col("vec_id"),
-        org.apache.spark.ml.functions.vector_to_array(col("features")).as("v"),
-        col("prediction").as("list_id"))
-      .withColumn("r", expr(
-        s"zip_with(v, element_at(${lit2d(centers)}, list_id + 1), (x, c) -> x - c)"))
-
-  /** The nProbe list ids nearest the query by centroid cosine. */
-  private[operators] def ivfProbesFor(q: Array[Double],
-      centers: Array[Array[Double]], nProbe: Int): Array[Int] =
-    centers.zipWithIndex.sortBy { case (c, _) => -cosineSim(c, q) }
-      .take(nProbe).map(_._2)
+  /** One map-only coarse assignment + residual against literal
+    * integer centers: list_id = exact argmin (ties low), rv = qv −
+    * center (exact BIGINT) — the residual-encode stage with zero
+    * shuffles and no corpus re-join. */
+  private[operators] def ivfAssignExact(mv: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val c2 = lit2dL(cents)
+    mv.withColumn("list_id", expr(
+        s"""array_min(transform(sequence(0, ${cents.length - 1}), c ->
+           |  struct(aggregate(zip_with(qv, element_at($c2, c + 1),
+           |           (x, y) -> (x - y) * (x - y)),
+           |         CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
+           |         c AS c))).c""".stripMargin))
+      .withColumn("rv",
+        expr(s"zip_with(qv, element_at($c2, list_id + 1), (x, c) -> x - c)"))
+  }
 
   /** The nProbe list ids nearest the query under the DETERMINISTIC
     * integer-millis quantizer's own metric (exact squared millis
@@ -389,15 +446,18 @@ object Ann {
     * [[Clustering.assignVectors]] runs, so probe selection and list
     * assignment replay identically in any engine). */
   private[operators] def ivfProbesForExact(q: Array[Double],
-      centers: Array[Array[Long]], nProbe: Int): Array[Int] = {
-    val qm = q.map(x => math.floor(x * 1000).toLong)
+      centers: Array[Array[Long]], nProbe: Int): Array[Int] =
+    ivfProbesForExactMillis(q.map(x => math.floor(x * 1000).toLong), centers, nProbe)
+
+  /** [[ivfProbesForExact]] with the query already on the millis grid. */
+  private[operators] def ivfProbesForExactMillis(qm: Array[Long],
+      centers: Array[Array[Long]], nProbe: Int): Array[Int] =
     centers.zipWithIndex
       .map { case (c, i) =>
         (c.indices.map { d => val diff = qm(d) - c(d); diff * diff }.sum, i)
       }
       .sortBy(identity)
       .take(nProbe).map(_._2)
-  }
 
   /** (vec_id, cos): flat-IVF top-k under the DETERMINISTIC
     * integer-grid coarse quantizer ([[Clustering.fit]]: seeded by the
@@ -425,15 +485,16 @@ object Ann {
   }
 
   /** Per-probed-list ADC dispatch: each probed list gets its own
-    * m×ksub table from the query's PER-LIST residual, selected by a
+    * m×ksub exact-integer table from the query's PER-LIST residual
+    * (query millis − list center millis, exact BIGINT), selected by a
     * literal list-keyed CASE. */
-  private[operators] def ivfAdcByList(q: Array[Double],
-      centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+  private[operators] def ivfAdcByListExact(qm: Array[Long],
+      centers: Array[Array[Long]], codebooks: Array[Array[Array[Long]]],
       probes: Array[Int], m: Int, sub: Int): Column =
     probes.map { list =>
-      val qres = q.indices.map(i => q(i) - centers(list)(i)).toArray
-      (col("list_id") === list, pqAdcCol(pqAdcTable(qres, codebooks, m, sub), m))
-    }.foldRight(lit(null).cast("double")) {
+      val qres = qm.indices.map(i => qm(i) - centers(list)(i)).toArray
+      (col("list_id") === list, pqAdcColExact(pqAdcTableExact(qres, codebooks, m, sub), m))
+    }.foldRight(lit(null).cast("bigint")) {
       case ((cond, e), acc) => when(cond, e).otherwise(acc)
     }
 
@@ -443,30 +504,34 @@ object Ann {
     * ([[hammingTopK]]): each `dim/m`-dim subspace of a vector collapses
     * to one byte code against a `ksub`-centroid codebook, so a 64-dim
     * float vector becomes m=8 bytes and query-time scoring never reads
-    * the float corpus. Codebooks are trained per subspace on a
-    * deterministic sample (MLlib k-means, fixed seeds — the
-    * [[ivfTopK]] recipe; driver sync = m×ksub×sub doubles, shipped as
-    * plan LITERALS). Encoding is a pure map stage (argmin centroid,
-    * ties to the lower index via the (dist, idx) struct min — zero
-    * shuffles); a query scores the corpus by ASYMMETRIC distance: an
-    * m×ksub lookup table computed once on the driver from the query
-    * vector, per-vector cost = m table lookups. The nCandidates
-    * smallest ADC distances are a TakeOrdered, and exact cosine
-    * reranks candidates only (the repo-wide candidates-first shape). */
+    * the float corpus. Codebooks are trained per subspace by the
+    * DETERMINISTIC exact-integer Lloyd's ([[pqFitCodebooksExact]]:
+    * millis grid, lowest-vec_id seeds, BIGINT argmin, floor-division
+    * updates — the [[ivfExactTopK]] recipe applied to the fine
+    * quantizer; driver sync = m×ksub×sub integers, shipped as plan
+    * LITERALS), so the whole operator — training included — replays
+    * relationally and the staged key is HASH-checked. Encoding is a
+    * pure map stage (argmin centroid, ties to the lower index via the
+    * (dist, idx) struct min — zero shuffles); a query scores the
+    * corpus by ASYMMETRIC distance: an m×ksub exact-integer lookup
+    * table computed once on the driver from the query vector,
+    * per-vector cost = m table lookups. The nCandidates smallest ADC
+    * distances are a TakeOrdered, and exact cosine reranks candidates
+    * only (the repo-wide candidates-first shape). */
   def pqTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
-             m: Int = 8, ksub: Int = 16, nCandidates: Int = 100): DataFrame = {
+             m: Int = 8, ksub: Int = 16, nCandidates: Int = 100,
+             iters: Int = 2): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim does not split into $m subspaces")
     val sub = dim / m
-    val v = doubleVecs(embeddings)
-    val n = v.count()
-    val codebooks = pqFitCodebooks(v, "v", m, sub, ksub, n,
-      sampleSeed = 7L, kmeansSeedBase = 42L)
-    val codes = v.select(col("vec_id") +: pqCodeCols(codebooks, "v", m, sub, ksub): _*)
-    val q = v.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
-    val table = pqAdcTable(q, codebooks, m, sub)
+    val mv = millisVecs(embeddings)
+    val codebooks = pqFitCodebooksExact(mv, "qv", m, sub, ksub, iters)
+    val codes = mv.select(col("vec_id") +: pqCodeColsExact(codebooks, "qv", m, sub): _*)
+    val qm = mv.filter(col("vec_id") === queryId).select("qv")
+      .head().getSeq[Long](0).toArray
+    val table = pqAdcTableExact(qm, codebooks, m, sub)
     val cand = codes.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(pqAdcCol(table, m), 6).as("adc"))
+      .select(col("vec_id"), pqAdcColExact(table, m).as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc).limit(nCandidates)
     // exact rerank inlined for the same single-reference reason as
     // hammingTopK: exactTopK's semi-join would re-evaluate the encode
@@ -525,55 +590,50 @@ object Ann {
   }
 
   /** (vec_id, adc, cos): IVF+PQ — the canonical billion-vector index
-    * shape, composing the two trained stages: a coarse k-means
-    * quantizer routes every vector to an inverted list ([[ivfTopK]]'s
-    * recipe), and PQ codebooks trained on the RESIDUALS (v − its list
-    * centroid — residuals concentrate near zero, so the same ksub
+    * shape, composing the two trained stages: a coarse quantizer
+    * routes every vector to an inverted list ([[ivfExactTopK]]'s
+    * deterministic integer Lloyd's — [[Clustering.fit]]), and PQ
+    * codebooks trained on the RESIDUALS (qv − its list centroid in
+    * exact millis — residuals concentrate near zero, so the same ksub
     * centroids quantize far more finely than on raw vectors) collapse
-    * each vector to m byte codes. A query probes the nProbe nearest
-    * lists only and scores each probed vector by asymmetric distance
-    * against the table of ITS list (query residual differs per list —
-    * nProbe driver-computed m×ksub tables dispatched by a literal
-    * list-keyed CASE). Scan cost per query = probed-lists fraction of
-    * the corpus × m lookups; candidates-first exact rerank as
-    * everywhere. All trained state (centroids, codebooks, tables)
-    * ships as plan literals — the scoring stage is a pure map +
-    * TakeOrdered, zero shuffles of the encoded corpus. */
+    * each vector to m byte codes. Every stage is exact-integer
+    * ([[pqFitCodebooksExact]]), so training + encode + probe + scan
+    * replay relationally and the staged key is HASH-checked. A query
+    * probes the nProbe nearest lists only (the quantizer's own exact
+    * metric, ties low) and scores each probed vector by asymmetric
+    * distance against the table of ITS list (query residual differs
+    * per list — nProbe driver-computed m×ksub tables dispatched by a
+    * literal list-keyed CASE). Scan cost per query = probed-lists
+    * fraction of the corpus × m lookups; candidates-first exact
+    * rerank as everywhere. All trained state (centroids, codebooks,
+    * tables) ships as plan literals — the scoring stage is a pure
+    * map + TakeOrdered, zero shuffles of the encoded corpus. */
   def ivfPqTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
                 nLists: Int = 16, nProbe: Int = 4,
-                m: Int = 8, ksub: Int = 16, nCandidates: Int = 100): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                m: Int = 8, ksub: Int = 16, nCandidates: Int = 100,
+                iters: Int = 2): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim does not split into $m subspaces")
     val sub = dim / m
-    val v = doubleVecs(embeddings)
-    val n = v.count()
-    // coarse quantizer: the ivfTopK recipe (sampled fit, one map-stage
-    // assignment over literal centroids via the model transform)
-    val feats = v.select(col("vec_id"), array_to_vector(col("v")).as("features"))
-    val cFrac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
-    val cFit = if (cFrac < 1.0) feats.sample(withReplacement = false, cFrac, seed = 7L) else feats
-    val coarse = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(cFit)
-    val centers: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
-    // residual = v − centroid(list), with v recovered from the
-    // transform output's OWN features column — re-joining the corpus
-    // relation here would shuffle the whole encode stage
-    val assigned = ivfAssignResiduals(coarse.transform(feats), centers)
-    // PQ codebooks on residual samples (deterministic), one per subspace
-    val codebooks = pqFitCodebooks(assigned, "r", m, sub, ksub, n,
-      sampleSeed = 9L, kmeansSeedBase = 71L)
+    // coarse quantizer: the deterministic integer Lloyd's, then one
+    // map-only assignment + residual against literal integer centers
+    val centers = Clustering.fit(embeddings, nLists, iters)
+    val mv = millisVecs(embeddings)
+    val assigned = ivfAssignExact(mv, centers)
+    // PQ codebooks on the exact-integer residuals, all subspaces at once
+    val codebooks = pqFitCodebooksExact(assigned, "rv", m, sub, ksub, iters)
     val codes = assigned.select(
-      col("vec_id") +: col("list_id") +: pqCodeCols(codebooks, "r", m, sub, ksub): _*)
-    // query: probe the nProbe nearest lists; one ADC table per probe
-    // from the query's PER-LIST residual
-    val q = v.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
-    val probes = ivfProbesFor(q, centers, nProbe)
-    val adcByList = ivfAdcByList(q, centers, codebooks, probes, m, sub)
+      col("vec_id") +: col("list_id") +: pqCodeColsExact(codebooks, "rv", m, sub): _*)
+    // query: probe the nProbe nearest lists under the quantizer's own
+    // exact metric; one ADC table per probe from the PER-LIST residual
+    val qm = mv.filter(col("vec_id") === queryId).select("qv")
+      .head().getSeq[Long](0).toArray
+    val probes = ivfProbesForExactMillis(qm, centers, nProbe)
+    val adcByList = ivfAdcByListExact(qm, centers, codebooks, probes, m, sub)
     val cand = codes
       .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(adcByList, 6).as("adc"))
+      .select(col("vec_id"), adcByList.as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc).limit(nCandidates)
     val e = withNorm(embeddings)
     val qn = e.filter(col("vec_id") === queryId)

@@ -7,33 +7,39 @@ import graft.sources.DeltaStore
 
 /** Staged product-quantization index — the TRAINED-ANN sibling of
   * [[AnnIndex]] (which stages the training-free LSH family). PQ and
-  * IVF+PQ pay a real training cost (sampled k-means codebooks, coarse
+  * IVF+PQ pay a real training cost (per-subspace codebooks, coarse
   * quantizer); that cost belongs in an offline index build, not in
   * every query. `build`/`buildIvf` run the exact [[Ann.pqTopK]] /
-  * [[Ann.ivfPqTopK]] training+encode recipe once (same samples, same
-  * seeds) and commit the artifacts as one [[DeltaStore]] delta:
+  * [[Ann.ivfPqTopK]] training+encode recipe once — the DETERMINISTIC
+  * integer Lloyd's on the millis grid ([[Ann.pqFitCodebooksExact]] /
+  * [[Clustering.fit]]), so the ENTIRE index (training included)
+  * replays relationally and both staged keys are hash-checked, the
+  * [[buildIvfFlat]] precedent extended to the fine quantizer — and
+  * commit the artifacts as one [[DeltaStore]] delta:
   *
-  *   <path>/delta-00000/codebooks (j, c, center)    — m×ksub rows, ~KB
-  *   <path>/delta-00000/centers   (list_id, center) — IVF coarse (ivf only)
+  *   <path>/delta-00000/codebooks (j, c, center BIGINT) — m×ksub rows
+  *   <path>/delta-00000/centers   (list_id, center BIGINT) — IVF coarse
   *   <path>/delta-00000/codes     (vec_id[, list_id], code0..code{m-1})
   *   <path>/delta-00000/vectors   (vec_id, v, nrm)  — exact-rerank store
   *   <path>/delta-00000/pq.params — loud layout/param guard
   *
   * Serving loads codebooks/centers into driver literals (bounded:
-  * m×ksub×(dim/m) + nLists×dim doubles — the k-means-sync collect
-  * shape), builds the query's ADC table(s) on the driver, and scores
-  * the codes relation with a pure map + TakeOrdered + candidates-only
-  * exact rerank — zero shuffles of the encoded corpus and ZERO
-  * training at query time. Staged == live is spec-pinned: because the
-  * build trains with the live operators' recipe on the same data, the
-  * staged search returns the SAME rows [[Ann.pqTopK]]/[[Ann.ivfPqTopK]]
-  * return.
+  * m×ksub×(dim/m) + nLists×dim integers — the k-means-sync collect
+  * shape), builds the query's exact-integer ADC table(s) on the
+  * driver, and scores the codes relation with a pure map +
+  * TakeOrdered + candidates-only exact rerank — zero shuffles of the
+  * encoded corpus and ZERO training at query time. Staged == live is
+  * spec-pinned AND oracle-pinned: the build trains with the live
+  * operators' recipe on the same data, and the DuckDB oracle
+  * re-derives codebooks, codes, ADC tables and the rescore from
+  * scratch.
   *
   * Codebooks are train-once/frozen (the standard add-to-trained-index
-  * contract): a new batch would encode against the STORED codebooks
-  * and land as another delta; codebook drift is a rebuild, by design.
-  * The incremental-NATIVE family (no trained state to drift) is
-  * [[AnnIndex]] — that split is the index-maintenance story.
+  * contract): [[update]] encodes a new batch against the STORED
+  * codebooks and lands it as another delta; codebook drift is a
+  * rebuild, by design. The incremental-NATIVE family (no trained
+  * state to drift) is [[AnnIndex]] — that split is the
+  * index-maintenance story.
   *
   * Reference anchor: serves the reference's batch scoring loop
   * (BatchBM25PreMain.java:140-247's score-then-rank shape) on the
@@ -42,22 +48,21 @@ import graft.sources.DeltaStore
   */
 object PqIndex {
 
-  /** Build the PQ store: train codebooks ([[Ann.pqTopK]] recipe —
-    * sample seed 7, k-means seeds 42+j), encode the corpus, commit. */
+  /** Build the PQ store: train codebooks ([[Ann.pqTopK]] recipe — the
+    * exact integer Lloyd's, lowest-vec_id seeds), encode the corpus,
+    * commit. */
   def build(embeddings: DataFrame, path: String,
-            m: Int = 8, ksub: Int = 16): Unit = {
+            m: Int = 8, ksub: Int = 16, iters: Int = 2): Unit = {
     val spark = embeddings.sparkSession
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim does not split into $m subspaces")
     val sub = dim / m
-    val v = Ann.doubleVecs(embeddings)
-    val n = v.count()
-    val codebooks = Ann.pqFitCodebooks(v, "v", m, sub, ksub, n,
-      sampleSeed = 7L, kmeansSeedBase = 42L)
+    val mv = Ann.millisVecs(embeddings)
+    val codebooks = Ann.pqFitCodebooksExact(mv, "qv", m, sub, ksub, iters)
     DeltaStore.reset(spark, path)
-    DeltaStore.commit(spark, path, "00000", None) { staging =>
+    DeltaStore.commit(spark, path, "00000", rangeOf(embeddings)) { staging =>
       writeCodebooks(spark, codebooks, s"$staging/codebooks")
-      v.select(col("vec_id") +: Ann.pqCodeCols(codebooks, "v", m, sub, ksub): _*)
+      mv.select(col("vec_id") +: Ann.pqCodeColsExact(codebooks, "qv", m, sub): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/codes")
       Ann.withNorm(embeddings)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
@@ -65,33 +70,58 @@ object PqIndex {
     }
   }
 
-  /** Build the IVF+PQ store: coarse quantizer + residual codebooks
-    * ([[Ann.ivfPqTopK]] recipe — seeds 7/42 coarse, 9/71+j residual),
-    * encode, commit. */
+  /** Ingest a vector batch into an existing PQ store: encode the new
+    * vectors under the FROZEN stored codebooks (the production
+    * add-to-trained-index contract — retraining is a rebuild) and
+    * append one delta. Idempotent per `tag`; re-ingesting an existing
+    * vec_id is rejected loudly. Ids need not be monotone — nothing in
+    * the PQ layout is min-id-keyed. */
+  def update(newEmbeddings: DataFrame, path: String,
+             tag: String = java.util.UUID.randomUUID().toString): Unit = {
+    val spark = newEmbeddings.sparkSession
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
+    val (codebooks, _, _, _) = load(spark, path, "pq")
+    val m = codebooks.length; val sub = codebooks(0)(0).length
+    val dimStored = m * sub
+    val dim = newEmbeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim == dimStored,
+      s"batch dim $dim != stored dim $dimStored — not the same vector space")
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    val (batchEmpty, batchLo, batchHi) = DeltaStore.batchRange(newEmbeddings, "vec_id")
+    if (!batchEmpty) {
+      DeltaStore.rejectDuplicateIds(spark,
+        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, batchLo, batchHi),
+        "codes", "vec_id", newEmbeddings, "PQ index")
+    }
+    val mv = Ann.millisVecs(newEmbeddings)
+    val range = if (batchLo <= batchHi) Some((batchLo, batchHi)) else None
+    DeltaStore.commit(spark, path, tag, range) { staging =>
+      mv.select(col("vec_id") +: Ann.pqCodeColsExact(codebooks, "qv", m, sub): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/codes")
+      Ann.withNorm(newEmbeddings)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
+    }
+  }
+
+  /** Build the IVF+PQ store: integer-Lloyd's coarse quantizer
+    * ([[Clustering.fit]]) + residual codebooks ([[Ann.ivfPqTopK]]
+    * recipe), encode, commit. */
   def buildIvf(embeddings: DataFrame, path: String,
-               nLists: Int = 16, m: Int = 8, ksub: Int = 16): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+               nLists: Int = 16, m: Int = 8, ksub: Int = 16,
+               iters: Int = 2): Unit = {
     val spark = embeddings.sparkSession
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim does not split into $m subspaces")
     val sub = dim / m
-    val v = Ann.doubleVecs(embeddings)
-    val n = v.count()
-    val feats = v.select(col("vec_id"), array_to_vector(col("v")).as("features"))
-    val cFrac = math.min(1.0, nLists * 200.0 / math.max(1L, n))
-    val cFit = if (cFrac < 1.0) feats.sample(withReplacement = false, cFrac, seed = 7L) else feats
-    val coarse = new KMeans().setK(nLists).setSeed(42L).setMaxIter(3).fit(cFit)
-    val centers = coarse.clusterCenters.map(_.toArray)
-    val assigned = Ann.ivfAssignResiduals(coarse.transform(feats), centers)
-    val codebooks = Ann.pqFitCodebooks(assigned, "r", m, sub, ksub, n,
-      sampleSeed = 9L, kmeansSeedBase = 71L)
+    val centers = Clustering.fit(embeddings, nLists, iters)
+    val assigned = Ann.ivfAssignExact(Ann.millisVecs(embeddings), centers)
+    val codebooks = Ann.pqFitCodebooksExact(assigned, "rv", m, sub, ksub, iters)
     DeltaStore.reset(spark, path)
-    DeltaStore.commit(spark, path, "00000", None) { staging =>
+    DeltaStore.commit(spark, path, "00000", rangeOf(embeddings)) { staging =>
       writeCodebooks(spark, codebooks, s"$staging/codebooks")
-      writeCenters(spark, centers, s"$staging/centers")
+      writeCentersLong(spark, centers, s"$staging/centers")
       assigned.select(col("vec_id") +: col("list_id") +:
-          Ann.pqCodeCols(codebooks, "r", m, sub, ksub): _*)
+          Ann.pqCodeColsExact(codebooks, "rv", m, sub): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/codes")
       Ann.withNorm(embeddings)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
@@ -155,18 +185,21 @@ object PqIndex {
   }
 
   /** (vec_id, adc, cos): serve a PQ top-k from the staged store —
-    * matches [[Ann.pqTopK]] on the same data exactly. Query-time work:
-    * one bounded codebook collect, one pushed-down single-row vector
-    * read, a map-stage ADC scan of the codes relation, TakeOrdered
-    * candidates, exact rerank on candidates only. */
+    * matches [[Ann.pqTopK]] on the same data exactly (adc = exact
+    * BIGINT asymmetric distance in milli-units²). Query-time work: one
+    * bounded codebook collect, one pushed-down single-row vector read,
+    * a map-stage ADC scan of the codes relation, TakeOrdered
+    * candidates, exact rerank on candidates only. Reads EVERY
+    * committed delta — incrementally ingested batches serve with no
+    * compaction step. */
   def searchTopK(spark: SparkSession, path: String, queryId: Long = 0L,
                  k: Int = 10, nCandidates: Int = 100): DataFrame = {
     val (codebooks, _, vectors, codes) = load(spark, path, "pq")
     val m = codebooks.length; val sub = codebooks(0)(0).length
-    val q = queryVec(vectors, queryId)
-    val table = Ann.pqAdcTable(q, codebooks, m, sub)
+    val qm = queryMillis(vectors, queryId)
+    val table = Ann.pqAdcTableExact(qm, codebooks, m, sub)
     val cand = codes.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(Ann.pqAdcCol(table, m), 6).as("adc"))
+      .select(col("vec_id"), Ann.pqAdcColExact(table, m).as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc).limit(nCandidates)
     rerank(vectors, cand, queryId, k)
   }
@@ -179,21 +212,26 @@ object PqIndex {
                     nCandidates: Int = 100): DataFrame = {
     val (codebooks, centers, vectors, codes) = load(spark, path, "ivfpq")
     val m = codebooks.length; val sub = codebooks(0)(0).length
-    val q = queryVec(vectors, queryId)
-    val probes = Ann.ivfProbesFor(q, centers, nProbe)
-    val adcByList = Ann.ivfAdcByList(q, centers, codebooks, probes, m, sub)
+    val qm = queryMillis(vectors, queryId)
+    val probes = Ann.ivfProbesForExactMillis(qm, centers, nProbe)
+    val adcByList = Ann.ivfAdcByListExact(qm, centers, codebooks, probes, m, sub)
     val cand = codes
       .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(adcByList, 6).as("adc"))
+      .select(col("vec_id"), adcByList.as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc).limit(nCandidates)
     rerank(vectors, cand, queryId, k)
   }
 
   // ---- store plumbing ----
 
+  private def rangeOf(embeddings: DataFrame): Option[(Long, Long)] = {
+    val (empty, lo, hi) = DeltaStore.batchRange(embeddings, "vec_id")
+    if (empty) None else Some((lo, hi))
+  }
+
   private def writeCodebooks(spark: SparkSession,
-      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+      codebooks: Array[Array[Array[Long]]], path: String): Unit = {
     import spark.implicits._
     codebooks.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (center, c) => (j, c, center.toSeq) }
@@ -201,17 +239,9 @@ object PqIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  private def writeCenters(spark: SparkSession,
-      centers: Array[Array[Double]], path: String): Unit = {
-    import spark.implicits._
-    centers.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
-      .toDF("list_id", "center")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
-  }
-
-  /** Exact-millis (BIGINT) centers — the deterministic flat-IVF
-    * quantizer's artifact (lossless, so the oracle re-derives the
-    * identical table). */
+  /** Exact-millis (BIGINT) centers — the deterministic quantizer's
+    * artifact (lossless, so the oracle re-derives the identical
+    * table). */
   private def writeCentersLong(spark: SparkSession,
       centers: Array[Array[Long]], path: String): Unit = {
     import spark.implicits._
@@ -231,17 +261,22 @@ object PqIndex {
     try out.write(params.getBytes("UTF-8")) finally out.close()
   }
 
-  /** First committed delta, with a loud kind check against the
-    * pq.params sidecar. Single-delta store by construction (build
-    * resets), so the first committed delta IS the index. */
+  /** The BUILD delta — the unique delta carrying the pq.params
+    * sidecar and the trained state (build resets the store, so there
+    * is exactly one); update deltas carry codes/vectors only. Kind is
+    * checked loudly against the sidecar. */
   private def firstDelta(spark: SparkSession, path: String,
                          expectKind: String): String = {
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    val d = deltas.head
     val fs = DeltaStore.fsOf(spark, path)
+    val withParams = deltas.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(d, "pq.params")))
+    require(withParams.size == 1,
+      s"expected exactly one build delta (pq.params) under $path, " +
+        s"found ${withParams.size} — not a staged vector index")
+    val d = withParams.head
     val pp = new org.apache.hadoop.fs.Path(d, "pq.params")
-    require(fs.exists(pp), s"$d has no pq.params — not a staged vector index")
     val in = fs.open(pp)
     val params = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                  finally in.close()
@@ -250,32 +285,36 @@ object PqIndex {
     d
   }
 
-  /** Bounded collect of the nLists coarse centers. */
-  private def readCenters(spark: SparkSession, delta: String): Array[Array[Double]] =
-    spark.read.parquet(s"$delta/centers").select("list_id", "center").collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-
-  /** Load the trained PQ state (bounded collects: m×ksub codebook
-    * rows, nLists center rows — the k-means-sync shape) and open the
-    * codes/vectors relations. */
+  /** Load the trained PQ state from the BUILD delta (bounded collects:
+    * m×ksub codebook rows, nLists center rows — the k-means-sync
+    * shape) and open the codes/vectors relations across ALL committed
+    * deltas (build + incremental ingests). */
   private def load(spark: SparkSession, path: String, expectKind: String)
-      : (Array[Array[Array[Double]]], Array[Array[Double]], DataFrame, DataFrame) = {
+      : (Array[Array[Array[Long]]], Array[Array[Long]], DataFrame, DataFrame) = {
     val d = firstDelta(spark, path, expectKind)
     val cbRows = spark.read.parquet(s"$d/codebooks")
       .select("j", "c", "center").collect()
     val m = cbRows.map(_.getInt(0)).max + 1
     val ksub = cbRows.map(_.getInt(1)).max + 1
-    val codebooks = Array.ofDim[Array[Double]](m, ksub)
-    cbRows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-    val centers: Array[Array[Double]] =
-      if (expectKind == "ivfpq") readCenters(spark, d) else Array.empty
-    (codebooks, centers, spark.read.parquet(s"$d/vectors"),
-      spark.read.parquet(s"$d/codes"))
+    val codebooks = Array.ofDim[Array[Long]](m, ksub)
+    cbRows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    val centers: Array[Array[Long]] =
+      if (expectKind == "ivfpq") readCentersLong(spark, d) else Array.empty
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    (codebooks, centers,
+      spark.read.parquet(deltas.map(x => s"$x/vectors"): _*),
+      spark.read.parquet(deltas.map(x => s"$x/codes"): _*))
   }
 
   private def queryVec(vectors: DataFrame, queryId: Long): Array[Double] =
     vectors.filter(col("vec_id") === queryId)
       .select("v").head().getSeq[Double](0).toArray
+
+  /** The query on the exact millis grid, derived from the stored
+    * double view (v = exact double of the float input, so
+    * floor(v·1000) is bit-identical to the encode-side expression). */
+  private def queryMillis(vectors: DataFrame, queryId: Long): Array[Long] =
+    queryVec(vectors, queryId).map(x => math.floor(x * 1000).toLong)
 
   /** Candidates-only exact rerank against the staged vector store —
     * the [[Ann]] scoring contract (round(cos,4), cos desc / vec_id asc). */

@@ -108,7 +108,7 @@ class AnnSpec extends AnyFunSuite {
     val rows = Ann.pqTopK(emb, 0L, 10).collect()
     assert(rows.length == 10)
     assert(rows.forall(_.getLong(0) != 0L))
-    assert(rows.forall(_.getDouble(1) >= 0.0)) // ADC is a squared distance
+    assert(rows.forall(_.getLong(1) >= 0L)) // ADC is an exact squared distance
     val scores = rows.map(_.getDouble(2))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
@@ -124,7 +124,7 @@ class AnnSpec extends AnyFunSuite {
     val rows = Ann.ivfPqTopK(emb, 0L, 10).collect()
     assert(rows.length == 10)
     assert(rows.forall(_.getLong(0) != 0L))
-    assert(rows.forall(_.getDouble(1) >= 0.0))
+    assert(rows.forall(_.getLong(1) >= 0L))
     val exact = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val recall = exact.count(rows.map(_.getLong(0)).toSet.contains).toDouble / exact.size
     assert(recall >= 0.3, s"IVFPQ recall $recall")

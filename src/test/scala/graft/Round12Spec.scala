@@ -87,6 +87,67 @@ class Round12Spec extends AnyFunSuite {
       Set(1L, 2L, 3L).contains(p._2)))
   }
 
+  // ---- incremental PQ index (frozen-codebook ingest) ----
+
+  test("PQ update encodes new vectors under frozen codebooks and serves them") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("r12pq").toString + "/idx"
+    val maxId = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .collect()(0).getLong(0)
+    // build WITHOUT the query's exact twin, then ingest a byte-copy of
+    // vector 0 under a fresh id: the served top-1 must become the new
+    // vector at cos 1.0 — new rows are first-class, codebooks untouched
+    val q0 = emb.filter($"vec_id" === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    graft.operators.PqIndex.build(emb, path)
+    val cbBefore = spark.read.parquet(
+      graft.sources.DeltaStore.committedDeltas(spark, path).head + "/codebooks")
+      .collect().map(_.toSeq).toSet
+    val twin = Seq((maxId + 1, q0)).toDF("vec_id", "embedding")
+    graft.operators.PqIndex.update(twin, path, "t1")
+    val top = graft.operators.PqIndex.searchTopK(spark, path).collect()
+    assert(top.head.getLong(0) === maxId + 1)
+    assert(top.head.getDouble(2) === 1.0)
+    val cbAfter = spark.read.parquet(
+      graft.sources.DeltaStore.committedDeltas(spark, path).head + "/codebooks")
+      .collect().map(_.toSeq).toSet
+    assert(cbAfter === cbBefore) // frozen: ingest never retrains
+    // replayed tag is a no-op; duplicate ids are rejected loudly
+    graft.operators.PqIndex.update(twin, path, "t1")
+    assert(graft.operators.PqIndex.searchTopK(spark, path).count() === 10L)
+    intercept[IllegalArgumentException] {
+      graft.operators.PqIndex.update(twin, path, "t2")
+    }
+  }
+
+  test("incremental PQ serve is batch-split invariant (frozen codebooks)") {
+    import spark.implicits._
+    // codebooks freeze at build, so HOW the tail arrives (one batch vs
+    // two) cannot change a single code — serving must be identical.
+    // The frozen-re-encode exactness itself is oracle-pinned: the
+    // q_pq_store_incremental DuckDB replay trains on the build cut and
+    // encodes the full corpus relationally.
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val maxId = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .collect()(0).getLong(0)
+    val cut = maxId * 4 / 5
+    val mid = (cut + maxId) / 2
+    val one = java.nio.file.Files.createTempDirectory("r12pq1").toString + "/idx"
+    graft.operators.PqIndex.build(emb.filter($"vec_id" <= cut), one)
+    graft.operators.PqIndex.update(emb.filter($"vec_id" > cut), one, "all")
+    val two = java.nio.file.Files.createTempDirectory("r12pq2").toString + "/idx"
+    graft.operators.PqIndex.build(emb.filter($"vec_id" <= cut), two)
+    graft.operators.PqIndex.update(
+      emb.filter($"vec_id" > cut && $"vec_id" <= mid), two, "b1")
+    graft.operators.PqIndex.update(emb.filter($"vec_id" > mid), two, "b2")
+    val oneRows = graft.operators.PqIndex.searchTopK(spark, one)
+      .collect().map(_.toSeq)
+    val twoRows = graft.operators.PqIndex.searchTopK(spark, two)
+      .collect().map(_.toSeq)
+    assert(oneRows.sameElements(twoRows))
+  }
+
   test("staged bridgeEdges equals the doc-level wedge join on the gate corpus") {
     val path = java.nio.file.Files.createTempDirectory("r12brdgg").toString + "/s"
     DedupStore.build(Tables.documents(spark, sf), path)
