@@ -326,6 +326,26 @@ object Probe {
       time("graph_jaccard")(graft.operators.Graph.jaccardLinkPred(cand).count())
       time("modularity")(graft.operators.Graph.modularity(ver, d).count())
       time("ppr")(graft.operators.Graph.personalizedPagerankFrom(ver, d).count())
+    } else if (args.headOption.contains("dedupinc")) {
+      // attribute q_dedup_store_incremental's cost (r11: 9.26->10.45s
+      // in the driver bench): split the key into its three phases at
+      // the bench SF and repeat, separating plan shape from the
+      // 340-key run's JVM/disk contention band
+      val docs = graft.sources.Tables.documents(spark, dir).localCheckpoint()
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val cut = maxId * 4 / 5
+      val time = timed("DEDUPINC") _
+      (1 to 3).foreach { i =>
+        val path = s"/tmp/graft_dedupinc_probe_$i"
+        time(s"build80_$i") {
+          graft.operators.DedupStore.build(docs.filter(col("doc_id") <= cut), path); 1L
+        }
+        time(s"update20_$i") {
+          graft.operators.DedupStore.update(docs.filter(col("doc_id") > cut), path); 1L
+        }
+        time(s"serve_$i")(
+          graft.operators.DedupStore.verifiedNearDups(spark, path).count())
+      }
     } else if (args.headOption.contains("knn-probe")) {
       // quick re-measure on the staged 20x tables (run "scale" first)
       val e = spark.read.parquet("/tmp/scale/embeddings.parquet")

@@ -186,6 +186,22 @@ object SparkEntry {
       DedupStore.update(docs.filter(col("doc_id") > cut), path)
       DedupStore.verifiedNearDups(s, path)
     }),
+    // build + incremental ingest + COMPACTION of the pair substrate:
+    // fold the deltas to one (pure unions — every relation is an
+    // append), serving identical (oracle shared with the incremental
+    // twin, which shares q_dedup_verified's)
+    "q_dedup_store_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = sys.props("java.io.tmpdir") + "/graft_dedup_cpt_" + dirTag(dir)
+      val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        "q_dedup_store_compact: documents table is empty — no ids to split on")
+      val cut = maxRow.getLong(0) * 4 / 5
+      DedupStore.build(docs.filter(col("doc_id") <= cut), path)
+      DedupStore.update(docs.filter(col("doc_id") > cut), path, "00001")
+      DedupStore.compactDeltas(s, path)
+      DedupStore.verifiedNearDups(s, path)
+    }),
     "q_dedup_clusters" -> ((s, dir) => DedupStore.nearDupClusters(s, dedupStoreFor(s, dir))),
     // cluster-size histogram of the near-dup graph (staged rollup)
     "q_cluster_sizes" -> ((s, dir) =>
@@ -222,6 +238,19 @@ object SparkEntry {
       val cut = maxRow.getLong(0) * 4 / 5
       SemanticStore.build(emb.filter(col("vec_id") <= cut), path)
       SemanticStore.update(emb.filter(col("vec_id") > cut), path)
+      SemanticStore.cosinePairs(s, path)
+    }),
+    // the semantic substrate's compaction leg (same contract)
+    "q_semantic_store_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = sys.props("java.io.tmpdir") + "/graft_sem_cpt_" + dirTag(dir)
+      val maxRow = emb.agg(max(col("vec_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        "q_semantic_store_compact: embeddings table is empty — no ids to split on")
+      val cut = maxRow.getLong(0) * 4 / 5
+      SemanticStore.build(emb.filter(col("vec_id") <= cut), path)
+      SemanticStore.update(emb.filter(col("vec_id") > cut), path, "00001")
+      SemanticStore.compactDeltas(s, path)
       SemanticStore.cosinePairs(s, path)
     }),
     "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
@@ -266,6 +295,76 @@ object SparkEntry {
       PqIndex.update(emb.filter(col("vec_id") > cut), path)
       PqIndex.searchTopK(s, path)
     }),
+    // the STREAMING twin of the incremental PQ ingest: the tail
+    // micro-batches through Structured Streaming, each batch encoded
+    // under the frozen codebooks as one exactly-once delta — after the
+    // drain, serving equals the batch build-then-update result (shared
+    // frozen-codebook oracle)
+    "q_stream_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = sys.props("java.io.tmpdir") + "/graft_pq_stream_" + dirTag(dir)
+      val maxRow = emb.agg(max(col("vec_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        "q_stream_pq: embeddings table is empty — no ids to split on")
+      val cut = maxRow.getLong(0) * 4 / 5
+      PqIndex.build(emb.filter(col("vec_id") <= cut), path)
+      val src = sys.props("java.io.tmpdir") + "/graft_pq_stream_src_" + dirTag(dir)
+      emb.filter(col("vec_id") > cut)
+        .repartition(2).write.mode("overwrite").parquet(src)
+      graft.streaming.Streams.pqIngestStream(s, src, path, maxFilesPerTrigger = Some(1))
+      PqIndex.searchTopK(s, path)
+    }),
+    // per-list occupancy of the staged flat-IVF store (quantizer
+    // health / probed-scan cost model)
+    "q_ivf_balance" -> ((s, dir) => PqIndex.listBalance(s, ivfIndexFor(s, dir))),
+    // per-subspace exact-integer quantization distortion of the
+    // staged PQ codebooks
+    "q_pq_distortion" -> ((s, dir) => PqIndex.distortion(s, pqIndexFor(s, dir))),
+    // deterministic md5-ordered QA sample of the verified near-dup
+    // pairs (the human review slice), served from the staged store
+    "q_review_queue" -> ((s, dir) => DedupStore.reviewQueue(s, dedupStoreFor(s, dir))),
+    // customer-cohort LTV matrix (first-order month × months-since)
+    "q_cohort_revenue" -> ((s, dir) => Relational.cohortRevenue(Tables.orders(s, dir))),
+    // join-key fanout histogram (the pre-shuffle skew diagnostic)
+    "q_join_fanout_hist" -> ((s, dir) =>
+      Relational.fanoutHistogram(Tables.lineitem(s, dir))),
+    // integer-exact recency-decayed engagement score per user
+    "q_decay_score" -> ((s, dir) => Relational.decayScore(Tables.events(s, dir))),
+    // recall@k across the nProbe grid from the staged flat-IVF store
+    "q_ivf_tune" -> ((s, dir) => PqIndex.ivfTune(s, ivfIndexFor(s, dir))),
+    // per-source dedup ROI (docs/chars removed by the drop decision)
+    "q_dedup_savings" -> ((s, dir) =>
+      DedupStore.dedupSavings(Tables.documents(s, dir), dedupStoreFor(s, dir))),
+    // per-source modality mix (metadata-only; payloads never move)
+    "q_modality_mix" -> ((s, dir) =>
+      Multimodal.modalityMix(s, Tables.documents(s, dir))),
+    // per-source length profile (portable p50 midpoint + extremes)
+    "q_source_length_profile" -> ((s, dir) =>
+      TextAnalysis.sourceLengthProfile(Tables.documents(s, dir))),
+    // bounded-sample pairwise-cosine histogram (embedding geometry)
+    "q_pair_cos_hist" -> ((s, dir) =>
+      Ann.pairCosHistogram(Tables.embeddings(s, dir))),
+    // build + incremental ingest + COMPACTION (the maintenance triad):
+    // fold the deltas to one, trained state carried verbatim — serving
+    // identical before and after (shared frozen-codebook oracle)
+    "q_pq_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = sys.props("java.io.tmpdir") + "/graft_pq_cpt_" + dirTag(dir)
+      val maxRow = emb.agg(max(col("vec_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        "q_pq_compact: embeddings table is empty — no ids to split on")
+      val cut = maxRow.getLong(0) * 4 / 5
+      PqIndex.build(emb.filter(col("vec_id") <= cut), path)
+      PqIndex.update(emb.filter(col("vec_id") > cut), path, "00001")
+      PqIndex.compactDeltas(s, path)
+      PqIndex.searchTopK(s, path)
+    }),
+    // gaps-and-islands: distinct active days + longest consecutive run
+    "q_activity_streaks" -> ((s, dir) =>
+      Relational.activityStreaks(Tables.events(s, dir))),
+    // top terms per k-means cluster (the "what IS cluster 3" table)
+    "q_cluster_labels" -> ((s, dir) =>
+      Clustering.clusterLabels(Tables.embeddings(s, dir), Tables.documents(s, dir))),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(s, Tables.documents(s, dir))),
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, Tables.documents(s, dir))
@@ -1733,6 +1832,47 @@ object SparkEntry {
        |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, qrow
        |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
 
+  /** IVF tuning-curve replay: the kmeansCtes chain re-derives centers
+    * and assignments once; per grid point, probe selection + the
+    * probed-lists exact top-k + overlap with the all-lists exact
+    * ranking (`ex`) — the PqIndex.ivfTune union-of-configs plan in
+    * SQL. */
+  private def ivfTuneOracleSql(nLists: Int, iters: Int,
+                               grid: Seq[Int], k: Int): String = {
+    val rescore =
+      """round(list_sum(list_transform(range(1, len(qrow.v) + 1),
+        |             i -> qrow.v[i] * b.v[i])) / (qrow.nrm * b.nrm), 4)""".stripMargin
+    val per = grid.map { np =>
+      s"""pr$np AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT $np),
+         |t$np AS (SELECT b.vec_id FROM vn b
+         |         JOIN asg ON b.vec_id = asg.vec_id
+         |         JOIN pr$np ON asg.cid = pr$np.cid, qrow
+         |         WHERE b.vec_id != 0
+         |         ORDER BY $rescore DESC, b.vec_id ASC LIMIT $k),
+         |r$np AS (SELECT ${np}::BIGINT AS n_probe, count(*)::BIGINT AS n_hits
+         |         FROM t$np JOIN ex ON t$np.vec_id = ex.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val union = grid.map(np => s"SELECT * FROM r$np").mkString(" UNION ALL ")
+    s"""WITH $vecCte,
+       |${kmeansCtes(nLists, iters)},
+       |asg AS (SELECT vec_id, cid FROM (
+       |          SELECT vec_id, cid,
+       |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |          FROM fd) WHERE rn = 1),
+       |qd AS (SELECT c.cid,
+       |              list_sum(list_transform(range(1, len(q0.qv) + 1),
+       |                       i -> (q0.qv[i] - c.cv[i]) * (q0.qv[i] - c.cv[i]))) AS d2
+       |       FROM c$iters c, (SELECT qv FROM q WHERE vec_id = 0) q0),
+       |qrow AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+       |ex AS (SELECT b.vec_id FROM vn b
+       |       JOIN asg ON b.vec_id = asg.vec_id, qrow
+       |       WHERE b.vec_id != 0
+       |       ORDER BY $rescore DESC, b.vec_id ASC LIMIT $k),
+       |$per
+       |SELECT n_probe, n_hits, round(n_hits::DOUBLE / $k, 4) AS recall
+       |FROM ($union)""".stripMargin
+  }
+
   /** Unrolled k-core peeling over the verified near-dup pair graph:
     * each round recomputes degrees over the surviving edge set and
     * drops nodes under k — the exact replay of Graph.kcore's fixed
@@ -2680,6 +2820,10 @@ object SparkEntry {
     "q_dedup_store_incremental" ->
       s"""WITH $minhashCandCte
          |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
+    // compaction changes no served pair (shared contract)
+    "q_dedup_store_compact" ->
+      s"""WITH $minhashCandCte
+         |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
     // signature-agreement estimate over candidate pairs beside the
     // UNthresholded exact Jaccard (cinter/csizes, pre-`ver` cut);
     // disjoint-shingle banding collisions coalesce to exact 0.0
@@ -2863,6 +3007,15 @@ object SparkEntry {
          |               / (a.nrm * b.nrm) AS c_exact
          |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
          |WHERE c_exact >= 0.45""".stripMargin,
+    // compaction changes no served pair (shared all-pairs contract)
+    "q_semantic_store_compact" ->
+      s"""WITH $vecCte
+         |SELECT vec_a, vec_b, round(c_exact, 4) AS cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         |               / (a.nrm * b.nrm) AS c_exact
+         |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+         |WHERE c_exact >= 0.45""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH $vecCte,
          |q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
@@ -2902,6 +3055,138 @@ object SparkEntry {
     // vector (old + new batch) encoded and served
     "q_pq_store_incremental" -> pqOracleSql(8, 8, 16, 2, 100, 10,
       trainWhere = "vec_id <= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
+    // streamed micro-batch ingest under the same frozen codebooks ==
+    // the batch build-then-update result (shared contract)
+    "q_stream_pq" -> pqOracleSql(8, 8, 16, 2, 100, 10,
+      trainWhere = "vec_id <= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
+    // occupancy of the deterministic coarse quantizer's lists
+    "q_ivf_balance" ->
+      s"""WITH ${kmeansCtes(16, 2)},
+         |asg AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |          FROM fd) WHERE rn = 1),
+         |tot AS (SELECT count(*)::BIGINT AS n_total FROM asg)
+         |SELECT cid::BIGINT AS list_id, count(*)::BIGINT AS n_vecs,
+         |       round(count(*)::DOUBLE / n_total, 6) AS share
+         |FROM asg, tot GROUP BY cid, n_total""".stripMargin,
+    // per-subspace distortion: the assignment argmin's d leg,
+    // aggregated — training replayed by the same pqCtes chain
+    "q_pq_distortion" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+         |           FROM embeddings WHERE embedding IS NOT NULL),
+         |${pqCtes(8, 8, 16, 2, "q", "qv")},
+         |md AS (SELECT vec_id, j, d2 FROM (
+         |         SELECT vec_id, j, d2,
+         |                row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+         |         FROM pdf) WHERE rn = 1)
+         |SELECT j::BIGINT AS j, count(*)::BIGINT AS n_vecs, sum(d2)::BIGINT AS total_d2,
+         |       round(sum(d2)::DOUBLE / count(*), 6) AS avg_d2
+         |FROM md GROUP BY 1""".stripMargin,
+    // md5-keyed deterministic sample of the verified pair relation
+    "q_review_queue" ->
+      s"""WITH $minhashCandCte,
+         |rq AS (SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard,
+         |              md5('rq:' || doc_a::VARCHAR || ':' || doc_b::VARCHAR) AS hk
+         |       FROM ver)
+         |SELECT doc_a, doc_b, jaccard, hk FROM rq ORDER BY hk ASC LIMIT 20""".stripMargin,
+    "q_cohort_revenue" ->
+      """WITH o AS (SELECT o_custkey,
+        |                  (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m,
+        |                  CAST(floor(o_totalprice * 1000000.0) AS BIGINT) AS micros
+        |           FROM orders),
+        |ch AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1)
+        |SELECT ch.cohort_month, (o.m - ch.cohort_month)::BIGINT AS months_since,
+        |       count(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+        |       count(*)::BIGINT AS n_orders,
+        |       sum(micros)::BIGINT AS revenue_micros
+        |FROM o JOIN ch ON o.o_custkey = ch.o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_join_fanout_hist" ->
+      """WITH f AS (SELECT l_orderkey, count(*)::BIGINT AS fanout
+        |           FROM lineitem GROUP BY 1)
+        |SELECT fanout, count(*)::BIGINT AS n_keys FROM f GROUP BY 1""".stripMargin,
+    "q_decay_score" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) AS tn, value FROM events),
+        |mx AS (SELECT max(tn) AS max_ts FROM ev)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |       sum(CAST(floor(value * 1000000.0) AS BIGINT) *
+        |           CAST(pow(2.0, 8 - least((max_ts - tn) // 604800000000000, 8)) AS BIGINT))::BIGINT AS score
+        |FROM ev, mx GROUP BY user_id""".stripMargin,
+    "q_ivf_tune" -> ivfTuneOracleSql(16, 2, Seq(1, 2, 4, 8), 10),
+    // compaction must not change a single served row (trained state
+    // carries verbatim; codes/vectors union) — same frozen replay
+    "q_pq_compact" -> pqOracleSql(8, 8, 16, 2, 100, 10,
+      trainWhere = "vec_id <= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
+    "q_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |           FROM events),
+        |i AS (SELECT user_id, day,
+        |             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |      FROM d),
+        |g AS (SELECT user_id, island, count(*)::BIGINT AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, sum(len)::BIGINT AS n_active_days,
+        |       max(len)::BIGINT AS longest_streak
+        |FROM g GROUP BY 1""".stripMargin,
+    "q_cluster_labels" ->
+      s"""WITH $tfCte,
+         |${kmeansCtes(8, 2)},
+         |asg AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |          FROM fd) WHERE rn = 1),
+         |cnt AS (SELECT asg.cid AS cluster_id, tok2.term, count(*)::BIGINT AS n
+         |        FROM tok2 JOIN asg ON tok2.doc_id = asg.vec_id GROUP BY 1, 2)
+         |SELECT cluster_id::BIGINT AS cluster_id, term, n, rk::BIGINT AS rk FROM (
+         |  SELECT cluster_id, term, n,
+         |         row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, term ASC) AS rk
+         |  FROM cnt) WHERE rk <= 3""".stripMargin,
+    // survivors replay q_dedup_drop's exact-first contract; the
+    // savings report is one left join + a source rollup over it
+    "q_dedup_savings" ->
+      s"""WITH ${minhashCandCteFor(canonRel)},
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM ver),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |keep AS (SELECT d.doc_id FROM documents d JOIN canon USING (doc_id)
+         |         WHERE d.doc_id NOT IN (SELECT doc_id FROM losers))
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+         |       sum(d.n_chars)::BIGINT AS chars_total,
+         |       sum(CASE WHEN k.doc_id IS NULL THEN d.n_chars ELSE 0 END)::BIGINT AS chars_dropped,
+         |       round(sum(CASE WHEN k.doc_id IS NULL THEN d.n_chars ELSE 0 END)::DOUBLE * 100
+         |             / sum(d.n_chars), 4) AS savings_pct
+         |FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id
+         |GROUP BY d.source""".stripMargin,
+    "q_modality_mix" ->
+      """WITH m AS (SELECT doc_id, source,
+        |                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |                  strlen(text)::BIGINT AS n_bytes
+        |           FROM documents),
+        |agg AS (SELECT source, media_type, count(*)::BIGINT AS n_docs,
+        |               sum(n_bytes)::BIGINT AS total_bytes
+        |        FROM m GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(n_docs)::BIGINT AS n_src FROM agg GROUP BY 1)
+        |SELECT agg.source, agg.media_type, agg.n_docs, agg.total_bytes,
+        |       round(agg.n_docs::DOUBLE / tot.n_src, 6) AS share
+        |FROM agg JOIN tot ON agg.source = tot.source""".stripMargin,
+    "q_source_length_profile" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       min(n_chars)::BIGINT AS min_chars,
+        |       round(quantile_cont(n_chars, 0.5), 1) AS median_chars,
+        |       max(n_chars)::BIGINT AS max_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_pair_cos_hist" ->
+      s"""WITH $vecCte,
+         |nz AS (SELECT vec_id, v, nrm FROM vn WHERE nrm > 0),
+         |sa AS (SELECT vec_id AS aid, v AS va, nrm AS na
+         |       FROM nz ORDER BY md5('pa:' || vec_id::VARCHAR) ASC LIMIT 100),
+         |sb AS (SELECT vec_id AS bid, v AS vb, nrm AS nb
+         |       FROM nz ORDER BY md5('pb:' || vec_id::VARCHAR) ASC LIMIT 100),
+         |p AS (SELECT round(list_sum(list_transform(range(1, len(va) + 1),
+         |              i -> va[i] * vb[i])) / (na * nb), 4) AS cos
+         |      FROM sa, sb WHERE aid < bid)
+         |SELECT CAST(floor(cos * 10) AS BIGINT) AS bin, count(*)::BIGINT AS n_pairs
+         |FROM p GROUP BY 1""".stripMargin,
 
     // ---- Round-11 additions ----
     // BM25 grid sweep: same scoring CTE as q_bm25_score with (k1, b)

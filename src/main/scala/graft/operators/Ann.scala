@@ -302,6 +302,30 @@ object Ann {
       .limit(k)
   }
 
+  /** (bin, n_pairs): the PAIRWISE-COSINE HISTOGRAM over a bounded
+    * deterministic sample — embedding-geometry health at a glance
+    * (hubness / collapsed-embedding pathologies show up as mass
+    * piling near bin 9-10; a healthy space spreads). The sample is
+    * two independent md5-keyed TakeOrdered draws of `perSide`
+    * vectors, so the pair count is CONSTANT (perSide²/2-ish) at any
+    * corpus size — never an all-pairs or even quadratic-in-n scan.
+    * bin = floor(round(cos, 4)·10) ∈ [-10, 10]; zero-norm vectors
+    * excluded (cosine undefined). */
+  def pairCosHistogram(embeddings: DataFrame, perSide: Int = 100): DataFrame = {
+    require(perSide > 0, s"perSide must be positive, got $perSide")
+    val nz = withNorm(embeddings).filter(col("nrm") > 0.0)
+    def side(prefix: String, idCol: String, vCol: String, nCol: String) = nz
+      .withColumn("hk", md5(concat(lit(prefix), col("vec_id").cast("string"))))
+      .orderBy(col("hk").asc).limit(perSide)
+      .select(col("vec_id").as(idCol), col("v").as(vCol), col("nrm").as(nCol))
+    side("pa:", "aid", "va", "na")
+      .crossJoin(broadcast(side("pb:", "bid", "vb", "nb")))
+      .filter(col("aid") < col("bid"))
+      .select(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+      .select(floor(col("cos") * 10).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---- shared PQ machinery (live paths here + the staged PqIndex) ----
   // Everything below runs on the repo's exact integer-millis grid
   // (SURVEY §6): coordinates quantize ONCE to floor(x·1000) BIGINT,

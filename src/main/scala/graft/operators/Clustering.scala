@@ -145,6 +145,28 @@ object Clustering {
         "vec_id")
       .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
 
+  /** (cluster_id, term, n, rk): CLUSTER LABELS — the top `topN` terms
+    * of the documents landing in each k-means cluster (ids shared
+    * across the embeddings/documents tables), ranked by raw count
+    * with a term tiebreak. The inspection table that makes an
+    * unsupervised clustering legible ("what IS cluster 3?") before
+    * any mix decision trusts it. Tokenization is the library standard
+    * ([[Bm25.tokenize]]); one id join, one (cluster, term) rollup,
+    * one cluster-partitioned rank window. */
+  def clusterLabels(embeddings: DataFrame, docs: DataFrame, k: Int = 8,
+                    iters: Int = 2, topN: Int = 3): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val asg = kmeans(embeddings, k, iters)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n").desc, col("term").asc)
+    Bm25.tokenize(docs)
+      .join(asg, "doc_id")
+      .groupBy("cluster_id", "term").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topN)
+  }
+
   /** The fitted centroid table (k×dim exact millis) after `iters`
     * Lloyd's rounds — the artifact a serving path bakes into its
     * assignment plan (see [[graft.streaming.Streams.kmeansStream]]). */

@@ -194,6 +194,30 @@ object DedupStore {
     }
   }
 
+  /** Fold all committed deltas into ONE delta — the small-files
+    * maintenance leg ([[graft.sources.DeltaStore.compact]]'s
+    * crash-atomic supersedes protocol; replayed ingest tags stay
+    * no-ops through the cumulative tag history). Every staged
+    * relation is a pure per-delta append, so the fold is a plain
+    * union; bands and shingles are re-clustered on their join keys
+    * so candidate generation and the pair-driven verify recover
+    * row-group locality after many small ingests. Serving is
+    * byte-identical before and after by construction. */
+  def compactDeltas(spark: SparkSession, path: String): Unit =
+    DeltaStore.compact(spark, path) { (deltas, staging) =>
+      def union(sub: String) = spark.read.parquet(deltas.map(d => s"$d/$sub"): _*)
+      union("members").write.parquet(s"$staging/members")
+      union("reps").write.parquet(s"$staging/reps")
+      union("bands").repartition(col("band"), col("bkey"))
+        .sortWithinPartitions("band", "bkey")
+        .write.parquet(s"$staging/bands")
+      union("shingles").repartition(col("doc_id"))
+        .sortWithinPartitions("doc_id", "sh")
+        .write.parquet(s"$staging/shingles")
+      union("cands").write.parquet(s"$staging/cands")
+      union("pairs").write.parquet(s"$staging/pairs")
+    }
+
   private def read(spark: SparkSession, path: String, sub: String): DataFrame = {
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
@@ -803,6 +827,48 @@ object DedupStore {
       .groupBy(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** (source, n_docs, n_dropped, chars_total, chars_dropped,
+    * savings_pct): the per-source DEDUP SAVINGS report — what the
+    * keep/drop decision actually removes from each provenance slice,
+    * the ROI number a pipeline owner reads before paying for more
+    * aggressive thresholds (and the per-source view that catches one
+    * crawl being mostly mirrors). Survivors from the staged
+    * [[dropDuplicates]] decision; one left-semi-style join + one
+    * source-cardinality rollup — no new pairwise work. */
+  def dedupSavings(docs: DataFrame, path: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val keep = dropDuplicates(docs, path, threshold)
+      .select(col("doc_id"), lit(1L).as("kept"))
+    docs.join(keep, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept").isNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum("n_chars").as("chars_total"),
+        sum(when(col("kept").isNull, col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+      .withColumn("savings_pct",
+        round(col("chars_dropped").cast("double") * 100 / col("chars_total"), 4))
+  }
+
+  /** (doc_a, doc_b, jaccard, hk): deterministic REVIEW-QUEUE sample of
+    * the verified near-dup pairs — `k` pairs drawn in md5("rq:a:b")
+    * order (a content-free shuffle with no RNG state, the repo's
+    * hash-sampling rule), the fixed audit slice a human QA loop reads
+    * every ingest cycle to estimate dedup precision. Stable across
+    * runs and engines by construction; pure arithmetic + one
+    * TakeOrdered over the staged pair relation (no global window —
+    * the hash key itself is the queue order). */
+  def reviewQueue(spark: SparkSession, path: String, k: Int = 20,
+                  threshold: Double = 0.8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    verifiedNearDups(spark, path, threshold)
+      .withColumn("hk", md5(concat(lit("rq:"), col("doc_a").cast("string"),
+        lit(":"), col("doc_b").cast("string"))))
+      .orderBy(col("hk").asc)
+      .limit(k)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hk"))
   }
 
   /** [[Dedup.dropContained]] served from the store: the more-contained

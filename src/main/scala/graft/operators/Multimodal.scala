@@ -73,6 +73,24 @@ object Multimodal {
         md5(col("frame_bytes")).as("frame_md5"))
   }
 
+  /** (source, media_type, n_docs, total_bytes, share): the per-source
+    * MODALITY MIX — how each provenance slice splits across
+    * image/audio/video, with the within-source share: the curation
+    * telemetry behind modality quotas (a multimodal training mix is
+    * specified per source AND per modality, and this is the table the
+    * quota check reads). Metadata-only: payloads never move — one
+    * decode-stub pass, one source join, two small rollups. */
+  def modalityMix(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val meta = mediaMeta(spark, docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "media_type")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("total_bytes"))
+    val perSource = meta.groupBy("source").agg(sum("n_docs").as("n_src"))
+    meta.join(perSource, "source")
+      .select(col("source"), col("media_type"), col("n_docs"), col("total_bytes"),
+        round(col("n_docs").cast("double") / col("n_src"), 6).as("share"))
+  }
+
   /** (doc_id, n_bytes, resized_len, resized_md5): nearest-neighbor
     * RESIZE of the opaque payload to a fixed target length — byte i of
     * the output samples byte floor(i·n/target) of the input, the exact

@@ -223,6 +223,116 @@ object PqIndex {
     rerank(vectors, cand, queryId, k)
   }
 
+  /** (list_id, n_vecs, share): per-inverted-list occupancy of the
+    * staged flat-IVF store — the quantizer-health diagnostic that
+    * decides nProbe and flags skew (one hot list = one hot partition
+    * at 100 TB; a balanced quantizer is what makes the probed-lists
+    * cost model honest). One list_id-cardinality aggregation over the
+    * staged assignment relation; empty lists are absent (they hold no
+    * rows and cost no scan). */
+  def listBalance(spark: SparkSession, path: String): DataFrame = {
+    val d = firstDelta(spark, path, "ivf")
+    val lists = spark.read.parquet(s"$d/lists")
+    val n = lists.agg(count(lit(1)).as("n_total"))
+    lists.groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(n))
+      .select(col("list_id"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total"), 6).as("share"))
+  }
+
+  /** (n_probe, n_hits, recall): the IVF TUNING CURVE — recall@k of the
+    * staged flat-IVF serve across an nProbe grid, against the
+    * exact ranking (probing every list IS the exact scan, routed
+    * through the same store relations so the comparison is
+    * apples-to-apples). The probe-budget decision a vector-serving
+    * owner makes before fixing query cost; the [[Dedup.lshTune]]
+    * union-of-configs shape — one plan, no driver loops. */
+  def ivfTune(spark: SparkSession, path: String, queryId: Long = 0L,
+              k: Int = 10, probeGrid: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(probeGrid.nonEmpty, "probeGrid must be non-empty")
+    val exactIds = searchIvfFlat(spark, path, queryId, k, nProbe = Int.MaxValue)
+      .select("vec_id")
+    probeGrid.map { np =>
+      searchIvfFlat(spark, path, queryId, k, np)
+        .join(exactIds, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("n_probe"), col("n_hits"),
+          round(col("n_hits").cast("double") / k, 4).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** (j, n_vecs, total_d2, avg_d2): per-subspace QUANTIZATION
+    * DISTORTION of the staged PQ store — the mean exact-integer
+    * squared distance between each subvector and its assigned
+    * codeword (milli-units²), the codebook-quality metric that tells
+    * a too-coarse subspace (raise ksub / rebalance m) from a healthy
+    * one. Recomputed as one map stage over the staged vector store
+    * against the literal codebooks (the assignment argmin's `d`
+    * leg — no code join, no shuffle beyond the m-row rollup); exact
+    * BIGINT sums, one final division. */
+  def distortion(spark: SparkSession, path: String): DataFrame = {
+    val (codebooks, _, vectors, _) = load(spark, path, "pq")
+    val m = codebooks.length; val sub = codebooks(0)(0).length
+    val mv = vectors.select(col("vec_id"),
+      expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
+    val dCols = (0 until m).map { j =>
+      expr(
+        s"""array_min(transform(sequence(0, ${codebooks(j).length - 1}), c ->
+           |  struct(aggregate(zip_with(slice(qv, ${j * sub + 1}, $sub),
+           |           element_at(${Ann.lit2dL(codebooks(j))}, c + 1),
+           |           (x, y) -> (x - y) * (x - y)),
+           |         CAST(0 AS BIGINT), (a, b) -> a + b) AS d,
+           |         c AS c))).d""".stripMargin).as(s"d$j")
+    }
+    mv.select(dCols: _*)
+      .select(posexplode(array((0 until m).map(j => col(s"d$j")): _*))
+        .as(Seq("j", "d2")))
+      .groupBy(col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n_vecs"), sum("d2").as("total_d2"))
+      .select(col("j"), col("n_vecs"), col("total_d2"),
+        round(col("total_d2").cast("double") / col("n_vecs"), 6).as("avg_d2"))
+  }
+
+  /** Fold all committed deltas into ONE delta — the small-files
+    * maintenance leg every other store has ([[Bm25Index
+    * .compactDeltas]] / [[AnnIndex.compactDeltas]]; crash-atomic via
+    * [[DeltaStore.compact]]'s supersedes sidecar, replayed ingest
+    * tags stay no-ops through the cumulative tag history). The
+    * trained state (codebooks, centers, pq.params) carries through
+    * from the unique build delta VERBATIM — compaction must never
+    * touch what queries were trained against; codes and vectors
+    * union across deltas. */
+  def compactDeltas(spark: SparkSession, path: String): Unit = {
+    val fs = DeltaStore.fsOf(spark, path)
+    DeltaStore.compact(spark, path) { (deltas, staging) =>
+      val builds = deltas.filter(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d, "pq.params")))
+      require(builds.size == 1,
+        s"expected exactly one build delta among ${deltas.size}, found ${builds.size}")
+      val b = builds.head
+      spark.read.parquet(s"$b/codebooks")
+        .coalesce(1).write.parquet(s"$staging/codebooks")
+      def carryIfPresent(sub: String): Unit =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$b/$sub")))
+          spark.read.parquet(s"$b/$sub").coalesce(1).write.parquet(s"$staging/$sub")
+      carryIfPresent("centers")
+      def unionAll(sub: String): Unit = {
+        val present = deltas.filter(d =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub")))
+        if (present.nonEmpty)
+          spark.read.parquet(present.map(d => s"$d/$sub"): _*)
+            .write.parquet(s"$staging/$sub")
+      }
+      unionAll("codes")
+      unionAll("lists")
+      unionAll("vectors")
+      val in = fs.open(new org.apache.hadoop.fs.Path(b, "pq.params"))
+      val params = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                   finally in.close()
+      writeParams(spark, staging, params)
+    }
+  }
+
   // ---- store plumbing ----
 
   private def rangeOf(embeddings: DataFrame): Option[(Long, Long)] = {

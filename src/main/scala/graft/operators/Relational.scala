@@ -1928,4 +1928,70 @@ object Relational {
         round(col("span_ns").cast("double") / 1e9, 6).as("span_sec"),
         round(col("vdt") / (col("span_ns").cast("double") / 1e9), 6).as("twa"))
   }
+
+  /** (cohort_month, months_since, n_customers, n_orders,
+    * revenue_micros): customer-cohort LTV matrix — customers grouped
+    * by the calendar month of their FIRST order (cohort_month =
+    * year·12+month, an exact integer month index), each later order
+    * bucketed by whole months since that cohort; the classic
+    * retention-revenue triangle a subscription/commerce team reads
+    * before any retention claim. Money in exact floor-micros
+    * (SURVEY §6), month arithmetic pure integers. Two shuffles: the
+    * per-customer min (first order) and the cohort-cell rollup. */
+  def cohortRevenue(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"),
+      floor(col("o_totalprice") * 1000000.0).cast("long").as("micros"))
+    val cohort = o.groupBy("o_custkey").agg(min("m").as("cohort_month"))
+    o.join(cohort, "o_custkey")
+      .groupBy(col("cohort_month"), (col("m") - col("cohort_month")).as("months_since"))
+      .agg(countDistinct("o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum("micros").as("revenue_micros"))
+  }
+
+  /** (user_id, n_active_days, longest_streak): GAPS-AND-ISLANDS
+    * activity streaks — distinct active days per user and the longest
+    * run of CONSECUTIVE days, via the classic day − row_number island
+    * key (consecutive days share it; any gap starts a new island).
+    * The engagement metric behind "N-day streak" product features and
+    * retention-quality cuts. One user-partitioned window + two
+    * rollups; integer-exact day arithmetic. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    events.select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"), max("len").as("longest_streak"))
+  }
+
+  /** (fanout, n_keys): the JOIN-KEY FANOUT HISTOGRAM of lineitem's
+    * order key — how many order keys carry 1, 2, … line items. The
+    * skew diagnostic read BEFORE sizing a shuffle join: a long tail
+    * here is what decides salting / AQE skew-join handling, and the
+    * max bucket bounds any key's worst partition. Two exact
+    * aggregations, nothing else. */
+  def fanoutHistogram(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_orderkey").agg(count(lit(1)).as("fanout"))
+      .groupBy("fanout").agg(count(lit(1)).as("n_keys"))
+
+  /** (user_id, n_events, score): RECENCY-DECAYED engagement score —
+    * each event's value counts at weight 2^(8−age_weeks) (halving per
+    * week of age, floored at weight 1 after 8 weeks), ages measured
+    * back from the corpus max timestamp. The decay is INTEGER-EXACT:
+    * value in floor-micros, weights exact powers of two, so the score
+    * replays bit-for-bit in any engine (an exp() decay would not).
+    * One broadcast max-ts, one user rollup. */
+  def decayScore(events: DataFrame): DataFrame = {
+    val maxTs = events.agg(max("ts").as("max_ts"))
+    events.select(col("user_id"), col("ts"), col("value"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("w", expr(
+        "CAST(pow(2.0, 8 - least((max_ts - ts) div 604800000000000, 8)) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000000.0).cast("long") * col("w")).as("score"))
+  }
 }

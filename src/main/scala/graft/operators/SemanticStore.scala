@@ -173,6 +173,23 @@ object SemanticStore {
     }
   }
 
+  /** Fold all committed deltas into ONE delta — the same small-files
+    * maintenance leg as [[DedupStore.compactDeltas]] (crash-atomic
+    * via [[DeltaStore.compact]]; replayed tags stay no-ops). All four
+    * relations are per-delta appends, so the fold is a plain union;
+    * buckets re-cluster on (t, bucket) — the candidate join's key —
+    * to recover locality after many small ingests. */
+  def compactDeltas(spark: SparkSession, path: String): Unit =
+    DeltaStore.compact(spark, path) { (deltas, staging) =>
+      def union(sub: String) = spark.read.parquet(deltas.map(d => s"$d/$sub"): _*)
+      union("members").write.parquet(s"$staging/members")
+      union("reps").write.parquet(s"$staging/reps")
+      union("buckets").repartition(col("t"), col("bucket"))
+        .sortWithinPartitions("t", "bucket")
+        .write.parquet(s"$staging/buckets")
+      union("pairs").write.parquet(s"$staging/pairs")
+    }
+
   private def read(spark: SparkSession, path: String, sub: String): DataFrame = {
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")

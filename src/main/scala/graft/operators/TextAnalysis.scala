@@ -1598,4 +1598,19 @@ object TextAnalysis {
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
         round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_rate"))
   }
+
+  /** (source, n_docs, min_chars, median_chars, max_chars): the
+    * per-source LENGTH PROFILE — the one-look distribution summary
+    * behind length-based quality gates (a source whose median
+    * collapses is emitting stubs; one whose max explodes is emitting
+    * concatenation artifacts). Median is the p=0.5 exact midpoint —
+    * the one engine-portable quantile (SURVEY §6); other
+    * percentiles stay with the sketch family. One source-cardinality
+    * aggregation. */
+  def sourceLengthProfile(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 1).as("median_chars"),
+        max("n_chars").as("max_chars"))
 }

@@ -567,6 +567,35 @@ object Streams {
       }
       .start()
 
+  /** Streaming PQ-index maintenance — the TRAINED-index sibling of
+    * [[annIndexIngest]]: each micro-batch of (vec_id, embedding) rows
+    * is encoded UNDER THE STORE'S FROZEN CODEBOOKS
+    * ([[graft.operators.PqIndex.update]] — the add-to-trained-index
+    * contract; codebook drift is a rebuild) and committed as one
+    * atomic delta tagged by batch id, so checkpoint replays are
+    * exactly-once. Blocks until the file-backed source drains; after
+    * the drain a staged search equals the batch build-then-update
+    * result over the same split (shared frozen-codebook oracle). */
+  def pqIngestStream(spark: SparkSession, srcDir: String, indexPath: String,
+                     maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ckpt = indexPath + "_ckpt"
+    deleteRecursive(spark, ckpt)
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val vecs = reader.parquet(srcDir)
+    val sq = vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.PqIndex.update(batch.toDF(), indexPath, f"batch-$batchId%05d")
+      }
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+  }
+
   /** Streaming per-document file sink — the reference's BMStream is
     * EXACTLY this shape (backup/BMStream.java:30-35 reworks the batch
     * per-doc tf dump as a dataStream): documents stream in, and each
