@@ -829,6 +829,20 @@ object DedupStore {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** (bin, n_pairs): the JACCARD HISTOGRAM of every staged candidate
+    * pair with a non-empty shingle intersection, in 0.05-wide bins
+    * (bin = floor(round(j,4)·20)) — the threshold-HEADROOM view the
+    * scalar threshold curve can't give: mass piling just under the
+    * cutoff means the next crawl will flip decisions; a clean bimodal
+    * split means the threshold is safe. Pure arithmetic over the
+    * staged pair relation, one 21-bucket rollup. */
+  def jaccardHistogram(spark: SparkSession, path: String): DataFrame =
+    pairStats(spark, path)
+      .select(floor(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4) * 20)
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+
   /** (source, n_docs, n_dropped, chars_total, chars_dropped,
     * savings_pct): the per-source DEDUP SAVINGS report — what the
     * keep/drop decision actually removes from each provenance slice,

@@ -1177,6 +1177,30 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** (doc_a, doc_b, n_shared): MOSS-style OVERLAP PAIRS — document
+    * pairs sharing at least `minShared` winnowing fingerprints, the
+    * plagiarism/citation-overlap detector built on [[winnowing]]'s
+    * guaranteed-coverage selection (any shared run ≥ w+k−1 tokens
+    * surfaces at least one shared fingerprint, so the join can't miss
+    * long overlaps the way random sampling can). Fingerprints shared
+    * by more than `dfCap` documents are boilerplate and excluded
+    * BEFORE the self-join — the same df-cap discipline as record
+    * linkage: bucket sizes stay bounded at any catalog size. */
+  def winnowingPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                     dfCap: Int = 100, minShared: Int = 3): DataFrame = {
+    require(dfCap >= 2 && minShared >= 1,
+      s"need dfCap >= 2, minShared >= 1; got $dfCap, $minShared")
+    val fps = winnowing(docs, k, w).select("doc_id", "fp").distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("fp")
+    val kept = fps.join(rare, Seq("fp"), "left_semi").localCheckpoint()
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** (doc_id, lang, ppl, bucket): CCNet-style perplexity bucketing
     * (Wenzek et al. 2020) — every document lands in its language's
     * head/middle/tail perplexity tertile, the standard quality

@@ -221,6 +221,35 @@ class Round12Spec extends AnyFunSuite {
     assert(q1.forall(r => ver.contains((r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))))
   }
 
+  test("jaccardHistogram bins the full candidate mass including exact copies at bin 20") {
+    val path = buildStore("r12jh")
+    val rows = graft.operators.DedupStore.jaccardHistogram(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.keySet.forall(b => b >= 0L && b <= 20L))
+    // total mass equals the staged pair count
+    assert(rows.values.sum === graft.operators.DedupStore.pairStats(spark, path).count())
+  }
+
+  test("winnowingPairs surfaces long shared runs and drops boilerplate fingerprints") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " tailone aa bb"),
+      (2L, shared + " tailtwo cc dd"),
+      (3L, "unrelated words apart entirely distinct tokens here")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.winnowingPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) >= 3L)
+    // a fingerprint shared by MORE than dfCap docs is boilerplate:
+    // with dfCap=2, the pair shared by all three drops below minShared
+    val boiler = Seq(
+      (1L, shared), (2L, shared), (3L, shared)).toDF("doc_id", "text")
+    val caps = graft.operators.TextAnalysis
+      .winnowingPairs(boiler, dfCap = 2).collect()
+    assert(caps.isEmpty)
+  }
+
   // ---- relational additions ----
 
   test("cohortRevenue builds the retention triangle with exact micros") {
