@@ -339,11 +339,21 @@ object Ann {
 
   /** Embeddings on the exact integer-millis grid: (vec_id, qv
     * array<bigint>). NULL embeddings are excluded — a missing vector
-    * encodes to nothing. */
+    * encodes to nothing. The grid's overflow bound is ENFORCED, not
+    * assumed: |x| ≤ 10³ per coordinate (millis ≤ 10⁶), so every
+    * squared-millis difference is ≤ 4·10¹² and a sub-dimensional sum
+    * stays ≪ 2⁶³ — an out-of-range coordinate would otherwise wrap
+    * silently in Spark's BIGINT aggregate while DuckDB promotes to
+    * HUGEINT, breaking hash parity instead of failing loudly. The
+    * guard is a per-element branch (no extra corpus pass). */
   private[operators] def millisVecs(embeddings: DataFrame): DataFrame =
     embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        expr("""transform(embedding, x -> CASE
+                  WHEN abs(CAST(x AS DOUBLE)) > 1000.0D THEN CAST(raise_error(concat(
+                    'embedding coordinate ', CAST(x AS STRING),
+                    ' exceeds the exact-millis grid bound 1000 (squared-millis sums must stay below 2^63)')) AS BIGINT)
+                  ELSE CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) END)""")
           .as("qv"))
 
   /** SQL literal for a BIGINT array / nested arrays: trained state

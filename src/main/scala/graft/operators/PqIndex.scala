@@ -73,11 +73,14 @@ object PqIndex {
   /** Ingest a vector batch into an existing PQ store: encode the new
     * vectors under the FROZEN stored codebooks (the production
     * add-to-trained-index contract — retraining is a rebuild) and
-    * append one delta. Idempotent per `tag`; re-ingesting an existing
-    * vec_id is rejected loudly. Ids need not be monotone — nothing in
-    * the PQ layout is min-id-keyed. */
-  def update(newEmbeddings: DataFrame, path: String,
-             tag: String = java.util.UUID.randomUUID().toString): Unit = {
+    * append one delta. Idempotent per `tag` — which is REQUIRED, not
+    * defaulted: a generated default would make the replay guarantee
+    * vacuous (a retried ingest under a fresh random tag double-ingests
+    * unless the duplicate-id check happens to catch it; a caller-owned
+    * batch tag makes the retry a no-op by construction). Re-ingesting
+    * an existing vec_id is rejected loudly. Ids need not be monotone —
+    * nothing in the PQ layout is min-id-keyed. */
+  def update(newEmbeddings: DataFrame, path: String, tag: String): Unit = {
     val spark = newEmbeddings.sparkSession
     if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
     val (codebooks, _, _, _) = load(spark, path, "pq")
@@ -310,11 +313,12 @@ object PqIndex {
       require(builds.size == 1,
         s"expected exactly one build delta among ${deltas.size}, found ${builds.size}")
       val b = builds.head
-      spark.read.parquet(s"$b/codebooks")
-        .coalesce(1).write.parquet(s"$staging/codebooks")
       def carryIfPresent(sub: String): Unit =
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$b/$sub")))
           spark.read.parquet(s"$b/$sub").coalesce(1).write.parquet(s"$staging/$sub")
+      // codebooks carry if-present like centers: a flat-IVF build
+      // (centers/lists/vectors, no fine quantizer) compacts too
+      carryIfPresent("codebooks")
       carryIfPresent("centers")
       def unionAll(sub: String): Unit = {
         val present = deltas.filter(d =>

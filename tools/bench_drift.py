@@ -15,8 +15,16 @@ explains the regression. This is the check that would have caught
 q_dedup_embcos's three-round drift (0.8 -> 3.1 s) and q_knn_classify's
 creep (1.79 -> 1.84 -> 1.99) the round they started.
 
+IMPROVEMENTS over 50% (time more than halved, old time above the
+jitter floor) are flagged for annotation too: a silent 13x drop is
+indistinguishable from a silently-broken key (or an accounting change
+like r12's prestage move) in a regression-only gate. Unannotated
+improvements print IMPROVED-UNANNOTATED and exit 1 the same way
+unexplained regressions do; an allowlist entry turns them into
+"improved (annotated)".
+
 Usage: python3 tools/bench_drift.py <new_bench.json> [<baseline.json>]
-Exit 0 = clean (or explained), 1 = unexplained regression.
+Exit 0 = clean (or explained), 1 = unexplained regression/improvement.
 """
 import json
 import os
@@ -25,12 +33,14 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 JITTER_FLOOR_SEC = 0.3
 REGRESSION_RATIO = 1.5
+IMPROVEMENT_RATIO = 0.5
 
 
 def load_queries(path):
     with open(path) as f:
         data = json.load(f)
-    return data.get("queries", data)
+    qs = data.get("queries", data)
+    return {k: v for k, v in qs.items() if not k.startswith("_")}
 
 
 def main():
@@ -43,21 +53,27 @@ def main():
     allow_path = os.path.join(HERE, "bench_allowlist.json")
     allow = json.load(open(allow_path)) if os.path.exists(allow_path) else {}
 
-    failures, explained, added, removed = [], [], [], []
+    failures, explained, improved_ok, improved_bad, added = [], [], [], [], []
     for key, t_new in sorted(new.items()):
         if key not in base:
             added.append(key)
             continue
         t_old = base[key]
-        if t_old <= 0 or t_new <= JITTER_FLOOR_SEC:
+        if t_old <= 0:
             continue
         ratio = t_new / t_old
-        if ratio > REGRESSION_RATIO:
+        if ratio > REGRESSION_RATIO and t_new > JITTER_FLOOR_SEC:
             line = f"{key}: {t_old:.3f} -> {t_new:.3f} s ({ratio:.2f}x)"
             if key in allow:
                 explained.append(f"{line} [allowlisted: {allow[key]}]")
             else:
                 failures.append(line)
+        elif ratio < IMPROVEMENT_RATIO and t_old > JITTER_FLOOR_SEC:
+            line = f"{key}: {t_old:.3f} -> {t_new:.3f} s ({ratio:.2f}x)"
+            if key in allow:
+                improved_ok.append(f"{line} [annotated: {allow[key]}]")
+            else:
+                improved_bad.append(line)
     removed = sorted(set(base) - set(new))
 
     if added:
@@ -66,10 +82,15 @@ def main():
         print(f"keys gone from the bench: {', '.join(removed)}")
     for line in explained:
         print(f"EXPLAINED {line}")
+    for line in improved_ok:
+        print(f"improved (annotated) {line}")
+    for line in improved_bad:
+        print(f"IMPROVED-UNANNOTATED {line}")
     for line in failures:
         print(f"REGRESSED {line}")
-    if failures:
-        print(f"== {len(failures)} unexplained >50% regressions — add a SURVEY "
+    if failures or improved_bad:
+        print(f"== {len(failures)} unexplained >50% regressions, "
+              f"{len(improved_bad)} unannotated >50% improvements — add a SURVEY "
               "note + tools/bench_allowlist.json entry, or fix the plan ==")
         return 1
     print(f"== bench drift clean: {len(new)} keys vs baseline {len(base)} ==")
