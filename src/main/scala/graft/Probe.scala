@@ -325,7 +325,17 @@ object Probe {
       time("ego_staged")(graft.operators.DedupStore.egoProfiles(spark, storePath).count())
       time("graph_jaccard")(graft.operators.Graph.jaccardLinkPred(cand).count())
       time("modularity")(graft.operators.Graph.modularity(ver, d).count())
+      time("modularity_staged")(
+        graft.operators.DedupStore.modularityDecomp(spark, storePath).count())
+      time("lp")(graft.operators.Graph.labelPropagation(ver, d).count())
+      time("lp_staged")(
+        graft.operators.DedupStore.lpCommunities(spark, storePath).count())
       time("ppr")(graft.operators.Graph.personalizedPagerankFrom(ver, d).count())
+      time("ppr_staged")(
+        graft.operators.DedupStore.pprRanks(spark, storePath).count())
+      time("pagerank")(graft.operators.Graph.pagerankFrom(ver, d).count())
+      time("pagerank_staged")(
+        graft.operators.DedupStore.pagerankRanks(spark, storePath).count())
     } else if (args.headOption.contains("dedupinc")) {
       // attribute q_dedup_store_incremental's cost (r11: 9.26->10.45s
       // in the driver bench): split the key into its three phases at

@@ -439,9 +439,11 @@ object SparkEntry {
     "q_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir))),
     // reproducible hash-derived training-order shuffle into shards
     "q_shuffle_order" -> ((s, dir) => TextAnalysis.shuffleOrder(Tables.documents(s, dir))),
-    "q_pagerank" -> ((s, dir) => Graph.pagerankFrom(
-      DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
-      Tables.documents(s, dir))),
+    // integer PageRank on the REP graph via copy symmetry (identical
+    // neighborhoods → identical rank; doc-level walk stays as
+    // Graph.pagerankFrom, staged==live spec-gated)
+    "q_pagerank" -> ((s, dir) =>
+      DedupStore.pagerankRanks(s, dedupStoreFor(s, dir))),
     // lineitem re-laid-out along a (price, quantity) Morton curve: a
     // selective two-column range probe now touches few files/row
     // groups via parquet min/max stats instead of the whole table
@@ -815,10 +817,11 @@ object SparkEntry {
     // degree assortativity of the verified near-dup graph
     "q_assortativity" -> ((s, dir) =>
       Graph.assortativity(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
-    // deterministic synchronous label-propagation communities
+    // deterministic synchronous label-propagation communities, served
+    // on the rep SUBCLASS graph (rep copy vs co-copies) by copy
+    // symmetry; doc-level loop stays as Graph.labelPropagation
     "q_label_propagation" -> ((s, dir) =>
-      Graph.labelPropagation(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
-        Tables.documents(s, dir))),
+      DedupStore.lpCommunities(s, dedupStoreFor(s, dir))),
     // blocked fuzzy record linkage via the native Jaro-Winkler expr
     "q_record_linkage" -> ((s, dir) => Relational.recordLinkage(Tables.part(s, dir))),
     // linear multi-touch attribution in exact credit-micros
@@ -863,10 +866,11 @@ object SparkEntry {
     // exact per-hour distinct users via streaming dedup state
     "q_stream_distinct" -> ((s, dir) =>
       graft.streaming.Streams.streamDistinctUsers(s, dir)),
-    // personalized pagerank: damped walk restarting to the %7 seeds
-    "q_ppr" -> ((s, dir) => Graph.personalizedPagerankFrom(
-      DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
-      Tables.documents(s, dir))),
+    // personalized pagerank: damped walk restarting to the %7 seeds,
+    // served rep-level with seed/non-seed subclass ranks (copy
+    // symmetry refined one notch by the teleport gate)
+    "q_ppr" -> ((s, dir) =>
+      DedupStore.pprRanks(s, dedupStoreFor(s, dir))),
     // pairwise Jensen-Shannon divergence between source unigram mixes
     "q_js_divergence" -> ((s, dir) =>
       TextAnalysis.jsDivergence(Tables.documents(s, dir))),
@@ -874,10 +878,10 @@ object SparkEntry {
     "q_burstiness" -> ((s, dir) => TextAnalysis.burstiness(Tables.documents(s, dir))),
     // EWMA event rate: one streaming window agg + drained-sink rollup
     "q_stream_ema" -> ((s, dir) => graft.streaming.Streams.emaRate(s, dir)),
-    // Newman modularity decomposition of the LP communities
-    "q_modularity" -> ((s, dir) => Graph.modularity(
-      DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)),
-      Tables.documents(s, dir))),
+    // Newman modularity decomposition of the LP communities — Q terms
+    // computed by multiplicity arithmetic over the rep-level LP labels
+    "q_modularity" -> ((s, dir) =>
+      DedupStore.modularityDecomp(s, dedupStoreFor(s, dir))),
     // median/avg latency between consecutive funnel conversions
     "q_funnel_latency" -> ((s, dir) => Relational.funnelLatency(Tables.events(s, dir))),
     // mergeSchema scan across a pre/post-migration parquet layout:

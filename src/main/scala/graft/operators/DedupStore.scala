@@ -704,6 +704,320 @@ object DedupStore {
             (col("degree") * (col("degree") - 1)), 6)).otherwise(0.0).as("cc"))
   }
 
+  /** The class profile the iterative rep-level graph servers share:
+    * one row per IN-GRAPH copy class (rep, m, i, d) — multiplicity,
+    * intra-clique flag (shingleable ∧ m ≥ 2), and the doc-level degree
+    * every copy of the class has: d = i·(m−1) + Σ_{s ∈ N(r)} m_s.
+    * In-graph ⇔ d ≥ 1. Also returns the directed rep edge relation
+    * (r, s). Copy symmetry is what makes d a CLASS quantity: exact
+    * copies have identical neighborhoods, so any per-node function of
+    * the neighborhood (degree, rank, vote multiset) is identical
+    * across a class — the theorem all four iterative servers below
+    * lean on. */
+  private def classGraph(spark: SparkSession, path: String,
+                         threshold: Double): (DataFrame, DataFrame) = {
+    val mem = membersWithM(spark, path)
+    val clsM = mem.groupBy("rep").agg(max("m").as("m"))
+      .join(reps(spark, path).select("rep", "shingleable"), Seq("rep"), "left")
+      .select(col("rep"), col("m"),
+        (coalesce(col("shingleable"), lit(false)) && col("m") >= 2).as("i"))
+    val e = repPairsAt(spark, path, threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+    val dir = e.select(col("a").as("r"), col("b").as("s"))
+      .union(e.select(col("b").as("r"), col("a").as("s")))
+      .localCheckpoint()
+    val nbrSum = dir
+      .join(clsM.select(col("rep").as("s"), col("m").as("ms")), "s")
+      .groupBy("r").agg(sum("ms").as("nsum"))
+    val cls = clsM
+      .join(nbrSum.select(col("r").as("rep"), col("nsum")), Seq("rep"), "left")
+      .select(col("rep"), col("m"), col("i"),
+        (when(col("i"), col("m") - 1).otherwise(0L) +
+          coalesce(col("nsum"), lit(0L))).cast("long").as("d"))
+      .filter(col("d") >= 1)
+      .localCheckpoint()
+    (cls, dir)
+  }
+
+  /** [[graft.operators.Graph.pagerankFrom]] of the doc-level verified
+    * graph served REP-LEVEL by copy symmetry: all copies of a text
+    * have identical neighborhoods, hence identical rank at every
+    * iteration, so the integer walk runs on the copy CLASSES —
+    *
+    *   insum(copy of r) = i_r·(m_r−1)·(R_r div d_r)       (co-copies)
+    *                    + Σ_{s∈N(r)} m_s·(R_s div d_s)    (neighbors)
+    *   R'_r = teleport + (85·insum) div 100
+    *
+    * — every quantity a class function, every step the same floor
+    * arithmetic as the doc-level loop, so the expansion (copies
+    * inherit their class rank; isolated docs keep the teleport mass)
+    * is EXACT, not approximate. Per iteration the join+agg runs on
+    * the rep graph (thousands of edges at the 20× dup-skew probe)
+    * instead of the copy-expanded relation (~1.05 M edges there,
+    * quadratic in copy multiplicity by construction) — the same
+    * discipline as [[kcoreDegrees]]/[[clusterDiameters]]. Output
+    * identical to Graph.pagerankFrom(verifiedNearDups(...), docs) —
+    * shared unrolled-CTE oracle, staged==live spec-gated. */
+  def pagerankRanks(spark: SparkSession, path: String, iterations: Int = 10,
+                    threshold: Double = 0.8): DataFrame = {
+    requireThreshold(threshold)
+    val mem = membersWithM(spark, path)
+    val (cls, dir) = classGraph(spark, path, threshold)
+    val n = mem.count()
+    require(n > 0, "empty graph")
+    val r0 = Graph.TotalMass / n
+    val teleport = (15L * r0) / 100L
+    var ranks = cls.select(col("rep"), lit(r0).as("rank"))
+    for (it <- 1 to iterations) {
+      val contrib = cls.join(ranks, Seq("rep"))
+        .select(col("rep"), col("m"), col("i"), expr("rank div d").as("c"))
+      val crossSum = dir
+        .join(contrib.select(col("rep").as("s"), (col("m") * col("c")).as("mc")), "s")
+        .groupBy("r").agg(sum("mc").as("xs"))
+      ranks = cls
+        .join(contrib.select(col("rep"), col("c")), Seq("rep"))
+        .join(crossSum.select(col("r").as("rep"), col("xs")), Seq("rep"), "left")
+        .select(col("rep"),
+          (lit(teleport) + expr(
+            "(85 * (IF(i, (m - 1) * c, CAST(0 AS BIGINT)) + coalesce(xs, CAST(0 AS BIGINT)))) div 100"))
+            .as("rank"))
+      if (it % 3 == 0 || it == iterations) ranks = ranks.localCheckpoint()
+    }
+    val inGraph = mem.join(ranks, Seq("rep"))
+      .select(col("doc_id").as("node"), col("rank"))
+    val isolated = mem.join(cls.select("rep"), Seq("rep"), "left_anti")
+      .select(col("doc_id").as("node"),
+        lit(if (iterations == 0) r0 else teleport).as("rank"))
+    inGraph.unionByName(isolated)
+  }
+
+  /** [[graft.operators.Graph.personalizedPagerankFrom]] served
+    * rep-level. PPR refines the copy-symmetry classes ONE notch: the
+    * %`seedMod` teleport gate splits each class into a seed and a
+    * non-seed SUBCLASS (a seed copy and a non-seed copy of the same
+    * text differ only in their teleport term, and a node's in-sum
+    * excludes its own contribution symmetrically within a subclass),
+    * so the walk carries two ranks per class —
+    *
+    *   T_r        = msd_r·(Rs_r div d_r) + mns_r·(Rn_r div d_r)
+    *   insum_seed = i_r·(T_r − Rs_r div d_r) + Σ_{s∈N(r)} T_s
+    *   insum_non  = i_r·(T_r − Rn_r div d_r) + Σ_{s∈N(r)} T_s
+    *   Rs' = teleport + (85·insum_seed) div 100
+    *   Rn' =            (85·insum_non)  div 100
+    *
+    * — still class-function arithmetic, still one rep-graph join+agg
+    * per iteration. Non-seed isolated copies decay to 0, seed ones
+    * keep the teleport floor. Output identical to the doc-level op —
+    * shared oracle, staged==live spec-gated. */
+  def pprRanks(spark: SparkSession, path: String, iterations: Int = 10,
+               seedMod: Int = 7, threshold: Double = 0.8): DataFrame = {
+    requireThreshold(threshold)
+    val mem = membersWithM(spark, path)
+    val (cls0, dir) = classGraph(spark, path, threshold)
+    val seedCounts = mem.groupBy("rep").agg(
+      sum(when(col("doc_id") % seedMod === 0, 1L).otherwise(0L)).as("msd"))
+    val cls = cls0.join(seedCounts, Seq("rep"))
+      .select(col("rep"), col("m"), col("i"), col("d"),
+        col("msd"), (col("m") - col("msd")).as("mns"))
+      .localCheckpoint()
+    val nSeeds = mem.filter(col("doc_id") % seedMod === 0).count()
+    require(nSeeds > 0, s"personalized pagerank: no seeds under mod $seedMod")
+    val r0 = Graph.TotalMass / nSeeds
+    val teleport = (15L * r0) / 100L
+    var ranks = cls.select(col("rep"), lit(r0).as("rs"), lit(0L).as("rn"))
+    for (it <- 1 to iterations) {
+      val contrib = cls.join(ranks, Seq("rep"))
+        .select(col("rep"), col("i"),
+          expr("rs div d").as("cs"), expr("rn div d").as("cn"),
+          expr("msd * (rs div d) + mns * (rn div d)").as("t"))
+      val crossSum = dir
+        .join(contrib.select(col("rep").as("s"), col("t")), "s")
+        .groupBy("r").agg(sum("t").as("xs"))
+      ranks = contrib
+        .join(crossSum.select(col("r").as("rep"), col("xs")), Seq("rep"), "left")
+        .select(col("rep"),
+          (lit(teleport) + expr(
+            "(85 * (IF(i, t - cs, CAST(0 AS BIGINT)) + coalesce(xs, CAST(0 AS BIGINT)))) div 100"))
+            .as("rs"),
+          expr("(85 * (IF(i, t - cn, CAST(0 AS BIGINT)) + coalesce(xs, CAST(0 AS BIGINT)))) div 100")
+            .as("rn"))
+      if (it % 3 == 0 || it == iterations) ranks = ranks.localCheckpoint()
+    }
+    val inGraph = mem.join(ranks, Seq("rep"))
+      .select(col("doc_id").as("node"),
+        when(col("doc_id") % seedMod === 0, col("rs")).otherwise(col("rn")).as("rank"))
+    val isolated = mem.join(cls.select("rep"), Seq("rep"), "left_anti")
+      .select(col("doc_id").as("node"),
+        when(col("doc_id") % seedMod === 0,
+          lit(if (iterations == 0) r0 else teleport)).otherwise(lit(0L)).as("rank"))
+    inGraph.unionByName(isolated)
+  }
+
+  /** LP labels per in-graph copy class after `iterations` synchronous
+    * rounds: (rep, m, i, d, lr, ln) where lr labels the REP copy and
+    * ln the m−1 NON-REP copies (null when m = 1). Copy symmetry for
+    * LP needs the one-notch refinement PPR needed: initial labels are
+    * node ids, so the rep (whose id is the group min) and its co-copies
+    * see different self-excluded neighborhoods — but WITHIN each
+    * subclass the vote multiset is identical, inductively, so two
+    * labels per class carry the whole state.
+    *
+    * Round 1 is closed-form (every initial label is distinct, every
+    * vote count 1, so each node takes its MIN neighbor id): the rep
+    * takes min(second-lowest member id [if m ≥ 2], min neighbor rep);
+    * a non-rep copy takes min(rep, min neighbor rep). Rounds ≥ 2 run
+    * the weighted vote (votes = neighbor COUNT per label, tie → lower
+    * label) on a STATIC subclass vote-edge relation:
+    *
+    *   REP(r)    ← NONREP(r) w=m−1;  NONREP(r) ← REP(r) w=1,
+    *   NONREP(r) ← NONREP(r) w=m−2                       (intra, i_r)
+    *   X(r) ← REP(s) w=1, X(r) ← NONREP(s) w=m_s−1   (s ∈ N(r))
+    *
+    * — rep-graph-sized per round vs the doc-level neighbor join over
+    * copy cliques. */
+  private def lpRepLabels(spark: SparkSession, path: String,
+                          iterations: Int, threshold: Double): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val mem = membersWithM(spark, path)
+    val (cls, dir) = classGraph(spark, path, threshold)
+    val nbrMin = dir.groupBy("r").agg(min("s").as("minN"))
+    val sm = mem.filter(col("doc_id") =!= col("rep"))
+      .groupBy("rep").agg(min("doc_id").as("sm"))
+    var labels = cls
+      .join(nbrMin.select(col("r").as("rep"), col("minN")), Seq("rep"), "left")
+      .join(sm, Seq("rep"), "left")
+      .select(col("rep"),
+        least(when(col("i"), col("sm")), col("minN")).as("lr"),
+        when(col("m") >= 2, least(col("rep"), col("minN"))).as("ln"))
+      .localCheckpoint()
+    if (iterations >= 2) {
+      val repFromNon = cls.filter(col("m") >= 2)
+        .select(col("rep").as("dr"), lit(0).as("dt"),
+          col("rep").as("sr"), lit(1).as("st"), (col("m") - 1).cast("long").as("w"))
+      val nonFromRep = cls.filter(col("m") >= 2)
+        .select(col("rep").as("dr"), lit(1).as("dt"),
+          col("rep").as("sr"), lit(0).as("st"), lit(1L).as("w"))
+      val nonFromNon = cls.filter(col("m") >= 3)
+        .select(col("rep").as("dr"), lit(1).as("dt"),
+          col("rep").as("sr"), lit(1).as("st"), (col("m") - 2).cast("long").as("w"))
+      val dstSub = cls.select(col("rep"), lit(0).as("dt"))
+        .union(cls.filter(col("m") >= 2).select(col("rep"), lit(1).as("dt")))
+      val srcSub = cls.select(col("rep"), lit(0).as("st"), lit(1L).as("w"))
+        .union(cls.filter(col("m") >= 2)
+          .select(col("rep"), lit(1).as("st"), (col("m") - 1).cast("long").as("w")))
+      val crossVotes = dir
+        .join(dstSub.select(col("rep").as("r"), col("dt")), "r")
+        .join(srcSub.select(col("rep").as("s"), col("st"), col("w")), "s")
+        .select(col("r").as("dr"), col("dt"), col("s").as("sr"), col("st"), col("w"))
+      val voteEdges = repFromNon.unionByName(nonFromRep).unionByName(nonFromNon)
+        .unionByName(crossVotes).localCheckpoint()
+      for (_ <- 2 to iterations) {
+        val sl = labels.select(col("rep"), lit(0).as("t"), col("lr").as("label"))
+          .union(labels.filter(col("ln").isNotNull)
+            .select(col("rep"), lit(1).as("t"), col("ln")))
+        val win = voteEdges
+          .join(sl.select(col("rep").as("sr"), col("t").as("st"), col("label")),
+            Seq("sr", "st"))
+          .groupBy(col("dr"), col("dt"), col("label"))
+          .agg(sum("w").as("votes"))
+          .groupBy(col("dr"), col("dt"))
+          .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("best"))
+          .select(col("dr").as("rep"), col("dt").as("t"), (-col("best.nl")).as("label"))
+        labels = cls.select("rep")
+          .join(win.filter(col("t") === 0).select(col("rep"), col("label").as("lr")),
+            Seq("rep"), "left")
+          .join(win.filter(col("t") === 1).select(col("rep"), col("label").as("ln")),
+            Seq("rep"), "left")
+          .localCheckpoint()
+      }
+    }
+    cls.join(labels, Seq("rep"))
+  }
+
+  /** [[graft.operators.Graph.labelPropagation]] of the doc-level
+    * verified graph served rep-level by [[lpRepLabels]]' subclass
+    * symmetry; every copy inherits its subclass label, non-graph docs
+    * keep their own id. Output identical to the doc-level op — shared
+    * unrolled-CTE oracle, staged==live spec-gated. */
+  def lpCommunities(spark: SparkSession, path: String, iterations: Int = 3,
+                    threshold: Double = 0.8): DataFrame = {
+    requireThreshold(threshold)
+    val labels = lpRepLabels(spark, path, iterations, threshold)
+    membersWithM(spark, path)
+      .join(labels.select("rep", "lr", "ln"), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(when(col("doc_id") === col("rep"), col("lr")).otherwise(col("ln")),
+          col("doc_id")).as("community"))
+  }
+
+  /** [[graft.operators.Graph.modularity]] served rep-level: Newman's
+    * per-community Q terms are pure multiplicity arithmetic once the
+    * LP labels are known per subclass —
+    *
+    *   m        = Σ_{i_r} C(m_r,2) + Σ_{(r,s)} m_r·m_s
+    *   n_nodes  = Σ subclass sizes;  volume = Σ size·d_r
+    *   intra(c) = Σ_{i_r, lr=ln=c} (m_r−1) + Σ_{i_r, ln=c} C(m_r−1,2)
+    *            + Σ_{(r,s)} [1·[lr_r=lr_s] + (m_s−1)·[lr_r=ln_s]
+    *                        + (m_r−1)·[ln_r=lr_s] + (m_r−1)(m_s−1)·[ln_r=ln_s]]
+    *
+    * with each bracketed term credited to its (equal) label. The two
+    * float divisions mirror the doc-level spelling exactly. Output
+    * identical to Graph.modularity(verifiedNearDups(...), docs) —
+    * shared oracle, staged==live spec-gated. */
+  def modularityDecomp(spark: SparkSession, path: String,
+                       iterations: Int = 3, threshold: Double = 0.8): DataFrame = {
+    requireThreshold(threshold)
+    val lab = lpRepLabels(spark, path, iterations, threshold).localCheckpoint()
+    val e = repPairsAt(spark, path, threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+    val labA = lab.select(col("rep").as("a"), col("m").as("ma"),
+      col("lr").as("lra"), col("ln").as("lna"))
+    val labB = lab.select(col("rep").as("b"), col("m").as("mb"),
+      col("lr").as("lrb"), col("ln").as("lnb"))
+    val ej = e.join(labA, "a").join(labB, "b").localCheckpoint()
+    val mTot = lab.filter(col("i")).agg(
+        coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("mi"))
+      .crossJoin(ej.agg(coalesce(sum(col("ma") * col("mb")), lit(0L)).as("mx")))
+      .select((col("mi") + col("mx")).as("m"))
+    // subclass rows: (community, size, deg) — n_nodes/volume inputs
+    val volRows = lab.select(col("lr").as("community"), lit(1L).as("sz"), col("d"))
+      .union(lab.filter(col("m") >= 2)
+        .select(col("ln"), (col("m") - 1).cast("long"), col("d")))
+    val vol = volRows.groupBy("community")
+      .agg(sum("sz").as("n_nodes"), sum(col("sz") * col("d")).as("volume"))
+    // intra-edge credits: (community, w) terms, zero-weight dropped
+    val intraGroup = lab.filter(col("i")).select(explode(array(
+        struct(when(col("lr") === col("ln"), col("lr")).as("community"),
+          (col("m") - 1).cast("long").as("w")),
+        struct(col("ln").as("community"),
+          expr("(m - 1) * (m - 2) div 2").cast("long").as("w")))).as("t"))
+      .select(col("t.community"), col("t.w"))
+    val intraCross = ej.select(explode(array(
+        struct(when(col("lra") === col("lrb"), col("lra")).as("community"),
+          lit(1L).as("w")),
+        struct(when(col("lra") === col("lnb"), col("lra")).as("community"),
+          (col("mb") - 1).cast("long").as("w")),
+        struct(when(col("lna") === col("lrb"), col("lna")).as("community"),
+          (col("ma") - 1).cast("long").as("w")),
+        struct(when(col("lna") === col("lnb"), col("lna")).as("community"),
+          ((col("ma") - 1) * (col("mb") - 1)).cast("long").as("w")))).as("t"))
+      .select(col("t.community"), col("t.w"))
+    val intra = intraGroup.unionByName(intraCross)
+      .filter(col("community").isNotNull && col("w") >= 1)
+      .groupBy("community").agg(sum("w").as("intra_edges"))
+    vol.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mTot))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"), col("volume"),
+        round(coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m") -
+          (col("volume").cast("double") / (col("m") * 2)) *
+          (col("volume").cast("double") / (col("m") * 2)), 6).as("contrib"))
+  }
+
   /** [[Dedup.nearDupClusters]] served from the store: connected
     * components over the rep-level verified pair graph (the only
     * iterative work — pair-sized, not corpus-sized), then the members
