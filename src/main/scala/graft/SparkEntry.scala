@@ -1026,6 +1026,27 @@ object SparkEntry {
       SearchExtras.ltrFeatures(Tables.documents(s, dir),
         Bm25.DemoQueries.toDF("query_id", "qtext"))
     }),
+    // cross-encoder-shaped second-stage rerank of the batch top-10
+    // (deterministic feature-linear scorer in the model slot; cost
+    // scales with queries x k, never the corpus)
+    "q_rerank" -> ((s, dir) => {
+      import s.implicits._
+      SearchExtras.rerank(Tables.documents(s, dir),
+        Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
+    // footrule rank-displacement monitor of the rerank pass
+    "q_rerank_delta" -> ((s, dir) => {
+      import s.implicits._
+      SearchExtras.rerankDelta(Tables.documents(s, dir),
+        Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
+    // per-query scored-postings cost profile (deterministic latency
+    // proxy of the batch run — what MaxScore/WAND planning budgets)
+    "q_search_cost" -> ((s, dir) => {
+      import s.implicits._
+      SearchExtras.searchCost(Tables.documents(s, dir),
+        Bm25.DemoQueries.toDF("query_id", "qtext"))
+    }),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -1316,6 +1337,48 @@ object SparkEntry {
        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM dl)""".stripMargin
 
   private val queryTermsSql = Bm25.QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Shared by q_ltr_features / q_rerank / q_rerank_delta: the batch
+    * BM25 scoring chain + per-(query, doc) feature aggregates, ending
+    * in the `ltr` relation (query_id, doc_id, rk, score, n_match,
+    * sum_tf, max_tf, dl, overlap). */
+  private lazy val ltrCte = {
+    val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""$dlCte,
+       |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+       |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
+       |qt AS (SELECT DISTINCT query_id, t AS term
+       |       FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
+       |       WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
+       |qsz AS (SELECT query_id, count(*)::BIGINT AS n_qterms FROM qt GROUP BY 1),
+       |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+       |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+       |       FROM tf
+       |       JOIN idfq ON tf.term = idfq.term
+       |       JOIN qt ON qt.term = tf.term
+       |       JOIN dl ON tf.doc_id = dl.doc_id
+       |       CROSS JOIN avgd
+       |       GROUP BY qt.query_id, tf.doc_id),
+       |rkd AS (SELECT query_id, doc_id, score,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+       |        FROM sc),
+       |run AS (SELECT query_id, doc_id, score, rk FROM rkd WHERE rk <= 10),
+       |feat AS (SELECT qt.query_id, tf.doc_id,
+       |           count(DISTINCT tf.term)::BIGINT AS n_match,
+       |           sum(tf.tf)::BIGINT AS sum_tf, max(tf.tf)::BIGINT AS max_tf
+       |         FROM tf JOIN qt ON tf.term = qt.term
+       |         GROUP BY qt.query_id, tf.doc_id),
+       |ltr AS (SELECT run.query_id, run.doc_id, run.rk::BIGINT AS rk, run.score,
+       |          feat.n_match, feat.sum_tf, feat.max_tf, dl.dl,
+       |          round(feat.n_match::DOUBLE / qsz.n_qterms, 6) AS overlap
+       |        FROM run
+       |        JOIN feat ON run.query_id = feat.query_id AND run.doc_id = feat.doc_id
+       |        JOIN dl ON run.doc_id = dl.doc_id
+       |        JOIN qsz ON run.query_id = qsz.query_id)""".stripMargin
+  }
 
   /** Word-3-gram shingle CTE mirroring Dedup.shingles (distinct shingles
     * per doc, 1-based windows over the space-split word list). */
@@ -3388,42 +3451,54 @@ object SparkEntry {
          |FROM grid LEFT JOIN cov ON grid.n = cov.n CROSS JOIN tot""".stripMargin,
     // LTR features: the batch scoring chain + per-(query,doc) term
     // aggregates + doc length + query-coverage ratio
-    "q_ltr_features" -> {
+    "q_ltr_features" -> s"WITH $ltrCte\nSELECT * FROM ltr",
+    // cross-encoder-shaped rerank: the feature-linear model over the
+    // ltr relation, spelled term-for-term as the plan's expression
+    "q_rerank" ->
+      s"""WITH $ltrCte,
+         |rr AS (SELECT query_id, doc_id, rk,
+         |         round(2.0 * overlap + ln(1.0 + sum_tf) + 0.5 * ln(1.0 + max_tf)
+         |               - 0.25 * ln(1.0 + dl) + 0.1 * score, 4) AS rerank_score
+         |       FROM ltr)
+         |SELECT query_id, doc_id, rk, rerank_score,
+         |       row_number() OVER (PARTITION BY query_id
+         |                          ORDER BY rerank_score DESC, doc_id ASC)::BIGINT AS rerank_rk
+         |FROM rr""".stripMargin,
+    // rank-displacement readout of the rerank pass (footrule metric)
+    "q_rerank_delta" ->
+      s"""WITH $ltrCte,
+         |rr AS (SELECT query_id, doc_id, rk,
+         |         round(2.0 * overlap + ln(1.0 + sum_tf) + 0.5 * ln(1.0 + max_tf)
+         |               - 0.25 * ln(1.0 + dl) + 0.1 * score, 4) AS rerank_score
+         |       FROM ltr),
+         |rr2 AS (SELECT query_id, doc_id, rk,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY rerank_score DESC, doc_id ASC)::BIGINT AS rerank_rk
+         |        FROM rr)
+         |SELECT query_id, sum(abs(rk - rerank_rk))::BIGINT AS footrule,
+         |       sum(CASE WHEN rk <> rerank_rk THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+         |       max(CASE WHEN rerank_rk = 1 THEN rk END)::BIGINT AS new_top1_old_rk
+         |FROM rr2 GROUP BY 1""".stripMargin,
+    // per-query scored-postings work profile (the deterministic
+    // latency proxy of the batch run)
+    "q_search_cost" -> {
       val vals = Bm25.DemoQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
-      s"""WITH $dlCte,
-         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+      s"""WITH $tfCte,
          |qrs AS (SELECT * FROM (VALUES $vals) AS q(query_id, qtext)),
          |qt AS (SELECT DISTINCT query_id, t AS term
          |       FROM qrs, unnest(string_split(lower(qtext), ' ')) AS u(t)
          |       WHERE length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)),
-         |qsz AS (SELECT query_id, count(*)::BIGINT AS n_qterms FROM qt GROUP BY 1),
-         |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
-         |         FROM dft, nd WHERE term IN (SELECT term FROM qt)),
-         |sc AS (SELECT qt.query_id, tf.doc_id,
-         |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
-         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
-         |       FROM tf
-         |       JOIN idfq ON tf.term = idfq.term
-         |       JOIN qt ON qt.term = tf.term
-         |       JOIN dl ON tf.doc_id = dl.doc_id
-         |       CROSS JOIN avgd
-         |       GROUP BY qt.query_id, tf.doc_id),
-         |rkd AS (SELECT query_id, doc_id, score,
-         |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
-         |        FROM sc),
-         |run AS (SELECT query_id, doc_id, score, rk FROM rkd WHERE rk <= 10),
-         |feat AS (SELECT qt.query_id, tf.doc_id,
-         |           count(DISTINCT tf.term)::BIGINT AS n_match,
-         |           sum(tf.tf)::BIGINT AS sum_tf, max(tf.tf)::BIGINT AS max_tf
-         |         FROM tf JOIN qt ON tf.term = qt.term
-         |         GROUP BY qt.query_id, tf.doc_id)
-         |SELECT run.query_id, run.doc_id, run.rk::BIGINT AS rk, run.score,
-         |       feat.n_match, feat.sum_tf, feat.max_tf, dl.dl,
-         |       round(feat.n_match::DOUBLE / qsz.n_qterms, 6) AS overlap
-         |FROM run
-         |JOIN feat ON run.query_id = feat.query_id AND run.doc_id = feat.doc_id
-         |JOIN dl ON run.doc_id = dl.doc_id
-         |JOIN qsz ON run.query_id = qsz.query_id""".stripMargin
+         |hits AS (SELECT qt.query_id,
+         |           count(DISTINCT tf.term)::BIGINT AS n_terms_hit,
+         |           count(*)::BIGINT AS n_postings,
+         |           count(DISTINCT tf.doc_id)::BIGINT AS n_candidates
+         |         FROM tf JOIN qt ON tf.term = qt.term GROUP BY 1),
+         |qsz AS (SELECT query_id, count(*)::BIGINT AS n_qterms FROM qt GROUP BY 1)
+         |SELECT qsz.query_id, qsz.n_qterms,
+         |       coalesce(hits.n_terms_hit, 0)::BIGINT AS n_terms_hit,
+         |       coalesce(hits.n_postings, 0)::BIGINT AS n_postings,
+         |       coalesce(hits.n_candidates, 0)::BIGINT AS n_candidates
+         |FROM qsz LEFT JOIN hits ON qsz.query_id = hits.query_id""".stripMargin
     },
     // AP@10: the MRR scoring chain + hit numbering + min(R, k) norm
     "q_search_map" -> {

@@ -527,6 +527,79 @@ object SearchExtras {
         round(col("n_match").cast("double") / col("n_qterms"), 6).as("overlap"))
   }
 
+  /** (query_id, doc_id, rk, rerank_score, rerank_rk): CROSS-ENCODER-
+    * SHAPED re-ranking of the batch top-10 — the two-stage serving
+    * architecture every neural retrieval stack uses (cheap first-stage
+    * retrieval over the whole corpus, an expensive per-(query, doc)
+    * model over the k survivors). The model slot is a deterministic
+    * feature-linear scorer over [[ltrFeatures]]' columns (the exact
+    * signature a cross-encoder would consume: per-pair overlap, tf
+    * evidence, length prior, first-stage score) so the plumbing —
+    * k-row model input, per-query re-sort, stable tiebreaks — is the
+    * real, tested serving shape with the learned weights pluggable.
+    * Cost: rides the ltrFeatures plan + one k-row-per-query window;
+    * the corpus is never rescanned, which is WHY rerankers are
+    * affordable at 100 TB (model cost scales with queries×k, not
+    * corpus). Weights 2/1/0.5/0.25/0.1 are powers of two except the
+    * last, every term left-associated and rounded once — replayable
+    * in any IEEE engine. */
+  def rerank(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rerank_score").desc, col("doc_id").asc)
+    ltrFeatures(docs, queries, k)
+      .withColumn("rerank_score",
+        round(lit(2.0) * col("overlap") +
+          log(lit(1.0) + col("sum_tf")) +
+          lit(0.5) * log(lit(1.0) + col("max_tf")) -
+          lit(0.25) * log(lit(1.0) + col("dl")) +
+          lit(0.1) * col("score"), 4))
+      .withColumn("rerank_rk", row_number().over(w).cast("long"))
+      .select("query_id", "doc_id", "rk", "rerank_score", "rerank_rk")
+  }
+
+  /** (query_id, footrule, n_moved, new_top1_old_rk): how much the
+    * re-ranker actually moved each query's top-k — Spearman's footrule
+    * (Σ|rk − rerank_rk|, the standard rank-displacement metric), the
+    * count of displaced results, and where the new top hit sat in the
+    * first stage. The monitoring readout a two-stage stack ships with:
+    * footrule ≈ 0 means the reranker is dead weight; a new_top1_old_rk
+    * near k means the first stage was burying the best answer. Pure
+    * integer arithmetic over [[rerank]]'s k rows per query. */
+  def rerankDelta(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    rerank(docs, queries, k)
+      .groupBy("query_id")
+      .agg(sum(abs(col("rk") - col("rerank_rk"))).as("footrule"),
+        sum(when(col("rk") =!= col("rerank_rk"), 1L).otherwise(0L)).as("n_moved"),
+        max(when(col("rerank_rk") === 1, col("rk"))).as("new_top1_old_rk"))
+
+  /** (query_id, n_qterms, n_terms_hit, n_postings, n_candidates): the
+    * per-query COST PROFILE of the batch run — kept query terms, terms
+    * with non-empty postings, total (term, doc) postings scored, and
+    * distinct candidate docs. This is the deterministic latency proxy
+    * (scored-postings count is what MaxScore/WAND planning budgets
+    * against and what per-query wall time tracks at any scale) — a
+    * wall-clock percentile would not be engine-replayable, the work
+    * profile is. One broadcast-pruned postings pass, no extra corpus
+    * scan; queries whose terms miss the corpus report zeros. */
+  def searchCost(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(graft.functions.Text.rawTokens(col("qtext"))).as("term"))
+      .filter(graft.functions.Text.keepToken(col("term")))
+      .distinct()
+    val hits = Bm25.tf(docs)
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id")
+      .agg(countDistinct(col("term")).as("n_terms_hit"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_candidates"))
+    qterms.groupBy("query_id").agg(count(lit(1)).as("n_qterms"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_qterms"),
+        coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"),
+        coalesce(col("n_postings"), lit(0L)).as("n_postings"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
   /** The shared derived-relevance relation of the eval family: a doc
     * is relevant to a query iff it contains ≥ 2 distinct kept query
     * terms — deterministic, replayable by the oracle, and computed off

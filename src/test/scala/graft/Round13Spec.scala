@@ -153,4 +153,56 @@ class Round13Spec extends AnyFunSuite {
     val staged = modMap(DedupStore.modularityDecomp(spark, gatePath))
     assert(staged === live)
   }
+
+  // ---- two-stage rerank family ----
+
+  private def demoQueries = {
+    import spark.implicits._
+    graft.operators.Bm25.DemoQueries.toDF("query_id", "qtext")
+  }
+
+  test("rerank emits a per-query permutation of the first-stage top-k") {
+    val docs = Tables.documents(spark, sf)
+    val rows = graft.operators.SearchExtras.rerank(docs, demoQueries).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(0)).foreach { case (_, qr) =>
+      val base = qr.map(_.getLong(2)).sorted.toSeq
+      val rr = qr.map(_.getLong(4)).sorted.toSeq
+      assert(base === (1L to qr.length).toSeq) // first stage is 1..k
+      assert(rr === (1L to qr.length).toSeq)   // rerank permutes, never drops
+    }
+  }
+
+  test("rerank delta is consistent with the rerank permutation") {
+    val docs = Tables.documents(spark, sf)
+    val rr = graft.operators.SearchExtras.rerank(docs, demoQueries).collect()
+      .groupBy(_.getInt(0))
+    val delta = graft.operators.SearchExtras.rerankDelta(docs, demoQueries)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    rr.foreach { case (qid, qr) =>
+      val (footrule, nMoved, newTop1) = delta(qid)
+      assert(footrule === qr.map(r => math.abs(r.getLong(2) - r.getLong(4))).sum)
+      assert(nMoved === qr.count(r => r.getLong(2) != r.getLong(4)).toLong)
+      assert(newTop1 === qr.find(_.getLong(4) == 1L).get.getLong(2))
+    }
+  }
+
+  test("search cost profiles every query and zeros corpus misses") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val qs = demoQueries.union(
+      Seq((999, "zzzqqqxxx neverinthecorpus")).toDF("query_id", "qtext"))
+    val cost = graft.operators.SearchExtras.searchCost(docs, qs)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the planted miss query reports its kept terms but zero work
+    assert(cost(999) === ((2L, 0L, 0L, 0L)))
+    // every demo query hits: postings >= candidates >= 1, terms_hit <= n_qterms
+    graft.operators.Bm25.DemoQueries.foreach { case (qid, _) =>
+      val (nq, hit, post, cand) = cost(qid)
+      assert(hit >= 1L && hit <= nq)
+      assert(post >= cand && cand >= 1L)
+    }
+  }
 }
