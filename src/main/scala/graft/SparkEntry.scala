@@ -830,6 +830,13 @@ object SparkEntry {
     "q_seasonality" -> ((s, dir) => Relational.seasonality(Tables.events(s, dir))),
     // cross-source KMV-sketch jaccard matrix (md5-replayable)
     "q_kmv_jaccard" -> ((s, dir) => Sketches.kmvJaccard(Tables.documents(s, dir))),
+    // union-cardinality from merged KMV sketches (the mergeability
+    // property: per-source sketches built once answer any pair)
+    "q_kmv_union" -> ((s, dir) => Sketches.kmvUnion(Tables.documents(s, dir))),
+    // domain-level dedup ownership convention per source (owned /
+    // absorbed / ceded over multi-copy exact-text groups)
+    "q_source_ownership" -> ((s, dir) =>
+      Dedup.sourceOwnership(Tables.documents(s, dir))),
     // Jaccard-coefficient link prediction over the candidate graph
     "q_graph_jaccard" -> ((s, dir) =>
       Graph.jaccardLinkPred(DedupStore.candidates(s, dedupStoreFor(s, dir)))),
@@ -5646,6 +5653,51 @@ object SparkEntry {
         |       round(len(list_filter(mg, h -> list_contains(abk, h) AND list_contains(bbk, h)))::DOUBLE
         |             / len(mg), 6) AS est_jaccard
         |FROM m""".stripMargin,
+    // merged-sketch union estimate: exact under k, else (k-1)/h_k on
+    // the merged k-th hash (same 15-hex-digit grid as q_kmv_distinct)
+    "q_kmv_union" ->
+      """WITH tokw AS (SELECT source, string_split(lower(text), ' ') AS words FROM documents),
+        |shq AS (SELECT DISTINCT source,
+        |          md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS h
+        |        FROM tokw, unnest(generate_series(1, len(words)-2)) AS t(i)
+        |        WHERE len(words) >= 3),
+        |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM shq),
+        |sk AS (SELECT source, list(h ORDER BY h ASC) AS bk FROM rk WHERE r <= 64 GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        list_sort(list_distinct(list_concat(a.bk, b.bk)))[1:64] AS mg
+        |      FROM sk a JOIN sk b ON a.source < b.source)
+        |SELECT src_a, src_b, len(mg)::BIGINT AS k_used,
+        |       round(CASE WHEN len(mg) < 64 THEN len(mg)::DOUBLE
+        |             ELSE 63.0 / (list_sum(list_transform(range(1, 16),
+        |                    j -> (strpos('0123456789abcdef', substr(mg[64], j, 1)) - 1)::BIGINT
+        |                         << ((15 - j) * 4)))::DOUBLE / 1152921504606846976.0)
+        |             END, 4) AS est_union
+        |FROM p""".stripMargin,
+    // ownership replay: min-id rep per multi-copy md5 group, owner =
+    // the rep's source, per-source owned/absorbed/ceded rollup over a
+    // complete source list
+    "q_source_ownership" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT h, min(doc_id) AS rep FROM d GROUP BY h HAVING count(*) >= 2),
+        |mem AS (SELECT d.doc_id, d.source, d.h, g.rep FROM d JOIN g ON d.h = g.h),
+        |o AS (SELECT h, source AS owner FROM mem WHERE doc_id = rep),
+        |dd AS (SELECT mem.*, o.owner FROM mem JOIN o ON mem.h = o.h),
+        |c AS (SELECT owner AS source,
+        |        CASE WHEN doc_id = rep THEN 1 ELSE 0 END AS own,
+        |        CASE WHEN doc_id <> rep THEN 1 ELSE 0 END AS absorbed,
+        |        0 AS ceded
+        |      FROM dd
+        |      UNION ALL
+        |      SELECT source, 0, 0, 1 FROM dd WHERE doc_id <> rep AND source <> owner),
+        |agg AS (SELECT source, sum(own)::BIGINT AS o, sum(absorbed)::BIGINT AS a,
+        |          sum(ceded)::BIGINT AS c2
+        |        FROM c GROUP BY 1)
+        |SELECT s.source,
+        |       coalesce(agg.o, 0)::BIGINT AS n_owned,
+        |       coalesce(agg.a, 0)::BIGINT AS n_absorbed,
+        |       coalesce(agg.c2, 0)::BIGINT AS n_ceded
+        |FROM (SELECT DISTINCT source FROM documents) s
+        |LEFT JOIN agg ON s.source = agg.source""".stripMargin,
     // dominance is replayed on the same exact price-micros the plan
     // quantizes to; duplicated (price, size) points all survive
     "q_skyline" ->

@@ -21,6 +21,45 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** (source, n_owned, n_absorbed, n_ceded): the DOMAIN-LEVEL dedup
+    * OWNERSHIP convention — for every multi-copy exact-text group the
+    * canonical copy (hence the group) belongs to the source of the
+    * min-id doc (the store's rep convention), and each source reads:
+    * groups it owns, foreign copies its groups absorb, and its own
+    * docs ceded to groups another source owns. The provenance
+    * decision surface behind per-source quotas and crawl triage: a
+    * source whose dup exposure is mostly `n_ceded` is a mirror, not a
+    * content source — cut it before tuning quality thresholds. Every
+    * source reports (zeros when it has no multi-copy exposure), so
+    * the report is a complete dashboard at any scale. One md5 hash
+    * groupBy + two id-keyed joins — the [[exact]] shape, never
+    * pairwise. */
+  def sourceOwnership(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val g = d.groupBy("h").agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
+      .filter(col("m") >= 2)
+    val mem = d.join(g.select("h", "rep"), "h")
+    val owner = mem.filter(col("doc_id") === col("rep"))
+      .select(col("h").as("oh"), col("source").as("owner"))
+    val dd = mem.join(owner, col("h") === col("oh"))
+    val contrib = dd.select(col("owner").as("source"),
+        when(col("doc_id") === col("rep"), 1L).otherwise(0L).as("own"),
+        when(col("doc_id") =!= col("rep"), 1L).otherwise(0L).as("absorbed"),
+        lit(0L).as("ceded"))
+      .unionByName(dd
+        .filter(col("doc_id") =!= col("rep") && col("source") =!= col("owner"))
+        .select(col("source"), lit(0L).as("own"), lit(0L).as("absorbed"),
+          lit(1L).as("ceded")))
+    docs.select("source").distinct()
+      .join(contrib.groupBy("source").agg(sum("own").as("o"),
+        sum("absorbed").as("a"), sum("ceded").as("c")), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("o"), lit(0L)).as("n_owned"),
+        coalesce(col("a"), lit(0L)).as("n_absorbed"),
+        coalesce(col("c"), lit(0L)).as("n_ceded"))
+  }
+
   /** The deduplicated corpus: keep the min doc_id of every exact-hash
     * group, then drop the HIGHER doc_id of every VERIFIED near-dup
     * pair (the standard LLM-corpus policy; no iterative connected

@@ -196,4 +196,41 @@ object Sketches {
       .withColumn("est_jaccard",
         round(col("n_both").cast("double") / col("k_used"), 6))
   }
+
+  /** (src_a, src_b, k_used, est_union): UNION-CARDINALITY estimates
+    * between source shingle sets from MERGED KMV sketches — the
+    * mergeability property that makes KMV the scale tool for set
+    * algebra: bottom-k(A∪B) = bottom-k(bottom-k(A) ∪ bottom-k(B)), so
+    * per-source sketches built in ONE corpus pass answer any pair (or
+    * ad-hoc group) by k-element array arithmetic — no re-scan, no
+    * pairwise shingle join, and sketches union associatively across
+    * partitions/batches (the distributed-combine property). Exact
+    * when the merged sketch holds the whole union (k_used < k);
+    * otherwise the standard (k−1)/h_k estimator on the merged k-th
+    * smallest hash — same first-15-hex-digit grid as [[kmvDistinct]].
+    * Completes the KMV algebra alongside [[kmvJaccard]] (intersection
+    * ratio) and [[kmvDistinct]] (single-set cardinality). */
+  def kmvUnion(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val bottomK = udaf(new graft.functions.BottomK(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val sh = docs
+      .select(col("source"), graft.functions.Text.rawTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.Native.shingles(col("words"), 3)).as("shingle"))
+      .select(col("source"), md5(col("shingle")).as("h"))
+    val sk = sh.groupBy("source").agg(bottomK(col("h")).as("bk"))
+    val M = "1152921504606846976" // 16^15: first-15-hex-digits scale
+    sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        slice(array_sort(array_distinct(concat(col("a.bk"), col("b.bk")))), 1, k)
+          .as("mg"))
+      .select(col("src_a"), col("src_b"),
+        size(col("mg")).cast("long").as("k_used"),
+        round(when(size(col("mg")) < k, size(col("mg")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (conv(substring(element_at(col("mg"), k), 1, 15), 16, 10)
+              .cast("double") / lit(M).cast("double"))), 4).as("est_union"))
+  }
 }

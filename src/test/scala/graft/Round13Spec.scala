@@ -205,4 +205,64 @@ class Round13Spec extends AnyFunSuite {
       assert(post >= cand && cand >= 1L)
     }
   }
+
+  // ---- KMV union algebra ----
+
+  test("kmv union is exact under k and consistent with the sketch bound") {
+    import spark.implicits._
+    // two sources with 30/40 distinct-shingle docs overlapping in 20
+    // shingles: well under k=64, so the union estimate is EXACT
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val a = (1 to 32).map(i => s"w$i")
+    val b = (13 to 42).map(i => s"w$i")
+    val docs = Seq((1L, doc(a), "srcA"), (2L, doc(b), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val row = graft.operators.Sketches.kmvUnion(docs).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getString(0) === "srcA" && r.getString(1) === "srcB")
+    // |A| = 30 shingles, |B| = 28, overlap = 32-13+1-2 = 18 windows
+    val nA = 30L; val nB = 28L; val nBoth = 18L
+    assert(r.getLong(2) === nA + nB - nBoth)
+    assert(r.getDouble(3) === (nA + nB - nBoth).toDouble)
+  }
+
+  test("kmv union tracks the exact union within KMV error on the gate corpus") {
+    val docs = Tables.documents(spark, sf)
+    val est = graft.operators.Sketches.kmvUnion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val sh = graft.operators.Dedup.shingles(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("shingle")).as("h"))
+      .distinct().collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    est.foreach { case ((a, b), e) =>
+      val exact = (sh(a) ++ sh(b)).size.toDouble
+      // standard KMV relative error ~ 1/sqrt(k-2) ≈ 0.127; allow 4x
+      assert(math.abs(e - exact) / exact < 0.5,
+        s"($a,$b): est $e vs exact $exact")
+    }
+  }
+
+  // ---- domain-level dedup ownership ----
+
+  test("source ownership books owned/absorbed/ceded per the min-id convention") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared text one", "srcA"),  // group rep -> srcA owns
+      (2L, "shared text one", "srcB"),  // ceded by srcB, absorbed by srcA
+      (3L, "shared text one", "srcA"),  // absorbed by srcA (own copy)
+      (4L, "other text here", "srcB"),  // group rep -> srcB owns
+      (5L, "other text here", "srcB"),  // absorbed, same source: not ceded
+      (6L, "unique snowflake", "srcC")) // no multi-copy exposure
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.sourceOwnership(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("srcA") === ((1L, 2L, 0L)))
+    assert(got("srcB") === ((1L, 1L, 1L)))
+    assert(got("srcC") === ((0L, 0L, 0L)))
+  }
 }
