@@ -50,6 +50,18 @@ object SparkEntry {
       Hybrid.rrfSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "q_doc_similar" -> ((s, dir) => Bm25.similarDocs(Tables.documents(s, dir))),
     "q_postings" -> ((s, dir) => Bm25.postings(Tables.documents(s, dir), maxDf = 1000)),
+    // staged-index tombstone DELETE (the build/update/delete/compact
+    // maintenance quad): tombstone the %10==3 slice (idempotent per
+    // tag, O(batch)), serve immediately — IDF/avgdl re-derive from
+    // live rows, so scores equal a rebuild without the docs; physical
+    // purge deferred to compaction
+    "q_index_delete" -> ((s, dir) => {
+      val p = bm25DelStoreFor(s, dir)
+      Bm25Index.delete(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 3).select("doc_id"),
+        p, "del-01")
+      Bm25Index.score(s, p)
+    }),
     "q_idf_upsert" -> ((s, dir) => Upsert.lastWins(Tables.events(s, dir))),
     // round-trip the corpus through the engine's own DataSourceV2
     // (text export -> graft-tsv scan); oracle = the documents table
@@ -1078,6 +1090,7 @@ object SparkEntry {
     compactedDocsFor(s, dir); tsvDocsFor(s, dir); bucketedFor(s, dir)
     binaryDocsFor(s, dir); evolvedDocsFor(s, dir); basketStoreFor(s, dir)
     dedupIncStoreFor(s, dir); semIncStoreFor(s, dir); pqIncStoreFor(s, dir)
+    bm25DelStoreFor(s, dir)
     ()
   }
 
@@ -1168,6 +1181,12 @@ object SparkEntry {
     * build/update split IS the thing it tests.) */
   private def indexFor(s: SparkSession, dir: String): String =
     cachedLayout("idx_serve", dir)(p => Bm25Index.build(Tables.documents(s, dir), p))
+
+  /** A separate staged index for the tombstone-delete key: q_index_delete
+    * MUTATES its store (a delete delta), so it must never share
+    * `indexFor`'s serve index with the read-only keys. */
+  private def bm25DelStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("idx_del", dir)(p => Bm25Index.build(Tables.documents(s, dir), p))
 
   /** One staged near-dup pair substrate per sf dir per JVM: the six
     * dedup-decision keys (verified/clusters/keep/drop/containment/
@@ -2273,6 +2292,30 @@ object SparkEntry {
     // corpus identically (shared contract with q_bm25_score)
     "q_index_incremental" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored",
+    // tombstone-delete serve == BM25 over the corpus MINUS the
+    // deleted slice: every stat (df, n_docs, avgdl) re-derived from
+    // the surviving docs, exactly the rebuild-without-them contract
+    "q_index_delete" ->
+      s"""WITH src AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+         |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM src),
+         |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+         |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |nd AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN ($queryTermsSql)),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+         |  FROM tf
+         |  JOIN idfq ON tf.term = idfq.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN avgd
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, score FROM scored""".stripMargin,
     // DSv2 round trip reproduces the table it exported
     "q_source_dsv2" ->
       "SELECT doc_id, text FROM documents",

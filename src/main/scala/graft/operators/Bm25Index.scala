@@ -36,6 +36,40 @@ object Bm25Index {
   private def committedDeltas(spark: SparkSession, path: String): Seq[String] =
     DeltaStore.committedDeltas(spark, path)
 
+  /** Read one per-delta sub-relation across every delta that HAS it —
+    * delete deltas carry only `tombstones`, update deltas only
+    * `postings`/`doclen`, so every glob filters by existence. */
+  private def readSub(spark: SparkSession, deltas: Seq[String],
+                      sub: String): Option[DataFrame] = {
+    require(deltas.nonEmpty, "no committed deltas")
+    val fs = DeltaStore.fsOf(spark, deltas.head)
+    val present = deltas.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub")))
+    if (present.isEmpty) None
+    else Some(spark.read.parquet(present.map(d => s"$d/$sub"): _*))
+  }
+
+  /** The LIVE (postings, doclen) pair: physical rows minus tombstoned
+    * doc_ids. Corpus stats (n_docs, avgdl, per-term df) re-derive from
+    * the live rows downstream, so every IDF shifts exactly as a full
+    * rebuild without the deleted docs would — serving correctness
+    * never waits for compaction. The anti-join's right side is the
+    * tombstone set (delete-scaled, broadcast-sized in practice). */
+  private def liveIndex(spark: SparkSession,
+                        deltas: Seq[String]): (DataFrame, DataFrame) = {
+    val postings = readSub(spark, deltas, "postings")
+      .getOrElse(throw new IllegalStateException("store holds no postings"))
+    val doclen = readSub(spark, deltas, "doclen")
+      .getOrElse(throw new IllegalStateException("store holds no doclen"))
+    readSub(spark, deltas, "tombstones") match {
+      case None => (postings, doclen)
+      case Some(ts) =>
+        val dead = ts.select("doc_id")
+        (postings.join(dead, Seq("doc_id"), "left_anti"),
+          doclen.join(dead, Seq("doc_id"), "left_anti"))
+    }
+  }
+
   /** Full (re)build: reset the store and ingest the corpus as the
     * first delta. */
   def build(docs: DataFrame, path: String): Unit = {
@@ -65,10 +99,18 @@ object Bm25Index {
     // → the check falls back to scanning every delta, never silently
     // skipped; an empty batch cannot contain a duplicate
     val (batchEmpty, batchLo, batchHi) = DeltaStore.batchRange(newDocs, "doc_id")
-    if (deltas.nonEmpty && !batchEmpty)
-      DeltaStore.rejectDuplicateIds(spark,
-        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, batchLo, batchHi),
+    if (deltas.nonEmpty && !batchEmpty) {
+      val fs = DeltaStore.fsOf(spark, path)
+      // tombstone-only deltas carry no doclen — dedup-check candidates
+      // are the update deltas whose id range can overlap. A DELETED id
+      // stays rejected until compaction physically purges its rows:
+      // tombstoning marks the doc dead, it does not free the id
+      val candidates = DeltaStore
+        .overlappingDeltas(fs, deltas, batchLo, batchHi)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/doclen")))
+      DeltaStore.rejectDuplicateIds(spark, candidates,
         "doclen", "doc_id", newDocs, "postings")
+    }
     val range = if (batchLo <= batchHi) Some((batchLo, batchHi)) else None
     DeltaStore.commit(spark, path, tag, range) { staging =>
       Bm25.tf(newDocs)
@@ -81,21 +123,57 @@ object Bm25Index {
     }
   }
 
+  /** TOMBSTONE DELETE — the maintenance leg between update and
+    * compact that completes the quad (build / update / delete /
+    * compact). A delete commits one delta holding only a `tombstones`
+    * (doc_id) relation: O(batch) work and crash-atomic like every
+    * other ingest, idempotent per `tag` (which is REQUIRED — a
+    * caller-owned tag is what makes a retried delete a no-op).
+    * Serving anti-joins live rows against the tombstone set and
+    * re-derives every corpus stat (n_docs, avgdl, df) from the LIVE
+    * rows, so scores shift exactly as a rebuild-without-the-docs
+    * would, immediately — the physical purge is deferred to
+    * [[compactDeltas]] (the LSM discipline: deletes are writes,
+    * reclamation is maintenance). Every id must be LIVE (present, not
+    * already tombstoned) — a typo'd delete fails loudly instead of
+    * no-op'ing; a deleted id stays reserved against re-ingest until
+    * compaction purges it. */
+  def delete(docIds: DataFrame, path: String, tag: String): Unit = {
+    val spark = docIds.sparkSession
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
+    val deltas = committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    val (_, live) = liveIndex(spark, deltas)
+    val nMissing = ids.join(live.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    require(nMissing == 0,
+      s"delete batch names $nMissing doc_ids that are not live in the store " +
+        "(absent or already tombstoned) — refusing a partially-effective delete")
+    DeltaStore.commit(spark, path, tag, None) { staging =>
+      ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
+    }
+  }
+
   /** Fold all committed deltas into ONE delta (small-files
     * maintenance: a long-running ingest accumulates a delta dir per
-    * batch, and scan task scheduling degrades with file count). The
-    * merged postings/doclen are staged and committed with the same
-    * single-rename protocol; the old deltas are then removed. Requires
-    * a single-writer maintenance window (no concurrent update/score —
-    * the brief gap between committing the merged delta and removing
-    * the old ones would double-count for a concurrent reader). */
+    * batch, and scan task scheduling degrades with file count) and
+    * PHYSICALLY PURGE tombstoned rows — the fold anti-joins postings
+    * and doclen against the accumulated tombstone set and drops the
+    * tombstones themselves, so the compacted store is byte-equivalent
+    * to one built without the deleted docs (replayed delete tags stay
+    * no-ops through the cumulative tag history). The merged relations
+    * are staged and committed with the same single-rename protocol;
+    * the old deltas are then removed. Requires a single-writer
+    * maintenance window (no concurrent update/score — the brief gap
+    * between committing the merged delta and removing the old ones
+    * would double-count for a concurrent reader). */
   def compactDeltas(spark: SparkSession, path: String): Unit =
     DeltaStore.compact(spark, path) { (deltas, staging) =>
-      spark.read.parquet(deltas.map(d => s"$d/postings"): _*)
+      val (postings, doclen) = liveIndex(spark, deltas)
+      postings
         .repartition(col("term")).sortWithinPartitions("term", "doc_id")
         .write.parquet(s"$staging/postings")
-      spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
-        .write.parquet(s"$staging/doclen")
+      doclen.write.parquet(s"$staging/doclen")
     }
 
   /** Okapi BM25 over the staged index — matches Bm25.bm25Score on the
@@ -104,9 +182,9 @@ object Bm25Index {
             queryTerms: Seq[String] = Bm25.QueryTerms): DataFrame = {
     val deltas = committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    val tfq = spark.read.parquet(deltas.map(d => s"$d/postings"): _*)
+    val (postings, dl) = liveIndex(spark, deltas)
+    val tfq = postings
       .filter(col("term").isin(queryTerms: _*)) // pushed to the scan
-    val dl = spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
     // corpus stats aggregate doc-cardinality rows at query time — no
     // stored table to keep transactionally in step with the deltas
     val stats = dl.agg(count(col("doc_id")).as("n_docs"),
@@ -135,8 +213,7 @@ object Bm25Index {
                   queries: DataFrame, k: Int = 10): DataFrame = {
     val deltas = committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    val tf = spark.read.parquet(deltas.map(d => s"$d/postings"): _*)
-    val dl = spark.read.parquet(deltas.map(d => s"$d/doclen"): _*)
+    val (tf, dl) = liveIndex(spark, deltas)
     Bm25.batchScoreFrom(tf, dl, queries, k)
   }
 }

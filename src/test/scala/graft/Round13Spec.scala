@@ -265,4 +265,81 @@ class Round13Spec extends AnyFunSuite {
     assert(got("srcB") === ((1L, 1L, 1L)))
     assert(got("srcC") === ((0L, 0L, 0L)))
   }
+
+  // ---- staged-index tombstone delete (the maintenance quad) ----
+
+  import graft.operators.Bm25Index
+
+  private def scoreMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("tombstone delete serves exactly the rebuild-without-the-docs scores") {
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("r13del").toString + "/idx"
+    Bm25Index.build(docs, path)
+    Bm25Index.delete(docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 10 === 3)
+      .select("doc_id"), path, "t1")
+    val served = scoreMap(Bm25Index.score(spark, path))
+    val rebuilt = java.nio.file.Files.createTempDirectory("r13delrb").toString + "/idx"
+    Bm25Index.build(docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 10 =!= 3), rebuilt)
+    assert(served === scoreMap(Bm25Index.score(spark, rebuilt)))
+    // the deleted slice is gone from serving AND the stats shifted:
+    // no served doc_id ends in 3
+    assert(!served.keySet.exists(_ % 10 == 3))
+    // batchSearch serves the same live view
+    import spark.implicits._
+    val bs = Bm25Index.batchSearch(spark, path,
+      graft.operators.Bm25.DemoQueries.toDF("query_id", "qtext")).collect()
+    assert(bs.nonEmpty && !bs.exists(_.getLong(1) % 10 == 3))
+  }
+
+  test("delete is idempotent per tag, loud on dead ids, and reserved against re-ingest") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"),
+      (3L, "theta iota kappa lambda")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("r13del2").toString + "/idx"
+    Bm25Index.build(docs, path)
+    Bm25Index.delete(Seq(2L).toDF("doc_id"), path, "d1")
+    Bm25Index.delete(Seq(2L).toDF("doc_id"), path, "d1") // replay: no-op
+    assert(graft.sources.DeltaStore.committedDeltas(spark, path).size === 2)
+    // double-delete under a NEW tag names a dead id -> loud
+    intercept[IllegalArgumentException] {
+      Bm25Index.delete(Seq(2L).toDF("doc_id"), path, "d2")
+    }
+    // absent id -> loud
+    intercept[IllegalArgumentException] {
+      Bm25Index.delete(Seq(99L).toDF("doc_id"), path, "d3")
+    }
+    // a tombstoned id stays reserved until compaction purges it
+    intercept[IllegalArgumentException] {
+      Bm25Index.update(Seq((2L, "new text for two")).toDF("doc_id", "text"), path, "u1")
+    }
+  }
+
+  test("compaction physically purges tombstoned rows and serving is unchanged") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon zeta"),
+      (3L, "alpha iota kappa lambda")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("r13del3").toString + "/idx"
+    Bm25Index.build(docs, path)
+    Bm25Index.delete(Seq(2L).toDF("doc_id"), path, "d1")
+    val before = scoreMap(Bm25Index.score(spark, path, Seq("alpha", "beta")))
+    Bm25Index.compactDeltas(spark, path)
+    val deltas = graft.sources.DeltaStore.committedDeltas(spark, path)
+    assert(deltas.size === 1)
+    val fs = graft.sources.DeltaStore.fsOf(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(deltas.head, "tombstones")))
+    assert(spark.read.parquet(s"${deltas.head}/doclen")
+      .filter($"doc_id" === 2L).isEmpty)
+    assert(scoreMap(Bm25Index.score(spark, path, Seq("alpha", "beta"))) === before)
+    // the purged id is free again: re-ingest now succeeds and serves
+    Bm25Index.update(Seq((2L, "alpha fresh replacement")).toDF("doc_id", "text"),
+      path, "u1")
+    assert(scoreMap(Bm25Index.score(spark, path, Seq("alpha"))).contains(2L))
+    // replayed delete tag stays a no-op through the cumulative history
+    Bm25Index.delete(Seq(1L).toDF("doc_id"), path, "d1")
+    assert(scoreMap(Bm25Index.score(spark, path, Seq("alpha"))).contains(1L))
+  }
 }
