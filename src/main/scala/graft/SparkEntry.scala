@@ -636,6 +636,18 @@ object SparkEntry {
       AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), path, "00001")
       AnnIndex.searchTopK(s, path)
     }),
+    // vector-store tombstone DELETE (the maintenance-quad leg on the
+    // LSH index): tombstone the %9==4 slice, serve immediately — the
+    // deleted vectors stop surfacing as candidates; oracle replays
+    // the live LSH over the surviving corpus. Dedicated cached store
+    // (the key mutates it; idempotent per tag)
+    "q_ann_delete" -> ((s, dir) => {
+      val p = annDelStoreFor(s, dir)
+      AnnIndex.delete(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 9 === 4).select("vec_id"),
+        p, "del-01")
+      AnnIndex.searchTopK(s, p, queryId = 2L)
+    }),
 
     // ---- Round-7 additions: embedding-side curation (deterministic
     // k-means, SemDeDup semantic clusters / keep-one-per-cluster) ----
@@ -1090,7 +1102,7 @@ object SparkEntry {
     compactedDocsFor(s, dir); tsvDocsFor(s, dir); bucketedFor(s, dir)
     binaryDocsFor(s, dir); evolvedDocsFor(s, dir); basketStoreFor(s, dir)
     dedupIncStoreFor(s, dir); semIncStoreFor(s, dir); pqIncStoreFor(s, dir)
-    bm25DelStoreFor(s, dir)
+    bm25DelStoreFor(s, dir); annDelStoreFor(s, dir)
     ()
   }
 
@@ -1187,6 +1199,11 @@ object SparkEntry {
     * `indexFor`'s serve index with the read-only keys. */
   private def bm25DelStoreFor(s: SparkSession, dir: String): String =
     cachedLayout("idx_del", dir)(p => Bm25Index.build(Tables.documents(s, dir), p))
+
+  /** Dedicated ANN store for the tombstone-delete key (same
+    * never-share-a-mutated-store rule as [[bm25DelStoreFor]]). */
+  private def annDelStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("annidx_del", dir)(p => AnnIndex.build(Tables.embeddings(s, dir), p))
 
   /** One staged near-dup pair substrate per sf dir per JVM: the six
     * dedup-decision keys (verified/clusters/keep/drop/containment/
@@ -3163,6 +3180,8 @@ object SparkEntry {
     // sequentially — a flip would need |sum| within FP-error of zero
     // (~1e-15 relative; checked green at sf0.01 and sf0.1).
     "q_ann_lsh" -> lshTopKOracleSql("TRUE", 0L),
+    // tombstone-delete serve == live LSH over the surviving vectors
+    "q_ann_delete" -> lshTopKOracleSql("vec_id % 9 <> 4", 2L),
     // the deterministic-quantizer IVF replays END-TO-END: the unrolled
     // exact-integer Lloyd's chain re-trains the coarse centers in SQL,
     // then probes + rescores exactly as the staged serve does

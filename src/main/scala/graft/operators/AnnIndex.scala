@@ -71,10 +71,15 @@ object AnnIndex {
           "rebuild the index to change hyperplane parameters")
     }
     val (batchEmpty, lo, hi) = DeltaStore.batchRange(embeddings, "vec_id")
-    if (deltas.nonEmpty && !batchEmpty)
-      DeltaStore.rejectDuplicateIds(spark,
-        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, lo, hi),
+    if (deltas.nonEmpty && !batchEmpty) {
+      val fs = DeltaStore.fsOf(spark, path)
+      // tombstone-only deltas carry no vectors; a deleted id stays
+      // reserved until compaction purges it (the Bm25Index contract)
+      val candidates = DeltaStore.overlappingDeltas(fs, deltas, lo, hi)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/vectors")))
+      DeltaStore.rejectDuplicateIds(spark, candidates,
         "vectors", "vec_id", embeddings, "ANN-index")
+    }
     val range = if (lo <= hi) Some((lo, hi)) else None
     DeltaStore.commit(spark, path, tag, range) { staging =>
       embeddings
@@ -103,9 +108,11 @@ object AnnIndex {
     DeltaStore.compact(spark, path) { (deltas, staging) =>
       val params = deltas.flatMap(d => readParams(fs, d)).distinct
       require(params.size <= 1, s"deltas disagree on LSH params: $params")
-      spark.read.parquet(deltas.map(d => s"$d/vectors"): _*)
-        .write.parquet(s"$staging/vectors")
-      spark.read.parquet(deltas.map(d => s"$d/buckets"): _*)
+      // physical purge: live rows only, tombstones dropped — the
+      // compacted store equals one built without the deleted vectors
+      val (vectors, buckets) = liveIndex(spark, deltas)
+      vectors.write.parquet(s"$staging/vectors")
+      buckets
         .repartition(col("t"), col("bucket"))
         .sortWithinPartitions("t", "bucket")
         .write.parquet(s"$staging/buckets")
@@ -113,6 +120,60 @@ object AnnIndex {
         val out = fs.create(new org.apache.hadoop.fs.Path(staging, "lsh.params"), true)
         try out.write(ps.getBytes("UTF-8")) finally out.close()
       }
+    }
+  }
+
+  /** TOMBSTONE DELETE — [[Bm25Index.delete]]'s contract on the vector
+    * store: one O(batch) tombstone delta (crash-atomic, idempotent per
+    * REQUIRED tag), serving anti-joins live rows so a deleted vector
+    * stops surfacing as candidate or query immediately, compaction
+    * physically purges. Every id must be LIVE — loud on dead/absent
+    * ids; a tombstoned id stays reserved against re-ingest until the
+    * purge. Works per-delta like every other ingest: nothing about
+    * LSH's literal hyperplanes needs retraining on delete (the same
+    * reason the family supports incremental ingest). */
+  def delete(vecIds: DataFrame, path: String, tag: String): Unit = {
+    val spark = vecIds.sparkSession
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val ids = vecIds.select(col("vec_id")).distinct().localCheckpoint()
+    val (live, _) = liveIndex(spark, deltas)
+    val nMissing = ids.join(live.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    require(nMissing == 0,
+      s"delete batch names $nMissing vec_ids that are not live in the store " +
+        "(absent or already tombstoned) — refusing a partially-effective delete")
+    DeltaStore.commit(spark, path, tag, None) { staging =>
+      ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
+    }
+  }
+
+  /** Read one sub-relation across the deltas that HAVE it (delete
+    * deltas carry only `tombstones`). */
+  private def readSub(spark: SparkSession, deltas: Seq[String],
+                      sub: String): Option[DataFrame] = {
+    require(deltas.nonEmpty, "no committed deltas")
+    val fs = DeltaStore.fsOf(spark, deltas.head)
+    val present = deltas.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub")))
+    if (present.isEmpty) None
+    else Some(spark.read.parquet(present.map(d => s"$d/$sub"): _*))
+  }
+
+  /** The LIVE (vectors, buckets) pair: physical rows minus tombstoned
+    * vec_ids. */
+  private def liveIndex(spark: SparkSession,
+                        deltas: Seq[String]): (DataFrame, DataFrame) = {
+    val vectors = readSub(spark, deltas, "vectors")
+      .getOrElse(throw new IllegalStateException("store holds no vectors"))
+    val buckets = readSub(spark, deltas, "buckets")
+      .getOrElse(throw new IllegalStateException("store holds no buckets"))
+    readSub(spark, deltas, "tombstones") match {
+      case None => (vectors, buckets)
+      case Some(ts) =>
+        val dead = ts.select("vec_id")
+        (vectors.join(dead, Seq("vec_id"), "left_anti"),
+          buckets.join(dead, Seq("vec_id"), "left_anti"))
     }
   }
 
@@ -161,8 +222,7 @@ object AnnIndex {
                            deltas: Seq[String],
                            queryId: Long, k: Int): DataFrame = {
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    val vectors = spark.read.parquet(deltas.map(d => s"$d/vectors"): _*)
-    val buckets = spark.read.parquet(deltas.map(d => s"$d/buckets"): _*)
+    val (vectors, buckets) = liveIndex(spark, deltas)
     val qb = buckets.filter(col("vec_id") === queryId)
       .select(col("t").as("qt"), col("bucket").as("qbucket"))
     val candidates = buckets

@@ -342,4 +342,36 @@ class Round13Spec extends AnyFunSuite {
     Bm25Index.delete(Seq(1L).toDF("doc_id"), path, "d1")
     assert(scoreMap(Bm25Index.score(spark, path, Seq("alpha"))).contains(1L))
   }
+
+  test("ANN tombstone delete equals the rebuild and purges on compaction") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("r13anndel").toString + "/idx"
+    AnnIndex.build(emb, path)
+    AnnIndex.delete(emb.filter($"vec_id" % 9 === 4).select("vec_id"), path, "t1")
+    def topk(p: String) = AnnIndex.searchTopK(spark, p, queryId = 2L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = topk(path)
+    assert(served.nonEmpty && !served.exists(_._1 % 9 == 4))
+    val rebuilt = java.nio.file.Files.createTempDirectory("r13anndelrb").toString + "/idx"
+    AnnIndex.build(emb.filter($"vec_id" % 9 =!= 4), rebuilt)
+    assert(served === topk(rebuilt))
+    // deleted ids are reserved; absent/dead deletes are loud
+    intercept[IllegalArgumentException] {
+      AnnIndex.update(emb.filter($"vec_id" % 9 === 4), path, "u1")
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.delete(Seq(4L).toDF("vec_id"), path, "t2")
+    }
+    // compaction purges physically and serving is unchanged
+    AnnIndex.compactDeltas(spark, path)
+    val deltas = graft.sources.DeltaStore.committedDeltas(spark, path)
+    assert(deltas.size === 1)
+    val fs = graft.sources.DeltaStore.fsOf(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(deltas.head, "tombstones")))
+    assert(spark.read.parquet(s"${deltas.head}/vectors")
+      .filter($"vec_id" % 9 === 4).isEmpty)
+    assert(topk(path) === served)
+  }
 }
