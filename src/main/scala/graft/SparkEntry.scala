@@ -256,6 +256,17 @@ object SparkEntry {
     // deterministic integer-Lloyd's trainer makes the whole pipeline
     // — training included — hash-checked via the pqCtes replay
     "q_ann_pq" -> ((s, dir) => PqIndex.searchTopK(s, pqIndexFor(s, dir))),
+    // PQ-store tombstone DELETE under FROZEN codebooks (the quad's
+    // delete leg on the trained store: deletes never retrain, exactly
+    // as updates never do); oracle = full-corpus training replay with
+    // the deleted slice filtered at serve time
+    "q_pq_delete" -> ((s, dir) => {
+      val p = pqDelStoreFor(s, dir)
+      PqIndex.delete(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 8 === 5).select("vec_id"),
+        p, "del-01")
+      PqIndex.searchTopK(s, p)
+    }),
     // IVF+PQ composed (residual-encoded, per-probe ADC tables), same
     // staged-serving split, same end-to-end replay
     "q_ann_ivfpq" -> ((s, dir) => PqIndex.searchIvfTopK(s, ivfPqIndexFor(s, dir))),
@@ -1102,7 +1113,7 @@ object SparkEntry {
     compactedDocsFor(s, dir); tsvDocsFor(s, dir); bucketedFor(s, dir)
     binaryDocsFor(s, dir); evolvedDocsFor(s, dir); basketStoreFor(s, dir)
     dedupIncStoreFor(s, dir); semIncStoreFor(s, dir); pqIncStoreFor(s, dir)
-    bm25DelStoreFor(s, dir); annDelStoreFor(s, dir)
+    bm25DelStoreFor(s, dir); annDelStoreFor(s, dir); pqDelStoreFor(s, dir)
     ()
   }
 
@@ -1204,6 +1215,10 @@ object SparkEntry {
     * never-share-a-mutated-store rule as [[bm25DelStoreFor]]). */
   private def annDelStoreFor(s: SparkSession, dir: String): String =
     cachedLayout("annidx_del", dir)(p => AnnIndex.build(Tables.embeddings(s, dir), p))
+
+  /** Dedicated PQ store for the tombstone-delete key. */
+  private def pqDelStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("pqidx_del", dir)(p => PqIndex.build(Tables.embeddings(s, dir), p))
 
   /** One staged near-dup pair substrate per sf dir per JVM: the six
     * dedup-decision keys (verified/clusters/keep/drop/containment/
@@ -1877,7 +1892,8 @@ object SparkEntry {
     * key (codebooks frozen at the build cut, everything encoded). */
   private def pqOracleSql(m: Int, sub: Int, ksub: Int, iters: Int,
                           nCandidates: Int, k: Int,
-                          trainWhere: String = "TRUE"): String =
+                          trainWhere: String = "TRUE",
+                          serveWhere: String = "TRUE"): String =
     s"""WITH $vecCte,
        |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
        |      FROM embeddings WHERE embedding IS NOT NULL),
@@ -1889,7 +1905,7 @@ object SparkEntry {
        |         FROM pc$iters c JOIN qsv ON c.j = qsv.j),
        |adcs AS (SELECT pcode.vec_id, sum(ad)::BIGINT AS adc
        |         FROM pcode JOIN adct ON pcode.j = adct.j AND pcode.code = adct.cid
-       |         WHERE pcode.vec_id != 0 GROUP BY 1),
+       |         WHERE pcode.vec_id != 0 AND (${serveWhere.replace("vec_id", "pcode.vec_id")}) GROUP BY 1),
        |cand AS (SELECT vec_id, adc FROM adcs ORDER BY adc ASC, vec_id ASC LIMIT $nCandidates),
        |qrow AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
        |SELECT b.vec_id, cand.adc,
@@ -3189,6 +3205,10 @@ object SparkEntry {
     // end-to-end PQ / IVF+PQ replays — training (per-subspace integer
     // Lloyd's), encode, ADC scan and rerank all re-derived in SQL
     "q_ann_pq" -> pqOracleSql(8, 8, 16, 2, 100, 10),
+    // tombstone-delete serve: codebooks trained on the FULL corpus
+    // (frozen at build), the deleted slice filtered from the ADC scan
+    "q_pq_delete" -> pqOracleSql(8, 8, 16, 2, 100, 10,
+      serveWhere = "vec_id % 8 <> 5"),
     "q_ann_ivfpq" -> ivfPqOracleSql(16, 2, 4, 8, 8, 16, 100, 10),
     // incremental PQ: codebooks FROZEN at the 80% build cut, every
     // vector (old + new batch) encoded and served

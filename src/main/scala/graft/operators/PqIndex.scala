@@ -92,8 +92,12 @@ object PqIndex {
     val deltas = DeltaStore.committedDeltas(spark, path)
     val (batchEmpty, batchLo, batchHi) = DeltaStore.batchRange(newEmbeddings, "vec_id")
     if (!batchEmpty) {
-      DeltaStore.rejectDuplicateIds(spark,
-        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, batchLo, batchHi),
+      val fs = DeltaStore.fsOf(spark, path)
+      // tombstone-only deltas carry no codes; a deleted id stays
+      // reserved until compaction purges it (the Bm25Index contract)
+      val candidates = DeltaStore.overlappingDeltas(fs, deltas, batchLo, batchHi)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/codes")))
+      DeltaStore.rejectDuplicateIds(spark, candidates,
         "codes", "vec_id", newEmbeddings, "PQ index")
     }
     val mv = Ann.millisVecs(newEmbeddings)
@@ -103,6 +107,66 @@ object PqIndex {
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/codes")
       Ann.withNorm(newEmbeddings)
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
+    }
+  }
+
+  /** TOMBSTONE DELETE — [[Bm25Index.delete]]'s contract on the PQ /
+    * IVF+PQ stores: one O(batch) tombstone delta (idempotent per
+    * REQUIRED tag), serving anti-joins live codes and vectors so a
+    * deleted vector stops surfacing immediately, [[compactDeltas]]
+    * physically purges. Codebooks (and the coarse quantizer) stay
+    * FROZEN — deleting vectors never retrains, exactly like adding
+    * them under [[update]]; a drifted quantizer is a rebuild, not a
+    * delete. Flat-IVF stores (single build delta, no ingest path) are
+    * refused — rebuild those. Every id must be LIVE; loud otherwise;
+    * a tombstoned id stays reserved against re-ingest until the
+    * purge. */
+  def delete(vecIds: DataFrame, path: String, tag: String): Unit = {
+    val spark = vecIds.sparkSession
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val fs = DeltaStore.fsOf(spark, path)
+    val kind = {
+      val builds = deltas.filter(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d, "pq.params")))
+      require(builds.size == 1, s"expected exactly one build delta, found ${builds.size}")
+      val in = fs.open(new org.apache.hadoop.fs.Path(builds.head, "pq.params"))
+      (try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+       finally in.close()).split(",")(0)
+    }
+    require(kind == "pq" || kind == "ivfpq",
+      s"tombstone delete supports the ingesting stores (pq/ivfpq); '$kind' is " +
+        "a single-delta build — rebuild it without the vectors instead")
+    val ids = vecIds.select(col("vec_id")).distinct().localCheckpoint()
+    val live = liveSub(spark, deltas, "vectors")
+      .getOrElse(throw new IllegalStateException("store holds no vectors"))
+    val nMissing = ids.join(live.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    require(nMissing == 0,
+      s"delete batch names $nMissing vec_ids that are not live in the store " +
+        "(absent or already tombstoned) — refusing a partially-effective delete")
+    DeltaStore.commit(spark, path, tag, None) { staging =>
+      ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
+    }
+  }
+
+  /** Read one sub-relation across the deltas that HAVE it (delete
+    * deltas carry only `tombstones`), tombstone-filtered. */
+  private def liveSub(spark: SparkSession, deltas: Seq[String],
+                      sub: String): Option[DataFrame] = {
+    val fs = DeltaStore.fsOf(spark, deltas.head)
+    def raw(s: String): Option[DataFrame] = {
+      val present = deltas.filter(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$d/$s")))
+      if (present.isEmpty) None
+      else Some(spark.read.parquet(present.map(d => s"$d/$s"): _*))
+    }
+    val rel = raw(sub)
+    if (sub == "tombstones") rel
+    else (rel, raw("tombstones")) match {
+      case (Some(r), Some(ts)) =>
+        Some(r.join(ts.select("vec_id"), Seq("vec_id"), "left_anti"))
+      case _ => rel
     }
   }
 
@@ -320,13 +384,12 @@ object PqIndex {
       // (centers/lists/vectors, no fine quantizer) compacts too
       carryIfPresent("codebooks")
       carryIfPresent("centers")
-      def unionAll(sub: String): Unit = {
-        val present = deltas.filter(d =>
-          fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub")))
-        if (present.nonEmpty)
-          spark.read.parquet(present.map(d => s"$d/$sub"): _*)
-            .write.parquet(s"$staging/$sub")
-      }
+      // PHYSICAL PURGE: every id-carrying relation folds live-only
+      // (tombstones are not carried — the compacted store equals one
+      // whose deleted vectors were never ingested; purged ids are free
+      // for re-ingest again)
+      def unionAll(sub: String): Unit =
+        liveSub(spark, deltas, sub).foreach(_.write.parquet(s"$staging/$sub"))
       unionAll("codes")
       unionAll("lists")
       unionAll("vectors")
@@ -416,8 +479,10 @@ object PqIndex {
       if (expectKind == "ivfpq") readCentersLong(spark, d) else Array.empty
     val deltas = DeltaStore.committedDeltas(spark, path)
     (codebooks, centers,
-      spark.read.parquet(deltas.map(x => s"$x/vectors"): _*),
-      spark.read.parquet(deltas.map(x => s"$x/codes"): _*))
+      liveSub(spark, deltas, "vectors")
+        .getOrElse(throw new IllegalStateException("store holds no vectors")),
+      liveSub(spark, deltas, "codes")
+        .getOrElse(throw new IllegalStateException("store holds no codes")))
   }
 
   private def queryVec(vectors: DataFrame, queryId: Long): Array[Double] =

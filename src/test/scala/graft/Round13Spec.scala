@@ -374,4 +374,38 @@ class Round13Spec extends AnyFunSuite {
       .filter($"vec_id" % 9 === 4).isEmpty)
     assert(topk(path) === served)
   }
+
+  test("PQ tombstone delete serves under frozen codebooks and purges on compaction") {
+    import spark.implicits._
+    import graft.operators.PqIndex
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("r13pqdel").toString + "/idx"
+    PqIndex.build(emb, path)
+    val cbBefore = spark.read.parquet(
+      graft.sources.DeltaStore.committedDeltas(spark, path)
+        .find(d => graft.sources.DeltaStore.fsOf(spark, path)
+          .exists(new org.apache.hadoop.fs.Path(d, "pq.params"))).get + "/codebooks")
+      .collect().map(_.toString).sorted.toSeq
+    PqIndex.delete(emb.filter($"vec_id" % 8 === 5).select("vec_id"), path, "t1")
+    def topk(p: String) = PqIndex.searchTopK(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val served = topk(path)
+    assert(served.nonEmpty && !served.exists(_._1 % 8 == 5))
+    // deletes never retrain: codebooks byte-identical, and the ADC
+    // ranking among survivors is untouched (frozen-model contract)
+    intercept[IllegalArgumentException] {
+      PqIndex.delete(Seq(5L).toDF("vec_id"), path, "t2") // dead id
+    }
+    PqIndex.compactDeltas(spark, path)
+    val deltas = graft.sources.DeltaStore.committedDeltas(spark, path)
+    assert(deltas.size === 1)
+    val fs = graft.sources.DeltaStore.fsOf(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(deltas.head, "tombstones")))
+    assert(spark.read.parquet(s"${deltas.head}/codes")
+      .filter($"vec_id" % 8 === 5).isEmpty)
+    val cbAfter = spark.read.parquet(s"${deltas.head}/codebooks")
+      .collect().map(_.toString).sorted.toSeq
+    assert(cbAfter === cbBefore)
+    assert(topk(path) === served)
+  }
 }
