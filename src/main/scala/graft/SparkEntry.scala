@@ -62,6 +62,19 @@ object SparkEntry {
         p, "del-01")
       Bm25Index.score(s, p)
     }),
+    // the STREAMING twin of the tombstone delete — the GDPR/takedown
+    // queue: the %10==3 slice arrives as delete micro-batches, each
+    // committed exactly-once; after the drain, serving equals the
+    // one-shot delete (shared corpus-minus-slice oracle)
+    "q_stream_delete" -> ((s, dir) => {
+      val p = sys.props("java.io.tmpdir") + "/graft_bm25_sdel_" + dirTag(dir)
+      Bm25Index.build(Tables.documents(s, dir), p)
+      val src = sys.props("java.io.tmpdir") + "/graft_bm25_sdel_src_" + dirTag(dir)
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 3).select("doc_id")
+        .repartition(2).write.mode("overwrite").parquet(src)
+      graft.streaming.Streams.deleteStream(s, src, p, maxFilesPerTrigger = Some(1))
+      Bm25Index.score(s, p)
+    }),
     "q_idf_upsert" -> ((s, dir) => Upsert.lastWins(Tables.events(s, dir))),
     // round-trip the corpus through the engine's own DataSourceV2
     // (text export -> graft-tsv scan); oracle = the documents table
@@ -1396,6 +1409,32 @@ object SparkEntry {
 
   private val queryTermsSql = Bm25.QueryTerms.map(t => s"'$t'").mkString(", ")
 
+  /** Shared by q_index_delete / q_stream_delete: BM25 over the corpus
+    * MINUS the tombstoned %10==3 slice — every stat (df, n_docs,
+    * avgdl) re-derived from the surviving docs, the
+    * rebuild-without-them contract both delete paths serve. */
+  private lazy val bm25MinusSliceOracle =
+    s"""WITH src AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+       |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM src),
+       |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |nd AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
+       |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+       |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+       |         FROM dft, nd WHERE term IN ($queryTermsSql)),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+       |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
+       |  FROM tf
+       |  JOIN idfq ON tf.term = idfq.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN avgd
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, score FROM scored""".stripMargin
+
   /** Shared by q_ltr_features / q_rerank / q_rerank_delta: the batch
     * BM25 scoring chain + per-(query, doc) feature aggregates, ending
     * in the `ltr` relation (query_id, doc_id, rk, score, n_match,
@@ -2328,27 +2367,10 @@ object SparkEntry {
     // tombstone-delete serve == BM25 over the corpus MINUS the
     // deleted slice: every stat (df, n_docs, avgdl) re-derived from
     // the surviving docs, exactly the rebuild-without-them contract
-    "q_index_delete" ->
-      s"""WITH src AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
-         |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM src),
-         |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)),
-         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, term),
-         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
-         |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-         |nd AS (SELECT count(*)::BIGINT AS n_docs FROM dl),
-         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
-         |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
-         |         FROM dft, nd WHERE term IN ($queryTermsSql)),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |         round(sum(idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
-         |               (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl))), 4) AS score
-         |  FROM tf
-         |  JOIN idfq ON tf.term = idfq.term
-         |  JOIN dl ON tf.doc_id = dl.doc_id
-         |  CROSS JOIN avgd
-         |  GROUP BY tf.doc_id)
-         |SELECT doc_id, score FROM scored""".stripMargin,
+    "q_index_delete" -> bm25MinusSliceOracle,
+    // the streaming delete feed drains to the same store state as the
+    // one-shot delete — shared oracle
+    "q_stream_delete" -> bm25MinusSliceOracle,
     // DSv2 round trip reproduces the table it exported
     "q_source_dsv2" ->
       "SELECT doc_id, text FROM documents",

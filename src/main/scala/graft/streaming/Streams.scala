@@ -596,6 +596,36 @@ object Streams {
     finally sq.stop()
   }
 
+  /** Streaming DELETE feed — the GDPR/takedown-queue shape: a stream
+    * of doc_ids to forget, each micro-batch committed to the staged
+    * BM25 index as one tombstone delta
+    * ([[graft.operators.Bm25Index.delete]]), tagged by batch id so
+    * checkpoint replays are exactly-once (a replayed delete tag is a
+    * no-op through the store's cumulative tag history, across
+    * compactions). Deletes take effect at the NEXT search after their
+    * batch commits — the serve side anti-joins live rows, no
+    * compaction needed on the read path; physical reclamation stays a
+    * maintenance call. Blocks until the file-backed source drains. */
+  def deleteStream(spark: SparkSession, delDir: String, indexPath: String,
+                   maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ckpt = indexPath + "_delckpt"
+    deleteRecursive(spark, ckpt)
+    val schema = spark.read.parquet(delDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val ids = reader.parquet(delDir)
+    val sq = ids.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Bm25Index.delete(batch.toDF(), indexPath, f"del-$batchId%05d")
+      }
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+  }
+
   /** Streaming per-document file sink — the reference's BMStream is
     * EXACTLY this shape (backup/BMStream.java:30-35 reworks the batch
     * per-doc tf dump as a dataStream): documents stream in, and each

@@ -375,6 +375,31 @@ class Round13Spec extends AnyFunSuite {
     assert(topk(path) === served)
   }
 
+  test("streaming delete feed drains to the one-shot delete state") {
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("r13sdel").toString
+    val streamed = base + "/streamed"
+    Bm25Index.build(docs, streamed)
+    val src = base + "/delsrc"
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 3)
+      .select("doc_id").repartition(2).write.parquet(src)
+    graft.streaming.Streams.deleteStream(spark, src, streamed,
+      maxFilesPerTrigger = Some(1))
+    // two micro-batches committed two tombstone deltas
+    assert(graft.sources.DeltaStore.committedDeltas(spark, streamed).size === 3)
+    val oneShot = base + "/oneshot"
+    Bm25Index.build(docs, oneShot)
+    Bm25Index.delete(docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 10 === 3)
+      .select("doc_id"), oneShot, "d")
+    assert(scoreMap(Bm25Index.score(spark, streamed)) ===
+      scoreMap(Bm25Index.score(spark, oneShot)))
+    // drained feed re-runs are no-ops (tags already committed)
+    graft.streaming.Streams.deleteStream(spark, src, streamed,
+      maxFilesPerTrigger = Some(1))
+    assert(graft.sources.DeltaStore.committedDeltas(spark, streamed).size === 3)
+  }
+
   test("PQ tombstone delete serves under frozen codebooks and purges on compaction") {
     import spark.implicits._
     import graft.operators.PqIndex
