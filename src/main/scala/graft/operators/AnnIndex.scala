@@ -138,11 +138,27 @@ object AnnIndex {
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
     val ids = vecIds.select(col("vec_id")).distinct().localCheckpoint()
-    val (live, _) = liveIndex(spark, deltas)
-    val nMissing = ids.join(live.select("vec_id"), Seq("vec_id"), "left_anti").count()
-    require(nMissing == 0,
-      s"delete batch names $nMissing vec_ids that are not live in the store " +
-        "(absent or already tombstoned) — refusing a partially-effective delete")
+    // batch-scaled liveness check: presence range-prunes via the
+    // id-range sidecars (the rejectDuplicateIds discipline), the
+    // tombstone side is delete-scaled by nature
+    val (bEmpty, lo, hi) = DeltaStore.batchRange(ids, "vec_id")
+    if (!bEmpty) {
+      val fs = DeltaStore.fsOf(spark, path)
+      val candidates = DeltaStore.overlappingDeltas(fs, deltas, lo, hi)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/vectors")))
+      val present =
+        if (candidates.isEmpty) ids.limit(0)
+        else ids.join(spark.read.parquet(candidates.map(d => s"$d/vectors"): _*)
+          .select("vec_id"), Seq("vec_id"), "left_semi")
+      val live = readSub(spark, deltas, "tombstones") match {
+        case None => present
+        case Some(ts) => present.join(ts.select("vec_id"), Seq("vec_id"), "left_anti")
+      }
+      val nMissing = ids.join(live, Seq("vec_id"), "left_anti").count()
+      require(nMissing == 0,
+        s"delete batch names $nMissing vec_ids that are not live in the store " +
+          "(absent or already tombstoned) — refusing a partially-effective delete")
+    }
     DeltaStore.commit(spark, path, tag, None) { staging =>
       ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
     }

@@ -144,11 +144,28 @@ object Bm25Index {
     val deltas = committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
     val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
-    val (_, live) = liveIndex(spark, deltas)
-    val nMissing = ids.join(live.select("doc_id"), Seq("doc_id"), "left_anti").count()
-    require(nMissing == 0,
-      s"delete batch names $nMissing doc_ids that are not live in the store " +
-        "(absent or already tombstoned) — refusing a partially-effective delete")
+    // liveness check stays BATCH-scaled on a long-running store: the
+    // presence side range-prunes to the update deltas whose id-range
+    // sidecar can overlap the batch (the rejectDuplicateIds
+    // discipline); the tombstone side is delete-scaled by nature
+    val (bEmpty, lo, hi) = DeltaStore.batchRange(ids, "doc_id")
+    if (!bEmpty) {
+      val fs = DeltaStore.fsOf(spark, path)
+      val candidates = DeltaStore.overlappingDeltas(fs, deltas, lo, hi)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/doclen")))
+      val present =
+        if (candidates.isEmpty) ids.limit(0)
+        else ids.join(spark.read.parquet(candidates.map(d => s"$d/doclen"): _*)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      val live = readSub(spark, deltas, "tombstones") match {
+        case None => present
+        case Some(ts) => present.join(ts.select("doc_id"), Seq("doc_id"), "left_anti")
+      }
+      val nMissing = ids.join(live, Seq("doc_id"), "left_anti").count()
+      require(nMissing == 0,
+        s"delete batch names $nMissing doc_ids that are not live in the store " +
+          "(absent or already tombstoned) — refusing a partially-effective delete")
+    }
     DeltaStore.commit(spark, path, tag, None) { staging =>
       ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
     }
