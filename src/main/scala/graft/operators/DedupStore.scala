@@ -714,8 +714,26 @@ object DedupStore {
     * the neighborhood (degree, rank, vote multiset) is identical
     * across a class — the theorem all four iterative servers below
     * lean on. */
+  private val classGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double, Seq[String]),
+      (DataFrame, DataFrame)]()
+
+  /** [[classGraphUncached]] memoized per (path, threshold, COMMITTED
+    * DELTA SET) and JVM — the four iterative servers below all read
+    * the same profile of the same read-only serve store, so it is
+    * derived once and served many times (the prestage discipline).
+    * Keying on the delta listing makes staleness impossible: any
+    * update/compact changes the committed set and misses the cache. */
   private def classGraph(spark: SparkSession, path: String,
                          threshold: Double): (DataFrame, DataFrame) = {
+    val fingerprint = DeltaStore.committedDeltas(spark, path)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName).sorted
+    classGraphCache.computeIfAbsent((path, threshold, fingerprint),
+      _ => classGraphUncached(spark, path, threshold))
+  }
+
+  private def classGraphUncached(spark: SparkSession, path: String,
+                                 threshold: Double): (DataFrame, DataFrame) = {
     val mem = membersWithM(spark, path)
     val clsM = mem.groupBy("rep").agg(max("m").as("m"))
       .join(reps(spark, path).select("rep", "shingleable"), Seq("rep"), "left")
