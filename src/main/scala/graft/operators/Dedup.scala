@@ -25,8 +25,15 @@ object Dedup {
     * OWNERSHIP convention — for every multi-copy exact-text group the
     * canonical copy (hence the group) belongs to the source of the
     * min-id doc (the store's rep convention), and each source reads:
-    * groups it owns, foreign copies its groups absorb, and its own
-    * docs ceded to groups another source owns. The provenance
+    * groups it owns, EVERY non-canonical copy its groups absorb
+    * (the owner's own same-source duplicates included — n_absorbed
+    * counts the copies the group collapses, whoever contributed
+    * them), and its own docs ceded to groups ANOTHER source owns
+    * (foreign-only). The two legs are deliberately asymmetric:
+    * Σ n_absorbed = total collapsed copies ≥ Σ n_ceded = copies that
+    * crossed a source boundary; the gap is within-source duplication
+    * — itself a triage signal (a self-duplicating crawl vs a
+    * mirror). The provenance
     * decision surface behind per-source quotas and crawl triage: a
     * source whose dup exposure is mostly `n_ceded` is a mirror, not a
     * content source — cut it before tuning quality thresholds. Every

@@ -716,20 +716,42 @@ object DedupStore {
     * lean on. */
   private val classGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Double, Seq[String]),
-      (DataFrame, DataFrame)]()
+      (org.apache.spark.SparkContext, (DataFrame, DataFrame))]()
 
   /** [[classGraphUncached]] memoized per (path, threshold, COMMITTED
     * DELTA SET) and JVM — the four iterative servers below all read
     * the same profile of the same read-only serve store, so it is
     * derived once and served many times (the prestage discipline).
     * Keying on the delta listing makes staleness impossible: any
-    * update/compact changes the committed set and misses the cache. */
+    * update/compact/delete changes the committed set and misses the
+    * cache. The cache is BOUNDED by eviction, not growth: computing
+    * a new fingerprint for a (path, threshold) evicts every
+    * superseded entry for it (a store's history of delta sets would
+    * otherwise pin each one's localCheckpoint blocks for the JVM
+    * lifetime), and each value records its owning SparkContext — a
+    * hit from a stopped/replaced context recomputes instead of
+    * returning checkpointed DataFrames that dangle. */
   private def classGraph(spark: SparkSession, path: String,
                          threshold: Double): (DataFrame, DataFrame) = {
     val fingerprint = DeltaStore.committedDeltas(spark, path)
       .map(d => new org.apache.hadoop.fs.Path(d).getName).sorted
-    classGraphCache.computeIfAbsent((path, threshold, fingerprint),
-      _ => classGraphUncached(spark, path, threshold))
+    val key = (path, threshold, fingerprint)
+    val sc = spark.sparkContext
+    Option(classGraphCache.get(key)) match {
+      case Some((ctx, v)) if (ctx eq sc) && !ctx.isStopped => v
+      case _ => classGraphCache.synchronized {
+        // re-probe under the lock (another thread may have built it)
+        Option(classGraphCache.get(key)) match {
+          case Some((ctx, v)) if (ctx eq sc) && !ctx.isStopped => v
+          case _ =>
+            classGraphCache.keySet.removeIf(k =>
+              k._1 == path && k._2 == threshold)
+            val v = classGraphUncached(spark, path, threshold)
+            classGraphCache.put(key, (sc, v))
+            v
+        }
+      }
+    }
   }
 
   private def classGraphUncached(spark: SparkSession, path: String,

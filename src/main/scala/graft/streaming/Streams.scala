@@ -605,11 +605,26 @@ object Streams {
     * compactions). Deletes take effect at the NEXT search after their
     * batch commits — the serve side anti-joins live rows, no
     * compaction needed on the read path; physical reclamation stays a
-    * maintenance call. Blocks until the file-backed source drains. */
+    * maintenance call. Blocks until the file-backed source drains.
+    *
+    * The checkpoint is KEPT across invocations (true exactly-once
+    * replay): the file source's committed file→batch mapping is what
+    * guarantees a rerun re-forms IDENTICAL batches, so a committed
+    * `del-<batchId>` tag can only ever collide with its own content —
+    * deleting the checkpoint each run would let a rerun partition the
+    * directory into differently-composed batches whose committed tags
+    * silently skip different ids. It lives INSIDE the store (ignored
+    * by the delta listing, which only reads `delta-*`), so a store
+    * rebuild ([[graft.sources.DeltaStore.reset]] deletes the whole
+    * path) retires the checkpoint with the deltas it indexed — a
+    * stale checkpoint can never mark a fresh store's feed as already
+    * consumed. If the SOURCE directory is regenerated under a kept
+    * checkpoint, the new files replay as new batches and
+    * [[graft.operators.Bm25Index.delete]]'s liveness `require` fails
+    * loudly on the already-tombstoned ids — never a silent drop. */
   def deleteStream(spark: SparkSession, delDir: String, indexPath: String,
                    maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val ckpt = indexPath + "_delckpt"
-    deleteRecursive(spark, ckpt)
+    val ckpt = indexPath + "/_delckpt"
     val schema = spark.read.parquet(delDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))

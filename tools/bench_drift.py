@@ -1,37 +1,44 @@
 #!/usr/bin/env python3
 """Per-key bench-budget regression gate.
 
-Compares a fresh bench JSON (the one-line {"queries": {key: sec}}
-record Bench.scala prints and the driver stores as BENCH_r{N}.json /
-bench_out.json) against the committed prior-round baseline
+Compares a fresh bench JSON (the {"queries": {key: sec}} record
+Bench.scala writes to bench_out.json and the driver stores as
+BENCH_r{N}.json) against the committed prior-round baseline
 (tools/bench_baseline.json, refreshed each round from the DRIVER
-artifact, never from a best local pass).
+artifact, never from a best local pass). The baseline carries a
+"_round" field naming the driver round it came from; the run being
+gated is by definition round _round+1.
 
 A key FAILS the gate when it regresses > 50% round-over-round AND the
 new time is above the jitter floor (0.3 s — sub-300ms keys swing with
 JVM/disk contention, not plan shape), unless tools/bench_allowlist.json
-carries a `key: "reason"` entry pointing at the SURVEY note that
-explains the regression. This is the check that would have caught
-q_dedup_embcos's three-round drift (0.8 -> 3.1 s) and q_knn_classify's
-creep (1.79 -> 1.84 -> 1.99) the round they started.
+carries a LIVE entry for it. Allowlist entries are PER-ROUND EVIDENCE,
+not permanent pardons: each is an object
+    {"round": N, "note": "...", "value": <the measured seconds>}
+and is live only when its round equals the round being gated
+(baseline _round + 1). A stale or legacy (bare-string) entry does NOT
+excuse anything — the key fails with "allowlist entry expired", so an
+excuse written against one round's runs can never wave through the
+next round's real regression (r13 lesson: a blanket contention note
+written from the builder's closing runs waved q_bm25_ml through at
+2.23x in the driver run).
 
 IMPROVEMENTS over 50% (time more than halved, old time above the
-jitter floor) are flagged for annotation too: a silent 13x drop is
-indistinguishable from a silently-broken key (or an accounting change
-like r12's prestage move) in a regression-only gate. Unannotated
-improvements print IMPROVED-UNANNOTATED and exit 1 the same way
-unexplained regressions do; an allowlist entry turns them into
-"improved (annotated)".
+jitter floor) are flagged for annotation the same way: a silent 13x
+drop is indistinguishable from a silently-broken key (or an accounting
+change like a prestage move) in a regression-only gate.
 
-Ratios are MEDIAN-NORMALIZED before gating: a whole-run inflation
-(JVM/disk contention lifts the 300+-key board together — the r13
-closing runs measured medians of 1.18x/1.08x/1.05x on identical
-binaries, each lifting a different random subset of small keys past a
-raw 1.5x) is machine state, not plan drift; a real plan regression
-moves AGAINST the board. The run median over shared keys above the
-jitter floor divides every ratio; both raw and normalized ratios
-print, and the median itself is reported (a median far from 1.0 is
-its own signal that the run is not comparable).
+Ratios are MEDIAN-NORMALIZED before gating, with two guards:
+  * the normalizer is CLAMPED at >= 1.0 — normalization exists to
+    absorb whole-run inflation (JVM/disk contention lifting the board
+    together); a FASTER-than-baseline board (r13 driver median 0.907)
+    must not manufacture flags on raw-1.36x keys by dividing them up
+    past the line;
+  * the median itself is GATED: a shared-key median above 1.25x is
+    outside the empirically observed contention band (same-code runs
+    measured 1.04-1.18x) and would let a uniform board-wide real
+    regression self-normalize away — it fails unless the allowlist
+    carries a live "_median" entry explaining the run.
 
 Usage: python3 tools/bench_drift.py <new_bench.json> [<baseline.json>]
 Exit 0 = clean (or explained), 1 = unexplained regression/improvement.
@@ -44,11 +51,15 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 JITTER_FLOOR_SEC = 0.3
 REGRESSION_RATIO = 1.5
 IMPROVEMENT_RATIO = 0.5
+MEDIAN_BAND = 1.25
 
 
-def load_queries(path):
+def load(path):
     with open(path) as f:
-        data = json.load(f)
+        return json.load(f)
+
+
+def queries_of(data):
     qs = data.get("queries", data)
     return {k: v for k, v in qs.items() if not k.startswith("_")}
 
@@ -57,37 +68,79 @@ def main():
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    new = load_queries(sys.argv[1])
+    new = queries_of(load(sys.argv[1]))
     base_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(HERE, "bench_baseline.json")
-    base = load_queries(base_path)
+    base_data = load(base_path)
+    base = queries_of(base_data)
+    base_round = base_data.get("_round")
+    gated_round = base_round + 1 if base_round is not None else None
     allow_path = os.path.join(HERE, "bench_allowlist.json")
-    allow = json.load(open(allow_path)) if os.path.exists(allow_path) else {}
+    allow = load(allow_path) if os.path.exists(allow_path) else {}
+
+    def live_note(key):
+        """The allowlist note for `key` if its entry is LIVE for the
+        round being gated; None when absent/expired/legacy-format."""
+        e = allow.get(key)
+        if not isinstance(e, dict) or "round" not in e or "note" not in e:
+            return None
+        if gated_round is not None and e["round"] != gated_round:
+            return None
+        val = f" (measured {e['value']} s)" if "value" in e else ""
+        return f"r{e['round']}{val}: {e['note']}"
+
+    def expiry_of(key):
+        e = allow.get(key)
+        if e is None:
+            return "no allowlist entry"
+        if not isinstance(e, dict):
+            return "allowlist entry expired (legacy bare-string format)"
+        if "round" not in e or "note" not in e:
+            return "allowlist entry malformed (needs round + note)"
+        return (f"allowlist entry expired (written for r{e['round']}, "
+                f"gating r{gated_round})")
 
     shared = [(k, base[k], new[k]) for k in sorted(new) if k in base and base[k] > 0]
     floor_ratios = sorted(n / b for _, b, n in shared
                           if b > JITTER_FLOOR_SEC and n > JITTER_FLOOR_SEC)
     med = floor_ratios[len(floor_ratios) // 2] if floor_ratios else 1.0
-    print(f"run median ratio (shared keys above jitter floor): {med:.3f}")
+    norm_div = max(med, 1.0)  # never divide UP a fast board's ratios
+    print(f"run median ratio (shared keys above jitter floor): {med:.3f}"
+          f" — normalizer clamped to {norm_div:.3f}")
+    if base_round is not None:
+        print(f"baseline round: r{base_round}; gating round: r{gated_round}")
 
     failures, explained, improved_ok, improved_bad = [], [], [], []
+
+    if med > MEDIAN_BAND:
+        note = live_note("_median")
+        line = (f"_median: shared-key run median {med:.3f}x exceeds the "
+                f"contention band ({MEDIAN_BAND}x) — a uniform board-wide "
+                "regression cannot self-normalize away")
+        if note:
+            explained.append(f"{line} [allowlisted: {note}]")
+        else:
+            failures.append(f"{line} [{expiry_of('_median')}]")
+
     added = sorted(set(new) - set(base))
     for key, t_old, t_new in shared:
         ratio = t_new / t_old
-        norm = ratio / med if med > 0 else ratio
+        norm = ratio / norm_div
         if norm > REGRESSION_RATIO and t_new > JITTER_FLOOR_SEC:
             line = (f"{key}: {t_old:.3f} -> {t_new:.3f} s "
                     f"({ratio:.2f}x raw, {norm:.2f}x vs run median)")
-            if key in allow:
-                explained.append(f"{line} [allowlisted: {allow[key]}]")
+            note = live_note(key)
+            if note:
+                explained.append(f"{line} [allowlisted: {note}]")
             else:
-                failures.append(line)
+                failures.append(f"{line} [{expiry_of(key)}]")
         elif norm < IMPROVEMENT_RATIO and t_old > JITTER_FLOOR_SEC:
             line = (f"{key}: {t_old:.3f} -> {t_new:.3f} s "
                     f"({ratio:.2f}x raw, {norm:.2f}x vs run median)")
-            if key in allow:
-                improved_ok.append(f"{line} [annotated: {allow[key]}]")
+            note = live_note(key)
+            if note:
+                improved_ok.append(f"{line} [annotated: {note}]")
             else:
-                improved_bad.append(line)
+                improved_bad.append(f"{line} [{expiry_of(key)}]")
     removed = sorted(set(base) - set(new))
 
     if added:
@@ -105,7 +158,8 @@ def main():
     if failures or improved_bad:
         print(f"== {len(failures)} unexplained >50% regressions, "
               f"{len(improved_bad)} unannotated >50% improvements — add a SURVEY "
-              "note + tools/bench_allowlist.json entry, or fix the plan ==")
+              "note + a live tools/bench_allowlist.json entry "
+              "{round, note, value}, or fix the plan ==")
         return 1
     print(f"== bench drift clean: {len(new)} keys vs baseline {len(base)} ==")
     return 0
