@@ -219,6 +219,28 @@ object Bm25Index {
                  queryTerms: Seq[String] = Bm25.QueryTerms, n: Int = 10): DataFrame =
     score(spark, path, queryTerms).orderBy(col("score").desc, col("doc_id").asc).limit(n)
 
+  /** [[SearchExtras.maxScoreTopN]] served from the STAGED index —
+    * upper-bound pruning where it belongs at 100 TB: ON the stored
+    * postings. The postings scan is pruned to the query terms
+    * (pushed-down predicate — no corpus pass, no tokenize), the
+    * per-doc idf·(k1+1) bounds derive from that scan alone, and the
+    * doclen relation joins only for the few candidates that can
+    * still make the top-k — the difference between reading doclen
+    * for every doc on a common term's posting list and for the
+    * survivors of the θ cut. Rows equal [[searchTopN]] /
+    * [[Bm25.searchTopN]] exactly (MaxScore is an exact prune; shared
+    * oracle); stats re-derive from LIVE doclen rows, so the route is
+    * tombstone-aware like every other staged serve. */
+  def maxScoreTopN(spark: SparkSession, path: String,
+                   queryTerms: Seq[String] = Bm25.QueryTerms,
+                   k: Int = 10): DataFrame = {
+    val deltas = committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val (postings, dl) = liveIndex(spark, deltas)
+    SearchExtras.maxScoreFrom(
+      postings.filter(col("term").isin(queryTerms: _*)), dl, k)
+  }
+
   /** (query_id, doc_id, score, rk): BM25 top-k for a TABLE of queries
     * served from the staged index — the reference's serving loop
     * (query in, Mongo TF/IDF lookups, score) as one plan with NO

@@ -49,14 +49,23 @@ import org.apache.spark.sql.functions._
   *       inter/nb) are both pure arithmetic over this row — one staged
   *       relation serves every decision family.
   *
+  *   <path>/delta-<tag>/tombstones + rekeys — a DELETE delta
+  *       ([[delete]]): the deleted doc_ids plus, per group whose rep
+  *       died with survivors, the re-elected (old_rep, new_rep) row.
+  *       Serving applies these as a rename+drop view ([[readFrom]]);
+  *       compaction materializes them and purges.
+  *
   * Incremental ingest ([[update]]) is append-only and batch-scaled:
   * new texts hash-match old groups through `reps`, only genuinely new
   * reps are banded/shingled, and new candidate pairs (new×old and
   * new×new) verify against the staged shingle index. doc_ids must be
-  * MONOTONE across batches (enforced loudly): the min-id rep of every
-  * group then never changes, which is what keeps every staged relation
+  * MONOTONE across batches (enforced loudly): the min-LIVE-id rep of
+  * every group then never changes except by [[delete]]'s explicit
+  * re-election, which is what keeps every staged relation
   * append-only. After any sequence of updates the union of deltas
-  * equals a full rebuild on the union corpus (Round10Spec).
+  * equals a full rebuild on the union corpus (Round10Spec); after
+  * any sequence of deletes the live view equals a rebuild on the
+  * surviving corpus (Round14Spec).
   *
   * Serving is arithmetic + id joins: no tokenization, no signatures,
   * no shingle joins at query time.
@@ -91,8 +100,14 @@ object DedupStore {
     val deltas = DeltaStore.committedDeltas(spark, path)
     val (batchEmpty, batchLo, batchHi) = DeltaStore.batchRange(newDocs, "doc_id")
     if (deltas.nonEmpty && !batchEmpty) {
+      // both checks read RAW members (no live view): a tombstoned id
+      // stays USED — re-ingesting it before compaction purges it
+      // would resurrect rows the rekey map still references. Delete
+      // deltas carry no members/ranges, so both legs scan the data
+      // deltas only.
+      val dataDeltas = havingSub(spark, deltas, "members")
       DeltaStore.rejectDuplicateIds(spark,
-        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, batchLo, batchHi),
+        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), dataDeltas, batchLo, batchHi),
         "members", "doc_id", newDocs, "dedup substrate")
       // monotone-id contract: an id below the stored maximum could
       // become a group's new minimum and silently invalidate every
@@ -101,11 +116,11 @@ object DedupStore {
       // delta carries one (O(#deltas) sidecar reads); otherwise one
       // store-scaled aggregate — never silently skipped.
       val fs = DeltaStore.fsOf(spark, path)
-      val ranges = deltas.map(d => DeltaStore.readRange(fs, d))
+      val ranges = dataDeltas.map(d => DeltaStore.readRange(fs, d))
       val maxExisting: Option[Long] =
         if (ranges.forall(_.isDefined)) Some(ranges.flatten.map(_._2).max)
         else {
-          val r = spark.read.parquet(deltas.map(d => s"$d/members"): _*)
+          val r = spark.read.parquet(dataDeltas.map(d => s"$d/members"): _*)
             .agg(max(col("doc_id"))).collect()(0)
           if (r.isNullAt(0)) None else Some(r.getLong(0))
         }
@@ -114,8 +129,12 @@ object DedupStore {
           s"$hi — the append-only substrate requires monotone ingest; rebuild instead"))
     }
     val empty = deltas.isEmpty
+    // matching/banding reads the LIVE view: a fully-deleted group's
+    // text must match NOTHING (its re-ingest becomes a fresh rep),
+    // a rekeyed group must hand out its CURRENT rep, and dead reps'
+    // bands must not spawn candidate pairs
     def existing(sub: String): Option[DataFrame] =
-      if (empty) None else Some(spark.read.parquet(deltas.map(d => s"$d/$sub"): _*))
+      if (empty) None else Some(readFrom(spark, deltas, sub))
 
     val withH = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
     // group the batch internally first (min id per hash)...
@@ -194,34 +213,187 @@ object DedupStore {
     }
   }
 
+  /** TOMBSTONE + RE-ELECT DELETE — the maintenance leg completing
+    * the QUAD (build/update/delete/compact) on the pair substrate.
+    * The store is min-live-id-rep-keyed, so deleting a doc is a
+    * GROUP re-key, not a row drop: the delta records the deleted
+    * doc_ids (`tombstones`) and, for every group whose rep died with
+    * survivors left, the re-elected rep — the min SURVIVING member —
+    * as one `rekeys` (old_rep, new_rep) row. Nothing else moves:
+    * exact copies have identical text, so the survivor's hash,
+    * shingle set, band keys and staged intersections are the dead
+    * rep's bit-for-bit, and the serve-side live view ([[readFrom]])
+    * RENAMES rather than recomputes — O(group) delta, store-scaled
+    * only in the columnar scans that find the group, never in
+    * what is written. Groups deleted whole drop from every relation
+    * (their rep is tombstoned and never re-keyed); physical purge is
+    * [[compactDeltas]]'s job. Idempotent per `tag` (the caller-owned
+    * tag makes a retried delete a no-op); every id must be LIVE —
+    * a typo'd delete fails loudly instead of half-applying; deleted
+    * ids stay reserved against re-ingest until compaction purges
+    * them (the [[Bm25Index.delete]] contract throughout). */
+  def delete(docIds: DataFrame, path: String, tag: String): Unit = {
+    val spark = docIds.sparkSession
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    // LIVE members once: the liveness gate, the affected-group scan
+    // and the re-election all read this one relation
+    val mem = readFrom(spark, deltas, "members")
+    val nMissing = ids.join(mem.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    require(nMissing == 0,
+      s"delete batch names $nMissing doc_ids that are not live in the store " +
+        "(absent or already deleted) — refusing a partially-effective delete")
+    // per touched group: the min surviving member (null = group dies)
+    // and whether the current rep itself is among the deleted
+    val flagged = mem
+      .join(ids.withColumn("del", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("rep"), coalesce(col("del"), lit(false)).as("del"))
+    val touched = flagged
+      .join(flagged.filter(col("del")).select("rep").distinct(), Seq("rep"), "left_semi")
+    val rekeys = touched.groupBy("rep")
+      .agg(min(when(!col("del"), col("doc_id"))).as("new_rep"),
+        max(when(col("del") && col("doc_id") === col("rep"), 1).otherwise(0)).as("rep_del"))
+      .filter(col("rep_del") === 1 && col("new_rep").isNotNull)
+      .select(col("rep").as("old_rep"), col("new_rep"))
+    DeltaStore.commit(spark, path, tag, None) { staging =>
+      ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
+      rekeys.write.mode(SaveMode.Overwrite).parquet(s"$staging/rekeys")
+    }
+  }
+
   /** Fold all committed deltas into ONE delta — the small-files
     * maintenance leg ([[graft.sources.DeltaStore.compact]]'s
     * crash-atomic supersedes protocol; replayed ingest tags stay
-    * no-ops through the cumulative tag history). Every staged
-    * relation is a pure per-delta append, so the fold is a plain
-    * union; bands and shingles are re-clustered on their join keys
-    * so candidate generation and the pair-driven verify recover
-    * row-group locality after many small ingests. Serving is
-    * byte-identical before and after by construction. */
+    * no-ops through the cumulative tag history) — and PHYSICALLY
+    * PURGE deletes: each relation is re-staged from its LIVE view
+    * ([[readFrom]] — tombstones applied, rekeys materialized into
+    * the rows) and the tombstone/rekey sidecar relations are
+    * dropped, so the compacted store is relation-identical to one
+    * built without the deleted docs. With no deletes the fold is
+    * the plain per-delta union it always was. Bands and shingles
+    * re-cluster on their join keys so candidate generation and the
+    * pair-driven verify recover row-group locality after many small
+    * ingests. Serving is identical before and after by
+    * construction. */
   def compactDeltas(spark: SparkSession, path: String): Unit =
     DeltaStore.compact(spark, path) { (deltas, staging) =>
-      def union(sub: String) = spark.read.parquet(deltas.map(d => s"$d/$sub"): _*)
-      union("members").write.parquet(s"$staging/members")
-      union("reps").write.parquet(s"$staging/reps")
-      union("bands").repartition(col("band"), col("bkey"))
+      def live(sub: String) = readFrom(spark, deltas, sub)
+      live("members").write.parquet(s"$staging/members")
+      live("reps").write.parquet(s"$staging/reps")
+      live("bands").repartition(col("band"), col("bkey"))
         .sortWithinPartitions("band", "bkey")
         .write.parquet(s"$staging/bands")
-      union("shingles").repartition(col("doc_id"))
+      live("shingles").repartition(col("doc_id"))
         .sortWithinPartitions("doc_id", "sh")
         .write.parquet(s"$staging/shingles")
-      union("cands").write.parquet(s"$staging/cands")
-      union("pairs").write.parquet(s"$staging/pairs")
+      live("cands").write.parquet(s"$staging/cands")
+      live("pairs").write.parquet(s"$staging/pairs")
     }
 
   private def read(spark: SparkSession, path: String, sub: String): DataFrame = {
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    spark.read.parquet(deltas.map(d => s"$d/$sub"): _*)
+    readFrom(spark, deltas, sub)
+  }
+
+  /** The deltas (from `deltas`) that carry `sub` — update/compact
+    * deltas hold the six data relations, delete deltas hold only
+    * `tombstones`/`rekeys`, so every glob filters by existence
+    * (the [[Bm25Index]] readSub discipline). */
+  private def havingSub(spark: SparkSession, deltas: Seq[String],
+                        sub: String): Seq[String] = {
+    val fs = DeltaStore.fsOf(spark, deltas.head)
+    deltas.filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub")))
+  }
+
+  /** The store's delete state across `deltas`: the tombstoned doc_id
+    * set and the RESOLVED rep rekey map (old_rep → final live rep).
+    * None when no delete delta exists — the common read path stays a
+    * plain union. A rekey chain (a re-elected rep later deleted
+    * itself) can only grow by one link per delete delta, so
+    * ceil(log2(#delete deltas)) self-composition (squaring) steps
+    * reach the fixpoint deterministically — no convergence probe. */
+  private def tombStateOf(spark: SparkSession,
+                          deltas: Seq[String]): Option[(DataFrame, DataFrame)] = {
+    val dd = havingSub(spark, deltas, "tombstones")
+    if (dd.isEmpty) None
+    else {
+      val t = spark.read.parquet(dd.map(d => s"$d/tombstones"): _*)
+      var m = spark.read.parquet(dd.map(d => s"$d/rekeys"): _*)
+      val steps = if (dd.size <= 1) 0
+        else 32 - Integer.numberOfLeadingZeros(dd.size - 1) // ceil(log2(n))
+      for (_ <- 0 until steps)
+        m = m.as("a")
+          .join(m.select(col("old_rep").as("o2"), col("new_rep").as("n2")),
+            col("a.new_rep") === col("o2"), "left")
+          .select(col("a.old_rep"),
+            coalesce(col("n2"), col("a.new_rep")).as("new_rep"))
+      Some((t, m))
+    }
+  }
+
+  /** Follow the resolved rekey map on one rep-reference column. */
+  private def remapCol(df: DataFrame, key: String, m: DataFrame): DataFrame =
+    df.join(m.withColumnRenamed("old_rep", key), Seq(key), "left")
+      .withColumn(key, coalesce(col("new_rep"), col(key)))
+      .drop("new_rep")
+
+  /** Drop rows whose `key` names a DEAD rep (group fully deleted). */
+  private def dropDead(df: DataFrame, key: String, dead: DataFrame): DataFrame =
+    df.join(dead.withColumnRenamed("doc_id", key), Seq(key), "left_anti")
+
+  /** One staged relation as the LIVE view over `deltas`: the plain
+    * per-delta union, minus tombstoned docs, with every rep
+    * reference re-keyed through the resolved rekey map and rows of
+    * fully-dead groups dropped. Copy symmetry is what makes the
+    * rekey a RENAME: the re-elected rep has the identical text,
+    * hence identical hash/shingle set/band keys/intersections — so
+    * the live view equals a rebuild on the surviving corpus
+    * relation-for-relation, and every consumer above this point is
+    * delete-aware for free. With no delete deltas this is exactly
+    * the pre-delete plain union (zero overhead). */
+  private def readFrom(spark: SparkSession, deltas: Seq[String],
+                       sub: String): DataFrame = {
+    val data = havingSub(spark, deltas, sub)
+    require(data.nonEmpty, s"store holds no '$sub' relation")
+    val base = spark.read.parquet(data.map(d => s"$d/$sub"): _*)
+    tombStateOf(spark, deltas) match {
+      case None => base
+      case Some((t, m)) =>
+        // dead = tombstoned AND never re-keyed: the whole group died
+        val dead = t.join(m.select(col("old_rep").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        sub match {
+          case "members" =>
+            remapCol(base.join(t, Seq("doc_id"), "left_anti"), "rep", m)
+          case "reps" =>
+            dropDead(remapCol(base, "rep", m), "rep", dead)
+          case "bands" | "shingles" =>
+            dropDead(remapCol(base, "doc_id", m), "doc_id", dead)
+          case "cands" =>
+            val r = dropDead(dropDead(
+              remapCol(remapCol(base, "doc_a", m), "doc_b", m),
+              "doc_a", dead), "doc_b", dead)
+            // a rekey renames to a LARGER id (survivors outrank the
+            // deleted min), so the pair order can flip — restore it
+            r.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+          case "pairs" =>
+            val r = dropDead(dropDead(
+              remapCol(remapCol(base, "doc_a", m), "doc_b", m),
+              "doc_a", dead), "doc_b", dead)
+            // order flip swaps WHICH side na/nb describe, too
+            r.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+              col("inter"),
+              when(col("doc_a") <= col("doc_b"), col("na"))
+                .otherwise(col("nb")).as("na"),
+              when(col("doc_a") <= col("doc_b"), col("nb"))
+                .otherwise(col("na")).as("nb"))
+        }
+    }
   }
 
   def members(spark: SparkSession, path: String): DataFrame = read(spark, path, "members")

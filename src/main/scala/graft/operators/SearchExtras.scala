@@ -156,9 +156,20 @@ object SearchExtras {
     * and joining it for the few candidates that can still make the
     * top-k. */
   def maxScoreTopN(docs: DataFrame, queryTerms: Seq[String] = Bm25.QueryTerms,
-                   k: Int = 10): DataFrame = {
-    val tfq = Bm25.tf(docs).filter(col("term").isin(queryTerms: _*))
-    val dl = Bm25.docLengths(docs.filter(col("doc_id").isNotNull))
+                   k: Int = 10): DataFrame =
+    maxScoreFrom(
+      Bm25.tf(docs).filter(col("term").isin(queryTerms: _*)),
+      Bm25.docLengths(docs.filter(col("doc_id").isNotNull)), k)
+
+  /** The MaxScore prune/score core over an ALREADY-PRUNED postings
+    * relation (term, doc_id, tf) + doc lengths — shared by the
+    * corpus route above and the staged-index route
+    * ([[Bm25Index.maxScoreTopN]]), so both return identical rows:
+    * the bound arithmetic, θ seeding, slack and tie-breaks are
+    * written once. Callers prune `tfq` to the query terms BEFORE
+    * handing it over (a pushed-down scan predicate on the staged
+    * postings; an isin filter on the corpus-derived tf). */
+  def maxScoreFrom(tfq: DataFrame, dl: DataFrame, k: Int = 10): DataFrame = {
     val stats = dl.agg(count(col("doc_id")).as("n_docs"),
       avg(col("dl")).cast("double").as("avgdl"))
     val withDf = tfq.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))

@@ -82,15 +82,18 @@ object SemanticStore {
     val deltas = DeltaStore.committedDeltas(spark, path)
     val (batchEmpty, batchLo, batchHi) = DeltaStore.batchRange(newEmb, "vec_id")
     if (deltas.nonEmpty && !batchEmpty) {
+      // RAW members for both checks (a tombstoned id stays USED until
+      // compaction purges it); delete deltas carry no members/ranges
+      val dataDeltas = havingSub(spark, deltas, "members")
       DeltaStore.rejectDuplicateIds(spark,
-        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), deltas, batchLo, batchHi),
+        DeltaStore.overlappingDeltas(DeltaStore.fsOf(spark, path), dataDeltas, batchLo, batchHi),
         "members", "vec_id", newEmb, "semantic substrate")
       val fs = DeltaStore.fsOf(spark, path)
-      val ranges = deltas.map(d => DeltaStore.readRange(fs, d))
+      val ranges = dataDeltas.map(d => DeltaStore.readRange(fs, d))
       val maxExisting: Option[Long] =
         if (ranges.forall(_.isDefined)) Some(ranges.flatten.map(_._2).max)
         else {
-          val r = spark.read.parquet(deltas.map(d => s"$d/members"): _*)
+          val r = spark.read.parquet(dataDeltas.map(d => s"$d/members"): _*)
             .agg(max(col("vec_id"))).collect()(0)
           if (r.isNullAt(0)) None else Some(r.getLong(0))
         }
@@ -99,8 +102,11 @@ object SemanticStore {
           s"$hi — the append-only substrate requires monotone ingest; rebuild instead"))
     }
     val empty = deltas.isEmpty
+    // matching/bucketing reads the LIVE view: a fully-deleted value
+    // group must match nothing, a rekeyed group hands out its CURRENT
+    // rep, dead reps' buckets spawn no candidates
     def existing(sub: String): Option[DataFrame] =
-      if (empty) None else Some(spark.read.parquet(deltas.map(d => s"$d/$sub"): _*))
+      if (empty) None else Some(readFrom(spark, deltas, sub))
 
     // nonzero-vector view with the byte-identity value key; reused by
     // the group match and the new-rep extraction
@@ -173,27 +179,143 @@ object SemanticStore {
     }
   }
 
+  /** TOMBSTONE + RE-ELECT DELETE — [[DedupStore.delete]] on the
+    * embedding side, completing the QUAD on this store too: the
+    * delta records the deleted vec_ids and, for each value group
+    * whose rep died with survivors, the re-elected min-surviving-id
+    * rep as one (old_rep, new_rep) row. Value identity makes the
+    * rekey a pure rename (identical vector ⇒ identical value key,
+    * buckets, cosines, selfcos); the serve-side live view
+    * ([[readFrom]]) renames and drops, so every consumer is
+    * delete-aware immediately. O(group) delta; idempotent per `tag`;
+    * every id must be LIVE (fail-loud, never half-applied); deleted
+    * ids stay reserved until [[compactDeltas]] purges them. */
+  def delete(vecIds: DataFrame, path: String, tag: String): Unit = {
+    val spark = vecIds.sparkSession
+    if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val ids = vecIds.select(col("vec_id")).distinct().localCheckpoint()
+    val mem = readFrom(spark, deltas, "members")
+    val nMissing = ids.join(mem.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    require(nMissing == 0,
+      s"delete batch names $nMissing vec_ids that are not live in the store " +
+        "(absent, zero-norm/null at ingest, or already deleted) — refusing " +
+        "a partially-effective delete")
+    val flagged = mem
+      .join(ids.withColumn("del", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("rep"), coalesce(col("del"), lit(false)).as("del"))
+    val touched = flagged
+      .join(flagged.filter(col("del")).select("rep").distinct(), Seq("rep"), "left_semi")
+    val rekeys = touched.groupBy("rep")
+      .agg(min(when(!col("del"), col("vec_id"))).as("new_rep"),
+        max(when(col("del") && col("vec_id") === col("rep"), 1).otherwise(0)).as("rep_del"))
+      .filter(col("rep_del") === 1 && col("new_rep").isNotNull)
+      .select(col("rep").as("old_rep"), col("new_rep"))
+    DeltaStore.commit(spark, path, tag, None) { staging =>
+      ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
+      rekeys.write.mode(SaveMode.Overwrite).parquet(s"$staging/rekeys")
+    }
+  }
+
   /** Fold all committed deltas into ONE delta — the same small-files
     * maintenance leg as [[DedupStore.compactDeltas]] (crash-atomic
-    * via [[DeltaStore.compact]]; replayed tags stay no-ops). All four
-    * relations are per-delta appends, so the fold is a plain union;
-    * buckets re-cluster on (t, bucket) — the candidate join's key —
-    * to recover locality after many small ingests. */
+    * via [[DeltaStore.compact]]; replayed tags stay no-ops) — and
+    * PHYSICALLY PURGE deletes: each relation re-stages from its LIVE
+    * view (rekeys materialized, tombstones dropped), so the
+    * compacted store is relation-identical to one built without the
+    * deleted vectors; with no deletes it is the plain union it
+    * always was. Buckets re-cluster on (t, bucket) — the candidate
+    * join's key — to recover locality after many small ingests. */
   def compactDeltas(spark: SparkSession, path: String): Unit =
     DeltaStore.compact(spark, path) { (deltas, staging) =>
-      def union(sub: String) = spark.read.parquet(deltas.map(d => s"$d/$sub"): _*)
-      union("members").write.parquet(s"$staging/members")
-      union("reps").write.parquet(s"$staging/reps")
-      union("buckets").repartition(col("t"), col("bucket"))
+      def live(sub: String) = readFrom(spark, deltas, sub)
+      live("members").write.parquet(s"$staging/members")
+      live("reps").write.parquet(s"$staging/reps")
+      live("buckets").repartition(col("t"), col("bucket"))
         .sortWithinPartitions("t", "bucket")
         .write.parquet(s"$staging/buckets")
-      union("pairs").write.parquet(s"$staging/pairs")
+      live("pairs").write.parquet(s"$staging/pairs")
     }
 
   private def read(spark: SparkSession, path: String, sub: String): DataFrame = {
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    spark.read.parquet(deltas.map(d => s"$d/$sub"): _*)
+    readFrom(spark, deltas, sub)
+  }
+
+  /** The deltas carrying `sub` — delete deltas hold only
+    * `tombstones`/`rekeys`, so every glob filters by existence. */
+  private def havingSub(spark: SparkSession, deltas: Seq[String],
+                        sub: String): Seq[String] = {
+    val fs = DeltaStore.fsOf(spark, deltas.head)
+    deltas.filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub")))
+  }
+
+  /** Delete state across `deltas`: tombstoned vec_ids + the RESOLVED
+    * rep rekey map — the [[DedupStore]] protocol verbatim (chains
+    * resolve in ceil(log2(#delete deltas)) squaring steps). */
+  private def tombStateOf(spark: SparkSession,
+                          deltas: Seq[String]): Option[(DataFrame, DataFrame)] = {
+    val dd = havingSub(spark, deltas, "tombstones")
+    if (dd.isEmpty) None
+    else {
+      val t = spark.read.parquet(dd.map(d => s"$d/tombstones"): _*)
+      var m = spark.read.parquet(dd.map(d => s"$d/rekeys"): _*)
+      val steps = if (dd.size <= 1) 0
+        else 32 - Integer.numberOfLeadingZeros(dd.size - 1) // ceil(log2(n))
+      for (_ <- 0 until steps)
+        m = m.as("a")
+          .join(m.select(col("old_rep").as("o2"), col("new_rep").as("n2")),
+            col("a.new_rep") === col("o2"), "left")
+          .select(col("a.old_rep"),
+            coalesce(col("n2"), col("a.new_rep")).as("new_rep"))
+      Some((t, m))
+    }
+  }
+
+  private def remapCol(df: DataFrame, key: String, m: DataFrame): DataFrame =
+    df.join(m.withColumnRenamed("old_rep", key), Seq(key), "left")
+      .withColumn(key, coalesce(col("new_rep"), col(key)))
+      .drop("new_rep")
+
+  private def dropDead(df: DataFrame, key: String, dead: DataFrame): DataFrame =
+    df.join(dead.withColumnRenamed("vec_id", key), Seq(key), "left_anti")
+
+  /** One staged relation as the LIVE view over `deltas` — the
+    * [[DedupStore.readFrom]] discipline on the embedding side:
+    * tombstoned vectors drop, rep references follow the resolved
+    * rekey map (value identity makes the rename exact — the
+    * re-elected rep holds the byte-identical vector, value key and
+    * selfcos), rows of fully-dead value groups drop. With no delete
+    * deltas this is the plain per-delta union (zero overhead). */
+  private def readFrom(spark: SparkSession, deltas: Seq[String],
+                       sub: String): DataFrame = {
+    val data = havingSub(spark, deltas, sub)
+    require(data.nonEmpty, s"store holds no '$sub' relation")
+    val base = spark.read.parquet(data.map(d => s"$d/$sub"): _*)
+    tombStateOf(spark, deltas) match {
+      case None => base
+      case Some((t, m)) =>
+        val dead = t.join(m.select(col("old_rep").as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        sub match {
+          case "members" =>
+            remapCol(base.join(t, Seq("vec_id"), "left_anti"), "rep", m)
+          case "reps" =>
+            dropDead(remapCol(base, "rep", m), "rep", dead)
+          case "buckets" =>
+            dropDead(remapCol(base, "vec_id", m), "vec_id", dead)
+          case "pairs" =>
+            val r = dropDead(dropDead(
+              remapCol(remapCol(base, "vec_a", m), "vec_b", m),
+              "vec_a", dead), "vec_b", dead)
+            // a rekey renames to a LARGER id — restore the pair order
+            // (cos is symmetric, nothing else to swap)
+            r.select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+              greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
+        }
+    }
   }
 
   def members(spark: SparkSession, path: String): DataFrame = read(spark, path, "members")

@@ -153,6 +153,16 @@ object Sketches {
         col("exact_users"))
   }
 
+  /** The top-`n` sources by doc count (ties broken by source asc so
+    * the cap is a deterministic set) — the bound both pair-matrix
+    * sketches apply before their source×source join. One group-count
+    * plus a TakeOrdered; broadcast-sized by construction. */
+  private def topSources(docs: DataFrame, n: Int): DataFrame =
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("source").asc)
+      .limit(n)
+      .select("source")
+
   /** (src_a, src_b, k_used, n_both, est_jaccard): pairwise SOURCE
     * SIMILARITY from KMV SKETCHES — the cross-source content-overlap
     * matrix at sketch cost. Each source's word-3-gram shingle set
@@ -168,9 +178,22 @@ object Sketches {
     * replays in the oracle: hash-checked, not rows-only (the same
     * promotion the CMS heavy hitters and KMV distinct counts got).
     * Contrast with the exact [[Relational.audienceOverlap]]: that one
-    * intersects full id sets; this one never materializes a set. */
-  def kmvJaccard(docs: DataFrame, k: Int = 64): DataFrame = {
+    * intersects full id sets; this one never materializes a set.
+    *
+    * The OUTPUT is the source×source matrix — quadratic in source
+    * cardinality BY CONTRACT (the capability is the matrix), so like
+    * [[TextAnalysis.segment]]'s dictionary the relation is bounded
+    * rather than open-ended: only the top-`maxSources` sources by doc
+    * count (one TakeOrdered over a source-keyed count) enter the
+    * matrix. Curated source lists (the common case) sit far under the
+    * default and see every pair; an open-domain corpus (10⁶ domains →
+    * 10¹² unbounded pairs) degrades gracefully to the pairs among its
+    * heaviest sources instead of attempting an output no consumer
+    * could hold. Raise the cap deliberately when the matrix is the
+    * product. */
+  def kmvJaccard(docs: DataFrame, k: Int = 64, maxSources: Int = 1000): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
+    require(maxSources >= 2, s"a pair matrix needs maxSources >= 2, got $maxSources")
     val bottomK = udaf(new graft.functions.BottomK(k),
       org.apache.spark.sql.Encoders.STRING)
     val sh = docs
@@ -182,6 +205,7 @@ object Sketches {
     // no distinct() before the UDAF: BottomK dedups internally, so the
     // only shuffle carries <= k hashes per (partition, source)
     val sk = sh.groupBy("source").agg(bottomK(col("h")).as("bk"))
+      .join(broadcast(topSources(docs, maxSources)), Seq("source"), "left_semi")
     val pairs = sk.as("a").join(broadcast(sk.as("b")),
       col("a.source") < col("b.source")) // sketch-bounded nested loop
     pairs
@@ -209,9 +233,11 @@ object Sketches {
     * otherwise the standard (k−1)/h_k estimator on the merged k-th
     * smallest hash — same first-15-hex-digit grid as [[kmvDistinct]].
     * Completes the KMV algebra alongside [[kmvJaccard]] (intersection
-    * ratio) and [[kmvDistinct]] (single-set cardinality). */
-  def kmvUnion(docs: DataFrame, k: Int = 64): DataFrame = {
+    * ratio) and [[kmvDistinct]] (single-set cardinality). Shares
+    * [[kmvJaccard]]'s top-`maxSources` bound on the pair matrix. */
+  def kmvUnion(docs: DataFrame, k: Int = 64, maxSources: Int = 1000): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
+    require(maxSources >= 2, s"a pair matrix needs maxSources >= 2, got $maxSources")
     val bottomK = udaf(new graft.functions.BottomK(k),
       org.apache.spark.sql.Encoders.STRING)
     val sh = docs
@@ -221,6 +247,7 @@ object Sketches {
         explode(graft.functions.Native.shingles(col("words"), 3)).as("shingle"))
       .select(col("source"), md5(col("shingle")).as("h"))
     val sk = sh.groupBy("source").agg(bottomK(col("h")).as("bk"))
+      .join(broadcast(topSources(docs, maxSources)), Seq("source"), "left_semi")
     val M = "1152921504606846976" // 16^15: first-15-hex-digits scale
     sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
