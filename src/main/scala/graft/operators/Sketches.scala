@@ -153,15 +153,17 @@ object Sketches {
         col("exact_users"))
   }
 
-  /** The top-`n` sources by doc count (ties broken by source asc so
-    * the cap is a deterministic set) — the bound both pair-matrix
-    * sketches apply before their source×source join. One group-count
-    * plus a TakeOrdered; broadcast-sized by construction. */
-  private def topSources(docs: DataFrame, n: Int): DataFrame =
-    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("n_docs").desc, col("source").asc)
+  /** The top-`n` HEAVIEST sources judged from the sketch relation
+    * itself — zero additional corpus work: an unfilled sketch's size
+    * IS its exact distinct-shingle count, and among full sketches a
+    * SMALLER k-th minimum hash means a larger set (the KMV estimator
+    * itself), so (size desc, h_k asc, source asc) is a deterministic
+    * heaviness rank computed from the ≤ #sources sketch rows alone.
+    * One TakeOrdered over the already-aggregated relation. */
+  private def topSketches(sk: DataFrame, n: Int): DataFrame =
+    sk.orderBy(size(col("bk")).desc,
+      element_at(col("bk"), size(col("bk"))).asc, col("source").asc)
       .limit(n)
-      .select("source")
 
   /** (src_a, src_b, k_used, n_both, est_jaccard): pairwise SOURCE
     * SIMILARITY from KMV SKETCHES — the cross-source content-overlap
@@ -183,14 +185,16 @@ object Sketches {
     * The OUTPUT is the source×source matrix — quadratic in source
     * cardinality BY CONTRACT (the capability is the matrix), so like
     * [[TextAnalysis.segment]]'s dictionary the relation is bounded
-    * rather than open-ended: only the top-`maxSources` sources by doc
-    * count (one TakeOrdered over a source-keyed count) enter the
-    * matrix. Curated source lists (the common case) sit far under the
-    * default and see every pair; an open-domain corpus (10⁶ domains →
-    * 10¹² unbounded pairs) degrades gracefully to the pairs among its
-    * heaviest sources instead of attempting an output no consumer
-    * could hold. Raise the cap deliberately when the matrix is the
-    * product. */
+    * rather than open-ended: only the top-`maxSources` HEAVIEST
+    * sources enter the matrix, ranked from the sketch relation itself
+    * (exact distinct-shingle count while a sketch is unfilled, the
+    * KMV h_k estimator once full — one TakeOrdered over ≤ #sources
+    * rows, zero additional corpus work). Curated source lists (the
+    * common case) sit far under the default and see every pair; an
+    * open-domain corpus (10⁶ domains → 10¹² unbounded pairs) degrades
+    * gracefully to the pairs among its heaviest sources instead of
+    * attempting an output no consumer could hold. Raise the cap
+    * deliberately when the matrix is the product. */
   def kmvJaccard(docs: DataFrame, k: Int = 64, maxSources: Int = 1000): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     require(maxSources >= 2, s"a pair matrix needs maxSources >= 2, got $maxSources")
@@ -203,9 +207,11 @@ object Sketches {
         explode(graft.functions.Native.shingles(col("words"), 3)).as("shingle"))
       .select(col("source"), md5(col("shingle")).as("h"))
     // no distinct() before the UDAF: BottomK dedups internally, so the
-    // only shuffle carries <= k hashes per (partition, source)
-    val sk = sh.groupBy("source").agg(bottomK(col("h")).as("bk"))
-      .join(broadcast(topSources(docs, maxSources)), Seq("source"), "left_semi")
+    // only shuffle carries <= k hashes per (partition, source); the
+    // self-join's two sides share the aggregation subtree, so the
+    // corpus pass runs once (ReusedExchange)
+    val sk = topSketches(
+      sh.groupBy("source").agg(bottomK(col("h")).as("bk")), maxSources)
     val pairs = sk.as("a").join(broadcast(sk.as("b")),
       col("a.source") < col("b.source")) // sketch-bounded nested loop
     pairs
@@ -246,8 +252,8 @@ object Sketches {
       .select(col("source"),
         explode(graft.functions.Native.shingles(col("words"), 3)).as("shingle"))
       .select(col("source"), md5(col("shingle")).as("h"))
-    val sk = sh.groupBy("source").agg(bottomK(col("h")).as("bk"))
-      .join(broadcast(topSources(docs, maxSources)), Seq("source"), "left_semi")
+    val sk = topSketches(
+      sh.groupBy("source").agg(bottomK(col("h")).as("bk")), maxSources)
     val M = "1152921504606846976" // 16^15: first-15-hex-digits scale
     sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),

@@ -252,7 +252,7 @@ class Round14Spec extends AnyFunSuite {
 
   // ---- KMV pair-matrix bound ----
 
-  test("kmv pair matrix: capped to the top-maxSources sources by doc count") {
+  test("kmv pair matrix: capped to the top-maxSources heaviest sources") {
     import spark.implicits._
     val docs = Seq(
       (1L, "s1", "one two three four five six"),
@@ -262,7 +262,8 @@ class Round14Spec extends AnyFunSuite {
       (5L, "s2", "thirteen fourteen fifteen sixteen"),
       (6L, "s3", "one two three four five six"))
       .toDF("doc_id", "source", "text")
-    // top-2 by doc count = s1 (3), s2 (2); s3 (1) is cut
+    // sketch-heaviness rank (exact distinct shingles while unfilled):
+    // s1 (8 distinct) > s2 (6) > s3 (4) — top-2 keeps s1, s2
     val capped = Sketches.kmvJaccard(docs, maxSources = 2)
       .select("src_a", "src_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(capped === Set(("s1", "s2")), s"expected only the top-2 pair, got $capped")
