@@ -1140,6 +1140,54 @@ object SparkEntry {
       SearchExtras.searchCost(Tables.documents(s, dir),
         Bm25.DemoQueries.toDF("query_id", "qtext"))
     }),
+
+    // ---- Round-14 batch 2: the SQ8 quantization rung, semantic
+    // (embedding-space) eval-set decontamination, bipartite HITS ----
+    // int8 scalar-quantized cosine top-k: the ladder rung between
+    // full-precision flat and PQ (4x less scan bandwidth, pure-int64
+    // serve math — per-vector scales cancel for cosine)
+    "q_ann_sq" -> ((s, dir) => Ann.sqTopK(Tables.embeddings(s, dir))),
+    // SQ8 distortion dashboard: quantized-vs-exact cosine error on an
+    // integer 1e-5 grid (the q_pq_distortion twin for the SQ rung)
+    "q_sq_distortion" -> ((s, dir) => Ann.sqDistortion(Tables.embeddings(s, dir))),
+    // embedding-space decontamination: corpus vectors colliding with
+    // the held-out probe slice (vec_id % 5 == 0) at cosine >= 0.45 —
+    // cross-relation LSH candidates + exact verify (the semantic leg
+    // of the contamination family: exact -> fuzzy -> semantic)
+    "q_contamination_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.semanticContamination(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding")))
+    }),
+    // the STREAMING ingest gate of the semantic screen: corpus
+    // vectors arrive as micro-batches, each screened against the
+    // static probe relation — union over batches == the batch result
+    // (no cross-batch state; shared all-pairs oracle)
+    "q_stream_semantic" -> ((s, dir) =>
+      graft.streaming.Streams.semanticContaminationStream(s, dir)),
+    // HITS hubs/authorities over the customer->supplier purchase
+    // bipartite graph (exact-integer recurrence on the TotalMass grid)
+    "q_hits" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey").as("s"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey").as("c"))
+      Graph.hitsFrom(li.join(o, col("l_orderkey") === col("o_orderkey")).select("c", "s"))
+    }),
+    // two-stage SQ8 serve: int8 scan ranks, exact cosine reranks the
+    // top-50 survivors only (the production cascade of the SQ rung)
+    "q_sq_rerank" -> ((s, dir) => Ann.sqRerank(Tables.embeddings(s, dir))),
+    // snapshot read on the TEXT index: delta 00000 (4/5 build) pinned
+    // while 00001 (1/5 ingest) is committed — scores equal a rebuild
+    // on the snapshot corpus (time-travel parity with the vector
+    // store's q_index_timetravel)
+    "q_index_asof" -> ((s, dir) =>
+      Bm25Index.scoreAt(s, asofIndexFor(s, dir), maxTag = "00000")),
+    // data-constrained mixture planning: per-source token counts ->
+    // temperature weights -> planned tokens and implied epochs under
+    // a fixed token budget (metadata-sized; epochs > 1 = repetition)
+    "q_token_budget" -> ((s, dir) =>
+      TextAnalysis.tokenBudget(Tables.documents(s, dir))),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -1172,8 +1220,20 @@ object SparkEntry {
     // timed pass (r13 driver run measured exactly that: 3.6-4.4× on
     // the trio while their prestaged twin served the same path flat)
     ivfIndexFor(s, dir); pqIndexFor(s, dir); ivfPqIndexFor(s, dir)
+    asofIndexFor(s, dir)
     ()
   }
+
+  /** Two-version staged text index for the snapshot-read key: delta
+    * 00000 = the 4/5 build, delta 00001 = the 1/5 ingest. Read-only
+    * at serve time (q_index_asof pins 00000), so it prestages like
+    * every other read-only serve store. */
+  private def asofIndexFor(s: SparkSession, dir: String): String =
+    cachedLayout("idx_asof", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      Bm25Index.build(docs.filter(col("doc_id") % 5 =!= 0), p)
+      Bm25Index.update(docs.filter(col("doc_id") % 5 === 0), p, "00001")
+    }
 
   /** One file-per-document binary staging per sf dir per JVM — the
     * ingest-boundary fixture for the `binaryFile` source (media
@@ -1469,12 +1529,13 @@ object SparkEntry {
 
   private val queryTermsSql = Bm25.QueryTerms.map(t => s"'$t'").mkString(", ")
 
-  /** Shared by q_index_delete / q_stream_delete: BM25 over the corpus
-    * MINUS the tombstoned %10==3 slice — every stat (df, n_docs,
-    * avgdl) re-derived from the surviving docs, the
-    * rebuild-without-them contract both delete paths serve. */
-  private lazy val bm25MinusSliceOracle =
-    s"""WITH src AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+  /** BM25 per-doc scores over `documents WHERE whereSql` — every stat
+    * (df, n_docs, avgdl) re-derived from the restricted corpus: the
+    * rebuild-on-a-slice contract shared by the delete paths
+    * (corpus minus tombstones) and the snapshot read (corpus as of
+    * the pinned version). */
+  private def bm25RestrictedOracle(whereSql: String) =
+    s"""WITH src AS (SELECT * FROM documents WHERE $whereSql),
        |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM src),
        |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)),
        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY doc_id, term),
@@ -1494,6 +1555,13 @@ object SparkEntry {
        |  CROSS JOIN avgd
        |  GROUP BY tf.doc_id)
        |SELECT doc_id, score FROM scored""".stripMargin
+
+  /** Shared by q_index_delete / q_stream_delete: BM25 over the corpus
+    * MINUS the tombstoned %10==3 slice — every stat (df, n_docs,
+    * avgdl) re-derived from the surviving docs, the
+    * rebuild-without-them contract both delete paths serve. */
+  private lazy val bm25MinusSliceOracle =
+    bm25RestrictedOracle("doc_id % 10 <> 3")
 
   /** Shared by q_ltr_features / q_rerank / q_rerank_delta: the batch
     * BM25 scoring chain + per-(query, doc) feature aggregates, ending
@@ -1811,6 +1879,21 @@ object SparkEntry {
   private val vecCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  /** SQ8 quantization replay (Ann.sqVecs semantics) continuing from a
+    * CTE `e` of (vec_id, v array<double>): clamp(floor(x·127/maxabs))
+    * per coordinate plus the integer squared norm. */
+  private val sqCteTail =
+    """m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      |q8 AS (SELECT vec_id, list_transform(v, x -> CASE WHEN maxabs = 0 THEN 0::BIGINT
+      |         ELSE greatest(-127::BIGINT, least(127::BIGINT,
+      |                       floor(x * 127.0 / maxabs)::BIGINT)) END) AS qv
+      |       FROM m),
+      |sqn AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x))::BIGINT AS qn2 FROM q8)""".stripMargin
+
+  private val sqCte =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |$sqCteTail""".stripMargin
 
   /** LSH top-10 replay (Ann.lshTopK / AnnIndex.searchTopK semantics)
     * over `embeddings WHERE whereSql`, querying `qid`: the md5-derived
@@ -6454,5 +6537,123 @@ object SparkEntry {
         |r AS (SELECT doc_id, gkey,
         |        row_number() OVER (ORDER BY gkey DESC, doc_id) AS rk FROM g)
         |SELECT doc_id, gkey, rk::BIGINT AS rk FROM r WHERE rk <= 100""".stripMargin,
+
+    // ---- Round-14 batch 2 ----
+    // SQ8 top-k: the int8 quantization grid is q_emb_quantize's
+    // (clamp(floor(x*127/maxabs))); dot and both norms are exact
+    // integer sums, so ranking replays bit-identically
+    "q_ann_sq" ->
+      s"""WITH $sqCte,
+         |q AS (SELECT qv AS qa, qn2 AS qan2 FROM sqn WHERE vec_id = 0)
+         |SELECT vec_id, round(
+         |    list_sum(list_transform(range(1, len(b.qv) + 1), i -> qa[i] * b.qv[i]))::DOUBLE
+         |    / (sqrt(qan2::DOUBLE) * sqrt(b.qn2::DOUBLE)), 4) AS cos
+         |FROM sqn b, q WHERE b.vec_id != 0 AND b.qn2 > 0
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // SQ8 distortion: per-vector |exact − quantized| cosine error
+    // floored onto a 1e-5 integer grid before aggregation (exact
+    // integer totals — aggregation-order-free)
+    "q_sq_distortion" ->
+      s"""WITH $vecCte,
+         |$sqCteTail,
+         |qe AS (SELECT v AS qav, nrm AS qan FROM vn WHERE vec_id = 0),
+         |qq AS (SELECT qv AS qa, qn2 AS qan2 FROM sqn WHERE vec_id = 0),
+         |ex AS (SELECT b.vec_id,
+         |         list_sum(list_transform(range(1, len(qav) + 1), i -> qav[i] * b.v[i]))
+         |           / (qan * b.nrm) AS c_exact
+         |       FROM vn b, qe WHERE b.vec_id != 0 AND b.nrm > 0),
+         |ap AS (SELECT b.vec_id,
+         |         list_sum(list_transform(range(1, len(b.qv) + 1), i -> qa[i] * b.qv[i]))::DOUBLE
+         |           / (sqrt(qan2::DOUBLE) * sqrt(b.qn2::DOUBLE)) AS c_sq
+         |       FROM sqn b, qq WHERE b.vec_id != 0 AND b.qn2 > 0),
+         |er AS (SELECT floor(abs(c_exact - c_sq) * 100000.0)::BIGINT AS err5
+         |       FROM ex JOIN ap USING (vec_id))
+         |SELECT count(*)::BIGINT AS n_vecs, sum(err5)::BIGINT AS total_err_1e5,
+         |       round(sum(err5)::DOUBLE / count(*) / 100000.0, 8) AS avg_err,
+         |       max(err5)::BIGINT AS max_err_1e5
+         |FROM er""".stripMargin,
+    // semantic decontamination: the oracle is the ALL-PAIRS corpus ×
+    // probe cosine — the LSH candidate path must close the gap exactly
+    "q_contamination_semantic" ->
+      s"""WITH $vecCte,
+         |c AS (SELECT vec_id, v, nrm FROM vn WHERE vec_id % 5 != 0),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM vn WHERE vec_id % 5 = 0)
+         |SELECT vec_id, probe_id, round(c_exact, 4) AS cos FROM (
+         |  SELECT c.vec_id, p.probe_id,
+         |         list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * p.pv[i]))
+         |           / (c.nrm * p.pn) AS c_exact
+         |  FROM c, p)
+         |WHERE c_exact >= 0.45""".stripMargin,
+    // the streaming ingest gate converges to the SAME screen (union
+    // over stateless micro-batches == batch; shared all-pairs oracle)
+    "q_stream_semantic" ->
+      s"""WITH $vecCte,
+         |c AS (SELECT vec_id, v, nrm FROM vn WHERE vec_id % 5 != 0),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM vn WHERE vec_id % 5 = 0)
+         |SELECT vec_id, probe_id, round(c_exact, 4) AS cos FROM (
+         |  SELECT c.vec_id, p.probe_id,
+         |         list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * p.pv[i]))
+         |           / (c.nrm * p.pn) AS c_exact
+         |  FROM c, p)
+         |WHERE c_exact >= 0.45""".stripMargin,
+    // HITS: the exact-integer mutual-reinforcement recurrence replayed
+    // as iterative CTEs (the q_pagerank oracle pattern — `//` mirrors
+    // Spark's `div`). The per-half-step renormalization scalar is a
+    // whole-partition window sum (one reference per CTE) and every
+    // iteration CTE is MATERIALIZED: without it DuckDB inlines the
+    // 40-deep chain and planning blows up superlinearly (38.9 s vs
+    // 0.6 s measured at sf0.01)
+    "q_hits" -> {
+      val m = Graph.TotalMass
+      val iters = (1 to 10).map { i =>
+        s"""ar$i AS MATERIALIZED (SELECT s, sum(hub)::BIGINT AS raw FROM ed JOIN h${i - 1} USING (c) GROUP BY s),
+           |a$i AS MATERIALIZED (SELECT s, (raw // greatest(1, sum(raw) OVER () // $m))::BIGINT AS auth FROM ar$i),
+           |hr$i AS MATERIALIZED (SELECT c, sum(auth)::BIGINT AS raw FROM ed JOIN a$i USING (s) GROUP BY c),
+           |h$i AS MATERIALIZED (SELECT c, (raw // greatest(1, sum(raw) OVER () // $m))::BIGINT AS hub FROM hr$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |cn AS (SELECT DISTINCT c FROM ed),
+         |h0 AS (SELECT c, ($m // (SELECT count(*) FROM cn))::BIGINT AS hub FROM cn),
+         |$iters
+         |SELECT 'auth' AS side, s AS node, auth AS score FROM a10
+         |UNION ALL
+         |SELECT 'hub' AS side, c AS node, hub AS score FROM h10""".stripMargin
+    },
+    // two-stage SQ8 cascade fully replayed: the int8 candidate cut
+    // (top-50 by quantized cosine, vec_id tie-breaks) then the exact
+    // full-precision rerank — both stages deterministic
+    "q_sq_rerank" ->
+      s"""WITH $sqCte,
+         |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |q AS (SELECT qv AS qa, qn2 AS qan2 FROM sqn WHERE vec_id = 0),
+         |cand AS (SELECT vec_id FROM (
+         |  SELECT b.vec_id,
+         |         list_sum(list_transform(range(1, len(b.qv) + 1), i -> qa[i] * b.qv[i]))::DOUBLE
+         |           / (sqrt(qan2::DOUBLE) * sqrt(b.qn2::DOUBLE)) AS c_sq
+         |  FROM sqn b, q WHERE b.vec_id != 0 AND b.qn2 > 0)
+         |  ORDER BY c_sq DESC, vec_id ASC LIMIT 50),
+         |qe AS (SELECT v AS qav, nrm AS qan FROM vn WHERE vec_id = 0)
+         |SELECT b.vec_id,
+         |       round(list_sum(list_transform(range(1, len(qav) + 1), i -> qav[i] * b.v[i]))
+         |             / (qan * b.nrm), 4) AS cos
+         |FROM vn b JOIN cand USING (vec_id), qe
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // snapshot read: scores equal a rebuild on the pinned 4/5 corpus
+    "q_index_asof" -> bm25RestrictedOracle("doc_id % 5 <> 0"),
+    // token-budget mixture plan: per-source kept tokens, temperature
+    // weights, planned tokens and epochs (op order mirrors the Scala:
+    // budget * (pow / sum_w))
+    "q_token_budget" ->
+      s"""WITH $tfCte,
+         |pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_tok FROM tf GROUP BY doc_id),
+         |ps AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens
+         |       FROM documents JOIN pd USING (doc_id) GROUP BY source),
+         |tot AS (SELECT sum(pow(n_tokens::DOUBLE, 0.7)) AS sum_w FROM ps)
+         |SELECT source, n_tokens,
+         |       round(pow(n_tokens::DOUBLE, 0.7) / sum_w, 6) AS weight,
+         |       floor(2000000.0 * (pow(n_tokens::DOUBLE, 0.7) / sum_w))::BIGINT AS planned_tokens,
+         |       round(floor(2000000.0 * (pow(n_tokens::DOUBLE, 0.7) / sum_w)) / n_tokens, 4) AS epochs
+         |FROM ps, tot""".stripMargin,
   )
 }

@@ -769,4 +769,161 @@ object Ann {
       .select(lit(k.toLong).as("k"), col("n_lsh"), col("n_hits"),
         round(col("n_hits").cast("double") / k, 4).as("recall"))
   }
+
+  // ---- SQ8 scalar quantization (the int8 rung of the ladder) ----
+
+  /** Embeddings scalar-quantized to int8: (vec_id, qv array<bigint>,
+    * qn2 bigint). Per-vector SYMMETRIC quantization — qval =
+    * clamp(floor(x·127/maxabs), −127, 127) — the exact grid
+    * `q_emb_quantize` already publishes, here carried as a whole
+    * vector plus its integer squared norm. Cosine needs NO scale
+    * sidecar: the per-vector scale cancels between the integer dot
+    * and the two integer norms, so the serve math is pure int64.
+    * Zero vectors (maxabs = 0) quantize to all-zeros and are dropped
+    * from the searchable pool (qn2 = 0 ⇒ cosine undefined). */
+  private[graft] def sqVecs(embeddings: DataFrame): DataFrame =
+    doubleVecs(embeddings)
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv",
+        expr("""transform(v, x -> CASE WHEN maxabs = 0.0D THEN CAST(0 AS BIGINT)
+                ELSE greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                     CAST(floor(x * 127.0D / maxabs) AS BIGINT))) END)"""))
+      .withColumn("qn2",
+        expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .select("vec_id", "qv", "qn2")
+
+  /** (vec_id, cos): top-k by INT8 scalar-quantized cosine — the SQ8
+    * rung of the quantization ladder (between full-precision flat and
+    * PQ): 4× less scan bandwidth than float32 with near-exact
+    * ranking, the default first compression step of every production
+    * vector store. The whole hot loop is int64 arithmetic (quantized
+    * dot + two quantized squared norms; the per-vector scales cancel
+    * for cosine), so the ranking replays bit-exactly in any engine —
+    * the same property that promoted the PQ family to hash-checked.
+    * At 100 TB the qv relation is what sits on disk (the store
+    * format); the float corpus is only touched at encode time. */
+  def sqTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val sq = sqVecs(embeddings)
+    val q = sq.filter(col("vec_id") === queryId)
+      .select(col("qv").as("qa"), col("qn2").as("qan2"))
+    sq.filter(col("vec_id") =!= queryId && col("qn2") > 0L)
+      .crossJoin(broadcast(q))
+      .withColumn("idot",
+        expr("aggregate(zip_with(qa, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, b) -> a + b)"))
+      .withColumn("cos",
+        round(col("idot").cast("double") /
+          (sqrt(col("qan2").cast("double")) * sqrt(col("qn2").cast("double"))), 4))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "cos")
+  }
+
+  /** (vec_id, cos): TWO-STAGE SQ8 serve — the production shape of the
+    * scalar-quantized rung: stage 1 ranks the whole pool by int8
+    * quantized cosine (pure int64 scan — the cheap pass over the 4×
+    * smaller store), stage 2 re-scores only the top-`candK` survivors
+    * with exact full-precision cosine and returns the top-k. Both
+    * stages are deterministic (quantized ratio desc / rounded exact
+    * cosine desc, vec_id tie-breaks), so the whole cascade — candidate
+    * cut included — replays in the oracle. At 100 TB the float vectors
+    * are only fetched for candK rows per query. */
+  def sqRerank(embeddings: DataFrame, queryId: Long = 0L,
+               k: Int = 10, candK: Int = 50): DataFrame = {
+    require(candK >= k, s"candK ($candK) must be >= k ($k)")
+    val sq = sqVecs(embeddings)
+    val q = sq.filter(col("vec_id") === queryId)
+      .select(col("qv").as("qa"), col("qn2").as("qan2"))
+    val cand = sq.filter(col("vec_id") =!= queryId && col("qn2") > 0L)
+      .crossJoin(broadcast(q))
+      .withColumn("idot",
+        expr("aggregate(zip_with(qa, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, b) -> a + b)"))
+      .withColumn("c_sq",
+        col("idot").cast("double") /
+          (sqrt(col("qan2").cast("double")) * sqrt(col("qn2").cast("double"))))
+      .orderBy(col("c_sq").desc, col("vec_id").asc)
+      .limit(candK)
+      .select("vec_id")
+    exactTopK(embeddings, Some(cand), queryId, k)
+  }
+
+  /** (n_vecs, total_err_1e5, avg_err, max_err_1e5): SQ8 DISTORTION
+    * dashboard — how far int8-quantized cosine sits from exact cosine
+    * against query `queryId`, over the whole searchable pool (the
+    * monitoring twin of `q_pq_distortion` for the SQ rung: run per
+    * encode, alert when a corpus shift pushes quantization error past
+    * budget). Per-vector error is floored onto an integer 1e-5 grid
+    * BEFORE aggregation, so the totals are exact integer sums —
+    * engine-replayable regardless of aggregation order. */
+  def sqDistortion(embeddings: DataFrame, queryId: Long = 0L): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("va"), col("nrm").as("na"))
+    val exact = e.filter(col("vec_id") =!= queryId && col("nrm") > 0.0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("va"), col("v")) / (col("na") * col("nrm"))).as("c_exact"))
+    val sq = sqVecs(embeddings)
+    val sqq = sq.filter(col("vec_id") === queryId)
+      .select(col("qv").as("qa"), col("qn2").as("qan2"))
+    val approx = sq.filter(col("vec_id") =!= queryId && col("qn2") > 0L)
+      .crossJoin(broadcast(sqq))
+      .withColumn("idot",
+        expr("aggregate(zip_with(qa, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, b) -> a + b)"))
+      .select(col("vec_id"),
+        (col("idot").cast("double") /
+          (sqrt(col("qan2").cast("double")) * sqrt(col("qn2").cast("double")))).as("c_sq"))
+    exact.join(approx, "vec_id")
+      .select(floor(abs(col("c_exact") - col("c_sq")) * 100000.0).cast("long").as("err5"))
+      .agg(count(lit(1)).as("n_vecs"), sum("err5").as("total_err_1e5"),
+        max("err5").as("max_err_1e5"))
+      .select(col("n_vecs"), col("total_err_1e5"),
+        round(col("total_err_1e5").cast("double") / col("n_vecs") / 100000.0, 8)
+          .as("avg_err"),
+        col("max_err_1e5"))
+  }
+
+  // ---- semantic (embedding-level) eval-set decontamination ----
+
+  /** (vec_id, probe_id, cos): SEMANTIC CONTAMINATION screen — corpus
+    * vectors whose cosine against any held-out probe (eval-set)
+    * vector reaches `threshold`. The embedding-space member of the
+    * contamination family (exact text → fuzzy MinHash → semantic):
+    * paraphrased or translated eval leakage that shares no n-gram
+    * still collides in embedding space. Scale path mirrors
+    * [[lshCosinePairs]] but CROSS-RELATION: both sides bucket under
+    * the same literal hyperplanes (a pure map stage), candidates come
+    * from the (table, bucket) equi-join — corpus×probe work scales
+    * with bucket co-occupancy, never |corpus|×|probes| — and the
+    * exact-cosine verify runs on candidates only. Same S-curve recall
+    * guard as the within-relation path: thresholds below the banding
+    * midpoint are rejected loudly rather than silently losing
+    * boundary pairs. `probes` is (probe_id, embedding). */
+  def semanticContamination(corpus: DataFrame, probes: DataFrame,
+                            threshold: Double = 0.45,
+                            numTables: Int = 24, bitsPerTable: Int = 4): DataFrame = {
+    val pMid = math.pow(1.0 - math.pow(0.5, 1.0 / numTables), 1.0 / bitsPerTable)
+    val cMid = math.cos(math.Pi * (1.0 - pMid))
+    require(threshold >= cMid - 0.05,
+      f"verify threshold $threshold%.2f is below the hyperplane-LSH S-curve " +
+        f"midpoint $cMid%.2f (numTables=$numTables, bitsPerTable=$bitsPerTable): " +
+        "candidate generation would miss most boundary pairs — add tables or drop bits")
+    val cb = lshBuckets(corpus, numTables, bitsPerTable)
+    val pb = lshBuckets(
+        probes.select(col("probe_id").as("vec_id"), col("embedding")),
+        numTables, bitsPerTable)
+      .select(col("vec_id").as("probe_id"), col("t"), col("bucket"))
+    // candidate list is output-sized and feeds both verify joins —
+    // materialize once (the fuzzyContamination convention)
+    val cand = cb.join(pb, Seq("t", "bucket"))
+      .select("vec_id", "probe_id").distinct().localCheckpoint()
+    val ce = withNorm(corpus)
+    val pe = withNorm(probes.select(col("probe_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("probe_id"), col("v").as("vb"), col("nrm").as("nb"))
+    cand
+      .join(ce.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")), Seq("vec_id"))
+      .join(pe, Seq("probe_id"))
+      .withColumn("c_exact", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("c_exact") >= threshold)
+      .select(col("vec_id"), col("probe_id"), round(col("c_exact"), 4).as("cos"))
+  }
 }

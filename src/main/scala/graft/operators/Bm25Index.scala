@@ -199,6 +199,31 @@ object Bm25Index {
             queryTerms: Seq[String] = Bm25.QueryTerms): DataFrame = {
     val deltas = committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
+    scoreDeltas(spark, deltas, queryTerms)
+  }
+
+  /** TIME-TRAVEL scoring: the same per-doc BM25, but against the
+    * store AS OF version `maxTag` — only deltas whose tag sorts
+    * ≤ maxTag participate (the [[AnnIndex.searchTopKAt]] contract on
+    * the TEXT index): a reader pins the exact snapshot a batch job
+    * was validated against while ingest keeps committing; corpus
+    * stats (df, n_docs, avgdl) re-derive from the visible deltas, so
+    * the scores equal a rebuild on the snapshot corpus. Same
+    * retention trade: [[compactDeltas]] collapses folded history, so
+    * travel reaches only versions newer than the last compaction. */
+  def scoreAt(spark: SparkSession, path: String, maxTag: String,
+              queryTerms: Seq[String] = Bm25.QueryTerms): DataFrame = {
+    val visible = committedDeltas(spark, path).filter { d =>
+      new org.apache.hadoop.fs.Path(d).getName.stripPrefix("delta-") <= maxTag
+    }
+    require(visible.nonEmpty,
+      s"no committed deltas at or before version $maxTag under $path " +
+        "(compaction may have collapsed that history)")
+    scoreDeltas(spark, visible, queryTerms)
+  }
+
+  private def scoreDeltas(spark: SparkSession, deltas: Seq[String],
+                          queryTerms: Seq[String]): DataFrame = {
     val (postings, dl) = liveIndex(spark, deltas)
     val tfq = postings
       .filter(col("term").isin(queryTerms: _*)) // pushed to the scan

@@ -685,4 +685,47 @@ object Graph {
       .groupBy(col("a").as("doc_id"))
       .agg(count(lit(1)).as("degree"))
   }
+
+  /** (side, node, score): `iterations` rounds of HITS (Kleinberg 1999)
+    * over a DIRECTED bipartite edge relation (hub column `c` → authority
+    * column `s`): hub mass flows forward to authorities, authority mass
+    * flows back to hubs, each half-step renormalized. On the customer→
+    * supplier purchase graph, authorities are the suppliers that the
+    * best-connected customers concentrate on and hubs the customers
+    * whose baskets span the authoritative suppliers — the mutual-
+    * reinforcement signal one-sided degree counts can't see.
+    *
+    * Same exact-integer discipline as [[pagerankFrom]]: scores live on
+    * the [[TotalMass]] grid, every division is an integral floor
+    * (Spark `div` == DuckDB `//`), and each half-step renormalizes by
+    * the scalar `greatest(1, total div TotalMass)` — computed as a
+    * broadcast one-row aggregate, never a driver sync — keeping
+    * magnitudes near TotalMass so a sum over max-degree neighbors
+    * stays ≲ deg·10¹² ≪ 2⁶³. The whole 10-round recurrence replays
+    * bit-exactly in the oracle's iterative CTEs. Per-iteration cost:
+    * two edge-relation joins + two aggregations, edges materialized
+    * once; lineage cut per round (the rank relation is node-sized). */
+  def hitsFrom(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("c"), col("s")).distinct().localCheckpoint()
+    val hubs0 = e.select("c").distinct()
+    val nHubs = hubs0.count()
+    require(nHubs > 0, "empty bipartite graph")
+    val renorm = expr(s"raw div greatest(CAST(1 AS BIGINT), t div ${TotalMass}L)")
+    var hub = hubs0.withColumn("hub", lit(TotalMass / nHubs))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val ar = e.join(hub, "c").groupBy("s").agg(sum("hub").as("raw"))
+      val at = ar.agg(sum("raw").as("t"))
+      auth = ar.crossJoin(broadcast(at))
+        .select(col("s"), renorm.as("auth")).localCheckpoint()
+      val hr = e.join(auth, "s").groupBy("c").agg(sum("auth").as("raw"))
+      val ht = hr.agg(sum("raw").as("t"))
+      hub = hr.crossJoin(broadcast(ht))
+        .select(col("c"), renorm.as("hub")).localCheckpoint()
+    }
+    auth.select(lit("auth").as("side"), col("s").as("node"), col("auth").as("score"))
+      .unionByName(
+        hub.select(lit("hub").as("side"), col("c").as("node"), col("hub").as("score")))
+  }
 }

@@ -973,6 +973,33 @@ object TextAnalysis {
       .select("doc_id", "source")
   }
 
+  /** (source, n_tokens, weight, planned_tokens, epochs): DATA-
+    * CONSTRAINED mixture planning — the token-budget allocation every
+    * pretraining run fixes before sampling: per-source kept-token
+    * counts ([[Bm25.tf]]'s tokenize rules, so the budget speaks the
+    * same tokens the corpus stats do), temperature-flattened weights
+    * w_s ∝ T_s^τ (the [[temperatureMix]] exponent applied to TOKENS,
+    * not docs), planned tokens floor(budget·w_s), and the implied
+    * epochs planned/T_s — epochs > 1 is the data-constrained regime
+    * (that source repeats; Muennighoff et al. 2023's diminishing-
+    * returns knob made visible per source). Metadata-sized: one
+    * corpus aggregate → a sources-cardinality relation; the plan is
+    * what a 100 TB run ships to its sampler, not a data movement. */
+  def tokenBudget(docs: DataFrame, tau: Double = 0.7,
+                  budget: Long = 2000000L): DataFrame = {
+    val perDoc = Bm25.tf(docs).groupBy("doc_id").agg(sum("tf").as("n_tok"))
+    val perSrc = docs.select(col("doc_id"), col("source")).join(perDoc, "doc_id")
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val tot = perSrc.agg(
+      sum(pow(col("n_tokens").cast("double"), tau)).as("sum_w"))
+    val w = pow(col("n_tokens").cast("double"), tau) / col("sum_w")
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(w, 6).as("weight"),
+        floor(lit(budget.toDouble) * w).cast("long").as("planned_tokens"),
+        round(floor(lit(budget.toDouble) * w) / col("n_tokens"), 4).as("epochs"))
+  }
+
   /** (doc_id, lang, rk): stratified fixed-SIZE sample — exactly
     * min(perStratum, |stratum|) docs per language, picked by the
     * deterministic [[hashU]] uniform (so the pick is an unbiased

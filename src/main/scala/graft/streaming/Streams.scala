@@ -1020,6 +1020,43 @@ object Streams {
     } finally probeSh.unpersist()
   }
 
+  /** (vec_id, probe_id, cos): STREAMING SEMANTIC decontamination — the
+    * embedding-space ingest gate (the [[contaminationStream]] twin one
+    * level up the contamination ladder): corpus vectors arrive as
+    * micro-batches and each batch runs the cross-relation LSH screen
+    * against the STATIC probe (eval-set) relation. A corpus vector's
+    * matches depend only on itself and the probes — no cross-batch
+    * state — so the union over batches equals the batch
+    * `q_contamination_semantic` result exactly (shared all-pairs
+    * oracle). The probe side is small and persisted once; per batch
+    * the work is batch-buckets × probe-buckets co-occupancy plus the
+    * exact verify on candidates. */
+  def semanticContaminationStream(spark: SparkSession, dir: String,
+                                  nBatches: Int = 3): DataFrame = {
+    require(nBatches > 0, s"nBatches must be positive, got $nBatches")
+    val tag = pathTag(dir + "|semcontam|" + nBatches)
+    val tmp = sys.props("java.io.tmpdir")
+    val src = s"$tmp/graft_semcontam_stream_src_$tag"
+    val outRoot = s"$tmp/graft_semcontam_stream_out_$tag"
+    deleteRecursive(spark, src)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding")).persist()
+    try {
+      probes.count() // materialize the static side once, before the drain
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      (0 until nBatches).foreach { b =>
+        corpus.filter(col("vec_id") % nBatches === b).coalesce(1)
+          .write.mode(if (b == 0) "overwrite" else "append").parquet(src)
+      }
+      val s = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      serveStream(spark, s, outRoot)(batch =>
+        graft.operators.Ann.semanticContamination(batch, probes))
+    } finally probes.unpersist()
+  }
+
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
     * upserted per micro-batch into a keyed parquet store — the
     * reference's STREAMING Mongo sink (MongoTFSink.java /

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Graph}
+import graft.sources.Tables
+
+/** Round-14 batch 2: the SQ8 scalar-quantization rung (int8 cosine
+  * serve + distortion dashboard), semantic (embedding-space) eval-set
+  * decontamination, and bipartite HITS. */
+class Round14bSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  // ---- SQ8 ----
+
+  test("sqVecs: every coordinate clamps into [-127, 127] and qn2 is the exact square sum") {
+    val bad = Ann.sqVecs(emb)
+      .withColumn("mx", expr("array_max(transform(qv, x -> abs(x)))"))
+      .withColumn("n2", expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .filter(col("mx") > 127L || col("n2") =!= col("qn2"))
+    assert(bad.count() === 0L)
+  }
+
+  test("sqTopK: k rows, int8 ranking stays near-exact (recall@10 >= 0.8 vs brute force)") {
+    val sq = Ann.sqTopK(emb)
+    assert(sq.count() === 10L)
+    val hits = sq.select("vec_id")
+      .join(Ann.bruteForceTopK(emb).select("vec_id"), "vec_id").count()
+    assert(hits >= 8L, s"SQ8 recall@10 degraded: $hits/10 vs exact")
+  }
+
+  test("sqDistortion: one row, int8-vs-exact cosine error stays within budget") {
+    val r = Ann.sqDistortion(emb).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_vecs") > 0L)
+    assert(row.getAs[Double]("avg_err") < 0.02,
+      s"avg SQ8 cosine error ${row.getAs[Double]("avg_err")} exceeds 0.02")
+    assert(row.getAs[Long]("max_err_1e5") < 10000L,
+      s"max SQ8 cosine error ${row.getAs[Long]("max_err_1e5")} x 1e-5 exceeds 0.1")
+  }
+
+  test("sqRerank: exact rerank of the SQ candidate cut recovers the exact top-10") {
+    // with candK = full pool the cascade IS brute force; with the
+    // default 50-candidate cut on this corpus recall must hold too
+    val full = Ann.sqRerank(emb, candK = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val brute = Ann.bruteForceTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(full === brute)
+    val cascaded = Ann.sqRerank(emb)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert((cascaded & brute).size >= 8,
+      s"SQ8 cascade lost the exact top-10: ${(cascaded & brute).size}/10")
+  }
+
+  test("sqRerank rejects candK < k") {
+    val ex = intercept[IllegalArgumentException] { Ann.sqRerank(emb, k = 10, candK = 5) }
+    assert(ex.getMessage.contains("candK"))
+  }
+
+  // ---- semantic contamination ----
+
+  private def crossBrute(threshold: Double): Set[(Long, Long, Double)] = {
+    // all-pairs corpus x probe cosine — the recall contract the LSH
+    // candidate path must close exactly (the oracle's shape, in Spark)
+    val pairs = Ann.cosinePairs(emb, threshold)
+    val aSide = pairs.filter(col("vec_a") % 5 =!= 0 && col("vec_b") % 5 === 0)
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("probe_id"), col("cos"))
+    val bSide = pairs.filter(col("vec_b") % 5 =!= 0 && col("vec_a") % 5 === 0)
+      .select(col("vec_b").as("vec_id"), col("vec_a").as("probe_id"), col("cos"))
+    aSide.unionByName(bSide).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("semanticContamination equals the all-pairs corpus x probe relation") {
+    val got = Ann.semanticContamination(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === crossBrute(0.45))
+  }
+
+  test("semanticContamination rejects thresholds below the S-curve midpoint") {
+    val probes = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Ann.semanticContamination(
+        emb.filter(col("vec_id") % 5 =!= 0), probes,
+        threshold = 0.05, numTables = 2, bitsPerTable = 8)
+    }
+    assert(ex.getMessage.contains("S-curve"))
+  }
+
+  test("streaming semantic screen: union over micro-batches equals the batch screen") {
+    val got = graft.streaming.Streams.semanticContaminationStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === crossBrute(0.45))
+  }
+
+  // ---- snapshot read on the text index ----
+
+  test("scoreAt pins the build snapshot: equals a rebuild on the 4/5 corpus") {
+    import graft.operators.Bm25Index
+    val docs = Tables.documents(spark, sf)
+    val p = java.nio.file.Files.createTempDirectory("r14basof").toString + "/s"
+    Bm25Index.build(docs.filter(col("doc_id") % 5 =!= 0), p)
+    Bm25Index.update(docs.filter(col("doc_id") % 5 === 0), p, "00001")
+    val asof = Bm25Index.scoreAt(spark, p, "00000")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val rebuilt = java.nio.file.Files.createTempDirectory("r14brb").toString + "/s"
+    Bm25Index.build(docs.filter(col("doc_id") % 5 =!= 0), rebuilt)
+    val expect = Bm25Index.score(spark, rebuilt)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(asof === expect)
+    // the LIVE read sees the ingested slice too (supersets the snapshot)
+    val live = Bm25Index.score(spark, p)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(asof.map(_._1).subsetOf(live))
+    // pinning a pre-build version fails loudly
+    val ex = intercept[IllegalArgumentException] { Bm25Index.scoreAt(spark, p, "//") }
+    assert(ex.getMessage.contains("no committed deltas"))
+  }
+
+  // ---- token-budget mixture planning ----
+
+  test("tokenBudget: weights sum to ~1, planned tokens stay under budget, epochs = planned/actual") {
+    val rows = graft.operators.TextAnalysis.tokenBudget(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    val planned = rows.map(_.getAs[Long]("planned_tokens")).sum
+    assert(planned <= 2000000L && planned > 2000000L - rows.length,
+      s"planned total $planned off the floor-per-source budget")
+    rows.foreach { r =>
+      val e = r.getAs[Long]("planned_tokens").toDouble / r.getAs[Long]("n_tokens")
+      assert(math.abs(r.getAs[Double]("epochs") - e) < 1e-3)
+    }
+  }
+
+  // ---- HITS ----
+
+  test("hits: planted bipartite graph — shared supplier out-ranks the exclusive one") {
+    import spark.implicits._
+    // supplier 100 sells to every customer; 200 only to customer 1
+    val edges = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 100L),
+      (1L, 200L)).toDF("c", "s")
+    val r = Graph.hitsFrom(edges)
+    val auth = r.filter(col("side") === "auth").collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    val hub = r.filter(col("side") === "hub").collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(auth(100L) > auth(200L))
+    // customer 1 spans both suppliers — at least the hub mass of a
+    // single-supplier customer
+    assert(hub(1L) >= hub(2L))
+    assert(hub.keySet === Set(1L, 2L, 3L, 4L, 5L) && auth.keySet === Set(100L, 200L))
+  }
+
+  test("hits: renormalization keeps per-side totals on the TotalMass grid") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey").as("s"))
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey").as("c"))
+    val r = Graph.hitsFrom(li.join(o, col("l_orderkey") === col("o_orderkey")).select("c", "s"))
+      .localCheckpoint()
+    val tot = r.groupBy("side").agg(sum("score").as("t")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // floor divisions only lose mass within one divisor per node; the
+    // renorm scalar floor can leave up to ~2x before the next round
+    for ((side, t) <- tot) {
+      assert(t > Graph.TotalMass / 2 && t < 3 * Graph.TotalMass,
+        s"$side total $t is off the ~TotalMass grid")
+    }
+    assert(r.filter(col("score") < 0L).count() === 0L)
+  }
+}
