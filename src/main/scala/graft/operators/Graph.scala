@@ -707,22 +707,36 @@ object Graph {
     * once; lineage cut per round (the rank relation is node-sized). */
   def hitsFrom(edges: DataFrame, iterations: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges.select(col("c"), col("s")).distinct().localCheckpoint()
+    // the edge relation feeds all 2·iterations half-steps: materialize
+    // once, in few fat partitions (ranks broadcast into every join, so
+    // edge partitioning is free to optimize for scan cost, not keys)
+    val e = edges.select(col("c"), col("s")).distinct().coalesce(8).localCheckpoint()
     val hubs0 = e.select("c").distinct()
     val nHubs = hubs0.count()
     require(nHubs > 0, "empty bipartite graph")
-    val renorm = expr(s"raw div greatest(CAST(1 AS BIGINT), t div ${TotalMass}L)")
+    def renorm(t: Long) = expr(s"raw div greatest(CAST(1 AS BIGINT), ${t}L div ${TotalMass}L)")
     var hub = hubs0.withColumn("hub", lit(TotalMass / nHubs))
     var auth: DataFrame = null
+    // Per half-step, only the RAW in-sum relation materializes (it is
+    // node-sized and feeds two consumers — the renormalization scalar
+    // and the renormalized score; uncut, the second reference would
+    // recompute the whole prior chain, doubling work per half-step
+    // exactly like an unmaterialized CTE). The scalar is a bounded
+    // driver sync (one BIGINT per half-step, tree-aggregated over the
+    // already-materialized node-sized cut) baked into the plan as a
+    // literal, the renormalized score stays a lazy projection over the
+    // cut, and the rank side BROADCASTS into each edge join: edges
+    // never shuffle, the per-step shuffle is the map-side-combined
+    // partial aggregate only.
     for (_ <- 1 to iterations) {
-      val ar = e.join(hub, "c").groupBy("s").agg(sum("hub").as("raw"))
-      val at = ar.agg(sum("raw").as("t"))
-      auth = ar.crossJoin(broadcast(at))
-        .select(col("s"), renorm.as("auth")).localCheckpoint()
-      val hr = e.join(auth, "s").groupBy("c").agg(sum("auth").as("raw"))
-      val ht = hr.agg(sum("raw").as("t"))
-      hub = hr.crossJoin(broadcast(ht))
-        .select(col("c"), renorm.as("hub")).localCheckpoint()
+      val ar = e.join(broadcast(hub), "c").groupBy("s")
+        .agg(sum("hub").as("raw")).localCheckpoint()
+      val at = ar.agg(sum("raw")).head.getLong(0)
+      auth = ar.select(col("s"), renorm(at).as("auth"))
+      val hr = e.join(broadcast(auth), "s").groupBy("c")
+        .agg(sum("auth").as("raw")).localCheckpoint()
+      val ht = hr.agg(sum("raw")).head.getLong(0)
+      hub = hr.select(col("c"), renorm(ht).as("hub"))
     }
     auth.select(lit("auth").as("side"), col("s").as("node"), col("auth").as("score"))
       .unionByName(
