@@ -1188,6 +1188,35 @@ object SparkEntry {
     // a fixed token budget (metadata-sized; epochs > 1 = repetition)
     "q_token_budget" -> ((s, dir) =>
       TextAnalysis.tokenBudget(Tables.documents(s, dir))),
+    // snapshot reads on BOTH pair substrates (time-travel now covers
+    // every store family): delta 00000 pinned while 00001 is
+    // committed — served pairs equal a fresh build on the snapshot
+    // corpus (the incremental contract applied to a delta prefix)
+    "q_dedup_asof" -> ((s, dir) =>
+      DedupStore.verifiedNearDupsAt(s, dedupAsofStoreFor(s, dir), maxTag = "00000")),
+    "q_semantic_asof" -> ((s, dir) =>
+      SemanticStore.cosinePairsAt(s, semAsofStoreFor(s, dir), maxTag = "00000")),
+    // one epoch of the token-budget plan materialized: per-source
+    // rate = min(1, epochs), membership by the deterministic md5
+    // uniform — a broadcast plan + one map-side pass
+    "q_budget_sample" -> ((s, dir) =>
+      TextAnalysis.budgetSample(Tables.documents(s, dir))),
+    // per-source contamination dashboard: which domains leak eval
+    // content, through the exact leg and through the fuzzy leg
+    "q_contamination_report" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val exact = TextAnalysis.contamination(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("probe_id"), col("text")))
+        .select("doc_id").distinct()
+      val fuzzy = Dedup.fuzzyContamination(
+          d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id").as("probe_id"), col("text")))
+        .select("doc_id").distinct()
+      TextAnalysis.contaminationReport(d, exact, fuzzy)
+    }),
   )
 
   /** One graft-tsv export of the corpus per sf dir per JVM (the
@@ -1220,7 +1249,7 @@ object SparkEntry {
     // timed pass (r13 driver run measured exactly that: 3.6-4.4× on
     // the trio while their prestaged twin served the same path flat)
     ivfIndexFor(s, dir); pqIndexFor(s, dir); ivfPqIndexFor(s, dir)
-    asofIndexFor(s, dir)
+    asofIndexFor(s, dir); dedupAsofStoreFor(s, dir); semAsofStoreFor(s, dir)
     ()
   }
 
@@ -1233,6 +1262,33 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Bm25Index.build(docs.filter(col("doc_id") % 5 =!= 0), p)
       Bm25Index.update(docs.filter(col("doc_id") % 5 === 0), p, "00001")
+    }
+
+  /** Two-version pair substrate for the dedup snapshot-read key
+    * (never shared with the compaction/delete keys, whose mutations
+    * would collapse or extend the history this key pins). The split
+    * is an id-PREFIX cut at 3/4 of max — the substrates require
+    * monotone ingest — distinct from the incremental store's 4/5 cut
+    * so the two keys pin different snapshots. */
+  private def dedupAsofStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("dedup_asof", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+      require(!maxRow.isNullAt(0), "dedup as-of substrate: documents table is empty")
+      val cut = maxRow.getLong(0) * 3 / 4
+      DedupStore.build(docs.filter(col("doc_id") <= cut), p)
+      DedupStore.update(docs.filter(col("doc_id") > cut), p, "00001")
+    }
+
+  /** Two-version semantic substrate for its snapshot-read key. */
+  private def semAsofStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("sem_asof", dir) { p =>
+      val e = Tables.embeddings(s, dir)
+      val maxRow = e.agg(max(col("vec_id"))).collect()(0)
+      require(!maxRow.isNullAt(0), "semantic as-of substrate: embeddings table is empty")
+      val cut = maxRow.getLong(0) * 3 / 4
+      SemanticStore.build(e.filter(col("vec_id") <= cut), p)
+      SemanticStore.update(e.filter(col("vec_id") > cut), p, "00001")
     }
 
   /** One file-per-document binary staging per sf dir per JVM — the
@@ -6605,7 +6661,7 @@ object SparkEntry {
     // 0.6 s measured at sf0.01)
     "q_hits" -> {
       val m = Graph.TotalMass
-      val iters = (1 to 10).map { i =>
+      val iters = (1 to 5).map { i =>
         s"""ar$i AS MATERIALIZED (SELECT s, sum(hub)::BIGINT AS raw FROM ed JOIN h${i - 1} USING (c) GROUP BY s),
            |a$i AS MATERIALIZED (SELECT s, (raw // greatest(1, sum(raw) OVER () // $m))::BIGINT AS auth FROM ar$i),
            |hr$i AS MATERIALIZED (SELECT c, sum(auth)::BIGINT AS raw FROM ed JOIN a$i USING (s) GROUP BY c),
@@ -6616,9 +6672,9 @@ object SparkEntry {
          |cn AS (SELECT DISTINCT c FROM ed),
          |h0 AS (SELECT c, ($m // (SELECT count(*) FROM cn))::BIGINT AS hub FROM cn),
          |$iters
-         |SELECT 'auth' AS side, s AS node, auth AS score FROM a10
+         |SELECT 'auth' AS side, s AS node, auth AS score FROM a5
          |UNION ALL
-         |SELECT 'hub' AS side, c AS node, hub AS score FROM h10""".stripMargin
+         |SELECT 'hub' AS side, c AS node, hub AS score FROM h5""".stripMargin
     },
     // two-stage SQ8 cascade fully replayed: the int8 candidate cut
     // (top-50 by quantized cosine, vec_id tie-breaks) then the exact
@@ -6655,5 +6711,65 @@ object SparkEntry {
          |       floor(2000000.0 * (pow(n_tokens::DOUBLE, 0.7) / sum_w))::BIGINT AS planned_tokens,
          |       round(floor(2000000.0 * (pow(n_tokens::DOUBLE, 0.7) / sum_w)) / n_tokens, 4) AS epochs
          |FROM ps, tot""".stripMargin,
+    // snapshot read on the pair substrate: pairs equal a fresh build
+    // on the pinned id-prefix corpus (full pipeline replayed on it)
+    "q_dedup_asof" ->
+      s"""WITH ${minhashCandCteFor(
+             "(SELECT * FROM documents WHERE doc_id <= (SELECT (max(doc_id) * 3) // 4 FROM documents))")}
+         |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
+    // snapshot read on the semantic substrate: all-pairs cosine over
+    // the pinned id-prefix corpus
+    "q_semantic_asof" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings
+        |           WHERE vec_id <= (SELECT (max(vec_id) * 3) // 4 FROM embeddings)),
+        |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+        |SELECT vec_a, vec_b, round(c_exact, 4) AS cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        |               / (a.nrm * b.nrm) AS c_exact
+        |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+        |WHERE c_exact >= 0.45""".stripMargin,
+    // one epoch of the budget plan: the rate is the ROUNDED epochs
+    // column (4 dp) capped at 1, membership by the md5 uniform
+    "q_budget_sample" ->
+      s"""WITH $tfCte,
+         |pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_tok FROM tf GROUP BY doc_id),
+         |ps AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens
+         |       FROM documents JOIN pd USING (doc_id) GROUP BY source),
+         |tot AS (SELECT sum(pow(n_tokens::DOUBLE, 0.7)) AS sum_w FROM ps),
+         |plan AS (SELECT source,
+         |           least(1.0, round(floor(2000000.0 * (pow(n_tokens::DOUBLE, 0.7) / sum_w))
+         |                            / n_tokens, 4)) AS rate
+         |         FROM ps, tot),
+         |u AS (SELECT doc_id, source,
+         |             list_sum(list_transform(range(1, 9),
+         |               j -> (strpos('0123456789abcdef',
+         |                            substr(md5(doc_id::VARCHAR || ':budget'), j, 1)) - 1)::BIGINT
+         |                    << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
+         |      FROM documents)
+         |SELECT doc_id, u.source FROM u JOIN plan ON u.source = plan.source
+         |WHERE u.u < plan.rate""".stripMargin,
+    // per-source rollup of the exact (%97 verbatim) and fuzzy (%5
+    // MinHash) screens' flag sets
+    "q_contamination_report" ->
+      s"""WITH $fuzzyContamCte,
+         |pr AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+         |ex AS (SELECT DISTINCT tr.doc_id FROM tr JOIN pr ON tr.shingle = pr.shingle),
+         |fz AS (SELECT DISTINCT f.doc_id
+         |       FROM fint f
+         |       JOIN csz na ON f.doc_id = na.doc_id
+         |       JOIN csz nb ON f.probe_id = nb.doc_id
+         |       WHERE f.inter::DOUBLE / (na.n_sh + nb.n_sh - f.inter) >= 0.5),
+         |ns AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+         |ne AS (SELECT source, count(*)::BIGINT AS n_exact
+         |       FROM documents JOIN ex USING (doc_id) GROUP BY source),
+         |nf AS (SELECT source, count(*)::BIGINT AS n_fuzzy
+         |       FROM documents JOIN fz USING (doc_id) GROUP BY source)
+         |SELECT ns.source, ns.n_docs,
+         |       coalesce(ne.n_exact, 0)::BIGINT AS n_exact,
+         |       coalesce(nf.n_fuzzy, 0)::BIGINT AS n_fuzzy
+         |FROM ns LEFT JOIN ne USING (source) LEFT JOIN nf USING (source)""".stripMargin,
   )
 }

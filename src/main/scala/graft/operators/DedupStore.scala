@@ -403,10 +403,26 @@ object DedupStore {
 
   /** Members with their group size — derived, never stored (the
     * append-only contract): one rep-keyed aggregation + join. */
-  private def membersWithM(spark: SparkSession, path: String): DataFrame = {
-    val mem = members(spark, path)
+  private def membersWithM(spark: SparkSession, path: String): DataFrame =
+    membersWithMOf(members(spark, path))
+
+  private def membersWithMOf(mem: DataFrame): DataFrame =
     mem.join(mem.groupBy("rep").agg(count(lit(1)).as("m")), Seq("rep"))
       .select("doc_id", "rep", "m")
+
+  /** The committed deltas visible AS OF version `maxTag` (tag sorts
+    * ≤ maxTag) — the [[AnnIndex.searchTopKAt]] retention contract:
+    * compaction collapses folded history, so travel reaches only
+    * versions newer than the last compaction. */
+  private def deltasAt(spark: SparkSession, path: String,
+                       maxTag: String): Seq[String] = {
+    val vis = DeltaStore.committedDeltas(spark, path).filter { d =>
+      new org.apache.hadoop.fs.Path(d).getName.stripPrefix("delta-") <= maxTag
+    }
+    require(vis.nonEmpty,
+      s"no committed deltas at or before version $maxTag under $path " +
+        "(compaction may have collapsed that history)")
+    vis
   }
 
   /** Same S-curve sanity gate as [[Dedup.verifiedNearDups]]: the staged
@@ -434,15 +450,36 @@ object DedupStore {
     * the members map, within-group Jaccard-1.0 for shingleable reps). */
   def verifiedNearDups(spark: SparkSession, path: String,
                        threshold: Double = 0.8): DataFrame = {
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    verifiedFrom(spark, deltas, threshold)
+  }
+
+  /** [[verifiedNearDups]] AS OF version `maxTag` — snapshot isolation
+    * on the pair substrate: a reader pins the exact dedup relation a
+    * batch job was validated against while ingest/delete deltas keep
+    * committing; the served pairs equal a fresh build on the snapshot
+    * corpus (the incremental contract applied to a delta prefix). */
+  def verifiedNearDupsAt(spark: SparkSession, path: String, maxTag: String,
+                         threshold: Double = 0.8): DataFrame =
+    verifiedFrom(spark, deltasAt(spark, path, maxTag), threshold)
+
+  private def verifiedFrom(spark: SparkSession, deltas: Seq[String],
+                           threshold: Double): DataFrame = {
     requireThreshold(threshold)
-    val repPairs = repPairsAt(spark, path, threshold)
-    val mem = membersWithM(spark, path)
+    val repPairs = readFrom(spark, deltas, "pairs")
+      .withColumn("j_exact",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j_exact") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j_exact"), 4).as("jaccard"))
+    val mem = membersWithMOf(readFrom(spark, deltas, "members"))
     val ma = mem.select(col("rep").as("doc_a"), col("doc_id").as("a"))
     val mb = mem.select(col("rep").as("doc_b"), col("doc_id").as("b"))
     val cross = repPairs.join(ma, "doc_a").join(mb, "doc_b")
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
-    val shingleableReps = reps(spark, path).filter(col("shingleable")).select("rep")
+    val shingleableReps = readFrom(spark, deltas, "reps")
+      .filter(col("shingleable")).select("rep")
     val memA = mem.filter(col("m") >= 2).join(shingleableReps, "rep")
       .select(col("rep"), col("doc_id").as("a"))
     val within = memA.as("x")

@@ -695,6 +695,12 @@ object Graph {
     * whose baskets span the authoritative suppliers — the mutual-
     * reinforcement signal one-sided degree counts can't see.
     *
+    * 5 rounds, not PageRank's 10: one HITS round is a full power-
+    * iteration step on M·Mᵀ, advancing by the SQUARE of the spectral
+    * ratio — twice the per-round convergence rate of a damped
+    * single-matrix walk — so 5 mutual-reinforcement rounds (10
+    * renormalized half-steps) reach the same fixpoint tolerance.
+    *
     * Same exact-integer discipline as [[pagerankFrom]]: scores live on
     * the [[TotalMass]] grid, every division is an integral floor
     * (Spark `div` == DuckDB `//`), and each half-step renormalizes by
@@ -705,7 +711,7 @@ object Graph {
     * bit-exactly in the oracle's iterative CTEs. Per-iteration cost:
     * two edge-relation joins + two aggregations, edges materialized
     * once; lineage cut per round (the rank relation is node-sized). */
-  def hitsFrom(edges: DataFrame, iterations: Int = 10): DataFrame = {
+  def hitsFrom(edges: DataFrame, iterations: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // the edge relation feeds all 2·iterations half-steps: materialize
     // once, in few fat partitions (ranks broadcast into every join, so

@@ -324,10 +324,25 @@ object SemanticStore {
 
   /** Members with their value-group size — derived, never stored (the
     * append-only contract). */
-  private def membersWithM(spark: SparkSession, path: String): DataFrame = {
-    val mem = members(spark, path)
+  private def membersWithM(spark: SparkSession, path: String): DataFrame =
+    membersWithMOf(members(spark, path))
+
+  private def membersWithMOf(mem: DataFrame): DataFrame =
     mem.join(mem.groupBy("rep").agg(count(lit(1)).as("m")), Seq("rep"))
       .select("vec_id", "rep", "m")
+
+  /** The committed deltas visible AS OF version `maxTag` (tag sorts
+    * ≤ maxTag); compaction collapses folded history, so travel
+    * reaches only versions newer than the last compaction. */
+  private def deltasAt(spark: SparkSession, path: String,
+                       maxTag: String): Seq[String] = {
+    val vis = DeltaStore.committedDeltas(spark, path).filter { d =>
+      new org.apache.hadoop.fs.Path(d).getName.stripPrefix("delta-") <= maxTag
+    }
+    require(vis.nonEmpty,
+      s"no committed deltas at or before version $maxTag under $path " +
+        "(compaction may have collapsed that history)")
+    vis
   }
 
   /** [[Ann.lshCosinePairs]] served from the store: rep-level pairs by
@@ -336,15 +351,29 @@ object SemanticStore {
     * pairs emit the staged selfcos, the exact value the live plan's
     * c_exact arithmetic produces for two copies of the value). */
   def cosinePairs(spark: SparkSession, path: String): DataFrame = {
-    val repPairs = pairs(spark, path)
-    val mem = membersWithM(spark, path)
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    cosineFrom(spark, deltas)
+  }
+
+  /** [[cosinePairs]] AS OF version `maxTag` — snapshot isolation on
+    * the semantic pair substrate (the [[DedupStore
+    * .verifiedNearDupsAt]] twin): the served pairs equal a fresh
+    * build on the snapshot corpus. */
+  def cosinePairsAt(spark: SparkSession, path: String,
+                    maxTag: String): DataFrame =
+    cosineFrom(spark, deltasAt(spark, path, maxTag))
+
+  private def cosineFrom(spark: SparkSession, deltas: Seq[String]): DataFrame = {
+    val repPairs = readFrom(spark, deltas, "pairs")
+    val mem = membersWithMOf(readFrom(spark, deltas, "members"))
     val ma = mem.select(col("rep").as("vec_a"), col("vec_id").as("a"))
     val mb = mem.select(col("rep").as("vec_b"), col("vec_id").as("b"))
     val cross = repPairs.join(ma, "vec_a").join(mb, "vec_b")
       .select(least(col("a"), col("b")).as("vec_a"),
         greatest(col("a"), col("b")).as("vec_b"), col("cos"))
     val memA = mem.filter(col("m") >= 2)
-      .join(reps(spark, path).select(col("rep"), col("selfcos")), Seq("rep"))
+      .join(readFrom(spark, deltas, "reps").select(col("rep"), col("selfcos")), Seq("rep"))
       .select(col("rep"), col("vec_id").as("a"), col("selfcos"))
     val within = memA.as("x")
       .join(memA.as("y"), col("x.rep") === col("y.rep") && col("x.a") < col("y.a"))

@@ -1000,6 +1000,45 @@ object TextAnalysis {
         round(floor(lit(budget.toDouble) * w) / col("n_tokens"), 4).as("epochs"))
   }
 
+  /** (doc_id, source): ONE EPOCH of the [[tokenBudget]] plan
+    * materialized — each source sampled at rate min(1, epochs) by the
+    * deterministic [[hashU]] uniform (sources whose plan demands
+    * repetition keep every doc; the >1 remainder is the cross-epoch
+    * repetition factor the sampler applies downstream). The plan is a
+    * broadcast sources-cardinality relation; the sample is one
+    * filterless map-side pass over the corpus. */
+  def budgetSample(docs: DataFrame, tau: Double = 0.7,
+                   budget: Long = 2000000L): DataFrame = {
+    val plan = tokenBudget(docs, tau, budget)
+      .select(col("source"), least(lit(1.0), col("epochs")).as("rate"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(plan), "source")
+      .withColumn("u", expr(hashU("concat(CAST(doc_id AS STRING), ':budget')")))
+      .filter(col("u") < col("rate"))
+      .select("doc_id", "source")
+  }
+
+  /** (source, n_docs, n_exact, n_fuzzy): the CONTAMINATION REPORT —
+    * per-source rollup of the screening family's flag sets (exact
+    * verbatim-overlap and fuzzy MinHash legs), the dashboard a
+    * pipeline owner reads before pulling a source: which domains leak
+    * eval content, and through which screen. Flag sets arrive as
+    * (doc_id) relations from the existing screens; the rollup is two
+    * semi-join-shaped aggregations against the doc→source map. */
+  def contaminationReport(docs: DataFrame, exactFlagged: DataFrame,
+                          fuzzyFlagged: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val ns = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val ne = src.join(exactFlagged, "doc_id").groupBy("source")
+      .agg(count(lit(1)).as("ne"))
+    val nf = src.join(fuzzyFlagged, "doc_id").groupBy("source")
+      .agg(count(lit(1)).as("nf"))
+    ns.join(ne, Seq("source"), "left").join(nf, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("ne"), lit(0L)).as("n_exact"),
+        coalesce(col("nf"), lit(0L)).as("n_fuzzy"))
+  }
+
   /** (doc_id, lang, rk): stratified fixed-SIZE sample — exactly
     * min(perStratum, |stratum|) docs per language, picked by the
     * deterministic [[hashU]] uniform (so the pick is an unbiased

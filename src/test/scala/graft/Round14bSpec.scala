@@ -126,6 +126,41 @@ class Round14bSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no committed deltas"))
   }
 
+  test("pair-substrate snapshot reads equal fresh builds on the pinned corpus") {
+    import graft.operators.{DedupStore, SemanticStore}
+    val docs = Tables.documents(spark, sf)
+    val dcut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) * 3 / 4
+    val dp = java.nio.file.Files.createTempDirectory("r14bda").toString + "/s"
+    DedupStore.build(docs.filter(col("doc_id") <= dcut), dp)
+    DedupStore.update(docs.filter(col("doc_id") > dcut), dp, "00001")
+    val asof = DedupStore.verifiedNearDupsAt(spark, dp, "00000")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rp = java.nio.file.Files.createTempDirectory("r14bdr").toString + "/s"
+    DedupStore.build(docs.filter(col("doc_id") <= dcut), rp)
+    val expect = DedupStore.verifiedNearDups(spark, rp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asof === expect)
+    // live view supersets the snapshot (pure ingest, no deletes)
+    val live = DedupStore.verifiedNearDups(spark, dp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asof.subsetOf(live))
+
+    val scut = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) * 3 / 4
+    val sp = java.nio.file.Files.createTempDirectory("r14bsa").toString + "/s"
+    SemanticStore.build(emb.filter(col("vec_id") <= scut), sp)
+    SemanticStore.update(emb.filter(col("vec_id") > scut), sp, "00001")
+    val sAsof = SemanticStore.cosinePairsAt(spark, sp, "00000")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sExpect = Ann.cosinePairs(emb.filter(col("vec_id") <= scut))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sAsof === sExpect)
+    // pinning a pre-build version fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      SemanticStore.cosinePairsAt(spark, sp, "//")
+    }
+    assert(ex.getMessage.contains("no committed deltas"))
+  }
+
   // ---- token-budget mixture planning ----
 
   test("tokenBudget: weights sum to ~1, planned tokens stay under budget, epochs = planned/actual") {
@@ -140,6 +175,41 @@ class Round14bSpec extends AnyFunSuite {
       val e = r.getAs[Long]("planned_tokens").toDouble / r.getAs[Long]("n_tokens")
       assert(math.abs(r.getAs[Double]("epochs") - e) < 1e-3)
     }
+  }
+
+  test("budgetSample: every sampled doc's source rate is honored; repetition sources keep all docs") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val plan = TextAnalysis.tokenBudget(docs).collect()
+      .map(r => r.getString(0) -> math.min(1.0, r.getAs[Double]("epochs"))).toMap
+    val sampled = TextAnalysis.budgetSample(docs)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, rate) <- plan if rate >= 1.0)
+      assert(sampled.getOrElse(src, 0L) === totals(src),
+        s"repetition source $src must keep every doc")
+    for ((src, n) <- sampled) assert(n <= totals(src))
+  }
+
+  test("contaminationReport: counts reconcile with the screens' flag sets") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val d = Tables.documents(spark, sf)
+    val exact = TextAnalysis.contamination(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("probe_id"), col("text")))
+      .select("doc_id").distinct()
+    val fuzzy = Dedup.fuzzyContamination(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("probe_id"), col("text")))
+      .select("doc_id").distinct()
+    val rep = TextAnalysis.contaminationReport(d, exact, fuzzy).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === d.count())
+    assert(rep.map(_.getAs[Long]("n_exact")).sum === exact.count())
+    assert(rep.map(_.getAs[Long]("n_fuzzy")).sum === fuzzy.count())
   }
 
   // ---- HITS ----
