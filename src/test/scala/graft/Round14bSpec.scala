@@ -212,6 +212,46 @@ class Round14bSpec extends AnyFunSuite {
     assert(rep.map(_.getAs[Long]("n_fuzzy")).sum === fuzzy.count())
   }
 
+  // ---- plan-shape contracts for the new serves ----
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("scoreAt: the snapshot read touches ONLY the pinned delta's files") {
+    import graft.operators.Bm25Index
+    val docs = Tables.documents(spark, sf)
+    val p = java.nio.file.Files.createTempDirectory("r14bplan").toString + "/s"
+    Bm25Index.build(docs.filter(col("doc_id") % 5 =!= 0), p)
+    Bm25Index.update(docs.filter(col("doc_id") % 5 === 0), p, "00001")
+    val files = Bm25Index.scoreAt(spark, p, "00000").inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("delta-00000")),
+      s"snapshot read leaked past the pinned version: ${files.filterNot(_.contains("delta-00000")).take(3).mkString(", ")}")
+  }
+
+  test("semanticContamination: candidates come from equi-joins — no cartesian product in the plan") {
+    val p = planString(Ann.semanticContamination(
+      emb.filter(col("vec_id") % 5 =!= 0),
+      emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding"))))
+    assert(!p.contains("CartesianProduct"), "corpus x probe cartesian product in the plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "non-equi join in the candidate path")
+  }
+
+  test("sqTopK: exactly 2 corpus scans (pool + broadcast query row)") {
+    val p = planString(Ann.sqTopK(emb))
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("embeddings"))
+    assert(scans == 2, s"expected 2 embedding scans, plan has $scans")
+  }
+
+  test("budgetSample: the plan joins by broadcast — no sort-merge join") {
+    val p = planString(graft.operators.TextAnalysis.budgetSample(Tables.documents(spark, sf)))
+    assert(!p.contains("SortMergeJoin"),
+      "sources-cardinality plan relation must broadcast into the corpus pass")
+  }
+
   // ---- HITS ----
 
   test("hits: planted bipartite graph — shared supplier out-ranks the exclusive one") {

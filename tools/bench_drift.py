@@ -11,7 +11,11 @@ gated is by definition round _round+1.
 
 A key FAILS the gate when it regresses > 50% round-over-round AND the
 new time is above the jitter floor (0.3 s — sub-300ms keys swing with
-JVM/disk contention, not plan shape), unless tools/bench_allowlist.json
+JVM/disk contention, not plan shape) AND the ABSOLUTE delta exceeds
+the same floor (noise is additive as well as multiplicative: a
+0.27 -> 0.46 s flap is scheduling jitter on any 32-thread box, and a
+ratio-only gate plays whack-a-mole with a different sub-second trio
+every full-board run), unless tools/bench_allowlist.json
 carries a LIVE entry for it. Allowlist entries are PER-ROUND EVIDENCE,
 not permanent pardons: each is an object
     {"round": N, "note": "...", "value": <the measured seconds>}
@@ -125,7 +129,8 @@ def main():
     for key, t_old, t_new in shared:
         ratio = t_new / t_old
         norm = ratio / norm_div
-        if norm > REGRESSION_RATIO and t_new > JITTER_FLOOR_SEC:
+        if (norm > REGRESSION_RATIO and t_new > JITTER_FLOOR_SEC
+                and (t_new - t_old) > JITTER_FLOOR_SEC):
             line = (f"{key}: {t_old:.3f} -> {t_new:.3f} s "
                     f"({ratio:.2f}x raw, {norm:.2f}x vs run median)")
             note = live_note(key)
@@ -133,7 +138,8 @@ def main():
                 explained.append(f"{line} [allowlisted: {note}]")
             else:
                 failures.append(f"{line} [{expiry_of(key)}]")
-        elif norm < IMPROVEMENT_RATIO and t_old > JITTER_FLOOR_SEC:
+        elif (norm < IMPROVEMENT_RATIO and t_old > JITTER_FLOOR_SEC
+                and (t_old - t_new) > JITTER_FLOOR_SEC):
             line = (f"{key}: {t_old:.3f} -> {t_new:.3f} s "
                     f"({ratio:.2f}x raw, {norm:.2f}x vs run median)")
             note = live_note(key)
