@@ -1201,6 +1201,21 @@ object SparkEntry {
     // uniform — a broadcast plan + one map-side pass
     "q_budget_sample" -> ((s, dir) =>
       TextAnalysis.budgetSample(Tables.documents(s, dir))),
+    // COMPACTION-then-serve on the text index: fold the build delta
+    // and the %10==6 tombstone delta into ONE (the LSM reclamation
+    // leg — deleted rows physically purge, stats re-derive), serving
+    // identical to corpus-minus-slice; a replayed compaction no-ops
+    "q_index_compact" -> ((s, dir) => {
+      val p = bm25CmpStoreFor(s, dir)
+      Bm25Index.compactDeltas(s, p)
+      Bm25Index.score(s, p)
+    }),
+    // the vector-store twin (LSH buckets fold, tombstoned ids purge)
+    "q_ann_compact" -> ((s, dir) => {
+      val p = annCmpStoreFor(s, dir)
+      AnnIndex.compactDeltas(s, p)
+      AnnIndex.searchTopK(s, p, queryId = 1L)
+    }),
     // per-source contamination dashboard: which domains leak eval
     // content, through the exact leg and through the fuzzy leg
     "q_contamination_report" -> ((s, dir) => {
@@ -1250,6 +1265,7 @@ object SparkEntry {
     // the trio while their prestaged twin served the same path flat)
     ivfIndexFor(s, dir); pqIndexFor(s, dir); ivfPqIndexFor(s, dir)
     asofIndexFor(s, dir); dedupAsofStoreFor(s, dir); semAsofStoreFor(s, dir)
+    bm25CmpStoreFor(s, dir); annCmpStoreFor(s, dir)
     ()
   }
 
@@ -1278,6 +1294,27 @@ object SparkEntry {
       val cut = maxRow.getLong(0) * 3 / 4
       DedupStore.build(docs.filter(col("doc_id") <= cut), p)
       DedupStore.update(docs.filter(col("doc_id") > cut), p, "00001")
+    }
+
+  /** Dedicated build+tombstone store for the text-index COMPACTION
+    * key (compaction is the measurand, so it runs inside the query;
+    * the store must never be shared with q_index_delete, whose pass-2
+    * replay pins its own delta history). */
+  private def bm25CmpStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("idx_cmp", dir) { p =>
+      Bm25Index.build(Tables.documents(s, dir), p)
+      Bm25Index.delete(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 6).select("doc_id"),
+        p, "del-01")
+    }
+
+  /** The vector-store twin of [[bm25CmpStoreFor]]. */
+  private def annCmpStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("annidx_cmp", dir) { p =>
+      AnnIndex.build(Tables.embeddings(s, dir), p)
+      AnnIndex.delete(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 9 === 2).select("vec_id"),
+        p, "del-01")
     }
 
   /** Two-version semantic substrate for its snapshot-read key. */
@@ -1356,12 +1393,29 @@ object SparkEntry {
     * index, partitioned/z-ordered copies): the shared cache mechanics
     * live here so tmpdir/sanitization/once-semantics have ONE source. */
   private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def cachedLayout(prefix: String, dir: String)(build: String => Unit): String =
-    layoutCache.computeIfAbsent(s"$prefix|$dir", { _ =>
-      val path = sys.props("java.io.tmpdir") + s"/graft_${prefix}_" + dirTag(dir)
-      build(path)
-      path
-    })
+  private def cachedLayout(prefix: String, dir: String)(build: String => Unit): String = {
+    val key = s"$prefix|$dir"
+    val hit = layoutCache.get(key)
+    if (hit != null) return hit
+    // NOT computeIfAbsent: build functions may call cachedLayout
+    // REENTRANTLY (compactedBinaryFor stages binaryDocsFor first), and
+    // a nested computeIfAbsent on one ConcurrentHashMap is illegal —
+    // it throws "Recursive update" the moment the inner insert lands
+    // on a resizing bin (latent until the entry count grew past the
+    // default table size). A JVM monitor is reentrant for the owning
+    // thread; concurrent first-callers serialize their builds, which
+    // is the old computeIfAbsent behavior anyway.
+    layoutCache.synchronized {
+      val again = layoutCache.get(key)
+      if (again != null) again
+      else {
+        val path = sys.props("java.io.tmpdir") + s"/graft_${prefix}_" + dirTag(dir)
+        build(path)
+        layoutCache.put(key, path)
+        path
+      }
+    }
+  }
 
   /** Collision-free directory/table tag for an sf dir: md5 of the RAW
     * string (same rationale as Streams.pathTag — the lossy
@@ -6697,6 +6751,9 @@ object SparkEntry {
          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     // snapshot read: scores equal a rebuild on the pinned 4/5 corpus
     "q_index_asof" -> bm25RestrictedOracle("doc_id % 5 <> 0"),
+    // compaction changes no served row: still corpus-minus-slice
+    "q_index_compact" -> bm25RestrictedOracle("doc_id % 10 <> 6"),
+    "q_ann_compact" -> lshTopKOracleSql("vec_id % 9 <> 2", 1L),
     // token-budget mixture plan: per-source kept tokens, temperature
     // weights, planned tokens and epochs (op order mirrors the Scala:
     // budget * (pow / sum_w))

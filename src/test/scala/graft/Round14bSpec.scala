@@ -212,6 +212,36 @@ class Round14bSpec extends AnyFunSuite {
     assert(rep.map(_.getAs[Long]("n_fuzzy")).sum === fuzzy.count())
   }
 
+  test("index compaction purges tombstones and replays as a no-op on both stores") {
+    import graft.operators.{AnnIndex, Bm25Index}
+    val docs = Tables.documents(spark, sf)
+    val p = java.nio.file.Files.createTempDirectory("r14bcmp").toString + "/s"
+    Bm25Index.build(docs, p)
+    Bm25Index.delete(docs.filter(col("doc_id") % 10 === 6).select("doc_id"), p, "d1")
+    Bm25Index.compactDeltas(spark, p)
+    val served = Bm25Index.score(spark, p)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val rb = java.nio.file.Files.createTempDirectory("r14bcmp2").toString + "/s"
+    Bm25Index.build(docs.filter(col("doc_id") % 10 =!= 6), rb)
+    val expect = Bm25Index.score(spark, rb)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(served === expect)
+    Bm25Index.compactDeltas(spark, p) // replayed compaction: no-op
+    assert(Bm25Index.score(spark, p)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet === expect)
+
+    val ap = java.nio.file.Files.createTempDirectory("r14bacmp").toString + "/s"
+    AnnIndex.build(emb, ap)
+    AnnIndex.delete(emb.filter(col("vec_id") % 9 === 2).select("vec_id"), ap, "d1")
+    AnnIndex.compactDeltas(spark, ap)
+    val got = AnnIndex.searchTopK(spark, ap, queryId = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val arb = java.nio.file.Files.createTempDirectory("r14bacmp2").toString + "/s"
+    AnnIndex.build(emb.filter(col("vec_id") % 9 =!= 2), arb)
+    assert(got === AnnIndex.searchTopK(spark, arb, queryId = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
+  }
+
   // ---- plan-shape contracts for the new serves ----
 
   private def planString(df: org.apache.spark.sql.DataFrame): String = {
