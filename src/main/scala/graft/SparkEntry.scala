@@ -773,14 +773,12 @@ object SparkEntry {
       Relational.eventTransitions(Tables.events(s, dir))),
     // staged-index snapshot read: version 00000 (4/5 build) pinned
     // while 00001 (1/5 ingest) is committed — the search equals the
-    // live LSH over the version-00000 corpus (oracle replays it)
-    "q_index_timetravel" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val path = sys.props("java.io.tmpdir") + "/graft_annidx_tt_" + dirTag(dir)
-      AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), path)
-      AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), path, "00001")
-      AnnIndex.searchTopKAt(s, path, maxTag = "00000", queryId = 1L)
-    }),
+    // live LSH over the version-00000 corpus (oracle replays it).
+    // The two-version store PRESTAGES like every read-only serve
+    // store (the build/ingest is setup; the pinned READ is the
+    // measurand — the q_index_asof convention applied here too)
+    "q_index_timetravel" -> ((s, dir) =>
+      AnnIndex.searchTopKAt(s, annTtStoreFor(s, dir), maxTag = "00000", queryId = 1L)),
     // bipartite user↔item connected components (communities) — labels
     // propagate through the bipartite edges, never the quadratic
     // user-user projection
@@ -1265,7 +1263,7 @@ object SparkEntry {
     // the trio while their prestaged twin served the same path flat)
     ivfIndexFor(s, dir); pqIndexFor(s, dir); ivfPqIndexFor(s, dir)
     asofIndexFor(s, dir); dedupAsofStoreFor(s, dir); semAsofStoreFor(s, dir)
-    bm25CmpStoreFor(s, dir); annCmpStoreFor(s, dir)
+    bm25CmpStoreFor(s, dir); annCmpStoreFor(s, dir); annTtStoreFor(s, dir)
     ()
   }
 
@@ -1306,6 +1304,16 @@ object SparkEntry {
       Bm25Index.delete(
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 6).select("doc_id"),
         p, "del-01")
+    }
+
+  /** Two-version vector store for the snapshot-read key (4/5 build
+    * pinned as 00000, 1/5 ingest as 00001) — read-only at serve time,
+    * so it prestages. */
+  private def annTtStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("annidx_tt", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), p)
+      AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), p, "00001")
     }
 
   /** The vector-store twin of [[bm25CmpStoreFor]]. */
