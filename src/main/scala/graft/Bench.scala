@@ -83,6 +83,45 @@ object Bench {
         case _ => None
       }
     }
+    // Two-run confirmation protocol: full-board timings flap — three
+    // rounds running, a DIFFERENT trio of mid-size keys read 1.5-2x on
+    // the full board and flat when re-measured alone (disk/CPU spikes
+    // on a 32-thread box are additive and land on whoever is running).
+    // So any key whose board read exceeds the drift gate's flag line
+    // vs the committed baseline gets ONE more timed run here — same
+    // JVM, end of board, nothing else in flight — and the gate
+    // (tools/bench_drift.py) flags only if BOTH readings breach. The
+    // candidate cut (1.4x, vs the gate's 1.5x) is deliberately wider
+    // so border keys carry a confirmation reading too.
+    val baselineQs: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("tools/bench_baseline.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qsBlock = txt.drop(math.max(0, txt.indexOf("\"queries\"")))
+        """"(q_\w+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(qsBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val resultsMapForRerun = results.toMap
+    val sharedRatios = resultsMapForRerun.collect {
+      case (k, t) if baselineQs.getOrElse(k, 0.0) > 0.3 && t > 0.3 =>
+        t / baselineQs(k)
+    }.toSeq.sorted
+    val boardMedian =
+      if (sharedRatios.isEmpty) 1.0 else sharedRatios(sharedRatios.size / 2)
+    val normDiv = math.max(boardMedian, 1.0)
+    val rerunKeys = results.collect {
+      case (k, t) if baselineQs.get(k).exists(b =>
+        b > 0 && t > 0.3 && (t / b) / normDiv > 1.4) => k
+    }
+    val fnByName = picked.toMap
+    val reruns: Seq[(String, Double)] = rerunKeys.flatMap { k =>
+      runOnce(fnByName(k)) match {
+        case (t, None) => Some(k -> t)
+        case _ => None
+      }
+    }
     val total = results.map(_._2).sum
     // locale-pinned formatting: the scala f-interpolator uses the JVM
     // default locale, which renders 0.603 as "0,603" under e.g. de_DE
@@ -103,8 +142,10 @@ object Bench {
     val outFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     val fullQs = results
       .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
+    val rerunQs = reruns
+      .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"warnings":$warnJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"warnings":$warnJson,"queries":$fullQs,"queries_rerun":$rerunQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(outFile, fullJson.getBytes("UTF-8"))
     // when run with an explicit filter, show exactly what was timed;
     // the driver's unfiltered run shows the fixed headline subset

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Self-test for tools/bench_drift.py — exercises the two-run
+confirmation protocol on synthetic artifacts (r14 verdict task 2:
+"a synthetic flapped key attributes itself").
+
+Run: python3 tools/test_bench_drift.py   (exit 0 = all scenarios pass)
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GATE = os.path.join(HERE, "bench_drift.py")
+
+# ten flat filler keys so the run median is 1.0 and never the story
+FILLER = {f"q_filler_{i}": 0.8 for i in range(10)}
+
+
+def run(base_qs, new_qs, reruns, allow=None):
+    with tempfile.TemporaryDirectory() as d:
+        basep = os.path.join(d, "base.json")
+        newp = os.path.join(d, "new.json")
+        json.dump({"_round": 14, "queries": {**FILLER, **base_qs}},
+                  open(basep, "w"))
+        json.dump({"queries": {**FILLER, **new_qs},
+                   "queries_rerun": reruns}, open(newp, "w"))
+        # the gate reads the allowlist from its own directory; run it
+        # against a copy so the repo allowlist is never the fixture
+        gate_dir = os.path.join(d, "tools")
+        os.makedirs(gate_dir)
+        with open(GATE) as f:
+            gate_src = f.read()
+        with open(os.path.join(gate_dir, "bench_drift.py"), "w") as f:
+            f.write(gate_src)
+        json.dump(allow or {}, open(os.path.join(gate_dir, "bench_allowlist.json"), "w"))
+        p = subprocess.run(
+            [sys.executable, os.path.join(gate_dir, "bench_drift.py"), newp, basep],
+            capture_output=True, text=True)
+        return p.returncode, p.stdout
+
+
+def check(name, cond, out):
+    if cond:
+        print(f"ok   {name}")
+    else:
+        print(f"FAIL {name}\n--- gate output ---\n{out}")
+        sys.exit(1)
+
+
+# 1. A flapped key attributes itself: 2x on the board, flat isolated.
+rc, out = run({"q_flap": 1.0}, {"q_flap": 2.0}, {"q_flap": 1.05})
+check("flap self-attributes (exit 0, FLAP line)",
+      rc == 0 and "FLAP q_flap" in out and "attributed to board contention" in out, out)
+
+# 2. A confirmed regression still fails: 2x on the board AND isolated.
+rc, out = run({"q_real": 1.0}, {"q_real": 2.0}, {"q_real": 1.95})
+check("confirmed regression fails (exit 1, CONFIRMED)",
+      rc == 1 and "CONFIRMED by rerun" in out, out)
+
+# 3. Blind-band closure: 0.35 -> 0.62 s (delta 0.27 < the 0.3 s floor,
+#    so the legacy path would wave it through) fails when the isolated
+#    rerun reproduces it.
+rc, out = run({"q_creep": 0.35}, {"q_creep": 0.62}, {"q_creep": 0.61})
+check("confirmed sub-floor creep fails (blind band closed)",
+      rc == 1 and "CONFIRMED by rerun" in out, out)
+
+# 4. Same sub-floor creep with a FLAT rerun is a flap, not a failure.
+rc, out = run({"q_creep": 0.35}, {"q_creep": 0.62}, {"q_creep": 0.36})
+check("sub-floor creep with flat rerun is a flap",
+      rc == 0 and "FLAP q_creep" in out, out)
+
+# 5. No rerun reading -> legacy criterion (absolute floor) still gates.
+rc, out = run({"q_legacy": 1.0}, {"q_legacy": 2.0}, {})
+check("no-rerun regression fails via legacy path",
+      rc == 1 and "no rerun reading" in out, out)
+
+# 6. A LIVE allowlist entry excuses a confirmed regression...
+allow = {"q_real": {"round": 15, "note": "intended trade", "value": 1.95}}
+rc, out = run({"q_real": 1.0}, {"q_real": 2.0}, {"q_real": 1.95}, allow)
+check("live allowlist entry excuses a confirmed key",
+      rc == 0 and "EXPLAINED" in out, out)
+
+# 7. ...but an EXPIRED one does not.
+allow = {"q_real": {"round": 14, "note": "stale", "value": 1.95}}
+rc, out = run({"q_real": 1.0}, {"q_real": 2.0}, {"q_real": 1.95}, allow)
+check("expired allowlist entry does not excuse",
+      rc == 1 and "expired" in out, out)
+
+print("all bench_drift scenarios pass")
