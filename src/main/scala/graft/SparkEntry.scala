@@ -651,6 +651,12 @@ object SparkEntry {
     // doclen joins only the θ-cut survivors; rows equal q_search_topn
     "q_index_maxscore" -> ((s, dir) =>
       Bm25Index.maxScoreTopN(s, indexFor(s, dir))),
+    // BLOCK-MAX MaxScore: the θ cut prunes doc_id-range BLOCKS from
+    // the build-time blockmax sidecar BEFORE any posting row is read
+    // (row-group skips on the (term, doc_id)-sorted postings), not
+    // just the doclen join width; rows equal q_search_topn exactly
+    "q_index_blockmax" -> ((s, dir) =>
+      Bm25Index.blockMaxTopN(s, indexFor(s, dir))),
     "q_snippets" -> ((s, dir) => SearchExtras.snippets(Tables.documents(s, dir))),
     "q_autocomplete" -> ((s, dir) => SearchExtras.autocomplete(Tables.documents(s, dir))),
     "q_search_ndcg" -> ((s, dir) => SearchExtras.searchNdcg(Tables.documents(s, dir))),
@@ -2672,6 +2678,9 @@ object SparkEntry {
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
     // staged-index MaxScore serves the same exact top-k (shared oracle)
     "q_index_maxscore" ->
+      s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
+    // block-max pruning is admissible too → same exact top-k oracle
+    "q_index_blockmax" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
     "q_search_batch" -> batchSearchOracle,
     "q_synonym_search" -> synonymSearchOracle,

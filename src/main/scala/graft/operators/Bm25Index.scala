@@ -33,6 +33,51 @@ import org.apache.spark.sql.functions._
 object Bm25Index {
 
   import graft.sources.DeltaStore
+
+  /** Width (in doc_id units) of a block-max block. Blocks are FIXED
+    * doc_id RANGES — `block_id = doc_id div BlockWidth` — shared by
+    * every term, NOT per-term posting-list segments: a document's
+    * entire query-term mass then lives inside its own block, so a
+    * per-block sum of per-term bounds upper-bounds every document in
+    * the block and an exact re-score of one block is self-contained.
+    * (A per-term segmentation — classic BMW — needs document-at-a-time
+    * list traversal to align blocks across terms; doc-range blocks
+    * buy the same block-level pruning in one set-based plan.) */
+  val BlockWidth = 1024L
+
+  /** Cap on the number of merged doc_id RANGES pushed as a literal
+    * scan predicate by [[blockMaxTopN]]; beyond it the serve degrades
+    * gracefully to the unpruned (MaxScore-equivalent) scan rather
+    * than building a pathological OR-tree. */
+  val MaxSurvivorRanges = 256
+
+  /** Write the `blockmax` sidecar for a staged (postings, doclen)
+    * pair: per (term, block) row count, max tf and min doclen — the
+    * three numbers a sound per-block Okapi upper bound needs
+    * (okapiTerm is increasing in tf and decreasing in dl, so
+    * okapiTerm(max_tf, df, min_dl, …) dominates every row). Skipped —
+    * never wrong, just absent — when doc_id is non-integral or
+    * negative (doc-range blocks need a non-negative integral key);
+    * [[blockMaxTopN]] fails loudly on a store without full sidecar
+    * coverage. */
+  private def writeBlockmax(spark: SparkSession, staging: String): Unit = {
+    val postings = spark.read.parquet(s"$staging/postings")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = postings.schema("doc_id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral) return
+    val minId = postings.agg(min(col("doc_id")).cast("long")).head
+    if (!minId.isNullAt(0) && minId.getLong(0) >= 0L) {
+      postings.join(spark.read.parquet(s"$staging/doclen"), "doc_id")
+        .groupBy(col("term"),
+          expr(s"doc_id div ${BlockWidth}L").as("block_id"))
+        .agg(count(lit(1)).as("n_rows"), max("tf").as("max_tf"),
+          min("dl").as("min_dl"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/blockmax")
+    }
+  }
   private def committedDeltas(spark: SparkSession, path: String): Seq[String] =
     DeltaStore.committedDeltas(spark, path)
 
@@ -120,6 +165,10 @@ object Bm25Index {
       spark.read.parquet(s"$staging/postings")
         .groupBy("doc_id").agg(sum("tf").as("dl"))
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
+      // block-max sidecar: batch-scaled aggregation over the rows just
+      // staged — build-time cost, so [[blockMaxTopN]] can gate blocks
+      // before reading posting rows
+      writeBlockmax(spark, staging)
     }
   }
 
@@ -168,6 +217,33 @@ object Bm25Index {
     }
     DeltaStore.commit(spark, path, tag, None) { staging =>
       ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
+      // deaddf sidecar: per-term counts of the postings rows this
+      // delete tombstones, so block-max serving can reconstruct the
+      // LIVE df per term from sidecars alone (physical row counts
+      // minus dead rows) without scanning posting rows. Delta-scaled:
+      // the deleted docs' rows live only in the id-range-overlapping
+      // update deltas (same range-pruning discipline as the liveness
+      // check above); each physical row is counted at most once
+      // across delete deltas because a delete requires its ids LIVE
+      // and a tombstoned id stays reserved until compaction.
+      val fs = DeltaStore.fsOf(spark, path)
+      val candPost =
+        if (bEmpty) Seq.empty
+        else DeltaStore.overlappingDeltas(fs, deltas, lo, hi)
+          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/postings")))
+      val dead =
+        if (candPost.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("term",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("n_dead",
+                org.apache.spark.sql.types.LongType))))
+        else spark.read.parquet(candPost.map(d => s"$d/postings"): _*)
+          .join(ids, Seq("doc_id"), "left_semi")
+          .groupBy("term").agg(count(lit(1)).as("n_dead"))
+      dead.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/deaddf")
     }
   }
 
@@ -191,6 +267,10 @@ object Bm25Index {
         .repartition(col("term")).sortWithinPartitions("term", "doc_id")
         .write.parquet(s"$staging/postings")
       doclen.write.parquet(s"$staging/doclen")
+      // the folded delta's block-max sidecar re-derives from the LIVE
+      // rows just staged (purged rows drop out of the bounds, the
+      // deaddf history folds away with the tombstones)
+      writeBlockmax(spark, staging)
     }
 
   /** Okapi BM25 over the staged index — matches Bm25.bm25Score on the
@@ -264,6 +344,158 @@ object Bm25Index {
     val (postings, dl) = liveIndex(spark, deltas)
     SearchExtras.maxScoreFrom(
       postings.filter(col("term").isin(queryTerms: _*)), dl, k)
+  }
+
+  /** BLOCK-MAX MaxScore: the θ cut prunes postings I/O, not just join
+    * width. [[maxScoreTopN]] bounds per TERM, so a common term's whole
+    * posting list is still read to compute its per-doc bounds; this
+    * route gates doc_id-range BLOCKS from the build-time `blockmax`
+    * sidecar BEFORE any posting row is read:
+    *
+    *   1. per-(term, block) upper bound u = okapiTerm(max_tf, df_live,
+    *      min_dl, avgdl, n_docs) — sound because okapiTerm is
+    *      increasing in tf and decreasing in dl; df_live reconstructs
+    *      EXACTLY from sidecars (per-term physical row counts minus
+    *      the delete deltas' deaddf counts), never from a row scan;
+    *   2. blocks are shared doc_id ranges, so Σ_terms u(t, b) bounds
+    *      every document in block b (a doc's whole query-term mass
+    *      lives in its own block) — the per-block sum is the gate;
+    *   3. θ seeds from the top blocks by that sum (accumulated until
+    *      the sidecar row counts guarantee ≥ k docs): ONLY those
+    *      blocks' rows are read and scored exactly — self-contained,
+    *      because blocks are doc ranges;
+    *   4. surviving blocks (Σu ≥ θ − 1e-4, the shared rounding slack;
+    *      a block holding any true top-k doc provably survives) merge
+    *      into contiguous doc_id ranges pushed as a LITERAL scan
+    *      predicate — parquet row-group pruning on the (term, doc_id)-
+    *      sorted postings does the I/O skip. Above [[MaxSurvivorRanges]]
+    *      the predicate is dropped (graceful degradation to the
+    *      maxScore-shaped unpruned scan — correct, just unpruned).
+    *
+    * Rows equal [[searchTopN]] exactly (admissible prune, identical
+    * okapiTerm arithmetic/rounding/tie-breaks — shared oracle with
+    * q_search_topn). Driver syncs are bounded: ≤ 64 seed-block rows,
+    * one θ scalar, ≤ MaxSurvivorRanges+1 survivor ids. Requires full
+    * sidecar coverage (every update delta carries blockmax, every
+    * delete delta deaddf) and fails loudly otherwise — compact or
+    * rebuild a store that predates the sidecars. Tombstones only ever
+    * RAISE the bounds (max over a superset), never break them. */
+  def blockMaxTopN(spark: SparkSession, path: String,
+                   queryTerms: Seq[String] = Bm25.QueryTerms,
+                   k: Int = 10): DataFrame = {
+    val deltas = committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val fs = DeltaStore.fsOf(spark, deltas.head)
+    def has(d: String, sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub"))
+    val updDeltas = deltas.filter(has(_, "postings"))
+    val delDeltas = deltas.filter(has(_, "tombstones"))
+    val missingBm = updDeltas.filterNot(has(_, "blockmax"))
+    val missingDd = delDeltas.filterNot(has(_, "deaddf"))
+    require(missingBm.isEmpty && missingDd.isEmpty,
+      s"store $path predates the block-max sidecars " +
+        s"(${missingBm.size} update deltas without blockmax, " +
+        s"${missingDd.size} delete deltas without deaddf) — " +
+        "compact or rebuild to serve block-max")
+    val (postings, dlLive) = liveIndex(spark, deltas)
+    // combined per-(term, block) bounds across deltas: physical row
+    // counts sum, tf maxes, dl mins — all term-pruned at the sidecar
+    // scan (the sidecar is (terms x blocks)-sized, postings-free)
+    val blocks = spark.read.parquet(updDeltas.map(d => s"$d/blockmax"): _*)
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("term", "block_id")
+      .agg(sum("n_rows").as("n_rows"), max("max_tf").as("max_tf"),
+        min("min_dl").as("min_dl"))
+    val dfLive = {
+      val phys = blocks.groupBy("term").agg(sum("n_rows").as("df_phys"))
+      if (delDeltas.isEmpty)
+        phys.select(col("term"), col("df_phys").as("df"))
+      else {
+        val dd = spark.read.parquet(delDeltas.map(d => s"$d/deaddf"): _*)
+          .filter(col("term").isin(queryTerms: _*))
+          .groupBy("term").agg(sum("n_dead").as("n_dead"))
+        phys.join(dd, Seq("term"), "left")
+          .select(col("term"),
+            (col("df_phys") - coalesce(col("n_dead"), lit(0L))).as("df"))
+      }
+    }
+    val stats = dlLive.agg(count(col("doc_id")).as("n_docs"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    val blockSum = blocks.join(broadcast(dfLive), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("block_id"), col("n_rows"),
+        Bm25.okapiTerm(col("max_tf"), col("df"), col("min_dl"),
+          col("avgdl"), col("n_docs")).as("u"))
+      .groupBy("block_id")
+      .agg(sum("u").as("usum"), max("n_rows").as("docs_lb"))
+    // exact Okapi scoring of a doc_id-range-restricted candidate set;
+    // df comes from the sidecar reconstruction (provably equal to the
+    // live per-term row count), so a block-restricted scan still
+    // scores with GLOBAL stats
+    def exactIn(blockIds: Option[Seq[Long]]): DataFrame = {
+      val pruned = blockIds match {
+        case None => postings.filter(col("term").isin(queryTerms: _*))
+        case Some(ids) if ids.isEmpty => postings.filter(lit(false))
+        case Some(ids) =>
+          // merge adjacent blocks into contiguous doc_id ranges: a
+          // short OR-of-ranges literal predicate reaches the parquet
+          // scan and row-group stats on the sorted doc_id do the skip
+          val ranges = ids.sorted.foldLeft(List.empty[(Long, Long)]) {
+            case ((lo, hi) :: tl, b) if b == hi => (lo, b + 1) :: tl
+            case (acc, b) => (b, b + 1) :: acc
+          }
+          val pred = ranges.map { case (lo, hi) =>
+            col("doc_id") >= lit(lo * BlockWidth) &&
+              col("doc_id") < lit(hi * BlockWidth)
+          }.reduce(_ || _)
+          postings.filter(col("term").isin(queryTerms: _*) && pred)
+      }
+      pruned
+        .join(broadcast(dfLive), "term")
+        .join(dlLive, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          Bm25.okapiTerm(col("tf"), col("df"), col("dl"),
+            col("avgdl"), col("n_docs")).as("c"))
+        .groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
+    }
+    // θ seeding: top blocks by bound-sum until the sidecar row counts
+    // guarantee >= k docs (n_rows for ONE term is exactly that many
+    // distinct docs, so max_t n_rows lower-bounds the block's doc
+    // count — tombstones can overcount, and the -inf fallback below
+    // keeps an under-seeded θ sound)
+    val top = blockSum
+      .orderBy(col("usum").desc, col("block_id").asc).limit(64)
+      .select("block_id", "usum", "docs_lb").collect()
+    val seedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var seen = 0L
+    for (r <- top if seen < k) { seedIds += r.getLong(0); seen += r.getLong(2) }
+    val candidates: Option[Seq[Long]] =
+      if (seedIds.isEmpty) None // query terms absent: nothing to prune
+      else {
+        val seedAgg = exactIn(Some(seedIds.toSeq))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+          .agg(count(lit(1)).as("n"), min("score").as("kth")).head
+        if (seedAgg.getLong(0) < k) None // under-seeded θ: no prune
+        else {
+          val theta = seedAgg.getDouble(1)
+          // bounded survivor sync: collect at most collectCap+1 block
+          // ids; hitting the cap (or exceeding MaxSurvivorRanges after
+          // merging adjacent blocks — a contiguous run collapses to
+          // one clause) degrades to the unpruned scan
+          val collectCap = MaxSurvivorRanges * 64
+          val surv = blockSum.filter(col("usum") >= lit(theta - 1e-4))
+            .select("block_id").limit(collectCap + 1)
+            .collect().map(_.getLong(0)).toSeq
+          val nRanges = surv.sorted.foldLeft((0, Long.MinValue)) {
+            case ((n, hi), b) => if (b == hi) (n, b + 1) else (n + 1, b + 1)
+          }._1
+          if (surv.size > collectCap || nRanges > MaxSurvivorRanges) None
+          else Some(surv)
+        }
+      }
+    exactIn(candidates)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
   /** (query_id, doc_id, score, rk): BM25 top-k for a TABLE of queries

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation over document-relation graphs — the
@@ -704,48 +704,146 @@ object Graph {
     * Same exact-integer discipline as [[pagerankFrom]]: scores live on
     * the [[TotalMass]] grid, every division is an integral floor
     * (Spark `div` == DuckDB `//`), and each half-step renormalizes by
-    * the scalar `greatest(1, total div TotalMass)` — computed as a
-    * broadcast one-row aggregate, never a driver sync — keeping
+    * the scalar `greatest(1, total div TotalMass)` — keeping
     * magnitudes near TotalMass so a sum over max-degree neighbors
     * stays ≲ deg·10¹² ≪ 2⁶³. The whole 10-round recurrence replays
-    * bit-exactly in the oracle's iterative CTEs. Per-iteration cost:
-    * two edge-relation joins + two aggregations, edges materialized
-    * once; lineage cut per round (the rank relation is node-sized). */
-  def hitsFrom(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    * bit-exactly in the oracle's iterative CTEs.
+    *
+    * Barrier structure — a three-rung ladder keyed on the LARGER side
+    * of the bipartite node set, every rung bit-identical (spec-pinned
+    * on a planted graph):
+    *
+    *   - ranks ≤ `driverRankBound` (8M rows ≈ a few hundred MB — the
+    *     same order a broadcast already collects to the driver): rank
+    *     vectors LIVE on the driver. A half-step is exactly ONE job —
+    *     the edge join (rank injected as a broadcast LocalRelation,
+    *     which ships without a job) + map-side-combined in-sum,
+    *     collected back; the overflow-checked total and the floor
+    *     renorm are driver integer arithmetic, identical to the `div`
+    *     grid. 10 jobs for the whole recurrence — at the gate SF the
+    *     loop is pure job-launch overhead, so job count IS the cost.
+    *   - ranks ≤ `broadcastNodeBound` (64M ≈ 1 GiB, comfortably under
+    *     executor memory and Spark's 8 GiB broadcast ceiling): ranks
+    *     stay distributed; the node-sized in-sum relation feeds two
+    *     consumers (the renorm scalar and the renormalized score), so
+    *     it is lineage-cut once per half-step and the scalar rides
+    *     the SAME job as the cut — a global-window `sum(raw) OVER ()`
+    *     (single-partition exchange of ≤ bound rows, exactly the
+    *     oracle's formulation). Two jobs per half-step (cut +
+    *     broadcast collect).
+    *   - above the bound (billion-node): the broadcast hint drops —
+    *     edge joins degrade gracefully to shuffle joins on the node
+    *     key — and the scalar becomes a broadcast one-row aggregate
+    *     crossJoined back in (a single-partition window over an
+    *     above-bound relation would itself be the bottleneck). Same
+    *     graceful-degradation convention as the segmenter vocab cap
+    *     and the KMV pair-matrix bound.
+    *
+    * Scale shape: edge partitioning is SIZE-AWARE (one partition per
+    * `edgesPerPartition` rows — 4M (BIGINT, BIGINT) rows ≈ 64 MB, a
+    * healthy scan partition — capped at the session's default
+    * parallelism: the 600k-edge gate graph packs into ONE fat
+    * partition (the per-half-step job is trivially small, so task
+    * count is pure overhead there — measured 3.3 → 2.9 s at sf0.1),
+    * while a 100×-scale graph fans out to the cluster instead of
+    * bottlenecking on a fixed task count). */
+  def hitsFrom(edges: DataFrame, iterations: Int = 5,
+               edgesPerPartition: Long = 4000000L,
+               driverRankBound: Long = 8000000L,
+               broadcastNodeBound: Long = 64000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    // the edge relation feeds all 2·iterations half-steps: materialize
-    // once, in few fat partitions (ranks broadcast into every join, so
-    // edge partitioning is free to optimize for scan cost, not keys)
-    val e = edges.select(col("c"), col("s")).distinct().coalesce(8).localCheckpoint()
-    val hubs0 = e.select("c").distinct()
-    val nHubs = hubs0.count()
+    val spark = edges.sparkSession
+    // materialize the deduplicated edge relation once at its natural
+    // partitioning, then size the scan width from its measured count
+    val e0 = edges.select(col("c"), col("s")).distinct().localCheckpoint()
+    val Row(nEdges: Long, nHubs: Long, nAuths: Long) = e0.agg(
+      count(lit(1)), countDistinct("c"), countDistinct("s")).head
     require(nHubs > 0, "empty bipartite graph")
-    def renorm(t: Long) = expr(s"raw div greatest(CAST(1 AS BIGINT), ${t}L div ${TotalMass}L)")
-    var hub = hubs0.withColumn("hub", lit(TotalMass / nHubs))
-    var auth: DataFrame = null
-    // Per half-step, only the RAW in-sum relation materializes (it is
-    // node-sized and feeds two consumers — the renormalization scalar
-    // and the renormalized score; uncut, the second reference would
-    // recompute the whole prior chain, doubling work per half-step
-    // exactly like an unmaterialized CTE). The scalar is a bounded
-    // driver sync (one BIGINT per half-step, tree-aggregated over the
-    // already-materialized node-sized cut) baked into the plan as a
-    // literal, the renormalized score stays a lazy projection over the
-    // cut, and the rank side BROADCASTS into each edge join: edges
-    // never shuffle, the per-step shuffle is the map-side-combined
-    // partial aggregate only.
-    for (_ <- 1 to iterations) {
-      val ar = e.join(broadcast(hub), "c").groupBy("s")
-        .agg(sum("hub").as("raw")).localCheckpoint()
-      val at = ar.agg(sum("raw")).head.getLong(0)
-      auth = ar.select(col("s"), renorm(at).as("auth"))
-      val hr = e.join(broadcast(auth), "s").groupBy("c")
-        .agg(sum("auth").as("raw")).localCheckpoint()
-      val ht = hr.agg(sum("raw")).head.getLong(0)
-      hub = hr.select(col("c"), renorm(ht).as("hub"))
-    }
+    val parts = math.max(1L, math.min(
+      (nEdges + edgesPerPartition - 1) / edgesPerPartition,
+      spark.sparkContext.defaultParallelism.toLong)).toInt
+    // coalesce is a narrow read over the checkpointed blocks — no
+    // second materialization needed
+    val e = e0.coalesce(parts)
+    val maxRank = math.max(nHubs, nAuths)
+    val (hub, auth) =
+      if (maxRank <= driverRankBound)
+        hitsDriverRanks(e, iterations, nHubs)
+      else
+        hitsDistributedRanks(e, iterations, nHubs,
+          small = maxRank <= broadcastNodeBound)
     auth.select(lit("auth").as("side"), col("s").as("node"), col("auth").as("score"))
       .unionByName(
         hub.select(lit("hub").as("side"), col("c").as("node"), col("hub").as("score")))
+  }
+
+  /** [[hitsFrom]] rung 1: rank vectors resident on the driver —
+    * bounded by driverRankBound, the same order a broadcast would
+    * collect driver-side anyway. One job per half-step. */
+  private def hitsDriverRanks(e: DataFrame, iterations: Int,
+                              nHubs: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = e.sparkSession
+    val hubSchema = StructType(Seq(
+      StructField("c", e.schema("c").dataType), StructField("hub", LongType)))
+    val authSchema = StructType(Seq(
+      StructField("s", e.schema("s").dataType), StructField("auth", LongType)))
+    def local(rows: Array[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // overflow-CHECKED total (Spark's ANSI sum would throw too), floor
+    // division of non-negative longs == the `div`/`//` grid
+    def renormed(rows: Array[Row]): Array[Row] = {
+      var total = 0L
+      rows.foreach(r => total = Math.addExact(total, r.getLong(1)))
+      val g = math.max(1L, total / TotalMass)
+      rows.map(r => Row(r.get(0), r.getLong(1) / g))
+    }
+    def halfStep(rank: DataFrame, inKey: String, inScore: String,
+                 outKey: String): Array[Row] =
+      e.join(broadcast(rank), inKey).groupBy(outKey)
+        .agg(sum(inScore).as("raw")).collect()
+    val init = e.select("c").distinct().collect()
+      .map(r => Row(r.get(0), TotalMass / nHubs))
+    var hub = local(init, hubSchema)
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = local(renormed(halfStep(hub, "c", "hub", "s")), authSchema)
+      hub = local(renormed(halfStep(auth, "s", "auth", "c")), hubSchema)
+    }
+    (hub, auth)
+  }
+
+  /** [[hitsFrom]] rungs 2-3: ranks stay distributed; `small` keeps
+    * the broadcast hint and the same-job window renorm, above the
+    * bound both degrade (shuffle joins, crossJoined scalar). */
+  private def hitsDistributedRanks(e: DataFrame, iterations: Int,
+                                   nHubs: Long,
+                                   small: Boolean): (DataFrame, DataFrame) = {
+    val hint: DataFrame => DataFrame = if (small) broadcast else identity
+    val renorm = expr(
+      s"raw div greatest(CAST(1 AS BIGINT), t div ${TotalMass}L)")
+    def halfStep(rank: DataFrame, inKey: String, inScore: String,
+                 outKey: String, outScore: String): DataFrame = {
+      val sums = e.join(hint(rank), inKey).groupBy(outKey)
+        .agg(sum(inScore).as("raw"))
+      val withTotal =
+        if (small)
+          sums.withColumn("t", sum("raw").over(
+            org.apache.spark.sql.expressions.Window
+              .rowsBetween(Long.MinValue, Long.MaxValue)))
+            .localCheckpoint()
+        else {
+          val cut = sums.localCheckpoint()
+          cut.crossJoin(broadcast(cut.agg(sum("raw").as("t"))))
+        }
+      withTotal.select(col(outKey), renorm.as(outScore))
+    }
+    var hub = e.select("c").distinct().withColumn("hub", lit(TotalMass / nHubs))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = halfStep(hub, "c", "hub", "s", "auth")
+      hub = halfStep(auth, "s", "auth", "c", "hub")
+    }
+    (hub, auth)
   }
 }

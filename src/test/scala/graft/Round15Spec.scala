@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bm25, Bm25Index}
+
+/** Round-15: block-max MaxScore on the staged postings — the θ cut
+  * prunes doc_id-range BLOCKS (I/O), not just the doclen join width.
+  * Contracts under test: (1) admissible prune — rows equal the
+  * corpus-derived exact top-k; (2) the block gate is a LITERAL
+  * doc_id-range predicate pushed into the postings scan; (3) the
+  * delete leg's `deaddf` sidecar keeps the sidecar-reconstructed df
+  * exact, so serving equals a rebuild on the surviving corpus;
+  * (4) compaction regenerates the `blockmax` sidecar from live rows;
+  * (5) a store without sidecar coverage fails loudly. */
+class Round15Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/s"
+
+  /** Planted corpus spanning 4 blocks (width 1024): ids 0-11 (block 0)
+    * are short, query-term-dense docs — the true top-k lives here and
+    * seeds a high θ; ids 1030/2050/3080 hold ONE weak query term in a
+    * long filler doc, one per later block, so blocks 1-3 carry a tiny
+    * per-block bound sum and must be pruned by the θ cut. */
+  private def plantedDocs = {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val strong = (0 to 11).map { i =>
+      (i.toLong,
+        "spark spark spark spark query query query join join fast fast" +
+          s" extra$i")
+    }
+    val weak = Seq(1030L, 2050L, 3080L).map(id => (id, s"fast $filler"))
+    (strong ++ weak).toDF("doc_id", "text")
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("blockmax: rows equal the exact corpus top-k; block ranges reach the scan as pushed literals") {
+    val p = tmp("r15a")
+    Bm25Index.build(plantedDocs, p)
+    val served = Bm25Index.blockMaxTopN(spark, p)
+    assert(rows(served) === rows(Bm25.searchTopN(plantedDocs)))
+    // the survivor gate is a doc_id range literal ON the scan: block 0
+    // survives (its range end 1024 appears as a pushed bound) and the
+    // weak blocks 1-3 are pruned BEFORE any posting row is read (no
+    // pushed bound reaches their ranges)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(doc_id,1024)"),
+      s"expected the block-0 range pushed into the postings scan; plan:\n$plan")
+    assert(!plan.contains("LessThan(doc_id,4096)") &&
+      !plan.contains("GreaterThanOrEqual(doc_id,3072)"),
+      "weak block 3 should be pruned from the scan predicate")
+  }
+
+  test("blockmax sidecar holds sound per-block bounds and exact row counts") {
+    val p = tmp("r15b")
+    Bm25Index.build(plantedDocs, p)
+    val bm = spark.read.parquet(s"$p/delta-00000/blockmax")
+    // exact physical df per term: 12 strong docs for 'spark', 12+3 for 'fast'
+    val byTerm = bm.groupBy("term").agg(sum("n_rows").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTerm("spark") === 12L && byTerm("fast") === 15L)
+    // block 0's 'spark' bound carries max_tf=4 and the block-min doclen
+    val b0 = bm.filter(col("term") === "spark" && col("block_id") === 0).head
+    assert(b0.getAs[Long]("max_tf") === 4L)
+  }
+
+  test("delete leg: deaddf keeps sidecar df exact — serving equals rebuild on survivors") {
+    val p = tmp("r15c")
+    Bm25Index.build(plantedDocs, p)
+    Bm25Index.delete(plantedDocs.filter(col("doc_id") < 2).select("doc_id"), p, "del-01")
+    // the delete delta carries the per-term dead-row counts
+    val dd = spark.read.parquet(s"$p/delta-del-01/deaddf").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dd("spark") === 2L && dd("fast") === 2L)
+    val survivors = plantedDocs.filter(col("doc_id") >= 2)
+    assert(rows(Bm25Index.blockMaxTopN(spark, p)) ===
+      rows(Bm25.searchTopN(survivors)))
+  }
+
+  test("compact regenerates blockmax from live rows and folds deaddf away") {
+    val p = tmp("r15d")
+    Bm25Index.build(plantedDocs, p)
+    Bm25Index.delete(plantedDocs.filter(col("doc_id") < 2).select("doc_id"), p, "del-01")
+    Bm25Index.compactDeltas(spark, p)
+    val folded = new java.io.File(p).listFiles.map(_.getName)
+      .filter(_.startsWith("delta-"))
+    assert(folded.length === 1)
+    val d = s"$p/${folded.head}"
+    assert(new java.io.File(s"$d/blockmax").exists)
+    assert(!new java.io.File(s"$d/deaddf").exists)
+    // purged rows dropped out of the counts: 10 live 'spark' docs
+    val bm = spark.read.parquet(s"$d/blockmax")
+    assert(bm.filter(col("term") === "spark").agg(sum("n_rows")).head.getLong(0) === 10L)
+    assert(rows(Bm25Index.blockMaxTopN(spark, p)) ===
+      rows(Bm25.searchTopN(plantedDocs.filter(col("doc_id") >= 2))))
+  }
+
+  test("store without sidecar coverage fails loudly") {
+    val p = tmp("r15e")
+    Bm25Index.build(plantedDocs, p)
+    // simulate a store that predates the sidecars
+    val bmDir = new java.io.File(s"$p/delta-00000/blockmax")
+    bmDir.listFiles.foreach(_.delete()); bmDir.delete()
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.blockMaxTopN(spark, p)
+    }
+    assert(e.getMessage.contains("predates the block-max sidecars"))
+  }
+
+  test("hits: all three barrier rungs serve bit-identical rows") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edges = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 100L),
+      (1L, 200L), (2L, 200L), (3L, 300L), (4L, 300L), (5L, 200L))
+      .toDF("c", "s")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val driverRung = rows(Graph.hitsFrom(edges))
+    val windowRung = rows(Graph.hitsFrom(edges, driverRankBound = 0L))
+    val shuffleRung = rows(Graph.hitsFrom(edges,
+      driverRankBound = 0L, broadcastNodeBound = 0L))
+    assert(driverRung === windowRung)
+    assert(driverRung === shuffleRung)
+    assert(driverRung.nonEmpty)
+  }
+
+  test("query terms absent from the corpus serve an empty result") {
+    val p = tmp("r15f")
+    Bm25Index.build(plantedDocs, p)
+    assert(Bm25Index.blockMaxTopN(spark, p, Seq("zzzabsent")).isEmpty)
+  }
+}
