@@ -743,6 +743,12 @@ object SparkEntry {
     // invariants additionally spec-gated in Round9Spec
     "q_bpe_pairs" -> ((s, dir) => Bpe.pairCounts(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => Bpe.trainMerges(Tables.documents(s, dir))),
+    // unigram-LM tokenizer training (Kudo 2018, hard-EM on the integer
+    // surrogate-cost grid — every Viterbi/M-step quantity BIGINT, so
+    // the unrolled-EM recurrence replays bit-exactly in the oracle's
+    // recursive CTEs); completes the tokenizer ladder after BPE
+    "q_unigram_train" -> ((s, dir) => Unigram.train(Tables.documents(s, dir))),
+    "q_unigram_encode" -> ((s, dir) => Unigram.encodeCorpus(Tables.documents(s, dir))),
 
     // ---- Round-9 batch 2: unpivot/listagg export shapes, attribution
     // + concurrency over events, stratified/k-fold sampling, markup
@@ -2557,6 +2563,96 @@ object SparkEntry {
       |      GROUP BY p.l, p.r)
       |    ORDER BY n DESC, l ASC, r ASC LIMIT 1) b
       |  WHERE s.it < 20)""".stripMargin
+
+  /** One unrolled hard-EM round of the unigram-LM trainer
+    * ([[graft.operators.Unigram]]) as oracle CTEs: per-word arc MAP
+    * (piece-position → gridded cost, prebuilt OUTSIDE the recursion —
+    * a correlated vocab lookup inside a recursive CTE misfires on its
+    * first step in DuckDB 1.0), the forward integer Viterbi carrying
+    * the (cost, predecessor) list with the ORDER BY cost, j0 LIMIT 1
+    * tie-break (= Spark's array_min on the (cost, j0) struct), the
+    * backward path walk, and the M-step's floor-gridded costs over
+    * the in-vocab piece counts. Every quantity BIGINT — the grid
+    * contract that makes the replay exact. */
+  private def unigramSegRound(n: Int, vprev: String): String = {
+    val g = graft.operators.Unigram.Grid
+    val mp = graft.operators.Unigram.MaxPieceLen
+    s"""arcs$n AS MATERIALIZED (
+       |  SELECT w.word, w.freq, coalesce(a.arcs, map([]::VARCHAR[], []::BIGINT[])) AS arcs
+       |  FROM uwc w LEFT JOIN (
+       |    SELECT word, map_from_entries(list(struct_pack(
+       |             k := t.j0 || '_' || (t.j0 + l.len - 1), v := v.cost))) AS arcs
+       |    FROM uwc, unnest(generate_series(1, length(word))) AS t(j0),
+       |         unnest(generate_series(1, $mp)) AS l(len), $vprev v
+       |    WHERE t.j0 + l.len - 1 <= length(word)
+       |      AND v.piece = substr(word, t.j0::INT, l.len::INT)
+       |    GROUP BY word) a USING (word)),
+       |dp$n(word, freq, arcs, pos, st) AS (
+       |  SELECT word, freq, arcs, 0::BIGINT,
+       |         [struct_pack(cost := 0::BIGINT, j0 := 0::BIGINT)] FROM arcs$n
+       |  UNION ALL
+       |  SELECT word, freq, arcs, pos + 1, list_append(st, w)
+       |  FROM (
+       |    SELECT d.word, d.freq, d.arcs, d.pos, d.st,
+       |           (SELECT struct_pack(cost := cc, j0 := jj)
+       |            FROM (SELECT d.st[t.j0::INT].cost +
+       |                         CASE WHEN t.j0 = d.pos + 1
+       |                              THEN coalesce((d.arcs[t.j0 || '_' || (d.pos + 1)])[1], $g)
+       |                              ELSE (d.arcs[t.j0 || '_' || (d.pos + 1)])[1] END AS cc,
+       |                         t.j0 AS jj
+       |                  FROM unnest(generate_series(greatest(1, d.pos + 1 - ${mp - 1}), d.pos + 1)) AS t(j0))
+       |            WHERE cc IS NOT NULL
+       |            ORDER BY cc ASC, jj ASC LIMIT 1) AS w
+       |    FROM dp$n d WHERE d.pos < length(d.word))
+       |),
+       |dpf$n AS MATERIALIZED (SELECT word, freq, st FROM dp$n WHERE pos = length(word)),
+       |bk$n(word, freq, pos, pieces) AS (
+       |  SELECT word, freq, length(word)::BIGINT, []::VARCHAR[] FROM uwc
+       |  UNION ALL
+       |  SELECT b.word, b.freq, d.st[(b.pos + 1)::INT].j0 - 1,
+       |         list_prepend(substr(b.word, d.st[(b.pos + 1)::INT].j0::INT,
+       |                             (b.pos - d.st[(b.pos + 1)::INT].j0 + 1)::INT), b.pieces)
+       |  FROM bk$n b JOIN dpf$n d USING (word) WHERE b.pos > 0)""".stripMargin
+  }
+
+  /** Segmentation round + the E-step counts (in-vocab pieces only)
+    * and the next round's M-step costs. */
+  private def unigramEmRound(n: Int, vprev: String): String = {
+    val g = graft.operators.Unigram.Grid
+    s"""${unigramSegRound(n, vprev)},
+       |c$n AS MATERIALIZED (
+       |  SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+       |    SELECT unnest(pieces) AS piece, freq FROM bk$n WHERE pos = 0) s
+       |  WHERE piece IN (SELECT piece FROM $vprev) GROUP BY 1),
+       |v${n + 1} AS MATERIALIZED (
+       |  SELECT piece, $g - cnt * $g // (SELECT sum(cnt) FROM c$n) AS cost FROM c$n)""".stripMargin
+  }
+
+  /** Shared head of the unigram oracles: kept-token word dict, seed
+    * substring statistics capped at maxVocab (count desc, piece asc),
+    * seed costs, then [[graft.operators.Unigram.EmRounds]] unrolled
+    * EM rounds. */
+  private val unigramCte: String = {
+    val g = graft.operators.Unigram.Grid
+    val mp = graft.operators.Unigram.MaxPieceLen
+    val mw = graft.operators.Unigram.MaxWordLen
+    val mv = 2048
+    val rounds = (1 to graft.operators.Unigram.EmRounds)
+      .map(n => unigramEmRound(n, s"v$n")).mkString(",\n")
+    s"""$tfCte,
+       |uwc AS MATERIALIZED (SELECT term AS word, count(*)::BIGINT AS freq
+       |       FROM tok2 WHERE length(term) <= $mw GROUP BY 1),
+       |usub AS (SELECT substr(word, t.j0::INT, l.len::INT) AS piece, freq
+       |        FROM uwc, unnest(generate_series(1, length(word))) AS t(j0),
+       |             unnest(generate_series(1, $mp)) AS l(len)
+       |        WHERE t.j0 + l.len - 1 <= length(word)),
+       |useedc AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM usub GROUP BY 1),
+       |useed AS MATERIALIZED (SELECT piece, cnt FROM (
+       |         SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk FROM useedc)
+       |       WHERE rk <= $mv),
+       |v1 AS MATERIALIZED (SELECT piece, $g - cnt * $g // (SELECT sum(cnt) FROM useed) AS cost FROM useed),
+       |$rounds""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -5183,6 +5279,28 @@ object SparkEntry {
          |       round(sum(p.n_bpe_tokens)::DOUBLE / sum(p.n_words), 4) AS fertility
          |FROM perdoc p JOIN documents d USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    // the unigram trainer's unrolled hard-EM replay: final-round
+    // in-vocab counts + floor-gridded probabilities (integer grid
+    // end-to-end — see unigramCte)
+    "q_unigram_train" -> {
+      val g = graft.operators.Unigram.Grid
+      val fc = s"c${graft.operators.Unigram.EmRounds}"
+      s"""WITH RECURSIVE $unigramCte
+         |SELECT piece, cnt AS n, cnt * $g // (SELECT sum(cnt) FROM $fc) AS p FROM $fc""".stripMargin
+    },
+    // one more Viterbi segmentation round under the FINAL vocab gives
+    // every dictionary word's piece count; join back to the corpus
+    // tokens (the q_bpe_encode shape)
+    "q_unigram_encode" -> {
+      val nr = graft.operators.Unigram.EmRounds + 1
+      val mw = graft.operators.Unigram.MaxWordLen
+      s"""WITH RECURSIVE $unigramCte,
+         |${unigramSegRound(nr, s"v$nr")},
+         |ulens AS MATERIALIZED (SELECT word, len(pieces)::BIGINT AS n_sub FROM bk$nr WHERE pos = 0),
+         |utokd AS (SELECT doc_id, term AS word FROM tok2 WHERE length(term) <= $mw)
+         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_unigram_tokens
+         |FROM utokd JOIN ulens USING (word) GROUP BY doc_id""".stripMargin
+    },
     // wide per-flag metric block melted to (key, metric, value) —
     // UNION ALL is the relational spelling of the Expand
     "q_unpivot" ->

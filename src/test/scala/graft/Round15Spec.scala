@@ -132,6 +132,41 @@ class Round15Spec extends AnyFunSuite {
     assert(driverRung.nonEmpty)
   }
 
+  test("unigram: planted corpus learns the shared stem as a piece; costs/grid invariants hold") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    // 'work' (4 chars = MaxPieceLen) is the shared stem of three
+    // frequent 6-7 char words, so hard-EM must keep it as a piece
+    val docs = (0 until 50).map { i =>
+      (i.toLong, "worker working workload rare" + (if (i == 0) " uniquez" else ""))
+    }.toDF("doc_id", "text")
+    val v = Unigram.train(docs).collect()
+    val pieces = v.map(_.getString(0)).toSet
+    assert(pieces.contains("work"))
+    assert(v.forall(r => r.getLong(1) > 0 && r.getString(0).length <= Unigram.MaxPieceLen))
+    // floor-gridded probabilities sum to at most the grid
+    assert(v.map(_.getLong(2)).sum <= Unigram.Grid)
+    val e = Unigram.encodeCorpus(docs).collect()
+    // every word yields >= 1 piece and 'worker' family needs >= 2
+    assert(e.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
+  test("unigram fertility sits between 1 and chars-per-word, alongside BPE's") {
+    import graft.operators.{Bpe, Unigram}
+    val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf)
+    val ug = Unigram.encodeCorpus(docs)
+      .agg(sum("n_words"), sum("n_unigram_tokens")).head
+    val ugFert = ug.getLong(1).toDouble / ug.getLong(0)
+    val bp = Bpe.encodeCorpus(docs)
+      .agg(sum("n_words"), sum("n_bpe_tokens")).head
+    val bpFert = bp.getLong(1).toDouble / bp.getLong(0)
+    // both tokenizers emit at least one piece per word and never more
+    // pieces than characters; the unigram cap (MaxPieceLen=4) forces
+    // real subwording, so its fertility is strictly above 1
+    assert(ugFert > 1.0 && ugFert < 8.0, s"unigram fertility $ugFert")
+    assert(bpFert >= 1.0 && bpFert < 8.0, s"bpe fertility $bpFert")
+  }
+
   test("query terms absent from the corpus serve an empty result") {
     val p = tmp("r15f")
     Bm25Index.build(plantedDocs, p)
