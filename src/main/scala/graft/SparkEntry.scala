@@ -278,6 +278,25 @@ object SparkEntry {
         p, "del-01")
       SemanticStore.cosinePairs(s, p)
     }),
+    // the STREAMING twin of the semantic delete — the embedding-side
+    // takedown queue: the %8==1 slice arrives as delete micro-batches
+    // (one file each), each committed exactly-once as a tombstone+
+    // re-elect delta; deletes compose, so after the drain the served
+    // all-pairs relation equals the one-shot delete (shared oracle).
+    // The base substrate is prestaged; the delete ingest + full pair
+    // serve is the measurand (the q_stream_delete conventions: kept
+    // checkpoint, feed staged once per JVM)
+    "q_stream_semantic_delete" -> ((s, dir) => {
+      val p = semStreamDelStoreFor(s, dir)
+      // feed = STORED members of the slice (a zero-norm/null vector is
+      // never ingested, so an embeddings-table feed would trip the
+      // liveness require — the q_semantic_store_delete convention)
+      val src = cachedLayout("sem_sdel_src", dir)(sp =>
+        SemanticStore.members(s, p).filter(col("vec_id") % 8 === 1).select("vec_id")
+          .repartition(2).write.mode("overwrite").parquet(sp))
+      graft.streaming.Streams.semanticDeleteStream(s, src, p, maxFilesPerTrigger = Some(1))
+      SemanticStore.cosinePairs(s, p)
+    }),
     "q_ann_bruteforce" -> ((s, dir) => Ann.bruteForceTopK(Tables.embeddings(s, dir))),
     // the SAME search expressed in pure SQL over registered views and
     // the SQL-visible native graft_dot (oracle shared with bruteforce)
@@ -1268,6 +1287,7 @@ object SparkEntry {
     dedupIncStoreFor(s, dir); semIncStoreFor(s, dir); pqIncStoreFor(s, dir)
     bm25DelStoreFor(s, dir); annDelStoreFor(s, dir); pqDelStoreFor(s, dir)
     bm25StreamDelStoreFor(s, dir); dedupDelStoreFor(s, dir); semDelStoreFor(s, dir)
+    semStreamDelStoreFor(s, dir)
     // the trained-ANN serve stores: integer-Lloyd's training is the
     // one-off offline build, searching is the measurand — these were
     // the only read-only serve stores whose builds could land in a
@@ -1482,6 +1502,13 @@ object SparkEntry {
   /** Dedicated semantic substrate for its delete key. */
   private def semDelStoreFor(s: SparkSession, dir: String): String =
     cachedLayout("sem_del", dir)(p => SemanticStore.build(Tables.embeddings(s, dir), p))
+
+  /** Dedicated semantic substrate for the STREAMING-delete key (the
+    * stream mutates it; deterministic batch tags make re-invocations
+    * replay as no-ops on the cached store — the
+    * [[bm25StreamDelStoreFor]] convention). */
+  private def semStreamDelStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("sem_sdel", dir)(p => SemanticStore.build(Tables.embeddings(s, dir), p))
 
   /** One staged near-dup pair substrate per sf dir per JVM: the six
     * dedup-decision keys (verified/clusters/keep/drop/containment/
@@ -3569,6 +3596,18 @@ object SparkEntry {
     // SURVIVING vectors (a deleted-but-never-stored zero/null vector
     // forms no pair on either side, so the plain id filter is exact)
     "q_semantic_store_delete" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings WHERE vec_id % 8 <> 1),
+         |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+         |SELECT vec_a, vec_b, round(c_exact, 4) AS cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         |               / (a.nrm * b.nrm) AS c_exact
+         |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+         |WHERE c_exact >= 0.45""".stripMargin,
+    // the streaming takedown queue drains to the SAME state as the
+    // one-shot delete (deletes compose batch-by-batch; shared oracle)
+    "q_stream_semantic_delete" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
          |           FROM embeddings WHERE vec_id % 8 <> 1),
          |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)

@@ -641,6 +641,38 @@ object Streams {
     finally sq.stop()
   }
 
+  /** [[deleteStream]]'s twin on the SEMANTIC pair substrate — the
+    * takedown queue for the embedding side: vec_ids stream in, each
+    * micro-batch commits one tombstone+re-elect delta
+    * ([[graft.operators.SemanticStore.delete]] — value identity makes
+    * the group rekey a rename), tagged by batch id so checkpoint
+    * replays are exactly-once. Deletes COMPOSE across batches: each
+    * batch's re-election runs against the then-live members, so after
+    * the drain the served all-pairs relation equals the one-shot
+    * delete of the whole slice (shared oracle). Same kept-checkpoint
+    * durability contract as [[deleteStream]] (checkpoint lives INSIDE
+    * the store, retired with it on rebuild; a regenerated source
+    * under a kept checkpoint fails loudly on the liveness require). */
+  def semanticDeleteStream(spark: SparkSession, delDir: String,
+                           storePath: String,
+                           maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ckpt = storePath + "/_delckpt"
+    val schema = spark.read.parquet(delDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val ids = reader.parquet(delDir)
+    val sq = ids.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.SemanticStore.delete(batch.toDF(), storePath, f"del-$batchId%05d")
+      }
+      .start()
+    try sq.processAllAvailable()
+    finally sq.stop()
+  }
+
   /** Streaming per-document file sink — the reference's BMStream is
     * EXACTLY this shape (backup/BMStream.java:30-35 reworks the batch
     * per-doc tf dump as a dataStream): documents stream in, and each

@@ -167,6 +167,32 @@ class Round15Spec extends AnyFunSuite {
     assert(bpFert >= 1.0 && bpFert < 8.0, s"bpe fertility $bpFert")
   }
 
+  test("streaming semantic delete: batches compose to the one-shot delete; replay no-ops") {
+    import graft.operators.SemanticStore
+    val emb = graft.sources.Tables.embeddings(spark, SparkTestSession.sf)
+    val p = tmp("r15sd")
+    SemanticStore.build(emb, p)
+    val feed = tmp("r15sdf")
+    SemanticStore.members(spark, p).filter(col("vec_id") % 8 === 1).select("vec_id")
+      .repartition(2).write.mode("overwrite").parquet(feed)
+    graft.streaming.Streams.semanticDeleteStream(spark, feed, p, Some(1))
+    def pairs(path: String): Set[(Long, Long, Double)] =
+      SemanticStore.cosinePairs(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // one-shot twin on a fresh store
+    val q = tmp("r15sdq")
+    SemanticStore.build(emb, q)
+    SemanticStore.delete(
+      SemanticStore.members(spark, q).filter(col("vec_id") % 8 === 1).select("vec_id"),
+      q, "del-oneshot")
+    val streamed = pairs(p)
+    assert(streamed === pairs(q))
+    assert(streamed.nonEmpty)
+    // replay: kept checkpoint re-forms zero new batches — state unchanged
+    graft.streaming.Streams.semanticDeleteStream(spark, feed, p, Some(1))
+    assert(pairs(p) === streamed)
+  }
+
   test("query terms absent from the corpus serve an empty result") {
     val p = tmp("r15f")
     Bm25Index.build(plantedDocs, p)
