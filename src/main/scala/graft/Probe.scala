@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 object Probe {
   /** Shared timing/print helper for every probe mode. */
   private def timed(prefix: String)(name: String)(f: => Long): Unit = {
@@ -313,9 +314,9 @@ object Probe {
         graft.operators.DedupStore.build(d, storePath); 1L
       }
       val ver = graft.operators.DedupStore.verifiedNearDups(spark, storePath)
-        .localCheckpoint()
+        .cutLineage()
       val cand = graft.operators.DedupStore.candidates(spark, storePath)
-        .localCheckpoint()
+        .cutLineage()
       time("ver_edges")(ver.count())
       time("bfs_hops")(graft.operators.Graph.bfsHops(ver).count())
       time("bridges")(graft.operators.Graph.bridgeEdges(ver).count())
@@ -341,7 +342,7 @@ object Probe {
       // in the driver bench): split the key into its three phases at
       // the bench SF and repeat, separating plan shape from the
       // 340-key run's JVM/disk contention band
-      val docs = graft.sources.Tables.documents(spark, dir).localCheckpoint()
+      val docs = graft.sources.Tables.documents(spark, dir).cutLineage()
       val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
       val cut = maxId * 4 / 5
       val time = timed("DEDUPINC") _

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.DeltaStore
+import graft.Lineage._
 
 /** Materialized ANN index — the vector-side sibling of [[Bm25Index]],
   * sharing its delta-directory commit protocol ([[DeltaStore]]):
@@ -137,7 +138,7 @@ object AnnIndex {
     if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    val ids = vecIds.select(col("vec_id")).distinct().localCheckpoint()
+    val ids = vecIds.select(col("vec_id")).distinct().cutLineage()
     // batch-scaled liveness check: presence range-prunes via the
     // id-range sidecars (the rejectDuplicateIds discipline), the
     // tombstone side is delete-scaled by nature
@@ -224,14 +225,10 @@ object AnnIndex {
     * the standard retention/no-time-travel-past-vacuum trade. */
   def searchTopKAt(spark: SparkSession, path: String, maxTag: String,
                    queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val visible = DeltaStore.committedDeltas(spark, path).filter { d =>
-      val name = new org.apache.hadoop.fs.Path(d).getName
-      name.stripPrefix("delta-") <= maxTag
-    }
-    require(visible.nonEmpty,
-      s"no committed deltas at or before version $maxTag under $path " +
-        "(compaction may have collapsed that history)")
-    searchDeltas(spark, path, visible, queryId, k)
+    // numeric-tag contract: DeltaStore.visibleAt fails loudly on a
+    // store holding delete/compact tags (undefined lexicographic order)
+    searchDeltas(spark, path,
+      DeltaStore.visibleAt(spark, path, maxTag), queryId, k)
   }
 
   private def searchDeltas(spark: SparkSession, path: String,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Materialized inverted index: the product shape of the reference
   * pipeline, which precomputes TF per document and global IDF into
@@ -192,7 +193,7 @@ object Bm25Index {
     if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
     val deltas = committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    val ids = docIds.select(col("doc_id")).distinct().cutLineage()
     // liveness check stays BATCH-scaled on a long-running store: the
     // presence side range-prunes to the update deltas whose id-range
     // sidecar can overlap the batch (the rejectDuplicateIds
@@ -293,13 +294,9 @@ object Bm25Index {
     * travel reaches only versions newer than the last compaction. */
   def scoreAt(spark: SparkSession, path: String, maxTag: String,
               queryTerms: Seq[String] = Bm25.QueryTerms): DataFrame = {
-    val visible = committedDeltas(spark, path).filter { d =>
-      new org.apache.hadoop.fs.Path(d).getName.stripPrefix("delta-") <= maxTag
-    }
-    require(visible.nonEmpty,
-      s"no committed deltas at or before version $maxTag under $path " +
-        "(compaction may have collapsed that history)")
-    scoreDeltas(spark, visible, queryTerms)
+    // numeric-tag contract: DeltaStore.visibleAt fails loudly on a
+    // store holding delete/compact tags (undefined lexicographic order)
+    scoreDeltas(spark, DeltaStore.visibleAt(spark, path, maxTag), queryTerms)
   }
 
   private def scoreDeltas(spark: SparkSession, deltas: Seq[String],

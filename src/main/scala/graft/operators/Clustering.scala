@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Clustering for training-data curation: deterministic k-means over
   * the embeddings table, and SemDeDup-style semantic deduplication
@@ -76,7 +77,7 @@ object Clustering {
     * 2^53 ≈ 9·10¹⁵ — at 10¹² same-cluster rows of unit-scale
     * embeddings the sum is ~10¹⁵, still exact. */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val e = millis(embeddings).localCheckpoint() // reused iters+1 times
+    val e = millis(embeddings).cutLineage() // reused iters+1 times
     assign(e, fitFrom(e, k, iters)).select(col("vec_id"), col("cluster_id"), col("d2"))
   }
 
@@ -113,7 +114,7 @@ object Clustering {
     * with k; NMI doesn't). MI/H terms fold over the k×|labels|
     * contingency cells (tiny); sqrt(Hc·Hl) normalization. */
   def clusterNmi(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val cl = labelContingency(embeddings, k, iters).localCheckpoint()
+    val cl = labelContingency(embeddings, k, iters).cutLineage()
     val n = cl.agg(sum("n").as("nn"))
     val pc = cl.groupBy("cluster_id").agg(sum("n").as("nc"))
     val pl = cl.groupBy("label").agg(sum("n").as("nl"))
@@ -171,7 +172,7 @@ object Clustering {
     * Lloyd's rounds — the artifact a serving path bakes into its
     * assignment plan (see [[graft.streaming.Streams.kmeansStream]]). */
   def fit(embeddings: DataFrame, k: Int = 8, iters: Int = 2): Array[Array[Long]] =
-    fitFrom(millis(embeddings).localCheckpoint(), k, iters)
+    fitFrom(millis(embeddings).cutLineage(), k, iters)
 
   private def fitFrom(e: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k, iters=$iters")
@@ -261,7 +262,7 @@ object Clustering {
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .filter(dot(col("v"), col("v")) > 0.0)
       .select(col("vec_id"), col("embedding"), md5(to_json(col("v"))).as("vk"))
-      .localCheckpoint() // feeds reps AND the member fan-back below
+      .cutLineage() // feeds reps AND the member fan-back below
     val reps = keyed.groupBy("vk")
       .agg(min("vec_id").as("rep"), count(lit(1)).as("n_copies"),
         min("embedding").as("embedding"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Deduplication operators for a training-data pipeline: exact
   * (hash groupBy), word-n-gram Jaccard (exact, the verify baseline),
@@ -92,7 +93,7 @@ object Dedup {
     // candidate list in verifiedNearDups).
     val canonCorpus = docs.join(
       exact(docs).select(col("canonical_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .cutLineage()
     val losers = verifiedNearDups(canonCorpus, threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     canonCorpus.join(losers, Seq("doc_id"), "left_anti")
@@ -132,13 +133,13 @@ object Dedup {
       .agg(min("doc_id").as("rep"), count(lit(1)).as("m"))
     // members is reused by both expansions; group-shaped (corpus rows)
     val members = withH.select(col("doc_id"), col("h")).join(reps, "h")
-      .select(col("doc_id"), col("rep"), col("m")).localCheckpoint()
+      .select(col("doc_id"), col("rep"), col("m")).cutLineage()
     val canon = docs.join(members.filter(col("doc_id") === col("rep"))
       .select("doc_id"), Seq("doc_id"), "left_semi")
     // the candidate list feeds BOTH the candidate-doc semi-join and the
     // final pair filter; it is output-sized (pairs, not corpus), so
     // materialize it once instead of re-running signatures + banding
-    val cand = minhashCandidates(canon, numPerm, rowsPerBand).localCheckpoint()
+    val cand = minhashCandidates(canon, numPerm, rowsPerBand).cutLineage()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candCorpus = canon.join(candDocs, Seq("doc_id"), "left_semi")
@@ -196,7 +197,7 @@ object Dedup {
     // the cluster relation feeds BOTH branches below (rank-1 pick and
     // the loner anti-join) — checkpoint it once or the whole iterative
     // CC pipeline executes twice (measured 2x at the 20x probe)
-    val clusters = nearDupClusters(docs, threshold).localCheckpoint()
+    val clusters = nearDupClusters(docs, threshold).cutLineage()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id").asc)
     val best = clusters
@@ -230,7 +231,7 @@ object Dedup {
       // md5 is null on both sides), matching GROUP BY null semantics
       .join(groups, col("h") <=> col("gh"))
       .select("doc_id", "canon", "n_copies")
-      .localCheckpoint()
+      .cutLineage()
     val canonCorpus = docs.join(
       canonMap.filter(col("doc_id") === col("canon")).select("doc_id"),
       Seq("doc_id"), "left_semi")
@@ -259,10 +260,10 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-      .localCheckpoint()
+      .cutLineage()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -277,7 +278,7 @@ object Dedup {
         .join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("neighbor_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .cutLineage()
       // old_lbl rides along so convergence is a filter on the
       // materialized round output — no extra join against last round
       val next = stepped.as("s")
@@ -285,7 +286,7 @@ object Dedup {
           col("s.lbl") === col("t.p"), "left")
         .select(col("s.doc_id").as("doc_id"), col("s.old_lbl").as("old_lbl"),
           least(col("s.lbl"), coalesce(col("p_lbl"), col("s.lbl"))).as("lbl"))
-        .localCheckpoint()
+        .cutLineage()
       converged = next.filter(col("lbl") =!= col("old_lbl")).isEmpty
       labels = next.select("doc_id", "lbl")
       i += 1
@@ -499,7 +500,7 @@ object Dedup {
   private def containmentStats(docs: DataFrame,
                                numPerm: Int, rowsPerBand: Int): DataFrame = {
     val canon = canonicalDocs(docs)
-    val cand = minhashCandidates(canon, numPerm, rowsPerBand).localCheckpoint()
+    val cand = minhashCandidates(canon, numPerm, rowsPerBand).cutLineage()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shingles(canon.join(candDocs, Seq("doc_id"), "left_semi"))
@@ -578,7 +579,7 @@ object Dedup {
     val canon = docs.join(
       docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
         .select("doc_id"), Seq("doc_id"), "left_semi")
-    val cand = minhashCandidates(canon, numPerm, rowsPerBand).localCheckpoint()
+    val cand = minhashCandidates(canon, numPerm, rowsPerBand).cutLineage()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candCorpus = docs.join(candDocs, Seq("doc_id"), "left_semi")
@@ -723,8 +724,8 @@ object Dedup {
     val pmap = p.select(col("doc_id"), md5(col("text")).as("h"))
     // rep tables are distinct-text-sized and each feeds two consumers
     // (the rep semi-join and the final fan-out) — materialize once
-    val dreps = dmap.groupBy("h").agg(min(col("doc_id")).as("doc_id")).localCheckpoint()
-    val preps = pmap.groupBy("h").agg(min(col("doc_id")).as("doc_id")).localCheckpoint()
+    val dreps = dmap.groupBy("h").agg(min(col("doc_id")).as("doc_id")).cutLineage()
+    val preps = pmap.groupBy("h").agg(min(col("doc_id")).as("doc_id")).cutLineage()
     val dcorp = docs.join(dreps.select("doc_id"), Seq("doc_id"), "left_semi")
     val pcorp = p.join(preps.select("doc_id"), Seq("doc_id"), "left_semi")
     // candidate list is output-sized and feeds three consumers
@@ -734,7 +735,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("probe_id"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     val dsh = shingles(dcorp.join(cand.select("doc_id"), Seq("doc_id"), "left_semi"))
     val psh = shingles(pcorp.join(
         cand.select(col("probe_id").as("doc_id")), Seq("doc_id"), "left_semi"))

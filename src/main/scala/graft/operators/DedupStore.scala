@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Materialized near-duplicate PAIR substrate — the staged form of the
   * work every near-dup decision shares. A production dedup pipeline
@@ -153,13 +154,13 @@ object DedupStore {
     val members = withH.as("w")
       .join(matched.as("g"), col("w.h") <=> col("g.h"))
       .select(col("w.doc_id"), col("g.rep"))
-      .localCheckpoint()
+      .cutLineage()
     // new reps: batch groups whose text the store has never seen
     val newRepIds = matched.filter(col("rep") === col("brep")).select(col("brep").as("doc_id"))
-    val canonNew = newDocs.join(newRepIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    val canonNew = newDocs.join(newRepIds, Seq("doc_id"), "left_semi").cutLineage()
     val shNew = Dedup.shingles(canonNew)
       .select(col("doc_id"), md5(col("shingle")).as("sh"))
-      .localCheckpoint()
+      .cutLineage()
     val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val reps = canonNew
       .select(col("doc_id").as("rep"), md5(col("text")).as("h"),
@@ -168,7 +169,7 @@ object DedupStore {
       .join(sizesNew.select(col("doc_id").as("rep"), col("n_sh")), Seq("rep"), "left")
       .select(col("rep"), col("h"), col("shingleable"),
         coalesce(col("n_sh"), lit(0L)).as("n_sh"))
-    val bandsNew = Dedup.bandKeys(canonNew, NumPerm, RowsPerBand).localCheckpoint()
+    val bandsNew = Dedup.bandKeys(canonNew, NumPerm, RowsPerBand).cutLineage()
     // candidates touching the batch: new bands against (old ∪ new)
     // bands — old×old pairs already live in earlier deltas
     val allBands = existing("bands")
@@ -179,7 +180,7 @@ object DedupStore {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     // verify: exact shingle intersections for the new candidate pairs,
     // reading the OLD side from the staged shingle index. The join is
     // PAIR-DRIVEN (cand → shingles(doc_a) → shingles(doc_b) on
@@ -237,7 +238,7 @@ object DedupStore {
     if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    val ids = docIds.select(col("doc_id")).distinct().cutLineage()
     // LIVE members once: the liveness gate, the affected-group scan
     // and the re-election all read this one relation
     val mem = readFrom(spark, deltas, "members")
@@ -415,15 +416,8 @@ object DedupStore {
     * compaction collapses folded history, so travel reaches only
     * versions newer than the last compaction. */
   private def deltasAt(spark: SparkSession, path: String,
-                       maxTag: String): Seq[String] = {
-    val vis = DeltaStore.committedDeltas(spark, path).filter { d =>
-      new org.apache.hadoop.fs.Path(d).getName.stripPrefix("delta-") <= maxTag
-    }
-    require(vis.nonEmpty,
-      s"no committed deltas at or before version $maxTag under $path " +
-        "(compaction may have collapsed that history)")
-    vis
-  }
+                       maxTag: String): Seq[String] =
+    DeltaStore.visibleAt(spark, path, maxTag) // numeric-tag contract
 
   /** Same S-curve sanity gate as [[Dedup.verifiedNearDups]]: the staged
     * banding's candidate recall must cover the requested threshold. */
@@ -522,8 +516,8 @@ object DedupStore {
     var alive = cls.join(endpoints, Seq("rep"), "left_semi")
       .unionByName(cls.join(endpoints, Seq("rep"), "left_anti")
         .filter(col("intra") >= 1))
-      .localCheckpoint()
-    var e = e0.localCheckpoint()
+      .cutLineage()
+    var e = e0.cutLineage()
     def weightedDegrees(): DataFrame = {
       val dir = e.select("a", "b")
         .union(e.select(col("b").as("a"), col("a").as("b")))
@@ -541,10 +535,10 @@ object DedupStore {
     var converged = false
     while (round < rounds && !converged) {
       alive = weightedDegrees().filter(col("degree") >= k)
-        .select("rep", "m", "intra").localCheckpoint()
+        .select("rep", "m", "intra").cutLineage()
       e = e.join(alive.select(col("rep").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("rep").as("b")), Seq("b"), "left_semi")
-        .select("a", "b").localCheckpoint()
+        .select("a", "b").cutLineage()
       val n = alive.count()
       converged = n == prev
       prev = n
@@ -582,15 +576,15 @@ object DedupStore {
     require(k >= 3 && rounds >= 1, s"need k >= 3, rounds >= 1; got k=$k, rounds=$rounds")
     requireThreshold(threshold)
     val mem = membersWithM(spark, path)
-    val clsM = mem.groupBy("rep").agg(max("m").as("m")).localCheckpoint()
+    val clsM = mem.groupBy("rep").agg(max("m").as("m")).cutLineage()
     var intra = clsM
       .join(reps(spark, path).filter(col("shingleable")).select("rep"), Seq("rep"), "left_semi")
       .filter(col("m") >= 2)
-      .select("rep", "m").localCheckpoint()
+      .select("rep", "m").cutLineage()
     var cross = repPairsAt(spark, path, threshold)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     def dirCross = cross.select(col("a").as("r"), col("b").as("s"))
       .union(cross.select(col("b").as("r"), col("a").as("s")))
     def intraSupports(): DataFrame = {
@@ -624,9 +618,9 @@ object DedupStore {
     var converged = false
     while (round < rounds && !converged) {
       val keepI = intraSupports().filter(col("support") >= k - 2)
-        .select("rep", "m").localCheckpoint()
+        .select("rep", "m").cutLineage()
       val keepX = crossSupports().filter(col("support") >= k - 2)
-        .select("a", "b").localCheckpoint()
+        .select("a", "b").cutLineage()
       intra = keepI
       cross = keepX
       val n = intra.count() + cross.count()
@@ -671,11 +665,11 @@ object DedupStore {
       .join(reps(spark, path).select("rep", "shingleable"), Seq("rep"), "left")
       .select(col("rep"), col("m"),
         (coalesce(col("shingleable"), lit(false)) && col("m") >= 2).as("i"))
-      .localCheckpoint()
+      .cutLineage()
     val e = repPairsAt(spark, path, threshold)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val dir = e.select(col("a").as("r"), col("b").as("s"))
       .union(e.select(col("b").as("r"), col("a").as("s")))
     val nbr = dir
@@ -737,11 +731,11 @@ object DedupStore {
       .join(reps(spark, path).select("rep", "shingleable"), Seq("rep"), "left")
       .select(col("rep"), col("m"),
         (coalesce(col("shingleable"), lit(false)) && col("m") >= 2).as("i"))
-      .localCheckpoint()
+      .cutLineage()
     val e = repPairsAt(spark, path, threshold)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val dir = e.select(col("a").as("r"), col("b").as("s"))
       .union(e.select(col("b").as("r"), col("a").as("s")))
     val n1 = dir
@@ -804,18 +798,18 @@ object DedupStore {
       .join(reps(spark, path).select("rep", "shingleable"), Seq("rep"), "left")
       .select(col("rep"), col("m"),
         (coalesce(col("shingleable"), lit(false)) && col("m") >= 2).as("i"))
-      .localCheckpoint()
+      .cutLineage()
     val e = repPairsAt(spark, path, threshold)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .distinct()
     val nb = e.select(col("a").as("node"), col("b").as("nbr"))
       .union(e.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint()
+      .cutLineage()
     // hop-capped frontier BFS on the rep graph (Graph.clusterDiameters'
     // loop, rep-sized): dist = every (x, y) rep pair within maxD hops
     var dist = nb.select(col("node").as("x"), col("nbr").as("y"))
-      .withColumn("d", lit(1L)).localCheckpoint()
+      .withColumn("d", lit(1L)).cutLineage()
     var frontier = dist
     var h = 2
     var done = false
@@ -826,9 +820,9 @@ object DedupStore {
         .select(col("x"), col("y2").as("y")).distinct()
         .join(dist, Seq("x", "y"), "left_anti")
         .withColumn("d", lit(h.toLong))
-        .localCheckpoint()
+        .cutLineage()
       done = next.isEmpty
-      if (!done) dist = dist.union(next).localCheckpoint()
+      if (!done) dist = dist.union(next).cutLineage()
       frontier = next
       h += 1
     }
@@ -872,7 +866,7 @@ object DedupStore {
     val e = repPairsAt(spark, path, threshold)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val dir = e.select(col("a").as("r"), col("b").as("s"))
       .union(e.select(col("b").as("r"), col("a").as("s")))
     // rep pairs sharing at least one rep-level neighbor
@@ -976,7 +970,7 @@ object DedupStore {
       .distinct()
     val dir = e.select(col("a").as("r"), col("b").as("s"))
       .union(e.select(col("b").as("r"), col("a").as("s")))
-      .localCheckpoint()
+      .cutLineage()
     val nbrSum = dir
       .join(clsM.select(col("rep").as("s"), col("m").as("ms")), "s")
       .groupBy("r").agg(sum("ms").as("nsum"))
@@ -986,7 +980,7 @@ object DedupStore {
         (when(col("i"), col("m") - 1).otherwise(0L) +
           coalesce(col("nsum"), lit(0L))).cast("long").as("d"))
       .filter(col("d") >= 1)
-      .localCheckpoint()
+      .cutLineage()
     (cls, dir)
   }
 
@@ -1032,7 +1026,7 @@ object DedupStore {
           (lit(teleport) + expr(
             "(85 * (IF(i, (m - 1) * c, CAST(0 AS BIGINT)) + coalesce(xs, CAST(0 AS BIGINT)))) div 100"))
             .as("rank"))
-      if (it % 3 == 0 || it == iterations) ranks = ranks.localCheckpoint()
+      if (it % 3 == 0 || it == iterations) ranks = ranks.cutLineage()
     }
     val inGraph = mem.join(ranks, Seq("rep"))
       .select(col("doc_id").as("node"), col("rank"))
@@ -1070,7 +1064,7 @@ object DedupStore {
     val cls = cls0.join(seedCounts, Seq("rep"))
       .select(col("rep"), col("m"), col("i"), col("d"),
         col("msd"), (col("m") - col("msd")).as("mns"))
-      .localCheckpoint()
+      .cutLineage()
     val nSeeds = mem.filter(col("doc_id") % seedMod === 0).count()
     require(nSeeds > 0, s"personalized pagerank: no seeds under mod $seedMod")
     val r0 = Graph.TotalMass / nSeeds
@@ -1092,7 +1086,7 @@ object DedupStore {
             .as("rs"),
           expr("(85 * (IF(i, t - cn, CAST(0 AS BIGINT)) + coalesce(xs, CAST(0 AS BIGINT)))) div 100")
             .as("rn"))
-      if (it % 3 == 0 || it == iterations) ranks = ranks.localCheckpoint()
+      if (it % 3 == 0 || it == iterations) ranks = ranks.cutLineage()
     }
     val inGraph = mem.join(ranks, Seq("rep"))
       .select(col("doc_id").as("node"),
@@ -1140,7 +1134,7 @@ object DedupStore {
       .select(col("rep"),
         least(when(col("i"), col("sm")), col("minN")).as("lr"),
         when(col("m") >= 2, least(col("rep"), col("minN"))).as("ln"))
-      .localCheckpoint()
+      .cutLineage()
     if (iterations >= 2) {
       val repFromNon = cls.filter(col("m") >= 2)
         .select(col("rep").as("dr"), lit(0).as("dt"),
@@ -1161,7 +1155,7 @@ object DedupStore {
         .join(srcSub.select(col("rep").as("s"), col("st"), col("w")), "s")
         .select(col("r").as("dr"), col("dt"), col("s").as("sr"), col("st"), col("w"))
       val voteEdges = repFromNon.unionByName(nonFromRep).unionByName(nonFromNon)
-        .unionByName(crossVotes).localCheckpoint()
+        .unionByName(crossVotes).cutLineage()
       for (_ <- 2 to iterations) {
         val sl = labels.select(col("rep"), lit(0).as("t"), col("lr").as("label"))
           .union(labels.filter(col("ln").isNotNull)
@@ -1179,7 +1173,7 @@ object DedupStore {
             Seq("rep"), "left")
           .join(win.filter(col("t") === 1).select(col("rep"), col("label").as("ln")),
             Seq("rep"), "left")
-          .localCheckpoint()
+          .cutLineage()
       }
     }
     cls.join(labels, Seq("rep"))
@@ -1218,7 +1212,7 @@ object DedupStore {
   def modularityDecomp(spark: SparkSession, path: String,
                        iterations: Int = 3, threshold: Double = 0.8): DataFrame = {
     requireThreshold(threshold)
-    val lab = lpRepLabels(spark, path, iterations, threshold).localCheckpoint()
+    val lab = lpRepLabels(spark, path, iterations, threshold).cutLineage()
     val e = repPairsAt(spark, path, threshold)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
@@ -1227,7 +1221,7 @@ object DedupStore {
       col("lr").as("lra"), col("ln").as("lna"))
     val labB = lab.select(col("rep").as("b"), col("m").as("mb"),
       col("lr").as("lrb"), col("ln").as("lnb"))
-    val ej = e.join(labA, "a").join(labB, "b").localCheckpoint()
+    val ej = e.join(labA, "a").join(labB, "b").cutLineage()
     val mTot = lab.filter(col("i")).agg(
         coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("mi"))
       .crossJoin(ej.agg(coalesce(sum(col("ma") * col("mb")), lit(0L)).as("mx")))
@@ -1300,7 +1294,7 @@ object DedupStore {
     * ranking feature n_chars; all pairwise work is staged). */
   def keepBest(docs: DataFrame, path: String, threshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
-    val clusters = nearDupClusters(spark, path, threshold).localCheckpoint()
+    val clusters = nearDupClusters(spark, path, threshold).cutLineage()
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     val best = clusters

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Iterative graph computation over document-relation graphs — the
   * general pattern behind link analysis, label propagation and
@@ -49,7 +50,7 @@ object Graph {
     val e = pairs
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
@@ -84,7 +85,7 @@ object Graph {
     val e = Dedup.minhashCandidates(canon)
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     commonNeighborsFrom(e, k)
   }
 
@@ -96,7 +97,7 @@ object Graph {
     commonNeighborsFrom(
       cands.select(least(col("doc_a"), col("doc_b")).as("a"),
           greatest(col("doc_a"), col("doc_b")).as("b"))
-        .distinct().localCheckpoint(), k)
+        .distinct().cutLineage(), k)
 
   /** The wedge-count core of [[commonNeighbors]] over any (a < b) edge
     * relation — split out so specs can drive planted graph topologies
@@ -129,7 +130,7 @@ object Graph {
   def adamicAdarFromCandidates(cands: DataFrame, k: Int = 10): DataFrame = {
     val e = cands.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val nb = e.select(col("a").as("node"), col("b").as("nbr"))
       .union(e.select(col("b").as("node"), col("a").as("nbr")))
     val deg = nb.groupBy("node").agg(count(lit(1)).as("deg"))
@@ -178,7 +179,7 @@ object Graph {
     // once — the SAME edge relation feeds all iterations
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .cutLineage()
     val nodes = docs.select(col("doc_id").as("node"))
     val n = nodes.count()
     require(n > 0, "empty graph")
@@ -202,7 +203,7 @@ object Graph {
       // task failure would recompute the whole chain. Every 3rd round
       // (and the last) materializes the node-cardinality rank relation
       // and restarts lineage from it.
-      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 || i == iterations) ranks = ranks.cutLineage()
     }
     ranks
   }
@@ -231,9 +232,9 @@ object Graph {
       .distinct()
     val nb = e.select(col("a").as("node"), col("b").as("nbr"))
       .union(e.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint()
+      .cutLineage()
     var dist = nb.select(col("node").as("x"), col("nbr").as("y"))
-      .withColumn("d", lit(1L)).localCheckpoint()
+      .withColumn("d", lit(1L)).cutLineage()
     var frontier = dist
     var h = 2
     var done = false
@@ -244,9 +245,9 @@ object Graph {
         .select(col("x"), col("y2").as("y")).distinct()
         .join(dist, Seq("x", "y"), "left_anti")
         .withColumn("d", lit(h.toLong))
-        .localCheckpoint()
+        .cutLineage()
       done = next.isEmpty
-      if (!done) dist = dist.union(next).localCheckpoint()
+      if (!done) dist = dist.union(next).cutLineage()
       frontier = next
       h += 1
     }
@@ -269,7 +270,7 @@ object Graph {
   def bridgeEdges(pairs: DataFrame): DataFrame = {
     val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val nb = e.select(col("a").as("node"), col("b").as("nbr"))
       .union(e.select(col("b").as("node"), col("a").as("nbr")))
     // an (a, b) edge has support > 0 iff some w is adjacent to both
@@ -291,7 +292,7 @@ object Graph {
   def egoSizes(pairs: DataFrame): DataFrame = {
     val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val nb = e.select(col("a").as("node"), col("b").as("nbr"))
       .union(e.select(col("b").as("node"), col("a").as("nbr")))
     val one = nb.groupBy("node").agg(count(lit(1)).as("n_1hop"))
@@ -319,7 +320,7 @@ object Graph {
     * no Q mass. */
   def modularity(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
-      .localCheckpoint()
+      .cutLineage()
     val comm = labelPropagation(pairs, docs)
       .select(col("doc_id").as("node"), col("community"))
     val nbr = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
@@ -356,7 +357,7 @@ object Graph {
                                iterations: Int = 10, seedMod: Int = 7): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .cutLineage()
     val nodes = docs.select(col("doc_id").as("node"))
     val nSeeds = nodes.filter(col("node") % seedMod === 0).count()
     require(nSeeds > 0, s"personalized pagerank: no seeds under mod $seedMod")
@@ -374,7 +375,7 @@ object Graph {
         .select(col("node"),
           (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
             expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("rank"))
-      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 || i == iterations) ranks = ranks.cutLineage()
     }
     ranks
   }
@@ -460,7 +461,7 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val nbr = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     var labels = nbr.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to iterations) {
@@ -473,7 +474,7 @@ object Graph {
         .groupBy(col("a").as("node"))
         .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("best"))
         .select(col("node"), (-col("best.nl")).as("label"))
-        .localCheckpoint()
+        .cutLineage()
     }
     docs.select(col("doc_id"))
       .join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
@@ -494,7 +495,7 @@ object Graph {
     val e = pairs
       .select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val deg = e.select(col("a"), col("b"))
       .union(e.select(col("b").as("a"), col("a").as("b")))
       .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("degree"))
@@ -544,7 +545,7 @@ object Graph {
     }
     var e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     var prev = e.count()
     var round = 0
     var converged = false
@@ -552,7 +553,7 @@ object Graph {
       e = e.join(supports(e).filter(col("support") >= k - 2),
           Seq("a", "b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint()
+        .cutLineage()
       val n = e.count()
       converged = n == prev
       prev = n
@@ -578,7 +579,7 @@ object Graph {
   def jaccardLinkPred(cands: DataFrame, k: Int = 10): DataFrame = {
     val e = cands.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     val nb = e.select(col("a").as("node"), col("b").as("nbr"))
       .union(e.select(col("b").as("node"), col("a").as("nbr")))
     val deg = nb.groupBy("node").agg(count(lit(1)).as("deg"))
@@ -618,11 +619,11 @@ object Graph {
       .distinct()
     val nb = e.select(col("a").as("node"), col("b").as("nbr"))
       .union(e.select(col("b").as("node"), col("a").as("nbr")))
-      .localCheckpoint()
+      .cutLineage()
     var dist = nb.select("node").distinct()
       .filter(col("node") % seedMod === 0)
       .withColumn("hops", lit(0L))
-      .localCheckpoint()
+      .cutLineage()
     var frontier = dist
     var h = 1
     var done = frontier.isEmpty
@@ -631,9 +632,9 @@ object Graph {
         .select(col("nbr").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(h.toLong))
-        .localCheckpoint()
+        .cutLineage()
       done = next.isEmpty
-      if (!done) dist = dist.union(next).localCheckpoint()
+      if (!done) dist = dist.union(next).cutLineage()
       frontier = next
       h += 1
     }
@@ -655,7 +656,7 @@ object Graph {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got k=$k, rounds=$rounds")
     var e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     // early exit on a count fixed point is exact, not heuristic: a
     // peel round only ever REMOVES edges, so an unchanged edge count
     // means an unchanged edge set, and peeling a fixed point yields
@@ -675,7 +676,7 @@ object Graph {
       e = e.join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint()
+        .cutLineage()
       val n = e.count()
       converged = n == prev
       prev = n
@@ -755,7 +756,7 @@ object Graph {
     val spark = edges.sparkSession
     // materialize the deduplicated edge relation once at its natural
     // partitioning, then size the scan width from its measured count
-    val e0 = edges.select(col("c"), col("s")).distinct().localCheckpoint()
+    val e0 = edges.select(col("c"), col("s")).distinct().cutLineage()
     val Row(nEdges: Long, nHubs: Long, nAuths: Long) = e0.agg(
       count(lit(1)), countDistinct("c"), countDistinct("s")).head
     require(nHubs > 0, "empty bipartite graph")
@@ -831,9 +832,9 @@ object Graph {
           sums.withColumn("t", sum("raw").over(
             org.apache.spark.sql.expressions.Window
               .rowsBetween(Long.MinValue, Long.MaxValue)))
-            .localCheckpoint()
+            .cutLineage()
         else {
-          val cut = sums.localCheckpoint()
+          val cut = sums.cutLineage()
           cut.crossJoin(broadcast(cut.agg(sum("raw").as("t"))))
         }
       withTotal.select(col(outKey), renorm.as(outScore))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
   * dense (embedding-cosine) rankings — the modern search stack the
@@ -103,7 +104,7 @@ object Hybrid {
     val cr = TopK.rankedTopN(Ann.cosineAll(embeddings, queryVecId),
         "cos", "vec_id", depth, "rc")
       .select(col("vec_id").as("id"), col("rc"))
-    val both = bm.join(cr, "id").localCheckpoint()
+    val both = bm.join(cr, "id").cutLineage()
     val ra = TopK.rankedTopN(both.withColumn("nr", -col("rb")), "nr", "id", depth, "ra")
       .select(col("id"), col("ra").cast("long").as("ra"))
     val rc2 = TopK.rankedTopN(both.withColumn("nr", -col("rc")), "nr", "id", depth, "rcc")

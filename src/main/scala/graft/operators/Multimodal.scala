@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Multimodal-column plumbing: media payloads ride through the engine
   * as opaque binary columns with typed metadata beside them. The
@@ -165,7 +166,7 @@ object Multimodal {
                     maxDf: Int = 100): DataFrame = {
     val fr = frameSample(spark, docs)
       .select(col("doc_id"), col("frame_md5")).distinct()
-      .localCheckpoint()
+      .cutLineage()
     val rare = fr.groupBy("frame_md5").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("frame_md5")
     // sizes over the capped relation too: Jaccard ranges over the

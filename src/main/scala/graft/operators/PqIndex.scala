@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.DeltaStore
+import graft.Lineage._
 
 /** Staged product-quantization index — the TRAINED-ANN sibling of
   * [[AnnIndex]] (which stages the training-free LSH family). PQ and
@@ -138,7 +139,7 @@ object PqIndex {
     require(kind == "pq" || kind == "ivfpq",
       s"tombstone delete supports the ingesting stores (pq/ivfpq); '$kind' is " +
         "a single-delta build — rebuild it without the vectors instead")
-    val ids = vecIds.select(col("vec_id")).distinct().localCheckpoint()
+    val ids = vecIds.select(col("vec_id")).distinct().cutLineage()
     // batch-scaled liveness check: presence range-prunes via the
     // id-range sidecars (the rejectDuplicateIds discipline), the
     // tombstone side is delete-scaled by nature

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.Lineage._
 
 /** General relational/OLAP surface of the engine over the TPC-H-ish
   * tables. The reference exercises scan/filter/map/groupBy/sum/
@@ -888,7 +889,7 @@ object Relational {
         struct(col("ts"), col("event_id")))).over(wNext))
       .withColumn("next_c", min(when(col("event_type") === c,
         struct(col("ts"), col("event_id")))).over(wNext))
-      .localCheckpoint()
+      .cutLineage()
     val anchors = e.filter(col("event_type") === a && col("next_b").isNotNull)
       .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"),
         col("next_b.event_id").as("b_id"), col("next_b.ts").as("b_ts"))
@@ -1246,7 +1247,7 @@ object Relational {
       sum(micros(col("o_totalprice"))).as("mon_micros"))
       // customer-cardinality, feeds BOTH the boundary aggregate and
       // the scoring map — checkpointing avoids a second orders scan
-      .localCheckpoint()
+      .cutLineage()
     val bounds = perCust.agg(
       expr("percentile(last_day, array(0.25D, 0.5D, 0.75D))").as("rq"),
       expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").as("fq"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Materialized SEMANTIC near-duplicate pair substrate — the
   * [[DedupStore]] idea applied to the embedding side: the value
@@ -115,7 +116,7 @@ object SemanticStore {
       .filter(dot(col("v"), col("v")) > 0.0)
       .select(col("vec_id"), col("embedding"), col("v"),
         md5(to_json(col("v"))).as("vk"))
-      .localCheckpoint()
+      .cutLineage()
     // group the batch internally (min id per value)...
     val batchGroups = keyed.groupBy("vk").agg(min("vec_id").as("brep"))
     // ...then match against the store's groups: matched groups adopt
@@ -130,7 +131,7 @@ object SemanticStore {
     val members = keyed.as("w")
       .join(matched.as("g"), col("w.vk") === col("g.vk"))
       .select(col("w.vec_id"), col("g.rep"))
-      .localCheckpoint()
+      .cutLineage()
     // new reps: batch groups whose value the store has never seen.
     // selfcos replays the LIVE within-group pair arithmetic
     // ([[Ann.lshCosinePairs]]'s c_exact for identical vectors) so the
@@ -139,12 +140,12 @@ object SemanticStore {
       .select(col("brep").as("vec_id"))
     val canonNew = keyed.join(newRepIds, Seq("vec_id"), "left_semi")
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .localCheckpoint()
+      .cutLineage()
     val reps = canonNew.select(col("vec_id").as("rep"), col("vk"), col("embedding"),
       round(dot(col("v"), col("v")) / (col("nrm") * col("nrm")), 4).as("selfcos"))
     val bucketsNew = Ann.lshBuckets(
       canonNew.select(col("vec_id"), col("embedding")), NumTables, BitsPerTable)
-      .localCheckpoint()
+      .cutLineage()
     // candidates touching the batch: new buckets against (old ∪ new)
     val allBuckets = existing("buckets")
       .map(_.unionByName(bucketsNew)).getOrElse(bucketsNew)
@@ -195,7 +196,7 @@ object SemanticStore {
     if (DeltaStore.isCommitted(spark, path, tag)) return // replayed batch
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
-    val ids = vecIds.select(col("vec_id")).distinct().localCheckpoint()
+    val ids = vecIds.select(col("vec_id")).distinct().cutLineage()
     val mem = readFrom(spark, deltas, "members")
     val nMissing = ids.join(mem.select("vec_id"), Seq("vec_id"), "left_anti").count()
     require(nMissing == 0,
@@ -335,15 +336,8 @@ object SemanticStore {
     * ≤ maxTag); compaction collapses folded history, so travel
     * reaches only versions newer than the last compaction. */
   private def deltasAt(spark: SparkSession, path: String,
-                       maxTag: String): Seq[String] = {
-    val vis = DeltaStore.committedDeltas(spark, path).filter { d =>
-      new org.apache.hadoop.fs.Path(d).getName.stripPrefix("delta-") <= maxTag
-    }
-    require(vis.nonEmpty,
-      s"no committed deltas at or before version $maxTag under $path " +
-        "(compaction may have collapsed that history)")
-    vis
-  }
+                       maxTag: String): Seq[String] =
+    DeltaStore.visibleAt(spark, path, maxTag) // numeric-tag contract
 
   /** [[Ann.lshCosinePairs]] served from the store: rep-level pairs by
     * lookup, then the two exact-copy expansions (cross-group via the

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
+import graft.Lineage._
 
 /** Text-analysis operators for a training-data pipeline: language ID,
   * quality scoring, token counting and document fingerprinting. All
@@ -1119,7 +1120,7 @@ object TextAnalysis {
   def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
     val counts = graft.operators.Bm25.tokenize(docs)
       .groupBy("term").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // reused by every k point and the total
+      .cutLineage() // reused by every k point and the total
     val total = counts.agg(sum("n").as("total_tokens"))
     ks.map { k =>
       counts.orderBy(col("n").desc, col("term").asc).limit(k)
@@ -1174,7 +1175,7 @@ object TextAnalysis {
       .select(col("source"), explode(Text.rawTokens(col("text"))).as("term"))
       .filter(Text.keepToken(col("term")))
     val byClass = toks.groupBy("source", "term").agg(count(lit(1)).as("tf_c"))
-      .localCheckpoint()
+      .cutLineage()
     val termTotals = byClass.groupBy("term").agg(sum("tf_c").as("tf_all"))
     val a = byClass.agg(
       (sum("tf_c").cast("double") / countDistinct("source")).as("a"))
@@ -1267,7 +1268,7 @@ object TextAnalysis {
     val fps = winnowing(docs, k, w).select("doc_id", "fp").distinct()
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("fp")
-    val kept = fps.join(rare, Seq("fp"), "left_semi").localCheckpoint()
+    val kept = fps.join(rare, Seq("fp"), "left_semi").cutLineage()
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

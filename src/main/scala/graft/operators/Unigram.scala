@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Unigram-LM tokenizer TRAINING (Kudo 2018's subword regularization
   * trainer, the SentencePiece default) — the missing rung of the
@@ -185,20 +186,32 @@ object Unigram {
     * round's counts are lineage-cut: word-dictionary-sized. */
   private def trainedVocab(docs: DataFrame,
                            maxVocab: Int): (DataFrame, DataFrame) = {
-    val wc = wordDict(docs).localCheckpoint()
-    var vocab = mStep(seedPieces(wc, maxVocab).localCheckpoint())
+    val wc = wordDict(docs).cutLineage()
+    var vocab = mStep(seedPieces(wc, maxVocab).cutLineage())
     for (_ <- 1 to EmRounds)
-      vocab = mStep(eStep(wc, vocab).localCheckpoint())
+      vocab = mStep(eStep(wc, vocab).cutLineage())
     (vocab, wc)
   }
+
+  /** The trained (piece, cnt, cost) vocabulary as a relation — the
+    * offline artifact an encode deployment stages (the trained-ANN
+    * prestage convention: training is the one-off build, encoding is
+    * the serve measurand). */
+  def trainedVocabDf(docs: DataFrame, maxVocab: Int = 2048): DataFrame =
+    trainedVocab(docs, maxVocab)._1
 
   /** (doc_id, n_words, n_unigram_tokens): the corpus tokenized under
     * the trained vocabulary — per-word Viterbi piece counts (UNK
     * steps count as one piece each) broadcast-joined back to the
     * corpus tokens, the [[Bpe.encodeCorpus]] shape. */
-  def encodeCorpus(docs: DataFrame, maxVocab: Int = 2048): DataFrame = {
-    val (vocab, wc) = trainedVocab(docs, maxVocab)
-    val lens = segmentDict(wc, vocab)
+  def encodeCorpus(docs: DataFrame, maxVocab: Int = 2048): DataFrame =
+    encodeFrom(docs, trainedVocab(docs, maxVocab)._1)
+
+  /** [[encodeCorpus]] against an externally-staged trained vocab
+    * (piece, cost, …): the corpus-scaled work here is the word dict +
+    * the broadcast join — the training never reruns. */
+  def encodeFrom(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val lens = segmentDict(wordDict(docs).cutLineage(), vocab)
       .select(col("word"), size(col("pieces")).cast("long").as("n_sub"))
     Bm25.tokenize(docs)
       .filter(length(col("term")) <= MaxWordLen)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Lineage._
 
 /** Vector analytics beyond search: per-class centroids, distance
   * outliers, and k-NN label prediction over the embeddings table.
@@ -194,7 +195,7 @@ object Vectors {
       .agg(min("nb_id").as("rep_id"), min("mv").as("mv0"), min("n2").as("qb2"),
         count(lit(1)).as("grp_n"))
       .withColumnRenamed("mv0", "mv")
-      .localCheckpoint()
+      .cutLineage()
     val members = train.join(reps.select(col("vkey"), col("rep_id")), Seq("vkey"))
       .select("rep_id", "nb_id", "nb_label")
     // quantizer trained on a deterministic ~200-per-centroid sample of
@@ -233,7 +234,7 @@ object Vectors {
           reps.withColumn("features", array_to_vector(col("mv"))))
           .select(col("prediction").as("list_id"), col("rep_id"),
             col("mv").as("vr"), col("qb2"), col("grp_n"))
-          .localCheckpoint()
+          .cutLineage()
         val cents = model.clusterCenters.zipWithIndex
           .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list_id", "cv")
           .withColumn("c2", dotc(col("cv"), col("cv")))

@@ -54,6 +54,37 @@ object DeltaStore {
     all.filterNot(d => stale.contains(new Path(d).getName))
   }
 
+  /** The committed deltas visible AS OF snapshot `maxTag` — the one
+    * tag-ordering contract every time-travel reader shares. Tag
+    * strings only ORDER correctly when every committed tag has the
+    * zero-padded numeric shape: a delete tag like `del-01` (or a
+    * compact tag) sorts lexicographically AFTER every numeric
+    * version, so a numeric-maxTag snapshot on a store holding such
+    * deltas would silently RESURRECT deleted rows / skip folded
+    * history. Time travel is therefore defined ONLY on update-only
+    * (all-numeric-tag) stores and fails loudly otherwise — mutate a
+    * snapshot store and the next as-of read tells you, instead of
+    * serving a corrupt version (ADVICE r14). Compaction collapses
+    * history as before: travel reaches only versions newer than the
+    * last compaction. */
+  def visibleAt(spark: SparkSession, path: String, maxTag: String): Seq[String] = {
+    val deltas = committedDeltas(spark, path)
+    val tags = deltas.map(d => new Path(d).getName.stripPrefix("delta-"))
+    val nonNumeric = tags.filterNot(_.matches("[0-9]+"))
+    require(nonNumeric.isEmpty,
+      s"time travel requires numeric-only version tags, but $path holds " +
+        s"deltas tagged ${nonNumeric.mkString("'", "', '", "'")} — " +
+        "lexicographic order is undefined across delete/compact tags, and a " +
+        "numeric-maxTag snapshot would silently resurrect deleted rows; " +
+        "snapshot reads are supported on update-only stores")
+    val vis = deltas.filter(d =>
+      new Path(d).getName.stripPrefix("delta-") <= maxTag)
+    require(vis.nonEmpty,
+      s"no committed deltas at or before version $maxTag under $path " +
+        "(compaction may have collapsed that history)")
+    vis
+  }
+
   /** Delete superseded delta dirs a crashed compaction left behind
     * (invisible to readers, but they double the store's footprint). */
   private def sweepStale(fs: FileSystem, path: String): Unit = {

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.Bm25
+import graft.Lineage._
 
 /** Structured Streaming re-expression of the reference's streaming
   * jobs: the socket-windowed word count (reference
@@ -252,7 +253,7 @@ object Streams {
       .agg(count(lit(1)).as("n"))
     val drained = drainToMemory(spark, counts, OutputMode.Complete())
       .select(unix_millis(col("win.start")).as("win_start_ms"), col("event_type"), col("n"))
-      .localCheckpoint()
+      .cutLineage()
     val contrib = drained
       .select(col("win_start_ms"), col("event_type"), col("n"),
         explode(sequence(lit(0), lit(5))).as("k"))

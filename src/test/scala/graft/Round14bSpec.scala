@@ -85,15 +85,26 @@ class Round14bSpec extends AnyFunSuite {
     assert(got === crossBrute(0.45))
   }
 
-  test("semanticContamination rejects thresholds below the S-curve midpoint") {
+  test("semanticContamination rejects configs whose boundary-pair miss probability breaches the bound") {
     val probes = emb.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding"))
+    // 2 tables x 8 bits at threshold 0.05: p_bit ~ 0.52, p_table ~
+    // 0.005, miss ~ 0.99 — hopeless recall, must be rejected (the r15
+    // guard gates the MISS PROBABILITY the exactness contract needs,
+    // not the vacuous S-curve midpoint of r14)
     val ex = intercept[IllegalArgumentException] {
       Ann.semanticContamination(
         emb.filter(col("vec_id") % 5 =!= 0), probes,
         threshold = 0.05, numTables = 2, bitsPerTable = 8)
     }
-    assert(ex.getMessage.contains("S-curve"))
+    assert(ex.getMessage.contains("misses a threshold"))
+    // the default config sits just inside the declared 1% bound; a
+    // tighter bound rejects it loudly instead of over-promising
+    val ex2 = intercept[IllegalArgumentException] {
+      Ann.semanticContamination(
+        emb.filter(col("vec_id") % 5 =!= 0), probes, maxMissProb = 0.001)
+    }
+    assert(ex2.getMessage.contains("misses a threshold"))
   }
 
   test("streaming semantic screen: union over micro-batches equals the batch screen") {

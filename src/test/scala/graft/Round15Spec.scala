@@ -193,6 +193,37 @@ class Round15Spec extends AnyFunSuite {
     assert(pairs(p) === streamed)
   }
 
+  test("reliable-checkpoint flag serves identical rows through the same cuts") {
+    import graft.operators.{DedupStore, Graph}
+    import spark.implicits._
+    val edges = Seq((1L, 100L), (2L, 100L), (3L, 200L), (1L, 200L), (4L, 100L))
+      .toDF("c", "s")
+    def hitsRows() = Graph.hitsFrom(edges, driverRankBound = 0L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def dedupRows(p: String) = DedupStore.verifiedNearDups(spark, p).collect()
+      .map(_.toSeq).toSet
+    val p = tmp("r15rc")
+    DedupStore.build(plantedDocs, p)
+    val localHits = hitsRows()
+    val localPairs = dedupRows(p)
+    spark.conf.set(graft.Lineage.ReliableFlag, "true")
+    try {
+      assert(hitsRows() === localHits)
+      assert(dedupRows(p) === localPairs)
+    } finally spark.conf.unset(graft.Lineage.ReliableFlag)
+  }
+
+  test("time travel rejects a store holding non-numeric (delete) tags") {
+    val p = tmp("r15tt")
+    Bm25Index.build(plantedDocs, p)
+    Bm25Index.delete(plantedDocs.filter(col("doc_id") === 0).select("doc_id"), p, "del-01")
+    // without the guard, 'del-01' sorts after '00000' and the snapshot
+    // would silently resurrect the deleted doc
+    val e = intercept[IllegalArgumentException](
+      Bm25Index.scoreAt(spark, p, "00000"))
+    assert(e.getMessage.contains("numeric-only version tags"))
+  }
+
   test("query terms absent from the corpus serve an empty result") {
     val p = tmp("r15f")
     Bm25Index.build(plantedDocs, p)
