@@ -774,6 +774,11 @@ object SparkEntry {
     "q_unigram_encode" -> ((s, dir) =>
       Unigram.encodeFrom(Tables.documents(s, dir),
         s.read.parquet(unigramVocabFor(s, dir)))),
+    // the fertility equity metric under the unigram vocab — rides the
+    // same prestaged artifact; directly comparable to q_bpe_fertility
+    "q_unigram_fertility" -> ((s, dir) =>
+      Unigram.fertilityFrom(Tables.documents(s, dir),
+        s.read.parquet(unigramVocabFor(s, dir)))),
 
     // ---- Round-9 batch 2: unpivot/listagg export shapes, attribution
     // + concurrency over events, stratified/k-fold sampling, markup
@@ -5356,6 +5361,23 @@ object SparkEntry {
          |utokd AS (SELECT doc_id, term AS word FROM tok2 WHERE length(term) <= $mw)
          |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_unigram_tokens
          |FROM utokd JOIN ulens USING (word) GROUP BY doc_id""".stripMargin
+    },
+    // the encode replay aggregated by language — q_bpe_fertility's
+    // shape under the unigram vocab
+    "q_unigram_fertility" -> {
+      val nr = graft.operators.Unigram.EmRounds + 1
+      val mw = graft.operators.Unigram.MaxWordLen
+      s"""WITH RECURSIVE $unigramCte,
+         |${unigramSegRound(nr, s"v$nr")},
+         |ulens AS MATERIALIZED (SELECT word, len(pieces)::BIGINT AS n_sub FROM bk$nr WHERE pos = 0),
+         |utokd AS (SELECT doc_id, term AS word FROM tok2 WHERE length(term) <= $mw),
+         |uperdoc AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_unigram_tokens
+         |            FROM utokd JOIN ulens USING (word) GROUP BY doc_id)
+         |SELECT d.lang, sum(p.n_words)::BIGINT AS n_words,
+         |       sum(p.n_unigram_tokens)::BIGINT AS n_unigram_tokens,
+         |       round(sum(p.n_unigram_tokens)::DOUBLE / sum(p.n_words), 4) AS fertility
+         |FROM uperdoc p JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin
     },
     // wide per-flag metric block melted to (key, metric, value) —
     // UNION ALL is the relational spelling of the Expand

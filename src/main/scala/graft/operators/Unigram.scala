@@ -207,6 +207,20 @@ object Unigram {
   def encodeCorpus(docs: DataFrame, maxVocab: Int = 2048): DataFrame =
     encodeFrom(docs, trainedVocab(docs, maxVocab)._1)
 
+  /** (lang, n_words, n_unigram_tokens, fertility): tokenizer
+    * fertility per language under the trained unigram vocab — the
+    * [[Bpe.fertility]] equity metric on the ladder's top rung, so the
+    * two learned tokenizers compare on the same table. */
+  def fertilityFrom(docs: DataFrame, vocab: DataFrame): DataFrame =
+    encodeFrom(docs, vocab)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"),
+        sum("n_unigram_tokens").as("n_unigram_tokens"))
+      .select(col("lang"), col("n_words"), col("n_unigram_tokens"),
+        round(col("n_unigram_tokens").cast("double") / col("n_words"), 4)
+          .as("fertility"))
+
   /** [[encodeCorpus]] against an externally-staged trained vocab
     * (piece, cost, …): the corpus-scaled work here is the word dict +
     * the broadcast join — the training never reruns. */
