@@ -138,8 +138,14 @@ object Bench {
     val warnJson = warnings.map { case (k, v) => s""""$k":${jstr(v)}""" }
       .mkString("{", ",", "}")
     // the complete structured record: every query's seconds, written
-    // where the driver (and regression tracking) can always read it
-    val outFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
+    // where the driver (and regression tracking) can always read it.
+    // TARGETED runs (an explicit key filter) write bench_targeted.json
+    // instead — the r14 driver artifact's full per-key map was lost
+    // because a post-round 5-key isolated re-measure overwrote
+    // bench_out.json before it was archived; a partial run must never
+    // clobber the full-board record the next round's baseline needs
+    val outName = if (args.isEmpty) "bench_out.json" else "bench_targeted.json"
+    val outFile = java.nio.file.Paths.get(outName).toAbsolutePath
     val fullQs = results
       .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
     val rerunQs = reruns
