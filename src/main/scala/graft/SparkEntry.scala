@@ -1243,6 +1243,12 @@ object SparkEntry {
     // uniform — a broadcast plan + one map-side pass
     "q_budget_sample" -> ((s, dir) =>
       TextAnalysis.budgetSample(Tables.documents(s, dir))),
+    // the STREAMING budget sampler: the corpus-global plan is fixed
+    // before the drain, arriving docs sample statelessly per
+    // micro-batch — union over batches == the batch sample (theorem;
+    // shared oracle)
+    "q_stream_budget" -> ((s, dir) =>
+      graft.streaming.Streams.budgetSampleStream(s, dir)),
     // COMPACTION-then-serve on the text index: fold the build delta
     // and the %10==6 tombstone delta into ONE (the LSM reclamation
     // leg — deleted rows physically purge, stats re-derive), serving
@@ -2717,6 +2723,29 @@ object SparkEntry {
        |v1 AS MATERIALIZED (SELECT piece, $g - cnt * $g // (SELECT sum(cnt) FROM useed) AS cost FROM useed),
        |$rounds""".stripMargin
   }
+
+  /** One epoch of the token-budget mixture plan materialized — shared
+    * by the batch sampler and its streaming twin (the plan is fixed
+    * before the drain; per-doc membership is stateless, so the union
+    * over micro-batches equals the batch sample). */
+  private lazy val budgetSampleOracle: String =
+    s"""WITH $tfCte,
+       |pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_tok FROM tf GROUP BY doc_id),
+       |ps AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens
+       |       FROM documents JOIN pd USING (doc_id) GROUP BY source),
+       |tot AS (SELECT sum(pow(n_tokens::DOUBLE, 0.7)) AS sum_w FROM ps),
+       |plan AS (SELECT source,
+       |           least(1.0, round(floor(2000000.0 * (pow(n_tokens::DOUBLE, 0.7) / sum_w))
+       |                            / n_tokens, 4)) AS rate
+       |         FROM ps, tot),
+       |u AS (SELECT doc_id, source,
+       |             list_sum(list_transform(range(1, 9),
+       |               j -> (strpos('0123456789abcdef',
+       |                            substr(md5(doc_id::VARCHAR || ':budget'), j, 1)) - 1)::BIGINT
+       |                    << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
+       |      FROM documents)
+       |SELECT doc_id, u.source FROM u JOIN plan ON u.source = plan.source
+       |WHERE u.u < plan.rate""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -7017,24 +7046,10 @@ object SparkEntry {
         |WHERE c_exact >= 0.45""".stripMargin,
     // one epoch of the budget plan: the rate is the ROUNDED epochs
     // column (4 dp) capped at 1, membership by the md5 uniform
-    "q_budget_sample" ->
-      s"""WITH $tfCte,
-         |pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_tok FROM tf GROUP BY doc_id),
-         |ps AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens
-         |       FROM documents JOIN pd USING (doc_id) GROUP BY source),
-         |tot AS (SELECT sum(pow(n_tokens::DOUBLE, 0.7)) AS sum_w FROM ps),
-         |plan AS (SELECT source,
-         |           least(1.0, round(floor(2000000.0 * (pow(n_tokens::DOUBLE, 0.7) / sum_w))
-         |                            / n_tokens, 4)) AS rate
-         |         FROM ps, tot),
-         |u AS (SELECT doc_id, source,
-         |             list_sum(list_transform(range(1, 9),
-         |               j -> (strpos('0123456789abcdef',
-         |                            substr(md5(doc_id::VARCHAR || ':budget'), j, 1)) - 1)::BIGINT
-         |                    << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
-         |      FROM documents)
-         |SELECT doc_id, u.source FROM u JOIN plan ON u.source = plan.source
-         |WHERE u.u < plan.rate""".stripMargin,
+    "q_budget_sample" -> budgetSampleOracle,
+    // the streaming sampler drains to the SAME sample (the plan is
+    // pre-drain corpus-global state; membership is per-doc stateless)
+    "q_stream_budget" -> budgetSampleOracle,
     // per-source rollup of the exact (%97 verbatim) and fuzzy (%5
     // MinHash) screens' flag sets
     "q_contamination_report" ->

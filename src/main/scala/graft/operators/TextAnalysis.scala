@@ -1009,15 +1009,28 @@ object TextAnalysis {
     * broadcast sources-cardinality relation; the sample is one
     * filterless map-side pass over the corpus. */
   def budgetSample(docs: DataFrame, tau: Double = 0.7,
-                   budget: Long = 2000000L): DataFrame = {
-    val plan = tokenBudget(docs, tau, budget)
+                   budget: Long = 2000000L): DataFrame =
+    budgetSampleFrom(docs, budgetPlan(docs, tau, budget))
+
+  /** The per-source sampling rates of [[tokenBudget]]'s plan —
+    * rate = min(1, rounded epochs), the sources-cardinality relation
+    * a sampler broadcasts. */
+  def budgetPlan(docs: DataFrame, tau: Double = 0.7,
+                 budget: Long = 2000000L): DataFrame =
+    tokenBudget(docs, tau, budget)
       .select(col("source"), least(lit(1.0), col("epochs")).as("rate"))
-    docs.select(col("doc_id"), col("source"))
+
+  /** [[budgetSample]]'s membership pass over an arbitrary doc slice
+    * under a FIXED broadcast plan: a doc's membership depends only on
+    * itself and the plan (deterministic md5 uniform) — the stateless
+    * core that makes the streaming twin's union-over-batches equal
+    * the batch sample by construction. */
+  def budgetSampleFrom(rows: DataFrame, plan: DataFrame): DataFrame =
+    rows.select(col("doc_id"), col("source"))
       .join(broadcast(plan), "source")
       .withColumn("u", expr(hashU("concat(CAST(doc_id AS STRING), ':budget')")))
       .filter(col("u") < col("rate"))
       .select("doc_id", "source")
-  }
 
   /** (source, n_docs, n_exact, n_fuzzy): the CONTAMINATION REPORT —
     * per-source rollup of the screening family's flag sets (exact

@@ -1090,6 +1090,41 @@ object Streams {
     } finally probes.unpersist()
   }
 
+  /** (doc_id, source): the STREAMING budget sampler — one epoch of
+    * the [[graft.operators.TextAnalysis.tokenBudget]] mixture plan
+    * applied to ARRIVING documents. The plan is corpus-global state
+    * fixed BEFORE the drain (a mixture is planned against full-corpus
+    * token statistics, exactly like the static probe relation of the
+    * semantic screen); each micro-batch then joins the broadcast plan
+    * and keeps docs whose deterministic md5 uniform clears the
+    * per-source rate — a doc's membership depends only on itself and
+    * the plan, so union-over-batches == the batch sample is a theorem
+    * here (no cross-batch state), and the shared oracle checks it
+    * anyway. */
+  def budgetSampleStream(spark: SparkSession, dir: String,
+                         nBatches: Int = 3): DataFrame = {
+    require(nBatches > 0, s"nBatches must be positive, got $nBatches")
+    val tag = pathTag(dir + "|budget|" + nBatches)
+    val tmp = sys.props("java.io.tmpdir")
+    val src = s"$tmp/graft_budget_stream_src_$tag"
+    val outRoot = s"$tmp/graft_budget_stream_out_$tag"
+    deleteRecursive(spark, src)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val plan = graft.operators.TextAnalysis.budgetPlan(docs).persist()
+    try {
+      plan.count() // materialize the plan once, before the drain
+      val slices = docs.select("doc_id", "source")
+      (0 until nBatches).foreach { b =>
+        slices.filter(col("doc_id") % nBatches === b).coalesce(1)
+          .write.mode(if (b == 0) "overwrite" else "append").parquet(src)
+      }
+      val s = spark.readStream.schema(slices.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      serveStream(spark, s, outRoot)(batch =>
+        graft.operators.TextAnalysis.budgetSampleFrom(batch, plan))
+    } finally plan.unpersist()
+  }
+
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
     * upserted per micro-batch into a keyed parquet store — the
     * reference's STREAMING Mongo sink (MongoTFSink.java /

@@ -224,6 +224,19 @@ class Round15Spec extends AnyFunSuite {
     assert(e.getMessage.contains("numeric-only version tags"))
   }
 
+  test("streaming budget sampler: union over micro-batches equals the batch sample") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, SparkTestSession.sf)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = keyed(TextAnalysis.budgetSample(docs))
+    val streamed = keyed(
+      graft.streaming.Streams.budgetSampleStream(spark, SparkTestSession.sf))
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("query terms absent from the corpus serve an empty result") {
     val p = tmp("r15f")
     Bm25Index.build(plantedDocs, p)
