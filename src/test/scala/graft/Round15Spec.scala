@@ -71,6 +71,23 @@ class Round15Spec extends AnyFunSuite {
     assert(b0.getAs[Long]("max_tf") === 4L)
   }
 
+  test("blockmax combines across UPDATE deltas: sums/maxes/mins merge exactly; serving stays equal") {
+    import spark.implicits._
+    val p = tmp("r15u")
+    // split the planted corpus id-monotonically (the store's ingest
+    // contract): block-0 strong docs arrive in two batches, so the
+    // (term, block) bounds must COMBINE (n_rows sums, max_tf maxes,
+    // min_dl mins) across deltas for df and the gate to stay exact
+    Bm25Index.build(plantedDocs.filter(col("doc_id") < 8), p)
+    Bm25Index.update(plantedDocs.filter(col("doc_id") >= 8), p, "00001")
+    assert(rows(Bm25Index.blockMaxTopN(spark, p)) ===
+      rows(Bm25.searchTopN(plantedDocs)))
+    val bm = spark.read.parquet(s"$p/delta-00000/blockmax", s"$p/delta-00001/blockmax")
+    val spark0 = bm.filter(col("term") === "spark")
+      .agg(sum("n_rows"), max("max_tf")).head
+    assert(spark0.getLong(0) === 12L && spark0.getLong(1) === 4L)
+  }
+
   test("delete leg: deaddf keeps sidecar df exact — serving equals rebuild on survivors") {
     val p = tmp("r15c")
     Bm25Index.build(plantedDocs, p)
@@ -149,6 +166,23 @@ class Round15Spec extends AnyFunSuite {
     val e = Unigram.encodeCorpus(docs).collect()
     // every word yields >= 1 piece and 'worker' family needs >= 2
     assert(e.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
+  test("unigram: UNK single-char arcs keep segmentation total for unseen characters") {
+    import spark.implicits._
+    import graft.operators.Unigram
+    // train on a corpus, then encode a corpus containing a word whose
+    // characters never reached the trained vocab ('zq' digraphs are
+    // absent) — the UNK arc must still complete the DP, one piece per
+    // unseen char
+    val trainDocs = (0 until 20).map(i => (i.toLong, "alpha beta gamma")).toDF("doc_id", "text")
+    val vocab = Unigram.trainedVocabDf(trainDocs)
+    val probe = Seq((100L, "zqzq alpha")).toDF("doc_id", "text")
+    val enc = Unigram.encodeFrom(probe, vocab).head
+    // 'zqzq' -> 4 UNK single-char pieces; 'alpha' (5 chars, above the
+    // 4-char piece cap) -> 1-2 trained pieces
+    assert(enc.getLong(1) === 2L)   // n_words
+    assert(enc.getLong(2) >= 5L && enc.getLong(2) <= 6L)
   }
 
   test("unigram fertility sits between 1 and chars-per-word, alongside BPE's") {
