@@ -18,14 +18,15 @@ GATE = os.path.join(HERE, "bench_drift.py")
 FILLER = {f"q_filler_{i}": 0.8 for i in range(10)}
 
 
-def run(base_qs, new_qs, reruns, allow=None):
+def run(base_qs, new_qs, reruns, allow=None, reruns2=None):
     with tempfile.TemporaryDirectory() as d:
         basep = os.path.join(d, "base.json")
         newp = os.path.join(d, "new.json")
         json.dump({"_round": 14, "queries": {**FILLER, **base_qs}},
                   open(basep, "w"))
         json.dump({"queries": {**FILLER, **new_qs},
-                   "queries_rerun": reruns}, open(newp, "w"))
+                   "queries_rerun": reruns,
+                   "queries_rerun2": reruns2 or {}}, open(newp, "w"))
         # the gate reads the allowlist from its own directory; run it
         # against a copy so the repo allowlist is never the fixture
         gate_dir = os.path.join(d, "tools")
@@ -87,5 +88,36 @@ allow = {"q_real": {"round": 14, "note": "stale", "value": 1.95}}
 rc, out = run({"q_real": 1.0}, {"q_real": 2.0}, {"q_real": 1.95}, allow)
 check("expired allowlist entry does not excuse",
       rc == 1 and "expired" in out, out)
+
+# 8. Contended rerun window (r15 residual gap): the "isolated" rerun
+#    reads SLOWER than the board read — physically implausible for a
+#    clean measure — and there is no settle-pass reading. The key
+#    self-attributes as FLAP-SUSPECT instead of CONFIRMED (the exact
+#    r15 driver signature: q_argmax 0.372 board / 0.787 rerun on
+#    untouched code).
+rc, out = run({"q_wind": 1.0}, {"q_wind": 2.0}, {"q_wind": 2.6})
+check("rerun-slower-than-board self-attributes (exit 0, FLAP-SUSPECT)",
+      rc == 0 and "FLAP-SUSPECT q_wind" in out
+      and "rerun window was contended" in out, out)
+
+# 9. Same signature WITH a settle-pass reading that is flat -> FLAP.
+rc, out = run({"q_wind": 1.0}, {"q_wind": 2.0}, {"q_wind": 2.6},
+              reruns2={"q_wind": 1.05})
+check("suspect window + flat settle-pass is a flap",
+      rc == 0 and "FLAP q_wind" in out and "settle-pass flat" in out, out)
+
+# 10. Same signature with a settle-pass that REPRODUCES the breach ->
+#     the regression is real and still fails (no gate evasion).
+rc, out = run({"q_wind": 1.0}, {"q_wind": 2.0}, {"q_wind": 2.6},
+              reruns2={"q_wind": 1.95})
+check("suspect window + breaching settle-pass stays CONFIRMED",
+      rc == 1 and "CONFIRMED by settle-pass" in out, out)
+
+# 11. A live allowlist entry takes precedence over the suspect dance
+#     (a documented intended trade is explained, not re-litigated).
+allow = {"q_wind": {"round": 15, "note": "intended trade", "value": 2.0}}
+rc, out = run({"q_wind": 1.0}, {"q_wind": 2.0}, {"q_wind": 2.6}, allow)
+check("live allowlist entry beats FLAP-SUSPECT classification",
+      rc == 0 and "EXPLAINED" in out, out)
 
 print("all bench_drift scenarios pass")
