@@ -98,7 +98,13 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val qsBlock = txt.drop(math.max(0, txt.indexOf("\"queries\"")))
+        // Bound the scan to the queries OBJECT: a baseline refreshed
+        // verbatim from a bench_out.json carries a queries_rerun block
+        // whose isolated (lower) readings would otherwise overwrite
+        // board timings via toMap last-wins (ADVICE r15).
+        val fromQ = txt.drop(math.max(0, txt.indexOf("\"queries\"")))
+        val rerunAt = fromQ.indexOf("\"queries_rerun\"")
+        val qsBlock = if (rerunAt >= 0) fromQ.take(rerunAt) else fromQ
         """"(q_\w+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(qsBlock)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
@@ -122,6 +128,32 @@ object Bench {
         case _ => None
       }
     }
+    // Settle-pass (r15 verdict task 3): a rerun that reads AT OR
+    // ABOVE its board time is the contended-rerun-window signature —
+    // a clean isolated measure of the same code runs at or below its
+    // full-board time, so a slower rerun means the load spike spanned
+    // the rerun window too and the reading cannot CONFIRM anything
+    // (the r15 driver board: seven untouched keys re-read 1.2-2.1x
+    // their board times). Each such key gets ONE more reading after
+    // the whole rerun pass, behind a settle gap + GC, recorded as
+    // queries_rerun2 — tools/bench_drift.py adjudicates suspect keys
+    // on this reading (breach → confirmed, flat → flap) instead of
+    // trusting the contaminated one.
+    val suspectKeys = reruns.collect {
+      case (k, t) if resultsMapForRerun.get(k).exists(t >= _) => k
+    }
+    val reruns2: Seq[(String, Double)] =
+      if (suspectKeys.isEmpty) Seq.empty
+      else {
+        System.gc()
+        Thread.sleep(3000)
+        suspectKeys.flatMap { k =>
+          runOnce(fnByName(k)) match {
+            case (t, None) => Some(k -> t)
+            case _ => None
+          }
+        }
+      }
     val total = results.map(_._2).sum
     // locale-pinned formatting: the scala f-interpolator uses the JVM
     // default locale, which renders 0.603 as "0,603" under e.g. de_DE
@@ -150,8 +182,10 @@ object Bench {
       .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
     val rerunQs = reruns
       .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
+    val rerun2Qs = reruns2
+      .map { case (k, v) => s""""$k":${sec(v)}""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"warnings":$warnJson,"queries":$fullQs,"queries_rerun":$rerunQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"warnings":$warnJson,"queries":$fullQs,"queries_rerun":$rerunQs,"queries_rerun2":$rerun2Qs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(outFile, fullJson.getBytes("UTF-8"))
     // when run with an explicit filter, show exactly what was timed;
     // the driver's unfiltered run shows the fixed headline subset

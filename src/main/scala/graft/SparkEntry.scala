@@ -473,11 +473,14 @@ object SparkEntry {
     "q_phrase" -> ((s, dir) => Positional.phraseSearch(Tables.documents(s, dir))),
     "q_bm25f" -> ((s, dir) => Positional.bm25fScore(Tables.documents(s, dir))),
     "q_prf_search" -> ((s, dir) => Positional.expandedSearch(Tables.documents(s, dir))),
-    // query TABLE served from the staged index — same rows as the
-    // corpus-derived q_search_batch (shared oracle)
+    // query TABLE served from the staged index, BLOCK-MAX GATED since
+    // r16 (per-query θ over the shared doc-range blocks, survivor
+    // ranges unioned into one literal scan predicate — r15 verdict
+    // task 5) — same rows as the corpus-derived q_search_batch
+    // (shared oracle; the prune is admissible)
     "q_index_batch_search" -> ((s, dir) => {
       import s.implicits._
-      Bm25Index.batchSearch(s, indexFor(s, dir),
+      Bm25Index.blockMaxBatchSearch(s, indexFor(s, dir),
         Bm25.DemoQueries.toDF("query_id", "qtext"))
     }),
     // query STREAM served from the staged index (the reference's
@@ -1225,6 +1228,12 @@ object SparkEntry {
     // store's q_index_timetravel)
     "q_index_asof" -> ((s, dir) =>
       Bm25Index.scoreAt(s, asofIndexFor(s, dir), maxTag = "00000")),
+    // the block-max rung of the time-travel contract (r16): top-k
+    // served from the PINNED delta subset with sidecar coverage
+    // asserted on that subset — rows equal a rebuild on the pinned
+    // corpus (admissible prune; the same staged two-version store)
+    "q_index_asof_blockmax" -> ((s, dir) =>
+      Bm25Index.blockMaxTopNAt(s, asofIndexFor(s, dir), maxTag = "00000")),
     // data-constrained mixture planning: per-source token counts ->
     // temperature weights -> planned tokens and implied epochs under
     // a fixed token budget (metadata-sized; epochs > 1 = repetition)
@@ -2635,53 +2644,68 @@ object SparkEntry {
       |  WHERE s.it < 20)""".stripMargin
 
   /** One unrolled hard-EM round of the unigram-LM trainer
-    * ([[graft.operators.Unigram]]) as oracle CTEs: per-word arc MAP
-    * (piece-position → gridded cost, prebuilt OUTSIDE the recursion —
-    * a correlated vocab lookup inside a recursive CTE misfires on its
-    * first step in DuckDB 1.0), the forward integer Viterbi carrying
-    * the (cost, predecessor) list with the ORDER BY cost, j0 LIMIT 1
-    * tie-break (= Spark's array_min on the (cost, j0) struct), the
-    * backward path walk, and the M-step's floor-gridded costs over
-    * the in-vocab piece counts. Every quantity BIGINT — the grid
-    * contract that makes the replay exact. */
+    * ([[graft.operators.Unigram]]) as oracle CTEs, restructured in
+    * r16 for ENGINE-VERSION PORTABILITY (the r15 driver hash-mismatch
+    * was adjudicated as the oracle's recursive step evaluating
+    * differently across DuckDB versions — the correlated
+    * `ORDER BY cc, jj LIMIT 1` subquery and MAP lookups INSIDE the
+    * recursion were the suspect construct class). The replay now uses
+    * only elementary constructs in the recursive step:
+    *
+    *  - arcs are a DENSE per-word LIST of BIGINT costs indexed by
+    *    `(end-1)·MaxPieceLen + len` (NULL where no vocab arc; the
+    *    single-char slot falls back to the UNK cost), built OUTSIDE
+    *    the recursion and equi-JOINed in — no MAP type, no correlated
+    *    lookup;
+    *  - the per-position argmin is `list_min` over a
+    *    `list_transform(generate_series(...))` of PACKED BIGINTs
+    *    `(cost·128 + j0)` — integer min IS the (cost asc, j0 asc)
+    *    tie-break, exactly Spark's array_min on the (cost, j0) struct
+    *    (128 > MaxWordLen+1 bounds j0; missing arcs cost a sentinel
+    *    1e12 ≫ any reachable path cost ≤ MaxWordLen·Grid ≈ 6.4e10, so
+    *    they never win — the UNK arc guarantees a real candidate);
+    *  - the carried state `st` is a plain BIGINT list (packed), so
+    *    the backward walk reads `st[pos+1] % 128` for the winning
+    *    predecessor.
+    *
+    * Every quantity BIGINT — the grid contract that makes the replay
+    * exact; max packed value (6.4e10 + 1e12)·128 ≈ 1.4e14 ≪ 2⁶³. */
   private def unigramSegRound(n: Int, vprev: String): String = {
     val g = graft.operators.Unigram.Grid
     val mp = graft.operators.Unigram.MaxPieceLen
+    val pk = 128L          // packing radix: > MaxWordLen + 1 ≥ any j0
+    val sent = 1000000000000L // absent-arc sentinel ≫ max path cost
     s"""arcs$n AS MATERIALIZED (
-       |  SELECT w.word, w.freq, coalesce(a.arcs, map([]::VARCHAR[], []::BIGINT[])) AS arcs
-       |  FROM uwc w LEFT JOIN (
-       |    SELECT word, map_from_entries(list(struct_pack(
-       |             k := t.j0 || '_' || (t.j0 + l.len - 1), v := v.cost))) AS arcs
-       |    FROM uwc, unnest(generate_series(1, length(word))) AS t(j0),
-       |         unnest(generate_series(1, $mp)) AS l(len), $vprev v
-       |    WHERE t.j0 + l.len - 1 <= length(word)
-       |      AND v.piece = substr(word, t.j0::INT, l.len::INT)
-       |    GROUP BY word) a USING (word)),
-       |dp$n(word, freq, arcs, pos, st) AS (
-       |  SELECT word, freq, arcs, 0::BIGINT,
-       |         [struct_pack(cost := 0::BIGINT, j0 := 0::BIGINT)] FROM arcs$n
+       |  SELECT word, freq,
+       |         list(CASE WHEN len > e THEN NULL
+       |                   WHEN len = 1 THEN coalesce(cost, $g)
+       |                   ELSE cost END ORDER BY (e - 1) * $mp + len) AS arcs
+       |  FROM (SELECT s.word, s.freq, s.e, s.len, v.cost
+       |        FROM (SELECT w.word, w.freq, e.e, l.len,
+       |                     substr(w.word, greatest(1, e.e - l.len + 1)::INT, l.len::INT) AS piece
+       |              FROM uwc w,
+       |                   unnest(generate_series(1, length(w.word))) AS e(e),
+       |                   unnest(generate_series(1, $mp)) AS l(len)) s
+       |        LEFT JOIN $vprev v ON s.len <= s.e AND v.piece = s.piece)
+       |  GROUP BY word, freq),
+       |dp$n(word, freq, pos, st) AS (
+       |  SELECT word, freq, 0::BIGINT, [0::BIGINT] FROM arcs$n
        |  UNION ALL
-       |  SELECT word, freq, arcs, pos + 1, list_append(st, w)
-       |  FROM (
-       |    SELECT d.word, d.freq, d.arcs, d.pos, d.st,
-       |           (SELECT struct_pack(cost := cc, j0 := jj)
-       |            FROM (SELECT d.st[t.j0::INT].cost +
-       |                         CASE WHEN t.j0 = d.pos + 1
-       |                              THEN coalesce((d.arcs[t.j0 || '_' || (d.pos + 1)])[1], $g)
-       |                              ELSE (d.arcs[t.j0 || '_' || (d.pos + 1)])[1] END AS cc,
-       |                         t.j0 AS jj
-       |                  FROM unnest(generate_series(greatest(1, d.pos + 1 - ${mp - 1}), d.pos + 1)) AS t(j0))
-       |            WHERE cc IS NOT NULL
-       |            ORDER BY cc ASC, jj ASC LIMIT 1) AS w
-       |    FROM dp$n d WHERE d.pos < length(d.word))
+       |  SELECT d.word, d.freq, d.pos + 1,
+       |         list_append(d.st, list_min(list_transform(
+       |           generate_series(greatest(1, d.pos + 2 - $mp), d.pos + 1),
+       |           j0 -> (d.st[j0::INT] // $pk +
+       |                  coalesce(a.arcs[(d.pos * $mp + d.pos + 2 - j0)::INT], $sent))
+       |                 * $pk + j0)))
+       |  FROM dp$n d JOIN arcs$n a USING (word) WHERE d.pos < length(d.word)
        |),
        |dpf$n AS MATERIALIZED (SELECT word, freq, st FROM dp$n WHERE pos = length(word)),
        |bk$n(word, freq, pos, pieces) AS (
        |  SELECT word, freq, length(word)::BIGINT, []::VARCHAR[] FROM uwc
        |  UNION ALL
-       |  SELECT b.word, b.freq, d.st[(b.pos + 1)::INT].j0 - 1,
-       |         list_prepend(substr(b.word, d.st[(b.pos + 1)::INT].j0::INT,
-       |                             (b.pos - d.st[(b.pos + 1)::INT].j0 + 1)::INT), b.pieces)
+       |  SELECT b.word, b.freq, d.st[(b.pos + 1)::INT] % $pk - 1,
+       |         list_prepend(substr(b.word, (d.st[(b.pos + 1)::INT] % $pk)::INT,
+       |                             (b.pos - d.st[(b.pos + 1)::INT] % $pk + 1)::INT), b.pieces)
        |  FROM bk$n b JOIN dpf$n d USING (word) WHERE b.pos > 0)""".stripMargin
   }
 
@@ -2695,7 +2719,7 @@ object SparkEntry {
        |    SELECT unnest(pieces) AS piece, freq FROM bk$n WHERE pos = 0) s
        |  WHERE piece IN (SELECT piece FROM $vprev) GROUP BY 1),
        |v${n + 1} AS MATERIALIZED (
-       |  SELECT piece, $g - cnt * $g // (SELECT sum(cnt) FROM c$n) AS cost FROM c$n)""".stripMargin
+       |  SELECT piece, $g - cnt * $g // (SELECT sum(cnt)::BIGINT FROM c$n) AS cost FROM c$n)""".stripMargin
   }
 
   /** Shared head of the unigram oracles: kept-token word dict, seed
@@ -2720,7 +2744,7 @@ object SparkEntry {
        |useed AS MATERIALIZED (SELECT piece, cnt FROM (
        |         SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk FROM useedc)
        |       WHERE rk <= $mv),
-       |v1 AS MATERIALIZED (SELECT piece, $g - cnt * $g // (SELECT sum(cnt) FROM useed) AS cost FROM useed),
+       |v1 AS MATERIALIZED (SELECT piece, $g - cnt * $g // (SELECT sum(cnt)::BIGINT FROM useed) AS cost FROM useed),
        |$rounds""".stripMargin
   }
 
@@ -5391,7 +5415,7 @@ object SparkEntry {
       val g = graft.operators.Unigram.Grid
       val fc = s"c${graft.operators.Unigram.EmRounds}"
       s"""WITH RECURSIVE $unigramCte
-         |SELECT piece, cnt AS n, cnt * $g // (SELECT sum(cnt) FROM $fc) AS p FROM $fc""".stripMargin
+         |SELECT piece, cnt AS n, cnt * $g // (SELECT sum(cnt)::BIGINT FROM $fc) AS p FROM $fc""".stripMargin
     },
     // one more Viterbi segmentation round under the FINAL vocab gives
     // every dictionary word's piece count; join back to the corpus
@@ -7008,6 +7032,11 @@ object SparkEntry {
          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     // snapshot read: scores equal a rebuild on the pinned 4/5 corpus
     "q_index_asof" -> bm25RestrictedOracle("doc_id % 5 <> 0"),
+    // pinned BLOCK-MAX top-k: the admissible prune changes no row, so
+    // the oracle is the pinned rebuild's exact top-k
+    "q_index_asof_blockmax" ->
+      s"""${bm25RestrictedOracle("doc_id % 5 <> 0")}
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // compaction changes no served row: still corpus-minus-slice
     "q_index_compact" -> bm25RestrictedOracle("doc_id % 10 <> 6"),
     "q_ann_compact" -> lshTopKOracleSql("vec_id % 9 <> 2", 1L),

@@ -377,11 +377,25 @@ object Bm25Index {
     * delete delta deaddf) and fails loudly otherwise — compact or
     * rebuild a store that predates the sidecars. Tombstones only ever
     * RAISE the bounds (max over a superset), never break them. */
-  def blockMaxTopN(spark: SparkSession, path: String,
-                   queryTerms: Seq[String] = Bm25.QueryTerms,
-                   k: Int = 10): DataFrame = {
+  /** Sidecar-coverage gate shared by the block-max serves: the
+    * committed deltas split into update/delete legs, each leg
+    * carrying its sidecar (blockmax / deaddf) — fails loudly
+    * otherwise. */
+  private def blockmaxDeltas(spark: SparkSession,
+                             path: String): (Seq[String], Seq[String], Seq[String]) = {
     val deltas = committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")
+    val (upd, del) = requireSidecars(spark, path, deltas)
+    (deltas, upd, del)
+  }
+
+  /** The coverage assertion itself, over an EXPLICIT delta subset —
+    * shared by the live serves (all committed deltas) and the pinned
+    * snapshot serve (the `visibleAt` subset), so a snapshot at a
+    * pre-sidecar version fails as loudly as a live read would (r15
+    * verdict task 6), never silently diverging. */
+  private def requireSidecars(spark: SparkSession, path: String,
+                              deltas: Seq[String]): (Seq[String], Seq[String]) = {
     val fs = DeltaStore.fsOf(spark, deltas.head)
     def has(d: String, sub: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub"))
@@ -390,16 +404,30 @@ object Bm25Index {
     val missingBm = updDeltas.filterNot(has(_, "blockmax"))
     val missingDd = delDeltas.filterNot(has(_, "deaddf"))
     require(missingBm.isEmpty && missingDd.isEmpty,
-      s"store $path predates the block-max sidecars " +
+      s"store $path lacks full block-max sidecar coverage " +
         s"(${missingBm.size} update deltas without blockmax, " +
-        s"${missingDd.size} delete deltas without deaddf) — " +
-        "compact or rebuild to serve block-max")
-    val (postings, dlLive) = liveIndex(spark, deltas)
-    // combined per-(term, block) bounds across deltas: physical row
-    // counts sum, tf maxes, dl mins — all term-pruned at the sidecar
-    // scan (the sidecar is (terms x blocks)-sized, postings-free)
+        s"${missingDd.size} delete deltas without deaddf). Either the " +
+        "store predates the sidecars — compact or rebuild to serve " +
+        "block-max — or its doc_id column is non-integral or holds " +
+        "negative ids, in which case doc-range blocks are undefined and " +
+        "the sidecar is never written (compaction will NOT help; serve " +
+        "via indexMaxScore/searchTopN instead)")
+    (updDeltas, delDeltas)
+  }
+
+  /** (blocks, dfLive) for `terms`: combined per-(term, block) bounds
+    * across deltas (physical row counts sum, tf maxes, dl mins — all
+    * term-pruned at the sidecar scan; the sidecar is
+    * (terms x blocks)-sized, postings-free), plus the live per-term
+    * df reconstructed from sidecars alone (blockmax sums minus
+    * delete-delta deaddf) — provably equal to the live per-term
+    * posting row count, so block-restricted scans still score with
+    * GLOBAL stats. */
+  private def blockBounds(spark: SparkSession, updDeltas: Seq[String],
+                          delDeltas: Seq[String],
+                          terms: Seq[String]): (DataFrame, DataFrame) = {
     val blocks = spark.read.parquet(updDeltas.map(d => s"$d/blockmax"): _*)
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .groupBy("term", "block_id")
       .agg(sum("n_rows").as("n_rows"), max("max_tf").as("max_tf"),
         min("min_dl").as("min_dl"))
@@ -409,13 +437,60 @@ object Bm25Index {
         phys.select(col("term"), col("df_phys").as("df"))
       else {
         val dd = spark.read.parquet(delDeltas.map(d => s"$d/deaddf"): _*)
-          .filter(col("term").isin(queryTerms: _*))
+          .filter(col("term").isin(terms: _*))
           .groupBy("term").agg(sum("n_dead").as("n_dead"))
         phys.join(dd, Seq("term"), "left")
           .select(col("term"),
             (col("df_phys") - coalesce(col("n_dead"), lit(0L))).as("df"))
       }
     }
+    (blocks, dfLive)
+  }
+
+  /** Merge sorted block ids into contiguous [lo, hi) block ranges. */
+  private def mergedRanges(ids: Seq[Long]): List[(Long, Long)] =
+    ids.sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tl, b) if b == hi => (lo, b + 1) :: tl
+      case (acc, b) => (b, b + 1) :: acc
+    }
+
+  /** A short OR-of-doc_id-ranges LITERAL predicate over the merged
+    * blocks — it reaches the parquet scan, and row-group stats on the
+    * sorted doc_id do the skip. */
+  private def rangePredicate(ids: Seq[Long]): org.apache.spark.sql.Column =
+    mergedRanges(ids).map { case (lo, hi) =>
+      col("doc_id") >= lit(lo * BlockWidth) &&
+        col("doc_id") < lit(hi * BlockWidth)
+    }.reduce(_ || _)
+
+  def blockMaxTopN(spark: SparkSession, path: String,
+                   queryTerms: Seq[String] = Bm25.QueryTerms,
+                   k: Int = 10): DataFrame = {
+    val (deltas, updDeltas, delDeltas) = blockmaxDeltas(spark, path)
+    blockMaxServe(spark, deltas, updDeltas, delDeltas, queryTerms, k)
+  }
+
+  /** [[blockMaxTopN]] pinned at a store version — the [[scoreAt]]
+    * time-travel contract on the block-max rung. Resolves the
+    * `visibleAt` delta subset (numeric-only tags, update-only stores)
+    * and asserts SIDECAR COVERAGE ON THAT SUBSET: a snapshot pinned
+    * at a pre-sidecar version fails loudly exactly like the live
+    * serve (r15 verdict task 6), instead of silently serving
+    * unbounded blocks. Rows equal a [[Bm25.searchTopN]] rebuild on
+    * the pinned corpus (spec-pinned). */
+  def blockMaxTopNAt(spark: SparkSession, path: String, maxTag: String,
+                     queryTerms: Seq[String] = Bm25.QueryTerms,
+                     k: Int = 10): DataFrame = {
+    val deltas = DeltaStore.visibleAt(spark, path, maxTag)
+    val (updDeltas, delDeltas) = requireSidecars(spark, path, deltas)
+    blockMaxServe(spark, deltas, updDeltas, delDeltas, queryTerms, k)
+  }
+
+  private def blockMaxServe(spark: SparkSession, deltas: Seq[String],
+                            updDeltas: Seq[String], delDeltas: Seq[String],
+                            queryTerms: Seq[String], k: Int): DataFrame = {
+    val (postings, dlLive) = liveIndex(spark, deltas)
+    val (blocks, dfLive) = blockBounds(spark, updDeltas, delDeltas, queryTerms)
     val stats = dlLive.agg(count(col("doc_id")).as("n_docs"),
       avg(col("dl")).cast("double").as("avgdl"))
     val blockSum = blocks.join(broadcast(dfLive), "term")
@@ -434,18 +509,8 @@ object Bm25Index {
         case None => postings.filter(col("term").isin(queryTerms: _*))
         case Some(ids) if ids.isEmpty => postings.filter(lit(false))
         case Some(ids) =>
-          // merge adjacent blocks into contiguous doc_id ranges: a
-          // short OR-of-ranges literal predicate reaches the parquet
-          // scan and row-group stats on the sorted doc_id do the skip
-          val ranges = ids.sorted.foldLeft(List.empty[(Long, Long)]) {
-            case ((lo, hi) :: tl, b) if b == hi => (lo, b + 1) :: tl
-            case (acc, b) => (b, b + 1) :: acc
-          }
-          val pred = ranges.map { case (lo, hi) =>
-            col("doc_id") >= lit(lo * BlockWidth) &&
-              col("doc_id") < lit(hi * BlockWidth)
-          }.reduce(_ || _)
-          postings.filter(col("term").isin(queryTerms: _*) && pred)
+          postings.filter(col("term").isin(queryTerms: _*) &&
+            rangePredicate(ids))
       }
       pruned
         .join(broadcast(dfLive), "term")
@@ -484,10 +549,8 @@ object Bm25Index {
           val surv = blockSum.filter(col("usum") >= lit(theta - 1e-4))
             .select("block_id").limit(collectCap + 1)
             .collect().map(_.getLong(0)).toSeq
-          val nRanges = surv.sorted.foldLeft((0, Long.MinValue)) {
-            case ((n, hi), b) => if (b == hi) (n, b + 1) else (n + 1, b + 1)
-          }._1
-          if (surv.size > collectCap || nRanges > MaxSurvivorRanges) None
+          if (surv.size > collectCap ||
+            mergedRanges(surv).size > MaxSurvivorRanges) None
           else Some(surv)
         }
       }
@@ -508,5 +571,102 @@ object Bm25Index {
     require(deltas.nonEmpty, s"no committed deltas under $path")
     val (tf, dl) = liveIndex(spark, deltas)
     Bm25.batchScoreFrom(tf, dl, queries, k)
+  }
+
+  /** [[batchSearch]] with block-max gating (r15 verdict task 5 — the
+    * shelved rung that made the serving ladder inconsistent: the
+    * single-query path had [[blockMaxTopN]] while the batch path
+    * scanned term-pruned but block-UNGATED postings). Per-QUERY θ over
+    * the SHARED doc-range blocks, survivor ranges UNIONED into one
+    * literal predicate:
+    *
+    *  1. per-(query, block) sound bound sums from the (term x block)
+    *     sidecar joined to the tokenized query terms — one
+    *     DISTRIBUTED relation, no per-query driver loop;
+    *  2. per-query θ seeding as a WINDOW (blocks by bound-sum desc,
+    *     cumulative sidecar row counts until ≥ k — exactly
+    *     [[blockMaxTopN]]'s driver loop, made distributed), seed
+    *     ranges unioned across queries for ONE exact pass whose
+    *     per-query k-th score is θ_q (any scored superset only raises
+    *     θ_q toward the true k-th, so the prune stays admissible);
+    *  3. survivors per query = blocks with bound-sum ≥ θ_q − ε;
+    *     under-seeded queries (< k docs reachable from seeds) keep
+    *     ALL their blocks — per-query graceful degradation;
+    *  4. the survivor UNION becomes the merged-range literal on the
+    *     final exact scan, scored with the sidecar-reconstructed df
+    *     (spec-pinned equal to the live count), so rows equal
+    *     [[batchSearch]] exactly — shared oracle with q_search_batch.
+    *
+    * Driver syncs bounded: the distinct query-term list (the batch
+    * contract already broadcasts the query table; above the cap it
+    * serves unpruned), the seed-union ids, one θ relation
+    * (query-table-sized, broadcast), the survivor-union ids — each
+    * capped, every cap degrading to the unpruned scan. At the gate SF
+    * the extra jobs dominate; at 100 TB the skipped postings
+    * row-groups are the point (the reference serves its query loop
+    * one Mongo lookup at a time — file:line cited on [[batchSearch]]). */
+  def blockMaxBatchSearch(spark: SparkSession, path: String,
+                          queries: DataFrame, k: Int = 10): DataFrame = {
+    val (deltas, updDeltas, delDeltas) = blockmaxDeltas(spark, path)
+    val (postings, dlLive) = liveIndex(spark, deltas)
+    val qterms = Bm25.queryTermsOf(queries)
+    val termCap = 4096
+    val terms = qterms.select("term").distinct().limit(termCap + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty || terms.size > termCap)
+      return Bm25.batchScoreFrom(postings, dlLive, queries, k)
+    val (blocks, dfLive) = blockBounds(spark, updDeltas, delDeltas, terms)
+    val stats = dlLive.agg(count(col("doc_id")).as("n_docs"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    // per-(query, block) bound sums + per-block doc-count lower bound
+    val qb = blocks.join(broadcast(dfLive), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("block_id"), col("n_rows"),
+        Bm25.okapiTerm(col("max_tf"), col("df"), col("min_dl"),
+          col("avgdl"), col("n_docs")).as("u"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("block_id"))
+      .agg(sum("u").as("usum"), max("n_rows").as("docs_lb"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("usum").desc, col("block_id").asc)
+    val seeds = qb
+      .withColumn("rk", row_number().over(wq))
+      .withColumn("cum_prev", coalesce(
+        sum("docs_lb").over(wq.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("rk") <= 64 && col("cum_prev") < k)
+    val collectCap = MaxSurvivorRanges * 64
+    val seedIds = seeds.select("block_id").distinct()
+      .limit(collectCap + 1).collect().map(_.getLong(0)).toSeq
+    def exactBatch(blockIds: Option[Seq[Long]]): DataFrame = {
+      val base = postings.filter(col("term").isin(terms: _*))
+      val pruned = blockIds match {
+        case None => base
+        case Some(ids) => base.filter(rangePredicate(ids))
+      }
+      Bm25.batchScoreFrom(pruned, dlLive, queries, k, Some(dfLive))
+    }
+    val candidates: Option[Seq[Long]] =
+      if (seedIds.isEmpty) None // query terms absent: nothing to prune
+      else if (seedIds.size > collectCap ||
+        mergedRanges(seedIds).size > MaxSurvivorRanges) None
+      else {
+        // θ_q = the k-th best score among the seed-union docs for q;
+        // a query with fewer than k scored docs stays unpruned (its
+        // theta is NULL after the left join below)
+        val thetas = exactBatch(Some(seedIds))
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n"), min("score").as("theta"))
+          .filter(col("n") === k)
+          .select("query_id", "theta")
+        val surv = qb.join(broadcast(thetas), Seq("query_id"), "left")
+          .filter(col("theta").isNull || col("usum") >= col("theta") - 1e-4)
+          .select("block_id").distinct()
+          .limit(collectCap + 1).collect().map(_.getLong(0)).toSeq
+        if (surv.size > collectCap ||
+          mergedRanges(surv).size > MaxSurvivorRanges) None
+        else Some(surv)
+      }
+    exactBatch(candidates)
   }
 }

@@ -94,13 +94,34 @@ object Unigram {
       .groupBy(col("a.piece").as("piece")).agg(sum("freq").as("cnt"))
       .orderBy(col("cnt").desc, col("piece").asc).limit(maxVocab)
 
+  /** The grand count total, collected (counts are dictionary-sized —
+    * ≤ maxVocab rows, already lineage-cut at every call site — so the
+    * agg is a trivial job) WITH the overflow honesty guard: the grid
+    * step computes `cnt · Grid` in BIGINT under non-ANSI Spark, which
+    * wraps silently above 2⁶³; since cnt ≤ total, bounding
+    * total ≤ Long.MaxValue / Grid (≈ 9.2e9 aggregate piece mass)
+    * bounds every per-piece product. The SUM itself is detected too:
+    * it would need ≥ 2⁶³ mass to wrap, 10⁹× the guarded bound
+    * (ADVICE r15). */
+  private def checkedTotal(counts: DataFrame): Long = {
+    val row = counts.agg(sum("cnt")).head
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    require(total >= 0 && total <= Long.MaxValue / Grid,
+      s"aggregate piece count $total exceeds Long.MaxValue/Grid " +
+        s"(${Long.MaxValue / Grid}) — the integer probability grid " +
+        "would overflow; rescale counts (e.g. sample the training " +
+        "dictionary) before gridding")
+    total
+  }
+
   /** (piece, cnt, cost): the M-step — floor-gridded probabilities
-    * over the CURRENT counts, surrogate cost = Grid − p̂. */
-  private def mStep(counts: DataFrame): DataFrame = {
-    val total = counts.agg(sum("cnt").as("total"))
-    counts.crossJoin(broadcast(total))
-      .select(col("piece"), col("cnt"),
-        (lit(Grid) - expr(s"cnt * ${Grid}L div total")).as("cost"))
+    * over the CURRENT counts, surrogate cost = Grid − p̂. The total is
+    * a [[checkedTotal]] literal (same value the broadcast scalar
+    * carried; the collect IS the overflow guard). */
+  private[graft] def mStep(counts: DataFrame): DataFrame = {
+    val total = checkedTotal(counts)
+    counts.select(col("piece"), col("cnt"),
+      (lit(Grid) - expr(s"cnt * ${Grid}L div ${total}L")).as("cost"))
   }
 
   /** Forward pass of the per-word integer Viterbi as ONE codegen'd
@@ -175,10 +196,9 @@ object Unigram {
     * segmentation counts and floor-gridded probabilities. */
   def train(docs: DataFrame, maxVocab: Int = 2048): DataFrame = {
     val (vocab, _) = trainedVocab(docs, maxVocab)
-    val total = vocab.agg(sum("cnt").as("total"))
-    vocab.crossJoin(broadcast(total))
-      .select(col("piece"), col("cnt").as("n"),
-        expr(s"cnt * ${Grid}L div total").as("p"))
+    val total = checkedTotal(vocab)
+    vocab.select(col("piece"), col("cnt").as("n"),
+      expr(s"cnt * ${Grid}L div ${total}L").as("p"))
   }
 
   /** The trained (piece, cnt, cost) vocab + the word dict it was

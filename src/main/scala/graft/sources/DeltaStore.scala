@@ -77,8 +77,15 @@ object DeltaStore {
         "lexicographic order is undefined across delete/compact tags, and a " +
         "numeric-maxTag snapshot would silently resurrect deleted rows; " +
         "snapshot reads are supported on update-only stores")
+    require(maxTag.matches("[0-9]+"),
+      s"time travel version '$maxTag' is not a numeric tag")
+    // Compare NUMERICALLY, not lexicographically: variable-width
+    // numeric tags ('9' vs '10') pass the [0-9]+ guard yet misorder
+    // as strings, which would silently include future deltas in a
+    // snapshot (ADVICE r15). BigInt so no tag width can overflow.
+    val maxV = BigInt(maxTag)
     val vis = deltas.filter(d =>
-      new Path(d).getName.stripPrefix("delta-") <= maxTag)
+      BigInt(new Path(d).getName.stripPrefix("delta-")) <= maxV)
     require(vis.nonEmpty,
       s"no committed deltas at or before version $maxTag under $path " +
         "(compaction may have collapsed that history)")

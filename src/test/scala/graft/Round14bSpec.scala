@@ -132,9 +132,11 @@ class Round14bSpec extends AnyFunSuite {
     val live = Bm25Index.score(spark, p)
       .collect().map(r => r.getLong(0)).toSet
     assert(asof.map(_._1).subsetOf(live))
-    // pinning a pre-build version fails loudly
+    // pinning a non-version fails loudly (numeric-tag guard, ADVICE
+    // r15: tags compare numerically now, so a non-numeric probe is
+    // rejected before any lexicographic ordering could lie)
     val ex = intercept[IllegalArgumentException] { Bm25Index.scoreAt(spark, p, "//") }
-    assert(ex.getMessage.contains("no committed deltas"))
+    assert(ex.getMessage.contains("not a numeric tag"))
   }
 
   test("pair-substrate snapshot reads equal fresh builds on the pinned corpus") {
@@ -165,11 +167,11 @@ class Round14bSpec extends AnyFunSuite {
     val sExpect = Ann.cosinePairs(emb.filter(col("vec_id") <= scut))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(sAsof === sExpect)
-    // pinning a pre-build version fails loudly
+    // pinning a non-version fails loudly (numeric-tag guard, ADVICE r15)
     val ex = intercept[IllegalArgumentException] {
       SemanticStore.cosinePairsAt(spark, sp, "//")
     }
-    assert(ex.getMessage.contains("no committed deltas"))
+    assert(ex.getMessage.contains("not a numeric tag"))
   }
 
   // ---- token-budget mixture planning ----

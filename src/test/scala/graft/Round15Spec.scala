@@ -128,7 +128,7 @@ class Round15Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Bm25Index.blockMaxTopN(spark, p)
     }
-    assert(e.getMessage.contains("predates the block-max sidecars"))
+    assert(e.getMessage.contains("lacks full block-max sidecar coverage"))
   }
 
   test("hits: all three barrier rungs serve bit-identical rows") {
