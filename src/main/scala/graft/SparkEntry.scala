@@ -426,6 +426,23 @@ object SparkEntry {
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("probe_id"), col("text")))
     }),
+    // PROBE-side contamination rate: per eval doc, the fraction of its
+    // n-grams present anywhere in the training corpus (the GPT-3-style
+    // per-probe dirtiness used to EXCLUDE eval items; q_contamination
+    // flags the TRAINING docs instead)
+    "q_contamination_rate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.contaminationRate(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("probe_id"), col("text")))
+    }),
+    // Mann-Whitney U per source vs rest: the nonparametric
+    // length-shift significance test beside q_ks_drift's CDF gap
+    "q_mann_whitney" -> ((s, dir) =>
+      TextAnalysis.mannWhitneyLength(Tables.documents(s, dir))),
+    // Theil-Sen robust monthly-revenue trend (median pairwise slope
+    // on the exact micros grid; outlier months cannot move it)
+    "q_theil_sen" -> ((s, dir) => Relational.theilSen(s, dir)),
     // FUZZY decontamination: near-dup (not just verbatim-overlap)
     // matches of corpus docs against the probe set, candidates from a
     // cross-relation MinHash band join (8 bands x 2 rows)
@@ -4213,6 +4230,64 @@ object SparkEntry {
     // the streaming ingest gate probes the same static index batch by
     // batch; union of batches == the batch screen (shared oracle)
     "q_stream_contamination" -> contaminationSql,
+    // probe-side overlap rate: exact per-probe shingle counts, one
+    // rounded ratio
+    "q_contamination_rate" ->
+      s"""WITH $shingleCte,
+         |pr AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 <> 0),
+         |hit AS (SELECT probe_id, count(*)::BIGINT AS n_hit
+         |        FROM pr JOIN tr USING (shingle) GROUP BY 1),
+         |tot AS (SELECT probe_id, count(*)::BIGINT AS n_shingles FROM pr GROUP BY 1)
+         |SELECT t.probe_id, t.n_shingles, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |       round(coalesce(h.n_hit, 0)::DOUBLE / t.n_shingles, 4) AS rate
+         |FROM tot t LEFT JOIN hit h USING (probe_id)""".stripMargin,
+    // Mann-Whitney: integer doubled-midranks (2·midrank = 2·rank +
+    // tiecount − 1 — identical to the cum-prev form the Spark side
+    // uses), exact BIGINT u2, one tie-corrected z with the division
+    // order written identically
+    "q_mann_whitney" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |r AS (SELECT source,
+        |        2 * rank() OVER (ORDER BY v) + count(*) OVER (PARTITION BY v) - 1 AS r2
+        |      FROM d),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM d),
+        |ties AS (SELECT sum(t * t * t - t)::BIGINT AS tsum
+        |         FROM (SELECT count(*)::BIGINT AS t FROM d GROUP BY v)),
+        |per AS (SELECT source, count(*)::BIGINT AS n1, sum(r2)::BIGINT AS rsum2
+        |        FROM r GROUP BY source)
+        |SELECT source, n1, (rsum2 - n1 * (n1 + 1))::BIGINT AS u2,
+        |       CASE WHEN n < 2 THEN CAST(NULL AS DOUBLE)
+        |            WHEN n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) <= 0.0
+        |            THEN CAST(NULL AS DOUBLE)
+        |            ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) /
+        |                 (2.0 * sqrt(n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) / 12.0)), 6) END AS z
+        |FROM per, tot, ties""".stripMargin,
+    // Theil-Sen: exact-micros monthly revenue, pairwise slopes as one
+    // division of exact-integer-valued doubles, medians picked by
+    // deterministic row_number
+    "q_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT (year(l_shipdate) * 12 + month(l_shipdate))::BIGINT AS mi,
+        |         sum(floor(l_extendedprice * (1 - l_discount) * 1000000.0)::BIGINT)::BIGINT AS rev
+        |  FROM lineitem GROUP BY 1),
+        |slopes AS (
+        |  SELECT a.mi AS mi_a, b.mi AS mi_b,
+        |         (b.rev - a.rev)::DOUBLE / (b.mi - a.mi)::DOUBLE AS slope
+        |  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+        |npc AS (SELECT count(*)::BIGINT AS np FROM slopes),
+        |sm AS (SELECT avg(slope) AS slope FROM (
+        |         SELECT slope, row_number() OVER (ORDER BY slope, mi_a, mi_b) AS rn
+        |         FROM slopes) s, npc
+        |       WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1),
+        |resid AS (SELECT mi, rev::DOUBLE - slope * mi::DOUBLE AS ic FROM monthly, sm),
+        |nmc AS (SELECT count(*)::BIGINT AS nmv FROM resid),
+        |im AS (SELECT avg(ic) AS intercept FROM (
+        |         SELECT ic, row_number() OVER (ORDER BY ic, mi) AS rn FROM resid) s, nmc
+        |       WHERE rn = (nmv + 1) // 2 OR rn = nmv // 2 + 1)
+        |SELECT (SELECT count(*) FROM monthly)::BIGINT AS n_months, npc.np AS n_pairs,
+        |       round(sm.slope, 4) AS slope, round(im.intercept, 4) AS intercept
+        |FROM npc, sm, im""".stripMargin,
     "q_contamination_fuzzy" ->
       s"""WITH $fuzzyContamCte
          |SELECT f.doc_id, f.probe_id,

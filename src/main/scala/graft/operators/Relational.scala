@@ -1735,6 +1735,54 @@ object Relational {
     * division per output row. One aggregation to a ≤ 168-row result:
     * map-side partials collapse every partition to profile-sized
     * state, so the shuffle is O(168 · partitions) at any corpus size. */
+  /** One row (n_months, n_pairs, slope, intercept): Theil-Sen robust
+    * trend of monthly shipped revenue — the median of all pairwise
+    * month-to-month slopes (up to ~29% outlier months cannot move
+    * it, unlike the least-squares line a forecast would naively fit).
+    * Money lands on the micros grid per line BEFORE aggregation (the
+    * [[TpcH]] exact-money discipline), so monthly revenues are exact
+    * BIGINTs; each pairwise slope is ONE division of exact-integer-
+    * valued doubles (bit-identical across engines), the median picks
+    * by (slope, month-pair) row_number — deterministic under ties —
+    * and the intercept is the median of (rev − slope·month) residual
+    * offsets. Scale shape: the corpus-scaled work is ONE scan +
+    * month-keyed aggregation (the calendar bounds the month domain at
+    * ANY corpus size, TPC-H ships 1992-1998 ≈ 84 months), so the
+    * pairwise self-join and its windows run on a calendar-bounded
+    * relation — never data-sized. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, dir)
+      .select(
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("mi"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000.0))
+          .cast("long").as("v"))
+      .groupBy("mi").agg(sum("v").as("rev"))
+    val a = monthly.select(col("mi").as("mi_a"), col("rev").as("rev_a"))
+    val b = monthly.select(col("mi").as("mi_b"), col("rev").as("rev_b"))
+    val slopes = a.join(b, col("mi_a") < col("mi_b"))
+      .select(col("mi_a"), col("mi_b"),
+        ((col("rev_b") - col("rev_a")).cast("double") /
+          (col("mi_b") - col("mi_a")).cast("double")).as("slope"))
+    def medianOf(df: DataFrame, v: String, tie: Seq[String]): DataFrame = {
+      val w = Window.orderBy(col(v).asc +: tie.map(col(_).asc): _*)
+      df.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("np"))))
+        .filter(col("rn") === expr("(np + 1) div 2") ||
+          col("rn") === expr("np div 2 + 1"))
+        .agg(avg(col(v)).as(v), first(col("np")).as("np"))
+    }
+    val med = medianOf(slopes, "slope", Seq("mi_a", "mi_b"))
+    val resid = monthly.crossJoin(broadcast(med.select("slope")))
+      .select(col("mi"),
+        (col("rev").cast("double") - col("slope") * col("mi").cast("double")).as("ic"))
+    val icMed = medianOf(resid, "ic", Seq("mi"))
+    monthly.agg(count(lit(1)).as("n_months"))
+      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(icMed.select(col("ic"))))
+      .select(col("n_months"), col("np").as("n_pairs"),
+        round(col("slope"), 4).as("slope"), round(col("ic"), 4).as("intercept"))
+  }
+
   def seasonality(events: DataFrame): DataFrame = {
     val day = 86400000000000L
     // `div` = exact integral division: epoch-nanos overflow the double

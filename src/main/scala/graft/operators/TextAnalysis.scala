@@ -36,6 +36,32 @@ object TextAnalysis {
       .agg(countDistinct(col("probe_id")).as("n_probes"),
         countDistinct(col("shingle")).as("n_shingles"))
 
+  /** (probe_id, n_shingles, n_hit, rate): PROBE-side contamination —
+    * for each eval/benchmark document, the fraction of its word
+    * n-grams that appear anywhere in the training corpus (the
+    * GPT-3-style per-eval-doc "dirtiness" used to EXCLUDE probes,
+    * where [[contamination]] flags TRAINING docs to drop). Exact
+    * counts, one rounded ratio. Scale shape: the probe shingle SET is
+    * broadcast into one corpus-side semi-join pass (map-local at
+    * 100 TB); the distinct-hit aggregation is probe-bounded, and the
+    * corpus is never re-keyed. */
+  def contaminationRate(docs: DataFrame, probes: DataFrame, n: Int = 3): DataFrame = {
+    val probeSh = Dedup.shingles(
+      probes.select(col("probe_id").as("doc_id"), col("text")), n)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    val hitShingles = Dedup.shingles(docs, n).select("shingle")
+      .join(broadcast(probeSh.select("shingle").distinct()), Seq("shingle"), "left_semi")
+      .distinct()
+    val hits = probeSh.join(hitShingles, Seq("shingle"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    probeSh.groupBy("probe_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"), 4)
+          .as("rate"))
+  }
+
   /** (doc_id, en_ratio, predicted_lang): stopword-hit-ratio language
     * heuristic. Ratios are exact rational divisions → deterministic. */
   def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
@@ -494,6 +520,50 @@ object TextAnalysis {
             (col("n_all") - col("n_s"))).as("gap"))
       .groupBy("source")
       .agg(min("n_s").as("n_docs"), round(max("gap"), 6).as("ks_d"))
+  }
+
+  /** (source, n1, u2, z): Mann-Whitney U rank-sum test of each
+    * source's length distribution against the REST of the corpus —
+    * the nonparametric sibling of [[ksDrift]] (KS finds the largest
+    * CDF gap; U says whether one source's docs are systematically
+    * longer/shorter, robust to outliers and shape). Exact integer
+    * core: with midranks doubled onto an integer grid
+    * (2·midrank = 2·cntLess + t + 1 per value group), the rank sum
+    * and u2 = 2·U₁ = 2·R₁ − n₁(n₁+1) are exact BIGINTs — no FP until
+    * the final tie-corrected z (round(·,6); the division order is
+    * written identically in the oracle).
+    *
+    * Scale shape (the [[ksDrift]] discipline): NO doc-cardinality
+    * window — value-group counts aggregate first, the prefix sum runs
+    * over the DISTINCT VALUE domain (bounded at any corpus size), and
+    * docs join the per-value rank table broadcast. Bound: rank sums
+    * need 2n² < 2⁶³ → n < 2.1e9 docs per test scope; shard the test
+    * by stratum above that. */
+  def mannWhitneyLength(docs: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("v").asc)
+    val d = docs.select(col("source"), col("n_chars").as("v"))
+    val vg = d.groupBy("v").agg(count(lit(1)).as("t"))
+      .withColumn("cum_prev", coalesce(
+        sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"), (lit(2L) * col("cum_prev") + col("t") + 1L).as("r2"),
+        col("t"))
+    val ties = vg.agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    d.join(broadcast(vg.select("v", "r2")), "v")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n1"), sum("r2").as("rsum2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .select(col("source"), col("n1"),
+        expr("rsum2 - n1 * (n1 + 1)").as("u2"),
+        // degenerate-variance guard (all values tied, or a one-doc
+        // corpus): z is undefined — NULL on BOTH sides, and the CASE
+        // keeps the divisions off the evaluated path (ANSI-safe)
+        expr("CASE WHEN n < 2 THEN CAST(NULL AS DOUBLE) " +
+          "WHEN n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) <= 0.0 " +
+          "THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) / " +
+          "(2.0 * sqrt(n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) / 12.0)), 6) END")
+          .as("z"))
   }
 
   /** (source, n_docs, letters, words, sentences, cli): Coleman-Liau

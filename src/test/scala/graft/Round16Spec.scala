@@ -147,6 +147,45 @@ class Round16Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("lacks full block-max sidecar coverage"))
   }
 
+  test("mann-whitney: hand-computed U on disjoint ranks; midrank ties give the null U") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // A = {1,2,3}, B = {4,5,6}: R_A = 6 → U_A = 0 → u2 = 0; mirror for B
+    val docs = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L), ("b", 6L))
+      .toDF("source", "n_chars")
+    val r = TextAnalysis.mannWhitneyLength(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("a") === (3L, 0L))   // (n1, u2 = 2*U1)
+    assert(r("b") === (3L, 18L))  // U_B = 9
+    // full ties: midranks make U exactly the null n1*n2/2 (u2 = n1*n2)
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("source", "n_chars")
+    val t = TextAnalysis.mannWhitneyLength(tied).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(t("a") === 4L && t("b") === 4L)
+  }
+
+  test("theil-sen: median slope sits inside the pairwise-slope envelope; pair count is exact") {
+    import graft.operators.Relational
+    val row = Relational.theilSen(spark, SparkTestSession.sf).head
+    val (nM, nP) = (row.getLong(0), row.getLong(1))
+    assert(nP === nM * (nM - 1) / 2, "pairwise slope count must be n*(n-1)/2")
+    assert(nM > 12, s"expected a multi-year month domain, got $nM")
+    assert(!row.getDouble(2).isNaN && !row.getDouble(3).isNaN)
+  }
+
+  test("contamination rate: per-probe n-gram overlap fraction is exact") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val train = Seq((1L, "xx aa bb cc yy"), (2L, "zz ww vv uu")).toDF("doc_id", "text")
+    // probe 10: shingles "aa bb cc" (hit via doc 1) and "bb cc dd" (miss)
+    val probes = Seq((10L, "aa bb cc dd"), (11L, "qq rr ss"))
+      .toDF("probe_id", "text")
+    val r = TextAnalysis.contaminationRate(train, probes).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(10L) === (2L, 1L, 0.5))
+    assert(r(11L) === (1L, 0L, 0.0))
+  }
+
   /** Variable-width numeric tags order NUMERICALLY in snapshot reads
     * (ADVICE r15): '10' > '9' even though '10' < '9' as strings, so a
     * snapshot pinned at version 9 must EXCLUDE the tag-10 delta — the
