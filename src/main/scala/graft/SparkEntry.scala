@@ -427,7 +427,7 @@ object SparkEntry {
         d.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("probe_id"), col("text")))
     }),
     // PROBE-side contamination rate: per eval doc, the fraction of its
-    // n-grams present anywhere in the training corpus (the GPT-3-style
+    // n-grams present anywhere in the training corpus (the published-LM-report-style
     // per-probe dirtiness used to EXCLUDE eval items; q_contamination
     // flags the TRAINING docs instead)
     "q_contamination_rate" -> ((s, dir) => {

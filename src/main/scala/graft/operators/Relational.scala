@@ -1763,13 +1763,22 @@ object Relational {
       .select(col("mi_a"), col("mi_b"),
         ((col("rev_b") - col("rev_a")).cast("double") /
           (col("mi_b") - col("mi_a")).cast("double")).as("slope"))
+    // median WITHOUT a partition-less window (the engine-wide plan
+    // invariant): rank = 1 + count of rows strictly before in the
+    // (value, tie...) struct order, via a triangular join — the
+    // relation is calendar-bounded (≤ ~3.5k slope rows at ANY corpus
+    // size), so the O(rows²) comparison set is a constant
     def medianOf(df: DataFrame, v: String, tie: Seq[String]): DataFrame = {
-      val w = Window.orderBy(col(v).asc +: tie.map(col(_).asc): _*)
-      df.withColumn("rn", row_number().over(w))
+      val key = struct((v +: tie).map(col): _*)
+      val a = df.select(key.as("ka"), col(v).as("va"))
+      val b = df.select(key.as("kb"))
+      a.join(b, col("kb") < col("ka"), "left")
+        .groupBy(col("ka"), col("va"))
+        .agg((count(col("kb")) + 1L).as("rn"))
         .crossJoin(broadcast(df.agg(count(lit(1)).as("np"))))
         .filter(col("rn") === expr("(np + 1) div 2") ||
           col("rn") === expr("np div 2 + 1"))
-        .agg(avg(col(v)).as(v), first(col("np")).as("np"))
+        .agg(avg(col("va")).as(v), first(col("np")).as("np"))
     }
     val med = medianOf(slopes, "slope", Seq("mi_a", "mi_b"))
     val resid = monthly.crossJoin(broadcast(med.select("slope")))

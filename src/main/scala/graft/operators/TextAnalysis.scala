@@ -39,7 +39,7 @@ object TextAnalysis {
   /** (probe_id, n_shingles, n_hit, rate): PROBE-side contamination —
     * for each eval/benchmark document, the fraction of its word
     * n-grams that appear anywhere in the training corpus (the
-    * GPT-3-style per-eval-doc "dirtiness" used to EXCLUDE probes,
+    * published-LM-report-style per-eval-doc "dirtiness" used to EXCLUDE probes,
     * where [[contamination]] flags TRAINING docs to drop). Exact
     * counts, one rounded ratio. Scale shape: the probe shingle SET is
     * broadcast into one corpus-side semi-join pass (map-local at
@@ -533,19 +533,33 @@ object TextAnalysis {
     * the final tie-corrected z (round(·,6); the division order is
     * written identically in the oracle).
     *
-    * Scale shape (the [[ksDrift]] discipline): NO doc-cardinality
-    * window — value-group counts aggregate first, the prefix sum runs
-    * over the DISTINCT VALUE domain (bounded at any corpus size), and
-    * docs join the per-value rank table broadcast. Bound: rank sums
-    * need 2n² < 2⁶³ → n < 2.1e9 docs per test scope; shard the test
-    * by stratum above that. */
+    * Scale shape (the [[ksDrift]] discipline, the [[Relational.gini]]
+    * prefix-sum pattern): NO doc-cardinality window and NO
+    * partition-less window anywhere — value-group counts aggregate
+    * first; the global count-below-v splits into a bucket-offset
+    * scatter (explode over later buckets, then a plain groupBy) plus
+    * a WITHIN-bucket prefix window PARTITIONED by bucket; docs join
+    * the per-value rank table broadcast. Bound: rank sums need
+    * 2n² < 2⁶³ → n < 2.1e9 docs per test scope; shard the test by
+    * stratum above that. */
   def mannWhitneyLength(docs: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("v").asc)
     val d = docs.select(col("source"), col("n_chars").as("v"))
-    val vg = d.groupBy("v").agg(count(lit(1)).as("t"))
-      .withColumn("cum_prev", coalesce(
-        sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("v"), (lit(2L) * col("cum_prev") + col("t") + 1L).as("r2"),
+    val g = d.groupBy("v").agg(count(lit(1)).as("t"))
+      .withColumn("b", expr("v div 1024"))
+    val bsum = g.groupBy("b").agg(sum("t").as("bc"))
+    val maxB = bsum.agg(max("b").as("maxb"))
+    val off = bsum.crossJoin(broadcast(maxB))
+      .filter(col("b") < col("maxb"))
+      .select(explode(sequence(col("b") + 1, col("maxb"))).as("b"),
+        col("bc").as("cc"))
+      .groupBy("b").agg(sum("cc").as("off"))
+    val wIn = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vg = g.withColumn("pin", coalesce(sum("t").over(wIn), lit(0L)))
+      .join(off, Seq("b"), "left")
+      .select(col("v"),
+        (lit(2L) * (coalesce(col("off"), lit(0L)) + col("pin")) +
+          col("t") + 1L).as("r2"),
         col("t"))
     val ties = vg.agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
     val tot = d.agg(count(lit(1)).as("n"))
