@@ -440,6 +440,14 @@ object SparkEntry {
     // length-shift significance test beside q_ks_drift's CDF gap
     "q_mann_whitney" -> ((s, dir) =>
       TextAnalysis.mannWhitneyLength(Tables.documents(s, dir))),
+    // Cohen's kappa between the two keep/drop gates (heuristic
+    // quality vs Gopher rules): chance-corrected rater agreement
+    "q_quality_kappa" -> ((s, dir) =>
+      TextAnalysis.qualityKappa(Tables.documents(s, dir))),
+    // rank-biased overlap of the lexical vs dense top-k runs (the
+    // top-weighted list similarity beside q_run_correlation's rho)
+    "q_rbo" -> ((s, dir) =>
+      Hybrid.rbo(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // Theil-Sen robust monthly-revenue trend (median pairwise slope
     // on the exact micros grid; outlier months cannot move it)
     "q_theil_sen" -> ((s, dir) => Relational.theilSen(s, dir)),
@@ -4288,6 +4296,59 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM monthly)::BIGINT AS n_months, npc.np AS n_pairs,
         |       round(sm.slope, 4) AS slope, round(im.intercept, 4) AS intercept
         |FROM npc, sm, im""".stripMargin,
+    // Cohen's kappa: both raters' flags replayed from their own
+    // oracles' derivations, exact 2x2 counts, one final division
+    "q_quality_kappa" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text)::BIGINT AS lt,
+         |                  string_split(lower(text), ' ') AS toks FROM documents),
+         |qa AS (SELECT doc_id,
+         |         (len(toks)::BIGINT >= 10 AND len(toks)::BIGINT <= 10000
+         |          AND len(list_distinct(toks))::BIGINT::DOUBLE / len(toks)::BIGINT >= 0.2) AS a
+         |       FROM t),
+         |m AS (SELECT doc_id, len(toks)::BIGINT AS nw,
+         |             lt - (len(toks)::BIGINT - 1) AS tc,
+         |             list_max(list_transform(list_distinct(toks),
+         |               d -> len(list_filter(toks, t2 -> t2 = d))))::BIGINT AS max_tf,
+         |             len(list_distinct(list_filter(toks, t2 -> t2 IN ($stop))))::BIGINT AS n_stop_kinds
+         |      FROM t),
+         |gb AS (SELECT doc_id,
+         |         ((nw >= 25 AND nw <= 100000) AND (tc >= nw * 2 AND tc <= nw * 10)
+         |          AND (max_tf * 8 <= nw) AND (n_stop_kinds >= 2)) AS b
+         |       FROM m),
+         |agg AS (SELECT count(*)::BIGINT AS n,
+         |          sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+         |          sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+         |          sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+         |          sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
+         |        FROM qa JOIN gb USING (doc_id))
+         |SELECT n, n11, n10, n01, n00,
+         |       round((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+         |       CASE WHEN n * n = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+         |            THEN CAST(NULL AS DOUBLE)
+         |            ELSE round((n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) /
+         |                 CAST(n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE), 6) END AS kappa
+         |FROM agg""".stripMargin,
+    // RBO at p=1/2: per joint doc the closed-form tail weight from
+    // m = max(rb, rc); dyadic p-powers, one 1/d division per term
+    "q_rbo" ->
+      s"""WITH $bm25Cte, $vecCte,
+         |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rb
+         |        FROM (SELECT doc_id AS id, score FROM scored
+         |              ORDER BY score DESC, doc_id ASC LIMIT 10) tb),
+         |q0 AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |cosall AS (SELECT b.vec_id AS id,
+         |             round(list_sum(list_transform(range(1, len(q0.v) + 1), i -> q0.v[i] * b.v[i]))
+         |                   / (q0.nrm * b.nrm), 4) AS cos
+         |           FROM vn b, q0 WHERE b.vec_id != 0),
+         |cr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rc
+         |       FROM (SELECT id, cos FROM cosall
+         |             ORDER BY cos DESC, id ASC LIMIT 10) tc),
+         |j AS (SELECT greatest(rb, rc)::BIGINT AS m FROM bmr JOIN cr USING (id)),
+         |ws AS (SELECT count(*)::BIGINT AS n_joint,
+         |         coalesce(sum(list_sum(list_transform(generate_series(m, 10),
+         |           d -> 0.5 * pow(0.5, d - 1) / d))), 0.0) AS s
+         |       FROM j)
+         |SELECT 10::BIGINT AS k, n_joint, round(s, 6) AS rbo FROM ws""".stripMargin,
     "q_contamination_fuzzy" ->
       s"""WITH $fuzzyContamCte
          |SELECT f.doc_id, f.probe_id,

@@ -125,6 +125,39 @@ object Hybrid {
     * earliest slot. Positions never collide across runs (parity), so
     * src falls out of pos parity — no window, no re-rank: two
     * depth-bounded TakeOrdered runs, a union, one min per doc. */
+  /** One row (k, n_joint, rbo): truncated RANK-BIASED OVERLAP
+    * (Webber, Moffat & Zobel 2010) between the lexical and dense
+    * top-k runs at persistence p = 1/2 —
+    * RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·X_d/d with X_d the overlap of
+    * the two depth-d prefixes: the top-weighted list-similarity the
+    * eval family lacked ([[runCorrelation]]'s Spearman weights every
+    * displacement equally; RBO cares most about the head). Computed
+    * WITHOUT a per-depth loop: a jointly-retrieved doc with ranks
+    * (rb, rc) sits in every prefix overlap from m = max(rb, rc)
+    * onward, so its total contribution is Σ_{d=m}^{k} (1−p)p^{d−1}/d
+    * — one ≤k-term higher-order aggregate per joint row. p = 1/2
+    * keeps every p^{d−1} an exact dyadic; the only representation
+    * noise is the 1/d division (identical IEEE on any engine;
+    * round(·,6) last). Two depth-bounded TopK runs + one ≤k-row
+    * join — nothing corpus-sized shuffles for the comparison. */
+  def rbo(docs: DataFrame, embeddings: DataFrame,
+          queryTerms: Seq[String] = Bm25.QueryTerms, queryVecId: Long = 0L,
+          k: Int = 10): DataFrame = {
+    val a = TopK.rankedTopN(Bm25.bm25Score(docs, queryTerms),
+        "score", "doc_id", k, "rb")
+      .select(col("doc_id").as("id"), col("rb").cast("long").as("rb"))
+    val b = TopK.rankedTopN(Ann.cosineAll(embeddings, queryVecId),
+        "cos", "vec_id", k, "rc")
+      .select(col("vec_id").as("id"), col("rc").cast("long").as("rc"))
+    a.join(b, "id")
+      .select(greatest(col("rb"), col("rc")).as("m"))
+      .select(expr(s"aggregate(sequence(m, ${k}L), CAST(0.0 AS DOUBLE), " +
+        "(acc, d) -> acc + 0.5 * pow(0.5, d - 1) / d)").as("w"))
+      .agg(count(lit(1)).as("n_joint"), coalesce(sum("w"), lit(0.0)).as("s"))
+      .select(lit(k.toLong).as("k"), col("n_joint"),
+        round(col("s"), 6).as("rbo"))
+  }
+
   def interleave(docs: DataFrame, embeddings: DataFrame,
                  queryVecId: Long = 0L, k: Int = 10,
                  depth: Int = FusionDepth): DataFrame = {

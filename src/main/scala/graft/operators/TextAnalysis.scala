@@ -135,6 +135,36 @@ object TextAnalysis {
           col("n_distinct").cast("double") / col("n_tokens") >= 0.2).as("quality_ok"))
   }
 
+  /** One row (n, n11, n10, n01, n00, po, kappa): Cohen's kappa
+    * between the engine's two keep/drop raters — [[quality]]'s
+    * heuristic gate (`quality_ok`) and [[gopherRules]]' `keep` — the
+    * chance-corrected inter-rater agreement a curation pipeline
+    * reports before trusting either gate alone (raw agreement po
+    * overstates consensus when both raters keep almost everything).
+    * Exact integer core: the 2×2 confusion counts are BIGINT sums,
+    * and kappa's closed form clears denominators —
+    * kappa = (n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0))
+    * with a1/b1 the per-rater keep counts — so the ONLY float op is
+    * one final division (round(·,6)); a degenerate chance-agreement
+    * of 1 (both raters constant) yields NULL on both engines. Bound:
+    * n² < 2⁶³ → n < 3e9 docs per scope. One corpus pass per rater,
+    * one doc-keyed join, one global aggregate. */
+  def qualityKappa(docs: DataFrame): DataFrame =
+    quality(docs).select(col("doc_id"), col("quality_ok").as("a"))
+      .join(gopherRules(docs).select(col("doc_id"), col("keep").as("b")), "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("round((n11 + n00) / CAST(n AS DOUBLE), 6)").as("po"),
+        expr("CASE WHEN n * n = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) " +
+          "THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round((n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) / " +
+          "CAST(n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE), 6) END")
+          .as("kappa"))
+
   /** (doc_id, n_ws, n_alnum, n_bpe_ish): whitespace tokens, alnum-run
     * tokens (regex) and a BPE-ish subword estimate (ceil len/4 per
     * token — quarters are exact binary, so ceil is deterministic). */

@@ -186,6 +186,50 @@ class Round16Spec extends AnyFunSuite {
     assert(r(11L) === (1L, 0L, 0.0))
   }
 
+  test("cohen's kappa: hand-planted 2x2 at one doc per cell gives kappa 0 and po 0.5") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // one doc per confusion cell: (quality_ok, gopher_keep) =
+    // (T,T), (T,F), (F,F), (F,T) — symmetric counts make the
+    // chance-corrected agreement exactly zero while raw po reads 0.5
+    val bothOk = (1 to 28).map(i => s"word$i").mkString(" ") + " the of"
+    val qOnlyOk = (1 to 12).map(i => s"word$i").mkString(" ")
+    val neither = "aa bb cc"
+    val gOnlyOk = ((1 to 8).flatMap(i => Seq.fill(12)(s"rep$i")) ++
+      Seq("the", "the", "of", "of")).mkString(" ")
+    val docs = Seq((1L, bothOk), (2L, qOnlyOk), (3L, neither), (4L, gOnlyOk))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityKappa(docs).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((4L, 1L, 1L, 1L, 1L)), s"confusion cells: $r")
+    assert(r.getDouble(5) === 0.5)
+    assert(r.getDouble(6) === 0.0)
+  }
+
+  test("rbo: closed-form tail weights equal the per-depth definition on real runs; bounds hold") {
+    import graft.operators.{Ann, Bm25, Hybrid, TopK}
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val k = 10
+    val row = Hybrid.rbo(docs, emb).head
+    val (nJoint, rbo) = (row.getLong(1), row.getDouble(2))
+    assert(rbo >= 0.0 && rbo <= 1.0 - math.pow(0.5, k) + 1e-9)
+    // independent reference: the per-depth definition
+    // (1-p)·Σ p^{d-1}·X_d/d over the same two collected runs
+    val rb = TopK.rankedTopN(Bm25.bm25Score(docs), "score", "doc_id", k, "rb")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rc = TopK.rankedTopN(Ann.cosineAll(emb, 0L), "cos", "vec_id", k, "rc")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val joint = rb.keySet.intersect(rc.keySet)
+    assert(joint.size.toLong === nJoint)
+    val expected = (1 to k).map { d =>
+      val xd = joint.count(id => rb(id) <= d && rc(id) <= d)
+      0.5 * math.pow(0.5, d - 1) * xd / d
+    }.sum
+    assert(math.abs(rbo - expected) < 1e-6, s"rbo $rbo vs per-depth $expected")
+  }
+
   /** Variable-width numeric tags order NUMERICALLY in snapshot reads
     * (ADVICE r15): '10' > '9' even though '10' < '9' as strings, so a
     * snapshot pinned at version 9 must EXCLUDE the tag-10 delta — the
