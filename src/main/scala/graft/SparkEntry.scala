@@ -440,6 +440,10 @@ object SparkEntry {
     // length-shift significance test beside q_ks_drift's CDF gap
     "q_mann_whitney" -> ((s, dir) =>
       TextAnalysis.mannWhitneyLength(Tables.documents(s, dir))),
+    // the k-group omnibus gate before the per-source pairwise tests:
+    // Kruskal-Wallis H on the same doubled-midrank integer grid
+    "q_kruskal_wallis" -> ((s, dir) =>
+      TextAnalysis.kruskalWallisLength(Tables.documents(s, dir))),
     // Cohen's kappa between the two keep/drop gates (heuristic
     // quality vs Gopher rules): chance-corrected rater agreement
     "q_quality_kappa" -> ((s, dir) =>
@@ -448,6 +452,10 @@ object SparkEntry {
     // top-weighted list similarity beside q_run_correlation's rho)
     "q_rbo" -> ((s, dir) =>
       Hybrid.rbo(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // Kendall tau between the same two runs: the exact count of doc
+    // pairs the two systems order differently (integer C/D core)
+    "q_kendall_tau" -> ((s, dir) =>
+      Hybrid.kendallTau(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // Theil-Sen robust monthly-revenue trend (median pairwise slope
     // on the exact micros grid; outlier months cannot move it)
     "q_theil_sen" -> ((s, dir) => Relational.theilSen(s, dir)),
@@ -4271,6 +4279,27 @@ object SparkEntry {
         |            ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) /
         |                 (2.0 * sqrt(n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) / 12.0)), 6) END AS z
         |FROM per, tot, ties""".stripMargin,
+    // Kruskal-Wallis: same doubled-midrank grid; the cross-source sum
+    // is source-ORDERED on both engines (the ordered-fold contract)
+    "q_kruskal_wallis" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |r AS (SELECT source,
+        |        2 * rank() OVER (ORDER BY v) + count(*) OVER (PARTITION BY v) - 1 AS r2
+        |      FROM d),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM d),
+        |ties AS (SELECT sum(t * t * t - t)::BIGINT AS tsum
+        |         FROM (SELECT count(*)::BIGINT AS t FROM d GROUP BY v)),
+        |per AS (SELECT source, count(*)::BIGINT AS n1, sum(r2)::BIGINT AS rsum2
+        |        FROM r GROUP BY source),
+        |agg AS (SELECT count(*)::BIGINT AS n_groups,
+        |          list_sum(list(rsum2::DOUBLE * rsum2::DOUBLE / (4.0 * n1)
+        |                        ORDER BY source)) AS s
+        |        FROM per)
+        |SELECT n, n_groups, tsum,
+        |       CASE WHEN n < 2 OR tsum = n * n * n - n THEN CAST(NULL AS DOUBLE)
+        |            ELSE round(((12.0 * s) / (n * (n + 1.0)) - 3.0 * (n + 1)) /
+        |                 (1.0 - tsum / CAST(n * n * n - n AS DOUBLE)), 6) END AS h
+        |FROM agg, tot, ties""".stripMargin,
     // Theil-Sen: exact-micros monthly revenue, pairwise slopes as one
     // division of exact-integer-valued doubles, medians picked by
     // deterministic row_number
@@ -4349,6 +4378,35 @@ object SparkEntry {
          |           d -> 0.5 * pow(0.5, d - 1) / d))), 0.0) AS s
          |       FROM j)
          |SELECT 10::BIGINT AS k, n_joint, round(s, 6) AS rbo FROM ws""".stripMargin,
+    // Kendall tau over the two runs' joint docs: exact BIGINT
+    // concordant/discordant counts, one final division
+    "q_kendall_tau" ->
+      s"""WITH $bm25Cte, $vecCte,
+         |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rb
+         |        FROM (SELECT doc_id AS id, score FROM scored
+         |              ORDER BY score DESC, doc_id ASC LIMIT 10) tb),
+         |q0 AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |cosall AS (SELECT b.vec_id AS id,
+         |             round(list_sum(list_transform(range(1, len(q0.v) + 1), i -> q0.v[i] * b.v[i]))
+         |                   / (q0.nrm * b.nrm), 4) AS cos
+         |           FROM vn b, q0 WHERE b.vec_id != 0),
+         |cr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rc
+         |       FROM (SELECT id, cos FROM cosall
+         |             ORDER BY cos DESC, id ASC LIMIT 10) tc),
+         |j AS (SELECT id, rb::BIGINT AS rb, rc::BIGINT AS rc FROM bmr JOIN cr USING (id)),
+         |p AS (SELECT
+         |        coalesce(sum(CASE WHEN (x.rb - y.rb) * (x.rc - y.rc) > 0
+         |                          THEN 1 ELSE 0 END), 0)::BIGINT AS concordant,
+         |        coalesce(sum(CASE WHEN (x.rb - y.rb) * (x.rc - y.rc) < 0
+         |                          THEN 1 ELSE 0 END), 0)::BIGINT AS discordant
+         |      FROM j x JOIN j y ON x.id < y.id),
+         |nj AS (SELECT count(*)::BIGINT AS n_joint FROM j)
+         |SELECT n_joint, (concordant + discordant)::BIGINT AS n_pairs,
+         |       concordant, discordant,
+         |       CASE WHEN concordant + discordant = 0 THEN CAST(NULL AS DOUBLE)
+         |            ELSE round((concordant - discordant)::DOUBLE /
+         |                 (concordant + discordant), 6) END AS tau
+         |FROM p, nj""".stripMargin,
     "q_contamination_fuzzy" ->
       s"""WITH $fuzzyContamCte
          |SELECT f.doc_id, f.probe_id,

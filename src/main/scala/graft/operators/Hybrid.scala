@@ -158,6 +158,48 @@ object Hybrid {
         round(col("s"), 6).as("rbo"))
   }
 
+  /** One row (n_joint, n_pairs, concordant, discordant, tau): KENDALL
+    * rank correlation between the lexical and dense top-k runs over
+    * their JOINTLY retrieved documents — the pairwise-inversion member
+    * of the run-similarity triple ([[runCorrelation]]'s Spearman
+    * squares displacements, [[rbo]] weights the head; tau counts
+    * exactly how many doc pairs the two systems ORDER differently,
+    * the quantity an interleaving experiment measures). Ranks are
+    * row_numbers (deterministic score-then-id order), so within a run
+    * they are tie-free and tau-a = tau-b: tau = (C − D) / (m(m−1)/2)
+    * over the m joint docs. C and D are exact BIGINTs from one
+    * triangular self-join of the ≤k-row joint relation; the single
+    * division is the only FP (round(·,6)). Nothing corpus-sized
+    * shuffles: two depth-bounded TopK runs, a ≤k-row join, a ≤k²-row
+    * local pair join. NULL tau when fewer than two joint docs. */
+  def kendallTau(docs: DataFrame, embeddings: DataFrame,
+                 queryTerms: Seq[String] = Bm25.QueryTerms, queryVecId: Long = 0L,
+                 k: Int = 10): DataFrame = {
+    val a = TopK.rankedTopN(Bm25.bm25Score(docs, queryTerms),
+        "score", "doc_id", k, "rb")
+      .select(col("doc_id").as("id"), col("rb").cast("long").as("rb"))
+    val b = TopK.rankedTopN(Ann.cosineAll(embeddings, queryVecId),
+        "cos", "vec_id", k, "rc")
+      .select(col("vec_id").as("id"), col("rc").cast("long").as("rc"))
+    val j = a.join(b, "id")
+    val x = j.select(col("id").as("ida"), col("rb").as("rba"), col("rc").as("rca"))
+    val y = j.select(col("id").as("idb"), col("rb").as("rbb"), col("rc").as("rcb"))
+    val pairs = x.join(y, col("ida") < col("idb"))
+      .select((((col("rba") - col("rbb")) * (col("rca") - col("rcb"))) > 0)
+        .as("conc"))
+      .agg(coalesce(sum(when(col("conc"), 1L).otherwise(0L)), lit(0L)).as("concordant"),
+        coalesce(sum(when(!col("conc"), 1L).otherwise(0L)), lit(0L)).as("discordant"))
+    j.agg(count(lit(1)).as("n_joint"))
+      .crossJoin(pairs)
+      .select(col("n_joint"),
+        (col("concordant") + col("discordant")).as("n_pairs"),
+        col("concordant"), col("discordant"),
+        when(col("concordant") + col("discordant") === 0,
+          lit(null).cast("double"))
+          .otherwise(round((col("concordant") - col("discordant")).cast("double") /
+            (col("concordant") + col("discordant")), 6)).as("tau"))
+  }
+
   def interleave(docs: DataFrame, embeddings: DataFrame,
                  queryVecId: Long = 0L, k: Int = 10,
                  depth: Int = FusionDepth): DataFrame = {

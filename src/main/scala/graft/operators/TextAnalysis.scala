@@ -574,23 +574,7 @@ object TextAnalysis {
     * stratum above that. */
   def mannWhitneyLength(docs: DataFrame): DataFrame = {
     val d = docs.select(col("source"), col("n_chars").as("v"))
-    val g = d.groupBy("v").agg(count(lit(1)).as("t"))
-      .withColumn("b", expr("v div 1024"))
-    val bsum = g.groupBy("b").agg(sum("t").as("bc"))
-    val maxB = bsum.agg(max("b").as("maxb"))
-    val off = bsum.crossJoin(broadcast(maxB))
-      .filter(col("b") < col("maxb"))
-      .select(explode(sequence(col("b") + 1, col("maxb"))).as("b"),
-        col("bc").as("cc"))
-      .groupBy("b").agg(sum("cc").as("off"))
-    val wIn = Window.partitionBy("b").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val vg = g.withColumn("pin", coalesce(sum("t").over(wIn), lit(0L)))
-      .join(off, Seq("b"), "left")
-      .select(col("v"),
-        (lit(2L) * (coalesce(col("off"), lit(0L)) + col("pin")) +
-          col("t") + 1L).as("r2"),
-        col("t"))
+    val vg = doubledMidranks(d)
     val ties = vg.agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
     val tot = d.agg(count(lit(1)).as("n"))
     d.join(broadcast(vg.select("v", "r2")), "v")
@@ -608,6 +592,73 @@ object TextAnalysis {
           "ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) / " +
           "(2.0 * sqrt(n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) / 12.0)), 6) END")
           .as("z"))
+  }
+
+  /** The shared doubled-midrank table (v, r2, t) over a (group, v)
+    * relation: r2 = 2·midrank = 2·cntLess(v) + t + 1 per value group —
+    * exact BIGINTs, the integer grid [[mannWhitneyLength]] and
+    * [[kruskalWallisLength]] both rank on. Window-free at corpus
+    * cardinality: value-group counts aggregate FIRST, the global
+    * count-below-v splits into a bucket-offset scatter plus a
+    * within-bucket prefix window partitioned by 1024-wide bucket. */
+  private def doubledMidranks(d: DataFrame): DataFrame = {
+    val g = d.groupBy("v").agg(count(lit(1)).as("t"))
+      .withColumn("b", expr("v div 1024"))
+    val bsum = g.groupBy("b").agg(sum("t").as("bc"))
+    val maxB = bsum.agg(max("b").as("maxb"))
+    val off = bsum.crossJoin(broadcast(maxB))
+      .filter(col("b") < col("maxb"))
+      .select(explode(sequence(col("b") + 1, col("maxb"))).as("b"),
+        col("bc").as("cc"))
+      .groupBy("b").agg(sum("cc").as("off"))
+    val wIn = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("pin", coalesce(sum("t").over(wIn), lit(0L)))
+      .join(off, Seq("b"), "left")
+      .select(col("v"),
+        (lit(2L) * (coalesce(col("off"), lit(0L)) + col("pin")) +
+          col("t") + 1L).as("r2"),
+        col("t"))
+  }
+
+  /** One row (n, n_groups, tsum, h): KRUSKAL-WALLIS H test across ALL
+    * sources' length distributions at once — the k-group extension of
+    * [[mannWhitneyLength]] (U asks "is THIS source shifted vs the
+    * rest", one test per source; H asks "do the sources differ AT
+    * ALL", the single gate a mixture audit runs before k pairwise
+    * tests). Same exact integer core: doubled midranks r2 make every
+    * per-source rank sum an exact BIGINT; with R_i = rsum2_i/2,
+    * H = 12/(N(N+1)) · Σ_i rsum2_i²/(4n_i) − 3(N+1), tie-corrected by
+    * 1 − tsum/(N³−N). The Σ over sources is the ONLY cross-group FP
+    * and rides the ordered-fold contract (source-sorted array, one
+    * sequential fold — the cosine-scoring discipline), so both
+    * engines associate identically; round(·,6) last. NULL when N < 2
+    * or every value is tied (zero tie-correction denominator).
+    *
+    * Scale shape: identical to [[mannWhitneyLength]] — the rank table
+    * is value-cardinality, docs join it broadcast, the per-source
+    * relation is group-cardinality. Exactness bounds: rank sums need
+    * 2N² < 2⁶³ (N < 2.1e9); the integer tie term and N³−N guard need
+    * N < 2.1e6 — shard the test by stratum above that, or the guard
+    * overflows before the statistic does. */
+  def kruskalWallisLength(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("n_chars").as("v"))
+    val vg = doubledMidranks(d)
+    val ties = vg.agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    d.join(broadcast(vg.select("v", "r2")), "v")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n1"), sum("r2").as("rsum2"))
+      .agg(count(lit(1)).as("n_groups"),
+        collect_list(struct(col("source").as("s"),
+          (col("rsum2").cast("double") * col("rsum2").cast("double") /
+            (lit(4.0) * col("n1"))).as("w"))).as("gs"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .select(col("n"), col("n_groups"), col("tsum"),
+        expr("CASE WHEN n < 2 OR tsum = n * n * n - n THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round(((12.0 * aggregate(array_sort(gs), CAST(0.0 AS DOUBLE), " +
+          "(acc, g) -> acc + g.w)) / (n * (n + 1.0)) - 3.0 * (n + 1)) / " +
+          "(1.0 - tsum / CAST(n * n * n - n AS DOUBLE)), 6) END").as("h"))
   }
 
   /** (source, n_docs, letters, words, sentences, cli): Coleman-Liau

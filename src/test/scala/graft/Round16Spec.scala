@@ -258,4 +258,75 @@ class Round16Spec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("not a numeric tag"))
   }
+
+  /** Kendall tau over the two real runs: the exact C/D counts must
+    * reproduce from the collected rank maps pair by pair (the rbo
+    * spec's discipline — an independent per-pair reference, not a
+    * re-run of the same plan), and the tie-free identities hold:
+    * n_pairs = m(m−1)/2 = C + D. */
+  test("kendall tau: C/D reproduce from the collected runs; tie-free identities hold") {
+    import graft.operators.{Ann, Bm25, Hybrid, TopK}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val row = Hybrid.kendallTau(docs, emb).head
+    val (nJoint, nPairs, c, d) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nPairs === nJoint * (nJoint - 1) / 2)
+    assert(c + d === nPairs)
+    val rb = TopK.rankedTopN(Bm25.bm25Score(docs), "score", "doc_id", 10, "rb")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rc = TopK.rankedTopN(Ann.cosineAll(emb, 0L), "cos", "vec_id", 10, "rc")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val joint = rb.keySet.intersect(rc.keySet).toSeq.sorted
+    assert(joint.size.toLong === nJoint)
+    val refPairs = for {
+      i <- joint.indices; jj <- (i + 1) until joint.size
+      prod = (rb(joint(i)) - rb(joint(jj))).toLong * (rc(joint(i)) - rc(joint(jj)))
+    } yield prod
+    assert(refPairs.count(_ > 0).toLong === c, "concordant mismatch")
+    assert(refPairs.count(_ < 0).toLong === d, "discordant mismatch")
+    if (nPairs > 0)
+      assert(math.abs(row.getDouble(4) - (c - d).toDouble / nPairs) < 1e-6)
+    else assert(row.isNullAt(4))
+  }
+
+  /** Kruskal-Wallis: a hand-planted tie-free two-group corpus has the
+    * textbook H (ranks 1..4 split {1,2}/{3,4} → H = 2.4), an all-tied
+    * corpus NULLs out (zero tie-correction denominator), and on the
+    * real corpus the operator equals a driver-side midrank reference
+    * folded in the same source order. */
+  test("kruskal-wallis: planted H = 2.4, all-tied NULL, real corpus matches the reference fold") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val planted = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("source", "n_chars")
+    val pr = TextAnalysis.kruskalWallisLength(planted).head
+    assert((pr.getLong(0), pr.getLong(1), pr.getLong(2)) === ((4L, 2L, 0L)))
+    assert(pr.getDouble(3) === 2.4)
+    val tied = Seq(("a", 7L), ("b", 7L), ("c", 7L)).toDF("source", "n_chars")
+    val tr = TextAnalysis.kruskalWallisLength(tied).head
+    assert(tr.getLong(2) === 24L)
+    assert(tr.isNullAt(3), "all-tied corpus must NULL the statistic")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val row = TextAnalysis.kruskalWallisLength(docs).head
+    val dv = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = dv.length.toLong
+    val byV = dv.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cntLess = byV.keys.map { v =>
+      v -> byV.filter(_._1 < v).values.sum }.toMap
+    val r2 = byV.map { case (v, t) => v -> (2L * cntLess(v) + t + 1L) }
+    val per = dv.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(x => r2(x._2)).sum) }.toMap
+    val s = per.toSeq.sortBy(_._1).map { case (_, (n1, rsum2)) =>
+      rsum2.toDouble * rsum2.toDouble / (4.0 * n1) }
+      .foldLeft(0.0)(_ + _)
+    val tsum = byV.values.map(t => t * t * t - t).sum
+    assert(row.getLong(0) === n)
+    assert(row.getLong(2) === tsum)
+    val href = ((12.0 * s) / (n * (n + 1.0)) - 3.0 * (n + 1)) /
+      (1.0 - tsum / (n * n * n - n).toDouble)
+    assert(math.abs(row.getDouble(3) - href) < 1e-5,
+      s"H ${row.getDouble(3)} vs reference $href")
+  }
 }
