@@ -1306,6 +1306,18 @@ object SparkEntry {
       AnnIndex.compactDeltas(s, p)
       AnnIndex.searchTopK(s, p, queryId = 1L)
     }),
+    // SHARD MERGE on the text index: two half-corpus stores (id-prefix
+    // shards, built shared-nothing) fold into one fresh store — the
+    // block-max sidecars merge WITHOUT rescanning postings (doc-range
+    // blocks share one universe: counts sum, bounds max/min) — then
+    // the merged store serves the exact full-corpus top-10 through
+    // the block-max rung (merge is the measurand, rerun from scratch)
+    "q_index_merge" -> ((s, dir) => {
+      val shards = bm25ShardsFor(s, dir)
+      val dest = sys.props("java.io.tmpdir") + "/graft_idx_merged_" + dirTag(dir)
+      Bm25Index.mergeStores(s, s"$shards/a", s"$shards/b", dest)
+      Bm25Index.blockMaxTopN(s, dest)
+    }),
     // per-source contamination dashboard: which domains leak eval
     // content, through the exact leg and through the fuzzy leg
     "q_contamination_report" -> ((s, dir) => {
@@ -1386,6 +1398,21 @@ object SparkEntry {
       val cut = maxRow.getLong(0) * 3 / 4
       DedupStore.build(docs.filter(col("doc_id") <= cut), p)
       DedupStore.update(docs.filter(col("doc_id") > cut), p, "00001")
+    }
+
+  /** Two half-corpus SHARD stores for the merge key (id-prefix cut at
+    * max/2 — contiguous doc ranges per shard, the layout a sharded
+    * ingest produces), prestaged read-only under one layout dir; the
+    * MERGE itself is the measurand and runs inside the query into a
+    * fresh (non-cached) dest. */
+  private def bm25ShardsFor(s: SparkSession, dir: String): String =
+    cachedLayout("idx_shards", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+      require(!maxRow.isNullAt(0), "shard substrate: documents table is empty")
+      val cut = maxRow.getLong(0) / 2
+      Bm25Index.build(docs.filter(col("doc_id") <= cut), s"$p/a")
+      Bm25Index.build(docs.filter(col("doc_id") > cut), s"$p/b")
     }
 
   /** Dedicated build+tombstone store for the text-index COMPACTION
@@ -2927,6 +2954,10 @@ object SparkEntry {
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
     // block-max pruning is admissible too → same exact top-k oracle
     "q_index_blockmax" ->
+      s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
+    // a merged store serves identically to a full-corpus rebuild
+    // (disjoint shards; stats re-derive) → same exact top-k oracle
+    "q_index_merge" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
     "q_search_batch" -> batchSearchOracle,
     "q_synonym_search" -> synonymSearchOracle,

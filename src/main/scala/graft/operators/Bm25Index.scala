@@ -274,6 +274,76 @@ object Bm25Index {
       writeBlockmax(spark, staging)
     }
 
+  /** SHARD MERGE — fold two independently built stores over DISJOINT
+    * doc_id spaces into ONE fresh store at `dest`, serving identically
+    * to a rebuild on the union of the two LIVE corpora. This is the
+    * maintenance leg a sharded 100 TB deployment actually runs: each
+    * executor group indexes its own id range shared-nothing, then
+    * per-shard stores fold pairwise into serving stores — no
+    * single-writer ingest ever sees the whole corpus.
+    *
+    * Disjointness is a GATE, not an assumption: overlapping ids would
+    * double-count postings (the [[update]] duplicate-rejection rule
+    * across stores). The check is O(1) when both sides carry integral
+    * id ranges that don't overlap (the shard layout by construction);
+    * only on range overlap does it pay one doc-cardinality semi-join.
+    *
+    * The block-max sidecar MERGES WITHOUT RESCANNING when it can:
+    * blocks are fixed doc-ranges shared by every store (same
+    * [[BlockWidth]] universe), so per-(term, block) row counts SUM,
+    * tf bounds MAX and dl bounds MIN — exact, byte-equal to a
+    * re-derivation, because each side's sidecar already describes its
+    * own live rows and the doc sets are disjoint. Any tombstone on
+    * either side (whose dead rows the sidecars still count) or a
+    * coverage gap falls back to re-deriving the sidecar from the
+    * live rows being staged anyway — never silently unsound. Corpus
+    * stats (n_docs, avgdl, df) re-derive at query time like every
+    * serve, so no stored stat needs reconciling. Requires a
+    * single-writer window on `dest` (fresh store; the sources are
+    * only read). */
+  def mergeStores(spark: SparkSession, pathA: String, pathB: String,
+                  dest: String): Unit = {
+    val dA = committedDeltas(spark, pathA)
+    require(dA.nonEmpty, s"no committed deltas under $pathA")
+    val dB = committedDeltas(spark, pathB)
+    require(dB.nonEmpty, s"no committed deltas under $pathB")
+    val (pa, la) = liveIndex(spark, dA)
+    val (pb, lb) = liveIndex(spark, dB)
+    val (eA, loA, hiA) = DeltaStore.batchRange(la, "doc_id")
+    val (eB, loB, hiB) = DeltaStore.batchRange(lb, "doc_id")
+    val rangesDisjoint = loA <= hiA && loB <= hiB && (hiA < loB || hiB < loA)
+    if (!eA && !eB && !rangesDisjoint) {
+      val nShared = la.select("doc_id")
+        .join(lb.select("doc_id"), "doc_id").count()
+      require(nShared == 0,
+        s"stores share $nShared live doc_ids — shard merge requires " +
+          "disjoint id spaces (re-key one side or delete the duplicates first)")
+    }
+    val fs = DeltaStore.fsOf(spark, dA.head)
+    def has(d: String, sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub"))
+    val noTombstones = !(dA ++ dB).exists(has(_, "tombstones"))
+    val upd = (dA ++ dB).filter(has(_, "postings"))
+    val sidecarsExact = noTombstones && upd.forall(has(_, "blockmax"))
+    val range =
+      if (loA <= hiA && loB <= hiB) Some((math.min(loA, loB), math.max(hiA, hiB)))
+      else None
+    DeltaStore.reset(spark, dest)
+    DeltaStore.commit(spark, dest, "00000", range) { staging =>
+      pa.union(pb)
+        .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+      la.union(lb).write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
+      if (sidecarsExact)
+        spark.read.parquet(upd.map(d => s"$d/blockmax"): _*)
+          .groupBy("term", "block_id")
+          .agg(sum("n_rows").as("n_rows"), max("max_tf").as("max_tf"),
+            min("min_dl").as("min_dl"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/blockmax")
+      else writeBlockmax(spark, staging)
+    }
+  }
+
   /** Okapi BM25 over the staged index — matches Bm25.bm25Score on the
     * same corpus exactly (same formula, rounding, tie-breaks). */
   def score(spark: SparkSession, path: String,

@@ -259,6 +259,62 @@ class Round16Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a numeric tag"))
   }
 
+  /** Shard merge on the text index: (1) the merged store serves
+    * bit-identically to the direct full-corpus scorer; (2) the
+    * sidecar DELTA-MERGE (counts sum, bounds max/min over the shared
+    * block universe) equals a full-corpus build's re-derived sidecar
+    * cell for cell; (3) overlapping id spaces are rejected loudly;
+    * (4) a tombstone on one shard falls back to re-derivation and the
+    * merge physically purges the dead docs (serve equals a rebuild
+    * without them, block-max rung included). */
+  test("index shard merge: serve parity, exact sidecar merge, overlap rejection, tombstone purge") {
+    import graft.operators.{Bm25, Bm25Index}
+    import org.apache.spark.sql.functions.{col, max}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r16mrg").toString
+    val cut = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    Bm25Index.build(docs.filter(col("doc_id") <= cut), s"$tmp/a")
+    Bm25Index.build(docs.filter(col("doc_id") > cut), s"$tmp/b")
+    Bm25Index.mergeStores(spark, s"$tmp/a", s"$tmp/b", s"$tmp/m")
+    val served = Bm25Index.score(spark, s"$tmp/m").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = Bm25.bm25Score(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served === direct, "merged serve must equal the full-corpus scorer")
+    Bm25Index.build(docs, s"$tmp/f")
+    def bmCells(path: String) = {
+      val ds = graft.sources.DeltaStore.committedDeltas(spark, path)
+      spark.read.parquet(ds.map(x => s"$x/blockmax"): _*).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    }
+    assert(bmCells(s"$tmp/m") === bmCells(s"$tmp/f"),
+      "merged sidecar must equal the full build's re-derived sidecar")
+    Bm25Index.build(docs.filter(col("doc_id") <= cut / 2), s"$tmp/o")
+    val ex = intercept[IllegalArgumentException] {
+      Bm25Index.mergeStores(spark, s"$tmp/a", s"$tmp/o", s"$tmp/m2")
+    }
+    assert(ex.getMessage.contains("disjoint id spaces"))
+    // tombstone leg: delete a slice of shard a, merge, expect the
+    // dead docs purged and the block-max rung still serving
+    val deadIds = docs.filter(col("doc_id") <= cut && col("doc_id") % 10 === 3)
+      .select("doc_id")
+    Bm25Index.delete(deadIds, s"$tmp/a", "del-01")
+    Bm25Index.mergeStores(spark, s"$tmp/a", s"$tmp/b", s"$tmp/m3")
+    val live = docs.filter(!(col("doc_id") <= cut && col("doc_id") % 10 === 3))
+    val served3 = Bm25Index.score(spark, s"$tmp/m3").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct3 = Bm25.bm25Score(live).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served3 === direct3, "merge must purge tombstoned docs")
+    val bmTop = Bm25Index.blockMaxTopN(spark, s"$tmp/m3").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val plainTop = Bm25Index.searchTopN(spark, s"$tmp/m3").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(bmTop.toSeq === plainTop.toSeq,
+      "re-derived sidecar must serve the exact block-max top-k")
+  }
+
   /** Kendall tau over the two real runs: the exact C/D counts must
     * reproduce from the collected rank maps pair by pair (the rbo
     * spec's discipline — an independent per-pair reference, not a
