@@ -777,6 +777,11 @@ object SparkEntry {
     // k-means, SemDeDup semantic clusters / keep-one-per-cluster) ----
     "q_emb_project" -> ((s, dir) => Vectors.projectSigns(Tables.embeddings(s, dir))),
     "q_kmeans" -> ((s, dir) => Clustering.kmeans(Tables.embeddings(s, dir))),
+    // greedy k-center (farthest-point) diversity sample on the exact
+    // millis grid — k maximally-spread real exemplars, the coreset
+    // pick beside q_kmeans's averaged centroids; replayable argmax
+    "q_kcenter_sample" -> ((s, dir) =>
+      Clustering.kcenterSample(Tables.embeddings(s, dir))),
     "q_cluster_sample" -> ((s, dir) => Clustering.clusterSample(Tables.embeddings(s, dir))),
     "q_semantic_clusters" -> ((s, dir) =>
       SemanticStore.semanticClusters(s, semanticStoreFor(s, dir))),
@@ -2242,6 +2247,37 @@ object SparkEntry {
          |       list_sum(list_transform(range(1, len(q.qv) + 1),
          |                i -> (q.qv[i] - c$iters.cv[i]) * (q.qv[i] - c$iters.cv[i]))) AS d2
          |       FROM q, c$iters)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled greedy k-center replay: seed = lowest vec_id, then k−1
+    * steps of (min squared-millis distance to the selected set,
+    * argmax with vec_id tie-break). Every selected-set CTE is
+    * MATERIALIZED — each level references its predecessor three times
+    * (distance cross, exclusion subquery, union), which re-expands
+    * exponentially otherwise (the unigram-chain lesson, SURVEY §6). */
+  private def kcenterCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+         |     FROM embeddings WHERE embedding IS NOT NULL),
+         |s1 AS MATERIALIZED (SELECT vec_id, qv, 1::BIGINT AS rk, CAST(NULL AS BIGINT) AS gain
+         |      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1))""".stripMargin)
+    for (j <- 2 to k) {
+      val sp = s"s${j - 1}"
+      sb.append(
+        s""",
+           |p$j AS (SELECT q.vec_id, q.qv,
+           |         min(list_sum(list_transform(range(1, len(q.qv) + 1),
+           |             i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i]))))::BIGINT AS md
+           |        FROM q, $sp s
+           |        WHERE q.vec_id NOT IN (SELECT vec_id FROM $sp)
+           |        GROUP BY q.vec_id, q.qv),
+           |s$j AS MATERIALIZED (SELECT vec_id, qv, rk, gain FROM $sp
+           |      UNION ALL
+           |      SELECT vec_id, qv, ${j}::BIGINT AS rk, md AS gain
+           |      FROM (SELECT vec_id, qv, md FROM p$j ORDER BY md DESC, vec_id ASC LIMIT 1))""".stripMargin)
+    }
     sb.toString
   }
 
@@ -5404,6 +5440,11 @@ object SparkEntry {
     // exact integer-grid Lloyd's, unrolled — centroid sync and all
     // arithmetic replayed operation-for-operation (SURVEY §6)
     "q_kmeans" -> kmeansOracleSql(8, 2),
+    // greedy k-center: the unrolled farthest-point replay — exact
+    // BIGINT distances make every argmax step engine-identical
+    "q_kcenter_sample" ->
+      s"""WITH ${kcenterCtes(8)}
+         |SELECT rk AS sample_rank, vec_id, gain FROM s8""".stripMargin,
     // per-micro-batch assignment against the once-fitted centroids is
     // the SAME map the batch final assignment runs → shared oracle
     "q_stream_kmeans" -> kmeansOracleSql(8, 2),

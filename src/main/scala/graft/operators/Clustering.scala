@@ -81,6 +81,65 @@ object Clustering {
     assign(e, fitFrom(e, k, iters)).select(col("vec_id"), col("cluster_id"), col("d2"))
   }
 
+  /** (sample_rank, vec_id, gain): GREEDY k-CENTER (farthest-point)
+    * diversity sample over the embeddings — the coreset-selection
+    * primitive a curation pipeline runs when it wants k maximally
+    * SPREAD exemplars rather than k cluster means ([[kmeans]]'s
+    * centroids average; k-center's picks are real documents, and the
+    * greedy farthest-point traversal is the classic 2-approximation
+    * of the k-center objective — Gonzalez 1985). Deterministic and
+    * engine-exact end to end: the seed is the lowest vec_id, every
+    * distance is the exact integer squared-millis metric (the
+    * [[kmeans]] grid through the same codegen'd native dot), and each
+    * step's pick maximizes (min-distance-to-selected, then lowest
+    * vec_id) — an argmax over exact BIGINTs, so the whole greedy
+    * trajectory replays bit-identically in SQL. `gain` is the picked
+    * point's min squared-millis distance to the previously selected
+    * set (NULL for the seed) — nonincreasing by construction, and
+    * gain(k+1) would lower-bound the covering radius of the k sample.
+    *
+    * Scale shape: step j is ONE shuffle-free map pass (j distance
+    * expressions against literal centers — the [[assign]] plan shape)
+    * plus a single-row global argmax agg and a one-row pick fetch;
+    * driver state is k×(dim+2) integers. k passes total, nothing
+    * corpus-sized ever shuffles or syncs — the same ladder MLlib's
+    * KMeans rides, minus even its per-iteration center-update
+    * shuffle. */
+  def kcenterSample(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = millis(embeddings).cutLineage()
+    val seed = e.select(col("vec_id"), col("qv"))
+      .orderBy(col("vec_id").asc).limit(1).collect()
+    require(seed.nonEmpty, "k-center sample: no non-null embeddings")
+    var selected = Vector(
+      (seed(0).getLong(0), seed(0).getSeq[Long](1).toArray, Option.empty[Long]))
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
+      val dists = selected.map { case (_, c, _) =>
+        val cv = typedlit(c.map(_.toDouble).toSeq)
+        val c2 = lit(c.map(m => m * m).sum.toDouble)
+        (col("n2") + c2 - lit(2.0) * dot(col("mv"), cv)).cast("long")
+      }
+      val md = if (dists.length == 1) dists.head else least(dists: _*)
+      val cand = e.filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .withColumn("md", md)
+      val top = cand
+        .agg(max(struct(col("md"), (-col("vec_id")).as("negid"))).as("m")).head
+      if (top.isNullAt(0)) exhausted = true // corpus smaller than k
+      else {
+        val pick = top.getStruct(0)
+        val (mdv, pid) = (pick.getLong(0), -pick.getLong(1))
+        val qv = e.filter(col("vec_id") === pid).select("qv").head
+          .getSeq[Long](0).toArray
+        selected = selected :+ ((pid, qv, Some(mdv)))
+      }
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, g), i) => (i + 1L, id, g) }
+      .toDF("sample_rank", "vec_id", "gain")
+  }
+
   /** (cluster_id, n_points, inertia): per-cluster SIZE + WITHIN-CLUSTER
     * SUM OF SQUARES of the fitted model — the clustering family's eval
     * leg (the elbow diagnostic's ingredient, and the "did one centroid

@@ -259,6 +259,34 @@ class Round16Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a numeric tag"))
   }
 
+  /** Greedy k-center: a planted 1-D geometry pins the full
+    * farthest-point trajectory (seed at the lowest id, then always
+    * the point maximizing min-distance-to-selected), and on the real
+    * corpus the invariants hold: ranks 1..k, distinct picks, seed
+    * gain NULL, gains nonincreasing (the greedy guarantee). */
+  test("k-center sample: planted trajectory exact; gains nonincreasing on the real corpus") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    // positions 0, 1, 10, 5 → seed id1(0), then id3(10, gain 1e8),
+    // id4(5, gain 2.5e7), id2(1, gain 1e6) — millis² exact
+    val planted = Seq((1L, Array(0.0f)), (2L, Array(1.0f)),
+      (3L, Array(10.0f)), (4L, Array(5.0f))).toDF("vec_id", "embedding")
+    val got = Clustering.kcenterSample(planted, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq === Seq(
+      (1L, 1L, None), (2L, 3L, Some(100000000L)),
+      (3L, 4L, Some(25000000L)), (4L, 2L, Some(1000000L))))
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = Clustering.kcenterSample(emb).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 8L))
+    assert(rows.map(_.getLong(1)).distinct.length === 8)
+    assert(rows.head.isNullAt(2))
+    val gains = rows.tail.map(_.getLong(2))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"gains must be nonincreasing: ${gains.mkString(",")}")
+  }
+
   /** Shard merge on the text index: (1) the merged store serves
     * bit-identically to the direct full-corpus scorer; (2) the
     * sidecar DELTA-MERGE (counts sum, bounds max/min over the shared
