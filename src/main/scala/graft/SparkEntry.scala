@@ -1030,6 +1030,11 @@ object SparkEntry {
     "q_rouge_pairs" -> ((s, dir) =>
       TextAnalysis.rouge1Pairs(Tables.documents(s, dir),
         DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // BLEU-2 with brevity penalty over the same pairs: the
+    // precision-side twin (clipped n-gram matches, exact BIGINT core)
+    "q_bleu_pairs" -> ((s, dir) =>
+      TextAnalysis.bleuPairs(Tables.documents(s, dir),
+        DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
     // PSI drift of the distinct-token-ratio across corpus halves
     "q_psi" -> ((s, dir) => TextAnalysis.psiDistinctRatio(Tables.documents(s, dir))),
     // per-cluster majority-label purity of the k-means assignment
@@ -6783,6 +6788,45 @@ object SparkEntry {
          |       round(2.0 * o.overlap / (la.dl + lb.dl), 6) AS rouge1_f
          |FROM ov o JOIN dl la ON o.doc_a = la.doc_id
          |          JOIN dl lb ON o.doc_b = lb.doc_id""".stripMargin,
+    // BLEU-2 over the same verified pairs: clipped unigram+bigram
+    // matches on the kept-token SEQUENCE, brevity penalty, geometric
+    // mean — exact BIGINT cores, one rounded scalar per pair
+    "q_bleu_pairs" ->
+      s"""WITH $minhashCandCte,
+         |bt AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+         |         t -> length(t) >= ${Text.MinTokenLength} AND t NOT IN ($stop)) AS t2
+         |       FROM documents),
+         |bu AS (SELECT doc_id, 1::BIGINT AS n, g, count(*)::BIGINT AS c FROM (
+         |         SELECT doc_id, unnest(t2) AS g FROM bt) GROUP BY 1, 3),
+         |bb AS (SELECT doc_id, 2::BIGINT AS n, g, count(*)::BIGINT AS c FROM (
+         |         SELECT doc_id, unnest(list_transform(range(1, len(t2)),
+         |           i -> t2[i] || ' ' || t2[i + 1])) AS g FROM bt) GROUP BY 1, 3),
+         |bg AS (SELECT * FROM bu UNION ALL SELECT * FROM bb),
+         |btot AS (SELECT doc_id, n, sum(c)::BIGINT AS tot FROM bg GROUP BY 1, 2),
+         |bcl AS (SELECT v.doc_a, v.doc_b, ga.n, sum(least(ga.c, gb.c))::BIGINT AS clip
+         |        FROM ver v JOIN bg ga ON ga.doc_id = v.doc_a
+         |                   JOIN bg gb ON gb.doc_id = v.doc_b AND gb.n = ga.n AND gb.g = ga.g
+         |        GROUP BY 1, 2, 3),
+         |bgrid AS (SELECT v.doc_a, v.doc_b, nn.n::BIGINT AS n
+         |          FROM ver v, (VALUES (1), (2)) AS nn(n)),
+         |bp AS (SELECT gr.doc_a, gr.doc_b,
+         |         sum(CASE WHEN gr.n = 1 THEN coalesce(cl.clip, 0) ELSE 0 END)::BIGINT AS clip1,
+         |         sum(CASE WHEN gr.n = 2 THEN coalesce(cl.clip, 0) ELSE 0 END)::BIGINT AS clip2,
+         |         sum(CASE WHEN gr.n = 1 THEN coalesce(tb.tot, 0) ELSE 0 END)::BIGINT AS tot1_b,
+         |         sum(CASE WHEN gr.n = 2 THEN coalesce(tb.tot, 0) ELSE 0 END)::BIGINT AS tot2_b
+         |       FROM bgrid gr
+         |       LEFT JOIN bcl cl ON cl.doc_a = gr.doc_a AND cl.doc_b = gr.doc_b AND cl.n = gr.n
+         |       LEFT JOIN btot tb ON tb.doc_id = gr.doc_b AND tb.n = gr.n
+         |       GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.clip1, p.clip2,
+         |       coalesce(la.tot, 0)::BIGINT AS len_a, p.tot1_b AS len_b,
+         |       CASE WHEN clip1 = 0 OR clip2 = 0 OR tot1_b = 0 OR tot2_b = 0 THEN 0.0
+         |            ELSE round(
+         |              (CASE WHEN tot1_b > coalesce(la.tot, 0) THEN 1.0
+         |                    ELSE exp(1.0 - CAST(coalesce(la.tot, 0) AS DOUBLE) / tot1_b) END) *
+         |              exp(0.5 * ln(CAST(clip1 AS DOUBLE) / tot1_b) +
+         |                  0.5 * ln(CAST(clip2 AS DOUBLE) / tot2_b)), 6) END AS bleu
+         |FROM bp p LEFT JOIN btot la ON la.doc_id = p.doc_a AND la.n = 1""".stripMargin,
     "q_psi" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |s AS (SELECT doc_id % 2 AS half,

@@ -1775,6 +1775,77 @@ object TextAnalysis {
           .as("rouge1_f"))
   }
 
+  /** (doc_a, doc_b, clip1, clip2, len_a, len_b, bleu): BLEU-2 over
+    * the verified near-dup pairs — the PRECISION-side twin of
+    * [[rouge1Pairs]] (ROUGE asks how much of BOTH docs the overlap
+    * covers; BLEU asks how much of the CANDIDATE is licensed by the
+    * reference, with the brevity penalty closing the
+    * short-candidate loophole). Convention: doc_b is the candidate,
+    * doc_a the reference (the canonical pair order puts the earlier
+    * doc first). Clipped n-gram matches (n = 1, 2 over the
+    * kept-token SEQUENCE — order preserved, so bigrams see the real
+    * adjacency) are exact BIGINTs; BLEU = BP · exp(½·ln p₁ + ½·ln p₂)
+    * with BP = 1 if len_b > len_a else exp(1 − len_a/len_b), zero
+    * whenever any clip or total is zero (log-undefined ⇒ the
+    * standard BLEU = 0), round(·,6) last — the exp/ln live on
+    * single scalars per pair, sub-ulp across engines at 6 decimals.
+    *
+    * Plan shape: pair-driven like [[rouge1Pairs]] — two corpus
+    * passes build the (doc, n, gram, count) relation (unigrams +
+    * adjacent bigrams), every later join is keyed by the pair
+    * relation; the pair×{1,2} grid left-joins so a bigram-disjoint
+    * pair scores 0 instead of vanishing. */
+  def bleuPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      filter(Text.rawTokens(col("text")), t => Text.keepToken(t)).as("t2"))
+    val uni = tk.select(col("doc_id"), explode(col("t2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("n", lit(1L))
+    val bi = tk.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t2) >= 2 THEN transform(sequence(1, size(t2) - 1), " +
+          "i -> concat(element_at(t2, i), ' ', element_at(t2, i + 1))) " +
+          "ELSE array() END")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("n", lit(2L))
+    val grams = uni.unionByName(bi)
+    val tot = grams.groupBy("doc_id", "n").agg(sum("c").as("tot"))
+    val pv = pairs.select("doc_a", "doc_b")
+    val clip = pv
+      .join(grams.select(col("doc_id").as("doc_a"), col("n"), col("g"),
+        col("c").as("ca")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("n"), col("g"),
+        col("c").as("cb")), Seq("doc_b", "n", "g"))
+      .groupBy("doc_a", "doc_b", "n")
+      .agg(sum(least(col("ca"), col("cb"))).as("clip"))
+    val grid = pv.select(col("doc_a"), col("doc_b"),
+      explode(array(lit(1L), lit(2L))).as("n"))
+    val f = grid
+      .join(clip, Seq("doc_a", "doc_b", "n"), "left")
+      .join(tot.select(col("doc_id").as("doc_b"), col("n"),
+        col("tot").as("tot_b")), Seq("doc_b", "n"), "left")
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("n") === 1, coalesce(col("clip"), lit(0L)))
+        .otherwise(0L)).as("clip1"),
+        sum(when(col("n") === 2, coalesce(col("clip"), lit(0L)))
+          .otherwise(0L)).as("clip2"),
+        sum(when(col("n") === 1, coalesce(col("tot_b"), lit(0L)))
+          .otherwise(0L)).as("tot1_b"),
+        sum(when(col("n") === 2, coalesce(col("tot_b"), lit(0L)))
+          .otherwise(0L)).as("tot2_b"))
+    f.join(tot.filter(col("n") === 1)
+        .select(col("doc_id").as("doc_a"), col("tot").as("len_a")),
+        Seq("doc_a"), "left")
+      .select(col("doc_a"), col("doc_b"), col("clip1"), col("clip2"),
+        coalesce(col("len_a"), lit(0L)).as("len_a"),
+        col("tot1_b").as("len_b"),
+        expr("CASE WHEN clip1 = 0 OR clip2 = 0 OR tot1_b = 0 OR tot2_b = 0 " +
+          "THEN 0.0 ELSE round(" +
+          "(CASE WHEN tot1_b > coalesce(len_a, 0) THEN 1.0 " +
+          "ELSE exp(1.0 - CAST(coalesce(len_a, 0) AS DOUBLE) / tot1_b) END) * " +
+          "exp(0.5 * ln(CAST(clip1 AS DOUBLE) / tot1_b) + " +
+          "0.5 * ln(CAST(clip2 AS DOUBLE) / tot2_b)), 6) END").as("bleu"))
+  }
+
   /** (bin, n_ref, n_cur, p_ref, p_cur, psi_term): POPULATION STABILITY
     * INDEX of the distinct-token-ratio distribution between the even-
     * and odd-id halves of the corpus (the old-crawl / new-crawl drift

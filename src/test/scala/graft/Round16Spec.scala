@@ -259,6 +259,27 @@ class Round16Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a numeric tag"))
   }
 
+  /** BLEU-2 over planted pairs: exact clipped counts, the brevity
+    * penalty on a short candidate, zero on gram-disjoint pairs, and
+    * the identity pair at exactly 1. */
+  test("bleu pairs: planted clips and brevity penalty; disjoint zero; identity one") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma"),
+      (3L, "zz yy"), (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val r = TextAnalysis.bleuPairs(docs, pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)), x.getDouble(6)))
+      .toMap
+    // candidate 2 ⊂ reference 1: p1 = p2 = 1, BP = exp(1 − 4/3)
+    val bpExp = BigDecimal(math.exp(1.0 - 4.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r((1L, 2L)) === (((3L, 2L, 4L, 3L), bpExp)))
+    assert(r((1L, 3L)) === (((0L, 0L, 4L, 2L), 0.0)))
+    assert(r((1L, 4L)) === (((4L, 3L, 4L, 4L), 1.0)))
+  }
+
   /** Greedy k-center: a planted 1-D geometry pins the full
     * farthest-point trajectory (seed at the lowest id, then always
     * the point maximizing min-distance-to-selected), and on the real
