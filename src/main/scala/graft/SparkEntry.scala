@@ -1328,6 +1328,15 @@ object SparkEntry {
       Bm25Index.mergeStores(s, s"$shards/a", s"$shards/b", dest)
       Bm25Index.blockMaxTopN(s, dest)
     }),
+    // the vector-store merge twin: LSH buckets union VERBATIM across
+    // shards (deterministic per-vector hashes, gated same-params), so
+    // the merged store serves the exact full-corpus LSH top-k
+    "q_ann_merge" -> ((s, dir) => {
+      val shards = annShardsFor(s, dir)
+      val dest = sys.props("java.io.tmpdir") + "/graft_ann_merged_" + dirTag(dir)
+      AnnIndex.mergeStores(s, s"$shards/a", s"$shards/b", dest)
+      AnnIndex.searchTopK(s, dest, queryId = 0L)
+    }),
     // per-source contamination dashboard: which domains leak eval
     // content, through the exact leg and through the fuzzy leg
     "q_contamination_report" -> ((s, dir) => {
@@ -1423,6 +1432,18 @@ object SparkEntry {
       val cut = maxRow.getLong(0) / 2
       Bm25Index.build(docs.filter(col("doc_id") <= cut), s"$p/a")
       Bm25Index.build(docs.filter(col("doc_id") > cut), s"$p/b")
+    }
+
+  /** The vector-store twin of [[bm25ShardsFor]] (id-prefix cut at
+    * max/2 over the embeddings; same LSH params both sides). */
+  private def annShardsFor(s: SparkSession, dir: String): String =
+    cachedLayout("ann_shards", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      val maxRow = emb.agg(max(col("vec_id"))).collect()(0)
+      require(!maxRow.isNullAt(0), "ann shard substrate: embeddings table is empty")
+      val cut = maxRow.getLong(0) / 2
+      AnnIndex.build(emb.filter(col("vec_id") <= cut), s"$p/a")
+      AnnIndex.build(emb.filter(col("vec_id") > cut), s"$p/b")
     }
 
   /** Dedicated build+tombstone store for the text-index COMPACTION
@@ -3839,6 +3860,9 @@ object SparkEntry {
     // sequentially — a flip would need |sum| within FP-error of zero
     // (~1e-15 relative; checked green at sf0.01 and sf0.1).
     "q_ann_lsh" -> lshTopKOracleSql("TRUE", 0L),
+    // a merged vector store serves identically to a full-corpus build
+    // (verbatim bucket union, disjoint shards) → same LSH oracle
+    "q_ann_merge" -> lshTopKOracleSql("TRUE", 0L),
     // tombstone-delete serve == live LSH over the surviving vectors
     "q_ann_delete" -> lshTopKOracleSql("vec_id % 9 <> 4", 2L),
     // the deterministic-quantizer IVF replays END-TO-END: the unrolled

@@ -124,6 +124,58 @@ object AnnIndex {
     }
   }
 
+  /** SHARD MERGE — [[Bm25Index.mergeStores]]'s contract on the vector
+    * store: fold two independently built stores over DISJOINT vec_id
+    * spaces into one fresh store at `dest`, serving identically to a
+    * build on the union of the live corpora. Even cheaper than the
+    * text-index merge: LSH buckets are DETERMINISTIC per-vector
+    * functions of the literal hyperplanes, so the bucket relations
+    * UNION verbatim — no recompute, no sidecar arithmetic — provided
+    * both stores hash with the SAME params (gated, the [[update]]
+    * rule across stores). Disjointness gated like the text merge
+    * (O(1) range short-circuit, id semi-join only on overlap);
+    * tombstones on either side purge physically. Buckets re-cluster
+    * on (t, bucket) so query pruning recovers row-group locality
+    * across the shard boundary. */
+  def mergeStores(spark: SparkSession, pathA: String, pathB: String,
+                  dest: String): Unit = {
+    val dA = DeltaStore.committedDeltas(spark, pathA)
+    require(dA.nonEmpty, s"no committed deltas under $pathA")
+    val dB = DeltaStore.committedDeltas(spark, pathB)
+    require(dB.nonEmpty, s"no committed deltas under $pathB")
+    val fs = DeltaStore.fsOf(spark, pathA)
+    val params = (dA ++ dB).flatMap(d => readParams(fs, d)).distinct
+    require(params.size <= 1,
+      s"stores disagree on LSH params: $params — a merged bucket space " +
+        "would be incompatible; rebuild one side first")
+    val (va, ba) = liveIndex(spark, dA)
+    val (vb, bb) = liveIndex(spark, dB)
+    val (eA, loA, hiA) = DeltaStore.batchRange(va, "vec_id")
+    val (eB, loB, hiB) = DeltaStore.batchRange(vb, "vec_id")
+    val rangesDisjoint = loA <= hiA && loB <= hiB && (hiA < loB || hiB < loA)
+    if (!eA && !eB && !rangesDisjoint) {
+      val nShared = va.select("vec_id").join(vb.select("vec_id"), "vec_id").count()
+      require(nShared == 0,
+        s"stores share $nShared live vec_ids — shard merge requires " +
+          "disjoint id spaces (re-key one side or delete the duplicates first)")
+    }
+    val range =
+      if (loA <= hiA && loB <= hiB) Some((math.min(loA, loB), math.max(hiA, hiB)))
+      else None
+    DeltaStore.reset(spark, dest)
+    DeltaStore.commit(spark, dest, "00000", range) { staging =>
+      va.union(vb).write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
+      ba.union(bb)
+        .repartition(col("t"), col("bucket"))
+        .sortWithinPartitions("t", "bucket")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
+      params.headOption.foreach { ps =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(staging, "lsh.params"), true)
+        try out.write(ps.getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+
   /** TOMBSTONE DELETE — [[Bm25Index.delete]]'s contract on the vector
     * store: one O(batch) tombstone delta (crash-atomic, idempotent per
     * REQUIRED tag), serving anti-joins live rows so a deleted vector

@@ -259,6 +259,43 @@ class Round16Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a numeric tag"))
   }
 
+  /** Vector-store shard merge: the merged store's serve equals the
+    * direct full-corpus LSH search bit for bit; mismatched hyperplane
+    * params are rejected loudly; a tombstone on one shard purges
+    * through the merge. */
+  test("ann shard merge: serve parity, params gate, tombstone purge") {
+    import graft.operators.{Ann, AnnIndex}
+    import org.apache.spark.sql.functions.{col, max}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r16amrg").toString
+    val cut = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+    AnnIndex.build(emb.filter(col("vec_id") <= cut), s"$tmp/a")
+    AnnIndex.build(emb.filter(col("vec_id") > cut), s"$tmp/b")
+    AnnIndex.mergeStores(spark, s"$tmp/a", s"$tmp/b", s"$tmp/m")
+    val served = AnnIndex.searchTopK(spark, s"$tmp/m", queryId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val direct = Ann.lshTopK(emb, queryId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.toSeq === direct.toSeq,
+      "merged serve must equal the full-corpus LSH search")
+    AnnIndex.build(emb.filter(col("vec_id") > cut), s"$tmp/p",
+      numTables = 4, bitsPerTable = 4)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.mergeStores(spark, s"$tmp/a", s"$tmp/p", s"$tmp/m2")
+    }
+    assert(ex.getMessage.contains("disagree on LSH params"))
+    val dead = emb.filter(col("vec_id") <= cut && col("vec_id") % 7 === 1)
+      .select("vec_id")
+    AnnIndex.delete(dead, s"$tmp/a", "del-01")
+    AnnIndex.mergeStores(spark, s"$tmp/a", s"$tmp/b", s"$tmp/m3")
+    val live = emb.filter(!(col("vec_id") <= cut && col("vec_id") % 7 === 1))
+    val served3 = AnnIndex.searchTopK(spark, s"$tmp/m3", queryId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val direct3 = Ann.lshTopK(live, queryId = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served3.toSeq === direct3.toSeq, "merge must purge tombstoned vectors")
+  }
+
   /** BLEU-2 over planted pairs: exact clipped counts, the brevity
     * penalty on a short candidate, zero on gram-disjoint pairs, and
     * the identity pair at exactly 1. */
