@@ -804,6 +804,11 @@ object SparkEntry {
     // invariants additionally spec-gated in Round9Spec
     "q_bpe_pairs" -> ((s, dir) => Bpe.pairCounts(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => Bpe.trainMerges(Tables.documents(s, dir))),
+    // WordPiece training: same dictionary walk, LIKELIHOOD-scored
+    // merges (count(pair)/(count(l)·count(r))) — the trainer family's
+    // third member beside count-max BPE and the unigram-LM pruner
+    "q_wordpiece_train" -> ((s, dir) =>
+      Bpe.trainWordpiece(Tables.documents(s, dir))),
     // unigram-LM tokenizer training (Kudo 2018, hard-EM on the integer
     // surrogate-cost grid — every Viterbi/M-step quantity BIGINT, so
     // the unrolled-EM recurrence replays bit-exactly in the oracle's
@@ -2763,6 +2768,53 @@ object SparkEntry {
       |        FROM (SELECT unnest(s.vocab) AS w))
       |      GROUP BY p.l, p.r)
       |    ORDER BY n DESC, l ASC, r ASC LIMIT 1) b
+      |  WHERE s.it < 20)""".stripMargin
+
+  /** The WordPiece variant of [[bpeSelCte]]: identical dictionary
+    * state and rewrite, but each step's LATERAL picks the pair
+    * maximizing count(pair) / (count(left)·count(right)) over the
+    * CURRENT symbol sequences — the score is one IEEE division of
+    * exact BIGINTs (products through DOUBLE, exactly rounded), so the
+    * selection replays bit-identically; ties (l, r) asc. The symbol
+    * counts are a second per-level scan of the vocab list — per-level
+    * cost, not exponential re-expansion (sel itself is referenced
+    * once per level). */
+  private val wordpieceSelCte =
+    """wc AS (SELECT word, count(*)::BIGINT AS wcount
+      |       FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      |       WHERE length(word) > 0 GROUP BY 1),
+      |init AS (SELECT list(struct_pack(syms := string_split(word, ''), c := wcount)
+      |                     ORDER BY word) AS vocab FROM wc),
+      |sel(it, vocab, merges) AS (
+      |  SELECT 0, (SELECT vocab FROM init),
+      |         []::STRUCT(l VARCHAR, r VARCHAR, n BIGINT, sc DOUBLE)[]
+      |  UNION ALL
+      |  SELECT s.it + 1,
+      |         list_transform(s.vocab, w -> struct_pack(
+      |           syms := string_split(trim(replace(
+      |             '(' || array_to_string(w.syms, ')(') || ')',
+      |             '(' || b.l || ')(' || b.r || ')',
+      |             '(' || b.l || b.r || ')'), '()'), ')('),
+      |           c := w.c)),
+      |         list_append(s.merges, struct_pack(l := b.l, r := b.r, n := b.n, sc := b.sc))
+      |  FROM sel s, LATERAL (
+      |    WITH pc AS (
+      |      SELECT p.l AS l, p.r AS r, sum(cc)::BIGINT AS n FROM (
+      |        SELECT w.c AS cc,
+      |               unnest(list_transform(range(1, len(w.syms)),
+      |                      i -> struct_pack(l := w.syms[i], r := w.syms[i+1]))) AS p
+      |        FROM (SELECT unnest(s.vocab) AS w))
+      |      GROUP BY p.l, p.r),
+      |    scnt AS (
+      |      SELECT sym, sum(cc)::BIGINT AS cn FROM (
+      |        SELECT w.c AS cc, unnest(w.syms) AS sym
+      |        FROM (SELECT unnest(s.vocab) AS w))
+      |      GROUP BY sym)
+      |    SELECT pc.l AS l, pc.r AS r, pc.n AS n,
+      |           pc.n::DOUBLE / (sl.cn::DOUBLE * sr.cn) AS sc
+      |    FROM pc JOIN scnt sl ON pc.l = sl.sym
+      |            JOIN scnt sr ON pc.r = sr.sym
+      |    ORDER BY sc DESC, l ASC, r ASC LIMIT 1) b
       |  WHERE s.it < 20)""".stripMargin
 
   /** One unrolled hard-EM round of the unigram-LM trainer
@@ -5669,6 +5721,15 @@ object SparkEntry {
          |fin AS (SELECT merges FROM sel ORDER BY it DESC LIMIT 1)
          |SELECT (i - 1)::BIGINT AS rank, merges[i].l AS "left",
          |       merges[i].r AS "right", merges[i].n AS n
+         |FROM fin, unnest(range(1, len(merges) + 1)) AS t(i)""".stripMargin,
+    // WordPiece replay: the bpe chain with the likelihood-scored
+    // LATERAL — selection on one IEEE division of exact BIGINTs
+    "q_wordpiece_train" ->
+      s"""WITH RECURSIVE $wordpieceSelCte,
+         |fin AS (SELECT merges FROM sel ORDER BY it DESC LIMIT 1)
+         |SELECT (i - 1)::BIGINT AS rank, merges[i].l AS "left",
+         |       merges[i].r AS "right", merges[i].n AS n,
+         |       round(merges[i].sc, 6) AS score
          |FROM fin, unnest(range(1, len(merges) + 1)) AS t(i)""".stripMargin,
     // the training rewrite applied step-by-step to the dictionary IS
     // the encode of every word under the learned ranks — the recursive

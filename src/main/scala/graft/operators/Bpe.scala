@@ -148,20 +148,101 @@ object Bpe {
       else {
         val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
         out += ((l, r, c))
-        vocab = vocab.map { case (syms, wc) =>
-          val b = Array.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-              b += (l + r); i += 2 // left-to-right, non-overlapping
-            } else { b += syms(i); i += 1 }
-          }
-          (b.result(), wc)
-        }
+        vocab = applyMerge(vocab, l, r)
         k += 1
       }
     }
     out.result()
+  }
+
+  /** Rewrite every dictionary word under one merge — left-to-right,
+    * non-overlapping (shared by the BPE and WordPiece loops, and the
+    * contract the oracle's parenthesized string replace mirrors). */
+  private def applyMerge(vocab: Array[(Array[String], Long)],
+      l: String, r: String): Array[(Array[String], Long)] =
+    vocab.map { case (syms, wc) =>
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      (b.result(), wc)
+    }
+
+  /** The WordPiece selection loop: same dictionary walk and rewrite
+    * as [[learn]], but each step merges the pair maximizing the
+    * LIKELIHOOD score count(pair) / (count(left)·count(right)) — the
+    * published WordPiece criterion (Schuster & Nakajima 2012; the
+    * merge that most raises a unigram LM's corpus likelihood) —
+    * instead of the raw pair count. Symbol counts re-derive from the
+    * CURRENT symbol sequences each step. The score is one IEEE
+    * division of exact integers (products through double — exactly
+    * rounded, engine-identical), ties break (left, right) asc.
+    * Returns (left, right, pairCount, score) in merge order. */
+  private[graft] def learnWordpiece(vocab0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String, Long, Double)] = {
+    var vocab = vocab0
+    val out = Seq.newBuilder[(String, String, Long, Double)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      val syms = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (ss, c) =>
+        var i = 0
+        while (i < ss.length) {
+          syms(ss(i)) = syms.getOrElse(ss(i), 0L) + c
+          if (i < ss.length - 1) {
+            val p = (ss(i), ss(i + 1))
+            pairs(p) = pairs.getOrElse(p, 0L) + c
+          }
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((pl, pr), pc) =>
+          (-(pc.toDouble / (syms(pl).toDouble * syms(pr))), pl, pr) }
+        out += ((l, r, c, c.toDouble / (syms(l).toDouble * syms(r))))
+        vocab = applyMerge(vocab, l, r)
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** (rank, left, right, n, score): the first `numMerges` WordPiece
+    * merges in training order — the LIKELIHOOD-driven sibling of
+    * [[trainMerges]] completing the trainer family (BPE merges the
+    * most FREQUENT pair; WordPiece the pair whose fusion most raises
+    * unigram-LM likelihood, so a frequent-but-expected pair loses to
+    * a rarer-but-surprising one; the unigram trainer prunes top-down
+    * instead). Same scale split as BPE: ONE corpus aggregation
+    * (word counts), then the loop runs over the capped
+    * vocabulary-sized dictionary driver-side — the corpus is never
+    * iterated. `n` is the winning pair's count, `score` its
+    * likelihood ratio (round 6; selection uses the unrounded IEEE
+    * value, identical in the replay). */
+  def trainWordpiece(docs: DataFrame, numMerges: Int = 20,
+      maxVocab: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    val vocabDf = wordCounts(docs)
+    val n = vocabDf.count()
+    require(n <= maxVocab,
+      s"WordPiece dictionary has $n words > cap $maxVocab — prune by " +
+        "min-count (a relational filter) before training; the driver loop " +
+        "is vocab-resident by design")
+    val vocab: Array[(Array[String], Long)] = vocabDf.collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = learnWordpiece(vocab, numMerges)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, c, s), i) => (i.toLong, l, r, c, s) }
+      .toDF("rank", "left", "right", "n", "score_raw")
+      .select(col("rank"), col("left"), col("right"), col("n"),
+        round(col("score_raw"), 6).as("score"))
   }
 
   /** Encode one word with a learned merge list (driver-side helper for

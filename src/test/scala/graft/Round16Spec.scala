@@ -259,6 +259,29 @@ class Round16Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a numeric tag"))
   }
 
+  /** WordPiece vs BPE on a planted dictionary where they DISAGREE:
+    * the likelihood score demotes a frequent pair of common symbols
+    * below a rarer pair of rare symbols — the defining behavioral
+    * difference. Also pins score ∈ (0, 1] on the real corpus. */
+  test("wordpiece: likelihood scoring diverges from count-max BPE on the planted dictionary") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // "aa"×40 → pair (a,a) count 40 but a appears 90 times;
+    // "xy"×3 → pair (x,y) count 3 with x,y each 3 → score 1/3 wins
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(40)("aa") ++ Seq.fill(3)("xy"))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val wp = Bpe.trainWordpiece(docs, numMerges = 1).head
+    assert((wp.getString(1), wp.getString(2), wp.getLong(3)) === (("x", "y", 3L)))
+    assert(wp.getDouble(4) === 0.333333)
+    val bpe = Bpe.trainMerges(docs, numMerges = 1).head
+    assert((bpe.getString(1), bpe.getString(2), bpe.getLong(3)) === (("a", "a", 40L)))
+    val real = Bpe.trainWordpiece(graft.sources.Tables.documents(spark, sf)).collect()
+    assert(real.length === 20)
+    assert(real.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0),
+      "wordpiece scores must lie in (0, 1]")
+  }
+
   /** Vector-store shard merge: the merged store's serve equals the
     * direct full-corpus LSH search bit for bit; mismatched hyperplane
     * params are rejected loudly; a tombstone on one shard purges
