@@ -809,6 +809,10 @@ object SparkEntry {
     // third member beside count-max BPE and the unigram-LM pruner
     "q_wordpiece_train" -> ((s, dir) =>
       Bpe.trainWordpiece(Tables.documents(s, dir))),
+    // per-language fertility under the WordPiece vocab — the third
+    // column of the trainer-equity comparison (BPE / unigram / WP)
+    "q_wordpiece_fertility" -> ((s, dir) =>
+      Bpe.wordpieceFertility(Tables.documents(s, dir))),
     // unigram-LM tokenizer training (Kudo 2018, hard-EM on the integer
     // surrogate-cost grid — every Viterbi/M-step quantity BIGINT, so
     // the unrolled-EM recurrence replays bit-exactly in the oracle's
@@ -5762,6 +5766,25 @@ object SparkEntry {
          |SELECT d.lang, sum(p.n_words)::BIGINT AS n_words,
          |       sum(p.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
          |       round(sum(p.n_bpe_tokens)::DOUBLE / sum(p.n_words), 4) AS fertility
+         |FROM perdoc p JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+    // the WordPiece column of the fertility comparison: the same
+    // final-vocab encode, under the likelihood-scored chain
+    "q_wordpiece_fertility" ->
+      s"""WITH RECURSIVE $wordpieceSelCte,
+         |fin AS (SELECT vocab FROM sel ORDER BY it DESC LIMIT 1),
+         |lens AS (SELECT array_to_string(w.syms, '') AS word, len(w.syms)::BIGINT AS n_sub
+         |         FROM (SELECT unnest(vocab) AS w FROM fin)),
+         |tokd AS (SELECT doc_id, word FROM (
+         |           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |           FROM documents)
+         |         WHERE length(word) > 0),
+         |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+         |             sum(n_sub)::BIGINT AS n_wp
+         |           FROM tokd JOIN lens USING (word) GROUP BY doc_id)
+         |SELECT d.lang, sum(p.n_words)::BIGINT AS n_words,
+         |       sum(p.n_wp)::BIGINT AS n_wp_tokens,
+         |       round(sum(p.n_wp)::DOUBLE / sum(p.n_words), 4) AS fertility
          |FROM perdoc p JOIN documents d USING (doc_id)
          |GROUP BY 1""".stripMargin,
     // the unigram trainer's unrolled hard-EM replay: final-round

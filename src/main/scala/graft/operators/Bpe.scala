@@ -126,6 +126,45 @@ object Bpe {
         round(col("n_bpe_tokens").cast("double") / col("n_words"), 4)
           .as("fertility"))
 
+  /** (lang, n_words, n_wp_tokens, fertility): tokenizer fertility per
+    * language under the learned WORDPIECE merges — the third column of
+    * the trainer-equity comparison ([[fertility]] gives BPE's,
+    * Unigram.fertility the unigram-LM's; a language's cost under all
+    * three is the evidence a tokenizer bake-off actually needs).
+    * Identical plan to [[fertility]]: encode once per DISTINCT word on
+    * the capped driver vocab (training-order rewrite = the encode, the
+    * family convention), broadcast the subword lengths, aggregate by
+    * language. */
+  def wordpieceFertility(docs: DataFrame, numMerges: Int = 20,
+      maxVocab: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabDf = wordCounts(docs)
+    val n = vocabDf.count()
+    require(n <= maxVocab,
+      s"WordPiece dictionary has $n words > cap $maxVocab — prune by " +
+        "min-count before encoding; the encode table is vocab-resident by design")
+    val vocab = vocabDf.collect().map(r => (r.getString(0), r.getLong(1)))
+    val merges = learnWordpiece(
+      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }, numMerges)
+      .map { case (l, r, _, _) => (l, r) }
+    val lens = vocab.toSeq
+      .map { case (w, _) => (w, encode(w, merges).length.toLong) }
+      .toDF("word", "n_sub")
+    docs.select(col("doc_id"),
+        explode(graft.functions.Text.rawTokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(lens), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_wp"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_wp").as("n_wp_tokens"))
+      .select(col("lang"), col("n_words"), col("n_wp_tokens"),
+        round(col("n_wp_tokens").cast("double") / col("n_words"), 4)
+          .as("fertility"))
+  }
+
   /** The driver-side greedy loop over the (symbols, count) dictionary.
     * Returns (left, right, pairCount) in merge order. */
   private[graft] def learn(vocab0: Array[(Array[String], Long)],

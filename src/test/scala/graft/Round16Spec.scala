@@ -282,6 +282,27 @@ class Round16Spec extends AnyFunSuite {
       "wordpiece scores must lie in (0, 1]")
   }
 
+  /** WordPiece fertility: same language set as the BPE column, every
+    * fertility ≥ 1 (a word never encodes to zero subwords), and a
+    * planted single-word corpus where the 1-merge vocab makes the
+    * count exact. */
+  test("wordpiece fertility: language parity with BPE column; planted exact count") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val wp = Bpe.wordpieceFertility(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val bp = Bpe.fertility(docs).collect().map(_.getString(0)).toSet
+    assert(wp.keySet === bp)
+    assert(wp.values.forall(_ >= 1.0))
+    // likelihood picks (a,b) (score 1/1 = 1) over the more frequent
+    // (x,y) (3/9) — "ab" merges to 1 token, the three "xy" stay at 2
+    val planted = Seq((1L, "xy xy xy ab", "aa")).toDF("doc_id", "text", "lang")
+    val r = Bpe.wordpieceFertility(planted, numMerges = 1).head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) === (("aa", 4L, 7L)))
+    assert(r.getDouble(3) === 1.75)
+  }
+
   /** Vector-store shard merge: the merged store's serve equals the
     * direct full-corpus LSH search bit for bit; mismatched hyperplane
     * params are rejected loudly; a tombstone on one shard purges
