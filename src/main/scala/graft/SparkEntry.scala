@@ -1337,6 +1337,15 @@ object SparkEntry {
       Bm25Index.mergeStores(s, s"$shards/a", s"$shards/b", dest)
       Bm25Index.blockMaxTopN(s, dest)
     }),
+    // the pair-substrate merge: cross-shard near-dup pairs discovered
+    // from STAGED state (no re-shingling) — exact unification + a
+    // rep-scaled cross band join + pair-driven verify of new pairs
+    "q_dedup_merge" -> ((s, dir) => {
+      val shards = dedupShardsFor(s, dir)
+      val dest = sys.props("java.io.tmpdir") + "/graft_dedup_merged_" + dirTag(dir)
+      DedupStore.mergeStores(s, s"$shards/a", s"$shards/b", dest)
+      DedupStore.verifiedNearDups(s, dest)
+    }),
     // the vector-store merge twin: LSH buckets union VERBATIM across
     // shards (deterministic per-vector hashes, gated same-params), so
     // the merged store serves the exact full-corpus LSH top-k
@@ -1441,6 +1450,19 @@ object SparkEntry {
       val cut = maxRow.getLong(0) / 2
       Bm25Index.build(docs.filter(col("doc_id") <= cut), s"$p/a")
       Bm25Index.build(docs.filter(col("doc_id") > cut), s"$p/b")
+    }
+
+  /** The pair-substrate twin of [[bm25ShardsFor]] (id-prefix cut at
+    * max/2 — the shard layout satisfies the merge's monotone id
+    * contract by construction). */
+  private def dedupShardsFor(s: SparkSession, dir: String): String =
+    cachedLayout("dedup_shards", dir) { p =>
+      val docs = Tables.documents(s, dir)
+      val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+      require(!maxRow.isNullAt(0), "dedup shard substrate: documents table is empty")
+      val cut = maxRow.getLong(0) / 2
+      DedupStore.build(docs.filter(col("doc_id") <= cut), s"$p/a")
+      DedupStore.build(docs.filter(col("doc_id") > cut), s"$p/b")
     }
 
   /** The vector-store twin of [[bm25ShardsFor]] (id-prefix cut at
@@ -3656,6 +3678,12 @@ object SparkEntry {
          |JOIN canon USING (doc_id)
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "q_dedup_verified" ->
+      s"""WITH $minhashCandCte
+         |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
+    // a merged pair substrate serves the full-corpus pair relation
+    // identically (cross-shard pairs discovered at merge; shared
+    // contract with the incremental/compact legs)
+    "q_dedup_merge" ->
       s"""WITH $minhashCandCte
          |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard FROM ver""".stripMargin,
     // incremental build+update of the staged substrate serves the

@@ -293,6 +293,125 @@ object DedupStore {
       live("pairs").write.parquet(s"$staging/pairs")
     }
 
+  /** SHARD MERGE — the pair-substrate member of the merge family
+    * ([[Bm25Index.mergeStores]] / [[AnnIndex.mergeStores]]): fold two
+    * independently built stores into one fresh store at `dest`,
+    * relation-identical to a rebuild on the union of the live
+    * corpora. Unlike the index stores, a pair substrate CANNOT merge
+    * by union alone — near-dup pairs SPANNING the shard boundary
+    * exist in neither store — so the merge re-runs exactly the
+    * incremental tail of [[update]], but from STAGED state: no
+    * document is re-shingled or re-minhashed on either side.
+    *
+    *  - exact unification: B groups whose text hash matches an A
+    *    group adopt A's rep (one reps⋈reps hash join); the adopted
+    *    groups' bands/shingles drop (copy symmetry — the A rep's are
+    *    bit-identical) and their staged cands/pairs RENAME through
+    *    the (b_rep → a_rep) map, the [[delete]] rekey discipline;
+    *  - cross-shard candidates: A's staged bands × B's surviving-rep
+    *    bands (band-key equijoin — the same banded shape as ingest,
+    *    never all-pairs), then the pair-driven shingle verify for
+    *    pairs not already verified on either side;
+    *  - id contract: every live id in A must sit BELOW every live id
+    *    in B (gated loudly) — the sharded form of the monotone-ingest
+    *    contract, which is what keeps adopted reps the global group
+    *    minimum and every renamed relation exact.
+    *
+    * Requires a single-writer window on `dest` (fresh store; sources
+    * only read). Cost: rep-scaled band join + new-pair verification —
+    * the cross-shard work a rebuild would pay anyway, minus all of
+    * its per-document signature computation. */
+  def mergeStores(spark: SparkSession, pathA: String, pathB: String,
+                  dest: String): Unit = {
+    val dA = DeltaStore.committedDeltas(spark, pathA)
+    require(dA.nonEmpty, s"no committed deltas under $pathA")
+    val dB = DeltaStore.committedDeltas(spark, pathB)
+    require(dB.nonEmpty, s"no committed deltas under $pathB")
+    val memA = readFrom(spark, dA, "members").cutLineage()
+    val memB = readFrom(spark, dB, "members").cutLineage()
+    val hiA = memA.agg(max(col("doc_id"))).collect()(0)
+    val loB = memB.agg(min(col("doc_id"))).collect()(0)
+    require(!hiA.isNullAt(0) && !loB.isNullAt(0),
+      "shard merge requires two non-empty live stores")
+    require(hiA.getLong(0) < loB.getLong(0),
+      s"every live id in $pathA (max ${hiA.getLong(0)}) must sit below every " +
+        s"live id in $pathB (min ${loB.getLong(0)}) — the sharded form of the " +
+        "monotone-ingest contract; merge shards in id order")
+    val repsA = readFrom(spark, dA, "reps").cutLineage()
+    val repsB = readFrom(spark, dB, "reps").cutLineage()
+    // exact unification: one hash join of two rep-scaled relations
+    val matched = repsB.select(col("rep").as("old_rep"), col("h").as("bh"))
+      .join(repsA.select(col("rep").as("new_rep"), col("h").as("ah")),
+        col("bh") <=> col("ah"))
+      .select(col("old_rep"), col("new_rep"))
+      .cutLineage()
+    val members = memA.unionByName(remapCol(memB, "rep", matched))
+    val repsBnew = repsB
+      .join(matched.select(col("old_rep").as("rep")), Seq("rep"), "left_anti")
+      .cutLineage()
+    val reps = repsA.unionByName(repsBnew)
+    val bandsA = readFrom(spark, dA, "bands").cutLineage()
+    val bandsBnew = readFrom(spark, dB, "bands")
+      .join(repsBnew.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .cutLineage()
+    val shinglesA = readFrom(spark, dA, "shingles")
+    val shinglesBnew = readFrom(spark, dB, "shingles")
+      .join(repsBnew.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val allSh = shinglesA.unionByName(shinglesBnew).cutLineage()
+    // staged candidates rename through the adoption map; the rekey
+    // can shrink an id, so the canonical order is restored
+    val candsB2 = remapCol(remapCol(readFrom(spark, dB, "cands"),
+        "doc_a", matched), "doc_b", matched)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val cross = bandsBnew.as("b").join(bandsA.as("a"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val cands = readFrom(spark, dA, "cands")
+      .unionByName(candsB2).unionByName(cross).distinct().cutLineage()
+    val pairsA = readFrom(spark, dA, "pairs")
+    val pb = remapCol(remapCol(readFrom(spark, dB, "pairs"),
+      "doc_a", matched), "doc_b", matched)
+    val pairsB2 = pb.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+      greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("inter"),
+      when(col("doc_a") <= col("doc_b"), col("na")).otherwise(col("nb")).as("na"),
+      when(col("doc_a") <= col("doc_b"), col("nb")).otherwise(col("na")).as("nb"))
+    val known = pairsA.select("doc_a", "doc_b")
+      .unionByName(pairsB2.select("doc_a", "doc_b"))
+    val newCands = cands.join(known, Seq("doc_a", "doc_b"), "left_anti")
+      .cutLineage()
+    val allSizes = reps.select(col("rep"), col("n_sh"))
+    // pair-driven verify of the genuinely new pairs — the update()
+    // shape: cost Σ_pairs |shingles(doc_a)|, never a co-shingle blowup
+    val statsNew = newCands
+      .join(allSh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(allSh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(allSizes.select(col("rep").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(allSizes.select(col("rep").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
+    val pairs = pairsA.unionByName(pairsB2).unionByName(statsNew).distinct()
+    val (_, lo, hi) = DeltaStore.batchRange(members.select("doc_id"), "doc_id")
+    val range = if (lo <= hi) Some((lo, hi)) else None
+    DeltaStore.reset(spark, dest)
+    DeltaStore.commit(spark, dest, "00000", range) { staging =>
+      members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
+      reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
+      bandsA.unionByName(bandsBnew)
+        .repartition(col("band"), col("bkey"))
+        .sortWithinPartitions("band", "bkey")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/bands")
+      allSh.repartition(col("doc_id"))
+        .sortWithinPartitions("doc_id", "sh")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")
+      cands.write.mode(SaveMode.Overwrite).parquet(s"$staging/cands")
+      pairs.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")
+    }
+  }
+
   private def read(spark: SparkSession, path: String, sub: String): DataFrame = {
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")

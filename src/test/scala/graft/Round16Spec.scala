@@ -259,6 +259,56 @@ class Round16Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a numeric tag"))
   }
 
+  /** Pair-substrate shard merge: the merged store is
+    * RELATION-IDENTICAL to a full rebuild on the union corpus (all
+    * six staged relations compared set-wise — the class invariant the
+    * incremental path already holds, now for the merge path), the
+    * serve agrees at two thresholds, a pre-merge delete purges
+    * through, and the monotone id gate rejects a reversed merge. */
+  test("dedup shard merge: relation-identical to the full rebuild; monotone gate; delete leg") {
+    import graft.operators.DedupStore
+    import org.apache.spark.sql.functions.{col, max}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r16dmrg").toString
+    val cut = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    DedupStore.build(docs.filter(col("doc_id") <= cut), s"$tmp/a")
+    DedupStore.build(docs.filter(col("doc_id") > cut), s"$tmp/b")
+    DedupStore.mergeStores(spark, s"$tmp/a", s"$tmp/b", s"$tmp/m")
+    DedupStore.build(docs, s"$tmp/f")
+    def rel(path: String, sub: String) = {
+      val ds = graft.sources.DeltaStore.committedDeltas(spark, path)
+      val df = spark.read.parquet(ds.map(d => s"$d/$sub"): _*)
+      df.select(df.columns.sorted.map(col): _*).collect()
+        .map(_.toSeq.toList).toSet
+    }
+    for (sub <- Seq("members", "reps", "bands", "shingles", "cands", "pairs"))
+      assert(rel(s"$tmp/m", sub) === rel(s"$tmp/f", sub),
+        s"merged '$sub' must equal the full rebuild's")
+    for (th <- Seq(0.7, 0.8)) {
+      val m = DedupStore.verifiedNearDups(spark, s"$tmp/m", th).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val f = DedupStore.verifiedNearDups(spark, s"$tmp/f", th).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(m === f, s"serve must agree at threshold $th")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      DedupStore.mergeStores(spark, s"$tmp/b", s"$tmp/a", s"$tmp/x")
+    }
+    assert(ex.getMessage.contains("monotone"))
+    // delete leg: a tombstone on shard a purges through the merge
+    val dead = docs.filter(col("doc_id") <= cut && col("doc_id") % 11 === 5)
+      .select("doc_id")
+    DedupStore.delete(dead, s"$tmp/a", "del-01")
+    DedupStore.mergeStores(spark, s"$tmp/a", s"$tmp/b", s"$tmp/m2")
+    DedupStore.build(
+      docs.filter(!(col("doc_id") <= cut && col("doc_id") % 11 === 5)), s"$tmp/f2")
+    val m2 = DedupStore.verifiedNearDups(spark, s"$tmp/m2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val f2 = DedupStore.verifiedNearDups(spark, s"$tmp/f2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(m2 === f2, "merge must purge the tombstoned docs")
+  }
+
   /** WordPiece vs BPE on a planted dictionary where they DISAGREE:
     * the likelihood score demotes a frequent pair of common symbols
     * below a rarer pair of rare symbols — the defining behavioral
