@@ -1337,6 +1337,15 @@ object SparkEntry {
       Bm25Index.mergeStores(s, s"$shards/a", s"$shards/b", dest)
       Bm25Index.blockMaxTopN(s, dest)
     }),
+    // the semantic-substrate merge: cross-shard cosine pairs from
+    // staged rep vectors (no re-embedding-scan), value-key
+    // unification + rep-scaled cross bucket join
+    "q_semantic_merge" -> ((s, dir) => {
+      val shards = semShardsFor(s, dir)
+      val dest = sys.props("java.io.tmpdir") + "/graft_sem_merged_" + dirTag(dir)
+      SemanticStore.mergeStores(s, s"$shards/a", s"$shards/b", dest)
+      SemanticStore.cosinePairs(s, dest)
+    }),
     // the pair-substrate merge: cross-shard near-dup pairs discovered
     // from STAGED state (no re-shingling) — exact unification + a
     // rep-scaled cross band join + pair-driven verify of new pairs
@@ -1450,6 +1459,18 @@ object SparkEntry {
       val cut = maxRow.getLong(0) / 2
       Bm25Index.build(docs.filter(col("doc_id") <= cut), s"$p/a")
       Bm25Index.build(docs.filter(col("doc_id") > cut), s"$p/b")
+    }
+
+  /** The semantic-substrate twin of [[dedupShardsFor]] (id-prefix cut
+    * at max/2 over the embeddings). */
+  private def semShardsFor(s: SparkSession, dir: String): String =
+    cachedLayout("sem_shards", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      val maxRow = emb.agg(max(col("vec_id"))).collect()(0)
+      require(!maxRow.isNullAt(0), "semantic shard substrate: embeddings table is empty")
+      val cut = maxRow.getLong(0) / 2
+      SemanticStore.build(emb.filter(col("vec_id") <= cut), s"$p/a")
+      SemanticStore.build(emb.filter(col("vec_id") > cut), s"$p/b")
     }
 
   /** The pair-substrate twin of [[bm25ShardsFor]] (id-prefix cut at
@@ -3876,6 +3897,16 @@ object SparkEntry {
     // staged-then-incremental semantic substrate must serve the SAME
     // pair relation as the full corpus (shared all-pairs oracle)
     "q_semantic_store_incremental" ->
+      s"""WITH $vecCte
+         |SELECT vec_a, vec_b, round(c_exact, 4) AS cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         |               / (a.nrm * b.nrm) AS c_exact
+         |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+         |WHERE c_exact >= 0.45""".stripMargin,
+    // a merged semantic substrate serves the same all-pairs relation
+    // (cross-shard pairs discovered at merge; shared contract)
+    "q_semantic_merge" ->
       s"""WITH $vecCte
          |SELECT vec_a, vec_b, round(c_exact, 4) AS cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -239,6 +239,93 @@ object SemanticStore {
       live("pairs").write.parquet(s"$staging/pairs")
     }
 
+  /** SHARD MERGE — [[DedupStore.mergeStores]] on the embedding side,
+    * completing the merge family across all three stateful substrate
+    * families: two independently built semantic stores over
+    * id-ordered shards fold into one fresh store, relation-identical
+    * to a rebuild on the union corpus. Same algorithm, two relations
+    * lighter (no shingles — the staged rep VECTORS are the verify
+    * index; no cands — sub-threshold candidates are never staged):
+    * value-key unification (B groups adopt A's rep; adopted reps'
+    * buckets drop by value identity; B's pairs RENAME through the
+    * adoption map — cos is symmetric, so only the canonical order
+    * needs restoring), a rep-scaled cross bucket join for boundary
+    * candidates, exact-cosine verification of only the genuinely new
+    * pairs from the staged rep vectors. Monotone id contract gated
+    * loudly (every live A id below every live B id). */
+  def mergeStores(spark: SparkSession, pathA: String, pathB: String,
+                  dest: String): Unit = {
+    val dA = DeltaStore.committedDeltas(spark, pathA)
+    require(dA.nonEmpty, s"no committed deltas under $pathA")
+    val dB = DeltaStore.committedDeltas(spark, pathB)
+    require(dB.nonEmpty, s"no committed deltas under $pathB")
+    val memA = readFrom(spark, dA, "members").cutLineage()
+    val memB = readFrom(spark, dB, "members").cutLineage()
+    val hiA = memA.agg(max(col("vec_id"))).collect()(0)
+    val loB = memB.agg(min(col("vec_id"))).collect()(0)
+    require(!hiA.isNullAt(0) && !loB.isNullAt(0),
+      "shard merge requires two non-empty live stores")
+    require(hiA.getLong(0) < loB.getLong(0),
+      s"every live id in $pathA (max ${hiA.getLong(0)}) must sit below every " +
+        s"live id in $pathB (min ${loB.getLong(0)}) — the sharded form of the " +
+        "monotone-ingest contract; merge shards in id order")
+    val repsA = readFrom(spark, dA, "reps").cutLineage()
+    val repsB = readFrom(spark, dB, "reps").cutLineage()
+    val matched = repsB.select(col("rep").as("old_rep"), col("vk").as("bk"))
+      .join(repsA.select(col("rep").as("new_rep"), col("vk").as("ak")),
+        col("bk") === col("ak"))
+      .select(col("old_rep"), col("new_rep"))
+      .cutLineage()
+    val members = memA.unionByName(remapCol(memB, "rep", matched))
+    val repsBnew = repsB
+      .join(matched.select(col("old_rep").as("rep")), Seq("rep"), "left_anti")
+      .cutLineage()
+    val reps = repsA.unionByName(repsBnew)
+    val bucketsA = readFrom(spark, dA, "buckets").cutLineage()
+    val bucketsBnew = readFrom(spark, dB, "buckets")
+      .join(repsBnew.select(col("rep").as("vec_id")), Seq("vec_id"), "left_semi")
+      .cutLineage()
+    val pairsA = readFrom(spark, dA, "pairs")
+    val pairsB2 = remapCol(remapCol(readFrom(spark, dB, "pairs"),
+        "vec_a", matched), "vec_b", matched)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
+    val cross = bucketsBnew.as("b").join(bucketsA.as("a"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+    val known = pairsA.select("vec_a", "vec_b")
+      .unionByName(pairsB2.select("vec_a", "vec_b"))
+    val newCands = cross.join(known, Seq("vec_a", "vec_b"), "left_anti")
+      .cutLineage()
+    val repVecs = reps.select(col("rep"), col("embedding"))
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("rep"), col("v"), col("nrm"))
+    val statsNew = newCands
+      .join(repVecs.select(col("rep").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(repVecs.select(col("rep").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("c_exact", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("c_exact") >= Threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c_exact"), 4).as("cos"))
+    val pairs = pairsA.unionByName(pairsB2).unionByName(statsNew).distinct()
+    val (_, lo, hi) = DeltaStore.batchRange(members.select("vec_id"), "vec_id")
+    val range = if (lo <= hi) Some((lo, hi)) else None
+    DeltaStore.reset(spark, dest)
+    DeltaStore.commit(spark, dest, "00000", range) { staging =>
+      members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
+      reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
+      bucketsA.unionByName(bucketsBnew)
+        .repartition(col("t"), col("bucket"))
+        .sortWithinPartitions("t", "bucket")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
+      pairs.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")
+    }
+  }
+
   private def read(spark: SparkSession, path: String, sub: String): DataFrame = {
     val deltas = DeltaStore.committedDeltas(spark, path)
     require(deltas.nonEmpty, s"no committed deltas under $path")

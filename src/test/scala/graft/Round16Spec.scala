@@ -309,6 +309,57 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Semantic-substrate shard merge: relation-identical to the full
+    * rebuild across all four staged relations, serve agreement, the
+    * monotone gate, and the delete leg — the [[DedupStore]] merge
+    * contract on the embedding side. */
+  test("semantic shard merge: relation-identical to the full rebuild; monotone gate; delete leg") {
+    import graft.operators.SemanticStore
+    import org.apache.spark.sql.functions.{col, max}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r16smrg").toString
+    val cut = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+    SemanticStore.build(emb.filter(col("vec_id") <= cut), s"$tmp/a")
+    SemanticStore.build(emb.filter(col("vec_id") > cut), s"$tmp/b")
+    SemanticStore.mergeStores(spark, s"$tmp/a", s"$tmp/b", s"$tmp/m")
+    SemanticStore.build(emb, s"$tmp/f")
+    def rel(path: String, sub: String) = {
+      val ds = graft.sources.DeltaStore.committedDeltas(spark, path)
+      val df = spark.read.parquet(ds.map(d => s"$d/$sub"): _*)
+      df.select(df.columns.sorted.map(col): _*).collect()
+        .map(_.toSeq.toList).toSet
+    }
+    for (sub <- Seq("members", "reps", "buckets", "pairs"))
+      assert(rel(s"$tmp/m", sub) === rel(s"$tmp/f", sub),
+        s"merged '$sub' must equal the full rebuild's")
+    val m = SemanticStore.cosinePairs(spark, s"$tmp/m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val f = SemanticStore.cosinePairs(spark, s"$tmp/f").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(m === f)
+    val ex = intercept[IllegalArgumentException] {
+      SemanticStore.mergeStores(spark, s"$tmp/b", s"$tmp/a", s"$tmp/x")
+    }
+    assert(ex.getMessage.contains("monotone"))
+    // delete leg: ids must be LIVE members (zero-norm vectors never
+    // enter the store), so pick them from shard a's members relation
+    val memA = spark.read.parquet(
+      graft.sources.DeltaStore.committedDeltas(spark, s"$tmp/a")
+        .map(d => s"$d/members"): _*)
+    val deadIds = memA.filter(col("vec_id") % 5 === 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(deadIds.nonEmpty, "planted delete slice must be non-empty")
+    import spark.implicits._
+    SemanticStore.delete(deadIds.toDF("vec_id"), s"$tmp/a", "del-01")
+    SemanticStore.mergeStores(spark, s"$tmp/a", s"$tmp/b", s"$tmp/m2")
+    SemanticStore.build(emb.filter(!col("vec_id").isin(deadIds: _*)), s"$tmp/f2")
+    val m2 = SemanticStore.cosinePairs(spark, s"$tmp/m2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val f2 = SemanticStore.cosinePairs(spark, s"$tmp/f2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(m2 === f2, "merge must purge the tombstoned vectors")
+  }
+
   /** WordPiece vs BPE on a planted dictionary where they DISAGREE:
     * the likelihood score demotes a frequent pair of common symbols
     * below a rarer pair of rare symbols — the defining behavioral
