@@ -444,6 +444,10 @@ object SparkEntry {
     // Kruskal-Wallis H on the same doubled-midrank integer grid
     "q_kruskal_wallis" -> ((s, dir) =>
       TextAnalysis.kruskalWallisLength(Tables.documents(s, dir))),
+    // Cliff's delta: the EFFECT SIZE beside the U test's significance
+    // (does the shift matter, not just is it detectable)
+    "q_cliffs_delta" -> ((s, dir) =>
+      TextAnalysis.cliffsDeltaLength(Tables.documents(s, dir))),
     // Cohen's kappa between the two keep/drop gates (heuristic
     // quality vs Gopher rules): chance-corrected rater agreement
     "q_quality_kappa" -> ((s, dir) =>
@@ -4490,6 +4494,28 @@ object SparkEntry {
         |            ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) /
         |                 (2.0 * sqrt(n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) / 12.0)), 6) END AS z
         |FROM per, tot, ties""".stripMargin,
+    // Cliff's delta: same midrank grid, one exact-BIGINT division;
+    // magnitude labels read off the ROUNDED value on both engines
+    "q_cliffs_delta" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |r AS (SELECT source,
+        |        2 * rank() OVER (ORDER BY v) + count(*) OVER (PARTITION BY v) - 1 AS r2
+        |      FROM d),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM d),
+        |per AS (SELECT source, count(*)::BIGINT AS n1, sum(r2)::BIGINT AS rsum2
+        |        FROM r GROUP BY source),
+        |dl AS (SELECT source, n1,
+        |         CASE WHEN n1 * (n - n1) = 0 THEN CAST(NULL AS DOUBLE)
+        |              ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) /
+        |                   CAST(n1 * (n - n1) AS DOUBLE), 6) END AS delta
+        |       FROM per, tot)
+        |SELECT source, n1, delta,
+        |       CASE WHEN delta IS NULL THEN CAST(NULL AS VARCHAR)
+        |            WHEN abs(delta) < 0.147 THEN 'negligible'
+        |            WHEN abs(delta) < 0.33 THEN 'small'
+        |            WHEN abs(delta) < 0.474 THEN 'medium'
+        |            ELSE 'large' END AS magnitude
+        |FROM dl""".stripMargin,
     // Kruskal-Wallis: same doubled-midrank grid; the cross-source sum
     // is source-ORDERED on both engines (the ordered-fold contract)
     "q_kruskal_wallis" ->

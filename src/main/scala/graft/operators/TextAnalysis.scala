@@ -621,6 +621,40 @@ object TextAnalysis {
         col("t"))
   }
 
+  /** (source, n1, delta, magnitude): CLIFF'S DELTA of each source's
+    * length distribution vs the rest — the EFFECT SIZE companion to
+    * [[mannWhitneyLength]]'s significance z (a huge corpus makes any
+    * shift "significant"; delta says whether it MATTERS: the
+    * probability a random doc from the source is longer than a random
+    * doc from the rest, minus the reverse). Exactly one more division
+    * on the SAME doubled-midrank grid: with ties counted ½,
+    * delta = (2U₁ − n₁m)/(n₁m) = (rsum2 − n₁(n₁+1) − n₁m)/(n₁m),
+    * m = n − n₁ — numerator and denominator exact BIGINTs, so the
+    * division is engine-identical IEEE; the magnitude label
+    * (Romano et al. 2006 thresholds .147/.33/.474) reads off the
+    * ROUNDED value, so the CASE can never straddle an ulp. NULL for
+    * a single-source corpus (m = 0). Same scale shape as the U test:
+    * value-cardinality rank table, broadcast join, group rollup. */
+  def cliffsDeltaLength(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("n_chars").as("v"))
+    val vg = doubledMidranks(d)
+    val tot = d.agg(count(lit(1)).as("n"))
+    d.join(broadcast(vg.select("v", "r2")), "v")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n1"), sum("r2").as("rsum2"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n1"),
+        expr("CASE WHEN n1 * (n - n1) = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) / " +
+          "CAST(n1 * (n - n1) AS DOUBLE), 6) END").as("delta"))
+      .select(col("source"), col("n1"), col("delta"),
+        expr("CASE WHEN delta IS NULL THEN CAST(NULL AS STRING) " +
+          "WHEN abs(delta) < 0.147 THEN 'negligible' " +
+          "WHEN abs(delta) < 0.33 THEN 'small' " +
+          "WHEN abs(delta) < 0.474 THEN 'medium' " +
+          "ELSE 'large' END").as("magnitude"))
+  }
+
   /** One row (n, n_groups, tsum, h): KRUSKAL-WALLIS H test across ALL
     * sources' length distributions at once — the k-group extension of
     * [[mannWhitneyLength]] (U asks "is THIS source shifted vs the

@@ -309,6 +309,37 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Cliff's delta: hand-computed planted values including a tie
+    * (counted ½ through the midrank identity), the magnitude labels,
+    * and the single-source NULL guard. */
+  test("cliff's delta: planted ties and labels exact; single-source corpus is NULL") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // A = {1, 3}, B = {3}: delta(A) = (0 − 1)/2 = −0.5 (one tie),
+    // delta(B) = (1 − 0)/2 = +0.5 — both 'large'
+    val planted = Seq(("A", 1L), ("A", 3L), ("B", 3L)).toDF("source", "n_chars")
+    val r = TextAnalysis.cliffsDeltaLength(planted).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getString(3)))
+      .toMap
+    assert(r("A") === ((2L, -0.5, "large")))
+    assert(r("B") === ((1L, 0.5, "large")))
+    val solo = Seq(("A", 1L), ("A", 2L)).toDF("source", "n_chars")
+    val s0 = TextAnalysis.cliffsDeltaLength(solo).head
+    assert(s0.isNullAt(2) && s0.isNullAt(3), "single-source corpus must NULL out")
+    // real corpus: delta bounded, and sign agrees with the U test's z
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dd = TextAnalysis.cliffsDeltaLength(docs).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    val zz = TextAnalysis.mannWhitneyLength(docs).collect()
+      .map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(dd.keySet === zz.keySet)
+    dd.foreach { case (src, dv) =>
+      assert(dv >= -1.0 && dv <= 1.0)
+      assert(dv * zz(src) >= 0.0 || dv == 0.0,
+        s"delta and z must agree in sign for $src")
+    }
+  }
+
   /** Semantic-substrate shard merge: relation-identical to the full
     * rebuild across all four staged relations, serve agreement, the
     * monotone gate, and the delete leg — the [[DedupStore]] merge
