@@ -448,6 +448,10 @@ object SparkEntry {
     // (does the shift matter, not just is it detectable)
     "q_cliffs_delta" -> ((s, dir) =>
       TextAnalysis.cliffsDeltaLength(Tables.documents(s, dir))),
+    // 10%-trimmed mean per source beside the plain mean: robust
+    // typical length via exact integer order-stat clipping
+    "q_trimmed_mean" -> ((s, dir) =>
+      TextAnalysis.trimmedMeanLength(Tables.documents(s, dir))),
     // Cohen's kappa between the two keep/drop gates (heuristic
     // quality vs Gopher rules): chance-corrected rater agreement
     "q_quality_kappa" -> ((s, dir) =>
@@ -4494,6 +4498,25 @@ object SparkEntry {
         |            ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) /
         |                 (2.0 * sqrt(n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) / 12.0)), 6) END AS z
         |FROM per, tot, ties""".stripMargin,
+    // trimmed mean: order statistics as exact integer clipping over
+    // value-group prefix sums — no percentile approximation
+    "q_trimmed_mean" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |g AS (SELECT source, v, count(*)::BIGINT AS t FROM d GROUP BY 1, 2),
+        |c AS (SELECT source, v, t,
+        |        coalesce(sum(t) OVER (PARTITION BY source ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+        |      FROM g),
+        |p AS (SELECT source, count(*)::BIGINT AS n1, sum(v)::BIGINT AS tot FROM d GROUP BY 1),
+        |s AS (SELECT c.source, max(p.n1)::BIGINT AS n_docs, max(p.tot)::BIGINT AS tot,
+        |        max(p.n1 // 10)::BIGINT AS k_trimmed,
+        |        sum(least(greatest(p.n1 // 10 - c.below, 0), c.t) * c.v)::BIGINT AS bs,
+        |        sum(least(greatest(p.n1 // 10 - (p.n1 - c.below - c.t), 0), c.t) * c.v)::BIGINT AS ts
+        |      FROM c JOIN p ON c.source = p.source GROUP BY 1)
+        |SELECT source, n_docs, k_trimmed,
+        |       round(tot::DOUBLE / n_docs, 4) AS mean,
+        |       round((tot - bs - ts)::DOUBLE / (n_docs - 2 * k_trimmed), 4) AS trimmed_mean
+        |FROM s""".stripMargin,
     // Cliff's delta: same midrank grid, one exact-BIGINT division;
     // magnitude labels read off the ROUNDED value on both engines
     "q_cliffs_delta" ->

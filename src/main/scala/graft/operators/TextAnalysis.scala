@@ -621,6 +621,40 @@ object TextAnalysis {
         col("t"))
   }
 
+  /** (source, n_docs, k_trimmed, mean, trimmed_mean): 10%-TRIMMED
+    * mean of doc length per source beside the plain mean — the
+    * robust-location member of the robust-stats family
+    * ([[Relational]]'s winsorized/MAD keys clip or rescore; trimming
+    * DROPS the k = ⌊n/10⌋ smallest and largest before averaging, so
+    * a crawl source's boilerplate stubs and mega-pages cannot move
+    * its reported typical length). Exact end to end WITHOUT sorting
+    * docs: per-(source, value) counts carry within-source prefix
+    * sums (value-cardinality window, the [[ksDrift]] discipline), and
+    * each value group contributes min(max(k − cumBelow, 0), t) rows
+    * to the bottom cut (symmetrically for the top) — order
+    * statistics as exact integer clipping, no row-cardinality
+    * window, no percentile approximation. Two divisions of exact
+    * BIGINTs, rounded last; n − 2k ≥ 1 always (k = n div 10). */
+  def trimmedMeanLength(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("n_chars").as("v"))
+    val g = d.groupBy("source", "v").agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("below", coalesce(sum("t").over(w), lit(0L)))
+    val per = d.groupBy("source")
+      .agg(count(lit(1)).as("n1"), sum("v").as("tot"))
+    cum.join(per, "source")
+      .withColumn("k", expr("n1 div 10"))
+      .groupBy("source")
+      .agg(max("n1").as("n_docs"), max("tot").as("tot"), max("k").as("k_trimmed"),
+        sum(expr("least(greatest(k - below, 0L), t) * v")).as("bs"),
+        sum(expr("least(greatest(k - (n1 - below - t), 0L), t) * v")).as("ts"))
+      .select(col("source"), col("n_docs"), col("k_trimmed"),
+        round(col("tot").cast("double") / col("n_docs"), 4).as("mean"),
+        round((col("tot") - col("bs") - col("ts")).cast("double") /
+          (col("n_docs") - lit(2L) * col("k_trimmed")), 4).as("trimmed_mean"))
+  }
+
   /** (source, n1, delta, magnitude): CLIFF'S DELTA of each source's
     * length distribution vs the rest — the EFFECT SIZE companion to
     * [[mannWhitneyLength]]'s significance z (a huge corpus makes any

@@ -309,6 +309,41 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Trimmed mean: planted corpus with an outlier the trim drops
+    * (hand-computed), tied boundary values clip partially, and on the
+    * real corpus the trimmed mean equals a collected-sort reference
+    * per source. */
+  test("trimmed mean: planted outlier dropped; tie clipping exact; matches sort reference") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 11 docs: k = 1 → drop min (1) and max (1000); middle nine are 10
+    val planted = (Seq(1L, 1000L) ++ Seq.fill(9)(10L)).map(("A", _))
+      .toDF("source", "n_chars")
+    val p = TextAnalysis.trimmedMeanLength(planted).head
+    assert((p.getLong(1), p.getLong(2)) === ((11L, 1L)))
+    assert(p.getDouble(4) === 10.0)
+    assert(p.getDouble(3) > 10.0, "plain mean must show the outlier")
+    // tied boundary: values {5,5,5,9,9,9,9,9,9,9} (n=10, k=1) — one
+    // of the three 5s and one of the seven 9s drop: (10+54)/8 = 8.0
+    val tied = (Seq.fill(3)(5L) ++ Seq.fill(7)(9L)).map(("B", _))
+      .toDF("source", "n_chars")
+    val t = TextAnalysis.trimmedMeanLength(tied).head
+    assert(t.getDouble(4) === 8.0)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = TextAnalysis.trimmedMeanLength(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val byS = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    byS.foreach { case (src, xs) =>
+      val vs = xs.map(_._2).sorted
+      val k = vs.length / 10
+      val kept = vs.slice(k, vs.length - k)
+      val ref = BigDecimal(kept.sum.toDouble / kept.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(src) - ref) < 1e-9, s"$src: ${got(src)} vs $ref")
+    }
+  }
+
   /** Cliff's delta: hand-computed planted values including a tie
     * (counted ½ through the midrank identity), the magnitude labels,
     * and the single-source NULL guard. */
