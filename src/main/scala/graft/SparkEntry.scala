@@ -452,6 +452,11 @@ object SparkEntry {
     // typical length via exact integer order-stat clipping
     "q_trimmed_mean" -> ((s, dir) =>
       TextAnalysis.trimmedMeanLength(Tables.documents(s, dir))),
+    // Q-Q deciles per source vs rest: WHERE the distribution shifts,
+    // between q_ks_drift's one scalar and the full CDF (exact order
+    // stats from value-group prefix sums)
+    "q_qq_deciles" -> ((s, dir) =>
+      TextAnalysis.qqDecilesLength(Tables.documents(s, dir))),
     // Cohen's kappa between the two keep/drop gates (heuristic
     // quality vs Gopher rules): chance-corrected rater agreement
     "q_quality_kappa" -> ((s, dir) =>
@@ -4498,6 +4503,42 @@ object SparkEntry {
         |            ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) /
         |                 (2.0 * sqrt(n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) / 12.0)), 6) END AS z
         |FROM per, tot, ties""".stripMargin,
+    // Q-Q deciles: exact ⌈q·n/10⌉-th order statistics via integer
+    // interval tests; the rest side derives by subtraction
+    "q_qq_deciles" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |ga AS (SELECT v, count(*)::BIGINT AS t_all FROM d GROUP BY 1),
+        |ca AS (SELECT v, t_all,
+        |         coalesce(sum(t_all) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below_all
+        |       FROM ga),
+        |gs AS (SELECT source, v, count(*)::BIGINT AS t_src FROM d GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM d),
+        |grid AS (SELECT s.source, c.v, c.t_all, c.below_all,
+        |           coalesce(g.t_src, 0)::BIGINT AS t_src
+        |         FROM srcs s CROSS JOIN ca c
+        |         LEFT JOIN gs g ON g.source = s.source AND g.v = c.v),
+        |cum AS (SELECT source, v, t_all, below_all, t_src,
+        |          coalesce(sum(t_src) OVER (PARTITION BY source ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below_src
+        |        FROM grid),
+        |p AS (SELECT source, count(*)::BIGINT AS n1 FROM d GROUP BY 1),
+        |tt AS (SELECT count(*)::BIGINT AS n FROM d),
+        |x AS (SELECT cum.source, cum.v, cum.t_src, cum.below_src,
+        |        cum.t_all - cum.t_src AS t_rest,
+        |        cum.below_all - cum.below_src AS below_rest,
+        |        qq.q::BIGINT AS q,
+        |        (qq.q * p.n1 + 9) // 10 AS idx_s,
+        |        (qq.q * (tt.n - p.n1) + 9) // 10 AS idx_r
+        |      FROM cum JOIN p USING (source) CROSS JOIN tt,
+        |           unnest(generate_series(1, 9)) AS qq(q)),
+        |vs AS (SELECT source, q, v AS v_source FROM x
+        |       WHERE below_src < idx_s AND idx_s <= below_src + t_src),
+        |vr AS (SELECT source, q, v AS v_rest FROM x
+        |       WHERE below_rest < idx_r AND idx_r <= below_rest + t_rest)
+        |SELECT vs.source, vs.q, vs.v_source, vr.v_rest,
+        |       (vs.v_source - vr.v_rest)::BIGINT AS gap
+        |FROM vs JOIN vr ON vs.source = vr.source AND vs.q = vr.q""".stripMargin,
     // trimmed mean: order statistics as exact integer clipping over
     // value-group prefix sums — no percentile approximation
     "q_trimmed_mean" ->

@@ -621,6 +621,53 @@ object TextAnalysis {
         col("t"))
   }
 
+  /** (source, q, v_source, v_rest, gap): the QUANTILE-QUANTILE table
+    * of each source's length distribution against the rest — exact
+    * deciles q = 1..9 side by side, the distribution-SHAPE diagnostic
+    * between [[ksDrift]]'s single max-gap scalar and the full CDF
+    * (WHERE does the source run long or short, not just by how much
+    * at the worst point). Deciles are exact order statistics — the
+    * ⌈q·n/10⌉-th smallest — picked by integer interval tests over
+    * value-group prefix sums, never a percentile sketch: the global
+    * prefix rides [[doubledMidranks]]'s bucketed grid (below =
+    * (r2 − t − 1)/2 — no partition-less window), the per-source
+    * prefix a source-partitioned value-cardinality window, and the
+    * REST side derives by subtraction (t_rest = t_all − t_src), so
+    * the rest distribution is never re-aggregated per source. All
+    * integer; a single-source corpus yields no rows (no rest to
+    * compare). Grid cost: |sources| × |distinct lengths| × 9. */
+  def qqDecilesLength(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("n_chars").as("v"))
+    val vgAll = doubledMidranks(d)
+      .select(col("v"), expr("(r2 - t - 1) div 2").as("below_all"),
+        col("t").as("t_all"))
+    val gSrc = d.groupBy("source", "v").agg(count(lit(1)).as("t_src"))
+    val grid = d.select("source").distinct().crossJoin(vgAll)
+      .join(gSrc, Seq("source", "v"), "left")
+      .withColumn("t_src", coalesce(col("t_src"), lit(0L)))
+    val wSrc = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid
+      .withColumn("below_src", coalesce(sum("t_src").over(wSrc), lit(0L)))
+      .withColumn("t_rest", col("t_all") - col("t_src"))
+      .withColumn("below_rest", col("below_all") - col("below_src"))
+    val per = d.groupBy("source").agg(count(lit(1)).as("n1"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    val x = cum.join(per, "source").crossJoin(broadcast(tot))
+      .select(col("*"), explode(sequence(lit(1L), lit(9L))).as("q"))
+      .withColumn("idx_s", expr("(q * n1 + 9) div 10"))
+      .withColumn("idx_r", expr("(q * (n - n1) + 9) div 10"))
+    val vs = x.filter(col("below_src") < col("idx_s") &&
+        col("idx_s") <= col("below_src") + col("t_src"))
+      .select(col("source"), col("q"), col("v").as("v_source"))
+    val vr = x.filter(col("below_rest") < col("idx_r") &&
+        col("idx_r") <= col("below_rest") + col("t_rest"))
+      .select(col("source"), col("q"), col("v").as("v_rest"))
+    vs.join(vr, Seq("source", "q"))
+      .select(col("source"), col("q"), col("v_source"), col("v_rest"),
+        (col("v_source") - col("v_rest")).as("gap"))
+  }
+
   /** (source, n_docs, k_trimmed, mean, trimmed_mean): 10%-TRIMMED
     * mean of doc length per source beside the plain mean — the
     * robust-location member of the robust-stats family

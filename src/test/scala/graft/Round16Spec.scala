@@ -309,6 +309,35 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Q-Q deciles: every (source, q) picks exactly the ⌈q·n/10⌉-th
+    * smallest value of its side — verified against a collected-sort
+    * reference for both columns; the single-source corpus yields no
+    * rows (no rest to compare). */
+  test("qq deciles: exact order statistics vs the sort reference; single-source empty") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = TextAnalysis.qqDecilesLength(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val all = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = all.groupBy(_._1)
+    assert(got.size === bySrc.size * 9)
+    bySrc.foreach { case (src, xs) =>
+      val mine = xs.map(_._2).sorted
+      val rest = all.filter(_._1 != src).map(_._2).sorted
+      (1 to 9).foreach { q =>
+        val vs = mine((q * mine.length + 9) / 10 - 1)
+        val vrr = rest((q * rest.length + 9) / 10 - 1)
+        assert(got((src, q.toLong)) === ((vs, vrr, vs - vrr)),
+          s"decile $q of $src")
+      }
+    }
+    val solo = Seq(("A", 1L), ("A", 5L)).toDF("source", "n_chars")
+    assert(TextAnalysis.qqDecilesLength(solo).count() === 0L)
+  }
+
   /** Trimmed mean: planted corpus with an outlier the trim drops
     * (hand-computed), tied boundary values clip partially, and on the
     * real corpus the trimmed mean equals a collected-sort reference
