@@ -457,6 +457,10 @@ object SparkEntry {
     // stats from value-group prefix sums)
     "q_qq_deciles" -> ((s, dir) =>
       TextAnalysis.qqDecilesLength(Tables.documents(s, dir))),
+    // Brown-Forsythe: variance-homogeneity omnibus across sources —
+    // the SPREAD test beside Kruskal-Wallis's location test
+    "q_levene" -> ((s, dir) =>
+      TextAnalysis.leveneLength(Tables.documents(s, dir))),
     // Cohen's kappa between the two keep/drop gates (heuristic
     // quality vs Gopher rules): chance-corrected rater agreement
     "q_quality_kappa" -> ((s, dir) =>
@@ -4503,6 +4507,31 @@ object SparkEntry {
         |            ELSE round((rsum2 - n1 * (n1 + 1) - n1 * (n - n1)) /
         |                 (2.0 * sqrt(n1 * (n - n1) * ((n + 1) - tsum / (n * (n - 1.0))) / 12.0)), 6) END AS z
         |FROM per, tot, ties""".stripMargin,
+    // Brown-Forsythe: exact lower-median deviations, the F identity
+    // clears group means; one ordered fold of si²/n1
+    "q_levene" ->
+      """WITH d AS (SELECT source, n_chars AS v FROM documents),
+        |g AS (SELECT source, v, count(*)::BIGINT AS t FROM d GROUP BY 1, 2),
+        |c AS (SELECT source, v, t,
+        |        coalesce(sum(t) OVER (PARTITION BY source ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+        |      FROM g),
+        |p AS (SELECT source, count(*)::BIGINT AS n1 FROM d GROUP BY 1),
+        |med AS (SELECT c.source, c.v AS med FROM c JOIN p USING (source)
+        |        WHERE c.below < (p.n1 + 1) // 2 AND (p.n1 + 1) // 2 <= c.below + c.t),
+        |z AS (SELECT d.source, abs(d.v - med.med)::BIGINT AS z FROM d JOIN med USING (source)),
+        |pz AS (SELECT source, count(*)::BIGINT AS n1, sum(z)::BIGINT AS si,
+        |         sum(z * z)::BIGINT AS qi FROM z GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS k, sum(n1)::BIGINT AS n,
+        |          sum(si)::BIGINT AS s, sum(qi)::BIGINT AS qq,
+        |          list_sum(list(si::DOUBLE * si::DOUBLE / n1 ORDER BY source)) AS w
+        |        FROM pz)
+        |SELECT n, k AS n_groups,
+        |       CASE WHEN k < 2 THEN CAST(NULL AS DOUBLE)
+        |            ELSE CASE WHEN qq - w <= 0.0 THEN CAST(NULL AS DOUBLE)
+        |                 ELSE round(((n - k) / (k - 1.0)) *
+        |                      (w - CAST(s AS DOUBLE) * s / n) / (qq - w), 6) END END AS f
+        |FROM agg""".stripMargin,
     // Q-Q deciles: exact ⌈q·n/10⌉-th order statistics via integer
     // interval tests; the rest side derives by subtraction
     "q_qq_deciles" ->

@@ -621,6 +621,55 @@ object TextAnalysis {
         col("t"))
   }
 
+  /** One row (n, n_groups, f): BROWN-FORSYTHE test (the
+    * median-centered Levene) of length-VARIANCE homogeneity across
+    * sources — the spread-side omnibus beside
+    * [[kruskalWallisLength]]'s location test (two sources can share a
+    * median yet differ wildly in spread; a mixture audit wants both
+    * answers). Robust by construction: deviations center on the
+    * per-source LOWER MEDIAN (the ⌈n/2⌉-th order statistic — an
+    * exact integer picked by the interval test, mirrored verbatim in
+    * the oracle), so z = |v − med| is an exact BIGINT and the classic
+    * F identity clears every group mean:
+    * F = ((N−k)/(k−1)) · (Σ Sᵢ²/nᵢ − S²/N) / (Q − Σ Sᵢ²/nᵢ) with
+    * Sᵢ = Σz, Q = Σz² — all exact integer sums; the one cross-group
+    * FP (Σ Sᵢ²/nᵢ) rides the ordered-fold contract like the KW
+    * statistic; NULL when the within-group deviation sum is zero
+    * (every source internally constant) or k < 2. Scale shape: the
+    * median table is source-cardinality and broadcasts; one map pass
+    * for deviations, one rollup, one fold. */
+  def leveneLength(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("n_chars").as("v"))
+    val g = d.groupBy("source", "v").agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("below", coalesce(sum("t").over(w), lit(0L)))
+    val per = d.groupBy("source").agg(count(lit(1)).as("n1"))
+    val med = cum.join(per, "source")
+      .withColumn("idx", expr("(n1 + 1) div 2"))
+      .filter(col("below") < col("idx") && col("idx") <= col("below") + col("t"))
+      .select(col("source"), col("v").as("med"))
+    val z = d.join(broadcast(med), "source")
+      .select(col("source"), abs(col("v") - col("med")).as("z"))
+    val perZ = z.groupBy("source")
+      .agg(count(lit(1)).as("n1"), sum("z").as("si"),
+        sum(col("z") * col("z")).as("qi"))
+    perZ.agg(count(lit(1)).as("k"), sum("n1").as("n"),
+        sum("si").as("s"), sum("qi").as("qq"),
+        collect_list(struct(col("source").as("s0"),
+          (col("si").cast("double") * col("si").cast("double") / col("n1"))
+            .as("w"))).as("gs"))
+      .select(col("n"), col("k").as("n_groups"),
+        expr("CASE WHEN k < 2 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "CASE WHEN qq - aggregate(array_sort(gs), CAST(0.0 AS DOUBLE), " +
+          "(acc, g) -> acc + g.w) <= 0.0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE round(((n - k) / (k - 1.0)) * " +
+          "(aggregate(array_sort(gs), CAST(0.0 AS DOUBLE), (acc, g) -> acc + g.w) " +
+          "- CAST(s AS DOUBLE) * s / n) / " +
+          "(qq - aggregate(array_sort(gs), CAST(0.0 AS DOUBLE), (acc, g) -> acc + g.w)), 6) " +
+          "END END").as("f"))
+  }
+
   /** (source, q, v_source, v_rest, gap): the QUANTILE-QUANTILE table
     * of each source's length distribution against the rest — exact
     * deciles q = 1..9 side by side, the distribution-SHAPE diagnostic

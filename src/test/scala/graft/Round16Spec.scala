@@ -309,6 +309,45 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Brown-Forsythe: a planted two-group corpus with hand-computed
+    * F = 1.0, the all-constant NULL guard, and a driver-side
+    * reference fold on the real corpus. */
+  test("brown-forsythe: planted F exact; constant groups NULL; real corpus matches reference") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // A = {0, 4}: lower median 0, z = {0, 4}; B = {10, 10}: z = {0, 0}
+    // → F = 2 · (8 − 4) / 8 = 1.0
+    val planted = Seq(("A", 0L), ("A", 4L), ("B", 10L), ("B", 10L))
+      .toDF("source", "n_chars")
+    val pr = TextAnalysis.leveneLength(planted).head
+    assert((pr.getLong(0), pr.getLong(1)) === ((4L, 2L)))
+    assert(pr.getDouble(2) === 1.0)
+    val const = Seq(("A", 5L), ("A", 5L), ("B", 7L), ("B", 7L))
+      .toDF("source", "n_chars")
+    assert(TextAnalysis.leveneLength(const).head.isNullAt(2),
+      "internally-constant groups must NULL the statistic")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val row = TextAnalysis.leveneLength(docs).head
+    val bySrc = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val pz = bySrc.map { case (src, xs) =>
+      val vs = xs.map(_._2).sorted
+      val med = vs((vs.length + 1) / 2 - 1)
+      val z = vs.map(v => math.abs(v - med))
+      (src, (z.length.toLong, z.sum, z.map(x => x * x).sum))
+    }
+    val k = pz.size.toLong
+    val n = pz.values.map(_._1).sum
+    val s = pz.values.map(_._2).sum
+    val qq = pz.values.map(_._3).sum
+    val w = pz.toSeq.sortBy(_._1)
+      .map { case (_, (n1, si, _)) => si.toDouble * si.toDouble / n1 }
+      .foldLeft(0.0)(_ + _)
+    val ref = ((n - k) / (k - 1.0)) * (w - s.toDouble * s / n) / (qq - w)
+    assert(math.abs(row.getDouble(2) - ref) < 1e-5,
+      s"F ${row.getDouble(2)} vs reference $ref")
+  }
+
   /** Q-Q deciles: every (source, q) picks exactly the ⌈q·n/10⌉-th
     * smallest value of its side — verified against a collected-sort
     * reference for both columns; the single-source corpus yields no
