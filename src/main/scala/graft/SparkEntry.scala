@@ -1036,6 +1036,11 @@ object SparkEntry {
     // multi-source BFS hop distance from the %7 audited seed set
     "q_bfs_hops" -> ((s, dir) =>
       Graph.bfsHops(DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // harmonic centrality of the 4 lowest-id nodes: Σ 1/d over one
+    // multi-source BFS, denominators cleared through lcm(1..6) = 60
+    "q_harmonic_centrality" -> ((s, dir) =>
+      Graph.harmonicCentrality(
+        DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
     // directed association rules served from the staged basket
     // substrate (live plan stays as Relational.assocRules)
     "q_assoc_rules" -> ((s, dir) =>
@@ -6712,6 +6717,25 @@ object SparkEntry {
          |  SELECT nb.nbr AS node, r.hops + 1 AS hops
          |  FROM r JOIN nb ON nb.node = r.node WHERE r.hops < 6)
          |SELECT node AS doc_id, min(hops)::BIGINT AS hops FROM r GROUP BY 1""".stripMargin,
+    // harmonic centrality: per-seed BFS levels, the 1/d sum cleared
+    // through lcm(1..6) = 60 — exact BIGINT core, one division
+    "q_harmonic_centrality" ->
+      s"""WITH RECURSIVE $minhashCandCte,
+         |ed AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM ver),
+         |nb AS (SELECT a AS node, b AS nbr FROM ed
+         |       UNION ALL SELECT b, a FROM ed),
+         |seeds AS (SELECT node AS seed FROM (SELECT DISTINCT node FROM nb)
+         |          ORDER BY node ASC LIMIT 4),
+         |r AS (
+         |  SELECT seed, seed AS node, 0::BIGINT AS hops FROM seeds
+         |  UNION
+         |  SELECT r.seed, nb.nbr AS node, r.hops + 1 AS hops
+         |  FROM r JOIN nb ON nb.node = r.node WHERE r.hops < 6),
+         |m AS (SELECT seed, node, min(hops)::BIGINT AS d FROM r GROUP BY 1, 2),
+         |cd AS (SELECT seed, d, count(*)::BIGINT AS cnt FROM m WHERE d >= 1 GROUP BY 1, 2)
+         |SELECT seed, sum(cnt)::BIGINT AS n_reached,
+         |       round(sum(cnt * (60 // d))::DOUBLE / 60.0, 6) AS harmonic
+         |FROM cd GROUP BY 1""".stripMargin,
     "q_degree_dist" ->
       s"""WITH $minhashCandCte,
          |nodes AS (SELECT doc_a AS doc_id FROM ver

@@ -641,6 +641,57 @@ object Graph {
     dist.select(col("node").as("doc_id"), col("hops"))
   }
 
+  /** (seed, n_reached, harmonic): HARMONIC CENTRALITY of the `seeds`
+    * lowest-id nodes of the pair graph — Σ_{u≠s} 1/d(s,u) over nodes
+    * within `maxHops`, the centrality that stays finite on
+    * DISCONNECTED graphs (closeness diverges; near-dup graphs are
+    * always forests of components), answering "which exemplars sit
+    * closest to everything" for hub/outlier triage. EXACT in
+    * integers end to end: distances are BFS levels, so the harmonic
+    * sum groups by distance and clears denominators through
+    * lcm(1..6) = 60 — H·60 = Σ_d cnt_d·(60/d), every term a BIGINT —
+    * with ONE rounded division at the end; no per-node FP
+    * accumulation anywhere. All seeds ride ONE multi-source BFS
+    * (state keyed (seed, node) — k seeds never cost k traversals),
+    * each level one join + anti-join with cut lineage, the
+    * [[bfsHops]] ladder. */
+  def harmonicCentrality(pairs: DataFrame, seeds: Int = 4,
+                         maxHops: Int = 6): DataFrame = {
+    require(seeds >= 1 && maxHops >= 1,
+      s"need seeds >= 1, maxHops >= 1; got seeds=$seeds, maxHops=$maxHops")
+    val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+    val nb = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+      .cutLineage()
+    val seedRows = nb.select("node").distinct()
+      .orderBy(col("node").asc).limit(seeds)
+    var dist = seedRows
+      .select(col("node").as("seed"), col("node"), lit(0L).as("hops"))
+      .cutLineage()
+    var frontier = dist
+    var h = 1
+    var done = frontier.isEmpty
+    while (h <= maxHops && !done) {
+      val next = frontier.join(nb, "node")
+        .select(col("seed"), col("nbr").as("node")).distinct()
+        .join(dist.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .cutLineage()
+      done = next.isEmpty
+      if (!done) dist = dist.union(next).cutLineage()
+      frontier = next
+      h += 1
+    }
+    dist.filter(col("hops") >= 1)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("60L div hops")).as("h60"))
+      .select(col("seed"), col("n_reached"),
+        round(col("h60").cast("double") / 60.0, 6).as("harmonic"))
+  }
+
   /** (doc_id, degree): the `k`-CORE of the pair graph after `rounds`
     * peeling iterations — repeatedly drop nodes of degree < k and the
     * edges touching them; survivors are the densely inter-duplicated

@@ -309,6 +309,53 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Harmonic centrality: a planted path graph with hand-computed
+    * 1/d sums (via the LCM-60 clearing), and the multi-seed BFS
+    * agreeing with per-seed single BFS distances on the real graph. */
+  test("harmonic centrality: planted path exact; multi-seed BFS equals per-seed reference") {
+    import spark.implicits._
+    import graft.operators.{DedupStore, Graph}
+    // path 1–2–3–4: seed 1 reaches d {1,2,3} → H = 1 + 1/2 + 1/3 =
+    // 110/60; seed 2 reaches {1,1,2} → wait: d(2,·) = 1,1,2 → H = 2.5
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val r = Graph.harmonicCentrality(pairs, seeds = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((3L, BigDecimal(110.0 / 60.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(r(2L) === ((3L, 2.5)))
+    val tmp = java.nio.file.Files.createTempDirectory("r16hc").toString + "/s"
+    DedupStore.build(graft.sources.Tables.documents(spark, sf), tmp)
+    val real = DedupStore.verifiedNearDups(spark, tmp).cache()
+    val hc = Graph.harmonicCentrality(real).collect()
+    assert(hc.length <= 4 && hc.nonEmpty)
+    hc.foreach { x =>
+      assert(x.getDouble(2) > 0.0 && x.getDouble(2) <= x.getLong(1).toDouble,
+        "harmonic must lie in (0, n_reached]")
+    }
+    // the multi-seed state must equal a per-seed reference BFS over
+    // the collected edge list
+    val edges = real.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keys.toSeq.sorted.take(4)
+    seeds.foreach { s0 =>
+      var dist = Map(s0 -> 0)
+      var frontier = Set(s0)
+      (1 to 6).foreach { h =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> h)
+      }
+      val cnt = dist.values.filter(_ >= 1)
+      val h60 = cnt.map(d => 60L / d).sum
+      val ref = BigDecimal(h60.toDouble / 60.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = hc.find(_.getLong(0) == s0).get
+      assert(got.getLong(1) === cnt.size.toLong, s"n_reached for seed $s0")
+      assert(got.getDouble(2) === ref, s"harmonic for seed $s0")
+    }
+  }
+
   /** Brown-Forsythe: a planted two-group corpus with hand-computed
     * F = 1.0, the all-constant NULL guard, and a driver-side
     * reference fold on the real corpus. */
