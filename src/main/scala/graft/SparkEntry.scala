@@ -313,6 +313,10 @@ object SparkEntry {
           |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
     }),
     "q_ann_lsh" -> ((s, dir) => Ann.lshTopK(Tables.embeddings(s, dir))),
+    // multiprobe LSH: half the tables, Hamming-1 bucket probes on the
+    // query side — the index-size/recall trade in the serving ladder
+    "q_ann_multiprobe" -> ((s, dir) =>
+      Ann.lshMultiprobeTopK(Tables.embeddings(s, dir))),
     // flat IVF served from the staged store (coarse training is the
     // offline build — the whole trained-ANN family now stages)
     "q_ann_ivf" -> ((s, dir) => PqIndex.searchIvfFlat(s, ivfIndexFor(s, dir))),
@@ -2304,6 +2308,48 @@ object SparkEntry {
        |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** The multiprobe variant of [[lshTopKOracleSql]]: 4 tables × 4
+    * bits (the first 16 planes of the same family — HyperplaneBuckets
+    * derives from planeWeights(T·b)), and the query side expands to
+    * its own bucket plus every one-character flip of the bit-string
+    * bucket — Hamming-1 on the string equals Hamming-1 on the Spark
+    * side's integer code, so the candidate sets correspond
+    * bijectively. */
+  private def lshMultiprobeOracleSql(qid: Long): String = {
+    val planes = graft.functions.GraftHashing.planeWeights(16) // 4 tables × 4 bits
+    val rows = planes.zipWithIndex
+      .map { case (wp, p) => s"($p, [${wp.mkString(",")}])" }
+      .mkString(",\n       |  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |w(p, wv) AS (VALUES
+       |  $rows),
+       |sgn AS (SELECT vn.vec_id, w.p,
+       |          CASE WHEN list_sum(list_transform(range(1, len(vn.v) + 1),
+       |                 i -> vn.v[i] * w.wv[i])) > 0 THEN '1' ELSE '0' END AS bit
+       |        FROM vn, w),
+       |bkt AS (SELECT vec_id, p // 4 AS t, string_agg(bit, '' ORDER BY p) AS bucket
+       |        FROM sgn GROUP BY vec_id, p // 4),
+       |qb AS (SELECT t, bucket FROM bkt WHERE vec_id = $qid),
+       |probes AS (SELECT t, bucket FROM qb
+       |           UNION
+       |           SELECT qb.t,
+       |                  substr(qb.bucket, 1, g.i - 1) ||
+       |                  (CASE WHEN substr(qb.bucket, g.i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |                  substr(qb.bucket, g.i + 1) AS bucket
+       |           FROM qb, unnest(generate_series(1, 4)) AS g(i)),
+       |cand AS (SELECT DISTINCT b.vec_id FROM bkt b
+       |         JOIN probes ON b.t = probes.t AND b.bucket = probes.bucket
+       |         WHERE b.vec_id != $qid),
+       |q AS (SELECT v, nrm FROM vn WHERE vec_id = $qid)
+       |SELECT b.vec_id,
+       |       round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+       |             / (q.nrm * b.nrm), 4) AS cos
+       |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, q
+       |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** Unrolled Lloyd's on the exact millis grid, mirroring
     * Clustering.kmeans: `iters` assign+update rounds from the k
     * lowest-vec_id seeds, then the final assignment. Every distance is
@@ -3997,6 +4043,9 @@ object SparkEntry {
     // sequentially — a flip would need |sum| within FP-error of zero
     // (~1e-15 relative; checked green at sf0.01 and sf0.1).
     "q_ann_lsh" -> lshTopKOracleSql("TRUE", 0L),
+    // multiprobe: the 4x4 plane family with string-bit Hamming-1
+    // probe expansion on the query side
+    "q_ann_multiprobe" -> lshMultiprobeOracleSql(0L),
     // a merged vector store serves identically to a full-corpus build
     // (verbatim bucket union, disjoint shards) → same LSH oracle
     "q_ann_merge" -> lshTopKOracleSql("TRUE", 0L),

@@ -224,6 +224,40 @@ object Ann {
     exactTopK(embeddings, Some(candidates), queryId, k)
   }
 
+  /** (vec_id, cos): MULTIPROBE LSH top-k — [[lshTopK]] with HALF the
+    * tables (4 vs 8) and, per table, the query probing its own bucket
+    * PLUS every Hamming-1 neighbor (one hyperplane's sign flipped):
+    * the classic memory/recall trade (Lv et al. 2007) — a vector that
+    * misses the query's bucket by ONE marginal hyperplane is still
+    * found, so fewer tables buy the recall that extra tables
+    * otherwise pay for in index size. At 100 TB the bucket relation
+    * is the index: halving tables halves the stored rows AND the
+    * candidate-join input, while the probe expansion touches only
+    * the query side (1 + bits rows per table, broadcast like
+    * [[lshTopK]]'s buckets). Buckets are bit STRINGS (the
+    * HyperplaneBuckets output), so a probe flips one character —
+    * the identical expansion the oracle runs. Exact rescore on
+    * candidates only, the family contract. */
+  def lshMultiprobeTopK(embeddings: DataFrame,
+                        queryId: Long = 0L, k: Int = 10,
+                        numTables: Int = 4, bitsPerTable: Int = 4): DataFrame = {
+    val buckets = lshBuckets(embeddings, numTables, bitsPerTable)
+    val qb = buckets.filter(col("vec_id") === queryId)
+      .select(col("t").as("qt"), col("bucket").as("qbucket"))
+    val probes = qb.select(col("qt"), explode(expr(
+        s"transform(sequence(0, $bitsPerTable), " +
+          "i -> CASE WHEN i = 0 THEN qbucket " +
+          "ELSE concat(substring(qbucket, 1, i - 1), " +
+          "CASE WHEN substring(qbucket, i, 1) = '1' THEN '0' ELSE '1' END, " +
+          s"substring(qbucket, i + 1, $bitsPerTable)) END)")).as("qbucket"))
+      .distinct()
+    val candidates = buckets
+      .join(broadcast(probes),
+        col("t") === col("qt") && col("bucket") === col("qbucket"))
+      .select("vec_id").distinct()
+    exactTopK(embeddings, Some(candidates), queryId, k)
+  }
+
   /** (vec_id, cos): IVF-approximated top-k neighbors of `queryId` —
     * a k-means coarse quantizer (MLlib, fixed seed) partitions the
     * corpus into nLists inverted lists; the query probes the nProbe

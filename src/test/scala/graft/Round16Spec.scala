@@ -309,6 +309,26 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Multiprobe LSH: the probed candidate pool is a superset of the
+    * plain 4-table pool, so the served cosine list DOMINATES
+    * pointwise; brute-force recall is monotone in the probes. */
+  test("multiprobe lsh: served list dominates the plain 4-table serve; recall monotone") {
+    import graft.operators.Ann
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val mp = Ann.lshMultiprobeTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val p4 = Ann.lshTopK(emb, numTables = 4, bitsPerTable = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mp.nonEmpty)
+    p4.map(_._2).zip(mp.map(_._2)).foreach { case (plain, probed) =>
+      assert(probed >= plain - 1e-9,
+        "a candidate superset cannot serve a worse list") }
+    val bf = Ann.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val rMp = mp.map(_._1).count(bf.contains)
+    val rP4 = p4.map(_._1).count(bf.contains)
+    assert(rMp >= rP4, s"multiprobe recall $rMp must be >= plain $rP4")
+  }
+
   /** Harmonic centrality: a planted path graph with hand-computed
     * 1/d sums (via the LCM-60 clearing), and the multi-seed BFS
     * agreeing with per-seed single BFS distances on the real graph. */
