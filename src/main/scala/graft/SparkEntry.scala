@@ -1312,6 +1312,10 @@ object SparkEntry {
     // corpus (admissible prune; the same staged two-version store)
     "q_index_asof_blockmax" -> ((s, dir) =>
       Bm25Index.blockMaxTopNAt(s, asofIndexFor(s, dir), maxTag = "00000")),
+    // snapshot DIFF between the two pinned versions: the top terms by
+    // df shift — what the 00001 ingest changed, read before promotion
+    "q_index_diff" -> ((s, dir) =>
+      Bm25Index.diffVersions(s, asofIndexFor(s, dir), "00000", "00001")),
     // data-constrained mixture planning: per-source token counts ->
     // temperature weights -> planned tokens and implied epochs under
     // a fixed token budget (metadata-sized; epochs > 1 = repetition)
@@ -3188,6 +3192,26 @@ object SparkEntry {
     // (disjoint shards; stats re-derive) → same exact top-k oracle
     "q_index_merge" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
+    // snapshot diff: dfs re-derived from the two corpus slices the
+    // pinned versions hold (4/5 vs full), deterministic cut
+    "q_index_diff" ->
+      s"""WITH ta AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df_a FROM (
+         |        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |        FROM documents WHERE doc_id % 5 <> 0) t
+         |      WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)
+         |      GROUP BY term),
+         |tb AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df_b FROM (
+         |        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |        FROM documents) t
+         |      WHERE length(term) >= ${Text.MinTokenLength} AND term NOT IN ($stop)
+         |      GROUP BY term),
+         |j AS (SELECT coalesce(ta.term, tb.term) AS term,
+         |        coalesce(ta.df_a, 0)::BIGINT AS df_a,
+         |        coalesce(tb.df_b, 0)::BIGINT AS df_b
+         |      FROM ta FULL OUTER JOIN tb ON ta.term = tb.term)
+         |SELECT term, df_a, df_b, (df_b - df_a)::BIGINT AS delta
+         |FROM j WHERE df_b - df_a <> 0
+         |ORDER BY abs(df_b - df_a) DESC, term ASC LIMIT 10""".stripMargin,
     "q_search_batch" -> batchSearchOracle,
     "q_synonym_search" -> synonymSearchOracle,
     // the shared batch scoring replayed over the chunk relation:

@@ -344,6 +344,34 @@ object Bm25Index {
     }
   }
 
+  /** (term, df_a, df_b, delta): SNAPSHOT DIFF between two pinned
+    * versions of the store — the top-`k` terms by |df change| between
+    * `tagA` and `tagB`, the audit read the time-travel family lacked
+    * (scoreAt answers "what did version X serve"; this answers "WHAT
+    * CHANGED between X and Y" — the vocabulary-shift fingerprint of
+    * an ingest batch, read BEFORE promoting a new snapshot to
+    * serving). Both sides resolve through `visibleAt` + the live
+    * view, so tombstones and rekeys are respected exactly as the
+    * serves respect them; dfs are exact row counts of the (doc,
+    * term)-unique postings, the diff one full-outer join of two
+    * term-cardinality rollups — postings are scanned once per side
+    * and nothing doc-cardinality shuffles. Deterministic cut:
+    * (|delta| desc, term asc). */
+  def diffVersions(spark: SparkSession, path: String,
+                   tagA: String, tagB: String, k: Int = 10): DataFrame = {
+    val (pa, _) = liveIndex(spark, DeltaStore.visibleAt(spark, path, tagA))
+    val (pb, _) = liveIndex(spark, DeltaStore.visibleAt(spark, path, tagB))
+    val dfa = pa.groupBy("term").agg(count(lit(1)).as("df_a"))
+    val dfb = pb.groupBy("term").agg(count(lit(1)).as("df_b"))
+    dfa.join(dfb, Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("df_a"), lit(0L)).as("df_a"),
+        coalesce(col("df_b"), lit(0L)).as("df_b"))
+      .withColumn("delta", col("df_b") - col("df_a"))
+      .filter(col("delta") =!= 0)
+      .orderBy(abs(col("delta")).desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Okapi BM25 over the staged index — matches Bm25.bm25Score on the
     * same corpus exactly (same formula, rounding, tie-breaks). */
   def score(spark: SparkSession, path: String,

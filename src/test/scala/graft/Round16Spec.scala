@@ -309,6 +309,28 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Snapshot diff: a planted two-version store where the delta is
+    * hand-known (one added doc's terms at +1), a delete shows up as
+    * negative delta, and an identical-version diff is empty. */
+  test("index snapshot diff: planted ingest and delete deltas; self-diff empty") {
+    import spark.implicits._
+    import graft.operators.Bm25Index
+    val p = java.nio.file.Files.createTempDirectory("r16diff").toString + "/s"
+    Bm25Index.build(Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text"), p)
+    Bm25Index.update(Seq((3L, "alpha delta")).toDF("doc_id", "text"), p, "00001")
+    val d = Bm25Index.diffVersions(spark, p, "00000", "00001").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d === Map("alpha" -> ((2L, 3L, 1L)), "delta" -> ((0L, 1L, 1L))))
+    assert(Bm25Index.diffVersions(spark, p, "00001", "00001").count() === 0L)
+    // a delete leg reads as negative delta (tags stay numeric for
+    // visibleAt: delete committed as 00002)
+    Bm25Index.delete(Seq(2L).toDF("doc_id"), p, "00002")
+    val d2 = Bm25Index.diffVersions(spark, p, "00001", "00002").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(d2 === Map("alpha" -> -1L, "gamma" -> -1L))
+  }
+
   /** Multiprobe LSH: the probed candidate pool is a superset of the
     * plain 4-table pool, so the served cosine list DOMINATES
     * pointwise; brute-force recall is monotone in the probes. */
