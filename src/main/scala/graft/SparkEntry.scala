@@ -884,6 +884,10 @@ object SparkEntry {
     "q_percent_rank" -> ((s, dir) => Relational.priceStanding(Tables.orders(s, dir))),
     "q_event_transitions" -> ((s, dir) =>
       Relational.eventTransitions(Tables.events(s, dir))),
+    // stationary distribution of the session chain: 8 power
+    // iterations from uniform, matrix is state²-bounded metadata
+    "q_markov_stationary" -> ((s, dir) =>
+      Relational.markovStationary(Tables.events(s, dir))),
     // staged-index snapshot read: version 00000 (4/5 build) pinned
     // while 00001 (1/5 ingest) is committed — the search equals the
     // live LSH over the version-00000 corpus (oracle replays it).
@@ -2310,6 +2314,40 @@ object SparkEntry {
        |             / (q.nrm * b.nrm), 4) AS cos
        |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** Unrolled power iteration on the event chain: π'_j left-joins
+    * back onto the full state list (zero-incoming states keep an
+    * explicit 0), each level's fold is from-state ORDERED (the
+    * ordered-fold contract), single-reference CTE chain — no
+    * recursion, no correlated subqueries. */
+  private def markovStationaryOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH tr0 AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |      FROM tr0 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type AS ft, sum(n)::BIGINT AS n_from FROM m GROUP BY 1),
+        |sts AS (SELECT DISTINCT s FROM (SELECT from_type AS s FROM m
+        |                                UNION SELECT to_type FROM m)),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM sts),
+        |pi0 AS (SELECT s AS state, 1.0 / k AS pi FROM sts, kk)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(s""",
+        |d$t AS (SELECT m.to_type AS state,
+        |          list_sum(list(p.pi * (m.n::DOUBLE / tot.n_from)
+        |                        ORDER BY m.from_type)) AS pi
+        |        FROM m JOIN pi${t - 1} p ON p.state = m.from_type
+        |               JOIN tot ON tot.ft = m.from_type
+        |        GROUP BY m.to_type),
+        |pi$t AS (SELECT st.s AS state, coalesce(d$t.pi, 0.0) AS pi
+        |         FROM sts st LEFT JOIN d$t ON d$t.state = st.s)""".stripMargin)
+    }
+    sb.append(s"\nSELECT state, round(pi, 6) AS pi FROM pi$iters")
+    sb.toString
   }
 
   /** The multiprobe variant of [[lshTopKOracleSql]]: 4 tables × 4
@@ -6215,6 +6253,7 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY floor(o_totalprice * 1000000.0)::BIGINT)""".stripMargin,
+    "q_markov_stationary" -> markovStationaryOracleSql(8),
     "q_event_transitions" ->
       """WITH t AS (
         |  SELECT event_type AS from_type,

@@ -993,6 +993,51 @@ object Relational {
         round(col("n").cast("double") / col("n_from"), 6).as("p"))
   }
 
+  /** (state, pi): STATIONARY DISTRIBUTION of the first-order event
+    * chain after 8 power iterations from uniform — where the session
+    * process settles if it keeps running, the long-run behavior mix
+    * that [[eventTransitions]]'s one-step matrix only implies (the
+    * PageRank idea applied to the session chain, minus damping;
+    * states without outgoing transitions leak their mass, which is
+    * exactly the observed chain's "session ends here" probability —
+    * reported as-is, not patched). Scale split: the corpus-scaled
+    * work is ONE lead() pass + the kinds² transition rollup (the
+    * [[eventTransitions]] plan); the matrix is then state²-bounded
+    * METADATA (gated ≤ 1024 states) and the iteration runs
+    * driver-side like the k-means centroid sync. Engine-exact: each
+    * π'_j folds its incoming terms π_i·(n_ij/n_from_i) in sorted
+    * from-state order (the ordered-fold contract), 8 unrolled
+    * iterations, round(·,6) last. */
+  def markovStationary(events: DataFrame, iters: Int = 8,
+                       maxStates: Int = 1024): DataFrame = {
+    val spark = events.sparkSession
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val edges = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val states = edges.flatMap { case ((a, b), _) => Seq(a, b) }.distinct.sorted
+    require(states.length <= maxStates,
+      s"${states.length} states > cap $maxStates — the stationary iteration " +
+        "is metadata-sized by design; bucket the event types first")
+    val rowSum = edges.groupBy(_._1._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    var pi: Map[String, Double] =
+      states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to iters) {
+      pi = states.map { j =>
+        j -> edges.filter(_._1._2 == j).sortBy(_._1._1)
+          .foldLeft(0.0) { case (acc, ((i, _), n)) =>
+            acc + pi(i) * (n.toDouble / rowSum(i)) }
+      }.toMap
+    }
+    import spark.implicits._
+    states.map(s => (s, pi(s))).toSeq.toDF("state", "pi_raw")
+      .select(col("state"), round(col("pi_raw"), 6).as("pi"))
+  }
+
   /** (event_type, n, wins_mean_micros): winsorized mean — values
     * clipped at the type's exact DISCRETE p05/p95 before averaging
     * (robust location estimate; the outlier-tolerant sibling of

@@ -309,6 +309,34 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Markov stationary: a planted two-state chain whose fixed point
+    * is known in closed form (P(a→b) = 1, P(b→a) = 1 alternates —
+    * after 8 even iterations uniform stays uniform), a mass-leak
+    * chain, and conservation on the real corpus (Σπ ≤ 1, each π in
+    * [0, 1]). */
+  test("markov stationary: planted chains exact; mass bounded on the real corpus") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // alternating a↔b: uniform is stationary → pi = 0.5 each
+    val alt = Seq((1L, 1L, 1000L, "a"), (2L, 1L, 2000L, "b"),
+      (3L, 1L, 3000L, "a"), (4L, 1L, 4000L, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = Relational.markovStationary(alt).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === Map("a" -> 0.5, "b" -> 0.5))
+    // a→b only: all mass reaches b then leaks (b has no outgoing) —
+    // after 2+ iterations both states read 0
+    val leak = Seq((1L, 1L, 1000L, "a"), (2L, 1L, 2000L, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val l = Relational.markovStationary(leak).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(l === Map("a" -> 0.0, "b" -> 0.0))
+    val pis = Relational.markovStationary(
+      graft.sources.Tables.events(spark, sf)).collect().map(_.getDouble(1))
+    assert(pis.forall(p => p >= 0.0 && p <= 1.0))
+    assert(pis.sum <= 1.0 + 1e-6, "power iteration cannot create mass")
+  }
+
   /** Snapshot diff: a planted two-version store where the delta is
     * hand-known (one added doc's terms at +1), a delete shows up as
     * negative delta, and an identical-version diff is empty. */
