@@ -1192,6 +1192,10 @@ object SparkEntry {
       TextAnalysis.pipelineFunnel(Tables.documents(s, dir))),
     // index-quality monitoring: recall@10 of LSH vs brute force
     "q_ann_recall" -> ((s, dir) => Ann.recallAtK(Tables.embeddings(s, dir))),
+    // the recall CURVE at k = 1/5/10/20: where it flattens decides
+    // more-candidates vs more-tables — one search, four readings
+    "q_ann_recall_curve" -> ((s, dir) =>
+      Ann.recallCurve(Tables.embeddings(s, dir))),
     // DSIR selection step: deterministic Gumbel-top-k over the
     // importance weights
     "q_dsir_resample" -> ((s, dir) => TextAnalysis.dsirResample(Tables.documents(s, dir))),
@@ -1450,6 +1454,11 @@ object SparkEntry {
     asofIndexFor(s, dir); dedupAsofStoreFor(s, dir); semAsofStoreFor(s, dir)
     bm25CmpStoreFor(s, dir); annCmpStoreFor(s, dir); annTtStoreFor(s, dir)
     unigramVocabFor(s, dir); hitsEdgesFor(s, dir)
+    // the r16 merge keys' SHARD substrates: read-only inputs built
+    // shared-nothing offline — the MERGE is the measurand, the shard
+    // builds are the one-off ETL the per-query number must not carry
+    bm25ShardsFor(s, dir); annShardsFor(s, dir)
+    dedupShardsFor(s, dir); semShardsFor(s, dir)
     ()
   }
 
@@ -2288,7 +2297,8 @@ object SparkEntry {
     * into the plan), so bucketing + candidates + exact rerank replay
     * relationally for ANY corpus restriction — which is what makes
     * the staged index's time-travel snapshots oracle-checkable too. */
-  private def lshTopKOracleSql(whereSql: String, qid: Long): String = {
+  private def lshTopKOracleSql(whereSql: String, qid: Long,
+                               k: Int = 10): String = {
     val planes = graft.functions.GraftHashing.planeWeights(32) // 8 tables × 4 bits
     val rows = planes.zipWithIndex
       .map { case (wp, p) => s"($p, [${wp.mkString(",")}])" }
@@ -2313,7 +2323,7 @@ object SparkEntry {
        |       round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
        |             / (q.nrm * b.nrm), 4) AS cos
        |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, q
-       |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin
+       |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
   }
 
   /** Unrolled power iteration on the event chain: π'_j left-joins
@@ -7632,6 +7642,30 @@ object SparkEntry {
          |       count(*)::BIGINT AS n_hits,
          |       round(count(*)::DOUBLE / 10, 4) AS recall
          |FROM lsh JOIN brute USING (vec_id)""".stripMargin,
+    // the recall curve: both depth-20 lists ranked, one join exploded
+    // over the k grid; zero-hit ks kept via the grid left-join
+    "q_ann_recall_curve" ->
+      s"""WITH appr AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS ra
+         |              FROM (
+         |${lshTopKOracleSql("TRUE", 0L, 20)}
+         |)),
+         |brute AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rb
+         |          FROM (
+         |  WITH $vecCte,
+         |  q AS (SELECT v, nrm FROM vn WHERE vec_id = 0)
+         |  SELECT b.vec_id,
+         |         round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))
+         |               / (q.nrm * b.nrm), 4) AS cos
+         |  FROM vn b, q WHERE b.vec_id != 0
+         |  ORDER BY cos DESC, b.vec_id ASC LIMIT 20
+         |)),
+         |ks(k) AS (VALUES (1), (5), (10), (20)),
+         |h AS (SELECT ks.k::BIGINT AS k, count(*)::BIGINT AS n_hits
+         |      FROM appr JOIN brute USING (vec_id), ks
+         |      WHERE ra <= ks.k AND rb <= ks.k GROUP BY 1)
+         |SELECT ks.k::BIGINT AS k, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(h.n_hits, 0)::DOUBLE / ks.k, 4) AS recall
+         |FROM ks LEFT JOIN h ON h.k = ks.k""".stripMargin,
     // Gumbel-top-k resampling: the md5-uniform, the importance weight
     // and the rounded Gumbel key all replay exactly
     "q_dsir_resample" ->

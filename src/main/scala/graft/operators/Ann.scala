@@ -794,6 +794,39 @@ object Ann {
     * (md5-derived hyperplanes are plan literals), so even this
     * EVALUATION replays exactly in the oracle. The join is k×k ids —
     * driver-free, all-integer. */
+  /** (k, n_hits, recall): the RECALL CURVE of the LSH serve against
+    * the exact ranking at k = 1, 5, 10, 20 — [[recallAtK]]'s single
+    * point widened into the read an ANN rollout decision actually
+    * uses (recall@1 gates dedup/lookup use-cases, recall@20 gates
+    * retrieval; where the curve flattens tells you whether more
+    * candidates or more tables is the lever). One candidate
+    * generation + TWO depth-20 ranked lists (distributed TopK, the
+    * run-comparison discipline) + one ≤20-row join exploded over the
+    * k grid — the curve costs one search, not four. Counts exact;
+    * one rounded division per row; k rows with zero hits kept via
+    * the grid left-join. */
+  def recallCurve(embeddings: DataFrame, queryId: Long = 0L,
+                  ks: Seq[Int] = Seq(1, 5, 10, 20)): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val kmax = ks.max
+    val a = TopK.rankedTopN(lshTopK(embeddings, queryId, kmax),
+        "cos", "vec_id", kmax, "ra")
+      .select(col("vec_id"), col("ra").cast("long").as("ra"))
+    val b = TopK.rankedTopN(bruteForceTopK(embeddings, queryId, kmax),
+        "cos", "vec_id", kmax, "rb")
+      .select(col("vec_id"), col("rb").cast("long").as("rb"))
+    val grid = ks.map(_.toLong).toDF("k")
+    val hits = a.join(b, "vec_id")
+      .crossJoin(broadcast(grid))
+      .filter(col("ra") <= col("k") && col("rb") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_hits"))
+    grid.join(hits, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 4)
+          .as("recall"))
+  }
+
   def recallAtK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val lsh = lshTopK(embeddings, queryId, k).select("vec_id")
     val brute = bruteForceTopK(embeddings, queryId, k).select("vec_id")

@@ -309,6 +309,31 @@ class Round16Spec extends AnyFunSuite {
     assert(m2 === f2, "merge must purge the tombstoned docs")
   }
 
+  /** Recall curve: the k = 10 point equals q_ann_recall's scalar,
+    * hit counts are monotone in k and bounded by k, and every count
+    * reproduces from the two collected depth-20 rankings. */
+  test("ann recall curve: k=10 point matches recallAtK; counts monotone and reproduced") {
+    import graft.operators.{Ann, TopK}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val curve = Ann.recallCurve(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(curve.keySet === Set(1L, 5L, 10L, 20L))
+    val single = Ann.recallAtK(emb).head
+    assert(curve(10L)._1 === single.getLong(2), "k=10 must match recallAtK")
+    val hits = Seq(1L, 5L, 10L, 20L).map(k => curve(k)._1)
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
+    Seq(1L, 5L, 10L, 20L).foreach(k => assert(curve(k)._1 <= k))
+    val ra = TopK.rankedTopN(Ann.lshTopK(emb, 0L, 20), "cos", "vec_id", 20, "r")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rb = TopK.rankedTopN(Ann.bruteForceTopK(emb, 0L, 20), "cos", "vec_id", 20, "r")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    Seq(1, 5, 10, 20).foreach { k =>
+      val ref = ra.keySet.intersect(rb.keySet)
+        .count(id => ra(id) <= k && rb(id) <= k)
+      assert(curve(k.toLong)._1 === ref.toLong, s"hits at k=$k")
+    }
+  }
+
   /** Markov stationary: a planted two-state chain whose fixed point
     * is known in closed form (P(a→b) = 1, P(b→a) = 1 alternates —
     * after 8 even iterations uniform stays uniform), a mass-leak
