@@ -110,6 +110,13 @@ def main():
     new = queries_of(new_data)
     reruns = new_data.get("queries_rerun", {}) if isinstance(new_data, dict) else {}
     reruns2 = new_data.get("queries_rerun2", {}) if isinstance(new_data, dict) else {}
+    # Presence of the FIELD (even empty) means the artifact's Bench ran a
+    # settle pass over every suspect key; a suspect key missing from it
+    # therefore means the settle-pass measurement itself ERRORED (Bench
+    # drops errored keys from reruns2) — which cannot downgrade to
+    # FLAP-SUSPECT, or a real regression whose settle re-measure crashes
+    # would pass the gate for a round (r16 ADVICE-2).
+    has_settle_pass = isinstance(new_data, dict) and "queries_rerun2" in new_data
     base_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(HERE, "bench_baseline.json")
     base_data = load(base_path)
     base = queries_of(base_data)
@@ -212,6 +219,18 @@ def main():
                             flaps.append(
                                 f"{line2} — settle-pass flat, rerun window "
                                 "contended; attributed to board contention")
+                    elif has_settle_pass:
+                        # The artifact format carries settle-pass
+                        # readings, so this suspect key was re-measured
+                        # and the measurement errored — treat as
+                        # CONFIRMED, not suspect (the downgrade is
+                        # reserved for artifacts with no settle pass
+                        # at all).
+                        failures.append(
+                            f"{line} [CONFIRMED: rerun window contended "
+                            "and the settle-pass re-measure ERRORED "
+                            "(key absent from queries_rerun2); "
+                            f"{expiry_of(key)}]")
                     else:
                         flap_suspects.append(
                             f"{line} — rerun read SLOWER than its board "

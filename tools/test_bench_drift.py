@@ -24,9 +24,15 @@ def run(base_qs, new_qs, reruns, allow=None, reruns2=None):
         newp = os.path.join(d, "new.json")
         json.dump({"_round": 14, "queries": {**FILLER, **base_qs}},
                   open(basep, "w"))
-        json.dump({"queries": {**FILLER, **new_qs},
-                   "queries_rerun": reruns,
-                   "queries_rerun2": reruns2 or {}}, open(newp, "w"))
+        # reruns2=None models the OLD artifact format (no settle-pass
+        # field at all); a dict — even empty — models a Bench that ran
+        # the settle pass, where a missing suspect key means its
+        # re-measure errored.
+        artifact = {"queries": {**FILLER, **new_qs},
+                    "queries_rerun": reruns}
+        if reruns2 is not None:
+            artifact["queries_rerun2"] = reruns2
+        json.dump(artifact, open(newp, "w"))
         # the gate reads the allowlist from its own directory; run it
         # against a copy so the repo allowlist is never the fixture
         gate_dir = os.path.join(d, "tools")
@@ -119,5 +125,16 @@ allow = {"q_wind": {"round": 15, "note": "intended trade", "value": 2.0}}
 rc, out = run({"q_wind": 1.0}, {"q_wind": 2.0}, {"q_wind": 2.6}, allow)
 check("live allowlist entry beats FLAP-SUSPECT classification",
       rc == 0 and "EXPLAINED" in out, out)
+
+# 12. Errored settle pass (r16 ADVICE-2): the artifact CARRIES a
+#     queries_rerun2 field (Bench ran the settle pass) but the suspect
+#     key is absent from it — Bench drops errored keys from reruns2 —
+#     so the settle-pass was attempted and FAILED. That must be
+#     CONFIRMED, not FLAP-SUSPECT, or a real regression whose settle
+#     re-measure crashes passes the gate for a round.
+rc, out = run({"q_wind": 1.0}, {"q_wind": 2.0}, {"q_wind": 2.6},
+              reruns2={})
+check("suspect window + errored settle-pass stays CONFIRMED",
+      rc == 1 and "settle-pass re-measure ERRORED" in out, out)
 
 print("all bench_drift scenarios pass")
