@@ -43,6 +43,9 @@ object SparkEntry {
     "q_bm25_plus" -> ((s, dir) => Bm25.bm25PlusScore(Tables.documents(s, dir))),
     "q_length_hist" -> ((s, dir) => Bm25.lengthHistogram(Tables.documents(s, dir))),
     "q_search_topn" -> ((s, dir) => Bm25.searchTopN(Tables.documents(s, dir))),
+    // per-term score decomposition of the top-10 — the "explain why
+    // this doc won" read beside the ranking; rides the scoring plan
+    "q_search_explain" -> ((s, dir) => Bm25.searchExplain(Tables.documents(s, dir))),
     "q_search_batch" -> ((s, dir) => {
       import s.implicits._
       Bm25.batchSearch(Tables.documents(s, dir), Bm25.DemoQueries.toDF("query_id", "qtext"))
@@ -317,6 +320,14 @@ object SparkEntry {
     // query side — the index-size/recall trade in the serving ladder
     "q_ann_multiprobe" -> ((s, dir) =>
       Ann.lshMultiprobeTopK(Tables.embeddings(s, dir))),
+    // the same multiprobe serve from the STAGED 4-table store: probe
+    // width derives from the store's own lsh.params, candidates read
+    // through the pushed-down (t, bucket) join — at 100 TB the halved
+    // bucket relation IS the index-size saving, and the stored serve
+    // is the shape that realizes it (shared oracle: deterministic
+    // hashes make staged == corpus-side)
+    "q_ann_multiprobe_staged" -> ((s, dir) =>
+      AnnIndex.searchMultiprobeTopK(s, annMpStoreFor(s, dir))),
     // flat IVF served from the staged store (coarse training is the
     // offline build — the whole trained-ANN family now stages)
     "q_ann_ivf" -> ((s, dir) => PqIndex.searchIvfFlat(s, ivfIndexFor(s, dir))),
@@ -346,6 +357,24 @@ object SparkEntry {
     // the full corpus
     "q_pq_store_incremental" -> ((s, dir) =>
       PqIndex.searchTopK(s, pqIncStoreFor(s, dir))),
+    // PINNED snapshot read on the PQ store — the time-travel leg on
+    // the one store family that lacked it, with the trained-state
+    // subtlety the family's other asof keys don't have: codebooks,
+    // codes and vectors all resolve from the SAME visibleAt subset
+    // (a pin below the build version fails loudly — serving other
+    // codebooks against pinned codes silently corrupts distances).
+    // Shares the read-only two-version incremental substrate (both
+    // keys only READ; the pin at 00000 sees the 4/5 build, so the
+    // oracle replays training AND serving on the build cut)
+    "q_pq_asof" -> ((s, dir) =>
+      PqIndex.searchTopKAt(s, pqIncStoreFor(s, dir), maxTag = "00000")),
+    // snapshot DIFF on the PQ store: per-subspace CODE-OCCUPANCY
+    // shift between the pinned build and ingest versions — the
+    // retrain signal (frozen codebooks pile an out-of-distribution
+    // batch into few cells); both sides pin codebooks+codes together,
+    // rollup is m × ksub metadata
+    "q_pq_diff" -> ((s, dir) =>
+      PqIndex.diffVersions(s, pqIncStoreFor(s, dir), "00000", "00001")),
     // the STREAMING twin of the incremental PQ ingest: the tail
     // micro-batches through Structured Streaming, each batch encoded
     // under the frozen codebooks as one exactly-once delta — after the
@@ -444,6 +473,13 @@ object SparkEntry {
     // length-shift significance test beside q_ks_drift's CDF gap
     "q_mann_whitney" -> ((s, dir) =>
       TextAnalysis.mannWhitneyLength(Tables.documents(s, dir))),
+    // Welch's t per source vs rest: the PARAMETRIC significance
+    // column beside the U test — rank and t disagree exactly when a
+    // source's lengths are skewed/heavy-tailed, the reading a mixture
+    // audit wants; exact BIGINT sufficient statistics, rest side by
+    // subtraction, one shared formula text in both engines
+    "q_welch_ttest" -> ((s, dir) =>
+      TextAnalysis.welchTTestLength(Tables.documents(s, dir))),
     // the k-group omnibus gate before the per-source pairwise tests:
     // Kruskal-Wallis H on the same doubled-midrank integer grid
     "q_kruskal_wallis" -> ((s, dir) =>
@@ -834,6 +870,13 @@ object SparkEntry {
     // column of the trainer-equity comparison (BPE / unigram / WP)
     "q_wordpiece_fertility" -> ((s, dir) =>
       Bpe.wordpieceFertility(Tables.documents(s, dir))),
+    // WordPiece ENCODE serving — closes the trainer family's symmetry
+    // (BPE and unigram expose train/encode/fertility; r16 left this
+    // slot empty): per-doc word and subword counts under the
+    // likelihood-scored merges, encode once per DISTINCT word on the
+    // capped driver vocab, broadcast back (the q_bpe_encode plan)
+    "q_wordpiece_encode" -> ((s, dir) =>
+      Bpe.wordpieceEncodeCorpus(Tables.documents(s, dir))),
     // unigram-LM tokenizer training (Kudo 2018, hard-EM on the integer
     // surrogate-cost grid — every Viterbi/M-step quantity BIGINT, so
     // the unrolled-EM recurrence replays bit-exactly in the oracle's
@@ -896,6 +939,13 @@ object SparkEntry {
     // measurand — the q_index_asof convention applied here too)
     "q_index_timetravel" -> ((s, dir) =>
       AnnIndex.searchTopKAt(s, annTtStoreFor(s, dir), maxTag = "00000", queryId = 1L)),
+    // snapshot DIFF on the vector store (q_index_diff's reading for
+    // the ANN promotion decision): per LSH table, bucket-occupancy
+    // shift between the pinned 00000 and 00001 versions + live vector
+    // counts per side — both sides resolve through visibleAt, the
+    // rollup is bucket-cardinality metadata, one row per table
+    "q_ann_diff" -> ((s, dir) =>
+      AnnIndex.diffVersions(s, annTtStoreFor(s, dir), "00000", "00001")),
     // bipartite user↔item connected components (communities) — labels
     // propagate through the bipartite edges, never the quadratic
     // user-user projection
@@ -1337,6 +1387,15 @@ object SparkEntry {
       DedupStore.verifiedNearDupsAt(s, dedupAsofStoreFor(s, dir), maxTag = "00000")),
     "q_semantic_asof" -> ((s, dir) =>
       SemanticStore.cosinePairsAt(s, semAsofStoreFor(s, dir), maxTag = "00000")),
+    // snapshot DIFFs on BOTH pair substrates — the diff verb now
+    // covers every store family (text r16, ANN/PQ r17, these two):
+    // which verified/cosine pairs the pinned ingest ADDED (dropped
+    // legs exercise via delete stores in the spec); pair-scaled
+    // anti-joins, delta-scaled output between adjacent versions
+    "q_dedup_diff" -> ((s, dir) =>
+      DedupStore.diffVersions(s, dedupAsofStoreFor(s, dir), "00000", "00001")),
+    "q_semantic_diff" -> ((s, dir) =>
+      SemanticStore.diffVersions(s, semAsofStoreFor(s, dir), "00000", "00001")),
     // one epoch of the token-budget plan materialized: per-source
     // rate = min(1, epochs), membership by the deterministic md5
     // uniform — a broadcast plan + one map-side pass
@@ -1453,6 +1512,7 @@ object SparkEntry {
     ivfIndexFor(s, dir); pqIndexFor(s, dir); ivfPqIndexFor(s, dir)
     asofIndexFor(s, dir); dedupAsofStoreFor(s, dir); semAsofStoreFor(s, dir)
     bm25CmpStoreFor(s, dir); annCmpStoreFor(s, dir); annTtStoreFor(s, dir)
+    annMpStoreFor(s, dir)
     unigramVocabFor(s, dir); hitsEdgesFor(s, dir)
     // the r16 merge keys' SHARD substrates: read-only inputs built
     // shared-nothing offline — the MERGE is the measurand, the shard
@@ -1562,6 +1622,15 @@ object SparkEntry {
       AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0), p)
       AnnIndex.update(emb.filter(col("vec_id") % 5 === 0), p, "00001")
     }
+
+  /** Staged 4-table LSH store for the MULTIPROBE serve key — half
+    * [[AnnIndex.build]]'s default table count; the Hamming-1 probe
+    * expansion at serve time buys back the recall. Read-only, so it
+    * prestages like every serve store. */
+  private def annMpStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("annidx_mp", dir)(p =>
+      AnnIndex.build(Tables.embeddings(s, dir), p,
+        numTables = 4, bitsPerTable = 4))
 
   /** The vector-store twin of [[bm25CmpStoreFor]]. */
   private def annCmpStoreFor(s: SparkSession, dir: String): String =
@@ -2326,6 +2395,46 @@ object SparkEntry {
        |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /** Snapshot-diff replay on the vector store ([[AnnIndex
+    * .diffVersions]] semantics over the two-version time-travel
+    * store): re-derive every vector's 8×4 bucket string from the
+    * literal hyperplanes, count per (t, bucket) occupancy on each
+    * side (A = the `sideAWhere` build subset, B = everything), roll
+    * up per table. Both rollups are bucket-cardinality metadata —
+    * the corpus appears only in the shared bkt derivation. */
+  private def annDiffOracleSql(sideAWhere: String): String = {
+    val planes = graft.functions.GraftHashing.planeWeights(32) // 8 tables × 4 bits
+    val rows = planes.zipWithIndex
+      .map { case (wp, p) => s"($p, [${wp.mkString(",")}])" }
+      .mkString(",\n       |  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |w(p, wv) AS (VALUES
+       |  $rows),
+       |sgn AS (SELECT e.vec_id, w.p,
+       |          CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1),
+       |                 i -> e.v[i] * w.wv[i])) > 0 THEN '1' ELSE '0' END AS bit
+       |        FROM e, w),
+       |bkt AS (SELECT vec_id, p // 4 AS t, string_agg(bit, '' ORDER BY p) AS bucket
+       |        FROM sgn GROUP BY vec_id, p // 4),
+       |cnts AS (SELECT t, bucket,
+       |           sum(CASE WHEN $sideAWhere THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+       |           count(*)::BIGINT AS cnt_b
+       |         FROM bkt GROUP BY 1, 2),
+       |na AS (SELECT count(*)::BIGINT AS n_vecs_a FROM embeddings WHERE $sideAWhere),
+       |nb AS (SELECT count(*)::BIGINT AS n_vecs_b FROM embeddings)
+       |SELECT t,
+       |       sum(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END)::BIGINT AS n_buckets_a,
+       |       sum(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END)::BIGINT AS n_buckets_b,
+       |       sum(CASE WHEN cnt_a <> cnt_b THEN 1 ELSE 0 END)::BIGINT AS changed_buckets,
+       |       sum(greatest(cnt_b - cnt_a, 0))::BIGINT AS added_mass,
+       |       sum(greatest(cnt_a - cnt_b, 0))::BIGINT AS removed_mass,
+       |       na.n_vecs_a, nb.n_vecs_b
+       |FROM cnts, na, nb
+       |GROUP BY t, na.n_vecs_a, nb.n_vecs_b
+       |ORDER BY t""".stripMargin
+  }
+
   /** Unrolled power iteration on the event chain: π'_j left-joins
     * back onto the full state list (zero-incoming states keep an
     * explicit 0), each level's fold is from-state ORDERED (the
@@ -2582,6 +2691,7 @@ object SparkEntry {
     s"""WITH $vecCte,
        |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
        |      FROM embeddings WHERE embedding IS NOT NULL),
+       |mx AS (SELECT max(vec_id) AS mxid FROM embeddings),
        |${pqCtes(m, sub, ksub, iters, "q", "qv", trainWhere)},
        |qsv AS (SELECT j, sv FROM pv WHERE vec_id = 0),
        |adct AS (SELECT c.j, c.cid,
@@ -3227,6 +3337,28 @@ object SparkEntry {
          |FROM dl GROUP BY 1""".stripMargin,
     "q_search_topn" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
+    // per-term decomposition of the top-10: the bm25 chain re-rolled
+    // with the unrounded contribution kept per (doc, term); the top
+    // cut replays q_search_topn's exactly
+    "q_search_explain" ->
+      s"""WITH $dlCte,
+         |avgd AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+         |idfq AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         |         FROM dft, nd WHERE term IN ($queryTermsSql)),
+         |expl AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dft.df, dl.dl,
+         |         idfq.idf * (tf.tf * (${Bm25.K1} + 1.0)) /
+         |           (tf.tf + ${Bm25.K1} * (1.0 - ${Bm25.B} + ${Bm25.B} * dl.dl / avgd.avgdl)) AS c
+         |  FROM tf
+         |  JOIN idfq ON tf.term = idfq.term
+         |  JOIN dft ON tf.term = dft.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN avgd),
+         |sc AS (SELECT doc_id, round(sum(c), 4) AS score FROM expl GROUP BY doc_id),
+         |top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10)
+         |SELECT e.doc_id, e.term, e.tf, e.df, e.dl,
+         |       round(e.c, 4) AS contrib, t.score
+         |FROM expl e JOIN top t ON e.doc_id = t.doc_id""".stripMargin,
     // MaxScore pruning is exact → same oracle as q_search_topn
     "q_search_maxscore" ->
       s"WITH $bm25Cte SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10",
@@ -4118,6 +4250,9 @@ object SparkEntry {
     // multiprobe: the 4x4 plane family with string-bit Hamming-1
     // probe expansion on the query side
     "q_ann_multiprobe" -> lshMultiprobeOracleSql(0L),
+    // staged 4-table store serve == the corpus-side multiprobe
+    // (deterministic per-vector hashes; shared replay)
+    "q_ann_multiprobe_staged" -> lshMultiprobeOracleSql(0L),
     // a merged vector store serves identically to a full-corpus build
     // (verbatim bucket union, disjoint shards) → same LSH oracle
     "q_ann_merge" -> lshTopKOracleSql("TRUE", 0L),
@@ -4139,6 +4274,41 @@ object SparkEntry {
     // vector (old + new batch) encoded and served
     "q_pq_store_incremental" -> pqOracleSql(8, 8, 16, 2, 100, 10,
       trainWhere = "vec_id <= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
+    // PINNED read at the build version of the same two-version store:
+    // the replay trains AND serves on the 80% build cut — codebooks
+    // and codes pinned together (the mx CTE keeps the serve filter's
+    // scalar free of the pcode qualification rewrite)
+    "q_pq_asof" -> pqOracleSql(8, 8, 16, 2, 100, 10,
+      trainWhere = "vec_id <= (SELECT (mxid * 4) // 5 FROM mx)",
+      serveWhere = "vec_id <= (SELECT (mxid * 4) // 5 FROM mx)"),
+    // PQ snapshot diff: code-occupancy histograms per subspace at the
+    // build cut vs the full encode, both under the SAME frozen
+    // codebooks (trainWhere = the cut) — the pcode relation is the
+    // one pqOracleSql serves from, rolled up per (j, code) cell
+    "q_pq_diff" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+         |      FROM embeddings WHERE embedding IS NOT NULL),
+         |mx AS (SELECT max(vec_id) AS mxid FROM embeddings),
+         |${pqCtes(8, 8, 16, 2, "q", "qv",
+                   trainWhere = "vec_id <= (SELECT (mxid * 4) // 5 FROM mx)")},
+         |hist AS (SELECT j, code,
+         |           sum(CASE WHEN vec_id <= (SELECT (mxid * 4) // 5 FROM mx)
+         |               THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+         |           count(*)::BIGINT AS cnt_b
+         |         FROM pcode GROUP BY 1, 2),
+         |na AS (SELECT count(*)::BIGINT AS n_vecs_a FROM embeddings
+         |       WHERE vec_id <= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)),
+         |nb AS (SELECT count(*)::BIGINT AS n_vecs_b FROM embeddings)
+         |SELECT j::BIGINT AS j,
+         |       sum(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END)::BIGINT AS n_codes_a,
+         |       sum(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END)::BIGINT AS n_codes_b,
+         |       sum(CASE WHEN cnt_a <> cnt_b THEN 1 ELSE 0 END)::BIGINT AS changed_codes,
+         |       sum(greatest(cnt_b - cnt_a, 0))::BIGINT AS added_mass,
+         |       sum(greatest(cnt_a - cnt_b, 0))::BIGINT AS removed_mass,
+         |       na.n_vecs_a, nb.n_vecs_b
+         |FROM hist, na, nb
+         |GROUP BY j, na.n_vecs_a, nb.n_vecs_b
+         |ORDER BY j""".stripMargin,
     // streamed micro-batch ingest under the same frozen codebooks ==
     // the batch build-then-update result (shared contract)
     "q_stream_pq" -> pqOracleSql(8, 8, 16, 2, 100, 10,
@@ -4561,6 +4731,9 @@ object SparkEntry {
     // time travel = searching the retained delta subset, and the
     // md5-derived hyperplanes make every snapshot oracle-replayable
     "q_index_timetravel" -> lshTopKOracleSql("vec_id % 5 <> 0", 1L),
+    // vector-store snapshot diff between the pinned 00000 (4/5 build)
+    // and 00001 (full) versions of the same two-version store
+    "q_ann_diff" -> annDiffOracleSql("vec_id % 5 <> 0"),
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -4612,6 +4785,21 @@ object SparkEntry {
          |SELECT t.probe_id, t.n_shingles, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
          |       round(coalesce(h.n_hit, 0)::DOUBLE / t.n_shingles, 4) AS rate
          |FROM tot t LEFT JOIN hit h USING (probe_id)""".stripMargin,
+    // Welch's t per source vs rest: the SAME formula text the Spark
+    // plan evaluates (TextAnalysis.welchTSql/welchDfSql interpolated
+    // verbatim — one source, two parsers, identical FP op order) over
+    // exact BIGINT count/Σv/Σv² with the rest side by subtraction
+    "q_welch_ttest" ->
+      s"""WITH per AS (SELECT source, count(*)::BIGINT AS n1,
+         |              sum(n_chars::BIGINT)::BIGINT AS s1,
+         |              sum(n_chars::BIGINT * n_chars)::BIGINT AS q1
+         |            FROM documents GROUP BY source),
+         |tot AS (SELECT count(*)::BIGINT AS n, sum(n_chars::BIGINT)::BIGINT AS s,
+         |          sum(n_chars::BIGINT * n_chars)::BIGINT AS q FROM documents)
+         |SELECT source, n1, (n - n1)::BIGINT AS n2,
+         |       ${graft.operators.TextAnalysis.welchTSql} AS t,
+         |       ${graft.operators.TextAnalysis.welchDfSql} AS df_w
+         |FROM per, tot""".stripMargin,
     // Mann-Whitney: integer doubled-midranks (2·midrank = 2·rank +
     // tiecount − 1 — identical to the cum-prev form the Spark side
     // uses), exact BIGINT u2, one tie-corrected z with the division
@@ -6072,6 +6260,21 @@ object SparkEntry {
          |       round(sum(p.n_bpe_tokens)::DOUBLE / sum(p.n_words), 4) AS fertility
          |FROM perdoc p JOIN documents d USING (doc_id)
          |GROUP BY 1""".stripMargin,
+    // WordPiece encode serving: the training rewrite applied
+    // step-by-step to the dictionary IS the encode of every word
+    // under the likelihood-scored chain (the q_bpe_encode shape on
+    // the wordpiece recursion)
+    "q_wordpiece_encode" ->
+      s"""WITH RECURSIVE $wordpieceSelCte,
+         |fin AS (SELECT vocab FROM sel ORDER BY it DESC LIMIT 1),
+         |lens AS (SELECT array_to_string(w.syms, '') AS word, len(w.syms)::BIGINT AS n_sub
+         |         FROM (SELECT unnest(vocab) AS w FROM fin)),
+         |tokd AS (SELECT doc_id, word FROM (
+         |           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |           FROM documents)
+         |         WHERE length(word) > 0)
+         |SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_wp_tokens
+         |FROM tokd JOIN lens USING (word) GROUP BY doc_id""".stripMargin,
     // the WordPiece column of the fertility comparison: the same
     // final-vocab encode, under the likelihood-scored chain
     "q_wordpiece_fertility" ->
@@ -7839,6 +8042,33 @@ object SparkEntry {
         |               / (a.nrm * b.nrm) AS c_exact
         |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
         |WHERE c_exact >= 0.45""".stripMargin,
+    // pair-substrate snapshot diff: verified pairs are
+    // PAIRWISE-INTRINSIC (signatures, shingle sets and copy identity
+    // depend only on the two texts), so the pinned-build → head diff
+    // is exactly the full-corpus pair relation restricted to pairs
+    // touching the ingested id range — added only (the pinned ingest
+    // drops nothing; the dropped leg is spec-exercised on a delete
+    // store)
+    "q_dedup_diff" ->
+      s"""WITH $minhashCandCte,
+         |cutq AS (SELECT (max(doc_id) * 3) // 4 AS cut FROM documents)
+         |SELECT doc_a, doc_b, round(j_exact, 4) AS jaccard, 'added' AS change
+         |FROM ver, cutq WHERE doc_a > cut OR doc_b > cut""".stripMargin,
+    // the semantic twin: cosine is pairwise-intrinsic, same
+    // restriction of the full all-pairs relation
+    "q_semantic_diff" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |cutq AS (SELECT (max(vec_id) * 3) // 4 AS cut FROM embeddings),
+        |allp AS (SELECT vec_a, vec_b, round(c_exact, 4) AS cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        |               / (a.nrm * b.nrm) AS c_exact
+        |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+        |WHERE c_exact >= 0.45)
+        |SELECT vec_a, vec_b, cos, 'added' AS change
+        |FROM allp, cutq WHERE vec_a > cut OR vec_b > cut""".stripMargin,
     // one epoch of the budget plan: the rate is the ROUNDED epochs
     // column (4 dp) capped at 1, membership by the md5 uniform
     "q_budget_sample" -> budgetSampleOracle,

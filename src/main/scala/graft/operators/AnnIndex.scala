@@ -143,8 +143,13 @@ object AnnIndex {
     require(dA.nonEmpty, s"no committed deltas under $pathA")
     val dB = DeltaStore.committedDeltas(spark, pathB)
     require(dB.nonEmpty, s"no committed deltas under $pathB")
-    val fs = DeltaStore.fsOf(spark, pathA)
-    val params = (dA ++ dB).flatMap(d => readParams(fs, d)).distinct
+    // FileSystems resolve PER PATH: the two source stores and the
+    // destination can live on different filesystems (hdfs vs s3a vs
+    // local), and a handle from one would probe/write the wrong store
+    val fsA = DeltaStore.fsOf(spark, pathA)
+    val fsB = DeltaStore.fsOf(spark, pathB)
+    val params = (dA.flatMap(d => readParams(fsA, d)) ++
+      dB.flatMap(d => readParams(fsB, d))).distinct
     require(params.size <= 1,
       s"stores disagree on LSH params: $params — a merged bucket space " +
         "would be incompatible; rebuild one side first")
@@ -170,7 +175,8 @@ object AnnIndex {
         .sortWithinPartitions("t", "bucket")
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
       params.headOption.foreach { ps =>
-        val out = fs.create(new org.apache.hadoop.fs.Path(staging, "lsh.params"), true)
+        val fsD = DeltaStore.fsOf(spark, staging)
+        val out = fsD.create(new org.apache.hadoop.fs.Path(staging, "lsh.params"), true)
         try out.write(ps.getBytes("UTF-8")) finally out.close()
       }
     }
@@ -293,6 +299,14 @@ object AnnIndex {
     val candidates = buckets
       .join(broadcast(qb), col("t") === col("qt") && col("bucket") === col("qbucket"))
       .select("vec_id").distinct()
+    rescore(vectors, candidates, queryId, k)
+  }
+
+  /** Exact cosine rescore of a candidate set against the live vector
+    * store — the shared tail of every LSH-family serve (round(cos,4),
+    * cos desc / vec_id asc, the [[Ann]] scoring contract). */
+  private def rescore(vectors: DataFrame, candidates: DataFrame,
+                      queryId: Long, k: Int): DataFrame = {
     val q = vectors.filter(col("vec_id") === queryId)
       .select(col("v").as("va"), col("nrm").as("na"))
     vectors.join(candidates, "vec_id")
@@ -303,5 +317,83 @@ object AnnIndex {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
       .select("vec_id", "cos")
+  }
+
+  /** (vec_id, cos): MULTIPROBE top-k served from the STAGED store —
+    * [[Ann.lshMultiprobeTopK]]'s memory/recall trade on the stored
+    * bucket relation: per table the query probes its own bucket PLUS
+    * every Hamming-1 flip of the stored bit-string bucket, so a
+    * half-table store keeps the recall the dropped tables paid for in
+    * stored rows. The probe expansion touches only the QUERY side
+    * (1 + bits rows per table, broadcast); the bucket relation is
+    * read through the same pushed-down (t, bucket) join as
+    * [[searchTopK]]. bitsPerTable comes from the store's own
+    * lsh.params (a probe width that disagreed with the stored bucket
+    * strings would silently probe nothing — loud instead). Because
+    * bucket ids are deterministic per-vector functions, the serve is
+    * merge-stable: multiprobe over a [[mergeStores]] result equals
+    * multiprobe over a rebuild on the union corpus (spec-pinned). */
+  def searchMultiprobeTopK(spark: SparkSession, path: String,
+                           queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val deltas = DeltaStore.committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    val fs = DeltaStore.fsOf(spark, path)
+    val params = deltas.flatMap(d => readParams(fs, d)).distinct
+    require(params.size == 1,
+      s"multiprobe serve needs exactly one lsh.params across the store's " +
+        s"deltas to derive the probe width; found ${params.size} ($params)")
+    val bits = params.head.split(",")(1).toInt
+    val (vectors, buckets) = liveIndex(spark, deltas)
+    val qb = buckets.filter(col("vec_id") === queryId)
+      .select(col("t").as("qt"), col("bucket").as("qbucket"))
+    val probes = qb.select(col("qt"), explode(expr(
+        s"transform(sequence(0, $bits), " +
+          "i -> CASE WHEN i = 0 THEN qbucket " +
+          "ELSE concat(substring(qbucket, 1, i - 1), " +
+          "CASE WHEN substring(qbucket, i, 1) = '1' THEN '0' ELSE '1' END, " +
+          s"substring(qbucket, i + 1, $bits)) END)")).as("qbucket"))
+      .distinct()
+    val candidates = buckets
+      .join(broadcast(probes),
+        col("t") === col("qt") && col("bucket") === col("qbucket"))
+      .select("vec_id").distinct()
+    rescore(vectors, candidates, queryId, k)
+  }
+
+  /** (t, n_buckets_a, n_buckets_b, changed_buckets, added_mass,
+    * removed_mass, n_vecs_a, n_vecs_b): SNAPSHOT DIFF between two
+    * pinned versions of the vector store — [[Bm25Index.diffVersions]]
+    * on the ANN side, the audit read a promotion decision wants
+    * BEFORE switching serving to a new snapshot: per LSH table, how
+    * many buckets changed occupancy and how much membership mass
+    * moved in/out, plus the per-version live vector counts. Both
+    * sides resolve through `visibleAt` + the live view (tombstones
+    * respected exactly as serves respect them); the per-side rollup
+    * is BUCKET-cardinality (≤ numTables × 2^bits rows — metadata,
+    * never the corpus), joined full-outer per (t, bucket), rolled up
+    * per table. Deterministic: one row per table, ordered by t. */
+  def diffVersions(spark: SparkSession, path: String,
+                   tagA: String, tagB: String): DataFrame = {
+    val (va, ba) = liveIndex(spark, DeltaStore.visibleAt(spark, path, tagA))
+    val (vb, bb) = liveIndex(spark, DeltaStore.visibleAt(spark, path, tagB))
+    val na = va.agg(count(lit(1)).as("n_vecs_a"))
+    val nb = vb.agg(count(lit(1)).as("n_vecs_b"))
+    val ca = ba.groupBy("t", "bucket").agg(count(lit(1)).as("cnt_a"))
+    val cb = bb.groupBy("t", "bucket").agg(count(lit(1)).as("cnt_b"))
+    ca.join(cb, Seq("t", "bucket"), "full_outer")
+      .select(col("t"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .groupBy(col("t").cast("long").as("t"))
+      .agg(
+        sum(when(col("cnt_a") > 0, 1L).otherwise(0L)).as("n_buckets_a"),
+        sum(when(col("cnt_b") > 0, 1L).otherwise(0L)).as("n_buckets_b"),
+        sum(when(col("cnt_a") =!= col("cnt_b"), 1L).otherwise(0L))
+          .as("changed_buckets"),
+        sum(greatest(col("cnt_b") - col("cnt_a"), lit(0L))).as("added_mass"),
+        sum(greatest(col("cnt_a") - col("cnt_b"), lit(0L))).as("removed_mass"))
+      .crossJoin(broadcast(na))
+      .crossJoin(broadcast(nb))
+      .orderBy(col("t").asc)
   }
 }

@@ -217,6 +217,36 @@ object Bm25 {
   def searchTopN(docs: DataFrame, queryTerms: Seq[String] = QueryTerms, n: Int = 10): DataFrame =
     bm25Score(docs, queryTerms).orderBy(col("score").desc, col("doc_id").asc).limit(n)
 
+  /** (doc_id, term, tf, df, dl, contrib, score): per-term score
+    * DECOMPOSITION of the top-`n` results — the "explain" read every
+    * search engine exposes beside its ranking (why did this doc win:
+    * which query terms matched, how rare each is, how much the length
+    * normalization took back). Rides [[bm25Score]]'s plan once: the
+    * same pruned tfq → df window → dl join → stats broadcast
+    * derivation feeds both the per-(doc, term) contributions and the
+    * per-doc totals; the top-n cut then semi-joins the contribution
+    * rows — query-terms × n output, never corpus-scaled. `contrib`
+    * is one [[okapiTerm]] product chain (deterministic), `score` the
+    * same rounded sum [[bm25Score]] serves. */
+  def searchExplain(docs: DataFrame, queryTerms: Seq[String] = QueryTerms,
+                    n: Int = 10): DataFrame = {
+    val tfq = tf(docs).filter(col("term").isin(queryTerms: _*))
+    val dl = docLengths(docs.filter(col("doc_id").isNotNull))
+    val stats = dl.agg(count(col("doc_id")).as("n_docs"),
+      avg(col("dl")).cast("double").as("avgdl"))
+    val contrib = tfq
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        okapiTerm(col("tf"), col("df"), col("dl"), col("avgdl"), col("n_docs")).as("c"))
+    val top = contrib.groupBy("doc_id").agg(round(sum("c"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(n)
+    contrib.join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        round(col("c"), 4).as("contrib"), col("score"))
+  }
+
   /** (doc_id, score): BM25+ — Lv & Zhai's lower-bounded variant: each
     * matching term contributes an extra idf·delta regardless of doc
     * length, fixing plain BM25's over-penalization of long documents

@@ -319,12 +319,19 @@ object Bm25Index {
         s"stores share $nShared live doc_ids — shard merge requires " +
           "disjoint id spaces (re-key one side or delete the duplicates first)")
     }
-    val fs = DeltaStore.fsOf(spark, dA.head)
-    def has(d: String, sub: String) =
+    // FileSystems resolve PER SIDE: the two source stores can live on
+    // different filesystems, and pathA's handle probing pathB's deltas
+    // would throw wrong-FS (or silently probe the wrong store)
+    val fsA = DeltaStore.fsOf(spark, pathA)
+    val fsB = DeltaStore.fsOf(spark, pathB)
+    def has(fs: org.apache.hadoop.fs.FileSystem)(d: String, sub: String) =
       fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub"))
-    val noTombstones = !(dA ++ dB).exists(has(_, "tombstones"))
-    val upd = (dA ++ dB).filter(has(_, "postings"))
-    val sidecarsExact = noTombstones && upd.forall(has(_, "blockmax"))
+    def hasEach(sub: String): Seq[String] =
+      dA.filter(has(fsA)(_, sub)) ++ dB.filter(has(fsB)(_, sub))
+    val noTombstones = hasEach("tombstones").isEmpty
+    val upd = hasEach("postings")
+    val sidecarsExact = noTombstones &&
+      upd.forall(d => has(if (dA.contains(d)) fsA else fsB)(d, "blockmax"))
     val range =
       if (loA <= hiA && loB <= hiB) Some((math.min(loA, loB), math.max(hiA, hiB)))
       else None

@@ -136,6 +136,29 @@ object Bpe {
     * family convention), broadcast the subword lengths, aggregate by
     * language. */
   def wordpieceFertility(docs: DataFrame, numMerges: Int = 20,
+      maxVocab: Int = 100000): DataFrame =
+    wordpieceEncodeCorpus(docs, numMerges, maxVocab)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_wp_tokens").as("n_wp_tokens"))
+      .select(col("lang"), col("n_words"), col("n_wp_tokens"),
+        round(col("n_wp_tokens").cast("double") / col("n_words"), 4)
+          .as("fertility"))
+
+  /** (doc_id, n_words, n_wp_tokens): the corpus tokenized under the
+    * learned WORDPIECE merges — the encode SERVING key that closes the
+    * trainer family's symmetry (BPE and unigram both expose
+    * train/encode/fertility; r16 shipped WordPiece train+fertility
+    * only). Identical scale split to [[encodeCorpus]]: the
+    * likelihood-scored merge chain applies once per DISTINCT word on
+    * the capped driver vocabulary (training-order rewrite = the
+    * encode, the family convention), the (word → subword count)
+    * relation broadcast-joins back to the corpus tokens — the corpus
+    * is never encoded row-by-row. The oracle replays the recursive
+    * likelihood-scored chain's final vocab rewrite (the
+    * q_wordpiece_train CTE ridden the way q_bpe_encode rides the BPE
+    * chain). */
+  def wordpieceEncodeCorpus(docs: DataFrame, numMerges: Int = 20,
       maxVocab: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -156,13 +179,7 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .join(broadcast(lens), Seq("word"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_wp"))
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .groupBy("lang")
-      .agg(sum("n_words").as("n_words"), sum("n_wp").as("n_wp_tokens"))
-      .select(col("lang"), col("n_words"), col("n_wp_tokens"),
-        round(col("n_wp_tokens").cast("double") / col("n_words"), 4)
-          .as("fertility"))
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_wp_tokens"))
   }
 
   /** The driver-side greedy loop over the (symbols, count) dictionary.

@@ -339,7 +339,17 @@ object DedupStore {
         "monotone-ingest contract; merge shards in id order")
     val repsA = readFrom(spark, dA, "reps").cutLineage()
     val repsB = readFrom(spark, dB, "reps").cutLineage()
-    // exact unification: one hash join of two rep-scaled relations
+    // exact unification: one hash join of two rep-scaled relations.
+    // NULL-SAFE (`<=>`) BY DESIGN: h = md5(text) is NULL exactly for
+    // null-text docs, and update() groups those into ONE store group
+    // with the same `<=>` (its old-rep match and member join) — so two
+    // shards' null-text groups MUST unify here or the merged store
+    // would differ from a rebuild, which dedups all null texts
+    // together. SemanticStore's merge uses plain `===` for the same
+    // reason in mirror image: its vk = md5(to_json(v)) key is
+    // non-null for every stored rep and its update() matches with
+    // `===` — each store's merge pins ITS OWN update()'s equality
+    // semantics, which is what relation-identity to a rebuild means.
     val matched = repsB.select(col("rep").as("old_rep"), col("h").as("bh"))
       .join(repsA.select(col("rep").as("new_rep"), col("h").as("ah")),
         col("bh") <=> col("ah"))
@@ -576,6 +586,38 @@ object DedupStore {
   def verifiedNearDupsAt(spark: SparkSession, path: String, maxTag: String,
                          threshold: Double = 0.8): DataFrame =
     verifiedFrom(spark, deltasAt(spark, path, maxTag), threshold)
+
+  /** (doc_a, doc_b, jaccard, change): SNAPSHOT DIFF of the verified
+    * pair relation between two pinned versions — the review queue a
+    * promotion decision reads on the dedup substrate ("which pairs
+    * did this ingest ADD, which did that delete DROP"), completing
+    * the diff verb on the pair stores (the [[Bm25Index
+    * .diffVersions]] family). Both sides resolve through the visible
+    * delta prefix exactly as [[verifiedNearDupsAt]] serves;
+    * `change` is 'added' (in B, not A — jaccard from B) or
+    * 'dropped' (in A, not B — jaccard from A); the anti-joins are
+    * PAIR-scaled, and between adjacent versions the output is
+    * delta-scaled (the pairs one batch introduced), never
+    * corpus-scaled. Because verified pairs are PAIRWISE-INTRINSIC
+    * (shingle sets and copy identity depend only on the two texts),
+    * an ingest-only diff equals the full-corpus pair relation
+    * restricted to pairs touching the new id range — the oracle
+    * replays exactly that. */
+  def diffVersions(spark: SparkSession, path: String,
+                   tagA: String, tagB: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val a = verifiedFrom(spark, deltasAt(spark, path, tagA), threshold)
+      .cutLineage()
+    val b = verifiedFrom(spark, deltasAt(spark, path, tagB), threshold)
+      .cutLineage()
+    val added = b.join(a.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .withColumn("change", lit("added"))
+    val dropped = a.join(b.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .withColumn("change", lit("dropped"))
+    added.unionByName(dropped)
+  }
 
   private def verifiedFrom(spark: SparkSession, deltas: Seq[String],
                            threshold: Double): DataFrame = {

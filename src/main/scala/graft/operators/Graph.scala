@@ -649,9 +649,14 @@ object Graph {
     * closest to everything" for hub/outlier triage. EXACT in
     * integers end to end: distances are BFS levels, so the harmonic
     * sum groups by distance and clears denominators through
-    * lcm(1..6) = 60 — H·60 = Σ_d cnt_d·(60/d), every term a BIGINT —
-    * with ONE rounded division at the end; no per-node FP
-    * accumulation anywhere. All seeds ride ONE multi-source BFS
+    * C = lcm(1..maxHops) (60 at the default depth 6) — H·C =
+    * Σ_d cnt_d·(C/d), every term a BIGINT because C div d is exact
+    * for every reachable hop count — with ONE rounded division at
+    * the end; no per-node FP accumulation anywhere. maxHops is
+    * capped at 20 (C = lcm(1..20) ≈ 2.3e8; per-seed sums then stay
+    * far inside Long for any graph this engine serves — a deeper
+    * probe needs a different clearing scheme and fails loudly rather
+    * than truncating). All seeds ride ONE multi-source BFS
     * (state keyed (seed, node) — k seeds never cost k traversals),
     * each level one join + anti-join with cut lineage, the
     * [[bfsHops]] ladder. */
@@ -659,6 +664,16 @@ object Graph {
                          maxHops: Int = 6): DataFrame = {
     require(seeds >= 1 && maxHops >= 1,
       s"need seeds >= 1, maxHops >= 1; got seeds=$seeds, maxHops=$maxHops")
+    // the clearing constant DERIVES from maxHops — a depth the
+    // constant does not divide exactly would silently truncate the
+    // integer-exact contract (60 div 7 = 8, not 8.571); capped so the
+    // cleared sums stay far inside Long
+    require(maxHops <= 20,
+      s"maxHops $maxHops > 20 — lcm(1..maxHops) would overflow the " +
+        "BIGINT clearing scheme; the exact core needs a different " +
+        "denominator-clearing strategy at that depth")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val clear = (1 to maxHops).foldLeft(1L)((acc, d) => acc / gcd(acc, d) * d)
     val e = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .distinct()
@@ -687,9 +702,9 @@ object Graph {
     dist.filter(col("hops") >= 1)
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"),
-        sum(expr("60L div hops")).as("h60"))
+        sum(expr(s"${clear}L div hops")).as("h60"))
       .select(col("seed"), col("n_reached"),
-        round(col("h60").cast("double") / 60.0, 6).as("harmonic"))
+        round(col("h60").cast("double") / clear.toDouble, 6).as("harmonic"))
   }
 
   /** (doc_id, degree): the `k`-CORE of the pair graph after `rounds`

@@ -286,6 +286,36 @@ object PqIndex {
     rerank(vectors, cand, queryId, k)
   }
 
+  /** (vec_id, adc, cos): TIME-TRAVEL PQ serve — [[searchTopK]]
+    * against the store AS OF version `maxTag` (the
+    * [[Bm25Index.scoreAt]] contract on the trained store, closing the
+    * time-travel family across all five store families). The trained
+    * state makes the pin STRICTER here than anywhere else: codes are
+    * meaningless except under the codebooks they were encoded with,
+    * so the pinned read resolves codebooks, codes AND vectors from
+    * the SAME `visibleAt` subset and fails loudly if the build delta
+    * (the codebooks' home) is not visible at the pin — serving newer
+    * codebooks against pinned codes would silently corrupt every ADC
+    * distance, and no fallback to live trained state is ever taken.
+    * Because [[update]] encodes every ingest under the FROZEN build
+    * codebooks, any pin at-or-above the build version is exact: the
+    * visible codes are precisely the rows a rebuild-then-reingest on
+    * the pinned corpus would encode. Same retention trade as every
+    * store: [[compactDeltas]] collapses folded history. */
+  def searchTopKAt(spark: SparkSession, path: String, maxTag: String,
+                   queryId: Long = 0L, k: Int = 10,
+                   nCandidates: Int = 100): DataFrame = {
+    val visible = DeltaStore.visibleAt(spark, path, maxTag)
+    val (codebooks, _, vectors, codes) = loadDeltas(spark, visible, path, "pq")
+    val m = codebooks.length; val sub = codebooks(0)(0).length
+    val qm = queryMillis(vectors, queryId)
+    val table = Ann.pqAdcTableExact(qm, codebooks, m, sub)
+    val cand = codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), Ann.pqAdcColExact(table, m).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(nCandidates)
+    rerank(vectors, cand, queryId, k)
+  }
+
   /** (vec_id, adc, cos): serve an IVF+PQ top-k from the staged store —
     * matches [[Ann.ivfPqTopK]] on the same data exactly. Scan cost =
     * probed-lists fraction of the codes relation × m lookups. */
@@ -375,6 +405,52 @@ object PqIndex {
         round(col("total_d2").cast("double") / col("n_vecs"), 6).as("avg_d2"))
   }
 
+  /** (j, n_codes_a, n_codes_b, changed_codes, added_mass,
+    * removed_mass, n_vecs_a, n_vecs_b): SNAPSHOT DIFF between two
+    * pinned versions of the PQ store — the audit read completing the
+    * diff verb on the trained store ([[Bm25Index.diffVersions]] /
+    * [[AnnIndex.diffVersions]] family): per subspace, how the CODE
+    * OCCUPANCY histogram shifted between versions (a drifting
+    * histogram is the retrain signal — frozen codebooks encode new
+    * mass into whatever cells fit, and a batch far from the training
+    * distribution piles into few cells) plus live vector counts per
+    * side. Both sides resolve codebooks, codes and vectors through
+    * the SAME `visibleAt` subset ([[buildDeltaIn]]'s pinning
+    * contract, so both pins are guaranteed to share the one build
+    * delta's codebooks — histograms are comparable by construction).
+    * The rollup is CODE-cardinality (m × ksub cells — metadata); one
+    * row per subspace, ordered by j. */
+  def diffVersions(spark: SparkSession, path: String,
+                   tagA: String, tagB: String): DataFrame = {
+    val (cbA, _, vecsA, codesA) =
+      loadDeltas(spark, DeltaStore.visibleAt(spark, path, tagA), path, "pq")
+    val (_, _, vecsB, codesB) =
+      loadDeltas(spark, DeltaStore.visibleAt(spark, path, tagB), path, "pq")
+    val m = cbA.length
+    def hist(codes: DataFrame, cnt: String): DataFrame =
+      codes.select(posexplode(array((0 until m).map(j => col(s"code$j")): _*))
+          .as(Seq("j", "code")))
+        .groupBy(col("j").cast("long").as("j"), col("code").cast("long").as("code"))
+        .agg(count(lit(1)).as(cnt))
+    val na = vecsA.agg(count(lit(1)).as("n_vecs_a"))
+    val nb = vecsB.agg(count(lit(1)).as("n_vecs_b"))
+    hist(codesA, "cnt_a").join(hist(codesB, "cnt_b"), Seq("j", "code"), "full_outer")
+      .select(col("j"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .groupBy("j")
+      .agg(
+        sum(when(col("cnt_a") > 0, 1L).otherwise(0L)).as("n_codes_a"),
+        sum(when(col("cnt_b") > 0, 1L).otherwise(0L)).as("n_codes_b"),
+        sum(when(col("cnt_a") =!= col("cnt_b"), 1L).otherwise(0L))
+          .as("changed_codes"),
+        sum(greatest(col("cnt_b") - col("cnt_a"), lit(0L))).as("added_mass"),
+        sum(greatest(col("cnt_a") - col("cnt_b"), lit(0L))).as("removed_mass"))
+      .crossJoin(broadcast(na))
+      .crossJoin(broadcast(nb))
+      .orderBy(col("j").asc)
+  }
+
   /** Fold all committed deltas into ONE delta — the small-files
     * maintenance leg every other store has ([[Bm25Index
     * .compactDeltas]] / [[AnnIndex.compactDeltas]]; crash-atomic via
@@ -458,15 +534,30 @@ object PqIndex {
     * is exactly one); update deltas carry codes/vectors only. Kind is
     * checked loudly against the sidecar. */
   private def firstDelta(spark: SparkSession, path: String,
-                         expectKind: String): String = {
-    val deltas = DeltaStore.committedDeltas(spark, path)
+                         expectKind: String): String =
+    buildDeltaIn(spark, DeltaStore.committedDeltas(spark, path),
+      path, expectKind)
+
+  /** The unique build delta WITHIN `deltas` — parameterized on the
+    * delta subset so pinned snapshot reads resolve the trained state
+    * against the VISIBLE set: codes were encoded under the build's
+    * codebooks, so a snapshot whose visible set lacks the build delta
+    * has codes and codebooks DIVERGED (serving any other codebooks
+    * against those codes silently corrupts every ADC distance) and
+    * must fail loudly, never fall back to the live trained state. */
+  private def buildDeltaIn(spark: SparkSession, deltas: Seq[String],
+                           path: String, expectKind: String): String = {
     require(deltas.nonEmpty, s"no committed deltas under $path")
     val fs = DeltaStore.fsOf(spark, path)
     val withParams = deltas.filter(d =>
       fs.exists(new org.apache.hadoop.fs.Path(d, "pq.params")))
     require(withParams.size == 1,
-      s"expected exactly one build delta (pq.params) under $path, " +
-        s"found ${withParams.size} — not a staged vector index")
+      s"expected exactly one build delta (pq.params) among the " +
+        s"${deltas.size} resolved deltas under $path, found " +
+        s"${withParams.size} — either not a staged vector index, or a " +
+        "snapshot pinned BELOW the build version: codebooks are trained " +
+        "state committed with the build, and a pinned read must serve " +
+        "codes and codebooks from the same visible set")
     val d = withParams.head
     val pp = new org.apache.hadoop.fs.Path(d, "pq.params")
     val in = fs.open(pp)
@@ -482,8 +573,17 @@ object PqIndex {
     * shape) and open the codes/vectors relations across ALL committed
     * deltas (build + incremental ingests). */
   private def load(spark: SparkSession, path: String, expectKind: String)
+      : (Array[Array[Array[Long]]], Array[Array[Long]], DataFrame, DataFrame) =
+    loadDeltas(spark, DeltaStore.committedDeltas(spark, path), path, expectKind)
+
+  /** [[load]] over an explicit delta subset — the pinned-read path
+    * resolves codebooks, codes and vectors from the SAME visible set
+    * (codebook pinning: [[buildDeltaIn]] fails loudly when the build
+    * delta is not visible at the pin). */
+  private def loadDeltas(spark: SparkSession, deltas: Seq[String],
+                         path: String, expectKind: String)
       : (Array[Array[Array[Long]]], Array[Array[Long]], DataFrame, DataFrame) = {
-    val d = firstDelta(spark, path, expectKind)
+    val d = buildDeltaIn(spark, deltas, path, expectKind)
     val cbRows = spark.read.parquet(s"$d/codebooks")
       .select("j", "c", "center").collect()
     val m = cbRows.map(_.getInt(0)).max + 1
@@ -492,7 +592,6 @@ object PqIndex {
     cbRows.foreach(r => codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
     val centers: Array[Array[Long]] =
       if (expectKind == "ivfpq") readCentersLong(spark, d) else Array.empty
-    val deltas = DeltaStore.committedDeltas(spark, path)
     (codebooks, centers,
       liveSub(spark, deltas, "vectors")
         .getOrElse(throw new IllegalStateException("store holds no vectors")),

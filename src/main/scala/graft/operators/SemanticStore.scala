@@ -271,6 +271,14 @@ object SemanticStore {
         "monotone-ingest contract; merge shards in id order")
     val repsA = readFrom(spark, dA, "reps").cutLineage()
     val repsB = readFrom(spark, dB, "reps").cutLineage()
+    // plain `===` matches update()'s own equality (lines above: its
+    // old-rep match and member join both use `===`): vk =
+    // md5(to_json(v)) is non-null for every staged rep (update drops
+    // null embeddings before keying), so null-safe and plain equality
+    // coincide here — the DEDUP merge needs `<=>` because ITS key
+    // md5(text) is genuinely null for null-text groups; each merge
+    // pins its own update()'s semantics (= relation-identity to a
+    // rebuild), see DedupStore.mergeStores.
     val matched = repsB.select(col("rep").as("old_rep"), col("vk").as("bk"))
       .join(repsA.select(col("rep").as("new_rep"), col("vk").as("ak")),
         col("bk") === col("ak"))
@@ -444,6 +452,29 @@ object SemanticStore {
   def cosinePairsAt(spark: SparkSession, path: String,
                     maxTag: String): DataFrame =
     cosineFrom(spark, deltasAt(spark, path, maxTag))
+
+  /** (vec_a, vec_b, cos, change): SNAPSHOT DIFF of the cosine pair
+    * relation between two pinned versions — [[DedupStore
+    * .diffVersions]] on the embedding side (pairs this ingest ADDED /
+    * that delete DROPPED, read before promoting a snapshot). Same
+    * contract: sides resolve through the visible prefix exactly as
+    * [[cosinePairsAt]] serves, anti-joins are pair-scaled, adjacent
+    * versions give a delta-scaled answer; cosine is
+    * pairwise-intrinsic, so an ingest-only diff equals the
+    * full-corpus pair relation restricted to pairs touching the new
+    * id range (the oracle's replay). */
+  def diffVersions(spark: SparkSession, path: String,
+                   tagA: String, tagB: String): DataFrame = {
+    val a = cosineFrom(spark, deltasAt(spark, path, tagA)).cutLineage()
+    val b = cosineFrom(spark, deltasAt(spark, path, tagB)).cutLineage()
+    val added = b.join(a.select("vec_a", "vec_b"),
+        Seq("vec_a", "vec_b"), "left_anti")
+      .withColumn("change", lit("added"))
+    val dropped = a.join(b.select("vec_a", "vec_b"),
+        Seq("vec_a", "vec_b"), "left_anti")
+      .withColumn("change", lit("dropped"))
+    added.unionByName(dropped)
+  }
 
   private def cosineFrom(spark: SparkSession, deltas: Seq[String]): DataFrame = {
     val repPairs = readFrom(spark, deltas, "pairs")

@@ -594,6 +594,56 @@ object TextAnalysis {
           .as("z"))
   }
 
+  /** Welch formula fragments, interpolated VERBATIM into both the
+    * Spark plan (`expr`) and the DuckDB oracle — typographic sharing
+    * is the strongest form of the mirrored-verbatim FP-parity
+    * convention: one source text, two parsers, identical op order.
+    * Operate over the relation (source, n1, s1, q1) × (n, s, q) of
+    * exact BIGINT count/sum/sum-of-squares aggregates; all products
+    * route through DOUBLE (the casts below) so the rest-side
+    * subtraction stays exact in integers and nothing overflows at a
+    * corpus where Σv² still fits BIGINT. */
+  private def welchVa =
+    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1))"
+  private def welchVb =
+    "((CAST(q - q1 AS DOUBLE) - CAST(s - s1 AS DOUBLE) * (s - s1) / (n - n1)) / (n - n1 - 1))"
+  private def welchSe = s"($welchVa / n1 + $welchVb / (n - n1))"
+  private[graft] val welchTSql: String =
+    s"CASE WHEN n1 < 2 OR n - n1 < 2 THEN CAST(NULL AS DOUBLE) " +
+      s"WHEN $welchSe <= 0.0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE round((CAST(s1 AS DOUBLE) / n1 - CAST(s - s1 AS DOUBLE) / (n - n1)) / sqrt($welchSe), 6) END"
+  private[graft] val welchDfSql: String =
+    s"CASE WHEN n1 < 2 OR n - n1 < 2 THEN CAST(NULL AS DOUBLE) " +
+      s"WHEN $welchSe <= 0.0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE round($welchSe * $welchSe / " +
+      s"(($welchVa / n1) * ($welchVa / n1) / (n1 - 1) + " +
+      s"($welchVb / (n - n1)) * ($welchVb / (n - n1)) / (n - n1 - 1)), 6) END"
+
+  /** (source, n1, n2, t, df_w): WELCH's unequal-variance t-test of
+    * each source's length distribution vs the rest — the PARAMETRIC
+    * significance column beside [[mannWhitneyLength]]'s rank test
+    * (the two disagree exactly when a source's lengths are skewed or
+    * heavy-tailed, which is itself the reading a mixture audit
+    * wants). Sufficient statistics are three exact BIGINT aggregates
+    * per source (count, Σv, Σv²) with the rest side by SUBTRACTION
+    * from the corpus totals (the q_qq_deciles discipline — one scan,
+    * source-cardinality output, no second pass); t and the
+    * Welch–Satterthwaite df are closed forms over them, evaluated
+    * from one shared formula text ([[welchTSql]]) in both engines,
+    * rounded last. NULL when either side has fewer than two docs or
+    * the pooled standard error vanishes (both sides internally
+    * constant). */
+  def welchTTestLength(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("n_chars").cast("long").as("v"))
+    val per = d.groupBy("source").agg(count(lit(1)).as("n1"),
+      sum("v").as("s1"), sum(expr("v * v")).as("q1"))
+    val tot = d.agg(count(lit(1)).as("n"),
+      sum("v").as("s"), sum(expr("v * v")).as("q"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n1"), (col("n") - col("n1")).as("n2"),
+        expr(welchTSql).as("t"), expr(welchDfSql).as("df_w"))
+  }
+
   /** The shared doubled-midrank table (v, r2, t) over a (group, v)
     * relation: r2 = 2·midrank = 2·cntLess(v) + t + 1 per value group —
     * exact BIGINTs, the integer grid [[mannWhitneyLength]] and

@@ -1,0 +1,357 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17: the store-family symmetry closures (WordPiece encode
+  * serving, PQ pinned reads with codebook pinning, the vector-store
+  * snapshot diff, the staged multiprobe serve) and the r16 ADVICE
+  * fixes (derived harmonic-centrality clearing constant). Each new
+  * key gets a planted exact case plus a real-corpus parity fold; the
+  * multiprobe × merge interaction the r16 verdict named untested is
+  * pinned here. */
+class Round17Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- q_wordpiece_encode ----
+
+  /** The planted dictionary where WordPiece and BPE DISAGREE (the
+    * Round16Spec divergence corpus): likelihood picks (a,b) (score
+    * 1/1) over the more frequent (x,y) (3/9), so "ab" merges to one
+    * piece and the three "xy" stay at two — 7 WP subwords; count-max
+    * BPE merges (x,y) instead — 5 BPE subwords. The encode key must
+    * reproduce the WP side, not the BPE side. */
+  test("wordpiece encode: planted divergence dictionary encodes under the LIKELIHOOD chain") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    val planted = Seq((1L, "xy xy xy ab")).toDF("doc_id", "text")
+    val wp = Bpe.wordpieceEncodeCorpus(planted, numMerges = 1).head
+    assert((wp.getLong(0), wp.getLong(1), wp.getLong(2)) === ((1L, 4L, 7L)))
+    val bpe = Bpe.encodeCorpus(planted, numMerges = 1).head
+    assert((bpe.getLong(0), bpe.getLong(1), bpe.getLong(2)) === ((1L, 4L, 5L)),
+      "the BPE twin must diverge on this dictionary or the test proves nothing")
+  }
+
+  /** Real-corpus invariants + plan-sharing parity: per-doc counts are
+    * bounded by [n_words, n_chars], and the language rollup of the
+    * encode relation IS the fertility relation (fertility rides the
+    * encode plan — a drift between them would mean two vocabularies). */
+  test("wordpiece encode: corpus bounds hold; fertility rollup equals the encode rollup") {
+    import graft.operators.Bpe
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val enc = Bpe.wordpieceEncodeCorpus(docs)
+    val chars = docs.select(col("doc_id"),
+        expr("aggregate(transform(filter(split(lower(text), ' '), w -> length(w) > 0)," +
+          " w -> CAST(length(w) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)").as("n_chars"))
+    val joined = enc.join(chars, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nw, nwp, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nwp >= nw && nwp <= nc,
+        s"doc ${r.getLong(0)}: n_wp_tokens $nwp outside [$nw, $nc]")
+    }
+    val viaEnc = enc.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_wp_tokens").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fert = Bpe.wordpieceFertility(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaEnc === fert)
+  }
+
+  // ---- q_pq_asof: codebook-pinned snapshot reads ----
+
+  /** The pin parity pair: a read pinned at the build version equals a
+    * fresh build on the pinned corpus (codebooks trained there ARE
+    * the pinned codebooks), and a pin at the ingest version equals
+    * the live serve (frozen codebooks make the visible codes exactly
+    * a rebuild-then-reingest's). */
+  test("pq asof: pin at build == rebuild on pinned corpus; pin at head == live serve") {
+    import graft.operators.PqIndex
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r17pqasof").toString
+    val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+    PqIndex.build(emb.filter(col("vec_id") <= cut), s"$tmp/two")
+    PqIndex.update(emb.filter(col("vec_id") > cut), s"$tmp/two", "00001")
+    PqIndex.build(emb.filter(col("vec_id") <= cut), s"$tmp/pinned")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(PqIndex.searchTopKAt(spark, s"$tmp/two", "00000"))
+      === rows(PqIndex.searchTopK(spark, s"$tmp/pinned")),
+      "pin at the build version must serve the pinned-corpus rebuild")
+    assert(rows(PqIndex.searchTopKAt(spark, s"$tmp/two", "00001"))
+      === rows(PqIndex.searchTopK(spark, s"$tmp/two")),
+      "pin at the newest version must equal the live serve")
+  }
+
+  /** The codebook-pinning loud failure: a visible set with no build
+    * delta (here: the pq.params sidecar removed, the
+    * trained-state-not-visible shape) must refuse the read naming the
+    * codebook contract — never serve codes under absent/other
+    * codebooks. */
+  test("pq asof: a visible set without the build delta fails loudly on the codebook contract") {
+    import graft.operators.PqIndex
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r17pqdiv").toString
+    PqIndex.build(emb, s"$tmp/s")
+    val params = new java.io.File(s"$tmp/s/delta-00000/pq.params")
+    assert(params.isFile && params.delete(), "fixture: remove the trained-state sidecar")
+    val ex = intercept[IllegalArgumentException] {
+      PqIndex.searchTopKAt(spark, s"$tmp/s", "00000").collect()
+    }
+    assert(ex.getMessage.contains("codebooks are trained state"))
+  }
+
+  // ---- q_ann_diff: vector-store snapshot diff ----
+
+  /** Planted deltas: ids ≤ cut build (00000), > cut ingest (00001),
+    * then a tombstone batch (00002). The ingest diff adds exactly
+    * one bucket-mass unit per new vector per table and removes
+    * nothing; the delete diff removes exactly the tombstoned count
+    * per table; the self-diff is all-zero. */
+  test("ann diff: planted ingest and delete deltas; self-diff zero") {
+    import graft.operators.AnnIndex
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r17anndiff").toString
+    val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val cut = mx / 2
+    val nA = emb.filter(col("vec_id") <= cut).count()
+    val nB = emb.count()
+    AnnIndex.build(emb.filter(col("vec_id") <= cut), s"$tmp/s")
+    AnnIndex.update(emb.filter(col("vec_id") > cut), s"$tmp/s", "00001")
+    val self = AnnIndex.diffVersions(spark, s"$tmp/s", "00000", "00000").collect()
+    assert(self.length === 8)
+    self.foreach { r =>
+      assert(r.getLong(3) === 0L && r.getLong(4) === 0L && r.getLong(5) === 0L,
+        "self-diff must be all-zero")
+      assert(r.getLong(6) === r.getLong(7))
+    }
+    val d = AnnIndex.diffVersions(spark, s"$tmp/s", "00000", "00001").collect()
+    assert(d.length === 8)
+    assert(d.map(_.getLong(0)).toSeq === (0L to 7L), "one ordered row per table")
+    d.foreach { r =>
+      assert(r.getLong(4) === nB - nA, s"table ${r.getLong(0)}: each new vector adds one bucket-mass unit")
+      assert(r.getLong(5) === 0L, "a pure ingest removes nothing")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= nB - nA)
+      assert((r.getLong(6), r.getLong(7)) === ((nA, nB)))
+    }
+    val dead = emb.filter(col("vec_id") <= cut && col("vec_id") % 7 === 1).select("vec_id")
+    val nDead = dead.count()
+    assert(nDead > 0, "fixture needs a non-empty tombstone batch")
+    AnnIndex.delete(dead, s"$tmp/s", "00002")
+    val dd = AnnIndex.diffVersions(spark, s"$tmp/s", "00000", "00002").collect()
+    dd.foreach { r =>
+      // added/removed are PER-BUCKET clamped sums, so an ingested and
+      // a tombstoned vector sharing a (t, bucket) cell cancel — only
+      // the NET mass is corpus-derivable; the gross legs are bounded
+      // by the batch sizes
+      assert(r.getLong(4) - r.getLong(5) === (nB - nDead) - nA,
+        s"table ${r.getLong(0)}: net bucket-mass must equal the live-count delta")
+      assert(r.getLong(4) <= nB - nA && r.getLong(5) <= nDead)
+      assert((r.getLong(6), r.getLong(7)) === ((nA, nB - nDead)))
+    }
+  }
+
+  // ---- multiprobe × merge (r16 verdict task 6) + staged multiprobe ----
+
+  /** The untested cross-product of r16's two new ANN legs: multiprobe
+    * served over a MERGED store must equal multiprobe over a rebuild
+    * on the union corpus (bucket determinism makes the merge a
+    * verbatim union, so every probe resolves identically), and the
+    * staged serve must equal the corpus-side multiprobe — the
+    * q_ann_multiprobe_staged contract. */
+  test("multiprobe: merged-store serve == rebuild serve == corpus-side serve") {
+    import graft.operators.{Ann, AnnIndex}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r17mpmrg").toString
+    val cut = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+    AnnIndex.build(emb.filter(col("vec_id") <= cut), s"$tmp/a",
+      numTables = 4, bitsPerTable = 4)
+    AnnIndex.build(emb.filter(col("vec_id") > cut), s"$tmp/b",
+      numTables = 4, bitsPerTable = 4)
+    AnnIndex.mergeStores(spark, s"$tmp/a", s"$tmp/b", s"$tmp/m")
+    AnnIndex.build(emb, s"$tmp/full", numTables = 4, bitsPerTable = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val merged = rows(AnnIndex.searchMultiprobeTopK(spark, s"$tmp/m"))
+    val rebuilt = rows(AnnIndex.searchMultiprobeTopK(spark, s"$tmp/full"))
+    val corpus = rows(Ann.lshMultiprobeTopK(emb))
+    assert(merged === rebuilt, "multiprobe must be merge-stable")
+    assert(rebuilt === corpus, "staged multiprobe must equal the corpus-side serve")
+  }
+
+  // ---- q_pq_diff: code-occupancy snapshot diff on the PQ store ----
+
+  /** Planted parity on the two-version PQ store: the ingest diff
+    * adds one code-mass unit per new vector per subspace (codes are
+    * per-vector, one per j) and removes nothing; the self-diff is
+    * all-zero; a delete leg nets out exactly (the clamped-cell
+    * cancellation contract shared with the ANN diff). */
+  test("pq diff: planted ingest and delete deltas; self-diff zero; cells bounded by ksub") {
+    import graft.operators.PqIndex
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r17pqdiff").toString
+    val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 4 / 5
+    val nA = emb.filter(col("vec_id") <= cut).count()
+    val nB = emb.count()
+    PqIndex.build(emb.filter(col("vec_id") <= cut), s"$tmp/s")
+    PqIndex.update(emb.filter(col("vec_id") > cut), s"$tmp/s", "00001")
+    val self = PqIndex.diffVersions(spark, s"$tmp/s", "00000", "00000").collect()
+    assert(self.length === 8)
+    self.foreach { r =>
+      assert(r.getLong(3) === 0L && r.getLong(4) === 0L && r.getLong(5) === 0L)
+      assert(r.getLong(6) === r.getLong(7))
+    }
+    val d = PqIndex.diffVersions(spark, s"$tmp/s", "00000", "00001").collect()
+    assert(d.map(_.getLong(0)).toSeq === (0L to 7L))
+    d.foreach { r =>
+      assert(r.getLong(1) <= 16L && r.getLong(2) <= 16L, "cells bounded by ksub")
+      assert(r.getLong(4) === nB - nA, "each new vector adds one code-mass unit per subspace")
+      assert(r.getLong(5) === 0L)
+      assert((r.getLong(6), r.getLong(7)) === ((nA, nB)))
+    }
+    val dead = emb.filter(col("vec_id") > cut && col("vec_id") % 3 === 0).select("vec_id")
+    val nDead = dead.count()
+    assert(nDead > 0)
+    PqIndex.delete(dead, s"$tmp/s", "00002")
+    PqIndex.diffVersions(spark, s"$tmp/s", "00000", "00002").collect().foreach { r =>
+      assert(r.getLong(4) - r.getLong(5) === (nB - nDead) - nA,
+        "net code-mass must equal the live-count delta")
+      assert((r.getLong(6), r.getLong(7)) === ((nA, nB - nDead)))
+    }
+  }
+
+  // ---- q_dedup_diff / q_semantic_diff: pair-substrate snapshot diffs ----
+
+  /** The intrinsic-pair contract the oracle rides, checked from the
+    * SERVE side: build→head added pairs equal the head serve
+    * restricted to pairs touching the ingested range; the dropped leg
+    * (which the gate store never exercises) appears when a delete
+    * delta removes a pair member. */
+  test("dedup diff: added == head pairs touching the new range; delete produces dropped rows") {
+    import graft.operators.DedupStore
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("r17dddiff").toString
+    val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 3 / 4
+    DedupStore.build(docs.filter(col("doc_id") <= cut), s"$tmp/s")
+    DedupStore.update(docs.filter(col("doc_id") > cut), s"$tmp/s", "00001")
+    val diff = DedupStore.diffVersions(spark, s"$tmp/s", "00000", "00001").collect()
+    assert(diff.forall(_.getString(3) == "added"), "a pure ingest drops nothing")
+    val added = diff.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val headTouchingNew = DedupStore.verifiedNearDups(spark, s"$tmp/s")
+      .filter(col("doc_a") > cut || col("doc_b") > cut).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(added === headTouchingNew,
+      "added pairs must be exactly the head pairs touching the ingested id range")
+    // dropped leg: a planted exact-duplicate trio, one member deleted
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here entirely")).toDF("doc_id", "text")
+    DedupStore.build(planted, s"$tmp/p")
+    DedupStore.delete(Seq(2L).toDF("doc_id"), s"$tmp/p", "00001")
+    val pd = DedupStore.diffVersions(spark, s"$tmp/p", "00000", "00001").collect()
+    assert(pd.length === 1)
+    assert((pd.head.getLong(0), pd.head.getLong(1), pd.head.getString(3))
+      === ((1L, 2L, "dropped")))
+  }
+
+  /** The semantic twin, planted end to end: identical vectors pair at
+    * selfcos, the ingest adds the cross pair, the delete drops it. */
+  test("semantic diff: ingest adds, delete drops, self-diff empty") {
+    import graft.operators.SemanticStore
+    import spark.implicits._
+    val mkv = (seed: Int) => Array.tabulate(8)(i => (i + seed).toFloat / 10f)
+    val base = Seq((1L, mkv(1).toSeq), (2L, mkv(50).toSeq)).toDF("vec_id", "embedding")
+    val ing = Seq((5L, mkv(1).toSeq)).toDF("vec_id", "embedding") // near-parallel to vec 1
+    val tmp = java.nio.file.Files.createTempDirectory("r17smdiff").toString
+    SemanticStore.build(base, s"$tmp/s")
+    SemanticStore.update(ing, s"$tmp/s", "00001")
+    assert(SemanticStore.diffVersions(spark, s"$tmp/s", "00000", "00000").count() === 0L)
+    val d = SemanticStore.diffVersions(spark, s"$tmp/s", "00000", "00001").collect()
+    assert(d.nonEmpty && d.forall(_.getString(3) == "added"))
+    assert(d.exists(r => r.getLong(0) === 1L && r.getLong(1) === 5L))
+    SemanticStore.delete(Seq(5L).toDF("vec_id"), s"$tmp/s", "00002")
+    val dd = SemanticStore.diffVersions(spark, s"$tmp/s", "00001", "00002").collect()
+    assert(dd.nonEmpty && dd.forall(_.getString(3) == "dropped"))
+    assert(dd.exists(r => r.getLong(0) === 1L && r.getLong(1) === 5L))
+  }
+
+  // ---- q_welch_ttest ----
+
+  /** Hand-computed planted case (A = {1,2,3}, B = {4,6}):
+    * va = 1, vb = 2, se = 4/3, t_A = −3/√(4/3) = −2.598076,
+    * df = (16/9)/(1/18 + 1) = 1.684211; the B row mirrors with the
+    * opposite sign and the same df; a single-doc source is NULL. */
+  test("welch t-test: planted two-source exact; single-doc source NULL; per-source rows") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "b", 4L), (5L, "b", 6L)).toDF("doc_id", "source", "n_chars")
+    val rows = TextAnalysis.welchTTestLength(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(rows("a") === ((3L, 2L, -2.598076, 1.684211)))
+    assert(rows("b") === ((2L, 3L, 2.598076, 1.684211)))
+    val lone = Seq((1L, "a", 5L), (2L, "b", 6L), (3L, "b", 7L), (4L, "b", 9L))
+      .toDF("doc_id", "source", "n_chars")
+    val lr = TextAnalysis.welchTTestLength(lone).collect()
+      .map(r => r.getString(0) -> (r.isNullAt(3), r.isNullAt(4))).toMap
+    assert(lr("a") === ((true, true)), "a one-doc source has no variance — NULL t and df")
+    val real = TextAnalysis.welchTTestLength(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    assert(real.length ===
+      graft.sources.Tables.documents(spark, sf).select("source").distinct().count())
+  }
+
+  // ---- q_search_explain ----
+
+  /** The decomposition contract: explained docs are exactly the
+    * top-10, each doc's score column matches q_search_topn's rounded
+    * score, and the per-term contributions re-sum to it within
+    * per-term rounding slack. */
+  test("search explain: doc set and scores match topn; contributions re-sum") {
+    import graft.operators.Bm25
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val expl = Bm25.searchExplain(docs).collect()
+    val topn = Bm25.searchTopN(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(expl.map(_.getLong(0)).toSet === topn.keySet)
+    expl.foreach { r =>
+      assert(r.getDouble(6) === topn(r.getLong(0)), "score column must equal the serve's")
+      assert(r.getDouble(5) > 0.0 && r.getLong(2) >= 1L && r.getLong(3) >= 1L)
+      assert(Bm25.QueryTerms.contains(r.getString(1)))
+    }
+    expl.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val resum = rs.map(_.getDouble(5)).sum
+      assert(math.abs(resum - topn(doc)) <= 0.0001 * rs.length + 1e-9,
+        s"doc $doc: contributions must re-sum to the score within rounding slack")
+    }
+  }
+
+  // ---- harmonic centrality: derived clearing constant (ADVICE r16) ----
+
+  /** maxHops beyond the old hard-wired lcm(1..6): a 7-deep path graph
+    * from one seed must read the EXACT harmonic sum (60 div 7 = 8
+    * would have truncated 1/7 to 8/60); a depth past the Long-safe
+    * cap fails loudly instead of serving inexact sums. */
+  test("harmonic centrality: depth-7 is exact under the derived lcm; depth > 20 fails loudly") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val path = (0L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val r = Graph.harmonicCentrality(path, seeds = 1, maxHops = 7).head
+    assert(r.getLong(1) === 7L)
+    // 1 + 1/2 + ... + 1/7 = 1089/420
+    assert(r.getDouble(2) === math.rint(1089.0 / 420.0 * 1e6) / 1e6)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.harmonicCentrality(path, seeds = 1, maxHops = 21)
+    }
+    assert(ex.getMessage.contains("lcm"))
+    // the default depth keeps its r16-verified constant
+    val d6 = Graph.harmonicCentrality(path, seeds = 1).head
+    assert(d6.getLong(1) === 6L)
+    assert(d6.getDouble(2) === math.rint((60 + 30 + 20 + 15 + 12 + 10) / 60.0 * 1e6) / 1e6)
+  }
+}

@@ -68,6 +68,28 @@ class SurveySpec extends AnyFunSuite {
       s"header rows-only count $rowsOnly != ${SparkEntry.queries.size - SparkEntry.oracleSql.size}")
   }
 
+  test("the §2 bench family partition is held: maintenance list is wired, duplicate-free, counts match") {
+    val i = survey.indexOf("maintenance-keys:")
+    assert(i >= 0, "SURVEY §2 has no 'maintenance-keys:' partition block")
+    val block = survey.substring(i + "maintenance-keys:".length).split("\n\n", 2).head
+    val listed = """q_\w+""".r.findAllIn(block).toSeq
+    val dupes = listed.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate maintenance-keys entries: ${dupes.toSeq.sorted.mkString(", ")}")
+    val wired = SparkEntry.queries.keySet
+    val phantom = listed.toSet -- wired
+    assert(phantom.isEmpty,
+      s"maintenance-keys naming unwired keys: ${phantom.toSeq.sorted.mkString(", ")}")
+    val hdr = """Bench family partition \((\d+) maintenance \+ (\d+) serving = (\d+)\)""".r
+    val m = hdr.findFirstMatchIn(survey)
+      .getOrElse(fail("partition heading '(M maintenance + S serving = T)' not found"))
+    assert(m.group(1).toInt === listed.size,
+      s"partition header maintenance count ${m.group(1)} != listed ${listed.size}")
+    assert(m.group(2).toInt === wired.size - listed.size,
+      s"partition header serving count ${m.group(2)} != ${wired.size - listed.size}")
+    assert(m.group(3).toInt === wired.size,
+      s"partition header total ${m.group(3)} != queries.size ${wired.size}")
+  }
+
   test("every oracleSql key is a wired query key") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty,

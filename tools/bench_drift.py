@@ -102,6 +102,40 @@ def queries_of(data):
     return {k: v for k, v in qs.items() if not k.startswith("_")}
 
 
+def maintenance_keys():
+    """The SURVEY §2 bench family partition: the maintenance-keys list
+    (one machine-parseable block after the 'Bench family partition'
+    heading). Returns an empty set when SURVEY.md is absent (e.g. the
+    self-test's temp-dir gate copy) — the split is then skipped."""
+    survey = os.path.join(os.path.dirname(HERE), "SURVEY.md")
+    if not os.path.exists(survey):
+        return set()
+    with open(survey) as f:
+        text = f.read()
+    i = text.find("maintenance-keys:")
+    if i < 0:
+        return set()
+    # the list runs to the first blank line after the marker
+    block = text[i + len("maintenance-keys:"):].split("\n\n", 1)[0]
+    import re
+    return set(re.findall(r"q_\w+", block))
+
+
+def family_split_line(new):
+    """serving/maintenance s-per-key summary from the SURVEY partition
+    (r16 verdict task 5: the envelope is set on the serving family)."""
+    maint = maintenance_keys()
+    if not maint:
+        return None
+    m = {k: v for k, v in new.items() if k in maint}
+    s = {k: v for k, v in new.items() if k not in maint}
+    if not m or not s:
+        return None
+    return (f"family split: serving {len(s)} keys = "
+            f"{sum(s.values()) / len(s):.3f} s/key; maintenance {len(m)} keys = "
+            f"{sum(m.values()) / len(m):.3f} s/key (partition: SURVEY §2)")
+
+
 def main():
     if len(sys.argv) < 2:
         print(__doc__)
@@ -154,6 +188,9 @@ def main():
     norm_div = max(med, 1.0)  # never divide UP a fast board's ratios
     print(f"run median ratio (shared keys above jitter floor): {med:.3f}"
           f" — normalizer clamped to {norm_div:.3f}")
+    split = family_split_line(new)
+    if split:
+        print(split)
     if base_round is not None:
         print(f"baseline round: r{base_round}; gating round: r{gated_round}")
 
