@@ -671,6 +671,10 @@ object SparkEntry {
     "q_readability" -> ((s, dir) => TextAnalysis.readability(Tables.documents(s, dir))),
     "q_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
     "q_emb_quantize" -> ((s, dir) => Vectors.quantizeInt8(Tables.embeddings(s, dir))),
+    // diagonal whitening on the exact millis grid: one dim-sized
+    // stats agg -> literal arrays -> pure map stage (the preprocessing
+    // that stops a dominant-variance dimension owning every distance)
+    "q_emb_whiten" -> ((s, dir) => Vectors.whiten(Tables.embeddings(s, dir))),
     "q_stream_upsert" -> ((s, dir) => graft.streaming.Streams.upsertStream(s, dir)),
     // both fact tables pre-bucketed on the join key: the join runs
     // with NO exchange on either side (asserted in PlanSpec)
@@ -1038,6 +1042,11 @@ object SparkEntry {
     // CombSUM/CombMNZ score fusion of the lexical + dense runs
     "q_fusion_combsum" -> ((s, dir) =>
       Hybrid.combSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // Borda-count fusion: linear rank points (depth+1−rank, absent =
+    // 0) — the positional-voting member beside RRF's harmonic decay
+    // and CombSUM's normalized scores; exact BIGINT points
+    "q_fusion_borda" -> ((s, dir) =>
+      Hybrid.bordaSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // Jelinek-Mercer query likelihood (fixed-interpolation LM)
     "q_lm_jm" -> ((s, dir) => SearchExtras.lmJmScore(Tables.documents(s, dir))),
     // market-basket top pairs with lift, served from the staged pair
@@ -1123,6 +1132,13 @@ object SparkEntry {
     // precision-side twin (clipped n-gram matches, exact BIGINT core)
     "q_bleu_pairs" -> ((s, dir) =>
       TextAnalysis.bleuPairs(Tables.documents(s, dir),
+        DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
+    // chrF over the same verified pairs: the character-level third
+    // member of the MT-metric trio (survives morphology/spelling
+    // variants whole-word ROUGE/BLEU miss — the near-miss signal on
+    // a dedup review queue); n=1..6 clipped char-gram counts, β=2
+    "q_chrf_pairs" -> ((s, dir) =>
+      TextAnalysis.chrfPairs(Tables.documents(s, dir),
         DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
     // PSI drift of the distinct-token-ratio across corpus halves
     "q_psi" -> ((s, dir) => TextAnalysis.psiDistinctRatio(Tables.documents(s, dir))),
@@ -5776,6 +5792,25 @@ object SparkEntry {
          |       round(count(*)::DOUBLE / sum(tf), 6) AS ttr,
          |       round(ln(sum(tf)::DOUBLE) - sum(tf * ln(tf::DOUBLE)) / sum(tf), 4) AS entropy
          |FROM tf GROUP BY doc_id""".stripMargin,
+    // diagonal whitening on the millis grid: per-dim BIGINT
+    // count/Σx/Σx², mean and variance with the Scala driver's exact
+    // op order (CAST(s AS DOUBLE)/n; (CAST(q AS DOUBLE)-CAST(s AS
+    // DOUBLE)*s/n)/n), zero-variance dims whiten to 0.0
+    "q_emb_whiten" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |px AS (SELECT vec_id, (i - 1)::BIGINT AS dim_idx, qv[i] AS x
+        |       FROM q, unnest(generate_series(1, len(qv))) AS t(i)),
+        |st AS (SELECT dim_idx, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+        |         sum(x * x)::BIGINT AS q2
+        |       FROM px GROUP BY 1),
+        |sv AS (SELECT dim_idx, CAST(s AS DOUBLE) / n AS mean,
+        |         (CAST(q2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n AS vr
+        |       FROM st)
+        |SELECT px.vec_id, px.dim_idx,
+        |       CASE WHEN sv.vr <= 0.0 THEN 0.0
+        |            ELSE round((px.x - sv.mean) / sqrt(sv.vr), 4) END AS w
+        |FROM px JOIN sv USING (dim_idx)""".stripMargin,
     "q_emb_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
@@ -6865,6 +6900,28 @@ object SparkEntry {
          |      FROM bn FULL JOIN cn ON bn.id = cn.id)
          |SELECT doc_id, combsum, combmnz FROM f
          |ORDER BY combsum DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // Borda fusion: the same two depth-N runs ranked by row_number
+    // under the shared (score desc, id asc) total order; linear
+    // points, absent run = 0, all BIGINT
+    "q_fusion_borda" ->
+      s"""WITH $bm25Cte, $vecCte,
+         |tb AS (SELECT doc_id AS id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rb
+         |       FROM scored ORDER BY score DESC, doc_id ASC LIMIT ${Hybrid.FusionDepth}),
+         |q0 AS (SELECT v, nrm FROM vn WHERE vec_id = 0),
+         |cosall AS (SELECT b.vec_id AS id,
+         |             round(list_sum(list_transform(range(1, len(q0.v) + 1), i -> q0.v[i] * b.v[i]))
+         |                   / (q0.nrm * b.nrm), 4) AS cos
+         |           FROM vn b, q0 WHERE b.vec_id != 0),
+         |tc AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rc
+         |       FROM cosall ORDER BY cos DESC, id ASC LIMIT ${Hybrid.FusionDepth})
+         |SELECT coalesce(tb.id, tc.id) AS doc_id,
+         |       coalesce(${Hybrid.FusionDepth} + 1 - rb, 0)::BIGINT AS points_lex,
+         |       coalesce(${Hybrid.FusionDepth} + 1 - rc, 0)::BIGINT AS points_dense,
+         |       (coalesce(${Hybrid.FusionDepth} + 1 - rb, 0) +
+         |        coalesce(${Hybrid.FusionDepth} + 1 - rc, 0))::BIGINT AS borda
+         |FROM tb FULL JOIN tc ON tb.id = tc.id
+         |ORDER BY borda DESC, doc_id ASC LIMIT 10""".stripMargin,
     // JM decomposition: doc-independent background constant + matched
     // postings; corpus-absent query terms contribute nothing (both
     // sides range over cfq, the PRESENT query terms)
@@ -7462,6 +7519,42 @@ object SparkEntry {
          |              exp(0.5 * ln(CAST(clip1 AS DOUBLE) / tot1_b) +
          |                  0.5 * ln(CAST(clip2 AS DOUBLE) / tot2_b)), 6) END AS bleu
          |FROM bp p LEFT JOIN btot la ON la.doc_id = p.doc_a AND la.n = 1""".stripMargin,
+    // chrF over the verified pairs: char n-grams (n = 1..6, spaces
+    // removed) with clipped counts; per-n P/R fold in ascending n
+    // (ordered-fold contract) before the one macro-average division
+    "q_chrf_pairs" ->
+      s"""WITH $minhashCandCte,
+         |chs AS (SELECT doc_id, replace(lower(text), ' ', '') AS s FROM documents),
+         |cg AS (SELECT doc_id, n, substr(s, i, n::INT) AS g, count(*)::BIGINT AS c
+         |       FROM chs,
+         |            unnest(generate_series(1, 6)) AS tn(n),
+         |            unnest(generate_series(1, length(s) - n::INT + 1)) AS ti(i)
+         |       WHERE length(s) >= n
+         |       GROUP BY 1, 2, 3),
+         |ctot AS (SELECT doc_id, n, sum(c)::BIGINT AS tot FROM cg GROUP BY 1, 2),
+         |ccl AS (SELECT v.doc_a, v.doc_b, ga.n, sum(least(ga.c, gb.c))::BIGINT AS clip
+         |        FROM ver v JOIN cg ga ON ga.doc_id = v.doc_a
+         |                   JOIN cg gb ON gb.doc_id = v.doc_b AND gb.n = ga.n AND gb.g = ga.g
+         |        GROUP BY 1, 2, 3),
+         |cgrid AS (SELECT v.doc_a, v.doc_b, nn.n::BIGINT AS n
+         |          FROM ver v, unnest(generate_series(1, 6)) AS nn(n)),
+         |cpn AS (SELECT gr.doc_a, gr.doc_b, gr.n,
+         |          CASE WHEN coalesce(tb.tot, 0) = 0 THEN 0.0
+         |               ELSE CAST(coalesce(cl.clip, 0) AS DOUBLE) / coalesce(tb.tot, 0) END AS pn,
+         |          CASE WHEN coalesce(ta.tot, 0) = 0 THEN 0.0
+         |               ELSE CAST(coalesce(cl.clip, 0) AS DOUBLE) / coalesce(ta.tot, 0) END AS rn
+         |        FROM cgrid gr
+         |        LEFT JOIN ccl cl ON cl.doc_a = gr.doc_a AND cl.doc_b = gr.doc_b AND cl.n = gr.n
+         |        LEFT JOIN ctot ta ON ta.doc_id = gr.doc_a AND ta.n = gr.n
+         |        LEFT JOIN ctot tb ON tb.doc_id = gr.doc_b AND tb.n = gr.n),
+         |cf AS (SELECT doc_a, doc_b,
+         |         list_sum(list(pn ORDER BY n)) / 6.0 AS p_raw,
+         |         list_sum(list(rn ORDER BY n)) / 6.0 AS r_raw
+         |       FROM cpn GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(p_raw, 6) AS chrp, round(r_raw, 6) AS chrr,
+         |       CASE WHEN p_raw + r_raw = 0.0 THEN 0.0
+         |            ELSE round(5.0 * p_raw * r_raw / (4.0 * p_raw + r_raw), 6) END AS chrf
+         |FROM cf""".stripMargin,
     "q_psi" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |s AS (SELECT doc_id % 2 AS half,

@@ -86,6 +86,36 @@ object Hybrid {
       .limit(k)
   }
 
+  /** (doc_id, points_lex, points_dense, borda): BORDA-COUNT fusion of
+    * the lexical + dense runs — the third member of the fusion family
+    * (RRF weights by 1/(K+rank): top-heavy; CombSUM by normalized
+    * score: scale-sensitive; Borda by LINEAR rank points
+    * depth+1−rank: the positional-voting middle ground that ignores
+    * score scales entirely yet keeps deep-list gradations RRF's
+    * harmonic decay flattens). Docs absent from a run take 0 points —
+    * pure BIGINT arithmetic end to end, no normalization, no FP until
+    * nothing (the only doubles are the runs' own rounded scores used
+    * for ranking). Same two-depth-N-lists plan economics as the
+    * siblings: both runs collapse through the window-free
+    * [[TopK.rankedTopN]] bound. */
+  def bordaSearch(docs: DataFrame, embeddings: DataFrame,
+                  queryTerms: Seq[String] = Bm25.QueryTerms, queryVecId: Long = 0L,
+                  k: Int = 10, depth: Int = FusionDepth): DataFrame = {
+    val bm = TopK.rankedTopN(Bm25.bm25Score(docs, queryTerms),
+        "score", "doc_id", depth, "rb")
+      .select(col("doc_id").as("id"), (lit(depth + 1L) - col("rb")).as("pb"))
+    val cr = TopK.rankedTopN(Ann.cosineAll(embeddings, queryVecId),
+        "cos", "vec_id", depth, "rc")
+      .select(col("vec_id").as("id"), (lit(depth + 1L) - col("rc")).as("pc"))
+    bm.join(cr, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("pb"), lit(0L)).as("points_lex"),
+        coalesce(col("pc"), lit(0L)).as("points_dense"),
+        (coalesce(col("pb"), lit(0L)) + coalesce(col("pc"), lit(0L))).as("borda"))
+      .orderBy(col("borda").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** (n_overlap, rho): SPEARMAN rank correlation between the lexical
     * and dense runs over their overlap — the run-agreement diagnostic
     * that says whether fusion can help at all (rho ≈ 1: the runs

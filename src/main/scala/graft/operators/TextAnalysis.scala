@@ -2060,6 +2060,70 @@ object TextAnalysis {
           "0.5 * ln(CAST(clip2 AS DOUBLE) / tot2_b)), 6) END").as("bleu"))
   }
 
+  /** (doc_a, doc_b, chrp, chrr, chrf): chrF (Popović 2015) over the
+    * verified near-dup pairs — the CHARACTER-level member completing
+    * the MT-metric trio ([[rouge1Pairs]] recall-side tokens,
+    * [[bleuPairs]] precision-side tokens; chrF is the
+    * tokenization-free one that survives morphology/spelling variants
+    * whole-word metrics miss, which on a dedup review queue is
+    * exactly the near-miss signal). Contract, stated precisely:
+    * characters are the lowercased text with spaces removed; char
+    * n-grams for n = 1..6 with CLIPPED multiset matches (exact
+    * BIGINTs, the BLEU clip discipline); chrP/chrR macro-average the
+    * per-n precisions/recalls over ALL six n (an n with an empty
+    * denominator contributes 0 — a defined simplification of the
+    * skip-empty variant, stated here so the number is reproducible);
+    * chrF = 5·P·R/(4·P + R) (β = 2, recall-weighted), 0 when P+R = 0.
+    * Engine parity: the six per-n terms fold in ASCENDING n through
+    * one sorted-array aggregate (the ordered-fold contract), so the
+    * FP average is bit-identical in both engines. Plan shape:
+    * pair-driven like BLEU — one corpus pass builds the six-gram
+    * relation, every later join is keyed by the pair relation. */
+  def chrfPairs(docs: DataFrame, pairs: DataFrame, maxN: Int = 6): DataFrame = {
+    val ch = docs.select(col("doc_id"),
+      regexp_replace(lower(col("text")), " ", "").as("s"))
+    val grams = (1 to maxN).map { n =>
+      ch.select(col("doc_id"), explode(expr(
+          s"CASE WHEN length(s) >= $n THEN transform(sequence(1, length(s) - $n + 1), " +
+            s"i -> substring(s, CAST(i AS INT), $n)) ELSE array() END")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .withColumn("n", lit(n.toLong))
+    }.reduce(_ unionByName _)
+    val tot = grams.groupBy("doc_id", "n").agg(sum("c").as("tot"))
+    val pv = pairs.select("doc_a", "doc_b")
+    val clip = pv
+      .join(grams.select(col("doc_id").as("doc_a"), col("n"), col("g"),
+        col("c").as("ca")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("n"), col("g"),
+        col("c").as("cb")), Seq("doc_b", "n", "g"))
+      .groupBy("doc_a", "doc_b", "n")
+      .agg(sum(least(col("ca"), col("cb"))).as("clip"))
+    val grid = pv.select(col("doc_a"), col("doc_b"),
+      explode(array((1 to maxN).map(n => lit(n.toLong)): _*)).as("n"))
+    val perN = grid
+      .join(clip, Seq("doc_a", "doc_b", "n"), "left")
+      .join(tot.select(col("doc_id").as("doc_a"), col("n"),
+        col("tot").as("tot_a")), Seq("doc_a", "n"), "left")
+      .join(tot.select(col("doc_id").as("doc_b"), col("n"),
+        col("tot").as("tot_b")), Seq("doc_b", "n"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n"),
+        coalesce(col("clip"), lit(0L)).as("clip"),
+        coalesce(col("tot_a"), lit(0L)).as("tot_a"),
+        coalesce(col("tot_b"), lit(0L)).as("tot_b"))
+      .select(col("doc_a"), col("doc_b"), col("n"),
+        expr("CASE WHEN tot_b = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / tot_b END").as("pn"),
+        expr("CASE WHEN tot_a = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / tot_a END").as("rn"))
+    perN.groupBy("doc_a", "doc_b")
+      .agg(sort_array(collect_list(struct(col("n"), col("pn"), col("rn")))).as("arr"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + x.pn) / $maxN.0").as("p_raw"),
+        expr(s"aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + x.rn) / $maxN.0").as("r_raw"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("p_raw"), 6).as("chrp"), round(col("r_raw"), 6).as("chrr"),
+        expr("CASE WHEN p_raw + r_raw = 0.0 THEN 0.0 " +
+          "ELSE round(5.0 * p_raw * r_raw / (4.0 * p_raw + r_raw), 6) END").as("chrf"))
+  }
+
   /** (bin, n_ref, n_cur, p_ref, p_cur, psi_term): POPULATION STABILITY
     * INDEX of the distinct-token-ratio distribution between the even-
     * and odd-id halves of the corpus (the old-crawl / new-crawl drift

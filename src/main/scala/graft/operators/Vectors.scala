@@ -334,6 +334,46 @@ object Vectors {
           .as("qval"),
         floor(col("maxabs") * lit(1000000.0)).cast("long").as("scale_micros"))
 
+  /** (vec_id, dim_idx, w): WHITENED embeddings — every coordinate
+    * centered on its corpus mean and scaled to unit variance, the
+    * standard preprocessing before distance work (a dominant-variance
+    * dimension otherwise owns every cosine/L2 comparison; PCA-free
+    * diagonal whitening is the cheap 80% of it). Exactness and scale
+    * shape: coordinates go to the exact millis grid first, so the
+    * per-dimension sufficient statistics (count, Σx, Σx²) are ONE
+    * dim-cardinality BIGINT aggregation; the dim-sized stats come
+    * back as a bounded driver sync (the k-means-sync shape) and bake
+    * into the plan as LITERAL arrays, making the whitening itself a
+    * pure map stage — at 100 TB: one stats pass + one map pass, no
+    * shuffle beyond the dim-sized agg. mean and variance derive with
+    * the identical op order the oracle writes, so the rounded output
+    * is engine-exact; a zero-variance dimension whitens to 0.0 (it
+    * carries no signal). */
+  def whiten(emb: DataFrame): DataFrame = {
+    val mv = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+    val stats = mv.select(posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"), sum(expr("x * x")).as("q"))
+      .collect().map { r =>
+        val (n, s, q) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        // textual mirror of the oracle: CAST(s AS DOUBLE)/n and
+        // (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/n
+        (r.getInt(0), s.toDouble / n, (q.toDouble - s.toDouble * s / n) / n)
+      }.sortBy(_._1)
+    require(stats.nonEmpty, "whiten: no non-null embeddings")
+    val mArr = array(stats.map(t => lit(t._2)): _*)
+    val vArr = array(stats.map(t => lit(t._3)): _*)
+    mv.select(col("vec_id"), posexplode(col("qv")).as(Seq("dim_idx", "x")))
+      .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+        when(element_at(vArr, (col("dim_idx") + 1).cast("int")) <= 0.0, lit(0.0))
+          .otherwise(round(
+            (col("x") - element_at(mArr, (col("dim_idx") + 1).cast("int"))) /
+              sqrt(element_at(vArr, (col("dim_idx") + 1).cast("int"))), 4))
+          .as("w"))
+  }
+
   /** +1 when the first hex character of md5(s) is '0'..'7' (high bit
     * of the digest's first nibble is 0) — the identical predicate the
     * oracle evaluates as `substring(md5(s),1,1) <= '7'`, since hex

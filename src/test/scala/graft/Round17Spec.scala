@@ -331,6 +331,89 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  // ---- q_chrf_pairs ----
+
+  /** The defined all-n contract, hand-computed: an identical 4-char
+    * pair has P = R = 4/6 (n = 5, 6 have empty denominators and
+    * contribute 0), so chrF = 5PR/(4P+R) = 2/3; char-disjoint texts
+    * score 0; real-corpus pairs match the BLEU key's pair set and
+    * stay in [0, 1]. */
+  test("chrf pairs: planted identical and disjoint pairs exact; corpus pair parity with bleu") {
+    import graft.operators.{DedupStore, TextAnalysis}
+    import spark.implicits._
+    val docs = Seq((1L, "abab"), (2L, "abab"), (3L, "cdcd")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val r = TextAnalysis.chrfPairs(docs, pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getDouble(2), x.getDouble(3), x.getDouble(4))))
+      .toMap
+    assert(r((1L, 2L)) === ((0.666667, 0.666667, 0.666667)))
+    assert(r((1L, 3L)) === ((0.0, 0.0, 0.0)))
+    val real = graft.sources.Tables.documents(spark, sf)
+    val storePath = {
+      val tmp = java.nio.file.Files.createTempDirectory("r17chrf").toString
+      DedupStore.build(real, tmp); tmp
+    }
+    val vp = DedupStore.verifiedNearDups(spark, storePath)
+    val chrf = TextAnalysis.chrfPairs(real, vp).collect()
+    val bleuPairsSet = TextAnalysis.bleuPairs(real, vp).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(chrf.map(x => (x.getLong(0), x.getLong(1))).toSet === bleuPairsSet)
+    chrf.foreach { x =>
+      Seq(x.getDouble(2), x.getDouble(3), x.getDouble(4)).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0))
+    }
+  }
+
+  // ---- q_fusion_borda ----
+
+  /** Independent reference: collect both depth-N ranked runs, fold
+    * the Borda points in Scala, and the operator's top-10 must match
+    * point-for-point; the lexical winner carries exactly depth
+    * points. */
+  test("fusion borda: matches the Scala fold over both collected runs") {
+    import graft.operators.{Ann, Bm25, Hybrid, TopK}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val depth = Hybrid.FusionDepth
+    val bm = TopK.rankedTopN(Bm25.bm25Score(docs), "score", "doc_id", depth, "rb")
+      .collect().map(r => r.getLong(0) -> (depth + 1L - r.getInt(2))).toMap
+    val cr = TopK.rankedTopN(Ann.cosineAll(emb, 0L), "cos", "vec_id", depth, "rc")
+      .collect().map(r => r.getLong(0) -> (depth + 1L - r.getInt(2))).toMap
+    val expected = (bm.keySet ++ cr.keySet).toSeq
+      .map(id => (id, bm.getOrElse(id, 0L), cr.getOrElse(id, 0L)))
+      .map { case (id, p1, p2) => (id, p1, p2, p1 + p2) }
+      .sortBy { case (id, _, _, b) => (-b, id) }
+      .take(10)
+    val got = Hybrid.bordaSearch(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._2 === depth.toLong), "the lexical rank-1 doc carries depth points")
+  }
+
+  // ---- q_emb_whiten ----
+
+  /** Planted two-vector case: the constant dimension whitens to 0.0,
+    * the varying one to ±1; on the real corpus every dimension's
+    * whitened mean is ~0 and variance ~1 (population convention). */
+  test("emb whiten: planted exact; corpus dims mean~0 var~1") {
+    import graft.operators.Vectors
+    import spark.implicits._
+    val planted = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.002f, 1.0f))).toDF("vec_id", "embedding")
+    val w = Vectors.whiten(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(w((1L, 0L)) === -1.0 && w((2L, 0L)) === 1.0)
+    assert(w((1L, 1L)) === 0.0 && w((2L, 1L)) === 0.0)
+    val real = Vectors.whiten(graft.sources.Tables.embeddings(spark, sf))
+    val stats = real.groupBy("dim_idx")
+      .agg(avg("w").as("m"), avg(expr("w * w")).as("m2")).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-3, s"dim ${r.getLong(0)}: whitened mean must be ~0")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-2, s"dim ${r.getLong(0)}: whitened variance must be ~1")
+    }
+  }
+
   // ---- harmonic centrality: derived clearing constant (ADVICE r16) ----
 
   /** maxHops beyond the old hard-wired lcm(1..6): a 7-deep path graph
