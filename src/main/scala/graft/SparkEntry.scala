@@ -480,6 +480,12 @@ object SparkEntry {
     // subtraction, one shared formula text in both engines
     "q_welch_ttest" -> ((s, dir) =>
       TextAnalysis.welchTTestLength(Tables.documents(s, dir))),
+    // Hodges–Lehmann shift per source vs rest: the MAGNITUDE member
+    // beside the U test's significance and Cliff's consistency — by
+    // how many characters does this source run long; exact weighted
+    // median on the value-grid difference multiset
+    "q_hl_shift" -> ((s, dir) =>
+      TextAnalysis.hlShiftLength(Tables.documents(s, dir))),
     // the k-group omnibus gate before the per-source pairwise tests:
     // Kruskal-Wallis H on the same doubled-midrank integer grid
     "q_kruskal_wallis" -> ((s, dir) =>
@@ -616,6 +622,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
     "q_train_split" -> ((s, dir) => TextAnalysis.trainSplit(Tables.documents(s, dir))),
+    // near-dup-aware split: train docs sharing a verified pair with
+    // any held-out doc QUARANTINE (the leakage guard applied at split
+    // time, pre-emptively — not forensically after the eval)
+    "q_leakage_safe_split" -> ((s, dir) =>
+      TextAnalysis.leakageSafeSplit(Tables.documents(s, dir),
+        DedupStore.verifiedNearDups(s, dedupStoreFor(s, dir)))),
     // domain balancing: per-source quota over the corpus
     "q_source_cap" -> ((s, dir) => TextAnalysis.sourceCap(Tables.documents(s, dir))),
     // reproducible hash-derived training-order shuffle into shards
@@ -675,6 +687,12 @@ object SparkEntry {
     // stats agg -> literal arrays -> pure map stage (the preprocessing
     // that stops a dominant-variance dimension owning every distance)
     "q_emb_whiten" -> ((s, dir) => Vectors.whiten(Tables.embeddings(s, dir))),
+    // the STREAMING whitening leg: stats fixed pre-drain (the budget
+    // sampler's corpus-global-plan precedent), each micro-batch a
+    // stateless literal-stats map — union over batches == the batch
+    // whitening (theorem; shared oracle)
+    "q_stream_whiten" -> ((s, dir) =>
+      graft.streaming.Streams.whitenStream(s, dir)),
     "q_stream_upsert" -> ((s, dir) => graft.streaming.Streams.upsertStream(s, dir)),
     // both fact tables pre-bucketed on the join key: the join runs
     // with NO exchange on either side (asserted in PlanSpec)
@@ -2410,6 +2428,26 @@ object SparkEntry {
        |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
   }
+
+  /** Diagonal-whitening replay (Vectors.whiten / the streaming leg):
+    * per-dim BIGINT sufficient statistics on the millis grid, mean
+    * and variance with the driver's exact op order, zero-variance
+    * dims to 0.0 — shared by the batch and streaming keys. */
+  private val embWhitenOracle =
+    """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+      |           FROM embeddings WHERE embedding IS NOT NULL),
+      |px AS (SELECT vec_id, (i - 1)::BIGINT AS dim_idx, qv[i] AS x
+      |       FROM q, unnest(generate_series(1, len(qv))) AS t(i)),
+      |st AS (SELECT dim_idx, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+      |         sum(x * x)::BIGINT AS q2
+      |       FROM px GROUP BY 1),
+      |sv AS (SELECT dim_idx, CAST(s AS DOUBLE) / n AS mean,
+      |         (CAST(q2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n AS vr
+      |       FROM st)
+      |SELECT px.vec_id, px.dim_idx,
+      |       CASE WHEN sv.vr <= 0.0 THEN 0.0
+      |            ELSE round((px.x - sv.mean) / sqrt(sv.vr), 4) END AS w
+      |FROM px JOIN sv USING (dim_idx)""".stripMargin
 
   /** Snapshot-diff replay on the vector store ([[AnnIndex
     * .diffVersions]] semantics over the two-version time-travel
@@ -4816,6 +4854,37 @@ object SparkEntry {
          |       ${graft.operators.TextAnalysis.welchTSql} AS t,
          |       ${graft.operators.TextAnalysis.welchDfSql} AS df_w
          |FROM per, tot""".stripMargin,
+    // Hodges–Lehmann shift: lower weighted median ((N+1) div 2) of
+    // the value-grid difference multiset, rest counts by subtraction
+    // — exact integers end to end; empty-rest sources emit no row
+    "q_hl_shift" ->
+      """WITH d AS (SELECT source, n_chars::BIGINT AS v FROM documents),
+        |vs AS (SELECT source, v, count(*)::BIGINT AS cs FROM d GROUP BY 1, 2),
+        |vg AS (SELECT v, count(*)::BIGINT AS cg FROM d GROUP BY 1),
+        |per AS (SELECT source, count(*)::BIGINT AS n1 FROM d GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM d),
+        |grid AS (SELECT p.source, g.v,
+        |           coalesce(vs.cs, 0)::BIGINT AS cs,
+        |           (g.cg - coalesce(vs.cs, 0))::BIGINT AS cr
+        |         FROM per p CROSS JOIN vg g
+        |         LEFT JOIN vs ON vs.source = p.source AND vs.v = g.v),
+        |diffs AS (SELECT a.source, (a.v - b.v)::BIGINT AS dd,
+        |            sum(a.cs * b.cr)::BIGINT AS w
+        |          FROM (SELECT source, v, cs FROM grid WHERE cs > 0) a
+        |          JOIN (SELECT source, v, cr FROM grid WHERE cr > 0) b
+        |            ON a.source = b.source
+        |          GROUP BY 1, 2),
+        |np AS (SELECT p.source, (p.n1 * (t.n - p.n1))::BIGINT AS n_pairs
+        |       FROM per p, tot t),
+        |cw AS (SELECT source, dd, w,
+        |         sum(w) OVER (PARTITION BY source ORDER BY dd
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM diffs)
+        |SELECT cw.source, np.n_pairs, cw.dd AS hl_shift
+        |FROM cw JOIN np ON cw.source = np.source
+        |WHERE np.n_pairs > 0
+        |  AND cw.cum >= (np.n_pairs + 1) // 2
+        |  AND cw.cum - cw.w < (np.n_pairs + 1) // 2""".stripMargin,
     // Mann-Whitney: integer doubled-midranks (2·midrank = 2·rank +
     // tiecount − 1 — identical to the cum-prev form the Spark side
     // uses), exact BIGINT u2, one tie-corrected z with the division
@@ -5540,6 +5609,28 @@ object SparkEntry {
         |WHERE l_extendedprice BETWEEN 30000.0 AND 31000.0
         |  AND l_quantity BETWEEN 20.0 AND 30.0
         |GROUP BY l_returnflag""".stripMargin,
+    // the near-dup-aware split: the trainSplit assignment, with train
+    // docs verified-paired to any held-out doc rewritten 'quarantined'
+    "q_leakage_safe_split" ->
+      s"""WITH $minhashCandCte,
+         |spl AS (
+         |  SELECT doc_id,
+         |         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          list_sum(list_transform(range(1, 9),
+         |            j -> (strpos('0123456789abcdef',
+         |                         substr(md5(doc_id::VARCHAR), j, 1)) - 1)::BIGINT
+         |                 << ((8 - j) * 4)))::DOUBLE / 4294967296.0 AS u
+         |        FROM documents)),
+         |hold AS (SELECT doc_id FROM spl WHERE split <> 'train'),
+         |tainted AS (SELECT DISTINCT e.x AS doc_id FROM (
+         |    SELECT doc_a AS x, doc_b AS y FROM ver
+         |    UNION ALL SELECT doc_b, doc_a FROM ver) e
+         |  JOIN hold h ON e.y = h.doc_id)
+         |SELECT spl.doc_id,
+         |       CASE WHEN spl.split = 'train' AND t.doc_id IS NOT NULL
+         |            THEN 'quarantined' ELSE spl.split END AS split
+         |FROM spl LEFT JOIN tainted t ON spl.doc_id = t.doc_id""".stripMargin,
     "q_train_split" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -5796,21 +5887,10 @@ object SparkEntry {
     // count/Σx/Σx², mean and variance with the Scala driver's exact
     // op order (CAST(s AS DOUBLE)/n; (CAST(q AS DOUBLE)-CAST(s AS
     // DOUBLE)*s/n)/n), zero-variance dims whiten to 0.0
-    "q_emb_whiten" ->
-      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
-        |           FROM embeddings WHERE embedding IS NOT NULL),
-        |px AS (SELECT vec_id, (i - 1)::BIGINT AS dim_idx, qv[i] AS x
-        |       FROM q, unnest(generate_series(1, len(qv))) AS t(i)),
-        |st AS (SELECT dim_idx, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
-        |         sum(x * x)::BIGINT AS q2
-        |       FROM px GROUP BY 1),
-        |sv AS (SELECT dim_idx, CAST(s AS DOUBLE) / n AS mean,
-        |         (CAST(q2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n AS vr
-        |       FROM st)
-        |SELECT px.vec_id, px.dim_idx,
-        |       CASE WHEN sv.vr <= 0.0 THEN 0.0
-        |            ELSE round((px.x - sv.mean) / sqrt(sv.vr), 4) END AS w
-        |FROM px JOIN sv USING (dim_idx)""".stripMargin,
+    "q_emb_whiten" -> embWhitenOracle,
+    // the streamed micro-batch map under the pre-drain stats drains
+    // to the identical relation (stateless map theorem)
+    "q_stream_whiten" -> embWhitenOracle,
     "q_emb_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)

@@ -644,6 +644,81 @@ object TextAnalysis {
         expr(welchTSql).as("t"), expr(welchDfSql).as("df_w"))
   }
 
+  /** (source, n_pairs, hl_shift): HODGES–LEHMANN shift estimator per
+    * source vs rest over doc lengths — the MAGNITUDE member
+    * completing the nonparametric location toolkit
+    * ([[mannWhitneyLength]] answers "is the shift significant",
+    * [[cliffsDeltaLength]] "how consistently one side dominates";
+    * HL answers "BY HOW MANY CHARACTERS" — the median of all
+    * pairwise differences v_source − v_rest, robust where the mean
+    * difference is outlier-owned). Exact integers end to end: the
+    * difference multiset lives on the (value_s × value_rest) GRID
+    * with weight cnt_s·cnt_rest — value-cardinality-bounded (the
+    * length DOMAIN, not the corpus, drives |V|; the Q-Q grid
+    * argument squared, still metadata next to any corpus), with the
+    * rest side by SUBTRACTION from global value counts; the LOWER
+    * weighted median (first difference whose cumulative weight
+    * reaches (N+1) div 2 — stated convention, exact for any N) is
+    * picked by one value-grid window partitioned by source. Sources
+    * with an empty rest side (single-source corpus) emit no row,
+    * mirrored by the oracle. */
+  def hlShiftLength(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("n_chars").cast("long").as("v"))
+    val vs = d.groupBy("source", "v").agg(count(lit(1)).as("cs"))
+    val vg = d.groupBy("v").agg(count(lit(1)).as("cg"))
+    val per = d.groupBy("source").agg(count(lit(1)).as("n1"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    val grid = per.select("source").crossJoin(broadcast(vg))
+      .join(vs, Seq("source", "v"), "left")
+      .select(col("source"), col("v"),
+        coalesce(col("cs"), lit(0L)).as("cs"),
+        (col("cg") - coalesce(col("cs"), lit(0L))).as("cr"))
+    val sVals = grid.filter(col("cs") > 0)
+      .select(col("source"), col("v").as("va"), col("cs"))
+    val rVals = grid.filter(col("cr") > 0)
+      .select(col("source"), col("v").as("vb"), col("cr"))
+    val diffs = sVals.join(rVals, "source")
+      .select(col("source"), (col("va") - col("vb")).as("d"),
+        (col("cs") * col("cr")).as("w"))
+      .groupBy("source", "d").agg(sum("w").as("w"))
+    val np = per.crossJoin(broadcast(tot))
+      .select(col("source"), (col("n1") * (col("n") - col("n1"))).as("n_pairs"))
+    val win = Window.partitionBy("source").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    diffs.withColumn("cum", sum("w").over(win))
+      .join(np, "source")
+      .filter(col("n_pairs") > 0)
+      .withColumn("idx", expr("(n_pairs + 1) div 2"))
+      .filter(col("cum") >= col("idx") && col("cum") - col("w") < col("idx"))
+      .select(col("source"), col("n_pairs"), col("d").as("hl_shift"))
+  }
+
+  /** (doc_id, split): NEAR-DUP-AWARE train/eval split — the
+    * [[trainSplit]] assignment with the LEAKAGE GUARD a real
+    * pipeline adds before it trusts held-out numbers: a train doc
+    * sharing a VERIFIED near-dup pair with any val/test doc is
+    * QUARANTINED (excluded from train), so paraphrases and exact
+    * copies of held-out items cannot leak into training — the
+    * q_contamination reading applied pre-emptively at split time
+    * instead of forensically afterwards. Val/test assignments are
+    * never moved (the holdout must stay deterministic across
+    * re-splits; only train loses members). Cost: the base split is a
+    * map stage; the quarantine is one pair-scaled semi-join from the
+    * staged pair substrate — never a corpus self-join. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val base = trainSplit(docs)
+    val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    val holdout = base.filter(col("split") =!= "train")
+      .select(col("doc_id").as("y"))
+    val tainted = edges.join(holdout, "y")
+      .select(col("x").as("doc_id")).distinct()
+    base.join(tainted.withColumn("t", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("split") === "train" && col("t"), lit("quarantined"))
+          .otherwise(col("split")).as("split"))
+  }
+
   /** The shared doubled-midrank table (v, r2, t) over a (group, v)
     * relation: r2 = 2·midrank = 2·cntLess(v) + t + 1 per value group —
     * exact BIGINTs, the integer grid [[mannWhitneyLength]] and

@@ -349,11 +349,16 @@ object Vectors {
     * the identical op order the oracle writes, so the rounded output
     * is engine-exact; a zero-variance dimension whitens to 0.0 (it
     * carries no signal). */
-  def whiten(emb: DataFrame): DataFrame = {
-    val mv = emb.filter(col("embedding").isNotNull)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
-    val stats = mv.select(posexplode(col("qv")).as(Seq("i", "x")))
+  def whiten(emb: DataFrame): DataFrame =
+    whitenWith(emb, whitenStats(emb))
+
+  /** The per-dimension (mean, variance) statistics on the millis grid
+    * — the bounded driver sync [[whiten]] and the streaming leg share
+    * (for a stream, these are the PRE-DRAIN corpus-global plan, the
+    * budget-sampler precedent: fixed before the first micro-batch). */
+  def whitenStats(emb: DataFrame): Array[(Int, Double, Double)] = {
+    val stats = millisGrid(emb)
+      .select(posexplode(col("qv")).as(Seq("i", "x")))
       .groupBy("i")
       .agg(count(lit(1)).as("n"), sum("x").as("s"), sum(expr("x * x")).as("q"))
       .collect().map { r =>
@@ -363,9 +368,17 @@ object Vectors {
         (r.getInt(0), s.toDouble / n, (q.toDouble - s.toDouble * s / n) / n)
       }.sortBy(_._1)
     require(stats.nonEmpty, "whiten: no non-null embeddings")
+    stats
+  }
+
+  /** Apply [[whitenStats]] as plan LITERALS — a pure, stateless map
+    * stage, which is exactly why the streaming leg is sound: union
+    * over micro-batches equals the batch result row for row. */
+  def whitenWith(emb: DataFrame, stats: Array[(Int, Double, Double)]): DataFrame = {
     val mArr = array(stats.map(t => lit(t._2)): _*)
     val vArr = array(stats.map(t => lit(t._3)): _*)
-    mv.select(col("vec_id"), posexplode(col("qv")).as(Seq("dim_idx", "x")))
+    millisGrid(emb)
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("dim_idx", "x")))
       .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
         when(element_at(vArr, (col("dim_idx") + 1).cast("int")) <= 0.0, lit(0.0))
           .otherwise(round(
@@ -373,6 +386,11 @@ object Vectors {
               sqrt(element_at(vArr, (col("dim_idx") + 1).cast("int"))), 4))
           .as("w"))
   }
+
+  private def millisGrid(emb: DataFrame): DataFrame =
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
 
   /** +1 when the first hex character of md5(s) is '0'..'7' (high bit
     * of the digest's first nibble is 0) — the identical predicate the

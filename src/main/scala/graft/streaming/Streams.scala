@@ -1125,6 +1125,37 @@ object Streams {
     } finally plan.unpersist()
   }
 
+  /** (vec_id, dim_idx, w): STREAMING diagonal whitening — the
+    * embedding stream transformed per micro-batch under the
+    * PRE-DRAIN corpus-global statistics (the budget-sampler
+    * precedent: [[graft.operators.Vectors.whitenStats]] is fixed
+    * before the first trigger and baked into each batch's plan as
+    * literals; in production the stats come from the previous corpus
+    * snapshot exactly like the sampler's mixture plan). Because
+    * [[graft.operators.Vectors.whitenWith]] is a STATELESS pure map,
+    * the union over micro-batches equals the batch whitening row for
+    * row (theorem, not luck) — shared oracle with q_emb_whiten. */
+  def whitenStream(spark: SparkSession, dir: String,
+                   nBatches: Int = 3): DataFrame = {
+    require(nBatches > 0, s"nBatches must be positive, got $nBatches")
+    val tag = pathTag(dir + "|whiten|" + nBatches)
+    val tmp = sys.props("java.io.tmpdir")
+    val src = s"$tmp/graft_whiten_stream_src_$tag"
+    val outRoot = s"$tmp/graft_whiten_stream_out_$tag"
+    deleteRecursive(spark, src)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val stats = graft.operators.Vectors.whitenStats(emb)
+    val slices = emb.select("vec_id", "embedding")
+    (0 until nBatches).foreach { b =>
+      slices.filter(col("vec_id") % nBatches === b).coalesce(1)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(src)
+    }
+    val s = spark.readStream.schema(slices.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    serveStream(spark, s, outRoot)(batch =>
+      graft.operators.Vectors.whitenWith(batch, stats))
+  }
+
   /** (user_id, last_type, last_value, last_ts_ms): the event stream
     * upserted per micro-batch into a keyed parquet store — the
     * reference's STREAMING Mongo sink (MongoTFSink.java /

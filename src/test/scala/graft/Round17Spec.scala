@@ -414,6 +414,83 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  // ---- q_hl_shift ----
+
+  /** Hand-planted weighted medians: a = {1,2,3} vs rest {10} gives
+    * differences {−9,−8,−7} → HL −8 (and b mirrors at +8); the tie
+    * case a = {1,1,3} vs {2} weights −1 twice so the lower median at
+    * (3+1) div 2 = 2 lands on −1; a single-source corpus emits no
+    * rows. */
+  test("hl shift: planted medians exact; tie weights; single-source empty") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val p1 = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "b", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val r1 = TextAnalysis.hlShiftLength(p1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(r1("a") === ((3L, -8L)))
+    assert(r1("b") === ((3L, 8L)))
+    val p2 = Seq((1L, "a", 1L), (2L, "a", 1L), (3L, "a", 3L), (4L, "b", 2L))
+      .toDF("doc_id", "source", "n_chars")
+    val r2 = TextAnalysis.hlShiftLength(p2).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r2("a") === -1L)
+    val solo = Seq((1L, "a", 5L), (2L, "a", 9L)).toDF("doc_id", "source", "n_chars")
+    assert(TextAnalysis.hlShiftLength(solo).count() === 0L)
+    val real = TextAnalysis.hlShiftLength(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    assert(real.length === 20, "one row per source on the gate corpus")
+  }
+
+  // ---- q_leakage_safe_split ----
+
+  /** The guard's contract, checked against an independent Scala
+    * reference: quarantined = base-train docs verified-paired to any
+    * held-out doc; val/test assignments never move; everything else
+    * keeps its base split. Planted duplicate pairs guarantee at
+    * least one train↔holdout pair exists. */
+  test("leakage-safe split: quarantine equals the reference tainted set; holdout unmoved") {
+    import graft.operators.{DedupStore, TextAnalysis}
+    import spark.implicits._
+    val planted = (1L to 40L).map(i =>
+      (i, s"shared duplicate text block number ${(i + 1) / 2} with enough words here"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("r17split").toString
+    DedupStore.build(planted, tmp)
+    val pairs = DedupStore.verifiedNearDups(spark, tmp)
+    val base = TextAnalysis.trainSplit(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = pairs.collect().flatMap(r =>
+      Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val holdout = base.filter(_._2 != "train").keySet
+    val expectedQuarantine = edges.collect {
+      case (x, y) if base(x) == "train" && holdout(y) => x
+    }.toSet
+    assert(expectedQuarantine.nonEmpty,
+      "fixture must produce at least one train doc paired to a held-out twin")
+    val got = TextAnalysis.leakageSafeSplit(planted, pairs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, s) =>
+      val expect =
+        if (expectedQuarantine(id)) "quarantined" else base(id)
+      assert(s === expect, s"doc $id")
+    }
+  }
+
+  // ---- q_stream_whiten ----
+
+  /** The stateless-map theorem, checked literally: the drained union
+    * over micro-batches equals the batch whitening row for row. */
+  test("stream whiten: drained union equals the batch whitening") {
+    import graft.operators.Vectors
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val batch = Vectors.whiten(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = graft.streaming.Streams.whitenStream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+  }
+
   // ---- harmonic centrality: derived clearing constant (ADVICE r16) ----
 
   /** maxHops beyond the old hard-wired lcm(1..6): a 7-deep path graph
