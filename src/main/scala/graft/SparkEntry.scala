@@ -486,6 +486,12 @@ object SparkEntry {
     // median on the value-grid difference multiset
     "q_hl_shift" -> ((s, dir) =>
       TextAnalysis.hlShiftLength(Tables.documents(s, dir))),
+    // Wald–Wolfowitz runs test over each source's ingest-order length
+    // sequence: the batchy-ingest detector (host-by-host dumps give
+    // few long runs, large negative z) beside the location/spread
+    // suite; exact runs/median core, shared z formula text
+    "q_runs_test" -> ((s, dir) =>
+      TextAnalysis.runsTestLength(Tables.documents(s, dir))),
     // the k-group omnibus gate before the per-source pairwise tests:
     // Kruskal-Wallis H on the same doubled-midrank integer grid
     "q_kruskal_wallis" -> ((s, dir) =>
@@ -819,6 +825,11 @@ object SparkEntry {
     "q_stream_rate" -> ((s, dir) => graft.streaming.Streams.rateSmoke(s)),
     "q_seq_chunks" -> ((s, dir) => TextAnalysis.seqChunks(Tables.documents(s, dir))),
     "q_seq_pack" -> ((s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir))),
+    // the packing CAP SWEEP: bins/overflow/utilization across a
+    // context-length grid — the decide-max_len reading (padding waste
+    // vs overflow trade), one independent greedy pack per cap
+    "q_pack_efficiency" -> ((s, dir) =>
+      TextAnalysis.packEfficiency(Tables.documents(s, dir))),
     // hot-key salted equi-join: large side salted in [0,8), small side
     // replicated per salt — identical rows to the plain inner join
     // (shared oracle shape), no reducer ever owns a whole hot key
@@ -2427,6 +2438,36 @@ object SparkEntry {
        |             / (q.nrm * b.nrm), 4) AS cos
        |FROM vn b JOIN cand ON b.vec_id = cand.vec_id, q
        |ORDER BY cos DESC, b.vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Packing-efficiency replay: the q_seq_pack recursive greedy chain
+    * instantiated once per cap (distinct CTE names per cap — a WITH
+    * RECURSIVE may hold several independent recursions), each rolled
+    * up to (cap, n_bins, n_overflow_bins, total_tokens,
+    * utilization). */
+  private def packEfficiencyOracle(caps: Seq[Long]): String = {
+    val chains = caps.map { c =>
+      s"""t$c AS (
+         |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |r$c AS (
+         |  SELECT doc_id, source, n_tokens, rn, 0::BIGINT AS bin_id, n_tokens AS fill
+         |  FROM t$c WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+         |         CASE WHEN r.fill + t.n_tokens <= $c THEN r.bin_id ELSE r.bin_id + 1 END,
+         |         CASE WHEN r.fill + t.n_tokens <= $c THEN r.fill + t.n_tokens ELSE t.n_tokens END
+         |  FROM r$c r JOIN t$c t ON t.source = r.source AND t.rn = r.rn + 1),
+         |b$c AS (SELECT source, bin_id, sum(n_tokens)::BIGINT AS btok FROM r$c GROUP BY 1, 2),
+         |s$c AS (SELECT $c::BIGINT AS cap, count(*)::BIGINT AS n_bins,
+         |          sum(CASE WHEN btok > $c THEN 1 ELSE 0 END)::BIGINT AS n_overflow_bins,
+         |          sum(btok)::BIGINT AS total_tokens,
+         |          round(sum(btok)::DOUBLE / (count(*) * $c), 6) AS utilization
+         |        FROM b$c)""".stripMargin
+    }
+    s"WITH RECURSIVE\n${chains.mkString(",\n")}\n" +
+      caps.map(c => s"SELECT * FROM s$c").mkString(" UNION ALL ")
   }
 
   /** Diagonal-whitening replay (Vectors.whiten / the streaming leg):
@@ -4854,6 +4895,28 @@ object SparkEntry {
          |       ${graft.operators.TextAnalysis.welchTSql} AS t,
          |       ${graft.operators.TextAnalysis.welchDfSql} AS df_w
          |FROM per, tot""".stripMargin,
+    // Wald–Wolfowitz runs test: per-source lower median (interval
+    // pick), at-median docs drop, runs over the doc_id-ordered kept
+    // sequence, z from the SAME formula text the Spark plan evaluates
+    "q_runs_test" ->
+      s"""WITH d AS (SELECT source, doc_id, n_chars::BIGINT AS v FROM documents),
+         |g AS (SELECT source, v, count(*)::BIGINT AS t FROM d GROUP BY 1, 2),
+         |cum AS (SELECT source, v, t,
+         |          coalesce(sum(t) OVER (PARTITION BY source ORDER BY v
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |        FROM g),
+         |per AS (SELECT source, count(*)::BIGINT AS ntot FROM d GROUP BY 1),
+         |med AS (SELECT c.source, c.v AS med FROM cum c JOIN per p ON c.source = p.source
+         |        WHERE c.below < (p.ntot + 1) // 2 AND (p.ntot + 1) // 2 <= c.below + c.t),
+         |sg AS (SELECT d.source, d.doc_id, (d.v > m.med)::BIGINT AS s
+         |       FROM d JOIN med m ON d.source = m.source WHERE d.v <> m.med),
+         |rr AS (SELECT source, s, lag(s) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+         |       FROM sg),
+         |ag AS (SELECT source, count(*)::BIGINT AS nkept, sum(s)::BIGINT AS n1,
+         |         sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)::BIGINT AS runs
+         |       FROM rr GROUP BY 1)
+         |SELECT source, n1, n2, runs, ${graft.operators.TextAnalysis.runsZSql} AS z
+         |FROM (SELECT source, n1, (nkept - n1)::BIGINT AS n2, runs FROM ag)""".stripMargin,
     // Hodges–Lehmann shift: lower weighted median ((N+1) div 2) of
     // the value-grid difference multiset, rest counts by subtraction
     // — exact integers end to end; empty-rest sources emit no row
@@ -6099,6 +6162,9 @@ object SparkEntry {
     // greedy per-source packing replayed as a recursive CTE: one row
     // per recursion step carries (bin, fill) state down the doc_id
     // order — the sequential fold the Spark side streams per group
+    // the cap sweep: one independent recursive greedy-pack chain per
+    // cap (distinct CTE names), each rolled up to its efficiency row
+    "q_pack_efficiency" -> packEfficiencyOracle(Seq(64L, 128L, 256L, 512L)),
     "q_seq_pack" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens,

@@ -1193,6 +1193,89 @@ object TextAnalysis {
       .toDF("doc_id", "source", "n_tokens", "bin_id")
   }
 
+  /** (cap, n_bins, n_overflow_bins, total_tokens, utilization): the
+    * PACKING-EFFICIENCY CAP SWEEP — [[packSequences]] replayed across
+    * a context-length grid, rolled up to the reading that DECIDES
+    * max_len: how many fixed-size batches does the corpus fill, how
+    * full are they (padding waste = 1 − utilization), and how many
+    * docs overflow the cap outright (candidates for [[seqChunks]]
+    * splitting first). Utilization can exceed 1.0 only when
+    * overflow bins dominate — itself the cap-too-small signal. Each
+    * cap is one independent greedy pack (the union-of-configs sweep
+    * convention of bm25_tune/ivf_tune); output is caps-sized. */
+  def packEfficiency(docs: DataFrame,
+                     caps: Seq[Long] = Seq(64L, 128L, 256L, 512L)): DataFrame = {
+    require(caps.nonEmpty, "caps must be non-empty")
+    caps.map { cap =>
+      packSequences(docs, cap)
+        .groupBy("source", "bin_id")
+        .agg(sum("n_tokens").as("btok"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(when(col("btok") > cap, 1L).otherwise(0L)).as("n_overflow_bins"),
+          sum("btok").as("total_tokens"))
+        .select(lit(cap).as("cap"), col("n_bins"), col("n_overflow_bins"),
+          col("total_tokens"),
+          round(col("total_tokens").cast("double") / (col("n_bins") * cap), 6)
+            .as("utilization"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The runs-test z formula text, interpolated VERBATIM into both
+    * engines ([[welchTSql]]'s typographic-parity discipline) over a
+    * relation carrying exact BIGINT (n1, n2, runs); the leading 2.0
+    * promotes every product to DOUBLE so nothing overflows at any
+    * corpus size. */
+  private[graft] val runsZSql: String = {
+    val sq = "(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / " +
+      "((CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) * (n1 + n2 - 1))"
+    s"CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"WHEN $sq <= 0.0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) / sqrt($sq), 6) END"
+  }
+
+  /** (source, n1, n2, runs, z): WALD–WOLFOWITZ runs test of each
+    * source's INGEST-ORDER length sequence against its own median —
+    * the BATCHY-INGEST detector the location/spread/shape suite
+    * cannot see: a crawler interleaving hosts produces near-random
+    * above/below-median runs (z ≈ 0); a dump concatenated
+    * host-by-host produces few long runs (large negative z), and
+    * training on it in doc order defeats the shuffle assumptions
+    * downstream sampling makes. Mechanics: per-source LOWER median
+    * as an exact order statistic (the [[leveneLength]] interval
+    * pick), docs AT the median drop (the classical convention),
+    * runs = 1 + sign changes over the doc_id-ordered kept sequence
+    * (a per-source lag — the event keys' lead-by-user window
+    * precedent: sequence questions need sequence order), and the
+    * normal-approximation z evaluates from ONE shared formula text
+    * ([[runsZSql]]); NULL when either side is empty or the variance
+    * degenerates. */
+  def runsTestLength(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("doc_id"),
+      col("n_chars").cast("long").as("v"))
+    val g = d.groupBy("source", "v").agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("below", coalesce(sum("t").over(w), lit(0L)))
+    val per = d.groupBy("source").agg(count(lit(1)).as("ntot"))
+    val med = cum.join(per, "source")
+      .withColumn("idx", expr("(ntot + 1) div 2"))
+      .filter(col("below") < col("idx") && col("idx") <= col("below") + col("t"))
+      .select(col("source"), col("v").as("med"))
+    val signed = d.join(broadcast(med), "source")
+      .filter(col("v") =!= col("med"))
+      .select(col("source"), col("doc_id"), (col("v") > col("med")).cast("long").as("s"))
+    val wo = Window.partitionBy("source").orderBy("doc_id")
+    signed.withColumn("prev", lag("s", 1).over(wo))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nkept"), sum("s").as("n1"),
+        sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("runs"))
+      .select(col("source"), col("n1"), (col("nkept") - col("n1")).as("n2"),
+        col("runs"))
+      .select(col("source"), col("n1"), col("n2"), col("runs"),
+        expr(runsZSql).as("z"))
+  }
+
   /** (doc_id, ok_words, ok_word_len, ok_repetition, ok_stopwords,
     * keep): Gopher-style rule filter (Rae et al. 2021, table A1
     * adapted to this corpus) — the standard pre-training quality gate.

@@ -491,6 +491,61 @@ class Round17Spec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  // ---- q_pack_efficiency ----
+
+  /** Planted single-source corpus with token counts {3,3,3,5}: cap 8
+    * packs {3,3} {3,5}? — greedy in id order: bin0 = 3+3 = 6, +3
+    * overflows → bin1 = 3+5 = 8 → 2 bins, util 14/16; cap 4 gives
+    * one bin per doc with the 5-token doc overflowing → 4 bins, one
+    * overflow, util 14/16 = 0.875; totals invariant across caps. */
+  test("pack efficiency: planted caps exact; totals invariant; rides the pack fold") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "s", "a b c"), (2L, "s", "d e f"), (3L, "s", "g h i"),
+      (4L, "s", "j k l m n")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.packEfficiency(planted, Seq(4L, 8L)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    assert(r(8L) === ((2L, 0L, 14L, 0.875)))
+    assert(r(4L) === ((4L, 1L, 14L, 0.875)))
+    val real = TextAnalysis.packEfficiency(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    assert(real.length === 4)
+    val totals = real.map(_.getLong(3)).distinct
+    assert(totals.length === 1, "total tokens must be cap-invariant")
+  }
+
+  // ---- q_runs_test ----
+
+  /** Hand-planted sequences: a perfectly alternating above/below
+    * sequence maximizes runs (positive z); a fully sorted one
+    * minimizes them (runs = 2, negative z); an all-median source
+    * keeps nothing and emits NO row (mirrored by the oracle). */
+  test("runs test: alternating positive, sorted negative, constant absent, exact runs") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    def mk(vals: Seq[Long], src: String) =
+      vals.zipWithIndex.map { case (v, i) => ((i + 1).toLong, src, v) }
+    // median of {1..8} lower = 4; kept = values != 4
+    val alt = mk(Seq(1L, 8L, 2L, 7L, 3L, 6L, 4L, 5L), "alt")
+    val srt = mk(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L), "srt")
+    val cst = mk(Seq(5L, 5L, 5L, 5L), "cst")
+    val df = (alt ++ srt ++ cst).toDF("doc_id", "source", "n_chars")
+    val r = TextAnalysis.runsTestLength(df).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) None else Some(x.getDouble(4))))).toMap
+    // alt: kept 1,8,2,7,3,6,5 (4 dropped) signs 0,1,0,1,0,1,1 → runs 6
+    assert(r("alt")._1 === 4L && r("alt")._2 === 3L && r("alt")._3 === 6L)
+    assert(r("alt")._4.get > 0.0, "alternation reads as positive z")
+    // srt: kept 1,2,3,5,6,7,8 signs 0,0,0,1,1,1,1 → runs 2
+    assert(r("srt")._3 === 2L)
+    assert(r("srt")._4.get < 0.0, "sortedness reads as negative z")
+    assert(!r.contains("cst"),
+      "an all-median source keeps nothing and emits no row")
+  }
+
   // ---- harmonic centrality: derived clearing constant (ADVICE r16) ----
 
   /** maxHops beyond the old hard-wired lcm(1..6): a 7-deep path graph
