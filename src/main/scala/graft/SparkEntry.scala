@@ -962,6 +962,11 @@ object SparkEntry {
       Relational.eventTransitions(Tables.events(s, dir))),
     // stationary distribution of the session chain: 8 power
     // iterations from uniform, matrix is state²-bounded metadata
+    // expected remaining session length per state (truncated Neumann
+    // expectation on the sub-stochastic chain — the stationary key's
+    // leaked mass made the absorption probability)
+    "q_absorbing_time" -> ((s, dir) =>
+      Relational.absorbingTime(Tables.events(s, dir))),
     "q_markov_stationary" -> ((s, dir) =>
       Relational.markovStationary(Tables.events(s, dir))),
     // staged-index snapshot read: version 00000 (4/5 build) pinned
@@ -2528,6 +2533,45 @@ object SparkEntry {
        |FROM cnts, na, nb
        |GROUP BY t, na.n_vecs_a, nb.n_vecs_b
        |ORDER BY t""".stripMargin
+  }
+
+  /** Unrolled truncated-Neumann absorption expectation on the
+    * sub-stochastic session chain (Relational.absorbingTime):
+    * p_cont(i) = n_out/n_occ, per round
+    * t_k(i) = p_cont(i) + Σ_j (n_ij/n_occ_i)·t_{k-1}(j) with every
+    * fold in ascending to-state order (ordered-fold contract);
+    * single-reference CTE chain, no recursion. */
+  private def absorbingTimeOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH tr0 AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |occ AS (SELECT from_type AS s, count(*)::BIGINT AS n_occ,
+        |          sum(CASE WHEN to_type IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_out
+        |        FROM tr0 GROUP BY 1),
+        |m AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |      FROM tr0 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t0 AS (SELECT s AS state, 0.0 AS t FROM occ)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |d$k AS (SELECT m.from_type AS state,
+        |          list_sum(list((m.n::DOUBLE / occ.n_occ) * p.t
+        |                        ORDER BY m.to_type)) AS acc
+        |        FROM m JOIN t${k - 1} p ON p.state = m.to_type
+        |               JOIN occ ON occ.s = m.from_type
+        |        GROUP BY m.from_type),
+        |t$k AS (SELECT o.s AS state,
+        |          (o.n_out::DOUBLE / o.n_occ) + coalesce(d$k.acc, 0.0) AS t
+        |        FROM occ o LEFT JOIN d$k ON d$k.state = o.s)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT f.state, round(o.n_out::DOUBLE / o.n_occ, 6) AS p_continue,
+         |       round(f.t, 6) AS t_expected
+         |FROM t$iters f JOIN occ o ON o.s = f.state""".stripMargin)
+    sb.toString
   }
 
   /** Unrolled power iteration on the event chain: π'_j left-joins
@@ -6648,6 +6692,9 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY floor(o_totalprice * 1000000.0)::BIGINT)""".stripMargin,
     "q_markov_stationary" -> markovStationaryOracleSql(8),
+    // the absorption companion: 12 truncated-Neumann rounds, folds in
+    // ascending to-state order, replayed round for round
+    "q_absorbing_time" -> absorbingTimeOracleSql(12),
     "q_event_transitions" ->
       """WITH t AS (
         |  SELECT event_type AS from_type,

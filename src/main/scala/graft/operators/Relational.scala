@@ -1038,6 +1038,62 @@ object Relational {
       .select(col("state"), round(col("pi_raw"), 6).as("pi"))
   }
 
+  /** (state, p_continue, t_expected): EXPECTED REMAINING SESSION
+    * LENGTH from each state — the companion reading to
+    * [[markovStationary]] (π says where sessions SIT in the long run;
+    * this says how much LONGER one runs from here — the
+    * engagement-by-entry-point number a funnel owner actually asks
+    * for). The chain made absorbing explicitly: an occurrence with no
+    * successor IS an observed session end, so state i continues with
+    * p_cont(i) = n_out(i)/n_occ(i) and routes with
+    * P'(i,j) = n_ij/n_occ(i) (sub-stochastic — the stationary key's
+    * leaked mass, now the absorption probability). t is the
+    * TRUNCATED Neumann expectation over `iters` steps:
+    * t_k(i) = p_cont(i) + Σ_j P'(i,j)·t_{k-1}(j) — expected further
+    * events within k steps, monotone in k; the truncation is the
+    * determinism bound and the oracle replays it round for round
+    * (each fold in ascending to-state order — the ordered-fold
+    * contract). Corpus-scaled work is ONE lead() pass + the kinds²
+    * rollup; the iteration is states²-bounded driver metadata (gated
+    * ≤ `maxStates`, fail-loud). */
+  def absorbingTime(events: DataFrame, iters: Int = 12,
+                    maxStates: Int = 1024): DataFrame = {
+    val spark = events.sparkSession
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val trans = events.withColumn("to_type", lead(col("event_type"), 1).over(w))
+    val occ = trans.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when(col("to_type").isNotNull, 1L).otherwise(0L)).as("n_out"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val edges = trans.filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val states = occ.keys.toSeq.sorted
+    require(states.length <= maxStates,
+      s"${states.length} states > cap $maxStates — the absorption iteration " +
+        "is metadata-sized by design; bucket the event types first")
+    var t: Map[String, Double] = states.map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      t = states.map { i =>
+        val (nOcc, nOut) = occ(i)
+        i -> (nOut.toDouble / nOcc +
+          edges.filter(_._1._1 == i).sortBy(_._1._2)
+            .foldLeft(0.0) { case (acc, ((_, j), n)) =>
+              acc + (n.toDouble / nOcc) * t(j) })
+      }.toMap
+    }
+    import spark.implicits._
+    states.map { s =>
+      val (nOcc, nOut) = occ(s)
+      (s, nOut.toDouble / nOcc, t(s))
+    }.toDF("state", "p_raw", "t_raw")
+      .select(col("state"), round(col("p_raw"), 6).as("p_continue"),
+        round(col("t_raw"), 6).as("t_expected"))
+  }
+
   /** (event_type, n, wins_mean_micros): winsorized mean — values
     * clipped at the type's exact DISCRETE p05/p95 before averaging
     * (robust location estimate; the outlier-tolerant sibling of

@@ -546,6 +546,50 @@ class Round17Spec extends AnyFunSuite {
       "an all-median source keeps nothing and emits no row")
   }
 
+  // ---- q_absorbing_time ----
+
+  /** Hand-planted deterministic chain a→b→c per user (three users):
+    * occurrences a:3 (3 out), b:3 (3 out), c:3 (0 out) — p_cont
+    * 1/1/0 and the truncated expectation converges inside the budget
+    * to t(c)=0, t(b)=1, t(a)=2; a single-event-type corpus reads
+    * p_cont 0 / t 0. */
+  test("absorbing time: planted chain exact; expectation monotone from entry") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val ev = (0 until 3).flatMap { u =>
+      Seq((u.toLong * 10 + 1, u.toLong, "a", 1000L + u * 100),
+        (u.toLong * 10 + 2, u.toLong, "b", 2000L + u * 100),
+        (u.toLong * 10 + 3, u.toLong, "c", 3000L + u * 100))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val r = Relational.absorbingTime(ev).collect()
+      .map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r("a") === ((1.0, 2.0)))
+    assert(r("b") === ((1.0, 1.0)))
+    assert(r("c") === ((0.0, 0.0)))
+    val real = Relational.absorbingTime(
+      graft.sources.Tables.events(spark, sf)).collect()
+    assert(real.nonEmpty)
+    real.foreach { x =>
+      assert(x.getDouble(1) >= 0.0 && x.getDouble(1) <= 1.0)
+      assert(x.getDouble(2) >= 0.0)
+    }
+  }
+
+  // ---- plan shapes ----
+
+  /** The whitening claim "a pure map stage" held in the plan: with
+    * the stats baked in as literals, whitenWith's physical plan
+    * contains NO shuffle exchange — scan → explode → project. */
+  test("whiten plan: the literal-stats transform stage has zero exchanges") {
+    import graft.operators.Vectors
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val stats = Vectors.whitenStats(emb)
+    val plan = Vectors.whitenWith(emb, stats)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"whitenWith must be shuffle-free:\n$plan")
+  }
+
   // ---- harmonic centrality: derived clearing constant (ADVICE r16) ----
 
   /** maxHops beyond the old hard-wired lcm(1..6): a 7-deep path graph
