@@ -363,18 +363,23 @@ object SparkEntry {
     // codes and vectors all resolve from the SAME visibleAt subset
     // (a pin below the build version fails loudly — serving other
     // codebooks against pinned codes silently corrupts distances).
-    // Shares the read-only two-version incremental substrate (both
-    // keys only READ; the pin at 00000 sees the 4/5 build, so the
-    // oracle replays training AND serving on the build cut)
+    // Serves from a DEDICATED read-only two-version substrate (same
+    // 4/5|1/5 content as the incremental store, so the oracle replays
+    // training AND serving on the build cut) — NEVER the shared
+    // incremental store, which q_pq_compact COMPACTS: time travel is
+    // defined only on update-only stores, so sharing it fails the
+    // numeric-tag guard the moment the compact key runs (the same
+    // never-share-with-maintenance rule every other family's asof
+    // substrate already records)
     "q_pq_asof" -> ((s, dir) =>
-      PqIndex.searchTopKAt(s, pqIncStoreFor(s, dir), maxTag = "00000")),
+      PqIndex.searchTopKAt(s, pqAsofStoreFor(s, dir), maxTag = "00000")),
     // snapshot DIFF on the PQ store: per-subspace CODE-OCCUPANCY
     // shift between the pinned build and ingest versions — the
     // retrain signal (frozen codebooks pile an out-of-distribution
     // batch into few cells); both sides pin codebooks+codes together,
     // rollup is m × ksub metadata
     "q_pq_diff" -> ((s, dir) =>
-      PqIndex.diffVersions(s, pqIncStoreFor(s, dir), "00000", "00001")),
+      PqIndex.diffVersions(s, pqAsofStoreFor(s, dir), "00000", "00001")),
     // the STREAMING twin of the incremental PQ ingest: the tail
     // micro-batches through Structured Streaming, each batch encoded
     // under the frozen codebooks as one exactly-once delta — after the
@@ -1551,6 +1556,7 @@ object SparkEntry {
     compactedDocsFor(s, dir); tsvDocsFor(s, dir); bucketedFor(s, dir)
     binaryDocsFor(s, dir); evolvedDocsFor(s, dir); basketStoreFor(s, dir)
     dedupIncStoreFor(s, dir); semIncStoreFor(s, dir); pqIncStoreFor(s, dir)
+    pqAsofStoreFor(s, dir)
     bm25DelStoreFor(s, dir); annDelStoreFor(s, dir); pqDelStoreFor(s, dir)
     bm25StreamDelStoreFor(s, dir); dedupDelStoreFor(s, dir); semDelStoreFor(s, dir)
     semStreamDelStoreFor(s, dir)
@@ -1917,6 +1923,24 @@ object SparkEntry {
       val maxRow = emb.agg(max(col("vec_id"))).collect()(0)
       require(!maxRow.isNullAt(0),
         "PQ incremental substrate: embeddings table is empty — no ids to split on")
+      val cut = maxRow.getLong(0) * 4 / 5
+      PqIndex.build(emb.filter(col("vec_id") <= cut), p)
+      PqIndex.update(emb.filter(col("vec_id") > cut), p, "00001")
+    }
+
+  /** Two-version READ-ONLY PQ substrate for the snapshot keys
+    * (q_pq_asof / q_pq_diff). Same 4/5|1/5 content as
+    * [[pqIncStoreFor]], but never shared with it: q_pq_compact folds
+    * the incremental store's deltas, and time travel is defined only
+    * on update-only stores — the same never-share-with-maintenance
+    * rule as [[dedupAsofStoreFor]] / [[semAsofStoreFor]] /
+    * [[asofIndexFor]] / [[annTtStoreFor]]. */
+  private def pqAsofStoreFor(s: SparkSession, dir: String): String =
+    cachedLayout("pq_asof", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      val maxRow = emb.agg(max(col("vec_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        "PQ as-of substrate: embeddings table is empty — no ids to split on")
       val cut = maxRow.getLong(0) * 4 / 5
       PqIndex.build(emb.filter(col("vec_id") <= cut), p)
       PqIndex.update(emb.filter(col("vec_id") > cut), p, "00001")
