@@ -7,10 +7,12 @@ import org.apache.spark.sql.Dataset
   * lineage on node-sized intermediates; the idiom everywhere is
   * [[LineageOps.cutLineage]], which routes to:
   *
-  *   - `localCheckpoint()` (the default): executor-local blocks —
-  *     correct and fast on local[n] and on a healthy cluster, but an
-  *     executor loss mid-query invalidates its blocks and fails the
-  *     query (Spark cannot recompute a truncated lineage);
+  *   - `localCheckpoint(eager = false)` (the default): executor-local
+  *     blocks, materialized by the first consuming action rather than
+  *     a dedicated job per cut (see [[Lineage.EagerFlag]]) — correct
+  *     and fast on local[n] and on a healthy cluster, but an executor
+  *     loss mid-query invalidates its blocks and fails the query
+  *     (Spark cannot recompute a truncated lineage);
   *   - `checkpoint()` to RELIABLE storage when the session sets
   *     `spark.graft.reliableCheckpoint=true`: blocks persist to the
   *     checkpoint dir (set `spark.graft.checkpointDir`, or a
@@ -29,12 +31,33 @@ object Lineage {
     * checkpoint dir if the session has none). */
   val DirFlag = "spark.graft.checkpointDir"
 
+  /** Session flag: force EAGER local checkpoints (the pre-r17
+    * behavior). Default is LAZY: `localCheckpoint(eager = true)` runs
+    * a dedicated materialization job per cut, so a chain of k cuts
+    * costs k sequential job barriers before the consuming action even
+    * starts; `eager = false` truncates the plan immediately (the
+    * Dataset wraps the checkpoint-marked RDD either way) but folds the
+    * materialization into the FIRST consuming action —
+    * LocalRDDCheckpointData then back-fills any partitions that action
+    * skipped, so every partition is still stored after that action and
+    * later consumers read blocks exactly as before. Same blocks, same
+    * storage level, same reuse semantics; k fewer scheduling barriers
+    * per query. The one pattern lazy cuts would break — materializing
+    * after the cut's input FILES are deleted — cannot occur here:
+    * the only input-deleting flows (DeltaStore.compact / the staged
+    * merges) consume every cut relation with a staging WRITE before
+    * the delete, and writes materialize checkpoints in full. */
+  val EagerFlag = "spark.graft.eagerCut"
+
   def cut[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     val reliable =
       spark.conf.getOption(ReliableFlag).exists(_.equalsIgnoreCase("true"))
-    if (!reliable) ds.localCheckpoint()
-    else {
+    if (!reliable) {
+      val eager =
+        spark.conf.getOption(EagerFlag).exists(_.equalsIgnoreCase("true"))
+      ds.localCheckpoint(eager = eager)
+    } else {
       if (spark.sparkContext.getCheckpointDir.isEmpty) {
         val dir = spark.conf.getOption(DirFlag).getOrElse(
           sys.props("java.io.tmpdir") + "/graft_reliable_ckpt")
