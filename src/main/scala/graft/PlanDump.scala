@@ -1,7 +1,7 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** Dev-only measurement harness for the optimization rounds: for each
   * named query, dump `.explain("formatted")` to a file and time the
@@ -29,8 +29,19 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val taskMs = new AtomicLong(0L)   // sum of task run times
+    val gcMs = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (te.taskMetrics != null) {
+          taskMs.addAndGet(te.taskMetrics.executorRunTime)
+          gcMs.addAndGet(te.taskMetrics.jvmGCTime)
+        }
+        ()
+      }
     })
     new java.io.File(outDir).mkdirs()
     // same untimed warmup as Bench so staged stores exist
@@ -52,17 +63,20 @@ object PlanDump {
             df.write.format("noop").mode("overwrite").save()
             val dt = (System.nanoTime() - t0) / 1e9
             val n1 = jobs.get()
-            // pass 2 (min-of-two, same as Bench methodology)
-            jobs.set(0)
+            // pass 2 (min-of-two, same as Bench methodology), with
+            // task-level metrics: wall vs Σ task run time tells
+            // scheduling/driver overhead from real executor work
+            jobs.set(0); tasks.set(0); taskMs.set(0L); gcMs.set(0L)
             val t1 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val dt2 = (System.nanoTime() - t1) / 1e9
+            val (nj2, nt2, tm2, gc2) = (jobs.get(), tasks.get(), taskMs.get(), gcMs.get())
             val plan = fn(spark, sfDir).queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
             java.nio.file.Files.write(
               java.nio.file.Paths.get(s"$outDir/$k.txt"),
               plan.getBytes("UTF-8"))
-            println(f"PLANDUMP $k%-28s t1=$dt%7.2f s  t2=$dt2%7.2f s  jobs=$n1%4d  plan=$outDir/$k.txt")
+            println(f"PLANDUMP $k%-28s t1=$dt%7.2f s  t2=$dt2%7.2f s  jobs=$n1%4d  jobs2=$nj2%4d tasks2=$nt2%5d taskSec2=${tm2 / 1e3}%8.2f gcSec2=${gc2 / 1e3}%6.2f  plan=$outDir/$k.txt")
           } catch { case e: Throwable =>
             println(s"PLANDUMP $k FAILED: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
           }

@@ -595,9 +595,16 @@ object Bm25Index {
                             updDeltas: Seq[String], delDeltas: Seq[String],
                             queryTerms: Seq[String], k: Int): DataFrame = {
     val (postings, dlLive) = liveIndex(spark, deltas)
-    val (blocks, dfLive) = blockBounds(spark, updDeltas, delDeltas, queryTerms)
+    val (blocks, dfLive0) = blockBounds(spark, updDeltas, delDeltas, queryTerms)
+    // the θ protocol consumes dfLive / the corpus stats / the block
+    // bound-sums in SEVERAL jobs (seed collect, seed exact pass, final
+    // exact pass) — cut the query-terms-sized and 1-row relations once
+    // so each later job reads blocks instead of re-running the sidecar
+    // aggregation and the doclen scan (guide §1.2: don't recompute
+    // what you already have; all three are ≤ |query terms| rows)
+    val dfLive = dfLive0.cutLineage()
     val stats = dlLive.agg(count(col("doc_id")).as("n_docs"),
-      avg(col("dl")).cast("double").as("avgdl"))
+      avg(col("dl")).cast("double").as("avgdl")).cutLineage()
     val blockSum = blocks.join(broadcast(dfLive), "term")
       .crossJoin(broadcast(stats))
       .select(col("block_id"), col("n_rows"),
@@ -605,6 +612,7 @@ object Bm25Index {
           col("avgdl"), col("n_docs")).as("u"))
       .groupBy("block_id")
       .agg(sum("u").as("usum"), max("n_rows").as("docs_lb"))
+      .cutLineage()
     // exact Okapi scoring of a doc_id-range-restricted candidate set;
     // df comes from the sidecar reconstruction (provably equal to the
     // live per-term row count), so a block-restricted scan still
@@ -720,9 +728,15 @@ object Bm25Index {
       .collect().map(_.getString(0)).toSeq
     if (terms.isEmpty || terms.size > termCap)
       return Bm25.batchScoreFrom(postings, dlLive, queries, k)
-    val (blocks, dfLive) = blockBounds(spark, updDeltas, delDeltas, terms)
+    val (blocks, dfLive0) = blockBounds(spark, updDeltas, delDeltas, terms)
+    // cut the small protocol relations once (≤ |terms| rows / 1 row /
+    // (queries × blocks) rows): the θ protocol re-reads each of them
+    // in several jobs — seed collect, seed exact pass, survivor
+    // filter, final exact pass — and without the cut every job re-runs
+    // the sidecar aggregation and the doclen scan from parquet
+    val dfLive = dfLive0.cutLineage()
     val stats = dlLive.agg(count(col("doc_id")).as("n_docs"),
-      avg(col("dl")).cast("double").as("avgdl"))
+      avg(col("dl")).cast("double").as("avgdl")).cutLineage()
     // per-(query, block) bound sums + per-block doc-count lower bound
     val qb = blocks.join(broadcast(dfLive), "term")
       .crossJoin(broadcast(stats))
@@ -732,6 +746,7 @@ object Bm25Index {
       .join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("block_id"))
       .agg(sum("u").as("usum"), max("n_rows").as("docs_lb"))
+      .cutLineage()
     val wq = Window.partitionBy("query_id")
       .orderBy(col("usum").desc, col("block_id").asc)
     val seeds = qb
