@@ -1187,7 +1187,9 @@ object DedupStore {
           (lit(teleport) + expr(
             "(85 * (IF(i, (m - 1) * c, CAST(0 AS BIGINT)) + coalesce(xs, CAST(0 AS BIGINT)))) div 100"))
             .as("rank"))
-      if (it % 3 == 0 || it == iterations) ranks = ranks.cutLineage()
+      ranks = ranks.cutLineage() // every iteration: lazy cuts are barrier-free, and
+      // per-iteration truncation keeps each AQE stage replan on a
+      // 1-iteration plan instead of a 3-iteration one
     }
     val inGraph = mem.join(ranks, Seq("rep"))
       .select(col("doc_id").as("node"), col("rank"))
@@ -1247,7 +1249,9 @@ object DedupStore {
             .as("rs"),
           expr("(85 * (IF(i, t - cn, CAST(0 AS BIGINT)) + coalesce(xs, CAST(0 AS BIGINT)))) div 100")
             .as("rn"))
-      if (it % 3 == 0 || it == iterations) ranks = ranks.cutLineage()
+      ranks = ranks.cutLineage() // every iteration: lazy cuts are barrier-free, and
+      // per-iteration truncation keeps each AQE stage replan on a
+      // 1-iteration plan instead of a 3-iteration one
     }
     val inGraph = mem.join(ranks, Seq("rep"))
       .select(col("doc_id").as("node"),

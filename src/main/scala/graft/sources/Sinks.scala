@@ -3,6 +3,8 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
+
+import graft.Lineage._
 import org.apache.spark.sql.functions._
 
 /** Engine sinks. The reference's sinks are MongoDB keyed upserts
@@ -252,8 +254,12 @@ object Sinks {
     * sanitizes explicitly or not at all). Returns the file count. */
   def perDocFiles(df: DataFrame, path: String, idCol: String = "doc_id",
                   textCol: String = "text", maxFiles: Long = 100000L): Long = {
+    // cut once: the guard aggregation AND the write both consume this
+    // relation, and its upstream is typically a full tokenize+profile
+    // chain (Bm25.tfProfiles) — without the cut that chain runs twice
+    // per call (and per micro-batch on the streaming path)
     val rows = df.select(col(idCol).cast("string").as("id"),
-      col(textCol).cast("string").as("txt"))
+      col(textCol).cast("string").as("txt")).cutLineage()
     val stats = rows.agg(count(lit(1)).as("n"),
       countDistinct(col("id")).as("d"),
       sum(when(col("id").rlike("^[A-Za-z0-9._-]+$") &&
