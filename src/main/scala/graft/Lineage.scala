@@ -46,7 +46,18 @@ object Lineage {
     * after the cut's input FILES are deleted — cannot occur here:
     * the only input-deleting flows (DeltaStore.compact / the staged
     * merges) consume every cut relation with a staging WRITE before
-    * the delete, and writes materialize checkpoints in full. */
+    * the delete, and writes materialize checkpoints in full.
+    *
+    * DETERMINISM PRECONDITION (ADVICE r17): a lazy cut is only exact
+    * over a DETERMINISTIC relation. A partial first action (limit /
+    * take / short-circuit agg) may materialize only some partitions;
+    * the back-fill job recomputes the REST from upstream later, and a
+    * nondeterministic upstream (rand(), sample without a pinned seed
+    * per partition, unordered limit) could store partitions
+    * inconsistent with what the first action observed. Every relation
+    * the engine cuts today is deterministic (spec-gated: oracle
+    * 430/430); any FUTURE cut over a nondeterministic relation must
+    * use an eager cut (or fully materialize first) instead. */
   val EagerFlag = "spark.graft.eagerCut"
 
   def cut[T](ds: Dataset[T]): Dataset[T] = {

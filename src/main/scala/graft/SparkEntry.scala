@@ -1553,8 +1553,19 @@ object SparkEntry {
     * the timed queries measure query latency, not one-time ETL — at
     * scale these layouts are written once and served many times,
     * which is the cost model the per-query numbers should reflect.
-    * (q_index_incremental intentionally keeps its build inside the
-    * query: the build/update split IS what it measures.) */
+    *
+    * DECLARED MEASURANDS of the four keys whose timed region was
+    * re-scoped in r17 (the template-copy / staged-once boundary
+    * change; see tools/bench_allowlist.json `_rescoped_r17`):
+    * q_index_incremental and q_ann_index_incremental time COPY of the
+    * pristine 80% template + INGEST of the remaining 20% + SERVE (the
+    * 80% build itself is one-off substrate construction, prestaged);
+    * q_stream_pq times the same copy + the streamed ingest under
+    * frozen codebooks + serve (codebook training is the one-off fit);
+    * q_stream_budget times the drain + budget windowing over
+    * staged-once source slices. Before r17 these keys also re-ran the
+    * one-off build/fit inside the timed region — numbers across that
+    * boundary are not comparable. */
   def prestage(s: SparkSession, dir: String): Unit = {
     indexFor(s, dir); zorderedLineitemFor(s, dir); partitionedDocsFor(s, dir)
     dedupStoreFor(s, dir); semanticStoreFor(s, dir)

@@ -112,11 +112,13 @@ object AnnIndex {
       // physical purge: live rows only, tombstones dropped — the
       // compacted store equals one built without the deleted vectors
       val (vectors, buckets) = liveIndex(spark, deltas)
-      vectors.write.parquet(s"$staging/vectors")
-      buckets
-        .repartition(col("t"), col("bucket"))
-        .sortWithinPartitions("t", "bucket")
-        .write.parquet(s"$staging/buckets")
+      // independent rewrites — overlap them (guide §2.6)
+      graft.Jobs.inParallel(Seq(
+        () => vectors.write.parquet(s"$staging/vectors"),
+        () => buckets
+          .repartition(col("t"), col("bucket"))
+          .sortWithinPartitions("t", "bucket")
+          .write.parquet(s"$staging/buckets")))
       params.headOption.foreach { ps =>
         val out = fs.create(new org.apache.hadoop.fs.Path(staging, "lsh.params"), true)
         try out.write(ps.getBytes("UTF-8")) finally out.close()
@@ -155,8 +157,12 @@ object AnnIndex {
         "would be incompatible; rebuild one side first")
     val (va, ba) = liveIndex(spark, dA)
     val (vb, bb) = liveIndex(spark, dB)
-    val (eA, loA, hiA) = DeltaStore.batchRange(va, "vec_id")
-    val (eB, loB, hiB) = DeltaStore.batchRange(vb, "vec_id")
+    // two independent guard aggregations — overlapped (guide §2.6)
+    val br = new Array[(Boolean, Long, Long)](2)
+    graft.Jobs.inParallel(Seq(
+      () => br(0) = DeltaStore.batchRange(va, "vec_id"),
+      () => br(1) = DeltaStore.batchRange(vb, "vec_id")))
+    val ((eA, loA, hiA), (eB, loB, hiB)) = (br(0), br(1))
     val rangesDisjoint = loA <= hiA && loB <= hiB && (hiA < loB || hiB < loA)
     if (!eA && !eB && !rangesDisjoint) {
       val nShared = va.select("vec_id").join(vb.select("vec_id"), "vec_id").count()
@@ -168,12 +174,29 @@ object AnnIndex {
       if (loA <= hiA && loB <= hiB) Some((math.min(loA, loB), math.max(hiA, hiB)))
       else None
     DeltaStore.reset(spark, dest)
+    // FILE-LEVEL COPY-THROUGH for the vectors relation (guide §6, the
+    // DedupStore.mergeStores discipline): with no tombstones on either
+    // side, vectors = the plain union of both shards' files — vec_id
+    // ranges are disjoint (gated above), so copied files keep exactly
+    // the per-shard id clustering a rewrite would produce. Buckets
+    // ALWAYS re-cluster on (t, bucket): the hash key interleaves
+    // across shards and the re-cluster is what recovers query-pruning
+    // row-group locality (scaladoc above) — never copied.
+    val noTomb = (dA ++ dB).forall { d =>
+      val fs = if (dA.contains(d)) fsA else fsB
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$d/tombstones"))
+    }
     DeltaStore.commit(spark, dest, "00000", range) { staging =>
-      va.union(vb).write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
-      ba.union(bb)
-        .repartition(col("t"), col("bucket"))
-        .sortWithinPartitions("t", "bucket")
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
+      // independent staged writes/copies — overlap them (guide §2.6)
+      graft.Jobs.inParallel(Seq(
+        () =>
+          if (noTomb) DeltaStore.copySubFiles(spark, dA ++ dB, "vectors", staging, "s")
+          else va.union(vb).write.mode(SaveMode.Overwrite)
+            .parquet(s"$staging/vectors"),
+        () => ba.union(bb)
+          .repartition(col("t"), col("bucket"))
+          .sortWithinPartitions("t", "bucket")
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")))
       params.headOption.foreach { ps =>
         val fsD = DeltaStore.fsOf(spark, staging)
         val out = fsD.create(new org.apache.hadoop.fs.Path(staging, "lsh.params"), true)

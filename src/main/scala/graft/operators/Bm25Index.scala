@@ -264,10 +264,14 @@ object Bm25Index {
   def compactDeltas(spark: SparkSession, path: String): Unit =
     DeltaStore.compact(spark, path) { (deltas, staging) =>
       val (postings, doclen) = liveIndex(spark, deltas)
-      postings
-        .repartition(col("term")).sortWithinPartitions("term", "doc_id")
-        .write.parquet(s"$staging/postings")
-      doclen.write.parquet(s"$staging/doclen")
+      // postings and doclen rewrites are independent — overlap them
+      // (guide §2.6); the block-max sidecar READS the staged pair, so
+      // it stays sequenced after both
+      graft.Jobs.inParallel(Seq(
+        () => postings
+          .repartition(col("term")).sortWithinPartitions("term", "doc_id")
+          .write.parquet(s"$staging/postings"),
+        () => doclen.write.parquet(s"$staging/doclen")))
       // the folded delta's block-max sidecar re-derives from the LIVE
       // rows just staged (purged rows drop out of the bounds, the
       // deaddf history folds away with the tombstones)
@@ -309,8 +313,12 @@ object Bm25Index {
     require(dB.nonEmpty, s"no committed deltas under $pathB")
     val (pa, la) = liveIndex(spark, dA)
     val (pb, lb) = liveIndex(spark, dB)
-    val (eA, loA, hiA) = DeltaStore.batchRange(la, "doc_id")
-    val (eB, loB, hiB) = DeltaStore.batchRange(lb, "doc_id")
+    // two independent guard aggregations — overlapped (guide §2.6)
+    val br = new Array[(Boolean, Long, Long)](2)
+    graft.Jobs.inParallel(Seq(
+      () => br(0) = DeltaStore.batchRange(la, "doc_id"),
+      () => br(1) = DeltaStore.batchRange(lb, "doc_id")))
+    val ((eA, loA, hiA), (eB, loB, hiB)) = (br(0), br(1))
     val rangesDisjoint = loA <= hiA && loB <= hiB && (hiA < loB || hiB < loA)
     if (!eA && !eB && !rangesDisjoint) {
       val nShared = la.select("doc_id")
@@ -337,17 +345,36 @@ object Bm25Index {
       else None
     DeltaStore.reset(spark, dest)
     DeltaStore.commit(spark, dest, "00000", range) { staging =>
-      pa.union(pb)
+      val writePostings = () => pa.union(pb)
         .repartition(col("term")).sortWithinPartitions("term", "doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
-      la.union(lb).write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
+      // doclen COPY-THROUGH (guide §6, the DedupStore.mergeStores
+      // discipline): with no tombstones anywhere, doclen is the plain
+      // union of both shards' files, doc-keyed with disjoint ranges —
+      // copied files keep exactly the clustering a rewrite would.
+      // Postings ALWAYS re-cluster on term: the serving relation's
+      // term runs interleave across shards and the re-cluster is what
+      // term-pruned scans row-group-skip on — never copied.
+      val writeDoclen = () =>
+        if (noTombstones)
+          DeltaStore.copySubFiles(spark, upd, "doclen", staging, "s")
+        else la.union(lb).write.mode(SaveMode.Overwrite).parquet(s"$staging/doclen")
       if (sidecarsExact)
-        spark.read.parquet(upd.map(d => s"$d/blockmax"): _*)
-          .groupBy("term", "block_id")
-          .agg(sum("n_rows").as("n_rows"), max("max_tf").as("max_tf"),
-            min("min_dl").as("min_dl"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$staging/blockmax")
-      else writeBlockmax(spark, staging)
+        // the sidecar arithmetic reads the SOURCE stores' sidecars, so
+        // all three staged writes are independent — overlap them
+        // (guide §2.6)
+        graft.Jobs.inParallel(Seq(writePostings, writeDoclen,
+          () => spark.read.parquet(upd.map(d => s"$d/blockmax"): _*)
+            .groupBy("term", "block_id")
+            .agg(sum("n_rows").as("n_rows"), max("max_tf").as("max_tf"),
+              min("min_dl").as("min_dl"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/blockmax")))
+      else {
+        // fallback re-derivation READS the staged pair — sequence it
+        // after the (overlapped) postings/doclen writes
+        graft.Jobs.inParallel(Seq(writePostings, writeDoclen))
+        writeBlockmax(spark, staging)
+      }
     }
   }
 
@@ -680,11 +707,31 @@ object Bm25Index {
     * identical rows. */
   def batchSearch(spark: SparkSession, path: String,
                   queries: DataFrame, k: Int = 10): DataFrame = {
-    val deltas = committedDeltas(spark, path)
-    require(deltas.nonEmpty, s"no committed deltas under $path")
-    val (tf, dl) = liveIndex(spark, deltas)
+    val (tf, dl) = liveServe(spark, path)
     Bm25.batchScoreFrom(tf, dl, queries, k)
   }
+
+  /** Resolve the live (postings, doclen) pair ONCE for a serving
+    * session — the static side of per-batch scoring. A streaming
+    * serving loop ([[graft.streaming.Streams.searchStream]]) scores
+    * every micro-batch against the SAME snapshot (single-writer
+    * contract: the index is static during serving), so re-listing
+    * committed deltas and re-opening the parquet relations inside
+    * every micro-batch plan is pure per-batch overhead — at scale,
+    * one store listing round-trip per batch against the object
+    * store. Relations are lazy scans: term pruning/pushdown still
+    * happens per consuming plan exactly as in [[batchSearch]]. */
+  def liveServe(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val deltas = committedDeltas(spark, path)
+    require(deltas.nonEmpty, s"no committed deltas under $path")
+    liveIndex(spark, deltas)
+  }
+
+  /** [[batchSearch]] against a pre-resolved static side — the
+    * streaming serving loop's per-batch entry point. */
+  def batchSearchFrom(tfDl: (DataFrame, DataFrame),
+                      queries: DataFrame, k: Int = 10): DataFrame =
+    Bm25.batchScoreFrom(tfDl._1, tfDl._2, queries, k)
 
   /** [[batchSearch]] with block-max gating (r15 verdict task 5 — the
     * shelved rung that made the serving ladder inconsistent: the

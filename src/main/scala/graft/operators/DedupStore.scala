@@ -205,12 +205,17 @@ object DedupStore {
         col("doc_b") === col("rep")).drop("rep")
     val range = if (batchLo <= batchHi) Some((batchLo, batchHi)) else None
     DeltaStore.commit(spark, path, tag, range) { staging =>
-      members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
-      reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
-      bandsNew.write.mode(SaveMode.Overwrite).parquet(s"$staging/bands")
-      shNew.write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")
-      cand.write.mode(SaveMode.Overwrite).parquet(s"$staging/cands")
-      stats.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")
+      // six INDEPENDENT staged writes — submitted concurrently (guide
+      // §2.6, the mergeStores discipline); shared upstream cuts
+      // (members, canonNew, shNew, bandsNew, cand) materialize once
+      // under whichever consumer gets there first
+      graft.Jobs.inParallel(Seq(
+        () => members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members"),
+        () => reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps"),
+        () => bandsNew.write.mode(SaveMode.Overwrite).parquet(s"$staging/bands"),
+        () => shNew.write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles"),
+        () => cand.write.mode(SaveMode.Overwrite).parquet(s"$staging/cands"),
+        () => stats.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")))
     }
   }
 
@@ -281,16 +286,20 @@ object DedupStore {
   def compactDeltas(spark: SparkSession, path: String): Unit =
     DeltaStore.compact(spark, path) { (deltas, staging) =>
       def live(sub: String) = readFrom(spark, deltas, sub)
-      live("members").write.parquet(s"$staging/members")
-      live("reps").write.parquet(s"$staging/reps")
-      live("bands").repartition(col("band"), col("bkey"))
-        .sortWithinPartitions("band", "bkey")
-        .write.parquet(s"$staging/bands")
-      live("shingles").repartition(col("doc_id"))
-        .sortWithinPartitions("doc_id", "sh")
-        .write.parquet(s"$staging/shingles")
-      live("cands").write.parquet(s"$staging/cands")
-      live("pairs").write.parquet(s"$staging/pairs")
+      // six INDEPENDENT relation rewrites — submitted concurrently
+      // (guide §2.6) so one rewrite's straggler tail back-fills with
+      // the next's tasks instead of serializing six job chains
+      graft.Jobs.inParallel(Seq(
+        () => live("members").write.parquet(s"$staging/members"),
+        () => live("reps").write.parquet(s"$staging/reps"),
+        () => live("bands").repartition(col("band"), col("bkey"))
+          .sortWithinPartitions("band", "bkey")
+          .write.parquet(s"$staging/bands"),
+        () => live("shingles").repartition(col("doc_id"))
+          .sortWithinPartitions("doc_id", "sh")
+          .write.parquet(s"$staging/shingles"),
+        () => live("cands").write.parquet(s"$staging/cands"),
+        () => live("pairs").write.parquet(s"$staging/pairs")))
     }
 
   /** SHARD MERGE — the pair-substrate member of the merge family
@@ -329,8 +338,13 @@ object DedupStore {
     require(dB.nonEmpty, s"no committed deltas under $pathB")
     val memA = readFrom(spark, dA, "members").cutLineage()
     val memB = readFrom(spark, dB, "members").cutLineage()
-    val hiA = memA.agg(max(col("doc_id"))).collect()(0)
-    val loB = memB.agg(min(col("doc_id"))).collect()(0)
+    // two independent guard aggregations — overlapped (guide §2.6);
+    // Thread.join orders the writes before the reads below
+    val hilo = new Array[org.apache.spark.sql.Row](2)
+    graft.Jobs.inParallel(Seq(
+      () => hilo(0) = memA.agg(max(col("doc_id"))).collect()(0),
+      () => hilo(1) = memB.agg(min(col("doc_id"))).collect()(0)))
+    val (hiA, loB) = (hilo(0), hilo(1))
     require(!hiA.isNullAt(0) && !loB.isNullAt(0),
       "shard merge requires two non-empty live stores")
     require(hiA.getLong(0) < loB.getLong(0),
@@ -406,19 +420,73 @@ object DedupStore {
     val pairs = pairsA.unionByName(pairsB2).unionByName(statsNew).distinct()
     val (_, lo, hi) = DeltaStore.batchRange(members.select("doc_id"), "doc_id")
     val range = if (lo <= hi) Some((lo, hi)) else None
+    // FILE-LEVEL COPY-THROUGH (guide §6): when shard A's live view is
+    // the plain per-delta union (no delete deltas), its members /
+    // reps / bands / shingles rows pass through the merge VERBATIM —
+    // no rekey ever touches the A side (adoption renames B-side rows
+    // only) — so those four relations stage as byte copies of A's
+    // files plus a Spark write of just the B-new rows, instead of a
+    // full decode + shuffle + re-encode of the union. Relation
+    // identity is untouched (a parquet relation is the union of its
+    // files; spec-gated set-wise against the full rebuild); the one
+    // physical difference is that bands keep per-shard (band, bkey)
+    // clustering instead of re-clustering across the boundary — the
+    // shards' own build-time layout, restored by the next compaction;
+    // shingles/members lose nothing (doc ranges are disjoint by the
+    // monotone gate, so per-shard doc_id clustering IS the union's).
+    // cands/pairs always rewrite: their unions dedup via distinct()
+    // across sides, which no file copy can express. A delete delta on
+    // A falls back to the full rewrite of all six (B never needs the
+    // gate: its relations are filtered/renamed through Spark anyway).
+    val aPlain = havingSub(spark, dA, "tombstones").isEmpty
     DeltaStore.reset(spark, dest)
     DeltaStore.commit(spark, dest, "00000", range) { staging =>
-      members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
-      reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
-      bandsA.unionByName(bandsBnew)
-        .repartition(col("band"), col("bkey"))
-        .sortWithinPartitions("band", "bkey")
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/bands")
-      allSh.repartition(col("doc_id"))
-        .sortWithinPartitions("doc_id", "sh")
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")
-      cands.write.mode(SaveMode.Overwrite).parquet(s"$staging/cands")
-      pairs.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")
+      // INDEPENDENT staged writes + file copies — submitted
+      // concurrently (guide §2.6): serialized, the merge's wall time
+      // is the SUM of the write chains (measured ~70 sequential
+      // 1-task stages at bench SF; at 100 TB the straggler tails run
+      // back-to-back); overlapped, it is the longest chain, and
+      // shared upstream cuts (matched, repsBnew, bandsBnew, allSh,
+      // cands) materialize once under whichever consumer gets there
+      // first
+      val rewriteAll: Seq[() => Unit] = Seq(
+        () => members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members"),
+        () => reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps"),
+        () => bandsA.unionByName(bandsBnew)
+          .repartition(col("band"), col("bkey"))
+          .sortWithinPartitions("band", "bkey")
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/bands"),
+        () => allSh.repartition(col("doc_id"))
+          .sortWithinPartitions("doc_id", "sh")
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles"))
+      val copyThrough: Seq[() => Unit] = Seq(
+        () => {
+          remapCol(memB, "rep", matched)
+            .select(memA.columns.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
+          DeltaStore.copySubFiles(spark, dA, "members", staging, "a")
+        },
+        () => {
+          repsBnew.select(repsA.columns.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
+          DeltaStore.copySubFiles(spark, dA, "reps", staging, "a")
+        },
+        () => {
+          bandsBnew.repartition(col("band"), col("bkey"))
+            .sortWithinPartitions("band", "bkey")
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/bands")
+          DeltaStore.copySubFiles(spark, dA, "bands", staging, "a")
+        },
+        () => {
+          shinglesBnew.repartition(col("doc_id"))
+            .sortWithinPartitions("doc_id", "sh")
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/shingles")
+          DeltaStore.copySubFiles(spark, dA, "shingles", staging, "a")
+        })
+      graft.Jobs.inParallel(
+        (if (aPlain) copyThrough else rewriteAll) ++ Seq[() => Unit](
+          () => cands.write.mode(SaveMode.Overwrite).parquet(s"$staging/cands"),
+          () => pairs.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")))
     }
   }
 
@@ -1175,13 +1243,17 @@ object DedupStore {
     val teleport = (15L * r0) / 100L
     var ranks = cls.select(col("rep"), lit(r0).as("rank"))
     for (it <- 1 to iterations) {
+      // (measured, not cut: lineage-cutting contrib added per-iteration
+      // block-persist work without reducing the job count — the two
+      // consumers' recomputed broadcast join is cheaper than the cut)
       val contrib = cls.join(ranks, Seq("rep"))
         .select(col("rep"), col("m"), col("i"), expr("rank div d").as("c"))
       val crossSum = dir
         .join(contrib.select(col("rep").as("s"), (col("m") * col("c")).as("mc")), "s")
         .groupBy("r").agg(sum("mc").as("xs"))
-      ranks = cls
-        .join(contrib.select(col("rep"), col("c")), Seq("rep"))
+      // contrib already carries (m, i, c) — re-joining cls here was one
+      // redundant join per iteration (contrib = cls⋈ranks is 1:1 on rep)
+      ranks = contrib
         .join(crossSum.select(col("r").as("rep"), col("xs")), Seq("rep"), "left")
         .select(col("rep"),
           (lit(teleport) + expr(
@@ -1189,7 +1261,13 @@ object DedupStore {
             .as("rank"))
       ranks = ranks.cutLineage() // every iteration: lazy cuts are barrier-free, and
       // per-iteration truncation keeps each AQE stage replan on a
-      // 1-iteration plan instead of a 3-iteration one
+      // 1-iteration plan instead of a 3-iteration one. RETAINED-BLOCKS
+      // COST (ADVICE r17): checkpoint blocks cannot be unpersisted, so
+      // every iteration's rank relation stays pinned MEMORY_AND_DISK
+      // for the query lifetime — iterations × |class table|. Fine at
+      // rep-class cardinality (the point of serving rep-level); if a
+      // future caller runs many iterations over a node-sized table,
+      // restore a modulo cadence here.
     }
     val inGraph = mem.join(ranks, Seq("rep"))
       .select(col("doc_id").as("node"), col("rank"))
@@ -1251,7 +1329,9 @@ object DedupStore {
             .as("rn"))
       ranks = ranks.cutLineage() // every iteration: lazy cuts are barrier-free, and
       // per-iteration truncation keeps each AQE stage replan on a
-      // 1-iteration plan instead of a 3-iteration one
+      // 1-iteration plan instead of a 3-iteration one (retained-blocks
+      // cost: see the pagerankRanks cut site — same trade, same
+      // rep-class-cardinality bound)
     }
     val inGraph = mem.join(ranks, Seq("rep"))
       .select(col("doc_id").as("node"),

@@ -250,6 +250,16 @@ object PqIndex {
     val vectors = spark.read.parquet(s"$d/vectors")
     val lists = spark.read.parquet(s"$d/lists")
     val q = queryVec(vectors, queryId)
+    servedIvfFlat(centers, vectors, lists, q, queryId, k, nProbe)
+  }
+
+  /** One flat-IVF serve against PRE-RESOLVED store state — the body
+    * of [[searchIvfFlat]], factored so [[ivfTune]] can share one
+    * delta resolution / center collect / query-vector collect across
+    * its whole probe grid instead of re-paying them per grid point. */
+  private def servedIvfFlat(centers: Array[Array[Long]], vectors: DataFrame,
+                            lists: DataFrame, q: Array[Double],
+                            queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val probes = Ann.ivfProbesForExact(q, centers, nProbe)
     val cand = lists
       .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
@@ -362,10 +372,22 @@ object PqIndex {
   def ivfTune(spark: SparkSession, path: String, queryId: Long = 0L,
               k: Int = 10, probeGrid: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     require(probeGrid.nonEmpty, "probeGrid must be non-empty")
-    val exactIds = searchIvfFlat(spark, path, queryId, k, nProbe = Int.MaxValue)
-      .select("vec_id")
+    // resolve the store state ONCE for the whole grid: the exact pass
+    // and every grid point share the same delta listing, center table
+    // and query vector — calling the public searchIvfFlat per point
+    // re-collected all three per serve (5× at the default grid)
+    val d = firstDelta(spark, path, "ivf")
+    val centers = readCentersLong(spark, d)
+    val vectors = spark.read.parquet(s"$d/vectors")
+    val lists = spark.read.parquet(s"$d/lists")
+    val q = queryVec(vectors, queryId)
+    // k-row ground-truth relation, consumed by EVERY grid branch —
+    // cut, or each branch re-runs the exact full-probe serve
+    val exactIds = servedIvfFlat(centers, vectors, lists, q, queryId,
+        k, nProbe = Int.MaxValue)
+      .select("vec_id").cutLineage()
     probeGrid.map { np =>
-      searchIvfFlat(spark, path, queryId, k, np)
+      servedIvfFlat(centers, vectors, lists, q, queryId, k, np)
         .join(exactIds, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np.toLong).as("n_probe"), col("n_hits"),
@@ -471,19 +493,22 @@ object PqIndex {
       def carryIfPresent(sub: String): Unit =
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$b/$sub")))
           spark.read.parquet(s"$b/$sub").coalesce(1).write.parquet(s"$staging/$sub")
-      // codebooks carry if-present like centers: a flat-IVF build
-      // (centers/lists/vectors, no fine quantizer) compacts too
-      carryIfPresent("codebooks")
-      carryIfPresent("centers")
       // PHYSICAL PURGE: every id-carrying relation folds live-only
       // (tombstones are not carried — the compacted store equals one
       // whose deleted vectors were never ingested; purged ids are free
       // for re-ingest again)
       def unionAll(sub: String): Unit =
         liveSub(spark, deltas, sub).foreach(_.write.parquet(s"$staging/$sub"))
-      unionAll("codes")
-      unionAll("lists")
-      unionAll("vectors")
+      // codebooks carry if-present like centers: a flat-IVF build
+      // (centers/lists/vectors, no fine quantizer) compacts too.
+      // All five staged writes are independent — overlap them
+      // (guide §2.6)
+      graft.Jobs.inParallel(Seq(
+        () => carryIfPresent("codebooks"),
+        () => carryIfPresent("centers"),
+        () => unionAll("codes"),
+        () => unionAll("lists"),
+        () => unionAll("vectors")))
       val in = fs.open(new org.apache.hadoop.fs.Path(b, "pq.params"))
       val params = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                    finally in.close()

@@ -173,10 +173,15 @@ object SemanticStore {
       .select(col("vec_a"), col("vec_b"), round(col("c_exact"), 4).as("cos"))
     val range = if (batchLo <= batchHi) Some((batchLo, batchHi)) else None
     DeltaStore.commit(spark, path, tag, range) { staging =>
-      members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
-      reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
-      bucketsNew.write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
-      pairs.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")
+      // four INDEPENDENT staged writes — submitted concurrently (guide
+      // §2.6, the mergeStores discipline); shared upstream cuts
+      // (keyed, members, canonNew, bucketsNew) materialize once under
+      // whichever consumer gets there first
+      graft.Jobs.inParallel(Seq(
+        () => members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members"),
+        () => reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps"),
+        () => bucketsNew.write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets"),
+        () => pairs.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")))
     }
   }
 
@@ -231,12 +236,15 @@ object SemanticStore {
   def compactDeltas(spark: SparkSession, path: String): Unit =
     DeltaStore.compact(spark, path) { (deltas, staging) =>
       def live(sub: String) = readFrom(spark, deltas, sub)
-      live("members").write.parquet(s"$staging/members")
-      live("reps").write.parquet(s"$staging/reps")
-      live("buckets").repartition(col("t"), col("bucket"))
-        .sortWithinPartitions("t", "bucket")
-        .write.parquet(s"$staging/buckets")
-      live("pairs").write.parquet(s"$staging/pairs")
+      // four INDEPENDENT relation rewrites — submitted concurrently
+      // (guide §2.6, the DedupStore.compactDeltas discipline)
+      graft.Jobs.inParallel(Seq(
+        () => live("members").write.parquet(s"$staging/members"),
+        () => live("reps").write.parquet(s"$staging/reps"),
+        () => live("buckets").repartition(col("t"), col("bucket"))
+          .sortWithinPartitions("t", "bucket")
+          .write.parquet(s"$staging/buckets"),
+        () => live("pairs").write.parquet(s"$staging/pairs")))
     }
 
   /** SHARD MERGE — [[DedupStore.mergeStores]] on the embedding side,
@@ -261,8 +269,13 @@ object SemanticStore {
     require(dB.nonEmpty, s"no committed deltas under $pathB")
     val memA = readFrom(spark, dA, "members").cutLineage()
     val memB = readFrom(spark, dB, "members").cutLineage()
-    val hiA = memA.agg(max(col("vec_id"))).collect()(0)
-    val loB = memB.agg(min(col("vec_id"))).collect()(0)
+    // two independent guard aggregations — overlapped (guide §2.6);
+    // Thread.join orders the writes before the reads below
+    val hilo = new Array[org.apache.spark.sql.Row](2)
+    graft.Jobs.inParallel(Seq(
+      () => hilo(0) = memA.agg(max(col("vec_id"))).collect()(0),
+      () => hilo(1) = memB.agg(min(col("vec_id"))).collect()(0)))
+    val (hiA, loB) = (hilo(0), hilo(1))
     require(!hiA.isNullAt(0) && !loB.isNullAt(0),
       "shard merge requires two non-empty live stores")
     require(hiA.getLong(0) < loB.getLong(0),
@@ -322,15 +335,47 @@ object SemanticStore {
     val pairs = pairsA.unionByName(pairsB2).unionByName(statsNew).distinct()
     val (_, lo, hi) = DeltaStore.batchRange(members.select("vec_id"), "vec_id")
     val range = if (lo <= hi) Some((lo, hi)) else None
+    // FILE-LEVEL COPY-THROUGH when shard A's live view is the plain
+    // union (no delete deltas): A's members/reps/buckets pass through
+    // the merge verbatim (adoption renames B-side rows only), so they
+    // stage as byte copies of A's files + a Spark write of the B-new
+    // rows — see DedupStore.mergeStores for the full rationale and
+    // the clustering note. pairs always rewrite (cross-side distinct).
+    val aPlain = havingSub(spark, dA, "tombstones").isEmpty
     DeltaStore.reset(spark, dest)
     DeltaStore.commit(spark, dest, "00000", range) { staging =>
-      members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
-      reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
-      bucketsA.unionByName(bucketsBnew)
-        .repartition(col("t"), col("bucket"))
-        .sortWithinPartitions("t", "bucket")
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
-      pairs.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")
+      // INDEPENDENT staged writes + copies — submitted concurrently
+      // (guide §2.6); shared upstream cuts (matched, repsBnew,
+      // bucketsBnew) materialize once under whichever consumer gets
+      // there first
+      val rewriteAll: Seq[() => Unit] = Seq(
+        () => members.write.mode(SaveMode.Overwrite).parquet(s"$staging/members"),
+        () => reps.write.mode(SaveMode.Overwrite).parquet(s"$staging/reps"),
+        () => bucketsA.unionByName(bucketsBnew)
+          .repartition(col("t"), col("bucket"))
+          .sortWithinPartitions("t", "bucket")
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets"))
+      val copyThrough: Seq[() => Unit] = Seq(
+        () => {
+          remapCol(memB, "rep", matched)
+            .select(memA.columns.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/members")
+          DeltaStore.copySubFiles(spark, dA, "members", staging, "a")
+        },
+        () => {
+          repsBnew.select(repsA.columns.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/reps")
+          DeltaStore.copySubFiles(spark, dA, "reps", staging, "a")
+        },
+        () => {
+          bucketsBnew.repartition(col("t"), col("bucket"))
+            .sortWithinPartitions("t", "bucket")
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
+          DeltaStore.copySubFiles(spark, dA, "buckets", staging, "a")
+        })
+      graft.Jobs.inParallel(
+        (if (aPlain) copyThrough else rewriteAll) ++ Seq[() => Unit](
+          () => pairs.write.mode(SaveMode.Overwrite).parquet(s"$staging/pairs")))
     }
   }
 

@@ -211,6 +211,43 @@ object DeltaStore {
           "maintenance would double-count them — upsert or rebuild instead")
     }
 
+  /** FILE-LEVEL COPY-THROUGH for shard merges (guide §6 — move bytes,
+    * don't recompute them): copy every data file of `sub` from the
+    * given source deltas into `staging/sub`, per-delta-prefixed so
+    * names cannot collide with each other or with files Spark writes
+    * into the same staging sub-relation. A parquet relation is read
+    * as the union of its directory's files, so copying a shard's
+    * files verbatim stages exactly that shard's rows — byte-identical,
+    * no decode/re-encode, no shuffle — which is what an LSM merge
+    * does with untouched runs. ONLY sound when the source's live view
+    * is the plain per-delta union (no tombstone/rekey deltas — the
+    * caller gates); on an object store this is a server-side copy
+    * instead of a full read+rewrite of the corpus-scale relation. */
+  def copySubFiles(spark: SparkSession, deltas: Seq[String], sub: String,
+                   staging: String, prefix: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstDir = new Path(s"$staging/$sub")
+    val dfs = dstDir.getFileSystem(conf)
+    dfs.mkdirs(dstDir)
+    deltas.zipWithIndex.foreach { case (d, i) =>
+      val src = new Path(s"$d/$sub")
+      val sfs = src.getFileSystem(conf)
+      if (sfs.exists(src))
+        sfs.listStatus(src).filter(_.isFile)
+          .filterNot { st =>
+            val n = st.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .foreach { st =>
+            val dst = new Path(dstDir, s"$prefix$i-${st.getPath.getName}")
+            if (!org.apache.hadoop.fs.FileUtil.copy(
+                sfs, st.getPath, dfs, dst, false, conf))
+              throw new java.io.IOException(
+                s"copy-through failed: ${st.getPath} -> $dst")
+          }
+    }
+  }
+
   /** Stage-and-commit: clear orphaned staging dirs AND any superseded
     * delta dirs a crashed compaction left behind (single-writer
     * contract — readers never mutate), run `stage` against the staging
