@@ -83,14 +83,16 @@ object AnnIndex {
     }
     val range = if (lo <= hi) Some((lo, hi)) else None
     DeltaStore.commit(spark, path, tag, range) { staging =>
-      embeddings
-        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", sqrt(graft.functions.Native.dot(col("v"), col("v"))))
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
-      Ann.lshBuckets(embeddings, numTables, bitsPerTable)
-        .repartition(col("t"), col("bucket"))
-        .sortWithinPartitions("t", "bucket")
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")
+      // independent staged writes — overlap them (guide §2.6)
+      graft.Jobs.inParallel(Seq(
+        () => embeddings
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", sqrt(graft.functions.Native.dot(col("v"), col("v"))))
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors"),
+        () => Ann.lshBuckets(embeddings, numTables, bitsPerTable)
+          .repartition(col("t"), col("bucket"))
+          .sortWithinPartitions("t", "bucket")
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/buckets")))
       val fs = DeltaStore.fsOf(spark, staging)
       val out = fs.create(new org.apache.hadoop.fs.Path(staging, "lsh.params"), true)
       try out.write(params.getBytes("UTF-8")) finally out.close()
@@ -230,7 +232,7 @@ object AnnIndex {
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/vectors")))
       val present =
         if (candidates.isEmpty) ids.limit(0)
-        else ids.join(spark.read.parquet(candidates.map(d => s"$d/vectors"): _*)
+        else ids.join(DeltaStore.readRelation(spark, candidates.map(d => s"$d/vectors"))
           .select("vec_id"), Seq("vec_id"), "left_semi")
       val live = readSub(spark, deltas, "tombstones") match {
         case None => present
@@ -255,7 +257,7 @@ object AnnIndex {
     val present = deltas.filter(d =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub")))
     if (present.isEmpty) None
-    else Some(spark.read.parquet(present.map(d => s"$d/$sub"): _*))
+    else Some(DeltaStore.readRelation(spark, present.map(d => s"$d/$sub")))
   }
 
   /** The LIVE (vectors, buckets) pair: physical rows minus tombstoned

@@ -92,7 +92,7 @@ object Bm25Index {
     val present = deltas.filter(d =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$d/$sub")))
     if (present.isEmpty) None
-    else Some(spark.read.parquet(present.map(d => s"$d/$sub"): _*))
+    else Some(DeltaStore.readRelation(spark, present.map(d => s"$d/$sub")))
   }
 
   /** The LIVE (postings, doclen) pair: physical rows minus tombstoned
@@ -205,7 +205,7 @@ object Bm25Index {
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/doclen")))
       val present =
         if (candidates.isEmpty) ids.limit(0)
-        else ids.join(spark.read.parquet(candidates.map(d => s"$d/doclen"): _*)
+        else ids.join(DeltaStore.readRelation(spark, candidates.map(d => s"$d/doclen"))
           .select("doc_id"), Seq("doc_id"), "left_semi")
       val live = readSub(spark, deltas, "tombstones") match {
         case None => present
@@ -217,7 +217,6 @@ object Bm25Index {
           "(absent or already tombstoned) — refusing a partially-effective delete")
     }
     DeltaStore.commit(spark, path, tag, None) { staging =>
-      ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
       // deaddf sidecar: per-term counts of the postings rows this
       // delete tombstones, so block-max serving can reconstruct the
       // LIVE df per term from sidecars alone (physical row counts
@@ -241,10 +240,15 @@ object Bm25Index {
                 org.apache.spark.sql.types.StringType),
               org.apache.spark.sql.types.StructField("n_dead",
                 org.apache.spark.sql.types.LongType))))
-        else spark.read.parquet(candPost.map(d => s"$d/postings"): _*)
+        else DeltaStore.readRelation(spark, candPost.map(d => s"$d/postings"))
           .join(ids, Seq("doc_id"), "left_semi")
           .groupBy("term").agg(count(lit(1)).as("n_dead"))
-      dead.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/deaddf")
+      // the tombstone write and the deaddf aggregation are
+      // independent — overlap them (guide §2.6)
+      graft.Jobs.inParallel(Seq(
+        () => ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones"),
+        () => dead.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$staging/deaddf")))
     }
   }
 
@@ -364,7 +368,7 @@ object Bm25Index {
         // all three staged writes are independent — overlap them
         // (guide §2.6)
         graft.Jobs.inParallel(Seq(writePostings, writeDoclen,
-          () => spark.read.parquet(upd.map(d => s"$d/blockmax"): _*)
+          () => DeltaStore.readRelation(spark, upd.map(d => s"$d/blockmax"))
             .groupBy("term", "block_id")
             .agg(sum("n_rows").as("n_rows"), max("max_tf").as("max_tf"),
               min("min_dl").as("min_dl"))
@@ -558,7 +562,7 @@ object Bm25Index {
   private def blockBounds(spark: SparkSession, updDeltas: Seq[String],
                           delDeltas: Seq[String],
                           terms: Seq[String]): (DataFrame, DataFrame) = {
-    val blocks = spark.read.parquet(updDeltas.map(d => s"$d/blockmax"): _*)
+    val blocks = DeltaStore.readRelation(spark, updDeltas.map(d => s"$d/blockmax"))
       .filter(col("term").isin(terms: _*))
       .groupBy("term", "block_id")
       .agg(sum("n_rows").as("n_rows"), max("max_tf").as("max_tf"),
@@ -568,7 +572,7 @@ object Bm25Index {
       if (delDeltas.isEmpty)
         phys.select(col("term"), col("df_phys").as("df"))
       else {
-        val dd = spark.read.parquet(delDeltas.map(d => s"$d/deaddf"): _*)
+        val dd = DeltaStore.readRelation(spark, delDeltas.map(d => s"$d/deaddf"))
           .filter(col("term").isin(terms: _*))
           .groupBy("term").agg(sum("n_dead").as("n_dead"))
         phys.join(dd, Seq("term"), "left")

@@ -121,7 +121,7 @@ object DedupStore {
       val maxExisting: Option[Long] =
         if (ranges.forall(_.isDefined)) Some(ranges.flatten.map(_._2).max)
         else {
-          val r = spark.read.parquet(dataDeltas.map(d => s"$d/members"): _*)
+          val r = DeltaStore.readRelation(spark, dataDeltas.map(d => s"$d/members"))
             .agg(max(col("doc_id"))).collect()(0)
           if (r.isNullAt(0)) None else Some(r.getLong(0))
         }
@@ -264,8 +264,10 @@ object DedupStore {
       .filter(col("rep_del") === 1 && col("new_rep").isNotNull)
       .select(col("rep").as("old_rep"), col("new_rep"))
     DeltaStore.commit(spark, path, tag, None) { staging =>
-      ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
-      rekeys.write.mode(SaveMode.Overwrite).parquet(s"$staging/rekeys")
+      // independent staged writes — overlap them (guide §2.6)
+      graft.Jobs.inParallel(Seq(
+        () => ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones"),
+        () => rekeys.write.mode(SaveMode.Overwrite).parquet(s"$staging/rekeys")))
     }
   }
 
@@ -339,12 +341,26 @@ object DedupStore {
     val memA = readFrom(spark, dA, "members").cutLineage()
     val memB = readFrom(spark, dB, "members").cutLineage()
     // two independent guard aggregations — overlapped (guide §2.6);
-    // Thread.join orders the writes before the reads below
+    // Thread.join orders the writes before the reads below. Each side
+    // also carries its min/max + uniqueness counts so the merged
+    // store's id-range sidecar and duplicate check derive HERE instead
+    // of a third members-union aggregation barrier: the monotone gate
+    // makes the sides disjoint, so per-side uniqueness IS union
+    // uniqueness, min(union) = min(A), max(union) = max(B) — exactly
+    // what DeltaStore.batchRange(members) re-derived (remapping only
+    // renames reps, never doc_ids).
     val hilo = new Array[org.apache.spark.sql.Row](2)
     graft.Jobs.inParallel(Seq(
-      () => hilo(0) = memA.agg(max(col("doc_id"))).collect()(0),
-      () => hilo(1) = memB.agg(min(col("doc_id"))).collect()(0)))
+      () => hilo(0) = memA.agg(max(col("doc_id")), min(col("doc_id")),
+        count(col("doc_id")), countDistinct(col("doc_id"))).collect()(0),
+      () => hilo(1) = memB.agg(min(col("doc_id")), max(col("doc_id")),
+        count(col("doc_id")), countDistinct(col("doc_id"))).collect()(0)))
     val (hiA, loB) = (hilo(0), hilo(1))
+    Seq(("A", pathA, hilo(0)), ("B", pathB, hilo(1))).foreach { case (s, p, r) =>
+      require(r.getLong(2) == r.getLong(3),
+        s"shard $s ($p) holds ${r.getLong(2) - r.getLong(3)} duplicated " +
+          "doc_ids — committing the merge would double-count them")
+    }
     require(!hiA.isNullAt(0) && !loB.isNullAt(0),
       "shard merge requires two non-empty live stores")
     require(hiA.getLong(0) < loB.getLong(0),
@@ -404,8 +420,9 @@ object DedupStore {
       when(col("doc_a") <= col("doc_b"), col("nb")).otherwise(col("na")).as("nb"))
     val known = pairsA.select("doc_a", "doc_b")
       .unionByName(pairsB2.select("doc_a", "doc_b"))
+    // single consumer (statsNew) — a cut here would be pure
+    // block-persist overhead, not reuse
     val newCands = cands.join(known, Seq("doc_a", "doc_b"), "left_anti")
-      .cutLineage()
     val allSizes = reps.select(col("rep"), col("n_sh"))
     // pair-driven verify of the genuinely new pairs — the update()
     // shape: cost Σ_pairs |shingles(doc_a)|, never a co-shingle blowup
@@ -418,8 +435,11 @@ object DedupStore {
       .join(allSizes.select(col("rep").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
     val pairs = pairsA.unionByName(pairsB2).unionByName(statsNew).distinct()
-    val (_, lo, hi) = DeltaStore.batchRange(members.select("doc_id"), "doc_id")
-    val range = if (lo <= hi) Some((lo, hi)) else None
+    // id-range sidecar from the guard aggregations above (min(union) =
+    // min(A), max(union) = max(B) under the monotone gate) — the
+    // members-union batchRange this replaced was a third sequential
+    // aggregation barrier re-deriving exactly these numbers
+    val range = Some((hilo(0).getLong(1), hilo(1).getLong(1)))
     // FILE-LEVEL COPY-THROUGH (guide §6): when shard A's live view is
     // the plain per-delta union (no delete deltas), its members /
     // reps / bands / shingles rows pass through the merge VERBATIM —
@@ -518,8 +538,8 @@ object DedupStore {
     val dd = havingSub(spark, deltas, "tombstones")
     if (dd.isEmpty) None
     else {
-      val t = spark.read.parquet(dd.map(d => s"$d/tombstones"): _*)
-      var m = spark.read.parquet(dd.map(d => s"$d/rekeys"): _*)
+      val t = DeltaStore.readRelation(spark, dd.map(d => s"$d/tombstones"))
+      var m = DeltaStore.readRelation(spark, dd.map(d => s"$d/rekeys"))
       val steps = if (dd.size <= 1) 0
         else 32 - Integer.numberOfLeadingZeros(dd.size - 1) // ceil(log2(n))
       for (_ <- 0 until steps)
@@ -556,7 +576,7 @@ object DedupStore {
                        sub: String): DataFrame = {
     val data = havingSub(spark, deltas, sub)
     require(data.nonEmpty, s"store holds no '$sub' relation")
-    val base = spark.read.parquet(data.map(d => s"$d/$sub"): _*)
+    val base = DeltaStore.readRelation(spark, data.map(d => s"$d/$sub"))
     tombStateOf(spark, deltas) match {
       case None => base
       case Some((t, m)) =>

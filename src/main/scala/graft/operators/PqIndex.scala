@@ -104,10 +104,12 @@ object PqIndex {
     val mv = Ann.millisVecs(newEmbeddings)
     val range = if (batchLo <= batchHi) Some((batchLo, batchHi)) else None
     DeltaStore.commit(spark, path, tag, range) { staging =>
-      mv.select(col("vec_id") +: Ann.pqCodeColsExact(codebooks, "qv", m, sub): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/codes")
-      Ann.withNorm(newEmbeddings)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
+      // independent staged writes — overlap them (guide §2.6)
+      graft.Jobs.inParallel(Seq(
+        () => mv.select(col("vec_id") +: Ann.pqCodeColsExact(codebooks, "qv", m, sub): _*)
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/codes"),
+        () => Ann.withNorm(newEmbeddings)
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")))
     }
   }
 
@@ -149,7 +151,7 @@ object PqIndex {
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(s"$d/vectors")))
       val present =
         if (candidates.isEmpty) ids.limit(0)
-        else ids.join(spark.read.parquet(candidates.map(d => s"$d/vectors"): _*)
+        else ids.join(DeltaStore.readRelation(spark, candidates.map(d => s"$d/vectors"))
           .select("vec_id"), Seq("vec_id"), "left_semi")
       val live = liveSub(spark, deltas, "tombstones") match {
         case None => present
@@ -174,7 +176,7 @@ object PqIndex {
       val present = deltas.filter(d =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$d/$s")))
       if (present.isEmpty) None
-      else Some(spark.read.parquet(present.map(d => s"$d/$s"): _*))
+      else Some(DeltaStore.readRelation(spark, present.map(d => s"$d/$s")))
     }
     val rel = raw(sub)
     if (sub == "tombstones") rel
@@ -247,8 +249,8 @@ object PqIndex {
                     k: Int = 10, nProbe: Int = 4): DataFrame = {
     val d = firstDelta(spark, path, "ivf")
     val centers = readCentersLong(spark, d)
-    val vectors = spark.read.parquet(s"$d/vectors")
-    val lists = spark.read.parquet(s"$d/lists")
+    val vectors = DeltaStore.readRelation(spark, Seq(s"$d/vectors"))
+    val lists = DeltaStore.readRelation(spark, Seq(s"$d/lists"))
     val q = queryVec(vectors, queryId)
     servedIvfFlat(centers, vectors, lists, q, queryId, k, nProbe)
   }
@@ -354,7 +356,7 @@ object PqIndex {
     * rows and cost no scan). */
   def listBalance(spark: SparkSession, path: String): DataFrame = {
     val d = firstDelta(spark, path, "ivf")
-    val lists = spark.read.parquet(s"$d/lists")
+    val lists = DeltaStore.readRelation(spark, Seq(s"$d/lists"))
     val n = lists.agg(count(lit(1)).as("n_total"))
     lists.groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
       .crossJoin(broadcast(n))
@@ -378,8 +380,8 @@ object PqIndex {
     // re-collected all three per serve (5× at the default grid)
     val d = firstDelta(spark, path, "ivf")
     val centers = readCentersLong(spark, d)
-    val vectors = spark.read.parquet(s"$d/vectors")
-    val lists = spark.read.parquet(s"$d/lists")
+    val vectors = DeltaStore.readRelation(spark, Seq(s"$d/vectors"))
+    val lists = DeltaStore.readRelation(spark, Seq(s"$d/lists"))
     val q = queryVec(vectors, queryId)
     // k-row ground-truth relation, consumed by EVERY grid branch —
     // cut, or each branch re-runs the exact full-probe serve
@@ -492,7 +494,7 @@ object PqIndex {
       val b = builds.head
       def carryIfPresent(sub: String): Unit =
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$b/$sub")))
-          spark.read.parquet(s"$b/$sub").coalesce(1).write.parquet(s"$staging/$sub")
+          DeltaStore.readRelation(spark, Seq(s"$b/$sub")).coalesce(1).write.parquet(s"$staging/$sub")
       // PHYSICAL PURGE: every id-carrying relation folds live-only
       // (tombstones are not carried — the compacted store equals one
       // whose deleted vectors were never ingested; purged ids are free
@@ -544,7 +546,7 @@ object PqIndex {
   }
 
   private def readCentersLong(spark: SparkSession, delta: String): Array[Array[Long]] =
-    spark.read.parquet(s"$delta/centers").select("list_id", "center").collect()
+    DeltaStore.readRelation(spark, Seq(s"$delta/centers")).select("list_id", "center").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Long](1).toArray)
 
   private def writeParams(spark: SparkSession, staging: String,
@@ -609,7 +611,7 @@ object PqIndex {
                          path: String, expectKind: String)
       : (Array[Array[Array[Long]]], Array[Array[Long]], DataFrame, DataFrame) = {
     val d = buildDeltaIn(spark, deltas, path, expectKind)
-    val cbRows = spark.read.parquet(s"$d/codebooks")
+    val cbRows = DeltaStore.readRelation(spark, Seq(s"$d/codebooks"))
       .select("j", "c", "center").collect()
     val m = cbRows.map(_.getInt(0)).max + 1
     val ksub = cbRows.map(_.getInt(1)).max + 1

@@ -94,7 +94,7 @@ object SemanticStore {
       val maxExisting: Option[Long] =
         if (ranges.forall(_.isDefined)) Some(ranges.flatten.map(_._2).max)
         else {
-          val r = spark.read.parquet(dataDeltas.map(d => s"$d/members"): _*)
+          val r = DeltaStore.readRelation(spark, dataDeltas.map(d => s"$d/members"))
             .agg(max(col("vec_id"))).collect()(0)
           if (r.isNullAt(0)) None else Some(r.getLong(0))
         }
@@ -219,8 +219,10 @@ object SemanticStore {
       .filter(col("rep_del") === 1 && col("new_rep").isNotNull)
       .select(col("rep").as("old_rep"), col("new_rep"))
     DeltaStore.commit(spark, path, tag, None) { staging =>
-      ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones")
-      rekeys.write.mode(SaveMode.Overwrite).parquet(s"$staging/rekeys")
+      // independent staged writes — overlap them (guide §2.6)
+      graft.Jobs.inParallel(Seq(
+        () => ids.write.mode(SaveMode.Overwrite).parquet(s"$staging/tombstones"),
+        () => rekeys.write.mode(SaveMode.Overwrite).parquet(s"$staging/rekeys")))
     }
   }
 
@@ -270,12 +272,23 @@ object SemanticStore {
     val memA = readFrom(spark, dA, "members").cutLineage()
     val memB = readFrom(spark, dB, "members").cutLineage()
     // two independent guard aggregations — overlapped (guide §2.6);
-    // Thread.join orders the writes before the reads below
+    // Thread.join orders the writes before the reads below. Each side
+    // also carries its min/max + uniqueness counts so the merged
+    // store's id-range sidecar and duplicate check derive HERE instead
+    // of a third members-union aggregation barrier (see
+    // DedupStore.mergeStores — same monotone-gate argument).
     val hilo = new Array[org.apache.spark.sql.Row](2)
     graft.Jobs.inParallel(Seq(
-      () => hilo(0) = memA.agg(max(col("vec_id"))).collect()(0),
-      () => hilo(1) = memB.agg(min(col("vec_id"))).collect()(0)))
+      () => hilo(0) = memA.agg(max(col("vec_id")), min(col("vec_id")),
+        count(col("vec_id")), countDistinct(col("vec_id"))).collect()(0),
+      () => hilo(1) = memB.agg(min(col("vec_id")), max(col("vec_id")),
+        count(col("vec_id")), countDistinct(col("vec_id"))).collect()(0)))
     val (hiA, loB) = (hilo(0), hilo(1))
+    Seq(("A", pathA, hilo(0)), ("B", pathB, hilo(1))).foreach { case (s, p, r) =>
+      require(r.getLong(2) == r.getLong(3),
+        s"shard $s ($p) holds ${r.getLong(2) - r.getLong(3)} duplicated " +
+          "vec_ids — committing the merge would double-count them")
+    }
     require(!hiA.isNullAt(0) && !loB.isNullAt(0),
       "shard merge requires two non-empty live stores")
     require(hiA.getLong(0) < loB.getLong(0),
@@ -318,8 +331,9 @@ object SemanticStore {
       .distinct()
     val known = pairsA.select("vec_a", "vec_b")
       .unionByName(pairsB2.select("vec_a", "vec_b"))
+    // single consumer (statsNew) — a cut here would be pure
+    // block-persist overhead, not reuse
     val newCands = cross.join(known, Seq("vec_a", "vec_b"), "left_anti")
-      .cutLineage()
     val repVecs = reps.select(col("rep"), col("embedding"))
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -333,8 +347,10 @@ object SemanticStore {
       .filter(col("c_exact") >= Threshold)
       .select(col("vec_a"), col("vec_b"), round(col("c_exact"), 4).as("cos"))
     val pairs = pairsA.unionByName(pairsB2).unionByName(statsNew).distinct()
-    val (_, lo, hi) = DeltaStore.batchRange(members.select("vec_id"), "vec_id")
-    val range = if (lo <= hi) Some((lo, hi)) else None
+    // id-range sidecar from the guard aggregations above (min(union) =
+    // min(A), max(union) = max(B) under the monotone gate) — replaces
+    // the members-union batchRange barrier
+    val range = Some((hilo(0).getLong(1), hilo(1).getLong(1)))
     // FILE-LEVEL COPY-THROUGH when shard A's live view is the plain
     // union (no delete deltas): A's members/reps/buckets pass through
     // the merge verbatim (adoption renames B-side rows only), so they
@@ -401,8 +417,8 @@ object SemanticStore {
     val dd = havingSub(spark, deltas, "tombstones")
     if (dd.isEmpty) None
     else {
-      val t = spark.read.parquet(dd.map(d => s"$d/tombstones"): _*)
-      var m = spark.read.parquet(dd.map(d => s"$d/rekeys"): _*)
+      val t = DeltaStore.readRelation(spark, dd.map(d => s"$d/tombstones"))
+      var m = DeltaStore.readRelation(spark, dd.map(d => s"$d/rekeys"))
       val steps = if (dd.size <= 1) 0
         else 32 - Integer.numberOfLeadingZeros(dd.size - 1) // ceil(log2(n))
       for (_ <- 0 until steps)
@@ -434,7 +450,7 @@ object SemanticStore {
                        sub: String): DataFrame = {
     val data = havingSub(spark, deltas, sub)
     require(data.nonEmpty, s"store holds no '$sub' relation")
-    val base = spark.read.parquet(data.map(d => s"$d/$sub"): _*)
+    val base = DeltaStore.readRelation(spark, data.map(d => s"$d/$sub"))
     tombStateOf(spark, deltas) match {
       case None => base
       case Some((t, m)) =>

@@ -24,6 +24,28 @@ object DeltaStore {
   def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Per-(session, path-set) LAZY-RELATION memo for committed delta
+    * sub-relations — the [[graft.sources.Tables]] catalog discipline
+    * applied to the stores: `spark.read.parquet` re-lists and re-reads
+    * parquet footers on every call (~65 ms at bench SF), paid by every
+    * serve on every invocation. A COMMITTED delta dir is immutable by
+    * the rename-commit protocol (writers stage under `.staging-*` and
+    * rename once; sweeps only delete dirs that are already invisible),
+    * so a relation keyed on the EXACT path set can never serve stale
+    * rows: any store mutation (update/delete/compact) changes the
+    * visible delta set and therefore the key. No rows are cached —
+    * consuming queries still plan, prune and scan parquet themselves;
+    * this pins only the listing + footer schema (guide §6). Callers
+    * must pass committed delta paths, never staging paths. */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Seq[String]), DataFrame]()
+  def readRelation(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val key = (spark, paths.sorted)
+    val hit = relCache.get(key)
+    if (hit != null) hit
+    else relCache.computeIfAbsent(key, k => spark.read.parquet(k._2: _*))
+  }
+
   /** Raw delta listing plus the superseded (stale) name subset — the
     * ONE definition of visibility: readers hide what this says is
     * stale, writers sweep exactly the same set. Only compaction

@@ -10,8 +10,31 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * scan shows it in `PushedFilters`/`ReadSchema`.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-(session, path) LAZY-RELATION memo — the catalog role: a
+    * production engine resolves a table to its file index + schema
+    * once per session, not once per query. `spark.read.parquet`
+    * re-lists the path and re-reads parquet footers on EVERY call
+    * (measured ~65 ms/call at bench SF — a hidden job-sized constant
+    * paid by nearly every one of the 435 timed keys, twice), while
+    * the memo'd DataFrame is pure METADATA: no rows are cached, every
+    * consuming query still plans, prunes and scans the parquet bytes
+    * itself (PushedFilters/ReadSchema unchanged — the plans are
+    * identical, only the redundant re-listing goes away; guide §6's
+    * listing-cache prescription). Sound under the same
+    * testdata-immutable-per-JVM invariant the stagedOnce/cachedLayout
+    * conventions already declare: these dirs are generator outputs,
+    * written before any engine JVM starts and never mutated by one —
+    * mutable STORE relations (delta dirs) are never served from here
+    * and always re-list. Keyed per session so a stopped session's
+    * relations can never serve a later one. */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (spark, s"$dir/$name.parquet")
+    val hit = relCache.get(key)
+    if (hit != null) hit
+    else relCache.computeIfAbsent(key, k => spark.read.parquet(k._2))
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
